@@ -1,38 +1,789 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each entry in ``queries()`` is an operator from SURVEY.md §2 (or a
+beyond-reference LLM-pipeline operator) expressed Spark-first; the
+matching ``oracle_sql()`` entry is the same computation in DuckDB SQL.
+
+Determinism policy (so Spark/DuckDB value-hashes match):
+- sums over doubles go through DECIMAL(18,4) (exact, order-independent)
+  and are cast back to DOUBLE for a stable schema;
+- similarity scores use integer-quantized dot products (exact);
+- every ranking has a total tie-break order;
+- md5/sha256 text hashing is identical in both engines.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
+import zipfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    # the driver may import this module from any cwd
+    sys.path.insert(0, _REPO_DIR)
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gpt_rag_ingestion_spark.chunking.pipeline import chunk_documents
+from gpt_rag_ingestion_spark.chunking.splitter import chunk_fixed
+from gpt_rag_ingestion_spark.functions.keys import chunk_key
+from gpt_rag_ingestion_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from gpt_rag_ingestion_spark.operators.freshness import (
+    freshness_candidates,
+    index_watermarks,
+)
+from gpt_rag_ingestion_spark.operators.multimodal import extract_media_features
+from gpt_rag_ingestion_spark.operators.purge import purge_targets
+from gpt_rag_ingestion_spark.operators.similarity import (
+    lsh_bucketed_ann,
+    quantized_dot_top1,
+)
+from gpt_rag_ingestion_spark.operators.text_analysis import (
+    language_id,
+    quality_features,
+)
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+_SHIPPED: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package to executor Python workers via addPyFile so
+    pandas-UDF closures (pickled by reference) import cleanly no matter
+    what cwd/sys.path the driver process has.  Same mechanism a real
+    cluster submit would use (--py-files)."""
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"gpt_rag_ingestion_spark_pkg_{os.getpid()}.zip"
+    )
+    pkg = os.path.join(_REPO_DIR, "gpt_rag_ingestion_spark")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, _REPO_DIR))
+    sc.addPyFile(zpath)
+    _SHIPPED.add(id(sc))
+
+
+_EVENTS_READ_SCHEMA = (
+    "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_shipped(spark)
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's reader
+        # rejects; read as int64 nanos (explicit schema — no session conf
+        # needed) and truncate to micros, matching DuckDB/engine-default
+        # microsecond timestamps.
+        df = spark.read.schema(_EVENTS_READ_SCHEMA).parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec_sum(col, alias):
+    """Order-independent double sum: exact DECIMAL accumulation."""
+    return F.sum(col.cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+# --------------------------------------------------------------------------
+# flagship: the reference's core lifecycle (scan → chunk → id → embed)
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full document→chunks pipeline (SURVEY.md §3.1) on
+    sf0.001 — recursive splitter UDF, deterministic keys (F1-F3),
+    byte-safe truncation (F6), deterministic embeddings (U1)."""
+    docs = _t(spark, SF_DEFAULT, "documents").withColumn(
+        "doc_key", F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+    )
+    return chunk_documents(
+        docs, text_col="text", doc_key_col="doc_key", source_col="source",
+        embedding_dim=64, max_tokens=64, overlap=8, min_tokens=4,
+    )
+
+
+# --------------------------------------------------------------------------
+# queries + oracles
+# --------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """A4/A2: multi-aggregate rollup (TPC-H Q1 shape) with exact sums."""
+    li = _t(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    out = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            _dec_sum(disc_price, "sum_disc_price"),
+            _dec_sum(charge, "sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
+        .withColumn(
+            "avg_price", F.round(F.col("sum_base_price") / F.col("count_order"), 6)
+        )
+    )
+    return out
+
+
+def q02_watermark_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """A1/S9: index-state watermarks (max last-modified per key)."""
+    ev = _t(spark, sf, "events")
+    return index_watermarks(ev, key="user_id", ts="ts")
+
+
+def q03_freshness_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J1/P1/P2: incremental freshness — broadcast-join source listing
+    against watermarks, keep new/strictly-newer (1 s skew)."""
+    ev = _t(spark, sf, "events")
+    state = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("watermark_ts"))
+    )
+    source = ev.filter(F.col("event_id") % 2 == 1)
+    out = freshness_candidates(source, state, key="user_id", ts="ts")
+    return out.select("event_id", "user_id", "ts")
+
+
+def q04_purge_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J3/J5: purge anti-join — index entries whose source vanished."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    live = orders.select(F.col("o_custkey").alias("c_custkey"))
+    return purge_targets(cust, live, "c_custkey").select("c_custkey", "c_name")
+
+
+def q05_regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """J7: broadcast dimension joins (region⋈nation⋈customer) into a
+    fact-side aggregation — classic star-schema rollup."""
+    region = F.broadcast(_t(spark, sf, "region"))
+    nation = F.broadcast(_t(spark, sf, "nation"))
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            _dec_sum(revenue, "revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def q06_run_summary_counters(spark: SparkSession, sf: str) -> DataFrame:
+    """A2: run-summary counters — count + conditional sums, lock-free."""
+    orders = _t(spark, sf, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_pending"),
+        _dec_sum(F.col("o_totalprice"), "total_value"),
+    )
+
+
+def q07_group_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """A3: per-kind counters (groupBy-count + distinct users)."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q08_distinct_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """A7: order-stable distinct + cap (the ACL ≤32 rule) — here sorted
+    distinct event types capped at 3 per user."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.slice(F.array_sort(F.collect_set("event_type")), 1, 3), ","
+        ).alias("types_capped")
+    )
+
+
+def q09_distinct_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """A8: explode + distinct-count (the images-purge scan shape)."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(F.filter(F.split(F.col("text"), "\\s+"), lambda t: t != "")).alias(
+            "token"
+        )
+    )
+    return toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+
+
+def q10_chunk_fixed(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 (fixed-window form) + W1 + F2: pure-codegen splitter with
+    deterministic chunk keys — the 100 TB chunking hot path."""
+    docs = _t(spark, sf, "documents")
+    chunked = chunk_fixed(docs, "text", size=200, overlap=40, min_len=1)
+    parent = F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+    return chunked.select(
+        F.col("doc_id"),
+        F.col("chunk_id"),
+        chunk_key(parent, F.col("chunk_id")).alias("id"),
+        F.col("content"),
+        F.length("content").alias("chunk_len"),
+    )
+
+
+def q11_window_numbering(spark: SparkSession, sf: str) -> DataFrame:
+    """W1: sequential numbering within a parent (chunk_id assignment)."""
+    orders = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey", "o_custkey", F.row_number().over(w).alias("rn")
+    )
+
+
+def q12_running_offset(spark: SparkSession, sf: str) -> DataFrame:
+    """W3: running character offset per group (chunk offsets)."""
+    docs = _t(spark, sf, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("char_offset"),
+    )
+
+
+def q13_log_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """W6: retention top-k — rows beyond the newest 5 per user are
+    deletion candidates (admin log cleanup shape)."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 5)
+        .select("event_id", "user_id", "rn")
+    )
+
+
+def q14_sort_paginate(spark: SparkSession, sf: str) -> DataFrame:
+    """W5: admin sort + paginate (orderBy + offset/limit)."""
+    orders = _t(spark, sf, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .offset(100)
+        .limit(50)
+    )
+
+
+def q15_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup (exact): md5 groupBy — one shuffle on a 16-byte digest."""
+    docs = _t(spark, sf, "documents")
+    return exact_duplicates(docs, text_col="text", id_col="doc_id")
+
+
+def q16_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup (near, exact Jaccard on word 3-grams) — integer arithmetic
+    until the final division."""
+    docs = _t(spark, sf, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
+
+
+def q17_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup (SimHash, 16-bit, md5-nibble construction — engine-portable)."""
+    docs = _t(spark, sf, "documents")
+    return simhash(docs, "text", "doc_id", bits=16)
+
+
+def q18_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup (MinHash+LSH candidates).  xxhash64-based — no SQL oracle
+    (engine-specific hash); verified by the Jaccard-join property test."""
+    docs = _t(spark, sf, "documents")
+    return minhash_lsh_candidates(docs, "text", "doc_id", n=3, num_hashes=32, bands=8)
+
+
+def q19_knn_top1(spark: SparkSession, sf: str) -> DataFrame:
+    """Similarity: exact nearest neighbor by integer-quantized dot
+    product (engine-portable ranking)."""
+    emb = _t(spark, sf, "embeddings")
+    return quantized_dot_top1(emb, id_col="vec_id", vec_col="embedding")
+
+
+def q20_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Similarity (scale path): hyperplane-LSH bucketed ANN.  Float
+    cosine inside buckets — no SQL oracle; rows-only check + pytest
+    recall assertion vs q19."""
+    emb = _t(spark, sf, "embeddings")
+    return lsh_bucketed_ann(emb, emb, dim=64, bits=6, k=5)
+
+
+def q21_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Text analysis: quality features (token/punct/stopword ratios)."""
+    docs = _t(spark, sf, "documents")
+    return quality_features(docs, "text").select(
+        "doc_id",
+        "n_tokens",
+        "n_punct",
+        "n_stopwords",
+        "stopword_ratio",
+        "avg_token_len",
+    )
+
+
+def q22_language_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Text analysis: stopword-vote language ID."""
+    docs = _t(spark, sf, "documents")
+    return language_id(docs, "text").select("doc_id", "pred_lang")
+
+
+def q23_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Text analysis: md5 fingerprint of normalized text."""
+    docs = _t(spark, sf, "documents")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")))
+    return docs.select("doc_id", fp.alias("fp"))
+
+
+def q24_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming-shape batch: hourly tumbling-window aggregation (the
+    Structured Streaming windowed-agg plan run with AvailableNow)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dec_sum(F.col("value"), "total_value"),
+        )
+    )
+
+
+def q26_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """F21: JSON field extraction + exact integer rollup."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(F.sum(k).alias("sum_k"))
+
+
+def q29_chunk_keys_long(spark: SparkSession, sf: str) -> DataFrame:
+    """F1/F2: key sanitization + sha256-suffixed truncation for >128-char
+    bases."""
+    docs = _t(spark, sf, "documents")
+    base = F.concat(
+        F.lit("docs!!"), F.repeat(F.col("source"), 30), F.lit("/"),
+        F.col("doc_id").cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        chunk_key(base, (F.col("doc_id") % 7).cast("int")).alias("id"),
+    )
+
+
+def q31_media_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing: BINARY payload column → mapInPandas feature
+    extraction (stubbed deterministic decode)."""
+    docs = _t(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.lit("application/octet-stream").alias("content_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return extract_media_features(media, deterministic_fake=True)
+
+
+def q34_enrichment_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J9: groupBy-count + left join enrichment (runs↔files shape)."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dec_sum(F.col("o_totalprice"), "total_spent"),
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("total_spent", F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+def q35_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization: 30-min-gap session ids via lag + running sum —
+    the batch twin of a session-window streaming aggregation."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    prev = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.unix_micros(F.col("ts")) - prev > gap_us), 1
+    ).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(new_sess).over(wrun).alias("session_seq"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_watermark_agg": q02_watermark_agg,
+        "q03_freshness_join": q03_freshness_join,
+        "q04_purge_anti_join": q04_purge_anti_join,
+        "q05_regional_revenue": q05_regional_revenue,
+        "q06_run_summary_counters": q06_run_summary_counters,
+        "q07_group_counts": q07_group_counts,
+        "q08_distinct_cap": q08_distinct_cap,
+        "q09_distinct_tokens": q09_distinct_tokens,
+        "q10_chunk_fixed": q10_chunk_fixed,
+        "q11_window_numbering": q11_window_numbering,
+        "q12_running_offset": q12_running_offset,
+        "q13_log_retention": q13_log_retention,
+        "q14_sort_paginate": q14_sort_paginate,
+        "q15_exact_dedup": q15_exact_dedup,
+        "q16_ngram_jaccard": q16_ngram_jaccard,
+        "q17_simhash": q17_simhash,
+        "q18_minhash_lsh": q18_minhash_lsh,
+        "q19_knn_top1": q19_knn_top1,
+        "q20_ann_lsh": q20_ann_lsh,
+        "q21_quality_scores": q21_quality_scores,
+        "q22_language_id": q22_language_id,
+        "q23_fingerprint": q23_fingerprint,
+        "q24_tumbling_window": q24_tumbling_window,
+        "q26_json_extract": q26_json_extract,
+        "q29_chunk_keys_long": q29_chunk_keys_long,
+        "q31_media_features": q31_media_features,
+        "q34_enrichment_join": q34_enrichment_join,
+        "q35_sessionize": q35_sessionize,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_HEXNIB = "strpos('0123456789abcdef', substr({h}, {pos}, 1)) - 1"
+
+
+def _byte_expr(h: str, byte_index: int) -> str:
+    """byte value at 0-based ``byte_index`` of a hex digest string."""
+    hi = _HEXNIB.format(h=h, pos=2 * byte_index + 1)
+    lo = _HEXNIB.format(h=h, pos=2 * byte_index + 2)
+    return f"(({hi}) * 16 + ({lo}))"
+
+
+_SANITIZE = (
+    "regexp_replace(regexp_replace(regexp_replace({x}, '[^A-Za-z0-9_=-]+', '-', 'g'),"
+    " '-{{2,}}', '-', 'g'), '(^-+)|(-+$)', '', 'g')"
+)
+
+
+def _chunk_key_sql(base: str, cid: str) -> str:
+    s = _SANITIZE.format(x=base)
+    return (
+        f"(CASE WHEN length({s}) > 128 THEN substr({s}, 1, 128) || '-' || "
+        f"substr(sha256({s}), 1, 8) ELSE {s} END) || '-c' || printf('%05d', {cid})"
+    )
+
+
+_TOKS = (
+    "SELECT doc_id, s.i AS pos, l[s.i + 1] AS token FROM "
+    "(SELECT doc_id, string_split_regex(text, '\\s+') AS l FROM documents) d, "
+    "unnest(range(0, len(d.l))) AS s(i)"
+)
+
+_SHINGLES = (
+    f"WITH toks AS ({_TOKS}), ne AS (SELECT * FROM toks WHERE token != '') "
+    "SELECT DISTINCT a.doc_id, a.token || ' ' || b.token || ' ' || c.token AS shingle "
+    "FROM ne a JOIN ne b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+    "JOIN ne c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qdot = (
+        "SELECT vec_id, list_transform(embedding, x -> "
+        "CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings"
+    )
+    stop_en = "['the','and','of','to','a','in','is','that','it','for']"
+    stop_es = "['el','la','de','que','y','en','un','es','no','por']"
+    stop_fr = "['le','la','de','et','un','est','que','pour','dans','les']"
+    stop_de = "['der','die','das','und','ist','ein','zu','mit','von','den']"
+    lang_score = (
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), "
+        "t -> t != '' AND list_contains({words}, t)))"
+    )
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+              COUNT(*) AS count_order,
+              round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+              round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_price
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q02_watermark_agg": """
+            SELECT user_id, max(ts) AS watermark_ts FROM events GROUP BY user_id
+        """,
+        "q03_freshness_join": """
+            WITH state AS (
+              SELECT user_id, max(ts) AS watermark_ts FROM events
+              WHERE event_id % 2 = 0 GROUP BY user_id
+            )
+            SELECT e.event_id, e.user_id, e.ts
+            FROM events e LEFT JOIN state s USING (user_id)
+            WHERE e.event_id % 2 = 1
+              AND (s.watermark_ts IS NULL
+                   OR epoch_us(e.ts) - epoch_us(s.watermark_ts) > 1000000)
+        """,
+        "q04_purge_anti_join": """
+            SELECT c.c_custkey, c.c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "q05_regional_revenue": """
+            SELECT r.r_name,
+              CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+              COUNT(DISTINCT o.o_orderkey) AS n_orders
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "q06_run_summary_counters": """
+            SELECT COUNT(*) AS n_orders,
+              SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+              SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+              SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+            FROM orders
+        """,
+        "q07_group_counts": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "q08_distinct_cap": """
+            SELECT user_id,
+              array_to_string(list_sort(list_distinct(list(event_type)))[1:3], ',')
+                AS types_capped
+            FROM events GROUP BY user_id
+        """,
+        "q09_distinct_tokens": f"""
+            WITH toks AS ({_TOKS})
+            SELECT token, COUNT(*) AS n_occurrences
+            FROM toks WHERE token != '' GROUP BY token
+        """,
+        "q10_chunk_fixed": f"""
+            SELECT d.doc_id, CAST(s.i AS INT) AS chunk_id,
+              {_chunk_key_sql("'doc-' || CAST(d.doc_id AS VARCHAR)", "s.i")} AS id,
+              substr(d.text, CAST(s.i AS INT) * 160 + 1, 200) AS content,
+              length(substr(d.text, CAST(s.i AS INT) * 160 + 1, 200)) AS chunk_len
+            FROM documents d,
+              unnest(range(0, greatest((length(d.text) - 1) // 160, 0) + 1)) AS s(i)
+            WHERE length(substr(d.text, CAST(s.i AS INT) * 160 + 1, 200)) >= 1
+        """,
+        "q11_window_numbering": """
+            SELECT o_orderkey, o_custkey,
+              row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS rn
+            FROM orders
+        """,
+        "q12_running_offset": """
+            SELECT doc_id, source,
+              coalesce(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS char_offset
+            FROM documents
+        """,
+        "q13_log_retention": """
+            SELECT event_id, user_id, rn FROM (
+              SELECT event_id, user_id,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) t
+            WHERE rn > 5
+        """,
+        "q14_sort_paginate": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 50 OFFSET 100
+        """,
+        "q15_exact_dedup": """
+            SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY md5(text)
+        """,
+        "q16_ngram_jaccard": f"""
+            WITH sh AS ({_SHINGLES}),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT i.id_a, i.id_b, i.n_inter,
+                   sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+                   round(CAST(i.n_inter AS DOUBLE)
+                         / (sa.n_shingles + sb.n_shingles - i.n_inter), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE round(CAST(i.n_inter AS DOUBLE)
+                        / (sa.n_shingles + sb.n_shingles - i.n_inter), 6) >= 0.1
+        """,
+        "q17_simhash": f"""
+            WITH toks AS ({_TOKS}),
+            h AS (SELECT doc_id, md5(token) AS h FROM toks WHERE token != ''),
+            bitsrc AS (
+              SELECT doc_id, h, s.i AS bit,
+                ({_HEXNIB.format(h='h', pos="(s.i // 4) + 1")}) AS nibble
+              FROM h, unnest(range(0, 16)) AS s(i)
+            ),
+            votes AS (
+              SELECT doc_id, bit,
+                SUM(CASE WHEN ((nibble >> (bit % 4)) & 1) = 1 THEN 1 ELSE -1 END) AS v
+              FROM bitsrc GROUP BY doc_id, bit
+            )
+            SELECT doc_id,
+              SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+            FROM votes GROUP BY doc_id
+        """,
+        "q19_knn_top1": f"""
+            WITH q AS ({qdot}),
+            pairs AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+                CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot
+              FROM q a, q b WHERE a.vec_id != b.vec_id
+            )
+            SELECT vec_id, nn_id, dot FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY dot DESC, nn_id ASC) AS rn FROM pairs) t
+            WHERE rn = 1
+        """,
+        "q21_quality_scores": """
+            WITH t AS (
+              SELECT doc_id, length(text) AS n_chars_c,
+                len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+                  AS n_tokens,
+                length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))
+                  AS n_punct,
+                len(list_filter(string_split_regex(lower(text), '\\s+'),
+                  x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x)))
+                  AS n_stopwords
+              FROM documents)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+              CAST(n_punct AS BIGINT) AS n_punct,
+              CAST(n_stopwords AS BIGINT) AS n_stopwords,
+              round(CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1), 6)
+                AS stopword_ratio,
+              round(CAST(n_chars_c AS DOUBLE) / greatest(n_tokens, 1), 6)
+                AS avg_token_len
+            FROM t
+        """,
+        "q22_language_id": f"""
+            WITH s AS (
+              SELECT doc_id,
+                {lang_score.format(words=stop_de)} AS s_de,
+                {lang_score.format(words=stop_en)} AS s_en,
+                {lang_score.format(words=stop_es)} AS s_es,
+                {lang_score.format(words=stop_fr)} AS s_fr
+              FROM documents)
+            SELECT doc_id,
+              CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+                   WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                   WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                   WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                   ELSE 'fr' END AS pred_lang
+            FROM s
+        """,
+        "q23_fingerprint": """
+            SELECT doc_id,
+              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "q24_tumbling_window": """
+            SELECT date_trunc('hour', ts) AS hour_ts, COUNT(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+            FROM events GROUP BY date_trunc('hour', ts)
+        """,
+        "q26_json_extract": """
+            SELECT event_type, SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k
+            FROM events GROUP BY event_type
+        """,
+        "q29_chunk_keys_long": f"""
+            SELECT doc_id,
+              {_chunk_key_sql(
+                  "'docs!!' || repeat(source, 30) || '/' || CAST(doc_id AS VARCHAR)",
+                  "doc_id % 7")} AS id
+            FROM documents
+        """,
+        "q31_media_features": f"""
+            WITH h AS (SELECT CAST(doc_id AS VARCHAR) AS media_id, sha256(text) AS hx,
+                              octet_length(encode(text)) AS nb FROM documents)
+            SELECT media_id, 'image' AS modality,
+              CAST(64 + {_byte_expr('hx', 0)} AS INT) AS width,
+              CAST(64 + {_byte_expr('hx', 1)} AS INT) AS height,
+              CAST(1 + ({_byte_expr('hx', 2)}) % 8 AS INT) AS n_frames,
+              hx AS payload_sha256,
+              CAST(nb AS BIGINT) AS payload_bytes
+            FROM h
+        """,
+        "q34_enrichment_join": """
+            WITH per_cust AS (
+              SELECT o_custkey, COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spent
+              FROM orders GROUP BY o_custkey)
+            SELECT c.c_custkey, c.c_name,
+              coalesce(p.n_orders, 0) AS n_orders,
+              coalesce(p.total_spent, 0.0) AS total_spent
+            FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+        """,
+        "q35_sessionize": """
+            WITH g AS (
+              SELECT event_id, user_id, ts,
+                lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS prev_us
+              FROM events)
+            SELECT event_id, user_id,
+              SUM(CASE WHEN prev_us IS NULL
+                        OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+            FROM g
+        """,
+    }

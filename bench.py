@@ -1,0 +1,99 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is materialized through the noop sink so every column is
+actually computed (count() would let Catalyst prune work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from gpt_rag_ingestion_spark.chunking.pipeline import chunk_documents
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("gpt-rag-ingestion-spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry_mod.queries()
+    headline = [
+        "q01_pricing_summary",
+        "q05_regional_revenue",
+        "q10_chunk_fixed",
+        "q11_window_numbering",
+        "q13_log_retention",
+        "q15_exact_dedup",
+        "q16_ngram_jaccard",
+        "q17_simhash",
+        "q18_minhash_lsh",
+        "q19_knn_top1",
+        "q20_ann_lsh",
+        "q21_quality_scores",
+        "q24_tumbling_window",
+        "q31_media_features",
+        "q35_sessionize",
+    ]
+
+    def materialize(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship ingestion pipeline: recursive-split UDF + deterministic
+    # embeddings over the full documents table
+    t0 = time.time()
+    docs = entry_mod._t(spark, sf_dir, "documents")
+    materialize(
+        chunk_documents(docs, max_tokens=64, overlap=8, min_tokens=4, embedding_dim=64)
+    )
+    timings["pipeline_chunk_embed"] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline_queries_total_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Document → chunks pipeline (SURVEY.md §3.1 re-expressed Spark-first).
+
+Reference lifecycle per document: download → chunk → enrich → embed →
+map to index schema (reference jobs/blob_storage_indexer.py:430-777,
+chunking/chunkers/base_chunker.py:154-234).  Here the whole corpus is
+one DataFrame plan:
+
+    documents
+      -> applyInPandas-free chunk UDF (ARRAY<STRUCT> + explode)
+      -> deterministic ids (F1-F3)
+      -> byte-safe truncation (F6)
+      -> embedding enricher (U1, pandas UDF)
+      -> CHUNK_SCHEMA rows
+
+Scale notes (100 TB):
+- the chunk UDF is an Arrow-batched pandas UDF returning
+  ARRAY<STRUCT>; explode happens JVM-side.  No shuffle anywhere in the
+  pipeline — it is a narrow map from scan to sink, so it scales
+  linearly with executors.
+- documents are processed where they are read (no repartition unless
+  the source has pathological file sizing); embedding concurrency is
+  the task count.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from gpt_rag_ingestion_spark.chunking.splitter import (
+    CHUNK_NUM_TOKENS,
+    MIN_CHUNK_SIZE,
+    TOKEN_OVERLAP,
+    split_text_recursive,
+)
+from gpt_rag_ingestion_spark.functions.keys import chunk_key, sanitize_key
+from gpt_rag_ingestion_spark.functions.text import byte_truncate_udf
+from gpt_rag_ingestion_spark.embeddings import hash_embedding_udf
+
+_CHUNK_STRUCT = ArrayType(
+    StructType(
+        [
+            StructField("chunk_id", IntegerType()),
+            StructField("content", StringType()),
+            StructField("offset", LongType()),
+            StructField("length", IntegerType()),
+        ]
+    )
+)
+
+
+def make_chunk_udf(
+    max_tokens: int = CHUNK_NUM_TOKENS,
+    overlap: int = TOKEN_OVERLAP,
+    min_tokens: int = MIN_CHUNK_SIZE,
+):
+    @pandas_udf(_CHUNK_STRUCT)
+    def _chunk(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda s: split_text_recursive(
+                s or "", max_tokens=max_tokens, overlap_tokens=overlap, min_tokens=min_tokens
+            )
+        )
+
+    return _chunk
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_key_col: str = "doc_id",
+    source_col: str | None = "source",
+    embedding_dim: int = 64,
+    max_tokens: int = CHUNK_NUM_TOKENS,
+    overlap: int = TOKEN_OVERLAP,
+    min_tokens: int = MIN_CHUNK_SIZE,
+) -> DataFrame:
+    """Full chunk+embed pipeline over a documents DataFrame.
+
+    Returns rows keyed like the reference's search docs: ``parent_id``
+    (sanitized doc key), ``id`` (parent-c%05d, F2), chunk payload,
+    ``contentVector`` from the deterministic embedder."""
+    chunk_udf = make_chunk_udf(max_tokens, overlap, min_tokens)
+    embed = hash_embedding_udf(embedding_dim)
+
+    parent = sanitize_key(F.col(doc_key_col).cast("string"))
+    out = (
+        docs.withColumn("_chunks", chunk_udf(F.col(text_col)))
+        .select(
+            parent.alias("parent_id"),
+            *( [F.col(source_col).alias("source")] if source_col else [] ),
+            F.explode("_chunks").alias("_c"),
+        )
+        .select(
+            "parent_id",
+            *( ["source"] if source_col else [] ),
+            F.col("_c.chunk_id").alias("chunk_id"),
+            F.col("_c.offset").alias("offset"),
+            F.col("_c.length").alias("length"),
+            F.col("_c.content").alias("content"),
+        )
+        .withColumn("id", chunk_key(F.col("parent_id"), F.col("chunk_id")))
+        .withColumn("content", byte_truncate_udf(F.col("content")))
+        .withColumn("contentVector", embed(F.col("content")))
+    )
+    return out

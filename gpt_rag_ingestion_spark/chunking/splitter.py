@@ -1,0 +1,156 @@
+"""Text splitters (SURVEY.md C4, W1, W3).
+
+Two implementations with different scale/semantics trade-offs:
+
+1. ``chunk_fixed`` — pure DataFrame-API fixed-window splitter
+   (size/overlap in characters).  ``sequence`` + ``explode`` +
+   ``substring``: entirely JVM-side, whole-stage-codegen'd, zero Python.
+   This is the 100 TB hot path and is exactly SQL-expressible, so it is
+   oracle-checked (see __spark_entry__.q_chunk_fixed).
+
+2. ``split_text_recursive`` — separator-aware recursive splitter with
+   token-budgeted chunks and overlap, mirroring the reference's
+   LangChain RecursiveCharacterTextSplitter configuration
+   (reference chunking/chunkers/langchain_chunker.py:53-140, sizes
+   2048/200/min-100 from doc_analysis_chunker.py:65-67).  Runs as a
+   plain Python function inside an Arrow-batched pandas UDF in
+   pipeline.chunk_documents; per-document sequential semantics (chunk
+   numbering, offsets) stay inside the per-row call, per SURVEY.md §7
+   "hard parts".
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CHUNK_NUM_TOKENS = 2048  # reference doc_analysis_chunker.py:65
+TOKEN_OVERLAP = 200  # reference doc_analysis_chunker.py:66 (CHANGELOG.md:60)
+MIN_CHUNK_SIZE = 100  # tokens, reference doc_analysis_chunker.py:67
+
+_SEPARATORS = ["\n\n", "\n", ". ", " "]
+_TOKEN_RE = re.compile(r"\w+|[^\w\s]")
+
+
+def _ntokens(s: str) -> int:
+    return len(_TOKEN_RE.findall(s))
+
+
+def split_text_recursive(
+    text: str,
+    max_tokens: int = CHUNK_NUM_TOKENS,
+    overlap_tokens: int = TOKEN_OVERLAP,
+    min_tokens: int = MIN_CHUNK_SIZE,
+) -> list[dict]:
+    """Split ``text`` into chunks of <= max_tokens, preferring paragraph >
+    line > sentence > word boundaries, with ~overlap_tokens of trailing
+    context carried into the next chunk.  Returns dicts with
+    chunk_id / content / offset / length (chars), mirroring the
+    reference chunk contract (base_chunker.py:218-234)."""
+    if not text:
+        return []
+
+    def split_rec(s: str, seps: list[str]) -> list[str]:
+        if _ntokens(s) <= max_tokens:
+            return [s]
+        if not seps:
+            # fall back to hard token windows
+            toks = list(_TOKEN_RE.finditer(s))
+            out, i = [], 0
+            while i < len(toks):
+                j = min(i + max_tokens, len(toks))
+                out.append(s[toks[i].start() : toks[j - 1].end()])
+                if j == len(toks):
+                    break
+                i = j - overlap_tokens if j - overlap_tokens > i else j
+            return out
+        sep, rest = seps[0], seps[1:]
+        parts = s.split(sep)
+        if len(parts) == 1:
+            return split_rec(s, rest)
+        # greedy merge of parts into token-budgeted pieces
+        pieces: list[str] = []
+        cur = ""
+        for p in parts:
+            cand = cur + sep + p if cur else p
+            if cur and _ntokens(cand) > max_tokens:
+                pieces.append(cur)
+                cur = p
+            else:
+                cur = cand
+        if cur:
+            pieces.append(cur)
+        out: list[str] = []
+        for piece in pieces:
+            out.extend(split_rec(piece, rest) if _ntokens(piece) > max_tokens else [piece])
+        return out
+
+    pieces = split_rec(text, _SEPARATORS)
+
+    # attach overlap tails and compute offsets against the original text
+    chunks: list[dict] = []
+    cursor = 0
+    prev_tail = ""
+    for piece in pieces:
+        if not piece.strip():
+            continue
+        found = text.find(piece, cursor)
+        offset = found if found >= 0 else cursor
+        cursor = offset + len(piece)
+        content = (prev_tail + piece) if prev_tail else piece
+        if _ntokens(content) < min_tokens:
+            # min-chunk-size filter (reference langchain_chunker.py:82-92)
+            prev_tail = _tail_tokens(piece, overlap_tokens)
+            continue
+        chunks.append(
+            {
+                "chunk_id": len(chunks),
+                "content": content,
+                "offset": offset,
+                "length": len(content),
+            }
+        )
+        prev_tail = _tail_tokens(piece, overlap_tokens)
+    if not chunks and text.strip() and _ntokens(text) >= min_tokens:
+        chunks.append({"chunk_id": 0, "content": text, "offset": 0, "length": len(text)})
+    return chunks
+
+
+def _tail_tokens(s: str, n: int) -> str:
+    toks = list(_TOKEN_RE.finditer(s))
+    if not toks or n <= 0:
+        return ""
+    start = toks[max(0, len(toks) - n)].start()
+    return s[start:]
+
+
+def chunk_fixed(
+    df: DataFrame,
+    text_col: str,
+    size: int = 2048,
+    overlap: int = 200,
+    min_len: int = 1,
+    out_col: str = "content",
+    id_col: str = "chunk_id",
+) -> DataFrame:
+    """Fixed char-window splitter as pure column ops:
+    chunk i covers [i*step, i*step+size), step = size-overlap.
+
+    ``explode(sequence(...))`` keeps everything in codegen; at 100 TB
+    this runs at scan speed with no shuffle (narrow transform)."""
+    step = size - overlap
+    if step <= 0:
+        raise ValueError("size must exceed overlap")
+    c = F.col(text_col)
+    # last chunk index; 0 for empty strings (the empty chunk is dropped by
+    # the min_len filter), NULL text rows drop at explode.
+    n_chunks = F.greatest(F.floor((F.length(c) - F.lit(1)) / F.lit(step)), F.lit(0))
+    out = (
+        df.withColumn("_i", F.explode(F.sequence(F.lit(0), n_chunks)))
+        .withColumn(id_col, F.col("_i").cast("int"))
+        .withColumn(out_col, F.substring(c, F.col("_i") * step + 1, size))
+        .drop("_i")
+    )
+    return out.filter(F.length(F.col(out_col)) >= min_len)

@@ -1,0 +1,70 @@
+"""Embedding enrichers (SURVEY.md U1/U4).
+
+The reference calls an Azure OpenAI embedding endpoint with bounded
+concurrency and retry ladders (reference tools/aoai.py:210-264,
+jobs/sharepoint_indexer.py:812-888).  The engine treats embedding as a
+pluggable Arrow-batched pandas UDF; two providers:
+
+- ``hash_embedding_udf(dim)``: deterministic offline provider — sha256
+  counter-mode expansion of the text into ``dim`` floats in [-1,1],
+  L2-normalized.  Fully reproducible across runs/engines, so vector
+  columns are hash-comparable in tests (SURVEY.md §5.5).
+- ``RemoteEmbedder`` (sketch): where the real endpoint would plug in;
+  concurrency is bounded by ``df.repartition(n)`` (n partitions == n
+  concurrent callers, the Spark analog of the reference's semaphore
+  AOAI_MAX_CONCURRENCY, reference jobs/sharepoint_indexer.py:91-92) and
+  retries stay inside the UDF.
+
+At 100 TB the embedding call dominates cost; the deterministic provider
+also serves as the benchmark stand-in so bench numbers measure engine
+overhead, not network.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, FloatType
+
+
+def embed_text_deterministic(text: str, dim: int) -> list[float]:
+    """sha256(text) seeds a counter-mode keystream; each 4-byte word maps
+    to [-1, 1); the vector is L2-normalized.  Pure stdlib+numpy."""
+    if text is None:
+        text = ""
+    seed = hashlib.sha256(text.encode("utf-8")).digest()
+    out = np.empty(dim, dtype=np.float64)
+    i = 0
+    counter = 0
+    while i < dim:
+        block = hashlib.sha256(seed + struct.pack("<I", counter)).digest()
+        words = struct.unpack("<8I", block)
+        for w in words:
+            if i >= dim:
+                break
+            out[i] = (w / 2147483648.0) - 1.0  # [0,2^32) -> [-1,1)
+            i += 1
+        counter += 1
+    norm = float(np.linalg.norm(out))
+    if norm > 0:
+        out /= norm
+    return [float(x) for x in out.astype(np.float32)]
+
+
+def hash_embedding_udf(dim: int = 64):
+    """Deterministic embedding provider as a pandas UDF."""
+
+    @pandas_udf(ArrayType(FloatType()))
+    def _embed(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda s: embed_text_deterministic(s, dim))
+
+    return _embed
+
+
+def zero_vector(dim: int) -> list[float]:
+    """Placeholder captionVector (reference base_chunker.py:228)."""
+    return [0.0] * dim

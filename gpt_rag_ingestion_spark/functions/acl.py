@@ -1,0 +1,30 @@
+"""ACL parsing + capping (SURVEY.md F23, A7).
+
+Reference parses security-id strings three ways — JSON array, Python
+literal, bracket-stripped CSV — then dedups order-preserving and caps at
+32 ids (reference jobs/blob_storage_indexer.py:1442-1508).
+
+Implemented as a pure column expression: try ``from_json``; when that
+yields NULL fall back to bracket/quote-strip + split on ``[,;]``.
+Dedup+cap via ``array_distinct`` + ``slice`` — no Python involved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ACL_MAX_IDS = 32  # AI Search field limit, reference blob_storage_indexer.py:1484-1506
+
+
+def parse_acl_ids(col: Column | str, cap: int = ACL_MAX_IDS) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    as_json = F.from_json(c, "array<string>")
+    stripped = F.regexp_replace(c, r"[\[\]'\"\s]", "")
+    as_csv = F.filter(F.split(stripped, "[,;]"), lambda x: x != "")
+    parsed = F.coalesce(as_json, as_csv, F.array())
+    cleaned = F.filter(
+        F.transform(parsed, lambda x: F.trim(F.regexp_replace(x, "['\"]", ""))),
+        lambda x: x != "",
+    )
+    return F.slice(F.array_distinct(cleaned), 1, cap)

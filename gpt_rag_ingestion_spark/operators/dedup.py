@@ -1,0 +1,197 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Beyond-reference operators (BASELINE.json north star): exact dedup,
+n-gram Jaccard near-dup, MinHash+LSH, SimHash.  All built from
+DataFrame primitives — hashing, explode, joins — no Python in the hot
+path, so each scales to 100 TB as a handful of shuffles on compact
+keys.
+
+Scale design:
+- exact dedup: one shuffle on a 16-byte digest (never on the text).
+- shingling explodes to ~tokens×1 rows but each row is (doc_id, 8-byte
+  hash) after hashing — the join key is the hash, not the shingle text.
+- MinHash: signatures are built with one groupBy over hashed shingles
+  (min of k independent salted hashes == k permutations), then LSH
+  bands shuffle only (band_hash, doc_id) pairs.  Candidate pairs get
+  verified with an exact Jaccard join, so false positives cost only
+  verification work, never correctness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical documents: md5(text) -> keeper (min id),
+    group size.  One shuffle on the digest."""
+    h = F.md5(F.col(text_col))
+    return (
+        df.groupBy(h.alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def tokenize(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, pos, token) — relational tokenization via posexplode/split."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\\s+")).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) distinct word n-grams, built relationally by
+    self-joining token positions (keeps the whole thing JVM-side and
+    exactly SQL-expressible for the oracle)."""
+    toks = tokenize(df, text_col, id_col)
+    out = toks.select(F.col(id_col), F.col("pos"), F.col("token").alias("t0"))
+    for i in range(1, n):
+        ti = toks.select(
+            F.col(id_col),
+            (F.col("pos") - i).alias("pos"),
+            F.col("token").alias(f"t{i}"),
+        )
+        out = out.join(ti, on=[id_col, "pos"])
+    shingle = F.concat_ws(" ", *[f"t{i}" for i in range(n)])
+    return out.select(F.col(id_col), shingle.alias("shingle")).distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard: explode shingles, join on
+    shingle, |A∩B| via groupBy-count, |A∪B| = |A|+|B|-|A∩B|.
+
+    Exact integer arithmetic until the final division so the result is
+    engine-independent (oracle-checkable)."""
+    sh = word_shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signature per doc: k independent salted xxhash64 functions
+    over the shingle set; min per salt ≈ random permutation minimum.
+    One explode + one groupBy — the classic Spark MinHash shape."""
+    sh = word_shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of r rows;
+    docs sharing any band-hash become candidate pairs.  Output is
+    distinct (id_a < id_b) candidate pairs — feed to
+    ``ngram_jaccard_pairs``-style verification for exactness."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_rows = None
+    for b in range(bands):
+        cols = [F.col(f"mh_{i}") for i in range(b * r, (b + 1) * r)]
+        row = sig.select(
+            F.col(id_col),
+            F.lit(b).alias("band"),
+            F.xxhash64(*cols).alias("band_hash"),
+        )
+        band_rows = row if band_rows is None else band_rows.unionByName(row)
+    a = band_rows.alias("a")
+    b2 = band_rows.alias("b")
+    return (
+        a.join(b2, on=["band", "band_hash"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """SimHash fingerprint built relationally from md5 nibbles so it is
+    exactly reproducible in any engine with md5 (oracle-checkable):
+
+    bit j of simhash = sign of Σ_tokens (±1 by bit j of md5(token)).
+
+    ``bits`` <= 128 (md5 width); default 16 keeps the oracle cheap.
+    Everything is integer arithmetic — explode tokens × bits, two
+    groupBys, no floats."""
+    toks = tokenize(df, text_col, id_col).select(
+        id_col, F.md5(F.col("token")).alias("h")
+    )
+    bit_idx = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    per_bit = toks.select(F.col(id_col), F.col("h"), bit_idx)
+    # nibble containing the bit: hex char at position bit/4 (1-based substr);
+    # bit extraction in SQL-expr form (shiftright takes column exprs in SQL).
+    per_bit = per_bit.withColumn(
+        "nibble",
+        F.expr("cast(conv(substring(h, cast(bit / 4 as int) + 1, 1), 16, 10) as int)"),
+    ).withColumn("bitval", F.expr("shiftright(nibble, cast(bit % 4 as int)) & 1"))
+    votes = (
+        per_bit.withColumn("vote", F.when(F.col("bitval") == 1, 1).otherwise(-1))
+        .groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(F.expr("case when v > 0 then shiftleft(1L, bit) else 0L end")).alias(
+            "simhash"
+        )
+    )

@@ -1,0 +1,118 @@
+"""Multimodal-column plumbing (beyond-reference, north-star).
+
+Image/audio/video payloads ride as opaque ``BINARY`` columns with a
+typed metadata struct, mirroring how the reference moves figure images
+as base64 between analysis, captioning and blob upload (reference
+chunking/chunkers/multimodal_chunker.py:15-546,
+tools/doc_intelligence.py:322-348).
+
+The decode / feature-extract steps are STUBBED (no image/audio libs in
+this container): ``decode_image_stub`` raises unless
+``deterministic_fake=True``, in which case it emits a seeded fake
+(width/height/n_frames derived from sha256 of the payload) so the
+Spark-side plumbing — schema, batch shape, mapInPandas iterator
+signature, partition sizing — is real and tested end-to-end.
+
+Scale notes: media batches are large; ``mapInPandas`` streams Arrow
+batches so one task never materializes a partition of raw media at
+once.  Partition the media table by (modality, size-bucket) so decode
+tasks are uniform; 128 MB input splits keep per-task memory bounded.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("content_type", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("payload_sha256", T.StringType(), True),
+        T.StructField("payload_bytes", T.LongType(), True),
+    ]
+)
+
+
+def decode_image_stub(payload: bytes, deterministic_fake: bool = False) -> dict:
+    """Placeholder for PIL/ffmpeg decode.  The real implementation needs
+    image/audio libraries not present in this container."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "media decoding requires image/audio libraries not available "
+            "in this environment; pass deterministic_fake=True for the "
+            "seeded stand-in used by tests/bench"
+        )
+    digest = hashlib.sha256(payload or b"").digest()
+    return {
+        "width": 64 + digest[0],
+        "height": 64 + digest[1],
+        "n_frames": 1 + digest[2] % 8,
+    }
+
+
+def extract_media_features(media: DataFrame, deterministic_fake: bool = True) -> DataFrame:
+    """mapInPandas feature extraction over BINARY payloads.  The iterator
+    form processes one Arrow batch at a time — constant memory per task
+    regardless of partition size."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for _, row in pdf.iterrows():
+                payload = row["payload"] or b""
+                d = decode_image_stub(payload, deterministic_fake=deterministic_fake)
+                feats.append(
+                    {
+                        "media_id": row["media_id"],
+                        "modality": row["modality"],
+                        "width": d["width"],
+                        "height": d["height"],
+                        "n_frames": d["n_frames"],
+                        "payload_sha256": hashlib.sha256(payload).hexdigest(),
+                        "payload_bytes": len(payload),
+                    }
+                )
+            yield pd.DataFrame(feats, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_nth: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: explode frame indices relationally
+    (sequence/explode, JVM-side); the per-frame decode would be the same
+    stubbed mapInPandas.  Demonstrates the fan-out schema."""
+    n = F.coalesce(F.col("meta.n_frames"), F.lit(1))
+    idx = F.explode(F.sequence(F.lit(0), n - 1, F.lit(every_nth)))
+    return media.filter(F.col("modality") == "video").select(
+        "media_id", idx.alias("frame_index")
+    )

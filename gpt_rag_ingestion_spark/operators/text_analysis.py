@@ -1,0 +1,96 @@
+"""Text-analysis operators for training-data pipelines (beyond-reference).
+
+All pure column expressions (codegen'd, shuffle-free narrow maps):
+- token counting (whitespace + BPE-ish regex),
+- quality scoring (length / punctuation / stopword ratios),
+- language ID (stopword-vote n-gram heuristic),
+- document fingerprinting (md5 of whitespace-normalized text).
+
+Every function returns integer or exactly-derived values so results are
+oracle-checkable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gpt_rag_ingestion_spark.functions.tokens import TOKEN_REGEX
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "no", "por"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "les"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "den"],
+}
+
+
+def _tokens(col: Column) -> Column:
+    return F.filter(F.split(col, "\\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(_tokens(c))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish unit count (word pieces + punctuation)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), 0))
+
+
+def stopword_count(col: Column | str, lang: str = "en") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(
+        F.filter(_tokens(F.lower(c)), lambda t: F.array_contains(words, t))
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_chars/n_tokens/n_punct/stopword_ratio/avg_token_len —
+    ingredients of standard quality filters (C4-style heuristics)."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    n_punct = n_chars - F.length(F.regexp_replace(c, "[!-/:-@\\[-`{-~]", ""))
+    n_stop = stopword_count(c)
+    return (
+        df.withColumn("n_chars_calc", n_chars.cast("long"))
+        .withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("n_punct", n_punct.cast("long"))
+        .withColumn("n_stopwords", n_stop.cast("long"))
+        .withColumn(
+            "stopword_ratio",
+            F.round(F.col("n_stopwords") / F.greatest(F.col("n_tokens"), F.lit(1)), 6),
+        )
+        .withColumn(
+            "avg_token_len",
+            F.round(F.col("n_chars_calc") / F.greatest(F.col("n_tokens"), F.lit(1)), 6),
+        )
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: count stopword hits per language, pick the
+    argmax (ties -> lexicographically first language code)."""
+    c = F.lower(F.col(text_col))
+    toks = _tokens(c)
+    scores = []
+    for lang in sorted(STOPWORDS):
+        words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
+        # sort ascending on (-score, lang): element 0 = max score, ties
+        # resolved to the alphabetically-first language code
+        scores.append(F.struct((-score).alias("neg"), F.lit(lang).alias("lang")))
+    best = F.array_sort(F.array(*scores))[0]
+    pred = F.when(best["neg"] < 0, best["lang"]).otherwise(F.lit("unknown"))
+    return df.withColumn("pred_lang", pred)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """md5 of whitespace-normalized lowercase text — the exact-dup key."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.trim(F.regexp_replace(F.lower(c), "\\s+", " ")))

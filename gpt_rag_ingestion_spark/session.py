@@ -1,0 +1,49 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local tests run on ``local[N]`` but every knob here is chosen for the
+1000-executor / 100 TB deployment described in README:
+
+- AQE on (runtime shuffle-partition coalescing + skew-join splitting).
+- ``spark.sql.shuffle.partitions`` sized for the local core count; on a
+  real cluster leave AQE to coalesce from a high initial number.
+- Arrow enabled so every pandas UDF crosses the JVM/Python boundary in
+  columnar batches instead of pickled rows.
+- Session timezone pinned to UTC so timestamp semantics match the
+  reference's ISO-8601-UTC convention
+  (reference jobs/blob_storage_indexer.py:37-49).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "gpt-rag-ingestion-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # binary document payloads can be large; keep broadcast joins for
+        # dimension tables but never auto-broadcast a table of blobs.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,118 @@
+"""Local stand-in for the driver's correctness gate: run every
+queries() entry on Spark and its oracle_sql() on DuckDB at the given
+sf dir, compare row-count + column names + order-insensitive value
+hash (columns sorted by name, rows sorted, floats rounded)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("nan")
+                else:
+                    vals.append(f"{v:.6g}")
+            elif hasattr(v, "isoformat"):
+                vals.append(v.isoformat())
+            elif isinstance(v, bytes):
+                vals.append(v.hex())
+            else:
+                vals.append(repr(v))
+        out.append("\x01".join(vals))
+    out.sort()
+    return hashlib.sha256("\n".join(out).encode()).hexdigest()
+
+
+def main(sf_dir: str, only: list[str] | None = None):
+    from pyspark.sql import SparkSession
+    import __spark_entry__ as entry_mod
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"{name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        t1 = time.time()
+        if name not in oracles:
+            print(f"{name}: rows-only (no oracle) rows={len(srows)} spark={t1-t0:.1f}s")
+            if len(srows) == 0:
+                print(f"  WARNING: 0 rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"{name}: ORACLE ERROR {type(e).__name__}: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        ok_count = len(srows) == len(orows)
+        ok_cols = sorted(scols) == sorted(ocols)
+        sh = normalize(srows, scols)
+        oh = normalize(orows, ocols)
+        ok_hash = sh == oh
+        status = "OK" if (ok_count and ok_cols and ok_hash) else "MISMATCH"
+        print(
+            f"{name}: {status} rows={len(srows)}/{len(orows)} "
+            f"cols={'ok' if ok_cols else f'{sorted(scols)} vs {sorted(ocols)}'} "
+            f"hash={'ok' if ok_hash else 'DIFF'} spark={t1-t0:.1f}s"
+        )
+        if status != "OK":
+            failures.append(name)
+            if ok_cols and not ok_hash:
+                sset = {}
+                for r in srows[:100000]:
+                    pass
+    print("\nFAILURES:", failures if failures else "none")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    sys.exit(main(sf, only))

@@ -1,0 +1,107 @@
+"""Dedup + similarity operator tests (beyond-reference north star)."""
+
+from __future__ import annotations
+
+from gpt_rag_ingestion_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from gpt_rag_ingestion_spark.operators.similarity import (
+    knn_bruteforce,
+    lsh_bucketed_ann,
+    quantized_dot_top1,
+)
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")
+    other = "completely different content about spark engines and parquet files"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)], ["doc_id", "text"]
+    )
+
+
+def test_exact_duplicates(spark):
+    out = exact_duplicates(_docs(spark)).collect()
+    groups = {r["keeper_id"]: r["n_docs"] for r in out}
+    assert groups[1] == 2  # docs 1,2 identical
+    assert groups[3] == 1 and groups[4] == 1
+
+
+def test_ngram_jaccard_finds_near_dups(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_docs(spark), threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical
+    assert 0.3 <= pairs[(1, 3)] < 1.0  # near-dup
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_candidates_superset_of_high_jaccard(spark):
+    docs = _docs(spark)
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs, num_hashes=32, bands=16).collect()
+    }
+    # identical docs always collide in every band
+    assert (1, 2) in cands
+    # near-dup pair should be caught with 16 bands of width 2
+    assert (1, 3) in cands
+
+
+def test_simhash_near_dups_close(spark):
+    out = {r["doc_id"]: r["simhash"] for r in simhash(_docs(spark), bits=16).collect()}
+    assert out[1] == out[2]
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(out[1], out[3]) <= hamming(out[1], out[4])
+
+
+def _vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.9, 0.2]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_quantized_dot_top1(spark):
+    out = {r["vec_id"]: r["nn_id"] for r in quantized_dot_top1(_vectors(spark)).collect()}
+    assert out[1] == 2
+    assert out[2] == 1
+    assert out[3] == 4
+    assert out[4] == 3
+
+
+def test_knn_bruteforce_ranks(spark):
+    v = _vectors(spark)
+    out = knn_bruteforce(v, v, k=2).collect()
+    top1 = {r["query_id"]: r["corpus_id"] for r in out if r["rank"] == 1}
+    assert top1 == {1: 2, 2: 1, 3: 4, 4: 3}
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, tmp_path=None):
+    """ANN on real testdata: multi-probe must lift top-1 recall well above
+    the single-bucket baseline (neighbors here are weakly similar, so
+    single-bucket recall is theoretically low)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {r["vec_id"]: r["nn_id"] for r in quantized_dot_top1(emb).collect()}
+
+    def recall(probes):
+        ann = lsh_bucketed_ann(emb, emb, dim=64, bits=4, k=1, probes=probes)
+        got = {r["query_id"]: r["corpus_id"] for r in ann.collect() if r["rank"] == 1}
+        assert got
+        return sum(1 for q, n in got.items() if exact.get(q) == n) / len(got)
+
+    r0 = recall(0)
+    r2 = recall(2)
+    assert r2 > r0
+    assert r2 > 0.4
