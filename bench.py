@@ -64,11 +64,21 @@ def main() -> None:
     def materialize(df):
         df.write.format("noop").mode("overwrite").save()
 
+    # warm the JVM/codegen/parquet-footer caches so the first timed query
+    # measures the query, not session startup
+    materialize(spark.range(1_000_000).selectExpr("sum(id) as s"))
+    materialize(entry_mod._t(spark, sf_dir, "lineitem").limit(1000))
+
     timings: dict[str, float] = {}
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     for name in headline:
-        t0 = time.time()
-        materialize(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(repeats):
+            t0 = time.time()
+            materialize(qs[name](spark, sf_dir))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     # flagship ingestion pipeline: recursive-split UDF + deterministic
     # embeddings over the full documents table

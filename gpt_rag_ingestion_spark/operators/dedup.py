@@ -47,20 +47,35 @@ def tokenize(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) distinct word n-grams, built relationally by
-    self-joining token positions (keeps the whole thing JVM-side and
-    exactly SQL-expressible for the oracle)."""
-    toks = tokenize(df, text_col, id_col)
-    out = toks.select(F.col(id_col), F.col("pos"), F.col("token").alias("t0"))
-    for i in range(1, n):
-        ti = toks.select(
-            F.col(id_col),
-            (F.col("pos") - i).alias("pos"),
-            F.col("token").alias(f"t{i}"),
-        )
-        out = out.join(ti, on=[id_col, "pos"])
-    shingle = F.concat_ws(" ", *[f"t{i}" for i in range(n)])
-    return out.select(F.col(id_col), shingle.alias("shingle")).distinct()
+    """(id, shingle) distinct word n-grams.
+
+    Built as a narrow array transform (sequence over the token array +
+    concat of adjacent slots) — no join, no shuffle until the final
+    distinct; stays entirely in whole-stage codegen.  Equivalent to the
+    relational positional-self-join formulation used by the SQL oracle
+    (with ``\\s+`` splitting, empty tokens can only appear at position 0,
+    so filtering them never creates mid-sequence gaps)."""
+    # materialize the token array once — referencing the split expression
+    # inside the transform lambda would re-evaluate it per element (O(n^2))
+    with_toks = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "").alias("_toks"),
+    )
+    toks = F.col("_toks")
+    # guard: sequence(0, -1) would DESCEND, so short docs get an empty array
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        with_toks.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(
@@ -139,15 +154,23 @@ def minhash_lsh_candidates(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
-    band_rows = None
-    for b in range(bands):
-        cols = [F.col(f"mh_{i}") for i in range(b * r, (b + 1) * r)]
-        row = sig.select(
-            F.col(id_col),
-            F.lit(b).alias("band"),
-            F.xxhash64(*cols).alias("band_hash"),
-        )
-        band_rows = row if band_rows is None else band_rows.unionByName(row)
+    # one pass: explode (band, band_hash) structs — computing signatures
+    # once, not once per band (a per-band union would recompute the whole
+    # shingle aggregation `bands` times)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh_{i}") for i in range(b * r, (b + 1) * r)]
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    band_rows = sig.select(
+        F.col(id_col), F.explode(band_structs).alias("bb")
+    ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
     a = band_rows.alias("a")
     b2 = band_rows.alias("b")
     return (

@@ -87,22 +87,25 @@ def extract_media_features(media: DataFrame, deterministic_fake: bool = True) ->
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for _, row in pdf.iterrows():
-                payload = row["payload"] or b""
-                d = decode_image_stub(payload, deterministic_fake=deterministic_fake)
-                feats.append(
-                    {
-                        "media_id": row["media_id"],
-                        "modality": row["modality"],
-                        "width": d["width"],
-                        "height": d["height"],
-                        "n_frames": d["n_frames"],
-                        "payload_sha256": hashlib.sha256(payload).hexdigest(),
-                        "payload_bytes": len(payload),
-                    }
-                )
-            yield pd.DataFrame(feats, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            payloads = [(p if p is not None else b"") for p in pdf["payload"]]
+            decoded = [
+                decode_image_stub(p, deterministic_fake=deterministic_fake)
+                for p in payloads
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "modality": pdf["modality"].to_numpy(),
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "n_frames": [d["n_frames"] for d in decoded],
+                    "payload_sha256": [
+                        hashlib.sha256(p).hexdigest() for p in payloads
+                    ],
+                    "payload_bytes": [len(p) for p in payloads],
+                },
+                columns=[f.name for f in FEATURE_SCHEMA.fields],
+            )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 

@@ -18,8 +18,11 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from gpt_rag_ingestion_spark.embeddings import embed_text_deterministic
 
@@ -37,27 +40,66 @@ def _qvec(col):
     return F.transform(col, lambda x: F.round(x.cast("double") * 1000).cast("long"))
 
 
+def _quantize_np(mat):
+    """round-half-away-from-zero to 3 decimals as int64 — matches SQL
+    round() semantics (numpy's round is half-to-even, which would not)."""
+    import numpy as np
+
+    scaled = mat.astype("float64") * 1000.0
+    return np.where(
+        scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+    ).astype("int64")
+
+
 def quantized_dot_top1(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """For every vector: the other vector maximizing the integer-quantized
-    dot product (ties -> smaller neighbor id).  Exact, engine-portable."""
-    q = emb.select(F.col(id_col), _qvec(F.col(vec_col)).alias("q"))
-    a = q.select(F.col(id_col).alias("vec_id"), F.col("q").alias("qa"))
-    b = q.select(F.col(id_col).alias("nn_id"), F.col("q").alias("qb"))
-    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("vec_id") != F.col("nn_id"))
-    dot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    scored = pairs.select("vec_id", "nn_id", dot.alias("dot"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("nn_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "nn_id", "dot")
-    )
+    dot product (ties -> smaller neighbor id).  Exact, engine-portable.
+
+    Physical strategy: the corpus matrix (ids sorted asc) is a Spark
+    broadcast variable; each partition of the query side does one int64
+    numpy matmul against it and emits its own argmax rows — a blocked
+    matrix product with no shuffle at all.  int64 keeps it exact (values
+    bounded by dim * 10^6 << 2^63).  At 100 TB the same plan tiles the
+    corpus into column blocks (broadcast per block, max-merge across
+    blocks) instead of one broadcast."""
+    from collections.abc import Iterator
+
+    rows = emb.select(id_col, vec_col).toPandas()
+    order = rows[id_col].to_numpy().argsort(kind="stable")
+    ids = rows[id_col].to_numpy()[order]
+    mat = _quantize_np(np.vstack(rows[vec_col].to_numpy()[order]))
+
+    sc = emb.sparkSession.sparkContext
+    b_ids = sc.broadcast(ids)
+    b_mat = sc.broadcast(mat)
+
+    out_schema = f"{id_col} long, nn_id long, dot long"
+
+    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cids, cmat = b_ids.value, b_mat.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = _quantize_np(np.vstack(pdf[vec_col].to_numpy()))
+            qids = pdf[id_col].to_numpy()
+            dots = q @ cmat.T  # int64 exact
+            # mask self-pairs
+            self_pos = np.searchsorted(cids, qids)
+            rowidx = np.arange(len(qids))
+            valid = (self_pos < len(cids)) & (cids[np.clip(self_pos, 0, len(cids) - 1)] == qids)
+            dots[rowidx[valid], self_pos[valid]] = np.iinfo("int64").min
+            best = dots.argmax(axis=1)  # first occurrence == smallest id (sorted)
+            yield pd.DataFrame(
+                {
+                    id_col: qids,
+                    "nn_id": cids[best],
+                    "dot": dots[rowidx, best],
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(block, schema=out_schema)
 
 
 def knn_bruteforce(
@@ -126,45 +168,77 @@ def lsh_bucketed_ann(
     essential when neighbors are weakly similar (near-orthogonal), where
     single-bucket recall decays as agreement^bits.
 
-    At 100 TB: the bucket id is the shuffle/partition key — each bucket
-    holds ~N/2^bits vectors; the corpus is partitioned once and queries
-    fan out to 1 + Σ C(bits, i<=probes) buckets instead of the full
-    corpus."""
-    planes = [_hyperplane(dim, b) for b in range(bits)]
+    Physical plan (the IVF shape): bucket assignment is a vectorized
+    pandas UDF (one numpy matmul per Arrow batch); scoring is a cogrouped
+    ``applyInPandas`` on the bucket key — corpus partitions once by
+    bucket, queries fan out to 1 + Σ C(bits, i<=probes) buckets, and each
+    group does a single dense matmul + per-bucket top-k.  A final window
+    merges per-bucket candidates into the global top-k.  At 100 TB the
+    bucket key is the only shuffle on the corpus."""
+    planes = np.array([_hyperplane(dim, b) for b in range(bits)], dtype="float64")
+    sc = corpus.sparkSession.sparkContext
+    b_planes = sc.broadcast(planes)
+    powers = np.left_shift(np.int64(1), np.arange(bits, dtype="int64"))
+    b_powers = sc.broadcast(powers)
 
-    def signature(vc):
-        sig = F.lit(0).cast("long")
-        for b, p in enumerate(planes):
-            arr = F.array(*[F.lit(float(x)) for x in p])
-            d = _dot(F.transform(vc, lambda x: x.cast("double")), arr)
-            sig = sig + F.when(d > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
-        return sig
+    @pandas_udf("long")
+    def sig_udf(vecs: pd.Series) -> pd.Series:
+        P, pw = b_planes.value, b_powers.value
+        V = np.vstack(vecs.to_numpy()).astype("float64")
+        bitsmat = (V @ P.T) > 0
+        return pd.Series((bitsmat * pw).sum(axis=1))
 
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
-    ).withColumn("bucket", signature(F.col("cv")))
+        F.col(vec_col).alias("cv"),
+        sig_udf(F.col(vec_col)).alias("bucket"),
+    )
     masks = _probe_masks(bits, probes)
     qd = (
         queries.select(
             F.col(id_col).alias("query_id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+            F.col(vec_col).alias("qv"),
+            sig_udf(F.col(vec_col)).alias("_sig"),
         )
-        .withColumn("_sig", signature(F.col("qv")))
         .withColumn(
             "bucket",
             F.explode(F.array(*[F.col("_sig").bitwiseXOR(F.lit(m)) for m in masks])),
         )
         .drop("_sig")
     )
-    pairs = c.join(qd, on="bucket").filter(F.col("corpus_id") != F.col("query_id"))
-    cnorm = F.sqrt(_dot(F.col("cv"), F.col("cv")))
-    qnorm = F.sqrt(_dot(F.col("qv"), F.col("qv")))
-    cos = _dot(F.col("cv"), F.col("qv")) / (cnorm * qnorm)
-    scored = pairs.select("query_id", "corpus_id", cos.alias("cosine"))
+
+    def score(cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
+        if cdf.empty or qdf.empty:
+            return pd.DataFrame({"query_id": [], "corpus_id": [], "cosine": []})
+        C = np.vstack(cdf["cv"].to_numpy()).astype("float64")
+        Q = np.vstack(qdf["qv"].to_numpy()).astype("float64")
+        cids = cdf["corpus_id"].to_numpy()
+        qids = qdf["query_id"].to_numpy()
+        S = (Q @ C.T) / (
+            np.linalg.norm(Q, axis=1)[:, None] * np.linalg.norm(C, axis=1)[None, :]
+        )
+        S[qids[:, None] == cids[None, :]] = -np.inf  # mask self-pairs
+        kk = min(k, S.shape[1])
+        top = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        rows_q, rows_c, rows_s = [], [], []
+        for i in range(len(qids)):
+            for j in top[i]:
+                if np.isfinite(S[i, j]):
+                    rows_q.append(qids[i])
+                    rows_c.append(cids[j])
+                    rows_s.append(S[i, j])
+        return pd.DataFrame(
+            {"query_id": rows_q, "corpus_id": rows_c, "cosine": rows_s}
+        )
+
+    cands = (
+        c.groupby("bucket")
+        .cogroup(qd.groupby("bucket"))
+        .applyInPandas(score, schema="query_id long, corpus_id long, cosine double")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
