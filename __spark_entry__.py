@@ -416,6 +416,127 @@ def q31_media_features(spark: SparkSession, sf: str) -> DataFrame:
     return extract_media_features(media, deterministic_fake=True)
 
 
+def q36_polygon_area(spark: SparkSession, sf: str) -> DataFrame:
+    """F19/P9: shoelace polygon area (figure bounding boxes) as a
+    higher-order aggregate — integer-quantized so it is exact.  The
+    embedding array doubles as a 32-point polygon."""
+    emb = _t(spark, sf, "embeddings")
+    p = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1000).cast("long")
+    )
+    emb = emb.select("vec_id", p.alias("p"))
+    n_pts = (F.size("p") / 2).cast("int")
+
+    def x(i):
+        return F.element_at(F.col("p"), (i * 2 + 1).cast("int"))
+
+    def y(i):
+        return F.element_at(F.col("p"), (i * 2 + 2).cast("int"))
+
+    idx = F.sequence(F.lit(0), n_pts - 1)
+    cross = F.aggregate(
+        idx,
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + x(i) * y((i + 1) % n_pts) - x((i + 1) % n_pts) * y(i),
+    )
+    return emb.select("vec_id", F.abs(cross).alias("area2x"))
+
+
+def q37_blocklist(spark: SparkSession, sf: str) -> DataFrame:
+    """P3: retry/blocklist — files with >=3 consecutive failures since
+    their last success (events: error=failed, purchase=success)."""
+    from gpt_rag_ingestion_spark.operators.ops_log import blocked_files
+
+    ev = _t(spark, sf, "events")
+    attempts = ev.filter(F.col("event_type").isin("purchase", "error")).select(
+        F.col("user_id").alias("file_key"),
+        F.col("ts").alias("attempt_ts"),
+        F.when(F.col("event_type") == "purchase", "success")
+        .otherwise("failed")
+        .alias("status"),
+    )
+    return blocked_files(attempts)
+
+
+def q38_cost_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """A4: per-order usage rollup through the reference cost model
+    (exact decimal sums feeding row-level arithmetic)."""
+    from gpt_rag_ingestion_spark.operators.ops_log import cost_estimate
+
+    li = _t(spark, sf, "lineitem")
+    usage = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("int").alias("pages_analyzed"),
+        (F.sum(F.col("l_quantity").cast("decimal(18,4)")) * 100)
+        .cast("double")
+        .alias("embedding_tokens"),
+        F.lit(0).alias("completion_tokens_in"),
+        F.lit(0).alias("completion_tokens_out"),
+    )
+    return cost_estimate(usage).select(
+        "l_orderkey", "pages_analyzed", "embedding_tokens", "estimated_cost_usd"
+    )
+
+
+def q39_markdown_rows(spark: SparkSession, sf: str) -> DataFrame:
+    """C3 row mode / F16-F17: per-row markdown table + compact embed
+    text as pure column algebra."""
+    from gpt_rag_ingestion_spark.chunking.spreadsheet import chunk_rows_mode
+
+    part = _t(spark, sf, "part").withColumn("row_num", F.col("p_partkey"))
+    out = chunk_rows_mode(
+        part, cols=["p_name", "p_brand", "p_type"], file_name="parts.csv",
+        sheet_name="Sheet1",
+    )
+    return out.select("p_partkey", "content", "embed_text")
+
+
+def q40_admin_search(spark: SparkSession, sf: str) -> DataFrame:
+    """P10/W5: dashboard substring search over a row's searchable text +
+    typed sort + pagination."""
+    orders = _t(spark, sf, "orders")
+    searchable = F.lower(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+        )
+    )
+    return (
+        orders.withColumn("searchable", searchable)
+        .filter(F.col("searchable").contains("urgent"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .limit(100)
+    )
+
+
+def q41_acl_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """F23/A7: 3-way ACL string parse + order-preserving dedup + cap,
+    exercised on constructed JSON-array ACLs (with duplicates)."""
+    from gpt_rag_ingestion_spark.functions.acl import parse_acl_ids
+
+    cust = _t(spark, sf, "customer")
+    acl_str = F.concat(
+        F.lit('["u'), F.col("c_custkey").cast("string"),
+        F.lit('", "g'), F.col("c_nationkey").cast("string"),
+        F.lit('", "u'), F.col("c_custkey").cast("string"), F.lit('"]'),
+    )
+    parsed = parse_acl_ids(acl_str)
+    return cust.select(
+        "c_custkey", F.array_join(parsed, ",").alias("acl_ids")
+    )
+
+
+def q43_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming-plan tumbling window (window() function) run as batch —
+    identical plan attaches to readStream with a watermark."""
+    from gpt_rag_ingestion_spark.streaming.micro_batch import windowed_event_counts
+
+    ev = _t(spark, sf, "events")
+    return windowed_event_counts(ev)
+
+
 def q34_enrichment_join(spark: SparkSession, sf: str) -> DataFrame:
     """J9: groupBy-count + left join enrichment (runs↔files shape)."""
     cust = _t(spark, sf, "customer")
@@ -484,6 +605,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_media_features": q31_media_features,
         "q34_enrichment_join": q34_enrichment_join,
         "q35_sessionize": q35_sessionize,
+        "q36_polygon_area": q36_polygon_area,
+        "q37_blocklist": q37_blocklist,
+        "q38_cost_rollup": q38_cost_rollup,
+        "q39_markdown_rows": q39_markdown_rows,
+        "q40_admin_search": q40_admin_search,
+        "q41_acl_parse": q41_acl_parse,
+        "q43_windowed_counts": q43_windowed_counts,
     }
 
 
@@ -762,6 +890,81 @@ def oracle_sql() -> dict[str, str]:
               hx AS payload_sha256,
               CAST(nb AS BIGINT) AS payload_bytes
             FROM h
+        """,
+        "q36_polygon_area": """
+            WITH q AS (
+              SELECT vec_id,
+                list_transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS p
+              FROM embeddings),
+            terms AS (
+              SELECT vec_id,
+                q.p[(s.i * 2 + 1)] * q.p[(((s.i + 1) % (len(q.p) // 2)) * 2 + 2)]
+                - q.p[(((s.i + 1) % (len(q.p) // 2)) * 2 + 1)] * q.p[(s.i * 2 + 2)]
+                  AS t
+              FROM q, unnest(range(0, len(q.p) // 2)) AS s(i))
+            SELECT vec_id, abs(SUM(t)) AS area2x FROM terms GROUP BY vec_id
+        """,
+        "q37_blocklist": """
+            WITH att AS (
+              SELECT user_id AS file_key, ts AS attempt_ts,
+                CASE WHEN event_type = 'purchase' THEN 'success'
+                     ELSE 'failed' END AS status
+              FROM events WHERE event_type IN ('purchase', 'error')),
+            ok AS (
+              SELECT file_key, max(attempt_ts) AS last_ok FROM att
+              WHERE status = 'success' GROUP BY file_key)
+            SELECT a.file_key, COUNT(*) AS consecutive_failures, TRUE AS blocked
+            FROM att a LEFT JOIN ok USING (file_key)
+            WHERE a.status = 'failed'
+              AND (ok.last_ok IS NULL OR a.attempt_ts > ok.last_ok)
+            GROUP BY a.file_key HAVING COUNT(*) >= 3
+        """,
+        "q38_cost_rollup": """
+            WITH usage AS (
+              SELECT l_orderkey,
+                CAST(COUNT(*) AS INT) AS pages_analyzed,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) * 100 AS DOUBLE)
+                  AS embedding_tokens
+              FROM lineitem GROUP BY l_orderkey)
+            SELECT l_orderkey, pages_analyzed, embedding_tokens,
+              round(pages_analyzed * 0.01
+                    + embedding_tokens / 1000.0 * 0.00013, 4)
+                AS estimated_cost_usd
+            FROM usage
+        """,
+        "q39_markdown_rows": """
+            SELECT p_partkey,
+              '| p_name | p_brand | p_type |' || chr(10) ||
+              '| --- | --- | --- |' || chr(10) ||
+              '| ' || p_name || ' | ' || p_brand || ' | ' || p_type || ' |'
+                AS content,
+              'file=parts.csv' || chr(10) || 'sheet=Sheet1' || chr(10) ||
+              'row=' || CAST(p_partkey AS VARCHAR) || chr(10) ||
+              'cols=p_name|p_brand|p_type' || chr(10) ||
+              'vals=' || p_name || '|' || p_brand || '|' || p_type
+                AS embed_text
+            FROM part
+        """,
+        "q40_admin_search": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+            WHERE contains(
+              lower(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus
+                    || '|' || o_orderpriority), 'urgent')
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 100
+        """,
+        "q41_acl_parse": """
+            SELECT c_custkey,
+              'u' || CAST(c_custkey AS VARCHAR) || ',g'
+                  || CAST(c_nationkey AS VARCHAR) AS acl_ids
+            FROM customer
+        """,
+        "q43_windowed_counts": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY date_trunc('hour', ts)
         """,
         "q34_enrichment_join": """
             WITH per_cust AS (

@@ -1,0 +1,149 @@
+"""Ops/observability layer (SURVEY.md §2 A2-A6, P3, W4-W6; reference §5).
+
+The reference keeps per-file JSON logs with runHistory, retry counts, a
+blocklist, and per-run summary counters, all maintained imperatively
+under asyncio locks (reference jobs/blob_storage_indexer.py:240-338,
+444-505, 598-706; api/admin.py:202-357).  Here the ops state is an
+append-only DataFrame/table and every ops feature is a query over it:
+
+- blocklist (P3): an aggregation, not mutable state — a file is blocked
+  when its failed-attempt count reaches MAX_ATTEMPTS.
+- run summary (A2): one groupBy over the per-file result rows.
+- cost accounting (A4): arithmetic over usage columns.
+- retention (W6): row_number over run start times.
+- stale-run detection (reference CHANGELOG.md:16): started > 2h ago and
+  never finished.
+
+Everything is built-in column algebra — no UDFs, scales to any log
+volume (shuffle keys are file/run ids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MAX_FILE_PROCESSING_ATTEMPTS = 3  # reference blob_storage_indexer.py:82
+STALE_RUN_HOURS = 2  # reference CHANGELOG.md:16
+
+COST_PER_PAGE_ANALYSIS = 0.01  # reference blob_storage_indexer.py:645
+COST_PER_1K_EMBEDDING_TOKENS = 0.00013  # :646
+COST_PER_1K_COMPLETION_IN = 0.0025  # :647
+COST_PER_1K_COMPLETION_OUT = 0.01  # :648
+
+
+def blocked_files(
+    attempts: DataFrame,
+    file_col: str = "file_key",
+    status_col: str = "status",
+    max_attempts: int = MAX_FILE_PROCESSING_ATTEMPTS,
+) -> DataFrame:
+    """P3: files whose consecutive-failure count reached the cap.  The
+    reference mutates a ``blocked`` flag per file (blob_storage_indexer
+    .py:449-505); relationally, blocked == 'failures since last success
+    >= max'."""
+    w = Window.partitionBy(file_col)
+    last_success = F.max(
+        F.when(F.col(status_col) == "success", F.col("attempt_ts"))
+    ).over(w)
+    fails_after = (
+        attempts.withColumn("_last_ok", last_success)
+        .filter(
+            (F.col(status_col) == "failed")
+            & (F.col("_last_ok").isNull() | (F.col("attempt_ts") > F.col("_last_ok")))
+        )
+        .groupBy(file_col)
+        .agg(F.count(F.lit(1)).alias("consecutive_failures"))
+    )
+    return fails_after.filter(
+        F.col("consecutive_failures") >= max_attempts
+    ).withColumn("blocked", F.lit(True))
+
+
+def apply_blocklist(
+    candidates: DataFrame, blocked: DataFrame, file_col: str = "file_key"
+) -> DataFrame:
+    """Skip blocked files: anti-join (the reference's per-file check)."""
+    return candidates.join(
+        F.broadcast(blocked.select(file_col)), on=file_col, how="left_anti"
+    )
+
+
+def run_summary(results: DataFrame, run_col: str = "run_id") -> DataFrame:
+    """A2: per-run counters (reference :267-338) as one aggregation over
+    per-file result rows with a ``status`` column."""
+    s = F.col("status")
+    return results.groupBy(run_col).agg(
+        F.count(F.lit(1)).alias("sourceFiles"),
+        F.sum(F.when(s == "success", 1).otherwise(0)).alias("success"),
+        F.sum(F.when(s == "failed", 1).otherwise(0)).alias("failed"),
+        F.sum(F.when(s == "skipped_no_change", 1).otherwise(0)).alias(
+            "skippedNoChange"
+        ),
+        F.sum(F.when(s == "skipped_blocked", 1).otherwise(0)).alias("skippedBlocked"),
+        F.sum(F.coalesce(F.col("chunks"), F.lit(0))).alias("totalChunksUploaded"),
+    )
+
+
+def cost_estimate(
+    usage: DataFrame,
+    pages_col: str = "pages_analyzed",
+    embed_tokens_col: str = "embedding_tokens",
+    in_tokens_col: str = "completion_tokens_in",
+    out_tokens_col: str = "completion_tokens_out",
+) -> DataFrame:
+    """A4: the reference's cost model (blob_storage_indexer.py:634-653)
+    as a column expression, rounded to 4 dp like the reference."""
+    cost = (
+        F.coalesce(F.col(pages_col), F.lit(0)) * F.lit(COST_PER_PAGE_ANALYSIS)
+        + F.coalesce(F.col(embed_tokens_col), F.lit(0))
+        / 1000.0
+        * F.lit(COST_PER_1K_EMBEDDING_TOKENS)
+        + F.coalesce(F.col(in_tokens_col), F.lit(0))
+        / 1000.0
+        * F.lit(COST_PER_1K_COMPLETION_IN)
+        + F.coalesce(F.col(out_tokens_col), F.lit(0))
+        / 1000.0
+        * F.lit(COST_PER_1K_COMPLETION_OUT)
+    )
+    return usage.withColumn("estimated_cost_usd", F.round(cost, 4))
+
+
+def retention_targets(
+    runs: DataFrame,
+    ts_col: str = "started_at",
+    keep: int = 500,
+) -> DataFrame:
+    """W6: run summaries beyond the newest ``keep`` (reference
+    api/admin.py:202-237) — deletion candidates."""
+    w = Window.orderBy(F.desc(ts_col))
+    return runs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") > keep)
+
+
+def stale_runs(runs: DataFrame, now_ts, hours: int = STALE_RUN_HOURS) -> DataFrame:
+    """Runs started > ``hours`` ago with no finish — mark interrupted
+    (reference CHANGELOG.md:16)."""
+    age_ok = F.col("started_at") < (
+        F.lit(now_ts) - F.expr(f"INTERVAL {hours} HOURS")
+    )
+    return runs.filter(F.col("finished_at").isNull() & age_ok).withColumn(
+        "status", F.lit("interrupted")
+    )
+
+
+def run_history(
+    file_logs: DataFrame,
+    file_col: str = "file_key",
+    ts_col: str = "started_at",
+) -> DataFrame:
+    """W4: per-file runHistory newest-first (reference :701-706) as an
+    ordered collect_list."""
+    return file_logs.groupBy(file_col).agg(
+        F.reverse(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(ts_col).alias("startedAt"), F.col("status"))
+                )
+            )
+        ).alias("runHistory")
+    )

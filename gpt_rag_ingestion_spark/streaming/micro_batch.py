@@ -1,0 +1,97 @@
+"""Structured-Streaming re-expression of the reference's cron
+micro-batch (SURVEY.md §1.4, §2.10).
+
+The reference schedules hourly batch runs with a last-modified
+watermark read back from the index (reference main.py:146-156,
+jobs/blob_storage_indexer.py:280-305).  The Spark-native equivalent:
+
+- ``run_incremental_ingest``: a file-source ``readStream`` over the
+  landing zone, chunk pipeline as the transformation, ``foreachBatch``
+  doing the delete-then-insert merge, ``Trigger.AvailableNow`` so each
+  invocation drains exactly the new files then stops — checkpointed, so
+  the watermark state the reference rebuilds by scanning its index
+  (821-897) is simply the stream's checkpoint.
+- ``windowed_event_counts``: watermarked tumbling-window aggregation —
+  the late-data analog of the reference's 1 s freshness skew: events
+  later than the watermark are dropped deterministically instead of
+  racing the index state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpt_rag_ingestion_spark.chunking.pipeline import chunk_documents
+from gpt_rag_ingestion_spark.operators.upsert import merge_upsert
+
+
+def run_incremental_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id LONG, text STRING, source STRING",
+    max_tokens: int = 64,
+    overlap: int = 8,
+    min_tokens: int = 4,
+) -> None:
+    """One AvailableNow drain of the landing zone into the chunks table.
+
+    Idempotence comes from two layers, mirroring the reference: the
+    checkpoint never re-reads a processed file, and the merge keyed on
+    parent_id replaces rather than appends (delete-then-insert,
+    reference blob_storage_indexer.py:614-615)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .format("json")
+        .load(landing_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        docs = batch_df.withColumn(
+            "doc_key", F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        )
+        chunks = chunk_documents(
+            docs,
+            text_col="text",
+            doc_key_col="doc_key",
+            source_col="source",
+            embedding_dim=16,
+            max_tokens=max_tokens,
+            overlap=overlap,
+            min_tokens=min_tokens,
+        )
+        merge_upsert(spark, table_path, chunks, key="parent_id")
+
+    (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    window_len: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling-window counts — attach to a readStream source
+    and the same plan runs incrementally with late-data handling.  On a
+    batch DataFrame the watermark is skipped (batch has no late data)."""
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(F.window(F.col(ts_col), window_len).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
