@@ -537,6 +537,34 @@ def q43_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
     return windowed_event_counts(ev)
 
 
+def q44_iso_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """F10: ISO-8601 parse with epoch fallback (try_to_timestamp +
+    coalesce) — the reference's tolerant datetime parser."""
+    orders = _t(spark, sf, "orders")
+    iso = F.when(
+        F.col("o_orderkey") % 10 == 0, F.lit("not-a-date")
+    ).otherwise(F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss"))
+    parsed = F.coalesce(
+        F.try_to_timestamp(iso, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        F.lit("1970-01-01 00:00:00").cast("timestamp"),
+    )
+    return orders.select("o_orderkey", parsed.alias("parsed_ts"))
+
+
+def q45_fields_to_text(spark: SparkSession, sf: str) -> DataFrame:
+    """F18: item fields -> "k: v" lines (the SharePoint list-item body
+    builder) as pure column algebra."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    body = F.concat_ws(
+        "\n",
+        F.concat(F.lit("event_type: "), F.col("event_type")),
+        F.concat(F.lit("k: "), k.cast("string")),
+        F.concat(F.lit("user: "), F.col("user_id").cast("string")),
+    )
+    return ev.select("event_id", body.alias("body_text"))
+
+
 def q34_enrichment_join(spark: SparkSession, sf: str) -> DataFrame:
     """J9: groupBy-count + left join enrichment (runs↔files shape)."""
     cust = _t(spark, sf, "customer")
@@ -612,6 +640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_admin_search": q40_admin_search,
         "q41_acl_parse": q41_acl_parse,
         "q43_windowed_counts": q43_windowed_counts,
+        "q44_iso_parse": q44_iso_parse,
+        "q45_fields_to_text": q45_fields_to_text,
     }
 
 
@@ -965,6 +995,21 @@ def oracle_sql() -> dict[str, str]:
                    date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
                    COUNT(*) AS n_events
             FROM events GROUP BY date_trunc('hour', ts)
+        """,
+        "q44_iso_parse": """
+            SELECT o_orderkey,
+              CASE WHEN o_orderkey % 10 = 0 THEN TIMESTAMP '1970-01-01 00:00:00'
+                   ELSE strptime(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S'),
+                                 '%Y-%m-%dT%H:%M:%S')
+              END AS parsed_ts
+            FROM orders
+        """,
+        "q45_fields_to_text": """
+            SELECT event_id,
+              'event_type: ' || event_type || chr(10) ||
+              'k: ' || CAST(CAST(props->>'$.k' AS BIGINT) AS VARCHAR) || chr(10) ||
+              'user: ' || CAST(user_id AS VARCHAR) AS body_text
+            FROM events
         """,
         "q34_enrichment_join": """
             WITH per_cust AS (

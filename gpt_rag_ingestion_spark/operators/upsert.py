@@ -55,6 +55,8 @@ def merge_upsert(
     if os.path.exists(table_path):
         shutil.rmtree(table_path)
     os.rename(tmp, table_path)
+    # drop the session's cached file listing for the old generation
+    spark.catalog.refreshByPath(table_path)
 
 
 def delete_keys(
@@ -69,3 +71,4 @@ def delete_keys(
 
     shutil.rmtree(table_path)
     os.rename(tmp, table_path)
+    spark.catalog.refreshByPath(table_path)

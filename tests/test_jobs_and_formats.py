@@ -1,0 +1,157 @@
+"""Tests: end-to-end ingest job, factory dispatch, NL2SQL chunker,
+markdown helpers, JSON kind-routed source."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from pyspark.sql import functions as F
+
+from gpt_rag_ingestion_spark.chunking.factory import tag_chunkers
+from gpt_rag_ingestion_spark.chunking.nl2sql_chunker import chunk_nl2sql_text
+from gpt_rag_ingestion_spark.functions.markdown import (
+    extract_tables,
+    fields_to_text,
+    number_figures,
+    restore_tables,
+)
+from gpt_rag_ingestion_spark.plans.ingest_job import run_ingest_job
+from gpt_rag_ingestion_spark.sources.binary_docs import (
+    read_binary_documents,
+    read_json_kind_routed,
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_key STRING, text STRING, last_modified TIMESTAMP"
+    )
+
+
+def test_ingest_job_incremental_end_to_end(spark, tmp_path):
+    """§3.1: first run ingests all; re-run ingests nothing; a newer doc
+    re-ingests only itself (delete-then-insert)."""
+    table = str(tmp_path / "chunks")
+    t0 = _ts("2024-01-01T00:00:00")
+    batch1 = _docs(
+        spark,
+        [("d1", "alpha " * 40, t0), ("d2", "beta " * 40, t0)],
+    )
+    s1 = run_ingest_job(
+        spark, batch1, table, "run1", max_tokens=30, overlap=4, min_tokens=2,
+        embedding_dim=8,
+    ).collect()[0]
+    assert s1["sourceFiles"] == 2
+    n1 = spark.read.parquet(table).count()
+    assert n1 > 0
+
+    # identical re-run: freshness filter keeps nothing
+    s2 = run_ingest_job(
+        spark, batch1, table, "run2", max_tokens=30, overlap=4, min_tokens=2,
+        embedding_dim=8,
+    ).collect()
+    assert s2 == [] or s2[0]["sourceFiles"] == 0
+    assert spark.read.parquet(table).count() == n1
+
+    # d1 modified (newer by > 1s): only d1 reprocessed, d2 rows untouched
+    t2 = _ts("2024-01-02T00:00:00")
+    batch2 = _docs(spark, [("d1", "gamma " * 40, t2), ("d2", "beta " * 40, t0)])
+    s3 = run_ingest_job(
+        spark, batch2, table, "run3", max_tokens=30, overlap=4, min_tokens=2,
+        embedding_dim=8,
+    ).collect()[0]
+    assert s3["sourceFiles"] == 1
+    final = spark.read.parquet(table)
+    d1_contents = " ".join(
+        r["content"] for r in final.filter(F.col("parent_id") == "d1").collect()
+    )
+    assert "gamma" in d1_contents and "alpha" not in d1_contents
+    assert final.filter(F.col("parent_id") == "d2").count() > 0
+
+
+def test_factory_dispatch(spark):
+    df = spark.createDataFrame(
+        [("a.pdf",), ("b.MD",), ("c.xlsx",), ("d.vtt",), ("e.json",),
+         ("f.nl2sql",), ("g.zip",)],
+        ["name"],
+    ).withColumn("extension", F.element_at(F.split("name", "\\."), -1))
+    tagged = {r["name"]: r["chunker"] for r in tag_chunkers(df).collect()}
+    assert tagged == {
+        "a.pdf": "doc_analysis",
+        "b.MD": "langchain",
+        "c.xlsx": "spreadsheet",
+        "d.vtt": "transcription",
+        "e.json": "json",
+        "f.nl2sql": "nl2sql",
+        "g.zip": "unsupported",
+    }
+
+
+def test_nl2sql_chunker():
+    doc = {
+        "q1": {"question": "total sales?", "query": "SELECT 1"},
+        "q2": {"query": "SELECT 2"},
+    }
+    chunks = chunk_nl2sql_text(json.dumps(doc))
+    assert len(chunks) == 2
+    assert chunks[0]["key"] == "q1"
+    assert chunks[0]["embed_text"] == "total sales?"  # question embedded
+    assert json.loads(chunks[0]["content"])["query"] == "SELECT 1"
+    assert chunks[1]["embed_text"] == chunks[1]["content"]  # no question
+    assert chunk_nl2sql_text("broken{") == []
+
+
+def test_table_placeholder_roundtrip():
+    text = "before <table><tr><td>x</td></tr></table> after"
+    swapped, tables = extract_tables(text)
+    assert "<table>" not in swapped
+    assert len(tables) == 1
+    assert restore_tables(swapped, tables) == text
+
+
+def test_number_figures_sequential():
+    text = "a <figure>one</figure> b <figure>two</figure>"
+    out, nxt = number_figures(text)
+    assert "<figure1>one</figure1>" in out
+    assert "<figure2>two</figure2>" in out
+    assert nxt == 3
+
+
+def test_fields_to_text():
+    body = fields_to_text(
+        {"Title": "Doc", "Tags": ["a", "b"], "Meta": {"x": 1}, "Empty": "",
+         "Skip": "no"},
+        exclude={"Skip"},
+    )
+    lines = body.splitlines()
+    assert lines[0] == "Title: Doc"
+    assert lines[1] == "Tags: a, b"
+    assert lines[2] == 'Meta: {"x": 1}'
+    assert len(lines) == 3
+
+
+def test_read_binary_documents(spark, tmp_path):
+    (tmp_path / "a.md").write_text("hello")
+    (tmp_path / "empty.md").write_text("")
+    (tmp_path / "b.txt").write_text("world")
+    out = read_binary_documents(spark, str(tmp_path), glob="*.md")
+    rows = out.collect()
+    # empty file (dir-marker analog) skipped; glob filters .txt
+    assert [r["file_name"] for r in rows] == ["a.md"]
+    assert rows[0]["bytes"] == b"hello"
+    assert rows[0]["extension"] == "md"
+
+
+def test_read_json_kind_routed(spark, tmp_path):
+    for kind in ("queries", "tables"):
+        d = tmp_path / kind
+        d.mkdir()
+        (d / "x.json").write_text(json.dumps({"id": f"{kind}-1"}))
+    out = read_json_kind_routed(spark, str(tmp_path), ["queries", "tables"])
+    got = {(r["kind"], r["id"]) for r in out.collect()}
+    assert got == {("queries", "queries-1"), ("tables", "tables-1")}
