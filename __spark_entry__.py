@@ -110,14 +110,30 @@ def _dec_sum(col, alias):
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full document→chunks pipeline (SURVEY.md §3.1) on
     sf0.001 — recursive splitter UDF, deterministic keys (F1-F3),
-    byte-safe truncation (F6), deterministic embeddings (U1)."""
-    docs = _t(spark, SF_DEFAULT, "documents").withColumn(
-        "doc_key", F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+    byte-safe truncation (F6), deterministic embeddings (U1), mapped to
+    the canonical search-doc schema (§1.1) with title/path/ACL columns
+    and the zero-vector captionVector default."""
+    from gpt_rag_ingestion_spark.chunking.search_docs import to_search_docs
+
+    docs = (
+        _t(spark, SF_DEFAULT, "documents")
+        .withColumn(
+            "doc_key", F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        )
+        .withColumn(
+            "path",
+            F.concat(
+                F.lit("/documents/doc_"), F.col("doc_id").cast("string"), F.lit(".md")
+            ),
+        )
+        .withColumn("last_modified", F.lit("2024-01-01 00:00:00").cast("timestamp"))
     )
-    return chunk_documents(
+    chunks = chunk_documents(
         docs, text_col="text", doc_key_col="doc_key", source_col="source",
         embedding_dim=64, max_tokens=64, overlap=8, min_tokens=4,
+        carry_cols=["path", "last_modified"],
     )
+    return to_search_docs(chunks, path_col="path", ts_col="last_modified")
 
 
 # --------------------------------------------------------------------------
@@ -565,6 +581,15 @@ def q45_fields_to_text(spark: SparkSession, sf: str) -> DataFrame:
     return ev.select("event_id", body.alias("body_text"))
 
 
+def q46_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup (embedding-cosine): pairs with quantized dot >= 450k
+    (~cosine 0.45 for unit vectors) — exact integer scoring."""
+    from gpt_rag_ingestion_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf, "embeddings")
+    return embedding_neardup_pairs(emb)
+
+
 def q34_enrichment_join(spark: SparkSession, sf: str) -> DataFrame:
     """J9: groupBy-count + left join enrichment (runs↔files shape)."""
     cust = _t(spark, sf, "customer")
@@ -642,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_windowed_counts": q43_windowed_counts,
         "q44_iso_parse": q44_iso_parse,
         "q45_fields_to_text": q45_fields_to_text,
+        "q46_embedding_neardup": q46_embedding_neardup,
     }
 
 
@@ -995,6 +1021,17 @@ def oracle_sql() -> dict[str, str]:
                    date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
                    COUNT(*) AS n_events
             FROM events GROUP BY date_trunc('hour', ts)
+        """,
+        "q46_embedding_neardup": """
+            WITH q AS (
+              SELECT vec_id, list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+              FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS qdot
+            FROM q a, q b
+            WHERE a.vec_id < b.vec_id
+              AND CAST(list_dot_product(a.qv, b.qv) AS BIGINT) >= 450000
         """,
         "q44_iso_parse": """
             SELECT o_orderkey,

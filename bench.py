@@ -59,6 +59,10 @@ def main() -> None:
         "q24_tumbling_window",
         "q31_media_features",
         "q35_sessionize",
+        "q36_polygon_area",
+        "q38_cost_rollup",
+        "q43_windowed_counts",
+        "q46_embedding_neardup",
     ]
 
     def materialize(df):

@@ -84,26 +84,31 @@ def chunk_documents(
     max_tokens: int = CHUNK_NUM_TOKENS,
     overlap: int = TOKEN_OVERLAP,
     min_tokens: int = MIN_CHUNK_SIZE,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Full chunk+embed pipeline over a documents DataFrame.
 
     Returns rows keyed like the reference's search docs: ``parent_id``
     (sanitized doc key), ``id`` (parent-c%05d, F2), chunk payload,
-    ``contentVector`` from the deterministic embedder."""
+    ``contentVector`` from the deterministic embedder.  ``carry_cols``
+    ride along unchanged (document-level metadata)."""
     chunk_udf = make_chunk_udf(max_tokens, overlap, min_tokens)
     embed = hash_embedding_udf(embedding_dim)
 
+    carry = list(carry_cols or [])
+    if source_col:
+        carry = [source_col] + carry
     parent = sanitize_key(F.col(doc_key_col).cast("string"))
     out = (
         docs.withColumn("_chunks", chunk_udf(F.col(text_col)))
         .select(
             parent.alias("parent_id"),
-            *( [F.col(source_col).alias("source")] if source_col else [] ),
+            *[F.col(c) for c in carry],
             F.explode("_chunks").alias("_c"),
         )
         .select(
             "parent_id",
-            *( ["source"] if source_col else [] ),
+            *carry,
             F.col("_c.chunk_id").alias("chunk_id"),
             F.col("_c.offset").alias("offset"),
             F.col("_c.length").alias("length"),

@@ -183,6 +183,52 @@ def minhash_lsh_candidates(
     )
 
 
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_qdot: int = 450_000,
+) -> DataFrame:
+    """Embedding-cosine near-dup: pairs (id_a < id_b) whose
+    integer-quantized dot product (≈ cosine × 10^6 for unit vectors)
+    reaches ``min_qdot``.  Exact integers — oracle-checkable.
+
+    Physical plan mirrors quantized_dot_top1: broadcast corpus matrix +
+    per-partition int64 matmul, emitting only above-threshold pairs.
+    At 100 TB the dense matmul is replaced by LSH/IVF candidate
+    generation (minhash_lsh_candidates / lsh_bucketed_ann) with this
+    exact scorer as the verifier."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from gpt_rag_ingestion_spark.operators.similarity import _quantize_np
+
+    rows = emb.select(id_col, vec_col).toPandas()
+    order = rows[id_col].to_numpy().argsort(kind="stable")
+    ids = rows[id_col].to_numpy()[order]
+    mat = _quantize_np(np.vstack(rows[vec_col].to_numpy()[order]))
+    sc = emb.sparkSession.sparkContext
+    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
+
+    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cids, cmat = b_ids.value, b_mat.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = _quantize_np(np.vstack(pdf[vec_col].to_numpy()))
+            qids = pdf[id_col].to_numpy()
+            dots = q @ cmat.T
+            qi, ci = np.nonzero((dots >= min_qdot) & (qids[:, None] < cids[None, :]))
+            yield pd.DataFrame(
+                {"id_a": qids[qi], "id_b": cids[ci], "qdot": dots[qi, ci]}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        block, schema="id_a long, id_b long, qdot long"
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,55 @@
+"""Anti-entropy purge lifecycle (SURVEY.md §3.4; reference
+jobs/blob_storage_indexer.py:1588-1846, sharepoint_purger.py,
+nl2sql_purger.py, multimodal_images_purger.py).
+
+All reference purgers share one shape: scan index → parse identity →
+anti-join against the live source → batched delete → post-delete
+consistency re-check.  Here: one left_anti join + delete_keys + a
+count() assertion (the re-check loop collapses because the delete is
+transactional at the table-swap level)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpt_rag_ingestion_spark.operators.purge import purge_targets
+from gpt_rag_ingestion_spark.operators.upsert import delete_keys
+
+
+def run_purge_job(
+    spark: SparkSession,
+    table_path: str,
+    live_source: DataFrame,
+    key: str = "parent_id",
+) -> dict:
+    """Delete chunks whose ``key`` no longer exists in ``live_source``.
+    Returns the purger counters (A6): parents before/after, docs
+    scanned/deleted — plus the consistency re-check result."""
+    index = spark.read.parquet(table_path)
+    docs_before = index.count()
+    parents_before = index.select(key).distinct().count()
+
+    targets = purge_targets(index.select(key).distinct(), live_source, key)
+    target_keys = [r[key] for r in targets.collect()]
+    n_target_parents = len(target_keys)
+
+    docs_deleted = 0
+    if n_target_parents:
+        docs_deleted = index.filter(F.col(key).isin(target_keys)).count()
+        delete_keys(spark, table_path, targets, key=key)
+
+    # post-delete consistency re-check (reference :1761-1833)
+    after = spark.read.parquet(table_path)
+    remaining_orphans = purge_targets(
+        after.select(key).distinct(), live_source, key
+    ).count()
+    assert remaining_orphans == 0, "purge consistency re-check failed"
+
+    return {
+        "parentsBefore": parents_before,
+        "parentsAfter": after.select(key).distinct().count(),
+        "docsScanned": docs_before,
+        "docsDeleted": docs_deleted,
+        "parentsPurged": n_target_parents,
+    }
