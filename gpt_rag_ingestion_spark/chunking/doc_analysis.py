@@ -157,6 +157,10 @@ def chunk_analyzed_documents(
     """DataFrame wrapper: one pandas-UDF call per analyzed document,
     exploding to page-attributed chunk rows.  Narrow map — no shuffle."""
 
+    from gpt_rag_ingestion_spark.session import ensure_importable
+
+    ensure_importable(docs)
+
     @pandas_udf(_PAGE_CHUNK_STRUCT)
     def _chunk(mds: pd.Series) -> pd.Series:
         return mds.map(

@@ -1,0 +1,117 @@
+"""Multimodal chunker composition (SURVEY.md C2; reference
+chunking/chunkers/multimodal_chunker.py:15-546).
+
+Extends the doc-analysis path with figures: analyzed markdown with
+``<figure>…</figure>`` spans + a figures sidecar (id, polygon, page
+dims, image payload) →
+
+  1. sequential figure-tag rewrite ``<figureN>`` (F15),
+  2. area filter: keep figures covering > 4% of the page (P9/F19),
+  3. caption each kept figure (U2 stub — the GPT-vision call site),
+  4. page-attributed chunking of the rewritten markdown (C1/W2),
+  5. figure↔chunk join on exploded refs (J8),
+  6. per chunk: imageCaptions text, captionVector (embedding of the
+     captions; zero-vector when the chunk has no figures —
+     reference base_chunker.py:228), relatedImages urls.
+
+Structure: everything after the per-document tag rewrite is relational
+(filter, join, groupBy) — the sequential parts stay in per-doc UDFs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from gpt_rag_ingestion_spark.chunking.doc_analysis import chunk_analyzed_documents
+from gpt_rag_ingestion_spark.embeddings import hash_embedding_udf
+from gpt_rag_ingestion_spark.enrichers import caption_deterministic
+from gpt_rag_ingestion_spark.functions.keys import chunk_key, sanitize_key
+from gpt_rag_ingestion_spark.functions.markdown import number_figures
+from gpt_rag_ingestion_spark.operators.figures import (
+    extract_figure_refs,
+    filter_significant_figures,
+)
+
+
+@pandas_udf(StringType())
+def number_figures_udf(md: pd.Series) -> pd.Series:
+    return md.map(lambda s: number_figures(s or "")[0])
+
+
+@pandas_udf(StringType())
+def caption_udf(payload: pd.Series) -> pd.Series:
+    return payload.map(lambda b: caption_deterministic(b or b""))
+
+
+def chunk_multimodal_documents(
+    docs: DataFrame,
+    figures: DataFrame,
+    md_col: str = "markdown",
+    doc_key_col: str = "doc_key",
+    embedding_dim: int = 64,
+    max_tokens: int = 2048,
+    overlap: int = 200,
+    min_tokens: int = 10,
+) -> DataFrame:
+    """C2 end-to-end.  ``figures`` columns: doc_key, figure_id (STRING,
+    matching the sequential rewrite order), polygon ARRAY<DOUBLE>,
+    page_width, page_height, image BINARY, image_url STRING."""
+    from gpt_rag_ingestion_spark.session import ensure_importable
+
+    ensure_importable(docs)
+    embed = hash_embedding_udf(embedding_dim)
+
+    # 1-2. rewrite tags; filter figures by page-area share
+    rewritten = docs.withColumn("_md", number_figures_udf(F.col(md_col)))
+    kept_figs = filter_significant_figures(figures)
+
+    # 3. captions (the external-vision call site — deterministic stub)
+    kept_figs = kept_figs.withColumn("caption", caption_udf(F.col("image")))
+
+    # 4. page-attributed chunking (C1) with parent keys
+    chunks = chunk_analyzed_documents(
+        rewritten.withColumn(
+            "parent_id", sanitize_key(F.col(doc_key_col).cast("string"))
+        ).select("parent_id", F.col("_md").alias("md")),
+        md_col="md",
+        max_tokens=max_tokens,
+        overlap=overlap,
+        min_tokens=min_tokens,
+    ).withColumn("id", chunk_key(F.col("parent_id"), F.col("chunk_id")))
+
+    # 5. figure refs per chunk -> join figures (broadcast: per-doc small)
+    refs = extract_figure_refs(chunks, content_col="content", chunk_id_col="id")
+    fig_keyed = kept_figs.withColumn(
+        "parent_id", sanitize_key(F.col(doc_key_col).cast("string"))
+    )
+    joined = refs.join(
+        F.broadcast(fig_keyed.select("figure_id", "caption", "image_url")),
+        on="figure_id",
+        how="inner",
+    )
+    per_chunk = joined.groupBy("id").agg(
+        F.concat_ws("\n", F.sort_array(F.collect_list("caption"))).alias(
+            "imageCaptions"
+        ),
+        F.sort_array(F.collect_set("image_url")).alias("relatedImages"),
+    )
+
+    # 6. attach captions; captionVector = embed(captions) else zero-vec
+    zero_vec = F.array(*[F.lit(0.0) for _ in range(embedding_dim)]).cast(
+        "array<float>"
+    )
+    out = (
+        chunks.join(per_chunk, on="id", how="left")
+        .withColumn("contentVector", embed(F.col("content")))
+        .withColumn(
+            "captionVector",
+            F.when(
+                F.col("imageCaptions").isNotNull(), embed(F.col("imageCaptions"))
+            ).otherwise(zero_vec),
+        )
+    )
+    return out

@@ -92,6 +92,9 @@ def chunk_documents(
     (sanitized doc key), ``id`` (parent-c%05d, F2), chunk payload,
     ``contentVector`` from the deterministic embedder.  ``carry_cols``
     ride along unchanged (document-level metadata)."""
+    from gpt_rag_ingestion_spark.session import ensure_importable
+
+    ensure_importable(docs)
     chunk_udf = make_chunk_udf(max_tokens, overlap, min_tokens)
     embed = hash_embedding_udf(embedding_dim)
 

@@ -1,0 +1,55 @@
+"""LLM enrichers (SURVEY.md U2; reference tools/aoai.py:133-208).
+
+The reference calls a completion endpoint for: spreadsheet sheet
+summaries (C3), transcript summaries (C5), and figure captions (C2,
+<=200 words).  Like embeddings, the enricher is a pluggable
+Arrow-batched pandas UDF with a deterministic offline implementation so
+pipelines are reproducible and oracle-checkable without a network.
+
+The deterministic "summary" is an extractive stub: first sentence +
+top-k distinct tokens — stable, content-derived, and obviously
+replaceable by a real endpoint at deploy time (same signature, same
+truncation contract)."""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+MAX_CAPTION_WORDS = 200  # reference multimodal_chunker.py:530-534
+
+
+def summarize_deterministic(text: str, max_words: int = 40) -> str:
+    """Extractive stand-in for the LLM summary: first sentence, then the
+    most frequent distinct tokens (ties alphabetical)."""
+    if not text:
+        return ""
+    first = re.split(r"(?<=[.!?])\s", text.strip(), maxsplit=1)[0]
+    toks = re.findall(r"[A-Za-z0-9]+", text.lower())
+    freq: dict[str, int] = {}
+    for t in toks:
+        freq[t] = freq.get(t, 0) + 1
+    top = sorted(freq, key=lambda t: (-freq[t], t))[:8]
+    out = f"{first} [keywords: {', '.join(top)}]"
+    words = out.split()
+    return " ".join(words[:max_words])
+
+
+def caption_deterministic(payload: bytes, max_words: int = MAX_CAPTION_WORDS) -> str:
+    """Figure-caption stand-in: content-addressed description (the real
+    GPT-vision call plugs in here with the same <=200-word contract)."""
+    import hashlib
+
+    h = hashlib.sha256(payload or b"").hexdigest()
+    return f"figure sha256:{h[:16]} ({len(payload or b'')} bytes)"[: max_words * 8]
+
+
+def summary_udf(max_words: int = 40):
+    @pandas_udf(StringType())
+    def _sum(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda s: summarize_deterministic(s or "", max_words))
+
+    return _sum

@@ -204,6 +204,9 @@ def embedding_neardup_pairs(
 
     from gpt_rag_ingestion_spark.operators.similarity import _quantize_np
 
+    from gpt_rag_ingestion_spark.session import ensure_importable
+
+    ensure_importable(emb)
     rows = emb.select(id_col, vec_col).toPandas()
     order = rows[id_col].to_numpy().argsort(kind="stable")
     ids = rows[id_col].to_numpy()[order]

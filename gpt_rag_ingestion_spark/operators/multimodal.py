@@ -85,6 +85,10 @@ def extract_media_features(media: DataFrame, deterministic_fake: bool = True) ->
     form processes one Arrow batch at a time — constant memory per task
     regardless of partition size."""
 
+    from gpt_rag_ingestion_spark.session import ensure_importable
+
+    ensure_importable(media)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [(p if p is not None else b"") for p in pdf["payload"]]

@@ -66,6 +66,9 @@ def quantized_dot_top1(
     blocks) instead of one broadcast."""
     from collections.abc import Iterator
 
+    from gpt_rag_ingestion_spark.session import ensure_importable
+
+    ensure_importable(emb)
     rows = emb.select(id_col, vec_col).toPandas()
     order = rows[id_col].to_numpy().argsort(kind="stable")
     ids = rows[id_col].to_numpy()[order]
@@ -175,6 +178,9 @@ def lsh_bucketed_ann(
     group does a single dense matmul + per-bucket top-k.  A final window
     merges per-bucket candidates into the global top-k.  At 100 TB the
     bucket key is the only shuffle on the corpus."""
+    from gpt_rag_ingestion_spark.session import ensure_importable
+
+    ensure_importable(corpus)
     planes = np.array([_hyperplane(dim, b) for b in range(bits)], dtype="float64")
     sc = corpus.sparkSession.sparkContext
     b_planes = sc.broadcast(planes)

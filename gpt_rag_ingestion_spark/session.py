@@ -16,8 +16,40 @@ Local tests run on ``local[N]`` but every knob here is chosen for the
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+_SHIPPED: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers via
+    addPyFile — the local-mode equivalent of ``spark-submit
+    --py-files``.  Needed whenever the driver's cwd/sys.path is not the
+    repo (UDF closures reference the package by name)."""
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"gpt_rag_ingestion_spark_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zpath)
+    _SHIPPED.add(id(sc))
+
+
+def ensure_importable(df: DataFrame) -> None:
+    """Call from any operator that creates UDFs referencing this package."""
+    ship_package(df.sparkSession)
 
 
 def get_spark(
