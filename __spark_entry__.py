@@ -590,6 +590,17 @@ def q46_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     return embedding_neardup_pairs(emb)
 
 
+def q47_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """Similarity (scale path #2): IVF — spherical-kmeans cells fit on a
+    deterministic sample, n_probe nearest cells per query, exact cosine
+    within cells.  Float cosine -> rows-only check; recall asserted vs
+    the exact operator in tests."""
+    from gpt_rag_ingestion_spark.operators.similarity import ivf_ann
+
+    emb = _t(spark, sf, "embeddings")
+    return ivf_ann(emb, emb, dim=64, n_centroids=16, n_probe=2, k=5)
+
+
 def q34_enrichment_join(spark: SparkSession, sf: str) -> DataFrame:
     """J9: groupBy-count + left join enrichment (runs↔files shape)."""
     cust = _t(spark, sf, "customer")
@@ -668,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_iso_parse": q44_iso_parse,
         "q45_fields_to_text": q45_fields_to_text,
         "q46_embedding_neardup": q46_embedding_neardup,
+        "q47_ivf_ann": q47_ivf_ann,
     }
 
 

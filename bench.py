@@ -63,6 +63,7 @@ def main() -> None:
         "q38_cost_rollup",
         "q43_windowed_counts",
         "q46_embedding_neardup",
+        "q47_ivf_ann",
     ]
 
     def materialize(df):

@@ -249,21 +249,27 @@ def simhash(
     toks = tokenize(df, text_col, id_col).select(
         id_col, F.md5(F.col("token")).alias("h")
     )
-    bit_idx = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    per_bit = toks.select(F.col(id_col), F.col("h"), bit_idx)
-    # nibble containing the bit: hex char at position bit/4 (1-based substr);
-    # bit extraction in SQL-expr form (shiftright takes column exprs in SQL).
-    per_bit = per_bit.withColumn(
-        "nibble",
-        F.expr("cast(conv(substring(h, cast(bit / 4 as int) + 1, 1), 16, 10) as int)"),
-    ).withColumn("bitval", F.expr("shiftright(nibble, cast(bit % 4 as int)) & 1"))
-    votes = (
-        per_bit.withColumn("vote", F.when(F.col("bitval") == 1, 1).otherwise(-1))
-        .groupBy(id_col, "bit")
-        .agg(F.sum("vote").alias("v"))
-    )
-    return votes.groupBy(id_col).agg(
-        F.sum(F.expr("case when v > 0 then shiftleft(1L, bit) else 0L end")).alias(
-            "simhash"
+    # one pass, no bit explosion: per token, 16 ±1 vote columns (nibble
+    # extraction per bit as plain exprs), then a single groupBy with 16
+    # sums.  ~16x less data movement than exploding (token × bit) rows.
+    vote_cols = []
+    for bit in range(bits):
+        nib_pos = bit // 4 + 1
+        shift = bit % 4
+        vote_cols.append(
+            F.expr(
+                f"case when (shiftright(cast(conv(substring(h, {nib_pos}, 1), 16, 10)"
+                f" as int), {shift}) & 1) = 1 then 1 else -1 end"
+            ).alias(f"v{bit}")
         )
+    per_tok = toks.select(F.col(id_col), *vote_cols)
+    votes = per_tok.groupBy(id_col).agg(
+        *[F.sum(f"v{b}").alias(f"v{b}") for b in range(bits)]
     )
+    sim = None
+    for bit in range(bits):
+        term = F.when(F.col(f"v{bit}") > 0, F.lit(1 << bit).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return votes.select(F.col(id_col), sim.alias("simhash"))

@@ -213,6 +213,13 @@ def lsh_bucketed_ann(
         .drop("_sig")
     )
 
+    return _cogrouped_topk(c, qd, "bucket", k)
+
+
+def _make_bucket_scorer(k: int):
+    """Per-bucket dense cosine scorer for cogrouped applyInPandas: one
+    matmul per (corpus-cell, query-probes) group, local top-k."""
+
     def score(cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
         if cdf.empty or qdf.empty:
             return pd.DataFrame({"query_id": [], "corpus_id": [], "cosine": []})
@@ -237,10 +244,20 @@ def lsh_bucketed_ann(
             {"query_id": rows_q, "corpus_id": rows_c, "cosine": rows_s}
         )
 
+    return score
+
+
+def _cogrouped_topk(c: DataFrame, qd: DataFrame, cell_col: str, k: int) -> DataFrame:
+    """Shared tail of LSH/IVF ANN: cogroup corpus and probing queries on
+    the cell key, score densely per cell, merge per-cell candidates into
+    the global top-k with a window."""
     cands = (
-        c.groupby("bucket")
-        .cogroup(qd.groupby("bucket"))
-        .applyInPandas(score, schema="query_id long, corpus_id long, cosine double")
+        c.groupby(cell_col)
+        .cogroup(qd.groupby(cell_col))
+        .applyInPandas(
+            _make_bucket_scorer(k),
+            schema="query_id long, corpus_id long, cosine double",
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     return (
@@ -248,3 +265,82 @@ def lsh_bucketed_ann(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
+
+
+def ivf_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    k: int = 10,
+    kmeans_iters: int = 5,
+    fit_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN via inverted-file (IVF) partitioning: spherical k-means
+    centroids fit on a deterministic sample, corpus vectors assigned to
+    their nearest centroid cell, queries probing the ``n_probe``
+    nearest cells, exact cosine within each probed cell.
+
+    Scale shape: the centroid fit is a driver-side numpy k-means on a
+    bounded sample (the standard IVF practice — centroid quality needs
+    only a representative sample, not the corpus); assignment is one
+    vectorized pandas UDF pass; the only corpus shuffle is on the cell
+    id.  vs LSH: cells adapt to the data distribution, so recall per
+    probed candidate is typically higher on clustered data."""
+    from gpt_rag_ingestion_spark.session import ensure_importable
+
+    ensure_importable(corpus)
+
+    # ---- fit (deterministic): sample = lowest ids; init = evenly spaced
+    samp = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(fit_sample).toPandas()
+    )
+    X = np.vstack(samp[vec_col].to_numpy()).astype("float64")
+    X = X / np.maximum(np.linalg.norm(X, axis=1)[:, None], 1e-12)
+    idx = np.linspace(0, len(X) - 1, num=min(n_centroids, len(X)), dtype=int)
+    C = X[idx].copy()
+    for _ in range(kmeans_iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    C[j] = m / norm
+
+    sc = corpus.sparkSession.sparkContext
+    b_c = sc.broadcast(C)
+
+    @pandas_udf("long")
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        cm = b_c.value
+        V = np.vstack(vecs.to_numpy()).astype("float64")
+        V = V / np.maximum(np.linalg.norm(V, axis=1)[:, None], 1e-12)
+        return pd.Series((V @ cm.T).argmax(axis=1))
+
+    n_probe_eff = min(n_probe, len(C))
+
+    @pandas_udf("array<long>")
+    def probe_udf(vecs: pd.Series) -> pd.Series:
+        cm = b_c.value
+        V = np.vstack(vecs.to_numpy()).astype("float64")
+        V = V / np.maximum(np.linalg.norm(V, axis=1)[:, None], 1e-12)
+        S = V @ cm.T
+        top = np.argsort(-S, axis=1)[:, :n_probe_eff]
+        return pd.Series(list(top))
+
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cv"),
+        cell_udf(F.col(vec_col)).alias("cell"),
+    )
+    qd = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probe_udf(F.col(vec_col))).alias("cell"),
+    )
+    return _cogrouped_topk(c, qd, "cell", k)

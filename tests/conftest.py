@@ -11,9 +11,12 @@ sys.path.insert(0, "/root/repo")
 def spark():
     from pyspark.sql import SparkSession
 
+    import tempfile
+
     s = (
         SparkSession.builder.master("local[8]")
         .appName("gpt-rag-ingestion-spark-tests")
+        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="spark-wh-"))
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
