@@ -47,6 +47,37 @@ def caption_deterministic(payload: bytes, max_words: int = MAX_CAPTION_WORDS) ->
     return f"figure sha256:{h[:16]} ({len(payload or b'')} bytes)"[: max_words * 8]
 
 
+def call_with_backoff(
+    fn,
+    max_attempts: int = 20,
+    base_seconds: float = 1.0,
+    cap_seconds: float = 60.0,
+    sleep=None,
+    retryable=(TimeoutError, ConnectionError),
+):
+    """U1/U4/A5: the reference's 429 retry ladder (tools/aoai.py:85-131)
+    as a reusable wrapper for external-call UDFs: exponential backoff
+    with a cap, returning (result, retry_count, total_wait_seconds) so
+    usage accounting lands in columns (ops_log cost/timing model).
+
+    ``sleep`` is injectable for deterministic tests; inside a pandas UDF
+    the default time.sleep bounds each task's call rate."""
+    import time
+
+    sleep = sleep or time.sleep
+    waited = 0.0
+    for attempt in range(max_attempts):
+        try:
+            return fn(), attempt, round(waited, 3)
+        except retryable:
+            if attempt == max_attempts - 1:
+                raise
+            delay = min(cap_seconds, base_seconds * (2**attempt))
+            sleep(delay)
+            waited += delay
+    raise RuntimeError("unreachable")
+
+
 def summary_udf(max_words: int = 40):
     @pandas_udf(StringType())
     def _sum(texts: pd.Series) -> pd.Series:

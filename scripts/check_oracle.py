@@ -103,10 +103,6 @@ def main(sf_dir: str, only: list[str] | None = None):
         )
         if status != "OK":
             failures.append(name)
-            if ok_cols and not ok_hash:
-                sset = {}
-                for r in srows[:100000]:
-                    pass
     print("\nFAILURES:", failures if failures else "none")
     spark.stop()
     return 1 if failures else 0
