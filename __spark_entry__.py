@@ -200,15 +200,23 @@ def q05_regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
     orders = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # pre-aggregate the fact side on its join key BEFORE the join chain:
+    # the shuffle carries one row per order instead of one per lineitem
+    # (classic partial-agg pushdown; sums of decimal partials are exact,
+    # so the oracle hash is unchanged; after pre-agg, count(*) ==
+    # count(distinct o_orderkey))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(revenue.cast("decimal(18,4)")).alias("rev_dec")
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(
-            _dec_sum(revenue, "revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum("rev_dec").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
     )
 
@@ -601,6 +609,23 @@ def q47_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_ann(emb, emb, dim=64, n_centroids=16, n_probe=2, k=5)
 
 
+def q48_base64(spark: SparkSession, sf: str) -> DataFrame:
+    """F20: base64 encode/decode round-trip of document payloads (the
+    reference moves figure images and analysis payloads as base64)."""
+    docs = _t(spark, sf, "documents")
+    # Spark's base64 emits MIME-chunked output (CRLF every 76 chars);
+    # strip to the canonical unchunked form DuckDB/python produce
+    b64 = F.regexp_replace(
+        F.base64(F.encode(F.col("text"), "UTF-8")), "[\\r\\n]", ""
+    )
+    roundtrip = F.decode(F.unbase64(b64), "UTF-8")
+    return docs.select(
+        "doc_id",
+        b64.alias("payload_b64"),
+        (roundtrip == F.col("text")).alias("roundtrip_ok"),
+    )
+
+
 def q34_enrichment_join(spark: SparkSession, sf: str) -> DataFrame:
     """J9: groupBy-count + left join enrichment (runs↔files shape)."""
     cust = _t(spark, sf, "customer")
@@ -680,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_fields_to_text": q45_fields_to_text,
         "q46_embedding_neardup": q46_embedding_neardup,
         "q47_ivf_ann": q47_ivf_ann,
+        "q48_base64": q48_base64,
     }
 
 
@@ -1044,6 +1070,12 @@ def oracle_sql() -> dict[str, str]:
             FROM q a, q b
             WHERE a.vec_id < b.vec_id
               AND CAST(list_dot_product(a.qv, b.qv) AS BIGINT) >= 450000
+        """,
+        "q48_base64": """
+            SELECT doc_id, to_base64(encode(text)) AS payload_b64,
+                   decode(from_base64(to_base64(encode(text)))) = text
+                     AS roundtrip_ok
+            FROM documents
         """,
         "q44_iso_parse": """
             SELECT o_orderkey,

@@ -44,7 +44,6 @@ from gpt_rag_ingestion_spark.chunking.splitter import (
     split_text_recursive,
 )
 from gpt_rag_ingestion_spark.functions.keys import chunk_key, sanitize_key
-from gpt_rag_ingestion_spark.functions.text import byte_truncate_udf
 from gpt_rag_ingestion_spark.embeddings import hash_embedding_udf
 
 _CHUNK_STRUCT = ArrayType(
@@ -64,13 +63,26 @@ def make_chunk_udf(
     overlap: int = TOKEN_OVERLAP,
     min_tokens: int = MIN_CHUNK_SIZE,
 ):
+    """Split + byte-safe truncation fused into ONE pandas UDF — the
+    32,766-byte cap (F6) is part of the chunk contract, and fusing it
+    here saves a whole JVM<->Python Arrow round-trip per corpus pass."""
+    from gpt_rag_ingestion_spark.functions.text import MAX_CONTENT_BYTES
+
+    def _split_one(s: str) -> list[dict]:
+        chunks = split_text_recursive(
+            s or "", max_tokens=max_tokens, overlap_tokens=overlap,
+            min_tokens=min_tokens,
+        )
+        for c in chunks:
+            b = c["content"].encode("utf-8")
+            if len(b) > MAX_CONTENT_BYTES:
+                c["content"] = b[:MAX_CONTENT_BYTES].decode("utf-8", "ignore")
+                c["length"] = len(c["content"])
+        return chunks
+
     @pandas_udf(_CHUNK_STRUCT)
     def _chunk(texts: pd.Series) -> pd.Series:
-        return texts.map(
-            lambda s: split_text_recursive(
-                s or "", max_tokens=max_tokens, overlap_tokens=overlap, min_tokens=min_tokens
-            )
-        )
+        return texts.map(_split_one)
 
     return _chunk
 
@@ -118,7 +130,6 @@ def chunk_documents(
             F.col("_c.content").alias("content"),
         )
         .withColumn("id", chunk_key(F.col("parent_id"), F.col("chunk_id")))
-        .withColumn("content", byte_truncate_udf(F.col("content")))
         .withColumn("contentVector", embed(F.col("content")))
     )
     return out
