@@ -89,8 +89,18 @@ def ngram_jaccard_pairs(
     shingle, |A∩B| via groupBy-count, |A∪B| = |A|+|B|-|A∩B|.
 
     Exact integer arithmetic until the final division so the result is
-    engine-independent (oracle-checkable)."""
-    sh = word_shingles(df, text_col, id_col, n).cache()
+    engine-independent (oracle-checkable).
+
+    Scale note: the self-join runs on xxhash64(shingle) — an 8-byte
+    fixed-width key instead of shingle text, shrinking shuffle volume by
+    ~an order of magnitude.  Collisions would need ~2^32 distinct
+    shingles to matter (birthday bound); at that corpus size use the
+    MinHash+LSH candidate path with this as the verifier."""
+    sh = (
+        word_shingles(df, text_col, id_col, n)
+        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+        .cache()
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

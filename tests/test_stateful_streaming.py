@@ -1,0 +1,63 @@
+"""applyInPandasWithState: first-seen dedup across micro-batches with
+checkpointed state."""
+
+from __future__ import annotations
+
+import json
+
+from gpt_rag_ingestion_spark.streaming.stateful import streaming_first_seen
+
+
+def _drain(spark, landing, ckpt, out_dir):
+    stream = (
+        spark.readStream.schema("key STRING, value STRING")
+        .format("json")
+        .load(str(landing))
+    )
+    q = (
+        streaming_first_seen(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_first_seen_across_batches(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = tmp_path / "ckpt"
+    out_dir = tmp_path / "out"
+
+    (landing / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"key": "a", "value": "a1"},
+                {"key": "a", "value": "a2"},
+                {"key": "b", "value": "b1"},
+            ]
+        )
+    )
+    _drain(spark, landing, ckpt, out_dir)
+    rows = {r["key"]: r for r in spark.read.parquet(str(out_dir)).collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["a"]["n_duplicates_dropped"] == 1
+
+    # batch 2: 'a' again (state remembers -> no new emission), 'c' new
+    (landing / "b2.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [{"key": "a", "value": "a3"}, {"key": "c", "value": "c1"}]
+        )
+    )
+    _drain(spark, landing, ckpt, out_dir)
+    rows2 = [r for r in spark.read.parquet(str(out_dir)).collect()]
+    keys = sorted(r["key"] for r in rows2)
+    assert keys == ["a", "b", "c"]  # 'a' NOT re-emitted despite new rows
+    c_row = next(r for r in rows2 if r["key"] == "c")
+    assert c_row["first_value"] == "c1"
+    assert c_row["n_duplicates_dropped"] == 0
