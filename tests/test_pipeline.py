@@ -49,6 +49,19 @@ def test_media_stub_raises_without_fake():
         decode_image_stub(b"payload")
 
 
+def test_frame_sample_plan(spark):
+    from gpt_rag_ingestion_spark.operators.multimodal import frame_sample_plan
+
+    media = spark.createDataFrame(
+        [("v1", "video", (25,)), ("v2", "video", (3,)), ("i1", "image", (1,))],
+        "media_id STRING, modality STRING, meta STRUCT<n_frames: INT>",
+    )
+    out = frame_sample_plan(media, every_nth=10).collect()
+    got = sorted((r["media_id"], r["frame_index"]) for r in out)
+    # v1: frames 0,10,20; v2: frame 0; image excluded
+    assert got == [("v1", 0), ("v1", 10), ("v1", 20), ("v2", 0)]
+
+
 def test_extract_media_features(spark):
     media = spark.createDataFrame(
         [("m1", "image", b"some-bytes"), ("m2", "image", b"")],
