@@ -346,10 +346,13 @@ def q17_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q18_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """Dedup (MinHash+LSH candidates).  xxhash64-based — no SQL oracle
-    (engine-specific hash); verified by the Jaccard-join property test."""
+    """Dedup (MinHash+LSH candidates), md5-hash mode: lexicographic min
+    over hex digests is a valid permutation-min in any engine with md5,
+    so the full signature->bands->pairs pipeline is oracle-checked."""
     docs = _t(spark, sf, "documents")
-    return minhash_lsh_candidates(docs, "text", "doc_id", n=3, num_hashes=32, bands=8)
+    return minhash_lsh_candidates(
+        docs, "text", "doc_id", n=3, num_hashes=16, bands=8, hash_fn="md5"
+    )
 
 
 def q19_knn_top1(spark: SparkSession, sf: str) -> DataFrame:
@@ -904,6 +907,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
               SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
             FROM votes GROUP BY doc_id
+        """,
+        "q18_minhash_lsh": f"""
+            WITH sh AS ({_SHINGLES}),
+            sig AS (
+              SELECT doc_id,
+                {", ".join(f"min(md5('s{i}:' || shingle)) AS mh_{i}" for i in range(16))}
+              FROM sh GROUP BY doc_id),
+            bands AS (
+              {" UNION ALL ".join(
+                  f"SELECT doc_id, {b} AS band, "
+                  f"md5(mh_{2 * b} || '|' || mh_{2 * b + 1}) AS band_hash FROM sig"
+                  for b in range(8))})
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                        AND a.doc_id < b.doc_id
         """,
         "q19_knn_top1": f"""
             WITH q AS ({qdot}),

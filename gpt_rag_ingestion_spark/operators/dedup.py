@@ -137,15 +137,29 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 32,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """MinHash signature per doc: k independent salted xxhash64 functions
+    """MinHash signature per doc: k independent salted hash functions
     over the shingle set; min per salt ≈ random permutation minimum.
-    One explode + one groupBy — the classic Spark MinHash shape."""
+    One explode + one groupBy — the classic Spark MinHash shape.
+
+    ``hash_fn``: 'xxhash64' (fast path — 8-byte ints) or 'md5'
+    (engine-portable: lexicographic min over hex digests is a valid
+    permutation-min in any engine with md5, so results are
+    oracle-checkable)."""
     sh = word_shingles(df, text_col, id_col, n)
-    aggs = [
-        F.min(F.xxhash64(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_fn == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(
+                F.xxhash64(F.concat(F.lit(f"s{i}:"), F.col("shingle")))
+            ).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -156,6 +170,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands of r rows;
     docs sharing any band-hash become candidate pairs.  Output is
@@ -163,18 +178,20 @@ def minhash_lsh_candidates(
     ``ngram_jaccard_pairs``-style verification for exactness."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_fn=hash_fn)
+
+    def band_hash(b: int):
+        cols = [F.col(f"mh_{i}") for i in range(b * r, (b + 1) * r)]
+        if hash_fn == "md5":
+            return F.md5(F.concat_ws("|", *cols))
+        return F.xxhash64(*cols)
+
     # one pass: explode (band, band_hash) structs — computing signatures
     # once, not once per band (a per-band union would recompute the whole
     # shingle aggregation `bands` times)
     band_structs = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"mh_{i}") for i in range(b * r, (b + 1) * r)]
-                ).alias("band_hash"),
-            )
+            F.struct(F.lit(b).alias("band"), band_hash(b).alias("band_hash"))
             for b in range(bands)
         ]
     )
