@@ -629,6 +629,15 @@ def q48_base64(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q49_rolling_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Text analysis: order-sensitive polynomial rolling-hash
+    fingerprint (exact integer arithmetic, engine-portable)."""
+    from gpt_rag_ingestion_spark.operators.text_analysis import rolling_fingerprint
+
+    docs = _t(spark, sf, "documents")
+    return rolling_fingerprint(docs)
+
+
 def q34_enrichment_join(spark: SparkSession, sf: str) -> DataFrame:
     """J9: groupBy-count + left join enrichment (runs↔files shape)."""
     cust = _t(spark, sf, "customer")
@@ -709,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_embedding_neardup": q46_embedding_neardup,
         "q47_ivf_ann": q47_ivf_ann,
         "q48_base64": q48_base64,
+        "q49_rolling_fingerprint": q49_rolling_fingerprint,
     }
 
 
@@ -1090,6 +1100,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND CAST(list_dot_product(a.qv, b.qv) AS BIGINT) >= 450000
         """,
+        "q49_rolling_fingerprint": (
+            lambda powers: f"""
+            WITH pw AS (SELECT [{', '.join(str(p) for p in powers)}] AS arr),
+            toks AS (
+              SELECT d.doc_id, s.i AS pos, d.l[s.i + 1] AS token
+              FROM (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x != '') AS l
+                    FROM documents) d,
+                   unnest(range(0, least(len(d.l), 2048))) AS s(i)),
+            terms AS (
+              SELECT t.doc_id,
+                ((( {_byte_expr('md5(t.token)', 0)} * 16777216
+                  + {_byte_expr('md5(t.token)', 1)} * 65536
+                  + {_byte_expr('md5(t.token)', 2)} * 256
+                  + {_byte_expr('md5(t.token)', 3)} ) % 2147483647)
+                 * pw.arr[t.pos + 1]) % 2147483647 AS term
+              FROM toks t, pw)
+            SELECT doc_id, SUM(term) % 2147483647 AS rolling_fp
+            FROM terms GROUP BY doc_id
+        """
+        )(
+            [
+                pow(1_000_003, i, (1 << 31) - 1)
+                for i in range(2049)
+            ]
+        ),
         "q48_base64": """
             SELECT doc_id, to_base64(encode(text)) AS payload_b64,
                    decode(from_base64(to_base64(encode(text)))) = text

@@ -114,6 +114,54 @@ def extract_media_features(media: DataFrame, deterministic_fake: bool = True) ->
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("target_width", T.IntegerType(), True),
+        T.StructField("target_height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("payload_sha256", T.StringType(), True),
+    ]
+)
+
+
+def resize_images_stub(
+    media: DataFrame, width: int, height: int, deterministic_fake: bool = True
+) -> DataFrame:
+    """Resize plumbing over BINARY payloads (the real PIL/ffmpeg resize
+    plugs into the same mapInPandas slot).  The deterministic fake emits
+    a content-addressed payload derived from (bytes, target dims) so the
+    schema/batching/partitioning path is real and testable; without
+    ``deterministic_fake`` it raises like decode_image_stub."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payloads = []
+            for p in pdf["payload"]:
+                p = p if p is not None else b""
+                if not deterministic_fake:
+                    raise NotImplementedError(
+                        "image resize requires imaging libraries not available "
+                        "in this environment"
+                    )
+                out_payloads.append(
+                    hashlib.sha256(p + f":{width}x{height}".encode()).digest()
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "target_width": width,
+                    "target_height": height,
+                    "payload": out_payloads,
+                    "payload_sha256": [
+                        hashlib.sha256(b).hexdigest() for b in out_payloads
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_nth: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: explode frame indices relationally
     (sequence/explode, JVM-side); the per-frame decode would be the same

@@ -90,6 +90,53 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("pred_lang", pred)
 
 
+ROLLING_BASE = 1_000_003
+ROLLING_MOD = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+
+def rolling_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 2048,
+) -> DataFrame:
+    """Order-sensitive polynomial rolling hash over tokens:
+    ``h = Σ val(tok_i) * B^i  mod M`` with val = first 4 md5 bytes.
+
+    Unlike the bag-of-words md5 fingerprint, token ORDER matters — two
+    documents with the same words in different order get different
+    prints.  Entirely relational and exact-integer: per-term products
+    stay < 2^63 and per-term residues < 2^31, so any summation order
+    gives the same result (oracle-checkable).  Powers of B mod M are
+    injected as a literal array — no modpow builtin needed."""
+    powers = [1] * (max_tokens + 1)
+    for i in range(1, max_tokens + 1):
+        powers[i] = (powers[i - 1] * ROLLING_BASE) % ROLLING_MOD
+    # broadcast lookup table (a literal array expression would be
+    # re-materialized per row — 2k literals each)
+    spark = df.sparkSession
+    pow_df = F.broadcast(
+        spark.createDataFrame(
+            [(i, p) for i, p in enumerate(powers)], "pos INT, b_pow LONG"
+        )
+    )
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "")
+        ).alias("pos", "token"),
+    ).filter(F.col("pos") < max_tokens)
+    val = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+    term = (val % ROLLING_MOD) * F.col("b_pow") % ROLLING_MOD
+    return (
+        toks.join(pow_df, on="pos")
+        .withColumn("term", term)
+        .groupBy(id_col)
+        .agg((F.sum("term") % ROLLING_MOD).alias("rolling_fp"))
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """md5 of whitespace-normalized lowercase text — the exact-dup key."""
     c = F.col(col) if isinstance(col, str) else col

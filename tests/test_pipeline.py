@@ -49,6 +49,34 @@ def test_media_stub_raises_without_fake():
         decode_image_stub(b"payload")
 
 
+def test_resize_images_stub(spark):
+    import hashlib
+
+    from gpt_rag_ingestion_spark.operators.multimodal import resize_images_stub
+
+    media = spark.createDataFrame(
+        [("m1", b"img-bytes"), ("m2", None)], "media_id STRING, payload BINARY"
+    )
+    out = {r["media_id"]: r for r in resize_images_stub(media, 256, 128).collect()}
+    assert out["m1"]["target_width"] == 256
+    expected = hashlib.sha256(b"img-bytes" + b":256x128").digest()
+    assert bytes(out["m1"]["payload"]) == expected
+    assert out["m1"]["payload_sha256"] == hashlib.sha256(expected).hexdigest()
+    assert out["m2"]["payload"] is not None  # null payload -> empty-bytes path
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from gpt_rag_ingestion_spark.operators.text_analysis import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    fp = {r["doc_id"]: r["rolling_fp"] for r in rolling_fingerprint(df).collect()}
+    assert fp[1] == fp[3]  # identical docs match
+    assert fp[1] != fp[2]  # same bag of words, different order -> different print
+
+
 def test_frame_sample_plan(spark):
     from gpt_rag_ingestion_spark.operators.multimodal import frame_sample_plan
 
