@@ -107,6 +107,13 @@ def chunk_documents(
     from gpt_rag_ingestion_spark.session import ensure_importable
 
     ensure_importable(docs)
+    # a small source (single parquet file) arrives as 1-2 partitions and
+    # would serialize the whole UDF pipeline onto one core — spread it.
+    # At real scale inputs already have >= cluster parallelism partitions
+    # and this is a no-op (no shuffle added).
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < min(target, 8):
+        docs = docs.repartition(target)
     chunk_udf = make_chunk_udf(max_tokens, overlap, min_tokens)
     embed = hash_embedding_udf(embedding_dim)
 
