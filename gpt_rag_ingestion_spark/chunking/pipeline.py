@@ -67,6 +67,9 @@ def make_chunk_udf(
     32,766-byte cap (F6) is part of the chunk contract, and fusing it
     here saves a whole JVM<->Python Arrow round-trip per corpus pass."""
     from gpt_rag_ingestion_spark.functions.text import MAX_CONTENT_BYTES
+    from gpt_rag_ingestion_spark.session import ship_active
+
+    ship_active()
 
     def _split_one(s: str) -> list[dict]:
         chunks = split_text_recursive(

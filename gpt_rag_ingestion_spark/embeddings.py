@@ -57,6 +57,9 @@ def embed_text_deterministic(text: str, dim: int) -> list[float]:
 
 def hash_embedding_udf(dim: int = 64):
     """Deterministic embedding provider as a pandas UDF."""
+    from gpt_rag_ingestion_spark.session import ship_active
+
+    ship_active()
 
     @pandas_udf(ArrayType(FloatType()))
     def _embed(texts: pd.Series) -> pd.Series:

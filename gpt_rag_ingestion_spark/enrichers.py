@@ -79,6 +79,10 @@ def call_with_backoff(
 
 
 def summary_udf(max_words: int = 40):
+    from gpt_rag_ingestion_spark.session import ship_active
+
+    ship_active()
+
     @pandas_udf(StringType())
     def _sum(texts: pd.Series) -> pd.Series:
         return texts.map(lambda s: summarize_deterministic(s or "", max_words))

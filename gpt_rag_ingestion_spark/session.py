@@ -52,6 +52,15 @@ def ensure_importable(df: DataFrame) -> None:
     ship_package(df.sparkSession)
 
 
+def ship_active() -> None:
+    """Ship to the currently-active session, if any.  Called by every
+    UDF FACTORY in this package so no call site can forget — the
+    systemic fix for foreign-cwd ModuleNotFoundError on executors."""
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        ship_package(s)
+
+
 def get_spark(
     app_name: str = "gpt-rag-ingestion-spark",
     master: str | None = None,
