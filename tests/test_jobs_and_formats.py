@@ -74,6 +74,25 @@ def test_ingest_job_incremental_end_to_end(spark, tmp_path):
     assert final.filter(F.col("parent_id") == "d2").count() > 0
 
 
+def test_ingest_job_blocklist_path(spark, tmp_path):
+    """P3 in the composed job: blocked files are skipped entirely."""
+    table = str(tmp_path / "chunks")
+    t0 = _ts("2024-01-01T00:00:00")
+    docs = _docs(
+        spark, [("good", "alpha " * 40, t0), ("bad", "beta " * 40, t0)]
+    )
+    blocked = spark.createDataFrame([("bad",)], ["file_key"])
+    s = run_ingest_job(
+        spark, docs, table, "r1", blocked=blocked, max_tokens=30, overlap=4,
+        min_tokens=2, embedding_dim=8,
+    ).collect()[0]
+    assert s["sourceFiles"] == 1
+    parents = {
+        r["parent_id"] for r in spark.read.parquet(table).select("parent_id").collect()
+    }
+    assert parents == {"good"}
+
+
 def test_factory_dispatch(spark):
     df = spark.createDataFrame(
         [("a.pdf",), ("b.MD",), ("c.xlsx",), ("d.vtt",), ("e.json",),
