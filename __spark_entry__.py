@@ -16,8 +16,6 @@ from __future__ import annotations
 
 import os
 import sys
-import tempfile
-import zipfile
 from collections.abc import Callable
 
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
@@ -55,29 +53,12 @@ from gpt_rag_ingestion_spark.operators.text_analysis import (
 SF_DEFAULT = "/root/testdata/sf0.001"
 
 
-_SHIPPED: set[int] = set()
-
-
 def _ensure_shipped(spark: SparkSession) -> None:
-    """Ship the package to executor Python workers via addPyFile so
-    pandas-UDF closures (pickled by reference) import cleanly no matter
-    what cwd/sys.path the driver process has.  Same mechanism a real
-    cluster submit would use (--py-files)."""
-    sc = spark.sparkContext
-    if id(sc) in _SHIPPED:
-        return
-    zpath = os.path.join(
-        tempfile.gettempdir(), f"gpt_rag_ingestion_spark_pkg_{os.getpid()}.zip"
-    )
-    pkg = os.path.join(_REPO_DIR, "gpt_rag_ingestion_spark")
-    with zipfile.ZipFile(zpath, "w") as z:
-        for root, _, files in os.walk(pkg):
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    z.write(full, os.path.relpath(full, _REPO_DIR))
-    sc.addPyFile(zpath)
-    _SHIPPED.add(id(sc))
+    """Ship the package to executor Python workers (same mechanism a
+    real cluster submit would use via --py-files)."""
+    from gpt_rag_ingestion_spark.session import ship_package
+
+    ship_package(spark)
 
 
 _EVENTS_READ_SCHEMA = (

@@ -63,12 +63,15 @@ def partition_json(obj, max_tokens: int = 2048) -> list[str]:
             parts.extend(_flush_dict(bucket, max_tokens))
         return parts
 
-    # scalar too large (giant string): hard-split the dumped text
+    # scalar too large (giant string): split the STRING VALUE and dump
+    # each segment, so every part remains valid JSON (module contract)
     out = []
     step = max(1, max_tokens * 4)  # ~chars per part
-    for i in range(0, len(text), step):
-        out.append(text[i : i + step])
-    return out
+    if isinstance(obj, str):
+        for i in range(0, len(obj), step):
+            out.append(_dump(obj[i : i + step]))
+        return out
+    return [text]  # non-string scalars can't exceed any sane budget
 
 
 def _flush_list(bucket: list, max_tokens: int) -> list[str]:
@@ -80,7 +83,12 @@ def _flush_list(bucket: list, max_tokens: int) -> list[str]:
 def _flush_dict(bucket: dict, max_tokens: int) -> list[str]:
     if len(bucket) == 1 and _ntokens(_dump(bucket)) > max_tokens:
         (k, v), = bucket.items()
-        return [p for p in partition_json(v, max_tokens)]
+        # keep the key: each sub-part is re-wrapped under it so no
+        # structural information is lost
+        return [
+            "{" + json.dumps(k, ensure_ascii=False) + ": " + p + "}"
+            for p in partition_json(v, max_tokens)
+        ]
     return [_dump(bucket)]
 
 

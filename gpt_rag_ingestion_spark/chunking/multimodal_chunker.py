@@ -83,14 +83,18 @@ def chunk_multimodal_documents(
         min_tokens=min_tokens,
     ).withColumn("id", chunk_key(F.col("parent_id"), F.col("chunk_id")))
 
-    # 5. figure refs per chunk -> join figures (broadcast: per-doc small)
-    refs = extract_figure_refs(chunks, content_col="content", chunk_id_col="id")
+    # 5. figure refs per chunk -> join figures on (document, figure id):
+    # figure ids are sequential PER DOCUMENT, so joining on figure_id
+    # alone would attach doc A's <figure1> to doc B's figure 1
+    refs = extract_figure_refs(
+        chunks, content_col="content", chunk_id_col="id"
+    ).join(chunks.select("id", "parent_id"), on="id")
     fig_keyed = kept_figs.withColumn(
         "parent_id", sanitize_key(F.col(doc_key_col).cast("string"))
     )
     joined = refs.join(
-        F.broadcast(fig_keyed.select("figure_id", "caption", "image_url")),
-        on="figure_id",
+        F.broadcast(fig_keyed.select("parent_id", "figure_id", "caption", "image_url")),
+        on=["parent_id", "figure_id"],
         how="inner",
     )
     per_chunk = joined.groupBy("id").agg(

@@ -89,7 +89,12 @@ def split_text_recursive(
 
     pieces = split_rec(text, _SEPARATORS)
 
-    # attach overlap tails and compute offsets against the original text
+    # attach overlap tails and compute offsets against the original text.
+    # Contract: ``offset`` is the position of the chunk's NEW content
+    # (the piece); ``content`` additionally carries the previous piece's
+    # overlap tail, so text[offset:offset+length] != content when
+    # overlap > 0 — length is len(content), offset is where the fresh
+    # text begins (matches the reference's running-offset semantics, W3).
     chunks: list[dict] = []
     cursor = 0
     prev_tail = ""
@@ -97,6 +102,10 @@ def split_text_recursive(
         if not piece.strip():
             continue
         found = text.find(piece, cursor)
+        if found < 0:
+            # hard-window fallback pieces overlap, so a piece can start
+            # BEFORE the previous cursor — search from the top
+            found = text.find(piece)
         offset = found if found >= 0 else cursor
         cursor = offset + len(piece)
         content = (prev_tail + piece) if prev_tail else piece

@@ -96,10 +96,12 @@ def ngram_jaccard_pairs(
     ~an order of magnitude.  Collisions would need ~2^32 distinct
     shingles to matter (birthday bound); at that corpus size use the
     MinHash+LSH candidate path with this as the verifier."""
-    sh = (
-        word_shingles(df, text_col, id_col, n)
-        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
-        .cache()
+    # no .cache(): shingling is a cheap narrow transform, and a cached
+    # DataFrame here would pin executor storage for the session lifetime
+    # on every invocation (there is no good unpersist point for a lazily
+    # returned plan)
+    sh = word_shingles(df, text_col, id_col, n).select(
+        F.col(id_col), F.xxhash64("shingle").alias("shingle")
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")

@@ -166,7 +166,9 @@ def frame_sample_plan(media: DataFrame, every_nth: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: explode frame indices relationally
     (sequence/explode, JVM-side); the per-frame decode would be the same
     stubbed mapInPandas.  Demonstrates the fan-out schema."""
-    n = F.coalesce(F.col("meta.n_frames"), F.lit(1))
+    # guard n >= 1: sequence(0, -1, step) has illegal boundaries, and a
+    # 0-frame video should still not crash the job
+    n = F.greatest(F.coalesce(F.col("meta.n_frames"), F.lit(1)), F.lit(1))
     idx = F.explode(F.sequence(F.lit(0), n - 1, F.lit(every_nth)))
     return media.filter(F.col("modality") == "video").select(
         "media_id", idx.alias("frame_index")

@@ -94,11 +94,15 @@ def quantized_dot_top1(
             valid = (self_pos < len(cids)) & (cids[np.clip(self_pos, 0, len(cids) - 1)] == qids)
             dots[rowidx[valid], self_pos[valid]] = np.iinfo("int64").min
             best = dots.argmax(axis=1)  # first occurrence == smallest id (sorted)
+            best_dots = dots[rowidx, best]
+            # a 1-vector corpus leaves only the masked self-pair; emit
+            # nothing for such rows rather than a sentinel self-neighbor
+            keep = best_dots > np.iinfo("int64").min
             yield pd.DataFrame(
                 {
-                    id_col: qids,
-                    "nn_id": cids[best],
-                    "dot": dots[rowidx, best],
+                    id_col: qids[keep],
+                    "nn_id": cids[best[keep]],
+                    "dot": best_dots[keep],
                 }
             )
 

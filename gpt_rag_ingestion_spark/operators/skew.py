@@ -58,7 +58,15 @@ def salted_join(
     """Equi-join where ``big`` has hot keys: big rows get a random salt
     in [0, salt_factor); small rows are replicated once per salt.  The
     shuffle key becomes (key, salt), splitting each hot key across
-    ``salt_factor`` reducers."""
+    ``salt_factor`` reducers.
+
+    Only inner/left are semantics-preserving: an unmatched SMALL-side
+    row exists once per salt, so right/full joins would emit it
+    ``salt_factor`` times."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "salted_join preserves semantics only for how in ('inner','left')"
+        )
     big_s = big.withColumn("_salt", (F.rand(seed=11) * salt_factor).cast("int"))
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1)))

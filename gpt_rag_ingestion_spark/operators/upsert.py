@@ -50,13 +50,7 @@ def merge_upsert(
     # local parquet cannot overwrite a path being read: stage then swap
     tmp = table_path.rstrip("/") + "__staging"
     writer.parquet(tmp)
-    import shutil, os
-
-    if os.path.exists(table_path):
-        shutil.rmtree(table_path)
-    os.rename(tmp, table_path)
-    # drop the session's cached file listing for the old generation
-    spark.catalog.refreshByPath(table_path)
+    _swap_in(spark, tmp, table_path)
 
 
 def delete_keys(
@@ -67,8 +61,24 @@ def delete_keys(
     kept = existing.join(F.broadcast(keys.select(key).distinct()), on=key, how="left_anti")
     tmp = table_path.rstrip("/") + "__staging"
     kept.write.mode("overwrite").parquet(tmp)
-    import shutil, os
+    _swap_in(spark, tmp, table_path)
 
-    shutil.rmtree(table_path)
-    os.rename(tmp, table_path)
+
+def _swap_in(spark: SparkSession, staged: str, table_path: str) -> None:
+    """Rename-rename-delete swap: the committed table is never destroyed
+    before its replacement is in place (a crash mid-swap leaves either
+    the old table or a recoverable ``__old`` directory — never nothing).
+    On a real deployment Delta/Iceberg transactions replace this."""
+    import os
+    import shutil
+
+    old = table_path.rstrip("/") + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(table_path):
+        os.rename(table_path, old)
+    os.rename(staged, table_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    # drop the session's cached file listing for the old generation
     spark.catalog.refreshByPath(table_path)

@@ -63,8 +63,14 @@ def run_ingest_job(
     except Exception:
         have_table = False
 
+    from gpt_rag_ingestion_spark.functions.keys import sanitize_key
+
+    # sanitize HERE so the freshness join key matches what
+    # chunk_documents writes as parent_id (sanitize is idempotent);
+    # a raw key like 'docs/a.pdf' would never match its own watermark
+    # and the doc would re-ingest forever
     listing = source_docs.withColumn(
-        "parent_id", F.col(doc_key_col).cast("string")
+        "parent_id", sanitize_key(F.col(doc_key_col).cast("string"))
     )
 
     # 2. freshness (J1/P1/P2)
