@@ -619,6 +619,98 @@ def q49_rolling_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return rolling_fingerprint(docs)
 
 
+def q50_doc_analysis_pages(spark: SparkSession, sf: str) -> DataFrame:
+    """C1/W2/F12: doc-analysis chunking with page attribution.  Markdown
+    is synthesized by inserting PageBreak markers into the documents
+    every ~200 chars.  Sequential per-document semantics -> rows-only
+    check; exactness covered by unit tests."""
+    from gpt_rag_ingestion_spark.chunking.doc_analysis import (
+        PAGEBREAK_RAW,
+        chunk_analyzed_documents,
+    )
+
+    docs = _t(spark, sf, "documents")
+    md = F.concat_ws(
+        f" {PAGEBREAK_RAW} ",
+        F.substring("text", 1, 200),
+        F.substring("text", 201, 200),
+        F.substring("text", 401, 200),
+    )
+    out = chunk_analyzed_documents(
+        docs.select("doc_id", md.alias("markdown")),
+        md_col="markdown",
+        max_tokens=40,
+        overlap=4,
+        min_tokens=2,
+    )
+    return out.select("doc_id", "chunk_id", "page", "content")
+
+
+def q51_transcription_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """C5: VTT transcription chunking (synthetic speaker-turn VTT from
+    documents text; every chunk embeds the transcript SUMMARY — the
+    reference's parity quirk).  Rows-only check."""
+    from gpt_rag_ingestion_spark.chunking.transcription import chunk_transcriptions
+
+    docs = _t(spark, sf, "documents")
+    vtt = F.concat(
+        F.lit("WEBVTT\n\n00:00:00.000 --> 00:00:05.000\n<v Speaker0>"),
+        F.substring("text", 1, 120),
+        F.lit("\n\n00:00:05.000 --> 00:00:10.000\n<v Speaker1>"),
+        F.substring("text", 121, 120),
+        F.lit("\n"),
+    )
+    src = docs.select(
+        F.concat(F.lit("vtt-"), F.col("doc_id").cast("string")).alias("doc_key"),
+        F.encode(vtt, "UTF-8").alias("bytes"),
+    )
+    return chunk_transcriptions(
+        src, max_tokens=60, overlap=4, min_tokens=1, embedding_dim=16
+    ).select("parent_id", "chunk_id", "content", "summary")
+
+
+def q52_multimodal_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """C2: multimodal chunking — figure tags synthesized into the text,
+    a figures sidecar derived from embeddings (polygon = first 8 dims),
+    captions + captionVector per chunk.  Rows-only check."""
+    from gpt_rag_ingestion_spark.chunking.multimodal_chunker import (
+        chunk_multimodal_documents,
+    )
+
+    docs = _t(spark, sf, "documents")
+    md = F.concat(
+        F.substring("text", 1, 150),
+        F.lit(" <figure>embedded chart</figure> "),
+        F.substring("text", 151, 200),
+    )
+    doc_md = docs.select(
+        F.concat(F.lit("mm-"), F.col("doc_id").cast("string")).alias("doc_key"),
+        md.alias("markdown"),
+    )
+    emb = _t(spark, sf, "embeddings")
+    # rectangle polygon sized from embedding components: w,h in [3, 23]
+    # so area >= 9 always clears the 4%-of-page filter on a 10x10 page
+    w = F.abs(F.element_at("embedding", 1).cast("double")) * 20 + 3
+    h = F.abs(F.element_at("embedding", 2).cast("double")) * 20 + 3
+    figures = emb.select(
+        F.concat(F.lit("mm-"), F.col("vec_id").cast("string")).alias("doc_key"),
+        F.lit("1").alias("figure_id"),
+        F.array(
+            F.lit(0.0), F.lit(0.0), w, F.lit(0.0), w, h, F.lit(0.0), h
+        ).alias("polygon"),
+        F.lit(10.0).alias("page_width"),
+        F.lit(10.0).alias("page_height"),
+        F.encode(F.col("vec_id").cast("string"), "UTF-8").alias("image"),
+        F.concat(F.lit("imgs/"), F.col("vec_id").cast("string"), F.lit(".png")).alias(
+            "image_url"
+        ),
+    )
+    out = chunk_multimodal_documents(
+        doc_md, figures, max_tokens=60, overlap=4, min_tokens=1, embedding_dim=16
+    )
+    return out.select("parent_id", "chunk_id", "content", "imageCaptions", "page")
+
+
 def q34_enrichment_join(spark: SparkSession, sf: str) -> DataFrame:
     """J9: groupBy-count + left join enrichment (runs↔files shape)."""
     cust = _t(spark, sf, "customer")
@@ -700,6 +792,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_ivf_ann": q47_ivf_ann,
         "q48_base64": q48_base64,
         "q49_rolling_fingerprint": q49_rolling_fingerprint,
+        "q50_doc_analysis_pages": q50_doc_analysis_pages,
+        "q51_transcription_chunks": q51_transcription_chunks,
+        "q52_multimodal_chunks": q52_multimodal_chunks,
     }
 
 
