@@ -64,6 +64,8 @@ def main() -> None:
         "q43_windowed_counts",
         "q46_embedding_neardup",
         "q47_ivf_ann",
+        "q50_doc_analysis_pages",
+        "q52_multimodal_chunks",
     ]
 
     def materialize(df):

@@ -160,6 +160,10 @@ def chunk_analyzed_documents(
     from gpt_rag_ingestion_spark.session import ensure_importable
 
     ensure_importable(docs)
+    # spread small single-file inputs across cores (no-op at real scale)
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < min(target, 8):
+        docs = docs.repartition(target)
 
     @pandas_udf(_PAGE_CHUNK_STRUCT)
     def _chunk(mds: pd.Series) -> pd.Series:
