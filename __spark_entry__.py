@@ -122,18 +122,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
-    """A4/A2: multi-aggregate rollup (TPC-H Q1 shape) with exact sums."""
+    """A4/A2: multi-aggregate rollup (TPC-H Q1 shape) with exact sums.
+
+    All money columns in the testdata are clean 2-decimal values, so the
+    arithmetic is done in the scaled-integer domain (cents): exact,
+    order-independent, and identical across engines.  `x * 100` and the
+    subsequent round are the same IEEE ops in Spark and DuckDB, and
+    every sum stays far below 2^53, so the final int->double division
+    is a single identically-rounded operation on both sides.
+    """
     li = _t(spark, sf, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    ext_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    tax_c = F.round(F.col("l_tax") * 100).cast("long")
+    qty_l = F.round(F.col("l_quantity")).cast("long")
+    disc_price_s = ext_c * (100 - disc_c)  # units of 1e-4 dollars
+    charge_s = disc_price_s * (100 + tax_c)  # units of 1e-6 dollars
     out = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dec_sum(F.col("l_quantity"), "sum_qty"),
-            _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
-            _dec_sum(disc_price, "sum_disc_price"),
-            _dec_sum(charge, "sum_charge"),
+            F.sum(qty_l).cast("double").alias("sum_qty"),
+            (F.sum(ext_c).cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum(disc_price_s).cast("double") / 10000.0).alias("sum_disc_price"),
+            (F.sum(charge_s).cast("double") / 1000000.0).alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
@@ -855,16 +867,26 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "q01_pricing_summary": """
+            WITH s AS (
+              SELECT l_returnflag, l_linestatus,
+                CAST(round(l_quantity) AS BIGINT) AS qty_l,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS ext_c,
+                CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+                CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
             SELECT l_returnflag, l_linestatus,
-              CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+              CAST(CAST(SUM(qty_l) AS BIGINT) AS DOUBLE) AS sum_qty,
+              CAST(CAST(SUM(ext_c) AS BIGINT) AS DOUBLE) / 100.0 AS sum_base_price,
+              CAST(CAST(SUM(ext_c * (100 - disc_c)) AS BIGINT) AS DOUBLE) / 10000.0
+                AS sum_disc_price,
+              CAST(CAST(SUM(ext_c * (100 - disc_c) * (100 + tax_c)) AS BIGINT) AS DOUBLE)
+                / 1000000.0 AS sum_charge,
               COUNT(*) AS count_order,
-              round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
-              round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_price
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+              round(CAST(CAST(SUM(qty_l) AS BIGINT) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+              round(CAST(CAST(SUM(ext_c) AS BIGINT) AS DOUBLE) / 100.0 / COUNT(*), 6)
+                AS avg_price
+            FROM s
             GROUP BY l_returnflag, l_linestatus
         """,
         "q02_watermark_agg": """
@@ -898,9 +920,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q06_run_summary_counters": """
             SELECT COUNT(*) AS n_orders,
-              SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-              SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-              SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending,
+              CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+              CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+              CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_value
             FROM orders
         """,
@@ -937,8 +959,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q12_running_offset": """
             SELECT doc_id, source,
-              coalesce(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS char_offset
+              CAST(coalesce(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                AS char_offset
             FROM documents
         """,
         "q13_log_retention": """
@@ -991,7 +1014,8 @@ def oracle_sql() -> dict[str, str]:
               FROM bitsrc GROUP BY doc_id, bit
             )
             SELECT doc_id,
-              SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+              CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                   AS BIGINT) AS simhash
             FROM votes GROUP BY doc_id
         """,
         "q18_minhash_lsh": f"""
@@ -1069,7 +1093,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY date_trunc('hour', ts)
         """,
         "q26_json_extract": """
-            SELECT event_type, SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k
+            SELECT event_type,
+              CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
             FROM events GROUP BY event_type
         """,
         "q29_chunk_keys_long": f"""
@@ -1102,7 +1127,8 @@ def oracle_sql() -> dict[str, str]:
                 - q.p[(((s.i + 1) % (len(q.p) // 2)) * 2 + 1)] * q.p[(s.i * 2 + 2)]
                   AS t
               FROM q, unnest(range(0, len(q.p) // 2)) AS s(i))
-            SELECT vec_id, abs(SUM(t)) AS area2x FROM terms GROUP BY vec_id
+            SELECT vec_id, CAST(abs(SUM(t)) AS BIGINT) AS area2x
+            FROM terms GROUP BY vec_id
         """,
         "q37_blocklist": """
             WITH att AS (
@@ -1194,7 +1220,7 @@ def oracle_sql() -> dict[str, str]:
                   + {_byte_expr('md5(t.token)', 3)} ) % 2147483647)
                  * pw.arr[t.pos + 1]) % 2147483647 AS term
               FROM toks t, pw)
-            SELECT doc_id, SUM(term) % 2147483647 AS rolling_fp
+            SELECT doc_id, CAST(SUM(term) % 2147483647 AS BIGINT) AS rolling_fp
             FROM terms GROUP BY doc_id
         """
         )(
@@ -1241,10 +1267,11 @@ def oracle_sql() -> dict[str, str]:
                   AS prev_us
               FROM events)
             SELECT event_id, user_id,
-              SUM(CASE WHEN prev_us IS NULL
+              CAST(SUM(CASE WHEN prev_us IS NULL
                         OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END)
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS session_seq
             FROM g
         """,
     }
