@@ -5,7 +5,7 @@ The reference sends PDFs/images to a layout-analysis service that
 returns markdown with ``<!-- PageBreak -->`` separators, then:
   1. numbers the pagebreaks ``PageBreak00001``... (F12, :391-404),
   2. splits the markdown into token-budgeted chunks,
-  3. attributes each chunk to a page by the LAST marker inside it with
+  3. attributes each chunk to a page by the FIRST marker inside it with
      a position rule — marker in the first half of the chunk means the
      chunk's content mostly FOLLOWS the break, so it belongs to the
      next page (W2, :406-446),
@@ -84,18 +84,24 @@ def split_page_ranges(total_pages: int, max_per_part: int = MAX_PAGES_PER_ANALYS
 def attribute_page(chunk_text: str, current_page: int) -> tuple[int, int]:
     """W2: (page of this chunk, current_page for the next chunk).
 
-    Rule (reference doc_analysis_chunker.py:424-446): look at the LAST
-    marker in the chunk; if it sits in the first half of the chunk the
-    content mostly follows the break -> next page; otherwise the chunk
-    belongs to the page that ends at that marker."""
+    Reference semantics (doc_analysis_chunker.py:406-446): the chunk's
+    page comes from the FIRST marker in the chunk (``re.search`` in
+    ``_determine_chunk_page``) — in the first half of the chunk the
+    content mostly follows the break -> next page, otherwise the page
+    that ends at the marker.  ``current_page`` advances from the LAST
+    marker (``_update_page``), and only when that marker's page is >=
+    the current page (the guard against stray lower-numbered markers).
+    """
     matches = list(_MARKER_RE.finditer(chunk_text))
     if not matches:
         return current_page, current_page
-    last = matches[-1]
-    marker_page = int(last.group(1))
-    ratio = last.start() / max(len(chunk_text), 1)
-    page = marker_page + 1 if ratio < 0.5 else marker_page
-    return page, marker_page + 1
+    first = matches[0]
+    first_page = int(first.group(1))
+    ratio = first.start() / max(len(chunk_text), 1)
+    page = first_page + 1 if ratio < 0.5 else first_page
+    last_page = int(matches[-1].group(1))
+    next_current = last_page + 1 if last_page >= current_page else current_page
+    return page, next_current
 
 
 def strip_markers(text: str) -> str:

@@ -83,15 +83,46 @@ def chunk_multimodal_documents(
         min_tokens=min_tokens,
     ).withColumn("id", chunk_key(F.col("parent_id"), F.col("chunk_id")))
 
+    fig_keyed = kept_figs.withColumn(
+        "parent_id", sanitize_key(F.col(doc_key_col).cast("string"))
+    )
+
+    # 4b. strip tags of missing / area-filtered figures from content —
+    # the reference blanks `<figure{id}>` for any figure it drops
+    # (multimodal_chunker.py:255-275); without this, dangling tags
+    # survive in chunk text.  array_except against the kept-id set per
+    # document, then a JVM-side aggregate of replace() calls.
+    from gpt_rag_ingestion_spark.operators.figures import FIGURE_REF_REGEX
+
+    kept_sets = fig_keyed.groupBy("parent_id").agg(
+        F.collect_set("figure_id").alias("_kept_ids")
+    )
+    refs_arr = F.array_distinct(
+        F.regexp_extract_all(F.col("content"), F.lit(FIGURE_REF_REGEX), 1)
+    )
+    unkept = F.array_except(refs_arr, F.coalesce("_kept_ids", F.array()))
+    stripped = F.aggregate(
+        unkept,
+        F.col("content"),
+        lambda acc, fid: F.replace(
+            F.replace(acc, F.concat(F.lit("<figure"), fid, F.lit(">")), F.lit("")),
+            F.concat(F.lit("</figure"), fid, F.lit(">")),
+            F.lit(""),
+        ),
+    )
+    chunks = (
+        chunks.join(F.broadcast(kept_sets), on="parent_id", how="left")
+        .withColumn("content", stripped)
+        .withColumn("length", F.length("content"))
+        .drop("_kept_ids")
+    )
+
     # 5. figure refs per chunk -> join figures on (document, figure id):
     # figure ids are sequential PER DOCUMENT, so joining on figure_id
     # alone would attach doc A's <figure1> to doc B's figure 1
     refs = extract_figure_refs(
         chunks, content_col="content", chunk_id_col="id"
     ).join(chunks.select("id", "parent_id"), on="id")
-    fig_keyed = kept_figs.withColumn(
-        "parent_id", sanitize_key(F.col(doc_key_col).cast("string"))
-    )
     joined = refs.join(
         F.broadcast(fig_keyed.select("parent_id", "figure_id", "caption", "image_url")),
         on=["parent_id", "figure_id"],

@@ -45,44 +45,47 @@ def to_search_docs(
         "array<float>"
     )
 
+    # Reference `_to_search_doc` defaults (blob_storage_indexer.py:793-818):
+    # metadata_storage_path mirrors parent_id (NOT the raw url), page and
+    # offset default to 0, string fields default to "", ACL/related
+    # arrays default to [], filepath falls back to parent_id.
+    empty_arr = F.array().cast("array<string>")
     out = chunks.select(
         chunk_key(F.col("parent_id"), F.col("chunk_id")).alias("id"),
         F.col("parent_id"),
-        (F.col(path_col) if have(path_col) else F.lit(None).cast("string")).alias(
-            "metadata_storage_path"
-        ),
+        F.col("parent_id").alias("metadata_storage_path"),
         name.cast("string").alias("metadata_storage_name"),
         (
             F.col(ts_col) if have(ts_col) else F.lit(None).cast("timestamp")
         ).alias("metadata_storage_last_modified"),
         (
-            parse_acl_ids(user_acl_col)
-            if have(user_acl_col)
-            else F.lit(None).cast("array<string>")
+            parse_acl_ids(user_acl_col) if have(user_acl_col) else empty_arr
         ).alias("metadata_security_user_ids"),
         (
-            parse_acl_ids(group_acl_col)
-            if have(group_acl_col)
-            else F.lit(None).cast("array<string>")
+            parse_acl_ids(group_acl_col) if have(group_acl_col) else empty_arr
         ).alias("metadata_security_group_ids"),
-        (
-            F.col(rbac_scope_col) if have(rbac_scope_col) else F.lit(None).cast("string")
-        ).alias("metadata_security_rbac_scope"),
+        F.coalesce(
+            F.col(rbac_scope_col) if have(rbac_scope_col) else F.lit(None), F.lit("")
+        ).cast("string").alias("metadata_security_rbac_scope"),
         F.col("chunk_id").cast("int").alias("chunk_id"),
-        (F.col("page") if "page" in cols else F.lit(None)).cast("int").alias("page"),
-        F.col("offset").cast("long").alias("offset"),
+        F.coalesce(F.col("page") if "page" in cols else F.lit(None), F.lit(0))
+        .cast("int")
+        .alias("page"),
+        F.coalesce(F.col("offset"), F.lit(0)).cast("long").alias("offset"),
         F.col("length").cast("int").alias("length"),
         F.col("content"),
-        F.lit(None).cast("string").alias("imageCaptions"),
-        title_from_filename(name).cast("string").alias("title"),
-        F.lit(category).cast("string").alias("category"),
-        name.cast("string").alias("filepath"),
+        F.lit("").alias("imageCaptions"),
+        F.coalesce(title_from_filename(name), F.lit("")).cast("string").alias("title"),
+        F.lit(category if category is not None else "").cast("string").alias(
+            "category"
+        ),
+        F.coalesce(name, F.col("parent_id")).cast("string").alias("filepath"),
         (F.col(path_col) if have(path_col) else F.lit(None).cast("string")).alias(
             "url"
         ),
-        F.lit(None).cast("string").alias("summary"),
-        F.lit(None).cast("array<string>").alias("relatedImages"),
-        F.lit(None).cast("array<string>").alias("relatedFiles"),
+        F.lit("").alias("summary"),
+        empty_arr.alias("relatedImages"),
+        empty_arr.alias("relatedFiles"),
         F.lit(source).alias("source"),
         F.col("contentVector").cast("array<float>").alias("contentVector"),
         zero_vec.alias("captionVector"),  # reference base_chunker.py:228

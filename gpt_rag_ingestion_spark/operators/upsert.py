@@ -7,18 +7,63 @@ jobs/blob_storage_indexer.py:614-615, 1242-1334).
 
 On a cluster with Delta/Iceberg this is ``MERGE INTO`` keyed on
 ``parent_id`` (delete+insert) — one line.  This repo ships a plain-
-Parquet implementation with the same semantics: rewrite = (existing
-ANTI-JOIN incoming-parents) UNION incoming.  The anti-join is the same
-plan MERGE lowers to; at 100 TB you'd partition the table by
-ingest-date/source so the rewrite touches only affected partitions
-(partition overwrite), which `merge_upsert` does when `partition_cols`
-is set.
+Parquet implementation with the same semantics:
+
+- unpartitioned: rewrite = (existing ANTI-JOIN incoming-parents) UNION
+  incoming — the plan MERGE lowers to;
+- partitioned (``partition_cols`` set): **partition-pruned overwrite**
+  (``replaceWhere``-style).  Only partitions that contain incoming rows
+  or existing rows of incoming keys are rebuilt and swapped in; every
+  other partition's files are never touched.  At 100 TB with the table
+  partitioned by (source, ingest_date), an hourly increment rewrites
+  O(increment) data instead of O(table).
+
+Crash safety: each swap renames live -> ``__old``, staged -> live, then
+deletes ``__old``.  A crash between the two renames leaves ``__old``
+recoverable; the next ``merge_upsert``/``delete_keys`` call restores it
+automatically (``_recover``).
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Characters Spark's ExternalCatalogUtils.escapePathName escapes when it
+# builds `col=value` partition directory names.
+_ESCAPE_CHARS = set('"#%\'*/:=?\\\x7f{[]^') | {chr(c) for c in range(0x20)}
+_HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _escape_path_value(v) -> str:
+    """Mirror Spark's partition-path escaping so we can address a
+    partition directory from its column values."""
+    if v is None:
+        return _HIVE_DEFAULT_PARTITION
+    s = str(v)
+    return "".join(f"%{ord(c):02X}" if c in _ESCAPE_CHARS else c for c in s)
+
+
+def _partition_rel_path(partition_cols: list[str], values) -> str:
+    return "/".join(
+        f"{c}={_escape_path_value(v)}" for c, v in zip(partition_cols, values)
+    )
+
+
+def _recover(table_path: str) -> None:
+    """Heal an interrupted swap: if the live table vanished mid-swap,
+    restore the ``__old`` generation; if both exist, the swap completed
+    and ``__old`` is leftover garbage."""
+    old = table_path.rstrip("/") + "__old"
+    if not os.path.exists(old):
+        return
+    if os.path.exists(table_path):
+        shutil.rmtree(old)
+    else:
+        os.rename(old, table_path)
 
 
 def merge_upsert(
@@ -31,32 +76,90 @@ def merge_upsert(
     """Replace all rows whose ``key`` appears in ``incoming`` with the
     incoming rows; keep everything else.  Equivalent to the reference's
     delete-parent-then-upload (S11+S10) and to Delta MERGE."""
+    _recover(table_path)
     try:
         existing = spark.read.parquet(table_path)
         have_existing = True
     except Exception:
         have_existing = False
 
-    if have_existing:
-        keys = incoming.select(key).distinct()
+    tmp = table_path.rstrip("/") + "__staging"
+
+    if not have_existing:
+        writer = incoming.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(tmp)
+        _swap_in(spark, tmp, table_path)
+        return
+
+    keys = incoming.select(key).distinct()
+
+    if not partition_cols:
         kept = existing.join(F.broadcast(keys), on=key, how="left_anti")
         out = kept.unionByName(incoming, allowMissingColumns=True)
-    else:
-        out = incoming
+        # local parquet cannot overwrite a path being read: stage then swap
+        out.write.mode("overwrite").parquet(tmp)
+        _swap_in(spark, tmp, table_path)
+        return
 
-    writer = out.write.mode("overwrite")
-    if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
-    # local parquet cannot overwrite a path being read: stage then swap
-    tmp = table_path.rstrip("/") + "__staging"
-    writer.parquet(tmp)
-    _swap_in(spark, tmp, table_path)
+    # ---- partition-pruned path ----
+    # Affected partitions = partitions incoming rows land in UNION
+    # partitions that hold existing rows of the incoming keys (a key may
+    # have moved partitions since its last ingest).  Only partition
+    # VALUES are collected — a bounded list, never data rows.
+    inc_parts = incoming.select(*partition_cols).distinct()
+    exist_parts = (
+        existing.join(F.broadcast(keys), on=key, how="left_semi")
+        .select(*partition_cols)
+        .distinct()
+    )
+    affected = [
+        tuple(r[c] for c in partition_cols)
+        for r in inc_parts.unionByName(exist_parts).distinct().collect()
+    ]
+    if not affected:
+        return  # empty increment: nothing to do
+
+    # Replacement data for affected partitions only — the scan of
+    # `existing` is partition-pruned by the predicate below (an OR of
+    # per-partition equality conjunctions, the shape Catalyst prunes).
+    import functools
+
+    def _match(values):
+        terms = [
+            F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+            for c, v in zip(partition_cols, values)
+        ]
+        return functools.reduce(lambda a, b: a & b, terms)
+
+    pred = functools.reduce(lambda a, b: a | b, [_match(v) for v in affected])
+    kept = existing.filter(pred).join(F.broadcast(keys), on=key, how="left_anti")
+    out = kept.unionByName(incoming, allowMissingColumns=True)
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
+
+    # Swap ONLY the affected partition directories; untouched partitions'
+    # files are never rewritten (the property the 100 TB design needs).
+    for values in affected:
+        rel = _partition_rel_path(partition_cols, values)
+        staged_dir = os.path.join(tmp, rel)
+        live_dir = os.path.join(table_path, rel)
+        if os.path.exists(staged_dir):
+            os.makedirs(os.path.dirname(live_dir), exist_ok=True)
+            _swap_dir(staged_dir, live_dir)
+        elif os.path.exists(live_dir):
+            # partition became empty after the merge (all its rows were
+            # re-ingested keys that moved elsewhere): drop the stale dir
+            shutil.rmtree(live_dir)
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.catalog.refreshByPath(table_path)
 
 
 def delete_keys(
     spark: SparkSession, table_path: str, keys: DataFrame, key: str = "parent_id"
 ) -> None:
     """S11 standalone: delete rows by key-set (purger sink)."""
+    _recover(table_path)
     existing = spark.read.parquet(table_path)
     kept = existing.join(F.broadcast(keys.select(key).distinct()), on=key, how="left_anti")
     tmp = table_path.rstrip("/") + "__staging"
@@ -64,21 +167,25 @@ def delete_keys(
     _swap_in(spark, tmp, table_path)
 
 
+def _swap_dir(staged: str, live: str) -> None:
+    """Crash-safe directory swap (no Spark cache concerns — callers
+    refresh the table root afterwards)."""
+    old = live.rstrip("/") + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(live):
+        os.rename(live, old)
+    os.rename(staged, live)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def _swap_in(spark: SparkSession, staged: str, table_path: str) -> None:
     """Rename-rename-delete swap: the committed table is never destroyed
     before its replacement is in place (a crash mid-swap leaves either
-    the old table or a recoverable ``__old`` directory — never nothing).
-    On a real deployment Delta/Iceberg transactions replace this."""
-    import os
-    import shutil
-
-    old = table_path.rstrip("/") + "__old"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    if os.path.exists(table_path):
-        os.rename(table_path, old)
-    os.rename(staged, table_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    the old table or a recoverable ``__old`` directory, which the next
+    call's ``_recover`` restores — never nothing).  On a real deployment
+    Delta/Iceberg transactions replace this."""
+    _swap_dir(staged, table_path)
     # drop the session's cached file listing for the old generation
     spark.catalog.refreshByPath(table_path)

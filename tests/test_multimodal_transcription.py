@@ -92,6 +92,12 @@ def test_chunk_multimodal_documents(spark):
     assert set(without_fig[0]["captionVector"]) == {0.0}
     # page attribution survived the composition
     assert {r["page"] for r in out} == {1, 2}
+    # dropped figure's tags are stripped from chunk content (reference
+    # multimodal_chunker.py:255-275); the kept figure's tag survives
+    joined_content = "\n".join(r["content"] for r in out)
+    assert "<figure2>" not in joined_content
+    assert "</figure2>" not in joined_content
+    assert "<figure1>" in joined_content
 
 
 def test_caption_deterministic():

@@ -95,6 +95,89 @@ def test_merge_upsert_idempotent(spark, tmp_path):
     assert len(p1) == 1 and p1[0]["payload"] == "v2"
 
 
+def _partition_file_state(root):
+    """{relative parquet path: (size, mtime_ns, sha)} for byte-identity checks."""
+    import hashlib
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            with open(p, "rb") as fh:
+                digest = hashlib.sha256(fh.read()).hexdigest()
+            out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns, digest)
+    return out
+
+
+def test_merge_upsert_partition_pruned(spark, tmp_path):
+    """Partition-pruned merge: an increment touching 1 of N partitions
+    leaves every other partition's files byte-identical (VERDICT round-1
+    scale fix — O(increment) rewrite, not O(table))."""
+    path = str(tmp_path / "chunks")
+    b1 = spark.createDataFrame(
+        [
+            ("p1", 0, "v1", "blob"),
+            ("p2", 0, "v1", "blob"),
+            ("p3", 0, "v1", "sharepoint-list"),
+            ("p4", 0, "v1", "nl2sql"),
+        ],
+        ["parent_id", "chunk_id", "payload", "source"],
+    )
+    merge_upsert(spark, path, b1, partition_cols=["source"])
+    before = _partition_file_state(path)
+    assert any("source=blob" in k for k in before)
+
+    # increment touches only the blob partition
+    b2 = spark.createDataFrame(
+        [("p1", 0, "v2", "blob"), ("p5", 0, "v1", "blob")],
+        ["parent_id", "chunk_id", "payload", "source"],
+    )
+    merge_upsert(spark, path, b2, partition_cols=["source"])
+    after = _partition_file_state(path)
+
+    for rel, sig in before.items():
+        if "source=blob" not in rel:
+            assert after[rel] == sig, f"untouched partition rewritten: {rel}"
+    rows = {(r["parent_id"], r["payload"]) for r in spark.read.parquet(path).collect()}
+    assert rows == {
+        ("p1", "v2"), ("p2", "v1"), ("p3", "v1"), ("p4", "v1"), ("p5", "v1"),
+    }
+
+    # a key that MOVES partition is deleted from its old partition
+    b3 = spark.createDataFrame(
+        [("p3", 0, "v2", "blob")], ["parent_id", "chunk_id", "payload", "source"]
+    )
+    merge_upsert(spark, path, b3, partition_cols=["source"])
+    rows = {
+        (r["parent_id"], r["payload"], r["source"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert ("p3", "v2", "blob") in rows
+    assert not any(r[0] == "p3" and r[2] == "sharepoint-list" for r in rows)
+
+
+def test_merge_upsert_recovers_interrupted_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves only ``__old``; the
+    next merge call must restore it instead of starting from empty."""
+    import os
+
+    path = str(tmp_path / "chunks")
+    b1 = spark.createDataFrame(
+        [("p1", 0, "v1"), ("p2", 0, "v1")], ["parent_id", "chunk_id", "payload"]
+    )
+    merge_upsert(spark, path, b1)
+    # simulate the crash window: live renamed away, staging never landed
+    os.rename(path, path + "__old")
+    b2 = spark.createDataFrame([("p2", 0, "v2")], ["parent_id", "chunk_id", "payload"])
+    merge_upsert(spark, path, b2)
+    rows = {(r["parent_id"], r["payload"]) for r in spark.read.parquet(path).collect()}
+    assert rows == {("p1", "v1"), ("p2", "v2")}
+
+
 def test_union_by_source_discriminator(spark):
     """§2.6: blob + sharepoint pipelines union into one table."""
     blob = spark.createDataFrame([("b1", "blob")], ["id", "source"])

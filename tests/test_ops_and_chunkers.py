@@ -154,6 +154,26 @@ def test_attribute_page_position_rule():
     assert attribute_page("plain", 7) == (7, 7)
 
 
+def test_attribute_page_multi_marker_first_rule():
+    """Reference _determine_chunk_page uses re.search — the FIRST marker
+    decides the chunk's page; _update_page advances from the LAST marker
+    only when it is >= current_page (doc_analysis_chunker.py:406-446)."""
+    # first marker late in the chunk -> chunk page = that marker's page;
+    # current advances past the LAST marker
+    chunk = "x" * 200 + "<!-- PageBreak00003 -->" + "y" * 10 + "<!-- PageBreak00004 -->"
+    page, nxt = attribute_page(chunk, 3)
+    assert page == 3 and nxt == 5
+    # first marker early -> next page, regardless of later markers
+    chunk = "<!-- PageBreak00003 -->" + "y" * 300 + "<!-- PageBreak00004 -->"
+    page, nxt = attribute_page(chunk, 3)
+    assert page == 4 and nxt == 5
+    # stray LOWER-numbered marker (overlap artifact) must not regress
+    # current_page
+    chunk = "x" * 200 + "<!-- PageBreak00002 -->"
+    page, nxt = attribute_page(chunk, 5)
+    assert nxt == 5
+
+
 def test_chunk_analyzed_markdown_pages():
     pages = [" ".join(f"p{p}w{i}" for i in range(120)) for p in range(1, 5)]
     md = " <!-- PageBreak --> ".join(pages)

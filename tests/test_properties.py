@@ -120,7 +120,14 @@ def test_entry_full_schema(spark):
     r = df.first()
     assert set(r["captionVector"]) == {0.0}
     assert r["title"] is not None
-    assert r["metadata_storage_path"].startswith("/documents/")
+    # reference parity (_to_search_doc, blob_storage_indexer.py:793-818):
+    # metadata_storage_path mirrors parent_id; optional string fields
+    # default to "" and arrays to [] (never NULL)
+    assert r["metadata_storage_path"] == r["parent_id"]
+    assert r["imageCaptions"] == "" and r["summary"] == ""
+    assert r["category"] == "" and r["metadata_security_rbac_scope"] == ""
+    assert r["relatedImages"] == [] and r["relatedFiles"] == []
+    assert r["metadata_security_user_ids"] == []
     assert r["source"] == "blob"
 
 
