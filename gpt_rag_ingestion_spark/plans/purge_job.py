@@ -30,14 +30,20 @@ def run_purge_job(
     docs_before = index.count()
     parents_before = index.select(key).distinct().count()
 
-    targets = purge_targets(index.select(key).distinct(), live_source, key)
-    target_keys = [r[key] for r in targets.collect()]
-    n_target_parents = len(target_keys)
+    # Fully relational: the target key-set never leaves the cluster —
+    # counters come from semi-join counts and the DataFrame goes straight
+    # into delete_keys (no driver collect()/isin literal list, which
+    # would not survive millions of vanished parents).
+    targets = purge_targets(index.select(key).distinct(), live_source, key).cache()
+    n_target_parents = targets.count()
 
     docs_deleted = 0
     if n_target_parents:
-        docs_deleted = index.filter(F.col(key).isin(target_keys)).count()
+        # no broadcast hint: the orphan set is usually tiny but CAN be
+        # huge (bulk source deletion) — let AQE pick the strategy
+        docs_deleted = index.join(targets, on=key, how="left_semi").count()
         delete_keys(spark, table_path, targets, key=key)
+    targets.unpersist()
 
     # post-delete consistency re-check (reference :1761-1833)
     after = spark.read.parquet(table_path)
