@@ -222,42 +222,41 @@ def embedding_neardup_pairs(
     integer-quantized dot product (≈ cosine × 10^6 for unit vectors)
     reaches ``min_qdot``.  Exact integers — oracle-checkable.
 
-    Physical plan mirrors quantized_dot_top1: broadcast corpus matrix +
-    per-partition int64 matmul, emitting only above-threshold pairs.
-    At 100 TB the dense matmul is replaced by LSH/IVF candidate
-    generation (minhash_lsh_candidates / lsh_bucketed_ann) with this
-    exact scorer as the verifier."""
+    Physical plan mirrors quantized_dot_top1: hash-tiled block-nested
+    loop — each (query-block, corpus-tile) group does one int64 matmul
+    inside a cogrouped applyInPandas and emits only above-threshold
+    pairs; a pair (a, b) lands in exactly one group, so the union needs
+    no dedup.  No driver-side corpus collect at any size.  At 100 TB
+    prefer LSH/IVF candidate generation (minhash_lsh_candidates /
+    lsh_bucketed_ann) with this exact scorer as the verifier."""
     import numpy as np
     import pandas as pd
-    from collections.abc import Iterator
 
-    from gpt_rag_ingestion_spark.operators.similarity import _quantize_np
-
+    from gpt_rag_ingestion_spark.operators.similarity import (
+        _quantize_np,
+        tiled_block_pairs,
+    )
     from gpt_rag_ingestion_spark.session import ensure_importable
 
     ensure_importable(emb)
-    rows = emb.select(id_col, vec_col).toPandas()
-    order = rows[id_col].to_numpy().argsort(kind="stable")
-    ids = rows[id_col].to_numpy()[order]
-    mat = _quantize_np(np.vstack(rows[vec_col].to_numpy()[order]))
-    sc = emb.sparkSession.sparkContext
-    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
+    base = emb.select(id_col, vec_col)
+    c, q = tiled_block_pairs(base, base, 4096, id_col, vec_col)
 
-    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cids, cmat = b_ids.value, b_mat.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            q = _quantize_np(np.vstack(pdf[vec_col].to_numpy()))
-            qids = pdf[id_col].to_numpy()
-            dots = q @ cmat.T
-            qi, ci = np.nonzero((dots >= min_qdot) & (qids[:, None] < cids[None, :]))
-            yield pd.DataFrame(
-                {"id_a": qids[qi], "id_b": cids[ci], "qdot": dots[qi, ci]}
-            )
+    def score(cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
+        if cdf.empty or qdf.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "qdot": []})
+        cids = cdf["cid"].to_numpy()
+        cmat = _quantize_np(np.vstack(cdf["cv"].to_numpy()))
+        qids = qdf["qid"].to_numpy()
+        qmat = _quantize_np(np.vstack(qdf["qv"].to_numpy()))
+        dots = qmat @ cmat.T
+        qi, ci = np.nonzero((dots >= min_qdot) & (qids[:, None] < cids[None, :]))
+        return pd.DataFrame({"id_a": qids[qi], "id_b": cids[ci], "qdot": dots[qi, ci]})
 
-    return emb.select(id_col, vec_col).mapInPandas(
-        block, schema="id_a long, id_b long, qdot long"
+    return (
+        c.groupby("qb", "ct")
+        .cogroup(q.groupby("qb", "ct"))
+        .applyInPandas(score, schema="id_a long, id_b long, qdot long")
     )
 
 

@@ -51,62 +51,124 @@ def _quantize_np(mat):
     ).astype("int64")
 
 
+def _n_blocks(n_rows: int, block_rows: int) -> int:
+    return max(1, -(-n_rows // block_rows))
+
+
+def tiled_block_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    tile_rows: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Block-nested-loop scaffolding shared by the exact vector
+    operators: both sides get a deterministic block id (pmod of
+    xxhash64(id) — balanced, no global ordering needed), the
+    (query-block × corpus-tile) cross product is formed by exploding a
+    block-id sequence on each side, and the caller cogroups on
+    (qb, ct).  Shuffle cost is the classic |C|·n_qblocks + |Q|·n_tiles
+    of a blocked matrix product; per-group memory is bounded by
+    ``tile_rows`` on each side, and NOTHING ever flows through the
+    driver (the round-1 toPandas()+broadcast scale-killer).
+
+    Returns (corpus_side, query_side) with columns
+    (qb, ct, cid, cv) / (qb, ct, qid, qv)."""
+    import math
+
+    n_c, n_q = corpus.count(), queries.count()
+    n_tiles = _n_blocks(n_c, tile_rows)
+    n_qb = _n_blocks(n_q, tile_rows)
+    # small inputs would otherwise collapse into one group: widen the
+    # (tile × block) grid until it covers the cores (no-op at real scale
+    # where row counts already dictate many tiles)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if n_tiles * n_qb < par:
+        boost = math.isqrt(par // (n_tiles * n_qb)) + 1
+        n_tiles = min(max(n_c, 1), n_tiles * boost)
+        n_qb = min(max(n_q, 1), n_qb * boost)
+    c = (
+        corpus.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+        )
+        .withColumn("ct", F.pmod(F.xxhash64(F.col("cid")), F.lit(n_tiles)))
+        .withColumn("qb", F.explode(F.sequence(F.lit(0), F.lit(n_qb - 1))))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+        )
+        .withColumn("qb", F.pmod(F.xxhash64(F.col("qid")), F.lit(n_qb)))
+        .withColumn("ct", F.explode(F.sequence(F.lit(0), F.lit(n_tiles - 1))))
+    )
+    return c, q
+
+
 def quantized_dot_top1(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tile_rows: int = 4096,
 ) -> DataFrame:
     """For every vector: the other vector maximizing the integer-quantized
     dot product (ties -> smaller neighbor id).  Exact, engine-portable.
 
-    Physical strategy: the corpus matrix (ids sorted asc) is a Spark
-    broadcast variable; each partition of the query side does one int64
-    numpy matmul against it and emits its own argmax rows — a blocked
-    matrix product with no shuffle at all.  int64 keeps it exact (values
-    bounded by dim * 10^6 << 2^63).  At 100 TB the same plan tiles the
-    corpus into column blocks (broadcast per block, max-merge across
-    blocks) instead of one broadcast."""
-    from collections.abc import Iterator
-
+    Physical strategy: blocked matrix product with no driver
+    participation — the corpus is tiled into ~``tile_rows``-row blocks
+    by a hash of the id, queries are blocked the same way, each
+    (query-block, corpus-tile) pair is scored with one int64 numpy
+    matmul inside a cogrouped applyInPandas, and the per-tile winners
+    are max-merged relationally (struct max on (dot, -nn_id), i.e. the
+    smallest-id tie-break).  int64 keeps it exact (values bounded by
+    dim * 10^6 << 2^63).  Result is hash-identical to a single global
+    argmax regardless of tiling."""
     from gpt_rag_ingestion_spark.session import ensure_importable
 
     ensure_importable(emb)
-    rows = emb.select(id_col, vec_col).toPandas()
-    order = rows[id_col].to_numpy().argsort(kind="stable")
-    ids = rows[id_col].to_numpy()[order]
-    mat = _quantize_np(np.vstack(rows[vec_col].to_numpy()[order]))
+    base = emb.select(id_col, vec_col)
+    c, q = tiled_block_pairs(base, base, tile_rows, id_col, vec_col)
 
-    sc = emb.sparkSession.sparkContext
-    b_ids = sc.broadcast(ids)
-    b_mat = sc.broadcast(mat)
+    def score(cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
+        if cdf.empty or qdf.empty:
+            return pd.DataFrame({"qid": [], "nn_id": [], "dot": []})
+        order = cdf["cid"].to_numpy().argsort(kind="stable")
+        cids = cdf["cid"].to_numpy()[order]
+        cmat = _quantize_np(np.vstack(cdf["cv"].to_numpy()[order]))
+        qids = qdf["qid"].to_numpy()
+        qmat = _quantize_np(np.vstack(qdf["qv"].to_numpy()))
+        dots = qmat @ cmat.T  # int64 exact
+        # mask self-pairs (corpus ids sorted -> binary search)
+        self_pos = np.searchsorted(cids, qids)
+        rowidx = np.arange(len(qids))
+        valid = (self_pos < len(cids)) & (
+            cids[np.clip(self_pos, 0, len(cids) - 1)] == qids
+        )
+        dots[rowidx[valid], self_pos[valid]] = np.iinfo("int64").min
+        best = dots.argmax(axis=1)  # first occurrence == smallest id (sorted)
+        best_dots = dots[rowidx, best]
+        # a tile holding only a query's own vector leaves just the masked
+        # self-pair; emit nothing for such rows
+        keep = best_dots > np.iinfo("int64").min
+        return pd.DataFrame(
+            {"qid": qids[keep], "nn_id": cids[best[keep]], "dot": best_dots[keep]}
+        )
 
-    out_schema = f"{id_col} long, nn_id long, dot long"
-
-    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cids, cmat = b_ids.value, b_mat.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            q = _quantize_np(np.vstack(pdf[vec_col].to_numpy()))
-            qids = pdf[id_col].to_numpy()
-            dots = q @ cmat.T  # int64 exact
-            # mask self-pairs
-            self_pos = np.searchsorted(cids, qids)
-            rowidx = np.arange(len(qids))
-            valid = (self_pos < len(cids)) & (cids[np.clip(self_pos, 0, len(cids) - 1)] == qids)
-            dots[rowidx[valid], self_pos[valid]] = np.iinfo("int64").min
-            best = dots.argmax(axis=1)  # first occurrence == smallest id (sorted)
-            best_dots = dots[rowidx, best]
-            # a 1-vector corpus leaves only the masked self-pair; emit
-            # nothing for such rows rather than a sentinel self-neighbor
-            keep = best_dots > np.iinfo("int64").min
-            yield pd.DataFrame(
-                {
-                    id_col: qids[keep],
-                    "nn_id": cids[best[keep]],
-                    "dot": best_dots[keep],
-                }
-            )
-
-    return emb.select(id_col, vec_col).mapInPandas(block, schema=out_schema)
+    cands = (
+        c.groupby("qb", "ct")
+        .cogroup(q.groupby("qb", "ct"))
+        .applyInPandas(score, schema="qid long, nn_id long, dot long")
+    )
+    # global max-merge of per-tile winners; (dot desc, nn_id asc) via
+    # lexicographic struct max on (dot, -nn_id)
+    return (
+        cands.groupBy("qid")
+        .agg(F.max(F.struct(F.col("dot"), (-F.col("nn_id")).alias("neg"))).alias("m"))
+        .select(
+            F.col("qid").alias(id_col),
+            (-F.col("m.neg")).alias("nn_id"),
+            F.col("m.dot").alias("dot"),
+        )
+    )
 
 
 def knn_bruteforce(
