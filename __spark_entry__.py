@@ -723,6 +723,92 @@ def q52_multimodal_chunks(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("parent_id", "chunk_id", "content", "imageCaptions", "page")
 
 
+def q53_mixed_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """C8 composed dispatch (reference chunker_factory.py:34-87 +
+    document_chunking.py:49-62): a synthetic mixed-extension corpus
+    (md/txt/json/vtt/pdf by doc_id) routed through every chunker family
+    and unioned to one relation.  Sequential per-family UDF semantics ->
+    rows-only check; family exactness is unit-tested."""
+    from gpt_rag_ingestion_spark.chunking.corpus import chunk_corpus
+
+    docs = _t(spark, sf, "documents")
+    ext = F.element_at(
+        F.array(F.lit("md"), F.lit("txt"), F.lit("json"), F.lit("vtt"), F.lit("pdf")),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    md_payload = F.concat(
+        F.lit("# Doc "), F.col("doc_id").cast("string"), F.lit("\n\n"),
+        F.substring("text", 1, 300), F.lit("\n\n## Detail\n\n"),
+        F.substring("text", 301, 300),
+    )
+    json_payload = F.to_json(
+        F.struct(
+            F.col("doc_id"), F.col("source"),
+            F.substring("text", 1, 200).alias("excerpt"),
+        )
+    )
+    vtt_payload = F.concat(
+        F.lit("WEBVTT\n\n00:00:00.000 --> 00:00:05.000\n<v Speaker0>"),
+        F.substring("text", 1, 120),
+        F.lit("\n\n00:00:05.000 --> 00:00:10.000\n<v Speaker1>"),
+        F.substring("text", 121, 120), F.lit("\n"),
+    )
+    pdf_payload = F.concat_ws(
+        " <!-- PageBreak --> ",
+        F.substring("text", 1, 250), F.substring("text", 251, 250),
+    )
+    payload = (
+        F.when(ext == "md", md_payload)
+        .when(ext == "json", json_payload)
+        .when(ext == "vtt", vtt_payload)
+        .when(ext == "pdf", pdf_payload)
+        .otherwise(F.col("text"))
+    )
+    corpus = docs.select(
+        F.concat(F.lit("mix-"), F.col("doc_id").cast("string")).alias("doc_key"),
+        ext.alias("extension"),
+        F.encode(payload, "UTF-8").alias("payload"),
+    )
+    out = chunk_corpus(
+        corpus, max_tokens=60, overlap=8, min_tokens=2, embedding_dim=16
+    )
+    return out.select("parent_id", "chunker", "chunk_id", "content", "page", "title")
+
+
+def q54_sheet_mode(spark: SparkSession, sf: str) -> DataFrame:
+    """C3 sheet mode (reference spreadsheet_chunker.py:82-209): one
+    grid-markdown chunk per sheet with deterministic keys.  Sheets are
+    synthesized from `part` (one sheet per manufacturer, rows sorted by
+    partkey); max_tokens=0 disables the summary fallback exactly like
+    the reference's `max_chunk_size > 0` guard, so the content is the
+    cleaned tabulate-grid table — exactly reconstructible in SQL."""
+    from gpt_rag_ingestion_spark.chunking.spreadsheet import chunk_sheet_mode
+
+    part = _t(spark, sf, "part")
+    row_arr = F.array(
+        F.col("p_partkey").cast("string"), F.col("p_name"), F.col("p_type")
+    )
+    sheets = (
+        part.groupBy("p_brand")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("p_partkey"), row_arr.alias("r")))
+            ).alias("rs")
+        )
+        .select(
+            F.col("p_brand").alias("doc_key"),
+            F.lit(0).alias("sheet_pos"),
+            F.lit("Sheet1").alias("sheet_name"),
+            F.array(F.lit("p_partkey"), F.lit("p_name"), F.lit("p_type")).alias(
+                "headers"
+            ),
+            F.transform(F.col("rs"), lambda s: s["r"]).alias("rows"),
+        )
+    )
+    out = chunk_sheet_mode(sheets, max_tokens=0, embedding_dim=16)
+    return out.select("parent_id", "chunk_id", "id", "title", "content", "length")
+
+
 def q34_enrichment_join(spark: SparkSession, sf: str) -> DataFrame:
     """J9: groupBy-count + left join enrichment (runs↔files shape)."""
     cust = _t(spark, sf, "customer")
@@ -807,6 +893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_doc_analysis_pages": q50_doc_analysis_pages,
         "q51_transcription_chunks": q51_transcription_chunks,
         "q52_multimodal_chunks": q52_multimodal_chunks,
+        "q53_mixed_corpus": q53_mixed_corpus,
+        "q54_sheet_mode": q54_sheet_mode,
     }
 
 
@@ -1259,6 +1347,29 @@ def oracle_sql() -> dict[str, str]:
               coalesce(p.n_orders, 0) AS n_orders,
               coalesce(p.total_spent, 0.0) AS total_spent
             FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+        """,
+        "q54_sheet_mode": f"""
+            WITH body AS (
+              SELECT p_brand,
+                string_agg(
+                  '| ' || CAST(p_partkey AS VARCHAR) || ' | ' || p_name
+                    || ' | ' || p_type || ' |' || chr(10) || '|  |',
+                  chr(10) ORDER BY p_partkey) AS rows_md
+              FROM part GROUP BY p_brand),
+            c AS (
+              SELECT {_SANITIZE.format(x="p_brand")} AS parent_id,
+                CAST(0 AS INT) AS chunk_id, 'Sheet1' AS title,
+                '|  |' || chr(10) || '| p_partkey | p_name | p_type |'
+                  || chr(10) || '|  |' || chr(10) || rows_md AS content
+              FROM body)
+            SELECT parent_id, chunk_id,
+              {_chunk_key_sql("parent_id", "chunk_id")} AS id, title,
+              CASE WHEN length(content) > 32766
+                   THEN substr(content, 1, 32766) ELSE content END AS content,
+              CAST(length(CASE WHEN length(content) > 32766
+                   THEN substr(content, 1, 32766) ELSE content END) AS INT)
+                AS length
+            FROM c
         """,
         "q35_sessionize": """
             WITH g AS (

@@ -159,6 +159,7 @@ def chunk_analyzed_documents(
     max_tokens: int = CHUNK_NUM_TOKENS,
     overlap: int = TOKEN_OVERLAP,
     min_tokens: int = MIN_CHUNK_SIZE,
+    spread: bool = True,
 ) -> DataFrame:
     """DataFrame wrapper: one pandas-UDF call per analyzed document,
     exploding to page-attributed chunk rows.  Narrow map — no shuffle."""
@@ -167,9 +168,10 @@ def chunk_analyzed_documents(
 
     ensure_importable(docs)
     # spread small single-file inputs across cores (no-op at real scale)
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < min(target, 8):
-        docs = docs.repartition(target)
+    if spread:
+        target = docs.sparkSession.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < min(target, 8):
+            docs = docs.repartition(target)
 
     @pandas_udf(_PAGE_CHUNK_STRUCT)
     def _chunk(mds: pd.Series) -> pd.Series:

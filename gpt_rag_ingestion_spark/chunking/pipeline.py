@@ -62,10 +62,13 @@ def make_chunk_udf(
     max_tokens: int = CHUNK_NUM_TOKENS,
     overlap: int = TOKEN_OVERLAP,
     min_tokens: int = MIN_CHUNK_SIZE,
+    separators: list | None = None,
 ):
     """Split + byte-safe truncation fused into ONE pandas UDF — the
     32,766-byte cap (F6) is part of the chunk contract, and fusing it
-    here saves a whole JVM<->Python Arrow round-trip per corpus pass."""
+    here saves a whole JVM<->Python Arrow round-trip per corpus pass.
+    ``separators`` selects a format-specific set (markdown headers,
+    python defs — splitter.separators_for_extension)."""
     from gpt_rag_ingestion_spark.functions.text import MAX_CONTENT_BYTES
     from gpt_rag_ingestion_spark.session import ship_active
 
@@ -74,7 +77,7 @@ def make_chunk_udf(
     def _split_one(s: str) -> list[dict]:
         chunks = split_text_recursive(
             s or "", max_tokens=max_tokens, overlap_tokens=overlap,
-            min_tokens=min_tokens,
+            min_tokens=min_tokens, separators=separators,
         )
         for c in chunks:
             b = c["content"].encode("utf-8")
@@ -100,13 +103,18 @@ def chunk_documents(
     overlap: int = TOKEN_OVERLAP,
     min_tokens: int = MIN_CHUNK_SIZE,
     carry_cols: list[str] | None = None,
+    separators: list | None = None,
+    spread: bool = True,
 ) -> DataFrame:
     """Full chunk+embed pipeline over a documents DataFrame.
 
     Returns rows keyed like the reference's search docs: ``parent_id``
     (sanitized doc key), ``id`` (parent-c%05d, F2), chunk payload,
     ``contentVector`` from the deterministic embedder.  ``carry_cols``
-    ride along unchanged (document-level metadata)."""
+    ride along unchanged (document-level metadata).  ``spread=False``
+    skips the small-input repartition probe — pass it when the caller
+    already spread the corpus (e.g. chunk_corpus), since the probe's
+    plan->RDD conversion costs a query compilation per call."""
     from gpt_rag_ingestion_spark.session import ensure_importable
 
     ensure_importable(docs)
@@ -114,10 +122,11 @@ def chunk_documents(
     # would serialize the whole UDF pipeline onto one core — spread it.
     # At real scale inputs already have >= cluster parallelism partitions
     # and this is a no-op (no shuffle added).
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < min(target, 8):
-        docs = docs.repartition(target)
-    chunk_udf = make_chunk_udf(max_tokens, overlap, min_tokens)
+    if spread:
+        target = docs.sparkSession.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < min(target, 8):
+            docs = docs.repartition(target)
+    chunk_udf = make_chunk_udf(max_tokens, overlap, min_tokens, separators)
     embed = hash_embedding_udf(embedding_dim)
 
     carry = list(carry_cols or [])

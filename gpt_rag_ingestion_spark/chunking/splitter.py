@@ -31,7 +31,67 @@ TOKEN_OVERLAP = 200  # reference doc_analysis_chunker.py:66 (CHANGELOG.md:60)
 MIN_CHUNK_SIZE = 100  # tokens, reference doc_analysis_chunker.py:67
 
 _SEPARATORS = ["\n\n", "\n", ". ", " "]
+
+# Per-format separator sets (reference langchain_chunker.py:100-137:
+# MarkdownTextSplitter / PythonCodeTextSplitter / sentence-separator
+# RecursiveCharacterTextSplitter).  A ("sep", "start") entry splits
+# BEFORE the separator and keeps it attached to the following piece —
+# so a markdown chunk starts with its "#" header and a python chunk
+# with its "def"/"class" line, like LangChain's keep_separator mode.
+MARKDOWN_SEPARATORS: list = [
+    ("\n# ", "start"),
+    ("\n## ", "start"),
+    ("\n### ", "start"),
+    ("\n#### ", "start"),
+    ("\n```", "start"),
+    "\n\n",
+    "\n",
+    ". ",
+    " ",
+]
+PYTHON_SEPARATORS: list = [
+    ("\nclass ", "start"),
+    ("\ndef ", "start"),
+    ("\n\tdef ", "start"),
+    ("\n    def ", "start"),
+    "\n\n",
+    "\n",
+    ". ",
+    " ",
+]
+# the reference's fallback set for html/csv/xml/txt: sentence endings
+# then word breaks (langchain_chunker.py:129-131)
+SENTENCE_SEPARATORS: list = [". ", "! ", "? ", " ", "\n", "\t"]
+
+_FORMAT_SEPARATORS = {
+    "md": MARKDOWN_SEPARATORS,
+    "py": PYTHON_SEPARATORS,
+    "txt": SENTENCE_SEPARATORS,
+    "html": SENTENCE_SEPARATORS,
+    "shtml": SENTENCE_SEPARATORS,
+    "htm": SENTENCE_SEPARATORS,
+    "csv": SENTENCE_SEPARATORS,
+    "xml": SENTENCE_SEPARATORS,
+}
+
 _TOKEN_RE = re.compile(r"\w+|[^\w\s]")
+
+
+def separators_for_extension(ext: str) -> list:
+    """C4 dispatch: extension -> separator set (default recursive set
+    for unknown extensions)."""
+    return _FORMAT_SEPARATORS.get((ext or "").lower(), _SEPARATORS)
+
+
+def _split_once(s: str, sep) -> tuple[list[str], str]:
+    """One split level.  Plain separators drop the separator from the
+    parts (re-inserted on merge); ("sep", "start") keeps the separator
+    glued to the following part (structural markers like headers)."""
+    if isinstance(sep, tuple):
+        pattern, _mode = sep
+        parts = re.split(f"(?={re.escape(pattern)})", s)
+        return [p for p in parts if p != ""], ""
+    return s.split(sep), sep
 
 
 def _ntokens(s: str) -> int:
@@ -43,16 +103,18 @@ def split_text_recursive(
     max_tokens: int = CHUNK_NUM_TOKENS,
     overlap_tokens: int = TOKEN_OVERLAP,
     min_tokens: int = MIN_CHUNK_SIZE,
+    separators: list | None = None,
 ) -> list[dict]:
     """Split ``text`` into chunks of <= max_tokens, preferring paragraph >
-    line > sentence > word boundaries, with ~overlap_tokens of trailing
-    context carried into the next chunk.  Returns dicts with
-    chunk_id / content / offset / length (chars), mirroring the
-    reference chunk contract (base_chunker.py:218-234)."""
+    line > sentence > word boundaries (or a format-specific separator
+    set — see MARKDOWN_SEPARATORS / PYTHON_SEPARATORS), with
+    ~overlap_tokens of trailing context carried into the next chunk.
+    Returns dicts with chunk_id / content / offset / length (chars),
+    mirroring the reference chunk contract (base_chunker.py:218-234)."""
     if not text:
         return []
 
-    def split_rec(s: str, seps: list[str]) -> list[str]:
+    def split_rec(s: str, seps: list) -> list[str]:
         if _ntokens(s) <= max_tokens:
             return [s]
         if not seps:
@@ -67,14 +129,14 @@ def split_text_recursive(
                 i = j - overlap_tokens if j - overlap_tokens > i else j
             return out
         sep, rest = seps[0], seps[1:]
-        parts = s.split(sep)
-        if len(parts) == 1:
+        parts, joiner = _split_once(s, sep)
+        if len(parts) <= 1:
             return split_rec(s, rest)
         # greedy merge of parts into token-budgeted pieces
         pieces: list[str] = []
         cur = ""
         for p in parts:
-            cand = cur + sep + p if cur else p
+            cand = cur + joiner + p if cur else p
             if cur and _ntokens(cand) > max_tokens:
                 pieces.append(cur)
                 cur = p
@@ -87,7 +149,7 @@ def split_text_recursive(
             out.extend(split_rec(piece, rest) if _ntokens(piece) > max_tokens else [piece])
         return out
 
-    pieces = split_rec(text, _SEPARATORS)
+    pieces = split_rec(text, separators if separators is not None else _SEPARATORS)
 
     # attach overlap tails and compute offsets against the original text.
     # Contract: ``offset`` is the position of the chunk's NEW content
