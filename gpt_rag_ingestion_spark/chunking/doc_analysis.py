@@ -160,9 +160,12 @@ def chunk_analyzed_documents(
     overlap: int = TOKEN_OVERLAP,
     min_tokens: int = MIN_CHUNK_SIZE,
     spread: bool = True,
+    start_page_col: str | None = None,
 ) -> DataFrame:
     """DataFrame wrapper: one pandas-UDF call per analyzed document,
-    exploding to page-attributed chunk rows.  Narrow map — no shuffle."""
+    exploding to page-attributed chunk rows.  Narrow map — no shuffle.
+    ``start_page_col`` supplies a per-row first-page number (the giant-
+    document part path)."""
 
     from gpt_rag_ingestion_spark.session import ensure_importable
 
@@ -173,16 +176,37 @@ def chunk_analyzed_documents(
         if docs.rdd.getNumPartitions() < min(target, 8):
             docs = docs.repartition(target)
 
-    @pandas_udf(_PAGE_CHUNK_STRUCT)
-    def _chunk(mds: pd.Series) -> pd.Series:
-        return mds.map(
-            lambda s: chunk_analyzed_markdown(
-                s or "", max_tokens=max_tokens, overlap=overlap, min_tokens=min_tokens
+    if start_page_col is None:
+
+        @pandas_udf(_PAGE_CHUNK_STRUCT)
+        def _chunk(mds: pd.Series) -> pd.Series:
+            return mds.map(
+                lambda s: chunk_analyzed_markdown(
+                    s or "", max_tokens=max_tokens, overlap=overlap,
+                    min_tokens=min_tokens,
+                )
             )
-        )
+
+        chunks_col = _chunk(F.col(md_col))
+    else:
+
+        @pandas_udf(_PAGE_CHUNK_STRUCT)
+        def _chunk_sp(mds: pd.Series, sps: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    chunk_analyzed_markdown(
+                        s or "", max_tokens=max_tokens, overlap=overlap,
+                        min_tokens=min_tokens,
+                        start_page=int(sp) if sp is not None else 1,
+                    )
+                    for s, sp in zip(mds, sps)
+                ]
+            )
+
+        chunks_col = _chunk_sp(F.col(md_col), F.col(start_page_col))
 
     return (
-        docs.withColumn("_chunks", _chunk(F.col(md_col)))
+        docs.withColumn("_chunks", chunks_col)
         .withColumn("_c", F.explode("_chunks"))
         .select(
             *[c for c in docs.columns if c != md_col],
@@ -193,3 +217,104 @@ def chunk_analyzed_documents(
             F.col("_c.length").alias("length"),
         )
     )
+
+
+def split_document_parts(
+    docs: DataFrame,
+    md_col: str = "markdown",
+    doc_key_col: str = "doc_key",
+    max_pages_per_part: int = MAX_PAGES_PER_ANALYSIS,
+) -> DataFrame:
+    """Giant-document part split AS ROWS (reference
+    utils/file_utils.py:77-119 splits the PDF into <=300-page temp
+    files; doc_analysis_chunker.py:128-276 analyzes them sequentially).
+
+    Here the split happens on the analyzed-markdown contract at
+    page-break boundaries, entirely JVM-side: split on the marker,
+    group pages into runs of ``max_pages_per_part``, re-join each run
+    with the marker.  One row per (doc, part) — so downstream analysis/
+    chunking parallelizes across parts instead of looping on one
+    worker, which is the point of the operator at 100 TB.  (The
+    PDF-byte split itself needs pypdf, absent here; a real deployment
+    slots it in front of the analysis UDF with this same parts-as-rows
+    shape.)"""
+    pages = F.split(F.col(md_col), re.escape(PAGEBREAK_RAW))
+    n_parts = F.ceil(F.size(pages) / F.lit(max_pages_per_part)).cast("int")
+    part_mds = F.transform(
+        F.sequence(F.lit(0), n_parts - 1),
+        lambda i: F.array_join(
+            F.slice(pages, i * max_pages_per_part + 1, max_pages_per_part),
+            PAGEBREAK_RAW,
+        ),
+    )
+    return docs.select(
+        *[c for c in docs.columns if c != md_col],
+        F.posexplode(part_mds).alias("part_idx", md_col),
+    )
+
+
+def chunk_document_parts(
+    parts: DataFrame,
+    md_col: str = "markdown",
+    doc_key_col: str = "doc_key",
+    part_idx_col: str = "part_idx",
+    max_tokens: int = CHUNK_NUM_TOKENS,
+    overlap: int = TOKEN_OVERLAP,
+    min_tokens: int = MIN_CHUNK_SIZE,
+) -> DataFrame:
+    """Chunk per-part analyzed markdown with ABSOLUTE page numbers and
+    re-aggregate per-document chunk ids (reference
+    doc_analysis_chunker.py:203-276 merge semantics, parallelized).
+
+    start_page of part k = 1 + Σ (pagebreaks+1) over parts < k (the
+    reference's ``page_offset`` accumulation, :248-252) — a per-doc
+    window over part counts, not a string merge.  Global chunk ids
+    renumber (part_idx, chunk_id) per document; every other chunking
+    step (numbering, attribution, min-size) is the standard C1 path."""
+    from pyspark.sql import Window
+
+    breaks = F.regexp_count(F.col(md_col), F.lit(re.escape(PAGEBREAK_RAW)))
+    w_prev = (
+        Window.partitionBy(doc_key_col)
+        .orderBy(part_idx_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_sp = parts.withColumn("_pages_in_part", breaks + 1).withColumn(
+        "_start_page",
+        (F.coalesce(F.sum("_pages_in_part").over(w_prev), F.lit(0)) + 1).cast("int"),
+    )
+    chunked = chunk_analyzed_documents(
+        with_sp,
+        md_col=md_col,
+        max_tokens=max_tokens,
+        overlap=overlap,
+        min_tokens=min_tokens,
+        spread=False,
+        start_page_col="_start_page",
+    )
+    w_doc = Window.partitionBy(doc_key_col).orderBy(part_idx_col, "chunk_id")
+    return (
+        chunked.withColumn("chunk_id", (F.row_number().over(w_doc) - 1).cast("int"))
+        .drop("_pages_in_part", "_start_page")
+    )
+
+
+def chunk_giant_documents(
+    docs: DataFrame,
+    md_col: str = "markdown",
+    doc_key_col: str = "doc_key",
+    max_pages_per_part: int = MAX_PAGES_PER_ANALYSIS,
+    max_tokens: int = CHUNK_NUM_TOKENS,
+    overlap: int = TOKEN_OVERLAP,
+    min_tokens: int = MIN_CHUNK_SIZE,
+) -> DataFrame:
+    """Composed giant-document path: split parts as rows -> chunk each
+    part in parallel with absolute pages -> renumber chunk ids."""
+    parts = split_document_parts(
+        docs, md_col=md_col, doc_key_col=doc_key_col,
+        max_pages_per_part=max_pages_per_part,
+    )
+    return chunk_document_parts(
+        parts, md_col=md_col, doc_key_col=doc_key_col,
+        max_tokens=max_tokens, overlap=overlap, min_tokens=min_tokens,
+    ).drop("part_idx")
