@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -93,6 +94,55 @@ def make_chunk_udf(
     return _chunk
 
 
+def make_timed_chunk_udf(
+    max_tokens: int = CHUNK_NUM_TOKENS,
+    overlap: int = TOKEN_OVERLAP,
+    min_tokens: int = MIN_CHUNK_SIZE,
+    separators: list | None = None,
+):
+    """Chunk UDF that also reports the per-document split seconds —
+    feeds the ops log's per-file ``timings.chunkEmbedSec``
+    (reference blob_storage_indexer.py:617-628 times chunking per file;
+    here the measurement happens inside the UDF, so it is a real
+    per-document number even though the stage is fused)."""
+    import time
+
+    from gpt_rag_ingestion_spark.functions.text import MAX_CONTENT_BYTES
+    from gpt_rag_ingestion_spark.session import ship_active
+
+    ship_active()
+
+    def _split_one(s: str) -> list[dict]:
+        chunks = split_text_recursive(
+            s or "", max_tokens=max_tokens, overlap_tokens=overlap,
+            min_tokens=min_tokens, separators=separators,
+        )
+        for c in chunks:
+            b = c["content"].encode("utf-8")
+            if len(b) > MAX_CONTENT_BYTES:
+                c["content"] = b[:MAX_CONTENT_BYTES].decode("utf-8", "ignore")
+                c["length"] = len(c["content"])
+        return chunks
+
+    timed_struct = StructType(
+        [
+            StructField("chunks", _CHUNK_STRUCT),
+            StructField("chunk_sec", DoubleType()),
+        ]
+    )
+
+    @pandas_udf(timed_struct)
+    def _chunk_timed(texts: pd.Series) -> pd.DataFrame:
+        out_chunks, out_secs = [], []
+        for s in texts:
+            t0 = time.monotonic()
+            out_chunks.append(_split_one(s))
+            out_secs.append(round(time.monotonic() - t0, 6))
+        return pd.DataFrame({"chunks": out_chunks, "chunk_sec": out_secs})
+
+    return _chunk_timed
+
+
 def chunk_documents(
     docs: DataFrame,
     text_col: str = "text",
@@ -105,6 +155,7 @@ def chunk_documents(
     carry_cols: list[str] | None = None,
     separators: list | None = None,
     spread: bool = True,
+    timing_col: str | None = None,
 ) -> DataFrame:
     """Full chunk+embed pipeline over a documents DataFrame.
 
@@ -126,15 +177,24 @@ def chunk_documents(
         target = docs.sparkSession.sparkContext.defaultParallelism
         if docs.rdd.getNumPartitions() < min(target, 8):
             docs = docs.repartition(target)
-    chunk_udf = make_chunk_udf(max_tokens, overlap, min_tokens, separators)
     embed = hash_embedding_udf(embedding_dim)
 
     carry = list(carry_cols or [])
     if source_col:
         carry = [source_col] + carry
+    if timing_col:
+        timed_udf = make_timed_chunk_udf(max_tokens, overlap, min_tokens, separators)
+        docs = docs.withColumn("_tc", timed_udf(F.col(text_col))).withColumn(
+            timing_col, F.col("_tc.chunk_sec")
+        )
+        chunks_expr = F.col("_tc.chunks")
+        carry = carry + [timing_col]
+    else:
+        chunk_udf = make_chunk_udf(max_tokens, overlap, min_tokens, separators)
+        chunks_expr = chunk_udf(F.col(text_col))
     parent = sanitize_key(F.col(doc_key_col).cast("string"))
     out = (
-        docs.withColumn("_chunks", chunk_udf(F.col(text_col)))
+        docs.withColumn("_chunks", chunks_expr)
         .select(
             parent.alias("parent_id"),
             *[F.col(c) for c in carry],

@@ -28,6 +28,20 @@ MAX_KEY_BASE_LEN = 128
 HASH_SUFFIX_LEN = 8
 
 
+#: canonical 8-4-4-4-12 UUID (reference sharepoint_graph_client.py:384-390
+#: accepts anything uuid.UUID parses; Graph site/list ids are canonical)
+_GUID_REGEX = (
+    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+    "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+)
+
+
+def is_valid_guid(col: Column | str) -> Column:
+    """F25: GUID validation as one rlike expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike(_GUID_REGEX)
+
+
 def sanitize_key(col: Column | str) -> Column:
     """F1: replace invalid runs with '-', collapse, trim leading/trailing '-'."""
     c = F.col(col) if isinstance(col, str) else col

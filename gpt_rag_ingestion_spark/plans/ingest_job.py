@@ -49,10 +49,25 @@ def run_ingest_job(
     max_tokens: int = 2048,
     overlap: int = 200,
     min_tokens: int = 100,
+    ops_table_path: str | None = None,
 ) -> DataFrame:
     """One incremental ingest run.  Returns the run-summary DataFrame
     (A2 counters); side effect: the chunks table at ``table_path`` is
-    merged up to date."""
+    merged up to date.
+
+    When ``ops_table_path`` is set, per-file ops rows conforming to
+    OPS_LOG_SCHEMA are appended there with POPULATED timings and
+    costEstimate structs (reference blob_storage_indexer.py:598-678):
+    ``timings.chunkEmbedSec`` is the real per-document split time
+    measured inside the chunk UDF; ``indexUploadSec``/``totalSec``/
+    ``overheadSec`` are job-phase wall times recorded on a run-level
+    row (file_key NULL), since in Spark the upload/merge is one job
+    phase rather than a per-file call.  ``costEstimate`` applies the
+    reference cost model to exact per-file usage columns
+    (embedding tokens from the chunk contents; pages when present)."""
+    import time as _time
+
+    _t_wall = _time.monotonic()
     # 1. index-state watermarks from the existing chunks table (A1/S9)
     try:
         chunks_table = spark.read.parquet(table_path)
@@ -90,7 +105,8 @@ def run_ingest_job(
     candidates = candidates.cache()
     n_candidates = candidates.count()
 
-    # 4. chunk + embed (narrow map)
+    # 4. chunk + embed (narrow map); per-doc split seconds measured
+    # inside the UDF when ops logging is on
     chunks = chunk_documents(
         candidates,
         text_col=text_col,
@@ -100,6 +116,7 @@ def run_ingest_job(
         max_tokens=max_tokens,
         overlap=overlap,
         min_tokens=min_tokens,
+        timing_col="_chunk_sec" if ops_table_path else None,
     )
     # carry the source timestamp through for the next run's watermark
     ts_map = candidates.select(
@@ -128,10 +145,114 @@ def run_ingest_job(
     summary_schema = summary.schema
     summary_rows = summary.collect()
 
-    # 6. idempotent merge (S10/S11 delete-then-insert)
+    # 5b. per-file ops rows (timings + costEstimate populated) —
+    # materialized pre-merge for the same cache-invalidation reason
+    ops_rows = None
+    if ops_table_path:
+        ops_rows = _collect_ops_rows(
+            spark, candidates, chunks, run_id, embedding_dim
+        )
+
+    # 6. idempotent merge (S10/S11 delete-then-insert); the timing
+    # column is ops-only and never lands in the chunks table
+    _t_upload = _time.monotonic()
     if n_candidates > 0:
-        merge_upsert(spark, table_path, chunks, key="parent_id")
+        merge_upsert(
+            spark, table_path, chunks.drop("_chunk_sec"), key="parent_id"
+        )
+    upload_sec = round(_time.monotonic() - _t_upload, 3)
 
     candidates.unpersist()
     chunks.unpersist()
+
+    if ops_table_path:
+        _append_ops(
+            spark, ops_table_path, ops_rows, run_id,
+            upload_sec=upload_sec,
+            total_sec=round(_time.monotonic() - _t_wall, 3),
+        )
     return spark.createDataFrame(summary_rows, schema=summary_schema)
+
+
+def _collect_ops_rows(spark, candidates, chunks, run_id, embedding_dim):
+    """Per-file ops rows with populated structs (A4/A5; reference
+    blob_storage_indexer.py:598-678).  Usage is exact per-file column
+    arithmetic: embedding tokens from chunk contents, pages when the
+    chunker emitted them, the reference cost model for totalUSD."""
+    from gpt_rag_ingestion_spark.functions.tokens import approx_token_count
+    from gpt_rag_ingestion_spark.operators.ops_log import (
+        COST_PER_1K_EMBEDDING_TOKENS,
+        COST_PER_PAGE_ANALYSIS,
+    )
+
+    has_page = "page" in chunks.columns
+    usage = (
+        chunks.withColumn("_toks", approx_token_count(F.col("content")))
+        .groupBy("parent_id")
+        .agg(
+            F.count(F.lit(1)).alias("chunks"),
+            F.sum("_toks").cast("long").alias("embeddingTokens"),
+            (
+                F.max("page") if has_page else F.max(F.lit(None).cast("int"))
+            ).alias("pagesAnalyzed"),
+            F.max("_chunk_sec").alias("chunkSec"),
+        )
+    )
+    pages = F.coalesce(F.col("pagesAnalyzed"), F.lit(0))
+    total_usd = F.round(
+        pages * F.lit(COST_PER_PAGE_ANALYSIS)
+        + F.col("embeddingTokens") / 1000.0 * F.lit(COST_PER_1K_EMBEDDING_TOKENS),
+        4,
+    )
+    rows = usage.select(
+        F.lit(run_id).alias("run_id"),
+        F.col("parent_id").alias("file_key"),
+        F.lit("success").alias("status"),
+        F.lit(1).alias("attempts"),
+        F.lit(False).alias("blocked"),
+        F.current_timestamp().alias("started_at"),
+        F.current_timestamp().alias("finished_at"),
+        F.col("chunks").cast("int").alias("chunks"),
+        F.struct(
+            F.lit(None).cast("double").alias("downloadSec"),
+            F.lit(None).cast("double").alias("analysisSec"),
+            F.round(F.col("chunkSec"), 3).alias("chunkEmbedSec"),
+            F.lit(None).cast("double").alias("retryWaitSec"),
+            F.lit(0).alias("retryCount"),
+            F.lit(None).cast("double").alias("indexUploadSec"),
+            F.lit(None).cast("double").alias("overheadSec"),
+            F.lit(None).cast("double").alias("totalSec"),
+        ).alias("timings"),
+        F.struct(
+            pages.cast("int").alias("pagesAnalyzed"),
+            F.col("embeddingTokens"),
+            F.lit(0).cast("long").alias("completionTokensIn"),
+            F.lit(0).cast("long").alias("completionTokensOut"),
+            total_usd.alias("totalUSD"),
+        ).alias("costEstimate"),
+        F.lit(None).cast("string").alias("error"),
+    )
+    return rows.collect()
+
+
+def _append_ops(spark, ops_table_path, ops_rows, run_id, upload_sec, total_sec):
+    """Append per-file rows plus one run-level row carrying the
+    job-phase wall timings (upload/total/overhead)."""
+    from gpt_rag_ingestion_spark.schemas import OPS_LOG_SCHEMA
+
+    per_file = spark.createDataFrame(ops_rows or [], schema=OPS_LOG_SCHEMA)
+    tracked = sum(
+        (r["timings"]["chunkEmbedSec"] or 0.0) for r in (ops_rows or [])
+    )
+    overhead = round(max(total_sec - tracked - upload_sec, 0.0), 3)
+    run_row = per_file.sparkSession.createDataFrame(
+        [
+            (
+                run_id, None, "run", None, None, None, None, None,
+                (None, None, None, None, None, upload_sec, overhead, total_sec),
+                None, None,
+            )
+        ],
+        schema=OPS_LOG_SCHEMA,
+    )
+    per_file.unionByName(run_row).write.mode("append").parquet(ops_table_path)

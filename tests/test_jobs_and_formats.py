@@ -93,6 +93,61 @@ def test_ingest_job_blocklist_path(spark, tmp_path):
     assert parents == {"good"}
 
 
+def test_ingest_job_populates_ops_structs(spark, tmp_path):
+    """A4/A5 in the composed job (reference blob_storage_indexer.py:
+    598-678): per-file ops rows carry POPULATED timings/costEstimate
+    structs; a run-level row carries the job-phase wall timings."""
+    table = str(tmp_path / "chunks")
+    ops = str(tmp_path / "ops")
+    t0 = _ts("2024-01-01T00:00:00")
+    docs = _docs(
+        spark, [("d1", "alpha " * 40, t0), ("d2", "beta " * 40, t0)]
+    )
+    run_ingest_job(
+        spark, docs, table, "run1", max_tokens=30, overlap=4, min_tokens=2,
+        embedding_dim=8, ops_table_path=ops,
+    )
+    ops_rows = spark.read.parquet(ops).collect()
+    per_file = [r for r in ops_rows if r["file_key"] is not None]
+    run_rows = [r for r in ops_rows if r["file_key"] is None]
+    assert {r["file_key"] for r in per_file} == {"d1", "d2"}
+    for r in per_file:
+        assert r["timings"] is not None
+        assert r["timings"]["chunkEmbedSec"] is not None
+        assert r["timings"]["chunkEmbedSec"] >= 0
+        ce = r["costEstimate"]
+        assert ce is not None and ce["embeddingTokens"] > 0
+        # reference cost model applied to the usage columns
+        assert ce["totalUSD"] == round(
+            ce["pagesAnalyzed"] * 0.01 + ce["embeddingTokens"] / 1000 * 0.00013, 4
+        )
+        assert r["chunks"] > 0 and r["status"] == "success"
+    assert len(run_rows) == 1
+    rt = run_rows[0]["timings"]
+    assert rt["indexUploadSec"] is not None and rt["totalSec"] is not None
+    assert rt["totalSec"] >= rt["indexUploadSec"]
+    # the ops-only timing column never leaks into the chunks table
+    assert "_chunk_sec" not in spark.read.parquet(table).columns
+
+
+def test_guid_validation(spark):
+    """F25 (reference sharepoint_graph_client.py:384-390)."""
+    from gpt_rag_ingestion_spark.functions.keys import is_valid_guid
+
+    df = spark.createDataFrame(
+        [
+            ("0f8fad5b-d9cb-469f-a165-70867728950e",),
+            ("0F8FAD5B-D9CB-469F-A165-70867728950E",),
+            ("not-a-guid",),
+            ("0f8fad5bd9cb469fa16570867728950e",),
+            ("",),
+        ],
+        ["g"],
+    )
+    got = [r["ok"] for r in df.select(is_valid_guid("g").alias("ok")).collect()]
+    assert got == [True, True, False, False, False]
+
+
 def test_factory_dispatch(spark):
     df = spark.createDataFrame(
         [("a.pdf",), ("b.MD",), ("c.xlsx",), ("d.vtt",), ("e.json",),
