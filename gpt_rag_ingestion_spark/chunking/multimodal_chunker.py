@@ -31,10 +31,7 @@ from gpt_rag_ingestion_spark.embeddings import hash_embedding_udf
 from gpt_rag_ingestion_spark.enrichers import caption_deterministic
 from gpt_rag_ingestion_spark.functions.keys import chunk_key, sanitize_key
 from gpt_rag_ingestion_spark.functions.markdown import number_figures
-from gpt_rag_ingestion_spark.operators.figures import (
-    extract_figure_refs,
-    filter_significant_figures,
-)
+from gpt_rag_ingestion_spark.operators.figures import filter_significant_figures
 
 
 @pandas_udf(StringType())
@@ -87,20 +84,47 @@ def chunk_multimodal_documents(
         "parent_id", sanitize_key(F.col(doc_key_col).cast("string"))
     )
 
-    # 4b. strip tags of missing / area-filtered figures from content —
-    # the reference blanks `<figure{id}>` for any figure it drops
-    # (multimodal_chunker.py:255-275); without this, dangling tags
-    # survive in chunk text.  array_except against the kept-id set per
-    # document, then a JVM-side aggregate of replace() calls.
+    # 5+6. figure join + captions + dropped-tag strip in ONE pass.
+    # Figures are per-document and few, so the join side collapses to a
+    # map(figure_id -> (caption, url)) per document (J8 — the exact
+    # analog of the reference's figures_dict, multimodal_chunker.py:
+    # 238-258).  Everything downstream is array algebra on the chunk
+    # row: refs from the regex, kept refs via map lookup, captions
+    # sorted per chunk, tags of dropped figures blanked (reference
+    # :255-275).  The chunk-UDF subtree is consumed exactly ONCE and
+    # the only added shuffle is the tiny figures-side groupBy — at
+    # corpus scale the join is per-parent equi-join AQE can broadcast.
     from gpt_rag_ingestion_spark.operators.figures import FIGURE_REF_REGEX
 
-    kept_sets = fig_keyed.groupBy("parent_id").agg(
-        F.collect_set("figure_id").alias("_kept_ids")
+    figmaps = fig_keyed.groupBy("parent_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col("figure_id"),
+                    F.struct(F.col("caption"), F.col("image_url")),
+                )
+            )
+        ).alias("_figs")
     )
-    refs_arr = F.array_distinct(
-        F.regexp_extract_all(F.col("content"), F.lit(FIGURE_REF_REGEX), 1)
+
+    refs_arr = F.regexp_extract_all(F.col("content"), F.lit(FIGURE_REF_REGEX), 1)
+    figs = F.coalesce(F.col("_figs"), F.map_from_arrays(F.array(), F.array()))
+    # reference keeps duplicate refs when building captions (re.findall)
+    kept_refs = F.filter(refs_arr, lambda r: F.map_contains_key(figs, r))
+    unkept = F.array_except(F.array_distinct(refs_arr), kept_refs)
+    captions = F.when(
+        F.size(kept_refs) > 0,
+        F.concat_ws(
+            "\n",
+            F.sort_array(F.transform(kept_refs, lambda r: figs[r]["caption"])),
+        ),
     )
-    unkept = F.array_except(refs_arr, F.coalesce("_kept_ids", F.array()))
+    related = F.when(
+        F.size(kept_refs) > 0,
+        F.sort_array(
+            F.array_distinct(F.transform(kept_refs, lambda r: figs[r]["image_url"]))
+        ),
+    )
     stripped = F.aggregate(
         unkept,
         F.col("content"),
@@ -110,37 +134,16 @@ def chunk_multimodal_documents(
             F.lit(""),
         ),
     )
-    chunks = (
-        chunks.join(F.broadcast(kept_sets), on="parent_id", how="left")
-        .withColumn("content", stripped)
-        .withColumn("length", F.length("content"))
-        .drop("_kept_ids")
-    )
-
-    # 5. figure refs per chunk -> join figures on (document, figure id):
-    # figure ids are sequential PER DOCUMENT, so joining on figure_id
-    # alone would attach doc A's <figure1> to doc B's figure 1
-    refs = extract_figure_refs(
-        chunks, content_col="content", chunk_id_col="id"
-    ).join(chunks.select("id", "parent_id"), on="id")
-    joined = refs.join(
-        F.broadcast(fig_keyed.select("parent_id", "figure_id", "caption", "image_url")),
-        on=["parent_id", "figure_id"],
-        how="inner",
-    )
-    per_chunk = joined.groupBy("id").agg(
-        F.concat_ws("\n", F.sort_array(F.collect_list("caption"))).alias(
-            "imageCaptions"
-        ),
-        F.sort_array(F.collect_set("image_url")).alias("relatedImages"),
-    )
-
-    # 6. attach captions; captionVector = embed(captions) else zero-vec
     zero_vec = F.array(*[F.lit(0.0) for _ in range(embedding_dim)]).cast(
         "array<float>"
     )
     out = (
-        chunks.join(per_chunk, on="id", how="left")
+        chunks.join(figmaps, on="parent_id", how="left")
+        .withColumn("imageCaptions", captions)
+        .withColumn("relatedImages", related)
+        .withColumn("content", stripped)
+        .withColumn("length", F.length("content"))
+        .drop("_figs")
         .withColumn("contentVector", embed(F.col("content")))
         .withColumn(
             "captionVector",
