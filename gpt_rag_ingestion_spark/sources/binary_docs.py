@@ -23,29 +23,102 @@ from pyspark.sql import functions as F
 from gpt_rag_ingestion_spark.functions.text import extension_of, filename_of
 
 
+GIANT_FILE_BYTES = 10 * 1024 * 1024  # reference blob_storage_indexer.py:562-579
+
+
 def read_binary_documents(
     spark: SparkSession,
     path: str,
     glob: str | None = None,
     skip_empty: bool = True,
+    max_inline_bytes: int | None = None,
 ) -> DataFrame:
     """S1/S2: binary-file scan normalized to the engine's source-doc
     shape.  Reading is lazy — ``content`` is only materialized for rows
-    that survive pushed-down path/length predicates."""
+    that survive pushed-down path/length predicates.
+
+    ``max_inline_bytes`` is the giant-file spill analog (the reference
+    writes PDFs over 10 MB to a temp file and chunks from the path,
+    blob_storage_indexer.py:562-579): files above the threshold come
+    back with ``bytes`` NULL and ``deferred`` true from a listing-only
+    scan that never reads their payload (binaryFile prunes the content
+    column), and ``open_deferred_payloads`` loads them inside the task
+    that actually processes them."""
     reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
-    df = reader.load(path)
+    base = reader.load(path)
     if skip_empty:
-        df = df.filter(F.col("length") > 0)  # dir markers (S1)
-    return df.select(
-        F.col("path"),
-        filename_of(F.col("path")).alias("file_name"),
-        extension_of(F.col("path")).alias("extension"),
-        F.col("content").alias("bytes"),
-        F.col("modificationTime").alias("last_modified"),
-        F.col("length").alias("size"),
+        base = base.filter(F.col("length") > 0)  # dir markers (S1)
+
+    def shape(df, bytes_col, deferred):
+        return df.select(
+            F.col("path"),
+            filename_of(F.col("path")).alias("file_name"),
+            extension_of(F.col("path")).alias("extension"),
+            bytes_col.alias("bytes"),
+            F.col("modificationTime").alias("last_modified"),
+            F.col("length").alias("size"),
+            F.lit(deferred).alias("deferred"),
+        )
+
+    if max_inline_bytes is None:
+        return shape(base, F.col("content"), False)
+    small = shape(
+        base.filter(F.col("length") <= max_inline_bytes), F.col("content"), False
     )
+    # the giant slice selects NO content column -> scan reads metadata only
+    giant = shape(
+        base.filter(F.col("length") > max_inline_bytes),
+        F.lit(None).cast("binary"),
+        True,
+    )
+    return small.unionByName(giant)
+
+
+def open_deferred_payloads(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """S2 (open-by-path): fill NULL payloads of ``deferred`` rows by
+    opening the path INSIDE the task that processes the row — the
+    cluster-side analog of the reference's temp-file spill.  Iterator
+    mapInPandas, one file in memory at a time per task.  Local and
+    ``file:`` paths are handled here; an object-store deployment swaps
+    the ``_open`` body for its SDK ranged read."""
+    import pandas as pd
+
+    from gpt_rag_ingestion_spark.session import ensure_importable
+
+    ensure_importable(df)
+
+    def _open(p: str) -> bytes:
+        local = p[len("file:"):] if p.startswith("file:") else p
+        with open(local, "rb") as fh:
+            return fh.read()
+
+    schema = df.schema
+
+    def fill(batches):
+        for pdf in batches:
+            if not pdf.empty:
+                need = pdf[bytes_col].isna() & pdf["deferred"]
+                pdf.loc[need, bytes_col] = pdf.loc[need, "path"].map(_open)
+            yield pdf
+
+    return df.mapInPandas(fill, schema=schema)
+
+
+def read_site_configs(
+    spark: SparkSession,
+    path: str,
+    type_filter: str | None = "sharepoint_site",
+) -> DataFrame:
+    """S8: config scan — the reference's ``SELECT * FROM c`` over Cosmos
+    followed by a ``type == 'sharepoint_site'`` filter
+    (tools/cosmosdb.py:21-37; jobs/sharepoint_indexer.py:253-256) as a
+    small JSON read + filter."""
+    df = spark.read.option("multiLine", "true").json(path)
+    if type_filter and "type" in df.columns:
+        df = df.filter(F.col("type") == type_filter)
+    return df
 
 
 def read_json_kind_routed(

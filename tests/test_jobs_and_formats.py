@@ -219,6 +219,52 @@ def test_read_binary_documents(spark, tmp_path):
     assert [r["file_name"] for r in rows] == ["a.md"]
     assert rows[0]["bytes"] == b"hello"
     assert rows[0]["extension"] == "md"
+    assert rows[0]["deferred"] is False
+
+
+def test_giant_file_deferred_payload(spark, tmp_path):
+    """S2: files above the inline threshold scan as listing-only rows
+    (NULL bytes) and are opened by path inside the processing task —
+    the reference's >10 MB temp-file spill analog
+    (blob_storage_indexer.py:562-579)."""
+    from gpt_rag_ingestion_spark.sources.binary_docs import (
+        open_deferred_payloads,
+    )
+
+    small = b"tiny payload"
+    giant = b"G" * 4096
+    (tmp_path / "small.bin").write_bytes(small)
+    (tmp_path / "giant.bin").write_bytes(giant)
+    out = read_binary_documents(
+        spark, str(tmp_path), max_inline_bytes=1024
+    )
+    rows = {r["file_name"]: r for r in out.collect()}
+    assert rows["small.bin"]["bytes"] == small
+    assert rows["small.bin"]["deferred"] is False
+    assert rows["giant.bin"]["bytes"] is None  # payload never scanned
+    assert rows["giant.bin"]["deferred"] is True
+
+    filled = {
+        r["file_name"]: r
+        for r in open_deferred_payloads(out).collect()
+    }
+    assert filled["giant.bin"]["bytes"] == giant
+    assert filled["small.bin"]["bytes"] == small
+
+
+def test_read_site_configs(spark, tmp_path):
+    """S8: packaged config scan with the type filter."""
+    from gpt_rag_ingestion_spark.sources.binary_docs import read_site_configs
+
+    cfg = [
+        {"id": "1", "type": "sharepoint_site", "siteDomain": "contoso"},
+        {"id": "2", "type": "other", "siteDomain": "x"},
+    ]
+    (tmp_path / "cfg.json").write_text(json.dumps(cfg))
+    out = read_site_configs(spark, str(tmp_path / "cfg.json"))
+    rows = out.collect()
+    assert [r["id"] for r in rows] == ["1"]
+    assert rows[0]["siteDomain"] == "contoso"
 
 
 def test_read_json_kind_routed(spark, tmp_path):
