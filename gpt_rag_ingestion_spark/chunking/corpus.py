@@ -152,9 +152,12 @@ def chunk_corpus(
     max_tokens: int = 2048,
     overlap: int = 200,
     min_tokens: int = 10,
+    office_supported: bool = False,
 ) -> DataFrame:
     """Run the per-extension chunker family on each slice of a mixed
     corpus and union the results to one relation (CORPUS_CHUNK_COLS).
+    ``office_supported`` routes docx/pptx into the doc-analysis family
+    (the reference's DI 4.0 / CU capability gate).
 
     ``docs``: (doc_key, extension, payload BINARY, ...).  All families
     share deterministic keys (F1-F3) and the hash embedder (U1), so the
@@ -183,9 +186,9 @@ def chunk_corpus(
     if docs.rdd.getNumPartitions() < min(par, 8):
         docs = docs.repartition(par)
 
-    tagged = docs.withColumn("chunker", chunker_for_extension(ext_col)).withColumn(
-        "_text", decode_text_udf(F.col(payload_col))
-    )
+    tagged = docs.withColumn(
+        "chunker", chunker_for_extension(ext_col, office_supported)
+    ).withColumn("_text", decode_text_udf(F.col(payload_col)))
     parent = sanitize_key(F.col(doc_key_col).cast("string"))
     branches: list[DataFrame] = []
 

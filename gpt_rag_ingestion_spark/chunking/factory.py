@@ -23,12 +23,23 @@ JSON_EXTS = ["json"]
 NL2SQL_EXTS = ["nl2sql"]
 
 
-def chunker_for_extension(ext: Column | str) -> Column:
+OFFICE_DOC_EXTS = ["docx", "pptx"]  # reference chunker_factory.py:60-68
+
+
+def chunker_for_extension(
+    ext: Column | str, office_supported: bool = False
+) -> Column:
     """C8: extension -> chunker family tag ('doc_analysis' | 'spreadsheet'
-    | 'langchain' | 'transcription' | 'json' | 'nl2sql' | 'unsupported')."""
+    | 'langchain' | 'transcription' | 'json' | 'nl2sql' | 'unsupported').
+
+    ``office_supported`` mirrors the reference's DI 4.0 / Content
+    Understanding capability gate (chunker_factory.py:60-68): with it,
+    docx/pptx route to the doc-analysis family; without it they are
+    unsupported (the reference raises)."""
     e = F.lower(F.col(ext) if isinstance(ext, str) else ext)
+    doc_exts = DOC_ANALYSIS_EXTS + (OFFICE_DOC_EXTS if office_supported else [])
     return (
-        F.when(e.isin(DOC_ANALYSIS_EXTS), "doc_analysis")
+        F.when(e.isin(doc_exts), "doc_analysis")
         .when(e.isin(SPREADSHEET_EXTS), "spreadsheet")
         .when(e.isin(TRANSCRIPTION_EXTS), "transcription")
         .when(e.isin(JSON_EXTS), "json")
@@ -38,5 +49,9 @@ def chunker_for_extension(ext: Column | str) -> Column:
     )
 
 
-def tag_chunkers(df: DataFrame, ext_col: str = "extension") -> DataFrame:
-    return df.withColumn("chunker", chunker_for_extension(ext_col))
+def tag_chunkers(
+    df: DataFrame, ext_col: str = "extension", office_supported: bool = False
+) -> DataFrame:
+    return df.withColumn(
+        "chunker", chunker_for_extension(ext_col, office_supported)
+    )

@@ -78,6 +78,31 @@ def test_chunk_corpus_routes_every_family(spark):
     assert all(r["summary"] for r in by_family["transcription"])
 
 
+def test_office_capability_gate(spark):
+    """docx/pptx route to doc-analysis only when the capability flag is
+    set (reference chunker_factory.py:60-68)."""
+    from gpt_rag_ingestion_spark.chunking.factory import chunker_for_extension
+    from pyspark.sql import functions as F  # noqa: F811
+
+    df = spark.createDataFrame([("docx",), ("pptx",), ("pdf",)], ["ext"])
+    off = {
+        r["ext"]: r["c"]
+        for r in df.select(
+            "ext", chunker_for_extension("ext").alias("c")
+        ).collect()
+    }
+    assert off == {"docx": "unsupported", "pptx": "unsupported", "pdf": "doc_analysis"}
+    on = {
+        r["ext"]: r["c"]
+        for r in df.select(
+            "ext", chunker_for_extension("ext", office_supported=True).alias("c")
+        ).collect()
+    }
+    assert on == {
+        "docx": "doc_analysis", "pptx": "doc_analysis", "pdf": "doc_analysis",
+    }
+
+
 def test_chunk_corpus_json_exactness(spark):
     """The exploded JSON parts equal chunk_json_text run directly."""
     from gpt_rag_ingestion_spark.chunking.json_chunker import chunk_json_text
