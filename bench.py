@@ -88,13 +88,20 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     # flagship ingestion pipeline: recursive-split UDF + deterministic
-    # embeddings over the full documents table
-    t0 = time.time()
-    docs = entry_mod._t(spark, sf_dir, "documents")
-    materialize(
-        chunk_documents(docs, max_tokens=64, overlap=8, min_tokens=4, embedding_dim=64)
-    )
-    timings["pipeline_chunk_embed"] = round(time.time() - t0, 3)
+    # embeddings over the full documents table (best-of-N like the
+    # headline queries — python-worker spin-up makes single runs noisy)
+    best = None
+    for _ in range(repeats):
+        t0 = time.time()
+        docs = entry_mod._t(spark, sf_dir, "documents")
+        materialize(
+            chunk_documents(
+                docs, max_tokens=64, overlap=8, min_tokens=4, embedding_dim=64
+            )
+        )
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    timings["pipeline_chunk_embed"] = round(best, 3)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:

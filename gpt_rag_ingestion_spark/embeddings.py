@@ -33,26 +33,23 @@ from pyspark.sql.types import ArrayType, FloatType
 
 def embed_text_deterministic(text: str, dim: int) -> list[float]:
     """sha256(text) seeds a counter-mode keystream; each 4-byte word maps
-    to [-1, 1); the vector is L2-normalized.  Pure stdlib+numpy."""
+    to [-1, 1); the vector is L2-normalized.  Pure stdlib+numpy, with
+    the word->float mapping vectorized (bit-identical to the original
+    per-word loop: same little-endian word order, same arithmetic)."""
     if text is None:
         text = ""
     seed = hashlib.sha256(text.encode("utf-8")).digest()
-    out = np.empty(dim, dtype=np.float64)
-    i = 0
-    counter = 0
-    while i < dim:
-        block = hashlib.sha256(seed + struct.pack("<I", counter)).digest()
-        words = struct.unpack("<8I", block)
-        for w in words:
-            if i >= dim:
-                break
-            out[i] = (w / 2147483648.0) - 1.0  # [0,2^32) -> [-1,1)
-            i += 1
-        counter += 1
+    nblocks = (dim + 7) // 8
+    buf = b"".join(
+        hashlib.sha256(seed + struct.pack("<I", c)).digest()
+        for c in range(nblocks)
+    )
+    words = np.frombuffer(buf, dtype="<u4")[:dim]
+    out = words.astype(np.float64) / 2147483648.0 - 1.0  # [0,2^32) -> [-1,1)
     norm = float(np.linalg.norm(out))
     if norm > 0:
-        out /= norm
-    return [float(x) for x in out.astype(np.float32)]
+        out = out / norm
+    return out.astype(np.float32).tolist()
 
 
 def hash_embedding_udf(dim: int = 64):
