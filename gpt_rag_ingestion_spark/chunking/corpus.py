@@ -13,9 +13,10 @@ own rows — the same dispatch, but set-at-a-time.
 Family routing (chunker_for_extension, reference factory :49-72):
   pdf/png/jpeg/jpg/bmp/tiff -> doc-analysis (markdown+PageBreak
       contract stand-in for the external layout service, U3)
-  xlsx/xls  -> spreadsheet SHEET mode (payload parsed as CSV text —
-      the deterministic stand-in for the openpyxl parse, which
-      parse_xlsx_bytes gates on the missing library)
+  docx/pptx (office_supported) -> doc-analysis via the stdlib OOXML
+      converters (office.docx_to_markdown / pptx_to_markdown)
+  xlsx/xls  -> spreadsheet SHEET mode; real xlsx bytes parsed by the
+      stdlib OOXML parser (every sheet), plain text falls back to CSV
   vtt       -> transcription (summary-embedding quirk preserved)
   json      -> recursive JSON partitioner (C6/F22)
   nl2sql    -> one chunk per top-level key (C7)
@@ -122,25 +123,84 @@ def _nl2sql_parts_udf():
     return _parts
 
 
-def _csv_sheet_udf():
-    """Deterministic stand-in for the openpyxl workbook parse: payload
-    text as one CSV sheet (line rows, comma cells).  Real xlsx bytes go
-    through parse_xlsx_bytes when openpyxl is installed."""
+def _sheets_udf():
+    """Workbook parse: real xlsx bytes (zip magic ``PK``) go through the
+    stdlib OOXML parser (office.parse_xlsx_workbook, every sheet in
+    workbook order); plain-text payloads fall back to one CSV sheet
+    (line rows, comma cells).  First row = headers, like the
+    reference's openpyxl read (spreadsheet_chunker.py:318-344)."""
     from gpt_rag_ingestion_spark.session import ship_active
 
     ship_active()
 
-    @pandas_udf("headers array<string>, rows array<array<string>>")
-    def _parse(texts: pd.Series) -> pd.DataFrame:
-        headers, rows = [], []
-        for t in texts:
-            lines = [ln for ln in (t or "").split("\n") if ln.strip() != ""]
-            cells = [ln.split(",") for ln in lines]
-            headers.append(cells[0] if cells else [])
-            rows.append(cells[1:] if len(cells) > 1 else [])
-        return pd.DataFrame({"headers": headers, "rows": rows})
+    schema = (
+        "array<struct<sheet_pos:int, sheet_name:string, "
+        "headers:array<string>, rows:array<array<string>>>>"
+    )
+
+    @pandas_udf(schema)
+    def _parse(payloads: pd.Series) -> pd.Series:
+        from gpt_rag_ingestion_spark.chunking.office import parse_xlsx_workbook
+
+        out = []
+        for raw in payloads:
+            b = bytes(raw) if raw is not None else b""
+            if b[:2] == b"PK":
+                sheets = [
+                    {
+                        "sheet_pos": s["sheet_pos"],
+                        "sheet_name": s["sheet_name"],
+                        "headers": s["rows"][0] if s["rows"] else [],
+                        "rows": s["rows"][1:],
+                    }
+                    for s in parse_xlsx_workbook(b)
+                ]
+            else:
+                t = b.decode("utf-8", errors="replace")
+                lines = [ln for ln in t.split("\n") if ln.strip() != ""]
+                cells = [ln.split(",") for ln in lines]
+                sheets = [
+                    {
+                        "sheet_pos": 0,
+                        "sheet_name": "Sheet1",
+                        "headers": cells[0] if cells else [],
+                        "rows": cells[1:] if len(cells) > 1 else [],
+                    }
+                ]
+            out.append(sheets)
+        return pd.Series(out)
 
     return _parse
+
+
+def _office_md_udf():
+    """docx/pptx bytes -> doc-analysis markdown via the stdlib OOXML
+    converters; non-zip payloads pass through as decoded text (the
+    contract stand-in used for pdf/images)."""
+    from gpt_rag_ingestion_spark.session import ship_active
+
+    ship_active()
+
+    @pandas_udf("string")
+    def _to_md(exts: pd.Series, payloads: pd.Series) -> pd.Series:
+        from gpt_rag_ingestion_spark.chunking.office import (
+            docx_to_markdown,
+            pptx_to_markdown,
+        )
+
+        out = []
+        for ext, raw in zip(exts, payloads):
+            b = bytes(raw) if raw is not None else b""
+            e = (ext or "").lower()
+            if b[:2] == b"PK" and e == "docx":
+                out.append(docx_to_markdown(b))
+            elif b[:2] == b"PK" and e == "pptx":
+                out.append(pptx_to_markdown(b))
+            else:
+                out.append(b.decode("utf-8", errors="replace"))
+        return pd.Series(out)
+
+    return _to_md
 
 
 def chunk_corpus(
@@ -222,10 +282,14 @@ def chunk_corpus(
             )
         )
 
-    # ---- doc-analysis family (C1 contract stand-in) ----
+    # ---- doc-analysis family (C1; docx/pptx parsed by office.py, the
+    # pdf/image slice uses the markdown contract stand-in) ----
     da = tagged.filter(F.col("chunker") == "doc_analysis")
     da_chunks = chunk_analyzed_documents(
-        da.select(parent.alias("parent_id"), F.col("_text").alias("_md")),
+        da.select(
+            parent.alias("parent_id"),
+            _office_md_udf()(F.col(ext_col), F.col(payload_col)).alias("_md"),
+        ),
         md_col="_md",
         max_tokens=max_tokens,
         overlap=overlap,
@@ -236,13 +300,15 @@ def chunk_corpus(
         _conform(da_chunks.withColumn("contentVector", embed("content")), "doc_analysis")
     )
 
-    # ---- spreadsheet family: SHEET mode (C3) ----
+    # ---- spreadsheet family: SHEET mode (C3), every workbook sheet ----
     ss = tagged.filter(F.col("chunker") == "spreadsheet")
-    parsed = ss.withColumn("_sheet", _csv_sheet_udf()(F.col("_text")))
+    parsed = ss.withColumn(
+        "_sheets", _sheets_udf()(F.col(payload_col))
+    ).withColumn("_sheet", F.explode("_sheets"))
     sheets = parsed.select(
         F.col(doc_key_col),
-        F.lit(0).alias("sheet_pos"),
-        F.lit("Sheet1").alias("sheet_name"),
+        F.col("_sheet.sheet_pos").alias("sheet_pos"),
+        F.col("_sheet.sheet_name").alias("sheet_name"),
         F.col("_sheet.headers").alias("headers"),
         F.col("_sheet.rows").alias("rows"),
     )

@@ -9,9 +9,9 @@ Two modes, like the reference:
   embedding text = the compact ``file=..\\nsheet=..\\nrow=N\\ncols=a|b\\n
   vals=1|2`` form with trailing empty cells dropped (F17, :267-327).
 
-openpyxl is not available in this container, so the xlsx byte-parsing
-step is gated behind an import-try (raises NotImplementedError with a
-clear message); the chunking logic itself operates on parsed rows —
+xlsx byte-parsing uses openpyxl when installed and otherwise the
+stdlib OOXML parser in office.py (zipfile + ElementTree — no library
+needed); the chunking logic itself operates on parsed rows —
 which is also exactly what a Spark-native pipeline wants, since
 `spark.read` already produces rows for csv/parquet sources and the
 markdown/compact-text construction is pure column algebra
@@ -26,16 +26,17 @@ from pyspark.sql import functions as F
 
 
 def parse_xlsx_bytes(payload: bytes) -> list[list[str]]:
-    """xlsx -> rows of cell strings.  Needs openpyxl (not in this
-    environment); csv/parquet sources go through spark.read instead."""
+    """xlsx -> first sheet's rows of cell strings.  openpyxl when
+    available (full fidelity: number formats, dates); otherwise the
+    stdlib OOXML parser (office.parse_xlsx_workbook) — xlsx is zipped
+    XML, no library required."""
     try:
         import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "xlsx parsing requires openpyxl, which is not available in "
-            "this environment; load spreadsheets via spark.read.csv/"
-            "parquet or install openpyxl"
-        ) from e
+    except ImportError:
+        from gpt_rag_ingestion_spark.chunking.office import parse_xlsx_workbook
+
+        sheets = parse_xlsx_workbook(payload)
+        return sheets[0]["rows"] if sheets else []
     import io
 
     wb = openpyxl.load_workbook(io.BytesIO(payload), read_only=True)

@@ -256,9 +256,12 @@ def test_chunk_rows_mode_trailing_empty_dropped(spark):
     assert out[2].endswith("cols=c1\nvals=a")
 
 
-def test_parse_xlsx_gated():
-    with pytest.raises(NotImplementedError):
-        parse_xlsx_bytes(b"PK\x03\x04fake")
+def test_parse_xlsx_stdlib_fallback():
+    # without openpyxl the stdlib OOXML parser handles real xlsx bytes
+    from gpt_rag_ingestion_spark.chunking.office import build_xlsx
+
+    payload = build_xlsx([("S1", [["h1", "h2"], ["a", "b"]])])
+    assert parse_xlsx_bytes(payload) == [["h1", "h2"], ["a", "b"]]
 
 
 # ------------------------------------------------------------ figure ops
