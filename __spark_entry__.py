@@ -846,6 +846,237 @@ def q35_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q55_path_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """F3/F4/F5: path building, filename/extension extraction, and the
+    title-from-filename chain (strip ext, [_-]->space, camelCase split,
+    initcap) on constructed camel/underscore names."""
+    from gpt_rag_ingestion_spark.functions.keys import parent_key
+    from gpt_rag_ingestion_spark.functions.text import (
+        extension_of,
+        filename_of,
+        title_from_filename,
+    )
+
+    docs = _t(spark, sf, "documents")
+    fname = F.concat(
+        F.lit("annualReport"), F.col("doc_id").cast("string"), F.lit("_finalDraft.MD")
+    )
+    d = docs.select("doc_id", "source", fname.alias("fn"))
+    path = F.concat(F.lit("/corpus/"), F.col("source"), F.lit("/"), F.col("fn"))
+    return d.select(
+        "doc_id",
+        path.alias("path"),
+        filename_of(path).alias("file_name"),
+        extension_of(path).alias("ext"),
+        title_from_filename(filename_of(path)).alias("title"),
+        parent_key(F.col("source"), F.col("fn")).alias("pkey"),
+    )
+
+
+def q56_byte_truncate(spark: SparkSession, sf: str) -> DataFrame:
+    """F6: byte-safe 32,766-byte truncation (pandas UDF) exercised past
+    the limit via repeat.  The corpus text is ASCII so the oracle's
+    char-substr equals the UDF's byte-substr; multibyte boundary
+    behavior is covered by unit tests."""
+    from gpt_rag_ingestion_spark.functions.text import byte_truncate_udf
+
+    docs = _t(spark, sf, "documents")
+    trunc = byte_truncate_udf(F.repeat(F.col("text"), 70))
+    return docs.select(
+        "doc_id",
+        F.length(trunc).cast("long").alias("trunc_len"),
+        F.md5(trunc).alias("trunc_md5"),
+    )
+
+
+def q57_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """F7/F8: BPE-ish token counting (pure codegen — the 100 TB hot
+    path) plus the first-32-token head, both relational."""
+    from gpt_rag_ingestion_spark.functions.tokens import (
+        TOKEN_REGEX,
+        approx_token_count,
+    )
+
+    docs = _t(spark, sf, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0)
+    return docs.select(
+        "doc_id",
+        approx_token_count("text").cast("long").alias("token_count"),
+        F.array_join(F.slice(toks, 1, 32), " ").alias("head_tokens"),
+    )
+
+
+def q58_stale_runs(spark: SparkSession, sf: str) -> DataFrame:
+    """F11: datetime arithmetic — runs started > 48 h before a fixed
+    'now' with no finish timestamp get marked interrupted (reference
+    CHANGELOG.md:16 stale-run detection)."""
+    import datetime
+
+    from gpt_rag_ingestion_spark.operators.ops_log import stale_runs
+
+    ev = _t(spark, sf, "events")
+    runs = ev.select(
+        F.col("event_id").alias("run_id"),
+        F.col("ts").alias("started_at"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("timestamp"))
+        .otherwise(F.col("ts") + F.expr("INTERVAL 10 MINUTES"))
+        .alias("finished_at"),
+    )
+    now = datetime.datetime(2024, 1, 20)
+    return stale_runs(runs, now_ts=now, hours=48).select(
+        "run_id", "started_at", "status"
+    )
+
+
+def q59_run_history(spark: SparkSession, sf: str) -> DataFrame:
+    """W4: per-file runHistory newest-first (ordered collect_list),
+    serialized to a string so the ordering itself is oracle-checked."""
+    from gpt_rag_ingestion_spark.operators.ops_log import run_history
+
+    ev = _t(spark, sf, "events")
+    logs = ev.select(
+        (F.col("user_id") % 50).alias("file_key"),
+        F.col("ts").alias("started_at"),
+        F.col("event_type").alias("status"),
+    )
+    hist = F.array_join(
+        F.transform(
+            "runHistory",
+            lambda x: F.concat(
+                F.date_format(x["startedAt"], "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+                F.lit("|"),
+                x["status"],
+            ),
+        ),
+        ",",
+    )
+    return run_history(logs).select("file_key", hist.alias("history"))
+
+
+def q60_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """S10/S11: the merge-upsert plan (delete-parents-then-upload as one
+    anti-join + union) — the relational core merge_upsert materializes."""
+    from gpt_rag_ingestion_spark.operators.upsert import merged_view
+
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    incoming = orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_orderstatus", F.lit("U")
+    )
+    return merged_view(orders, incoming, key="o_orderkey")
+
+
+_Q61_SEQ = [0]
+
+
+def q61_first_seen(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.10: the stateful streaming first-seen operator run as a REAL
+    stream (applyInPandasWithState, AvailableNow trigger, memory sink) —
+    value is key-derived so the emitted row is deterministic and the
+    whole streaming run is oracle-checkable as a batch aggregate."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.streaming.stateful import streaming_first_seen
+
+    _ensure_shipped(spark)
+    key = F.concat(F.lit("u"), F.col("user_id").cast("string"))
+    stream = (
+        spark.readStream.schema(_EVENTS_READ_SCHEMA)
+        # the streaming file source wants a directory; glob-filter to the
+        # events table only
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+        .select(key.alias("key"), key.alias("value"))
+    )
+    out = streaming_first_seen(stream)
+    _Q61_SEQ[0] += 1
+    name = f"q61_first_seen_{_Q61_SEQ[0]}"
+    ckpt = tempfile.mkdtemp(prefix="q61-ckpt-")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("key", "first_value", "n_duplicates_dropped")
+
+
+def q62_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew: two-phase salted aggregation on a 3-value hot key must equal
+    the plain GROUP BY (the oracle IS the unsalted plan).  Sum goes
+    through DECIMAL per the determinism policy."""
+    from gpt_rag_ingestion_spark.operators.skew import salted_aggregate
+
+    li = _t(spark, sf, "lineitem").withColumn(
+        "_qdec", F.col("l_quantity").cast("decimal(18,4)")
+    )
+    out = salted_aggregate(
+        li,
+        key="l_returnflag",
+        aggs={"n_items": "count", "sum_qty": "sum:_qdec", "max_qty": "max:l_quantity"},
+    )
+    return out.select(
+        "l_returnflag",
+        "n_items",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        "max_qty",
+    )
+
+
+def q63_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup (clustering): MinHash+LSH candidate pairs -> connected
+    components (min-label propagation + pointer jumping) -> per-doc
+    cluster id / size / canonical flag.  The full LLM-corpus dedup
+    decision path; oracle = recursive-CTE reachability in DuckDB."""
+    from gpt_rag_ingestion_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_candidates,
+    )
+
+    docs = _t(spark, sf, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, "text", "doc_id", n=3, num_hashes=16, bands=8, hash_fn="md5"
+    )
+    return duplicate_clusters(pairs, nodes=docs, id_col="doc_id")
+
+
+def q64_knn_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Similarity: exact top-3 neighbors per vector by quantized dot —
+    tiled block matmul with per-tile top-k prune, then a global
+    row_number merge (dot DESC, nn_id ASC)."""
+    from gpt_rag_ingestion_spark.operators.similarity import quantized_dot_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return quantized_dot_topk(emb, k=3)
+
+
+def q65_guid_validation(spark: SparkSession, sf: str) -> DataFrame:
+    """F25: GUID validation as one rlike expression over constructed
+    valid (lower/upper canonical 8-4-4-4-12) and invalid strings."""
+    from gpt_rag_ingestion_spark.functions.keys import is_valid_guid
+
+    docs = _t(spark, sf, "documents")
+    h = F.md5(F.col("text"))
+    canonical = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    guid = (
+        F.when(F.col("doc_id") % 3 == 0, canonical)
+        .when(F.col("doc_id") % 3 == 1, F.upper(canonical))
+        .otherwise(F.concat(F.lit("g-"), h))
+    )
+    return docs.select("doc_id", guid.alias("guid"), is_valid_guid(guid).alias("valid"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -895,6 +1126,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_multimodal_chunks": q52_multimodal_chunks,
         "q53_mixed_corpus": q53_mixed_corpus,
         "q54_sheet_mode": q54_sheet_mode,
+        "q55_path_keys": q55_path_keys,
+        "q56_byte_truncate": q56_byte_truncate,
+        "q57_token_stats": q57_token_stats,
+        "q58_stale_runs": q58_stale_runs,
+        "q59_run_history": q59_run_history,
+        "q60_merge_upsert": q60_merge_upsert,
+        "q61_first_seen": q61_first_seen,
+        "q62_salted_agg": q62_salted_agg,
+        "q63_dedup_clusters": q63_dedup_clusters,
+        "q64_knn_topk": q64_knn_topk,
+        "q65_guid_validation": q65_guid_validation,
     }
 
 
@@ -945,6 +1187,22 @@ def oracle_sql() -> dict[str, str]:
         "SELECT vec_id, list_transform(embedding, x -> "
         "CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings"
     )
+    minhash_pairs = f"""
+            WITH sh AS ({_SHINGLES}),
+            sig AS (
+              SELECT doc_id,
+                {", ".join(f"min(md5('s{i}:' || shingle)) AS mh_{i}" for i in range(16))}
+              FROM sh GROUP BY doc_id),
+            bands AS (
+              {" UNION ALL ".join(
+                  f"SELECT doc_id, {b} AS band, "
+                  f"md5(mh_{2 * b} || '|' || mh_{2 * b + 1}) AS band_hash FROM sig"
+                  for b in range(8))})
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+                        AND a.doc_id < b.doc_id
+        """
     stop_en = "['the','and','of','to','a','in','is','that','it','for']"
     stop_es = "['el','la','de','que','y','en','un','es','no','por']"
     stop_fr = "['le','la','de','et','un','est','que','pour','dans','les']"
@@ -1106,22 +1364,7 @@ def oracle_sql() -> dict[str, str]:
                    AS BIGINT) AS simhash
             FROM votes GROUP BY doc_id
         """,
-        "q18_minhash_lsh": f"""
-            WITH sh AS ({_SHINGLES}),
-            sig AS (
-              SELECT doc_id,
-                {", ".join(f"min(md5('s{i}:' || shingle)) AS mh_{i}" for i in range(16))}
-              FROM sh GROUP BY doc_id),
-            bands AS (
-              {" UNION ALL ".join(
-                  f"SELECT doc_id, {b} AS band, "
-                  f"md5(mh_{2 * b} || '|' || mh_{2 * b + 1}) AS band_hash FROM sig"
-                  for b in range(8))})
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bands a
-            JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
-                        AND a.doc_id < b.doc_id
-        """,
+        "q18_minhash_lsh": minhash_pairs,
         "q19_knn_top1": f"""
             WITH q AS ({qdot}),
             pairs AS (
@@ -1384,5 +1627,130 @@ def oracle_sql() -> dict[str, str]:
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                 AS session_seq
             FROM g
+        """,
+        "q55_path_keys": r"""
+            WITH d AS (
+              SELECT doc_id, source,
+                'annualReport' || CAST(doc_id AS VARCHAR) || '_finalDraft.MD' AS fn
+              FROM documents),
+            p AS (SELECT *, '/corpus/' || source || '/' || fn AS path FROM d),
+            t AS (SELECT *, regexp_extract(path, '([^/]+)$', 1) AS file_name FROM p),
+            c AS (
+              SELECT *,
+                trim(regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(file_name, '\.[A-Za-z0-9]+$', ''),
+                  '[_-]+', ' ', 'g'), '([a-z])([A-Z])', '\1 \2', 'g'),
+                  ' {2,}', ' ', 'g')) AS collapsed
+              FROM t)
+            SELECT doc_id, path, file_name,
+              CASE WHEN contains(file_name, '.')
+                   THEN lower(string_split(file_name, '.')[-1]) ELSE '' END AS ext,
+              array_to_string(list_transform(string_split(collapsed, ' '),
+                w -> upper(w[1]) || lower(w[2:])), ' ') AS title,
+              '/' || source || '/' || fn AS pkey
+            FROM c
+        """,
+        "q56_byte_truncate": """
+            WITH c AS (SELECT doc_id, repeat(text, 70) AS content FROM documents),
+            t AS (
+              SELECT doc_id,
+                CASE WHEN length(content) > 32766
+                     THEN substr(content, 1, 32766) ELSE content END AS trunc
+              FROM c)
+            SELECT doc_id, CAST(length(trunc) AS BIGINT) AS trunc_len,
+              md5(trunc) AS trunc_md5
+            FROM t
+        """,
+        "q57_token_stats": r"""
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+                AS token_count,
+              array_to_string(regexp_extract_all(text, '\w+|[^\w\s]')[1:32], ' ')
+                AS head_tokens
+            FROM documents
+        """,
+        "q58_stale_runs": """
+            SELECT event_id AS run_id, ts AS started_at,
+              'interrupted' AS status
+            FROM events
+            WHERE event_id % 7 = 0
+              AND ts < TIMESTAMP '2024-01-20 00:00:00' - INTERVAL 48 HOUR
+        """,
+        "q59_run_history": """
+            SELECT user_id % 50 AS file_key,
+              string_agg(strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|' || event_type,
+                         ',' ORDER BY ts DESC, event_type DESC) AS history
+            FROM events GROUP BY user_id % 50
+        """,
+        "q60_merge_upsert": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            WHERE o_orderkey % 10 != 0
+            UNION ALL
+            SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice FROM orders
+            WHERE o_orderkey % 10 = 0
+        """,
+        "q61_first_seen": """
+            SELECT 'u' || CAST(user_id AS VARCHAR) AS key,
+              'u' || CAST(user_id AS VARCHAR) AS first_value,
+              COUNT(*) - 1 AS n_duplicates_dropped
+            FROM events GROUP BY user_id
+        """,
+        "q62_salted_agg": """
+            SELECT l_returnflag, COUNT(*) AS n_items,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+              MAX(l_quantity) AS max_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q63_dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({minhash_pairs}),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            reach(id, r) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+            lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+            alldocs AS (
+              SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN lab l ON d.doc_id = l.id),
+            sizes AS (
+              SELECT cluster_id, COUNT(*) AS cluster_size
+              FROM alldocs GROUP BY cluster_id)
+            SELECT a.doc_id, a.cluster_id, s.cluster_size,
+              a.doc_id = a.cluster_id AS is_canonical
+            FROM alldocs a JOIN sizes s ON a.cluster_id = s.cluster_id
+        """,
+        "q64_knn_topk": f"""
+            WITH q AS ({qdot}),
+            pairs AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+                CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot
+              FROM q a, q b WHERE a.vec_id != b.vec_id)
+            SELECT vec_id, CAST(rn AS INT) AS rank, nn_id, dot FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY dot DESC, nn_id ASC) AS rn FROM pairs) t
+            WHERE rn <= 3
+        """,
+        "q65_guid_validation": """
+            WITH g AS (
+              SELECT doc_id, md5(text) AS h FROM documents),
+            v AS (
+              SELECT doc_id,
+                substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' ||
+                substr(h, 13, 4) || '-' || substr(h, 17, 4) || '-' ||
+                substr(h, 21, 12) AS canon, h
+              FROM g)
+            SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0 THEN canon
+                   WHEN doc_id % 3 = 1 THEN upper(canon)
+                   ELSE 'g-' || h END AS guid,
+              regexp_matches(
+                CASE WHEN doc_id % 3 = 0 THEN canon
+                     WHEN doc_id % 3 = 1 THEN upper(canon)
+                     ELSE 'g-' || h END,
+                '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-'
+                || '[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$') AS valid
+            FROM v
         """,
     }

@@ -301,3 +301,113 @@ def simhash(
         )
         sim = term if sim is None else sim + term
     return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_col: str = "doc_id",
+    left: str = "id_a",
+    right: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate candidate pairs — the
+    clustering step that turns pairwise dedup output (MinHash/LSH,
+    SimHash, embedding near-dup) into keep/drop decisions, as LLM-corpus
+    pipelines do (cluster, keep one canonical document per cluster).
+
+    Output: (id_col, cluster_id, cluster_size, is_canonical) where
+    cluster_id = min doc id in the component and is_canonical marks the
+    kept representative.  When ``nodes`` is given (a DataFrame with
+    ``id_col``), unpaired documents appear as singleton clusters.
+
+    Algorithm: min-label propagation with pointer jumping.  Every node
+    starts labeled with itself; each round a node adopts the minimum
+    label in its closed neighborhood, then labels are contracted one
+    hop (label <- label(label)), the classic pointer-doubling step, so
+    convergence is O(log diameter) rounds, not O(diameter).
+
+    Scale design (100 TB): each round is two shuffle joins on 8-byte
+    ids — (edges ⋈ labels) and the pointer jump — no text, no vectors,
+    no driver-side state; the per-round convergence check is a
+    LIMIT-1 count.  `localCheckpoint` truncates lineage so the plan
+    stays O(1) per round instead of growing with iterations.  Near-dup
+    graphs are unions of near-cliques (banding emits most intra-cluster
+    pairs directly), so observed rounds ~2-3; for adversarial
+    high-diameter graphs the alternating large-star/small-star scheme
+    (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    bounds rounds the same way with the same join shape.
+    """
+    edges = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+    edges = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("dst_label")
+                ),
+                on="dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nbr_label"))
+            .select(F.col("src").alias("id"), "nbr_label")
+        )
+        stepped = labels.join(nbr_min, on="id", how="left").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jump: label <- label(label) (labels only shrink, so
+        # the parent's label is always <= ours)
+        jumped = (
+            stepped.alias("a")
+            .join(
+                stepped.select(
+                    F.col("id").alias("label"), F.col("label").alias("parent")
+                ).alias("b"),
+                on="label",
+                how="left",
+            )
+            .select(
+                F.col("a.id").alias("id"),
+                F.coalesce("b.parent", "a.label").alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+
+    if nodes is not None:
+        labels = (
+            nodes.select(F.col(id_col).alias("id"))
+            .join(labels, on="id", how="left")
+            .select("id", F.coalesce("label", F.col("id")).alias("label"))
+        )
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, on="label").select(
+        F.col("id").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        F.col("cluster_size"),
+        (F.col("id") == F.col("label")).alias("is_canonical"),
+    )

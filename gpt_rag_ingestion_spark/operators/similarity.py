@@ -410,3 +410,79 @@ def ivf_ann(
         F.explode(probe_udf(F.col(vec_col))).alias("cell"),
     )
     return _cogrouped_topk(c, qd, "cell", k)
+
+
+def quantized_dot_topk(
+    emb: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tile_rows: int = 4096,
+) -> DataFrame:
+    """For every vector: the top-``k`` other vectors by integer-quantized
+    dot product (ties -> smaller neighbor id); output one row per
+    (vector, rank).  Exact and engine-portable — the oracle is a plain
+    cross join + window in any SQL engine.
+
+    Physical strategy mirrors :func:`quantized_dot_top1`: blocked int64
+    matmul per (query-block, corpus-tile) cogroup with NO driver
+    participation, but each tile emits its local top-k candidates
+    (k rows per query per tile instead of 1), and the global merge is a
+    row_number window over (dot DESC, nn_id ASC) truncated to k — the
+    standard distributed top-k: per-partition prune, then one shuffle of
+    k·|Q| compact rows."""
+    from gpt_rag_ingestion_spark.session import ensure_importable
+
+    ensure_importable(emb)
+    base = emb.select(id_col, vec_col)
+    c, q = tiled_block_pairs(base, base, tile_rows, id_col, vec_col)
+
+    def score(cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
+        if cdf.empty or qdf.empty:
+            return pd.DataFrame({"qid": [], "nn_id": [], "dot": []})
+        order = cdf["cid"].to_numpy().argsort(kind="stable")
+        cids = cdf["cid"].to_numpy()[order]
+        cmat = _quantize_np(np.vstack(cdf["cv"].to_numpy()[order]))
+        qids = qdf["qid"].to_numpy()
+        qmat = _quantize_np(np.vstack(qdf["qv"].to_numpy()))
+        dots = qmat @ cmat.T
+        self_pos = np.searchsorted(cids, qids)
+        rowidx = np.arange(len(qids))
+        valid = (self_pos < len(cids)) & (
+            cids[np.clip(self_pos, 0, len(cids) - 1)] == qids
+        )
+        # mask self-pairs with a sentinel whose NEGATION stays valid —
+        # int64.min negates to itself (overflow), which would sort the
+        # masked cell FIRST under -dot and steal a top-k slot
+        sentinel = np.iinfo("int64").min // 4
+        dots[rowidx[valid], self_pos[valid]] = sentinel
+        kk = min(k, dots.shape[1])
+        # local top-k per query row; columns are in cid-ascending order,
+        # so a STABLE sort on -dot resolves equal dots to the smaller id
+        # — the same tie-break the global merge applies (an argpartition
+        # would pick arbitrary members of a tie at the k-th boundary)
+        part = np.argsort(-dots, axis=1, kind="stable")[:, :kk]
+        out_q = np.repeat(qids, kk)
+        out_n = cids[part].ravel()
+        out_d = dots[rowidx[:, None], part].ravel()
+        keep = out_d > sentinel
+        return pd.DataFrame(
+            {"qid": out_q[keep], "nn_id": out_n[keep], "dot": out_d[keep]}
+        )
+
+    cands = (
+        c.groupby("qb", "ct")
+        .cogroup(q.groupby("qb", "ct"))
+        .applyInPandas(score, schema="qid long, nn_id long, dot long")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("nn_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(id_col),
+            F.col("rank").cast("int").alias("rank"),
+            "nn_id",
+            "dot",
+        )
+    )

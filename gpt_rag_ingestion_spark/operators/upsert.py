@@ -66,6 +66,18 @@ def _recover(table_path: str) -> None:
         os.rename(old, table_path)
 
 
+def merged_view(
+    existing: DataFrame, incoming: DataFrame, key: str = "parent_id"
+) -> DataFrame:
+    """The relational core of S11+S10 (delete-parent-then-upload):
+    existing rows whose ``key`` does NOT appear in ``incoming``, plus
+    every incoming row.  Pure plan — ``merge_upsert`` materializes it;
+    exposed separately so the merge semantics are oracle-checkable."""
+    keys = incoming.select(key).distinct()
+    kept = existing.join(F.broadcast(keys), on=key, how="left_anti")
+    return kept.unionByName(incoming, allowMissingColumns=True)
+
+
 def merge_upsert(
     spark: SparkSession,
     table_path: str,
@@ -96,8 +108,7 @@ def merge_upsert(
     keys = incoming.select(key).distinct()
 
     if not partition_cols:
-        kept = existing.join(F.broadcast(keys), on=key, how="left_anti")
-        out = kept.unionByName(incoming, allowMissingColumns=True)
+        out = merged_view(existing, incoming, key)
         # local parquet cannot overwrite a path being read: stage then swap
         out.write.mode("overwrite").parquet(tmp)
         _swap_in(spark, tmp, table_path)

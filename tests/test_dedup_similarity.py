@@ -105,3 +105,61 @@ def test_lsh_ann_recall_vs_bruteforce(spark, tmp_path=None):
     r2 = recall(2)
     assert r2 > r0
     assert r2 > 0.4
+
+
+def test_duplicate_clusters_components(spark):
+    from gpt_rag_ingestion_spark.operators.dedup import duplicate_clusters
+
+    # components: {1,2,3} via chain 1-2, 2-3; {7,9}; singleton 5 via nodes
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (9, 7)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 7, 9)], ["doc_id"])
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in duplicate_clusters(pairs, nodes=nodes).collect()
+    }
+    assert out == {
+        1: (1, 3, True),
+        2: (1, 3, False),
+        3: (1, 3, False),
+        5: (5, 1, True),
+        7: (7, 2, True),
+        9: (7, 2, False),
+    }
+
+
+def test_duplicate_clusters_long_chain(spark):
+    """Pointer jumping converges on a path graph (worst-case diameter)."""
+    from gpt_rag_ingestion_spark.operators.dedup import duplicate_clusters
+
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    )
+    rows = duplicate_clusters(pairs).collect()
+    assert len(rows) == n + 1
+    assert all(r["cluster_id"] == 0 for r in rows)
+    assert sum(r["is_canonical"] for r in rows) == 1
+
+
+def test_quantized_dot_topk_matches_top1_and_ranks(spark):
+    from gpt_rag_ingestion_spark.operators.similarity import (
+        quantized_dot_top1,
+        quantized_dot_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    topk = quantized_dot_topk(emb, k=3, tile_rows=64).collect()
+    per_q = {}
+    for r in topk:
+        per_q.setdefault(r["vec_id"], []).append(r)
+    top1 = {r["vec_id"]: (r["nn_id"], r["dot"]) for r in quantized_dot_top1(emb).collect()}
+    for q, rows in per_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        # rank-1 must equal the exact top-1 operator (same tie-break)
+        assert (rows[0]["nn_id"], rows[0]["dot"]) == top1[q]
+        # ranks are by dot desc then nn_id asc
+        keys = [(-r["dot"], r["nn_id"]) for r in rows]
+        assert keys == sorted(keys)
