@@ -1187,16 +1187,24 @@ def oracle_sql() -> dict[str, str]:
         "SELECT vec_id, list_transform(embedding, x -> "
         "CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings"
     )
+    # 4 salted digests per shingle; each yields four independent 8-hex
+    # slices (b-bit minwise hashing) — mirrors minhash_signatures md5 mode
     minhash_pairs = f"""
             WITH sh AS ({_SHINGLES}),
+            dg AS (
+              SELECT doc_id,
+                {", ".join(f"md5('s{d}:' || shingle) AS d{d}" for d in range(4))}
+              FROM sh),
             sig AS (
               SELECT doc_id,
-                {", ".join(f"min(md5('s{i}:' || shingle)) AS mh_{i}" for i in range(16))}
-              FROM sh GROUP BY doc_id),
+                {", ".join(
+                    f"min(substr(d{i // 4}, {8 * (i % 4) + 1}, 8)) AS mh_{i}"
+                    for i in range(16))}
+              FROM dg GROUP BY doc_id),
             bands AS (
               {" UNION ALL ".join(
                   f"SELECT doc_id, {b} AS band, "
-                  f"md5(mh_{2 * b} || '|' || mh_{2 * b + 1}) AS band_hash FROM sig"
+                  f"mh_{2 * b} || '|' || mh_{2 * b + 1} AS band_hash FROM sig"
                   for b in range(8))})
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bands a

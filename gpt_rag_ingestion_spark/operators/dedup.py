@@ -148,11 +148,27 @@ def minhash_signatures(
     ``hash_fn``: 'xxhash64' (fast path — 8-byte ints) or 'md5'
     (engine-portable: lexicographic min over hex digests is a valid
     permutation-min in any engine with md5, so results are
-    oracle-checkable)."""
+    oracle-checkable).
+
+    md5 mode computes ceil(k/4) digests per shingle, not k: disjoint
+    8-hex (32-bit) slices of one digest are independent uniform values
+    in the random-oracle model, so each salted digest yields FOUR
+    hash functions (the b-bit minwise-hashing trick).  4× less hashing
+    on the dominant (per-shingle) path."""
     sh = word_shingles(df, text_col, id_col, n)
     if hash_fn == "md5":
+        n_digests = -(-num_hashes // 4)
+        sh = sh.select(
+            F.col(id_col),
+            *[
+                F.md5(F.concat(F.lit(f"s{d}:"), F.col("shingle"))).alias(f"_d{d}")
+                for d in range(n_digests)
+            ],
+        )
         aggs = [
-            F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+            F.min(
+                F.substring(F.col(f"_d{i // 4}"), 8 * (i % 4) + 1, 8)
+            ).alias(f"mh_{i}")
             for i in range(num_hashes)
         ]
     else:
@@ -185,7 +201,9 @@ def minhash_lsh_candidates(
     def band_hash(b: int):
         cols = [F.col(f"mh_{i}") for i in range(b * r, (b + 1) * r)]
         if hash_fn == "md5":
-            return F.md5(F.concat_ws("|", *cols))
+            # the concatenated minima ARE the band key — no extra hash
+            # round needed for an equality join
+            return F.concat_ws("|", *cols)
         return F.xxhash64(*cols)
 
     # one pass: explode (band, band_hash) structs — computing signatures
