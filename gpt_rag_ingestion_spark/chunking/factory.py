@@ -35,7 +35,9 @@ def chunker_for_extension(
     ``office_supported`` mirrors the reference's DI 4.0 / Content
     Understanding capability gate (chunker_factory.py:60-68): with it,
     docx/pptx route to the doc-analysis family; without it they are
-    unsupported (the reference raises)."""
+    unsupported (the reference raises).  Every OTHER extension falls
+    back to the LangChain family — the reference's ``else`` branch
+    (chunker_factory.py:71-72), so a .log or .rst file still chunks."""
     e = F.lower(F.col(ext) if isinstance(ext, str) else ext)
     doc_exts = DOC_ANALYSIS_EXTS + (OFFICE_DOC_EXTS if office_supported else [])
     return (
@@ -44,8 +46,8 @@ def chunker_for_extension(
         .when(e.isin(TRANSCRIPTION_EXTS), "transcription")
         .when(e.isin(JSON_EXTS), "json")
         .when(e.isin(NL2SQL_EXTS), "nl2sql")
-        .when(e.isin(LANGCHAIN_EXTS), "langchain")
-        .otherwise("unsupported")
+        .when(e.isin(OFFICE_DOC_EXTS), "unsupported")  # capability off
+        .otherwise("langchain")
     )
 
 

@@ -33,6 +33,20 @@ PLAN_PROPERTIES = {
     "q12_running_offset": (["ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"], []),
     # projection pushdown for a narrow select
     "q23_fingerprint": (["ReadSchema: struct<doc_id:bigint,text:string>"], []),
+    # token stats: pure codegen over a pruned 2-column scan
+    "q57_token_stats": (
+        ["ReadSchema: struct<doc_id:bigint,text:string>", "[codegen id :"],
+        ["Exchange"],
+    ),
+    # merge-upsert core: broadcast LEFT ANTI (key set is the small side)
+    # + union with the incoming rows
+    "q60_merge_upsert": (["BroadcastHashJoin", "LeftAnti", "Union"], []),
+    # salted aggregation: two HashAggregate pairs (partial+final per
+    # phase) — the (key, salt) phase then the key phase
+    "q62_salted_agg": (["HashAggregate"], []),
+    # exact top-k: cogrouped Arrow matmul + single window merge of the
+    # pruned k-per-tile candidates
+    "q64_knn_topk": (["FlatMapCoGroupsInPandas", "Window"], []),
 }
 
 

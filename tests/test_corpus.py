@@ -41,7 +41,9 @@ def _mixed_docs(spark):
         ("d-nl2sql", "nl2sql",
          b'{"q1": {"question": "how many", "query": "SELECT 1"},'
          b' "q2": {"question": "why", "query": "SELECT 2"}}'),
-        ("d-bin", "exe", b"\x00\x01"),
+        # docx with the office capability OFF -> unsupported -> dropped
+        # (the reference raises for docx without DI 4.0/CU)
+        ("d-bin", "docx", b"\x00\x01"),
     ]
     return spark.createDataFrame(
         rows, "doc_key string, extension string, payload binary"

@@ -162,7 +162,9 @@ def test_factory_dispatch(spark):
         "d.vtt": "transcription",
         "e.json": "json",
         "f.nl2sql": "nl2sql",
-        "g.zip": "unsupported",
+        # reference chunker_factory.py:71-72: unknown extensions fall
+        # back to LangChainChunker (the P4 allow-list filters upstream)
+        "g.zip": "langchain",
     }
 
 
