@@ -1077,6 +1077,36 @@ def q65_guid_validation(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", guid.alias("guid"), is_valid_guid(guid).alias("valid"))
 
 
+def q66_tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Text analysis: top-3 characteristic terms per document by
+    tf×idf (integer-quantized linear-idf surrogate, fully
+    engine-deterministic — see tfidf_top_terms)."""
+    from gpt_rag_ingestion_spark.operators.text_analysis import tfidf_top_terms
+
+    docs = _t(spark, sf, "documents")
+    return tfidf_top_terms(docs, "text", "doc_id", k=3)
+
+
+def q67_neardup_verified(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup (the 100 TB composition, now as a tested query, not just a
+    docstring): MinHash+LSH generates candidate pairs, exact n-gram
+    Jaccard verifies ONLY those pairs — non-candidate documents never
+    enter the quadratic shingle self-join."""
+    from gpt_rag_ingestion_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf, "documents")
+    cands = minhash_lsh_candidates(
+        docs, "text", "doc_id", n=3, num_hashes=16, bands=8, hash_fn="md5"
+    ).localCheckpoint()  # tiny pair set, referenced 3x downstream —
+    # materialize once instead of re-running the LSH pipeline per use
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.05, candidates=cands
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1137,6 +1167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_dedup_clusters": q63_dedup_clusters,
         "q64_knn_topk": q64_knn_topk,
         "q65_guid_validation": q65_guid_validation,
+        "q66_tfidf_terms": q66_tfidf_terms,
+        "q67_neardup_verified": q67_neardup_verified,
     }
 
 
@@ -1739,6 +1771,49 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY vec_id
                         ORDER BY dot DESC, nn_id ASC) AS rn FROM pairs) t
             WHERE rn <= 3
+        """,
+        "q66_tfidf_terms": f"""
+            WITH toks AS ({_TOKS}),
+            ne AS (SELECT doc_id, token FROM toks WHERE token != ''),
+            tf AS (
+              SELECT doc_id, token, COUNT(*) AS tf
+              FROM ne GROUP BY doc_id, token),
+            dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+            scored AS (
+              SELECT t.doc_id, t.token, t.tf, d.df,
+                (t.tf * 1000000) // d.df AS score_q
+              FROM tf t JOIN dfreq d ON t.token = d.token)
+            SELECT doc_id, CAST(rn AS INT) AS rank, token, tf, df, score_q
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY score_q DESC, tf DESC, token ASC) AS rn
+              FROM scored) s
+            WHERE rn <= 3
+        """,
+        "q67_neardup_verified": f"""
+            WITH cand AS ({minhash_pairs}),
+            cdocs AS (
+              SELECT id_a AS doc_id FROM cand
+              UNION SELECT id_b FROM cand),
+            sh0 AS ({_SHINGLES}),
+            sh AS (SELECT * FROM sh0 WHERE doc_id IN (SELECT doc_id FROM cdocs)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT i.id_a, i.id_b, i.n_inter,
+                   sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+                   round(CAST(i.n_inter AS DOUBLE)
+                         / (sa.n_shingles + sb.n_shingles - i.n_inter), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE round(CAST(i.n_inter AS DOUBLE)
+                        / (sa.n_shingles + sb.n_shingles - i.n_inter), 6) >= 0.05
+              AND EXISTS (SELECT 1 FROM cand c
+                          WHERE c.id_a = i.id_a AND c.id_b = i.id_b)
         """,
         "q65_guid_validation": """
             WITH g AS (

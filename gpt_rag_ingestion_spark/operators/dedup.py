@@ -84,12 +84,18 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.05,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard: explode shingles, join on
     shingle, |A∩B| via groupBy-count, |A∪B| = |A|+|B|-|A∩B|.
 
     Exact integer arithmetic until the final division so the result is
     engine-independent (oracle-checkable).
+
+    ``candidates`` (id_a, id_b) restricts verification to a candidate
+    pair set — the LSH-first composition the 100 TB path mandates:
+    shingles of non-candidate docs never enter the self-join, and only
+    candidate pairs are scored.
 
     Scale note: the self-join runs on xxhash64(shingle) — an 8-byte
     fixed-width key instead of shingle text, shrinking shuffle volume by
@@ -103,6 +109,13 @@ def ngram_jaccard_pairs(
     sh = word_shingles(df, text_col, id_col, n).select(
         F.col(id_col), F.xxhash64("shingle").alias("shingle")
     )
+    if candidates is not None:
+        cand_docs = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sh = sh.join(cand_docs, on=id_col, how="left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -114,6 +127,8 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    if candidates is not None:
+        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
     out = (

@@ -141,3 +141,52 @@ def fingerprint(col: Column | str) -> Column:
     """md5 of whitespace-normalized lowercase text — the exact-dup key."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.trim(F.regexp_replace(F.lower(c), "\\s+", " ")))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by term-frequency ×
+    inverse-document-frequency — the classic corpus-profiling operator
+    (keyword extraction, topic hints, boilerplate detection).
+
+    Output: (id, rank, token, tf, df, score_q).
+
+    Determinism: ``score_q = (tf * 1_000_000) div df`` — a linear-idf
+    surrogate that keeps every comparison in exact integer arithmetic so
+    rankings reproduce bit-identically across engines (ln-idf ranks by
+    a float whose last ulp differs between libms).  A production
+    deployment swaps in a precomputed ln-idf dimension (a |vocab|-row
+    broadcast join — same plan shape, same shuffles).  Total tie-break:
+    (score desc, tf desc, token asc).
+
+    Scale: tokenize is a narrow map; the tf groupBy shuffles
+    (doc_id, token) pairs; the df aggregate reduces to |vocab| rows and
+    joins back broadcast; the final top-k is one window over ≤|doc
+    terms| rows.  Two shuffles total on compact keys, no text after
+    tokenization.
+    """
+    from pyspark.sql import Window
+
+    from gpt_rag_ingestion_spark.operators.dedup import tokenize
+
+    toks = tokenize(df, text_col, id_col).select(id_col, "token")
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), on="token").withColumn(
+        "score_q", F.expr("tf * 1000000 div df")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_q"), F.desc("tf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col, F.col("rank").cast("int").alias("rank"),
+            "token", "tf", "df", "score_q",
+        )
+    )

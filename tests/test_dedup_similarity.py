@@ -163,3 +163,51 @@ def test_quantized_dot_topk_matches_top1_and_ranks(spark):
         # ranks are by dot desc then nn_id asc
         keys = [(-r["dot"], r["nn_id"]) for r in rows]
         assert keys == sorted(keys)
+
+
+def test_tfidf_top_terms_ranking(spark):
+    from gpt_rag_ingestion_spark.operators.text_analysis import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana shared shared shared"),
+            (2, "banana cherry shared shared shared shared"),
+            (3, "cherry cherry cherry apple shared shared"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(df, k=2).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append((r["rank"], r["token"]))
+    for rows in per_doc.values():
+        rows.sort()
+    # doc 1: apple tf=2 df=2 -> 1M; banana tf=1 df=2 -> 500k; shared tf=3 df=3 -> 1M
+    # tie at 1M -> tf desc: shared (tf=3) before apple (tf=2)
+    assert per_doc[1] == [(1, "shared"), (2, "apple")]
+    # doc 3: cherry tf=3 df=2 -> 1.5M wins over shared tf=2 df=3 -> 666k
+    assert per_doc[3][0] == (1, "cherry")
+
+
+def test_ngram_jaccard_candidate_restriction(spark):
+    """With a candidate set, only candidate pairs are scored — and the
+    scores equal the unrestricted operator's for those pairs."""
+    from gpt_rag_ingestion_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the sleepy dog"),
+            (3, "the quick brown fox leaps over the lazy dog"),
+            (4, "completely different text about spark engines here"),
+        ],
+        ["doc_id", "text"],
+    )
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.01).collect()
+    }
+    cands = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    got = ngram_jaccard_pairs(df, threshold=0.01, candidates=cands).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
+    assert got[0]["jaccard"] == full[(1, 2)]
