@@ -1107,6 +1107,35 @@ def q67_neardup_verified(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q68_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Text analysis: Gopher-style keep/drop filter with per-rule
+    reasons — integer-quantized ratios so the corpus-admission decision
+    reproduces bit-identically across engines."""
+    from gpt_rag_ingestion_spark.operators.text_analysis import quality_filter
+
+    docs = _t(spark, sf, "documents")
+    return quality_filter(docs).select(
+        "doc_id", "n_words", "mean_word_len_q", "symbol_ratio_q",
+        "has_stopword", "reason", "keep",
+    )
+
+
+def q69_source_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus mixing: deterministic per-source cap — keep at most 10
+    docs per source, chosen by hash order (md5 of the id, doc_id
+    tie-break).  The per-domain downsampling step of training-data
+    mixture construction; one window over (source)-partitioned rows."""
+    docs = _t(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= 10)
+        .select("doc_id", "source", "sample_rank")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1169,6 +1198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_guid_validation": q65_guid_validation,
         "q66_tfidf_terms": q66_tfidf_terms,
         "q67_neardup_verified": q67_neardup_verified,
+        "q68_quality_filter": q68_quality_filter,
+        "q69_source_cap": q69_source_cap,
     }
 
 
@@ -1814,6 +1845,52 @@ def oracle_sql() -> dict[str, str]:
                         / (sa.n_shingles + sb.n_shingles - i.n_inter), 6) >= 0.05
               AND EXISTS (SELECT 1 FROM cand c
                           WHERE c.id_a = i.id_a AND c.id_b = i.id_b)
+        """,
+        "q68_quality_filter": f"""
+            WITH w AS (
+              SELECT doc_id, text,
+                list_filter(string_split_regex(text, '\\s+'), x -> x != '')
+                  AS words
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                CAST(len(words) AS BIGINT) AS n_words,
+                CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0)
+                     AS BIGINT) AS sum_len,
+                CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                     AS BIGINT) AS n_symbols,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                ({lang_score.format(words=stop_en)}) > 0 AS has_stopword
+              FROM w),
+            q AS (
+              SELECT doc_id, n_words,
+                CASE WHEN n_words > 0 THEN (sum_len * 1000) // n_words
+                     ELSE 0 END AS mean_word_len_q,
+                CASE WHEN n_chars > 0 THEN (n_symbols * 1000000) // n_chars
+                     ELSE 0 END AS symbol_ratio_q,
+                has_stopword
+              FROM s),
+            r AS (
+              SELECT *,
+                CASE WHEN n_words < 5 THEN 'too_few_words'
+                     WHEN n_words > 10000 THEN 'too_many_words'
+                     WHEN mean_word_len_q < 3000 THEN 'short_words'
+                     WHEN mean_word_len_q > 10000 THEN 'long_words'
+                     WHEN symbol_ratio_q > 100000 THEN 'symbol_heavy'
+                     WHEN NOT has_stopword THEN 'no_stopwords'
+                     ELSE 'ok' END AS reason
+              FROM q)
+            SELECT doc_id, n_words, mean_word_len_q, symbol_ratio_q,
+                   has_stopword, reason, reason = 'ok' AS keep
+            FROM r
+        """,
+        "q69_source_cap": """
+            SELECT doc_id, source, CAST(rn AS INT) AS sample_rank FROM (
+              SELECT doc_id, source,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents) t
+            WHERE rn <= 10
         """,
         "q65_guid_validation": """
             WITH g AS (

@@ -190,3 +190,68 @@ def tfidf_top_terms(
             "token", "tf", "df", "score_q",
         )
     )
+
+
+#: Gopher-style repetition/quality rule bounds (Rae et al. 2021, table A1
+#: simplified to the deterministic-integer subset)
+QF_MIN_WORDS = 5
+QF_MAX_WORDS = 10_000
+QF_MIN_MEAN_WORD_LEN_Q = 3_000   # 3.0 chars, ×1000
+QF_MAX_MEAN_WORD_LEN_Q = 10_000  # 10.0 chars, ×1000
+QF_MAX_SYMBOL_RATIO_Q = 100_000  # 10%, ×1e6
+
+
+def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style keep/drop document filter with per-rule reasons —
+    the decision layer LLM-corpus pipelines run after feature
+    extraction (word-count bounds, mean-word-length bounds, symbol
+    ratio, must-contain-a-stopword).
+
+    All ratios are integer-quantized (x1000 / x1e6 with integer
+    division), so keep/drop decisions reproduce bit-identically across
+    engines — an audit requirement when a filter decides what enters a
+    training corpus.  Pure column algebra: narrow map, no shuffle, no
+    Python.
+    """
+    c = F.col(text_col)
+    words = F.filter(F.split(c, "\\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words).cast("long")
+    sum_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_symbols = F.length(F.regexp_replace(c, "[A-Za-z0-9\\s]", "")).cast("long")
+    staged = df.select(
+        "*",
+        n_words.alias("n_words"),
+        sum_len.alias("_sum_len"),
+        n_symbols.alias("_n_symbols"),
+        F.length(c).cast("long").alias("_n_chars"),
+        (stopword_count(c) > 0).alias("has_stopword"),
+    )
+    return (
+        staged.withColumn(
+            "mean_word_len_q",
+            F.when(
+                F.col("n_words") > 0, F.expr("_sum_len * 1000 div n_words")
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "symbol_ratio_q",
+            F.when(
+                F.col("_n_chars") > 0,
+                F.expr("_n_symbols * 1000000 div _n_chars"),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "reason",
+            F.when(F.col("n_words") < QF_MIN_WORDS, "too_few_words")
+            .when(F.col("n_words") > QF_MAX_WORDS, "too_many_words")
+            .when(F.col("mean_word_len_q") < QF_MIN_MEAN_WORD_LEN_Q, "short_words")
+            .when(F.col("mean_word_len_q") > QF_MAX_MEAN_WORD_LEN_Q, "long_words")
+            .when(F.col("symbol_ratio_q") > QF_MAX_SYMBOL_RATIO_Q, "symbol_heavy")
+            .when(~F.col("has_stopword"), "no_stopwords")
+            .otherwise("ok"),
+        )
+        .withColumn("keep", F.col("reason") == "ok")
+        .drop("_sum_len", "_n_symbols", "_n_chars")
+    )
