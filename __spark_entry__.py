@@ -1136,6 +1136,20 @@ def q69_source_cap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q70_kmv_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketches: KMV distinct-count estimate of tokens per source —
+    unlike HyperLogLog, the k-minimum-values synopsis is a
+    deterministic function of the input (k smallest md5-derived
+    hashes), so the ESTIMATE itself is oracle-checkable bit-for-bit."""
+    from gpt_rag_ingestion_spark.operators.sketches import kmv_distinct
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", "\\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    return kmv_distinct(toks, "source", "token", k=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1200,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_neardup_verified": q67_neardup_verified,
         "q68_quality_filter": q68_quality_filter,
         "q69_source_cap": q69_source_cap,
+        "q70_kmv_sketch": q70_kmv_sketch,
     }
 
 
@@ -1883,6 +1898,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_words, mean_word_len_q, symbol_ratio_q,
                    has_stopword, reason, reason = 'ok' AS keep
             FROM r
+        """,
+        "q70_kmv_sketch": """
+            WITH toks AS (
+              SELECT source, t.token
+              FROM documents, unnest(string_split_regex(text, '\\s+')) AS t(token)
+              WHERE t.token != ''),
+            h AS (
+              SELECT DISTINCT source,
+                CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h
+              FROM toks),
+            r AS (
+              SELECT source, h,
+                row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+              FROM h),
+            g AS (
+              SELECT source,
+                max(CASE WHEN rn <= 64 THEN h END) AS kth_hash,
+                COUNT(*) AS exact_distinct
+              FROM r GROUP BY source)
+            SELECT source, kth_hash,
+              CAST(CASE WHEN exact_distinct <= 64 THEN exact_distinct
+                   ELSE (63 * 4294967296) // (kth_hash + 1) END AS BIGINT)
+                AS est_distinct,
+              exact_distinct
+            FROM g
         """,
         "q69_source_cap": """
             SELECT doc_id, source, CAST(rn AS INT) AS sample_rank FROM (

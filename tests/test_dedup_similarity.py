@@ -211,3 +211,19 @@ def test_ngram_jaccard_candidate_restriction(spark):
     got = ngram_jaccard_pairs(df, threshold=0.01, candidates=cands).collect()
     assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
     assert got[0]["jaccard"] == full[(1, 2)]
+
+
+def test_kmv_sketch_estimates(spark):
+    """KMV estimate within the theoretical error envelope (~2/sqrt(k))
+    of the exact distinct count, and exact below the synopsis size."""
+    from gpt_rag_ingestion_spark.operators.sketches import kmv_distinct
+
+    rows = [("big", f"tok{i}") for i in range(3000)]
+    rows += [("small", f"tok{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    out = {r["grp"]: r for r in kmv_distinct(df, "grp", "val", k=64).collect()}
+    assert out["small"]["est_distinct"] == 40  # <= k: exact by definition
+    assert out["small"]["exact_distinct"] == 40
+    big = out["big"]
+    assert big["exact_distinct"] == 3000
+    assert abs(big["est_distinct"] - 3000) / 3000 < 0.5  # 2/sqrt(64)=0.25, pad 2x
