@@ -1150,6 +1150,32 @@ def q70_kmv_sketch(spark: SparkSession, sf: str) -> DataFrame:
     return kmv_distinct(toks, "source", "token", k=64)
 
 
+def q71_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series: as-of join — for each click event, the most recent
+    error event by the same user at or before it (union-window plan,
+    one shuffle on user_id; operators/asof.py).  DuckDB expresses the
+    same thing natively as ASOF LEFT JOIN, which is the oracle."""
+    from gpt_rag_ingestion_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events").withColumn("ts_us", F.unix_micros("ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    errs = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts_us", "event_id", "value"
+    )
+    out = asof_join(
+        clicks, errs, on="user_id", ts_col="ts_us",
+        payload_cols=["event_id", "value"], tiebreak_col="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us",
+        F.col("asof_ts").alias("err_ts_us"),
+        F.col("asof_event_id").alias("err_event_id"),
+        F.col("asof_value").alias("err_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1215,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_quality_filter": q68_quality_filter,
         "q69_source_cap": q69_source_cap,
         "q70_kmv_sketch": q70_kmv_sketch,
+        "q71_asof_join": q71_asof_join,
     }
 
 
@@ -1923,6 +1950,25 @@ def oracle_sql() -> dict[str, str]:
                 AS est_distinct,
               exact_distinct
             FROM g
+        """,
+        "q71_asof_join": """
+            WITH ev AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+              FROM events),
+            clicks AS (
+              SELECT event_id, user_id, ts_us FROM ev
+              WHERE event_type = 'click'),
+            errs AS (
+              SELECT user_id, ts_us,
+                     max_by(event_id, event_id) AS err_event_id,
+                     max_by(value, event_id) AS err_value
+              FROM ev WHERE event_type = 'error'
+              GROUP BY user_id, ts_us)
+            SELECT c.event_id, c.user_id, c.ts_us,
+                   e.ts_us AS err_ts_us, e.err_event_id, e.err_value
+            FROM clicks c
+            ASOF LEFT JOIN errs e
+              ON c.user_id = e.user_id AND c.ts_us >= e.ts_us
         """,
         "q69_source_cap": """
             SELECT doc_id, source, CAST(rn AS INT) AS sample_rank FROM (

@@ -112,3 +112,94 @@ def test_simhash_bits_match_reference_semantics(spark):
             votes[bit] += 1 if (nib >> (bit % 4)) & 1 else -1
     expected = sum(1 << b for b in range(16) if votes[b] > 0)
     assert got == expected
+
+
+def _brute_asof(left_rows, right_rows, tolerance=None, direction="backward"):
+    """Reference as-of: nearest right row per (key, ts), ties by max id."""
+    out = {}
+    for lk, lts, lid in left_rows:
+        best = None
+        for rk, rts, rid, rv in right_rows:
+            if rk != lk:
+                continue
+            ok = rts <= lts if direction == "backward" else rts >= lts
+            if not ok:
+                continue
+            gap = abs(lts - rts)
+            if tolerance is not None and gap > tolerance:
+                continue
+            # nearer wins; at equal ts distance the larger id wins
+            if best is None or (gap, -rid) < (best[0], -best[1]):
+                best = (gap, rid, rts, rv)
+        out[lid] = None if best is None else (best[2], best[1], best[3])
+    return out
+
+
+def test_asof_join_matches_bruteforce(spark):
+    from gpt_rag_ingestion_spark.operators.asof import asof_join
+
+    import random
+
+    rng = random.Random(7)
+    left_rows = [
+        (rng.randrange(4), rng.randrange(1000), i) for i in range(120)
+    ]
+    right_rows = [
+        (rng.randrange(4), rng.randrange(1000), i, float(i) * 0.5)
+        for i in range(80)
+    ]
+    left = spark.createDataFrame(left_rows, ["k", "ts", "lid"])
+    right = spark.createDataFrame(right_rows, ["k", "ts", "rid", "v"])
+
+    got = {
+        r["lid"]: (
+            None
+            if r["asof_ts"] is None
+            else (r["asof_ts"], r["asof_rid"], r["asof_v"])
+        )
+        for r in asof_join(
+            left, right, on="k", ts_col="ts",
+            payload_cols=["rid", "v"], tiebreak_col="rid",
+        ).collect()
+    }
+    assert got == _brute_asof(left_rows, right_rows)
+
+    got_fwd = {
+        r["lid"]: (
+            None
+            if r["asof_ts"] is None
+            else (r["asof_ts"], r["asof_rid"], r["asof_v"])
+        )
+        for r in asof_join(
+            left, right, on="k", ts_col="ts",
+            payload_cols=["rid", "v"], tiebreak_col="rid",
+            direction="forward",
+        ).collect()
+    }
+    assert got_fwd == _brute_asof(left_rows, right_rows, direction="forward")
+
+
+def test_asof_join_tolerance_and_equal_ts(spark):
+    from pyspark.sql import functions as F
+
+    from gpt_rag_ingestion_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 105, "b"), (2, 50, "c")], ["k", "ts", "lid"]
+    )
+    # two right rows share (k=1, ts=100): rid=9 must win the tie-break
+    right = spark.createDataFrame(
+        [(1, 100, 3, 0.3), (1, 100, 9, 0.9), (2, 10, 1, 0.1)],
+        ["k", "ts", "rid", "v"],
+    )
+    rows = {
+        r["lid"]: (r["asof_ts"], r["asof_rid"])
+        for r in asof_join(
+            left, right, on="k", ts_col="ts",
+            payload_cols=["rid"], tiebreak_col="rid",
+            tolerance=F.lit(20),
+        ).collect()
+    }
+    assert rows["a"] == (100, 9)  # inclusive match + deterministic tie
+    assert rows["b"] == (100, 9)  # within tolerance 5
+    assert rows["c"] == (None, None)  # gap 40 > 20 → nulled out
