@@ -1176,6 +1176,58 @@ def q71_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q72_time_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: per event type, event
+    counts and exact decimal-summed value at hour, day, and total
+    granularity in ONE pass via GROUPING SETS — Catalyst expands the
+    sets inside a single Expand+Aggregate (one shuffle), the plan a
+    time-series store's continuous aggregate would maintain
+    incrementally."""
+    ev = (
+        _t(spark, sf, "events")
+        .withColumn("day", F.date_trunc("day", F.col("ts")).cast("date"))
+        .withColumn("hour", F.hour("ts"))
+    )
+    return (
+        ev.groupingSets(
+            [["event_type", "day", "hour"], ["event_type", "day"], ["event_type"]],
+            "event_type", "day", "hour",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("lvl"),
+            F.count(F.lit(1)).alias("n_events"),
+            _dec_sum(F.col("value"), "sum_value"),
+        )
+        .select("event_type", "day", "hour", "lvl", "n_events", "sum_value")
+    )
+
+
+def q73_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus mixing: deterministic stratified downsampling + disjoint
+    train/valid/test assignment by md5 hash ranges — shuffle-free (the
+    keep decision is a pure function of the row, evaluated at the
+    scan), reproducible in any engine with md5, which is exactly how
+    the oracle verifies the drawn subset bit-for-bit."""
+    from gpt_rag_ingestion_spark.operators.sampling import (
+        hash_bucket, split_assign, stratified_hash_sample,
+    )
+
+    docs = _t(spark, sf, "documents")
+    sampled = stratified_hash_sample(
+        docs, "source", "doc_id",
+        rates={"src0": 1.0, "src1": 0.25, "src2": 0.25},
+        default_rate=0.5, salt="mix-v1",
+    )
+    return split_assign(
+        sampled, "doc_id",
+        {"train": 0.8, "valid": 0.1, "test": 0.1}, salt="split-v1",
+    ).select(
+        "doc_id", "source",
+        hash_bucket(F.col("doc_id"), "mix-v1").alias("mix_bucket"),
+        "split",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1242,6 +1294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_source_cap": q69_source_cap,
         "q70_kmv_sketch": q70_kmv_sketch,
         "q71_asof_join": q71_asof_join,
+        "q72_time_rollup": q72_time_rollup,
+        "q73_hash_sample": q73_hash_sample,
     }
 
 
@@ -1969,6 +2023,42 @@ def oracle_sql() -> dict[str, str]:
             FROM clicks c
             ASOF LEFT JOIN errs e
               ON c.user_id = e.user_id AND c.ts_us >= e.ts_us
+        """,
+        "q72_time_rollup": """
+            WITH ev AS (
+              SELECT event_type,
+                     CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+                     value
+              FROM events)
+            SELECT event_type, day, hour,
+                   CAST(GROUPING(event_type, day, hour) AS INT) AS lvl,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+            FROM ev
+            GROUP BY GROUPING SETS ((event_type, day, hour),
+                                    (event_type, day), (event_type))
+        """,
+        "q73_hash_sample": """
+            WITH d AS (
+              SELECT doc_id, source,
+                CAST('0x' || substr(md5('mix-v1' || CAST(doc_id AS VARCHAR)),
+                     1, 8) AS BIGINT) AS mix_bucket,
+                CAST('0x' || substr(md5('split-v1' || CAST(doc_id AS VARCHAR)),
+                     1, 8) AS BIGINT) AS sb
+              FROM documents),
+            s AS (
+              SELECT * FROM d
+              WHERE mix_bucket < CASE source
+                WHEN 'src0' THEN 4294967296
+                WHEN 'src1' THEN 1073741824
+                WHEN 'src2' THEN 1073741824
+                ELSE 2147483648 END)
+            SELECT doc_id, source, mix_bucket,
+              CASE WHEN sb < 429496729 THEN 'test'
+                   WHEN sb < 3865470566 THEN 'train'
+                   ELSE 'valid' END AS split
+            FROM s
         """,
         "q69_source_cap": """
             SELECT doc_id, source, CAST(rn AS INT) AS sample_rank FROM (

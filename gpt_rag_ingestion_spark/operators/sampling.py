@@ -1,0 +1,110 @@
+"""Deterministic hash sampling — beyond-reference, corpus-construction
+family.
+
+Training-data pipelines constantly need reproducible subsets: ablation
+corpora, per-source mixture weights, train/validation/test splits that
+survive re-runs and incremental ingest.  ``df.sample()`` is none of
+those things (seed × partitioning dependent), and window-rank sampling
+(q69-style caps) costs a per-stratum sort.
+
+The hash sampler is the scale-correct primitive: a row is kept iff
+``uniform(id) < rate`` where ``uniform`` is the first 8 hex digits of
+``md5(salt || id)`` scaled to [0, 1).  Properties that matter at
+100 TB:
+
+- **shuffle-free** — a pure narrow map over the scan; the decision is a
+  function of the row alone, so Catalyst pushes it right next to the
+  parquet reader and no exchange exists in the plan;
+- **stable under re-partitioning, incremental loads and engine
+  changes** — any engine with md5 draws the same subset (this is how
+  the oracle checks it bit-for-bit);
+- **nested**: rate 0.10 of rate 0.50 equals rate 0.05 of the original
+  (hash prefix property), so staged downsampling composes;
+- **disjoint splits for free**: non-overlapping hash ranges give
+  train/valid/test partitions with no bookkeeping.
+
+Related art: the "hash-mod sharding" of CCNet/RefinedWeb-style corpus
+pipelines and A/B bucketing in analytics engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 2^32 — the hash prefix is 8 hex digits = 32 bits
+_SCALE = 4294967296
+
+
+def hash_bucket(id_col: Column, salt: str = "") -> Column:
+    """32-bit uniform bucket for a row id: first 8 hex digits of
+    md5(salt || id), as a long in [0, 2^32)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows by id hash."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1]: {rate}")
+    thresh = int(rate * _SCALE)
+    return df.filter(hash_bucket(F.col(id_col), salt) < F.lit(thresh))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the mixture-weighting step
+    of corpus construction (e.g. keep 80% of wiki, 10% of web).
+
+    ``rates`` is a small literal map compiled into the plan (no join,
+    no shuffle); for thousands of strata pass a broadcast-joined rates
+    dimension instead.
+    """
+    pairs: list[Column] = []
+    for k, v in sorted(rates.items()):
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"rate must be in [0,1]: {k}={v}")
+        pairs += [F.lit(k), F.lit(int(v * _SCALE))]
+    thresh = F.coalesce(
+        F.create_map(*pairs)[F.col(strata_col)],
+        F.lit(int(default_rate * _SCALE)),
+    )
+    return df.filter(hash_bucket(F.col(id_col), salt) < thresh)
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split by disjoint hash
+    ranges (e.g. {"train": .98, "valid": .01, "test": .01}).  The
+    assignment is a total function of the id — stable across runs,
+    engines, and data layout."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1: {total}")
+    bucket = hash_bucket(F.col(id_col), salt)
+    expr: Column | None = None
+    lo = 0.0
+    items = sorted(fractions.items())
+    for name, frac in items[:-1]:
+        hi = lo + frac
+        cond = bucket < F.lit(int(hi * _SCALE))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo = hi
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out_col, expr)

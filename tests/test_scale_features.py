@@ -203,3 +203,39 @@ def test_asof_join_tolerance_and_equal_ts(spark):
     assert rows["a"] == (100, 9)  # inclusive match + deterministic tie
     assert rows["b"] == (100, 9)  # within tolerance 5
     assert rows["c"] == (None, None)  # gap 40 > 20 → nulled out
+
+
+def test_hash_sampling_properties(spark):
+    from pyspark.sql import functions as F
+
+    from gpt_rag_ingestion_spark.operators.sampling import (
+        hash_sample, split_assign, stratified_hash_sample,
+    )
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+
+    # determinism + nesting: sample(0.1) is a subset of sample(0.5)
+    s50 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.5, "s").collect()}
+    s10 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.1, "s").collect()}
+    assert s10 <= s50
+    assert 0.05 < len(s10) / 2000 < 0.15 and 0.45 < len(s50) / 2000 < 0.55
+
+    # shuffle-free: no Exchange in the plan
+    plan = hash_sample(docs, "doc_id", 0.5, "s")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    # splits: total function, disjoint, stable under re-partitioning
+    tagged = split_assign(docs, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in tagged.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000 and set(counts) == {"train", "valid", "test"}
+    assert counts["train"] > counts["valid"] and counts["train"] > counts["test"]
+    re_tagged = split_assign(docs.repartition(13), "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1})
+    assert {(r["doc_id"], r["split"]) for r in re_tagged.collect()} == {
+        (r["doc_id"], r["split"]) for r in tagged.collect()
+    }
+
+    # stratified: rate 0 strata vanish, rate 1 strata survive whole
+    df = docs.withColumn("src", (F.col("doc_id") % 2 == 0).cast("string"))
+    out = stratified_hash_sample(df, "src", "doc_id", {"true": 1.0, "false": 0.0})
+    rows = out.groupBy("src").count().collect()
+    assert {(r["src"], r["count"]) for r in rows} == {("true", 1000)}
