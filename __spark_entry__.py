@@ -1228,6 +1228,55 @@ def q73_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q74_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus hygiene: PII masking (urls → emails → phones) as a pure
+    regexp_replace chain in whole-stage codegen — no shuffle, no UDF.
+    The query deterministically plants synthetic PII (the testdata text
+    has none), scrubs it, and returns per-kind redaction counts plus
+    the md5 of the scrubbed text so the oracle verifies the exact
+    masked string, not just the counts."""
+    from gpt_rag_ingestion_spark.operators.pii import scrub_pii
+
+    docs = _t(spark, sf, "documents")
+    phones = F.repeat(
+        F.concat(
+            F.lit(" +1-555-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        ),
+        F.pmod(F.col("doc_id"), F.lit(3)).cast("int"),
+    )
+    with_pii = docs.withColumn(
+        "text_pii",
+        F.concat(
+            F.lit("contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com"), phones,
+            F.lit(" see https://"), F.col("source"),
+            F.lit(".example.com/d/"), F.col("doc_id").cast("string"),
+            F.lit(" "), F.col("text"),
+        ),
+    )
+    out = scrub_pii(with_pii, "text_pii", "scrubbed")
+    return out.select(
+        "doc_id", "n_url", "n_email", "n_phone",
+        F.md5("scrubbed").alias("scrubbed_md5"),
+        F.length("scrubbed").cast("int").alias("scrubbed_len"),
+    )
+
+
+def q75_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus construction end-to-end: quality gate → language gate →
+    exact dedup → per-source cap composed as ONE plan (two shuffles:
+    digest, source) with a per-document audit disposition — see
+    operators/curation.py.  The kept set is the corpus; everything
+    else says exactly which stage dropped it."""
+    from gpt_rag_ingestion_spark.operators.curation import curation_funnel
+
+    docs = _t(spark, sf, "documents")
+    return curation_funnel(docs).select(
+        "doc_id", "source", "pred_lang", "stage", "kept"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1296,6 +1345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_asof_join": q71_asof_join,
         "q72_time_rollup": q72_time_rollup,
         "q73_hash_sample": q73_hash_sample,
+        "q74_pii_scrub": q74_pii_scrub,
+        "q75_curation_funnel": q75_curation_funnel,
     }
 
 
@@ -2059,6 +2110,113 @@ def oracle_sql() -> dict[str, str]:
                    WHEN sb < 3865470566 THEN 'train'
                    ELSE 'valid' END AS split
             FROM s
+        """,
+        "q74_pii_scrub": r"""
+            WITH d AS (
+              SELECT doc_id,
+                'contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                || repeat(' +1-555-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                          CAST(doc_id % 3 AS INT))
+                || ' see https://' || source || '.example.com/d/'
+                || CAST(doc_id AS VARCHAR) || ' ' || text AS t
+              FROM documents),
+            s AS (
+              SELECT doc_id, t,
+                CAST(len(regexp_extract_all(t,
+                  'https?://[A-Za-z0-9./_-]+')) AS INT) AS n_url,
+                CAST(len(regexp_extract_all(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+                  AS n_email,
+                CAST(len(regexp_extract_all(t,
+                  '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phone,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(t, 'https?://[A-Za-z0-9./_-]+',
+                                   '<URL>', 'g'),
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g'),
+                  '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')
+                  AS scrubbed
+              FROM d)
+            SELECT doc_id, n_url, n_email, n_phone,
+                   md5(scrubbed) AS scrubbed_md5,
+                   CAST(length(scrubbed) AS INT) AS scrubbed_len
+            FROM s
+        """,
+        "q75_curation_funnel": f"""
+            WITH w AS (
+              SELECT doc_id, source, text,
+                list_filter(string_split_regex(text, '\\s+'), x -> x != '')
+                  AS words
+              FROM documents),
+            s AS (
+              SELECT doc_id, source, text,
+                CAST(len(words) AS BIGINT) AS n_words,
+                CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0)
+                     AS BIGINT) AS sum_len,
+                CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                     AS BIGINT) AS n_symbols,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                {lang_score.format(words=stop_de)} AS s_de,
+                {lang_score.format(words=stop_en)} AS s_en,
+                {lang_score.format(words=stop_es)} AS s_es,
+                {lang_score.format(words=stop_fr)} AS s_fr
+              FROM w),
+            q AS (
+              SELECT doc_id, source, text, s_de, s_en, s_es, s_fr, n_words,
+                CASE WHEN n_words > 0 THEN (sum_len * 1000) // n_words
+                     ELSE 0 END AS mean_word_len_q,
+                CASE WHEN n_chars > 0 THEN (n_symbols * 1000000) // n_chars
+                     ELSE 0 END AS symbol_ratio_q
+              FROM s),
+            l AS (
+              SELECT doc_id, source, text,
+                CASE WHEN n_words < 5 THEN 'too_few_words'
+                     WHEN n_words > 10000 THEN 'too_many_words'
+                     WHEN mean_word_len_q < 3000 THEN 'short_words'
+                     WHEN mean_word_len_q > 10000 THEN 'long_words'
+                     WHEN symbol_ratio_q > 100000 THEN 'symbol_heavy'
+                     WHEN s_en = 0 THEN 'no_stopwords'
+                     ELSE 'ok' END AS reason,
+                CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+                     WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                     WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                     WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                     ELSE 'fr' END AS pred_lang
+              FROM q),
+            f AS (
+              SELECT doc_id, source, pred_lang, reason,
+                reason = 'ok' AS keep,
+                (reason = 'ok' AND pred_lang = 'en') AS survivor,
+                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                  AS digest
+              FROM l),
+            d AS (
+              SELECT *,
+                min(CASE WHEN survivor THEN doc_id END)
+                  OVER (PARTITION BY digest) AS canon_id
+              FROM f),
+            e AS (
+              SELECT *, (survivor AND doc_id = canon_id) AS canonical FROM d),
+            r AS (
+              SELECT *,
+                count(CASE WHEN canonical THEN 1 END) OVER (
+                  PARTITION BY source
+                  ORDER BY md5('cur-v1' || CAST(doc_id AS VARCHAR)), doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cap_rank
+              FROM e),
+            z AS (
+              SELECT doc_id, source, pred_lang,
+                CASE WHEN NOT keep THEN 'quality_' || reason
+                     WHEN pred_lang != 'en' THEN 'language'
+                     WHEN NOT canonical THEN 'duplicate'
+                     WHEN cap_rank > 15 THEN 'cap'
+                     ELSE 'kept' END AS stage
+              FROM r)
+            SELECT doc_id, source, pred_lang, stage, stage = 'kept' AS kept
+            FROM z
         """,
         "q69_source_cap": """
             SELECT doc_id, source, CAST(rn AS INT) AS sample_rank FROM (

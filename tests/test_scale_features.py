@@ -239,3 +239,56 @@ def test_hash_sampling_properties(spark):
     out = stratified_hash_sample(df, "src", "doc_id", {"true": 1.0, "false": 0.0})
     rows = out.groupBy("src").count().collect()
     assert {(r["src"], r["count"]) for r in rows} == {("true", 1000)}
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    from gpt_rag_ingestion_spark.operators.pii import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and c.d+x@e.org, call +1-555-1234, "
+                "see https://x.io/p_1 or http://y.z/q"),
+            (2, "no pii here at all"),
+        ],
+        ["id", "text"],
+    )
+    rows = {r["id"]: r for r in scrub_pii(df, "text", "out").collect()}
+    assert (rows[1]["n_email"], rows[1]["n_phone"], rows[1]["n_url"]) == (2, 1, 2)
+    assert rows[1]["out"] == (
+        "mail <EMAIL> and <EMAIL>, call <PHONE>, see <URL> or <URL>"
+    )
+    assert (rows[2]["n_email"], rows[2]["n_phone"], rows[2]["n_url"]) == (0, 0, 0)
+    assert rows[2]["out"] == "no pii here at all"
+
+    # narrow plan: no Exchange, stays in codegen
+    plan = scrub_pii(df, "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_curation_funnel_all_stages(spark):
+    from gpt_rag_ingestion_spark.operators.curation import curation_funnel
+
+    en = "the cat and the dog sat in a fine old house for tea"
+    # passes the quality gate (mean word length ≥ 3, contains the
+    # English stopword "a") but scores higher on Spanish stopwords
+    es = ("vamos a la casa grande que esta cerca de la plaza mayor "
+          "donde el perro ladra")
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", en),                      # canonical survivor
+            (2, "s1", "  " + en + "  "),        # normalized dup of 1
+            (3, "s1", es),                      # wrong language
+            (4, "s1", "tiny"),                  # quality: too few words
+            (5, "s1", en + " extra words here and there for the win"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    rows = {
+        r["doc_id"]: r["stage"]
+        for r in curation_funnel(docs, cap_per_source=1).collect()
+    }
+    assert rows[2] == "duplicate"
+    assert rows[3] == "language"
+    assert rows[4] == "quality_too_few_words"
+    # exactly one of the two canonical survivors survives the cap of 1
+    assert sorted([rows[1], rows[5]]) == ["cap", "kept"]
