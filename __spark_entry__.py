@@ -66,17 +66,42 @@ _EVENTS_READ_SCHEMA = (
     "value DOUBLE, props STRING"
 )
 
+_EVENTS_TS_UNIT: dict = {}
+
+
+def _events_ts_unit(sf_dir: str) -> str:
+    """Physical unit of events.ts, read once from the parquet footer.
+
+    The driver has shipped both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    testdata between rounds; Spark's vectorized reader rejects nanos, so
+    detect the unit instead of hardcoding either."""
+    unit = _EVENTS_TS_UNIT.get(sf_dir)
+    if unit is None:
+        import pyarrow.parquet as pq
+
+        field = pq.read_schema(f"{sf_dir}/events.parquet").field("ts")
+        unit = getattr(field.type, "unit", "us")
+        _EVENTS_TS_UNIT[sf_dir] = unit
+    return unit
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_shipped(spark)
-    if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which Spark's reader
-        # rejects; read as int64 nanos (explicit schema — no session conf
-        # needed) and truncate to micros, matching DuckDB/engine-default
-        # microsecond timestamps.
+    if name == "events" and _events_ts_unit(sf_dir) == "ns":
+        # TIMESTAMP(NANOS), which Spark's reader rejects: read as int64
+        # nanos (explicit schema — no session conf needed) and truncate
+        # to micros, matching DuckDB/engine-default microsecond
+        # timestamps.
         df = spark.read.schema(_EVENTS_READ_SCHEMA).parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # micros-unit files come back as TIMESTAMP_NTZ under Spark's NTZ
+        # inference; normalize to the session-zone TIMESTAMP the
+        # operators (unix_micros etc.) expect — sessions run UTC, so the
+        # instant is unchanged.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def _dec_sum(col, alias):
