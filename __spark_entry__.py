@@ -1302,6 +1302,43 @@ def q75_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q76_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-data hygiene: benchmark decontamination — corpus docs
+    sharing any distinct word 8-gram with the held-out "benchmark"
+    slice (doc_id % 97 == 0) are flagged.  Benchmark shingle hashes are
+    broadcast; the corpus never shuffles on shingles."""
+    from gpt_rag_ingestion_spark.operators.dedup import benchmark_contamination
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return benchmark_contamination(corpus, bench, "text", "doc_id", n=8)
+
+
+def q77_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Text analysis: Gopher-style repetition signals (dup-word mass,
+    top 2-/3-gram multiplicity) as a zero-shuffle narrow projection —
+    the per-doc mode statistic is an aggregate fold over the sorted
+    n-gram array, not an explode+groupBy."""
+    from gpt_rag_ingestion_spark.operators.text_analysis import repetition_features
+
+    docs = _t(spark, sf, "documents")
+    return repetition_features(docs)
+
+
+def q78_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus construction: deterministic concat-then-split sequence
+    packing — md5-ordered layout per source, one window cumsum, bin =
+    tokens-before DIV budget.  Exact integers; one shuffle on source."""
+    from gpt_rag_ingestion_spark.operators.packing import pack_sequences
+    from gpt_rag_ingestion_spark.operators.text_analysis import token_count
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "n_tok", token_count("text").cast("long")
+    )
+    return pack_sequences(docs, "n_tok", budget=512, group_col="source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1372,6 +1409,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_hash_sample": q73_hash_sample,
         "q74_pii_scrub": q74_pii_scrub,
         "q75_curation_funnel": q75_curation_funnel,
+        "q76_decontaminate": q76_decontaminate,
+        "q77_repetition": q77_repetition,
+        "q78_pack_sequences": q78_pack_sequences,
     }
 
 
@@ -2271,5 +2311,88 @@ def oracle_sql() -> dict[str, str]:
                 '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-'
                 || '[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$') AS valid
             FROM v
+        """,
+        # Spark joins on xxhash64(shingle) (8-byte keys); the oracle
+        # joins on shingle text — counts agree absent 64-bit collisions
+        "q76_decontaminate": """
+            WITH w AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(text, '\\s+'), t -> t != '')
+                  AS toks
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                array_to_string(toks[s.i:s.i+7], ' ') AS shingle
+              FROM w, unnest(range(1, len(toks) - 6)) AS s(i)),
+            bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+            corp AS (SELECT * FROM sh WHERE doc_id % 97 != 0),
+            sizes AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+              FROM corp GROUP BY doc_id),
+            hits AS (
+              SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+              FROM corp c JOIN bench b USING (shingle) GROUP BY c.doc_id)
+            SELECT s.doc_id, s.n_shingles,
+              coalesce(h.n_overlap, 0) AS n_overlap,
+              coalesce(h.n_overlap, 0) >= 1 AS contaminated
+            FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+        """,
+        "q77_repetition": """
+            WITH w AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(text, '\\s+'), t -> t != '')
+                  AS toks
+              FROM documents),
+            g2 AS (
+              SELECT doc_id, array_to_string(toks[s.i:s.i+1], ' ') AS gram
+              FROM w, unnest(range(1, len(toks))) AS s(i)),
+            c2 AS (
+              SELECT doc_id, max(n) AS top2 FROM (
+                SELECT doc_id, gram, COUNT(*) AS n
+                FROM g2 GROUP BY doc_id, gram) GROUP BY doc_id),
+            g3 AS (
+              SELECT doc_id, array_to_string(toks[s.i:s.i+2], ' ') AS gram
+              FROM w, unnest(range(1, len(toks) - 1)) AS s(i)),
+            c3 AS (
+              SELECT doc_id, max(n) AS top3 FROM (
+                SELECT doc_id, gram, COUNT(*) AS n
+                FROM g3 GROUP BY doc_id, gram) GROUP BY doc_id)
+            SELECT w.doc_id,
+              CAST(len(toks) AS BIGINT) AS n_words,
+              CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_words,
+              CAST(coalesce(c2.top2, 0) AS BIGINT) AS top2_count,
+              CAST(coalesce(c3.top3, 0) AS BIGINT) AS top3_count,
+              ((coalesce(c2.top2, 0) >= 2
+                AND coalesce(c2.top2, 0) * 10 > len(toks))
+               OR (coalesce(c3.top3, 0) >= 2
+                   AND coalesce(c3.top3, 0) * 15 > len(toks))
+               OR (len(toks) - len(list_distinct(toks))) * 2 > len(toks))
+                AS repetitive
+            FROM w
+            LEFT JOIN c2 ON w.doc_id = c2.doc_id
+            LEFT JOIN c3 ON w.doc_id = c3.doc_id
+        """,
+        "q78_pack_sequences": """
+            WITH t AS (
+              SELECT doc_id, source,
+                CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                     x -> x != '')) AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT *, SUM(n_tokens) OVER (
+                PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM t),
+            b AS (
+              SELECT doc_id, source, n_tokens,
+                CAST((cum - n_tokens) // 512 AS BIGINT) AS bin_id
+              FROM c)
+            SELECT doc_id, source, n_tokens, bin_id,
+              CAST(SUM(n_tokens) OVER (PARTITION BY source, bin_id)
+                   AS BIGINT) AS bin_tokens,
+              CAST(COUNT(*) OVER (PARTITION BY source, bin_id)
+                   AS BIGINT) AS bin_docs
+            FROM b
         """,
     }

@@ -444,3 +444,48 @@ def duplicate_clusters(
         F.col("cluster_size"),
         (F.col("id") == F.col("label")).alias("is_canonical"),
     )
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share at
+    least ``min_overlap`` distinct word ``n``-grams with any document in
+    the (small) benchmark/eval set — the standard pre-training hygiene
+    step that keeps test data out of the training corpus (the reference
+    has no analog; this is a beyond-reference training-data operator).
+
+    Output per corpus doc: ``n_shingles`` (distinct n-grams),
+    ``n_overlap`` (how many also occur in the benchmark),
+    ``contaminated``.
+
+    100 TB design: benchmark n-gram sets are tiny next to the corpus
+    (eval suites are MBs, corpora are TBs) — the distinct benchmark
+    shingle-hash set is broadcast, so the corpus side is ONE narrow
+    scan (shingle transform + broadcast semi-probe) plus a groupBy on
+    ``id_col``; the corpus never shuffles on shingles.  Join keys are
+    xxhash64 digests (8 bytes), never shingle text."""
+    bench_sh = (
+        word_shingles(benchmark, text_col, id_col, n)
+        .select(F.xxhash64("shingle").alias("shingle_h"))
+        .distinct()
+    )
+    corp_sh = word_shingles(corpus, text_col, id_col, n).select(
+        F.col(id_col), F.xxhash64("shingle").alias("shingle_h")
+    )
+    sizes = corp_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        corp_sh.join(F.broadcast(bench_sh), on="shingle_h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        sizes.join(hits, on=id_col, how="left")
+        .withColumn("n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)))
+        .withColumn("contaminated", F.col("n_overlap") >= min_overlap)
+    )

@@ -255,3 +255,98 @@ def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("keep", F.col("reason") == "ok")
         .drop("_sum_len", "_n_symbols", "_n_chars")
     )
+
+
+# Gopher-style repetition thresholds, expressed as integer
+# cross-multiplications (count-based analogs of the paper's
+# fraction-of-characters rules — no float division anywhere):
+#   top 2-gram covers > 1/10 of words   -> repetitive
+#   top 3-gram covers > 1/15 of words   -> repetitive
+#   duplicate words   > 1/2 of words    -> repetitive
+REP_TOP2_DEN = 10
+REP_TOP3_DEN = 15
+REP_DUPWORD_DEN = 2
+
+
+def _ngram_array(toks: Column, n: int) -> Column:
+    """Word n-grams of a token array as a narrow array transform
+    (no explode, no shuffle)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _max_multiplicity(arr: Column) -> Column:
+    """max occurrences of any single element in ``arr`` — computed as
+    the longest run in the sorted array via a codegen'd aggregate fold,
+    so per-document mode statistics never leave the row (zero shuffle,
+    in contrast to the explode+groupBy formulation the SQL oracle
+    uses — both give identical counts)."""
+    run_next = lambda acc, x: F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+        F.lit(1)
+    )
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit("\x00").alias("prev"),
+            F.lit(0).cast("int").alias("run"),
+            F.lit(0).cast("int").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run_next(acc, x).cast("int").alias("run"),
+            F.greatest(acc["best"], run_next(acc, x)).cast("int").alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1), exact
+    integers only:
+
+    - ``n_words`` / ``n_distinct_words`` — duplicate-word mass,
+    - ``top2_count`` / ``top3_count`` — multiplicity of the most common
+      word 2-/3-gram,
+    - ``repetitive`` — the drop decision via integer cross-multiply.
+
+    100 TB design: the whole operator is a narrow per-row projection
+    (array transforms + an aggregate fold over the sorted n-gram
+    array); cost is O(tokens log tokens) per document with NO shuffle,
+    so it composes into any scan without a stage break.  The SQL-oracle
+    formulation (explode + two groupBys) is the shuffle-heavy
+    equivalent Spark would produce naively."""
+    toks = _tokens(F.col(text_col))
+    staged = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_words"),
+        _max_multiplicity(_ngram_array(toks, 2)).cast("long").alias("top2_count"),
+        _max_multiplicity(_ngram_array(toks, 3)).cast("long").alias("top3_count"),
+    )
+    return staged.withColumn(
+        "repetitive",
+        # a gram must actually repeat (count >= 2) before its mass can
+        # trip the threshold — otherwise every short doc's unique top
+        # gram "covers" a large fraction by arithmetic accident
+        (
+            (F.col("top2_count") >= 2)
+            & (F.col("top2_count") * REP_TOP2_DEN > F.col("n_words"))
+        )
+        | (
+            (F.col("top3_count") >= 2)
+            & (F.col("top3_count") * REP_TOP3_DEN > F.col("n_words"))
+        )
+        | (
+            (F.col("n_words") - F.col("n_distinct_words")) * REP_DUPWORD_DEN
+            > F.col("n_words")
+        ),
+    )

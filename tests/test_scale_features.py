@@ -292,3 +292,85 @@ def test_curation_funnel_all_stages(spark):
     assert rows[4] == "quality_too_few_words"
     # exactly one of the two canonical survivors survives the cap of 1
     assert sorted([rows[1], rows[5]]) == ["cap", "kept"]
+
+
+def test_repetition_features_signals(spark):
+    from gpt_rag_ingestion_spark.operators.text_analysis import (
+        repetition_features,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # "a b" 2-gram appears 4x in 8 words -> 4*10 > 8 -> repetitive
+            (1, "a b a b a b a b"),
+            # all-distinct words, no repeated grams
+            (2, "one two three four five six seven eight nine ten"),
+            # duplicate-word mass: 6 of 8 words are 'x' (x appears 7x ->
+            # 7-1=6 dups; 6*2 > 8) -> repetitive even without gram rule
+            (3, "x q x r x x x x"),
+            (4, ""),  # empty doc: all zeros, not repetitive
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+    assert rows[1]["top2_count"] == 4
+    assert rows[1]["repetitive"]
+    assert rows[2]["n_words"] == rows[2]["n_distinct_words"] == 10
+    assert rows[2]["top2_count"] == 1 and not rows[2]["repetitive"]
+    assert rows[3]["repetitive"]
+    assert rows[4]["n_words"] == 0 and not rows[4]["repetitive"]
+
+
+def test_benchmark_contamination_broadcast_probe(spark):
+    from gpt_rag_ingestion_spark.operators.dedup import benchmark_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark's first 8-gram verbatim
+            (1, "xx the quick brown fox jumps over the lazy dog yy"),
+            # same words, different order: no shared 8-gram
+            (2, "dog lazy the over jumps fox brown quick the today zz"),
+            # too short for an 8-gram: dropped from the output entirely
+            (3, "short doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = benchmark_contamination(corpus, bench, n=8)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["contaminated"] and rows[1]["n_overlap"] >= 1
+    assert not rows[2]["contaminated"] and rows[2]["n_overlap"] == 0
+    # scale guard: the benchmark side must be broadcast, not shuffled
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pack_sequences_contiguous_and_deterministic(spark):
+    from gpt_rag_ingestion_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "g", 30) for i in range(20)] + [(i, "h", 70) for i in range(20, 25)],
+        ["doc_id", "source", "n_tok"],
+    )
+    out = pack_sequences(docs, "n_tok", budget=100, group_col="source").collect()
+    rows = sorted(out, key=lambda r: (r["source"], r["bin_id"], r["doc_id"]))
+    # bins never cross groups
+    assert all(r["source"] in ("g", "h") for r in rows)
+    # per-bin token totals: every doc's bin matches cum-before // budget,
+    # so a bin's payload exceeds the budget by less than one document
+    for r in rows:
+        assert r["bin_tokens"] < 100 + r["n_tokens"] or r["bin_docs"] == 1
+    # total mass is conserved within each group
+    g_tokens = sum(r["n_tokens"] for r in rows if r["source"] == "g")
+    assert g_tokens == 20 * 30
+    # deterministic under input reordering
+    out2 = pack_sequences(
+        docs.orderBy(F.desc("doc_id")), "n_tok", budget=100, group_col="source"
+    ).collect()
+    assert {(r["doc_id"], r["bin_id"]) for r in out2} == {
+        (r["doc_id"], r["bin_id"]) for r in out
+    }
