@@ -1339,6 +1339,58 @@ def q78_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     return pack_sequences(docs, "n_tok", budget=512, group_col="source")
 
 
+def q79_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup (semantic): SemDeDup — spherical-kmeans cells, within-cell
+    quantized-cosine pairs, connected components, min-id canonical.
+    The k-means fit makes it non-SQL-expressible -> rows-only; pair
+    soundness vs the exact tiled scorer is asserted in unit tests."""
+    from gpt_rag_ingestion_spark.operators.dedup import semdedup
+
+    emb = _t(spark, sf, "embeddings")
+    return semdedup(emb, n_centroids=16, min_qdot=450_000)
+
+
+_Q80_SEQ = [0]
+
+
+def q80_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.10: streaming dedup — dropDuplicatesWithinWatermark over the
+    real file stream (AvailableNow, memory sink).  The watermark spans
+    the whole batch, so the emitted set equals DISTINCT(user_id,
+    event_type): only the key columns are returned, making the result
+    independent of WHICH physical row survived."""
+    import tempfile
+
+    _ensure_shipped(spark)
+    ts = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if _events_ts_unit(sf) == "ns"
+        else F.timestamp_micros(F.col("ts"))
+    )
+    stream = (
+        spark.readStream.schema(_EVENTS_READ_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+        .select(ts.alias("ts"), "user_id", "event_type")
+        .withWatermark("ts", "90 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    _Q80_SEQ[0] += 1
+    name = f"q80_stream_dedup_{_Q80_SEQ[0]}"
+    ckpt = tempfile.mkdtemp(prefix="q80-ckpt-")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1412,6 +1464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_decontaminate": q76_decontaminate,
         "q77_repetition": q77_repetition,
         "q78_pack_sequences": q78_pack_sequences,
+        "q79_semdedup": q79_semdedup,
+        "q80_stream_dedup": q80_stream_dedup,
     }
 
 
@@ -2394,5 +2448,10 @@ def oracle_sql() -> dict[str, str]:
               CAST(COUNT(*) OVER (PARTITION BY source, bin_id)
                    AS BIGINT) AS bin_docs
             FROM b
+        """,
+        # the watermark covers the whole AvailableNow batch, so the
+        # streaming dedup's append output is exactly the distinct key set
+        "q80_stream_dedup": """
+            SELECT DISTINCT user_id, event_type FROM events
         """,
     }

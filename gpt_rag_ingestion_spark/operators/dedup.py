@@ -489,3 +489,70 @@ def benchmark_contamination(
         .withColumn("n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)))
         .withColumn("contaminated", F.col("n_overlap") >= min_overlap)
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    min_qdot: int = 450_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and dropping all-but-one of
+    each within-cluster near-duplicate group.
+
+    Composition of existing scale primitives:
+    1. spherical k-means centroids on a bounded driver sample
+       (similarity.fit_spherical_centroids — standard IVF practice),
+    2. one vectorized UDF pass assigns every vector to a cell,
+    3. within each cell, an int64 matmul emits pairs with quantized
+       dot >= ``min_qdot`` (cells are the only corpus shuffle; the
+       cross-cluster pair space is never materialized — that is the
+       whole point of SemDeDup),
+    4. duplicate_clusters turns pairs into (cluster_id, is_canonical).
+
+    Output: (id_col, cell, cluster_id, cluster_size, is_canonical);
+    ``is_canonical=false`` rows are the semantic duplicates to drop.
+
+    100 TB: pair work is O(Σ cell_size²) — raise ``n_centroids`` so the
+    expected cell size is bounded (FAISS-style sqrt(N) centroids); the
+    kept-set decision is deterministic (min-id canonical), so re-runs
+    are stable.  A vector in a cell boundary region can miss a
+    near-dup in the adjacent cell — the recall/cost tradeoff SemDeDup
+    explicitly accepts."""
+    import numpy as np
+    import pandas as pd
+
+    from gpt_rag_ingestion_spark.operators.similarity import (
+        _quantize_np,
+        cell_assign_udf,
+        fit_spherical_centroids,
+    )
+    from gpt_rag_ingestion_spark.session import ensure_importable
+
+    ensure_importable(emb)
+    C = fit_spherical_centroids(emb, n_centroids, id_col=id_col, vec_col=vec_col)
+    b_c = emb.sparkSession.sparkContext.broadcast(C)
+    cell_udf = cell_assign_udf(b_c)
+
+    assigned = emb.select(
+        F.col(id_col), F.col(vec_col), cell_udf(F.col(vec_col)).alias("cell")
+    )
+
+    def pairs_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ids = pdf[id_col].to_numpy()
+        M = _quantize_np(np.vstack(pdf[vec_col].to_numpy()))
+        dots = M @ M.T
+        ai, bi = np.nonzero((dots >= min_qdot) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi]})
+
+    pairs = assigned.groupBy("cell").applyInPandas(
+        pairs_fn, schema="id_a long, id_b long"
+    )
+    clusters = duplicate_clusters(
+        pairs, nodes=assigned.select(F.col(id_col)), id_col=id_col
+    )
+    return assigned.select(id_col, "cell").join(clusters, on=id_col)

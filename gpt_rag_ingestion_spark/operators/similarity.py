@@ -333,6 +333,51 @@ def _cogrouped_topk(c: DataFrame, qd: DataFrame, cell_col: str, k: int) -> DataF
     )
 
 
+def fit_spherical_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    kmeans_iters: int = 5,
+    fit_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic spherical k-means on a bounded driver-side sample
+    (lowest ids; init = evenly spaced sample rows) — the standard IVF
+    practice: centroid quality needs a representative sample, not the
+    corpus.  Returns the unit-norm centroid matrix (numpy)."""
+    samp = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(fit_sample).toPandas()
+    )
+    X = np.vstack(samp[vec_col].to_numpy()).astype("float64")
+    X = X / np.maximum(np.linalg.norm(X, axis=1)[:, None], 1e-12)
+    idx = np.linspace(0, len(X) - 1, num=min(n_centroids, len(X)), dtype=int)
+    C = X[idx].copy()
+    for _ in range(kmeans_iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    C[j] = m / norm
+    return C
+
+
+def cell_assign_udf(b_c):
+    """Vectorized nearest-centroid assignment UDF over a broadcast
+    unit-norm centroid matrix (shared by IVF and SemDeDup)."""
+
+    @pandas_udf("long")
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        cm = b_c.value
+        V = np.vstack(vecs.to_numpy()).astype("float64")
+        V = V / np.maximum(np.linalg.norm(V, axis=1)[:, None], 1e-12)
+        return pd.Series((V @ cm.T).argmax(axis=1))
+
+    return cell_udf
+
+
 def ivf_ann(
     corpus: DataFrame,
     queries: DataFrame,
@@ -351,8 +396,7 @@ def ivf_ann(
     nearest cells, exact cosine within each probed cell.
 
     Scale shape: the centroid fit is a driver-side numpy k-means on a
-    bounded sample (the standard IVF practice — centroid quality needs
-    only a representative sample, not the corpus); assignment is one
+    bounded sample (fit_spherical_centroids); assignment is one
     vectorized pandas UDF pass; the only corpus shuffle is on the cell
     id.  vs LSH: cells adapt to the data distribution, so recall per
     probed candidate is typically higher on clustered data."""
@@ -360,24 +404,9 @@ def ivf_ann(
 
     ensure_importable(corpus)
 
-    # ---- fit (deterministic): sample = lowest ids; init = evenly spaced
-    samp = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(fit_sample).toPandas()
+    C = fit_spherical_centroids(
+        corpus, n_centroids, kmeans_iters, fit_sample, id_col, vec_col
     )
-    X = np.vstack(samp[vec_col].to_numpy()).astype("float64")
-    X = X / np.maximum(np.linalg.norm(X, axis=1)[:, None], 1e-12)
-    idx = np.linspace(0, len(X) - 1, num=min(n_centroids, len(X)), dtype=int)
-    C = X[idx].copy()
-    for _ in range(kmeans_iters):
-        assign = (X @ C.T).argmax(axis=1)
-        for j in range(len(C)):
-            members = X[assign == j]
-            if len(members):
-                m = members.sum(axis=0)
-                norm = np.linalg.norm(m)
-                if norm > 0:
-                    C[j] = m / norm
-
     sc = corpus.sparkSession.sparkContext
     b_c = sc.broadcast(C)
 

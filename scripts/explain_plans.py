@@ -47,6 +47,16 @@ PLAN_PROPERTIES = {
     # exact top-k: cogrouped Arrow matmul + single window merge of the
     # pruned k-per-tile candidates
     "q64_knn_topk": (["FlatMapCoGroupsInPandas", "Window"], []),
+    # decontamination: benchmark shingle set must broadcast — the corpus
+    # must never shuffle on shingles
+    "q76_decontaminate": (["BroadcastHashJoin", "BroadcastExchange"], []),
+    # repetition signals: zero-shuffle narrow projection (the mode
+    # statistic folds inside the row — no explode+groupBy)
+    "q77_repetition": (["[codegen id :"], ["Exchange"]),
+    # packing: both windows ride ONE hash-partition shuffle on source
+    # (hashpartitioning(source) satisfies the (source, bin_id) window's
+    # clustered distribution too — no second exchange)
+    "q78_pack_sequences": (["Window", "hashpartitioning(source"], []),
 }
 
 

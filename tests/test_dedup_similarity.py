@@ -227,3 +227,34 @@ def test_kmv_sketch_estimates(spark):
     big = out["big"]
     assert big["exact_distinct"] == 3000
     assert abs(big["est_distinct"] - 3000) / 3000 < 0.5  # 2/sqrt(64)=0.25, pad 2x
+
+
+def test_semdedup_pairs_sound_and_canonical(spark):
+    from gpt_rag_ingestion_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        semdedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = semdedup(emb, n_centroids=4, min_qdot=450_000)
+    rows = out.collect()
+    # covers every vector exactly once
+    assert len(rows) == emb.count()
+    by_id = {r["vec_id"]: r for r in rows}
+    # canonical representative is the min id of its cluster
+    clusters: dict = {}
+    for r in rows:
+        clusters.setdefault(r["cluster_id"], []).append(r["vec_id"])
+    for cid, members in clusters.items():
+        assert cid == min(members)
+        assert by_id[cid]["is_canonical"]
+        assert all(not by_id[m]["is_canonical"] for m in members if m != cid)
+    # soundness: every non-singleton cluster edge came from a true
+    # near-dup pair (within-cell pairs are a subset of exact pairs)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(emb, min_qdot=450_000).collect()
+    }
+    dup_ids = {r["vec_id"] for r in rows if r["cluster_size"] > 1}
+    exact_ids = {i for p in exact for i in p}
+    assert dup_ids <= exact_ids

@@ -61,3 +61,16 @@ def test_first_seen_across_batches(spark, tmp_path):
     c_row = next(r for r in rows2 if r["key"] == "c")
     assert c_row["first_value"] == "c1"
     assert c_row["n_duplicates_dropped"] == 0
+
+
+def test_stream_dedup_within_watermark(spark):
+    import __spark_entry__ as entry_mod
+
+    out = entry_mod.q80_stream_dedup(spark, "/root/testdata/sf0.001")
+    got = {(r["user_id"], r["event_type"]) for r in out.collect()}
+    ev = entry_mod._t(spark, "/root/testdata/sf0.001", "events")
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in ev.select("user_id", "event_type").distinct().collect()
+    }
+    assert got == want
