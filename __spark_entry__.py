@@ -1391,6 +1391,16 @@ def q80_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(name)
 
 
+def q81_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup (exact substring): RefinedWeb-style duplicated-span mass —
+    per doc, how many 50-char rolling grams occur >= 2x corpus-wide.
+    All corpus state moves as 8-byte gram hashes."""
+    from gpt_rag_ingestion_spark.operators.dedup import duplicated_span_mass
+
+    docs = _t(spark, sf, "documents")
+    return duplicated_span_mass(docs, "text", "doc_id", width=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1466,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_pack_sequences": q78_pack_sequences,
         "q79_semdedup": q79_semdedup,
         "q80_stream_dedup": q80_stream_dedup,
+        "q81_dup_spans": q81_dup_spans,
     }
 
 
@@ -2453,5 +2464,24 @@ def oracle_sql() -> dict[str, str]:
         # streaming dedup's append output is exactly the distinct key set
         "q80_stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        # Spark counts occurrences of xxhash64(gram); the oracle counts
+        # gram text — identical absent 64-bit collisions
+        "q81_dup_spans": """
+            WITH pos AS (
+              SELECT doc_id, substr(text, s.i, 50) AS gram
+              FROM documents, unnest(range(1, len(text) - 48)) AS s(i)
+              WHERE len(text) >= 50),
+            occ AS (
+              SELECT gram FROM pos GROUP BY gram HAVING COUNT(*) >= 2),
+            per_doc AS (
+              SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_positions
+              FROM pos p JOIN occ USING (gram) GROUP BY p.doc_id)
+            SELECT d.doc_id,
+              CAST(greatest(len(d.text) - 49, 0) AS BIGINT) AS n_positions,
+              coalesce(pd.n_dup_positions, 0) AS n_dup_positions,
+              coalesce(pd.n_dup_positions, 0) * 5
+                > greatest(len(d.text) - 49, 0) AS dup_heavy
+            FROM documents d LEFT JOIN per_doc pd ON d.doc_id = pd.doc_id
         """,
     }

@@ -556,3 +556,63 @@ def semdedup(
         pairs, nodes=assigned.select(F.col(id_col)), id_col=id_col
     )
     return assigned.select(id_col, "cell").join(clusters, on=id_col)
+
+
+def duplicated_span_mass(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 50,
+) -> DataFrame:
+    """Exact-substring duplication mass (the RefinedWeb/MassiveText
+    "fraction of characters in duplicate n-grams" signal, and the
+    aggregate form of Lee et al. 2021 exact-substring dedup): a
+    character position is *duplicated* when its ``width``-char gram
+    occurs at least twice anywhere in the corpus (any document, any
+    offset — within-doc repeats count).
+
+    Output per doc: ``n_positions`` (= max(len-width+1, 0)),
+    ``n_dup_positions``, ``dup_heavy`` (more than 20 % duplicated, by
+    integer cross-multiply).
+
+    100 TB design: rolling grams are a narrow array transform; all
+    corpus-wide state moves as xxhash64 digests — one groupBy on the
+    8-byte gram hash (count), one semi-probe join back, one groupBy on
+    doc — so shuffle volume is O(total chars) of fixed 16-byte rows,
+    never text.  For true substring *removal* (not scoring), stride the
+    grams and merge overlapping hits per doc downstream."""
+    c = F.col(text_col)
+    grams = F.when(
+        F.length(c) >= width,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - (width - 1)),
+            lambda i: c.substr(i, F.lit(width)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = df.select(
+        F.col(id_col),
+        F.explode(grams).alias("gram"),
+    ).select(F.col(id_col), F.xxhash64("gram").alias("gh"))
+    counts = pos.groupBy("gh").agg(F.count(F.lit(1)).alias("n_occ"))
+    dup = counts.filter(F.col("n_occ") >= 2).select("gh")
+    per_doc = (
+        pos.join(dup, on="gh", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_positions"))
+    )
+    base = df.select(
+        F.col(id_col),
+        F.greatest(
+            F.length(c) - (width - 1), F.lit(0)
+        ).cast("long").alias("n_positions"),
+    )
+    return (
+        base.join(per_doc, on=id_col, how="left")
+        .withColumn(
+            "n_dup_positions", F.coalesce(F.col("n_dup_positions"), F.lit(0))
+        )
+        .withColumn(
+            "dup_heavy",
+            F.col("n_dup_positions") * 5 > F.col("n_positions"),
+        )
+    )

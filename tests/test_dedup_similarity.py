@@ -258,3 +258,29 @@ def test_semdedup_pairs_sound_and_canonical(spark):
     dup_ids = {r["vec_id"] for r in rows if r["cluster_size"] > 1}
     exact_ids = {i for p in exact for i in p}
     assert dup_ids <= exact_ids
+
+
+def test_duplicated_span_mass(spark):
+    from gpt_rag_ingestion_spark.operators.dedup import duplicated_span_mass
+
+    shared = "x" * 26 + "shared-block-" + "y" * 26  # 65 chars, unique-ish
+    docs = spark.createDataFrame(
+        [
+            (1, "AAA " + shared + " TAIL-ONE-" + "a" * 20),
+            (2, "BBBBB " + shared + " TAIL-TWO-" + "b" * 20),
+            (3, "c" * 80),  # 50-grams repeat WITHIN the doc (all 'c')
+            (4, "unique text that is short"),  # < 50 chars: no positions
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in duplicated_span_mass(docs, width=50).collect()}
+    assert len(rows) == 4
+    # docs 1/2 share ' '+block+' TAIL-' = 72 identical chars: every
+    # 50-gram inside that window (72-50+1 = 23 per doc) is duplicated
+    assert rows[1]["n_dup_positions"] == 23
+    assert rows[2]["n_dup_positions"] == 23
+    # doc 3 is a single repeated char: all 31 positions are the same
+    # gram, duplicated within the doc itself
+    assert rows[3]["n_dup_positions"] == rows[3]["n_positions"] == 31
+    assert rows[3]["dup_heavy"]
+    assert rows[4]["n_positions"] == 0 and not rows[4]["dup_heavy"]
