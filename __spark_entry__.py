@@ -1401,6 +1401,18 @@ def q81_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
     return duplicated_span_mass(docs, "text", "doc_id", width=50)
 
 
+def q82_corpus_freq(spark: SparkSession, sf: str) -> DataFrame:
+    """Text analysis: unigram corpus-frequency scoring (exact-integer
+    KenLM/CCNet analog) — corpus-wide token counts joined back per doc;
+    rare-token mass and mean-frequency quantile, ints end to end."""
+    from gpt_rag_ingestion_spark.operators.text_analysis import (
+        corpus_frequency_score,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return corpus_frequency_score(docs, rare_threshold=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1477,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_semdedup": q79_semdedup,
         "q80_stream_dedup": q80_stream_dedup,
         "q81_dup_spans": q81_dup_spans,
+        "q82_corpus_freq": q82_corpus_freq,
     }
 
 
@@ -2483,5 +2496,30 @@ def oracle_sql() -> dict[str, str]:
               coalesce(pd.n_dup_positions, 0) * 5
                 > greatest(len(d.text) - 49, 0) AS dup_heavy
             FROM documents d LEFT JOIN per_doc pd ON d.doc_id = pd.doc_id
+        """,
+        "q82_corpus_freq": """
+            WITH toks AS (
+              SELECT doc_id,
+                unnest(list_filter(string_split_regex(text, '\\s+'),
+                                   t -> t != '')) AS token
+              FROM documents),
+            freq AS (
+              SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occ
+              FROM toks GROUP BY token),
+            per_doc AS (
+              SELECT t.doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                CAST(SUM(CASE WHEN f.n_occ < 3 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_rare,
+                CAST(SUM(f.n_occ) AS BIGINT) AS sum_freq
+              FROM toks t JOIN freq f USING (token) GROUP BY t.doc_id)
+            SELECT d.doc_id,
+              coalesce(p.n_tokens, 0) AS n_tokens,
+              coalesce(p.n_rare, 0) AS n_rare,
+              coalesce(p.sum_freq, 0) AS sum_freq,
+              CASE WHEN coalesce(p.n_tokens, 0) > 0
+                   THEN CAST((p.sum_freq * 1000) // p.n_tokens AS BIGINT)
+                   ELSE 0 END AS mean_freq_q
+            FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
         """,
     }

@@ -350,3 +350,63 @@ def repetition_features(
             > F.col("n_words")
         ),
     )
+
+
+def corpus_frequency_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_threshold: int = 3,
+) -> DataFrame:
+    """Unigram corpus-frequency scoring — the exact-integer analog of
+    KenLM-style LM quality scoring used in corpus filtering (CCNet
+    et al.): documents dominated by corpus-rare tokens are candidate
+    noise; documents of only ultra-common tokens are candidate
+    boilerplate.
+
+    Two-pass: (1) corpus-wide token frequencies (one groupBy on the
+    token), (2) per-doc join + aggregate.  Output: ``n_tokens``,
+    ``n_rare`` (tokens with corpus count < ``rare_threshold``),
+    ``sum_freq`` (Σ corpus counts — the exact-integer surrogate for
+    Σ log p the floating-point LM would give), ``mean_freq_q``
+    (= sum_freq*1000 div n_tokens).
+
+    100 TB design: the frequency pass shuffles (8-byte token hash,
+    count) pairs; the probe pass re-joins per-token.  The frequency
+    table is |vocab| rows — broadcast it when it fits (natural-language
+    vocab does), else it is a plain shuffle join on the hash.  For
+    web-scale open vocab, production keeps top-K tokens and buckets the
+    tail as "rare" — same plan, one extra filter."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(_tokens(F.col(text_col))).alias("token"),
+    ).select(F.col(id_col), F.xxhash64("token").alias("th"))
+    freq = toks.groupBy("th").agg(F.count(F.lit(1)).alias("n_occ"))
+    per_doc = (
+        toks.join(freq, on="th")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("n_occ") < rare_threshold, 1).otherwise(0)).alias(
+                "n_rare"
+            ),
+            F.sum("n_occ").alias("sum_freq"),
+        )
+    )
+    base = df.select(F.col(id_col))
+    return (
+        base.join(per_doc, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_rare", F.lit(0)).cast("long").alias("n_rare"),
+            F.coalesce("sum_freq", F.lit(0)).cast("long").alias("sum_freq"),
+        )
+        .withColumn(
+            "mean_freq_q",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr("sum_freq * 1000 div n_tokens"),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+    )

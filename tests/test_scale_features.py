@@ -374,3 +374,27 @@ def test_pack_sequences_contiguous_and_deterministic(spark):
     assert {(r["doc_id"], r["bin_id"]) for r in out2} == {
         (r["doc_id"], r["bin_id"]) for r in out
     }
+
+
+def test_corpus_frequency_score(spark):
+    from gpt_rag_ingestion_spark.operators.text_analysis import (
+        corpus_frequency_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common"),
+            (2, "common rareword"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in corpus_frequency_score(docs, rare_threshold=2).collect()
+    }
+    # 'common' occurs 4x corpus-wide, 'rareword' once
+    assert rows[1]["n_tokens"] == 3 and rows[1]["n_rare"] == 0
+    assert rows[1]["sum_freq"] == 12  # 3 tokens x corpus count 4
+    assert rows[2]["n_rare"] == 1 and rows[2]["sum_freq"] == 5
+    assert rows[3]["n_tokens"] == 0 and rows[3]["mean_freq_q"] == 0
