@@ -1413,6 +1413,16 @@ def q82_corpus_freq(spark: SparkSession, sf: str) -> DataFrame:
     return corpus_frequency_score(docs, rare_threshold=3)
 
 
+def q83_group_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Profiling: per-source length distribution with exact nearest-rank
+    quantiles (no float interpolation — rank selection via window), the
+    corpus-mixture dashboard query."""
+    from gpt_rag_ingestion_spark.operators.profiling import group_profile
+
+    docs = _t(spark, sf, "documents")
+    return group_profile(docs, "source", "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1490,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_stream_dedup": q80_stream_dedup,
         "q81_dup_spans": q81_dup_spans,
         "q82_corpus_freq": q82_corpus_freq,
+        "q83_group_profile": q83_group_profile,
     }
 
 
@@ -2521,5 +2532,26 @@ def oracle_sql() -> dict[str, str]:
                    THEN CAST((p.sum_freq * 1000) // p.n_tokens AS BIGINT)
                    ELSE 0 END AS mean_freq_q
             FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        """,
+        "q83_group_profile": """
+            WITH r AS (
+              SELECT source, doc_id, CAST(n_chars AS BIGINT) AS v,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY n_chars, doc_id) AS rn,
+                COUNT(*) OVER (PARTITION BY source) AS cnt
+              FROM documents),
+            m AS (SELECT source, v AS median_v FROM r
+                  WHERE rn = (cnt + 1) // 2),
+            p AS (SELECT source, v AS p90_v FROM r
+                  WHERE rn = (cnt * 9 + 9) // 10),
+            s AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(min(n_chars) AS BIGINT) AS min_v,
+                CAST(max(n_chars) AS BIGINT) AS max_v,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_v
+              FROM documents GROUP BY source)
+            SELECT s.source, s.n, s.min_v, s.max_v, s.sum_v,
+                   m.median_v, p.p90_v
+            FROM s JOIN m USING (source) JOIN p USING (source)
         """,
     }

@@ -103,3 +103,35 @@ def test_salted_join_rejects_right_join(spark):
     df = spark.createDataFrame([(1, "a")], ["k", "v"])
     with pytest.raises(ValueError):
         salted_join(df, df, "k", how="right")
+
+
+def test_events_ts_unit_detection(spark, tmp_path):
+    """The driver's events.parquet has shipped as TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) in different rounds — _t must read both to the
+    same instants."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry_mod
+
+    base = entry_mod._t(spark, "/root/testdata/sf0.001", "events")
+    want = {
+        (r["event_id"], r["ts"]) for r in base.select("event_id", "ts").collect()
+    }
+
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    i = src.schema.get_field_index("ts")
+    ns = src.set_column(
+        i, pa.field("ts", pa.timestamp("ns")), src.column("ts").cast(pa.timestamp("ns"))
+    )
+    nsdir = tmp_path / "ns"
+    nsdir.mkdir()
+    pq.write_table(ns, str(nsdir / "events.parquet"), use_deprecated_int96_timestamps=False)
+    got = {
+        (r["event_id"], r["ts"])
+        for r in entry_mod._t(spark, str(nsdir), "events")
+        .select("event_id", "ts")
+        .collect()
+    }
+    assert entry_mod._events_ts_unit(str(nsdir)) == "ns"
+    assert got == want

@@ -398,3 +398,20 @@ def test_corpus_frequency_score(spark):
     assert rows[1]["sum_freq"] == 12  # 3 tokens x corpus count 4
     assert rows[2]["n_rare"] == 1 and rows[2]["sum_freq"] == 5
     assert rows[3]["n_tokens"] == 0 and rows[3]["mean_freq_q"] == 0
+
+
+def test_group_profile_exact_quantiles(spark):
+    from gpt_rag_ingestion_spark.operators.profiling import group_profile
+
+    docs = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate([5, 1, 9, 3, 7])]  # sorted: 1 3 5 7 9
+        + [(10, "h", 42)],
+        ["doc_id", "source", "n_chars"],
+    )
+    rows = {r["source"]: r for r in group_profile(docs, "source", "n_chars").collect()}
+    g = rows["g"]
+    # lower median of 5 values = rank 3 = 5; p90 = ceil(4.5) = rank 5 = 9
+    assert (g["n"], g["min_v"], g["max_v"], g["sum_v"]) == (5, 1, 9, 25)
+    assert g["median_v"] == 5 and g["p90_v"] == 9
+    h = rows["h"]  # singleton group: every stat is the value
+    assert h["median_v"] == h["p90_v"] == h["min_v"] == 42
