@@ -1423,6 +1423,32 @@ def q83_group_profile(spark: SparkSession, sf: str) -> DataFrame:
     return group_profile(docs, "source", "n_chars")
 
 
+def q84_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.10: Spark's NATIVE session windows (F.session_window, the
+    same operator Structured Streaming uses for gap-merged sessions)
+    run in batch mode and hash-checked against the relational islands
+    formulation — proving the streaming operator's session merging
+    matches the lag+cumsum batch twin (q35) exactly."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("session_last"),
+            _dec_sum(F.col("value"), "session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "session_last",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1501,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_dup_spans": q81_dup_spans,
         "q82_corpus_freq": q82_corpus_freq,
         "q83_group_profile": q83_group_profile,
+        "q84_session_window": q84_session_window,
     }
 
 
@@ -2553,5 +2580,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.source, s.n, s.min_v, s.max_v, s.sum_v,
                    m.median_v, p.p90_v
             FROM s JOIN m USING (source) JOIN p USING (source)
+        """,
+        # relational islands formulation of 30-min gap-merged sessions:
+        # a session breaks when the gap to the previous event > 30 min
+        "q84_session_window": """
+            WITH d AS (
+              SELECT user_id, ts, value,
+                lag(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev
+              FROM events),
+            m AS (
+              SELECT user_id, ts, value,
+                CASE WHEN prev IS NULL
+                          OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                     THEN 1 ELSE 0 END AS brk
+              FROM d),
+            s AS (
+              SELECT user_id, ts, value,
+                SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM m)
+            SELECT user_id,
+              min(ts) AS session_start,
+              max(ts) AS session_last,
+              COUNT(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                AS session_value
+            FROM s GROUP BY user_id, sid
         """,
     }

@@ -74,3 +74,58 @@ def test_stream_dedup_within_watermark(spark):
         for r in ev.select("user_id", "event_type").distinct().collect()
     }
     assert got == want
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """The same session_window aggregation run as a REAL stream
+    (AvailableNow, watermark, append mode) must emit exactly the batch
+    sessions that the final watermark closes."""
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r["user_id"], r["session_start"], r["session_last"], r["n_events"])
+        for r in entry_mod.q84_session_window(spark, sf).collect()
+    }
+    ev = entry_mod._t(spark, sf, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+    ts_expr = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if entry_mod._events_ts_unit(sf) == "ns"
+        else F.timestamp_micros(F.col("ts"))
+    )
+    stream = (
+        spark.readStream.schema(entry_mod._EVENTS_READ_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+        .select(ts_expr.alias("ts"), "user_id")
+        .withWatermark("ts", "0 seconds")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("session_last"))
+        .select(
+            "user_id", F.col("sw.start").alias("session_start"),
+            "session_last", "n_events",
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("q84_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["user_id"], r["session_start"], r["session_last"], r["n_events"])
+        for r in spark.table("q84_stream_test").collect()
+    }
+    assert streamed <= batch
+    # every session the final watermark strictly closed must be emitted
+    import datetime
+
+    gap = datetime.timedelta(minutes=30)
+    closed = {s for s in batch if s[2] + gap < max_ts}
+    assert closed <= streamed
