@@ -1449,6 +1449,22 @@ def q84_session_window(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q85_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus construction: token-budget mixture — per-source token
+    targets realized as a deterministic hash-ordered prefix (running
+    total window); the doc crossing the budget is kept, later docs are
+    cut.  One window shuffle, exact integers."""
+    from gpt_rag_ingestion_spark.operators.packing import mixture_take
+    from gpt_rag_ingestion_spark.operators.text_analysis import token_count
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "n_tok", token_count("text").cast("long")
+    )
+    # uneven weights over a subset of sources; unlisted sources drop
+    targets = {"src0": 2000, "src1": 1000, "src2": 500, "src3": 250}
+    return mixture_take(docs, "n_tok", targets, group_col="source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1528,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_corpus_freq": q82_corpus_freq,
         "q83_group_profile": q83_group_profile,
         "q84_session_window": q84_session_window,
+        "q85_mixture": q85_mixture,
     }
 
 
@@ -2607,5 +2624,28 @@ def oracle_sql() -> dict[str, str]:
               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
                 AS session_value
             FROM s GROUP BY user_id, sid
+        """,
+        "q85_mixture": """
+            WITH t AS (
+              SELECT doc_id, source,
+                CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                     x -> x != '')) AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT *, CAST(SUM(n_tokens) OVER (
+                PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_tokens
+              FROM t),
+            g AS (
+              SELECT *, CASE source
+                WHEN 'src0' THEN 2000 WHEN 'src1' THEN 1000
+                WHEN 'src2' THEN 500 WHEN 'src3' THEN 250
+                ELSE -1 END AS tgt
+              FROM c)
+            SELECT doc_id, source, n_tokens, cum_tokens,
+              (cum_tokens - n_tokens) < tgt AS taken
+            FROM g WHERE tgt >= 0
         """,
     }

@@ -60,3 +60,58 @@ def pack_sequences(
         staged.withColumn("bin_tokens", F.sum("n_tokens").over(wb))
         .withColumn("bin_docs", F.count(F.lit(1)).over(wb))
     )
+
+
+def mixture_take(
+    df: DataFrame,
+    token_col: str,
+    targets: dict[str, int],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget corpus mixing: for each group, keep documents in
+    deterministic hash order while the RUNNING token total (inclusive)
+    stays within the group's target budget — the mixture-construction
+    step that turns per-source weights into an actual document set
+    ("2 % books, 60 % web…" becomes per-source token targets).
+
+    Keeps the first document that crosses the budget (standard
+    practice: budgets are soft by at most one document, so every
+    group with data gets at least one doc).  Groups absent from
+    ``targets`` are dropped.
+
+    Output: ``id_col``, ``group_col``, ``n_tokens``, ``cum_tokens``,
+    ``taken``.  Exact integers; one window shuffle on the group —
+    identical shape to pack_sequences, so mixing and packing compose
+    into a single stage at scale."""
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    # reference the projected alias, not token_col — the select below
+    # renames it
+    cum = F.sum(F.col("n_tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    target = F.coalesce(
+        *[
+            F.when(F.col(group_col) == g, F.lit(int(t)))
+            for g, t in sorted(targets.items())
+        ],
+        F.lit(-1),
+    ) if targets else F.lit(-1)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(token_col).cast("long").alias("n_tokens"),
+        )
+        .withColumn("cum_tokens", cum)
+        .withColumn("_target", target)
+        .filter(F.col("_target") >= 0)
+        .withColumn(
+            # take while the PREVIOUS total is under target: the doc
+            # that crosses the boundary is kept, later ones are not
+            "taken",
+            (F.col("cum_tokens") - F.col("n_tokens")) < F.col("_target"),
+        )
+        .drop("_target")
+    )

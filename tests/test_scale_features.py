@@ -415,3 +415,43 @@ def test_group_profile_exact_quantiles(spark):
     assert g["median_v"] == 5 and g["p90_v"] == 9
     h = rows["h"]  # singleton group: every stat is the value
     assert h["median_v"] == h["p90_v"] == h["min_v"] == 42
+
+
+def test_partition_pruning_on_partitioned_chunks_table(spark, tmp_path):
+    """The chunks table partitioned by source: a source-filtered read
+    must prune partitions at planning time (PartitionFilters in the
+    scan), so per-source queries touch 1/N of a 100 TB table."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "chunks_parted")
+    docs.write.partitionBy("source").mode("overwrite").parquet(path)
+    one_source = docs.select("source").first()["source"]
+    q = spark.read.parquet(path).filter(F.col("source") == one_source)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "isnotnull(source" in plan
+    # the pruned read returns exactly that source's rows
+    assert q.count() == docs.filter(F.col("source") == one_source).count()
+
+
+def test_mixture_take_budgets(spark):
+    from gpt_rag_ingestion_spark.operators.packing import mixture_take
+
+    docs = spark.createDataFrame(
+        [(i, "a", 40) for i in range(10)] + [(i, "b", 40) for i in range(10, 20)],
+        ["doc_id", "source", "n_tok"],
+    )
+    out = mixture_take(docs, "n_tok", {"a": 100}, group_col="source").collect()
+    # source b has no target -> dropped entirely
+    assert {r["source"] for r in out} == {"a"}
+    taken = [r for r in out if r["taken"]]
+    # 40+40 = 80 < 100, the third doc crosses (80 < 100 -> kept), the
+    # fourth starts at 120 >= 100 -> cut: exactly 3 taken
+    assert len(taken) == 3
+    assert sum(r["n_tokens"] for r in taken) == 120
+    # determinism: same take-set under input reordering
+    out2 = mixture_take(
+        docs.orderBy("n_tok", F.desc("doc_id")), "n_tok", {"a": 100},
+        group_col="source",
+    ).collect()
+    assert {r["doc_id"] for r in out2 if r["taken"]} == {
+        r["doc_id"] for r in taken
+    }
