@@ -1465,6 +1465,16 @@ def q85_mixture(spark: SparkSession, sf: str) -> DataFrame:
     return mixture_take(docs, "n_tok", targets, group_col="source")
 
 
+def q86_centroid_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding curation: per-label centroid scoring — quantized dot
+    against the label's component-wise SUM (same order as the mean),
+    exact integers; rank 1 = least central (the drop candidate)."""
+    from gpt_rag_ingestion_spark.operators.similarity import label_centroid_scores
+
+    emb = _t(spark, sf, "embeddings")
+    return label_centroid_scores(emb)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1545,6 +1555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_group_profile": q83_group_profile,
         "q84_session_window": q84_session_window,
         "q85_mixture": q85_mixture,
+        "q86_centroid_outliers": q86_centroid_outliers,
     }
 
 
@@ -2647,5 +2658,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_tokens, cum_tokens,
               (cum_tokens - n_tokens) < tgt AS taken
             FROM g WHERE tgt >= 0
+        """,
+        "q86_centroid_outliers": """
+            WITH q AS (
+              SELECT vec_id, label, s.i AS pos,
+                CAST(round(CAST(embedding[s.i + 1] AS DOUBLE) * 1000)
+                     AS BIGINT) AS qv
+              FROM embeddings, unnest(range(0, len(embedding))) AS s(i)),
+            sums AS (
+              SELECT label, pos, CAST(SUM(qv) AS BIGINT) AS sv
+              FROM q GROUP BY label, pos),
+            scored AS (
+              SELECT q.vec_id, q.label,
+                CAST(SUM(q.qv * s.sv) AS BIGINT) AS dot_sum_q
+              FROM q JOIN sums s ON q.label = s.label AND q.pos = s.pos
+              GROUP BY q.vec_id, q.label)
+            SELECT vec_id, label, dot_sum_q,
+              CAST(row_number() OVER (PARTITION BY label
+                ORDER BY dot_sum_q ASC, vec_id ASC) AS INT) AS outlier_rank
+            FROM scored
         """,
     }

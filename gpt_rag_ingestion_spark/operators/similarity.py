@@ -515,3 +515,43 @@ def quantized_dot_topk(
             "dot",
         )
     )
+
+
+def label_centroid_scores(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-cluster outlier scoring: for each labeled vector, the
+    quantized dot product against its label's centroid — exactly the
+    within-cluster filtering step of embedding-based corpus curation
+    (drop vectors far from their cluster mean; also the scoring half of
+    SemDeDup's "keep the most central" variant).
+
+    dot(v, centroid) has the same ORDER as dot(v, Σ members) (the
+    centroid is the sum scaled by 1/n), so the score is computed
+    against the component-wise SUM — exact integer arithmetic end to
+    end, oracle-checkable.  ``outlier_rank`` 1 = least central.
+
+    100 TB: component sums move (label, pos, sum) rows — |labels|×dim,
+    tiny; the per-vector score is one broadcast join of those sums back
+    to a posexploded scan plus a groupBy on the vector id.  No float
+    until never."""
+    q = emb.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.posexplode(_qvec(F.col(vec_col))).alias("pos", "qv"),
+    )
+    sums = q.groupBy(label_col, "pos").agg(F.sum("qv").alias("sv"))
+    scored = (
+        q.join(F.broadcast(sums), on=[label_col, "pos"])
+        .groupBy(id_col, label_col)
+        .agg(F.sum(F.col("qv") * F.col("sv")).alias("dot_sum_q"))
+    )
+    w = Window.partitionBy(label_col).orderBy(
+        F.asc("dot_sum_q"), F.asc(id_col)
+    )
+    return scored.withColumn(
+        "outlier_rank", F.row_number().over(w).cast("int")
+    )

@@ -284,3 +284,24 @@ def test_duplicated_span_mass(spark):
     assert rows[3]["n_dup_positions"] == rows[3]["n_positions"] == 31
     assert rows[3]["dup_heavy"]
     assert rows[4]["n_positions"] == 0 and not rows[4]["dup_heavy"]
+
+
+def test_label_centroid_scores_order(spark):
+    from gpt_rag_ingestion_spark.operators.similarity import label_centroid_scores
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.1], 0),
+            (3, [-1.0, 0.0], 0),  # opposite direction: the outlier
+            (4, [0.0, 1.0], 1),   # singleton label
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {r["vec_id"]: r for r in label_centroid_scores(emb).collect()}
+    assert rows[3]["outlier_rank"] == 1  # least central in label 0
+    assert rows[2]["outlier_rank"] == 3  # most central (closest to sum)
+    assert rows[4]["outlier_rank"] == 1  # singleton is its own rank 1
+    # exact integer check: sum vector of label 0 = (1000, 100);
+    # dot for vec 1 = 1000*1000 + 0*100 = 1_000_000
+    assert rows[1]["dot_sum_q"] == 1_000_000
