@@ -1475,6 +1475,31 @@ def q86_centroid_outliers(spark: SparkSession, sf: str) -> DataFrame:
     return label_centroid_scores(emb)
 
 
+def q87_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Range join (point-in-interval) via bucketization: anchors
+    (event_id % 1000 == 0) open 2-hour windows; every event landing in
+    a window joins through an hour-bucket EQUI-join + exact filter —
+    never a nested loop.  Output: per-window event count + value sum."""
+    from gpt_rag_ingestion_spark.operators.rangejoin import bucketed_range_join
+
+    ev = _t(spark, sf, "events")
+    intervals = (
+        ev.filter(F.col("event_id") % 1000 == 0)
+        .select(
+            F.col("event_id").alias("interval_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+        )
+    )
+    joined = bucketed_range_join(
+        ev.select("event_id", "ts", "value"), intervals, bucket_seconds=3600
+    )
+    return joined.groupBy("interval_id", "start_ts").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dec_sum(F.col("value"), "sum_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1556,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_session_window": q84_session_window,
         "q85_mixture": q85_mixture,
         "q86_centroid_outliers": q86_centroid_outliers,
+        "q87_range_join": q87_range_join,
     }
 
 
@@ -2677,5 +2703,18 @@ def oracle_sql() -> dict[str, str]:
               CAST(row_number() OVER (PARTITION BY label
                 ORDER BY dot_sum_q ASC, vec_id ASC) AS INT) AS outlier_rank
             FROM scored
+        """,
+        "q87_range_join": """
+            WITH iv AS (
+              SELECT event_id AS interval_id, ts AS start_ts,
+                ts + INTERVAL 2 HOUR AS end_ts
+              FROM events WHERE event_id % 1000 = 0)
+            SELECT iv.interval_id, iv.start_ts,
+              COUNT(*) AS n_events,
+              CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE)
+                AS sum_value
+            FROM events e JOIN iv
+              ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+            GROUP BY iv.interval_id, iv.start_ts
         """,
     }

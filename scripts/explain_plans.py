@@ -57,6 +57,9 @@ PLAN_PROPERTIES = {
     # (hashpartitioning(source) satisfies the (source, bin_id) window's
     # clustered distribution too — no second exchange)
     "q78_pack_sequences": (["Window", "hashpartitioning(source"], []),
+    # range join: the bucket trick must produce a HASH join on the
+    # bucket id — a nested-loop plan means the technique regressed
+    "q87_range_join": (["Join"], ["NestedLoop"]),
 }
 
 

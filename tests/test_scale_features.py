@@ -455,3 +455,28 @@ def test_mixture_take_budgets(spark):
     assert {r["doc_id"] for r in out2 if r["taken"]} == {
         r["doc_id"] for r in taken
     }
+
+
+def test_bucketed_range_join_exact_and_hash_join(spark):
+    from gpt_rag_ingestion_spark.operators.rangejoin import bucketed_range_join
+
+    ev = spark.createDataFrame(
+        [(i, f"2024-01-01 {h:02d}:{m:02d}:00") for i, (h, m) in enumerate(
+            [(0, 0), (0, 30), (1, 0), (1, 59), (2, 0), (5, 15)]
+        )],
+        ["event_id", "ts_s"],
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [(100, "2024-01-01 00:30:00", "2024-01-01 02:00:00")],
+        ["interval_id", "s", "e"],
+    ).select(
+        "interval_id",
+        F.col("s").cast("timestamp").alias("start_ts"),
+        F.col("e").cast("timestamp").alias("end_ts"),
+    )
+    out = bucketed_range_join(ev, iv, bucket_seconds=3600)
+    # half-open [00:30, 02:00): events at 00:30, 01:00, 01:59 — the
+    # 02:00 event is excluded by the exclusive end
+    assert sorted(r["event_id"] for r in out.collect()) == [1, 2, 3]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
