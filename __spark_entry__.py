@@ -1500,6 +1500,16 @@ def q87_range_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q88_count_min(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketches #2: count-min heavy-hitter estimation — 4x256 md5-bucket
+    counters (engine-portable construction), min-of-cells estimate
+    checked against exact counts for the top-20 tokens."""
+    from gpt_rag_ingestion_spark.operators.sketches import count_min_frequencies
+
+    docs = _t(spark, sf, "documents")
+    return count_min_frequencies(docs, depth=4, width=256, top_k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1582,6 +1592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_mixture": q85_mixture,
         "q86_centroid_outliers": q86_centroid_outliers,
         "q87_range_join": q87_range_join,
+        "q88_count_min": q88_count_min,
     }
 
 
@@ -1663,6 +1674,21 @@ def oracle_sql() -> dict[str, str]:
     lang_score = (
         "len(list_filter(string_split_regex(lower(text), '\\s+'), "
         "t -> t != '' AND list_contains({words}, t)))"
+    )
+
+    def _cm_bucket(j: int) -> str:
+        h = f"md5('cm{j}:' || token)"
+        return (
+            f"(({_byte_expr(h, 0)} * 16777216 + {_byte_expr(h, 1)} * 65536"
+            f" + {_byte_expr(h, 2)} * 256 + {_byte_expr(h, 3)}) % 256)"
+        )
+
+    cm_votes = " UNION ALL ".join(
+        f"SELECT {j} AS j, {_cm_bucket(j)} AS bucket FROM ne" for j in range(4)
+    )
+    cm_probes = " UNION ALL ".join(
+        f"SELECT token, true_count, {j} AS j, {_cm_bucket(j)} AS bucket FROM tc"
+        for j in range(4)
     )
     return {
         "q01_pricing_summary": """
@@ -2716,5 +2742,28 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN iv
               ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
             GROUP BY iv.interval_id, iv.start_ts
+        """,
+        "q88_count_min": f"""
+            WITH t0 AS ({_TOKS}),
+            ne AS (SELECT token FROM t0 WHERE token != ''),
+            votes AS ({cm_votes}),
+            counters AS (
+              SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cell
+              FROM votes GROUP BY j, bucket),
+            tc AS (
+              SELECT token, CAST(COUNT(*) AS BIGINT) AS true_count
+              FROM ne GROUP BY token),
+            probes AS ({cm_probes}),
+            est AS (
+              SELECT p.token, p.true_count,
+                CAST(MIN(c.cell) AS BIGINT) AS cms_count
+              FROM probes p JOIN counters c USING (j, bucket)
+              GROUP BY p.token, p.true_count)
+            SELECT * FROM (
+              SELECT CAST(row_number() OVER (
+                  ORDER BY true_count DESC, token ASC) AS INT) AS rank,
+                token, true_count, cms_count
+              FROM est) r
+            WHERE rank <= 20
         """,
     }

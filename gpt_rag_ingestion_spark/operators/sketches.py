@@ -61,3 +61,81 @@ def kmv_distinct(
         est.cast("long").alias("est_distinct"),
         F.col("exact_distinct"),
     )
+
+
+def count_min_frequencies(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    depth: int = 4,
+    width: int = 256,
+    top_k: int = 20,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) built
+    relationally, evaluated against exact counts for the ``top_k``
+    most frequent tokens.
+
+    Construction: each token occurrence votes into ``depth``
+    counters — bucket_j = int32(md5("cm{j}:" || token)) % width — so
+    the whole sketch is ONE groupBy over (row, bucket): depth*width
+    cells regardless of corpus size.  The estimate for a token is the
+    min over its ``depth`` cells; CMS guarantees estimate >= truth,
+    with overshoot bounded by collisions (e*N/width w.p. 1-1/e^depth).
+
+    md5-derived buckets keep the construction engine-portable (exact
+    same sketch in any engine with md5 — oracle-checkable), unlike
+    seeded-random hash families.
+
+    100 TB: the counter table is depth x width cells — broadcast
+    scale — built with one shuffle of (j, bucket) pairs; heavy-hitter
+    estimation then needs only the distinct-token stream against the
+    broadcast counters.  This is the mergeable-summary pattern: shards
+    build local sketches, cell-wise addition merges them."""
+    from gpt_rag_ingestion_spark.operators.dedup import tokenize
+
+    toks = tokenize(df, text_col, id_col).select("token")
+
+    def bucket(j: int):
+        h = F.md5(F.concat(F.lit(f"cm{j}:"), F.col("token")))
+        return (
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width
+        ).alias("bucket")
+
+    votes = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), bucket(j))
+                    for j in range(depth)
+                ]
+            )
+        ).alias("jb")
+    ).select("jb.j", "jb.bucket")
+    counters = votes.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).alias("cell")
+    )
+
+    true_counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_count"))
+    probes = true_counts.select(
+        "token",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), bucket(j))
+                    for j in range(depth)
+                ]
+            )
+        ).alias("jb"),
+    ).select("token", "true_count", "jb.j", "jb.bucket")
+    est = (
+        probes.join(F.broadcast(counters), on=["j", "bucket"])
+        .groupBy("token", "true_count")
+        .agg(F.min("cell").alias("cms_count"))
+    )
+    w = Window.orderBy(F.desc("true_count"), F.asc("token"))
+    return (
+        est.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select("rank", "token", "true_count", "cms_count")
+    )

@@ -480,3 +480,18 @@ def test_bucketed_range_join_exact_and_hash_join(spark):
     assert sorted(r["event_id"] for r in out.collect()) == [1, 2, 3]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
+
+
+def test_count_min_overestimates_only(spark):
+    from gpt_rag_ingestion_spark.operators.sketches import count_min_frequencies
+
+    docs = spark.createDataFrame(
+        [(i, ("hot " * 50) + f"cold{i} rare{i % 7}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    rows = count_min_frequencies(docs, depth=4, width=64, top_k=5).collect()
+    by_tok = {r["token"]: r for r in rows}
+    # CMS never underestimates, and the top heavy hitter is exact-ranked
+    assert all(r["cms_count"] >= r["true_count"] for r in rows)
+    assert rows and min(r["rank"] for r in rows) == 1
+    assert by_tok["hot"]["rank"] == 1 and by_tok["hot"]["true_count"] == 1000
