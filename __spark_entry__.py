@@ -1510,6 +1510,18 @@ def q88_count_min(spark: SparkSession, sf: str) -> DataFrame:
     return count_min_frequencies(docs, depth=4, width=256, top_k=20)
 
 
+def q89_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Index construction: the inverted half of the reference's search
+    index as a relation — (token, df, occurrences, capped posting
+    prefix in canonical doc:pos order).  One shuffle on the token."""
+    from gpt_rag_ingestion_spark.operators.inverted_index import (
+        build_inverted_index,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return build_inverted_index(docs, max_postings=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1593,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_centroid_outliers": q86_centroid_outliers,
         "q87_range_join": q87_range_join,
         "q88_count_min": q88_count_min,
+        "q89_inverted_index": q89_inverted_index,
     }
 
 
@@ -2765,5 +2778,28 @@ def oracle_sql() -> dict[str, str]:
                 token, true_count, cms_count
               FROM est) r
             WHERE rank <= 20
+        """,
+        "q89_inverted_index": f"""
+            WITH t0 AS ({_TOKS}),
+            ne AS (SELECT doc_id AS doc, pos, token FROM t0
+                   WHERE token != ''),
+            stats AS (
+              SELECT token,
+                CAST(COUNT(DISTINCT doc) AS BIGINT) AS df,
+                CAST(COUNT(*) AS BIGINT) AS n_occurrences
+              FROM ne GROUP BY token),
+            r AS (
+              SELECT token, doc, pos,
+                row_number() OVER (PARTITION BY token
+                                   ORDER BY doc, pos) AS rn
+              FROM ne),
+            prefix AS (
+              SELECT token,
+                string_agg(CAST(doc AS VARCHAR) || ':' ||
+                           CAST(pos AS VARCHAR), ','
+                           ORDER BY doc, pos) AS postings
+              FROM r WHERE rn <= 10 GROUP BY token)
+            SELECT s.token, s.df, s.n_occurrences, p.postings
+            FROM stats s JOIN prefix p USING (token)
         """,
     }

@@ -495,3 +495,21 @@ def test_count_min_overestimates_only(spark):
     assert all(r["cms_count"] >= r["true_count"] for r in rows)
     assert rows and min(r["rank"] for r in rows) == 1
     assert by_tok["hot"]["rank"] == 1 and by_tok["hot"]["true_count"] == 1000
+
+
+def test_inverted_index_postings(spark):
+    from gpt_rag_ingestion_spark.operators.inverted_index import (
+        build_inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "b a b"), (2, "a c"), (3, "a a a")],
+        ["doc_id", "text"],
+    )
+    rows = {r["token"]: r for r in build_inverted_index(docs, max_postings=3).collect()}
+    a = rows["a"]
+    assert (a["df"], a["n_occurrences"]) == (3, 5)
+    # capped at 3 postings, (doc, pos) order: doc1 pos1, doc2 pos0, doc3 pos0
+    assert a["postings"] == "1:1,2:0,3:0"
+    assert rows["b"]["postings"] == "1:0,1:2"
+    assert rows["c"]["postings"] == "2:1"
