@@ -115,9 +115,15 @@ def retention_targets(
     keep: int = 500,
 ) -> DataFrame:
     """W6: run summaries beyond the newest ``keep`` (reference
-    api/admin.py:202-237) — deletion candidates."""
-    w = Window.orderBy(F.desc(ts_col))
-    return runs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") > keep)
+    api/admin.py:202-237) — deletion candidates.
+
+    Ranked with the distributed global row_number (range partition +
+    local rank + offset), not an unpartitioned window — years of run
+    history never funnel through one task."""
+    from gpt_rag_ingestion_spark.operators.ranking import distributed_row_number
+
+    ranked = distributed_row_number(runs, [F.desc(ts_col)], rank_col="rn")
+    return ranked.filter(F.col("rn") > keep)
 
 
 def stale_runs(runs: DataFrame, now_ts, hours: int = STALE_RUN_HOURS) -> DataFrame:

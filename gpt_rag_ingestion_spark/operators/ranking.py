@@ -1,0 +1,90 @@
+"""Distributed global ranking — the scale-safe replacements for
+``Window.orderBy(...)`` with no partition spec.
+
+An unpartitioned window moves the ENTIRE input through one task
+(Spark even warns: "No Partition Defined for Window operation").
+That is fine on 20 rows and fatal on 20 billion.  Two patterns cover
+every global-ranking need of the engine:
+
+* ``global_top_k`` — when only the best k rows are wanted.  Spark
+  compiles ``orderBy(...).limit(k)`` to ``TakeOrderedAndProject``:
+  each partition keeps its local top-k, the driver merges k-sized
+  heaps — no global sort, no single-partition shuffle.  Ranking the
+  k survivors is then a window over at most k rows.
+
+* ``distributed_row_number`` — when every row needs its global rank.
+  Classic three-step: range-repartition on the sort key (partitions
+  are globally ordered), rank inside each partition with an ordinary
+  partitioned window, then add each partition's start offset
+  (exclusive prefix sum of per-partition counts — at most one tiny
+  driver-side list of #partitions numbers, the ONLY driver data).
+
+Both produce exactly the rank a global ``row_number`` would assign
+whenever ``order`` is a total order (pass a unique tiebreaker).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_top_k(
+    df: DataFrame,
+    order: Sequence[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-``k`` rows by ``order`` with a 1-based ``rank_col``.
+
+    ``orderBy + limit`` → TakeOrderedAndProject (per-partition heaps,
+    never a full sort); the ranking window then sees <= k rows.  The
+    constant partition spec keeps the window a normal hash-partitioned
+    exchange instead of the warn-worthy empty spec.
+    """
+    top = df.orderBy(*order).limit(k)
+    w = Window.partitionBy(F.lit(1)).orderBy(*order)
+    return top.withColumn(rank_col, F.row_number().over(w).cast("int"))
+
+
+def distributed_row_number(
+    df: DataFrame,
+    order: Sequence[Column],
+    rank_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based ``row_number`` over ``order`` without an
+    unpartitioned window.
+
+    Range-repartitions on the sort key so partition i holds rows that
+    all sort before partition i+1, ranks locally, then shifts each
+    partition by the total count of earlier partitions.  The offset
+    table is #partitions entries — broadcast-joined, never a literal
+    in the plan.
+    """
+    parted = (
+        df.repartitionByRange(num_partitions, *order)
+        if num_partitions
+        else df.repartitionByRange(*order)
+    )
+    with_pid = parted.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(*order)
+    local = with_pid.withColumn("__local_rn", F.row_number().over(w))
+
+    counts = sorted(
+        (r["__pid"], r["n"])
+        for r in local.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, running = [], 0
+    for pid, n in counts:
+        offsets.append((pid, running))
+        running += n
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, ["__pid", "__offset"])
+    return (
+        local.join(F.broadcast(off_df), "__pid")
+        .withColumn(rank_col, (F.col("__local_rn") + F.col("__offset")).cast("long"))
+        .drop("__pid", "__local_rn", "__offset")
+    )

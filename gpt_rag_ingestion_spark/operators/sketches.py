@@ -133,9 +133,11 @@ def count_min_frequencies(
         .groupBy("token", "true_count")
         .agg(F.min("cell").alias("cms_count"))
     )
-    w = Window.orderBy(F.desc("true_count"), F.asc("token"))
-    return (
-        est.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= top_k)
-        .select("rank", "token", "true_count", "cms_count")
+    # Global top-k over the whole vocabulary: TakeOrdered per-partition
+    # heaps, never an unpartitioned window over every distinct token.
+    from gpt_rag_ingestion_spark.operators.ranking import global_top_k
+
+    ranked = global_top_k(
+        est, [F.desc("true_count"), F.asc("token")], top_k, rank_col="rank"
     )
+    return ranked.select("rank", "token", "true_count", "cms_count")

@@ -513,3 +513,36 @@ def test_inverted_index_postings(spark):
     assert a["postings"] == "1:1,2:0,3:0"
     assert rows["b"]["postings"] == "1:0,1:2"
     assert rows["c"]["postings"] == "2:1"
+
+
+def test_distributed_row_number_matches_global_window(spark):
+    from pyspark.sql import Window
+
+    from gpt_rag_ingestion_spark.operators.ranking import (
+        distributed_row_number,
+        global_top_k,
+    )
+
+    df = spark.range(0, 997).select(
+        F.col("id"), (F.col("id") * 2654435761 % 1000).alias("key")
+    )
+    order = [F.desc("key"), F.asc("id")]
+    got = {
+        (r["id"], r["rn"])
+        for r in distributed_row_number(df, order, num_partitions=7).collect()
+    }
+    want = {
+        (r["id"], r["rn"])
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order)).cast("long")
+        ).collect()
+    }
+    assert got == want
+
+    topk = global_top_k(df, order, 10, rank_col="rank")
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    want_top = sorted(want, key=lambda t: t[1])[:10]
+    assert [
+        (r["id"], r["rank"]) for r in topk.orderBy("rank").collect()
+    ] == want_top
