@@ -1522,6 +1522,36 @@ def q89_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
     return build_inverted_index(docs, max_postings=10)
 
 
+def q90_bloom_semijoin(spark: SparkSession, sf: str) -> DataFrame:
+    """Runtime join pruning: lineitem rows for rich suppliers
+    (s_acctbal > 9000) via an explicit md5 Bloom filter — fact shuffle
+    pruned by a broadcast one-row bitmap probe BEFORE the exact
+    left-semi join removes false positives, then a per-supplier rollup.
+    Bit-identical to the unpruned semi-join by construction."""
+    from gpt_rag_ingestion_spark.operators.bloomjoin import bloom_semijoin
+
+    li = _t(spark, sf, "lineitem")
+    supp = _t(spark, sf, "supplier").filter(F.col("s_acctbal") > 9000)
+    picked = bloom_semijoin(
+        li, supp.select("s_suppkey"), "l_suppkey", "s_suppkey"
+    )
+    return picked.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dec_sum(F.col("l_extendedprice"), "sum_price"),
+    )
+
+
+def q91_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup family #6 — span REMOVAL (CCNet line-dedup analog): cut
+    every 40-char slice whose exact text repeats corpus-wide and return
+    the cleaned documents. All corpus-wide state moves as 8-byte
+    xxhash64 digests; reassembly shuffles only kept text."""
+    from gpt_rag_ingestion_spark.operators.dedup import span_dedup
+
+    docs = _t(spark, sf, "documents")
+    return span_dedup(docs, span=40, min_count=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1606,6 +1636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_range_join": q87_range_join,
         "q88_count_min": q88_count_min,
         "q89_inverted_index": q89_inverted_index,
+        "q90_bloom_semijoin": q90_bloom_semijoin,
+        "q91_span_dedup": q91_span_dedup,
     }
 
 
@@ -2801,5 +2833,38 @@ def oracle_sql() -> dict[str, str]:
               FROM r WHERE rn <= 10 GROUP BY token)
             SELECT s.token, s.df, s.n_occurrences, p.postings
             FROM stats s JOIN prefix p USING (token)
+        """,
+        "q90_bloom_semijoin": """
+            SELECT l_suppkey,
+              CAST(COUNT(*) AS BIGINT) AS n_items,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                AS sum_price
+            FROM lineitem
+            WHERE l_suppkey IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal > 9000)
+            GROUP BY l_suppkey
+        """,
+        "q91_span_dedup": """
+            WITH segs AS (
+              SELECT d.doc_id, CAST(s.i AS INT) AS pos,
+                substr(d.text, CAST(s.i AS INT) * 40 + 1, 40) AS seg
+              FROM documents d,
+                unnest(range(0, greatest((length(d.text) - 1) // 40, 0) + 1))
+                  AS s(i)
+              WHERE length(substr(d.text, CAST(s.i AS INT) * 40 + 1, 40)) >= 1
+            ),
+            counts AS (SELECT seg, COUNT(*) AS n FROM segs GROUP BY seg),
+            kept AS (
+              SELECT g.doc_id, g.pos, g.seg
+              FROM segs g JOIN counts c USING (seg) WHERE c.n < 2),
+            agg AS (
+              SELECT doc_id, string_agg(seg, '' ORDER BY pos) AS cleaned_text
+              FROM kept GROUP BY doc_id)
+            SELECT d.doc_id,
+              CAST(length(d.text) AS BIGINT) AS n_chars_before,
+              coalesce(a.cleaned_text, '') AS cleaned_text,
+              CAST(length(coalesce(a.cleaned_text, '')) AS BIGINT)
+                AS n_chars_after
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
     }

@@ -616,3 +616,72 @@ def duplicated_span_mass(
             F.col("n_dup_positions") * 5 > F.col("n_positions"),
         )
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 40,
+    min_count: int = 2,
+) -> DataFrame:
+    """Span-level dedup with REMOVAL (the CCNet line-dedup analog —
+    Wenzek et al. 2020 drop duplicated lines/paragraphs before model
+    training; with no line structure the unit is a fixed ``span``-char
+    slice): every slice whose exact text occurs >= ``min_count`` times
+    corpus-wide (any doc, any slot) is cut, and the surviving slices
+    re-concatenate in order into ``cleaned_text``.
+
+    Complements ``duplicated_span_mass`` (which only SCORES
+    duplication): this one produces the cleaned corpus.
+
+    Output: (id, n_chars_before, cleaned_text, n_chars_after).
+
+    100 TB design: slicing is a narrow array transform; the corpus-wide
+    occurrence count and the keep-probe both move 8-byte xxhash64
+    digests, never text (one count shuffle + one semi-join); reassembly
+    is one groupBy(doc) of (pos, slice) structs via array_sort —
+    shuffle volume is O(kept text). Docs whose every slice is cut stay
+    present with empty cleaned_text via the final left join."""
+    c = F.col(text_col)
+    n_spans = F.greatest(
+        ((F.length(c) - 1) / span).cast("int"), F.lit(0)
+    ) + F.lit(1)
+    segs = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_spans - 1),
+                    lambda i: c.substr(i * span + 1, F.lit(span)),
+                )
+            ).alias("pos", "seg"),
+        )
+        .filter(F.length("seg") >= 1)
+        .withColumn("gh", F.xxhash64("seg"))
+    )
+    rare = (
+        segs.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") < min_count)
+        .select("gh")
+    )
+    cleaned = (
+        segs.join(rare, on="gh", how="left_semi")
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                    lambda s: s["seg"],
+                ),
+            ).alias("cleaned_text")
+        )
+    )
+    return (
+        df.select(F.col(id_col), F.length(c).cast("long").alias("n_chars_before"))
+        .join(cleaned, on=id_col, how="left")
+        .withColumn("cleaned_text", F.coalesce(F.col("cleaned_text"), F.lit("")))
+        .withColumn("n_chars_after", F.length("cleaned_text").cast("long"))
+    )

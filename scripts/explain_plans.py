@@ -60,6 +60,15 @@ PLAN_PROPERTIES = {
     # range join: the bucket trick must produce a HASH join on the
     # bucket id — a nested-loop plan means the technique regressed
     "q87_range_join": (["Join"], ["NestedLoop"]),
+    # bloom pruning: the one-row bitmap rides a broadcast nested loop
+    # (cross join of a single row), and the exact semi-join stays hash
+    "q90_bloom_semijoin": (
+        ["BroadcastNestedLoopJoin", "BroadcastHashJoin", "LeftSemi"],
+        [],
+    ),
+    # span dedup: corpus-wide state moves as xxhash64 digests — the
+    # count/probe shuffles must never carry the slice text
+    "q91_span_dedup": (["xxhash64", "LeftSemi"], []),
 }
 
 

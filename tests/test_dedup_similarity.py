@@ -305,3 +305,55 @@ def test_label_centroid_scores_order(spark):
     # exact integer check: sum vector of label 0 = (1000, 100);
     # dot for vec 1 = 1000*1000 + 0*100 = 1_000_000
     assert rows[1]["dot_sum_q"] == 1_000_000
+
+
+def test_bloom_semijoin_exact_and_pruning(spark):
+    from pyspark.sql import functions as F
+
+    from gpt_rag_ingestion_spark.operators.bloomjoin import (
+        bloom_bitmap,
+        bloom_prune,
+        bloom_semijoin,
+    )
+
+    fact = spark.range(0, 20000).select(F.col("id").alias("k"))
+    dim = spark.range(0, 20000, 500).select(F.col("id").alias("dk"))  # 40 keys
+    got = bloom_semijoin(fact, dim, "k", "dk")
+    want = fact.join(dim.withColumnRenamed("dk", "k"), "k", "left_semi")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    pruned = bloom_prune(fact, "k", bloom_bitmap(dim, "dk"))
+    n = pruned.count()
+    # never drops a true match; prunes the overwhelming majority
+    assert pruned.join(want, "k", "left_semi").count() == want.count() == 40
+    assert n < 1000
+    # the probe is a broadcast of a single-row bitmap, no extra shuffle
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_span_dedup_removes_repeated_spans(spark):
+    from gpt_rag_ingestion_spark.operators.dedup import span_dedup
+
+    # span=4: "AAAA" repeats (docs 1+2 and twice inside doc 3); the
+    # unique tails survive, a fully-duplicated doc empties out.
+    docs = spark.createDataFrame(
+        [
+            (1, "AAAAbcde"),
+            (2, "AAAAwxyz"),
+            (3, "AAAAAAAA"),
+            (4, "qrst"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in span_dedup(docs, span=4, min_count=2).collect()
+    }
+    assert rows[1]["cleaned_text"] == "bcde"
+    assert rows[2]["cleaned_text"] == "wxyz"
+    assert rows[3]["cleaned_text"] == ""
+    assert rows[4]["cleaned_text"] == "qrst"
+    assert rows[5]["cleaned_text"] == "" and rows[5]["n_chars_before"] == 0
+    assert rows[1]["n_chars_before"] == 8 and rows[1]["n_chars_after"] == 4
