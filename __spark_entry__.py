@@ -1552,6 +1552,26 @@ def q91_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return span_dedup(docs, span=40, min_count=2)
 
 
+def q92_sync_actions(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed CDC decision table: one full-outer pass classifying
+    every key as index / reindex / skip / purge (the reference's
+    freshness keep-list + deletion sweep as a single relation)."""
+    from gpt_rag_ingestion_spark.operators.freshness import sync_actions
+
+    ev = _t(spark, sf, "events")
+    wm = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("watermark_ts"))
+    )
+    src = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("src_ts"))
+    )
+    return sync_actions(src, wm, key="user_id", ts="src_ts")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1638,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_inverted_index": q89_inverted_index,
         "q90_bloom_semijoin": q90_bloom_semijoin,
         "q91_span_dedup": q91_span_dedup,
+        "q92_sync_actions": q92_sync_actions,
     }
 
 
@@ -2866,5 +2887,21 @@ def oracle_sql() -> dict[str, str]:
               CAST(length(coalesce(a.cleaned_text, '')) AS BIGINT)
                 AS n_chars_after
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "q92_sync_actions": """
+            WITH wm AS (
+              SELECT user_id, max(ts) AS watermark_ts FROM events
+              WHERE event_id % 2 = 0 GROUP BY user_id),
+            src AS (
+              SELECT user_id, max(ts) AS src_ts FROM events
+              WHERE event_id % 2 = 1 GROUP BY user_id)
+            SELECT user_id,
+              CASE WHEN w.watermark_ts IS NULL THEN 'index'
+                   WHEN s.src_ts IS NULL THEN 'purge'
+                   WHEN epoch_us(s.src_ts) - epoch_us(w.watermark_ts)
+                        > 1000000 THEN 'reindex'
+                   ELSE 'skip' END AS action,
+              s.src_ts, w.watermark_ts
+            FROM src s FULL OUTER JOIN wm w USING (user_id)
         """,
     }

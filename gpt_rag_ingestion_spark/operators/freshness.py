@@ -48,3 +48,43 @@ def freshness_candidates(
         F.unix_micros(F.col(ts)) - F.unix_micros(F.col("watermark_ts")) > F.lit(skew_us)
     )
     return joined.filter(fresh).drop("watermark_ts")
+
+
+def sync_actions(
+    source: DataFrame,
+    watermarks: DataFrame,
+    key: str = "parent_id",
+    ts: str = "last_modified",
+    skew_seconds: float = FRESHNESS_SKEW_SECONDS,
+) -> DataFrame:
+    """The whole incremental-sync decision table in one relation —
+    the composition the reference runs as two separate passes
+    (freshness keep-list, jobs/blob_storage_indexer.py:293-302, then
+    the deletion sweep, :899-934): classify EVERY key in one full-outer
+    join of source listing vs index watermarks.
+
+    Actions: ``index`` (no watermark), ``reindex`` (newer than
+    watermark + skew), ``skip`` (present, not newer), ``purge`` (in the
+    index, gone from the source).
+
+    Scale: both inputs are one row per key (aggregates), so the
+    full-outer shuffle moves two key-compacted relations — never the
+    chunk table or the raw listing; downstream jobs filter on
+    ``action``, keeping one classification pass for the entire sync."""
+    src = source.select(F.col(key), F.col(ts).alias("src_ts"))
+    wm = watermarks.select(key, "watermark_ts")
+    joined = src.join(wm, on=key, how="full_outer")
+    skew_us = int(skew_seconds * 1_000_000)
+    newer = (
+        F.unix_micros(F.col("src_ts")) - F.unix_micros(F.col("watermark_ts"))
+        > F.lit(skew_us)
+    )
+    action = (
+        F.when(F.col("watermark_ts").isNull(), F.lit("index"))
+        .when(F.col("src_ts").isNull(), F.lit("purge"))
+        .when(newer, F.lit("reindex"))
+        .otherwise(F.lit("skip"))
+    )
+    return joined.select(
+        F.col(key), action.alias("action"), "src_ts", "watermark_ts"
+    )

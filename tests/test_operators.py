@@ -185,3 +185,39 @@ def test_union_by_source_discriminator(spark):
     out = blob.unionByName(sp)
     assert out.count() == 2
     assert {r["source"] for r in out.collect()} == {"blob", "sharepoint-list"}
+
+
+def test_sync_actions_all_four(spark):
+    import datetime as dt
+
+    from gpt_rag_ingestion_spark.operators.freshness import sync_actions
+
+    def ts(s):
+        return dt.datetime.fromisoformat(s)
+
+    src = spark.createDataFrame(
+        [
+            ("new", ts("2024-01-05T00:00:00")),
+            ("newer", ts("2024-01-05T00:00:00")),
+            ("same", ts("2024-01-01T00:00:00")),
+            ("skewed", ts("2024-01-01T00:00:00.500000")),  # within 1 s skew
+        ],
+        ["parent_id", "last_modified"],
+    )
+    wm = spark.createDataFrame(
+        [
+            ("newer", ts("2024-01-01T00:00:00")),
+            ("same", ts("2024-01-01T00:00:00")),
+            ("skewed", ts("2024-01-01T00:00:00")),
+            ("gone", ts("2024-01-01T00:00:00")),
+        ],
+        ["parent_id", "watermark_ts"],
+    )
+    got = {r["parent_id"]: r["action"] for r in sync_actions(src, wm).collect()}
+    assert got == {
+        "new": "index",
+        "newer": "reindex",
+        "same": "skip",
+        "skewed": "skip",
+        "gone": "purge",
+    }
