@@ -146,11 +146,14 @@ def run_ingest_job(
     summary_rows = summary.collect()
 
     # 5b. per-file ops rows (timings + costEstimate populated) —
-    # materialized pre-merge for the same cache-invalidation reason
-    ops_rows = None
+    # written to the ops table pre-merge for the same cache-invalidation
+    # reason.  They stay on the cluster: one parquet append, never a
+    # per-file driver collect (a run can touch millions of files); the
+    # only driver value is the single summed chunk-seconds scalar.
+    tracked_sec = 0.0
     if ops_table_path:
-        ops_rows = _collect_ops_rows(
-            spark, candidates, chunks, run_id, embedding_dim
+        tracked_sec = _write_per_file_ops(
+            spark, chunks, run_id, ops_table_path
         )
 
     # 6. idempotent merge (S10/S11 delete-then-insert); the timing
@@ -166,19 +169,22 @@ def run_ingest_job(
     chunks.unpersist()
 
     if ops_table_path:
-        _append_ops(
-            spark, ops_table_path, ops_rows, run_id,
+        _append_run_row(
+            spark, ops_table_path, run_id,
+            tracked_sec=tracked_sec,
             upload_sec=upload_sec,
             total_sec=round(_time.monotonic() - _t_wall, 3),
         )
     return spark.createDataFrame(summary_rows, schema=summary_schema)
 
 
-def _collect_ops_rows(spark, candidates, chunks, run_id, embedding_dim):
+def _write_per_file_ops(spark, chunks, run_id, ops_table_path):
     """Per-file ops rows with populated structs (A4/A5; reference
-    blob_storage_indexer.py:598-678).  Usage is exact per-file column
+    blob_storage_indexer.py:598-678), appended to the ops table as one
+    cluster-side parquet write.  Usage is exact per-file column
     arithmetic: embedding tokens from chunk contents, pages when the
-    chunker emitted them, the reference cost model for totalUSD."""
+    chunker emitted them, the reference cost model for totalUSD.
+    Returns the summed per-doc chunk seconds (one scalar collect)."""
     from gpt_rag_ingestion_spark.functions.tokens import approx_token_count
     from gpt_rag_ingestion_spark.operators.ops_log import (
         COST_PER_1K_EMBEDDING_TOKENS,
@@ -232,20 +238,22 @@ def _collect_ops_rows(spark, candidates, chunks, run_id, embedding_dim):
         ).alias("costEstimate"),
         F.lit(None).cast("string").alias("error"),
     )
-    return rows.collect()
+    rows.write.mode("append").parquet(ops_table_path)
+    tracked = usage.agg(
+        F.sum(F.coalesce(F.col("chunkSec"), F.lit(0.0))).alias("s")
+    ).collect()[0]["s"]
+    return float(tracked or 0.0)
 
 
-def _append_ops(spark, ops_table_path, ops_rows, run_id, upload_sec, total_sec):
-    """Append per-file rows plus one run-level row carrying the
-    job-phase wall timings (upload/total/overhead)."""
+def _append_run_row(
+    spark, ops_table_path, run_id, tracked_sec, upload_sec, total_sec
+):
+    """Append the single run-level row carrying the job-phase wall
+    timings (upload/total/overhead)."""
     from gpt_rag_ingestion_spark.schemas import OPS_LOG_SCHEMA
 
-    per_file = spark.createDataFrame(ops_rows or [], schema=OPS_LOG_SCHEMA)
-    tracked = sum(
-        (r["timings"]["chunkEmbedSec"] or 0.0) for r in (ops_rows or [])
-    )
-    overhead = round(max(total_sec - tracked - upload_sec, 0.0), 3)
-    run_row = per_file.sparkSession.createDataFrame(
+    overhead = round(max(total_sec - tracked_sec - upload_sec, 0.0), 3)
+    run_row = spark.createDataFrame(
         [
             (
                 run_id, None, "run", None, None, None, None, None,
@@ -255,4 +263,4 @@ def _append_ops(spark, ops_table_path, ops_rows, run_id, upload_sec, total_sec):
         ],
         schema=OPS_LOG_SCHEMA,
     )
-    per_file.unionByName(run_row).write.mode("append").parquet(ops_table_path)
+    run_row.write.mode("append").parquet(ops_table_path)
