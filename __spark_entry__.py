@@ -1572,6 +1572,18 @@ def q92_sync_actions(spark: SparkSession, sf: str) -> DataFrame:
     return sync_actions(src, wm, key="user_id", ts="src_ts")
 
 
+def q93_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE merge training (Sennrich et al. 2016): one
+    corpus pass builds the word-frequency table, then each of the 16
+    iterations is a groupBy + TakeOrdered(1) + codegen merge fold over
+    the VOCABULARY relation only. Iterative — no SQL oracle; exactness
+    vs the sequential reference algorithm is pinned by unit test."""
+    from gpt_rag_ingestion_spark.operators.bpe import bpe_train
+
+    docs = _t(spark, sf, "documents")
+    return bpe_train(docs, num_merges=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1659,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_bloom_semijoin": q90_bloom_semijoin,
         "q91_span_dedup": q91_span_dedup,
         "q92_sync_actions": q92_sync_actions,
+        "q93_bpe_merges": q93_bpe_merges,
     }
 
 

@@ -546,3 +546,69 @@ def test_distributed_row_number_matches_global_window(spark):
     assert [
         (r["id"], r["rank"]) for r in topk.orderBy("rank").collect()
     ] == want_top
+
+
+def _bpe_python(word_freqs, num_merges, min_pair_count=2):
+    """Sequential reference BPE (Sennrich et al. 2016 pseudocode)."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for rank in range(1, num_merges + 1):
+        counts = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (a, b), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < min_pair_count:
+            break
+        merges.append((rank, a, b, a + b, n))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_sequential_reference(spark):
+    from gpt_rag_ingestion_spark.operators.bpe import bpe_segment, bpe_train
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "wider wider new new",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = [
+        (r["rank"], r["left"], r["right"], r["token"], r["n_pair"])
+        for r in bpe_train(docs, num_merges=8).orderBy("rank").collect()
+    ]
+
+    freqs = {}
+    for t in texts:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    want = _bpe_python(freqs, 8)
+    assert got == want
+
+    toks = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_segment(
+            docs, [(m[1], m[2]) for m in want]
+        ).collect()
+    }
+    # "low" merges fully after 8 merges on this corpus; word order kept
+    assert toks[0] == ["low"] * 5
+    joined = "".join(toks[1])
+    assert joined == "lowerlowernewestnewest"
