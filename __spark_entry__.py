@@ -1584,6 +1584,19 @@ def q93_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_train(docs, num_merges=16)
 
 
+def q94_shard_assignment(spark: SparkSession, sf: str) -> DataFrame:
+    """Sized-shard assignment for the training-shard writer: global
+    char-count prefix sum (range-partition + local-prefix + offset —
+    never an unpartitioned window) and floor(start/target) shard ids.
+    The oracle states the same thing as one SQL running sum."""
+    from gpt_rag_ingestion_spark.operators.shards import assign_shards
+
+    docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    return assign_shards(
+        docs, "n_chars", [F.asc("doc_id")], target_tokens=50_000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1672,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_span_dedup": q91_span_dedup,
         "q92_sync_actions": q92_sync_actions,
         "q93_bpe_merges": q93_bpe_merges,
+        "q94_shard_assignment": q94_shard_assignment,
     }
 
 
@@ -2916,5 +2930,12 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 'skip' END AS action,
               s.src_ts, w.watermark_ts
             FROM src s FULL OUTER JOIN wm w USING (user_id)
+        """,
+        "q94_shard_assignment": """
+            SELECT doc_id, n_chars,
+              CAST((SUM(n_chars) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_chars) // 50000 AS BIGINT) AS shard_id
+            FROM documents
         """,
     }

@@ -88,3 +88,47 @@ def distributed_row_number(
         .withColumn(rank_col, (F.col("__local_rn") + F.col("__offset")).cast("long"))
         .drop("__pid", "__local_rn", "__offset")
     )
+
+
+def distributed_running_sum(
+    df: DataFrame,
+    order: Sequence[Column],
+    value_col: str,
+    sum_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global inclusive running sum of ``value_col`` over ``order`` —
+    same range-partition + local-prefix + offset shape as
+    ``distributed_row_number``, with the offset being the TOTAL of all
+    earlier partitions instead of their row count.  Driver data: one
+    (pid, total) pair per partition."""
+    parted = (
+        df.repartitionByRange(num_partitions, *order)
+        if num_partitions
+        else df.repartitionByRange(*order)
+    )
+    with_pid = parted.withColumn("__pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = with_pid.withColumn("__local_sum", F.sum(value_col).over(w))
+
+    totals = sorted(
+        (r["__pid"], r["t"])
+        for r in with_pid.groupBy("__pid")
+        .agg(F.sum(value_col).alias("t"))
+        .collect()
+    )
+    offsets, running = [], 0
+    for pid, t in totals:
+        offsets.append((pid, running))
+        running += t or 0
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, ["__pid", "__offset"])
+    return (
+        local.join(F.broadcast(off_df), "__pid")
+        .withColumn(sum_col, (F.col("__local_sum") + F.col("__offset")).cast("long"))
+        .drop("__pid", "__local_sum", "__offset")
+    )

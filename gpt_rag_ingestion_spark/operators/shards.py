@@ -1,0 +1,73 @@
+"""Sized training-shard writer (beyond-reference, LLM-pipeline
+family).
+
+Training-data consumers read fixed-budget shards ("~1 GB / ~100 M
+tokens per file"), not whatever file sizes the last shuffle happened
+to leave.  This sink assigns every document a deterministic shard id
+by its position in a global token-count prefix sum, then writes one
+parquet file per shard.
+
+Scale shape: the prefix sum is the range-partition + local-prefix +
+offset pattern (`ranking.distributed_running_sum`) — token counts move
+as 8-byte longs, the driver sees one (partition, total) pair per
+partition.  The write is one hash shuffle on shard id; each shard's
+rows land in a single task, so `partitionBy(shard)` emits exactly one
+file per shard directory.  Shard budgets hold within one document of
+``target_tokens`` (a document never splits across shards).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gpt_rag_ingestion_spark.operators.ranking import distributed_running_sum
+
+
+def assign_shards(
+    df: DataFrame,
+    tokens_col: str,
+    order: Sequence[Column],
+    target_tokens: int,
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Deterministic shard id: the shard in which the document STARTS
+    under the global running token sum over ``order`` (a total order —
+    pass a unique tiebreaker).  shard = floor(start_offset / target)."""
+    run = distributed_running_sum(df, order, tokens_col, sum_col="__cum")
+    start = F.col("__cum") - F.col(tokens_col)
+    return run.withColumn(
+        shard_col, (start / target_tokens).cast("long")
+    ).drop("__cum")
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    tokens_col: str,
+    order: Sequence[Column],
+    target_tokens: int,
+    shard_col: str = "shard_id",
+) -> int:
+    """Assign shards and write ``out_dir/shard_id=N/`` with ONE parquet
+    file per shard.  Returns the number of shards written.
+
+    The repartition on shard id co-locates each shard in one task;
+    rows inside a shard keep ``order`` via sortWithinPartitions, so a
+    reader streaming one file sees documents in global order."""
+    assigned = assign_shards(df, tokens_col, order, target_tokens, shard_col)
+    (
+        assigned.repartition(F.col(shard_col))
+        .sortWithinPartitions(*order)
+        .write.mode("overwrite")
+        .partitionBy(shard_col)
+        .parquet(out_dir)
+    )
+    return (
+        df.sparkSession.read.parquet(out_dir)
+        .select(shard_col)
+        .distinct()
+        .count()
+    )

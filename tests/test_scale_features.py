@@ -612,3 +612,65 @@ def test_bpe_train_matches_sequential_reference(spark):
     assert toks[0] == ["low"] * 5
     joined = "".join(toks[1])
     assert joined == "lowerlowernewestnewest"
+
+
+def test_write_training_shards(spark, tmp_path):
+    import glob
+
+    from gpt_rag_ingestion_spark.operators.shards import (
+        assign_shards,
+        write_training_shards,
+    )
+
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7 * 100 + 50).alias("n_tokens"),
+    )
+    target = 5_000
+    out = str(tmp_path / "shards")
+    n = write_training_shards(
+        docs, out, "n_tokens", [F.asc("doc_id")], target
+    )
+
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    assert back.select("doc_id").distinct().count() == 200
+
+    # each shard holds a contiguous doc_id range (global order kept)
+    # and its token total stays within one max-document of the target
+    sums = {
+        r["shard_id"]: r
+        for r in back.groupBy("shard_id")
+        .agg(
+            F.sum("n_tokens").alias("toks"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .collect()
+    }
+    assert len(sums) == n >= 2
+    max_doc = 650
+    ordered = [sums[s] for s in sorted(sums)]
+    for prev, nxt in zip(ordered, ordered[1:]):
+        assert prev["hi"] < nxt["lo"]  # contiguous, ordered ranges
+    for s in ordered[:-1]:
+        assert s["toks"] > target - max_doc
+    for s in ordered:
+        assert s["toks"] <= target + max_doc
+        assert s["cnt"] == s["hi"] - s["lo"] + 1
+        # exactly one data file per shard directory
+        files = glob.glob(f"{out}/shard_id={s['shard_id']}/*.parquet")
+        assert len(files) == 1
+
+    # assignment matches a driver-side sequential replay
+    rows = sorted(
+        (r["doc_id"], r["n_tokens"], r["shard_id"])
+        for r in assign_shards(
+            docs, "n_tokens", [F.asc("doc_id")], target
+        ).collect()
+    )
+    cum = 0
+    for doc_id, toks, shard in rows:
+        assert shard == cum // target
+        cum += toks
