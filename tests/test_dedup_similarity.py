@@ -357,3 +357,43 @@ def test_span_dedup_removes_repeated_spans(spark):
     assert rows[4]["cleaned_text"] == "qrst"
     assert rows[5]["cleaned_text"] == "" and rows[5]["n_chars_before"] == 0
     assert rows[1]["n_chars_before"] == 8 and rows[1]["n_chars_after"] == 4
+
+
+def test_pq_ann_refined_recall(spark):
+    from collections import defaultdict
+
+    from gpt_rag_ingestion_spark.operators.similarity import (
+        pq_ann,
+        pq_ann_refined,
+        quantized_dot_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    k = 10
+    exact = defaultdict(set)
+    for r in quantized_dot_topk(emb, k=k).collect():
+        exact[r["vec_id"]].add(r["nn_id"])
+
+    refined = pq_ann_refined(emb, emb, k=k).collect()
+    got = defaultdict(set)
+    for r in refined:
+        assert r["corpus_id"] != r["query_id"]  # self excluded
+        got[r["query_id"]].add(r["corpus_id"])
+    recalls = [len(got[q] & exact[q]) / k for q in exact]
+    assert sum(recalls) / len(recalls) > 0.9  # re-rank recovers recall
+
+    # raw PQ ranking at the same code budget is strictly worse — the
+    # re-rank stage is what makes PQ usable (and this guards against
+    # accidentally making the 'approx' path secretly exact)
+    raw = pq_ann(emb, emb, k=k + 1, n_subspaces=16, n_centroids=64).collect()
+    raw_sets = defaultdict(set)
+    for r in raw:
+        if r["corpus_id"] != r["query_id"]:
+            raw_sets[r["query_id"]].add(r["corpus_id"])
+    raw_recall = sum(len(raw_sets[q] & exact[q]) / k for q in exact) / len(exact)
+    assert raw_recall < sum(recalls) / len(recalls)
+
+    # deterministic: a second run returns the identical ranking
+    again = pq_ann_refined(emb, emb, k=k).collect()
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["corpus_id"]) for r in rows)
+    assert key(again) == key(refined)
