@@ -1,0 +1,64 @@
+"""Training-corpus construction job — the beyond-reference flagship
+composition: raw documents → audited curation funnel → token counting
+→ sized training shards, as one pipeline of the repo's primitives.
+
+This is the LLM-data analog of the reference's ingest lifecycle
+(scan → filter → chunk → upsert): every document either lands in a
+shard or carries an auditable disposition saying which gate dropped
+it.
+
+Plan shape: the funnel is a narrow map + two compact exchanges
+(`operators/curation.py`); token counting is pure codegen; shard
+assignment is the distributed prefix sum; the write is one hash
+shuffle on shard id.  Nothing corpus-sized touches the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpt_rag_ingestion_spark.operators.curation import curation_funnel
+from gpt_rag_ingestion_spark.operators.shards import write_training_shards
+from gpt_rag_ingestion_spark.operators.text_analysis import bpe_ish_token_count
+
+
+def run_training_corpus_job(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    target_tokens_per_shard: int = 50_000,
+    keep_langs: tuple[str, ...] = ("en",),
+    cap_per_source: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> tuple[DataFrame, int]:
+    """Returns (audit, n_shards): ``audit`` is the per-stage
+    disposition count relation (sums to the input row count); the
+    kept corpus is written to ``out_dir`` as one parquet file per
+    ~``target_tokens_per_shard``-token shard, each carrying
+    (id, source, text, n_tokens, shard_id)."""
+    funnel = curation_funnel(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        source_col=source_col,
+        keep_langs=keep_langs,
+        cap_per_source=cap_per_source,
+    )
+    kept = funnel.filter(F.col("kept")).select(
+        id_col,
+        source_col,
+        text_col,
+        bpe_ish_token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    n_shards = write_training_shards(
+        kept,
+        out_dir,
+        tokens_col="n_tokens",
+        order=[F.asc(id_col)],
+        target_tokens=target_tokens_per_shard,
+    )
+    audit = funnel.groupBy("stage").agg(F.count(F.lit(1)).alias("n_docs"))
+    return audit, n_shards

@@ -674,3 +674,30 @@ def test_write_training_shards(spark, tmp_path):
     for doc_id, toks, shard in rows:
         assert shard == cum // target
         cum += toks
+
+
+def test_training_corpus_job_end_to_end(spark, tmp_path):
+    from gpt_rag_ingestion_spark.plans.training_corpus_job import (
+        run_training_corpus_job,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "corpus")
+    audit, n_shards = run_training_corpus_job(
+        spark, docs, out, target_tokens_per_shard=2_000
+    )
+    counts = {r["stage"]: r["n_docs"] for r in audit.collect()}
+    assert sum(counts.values()) == docs.count()  # every doc dispositioned
+    assert counts.get("kept", 0) > 0 and n_shards >= 2
+
+    back = spark.read.parquet(out)
+    assert back.count() == counts["kept"]  # shards hold exactly the kept set
+    assert set(back.columns) >= {"doc_id", "source", "text", "n_tokens", "shard_id"}
+    # no dropped document leaks into the shards
+    dropped = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).collect()
+    } - {r["doc_id"] for r in back.collect()}
+    assert len(dropped) == docs.count() - counts["kept"]
