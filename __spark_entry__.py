@@ -1593,7 +1593,11 @@ def q94_shard_assignment(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
     return assign_shards(
-        docs, "n_chars", [F.asc("doc_id")], target_tokens=50_000
+        docs,
+        "n_chars",
+        [F.asc("doc_id")],
+        target_tokens=50_000,
+        bucket_expr=(F.col("doc_id") / 256).cast("long"),
     )
 
 

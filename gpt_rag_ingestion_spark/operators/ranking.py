@@ -96,39 +96,68 @@ def distributed_running_sum(
     value_col: str,
     sum_col: str = "running_sum",
     num_partitions: int | None = None,
+    bucket_expr: Column | None = None,
 ) -> DataFrame:
     """Global inclusive running sum of ``value_col`` over ``order`` —
-    same range-partition + local-prefix + offset shape as
+    the range-partition + local-prefix + offset shape of
     ``distributed_row_number``, with the offset being the TOTAL of all
     earlier partitions instead of their row count.  Driver data: one
-    (pid, total) pair per partition."""
-    parted = (
-        df.repartitionByRange(num_partitions, *order)
-        if num_partitions
-        else df.repartitionByRange(*order)
-    )
-    with_pid = parted.withColumn("__pid", F.spark_partition_id())
-    w = (
-        Window.partitionBy("__pid")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = with_pid.withColumn("__local_sum", F.sum(value_col).over(w))
+    (partition, total) pair per partition.
 
-    totals = sorted(
-        (r["__pid"], r["t"])
-        for r in with_pid.groupBy("__pid")
-        .agg(F.sum(value_col).alias("t"))
-        .collect()
-    )
+    ``bucket_expr`` is the single-exchange fast path: a column
+    expression that is monotonically NON-DECREASING along ``order``
+    (e.g. ``F.col("doc_id") // 65536`` for an ascending id order, or a
+    negated time bucket for a descending one).  The window then
+    partitions directly on the bucket — one hash exchange — instead of
+    range-repartitioning first and paying the window's re-exchange on
+    partition id (range partitioning does not satisfy a window's
+    required hash distribution, so the generic path shuffles twice).
+    Project the input to (order, value) before calling — wide columns
+    should never ride a prefix sum."""
+    if bucket_expr is not None:
+        b = df.withColumn("__bucket", bucket_expr)
+        w = (
+            Window.partitionBy("__bucket")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = b.withColumn("__local_sum", F.sum(value_col).over(w))
+        totals = sorted(
+            (r["__bucket"], r["t"])
+            for r in b.groupBy("__bucket")
+            .agg(F.sum(value_col).alias("t"))
+            .collect()
+        )
+        key_col = "__bucket"
+    else:
+        parted = (
+            df.repartitionByRange(num_partitions, *order)
+            if num_partitions
+            else df.repartitionByRange(*order)
+        )
+        with_pid = parted.withColumn("__bucket", F.spark_partition_id())
+        w = (
+            Window.partitionBy("__bucket")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = with_pid.withColumn("__local_sum", F.sum(value_col).over(w))
+        totals = sorted(
+            (r["__bucket"], r["t"])
+            for r in with_pid.groupBy("__bucket")
+            .agg(F.sum(value_col).alias("t"))
+            .collect()
+        )
+        key_col = "__bucket"
+
     offsets, running = [], 0
-    for pid, t in totals:
-        offsets.append((pid, running))
+    for key, t in totals:
+        offsets.append((key, running))
         running += t or 0
     spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, ["__pid", "__offset"])
+    off_df = spark.createDataFrame(offsets, [key_col, "__offset"])
     return (
-        local.join(F.broadcast(off_df), "__pid")
+        local.join(F.broadcast(off_df), key_col)
         .withColumn(sum_col, (F.col("__local_sum") + F.col("__offset")).cast("long"))
-        .drop("__pid", "__local_sum", "__offset")
+        .drop(key_col, "__local_sum", "__offset")
     )

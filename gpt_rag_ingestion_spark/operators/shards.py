@@ -32,11 +32,32 @@ def assign_shards(
     order: Sequence[Column],
     target_tokens: int,
     shard_col: str = "shard_id",
+    id_col: str | None = None,
+    bucket_expr: Column | None = None,
 ) -> DataFrame:
     """Deterministic shard id: the shard in which the document STARTS
     under the global running token sum over ``order`` (a total order —
-    pass a unique tiebreaker).  shard = floor(start_offset / target)."""
-    run = distributed_running_sum(df, order, tokens_col, sum_col="__cum")
+    pass a unique tiebreaker).  shard = floor(start_offset / target).
+
+    When ``id_col`` is given, the prefix sum runs on the PROJECTED
+    (id, tokens) relation — 16-byte rows — and the shard id joins back
+    by id, so wide columns (document text) never ride the prefix-sum
+    exchanges; with ``bucket_expr`` (order-aligned buckets, see
+    ``distributed_running_sum``) the projection shuffles exactly once."""
+    if id_col is not None:
+        slim = df.select(F.col(id_col), F.col(tokens_col))
+        run = distributed_running_sum(
+            slim, order, tokens_col, sum_col="__cum", bucket_expr=bucket_expr
+        )
+        start = F.col("__cum") - F.col(tokens_col)
+        assigned = run.select(
+            F.col(id_col),
+            (start / target_tokens).cast("long").alias(shard_col),
+        )
+        return df.join(assigned, on=id_col)
+    run = distributed_running_sum(
+        df, order, tokens_col, sum_col="__cum", bucket_expr=bucket_expr
+    )
     start = F.col("__cum") - F.col(tokens_col)
     return run.withColumn(
         shard_col, (start / target_tokens).cast("long")
@@ -50,6 +71,8 @@ def write_training_shards(
     order: Sequence[Column],
     target_tokens: int,
     shard_col: str = "shard_id",
+    id_col: str | None = None,
+    bucket_expr: Column | None = None,
 ) -> int:
     """Assign shards and write ``out_dir/shard_id=N/`` with ONE parquet
     file per shard.  Returns the number of shards written.
@@ -57,7 +80,10 @@ def write_training_shards(
     The repartition on shard id co-locates each shard in one task;
     rows inside a shard keep ``order`` via sortWithinPartitions, so a
     reader streaming one file sees documents in global order."""
-    assigned = assign_shards(df, tokens_col, order, target_tokens, shard_col)
+    assigned = assign_shards(
+        df, tokens_col, order, target_tokens, shard_col,
+        id_col=id_col, bucket_expr=bucket_expr,
+    )
     (
         assigned.repartition(F.col(shard_col))
         .sortWithinPartitions(*order)

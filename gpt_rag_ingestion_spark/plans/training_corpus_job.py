@@ -59,6 +59,8 @@ def run_training_corpus_job(
         tokens_col="n_tokens",
         order=[F.asc(id_col)],
         target_tokens=target_tokens_per_shard,
+        id_col=id_col,
+        bucket_expr=(F.col(id_col) / 4096).cast("long"),
     )
     audit = funnel.groupBy("stage").agg(F.count(F.lit(1)).alias("n_docs"))
     return audit, n_shards

@@ -69,6 +69,13 @@ PLAN_PROPERTIES = {
     # span dedup: corpus-wide state moves as xxhash64 digests — the
     # count/probe shuffles must never carry the slice text
     "q91_span_dedup": (["xxhash64", "LeftSemi"], []),
+    # shard assignment: the prefix-sum window rides ONE hash exchange
+    # on the order-aligned bucket — a rangepartitioning exchange means
+    # the double-shuffle generic path regressed back in
+    "q94_shard_assignment": (
+        ["hashpartitioning(__bucket", "BroadcastHashJoin"],
+        ["rangepartitioning"],
+    ),
 }
 
 
