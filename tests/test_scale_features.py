@@ -701,3 +701,50 @@ def test_training_corpus_job_end_to_end(spark, tmp_path):
         ).collect()
     } - {r["doc_id"] for r in back.collect()}
     assert len(dropped) == docs.count() - counts["kept"]
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    from gpt_rag_ingestion_spark.operators.layout import (
+        file_minmax_stats,
+        files_scanned_for_range,
+        zorder_write,
+    )
+
+    # two independent uniform dimensions — single-column sorting can
+    # only localize one of them
+    df = spark.range(0, 40_000).select(
+        (F.col("id") * 2654435761 % 10_000).alias("x").cast("double"),
+        (F.col("id") * 40503 % 10_000).alias("y").cast("double"),
+    )
+    n_files = 16
+
+    naive = str(tmp_path / "naive")
+    (
+        df.repartitionByRange(n_files, F.col("x"))
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(naive)
+    )
+    zpath = str(tmp_path / "zorder")
+    zorder_write(df, zpath, ["x", "y"], num_files=n_files)
+
+    # same data both ways
+    assert spark.read.parquet(zpath).count() == 40_000
+
+    cols = ["x", "y"]
+    s_naive = file_minmax_stats(naive, cols)
+    s_z = file_minmax_stats(zpath, cols)
+    assert len(s_z) == n_files
+
+    # a narrow range query on each dimension: count files touched
+    q = (4_000.0, 4_999.0)
+    naive_x = files_scanned_for_range(s_naive, "x", *q)
+    naive_y = files_scanned_for_range(s_naive, "y", *q)
+    z_x = files_scanned_for_range(s_z, "x", *q)
+    z_y = files_scanned_for_range(s_z, "y", *q)
+
+    # x-sorted layout: perfect on x, useless on y (reads every file)
+    assert naive_x <= 3 and naive_y == len(s_naive)
+    # z-order: prunes meaningfully on BOTH dimensions
+    assert z_x < n_files * 3 // 4
+    assert z_y < n_files * 3 // 4
