@@ -200,3 +200,42 @@ def _swap_in(spark: SparkSession, staged: str, table_path: str) -> None:
     _swap_dir(staged, table_path)
     # drop the session's cached file listing for the old generation
     spark.catalog.refreshByPath(table_path)
+
+
+def compact_table(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> tuple[int, int]:
+    """Small-file compaction (the OPTIMIZE of every lakehouse): an
+    incremental merge-per-hour leaves a long tail of tiny files that
+    tax every subsequent scan (one task + one footer fetch each).
+    Rewrite the table into ceil(total_bytes / target) right-sized
+    files with the same crash-safe swap the merge path uses.
+
+    Driver data: file sizes only (os.walk of the table dir — metadata,
+    bounded by file count).  Returns (files_before, files_after).  On
+    Delta/Iceberg this is OPTIMIZE / rewrite_data_files; here it is
+    the explicit read → repartition → swap."""
+    import math
+
+    _recover(table_path)
+    total = 0
+    files_before = 0
+    for root, _dirs, names in os.walk(table_path):
+        for n in names:
+            if n.endswith(".parquet"):
+                files_before += 1
+                total += os.path.getsize(os.path.join(root, n))
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    existing = spark.read.parquet(table_path)
+    tmp = table_path.rstrip("/") + "__staging"
+    existing.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    _swap_in(spark, tmp, table_path)
+    files_after = sum(
+        1
+        for root, _d, names in os.walk(table_path)
+        for n in names
+        if n.endswith(".parquet")
+    )
+    return files_before, files_after

@@ -748,3 +748,22 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     # z-order: prunes meaningfully on BOTH dimensions
     assert z_x < n_files * 3 // 4
     assert z_y < n_files * 3 // 4
+
+
+def test_compact_table_reduces_files_keeps_data(spark, tmp_path):
+    from gpt_rag_ingestion_spark.operators.upsert import compact_table
+
+    table = str(tmp_path / "chunks")
+    spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") % 13).alias("v")
+    ).repartition(40).write.parquet(table)
+
+    before_sum = spark.read.parquet(table).agg(F.sum("v")).collect()[0][0]
+    files_before, files_after = compact_table(
+        spark, table, target_file_bytes=10 * 1024 * 1024
+    )
+    assert files_before == 40
+    assert files_after <= 2
+    after = spark.read.parquet(table)
+    assert after.count() == 10_000
+    assert after.agg(F.sum("v")).collect()[0][0] == before_sum
