@@ -53,14 +53,39 @@ def embed_text_deterministic(text: str, dim: int) -> list[float]:
 
 
 def hash_embedding_udf(dim: int = 64):
-    """Deterministic embedding provider as a pandas UDF."""
+    """Deterministic embedding provider as a pandas UDF.
+
+    Batch-vectorized: the sha256 keystream is the only per-row Python
+    work; the word→float mapping, normalization, and float32 cast run
+    as ONE numpy pass over the whole Arrow batch — bit-identical to
+    ``embed_text_deterministic`` row by row (same words, same
+    arithmetic), ~an order of magnitude less per-row overhead."""
     from gpt_rag_ingestion_spark.session import ship_active
 
     ship_active()
 
+    nblocks = (dim + 7) // 8
+    counters = [struct.pack("<I", c) for c in range(nblocks)]
+
     @pandas_udf(ArrayType(FloatType()))
     def _embed(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda s: embed_text_deterministic(s, dim))
+        vals = texts.fillna("").to_numpy()
+        if len(vals) == 0:
+            return pd.Series([], dtype=object)
+        buf = b"".join(
+            hashlib.sha256(seed + c).digest()
+            for t in vals
+            for seed in (hashlib.sha256(str(t).encode("utf-8")).digest(),)
+            for c in counters
+        )
+        words = np.frombuffer(buf, dtype="<u4").reshape(len(vals), nblocks * 8)[
+            :, :dim
+        ]
+        out = words.astype(np.float64) / 2147483648.0 - 1.0
+        norms = np.linalg.norm(out, axis=1)
+        np.divide(out, norms[:, None], out=out, where=norms[:, None] > 0)
+        out32 = out.astype(np.float32)
+        return pd.Series(list(out32))
 
     return _embed
 
