@@ -397,3 +397,45 @@ def test_pq_ann_refined_recall(spark):
     again = pq_ann_refined(emb, emb, k=k).collect()
     key = lambda rows: sorted((r["query_id"], r["rank"], r["corpus_id"]) for r in rows)
     assert key(again) == key(refined)
+
+
+def test_span_dedup_random_model_check(spark):
+    """200 seeded random docs (incl. multi-byte unicode) vs a
+    sequential Python model of the same spec — guards the char-based
+    (not byte-based) slicing and the reassembly order."""
+    import random
+
+    from gpt_rag_ingestion_spark.operators.dedup import span_dedup
+
+    rng = random.Random(42)
+    alphabet = "ab α β 漢字 🙂 xyz"
+    pieces = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30))) for _ in range(40)]
+    docs = []
+    for i in range(200):
+        # duplicate whole pieces across docs so some spans repeat
+        t = "".join(rng.choice(pieces) for _ in range(rng.randint(0, 6)))
+        docs.append((i, t))
+    span, min_count = 7, 2
+
+    counts = {}
+    segs_by_doc = {}
+    for i, t in docs:
+        segs = [t[p : p + span] for p in range(0, max(len(t), 1), span)]
+        segs = [s for s in segs if s]
+        segs_by_doc[i] = segs
+        for s in segs:
+            counts[s] = counts.get(s, 0) + 1
+    want = {
+        i: "".join(s for s in segs if counts[s] < min_count)
+        for i, segs in segs_by_doc.items()
+    }
+
+    got = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in span_dedup(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            span=span,
+            min_count=min_count,
+        ).collect()
+    }
+    assert got == want

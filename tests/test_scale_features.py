@@ -767,3 +767,31 @@ def test_compact_table_reduces_files_keeps_data(spark, tmp_path):
     after = spark.read.parquet(table)
     assert after.count() == 10_000
     assert after.agg(F.sum("v")).collect()[0][0] == before_sum
+
+
+def test_merge_upsert_schema_evolution(spark, tmp_path):
+    from gpt_rag_ingestion_spark.operators.upsert import merge_upsert
+
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("p1", "old1"), ("p2", "old2")], ["parent_id", "content"]
+    )
+    merge_upsert(spark, table, base)
+
+    # increment carries a NEW column (e.g. a new enrichment field)
+    inc = spark.createDataFrame(
+        [("p2", "new2", "en"), ("p3", "new3", "fr")],
+        ["parent_id", "content", "lang"],
+    )
+    merge_upsert(spark, table, inc)
+    rows = {r["parent_id"]: r for r in spark.read.parquet(table).collect()}
+    assert set(rows) == {"p1", "p2", "p3"}
+    assert rows["p1"]["content"] == "old1" and rows["p1"]["lang"] is None
+    assert rows["p2"]["lang"] == "en"
+
+    # and an increment MISSING a column still merges (nulls fill in)
+    inc2 = spark.createDataFrame([("p4",)], ["parent_id"])
+    merge_upsert(spark, table, inc2)
+    rows = {r["parent_id"]: r for r in spark.read.parquet(table).collect()}
+    assert rows["p4"]["content"] is None and rows["p4"]["lang"] is None
+    assert rows["p2"]["content"] == "new2"
