@@ -1601,6 +1601,18 @@ def q94_shard_assignment(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q95_hamming_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup family #7 — banded Hamming search over SimHash (the
+    perceptual-hash dedup shape): pigeonhole-complete band blocking
+    finds every pair within distance 3 without an all-pairs scan;
+    popcount(xor) verifies candidates.  Compact integer-key joins
+    only."""
+    from gpt_rag_ingestion_spark.operators.dedup import hamming_neardup_pairs
+
+    docs = _t(spark, sf, "documents")
+    return hamming_neardup_pairs(docs, bits=16, bands=4, max_distance=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1690,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_sync_actions": q92_sync_actions,
         "q93_bpe_merges": q93_bpe_merges,
         "q94_shard_assignment": q94_shard_assignment,
+        "q95_hamming_neardup": q95_hamming_neardup,
     }
 
 
@@ -2918,6 +2931,40 @@ def oracle_sql() -> dict[str, str]:
               CAST(length(coalesce(a.cleaned_text, '')) AS BIGINT)
                 AS n_chars_after
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "q95_hamming_neardup": f"""
+            WITH toks AS ({_TOKS}),
+            h AS (SELECT doc_id, md5(token) AS h FROM toks WHERE token != ''),
+            bitsrc AS (
+              SELECT doc_id, h, s.i AS bit,
+                ({_HEXNIB.format(h='h', pos="(s.i // 4) + 1")}) AS nibble
+              FROM h, unnest(range(0, 16)) AS s(i)
+            ),
+            votes AS (
+              SELECT doc_id, bit,
+                SUM(CASE WHEN ((nibble >> (bit % 4)) & 1) = 1 THEN 1 ELSE -1 END) AS v
+              FROM bitsrc GROUP BY doc_id, bit
+            ),
+            sims AS (
+              SELECT doc_id,
+                CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                     AS BIGINT) AS simhash
+              FROM votes GROUP BY doc_id
+            ),
+            bands AS (
+              SELECT doc_id, simhash, s.b AS b,
+                (simhash >> (CAST(s.b AS INT) * 4)) & 15 AS bv
+              FROM sims, unnest(range(0, 4)) AS s(b)
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.simhash AS sa, b.simhash AS sb
+              FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+                AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+              CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 3
         """,
         "q92_sync_actions": """
             WITH wm AS (

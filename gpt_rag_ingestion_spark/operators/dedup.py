@@ -685,3 +685,70 @@ def span_dedup(
         .withColumn("cleaned_text", F.coalesce(F.col("cleaned_text"), F.lit("")))
         .withColumn("n_chars_after", F.length("cleaned_text").cast("long"))
     )
+
+
+def hamming_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    bands: int = 4,
+    max_distance: int = 3,
+) -> DataFrame:
+    """All document pairs whose SimHash Hamming distance is <=
+    ``max_distance`` — found with band blocking instead of the
+    quadratic all-pairs scan (the perceptual-hash dedup shape: the
+    same banded plan works over any content hash, e.g. image pHash).
+
+    Completeness is the pigeonhole guarantee (Manku et al., WWW 2007,
+    "Detecting near-duplicates for web crawling"): two hashes within
+    distance d < ``bands`` must agree exactly on at least one of the
+    ``bands`` equal-width bit bands, so the per-band equality self-join
+    finds every qualifying pair; the popcount(xor) filter then removes
+    band-collision false positives.  Requires ``max_distance < bands``.
+
+    Scale: the only shuffles are the band join on (band, band-bits) —
+    compact integer keys — and the candidate dedup; nothing quadratic
+    unless a band value is degenerate-hot (salt or widen bands then)."""
+    if max_distance >= bands:
+        raise ValueError("pigeonhole completeness needs max_distance < bands")
+    if bits % bands != 0:
+        raise ValueError("bits must divide evenly into bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sims = simhash(df, text_col, id_col, bits=bits)
+    banded = sims.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.b", "band.bv")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "b", "bv"
+    )
+    b_side = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "b", "bv"
+    )
+    cand = (
+        a.join(b_side, on=["b", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    dist = F.expr("bit_count(sim_a ^ sim_b)").cast("int")
+    return (
+        cand.withColumn("hamming", dist)
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -439,3 +439,28 @@ def test_span_dedup_random_model_check(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_hamming_neardup_complete_vs_bruteforce(spark):
+    from itertools import combinations
+
+    from gpt_rag_ingestion_spark.operators.dedup import (
+        hamming_neardup_pairs,
+        simhash,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i % 9} delta {i % 4}") for i in range(60)],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_neardup_pairs(docs, max_distance=3).collect()
+    }
+    sims = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    want = {
+        (a, b): bin(sims[a] ^ sims[b]).count("1")
+        for a, b in combinations(sorted(sims), 2)
+        if bin(sims[a] ^ sims[b]).count("1") <= 3
+    }
+    assert got == want  # pigeonhole blocking loses nothing
