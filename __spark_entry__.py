@@ -1613,6 +1613,39 @@ def q95_hamming_neardup(spark: SparkSession, sf: str) -> DataFrame:
     return hamming_neardup_pairs(docs, bits=16, bands=4, max_distance=3)
 
 
+def q96_cluster_keeper(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup deletion decision: within each near-dup cluster keep the
+    LONGEST document (tie -> smallest id) — the keep-best policy real
+    pipelines apply after clustering (vs q63's min-id canonical).  One
+    window over the cluster relation."""
+    from gpt_rag_ingestion_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_candidates,
+    )
+
+    docs = _t(spark, sf, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, "text", "doc_id", n=3, num_hashes=16, bands=8, hash_fn="md5"
+    )
+    clusters = duplicate_clusters(pairs, nodes=docs, id_col="doc_id")
+    joined = clusters.join(docs.select("doc_id", "n_chars"), on="doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        joined.withColumn(
+            "keeper_id", F.first("doc_id").over(w)
+        )
+        .select(
+            "doc_id",
+            "cluster_id",
+            "n_chars",
+            "keeper_id",
+            (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1703,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_bpe_merges": q93_bpe_merges,
         "q94_shard_assignment": q94_shard_assignment,
         "q95_hamming_neardup": q95_hamming_neardup,
+        "q96_cluster_keeper": q96_cluster_keeper,
     }
 
 
@@ -2965,6 +2999,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b,
               CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
             FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        """,
+        "q96_cluster_keeper": f"""
+            WITH RECURSIVE pairs AS ({minhash_pairs}),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+            reach(id, r) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+            lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+            alldocs AS (
+              SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+                     d.n_chars
+              FROM documents d LEFT JOIN lab l ON d.doc_id = l.id)
+            SELECT doc_id, cluster_id, n_chars,
+              first_value(doc_id) OVER (PARTITION BY cluster_id
+                ORDER BY n_chars DESC, doc_id ASC) AS keeper_id,
+              doc_id = first_value(doc_id) OVER (PARTITION BY cluster_id
+                ORDER BY n_chars DESC, doc_id ASC) AS is_keeper
+            FROM alldocs
         """,
         "q92_sync_actions": """
             WITH wm AS (
