@@ -95,3 +95,57 @@ def windowed_event_counts(
             "n_events",
         )
     )
+
+
+def interval_join_streams(
+    clicks: DataFrame,
+    impressions: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    max_delay_minutes: int = 10,
+    watermark_minutes: int = 30,
+) -> DataFrame:
+    """Watermarked stream-stream interval join (the ad-attribution
+    shape: match each click to the impression that preceded it by at
+    most ``max_delay_minutes``).  Works identically as a batch plan.
+
+    Scale mechanics: both sides declare watermarks, and the join
+    condition couples the event times, so Spark bounds BOTH state
+    stores — buffered rows age out once the watermark passes
+    ``max_delay + watermark`` (Structured Streaming's stream-stream
+    inner join contract).  State per key is O(events inside the delay
+    window), never the whole stream."""
+    imp = (
+        impressions.withWatermark(ts_col, f"{watermark_minutes} minutes")
+        .select(
+            F.col(key_col).alias("i_key"),
+            F.col(ts_col).alias("imp_ts"),
+            F.col("event_id").alias("impression_id"),
+        )
+    )
+    clk = (
+        clicks.withWatermark(ts_col, f"{watermark_minutes} minutes")
+        .select(
+            F.col(key_col).alias("c_key"),
+            F.col(ts_col).alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    cond = (
+        (F.col("i_key") == F.col("c_key"))
+        & (F.col("imp_ts") <= F.col("click_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("imp_ts") + F.expr(f"INTERVAL {max_delay_minutes} MINUTES")
+        )
+    )
+    return (
+        imp.join(clk, on=cond, how="inner")
+        .select(
+            F.col("c_key").alias(key_col),
+            "impression_id",
+            "click_id",
+            "imp_ts",
+            "click_ts",
+        )
+    )

@@ -129,3 +129,61 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
     gap = datetime.timedelta(minutes=30)
     closed = {s for s in batch if s[2] + gap < max_ts}
     assert closed <= streamed
+
+
+def test_interval_join_streams_matches_batch(spark, tmp_path):
+    """Run the watermarked stream-stream interval join as a REAL
+    streaming query (file source, availableNow) and assert its output
+    equals the same plan run in batch."""
+    import json as _json
+
+    from gpt_rag_ingestion_spark.streaming.micro_batch import (
+        interval_join_streams,
+    )
+
+    schema = "event_id LONG, user_id LONG, ts TIMESTAMP"
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(), clk_dir.mkdir()
+
+    def w(d, name, rows):
+        (d / name).write_text(
+            "\n".join(
+                _json.dumps(
+                    {"event_id": e, "user_id": u, "ts": f"2024-01-01T00:{m:02d}:00"}
+                )
+                for e, u, m in rows
+            )
+        )
+
+    # user 1: click 5 min after impression (match); 2nd click 20 min
+    # later (outside 10-min delay); user 2: click before impression
+    w(imp_dir, "i.json", [(100, 1, 5), (101, 2, 30)])
+    w(clk_dir, "c.json", [(200, 1, 10), (201, 1, 25), (202, 2, 29)])
+
+    imp_s = spark.readStream.schema(schema).format("json").load(str(imp_dir))
+    clk_s = spark.readStream.schema(schema).format("json").load(str(clk_dir))
+    out_dir, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        interval_join_streams(clk_s, imp_s)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["impression_id"], r["click_id"])
+        for r in spark.read.parquet(str(out_dir)).collect()
+    }
+    assert got == {(100, 200)}
+
+    # batch twin over the same files — identical pairs
+    imp_b = spark.read.schema(schema).json(str(imp_dir))
+    clk_b = spark.read.schema(schema).json(str(clk_dir))
+    batch = {
+        (r["impression_id"], r["click_id"])
+        for r in interval_join_streams(clk_b, imp_b).collect()
+    }
+    assert batch == got
