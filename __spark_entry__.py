@@ -1646,6 +1646,23 @@ def q96_cluster_keeper(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q97_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """The stream-stream interval join's plan run in batch (the
+    ad-attribution shape): each click joins impressions of the same
+    user at most 10 minutes earlier.  Equality on user key keeps it a
+    hash/sort-merge join with the time bound as residual — never a
+    nested loop; the same function runs under Structured Streaming
+    with watermark-bounded state (test-pinned batch equivalence)."""
+    from gpt_rag_ingestion_spark.streaming.micro_batch import (
+        interval_join_streams,
+    )
+
+    ev = _t(spark, sf, "events")
+    imps = ev.filter(F.col("event_type") == "view")
+    clicks = ev.filter(F.col("event_type") == "click")
+    return interval_join_streams(clicks, imps, max_delay_minutes=240)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1737,6 +1754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_shard_assignment": q94_shard_assignment,
         "q95_hamming_neardup": q95_hamming_neardup,
         "q96_cluster_keeper": q96_cluster_keeper,
+        "q97_interval_join": q97_interval_join,
     }
 
 
@@ -3020,6 +3038,16 @@ def oracle_sql() -> dict[str, str]:
               doc_id = first_value(doc_id) OVER (PARTITION BY cluster_id
                 ORDER BY n_chars DESC, doc_id ASC) AS is_keeper
             FROM alldocs
+        """,
+        "q97_interval_join": """
+            SELECT c.user_id,
+              i.event_id AS impression_id, c.event_id AS click_id,
+              i.ts AS imp_ts, c.ts AS click_ts
+            FROM events i JOIN events c
+              ON i.user_id = c.user_id
+             AND i.event_type = 'view' AND c.event_type = 'click'
+             AND i.ts <= c.ts
+             AND c.ts <= i.ts + INTERVAL 240 MINUTE
         """,
         "q92_sync_actions": """
             WITH wm AS (
