@@ -76,6 +76,12 @@ PLAN_PROPERTIES = {
         ["hashpartitioning(__bucket", "BroadcastHashJoin"],
         ["rangepartitioning"],
     ),
+    # banded hamming search: candidates come from an equi-join on the
+    # (band, band-bits) key — all-pairs nested loops must never appear
+    "q95_hamming_neardup": (["Join"], ["NestedLoop", "CartesianProduct"]),
+    # interval join: the user-key equality anchors a hash/sort-merge
+    # join; the time bound is a residual, not a nested-loop condition
+    "q97_interval_join": (["Join"], ["NestedLoop", "CartesianProduct"]),
 }
 
 
