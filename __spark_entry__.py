@@ -1663,6 +1663,52 @@ def q97_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     return interval_join_streams(clicks, imps, max_delay_minutes=240)
 
 
+def q98_quality_percentile_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Curation: per-source dynamic quality threshold — keep the top
+    70 % of documents per source by a quality signal (chars per token,
+    integer cross-multiplied to stay float-free), via cume_dist over
+    each source partition.  The 'top X% per domain' gate real corpus
+    builds apply instead of a global constant."""
+    docs = _t(spark, sf, "documents")
+    # integer div on both engines — double-cast would round in DuckDB
+    # and truncate in Spark
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "n_chars * 1000L div greatest("
+            "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT), 1L)"
+        ).alias("quality_q"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality_q"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn(
+            "q_rank", F.cume_dist().over(w)
+        )
+        .withColumn("kept", F.col("q_rank") <= 0.7)
+        .select("doc_id", "source", "quality_q", "kept")
+    )
+
+
+def q99_rolling_hour_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Ops telemetry: per event, how many events the same user fired in
+    the trailing hour — a RANGE interval window over integer
+    microseconds (engine-portable framing of time-range windows)."""
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("events_last_hour"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1755,6 +1801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_hamming_neardup": q95_hamming_neardup,
         "q96_cluster_keeper": q96_cluster_keeper,
         "q97_interval_join": q97_interval_join,
+        "q98_quality_percentile_gate": q98_quality_percentile_gate,
+        "q99_rolling_hour_counts": q99_rolling_hour_counts,
     }
 
 
@@ -3048,6 +3096,26 @@ def oracle_sql() -> dict[str, str]:
              AND i.event_type = 'view' AND c.event_type = 'click'
              AND i.ts <= c.ts
              AND c.ts <= i.ts + INTERVAL 240 MINUTE
+        """,
+        "q98_quality_percentile_gate": """
+            WITH scored AS (
+              SELECT doc_id, source,
+                CAST(n_chars * 1000 // greatest(
+                  len(string_split_regex(trim(text), '\\s+')), 1)
+                  AS BIGINT) AS quality_q
+              FROM documents)
+            SELECT doc_id, source, quality_q,
+              cume_dist() OVER (PARTITION BY source
+                ORDER BY quality_q DESC, doc_id ASC) <= 0.7 AS kept
+            FROM scored
+        """,
+        "q99_rolling_hour_counts": """
+            SELECT event_id, user_id,
+              CAST(COUNT(*) OVER (PARTITION BY user_id
+                ORDER BY epoch_us(ts)
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS events_last_hour
+            FROM events
         """,
         "q92_sync_actions": """
             WITH wm AS (
