@@ -329,10 +329,13 @@ def simhash(
     )
     sim = None
     for bit in range(bits):
-        term = F.when(F.col(f"v{bit}") > 0, F.lit(1 << bit).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sim = term if sim is None else sim + term
+        # shiftleft, not lit(1 << bit): bit 63 overflows a positive
+        # long literal but is a valid sign-bit pattern under shift
+        term = F.when(
+            F.col(f"v{bit}") > 0,
+            F.shiftleft(F.lit(1).cast("long"), bit),
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim.bitwiseOR(term)
     return votes.select(F.col(id_col), sim.alias("simhash"))
 
 

@@ -464,3 +464,32 @@ def test_hamming_neardup_complete_vs_bruteforce(spark):
         if bin(sims[a] ^ sims[b]).count("1") <= 3
     }
     assert got == want  # pigeonhole blocking loses nothing
+
+
+def test_hamming_neardup_production_setting(spark):
+    """The 64-bit/8-band production configuration (SCALING.md): same
+    plan, wider keys; completeness vs brute force still holds."""
+    from itertools import combinations
+
+    from gpt_rag_ingestion_spark.operators.dedup import (
+        hamming_neardup_pairs,
+        simhash,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i % 5} delta {i % 3} eps") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_neardup_pairs(
+            docs, bits=64, bands=8, max_distance=7
+        ).collect()
+    }
+    sims = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=64).collect()}
+    want = {
+        (a, b): bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1")
+        for a, b in combinations(sorted(sims), 2)
+        if bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1") <= 7
+    }
+    assert got == want and len(want) > 0
