@@ -54,6 +54,7 @@ def distributed_row_number(
     order: Sequence[Column],
     rank_col: str = "rn",
     num_partitions: int | None = None,
+    bucket_expr: Column | None = None,
 ) -> DataFrame:
     """Global 1-based ``row_number`` over ``order`` without an
     unpartitioned window.
@@ -63,13 +64,19 @@ def distributed_row_number(
     partition by the total count of earlier partitions.  The offset
     table is #partitions entries — broadcast-joined, never a literal
     in the plan.
+
+    ``bucket_expr`` (monotonically non-decreasing along ``order``) is
+    the single-exchange fast path — see ``distributed_running_sum``.
     """
-    parted = (
-        df.repartitionByRange(num_partitions, *order)
-        if num_partitions
-        else df.repartitionByRange(*order)
-    )
-    with_pid = parted.withColumn("__pid", F.spark_partition_id())
+    if bucket_expr is not None:
+        with_pid = df.withColumn("__pid", bucket_expr)
+    else:
+        parted = (
+            df.repartitionByRange(num_partitions, *order)
+            if num_partitions
+            else df.repartitionByRange(*order)
+        )
+        with_pid = parted.withColumn("__pid", F.spark_partition_id())
     w = Window.partitionBy("__pid").orderBy(*order)
     local = with_pid.withColumn("__local_rn", F.row_number().over(w))
 

@@ -795,3 +795,25 @@ def test_merge_upsert_schema_evolution(spark, tmp_path):
     rows = {r["parent_id"]: r for r in spark.read.parquet(table).collect()}
     assert rows["p4"]["content"] is None and rows["p4"]["lang"] is None
     assert rows["p2"]["content"] == "new2"
+
+
+def test_distributed_row_number_bucket_path(spark):
+    from pyspark.sql import Window
+
+    from gpt_rag_ingestion_spark.operators.ranking import distributed_row_number
+
+    df = spark.range(0, 500).select(F.col("id"))
+    order = [F.asc("id")]
+    got = {
+        (r["id"], r["rn"])
+        for r in distributed_row_number(
+            df, order, bucket_expr=(F.col("id") / 64).cast("long")
+        ).collect()
+    }
+    want = {
+        (r["id"], r["rn"])
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order)).cast("long")
+        ).collect()
+    }
+    assert got == want
