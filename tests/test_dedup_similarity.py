@@ -493,3 +493,40 @@ def test_hamming_neardup_production_setting(spark):
         if bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1") <= 7
     }
     assert got == want and len(want) > 0
+
+
+def test_ivfpq_matches_ivf_recall_at_same_probes(spark):
+    """IVFPQ = IVF pruning + PQ compression + exact re-rank: after the
+    re-rank, the 16x code compression must cost ~no recall vs plain
+    IVF at the same probe setting (the compression only approximates
+    the SHORTLIST, and 5x over-fetch absorbs that)."""
+    from collections import defaultdict
+    from statistics import mean
+
+    from gpt_rag_ingestion_spark.operators.similarity import (
+        ivf_ann,
+        ivfpq_ann,
+        quantized_dot_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    k = 10
+    exact = defaultdict(set)
+    for r in quantized_dot_topk(emb, k=k).collect():
+        exact[r["vec_id"]].add(r["nn_id"])
+
+    def recall(rows):
+        a = defaultdict(set)
+        for r in rows:
+            if r["corpus_id"] != r["query_id"]:
+                a[r["query_id"]].add(r["corpus_id"])
+        return mean(len(a[q] & exact[q]) / k for q in exact)
+
+    r_ivf = recall(ivf_ann(emb, emb, dim=64, n_centroids=16, n_probe=4, k=k).collect())
+    r_ivfpq = recall(ivfpq_ann(emb, emb, k=k, n_cells=16, n_probe=4).collect())
+    assert r_ivfpq >= r_ivf - 0.05  # compression ~free after re-rank
+    assert r_ivfpq > 0.45
+
+    # probing more cells strictly buys recall (the IVF tradeoff knob)
+    r_more = recall(ivfpq_ann(emb, emb, k=k, n_cells=16, n_probe=8).collect())
+    assert r_more > r_ivfpq
