@@ -167,15 +167,65 @@ def merge_upsert(
 
 
 def delete_keys(
-    spark: SparkSession, table_path: str, keys: DataFrame, key: str = "parent_id"
+    spark: SparkSession,
+    table_path: str,
+    keys: DataFrame,
+    key: str = "parent_id",
+    partition_cols: list[str] | None = None,
 ) -> None:
-    """S11 standalone: delete rows by key-set (purger sink)."""
+    """S11 standalone: delete rows by key-set (purger sink).
+
+    With ``partition_cols`` set, only partitions that actually hold
+    doomed keys are rewritten (the same replaceWhere-shaped pruning as
+    ``merge_upsert``) — a purge of K vanished parents rewrites
+    O(partitions touched), never O(table)."""
+    import functools
+
     _recover(table_path)
     existing = spark.read.parquet(table_path)
-    kept = existing.join(F.broadcast(keys.select(key).distinct()), on=key, how="left_anti")
+    key_set = keys.select(key).distinct()
     tmp = table_path.rstrip("/") + "__staging"
-    kept.write.mode("overwrite").parquet(tmp)
-    _swap_in(spark, tmp, table_path)
+
+    if not partition_cols:
+        kept = existing.join(F.broadcast(key_set), on=key, how="left_anti")
+        kept.write.mode("overwrite").parquet(tmp)
+        _swap_in(spark, tmp, table_path)
+        return
+
+    affected = [
+        tuple(r[c] for c in partition_cols)
+        for r in existing.join(F.broadcast(key_set), on=key, how="left_semi")
+        .select(*partition_cols)
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return  # no partition holds a doomed key: nothing to rewrite
+
+    def _match(values):
+        terms = [
+            F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+            for c, v in zip(partition_cols, values)
+        ]
+        return functools.reduce(lambda a, b: a & b, terms)
+
+    pred = functools.reduce(lambda a, b: a | b, [_match(v) for v in affected])
+    kept = existing.filter(pred).join(
+        F.broadcast(key_set), on=key, how="left_anti"
+    )
+    kept.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
+    for values in affected:
+        rel = _partition_rel_path(partition_cols, values)
+        staged_dir = os.path.join(tmp, rel)
+        live_dir = os.path.join(table_path, rel)
+        if os.path.exists(staged_dir):
+            os.makedirs(os.path.dirname(live_dir), exist_ok=True)
+            _swap_dir(staged_dir, live_dir)
+        elif os.path.exists(live_dir):
+            # every row of this partition was deleted: drop the dir
+            shutil.rmtree(live_dir)
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.catalog.refreshByPath(table_path)
 
 
 def _swap_dir(staged: str, live: str) -> None:

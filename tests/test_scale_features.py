@@ -817,3 +817,35 @@ def test_distributed_row_number_bucket_path(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_delete_keys_partition_pruned(spark, tmp_path):
+    import glob
+    import os
+
+    from gpt_rag_ingestion_spark.operators.upsert import delete_keys
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(f"p{i}", f"s{i % 3}", i) for i in range(30)],
+        ["parent_id", "source", "v"],
+    )
+    df.write.partitionBy("source").parquet(table)
+
+    # snapshot untouched partitions' file mtimes
+    def files_of(part):
+        return sorted(glob.glob(f"{table}/source={part}/*.parquet"))
+
+    before = {p: [(f, os.path.getmtime(f)) for f in files_of(p)] for p in ("s0", "s1", "s2")}
+
+    # delete keys living only in partition s1 (i % 3 == 1)
+    doomed = spark.createDataFrame([("p1",), ("p4",)], ["parent_id"])
+    delete_keys(spark, table, doomed, partition_cols=["source"])
+
+    back = spark.read.parquet(table)
+    assert back.count() == 28
+    assert back.filter(F.col("parent_id").isin("p1", "p4")).count() == 0
+    # untouched partitions keep byte-identical files (same paths+mtimes)
+    for p in ("s0", "s2"):
+        assert [(f, os.path.getmtime(f)) for f in files_of(p)] == before[p]
+    assert [(f, os.path.getmtime(f)) for f in files_of("s1")] != before["s1"]
