@@ -22,10 +22,15 @@ def run_purge_job(
     table_path: str,
     live_source: DataFrame,
     key: str = "parent_id",
+    partition_cols: list[str] | None = None,
 ) -> dict:
     """Delete chunks whose ``key`` no longer exists in ``live_source``.
     Returns the purger counters (A6): parents before/after, docs
-    scanned/deleted — plus the consistency re-check result."""
+    scanned/deleted — plus the consistency re-check result.
+
+    ``partition_cols``: when the chunks table is partitioned, the
+    delete rewrites only partitions holding doomed keys (see
+    ``delete_keys``) — O(touched partitions), not O(table)."""
     index = spark.read.parquet(table_path)
     docs_before = index.count()
     parents_before = index.select(key).distinct().count()
@@ -42,7 +47,9 @@ def run_purge_job(
         # no broadcast hint: the orphan set is usually tiny but CAN be
         # huge (bulk source deletion) — let AQE pick the strategy
         docs_deleted = index.join(targets, on=key, how="left_semi").count()
-        delete_keys(spark, table_path, targets, key=key)
+        delete_keys(
+            spark, table_path, targets, key=key, partition_cols=partition_cols
+        )
     targets.unpersist()
 
     # post-delete consistency re-check (reference :1761-1833)
