@@ -1709,6 +1709,21 @@ def q99_rolling_hour_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q100_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketches #3: mergeable histogram quantiles — per-event-type
+    p50/p95 of value from 128 fixed bins over [0, 500).  Bin counts
+    are the mergeable state (cell-wise addition), estimates are exact
+    integer arithmetic on the grid, so the sketch reproduces
+    bit-identically in any engine (unlike t-digest)."""
+    from gpt_rag_ingestion_spark.operators.sketches import histogram_quantiles
+
+    ev = _t(spark, sf, "events")
+    return histogram_quantiles(
+        ev, "value", "event_type", quantiles=(0.5, 0.95), bins=128,
+        lo=0.0, hi=500.0,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1803,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_interval_join": q97_interval_join,
         "q98_quality_percentile_gate": q98_quality_percentile_gate,
         "q99_rolling_hour_counts": q99_rolling_hour_counts,
+        "q100_histogram_quantiles": q100_histogram_quantiles,
     }
 
 
@@ -3116,6 +3132,30 @@ def oracle_sql() -> dict[str, str]:
                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
                 AS BIGINT) AS events_last_hour
             FROM events
+        """,
+        "q100_histogram_quantiles": """
+            WITH b AS (
+              SELECT event_type,
+                least(127, greatest(0,
+                  CAST(floor(value / 500.0 * 128) AS INT))) AS bin
+              FROM events),
+            counts AS (
+              SELECT event_type, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+            cum AS (
+              SELECT event_type, bin, c,
+                SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                SUM(c) OVER (PARTITION BY event_type) AS n
+              FROM counts),
+            hit AS (
+              SELECT event_type, pm, min(bin) AS bin, max(n) AS n
+              FROM cum, (VALUES (500), (950)) AS t(pm)
+              WHERE cum >= (n * pm + 999) // 1000
+              GROUP BY event_type, pm)
+            SELECT event_type, CAST(pm AS INT) AS q_permille,
+              0.0 + bin * 500.0 / 128 AS est_value,
+              CAST(n AS BIGINT) AS n
+            FROM hit
         """,
         "q92_sync_actions": """
             WITH wm AS (

@@ -141,3 +141,76 @@ def count_min_frequencies(
         est, [F.desc("true_count"), F.asc("token")], top_k, rank_col="rank"
     )
     return ranked.select("rank", "token", "true_count", "cms_count")
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+    bins: int = 128,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """Mergeable histogram quantile sketch: values bucket into
+    ``bins`` equal-width bins over [lo, hi] (clamped), one groupBy
+    builds per-group bin counts, and the q-quantile estimate is the
+    LOWER EDGE of the first bin whose cumulative count reaches
+    ceil(q * n).  Error is bounded by one bin width; the bin-count
+    table is the mergeable state (cell-wise addition — same
+    shard-then-reduce deployment as KMV/count-min), and everything is
+    integer arithmetic on a fixed grid, so estimates reproduce exactly
+    in any engine (unlike t-digest/GK, whose states are
+    implementation-defined).
+
+    Output: one row per (group, quantile): (group, q_permille,
+    est_value, n)."""
+    span = float(hi) - float(lo)
+    if span <= 0:
+        raise ValueError("hi must exceed lo")
+    v = F.col(value_col).cast("double")
+    bin_expr = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((v - F.lit(float(lo))) / F.lit(span) * bins).cast("int"),
+        ),
+    )
+    counts = (
+        df.select(F.col(group_col), bin_expr.alias("bin"))
+        .groupBy(group_col, "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    cum = counts.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "n", F.sum("c").over(w_all)
+    )
+    outs = []
+    for q in quantiles:
+        pm = int(round(q * 1000))
+        # rank = ceil(q*n) in exact integer arithmetic: (n*pm + 999) div 1000
+        rank = F.expr(f"(n * {pm} + 999) div 1000")
+        hit = (
+            cum.filter(F.col("cum") >= rank)
+            .groupBy(group_col)
+            .agg(F.min("bin").alias("bin"), F.max("n").alias("n"))
+        )
+        outs.append(
+            hit.select(
+                F.col(group_col),
+                F.lit(pm).alias("q_permille"),
+                (F.lit(float(lo)) + F.col("bin") * F.lit(span) / bins).alias(
+                    "est_value"
+                ),
+                F.col("n"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

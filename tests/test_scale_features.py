@@ -849,3 +849,42 @@ def test_delete_keys_partition_pruned(spark, tmp_path):
     for p in ("s0", "s2"):
         assert [(f, os.path.getmtime(f)) for f in files_of(p)] == before[p]
     assert [(f, os.path.getmtime(f)) for f in files_of("s1")] != before["s1"]
+
+
+def test_histogram_quantiles_error_bound_and_merge(spark):
+    from gpt_rag_ingestion_spark.operators.sketches import histogram_quantiles
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vals = rng.uniform(0, 100, size=2000).round(4).tolist()
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], ["g", "v"]
+    )
+    out = {
+        r["q_permille"]: r
+        for r in histogram_quantiles(
+            df, "v", "g", quantiles=(0.5, 0.95), bins=200, lo=0.0, hi=100.0
+        ).collect()
+    }
+    bin_width = 100.0 / 200
+    for pm, q in ((500, 0.5), (950, 0.95)):
+        exact = float(np.sort(vals)[int(np.ceil(q * len(vals))) - 1])
+        est = out[pm]["est_value"]
+        assert abs(est - exact) <= bin_width + 1e-9
+        assert out[pm]["n"] == 2000
+
+    # mergeability: sketch(A ∪ B) == sketch built from summed bin counts
+    # — equivalently, the union DataFrame gives the same estimate as the
+    # full one (the groupBy IS the cell-wise merge)
+    half = len(vals) // 2
+    a = spark.createDataFrame([("g", float(v)) for v in vals[:half]], ["g", "v"])
+    b = spark.createDataFrame([("g", float(v)) for v in vals[half:]], ["g", "v"])
+    merged = {
+        r["q_permille"]: r["est_value"]
+        for r in histogram_quantiles(
+            a.unionByName(b), "v", "g", quantiles=(0.5, 0.95), bins=200,
+            lo=0.0, hi=100.0,
+        ).collect()
+    }
+    assert merged == {pm: out[pm]["est_value"] for pm in (500, 950)}
