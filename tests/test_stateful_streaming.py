@@ -187,3 +187,58 @@ def test_interval_join_streams_matches_batch(spark, tmp_path):
         for r in interval_join_streams(clk_b, imp_b).collect()
     }
     assert batch == got
+
+
+def test_incremental_sketch_equals_batch_build(spark, tmp_path):
+    """Two micro-batch drains of the sketch maintainer produce the
+    SAME bin-count table a one-shot batch build would — the merge is
+    the mergeable-summary property, checkpoint makes it incremental."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from gpt_rag_ingestion_spark.streaming.micro_batch import (
+        run_incremental_sketch,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    sketch = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+
+    def rows(lo, hi):
+        return [
+            {"event_id": i, "event_type": f"t{i % 2}", "value": (i * 7) % 500}
+            for i in range(lo, hi)
+        ]
+
+    (landing / "b1.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows(0, 300))
+    )
+    run_incremental_sketch(spark, str(landing), sketch, ckpt)
+    (landing / "b2.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows(300, 500))
+    )
+    run_incremental_sketch(spark, str(landing), sketch, ckpt)
+
+    got = {
+        (r["event_type"], r["bin"]): r["c"]
+        for r in spark.read.parquet(sketch).collect()
+    }
+    # one-shot batch build over ALL the data
+    all_rows = spark.createDataFrame(
+        [(r["event_type"], float(r["value"])) for r in rows(0, 500)],
+        ["event_type", "value"],
+    )
+    bin_expr = F.least(
+        F.lit(127),
+        F.greatest(F.lit(0), F.floor(F.col("value") / 500.0 * 128).cast("int")),
+    )
+    want = {
+        (r["event_type"], r["bin"]): r["c"]
+        for r in all_rows.select("event_type", bin_expr.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert got == want
