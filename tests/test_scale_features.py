@@ -888,3 +888,76 @@ def test_histogram_quantiles_error_bound_and_merge(spark):
         ).collect()
     }
     assert merged == {pm: out[pm]["est_value"] for pm in (500, 950)}
+def test_operators_on_empty_and_singleton_inputs(spark):
+    """Robustness net: the operator families must handle empty and
+    single-row inputs without crashing and with sane outputs."""
+    from pyspark.sql import functions as F
+
+    from gpt_rag_ingestion_spark.operators.bloomjoin import bloom_semijoin
+    from gpt_rag_ingestion_spark.operators.dedup import (
+        exact_duplicates,
+        hamming_neardup_pairs,
+        minhash_lsh_candidates,
+        simhash,
+        span_dedup,
+    )
+    from gpt_rag_ingestion_spark.operators.freshness import sync_actions
+    from gpt_rag_ingestion_spark.operators.ranking import (
+        distributed_row_number,
+        global_top_k,
+    )
+    from gpt_rag_ingestion_spark.operators.sketches import (
+        count_min_frequencies,
+        histogram_quantiles,
+        kmv_distinct,
+    )
+    from gpt_rag_ingestion_spark.operators.text_analysis import (
+        language_id,
+        quality_features,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    one_doc = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+
+    for docs, expect in ((empty_docs, 0), (one_doc, 1)):
+        assert exact_duplicates(docs).count() <= expect
+        assert simhash(docs).count() == expect
+        assert hamming_neardup_pairs(docs).count() == 0
+        assert minhash_lsh_candidates(docs, "text", "doc_id", n=1).count() == 0
+        assert span_dedup(docs, span=4).count() == expect
+        assert quality_features(docs).count() == expect
+        assert language_id(docs).count() == expect
+        assert count_min_frequencies(docs, top_k=5).count() <= 2
+        assert kmv_distinct(docs, "doc_id", "text").count() == expect
+
+    # ranking over empty / singleton
+    assert global_top_k(empty_docs, [F.asc("doc_id")], 5).count() == 0
+    assert distributed_row_number(one_doc, [F.asc("doc_id")]).count() == 1
+    assert global_top_k(one_doc, [F.asc("doc_id")], 5).count() == 1
+
+    # histogram over empty group table
+    ev_empty = spark.createDataFrame([], "g string, v double")
+    assert histogram_quantiles(ev_empty, "v", "g", lo=0, hi=1).count() == 0
+
+    # bloom semijoin with an empty dimension prunes everything
+    fact = spark.range(0, 100).select(F.col("id").alias("k"))
+    empty_dim = spark.createDataFrame([], "dk long")
+    assert bloom_semijoin(fact, empty_dim, "k", "dk").count() == 0
+
+    # sync actions with one empty side: all purge / all index
+    import datetime as dt
+
+    ts = dt.datetime.fromisoformat("2024-01-01T00:00:00")
+    src = spark.createDataFrame([("a", ts)], ["parent_id", "last_modified"])
+    wm = spark.createDataFrame([], "parent_id string, watermark_ts timestamp")
+    acts = {r["parent_id"]: r["action"] for r in sync_actions(src, wm).collect()}
+    assert acts == {"a": "index"}
+    acts2 = {
+        r["parent_id"]: r["action"]
+        for r in sync_actions(
+            spark.createDataFrame([], "parent_id string, last_modified timestamp"),
+            spark.createDataFrame([("b", ts)], ["parent_id", "watermark_ts"]),
+        ).collect()
+    }
+    assert acts2 == {"b": "purge"}
+
