@@ -961,3 +961,52 @@ def test_operators_on_empty_and_singleton_inputs(spark):
     }
     assert acts2 == {"b": "purge"}
 
+
+
+def test_manifest_proves_merge_idempotence(spark, tmp_path):
+    from gpt_rag_ingestion_spark.operators.manifest import (
+        read_manifest,
+        table_digest,
+        write_manifest,
+    )
+    from gpt_rag_ingestion_spark.operators.upsert import merge_upsert
+
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("p1", "a"), ("p2", "b")], ["parent_id", "content"]
+    )
+    inc = spark.createDataFrame([("p2", "b2")], ["parent_id", "content"])
+
+    merge_upsert(spark, table, base)
+    merge_upsert(spark, table, inc)
+    e1 = write_manifest(spark, table, run_id="r1")
+
+    # re-merging the SAME increment must not change the content digest
+    # (the delete-then-upload idempotence contract, now provable)
+    merge_upsert(spark, table, inc)
+    e2 = write_manifest(spark, table, run_id="r2")
+    assert e2["digest"] == e1["digest"] and e2["n_rows"] == e1["n_rows"]
+
+    # a different increment must change it
+    merge_upsert(
+        spark,
+        table,
+        spark.createDataFrame([("p3", "c")], ["parent_id", "content"]),
+    )
+    e3 = write_manifest(spark, table, run_id="r3")
+    assert e3["digest"] != e2["digest"] and e3["n_rows"] == 3
+
+    assert [m["run_id"] for m in read_manifest(table)] == ["r1", "r2", "r3"]
+
+    # digest is order/partitioning independent
+    df = spark.read.parquet(table)
+    assert (
+        table_digest(df.repartition(7))["digest"]
+        == table_digest(df.coalesce(1))["digest"]
+    )
+
+    # and column-order canonical: explicit cols in any order agree
+    assert (
+        table_digest(df, ["content", "parent_id"])
+        == table_digest(df, ["parent_id", "content"])
+    )
