@@ -63,4 +63,11 @@ def run_training_corpus_job(
         bucket_expr=(F.col(id_col) / 4096).cast("long"),
     )
     audit = funnel.groupBy("stage").agg(F.count(F.lit(1)).alias("n_docs"))
+
+    # provenance: content digest of the written corpus (order- and
+    # layout-independent) — re-running the job on identical inputs is
+    # provably byte-equivalent data
+    from gpt_rag_ingestion_spark.operators.manifest import write_manifest
+
+    write_manifest(spark, out_dir, run_id="training-corpus")
     return audit, n_shards

@@ -1010,3 +1010,23 @@ def test_manifest_proves_merge_idempotence(spark, tmp_path):
         table_digest(df, ["content", "parent_id"])
         == table_digest(df, ["parent_id", "content"])
     )
+
+
+def test_training_corpus_job_writes_manifest(spark, tmp_path):
+    from gpt_rag_ingestion_spark.operators.manifest import read_manifest
+    from gpt_rag_ingestion_spark.plans.training_corpus_job import (
+        run_training_corpus_job,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "corpus")
+    _audit, _n = run_training_corpus_job(spark, docs, out, 2_000)
+    m1 = read_manifest(out)
+    assert len(m1) == 1 and m1[0]["n_rows"] > 0
+
+    # identical inputs → identical digest (reproducibility proof)
+    out2 = str(tmp_path / "corpus2")
+    run_training_corpus_job(spark, docs, out2, 2_000)
+    m2 = read_manifest(out2)
+    assert m2[0]["digest"] == m1[0]["digest"]
+    assert m2[0]["n_rows"] == m1[0]["n_rows"]
