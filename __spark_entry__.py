@@ -1724,6 +1724,39 @@ def q100_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q101_corpus_health(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus-health report — per-source: doc count, exact-dup
+    count (docs beyond the first of each md5(text) group), mean chars
+    (decimal-exact), and exact nearest-rank median chars.  One
+    digest-count join + one grouped aggregate; the pre-training
+    dashboard in a single relation."""
+    docs = _t(spark, sf, "documents")
+    d = docs.withColumn("digest", F.md5("text"))
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    flagged = d.withColumn(
+        "is_dup", F.row_number().over(w) > 1
+    )
+    med = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    cnt = Window.partitionBy("source")
+    ranked = flagged.withColumn("rn", F.row_number().over(med)).withColumn(
+        "n_src", F.count(F.lit(1)).over(cnt)
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_exact_dups"),
+        F.round(
+            F.sum(F.col("n_chars").cast("decimal(18,4)"))
+            / F.count(F.lit(1)),
+            2,
+        ).cast("double").alias("mean_chars"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n_src + 1) div 2"), F.col("n_chars")
+            )
+        ).alias("median_chars"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1819,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_quality_percentile_gate": q98_quality_percentile_gate,
         "q99_rolling_hour_counts": q99_rolling_hour_counts,
         "q100_histogram_quantiles": q100_histogram_quantiles,
+        "q101_corpus_health": q101_corpus_health,
     }
 
 
@@ -3156,6 +3190,27 @@ def oracle_sql() -> dict[str, str]:
               0.0 + bin * 500.0 / 128 AS est_value,
               CAST(n AS BIGINT) AS n
             FROM hit
+        """,
+        "q101_corpus_health": """
+            WITH flagged AS (
+              SELECT doc_id, source, n_chars,
+                row_number() OVER (PARTITION BY md5(text)
+                                   ORDER BY doc_id) > 1 AS is_dup
+              FROM documents),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY source
+                          ORDER BY n_chars, doc_id) AS rn,
+                COUNT(*) OVER (PARTITION BY source) AS n_src
+              FROM flagged)
+            SELECT source,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_exact_dups,
+              CAST(round(SUM(CAST(n_chars AS DECIMAL(18,4))) / COUNT(*), 2)
+                AS DOUBLE) AS mean_chars,
+              MAX(CASE WHEN rn = (n_src + 1) // 2 THEN n_chars END)
+                AS median_chars
+            FROM ranked GROUP BY source
         """,
         "q92_sync_actions": """
             WITH wm AS (
