@@ -1757,6 +1757,150 @@ def q101_corpus_health(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q102_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup family #8 — incremental cross-corpus dedup, the PRODUCTION
+    ingestion shape: an incoming batch is classified against the
+    existing corpus (exact vs base, exact within batch, near-dup vs
+    base, new) without re-deduplicating the corpus against itself.
+    Base = docs with id % 3 != 0; the batch is the rest, with some
+    texts swapped to synthesize each decision class."""
+    from gpt_rag_ingestion_spark.operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf, "documents")
+    base = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    src_id = (
+        F.when(F.col("doc_id") % 9 == 0, F.col("doc_id") + 1)
+        .when(F.col("doc_id") % 9 == 6, F.col("doc_id") - 3)
+        .otherwise(F.col("doc_id"))
+    )
+    incr = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", src_id.alias("src_id"))
+        .join(
+            docs.select(F.col("doc_id").alias("src_id"), "text"), "src_id"
+        )
+        .select("doc_id", "text")
+    )
+    return incremental_dedup(base, incr, threshold=0.1)
+
+
+def q103_epoch_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus mixing #2 — fractional-epoch upsampling: per-source
+    weights in [1.25, 2.25] epochs expand each document to floor(w)
+    copies plus a deterministic hash-chosen frac(w) share getting one
+    more.  Narrow map + explode(sequence) — shuffle-free."""
+    from gpt_rag_ingestion_spark.operators.sampling import epoch_expand
+
+    docs = _t(spark, sf, "documents")
+    w_q = (
+        F.lit(12500)
+        + (F.conv(F.substring(F.md5("source"), 1, 2), 16, 10).cast("long") % 3)
+        * 5000
+    )
+    out = epoch_expand(docs.select("doc_id", "source"), w_q)
+    return out.select("doc_id", "source", "copy_idx")
+
+
+def q104_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental view maintenance: a per-status rollup of orders is
+    maintained through a merge increment (keys % 10 == 0 change status
+    to 'U' and price by +1 cent) as old + agg(added) - agg(removed) —
+    O(increment), never rescanning the table.  The oracle RECOMPUTES
+    the rollup from the merged table; hash-equality proves the
+    maintenance identity."""
+    from gpt_rag_ingestion_spark.operators.incremental import maintain_rollup
+
+    orders = _t(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    rows = orders.select("o_orderkey", "o_orderstatus", cents.alias("cents"))
+    old_rollup = rows.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("cents").alias("cents")
+    )
+    removed = rows.filter(F.col("o_orderkey") % 10 == 0)
+    added = removed.select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("cents") + 1).alias("cents"),
+    )
+    return maintain_rollup(
+        old_rollup, removed, added, key="o_orderstatus", sum_cols=["cents"]
+    )
+
+
+def q105_nfc_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode NFC canonicalization before hashing/dedup: decomposed
+    sequences (e + U+0301) are synthesized onto each document and
+    normalized by the Arrow-batched UDF; the oracle is DuckDB's
+    nfc_normalize.  Digesting the normalized text is what makes
+    exact-dedup see visually-identical strings as equal."""
+    from gpt_rag_ingestion_spark.functions.text import nfc_normalize_udf
+
+    docs = _t(spark, sf, "documents")
+    raw = F.concat(
+        F.substring("text", 1, 60), F.lit(" café étude")
+    )
+    d = docs.select("doc_id", raw.alias("raw"))
+    norm = nfc_normalize_udf(F.col("raw"))
+    return d.select(
+        "doc_id",
+        F.length("raw").cast("long").alias("len_raw"),
+        F.length(norm).cast("long").alias("len_nfc"),
+        F.md5(norm).alias("nfc_md5"),
+    )
+
+
+def q106_url_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization (web-corpus keying): lowercase scheme+host,
+    strip default port, drop fragment + tracking params, extract
+    host/registered domain — pure codegen regex in the Java∩RE2 subset
+    so the oracle runs the identical chain."""
+    from gpt_rag_ingestion_spark.functions.urls import (
+        canonical_url,
+        url_domain,
+        url_host,
+    )
+
+    docs = _t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".Example.COM:443/Path/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&utm_campaign=news#frag"),
+    )
+    d = docs.select("doc_id", url.alias("url"))
+    return d.select(
+        "doc_id",
+        canonical_url(F.col("url")).alias("canonical"),
+        url_host(F.col("url")).alias("host"),
+        url_domain(F.col("url")).alias("domain"),
+    )
+
+
+def q107_bpe_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE applied: segment the corpus with merges trained by
+    q93/bpe_train — the encode half of the tokenizer lifecycle.  The
+    merge list is vocabulary-sized driver data (the ONLY driver
+    traffic); segmentation itself is a pure codegen fold, no UDF.
+    Iterative training upstream -> rows-only check; segmentation is
+    pinned against a sequential reference implementation in tests."""
+    from gpt_rag_ingestion_spark.operators.bpe import bpe_segment, bpe_train
+
+    docs = _t(spark, sf, "documents")
+    merges_df = bpe_train(docs, num_merges=8)
+    merges = [
+        (r["left"], r["right"]) for r in merges_df.orderBy("rank").collect()
+    ]
+    seg = bpe_segment(docs, merges)
+    return seg.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.array_join(F.slice("tokens", 1, 20), "|").alias("head_tokens"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1853,6 +1997,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_rolling_hour_counts": q99_rolling_hour_counts,
         "q100_histogram_quantiles": q100_histogram_quantiles,
         "q101_corpus_health": q101_corpus_health,
+        "q102_incremental_dedup": q102_incremental_dedup,
+        "q103_epoch_mixture": q103_epoch_mixture,
+        "q104_incremental_rollup": q104_incremental_rollup,
+        "q105_nfc_normalize": q105_nfc_normalize,
+        "q106_url_canonical": q106_url_canonical,
+        "q107_bpe_segment": q107_bpe_segment,
     }
 
 
@@ -3234,5 +3384,152 @@ def oracle_sql() -> dict[str, str]:
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     - n_chars) // 50000 AS BIGINT) AS shard_id
             FROM documents
+        """,
+        "q102_incremental_dedup": """
+            WITH base AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0),
+            incr AS (
+              SELECT d.doc_id, s.text
+              FROM (SELECT doc_id,
+                      CASE WHEN doc_id % 9 = 0 THEN doc_id + 1
+                           WHEN doc_id % 9 = 6 THEN doc_id - 3
+                           ELSE doc_id END AS src_id
+                    FROM documents WHERE doc_id % 3 = 0) d
+              JOIN documents s ON s.doc_id = d.src_id),
+            bmin AS (SELECT md5(text) AS digest, min(doc_id) AS dup_of_base
+                     FROM base GROUP BY 1),
+            idig AS (SELECT doc_id, md5(text) AS digest FROM incr),
+            imin AS (SELECT digest, min(doc_id) AS batch_min
+                     FROM idig GROUP BY 1),
+            staged AS (
+              SELECT i.doc_id, b.dup_of_base, m.batch_min
+              FROM idig i LEFT JOIN bmin b ON i.digest = b.digest
+              JOIN imin m ON i.digest = m.digest),
+            i_toks AS (
+              SELECT doc_id, s.i AS pos, l[s.i + 1] AS token FROM
+              (SELECT doc_id, string_split_regex(text, '\\s+') AS l
+               FROM incr) d, unnest(range(0, len(d.l))) AS s(i)),
+            i_ne AS (SELECT * FROM i_toks WHERE token != ''),
+            i_sh AS (
+              SELECT DISTINCT a.doc_id,
+                a.token || ' ' || b.token || ' ' || c.token AS shingle
+              FROM i_ne a
+              JOIN i_ne b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              JOIN i_ne c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+            b_toks AS (
+              SELECT doc_id, s.i AS pos, l[s.i + 1] AS token FROM
+              (SELECT doc_id, string_split_regex(text, '\\s+') AS l
+               FROM base) d, unnest(range(0, len(d.l))) AS s(i)),
+            b_ne AS (SELECT * FROM b_toks WHERE token != ''),
+            b_sh AS (
+              SELECT DISTINCT a.doc_id,
+                a.token || ' ' || b.token || ' ' || c.token AS shingle
+              FROM b_ne a
+              JOIN b_ne b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              JOIN b_ne c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+            isz AS (SELECT doc_id, COUNT(*) AS n FROM i_sh GROUP BY 1),
+            bsz AS (SELECT doc_id, COUNT(*) AS n FROM b_sh GROUP BY 1),
+            inter AS (
+              SELECT i.doc_id AS iid, b.doc_id AS bid, COUNT(*) AS ni
+              FROM i_sh i JOIN b_sh b ON i.shingle = b.shingle
+              GROUP BY 1, 2),
+            near AS (
+              SELECT iid AS doc_id, min(bid) AS near_of
+              FROM inter
+              JOIN isz ON isz.doc_id = inter.iid
+              JOIN bsz ON bsz.doc_id = inter.bid
+              WHERE round(CAST(ni AS DOUBLE) / (isz.n + bsz.n - ni), 6)
+                    >= 0.1
+              GROUP BY 1)
+            SELECT s.doc_id,
+              CASE WHEN s.dup_of_base IS NOT NULL THEN 'exact_dup_base'
+                   WHEN s.batch_min < s.doc_id THEN 'exact_dup_batch'
+                   WHEN n.near_of IS NOT NULL THEN 'near_dup_base'
+                   ELSE 'new' END AS decision,
+              CASE WHEN s.dup_of_base IS NOT NULL THEN s.dup_of_base
+                   WHEN s.batch_min < s.doc_id THEN s.batch_min
+                   ELSE n.near_of END AS dup_of
+            FROM staged s LEFT JOIN near n ON n.doc_id = s.doc_id
+        """,
+        "q103_epoch_mixture": """
+            WITH d AS (
+              SELECT doc_id, source,
+                12500 + 5000 * (CAST('0x' || substr(md5(source), 1, 2)
+                                     AS BIGINT) % 3) AS wq,
+                CAST('0x' || substr(md5('epoch-v1'
+                     || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS bucket
+              FROM documents),
+            c AS (
+              SELECT doc_id, source,
+                wq // 10000
+                + CASE WHEN (bucket * 10000) // 4294967296 < wq % 10000
+                       THEN 1 ELSE 0 END AS copies
+              FROM d)
+            SELECT doc_id, source,
+              unnest(generate_series(1, copies)) AS copy_idx
+            FROM c WHERE copies >= 1
+        """,
+        "q104_incremental_rollup": """
+            WITH r AS (
+              SELECT o_orderkey, o_orderstatus,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders),
+            merged AS (
+              SELECT o_orderstatus, cents FROM r WHERE o_orderkey % 10 != 0
+              UNION ALL
+              SELECT 'U' AS o_orderstatus, cents + 1 AS cents
+              FROM r WHERE o_orderkey % 10 = 0)
+            SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(cents) AS BIGINT) AS cents
+            FROM merged GROUP BY o_orderstatus
+        """,
+        "q105_nfc_normalize": """
+            WITH d AS (
+              SELECT doc_id,
+                substr(text, 1, 60) || ' cafe' || chr(769)
+                  || ' e' || chr(769) || 'tude' AS raw
+              FROM documents)
+            SELECT doc_id,
+              CAST(length(raw) AS BIGINT) AS len_raw,
+              CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+              md5(nfc_normalize(raw)) AS nfc_md5
+            FROM d
+        """,
+        "q106_url_canonical": """
+            WITH d AS (
+              SELECT doc_id,
+                'HTTPS://WWW.Site' || CAST(doc_id % 20 AS VARCHAR)
+                || '.Example.COM:443/Path/' || CAST(doc_id AS VARCHAR)
+                || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+                || '&utm_campaign=news#frag' AS url
+              FROM documents),
+            p AS (
+              SELECT doc_id,
+                regexp_replace(
+                  lower(regexp_extract(url,
+                    '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),
+                  ':(443|80)$', '') AS head,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(url,
+                            '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+                          '#.*$', ''),
+                        '(utm_[a-z]+|fbclid|gclid|msclkid)=[^&#]*', '', 'g'),
+                      '&{2,}', '&', 'g'),
+                    '\\?&', '?'),
+                  '[?&]+$', '') AS rest,
+                regexp_replace(
+                  regexp_replace(
+                    lower(regexp_extract(url,
+                      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
+                    ':[0-9]+$', ''),
+                  '^www\\.', '') AS host
+              FROM d)
+            SELECT doc_id, head || rest AS canonical, host,
+              regexp_extract(host, '([a-z0-9-]+\\.[a-z0-9-]+)$', 1) AS domain
+            FROM p
         """,
     }

@@ -87,3 +87,22 @@ def decode_text_udf(payload: pd.Series) -> pd.Series:
             return None if b is None else b.decode("utf-8", "replace")
 
     return payload.map(dec)
+
+
+@pandas_udf(StringType())
+def nfc_normalize_udf(text: pd.Series) -> pd.Series:
+    """Unicode NFC canonical normalization (Arrow-batched).
+
+    Text canonicalization BEFORE hashing/dedup: the same visible string
+    can arrive precomposed (U+00E9) or decomposed (e + U+0301) from
+    different sources, and every digest-keyed operator in this repo
+    (exact dedup, incremental_dedup, curation funnel, span dedup) would
+    treat them as distinct documents.  Normalizing to NFC first makes
+    the digest a function of the canonical text.  Spark has no builtin
+    normalizer; this stays in the Arrow batch path (oracle: DuckDB's
+    nfc_normalize)."""
+    import unicodedata
+
+    return text.map(
+        lambda s: None if s is None else unicodedata.normalize("NFC", s)
+    )

@@ -755,3 +755,108 @@ def hamming_neardup_pairs(
         .filter(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def incremental_dedup(
+    base: DataFrame,
+    incr: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Dedup family #8 — the PRODUCTION ingestion shape: classify every
+    document of an incoming batch against an existing corpus, without
+    ever re-deduplicating the corpus against itself.
+
+    Decisions (first match wins):
+
+    - ``exact_dup_base``  — byte-identical (md5) to a base document;
+    - ``exact_dup_batch`` — byte-identical to an earlier (smaller-id)
+      document of the same batch;
+    - ``near_dup_base``   — word-``n``-gram Jaccard >= ``threshold``
+      against some base document;
+    - ``new``             — admit.
+
+    Output: one row per increment document —
+    ``(doc_id, decision, dup_of)`` where ``dup_of`` is the smallest
+    matching base id (exact/near) or the batch-canonical id, NULL for
+    ``new``.
+
+    Scale design (the whole point of this operator): the base corpus is
+    touched by KEY ONLY — one aggregation of 16-byte digests and one
+    pass of 8-byte hashed shingles; base text never enters a shuffle.
+    The increment side is batch-sized, so both joins put the small side
+    on the build/broadcast side under AQE.  Near-dup verification runs
+    only for documents still unresolved after the exact passes (a
+    left_semi prune), and in a real deployment the two base-side
+    relations (digest index, shingle index + per-doc shingle counts)
+    are PRECOMPUTED sidecars maintained incrementally by this very
+    operator's admissions — each batch then costs O(batch), not
+    O(corpus).  Composes with minhash_lsh_candidates for the
+    candidate-restricted variant when increments are large.
+    """
+    digest = F.md5(F.col(text_col))
+    b_min = (
+        base.select(digest.alias("digest"), F.col(id_col).alias("_bid"))
+        .groupBy("digest")
+        .agg(F.min("_bid").alias("dup_of_base"))
+    )
+    i_dig = incr.select(F.col(id_col), digest.alias("digest"))
+    batch_min = i_dig.groupBy("digest").agg(F.min(id_col).alias("batch_min"))
+    staged = i_dig.join(b_min, "digest", "left").join(batch_min, "digest")
+
+    # near-dup scan only for docs the exact passes did not resolve
+    unresolved = staged.filter(
+        F.col("dup_of_base").isNull() & (F.col("batch_min") == F.col(id_col))
+    ).select(id_col)
+    sh_i = word_shingles(
+        incr.join(unresolved, on=id_col, how="left_semi"), text_col, id_col, n
+    ).select(F.col(id_col).alias("_iid"), F.xxhash64("shingle").alias("sh"))
+    sh_b = word_shingles(base, text_col, id_col, n).select(
+        F.col(id_col).alias("_bid"), F.xxhash64("shingle").alias("sh")
+    )
+    n_i = sh_i.groupBy("_iid").agg(F.count(F.lit(1)).alias("n_i"))
+    inter = (
+        sh_i.join(sh_b, "sh")
+        .groupBy("_iid", "_bid")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    # base-side shingle counts only for docs that actually matched
+    n_b = (
+        sh_b.join(inter.select("_bid").distinct(), "_bid", "left_semi")
+        .groupBy("_bid")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    near = (
+        inter.join(n_i, "_iid")
+        .join(n_b, "_bid")
+        .filter(
+            F.round(
+                F.col("n_inter") / (F.col("n_i") + F.col("n_b") - F.col("n_inter")),
+                6,
+            )
+            >= threshold
+        )
+        .groupBy("_iid")
+        .agg(F.min("_bid").alias("near_of"))
+        .withColumnRenamed("_iid", id_col)
+    )
+
+    out = staged.join(near, on=id_col, how="left")
+    decision = (
+        F.when(F.col("dup_of_base").isNotNull(), F.lit("exact_dup_base"))
+        .when(F.col("batch_min") < F.col(id_col), F.lit("exact_dup_batch"))
+        .when(F.col("near_of").isNotNull(), F.lit("near_dup_base"))
+        .otherwise(F.lit("new"))
+    )
+    dup_of = (
+        F.when(F.col("dup_of_base").isNotNull(), F.col("dup_of_base"))
+        .when(F.col("batch_min") < F.col(id_col), F.col("batch_min"))
+        .otherwise(F.col("near_of"))
+    )
+    return out.select(
+        F.col(id_col),
+        decision.alias("decision"),
+        dup_of.alias("dup_of"),
+    )

@@ -1,0 +1,91 @@
+"""Incremental aggregate (materialized-rollup) maintenance.
+
+The reference recomputes its run summaries and index-state watermarks
+by re-scanning state on every cron tick (S9:
+``_load_latest_index_state``, blob_storage_indexer.py:821-897 pages
+the WHOLE index each run).  At 100 TB a dashboard rollup recomputed
+from the chunks table per increment is a full-table scan per hour —
+the classic case for incremental view maintenance (IVM): for additive
+aggregates, ``agg(table ⊎ added ∖ removed) = agg(table) + agg(added)
+- agg(removed)``, so each tick costs O(increment), not O(table).
+
+``maintain_rollup`` implements exactly the additive class (COUNT, SUM
+over integers/decimals — the reference's run counters, chunk counts
+and cost rollups are all in it).  Non-additive aggregates (MAX/MIN
+under deletion, DISTINCT) need either recompute or a sketch (see
+operators/sketches.py: KMV/count-min/histogram are all mergeable and
+cover the distinct/top-k/quantile dashboards incrementally).
+
+The identity is engine-independent integer arithmetic, so the whole
+maintenance step is oracle-checkable: the DuckDB oracle recomputes the
+rollup from the merged table and must hash-match the incrementally
+maintained one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def rollup_delta(
+    rows: DataFrame,
+    key: str,
+    sum_cols: list[str],
+    sign: int,
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Per-key additive delta of ``rows``: signed COUNT + signed SUMs.
+    One partial-aggregated shuffle on the key — increment-sized."""
+    aggs = [F.sum(F.lit(sign)).alias(count_col)] + [
+        (F.sum(c) * sign).alias(c) for c in sum_cols
+    ]
+    return rows.groupBy(key).agg(*aggs)
+
+
+def maintain_rollup(
+    old_rollup: DataFrame,
+    removed: DataFrame,
+    added: DataFrame,
+    key: str,
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """new_rollup = old_rollup + agg(added) - agg(removed), per key.
+
+    ``old_rollup`` has columns (key, count_col, *sum_cols); ``removed``
+    and ``added`` are ROW-level relations (the outgoing versions of
+    replaced rows, and the incoming rows — exactly what merge_upsert's
+    anti-join/union already materializes).  Keys whose count reaches 0
+    are dropped, so the maintained rollup equals a fresh recompute over
+    the merged table, bit for bit, for additive aggregates.
+
+    Plan: two increment-sized aggregations + one outer join against the
+    rollup (rollup side is |distinct keys|, usually broadcastable) —
+    the table itself is never scanned.
+    """
+    d_rm = rollup_delta(removed, key, sum_cols, sign=-1, count_col=count_col)
+    d_add = rollup_delta(added, key, sum_cols, sign=+1, count_col=count_col)
+    delta = (
+        d_rm.unionByName(d_add)
+        .groupBy(key)
+        .agg(
+            F.sum(count_col).alias(count_col),
+            *[F.sum(c).alias(c) for c in sum_cols],
+        )
+    )
+    o = old_rollup.alias("o")
+    d = delta.alias("d")
+    merged = o.join(d, on=key, how="full_outer")
+    cols = [count_col] + sum_cols
+    out = merged.select(
+        F.col(key),
+        *[
+            (
+                F.coalesce(F.col(f"o.{c}"), F.lit(0))
+                + F.coalesce(F.col(f"d.{c}"), F.lit(0))
+            ).alias(c)
+            for c in cols
+        ],
+    )
+    return out.filter(F.col(count_col) > 0)

@@ -108,3 +108,43 @@ def split_assign(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(out_col, expr)
+
+
+def epoch_expand(
+    df: DataFrame,
+    weights_q: Column,
+    id_col: str = "doc_id",
+    salt: str = "epoch-v1",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Fractional-epoch mixture expansion: repeat every row
+    ``floor(w)`` times and give a deterministic hash-chosen ``frac(w)``
+    fraction of rows one extra copy.
+
+    This is the upsampling half of training-corpus mixing (mixture
+    weights > 1, e.g. "2.4 epochs of wiki"): DoReMi/LLaMA-style recipes
+    state per-source epoch counts, and the corpus builder must expand
+    them reproducibly — NOT with ``df.sample(withReplacement=True)``,
+    which is seed-and-partitioning dependent.
+
+    ``weights_q`` is the per-row weight in 1e-4 units (an integer
+    column, e.g. ``lit(23000)`` for 2.3 epochs) so the fractional
+    threshold is exact integer arithmetic in any engine.  The extra
+    copy goes to rows whose 32-bit id-hash bucket scaled to [0, 10000)
+    falls below ``w_q % 10000`` — the same stable-under-everything
+    id-hash rule as ``hash_sample``.
+
+    Plan shape: narrow map + ``explode(sequence(...))`` — shuffle-free;
+    output carries ``copy_col`` (1-based) so downstream shuffles/packing
+    see distinct rows.  Rows with ``weights_q = 0`` whose hash misses
+    the fraction emit nothing (sequence guard, not a filter-after-
+    explode)."""
+    w_q = weights_q.cast("long")
+    frac_hit = (
+        (hash_bucket(F.col(id_col), salt) * 10000) / F.lit(_SCALE)
+    ).cast("long") < (w_q % 10000)
+    copies = (w_q / 10000).cast("long") + frac_hit.cast("long")
+    idx = F.when(
+        copies >= 1, F.sequence(F.lit(1).cast("long"), copies)
+    ).otherwise(F.array().cast("array<long>"))
+    return df.withColumn(copy_col, F.explode(idx))

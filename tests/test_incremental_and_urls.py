@@ -1,0 +1,200 @@
+"""Round-2 additions: incremental cross-corpus dedup, epoch-weighted
+mixture expansion, incremental rollup maintenance, NFC normalization,
+URL canonicalization."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def test_incremental_dedup_decisions(spark):
+    from gpt_rag_ingestion_spark.operators.dedup import incremental_dedup
+
+    base = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "an entirely different base document about spark engines"),
+            (3, "the quick brown fox jumps over the lazy dog today"),
+        ],
+        "doc_id long, text string",
+    )
+    incr = spark.createDataFrame(
+        [
+            # byte-identical to base docs 1 and 3 -> dup_of = min = 1
+            (10, "the quick brown fox jumps over the lazy dog today"),
+            # identical to 10 within the batch, but base wins priority
+            (11, "the quick brown fox jumps over the lazy dog today"),
+            # batch-only duplicate pair -> 13 dups 12
+            (12, "a fresh batch document with no counterpart in base"),
+            (13, "a fresh batch document with no counterpart in base"),
+            # near-dup of base 2 (one word changed)
+            (14, "an entirely different base document about flink engines"),
+            # genuinely new
+            (15, "completely unrelated text mentioning nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["decision"], r["dup_of"])
+        for r in incremental_dedup(base, incr, threshold=0.3).collect()
+    }
+    assert got[10] == ("exact_dup_base", 1)
+    assert got[11] == ("exact_dup_base", 1)
+    assert got[12] == ("new", None)
+    assert got[13] == ("exact_dup_batch", 12)
+    assert got[14] == ("near_dup_base", 2)
+    assert got[15] == ("new", None)
+
+
+def test_epoch_expand_copy_counts(spark):
+    from gpt_rag_ingestion_spark.operators.sampling import (
+        _SCALE,
+        epoch_expand,
+        hash_bucket,
+    )
+
+    df = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    out = epoch_expand(df, F.lit(23000), id_col="doc_id")  # 2.3 epochs
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    # every doc appears; floor = 2, extra copy for a ~0.3 hash share
+    assert set(per_doc) == set(range(200))
+    assert set(per_doc.values()) <= {2, 3}
+    n3 = sum(1 for v in per_doc.values() if v == 3)
+    assert 0 < n3 < 200
+    # the extra-copy choice matches the hash rule exactly
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in df.select(
+            "doc_id", hash_bucket(F.col("doc_id"), "epoch-v1").alias("b")
+        ).collect()
+    }
+    for d, n in per_doc.items():
+        expect = 2 + (1 if (buckets[d] * 10000) // _SCALE < 3000 else 0)
+        assert n == expect, d
+    # copy_idx is 1..n
+    idx = out.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("copy_idx")).alias("idx")
+    )
+    for r in idx.collect():
+        assert r["idx"] == list(range(1, per_doc[r["doc_id"]] + 1))
+
+
+def test_epoch_expand_below_one_epoch_downsamples(spark):
+    from gpt_rag_ingestion_spark.operators.sampling import epoch_expand
+
+    df = spark.range(0, 400).select(F.col("id").alias("doc_id"))
+    out = epoch_expand(df, F.lit(5000), id_col="doc_id")  # 0.5 epochs
+    n = out.count()
+    assert 100 < n < 300  # ~200 expected, deterministic
+    assert out.groupBy("doc_id").count().agg(F.max("count")).first()[0] == 1
+    # deterministic: identical on re-run
+    assert out.count() == n
+
+
+def test_maintain_rollup_equals_recompute(spark):
+    from gpt_rag_ingestion_spark.operators.incremental import maintain_rollup
+
+    rows = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], i * 10) for i in range(30)],
+        "k long, grp string, v long",
+    )
+    old = rows.groupBy("grp").agg(
+        F.count("*").alias("n_rows"), F.sum("v").alias("v")
+    )
+    removed = rows.filter(F.col("k") % 5 == 0)
+    added = removed.select(
+        "k", F.lit("d").alias("grp"), (F.col("v") + 7).alias("v")
+    )
+    maintained = maintain_rollup(old, removed, added, "grp", ["v"])
+    merged = rows.join(
+        removed.select("k"), "k", "left_anti"
+    ).unionByName(added)
+    recomputed = merged.groupBy("grp").agg(
+        F.count("*").alias("n_rows"), F.sum("v").alias("v")
+    )
+    assert sorted(map(tuple, maintained.collect())) == sorted(
+        map(tuple, recomputed.collect())
+    )
+
+
+def test_maintain_rollup_drops_emptied_groups(spark):
+    from gpt_rag_ingestion_spark.operators.incremental import maintain_rollup
+
+    rows = spark.createDataFrame(
+        [(1, "only", 5), (2, "keep", 6)], "k long, grp string, v long"
+    )
+    old = rows.groupBy("grp").agg(
+        F.count("*").alias("n_rows"), F.sum("v").alias("v")
+    )
+    removed = rows.filter(F.col("grp") == "only")
+    added = removed.limit(0)
+    out = maintain_rollup(old, removed, added, "grp", ["v"])
+    assert [r["grp"] for r in out.collect()] == ["keep"]
+
+
+def test_nfc_normalize_merges_combining_marks(spark):
+    from gpt_rag_ingestion_spark.functions.text import nfc_normalize_udf
+
+    decomposed = "cafe\u0301 e\u0301tude"  # e + COMBINING ACUTE
+    composed = "caf\u00e9 \u00e9tude"  # precomposed
+    df = spark.createDataFrame(
+        [(decomposed,), (composed,), ("plain",), (None,)],
+        "s string",
+    )
+    out = df.select(
+        "s", nfc_normalize_udf(F.col("s")).alias("n")
+    ).collect()
+    got = {r["s"]: r["n"] for r in out}
+    assert decomposed != composed
+    assert got[decomposed] == composed
+    assert got[composed] == composed
+    assert got["plain"] == "plain"
+    assert got[None] is None
+
+
+def test_url_canonicalization_cases(spark):
+    from gpt_rag_ingestion_spark.functions.urls import (
+        canonical_url,
+        url_domain,
+        url_host,
+    )
+
+    cases = [
+        (
+            "HTTPS://WWW.Example.COM:443/Path/To?utm_source=x&q=1&utm_medium=y#frag",
+            "https://www.example.com/Path/To?q=1",
+            "example.com",
+            "example.com",
+        ),
+        (
+            "http://Sub.Domain.ORG:80/a",
+            "http://sub.domain.org/a",
+            "sub.domain.org",
+            "domain.org",
+        ),
+        (
+            "https://example.com/?fbclid=abc",
+            "https://example.com/",
+            "example.com",
+            "example.com",
+        ),
+        (
+            "https://example.com:8080/x?a=1&gclid=z&b=2",
+            "https://example.com:8080/x?a=1&b=2",
+            "example.com",
+            "example.com",
+        ),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "url string")
+    out = df.select(
+        "url",
+        canonical_url(F.col("url")).alias("c"),
+        url_host(F.col("url")).alias("h"),
+        url_domain(F.col("url")).alias("d"),
+    ).collect()
+    got = {r["url"]: (r["c"], r["h"], r["d"]) for r in out}
+    for url, want_c, want_h, want_d in cases:
+        assert got[url] == (want_c, want_h, want_d), url
