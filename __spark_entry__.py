@@ -1901,6 +1901,54 @@ def q107_bpe_segment(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q108_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Link-graph centrality (the Common Crawl quality prior) as
+    quantized power iteration: 5 rounds, each ONE ranks⋈edges join +
+    one dst aggregation, all integer div arithmetic — the unrolled SQL
+    oracle reproduces the full iterative run bit-for-bit.  Synthetic
+    2-out-degree graph over doc ids."""
+    from gpt_rag_ingestion_spark.operators.linkgraph import pagerank_quantized
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    mx = docs.agg((F.max("doc_id") + 1).alias("_m"))
+    with_m = docs.crossJoin(F.broadcast(mx))
+    t1 = with_m.selectExpr("doc_id AS src", "(doc_id * 7 + 3) % _m AS dst")
+    t2 = with_m.selectExpr("doc_id AS src", "(doc_id * 13 + 5) % _m AS dst")
+    edges = t1.unionByName(t2).join(
+        docs.select(F.col("doc_id").alias("dst")), "dst", "left_semi"
+    )
+    return pagerank_quantized(docs, edges, id_col="doc_id", iters=5)
+
+
+def q109_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Table-version audit: full-outer digest diff between two
+    snapshots of orders (removals at key%13, in-place changes at
+    key%7, additions at key%11 re-keyed) — the shuffled payload is
+    (key, md5) regardless of row width."""
+    from gpt_rag_ingestion_spark.operators.diff import snapshot_diff
+
+    orders = _t(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    rows = orders.select("o_orderkey", "o_orderstatus", cents.alias("cents"))
+    kept = rows.filter(F.col("o_orderkey") % 13 != 0)
+    modified = kept.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("U"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("cents") + 5)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    added = rows.filter(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.col("cents"),
+    )
+    new = modified.unionByName(added)
+    return snapshot_diff(rows, new, key="o_orderkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2003,6 +2051,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_nfc_normalize": q105_nfc_normalize,
         "q106_url_canonical": q106_url_canonical,
         "q107_bpe_segment": q107_bpe_segment,
+        "q108_pagerank": q108_pagerank,
+        "q109_snapshot_diff": q109_snapshot_diff,
     }
 
 
@@ -2046,6 +2096,51 @@ _SHINGLES = (
     "FROM ne a JOIN ne b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
     "JOIN ne c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2"
 )
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    """Unrolled quantized-PageRank oracle: r0..r{iters} CTEs with the
+    exact integer-div arithmetic of pagerank_quantized."""
+    teleport = "((1000000000000 * 1500) // 10000) // (SELECT cnt FROM nst)"
+    ctes = [
+        """
+        nst AS (SELECT max(doc_id) + 1 AS nn, count(*) AS cnt FROM documents),
+        ids AS (SELECT doc_id FROM documents),
+        raw_edges AS (
+          SELECT doc_id AS src, (doc_id * 7 + 3) % (SELECT nn FROM nst) AS dst
+          FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id * 13 + 5) % (SELECT nn FROM nst)
+          FROM documents),
+        edges AS (
+          SELECT src, dst FROM raw_edges
+          WHERE dst IN (SELECT doc_id FROM ids)),
+        deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        r0 AS (
+          SELECT doc_id, 1000000000000 // (SELECT cnt FROM nst) AS r
+          FROM ids)
+        """
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""
+        r{i} AS (
+          SELECT i.doc_id,
+            {teleport}
+            + (8500 * COALESCE(s.contrib, 0)) // 10000 AS r
+          FROM ids i LEFT JOIN (
+            SELECT e.dst AS doc_id, SUM(r.r // d.outdeg) AS contrib
+            FROM edges e
+            JOIN r{i - 1} r ON r.doc_id = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst) s ON s.doc_id = i.doc_id)
+        """
+        )
+        # each CTE references only the previous one — the unrolled chain
+        # mirrors the Spark loop exactly
+    return (
+        "WITH " + ",".join(ctes) + f" SELECT doc_id, r AS rank_q FROM r{iters}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3531,5 +3626,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, head || rest AS canonical, host,
               regexp_extract(host, '([a-z0-9-]+\\.[a-z0-9-]+)$', 1) AS domain
             FROM p
+        """,
+        "q108_pagerank": _pagerank_sql(5),
+        "q109_snapshot_diff": """
+            WITH r AS (
+              SELECT o_orderkey, o_orderstatus,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders),
+            newt AS (
+              SELECT o_orderkey,
+                CASE WHEN o_orderkey % 7 = 0 THEN 'U'
+                     ELSE o_orderstatus END AS o_orderstatus,
+                CASE WHEN o_orderkey % 7 = 0 THEN cents + 5
+                     ELSE cents END AS cents
+              FROM r WHERE o_orderkey % 13 != 0
+              UNION ALL
+              SELECT o_orderkey + 100000000, 'N', cents
+              FROM r WHERE o_orderkey % 11 = 0),
+            o AS (
+              SELECT o_orderkey,
+                md5(coalesce(CAST(o_orderstatus AS VARCHAR), chr(0))
+                    || chr(1) || coalesce(CAST(cents AS VARCHAR), chr(0)))
+                  AS old_digest
+              FROM r),
+            n AS (
+              SELECT o_orderkey,
+                md5(coalesce(CAST(o_orderstatus AS VARCHAR), chr(0))
+                    || chr(1) || coalesce(CAST(cents AS VARCHAR), chr(0)))
+                  AS new_digest
+              FROM newt)
+            SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+              CASE WHEN o.old_digest IS NULL THEN 'added'
+                   WHEN n.new_digest IS NULL THEN 'removed'
+                   WHEN o.old_digest != n.new_digest THEN 'changed'
+                   ELSE 'unchanged' END AS change,
+              o.old_digest, n.new_digest
+            FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+            WHERE NOT (o.old_digest IS NOT NULL AND n.new_digest IS NOT NULL
+                       AND o.old_digest = n.new_digest)
         """,
     }

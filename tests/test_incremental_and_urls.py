@@ -198,3 +198,70 @@ def test_url_canonicalization_cases(spark):
     got = {r["url"]: (r["c"], r["h"], r["d"]) for r in out}
     for url, want_c, want_h, want_d in cases:
         assert got[url] == (want_c, want_h, want_d), url
+
+
+def test_pagerank_sink_attracts_rank(spark):
+    from gpt_rag_ingestion_spark.operators.linkgraph import pagerank_quantized
+
+    # star: every node links to 0; 0 links to 1
+    nodes = spark.range(0, 10).select(F.col("id").alias("id"))
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 10)] + [(0, 1)], "src long, dst long"
+    )
+    out = {
+        r["id"]: r["rank_q"]
+        for r in pagerank_quantized(nodes, edges, iters=10).collect()
+    }
+    assert len(out) == 10
+    # the 0<->1 cycle concentrates rank; leaves hold only teleport mass
+    assert out[0] > out[2] and out[1] > out[2]
+    assert len({out[i] for i in range(2, 10)}) == 1
+    # leaves get exactly the teleport share (nothing links to them)
+    assert out[2] == ((10**12 * 1500) // 10000) // 10
+    # deterministic re-run
+    out2 = {
+        r["id"]: r["rank_q"]
+        for r in pagerank_quantized(nodes, edges, iters=10).collect()
+    }
+    assert out == out2
+
+
+def test_pagerank_no_edges_is_uniform_teleport(spark):
+    from gpt_rag_ingestion_spark.operators.linkgraph import pagerank_quantized
+
+    nodes = spark.range(0, 4).select(F.col("id").alias("id"))
+    edges = spark.createDataFrame([], "src long, dst long")
+    out = {
+        r["id"]: r["rank_q"]
+        for r in pagerank_quantized(nodes, edges, iters=3).collect()
+    }
+    # teleport-only: (scale * 0.15) / n for every node
+    assert set(out.values()) == {((10**12 * 1500) // 10000) // 4}
+
+
+def test_snapshot_diff_classes(spark):
+    from gpt_rag_ingestion_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 21), (4, "d", 40)],
+        "k long, s string, v long",
+    )
+    got = {
+        r["k"]: r["change"] for r in snapshot_diff(old, new, key="k").collect()
+    }
+    assert got == {2: "changed", 3: "removed", 4: "added"}
+    full = snapshot_diff(old, new, key="k", include_unchanged=True)
+    assert {r["k"]: r["change"] for r in full.collect()}[1] == "unchanged"
+
+
+def test_snapshot_diff_null_vs_empty_string_differ(spark):
+    from gpt_rag_ingestion_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "k long, s string")
+    new = spark.createDataFrame([(1, "")], "k long, s string")
+    out = snapshot_diff(old, new, key="k").collect()
+    assert [r["change"] for r in out] == ["changed"]
