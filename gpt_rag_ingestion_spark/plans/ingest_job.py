@@ -50,10 +50,21 @@ def run_ingest_job(
     overlap: int = 200,
     min_tokens: int = 100,
     ops_table_path: str | None = None,
+    rollup_path: str | None = None,
 ) -> DataFrame:
     """One incremental ingest run.  Returns the run-summary DataFrame
     (A2 counters); side effect: the chunks table at ``table_path`` is
     merged up to date.
+
+    When ``rollup_path`` is set, a per-parent dashboard rollup
+    (parent_id, n_chunks, chars) is maintained INCREMENTALLY through
+    the merge — old + agg(incoming) - agg(replaced) via
+    ``operators.incremental.maintain_rollup`` — so the admin "file
+    list" view never rescans the chunks table (the reference re-pages
+    its whole index per run, S9).  The rollup staging write happens
+    before the chunks merge and the swap after it; a crash between the
+    two leaves a recoverable ``__staging`` directory (Delta/Iceberg
+    would make the pair atomic).
 
     When ``ops_table_path`` is set, per-file ops rows conforming to
     OPS_LOG_SCHEMA are appended there with POPULATED timings and
@@ -156,6 +167,16 @@ def run_ingest_job(
             spark, chunks, run_id, ops_table_path
         )
 
+    # 5c. incremental dashboard-rollup maintenance (IVM): staged from
+    # the PRE-merge table + the increment, swapped in after the merge
+    rollup_staging = None
+    if rollup_path is not None and n_candidates > 0:
+        rollup_staging = _stage_rollup(
+            spark, rollup_path,
+            old_table=chunks_table if have_table else None,
+            incoming=chunks,
+        )
+
     # 6. idempotent merge (S10/S11 delete-then-insert); the timing
     # column is ops-only and never lands in the chunks table
     _t_upload = _time.monotonic()
@@ -164,6 +185,11 @@ def run_ingest_job(
             spark, table_path, chunks.drop("_chunk_sec"), key="parent_id"
         )
     upload_sec = round(_time.monotonic() - _t_upload, 3)
+
+    if rollup_staging is not None:
+        from gpt_rag_ingestion_spark.operators.upsert import _swap_in
+
+        _swap_in(spark, rollup_staging, rollup_path)
 
     candidates.unpersist()
     chunks.unpersist()
@@ -176,6 +202,51 @@ def run_ingest_job(
             total_sec=round(_time.monotonic() - _t_wall, 3),
         )
     return spark.createDataFrame(summary_rows, schema=summary_schema)
+
+
+_ROLLUP_SCHEMA = "parent_id string, n_chunks bigint, chars bigint"
+
+
+def _stage_rollup(spark, rollup_path, old_table, incoming):
+    """Stage the incrementally-maintained per-parent rollup.
+
+    removed = current chunk rows of parents present in the increment
+    (exactly what the merge's anti-join will replace); added = the
+    increment.  Reads the old rollup if present, else falls back to a
+    one-time recompute over the existing table (bootstrap).  Returns
+    the staging path; caller swaps it in after the chunks merge."""
+    from gpt_rag_ingestion_spark.operators.incremental import maintain_rollup
+    from gpt_rag_ingestion_spark.operators.upsert import _recover
+
+    _recover(rollup_path)
+    rows_in = incoming.select(
+        "parent_id", F.length("content").cast("long").alias("chars")
+    )
+    try:
+        old_rollup = spark.read.parquet(rollup_path)
+    except Exception:
+        if old_table is not None:
+            # bootstrap: one recompute, incremental ever after
+            old_rollup = old_table.groupBy("parent_id").agg(
+                F.count(F.lit(1)).alias("n_chunks"),
+                F.sum(F.length("content").cast("long")).alias("chars"),
+            )
+        else:
+            old_rollup = spark.createDataFrame([], _ROLLUP_SCHEMA)
+    if old_table is not None:
+        keys = incoming.select("parent_id").distinct()
+        removed = old_table.join(
+            F.broadcast(keys), on="parent_id", how="left_semi"
+        ).select("parent_id", F.length("content").cast("long").alias("chars"))
+    else:
+        removed = spark.createDataFrame([], "parent_id string, chars bigint")
+    new_rollup = maintain_rollup(
+        old_rollup, removed, rows_in,
+        key="parent_id", sum_cols=["chars"], count_col="n_chunks",
+    )
+    staging = rollup_path.rstrip("/") + "__staging"
+    new_rollup.write.mode("overwrite").parquet(staging)
+    return staging
 
 
 def _write_per_file_ops(spark, chunks, run_id, ops_table_path):

@@ -223,3 +223,30 @@ def run_incremental_sketch(
         .start()
         .awaitTermination()
     )
+
+
+def enrich_stream_with_dimension(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    select_cols: list[str] | None = None,
+) -> DataFrame:
+    """Stream-static broadcast enrichment (J7 as a stream): a streaming
+    fact joined against a static dimension relation.
+
+    Structured Streaming plans a stream-static equi-join as a per-
+    micro-batch join with the static side broadcast when small — the
+    streaming analog of the reference's lookup-field resolution
+    (sharepoint_indexer.py:370-502, memo caches ≈ the broadcast build
+    side).  The static side is re-read per batch, so a slowly-changing
+    dimension (config, blocklists, lookup lists) picks up updates
+    between batches without restarting the stream.  Left join keeps
+    facts with no dimension row (NULL enrichment), matching the
+    reference's missing-lookup behavior.
+
+    Works identically on a batch DataFrame — tests pin
+    batch == AvailableNow-stream output."""
+    out = stream.join(F.broadcast(dim), on=on, how="left")
+    if select_cols:
+        out = out.select(*select_cols)
+    return out

@@ -277,3 +277,63 @@ def test_read_json_kind_routed(spark, tmp_path):
     out = read_json_kind_routed(spark, str(tmp_path), ["queries", "tables"])
     got = {(r["kind"], r["id"]) for r in out.collect()}
     assert got == {("queries", "queries-1"), ("tables", "tables-1")}
+
+
+def test_ingest_job_incremental_rollup_maintenance(spark, tmp_path):
+    """IVM in the composed job: the per-parent rollup maintained as
+    old + added - removed across three runs equals a fresh recompute
+    over the chunks table after every run."""
+    table = str(tmp_path / "chunks")
+    rollup = str(tmp_path / "rollup")
+    kw = dict(max_tokens=30, overlap=4, min_tokens=2, embedding_dim=8,
+              rollup_path=rollup)
+    t0 = _ts("2024-01-01T00:00:00")
+    t1 = _ts("2024-01-02T00:00:00")
+    t2 = _ts("2024-01-03T00:00:00")
+
+    def recompute():
+        t = spark.read.parquet(table)
+        return sorted(
+            map(
+                tuple,
+                t.groupBy("parent_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_chunks"),
+                    F.sum(F.length("content").cast("long")).alias("chars"),
+                )
+                .collect(),
+            )
+        )
+
+    def maintained():
+        return sorted(map(tuple, spark.read.parquet(rollup).collect()))
+
+    run_ingest_job(
+        spark, _docs(spark, [("d1", "alpha " * 40, t0), ("d2", "beta " * 40, t0)]),
+        table, "r1", **kw,
+    )
+    assert maintained() == recompute()
+
+    # d1 replaced with different-sized text, d3 added
+    run_ingest_job(
+        spark,
+        _docs(spark, [("d1", "gamma " * 80, t1), ("d2", "beta " * 40, t0),
+                      ("d3", "delta " * 20, t1)]),
+        table, "r2", **kw,
+    )
+    assert maintained() == recompute()
+
+    # no-change run: rollup still correct (nothing staged)
+    run_ingest_job(
+        spark,
+        _docs(spark, [("d1", "gamma " * 80, t1), ("d2", "beta " * 40, t0),
+                      ("d3", "delta " * 20, t1)]),
+        table, "r3", **kw,
+    )
+    assert maintained() == recompute()
+
+    # d2 shrinks
+    run_ingest_job(
+        spark, _docs(spark, [("d2", "tiny text here", t2)]), table, "r4", **kw,
+    )
+    assert maintained() == recompute()

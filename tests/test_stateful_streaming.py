@@ -242,3 +242,51 @@ def test_incremental_sketch_equals_batch_build(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """J7 as a stream: stream-static broadcast left join — identical
+    output from the batch plan and a real AvailableNow stream,
+    including facts with no dimension row."""
+    import json as _json
+
+    from gpt_rag_ingestion_spark.streaming.micro_batch import (
+        enrich_stream_with_dimension,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = [{"k": f"k{i % 5}", "v": i} for i in range(40)]
+    rows += [{"k": "orphan", "v": 99}]
+    with open(landing / "facts.json", "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+
+    dim = spark.createDataFrame(
+        [(f"k{i}", f"name-{i}") for i in range(5)], "k string, label string"
+    )
+    cols = ["k", "v", "label"]
+
+    batch_df = spark.read.schema("k STRING, v LONG").json(str(landing))
+    want = sorted(
+        map(tuple, enrich_stream_with_dimension(batch_df, dim, "k", cols).collect())
+    )
+
+    stream = (
+        spark.readStream.schema("k STRING, v LONG").format("json")
+        .load(str(landing))
+    )
+    out_dir = tmp_path / "out"
+    q = (
+        enrich_stream_with_dimension(stream, dim, "k", cols)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.read.parquet(str(out_dir)).collect()))
+    assert got == want
+    assert ("orphan", 99, None) in got
