@@ -1949,6 +1949,48 @@ def q109_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     return snapshot_diff(rows, new, key="o_orderkey")
 
 
+def q110_web_admission(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed WEB-corpus admission funnel: URL → registered
+    domain (functions/urls.py) → domain blocklist → min-length quality
+    gate → deterministic per-domain cap (8, hash order) — every
+    document gets an auditable disposition.  The web twin of the q75
+    curation funnel, keyed by crawl domain instead of source tag."""
+    from gpt_rag_ingestion_spark.functions.urls import url_domain
+
+    docs = _t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://www.d"),
+        (F.col("doc_id") % 15).cast("string"),
+        F.lit(".org/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    d = docs.select(
+        "doc_id", "n_chars", url_domain(url).alias("domain")
+    )
+    blocked = spark.createDataFrame(
+        [("d0.org",), ("d7.org",)], "domain string"
+    ).withColumn("_b", F.lit(True))
+    d = d.join(F.broadcast(blocked), on="domain", how="left")
+    ok_domain = F.col("_b").isNull()
+    ok_quality = F.col("n_chars") >= 200
+    w = Window.partitionBy("domain").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    surv = (
+        d.filter(ok_domain & ok_quality)
+        .withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "rank")
+    )
+    d = d.join(surv, on="doc_id", how="left")
+    disposition = (
+        F.when(~ok_domain, F.lit("blocked_domain"))
+        .when(~ok_quality, F.lit("low_quality"))
+        .when(F.col("rank") <= 8, F.lit("keep"))
+        .otherwise(F.lit("over_cap"))
+    )
+    return d.select("doc_id", "domain", disposition.alias("disposition"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2053,6 +2095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_bpe_segment": q107_bpe_segment,
         "q108_pagerank": q108_pagerank,
         "q109_snapshot_diff": q109_snapshot_diff,
+        "q110_web_admission": q110_web_admission,
     }
 
 
@@ -3664,5 +3707,26 @@ def oracle_sql() -> dict[str, str]:
             FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
             WHERE NOT (o.old_digest IS NOT NULL AND n.new_digest IS NOT NULL
                        AND o.old_digest = n.new_digest)
+        """,
+        "q110_web_admission": """
+            WITH d AS (
+              SELECT doc_id, n_chars,
+                'd' || CAST(doc_id % 15 AS VARCHAR) || '.org' AS domain
+              FROM documents),
+            b AS (SELECT * FROM (VALUES ('d0.org'), ('d7.org')) AS t(domain)),
+            s AS (
+              SELECT doc_id,
+                row_number() OVER (PARTITION BY domain
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM d
+              WHERE domain NOT IN (SELECT domain FROM b)
+                AND n_chars >= 200)
+            SELECT d.doc_id, d.domain,
+              CASE WHEN d.domain IN (SELECT domain FROM b)
+                     THEN 'blocked_domain'
+                   WHEN d.n_chars < 200 THEN 'low_quality'
+                   WHEN s.rn <= 8 THEN 'keep'
+                   ELSE 'over_cap' END AS disposition
+            FROM d LEFT JOIN s ON s.doc_id = d.doc_id
         """,
     }

@@ -73,27 +73,35 @@ def write_training_shards(
     shard_col: str = "shard_id",
     id_col: str | None = None,
     bucket_expr: Column | None = None,
+    fmt: str = "parquet",
 ) -> int:
-    """Assign shards and write ``out_dir/shard_id=N/`` with ONE parquet
-    file per shard.  Returns the number of shards written.
+    """Assign shards and write ``out_dir/shard_id=N/`` with ONE file
+    per shard.  Returns the number of shards written.
+
+    ``fmt``: "parquet" (columnar, default) or "jsonl" — gzip-compressed
+    JSON lines, the standard LLM-training interchange format most
+    dataloaders stream directly.
 
     The repartition on shard id co-locates each shard in one task;
     rows inside a shard keep ``order`` via sortWithinPartitions, so a
     reader streaming one file sees documents in global order."""
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(f"fmt must be parquet|jsonl: {fmt}")
     assigned = assign_shards(
         df, tokens_col, order, target_tokens, shard_col,
         id_col=id_col, bucket_expr=bucket_expr,
     )
-    (
+    writer = (
         assigned.repartition(F.col(shard_col))
         .sortWithinPartitions(*order)
         .write.mode("overwrite")
         .partitionBy(shard_col)
-        .parquet(out_dir)
     )
-    return (
-        df.sparkSession.read.parquet(out_dir)
-        .select(shard_col)
-        .distinct()
-        .count()
-    )
+    reader = df.sparkSession.read
+    if fmt == "jsonl":
+        writer.option("compression", "gzip").json(out_dir)
+        read_back = reader.json(out_dir)
+    else:
+        writer.parquet(out_dir)
+        read_back = reader.parquet(out_dir)
+    return read_back.select(shard_col).distinct().count()

@@ -1030,3 +1030,33 @@ def test_training_corpus_job_writes_manifest(spark, tmp_path):
     m2 = read_manifest(out2)
     assert m2[0]["digest"] == m1[0]["digest"]
     assert m2[0]["n_rows"] == m1[0]["n_rows"]
+
+
+def test_write_training_shards_jsonl(spark, tmp_path):
+    """fmt="jsonl": gzip JSON-lines shards, identical assignment to
+    parquet, one data file per shard, readable by a plain line reader."""
+    import glob
+    import gzip
+    import json as _json
+
+    from gpt_rag_ingestion_spark.operators.shards import write_training_shards
+
+    docs = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5 * 100 + 100).alias("n_tokens"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+    )
+    out = str(tmp_path / "jsonl")
+    n = write_training_shards(
+        docs, out, "n_tokens", [F.asc("doc_id")], 5_000, fmt="jsonl"
+    )
+    assert n >= 2
+    back = spark.read.json(out)
+    assert back.count() == 100
+    # one gz file per shard; plain gzip+json parses and keeps order
+    for shard_dir in glob.glob(f"{out}/shard_id=*"):
+        files = glob.glob(f"{shard_dir}/part-*.json.gz")
+        assert len(files) == 1
+        with gzip.open(files[0], "rt") as fh:
+            ids = [_json.loads(line)["doc_id"] for line in fh]
+        assert ids == sorted(ids)
