@@ -82,6 +82,35 @@ PLAN_PROPERTIES = {
     # interval join: the user-key equality anchors a hash/sort-merge
     # join; the time bound is a residual, not a nested-loop condition
     "q97_interval_join": (["Join"], ["NestedLoop", "CartesianProduct"]),
+    # incremental dedup: every base-side touch is by key (digest or
+    # hashed shingle) — equi-joins only, never a pair nested loop
+    "q102_incremental_dedup": (
+        ["Join"],
+        ["NestedLoop", "CartesianProduct"],
+    ),
+    # epoch expansion: narrow map + explode, shuffle-free
+    "q103_epoch_mixture": (["Generate"], ["Exchange"]),
+    # IVM rollup: increment-sized aggregations, full-outer merge join —
+    # the big table is never rescanned (no second orders scan beyond
+    # the two increment aggs over the same relation)
+    "q104_incremental_rollup": (["HashAggregate", "FullOuter"], []),
+    # URL canonicalization: pure codegen regex, shuffle-free
+    "q106_url_canonical": (["[codegen id :"], ["Exchange"]),
+    # pagerank: iterations are hash joins + aggregations, no loops in
+    # the plan shape; count stats broadcast
+    "q108_pagerank": (
+        ["BroadcastNestedLoopJoin", "HashAggregate"],
+        ["CartesianProduct"],
+    ),
+    # snapshot diff: ONE full-outer join whose shuffled payload is
+    # (key, md5) — the digest projection happens below the exchange
+    "q109_snapshot_diff": (["FullOuter", "md5"], []),
+    # web admission: blocklist broadcast; cap window partitioned by
+    # domain (never an unpartitioned window)
+    "q110_web_admission": (
+        ["BroadcastHashJoin", "Window"],
+        [],
+    ),
 }
 
 
