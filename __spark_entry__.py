@@ -1991,6 +1991,41 @@ def q110_web_admission(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", "domain", disposition.alias("disposition"))
 
 
+def q111_vocab_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Dictionary encoding for the dataloader: build a frequency-ranked
+    token→id vocabulary over the corpus (min_freq=3 so OOVs exist) and
+    rewrite every document as an id sequence.  Vocab ranks come from
+    the distributed row_number (no unpartitioned window); encoding is
+    one broadcast join + ordered reassembly."""
+    from gpt_rag_ingestion_spark.operators.vocab import (
+        build_vocab,
+        encode_with_vocab,
+    )
+
+    docs = _t(spark, sf, "documents")
+    vocab = build_vocab(docs, min_freq=3)
+    enc = encode_with_vocab(docs, vocab)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.array_join(F.slice("ids", 1, 20), "|").alias("head_ids"),
+    )
+
+
+def q112_table_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """ANALYZE-style per-column statistics of orders in ONE pass
+    (count/ndv/min/max share the scan, stack unpivots driver-free) —
+    what a cost-based optimizer or data catalog ingests."""
+    from gpt_rag_ingestion_spark.operators.profiling import column_stats
+
+    orders = _t(spark, sf, "orders")
+    return column_stats(
+        orders,
+        ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2096,6 +2131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_pagerank": q108_pagerank,
         "q109_snapshot_diff": q109_snapshot_diff,
         "q110_web_admission": q110_web_admission,
+        "q111_vocab_encode": q111_vocab_encode,
+        "q112_table_stats": q112_table_stats,
     }
 
 
@@ -3728,5 +3765,61 @@ def oracle_sql() -> dict[str, str]:
                    WHEN s.rn <= 8 THEN 'keep'
                    ELSE 'over_cap' END AS disposition
             FROM d LEFT JOIN s ON s.doc_id = d.doc_id
+        """,
+        "q111_vocab_encode": """
+            WITH toks AS (
+              SELECT doc_id, s.i AS pos, lower(l[s.i + 1]) AS token FROM
+              (SELECT doc_id, string_split_regex(text, '\\s+') AS l
+               FROM documents) d, unnest(range(0, len(d.l))) AS s(i)),
+            ne AS (SELECT * FROM toks WHERE token != ''),
+            freqs AS (
+              SELECT token, COUNT(*) AS freq FROM ne GROUP BY token
+              HAVING COUNT(*) >= 3),
+            vocab AS (
+              SELECT token,
+                row_number() OVER (ORDER BY freq DESC, token ASC)
+                  AS token_id
+              FROM freqs),
+            mapped AS (
+              SELECT ne.doc_id, ne.pos,
+                COALESCE(v.token_id, 0) AS tid
+              FROM ne LEFT JOIN vocab v ON v.token = ne.token)
+            SELECT doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_oov,
+              string_agg(CAST(tid AS VARCHAR), '|' ORDER BY pos)
+                FILTER (WHERE pos < 20) AS head_ids
+            FROM mapped GROUP BY doc_id
+        """,
+        "q112_table_stats": """
+            SELECT 'o_orderkey' AS "column",
+              CAST(COUNT(o_orderkey) AS BIGINT) AS n_nonnull,
+              CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+              CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+              CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+              CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', CAST(COUNT(o_orderstatus) AS BIGINT),
+              CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+              CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+              CAST(MIN(o_orderstatus) AS VARCHAR),
+              CAST(MAX(o_orderstatus) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', CAST(COUNT(o_orderpriority) AS BIGINT),
+              CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+              CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+              CAST(MIN(o_orderpriority) AS VARCHAR),
+              CAST(MAX(o_orderpriority) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', CAST(COUNT(o_orderdate) AS BIGINT),
+              CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+              CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+              CAST(MIN(o_orderdate) AS VARCHAR),
+              CAST(MAX(o_orderdate) AS VARCHAR)
+            FROM orders
         """,
     }

@@ -53,3 +53,46 @@ def group_profile(
         F.sum(v).alias("sum_v"),
     )
     return stats.join(medians, on=group_col).join(p90s, on=group_col)
+
+
+def column_stats(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-COLUMN statistics relation — the ANALYZE TABLE analog:
+    (column, n_nonnull, n_null, n_distinct, min_value, max_value).
+
+    One row per profiled column, computed in a SINGLE corpus pass: all
+    per-column aggregates ride one HashAggregate (count/min/max fold
+    map-side; the distincts expand but still share the scan), and the
+    1-row result is unpivoted driver-free with ``stack``.  min/max are
+    computed on the NATIVE type (string-min of numerics would be
+    wrong) and cast to string only for the uniform output schema.
+
+    These stats are what a cost-based optimizer or a data catalog
+    ingests; at 100 TB swap exact ``countDistinct`` for the KMV sketch
+    (operators/sketches.py) — same relation shape, mergeable across
+    partitions."""
+    if cols is None:
+        cols = df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    one = df.agg(F.count(F.lit(1)).alias("__total"), *aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+    )
+    return one.selectExpr(
+        "__total",
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column, n_nonnull, n_distinct, min_value, max_value)",
+    ).selectExpr(
+        "column",
+        "n_nonnull",
+        "__total - n_nonnull AS n_null",
+        "n_distinct",
+        "min_value",
+        "max_value",
+    )

@@ -1,0 +1,88 @@
+"""Vocabulary construction + integer encoding of a text corpus.
+
+The step between raw text and a training dataloader: build a
+frequency-ranked token→id dictionary over the corpus, then rewrite
+every document as an id sequence (with a reserved OOV id).  Word-level
+here; compose with ``operators/bpe.py`` when subword units are wanted
+(train merges → segment → THIS module assigns ids to the segmented
+units).
+
+Scale shape:
+- vocabulary = one corpus aggregation (token, freq) + a distributed
+  global rank (``ranking.distributed_row_number`` — never an
+  unpartitioned window over the vocabulary);
+- encoding = explode (token, pos) → equi-join against the vocab
+  (broadcast when the dictionary fits, the common case: even 1M-entry
+  vocabs are ~tens of MB) → ordered re-assembly per document.  The
+  corpus shuffles once, on (doc, pos)-sized rows.
+
+Determinism: ids are assigned by (freq DESC, token ASC) — a total
+order any engine reproduces; the whole build+encode round-trip is
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gpt_rag_ingestion_spark.operators.ranking import distributed_row_number
+
+OOV_ID = 0
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_freq: int = 1,
+) -> DataFrame:
+    """(token, token_id, freq) with ids 1.. by (freq DESC, token ASC);
+    id 0 is reserved for OOV."""
+    toks = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+            )
+        ).alias("token")
+    )
+    freqs = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    if min_freq > 1:
+        freqs = freqs.filter(F.col("freq") >= min_freq)
+    ranked = distributed_row_number(
+        freqs, [F.desc("freq"), F.asc("token")], rank_col="token_id"
+    )
+    return ranked.select("token", "token_id", "freq")
+
+
+def encode_with_vocab(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, ids ARRAY<LONG>, n_tokens, n_oov) — every token mapped
+    to its vocab id, unknowns to OOV_ID, document order preserved."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+            )
+        ).alias("pos", "token"),
+    )
+    mapped = toks.join(
+        F.broadcast(vocab.select("token", "token_id")), on="token", how="left"
+    ).select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(OOV_ID)).alias("tid"),
+    )
+    return mapped.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+            lambda s: s["tid"],
+        ).alias("ids"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum((F.col("tid") == OOV_ID).cast("long")).alias("n_oov"),
+    )

@@ -265,3 +265,52 @@ def test_snapshot_diff_null_vs_empty_string_differ(spark):
     new = spark.createDataFrame([(1, "")], "k long, s string")
     out = snapshot_diff(old, new, key="k").collect()
     assert [r["change"] for r in out] == ["changed"]
+
+
+def test_vocab_build_and_encode_roundtrip(spark):
+    from gpt_rag_ingestion_spark.operators.vocab import (
+        OOV_ID,
+        build_vocab,
+        encode_with_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat"),
+            (3, "a rare unicorn"),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = build_vocab(docs, min_freq=2)
+    v = {r["token"]: r["token_id"] for r in vocab.collect()}
+    # only tokens with freq >= 2 present; 'the' (freq 3) ranks first
+    assert set(v) == {"the", "sat"}
+    assert v["the"] == 1 and v["sat"] == 2
+
+    enc = {r["doc_id"]: r for r in encode_with_vocab(docs, vocab).collect()}
+    assert enc[1]["ids"] == [1, OOV_ID, 2, OOV_ID, 1, OOV_ID]
+    assert enc[1]["n_tokens"] == 6 and enc[1]["n_oov"] == 3
+    assert enc[3]["ids"] == [OOV_ID, OOV_ID, OOV_ID]
+    assert enc[2]["ids"] == [1, OOV_ID, 2]
+
+
+def test_column_stats_single_pass(spark):
+    from gpt_rag_ingestion_spark.operators.profiling import column_stats
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (2, None, 7.5)],
+        "k long, s string, v double",
+    )
+    got = {r["column"]: r for r in column_stats(df).collect()}
+    assert got["k"]["n_nonnull"] == 3
+    assert got["k"]["n_null"] == 0
+    assert got["k"]["n_distinct"] == 2
+    assert got["k"]["min_value"] == "1" and got["k"]["max_value"] == "2"
+    assert got["s"]["n_null"] == 1 and got["s"]["n_distinct"] == 2
+    assert got["v"]["n_nonnull"] == 2
+    assert got["v"]["min_value"] == "5.0"
+    # min/max respect native numeric order, not string order
+    df2 = spark.createDataFrame([(9,), (10,)], "n long")
+    g2 = {r["column"]: r for r in column_stats(df2).collect()}
+    assert g2["n"]["min_value"] == "9" and g2["n"]["max_value"] == "10"
