@@ -2026,6 +2026,21 @@ def q112_table_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q113_kmv_set_algebra(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch SET ALGEBRA: |A∪B| and |A∩B| of per-source token
+    vocabularies for every source pair, estimated from merged KMV
+    synopses alone (k=64) — after one distinct pass, all work runs on
+    k-row synopses, never a corpus-sized set join.  Deterministic
+    md5 hashing makes the estimates oracle-checkable."""
+    from gpt_rag_ingestion_spark.operators.sketches import kmv_set_algebra
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", "\\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    return kmv_set_algebra(toks, "source", "token", k=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2133,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_web_admission": q110_web_admission,
         "q111_vocab_encode": q111_vocab_encode,
         "q112_table_stats": q112_table_stats,
+        "q113_kmv_set_algebra": q113_kmv_set_algebra,
     }
 
 
@@ -3821,5 +3837,56 @@ def oracle_sql() -> dict[str, str]:
               CAST(MIN(o_orderdate) AS VARCHAR),
               CAST(MAX(o_orderdate) AS VARCHAR)
             FROM orders
+        """,
+        "q113_kmv_set_algebra": """
+            WITH toks AS (
+              SELECT source, t.token
+              FROM documents,
+                unnest(string_split_regex(text, '\\s+')) AS t(token)
+              WHERE t.token != ''),
+            h AS (
+              SELECT DISTINCT source,
+                CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h
+              FROM toks),
+            syn AS (
+              SELECT source, h FROM (
+                SELECT source, h,
+                  row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+                FROM h) t WHERE rn <= 64),
+            gs AS (SELECT DISTINCT source FROM syn),
+            pairs AS (
+              SELECT a.source AS g_a, b.source AS g_b
+              FROM gs a JOIN gs b ON a.source < b.source),
+            ph AS (
+              SELECT p.g_a, p.g_b, s.h,
+                max(CASE WHEN s.source = p.g_a THEN 1 ELSE 0 END) AS in_a,
+                max(CASE WHEN s.source = p.g_b THEN 1 ELSE 0 END) AS in_b
+              FROM pairs p
+              JOIN syn s ON s.source = p.g_a OR s.source = p.g_b
+              GROUP BY p.g_a, p.g_b, s.h),
+            ranked AS (
+              SELECT *,
+                row_number() OVER (PARTITION BY g_a, g_b ORDER BY h) AS rn,
+                COUNT(*) OVER (PARTITION BY g_a, g_b) AS n_all
+              FROM ph),
+            stats AS (
+              SELECT g_a, g_b,
+                max(CASE WHEN rn = 64 THEN h END) AS kth,
+                max(n_all) AS n_all,
+                SUM(CASE WHEN rn <= 64 AND in_a = 1 AND in_b = 1
+                    THEN 1 ELSE 0 END) AS rho_num
+              FROM ranked GROUP BY g_a, g_b),
+            u AS (
+              SELECT g_a AS source_a, g_b AS source_b,
+                CAST(CASE WHEN n_all <= 64 THEN n_all
+                     ELSE (63 * 4294967296) // (kth + 1) END AS BIGINT)
+                  AS est_union,
+                rho_num, n_all
+              FROM stats)
+            SELECT source_a, source_b, est_union,
+              CAST((rho_num * est_union)
+                   // LEAST(CAST(n_all AS BIGINT), 64) AS BIGINT)
+                AS est_intersection
+            FROM u
         """,
     }

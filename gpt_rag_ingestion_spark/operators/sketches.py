@@ -214,3 +214,89 @@ def histogram_quantiles(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def kmv_set_algebra(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV sketch SET ALGEBRA (Beyer et al. 2007): estimate
+    |A ∪ B| and |A ∩ B| for every pair of groups from k-minimum-value
+    synopses alone — the sets themselves are never compared.
+
+    Per pair: merge the two synopses, keep the k smallest hashes K∪;
+    est_union from the kth hash (the plain KMV estimator on the merged
+    synopsis — KMV's defining mergeability), and est_intersection =
+    ρ·est_union where ρ = |{h ∈ K∪ present in BOTH synopses}| / k
+    (integer arithmetic).  Exact counts ride along for calibration,
+    as in ``kmv_distinct``; production drops them.
+
+    Scale: after the one distinct pass over (group, value), everything
+    runs on the synopsis relation — k rows per group — so comparing
+    every pair of 10k sources costs pairs × k tiny rows, not a
+    corpus-sized set join.  All hashes are md5-derived: the same
+    estimates in any engine (oracle-checked)."""
+    h32 = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    hashes = df.select(F.col(group_col).alias("g"), h32.alias("h")).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    syn = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("g", "h")
+    )
+    groups = syn.select("g").distinct()
+    pairs = (
+        groups.select(F.col("g").alias("g_a"))
+        .crossJoin(groups.select(F.col("g").alias("g_b")))
+        .filter(F.col("g_a") < F.col("g_b"))
+    )
+    # per-pair merged synopsis with membership flags
+    ph = (
+        pairs.join(
+            syn, (F.col("g") == F.col("g_a")) | (F.col("g") == F.col("g_b"))
+        )
+        .groupBy("g_a", "g_b", "h")
+        .agg(
+            F.max((F.col("g") == F.col("g_a")).cast("int")).alias("in_a"),
+            F.max((F.col("g") == F.col("g_b")).cast("int")).alias("in_b"),
+        )
+    )
+    wp = Window.partitionBy("g_a", "g_b").orderBy("h")
+    wc = Window.partitionBy("g_a", "g_b")
+    ranked = ph.withColumn("rn", F.row_number().over(wp)).withColumn(
+        "n_all", F.count(F.lit(1)).over(wc)
+    )
+    stats = ranked.groupBy("g_a", "g_b").agg(
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth"),
+        F.max("n_all").alias("n_all"),
+        F.sum(
+            F.when(
+                (F.col("rn") <= k) & (F.col("in_a") == 1) & (F.col("in_b") == 1),
+                1,
+            ).otherwise(0)
+        ).alias("rho_num"),
+    )
+    est_union = F.when(F.col("n_all") <= k, F.col("n_all")).otherwise(
+        F.expr(f"({k} - 1) * 4294967296 div (kth + 1)")
+    )
+    with_u = stats.select(
+        F.col("g_a").alias(f"{group_col}_a"),
+        F.col("g_b").alias(f"{group_col}_b"),
+        est_union.cast("long").alias("est_union"),
+        "rho_num",
+        "n_all",
+    )
+    # ρ is the match share of K∪, whose size is min(k, n_all) — dividing
+    # by k when the merged synopsis is not full would underestimate
+    return with_u.select(
+        f"{group_col}_a",
+        f"{group_col}_b",
+        "est_union",
+        F.expr(
+            f"(rho_num * est_union) div least(cast(n_all as bigint), {k})"
+        ).alias("est_intersection"),
+    )

@@ -314,3 +314,28 @@ def test_column_stats_single_pass(spark):
     df2 = spark.createDataFrame([(9,), (10,)], "n long")
     g2 = {r["column"]: r for r in column_stats(df2).collect()}
     assert g2["n"]["min_value"] == "9" and g2["n"]["max_value"] == "10"
+
+
+def test_kmv_set_algebra_estimates_overlap(spark):
+    from gpt_rag_ingestion_spark.operators.sketches import kmv_set_algebra
+
+    # A = 0..999, B = 500..1499 -> union 1500, intersection 500
+    rows = [("A", i) for i in range(1000)] + [
+        ("B", i) for i in range(500, 1500)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = kmv_set_algebra(df, "g", "v", k=128).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["g_a"] == "A" and r["g_b"] == "B"
+    # KMV with k=128: ~±15% typical — generous bounds, deterministic
+    assert 1000 < r["est_union"] < 2100
+    assert 250 < r["est_intersection"] < 800
+    # small sets: exact (n_all <= k path)
+    small = spark.createDataFrame(
+        [("X", i) for i in range(30)] + [("Y", i) for i in range(20, 50)],
+        "g string, v long",
+    )
+    s = kmv_set_algebra(small, "g", "v", k=128).collect()[0]
+    assert s["est_union"] == 50
+    assert s["est_intersection"] == 10  # exact: rho over |K_union|=50
