@@ -33,12 +33,22 @@ def run_training_corpus_job(
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
+    epoch_weights: dict[str, float] | None = None,
+    fmt: str = "parquet",
 ) -> tuple[DataFrame, int]:
     """Returns (audit, n_shards): ``audit`` is the per-stage
     disposition count relation (sums to the input row count); the
-    kept corpus is written to ``out_dir`` as one parquet file per
-    ~``target_tokens_per_shard``-token shard, each carrying
-    (id, source, text, n_tokens, shard_id)."""
+    kept corpus is written to ``out_dir`` as one file per
+    ~``target_tokens_per_shard``-token shard (``fmt``: parquet or
+    jsonl), each carrying (id, source, text, n_tokens, shard_id).
+
+    ``epoch_weights`` (source → epochs, e.g. {"wiki": 2.3}) applies
+    the DoReMi/LLaMA-style mixture expansion AFTER curation: each kept
+    document repeats floor(w) times plus a deterministic hash-chosen
+    frac(w) share once more (``sampling.epoch_expand``); unlisted
+    sources default to 1.0.  Expanded rows carry ``copy_idx`` and a
+    synthetic unique ``_uid`` so shard assignment stays a slim
+    (id, tokens) prefix sum."""
     funnel = curation_funnel(
         docs,
         text_col=text_col,
@@ -53,14 +63,33 @@ def run_training_corpus_job(
         text_col,
         bpe_ish_token_count(F.col(text_col)).cast("long").alias("n_tokens"),
     )
+    shard_id_col = id_col
+    if epoch_weights:
+        from gpt_rag_ingestion_spark.operators.sampling import epoch_expand
+
+        pairs = []
+        for k, v in sorted(epoch_weights.items()):
+            if v < 0:
+                raise ValueError(f"negative epoch weight: {k}={v}")
+            pairs += [F.lit(k), F.lit(int(round(v * 10000)))]
+        w_q = F.coalesce(
+            F.create_map(*pairs)[F.col(source_col)], F.lit(10000)
+        )
+        kept = epoch_expand(kept, w_q, id_col=id_col)
+        # unique row id for the slim shard prefix sum (copies < 1000)
+        kept = kept.withColumn(
+            "_uid", F.col(id_col) * 1000 + F.col("copy_idx")
+        )
+        shard_id_col = "_uid"
     n_shards = write_training_shards(
         kept,
         out_dir,
         tokens_col="n_tokens",
-        order=[F.asc(id_col)],
+        order=[F.asc(shard_id_col)],
         target_tokens=target_tokens_per_shard,
-        id_col=id_col,
-        bucket_expr=(F.col(id_col) / 4096).cast("long"),
+        id_col=shard_id_col,
+        bucket_expr=(F.col(shard_id_col) / 4096).cast("long"),
+        fmt=fmt,
     )
     audit = funnel.groupBy("stage").agg(F.count(F.lit(1)).alias("n_docs"))
 

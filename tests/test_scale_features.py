@@ -1060,3 +1060,48 @@ def test_write_training_shards_jsonl(spark, tmp_path):
         with gzip.open(files[0], "rt") as fh:
             ids = [_json.loads(line)["doc_id"] for line in fh]
         assert ids == sorted(ids)
+
+
+def test_training_corpus_job_epoch_weights(spark, tmp_path):
+    """Mixture expansion inside the composed job: a 2.0-epoch source
+    doubles its kept rows, fractional epochs expand to floor/ceil by
+    the deterministic hash rule, and shards still hold the exact
+    expanded multiset."""
+    from gpt_rag_ingestion_spark.plans.training_corpus_job import (
+        run_training_corpus_job,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    srcs = [r["source"] for r in docs.select("source").distinct().collect()]
+    s0, s1 = sorted(srcs)[0], sorted(srcs)[1]
+
+    base_out = str(tmp_path / "base")
+    _, _ = run_training_corpus_job(
+        spark, docs, base_out, target_tokens_per_shard=2_000
+    )
+    base = spark.read.parquet(base_out)
+    base_per_src = {
+        r["source"]: r["n"]
+        for r in base.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+
+    out = str(tmp_path / "weighted")
+    audit, n_shards = run_training_corpus_job(
+        spark, docs, out, target_tokens_per_shard=2_000,
+        epoch_weights={s0: 2.0, s1: 1.5},
+    )
+    got = spark.read.parquet(out)
+    per_src = {
+        r["source"]: r["n"]
+        for r in got.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_src[s0] == 2 * base_per_src[s0]
+    assert base_per_src[s1] <= per_src[s1] <= 2 * base_per_src[s1]
+    # unlisted sources stay at exactly one epoch
+    for s in srcs:
+        if s not in (s0, s1) and s in base_per_src:
+            assert per_src[s] == base_per_src[s]
+    # expanded copies are distinct rows (copy_idx) and shards sum up
+    assert "copy_idx" in got.columns
+    assert got.select("_uid").distinct().count() == got.count()
+    assert n_shards >= 2
