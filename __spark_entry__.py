@@ -2041,6 +2041,24 @@ def q113_kmv_set_algebra(spark: SparkSession, sf: str) -> DataFrame:
     return kmv_set_algebra(toks, "source", "token", k=64)
 
 
+def q114_token_blocks(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-context blockization: the corpus laid out as one stream
+    (doc_id order, n_chars as the length) and cut into exact 4096-unit
+    blocks, documents split across boundaries — the pre-training
+    dataloader layout (block N = stream slice [N·B, (N+1)·B)).
+    Single-exchange prefix sum + narrow span explode."""
+    from gpt_rag_ingestion_spark.operators.packing import token_blocks
+
+    docs = _t(spark, sf, "documents")
+    return token_blocks(
+        docs,
+        tokens_col="n_chars",
+        order=[F.asc("doc_id")],
+        block_tokens=4096,
+        bucket_expr=(F.col("doc_id") / 256).cast("long"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2149,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_vocab_encode": q111_vocab_encode,
         "q112_table_stats": q112_table_stats,
         "q113_kmv_set_algebra": q113_kmv_set_algebra,
+        "q114_token_blocks": q114_token_blocks,
     }
 
 
@@ -3888,5 +3907,26 @@ def oracle_sql() -> dict[str, str]:
                    // LEAST(CAST(n_all AS BIGINT), 64) AS BIGINT)
                 AS est_intersection
             FROM u
+        """,
+        "q114_token_blocks": """
+            WITH c AS (
+              SELECT doc_id, n_chars,
+                SUM(n_chars) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cum
+              FROM documents WHERE n_chars > 0),
+            s AS (SELECT doc_id, cum - n_chars AS st, cum AS en FROM c),
+            b AS (
+              SELECT doc_id, st, en,
+                unnest(generate_series(CAST(st // 4096 AS BIGINT),
+                                       CAST((en - 1) // 4096 AS BIGINT)))
+                  AS block_id
+              FROM s)
+            SELECT block_id, doc_id,
+              CAST(GREATEST(st, block_id * 4096) - st AS BIGINT)
+                AS start_in_doc,
+              CAST(LEAST(en, (block_id + 1) * 4096) - st AS BIGINT)
+                AS end_in_doc
+            FROM b
         """,
     }

@@ -20,7 +20,7 @@ which changes nothing semantically since bins never cross groups.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -114,4 +114,75 @@ def mixture_take(
             (F.col("cum_tokens") - F.col("n_tokens")) < F.col("_target"),
         )
         .drop("_target")
+    )
+
+
+def token_blocks(
+    df: DataFrame,
+    tokens_col: str,
+    order: list,
+    block_tokens: int,
+    id_col: str = "doc_id",
+    bucket_expr: Column | None = None,
+) -> DataFrame:
+    """Fixed-context BLOCKIZATION: lay the corpus out as one token
+    stream (in ``order``) and cut it into exact ``block_tokens``-sized
+    blocks, splitting documents across block boundaries — the
+    GPT-style dataloader layout, where block N = tokens
+    [N*B, (N+1)*B) of the concatenated stream.
+
+    Output: (block_id, id_col, start_in_doc, end_in_doc) — one row per
+    (document, block) overlap; a document spanning k boundaries emits
+    k+1 segment rows.  Reassembling block N = concatenating its
+    segments in ``order`` and slicing each document's tokens at
+    [start_in_doc, end_in_doc).
+
+    Differs from ``pack_sequences`` (whole-document first-fit bins,
+    nothing split): blockization wastes zero tokens to padding and is
+    what pre-training loaders consume; packing preserves document
+    atomicity for SFT-style loads.
+
+    Plan: slim (id, tokens) prefix sum (single-exchange with
+    ``bucket_expr``), then a narrow explode of per-document block
+    spans — integer arithmetic end to end (oracle-checkable).
+    """
+    from gpt_rag_ingestion_spark.operators.ranking import (
+        distributed_running_sum,
+    )
+
+    slim = df.select(F.col(id_col), F.col(tokens_col)).filter(
+        F.col(tokens_col) > 0
+    )
+    run = distributed_running_sum(
+        slim, order, tokens_col, sum_col="__cum", bucket_expr=bucket_expr
+    )
+    spans = run.selectExpr(
+        id_col,
+        f"__cum - {tokens_col} AS __st",
+        "__cum AS __en",
+    )
+    b = F.lit(block_tokens)
+    blocks = spans.select(
+        F.col(id_col),
+        "__st",
+        "__en",
+        F.explode(
+            F.sequence(
+                F.expr(f"__st div {block_tokens}"),
+                F.expr(f"(__en - 1) div {block_tokens}"),
+            )
+        ).alias("block_id"),
+    )
+    return blocks.select(
+        "block_id",
+        F.col(id_col),
+        (F.greatest(F.col("__st"), F.col("block_id") * b) - F.col("__st"))
+        .cast("long")
+        .alias("start_in_doc"),
+        (
+            F.least(F.col("__en"), (F.col("block_id") + 1) * b)
+            - F.col("__st")
+        )
+        .cast("long")
+        .alias("end_in_doc"),
     )

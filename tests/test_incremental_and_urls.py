@@ -339,3 +339,32 @@ def test_kmv_set_algebra_estimates_overlap(spark):
     s = kmv_set_algebra(small, "g", "v", k=128).collect()[0]
     assert s["est_union"] == 50
     assert s["est_intersection"] == 10  # exact: rho over |K_union|=50
+
+
+def test_token_blocks_exact_layout(spark):
+    from gpt_rag_ingestion_spark.operators.packing import token_blocks
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 3), (3, 10), (4, 2), (5, 0)],
+        "doc_id long, n long",
+    )
+    out = token_blocks(
+        docs, "n", [F.asc("doc_id")], block_tokens=8
+    ).collect()
+    segs = sorted((r["block_id"], r["doc_id"],
+                   r["start_in_doc"], r["end_in_doc"]) for r in out)
+    # stream: d1[0,5) d2[5,8) d3[8,18) d4[18,20); blocks of 8
+    assert segs == [
+        (0, 1, 0, 5),
+        (0, 2, 0, 3),
+        (1, 3, 0, 8),
+        (2, 3, 8, 10),
+        (2, 4, 0, 2),
+    ]
+    # every block except the last is exactly full
+    per_block = {}
+    for b, d, s, e in segs:
+        per_block[b] = per_block.get(b, 0) + (e - s)
+    assert per_block[0] == 8 and per_block[1] == 8 and per_block[2] == 4
+    # zero-length docs emit nothing
+    assert all(d != 5 for _, d, _, _ in segs)
