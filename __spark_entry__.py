@@ -2059,6 +2059,85 @@ def q114_token_blocks(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q115_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer⋈orders⋈lineitem,
+    per-order revenue (decimal-exact), global top-10 by revenue via
+    TakeOrdered — the classic shipping-priority report with a total
+    tie-break order."""
+    from gpt_rag_ingestion_spark.operators.ranking import global_top_k
+
+    cust = _t(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+    return global_top_k(
+        joined,
+        [F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey")],
+        10,
+        rank_col="rank",
+    )
+
+
+def q116_returned_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer in a
+    quarter — returnflag-filtered lineitem ⋈ quarter orders ⋈ customer
+    ⋈ broadcast nation, decimal-exact revenue, global top-20."""
+    from gpt_rag_ingestion_spark.operators.ranking import global_top_k
+
+    cust = _t(spark, sf, "customer")
+    nation = F.broadcast(_t(spark, sf, "nation"))
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+    return global_top_k(
+        joined, [F.desc("revenue"), F.asc("c_custkey")], 20, rank_col="rank"
+    )
+
+
+def q117_order_count_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: the customer-distribution report — LEFT join
+    customers to their non-urgent orders, per-customer counts, then
+    the histogram of those counts (customers with 0 orders included)."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2168,6 +2247,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_table_stats": q112_table_stats,
         "q113_kmv_set_algebra": q113_kmv_set_algebra,
         "q114_token_blocks": q114_token_blocks,
+        "q115_shipping_priority": q115_shipping_priority,
+        "q116_returned_revenue": q116_returned_revenue,
+        "q117_order_count_histogram": q117_order_count_histogram,
     }
 
 
@@ -3928,5 +4010,51 @@ def oracle_sql() -> dict[str, str]:
               CAST(LEAST(en, (block_id + 1) * 4096) - st AS BIGINT)
                 AS end_in_doc
             FROM b
+        """,
+        "q115_shipping_priority": """
+            WITH j AS (
+              SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+                CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE c.c_mktsegment = 'BUILDING'
+                AND o.o_orderdate < DATE '1995-03-15'
+                AND l.l_shipdate > DATE '1995-03-15'
+              GROUP BY 1, 2, 3)
+            SELECT l_orderkey, o_orderdate, o_orderpriority, revenue,
+              CAST(row_number() OVER (ORDER BY revenue DESC,
+                   o_orderdate, l_orderkey) AS INT) AS rank
+            FROM j ORDER BY rank LIMIT 10
+        """,
+        "q116_returned_revenue": """
+            WITH j AS (
+              SELECT c.c_custkey, c.c_name, n.n_name,
+                CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              WHERE l.l_returnflag = 'R'
+                AND o.o_orderdate >= DATE '1996-10-01'
+                AND o.o_orderdate < DATE '1997-01-01'
+              GROUP BY 1, 2, 3)
+            SELECT c_custkey, c_name, n_name, revenue,
+              CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey)
+                AS INT) AS rank
+            FROM j ORDER BY rank LIMIT 20
+        """,
+        "q117_order_count_histogram": """
+            WITH pc AS (
+              SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+              FROM customer c
+              LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                AND o.o_orderpriority != '1-URGENT'
+              GROUP BY c.c_custkey)
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+              CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM pc GROUP BY c_count
         """,
     }
