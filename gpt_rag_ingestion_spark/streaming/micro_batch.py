@@ -35,13 +35,20 @@ def run_incremental_ingest(
     max_tokens: int = 64,
     overlap: int = 8,
     min_tokens: int = 4,
+    rollup_path: str | None = None,
 ) -> None:
     """One AvailableNow drain of the landing zone into the chunks table.
 
     Idempotence comes from two layers, mirroring the reference: the
     checkpoint never re-reads a processed file, and the merge keyed on
     parent_id replaces rather than appends (delete-then-insert,
-    reference blob_storage_indexer.py:614-615)."""
+    reference blob_storage_indexer.py:614-615).
+
+    ``rollup_path`` extends the batch job's incremental view
+    maintenance to the stream: every micro-batch updates the
+    per-parent dashboard rollup as old + Δbatch − Δreplaced — the
+    rollup stays O(increment)-fresh across the stream's whole
+    lifetime without any table rescan."""
     stream = (
         spark.readStream.schema(schema)
         .format("json")
@@ -64,7 +71,25 @@ def run_incremental_ingest(
             overlap=overlap,
             min_tokens=min_tokens,
         )
+        staging = None
+        if rollup_path is not None:
+            from gpt_rag_ingestion_spark.plans.ingest_job import _stage_rollup
+
+            try:
+                old_table = spark.read.parquet(table_path)
+            except Exception:
+                old_table = None
+            # foreachBatch sources are one-shot plans — pin the batch
+            # so both the rollup delta and the merge see the same rows
+            chunks = chunks.localCheckpoint()
+            staging = _stage_rollup(
+                spark, rollup_path, old_table=old_table, incoming=chunks
+            )
         merge_upsert(spark, table_path, chunks, key="parent_id")
+        if staging is not None:
+            from gpt_rag_ingestion_spark.operators.upsert import _swap_in
+
+            _swap_in(spark, staging, rollup_path)
 
     (
         stream.writeStream.foreachBatch(process_batch)

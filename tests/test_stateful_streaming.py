@@ -290,3 +290,63 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(str(out_dir)).collect()))
     assert got == want
     assert ("orphan", 99, None) in got
+
+
+def test_streaming_ingest_maintains_rollup(spark, tmp_path):
+    """Streaming IVM: across two AvailableNow drains (second batch
+    replaces one parent and adds one), the incrementally maintained
+    rollup equals a recompute over the chunks table."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from gpt_rag_ingestion_spark.streaming.micro_batch import (
+        run_incremental_ingest,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    table = str(tmp_path / "chunks")
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        run_incremental_ingest(
+            spark, str(landing), table, ckpt, rollup_path=rollup
+        )
+
+    def recompute():
+        t = spark.read.parquet(table)
+        return sorted(
+            map(
+                tuple,
+                t.groupBy("parent_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_chunks"),
+                    F.sum(F.length("content").cast("long")).alias("chars"),
+                )
+                .collect(),
+            )
+        )
+
+    def maintained():
+        return sorted(map(tuple, spark.read.parquet(rollup).collect()))
+
+    with open(landing / "b1.json", "w") as fh:
+        for i in range(3):
+            fh.write(_json.dumps(
+                {"doc_id": i, "text": "alpha beta " * 30, "source": "s"}
+            ) + "\n")
+    drain()
+    assert maintained() == recompute()
+
+    with open(landing / "b2.json", "w") as fh:
+        fh.write(_json.dumps(
+            {"doc_id": 1, "text": "replaced text " * 10, "source": "s"}
+        ) + "\n")
+        fh.write(_json.dumps(
+            {"doc_id": 9, "text": "brand new doc " * 20, "source": "s"}
+        ) + "\n")
+    drain()
+    assert maintained() == recompute()
+    assert len(maintained()) == 4
