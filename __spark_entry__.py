@@ -2138,6 +2138,20 @@ def q117_order_count_histogram(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q118_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD type-2 build: the per-user event-type change stream
+    collapsed into validity intervals (run compression + lead close,
+    one shuffle on the key) — "state at time T" becomes one range
+    predicate, the warehouse twin of the reference's runHistory."""
+    from gpt_rag_ingestion_spark.operators.incremental import scd2_intervals
+
+    ev = _t(spark, sf, "events")
+    return scd2_intervals(
+        ev, key="user_id", ts="ts", value_cols=["event_type"],
+        tiebreak=["event_id"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2250,6 +2264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_shipping_priority": q115_shipping_priority,
         "q116_returned_revenue": q116_returned_revenue,
         "q117_order_count_histogram": q117_order_count_histogram,
+        "q118_scd2_intervals": q118_scd2_intervals,
     }
 
 
@@ -4056,5 +4071,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(c_count AS BIGINT) AS c_count,
               CAST(COUNT(*) AS BIGINT) AS n_customers
             FROM pc GROUP BY c_count
+        """,
+        "q118_scd2_intervals": """
+            WITH o AS (
+              SELECT user_id, event_type, ts, event_id,
+                lag(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev
+              FROM events),
+            c AS (
+              SELECT * FROM o WHERE prev IS DISTINCT FROM event_type)
+            SELECT user_id, event_type, ts AS valid_from,
+              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS valid_to
+            FROM c
         """,
     }

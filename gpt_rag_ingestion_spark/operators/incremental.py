@@ -24,7 +24,7 @@ maintained one.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -89,3 +89,43 @@ def maintain_rollup(
         ],
     )
     return out.filter(F.col(count_col) > 0)
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: list[str],
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build: collapse a change
+    stream into validity intervals — one row per (key, value-run) with
+    ``valid_from``/``valid_to`` (NULL = current).
+
+    The warehouse-side twin of the reference's runHistory (W4:
+    newest-first event lists per file) — intervals instead of event
+    arrays, so "state of X at time T" is one range predicate instead
+    of an array scan.
+
+    Two windows over the SAME (key, ts, tiebreak) ordering — Catalyst
+    plans them on one hash exchange: (1) run-compression keeps a row
+    only where the value tuple differs from its predecessor
+    (null-safe), (2) ``lead(ts)`` on the compressed rows closes each
+    interval.  Everything shuffles once on the key.
+    """
+    order = [F.col(ts)] + [F.col(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(key).orderBy(*order)
+    val = F.struct(*[F.col(c) for c in value_cols])
+    changed = ~val.eqNullSafe(F.lag(val).over(w))
+    compressed = (
+        df.withColumn("_chg", F.coalesce(changed, F.lit(True)))
+        .filter(F.col("_chg"))
+        .drop("_chg")
+    )
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return compressed.select(
+        F.col(key),
+        *[F.col(c) for c in value_cols],
+        F.col(ts).alias("valid_from"),
+        F.lead(F.col(ts)).over(w2).alias("valid_to"),
+    )

@@ -368,3 +368,36 @@ def test_token_blocks_exact_layout(spark):
     assert per_block[0] == 8 and per_block[1] == 8 and per_block[2] == 4
     # zero-length docs emit nothing
     assert all(d != 5 for _, d, _, _ in segs)
+
+
+def test_scd2_intervals_run_compression(spark):
+    import datetime as dt
+
+    from gpt_rag_ingestion_spark.operators.incremental import scd2_intervals
+
+    def t(h):
+        return dt.datetime(2024, 1, 1, h)
+
+    rows = [
+        ("u1", t(1), 1, "x"),
+        ("u1", t(2), 2, "x"),  # same value: compressed away
+        ("u1", t(3), 3, "y"),
+        ("u1", t(4), 4, "x"),  # value returns: NEW interval
+        ("u2", t(5), 5, "z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, state string"
+    )
+    out = sorted(
+        (r["user_id"], r["state"], r["valid_from"].hour,
+         r["valid_to"].hour if r["valid_to"] else None)
+        for r in scd2_intervals(
+            df, "user_id", "ts", ["state"], tiebreak=["event_id"]
+        ).collect()
+    )
+    assert out == [
+        ("u1", "x", 1, 3),
+        ("u1", "x", 4, None),
+        ("u1", "y", 3, 4),
+        ("u2", "z", 5, None),
+    ]
