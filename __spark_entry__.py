@@ -2152,6 +2152,24 @@ def q118_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q119_event_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """A3 pivot form: per-user event counts pivoted to one column per
+    event type (explicit value list — no discovery pass, deterministic
+    column order), nulls zero-filled.  One shuffle; the wide-format
+    dashboard matrix."""
+    ev = _t(spark, sf, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2265,6 +2283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_returned_revenue": q116_returned_revenue,
         "q117_order_count_histogram": q117_order_count_histogram,
         "q118_scd2_intervals": q118_scd2_intervals,
+        "q119_event_pivot": q119_event_pivot,
     }
 
 
@@ -4084,5 +4103,19 @@ def oracle_sql() -> dict[str, str]:
               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                 AS valid_to
             FROM c
+        """,
+        "q119_event_pivot": """
+            SELECT user_id,
+              CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_click,
+              CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_error,
+              CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase,
+              CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_signup,
+              CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
         """,
     }
