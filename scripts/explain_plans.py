@@ -111,6 +111,20 @@ PLAN_PROPERTIES = {
         ["BroadcastHashJoin", "Window"],
         [],
     ),
+    # classic top-k reports: per-partition heaps, never a global sort
+    "q115_shipping_priority": (
+        ["TakeOrderedAndProject", "BroadcastHashJoin"],
+        [],
+    ),
+    "q116_returned_revenue": (["TakeOrderedAndProject"], []),
+    # SCD2: both windows ride the user_id hash partitioning
+    "q118_scd2_intervals": (
+        ["Window", "hashpartitioning(user_id"],
+        [],
+    ),
+    # pivot with an explicit value list: one aggregation pass, no
+    # value-discovery job in the plan
+    "q119_event_pivot": (["HashAggregate"], []),
 }
 
 

@@ -35,6 +35,10 @@ PROBES = {
     "q94_shard_assignment": ("shards", "single-exchange prefix sum"),
     "q95_hamming_neardup": ("dedup", "band equi-join + popcount verify"),
     "q97_interval_join": ("streaming-shape", "equi join, time residual"),
+    "q102_incremental_dedup": ("dedup", "batch vs base: key-only base touches"),
+    "q108_pagerank": ("graph", "5 iterations, joins + aggs"),
+    "q114_token_blocks": ("packing", "slim prefix sum + span explode"),
+    "q115_shipping_priority": ("olap", "3-way join + TakeOrdered top-k"),
 }
 
 
