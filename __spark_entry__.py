@@ -2170,6 +2170,66 @@ def q119_event_pivot(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q120_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus linguistics: top-20 adjacent-word collocations by
+    quantized lift (same ordering as PMI, zero logarithms — exact
+    integer score).  Narrow zip pass for bigrams, broadcast unigram
+    joins, TakeOrdered."""
+    from gpt_rag_ingestion_spark.operators.text_analysis import collocations
+
+    docs = _t(spark, sf, "documents")
+    return collocations(docs, min_count=5, k=20)
+
+
+def q121_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Graph analytics #2: exact triangle count of the synthetic doc
+    link graph (same graph as q108) — canonical a<b<c enumeration via
+    two hash equi-joins, no nested loop."""
+    from gpt_rag_ingestion_spark.operators.linkgraph import triangle_count
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    mx = docs.agg((F.max("doc_id") + 1).alias("_m"))
+    with_m = docs.crossJoin(F.broadcast(mx))
+    t1 = with_m.selectExpr("doc_id AS src", "(doc_id * 7 + 3) % _m AS dst")
+    t2 = with_m.selectExpr("doc_id AS src", "(doc_id * 13 + 5) % _m AS dst")
+    edges = t1.unionByName(t2).join(
+        docs.select(F.col("doc_id").alias("dst")), "dst", "left_semi"
+    )
+    return triangle_count(edges)
+
+
+def q122_temporal_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Effective-dated dimension lookup: facts (odd events) joined to
+    the SCD2 state intervals built from the change stream (even
+    events) — state AT the fact's timestamp via an equi-join on the
+    key with the interval bound as a residual predicate (never a
+    nested loop).  The q118 ∘ q87 warehouse composition."""
+    from gpt_rag_ingestion_spark.operators.incremental import scd2_intervals
+
+    ev = _t(spark, sf, "events")
+    changes = ev.filter(F.col("event_id") % 2 == 0)
+    facts = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "ts"
+    )
+    iv = scd2_intervals(
+        changes, key="user_id", ts="ts", value_cols=["event_type"],
+        tiebreak=["event_id"],
+    ).withColumnRenamed("event_type", "state")
+    joined = facts.join(
+        iv,
+        (facts.user_id == iv.user_id)
+        & (iv.valid_from <= facts.ts)
+        & (iv.valid_to.isNull() | (facts.ts < iv.valid_to)),
+        "left",
+    )
+    return joined.select(
+        "event_id",
+        facts.user_id.alias("user_id"),
+        "state",
+        "valid_from",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2284,6 +2344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_order_count_histogram": q117_order_count_histogram,
         "q118_scd2_intervals": q118_scd2_intervals,
         "q119_event_pivot": q119_event_pivot,
+        "q120_collocations": q120_collocations,
+        "q121_triangle_count": q121_triangle_count,
+        "q122_temporal_lookup": q122_temporal_lookup,
     }
 
 
@@ -4117,5 +4180,67 @@ def oracle_sql() -> dict[str, str]:
               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_view
             FROM events GROUP BY user_id
+        """,
+        "q120_collocations": """
+            WITH arr AS (
+              SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                                 t -> t != '') AS a
+              FROM documents),
+            toks AS (SELECT unnest(a) AS w FROM arr),
+            uni AS (SELECT w, COUNT(*) AS f FROM toks GROUP BY w),
+            tot AS (SELECT COUNT(*) AS n_total FROM toks),
+            bi AS (
+              SELECT a[s.i + 1] AS w, a[s.i + 2] AS w2, COUNT(*) AS f_ab
+              FROM arr, unnest(range(0, len(a) - 1)) AS s(i)
+              GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+            scored AS (
+              SELECT bi.w AS word_a, bi.w2 AS word_b, f_ab,
+                (f_ab * n_total * 10000) // (ua.f * ub.f) AS lift_q
+              FROM bi
+              JOIN uni ua ON ua.w = bi.w
+              JOIN uni ub ON ub.w = bi.w2, tot)
+            SELECT word_a, word_b, f_ab, lift_q,
+              CAST(row_number() OVER (ORDER BY lift_q DESC, f_ab DESC,
+                   word_a, word_b) AS INT) AS rank
+            FROM scored ORDER BY rank LIMIT 20
+        """,
+        "q121_triangle_count": """
+            WITH nst AS (SELECT max(doc_id) + 1 AS nn FROM documents),
+            ids AS (SELECT doc_id FROM documents),
+            raw AS (
+              SELECT doc_id AS src,
+                (doc_id * 7 + 3) % (SELECT nn FROM nst) AS dst
+              FROM documents
+              UNION ALL
+              SELECT doc_id, (doc_id * 13 + 5) % (SELECT nn FROM nst)
+              FROM documents),
+            e AS (SELECT src, dst FROM raw
+                  WHERE dst IN (SELECT doc_id FROM ids)),
+            und AS (
+              SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+              FROM e WHERE src != dst)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM und e1
+            JOIN und e2 ON e1.v = e2.u
+            JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        "q122_temporal_lookup": """
+            WITH ch AS (
+              SELECT user_id, event_type, ts, event_id,
+                lag(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev
+              FROM events WHERE event_id % 2 = 0),
+            c AS (SELECT * FROM ch WHERE prev IS DISTINCT FROM event_type),
+            iv AS (
+              SELECT user_id, event_type AS state, ts AS valid_from,
+                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS valid_to
+              FROM c),
+            f AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_id % 2 = 1)
+            SELECT f.event_id, f.user_id, iv.state, iv.valid_from
+            FROM f LEFT JOIN iv ON iv.user_id = f.user_id
+              AND iv.valid_from <= f.ts
+              AND (iv.valid_to IS NULL OR f.ts < iv.valid_to)
         """,
     }

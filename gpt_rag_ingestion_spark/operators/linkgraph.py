@@ -71,3 +71,32 @@ def pagerank_quantized(
         if checkpoint:
             r = r.localCheckpoint(eager=False)
     return r.select(F.col(id_col), F.col("r").alias("rank_q"))
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Global triangle count of the undirected graph — one row
+    ``(n_triangles)``.
+
+    Canonicalizes each edge to (lo, hi), drops loops, dedups, then
+    enumerates each triangle exactly once as a < b < c via two hash
+    equi-joins (a,b)⋈(b,c)⋈(a,c).  Graph-analytics staple (clustering
+    coefficient, community structure as a corpus-quality signal on
+    link graphs); at web scale the standard refinement is
+    degree-ordered orientation — same plan, orientation by (degree,
+    id) instead of id — which bounds the join fan-out by arboricity.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -410,3 +410,73 @@ def corpus_frequency_score(
             ).otherwise(F.lit(0)).cast("long"),
         )
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` adjacent-word collocations by quantized LIFT —
+    freq(ab)·N / (freq(a)·freq(b)) in 1e-4 units, the same ordering
+    as PMI without a logarithm, so the score is exact integer
+    arithmetic (oracle-checkable) at any scale.
+
+    Corpus use: multiword-expression discovery ("new york",
+    "machine learning") for tokenizer vocab seeding and quality
+    signals.  Plan: one token pass builds unigram counts, one zipped
+    slice pass builds adjacent-bigram counts (both narrow maps +
+    compact-key aggregations), two broadcast joins attach unigram
+    counts, TakeOrdered picks the top k."""
+    from gpt_rag_ingestion_spark.operators.ranking import global_top_k
+
+    arr = df.select(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+        ).alias("a")
+    )
+    toks = arr.select(F.explode("a").alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    n = F.size("a")
+    pair_arr = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.struct(
+                F.element_at(F.col("a"), i + 1).alias("w"),
+                F.element_at(F.col("a"), i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w:string,w2:string>>"))
+    bi = (
+        arr.select(F.explode(pair_arr).alias("p"))
+        .select("p.w", "p.w2")
+        .groupBy("w", "w2")
+        .agg(F.count(F.lit(1)).alias("f_ab"))
+        .filter(F.col("f_ab") >= min_count)
+    )
+    scored = (
+        bi.join(F.broadcast(uni.withColumnRenamed("f", "f_a")), on="w")
+        .join(
+            F.broadcast(
+                uni.select(F.col("w").alias("w2"), F.col("f").alias("f_b"))
+            ),
+            on="w2",
+        )
+        .crossJoin(F.broadcast(total))
+        .selectExpr(
+            "w AS word_a",
+            "w2 AS word_b",
+            "f_ab",
+            "(f_ab * n_total * 10000) div (f_a * f_b) AS lift_q",
+        )
+    )
+    return global_top_k(
+        scored,
+        [F.desc("lift_q"), F.desc("f_ab"), F.asc("word_a"), F.asc("word_b")],
+        k,
+        rank_col="rank",
+    )

@@ -401,3 +401,30 @@ def test_scd2_intervals_run_compression(spark):
         ("u1", "y", 3, 4),
         ("u2", "z", 5, None),
     ]
+
+
+def test_triangle_count_known_graph(spark):
+    from gpt_rag_ingestion_spark.operators.linkgraph import triangle_count
+
+    # K4 has 4 triangles; plus a dangling edge and a loop (ignored)
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a != b]
+        + [(3, 9), (5, 5)],
+        "src long, dst long",
+    )
+    assert triangle_count(edges).collect()[0]["n_triangles"] == 4
+
+
+def test_collocations_finds_frozen_pair(spark):
+    from gpt_rag_ingestion_spark.operators.text_analysis import collocations
+
+    # "hong kong" always adjacent; filler words common but unpaired
+    rows = [
+        (i, "hong kong " + ("the of a to " * 5)) for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    top = collocations(docs, min_count=5, k=3).collect()
+    assert (top[0]["word_a"], top[0]["word_b"]) == ("hong", "kong")
+    assert top[0]["rank"] == 1
+    # the frozen pair's lift beats any filler bigram
+    assert top[0]["lift_q"] > top[1]["lift_q"]
