@@ -2230,6 +2230,37 @@ def q122_temporal_lookup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q123_grouped_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregate done scale-right: per-returnflag Pearson
+    correlation of quantity vs extendedprice from ONE pass of exact
+    integer partial sums (mergeable across shards), closed-form ratio
+    on the per-group rows — oracle-checkable to 6 decimals."""
+    from gpt_rag_ingestion_spark.operators.profiling import (
+        grouped_correlation,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    # y at dollar scale: Σy² must clear 2^63 with orders of magnitude
+    # to spare at any SF (price ≤ 1e5 → y² ≤ 1e10 per row)
+    return grouped_correlation(
+        li, "l_returnflag", "l_quantity", "l_extendedprice",
+        x_scale=100, y_scale=1,
+    )
+
+
+def q124_grouped_mode(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-source mode token (highest count, smallest token on
+    ties) — two compact-key aggregations + a struct-ordered min, never
+    a per-group sort; the categorical twin of exact median."""
+    from gpt_rag_ingestion_spark.operators.profiling import grouped_mode
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), "\\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    return grouped_mode(toks, "source", "token")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2347,6 +2378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_collocations": q120_collocations,
         "q121_triangle_count": q121_triangle_count,
         "q122_temporal_lookup": q122_temporal_lookup,
+        "q123_grouped_correlation": q123_grouped_correlation,
+        "q124_grouped_mode": q124_grouped_mode,
     }
 
 
@@ -4242,5 +4275,44 @@ def oracle_sql() -> dict[str, str]:
             FROM f LEFT JOIN iv ON iv.user_id = f.user_id
               AND iv.valid_from <= f.ts
               AND (iv.valid_to IS NULL OR f.ts < iv.valid_to)
+        """,
+        "q123_grouped_correlation": """
+            WITH q AS (
+              SELECT l_returnflag,
+                CAST(round(l_quantity * 100) AS BIGINT) AS x,
+                CAST(round(l_extendedprice * 1) AS BIGINT) AS y
+              FROM lineitem),
+            s AS (
+              SELECT l_returnflag,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(x) AS BIGINT) AS sx,
+                CAST(SUM(y) AS BIGINT) AS sy,
+                CAST(SUM(x * y) AS BIGINT) AS sxy,
+                CAST(SUM(x * x) AS BIGINT) AS sxx,
+                CAST(SUM(y * y) AS BIGINT) AS syy
+              FROM q GROUP BY l_returnflag)
+            SELECT l_returnflag, n,
+              round(CAST(n * sxy - sx * sy AS DOUBLE)
+                / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                   * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr
+            FROM s
+        """,
+        "q124_grouped_mode": """
+            WITH toks AS (
+              SELECT source, t.token
+              FROM documents,
+                unnest(string_split_regex(lower(text), '\\s+')) AS t(token)
+              WHERE t.token != ''),
+            c AS (
+              SELECT source, token, COUNT(*) AS cnt
+              FROM toks GROUP BY source, token),
+            r AS (
+              SELECT source, token, cnt,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY cnt DESC, token ASC) AS rn
+              FROM c)
+            SELECT source, token AS mode_value,
+              CAST(cnt AS BIGINT) AS mode_count
+            FROM r WHERE rn = 1
         """,
     }

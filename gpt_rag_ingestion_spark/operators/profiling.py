@@ -96,3 +96,78 @@ def column_stats(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+def grouped_correlation(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 100,
+    y_scale: int = 100,
+) -> DataFrame:
+    """Per-group Pearson correlation computed the scale-correct way:
+    ONE pass of partial-aggregable integer sums (n, Σx, Σy, Σxy, Σx²,
+    Σy²) with x,y quantized to ``scale`` units, then the closed-form
+    ratio on the tiny per-group rows.
+
+    Unlike calling ``corr()`` directly, every accumulated term is an
+    exact integer (order-independent, partial-agg/mergeable across
+    shards — the same property as the sketch family), and the final
+    few float ops run on identical inputs in any engine, so the result
+    is oracle-checkable to 6 decimals.  The single-pass sums shape is
+    also how you compute corr over 100 TB without a second scan for
+    the means.
+
+    Pick the scales so Σ(value·scale)² stays far below 2^63 at your
+    row count — correlation is scale-invariant, so coarser
+    quantization costs only quantization noise, never sum overflow."""
+    x = F.round(F.col(x_col) * x_scale).cast("long")
+    y = F.round(F.col(y_col) * y_scale).cast("long")
+    sums = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return sums.select(
+        group_col,
+        "n",
+        F.round(num.cast("double") / den, 6).alias("corr"),
+    )
+
+
+def grouped_mode(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact per-group mode with a total tie-break (highest count,
+    then smallest value) — two compact-key aggregations + one
+    max_by; never a per-group sort.  The categorical twin of the
+    exact-median in ``group_profile``."""
+    counts = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # max_by over a struct gives the (count desc, value asc) argmax:
+    # pack count with the NEGATED... strings can't negate — use min_by
+    # over (neg count, value) via a struct ordering instead: Spark
+    # compares structs lexicographically, so min of (-cnt, value) is
+    # the tie-broken mode.
+    return counts.groupBy(group_col).agg(
+        F.min(
+            F.struct((-F.col("cnt")).alias("nc"), F.col(value_col).alias("v"))
+        ).alias("m")
+    ).select(
+        group_col,
+        F.col("m.v").alias("mode_value"),
+        (-F.col("m.nc")).alias("mode_count"),
+    )

@@ -428,3 +428,39 @@ def test_collocations_finds_frozen_pair(spark):
     assert top[0]["rank"] == 1
     # the frozen pair's lift beats any filler bigram
     assert top[0]["lift_q"] > top[1]["lift_q"]
+
+
+def test_grouped_correlation_known_values(spark):
+    from gpt_rag_ingestion_spark.operators.profiling import (
+        grouped_correlation,
+    )
+
+    rows = (
+        # perfectly correlated group
+        [("pos", float(i), float(2 * i + 3)) for i in range(1, 20)]
+        # perfectly anti-correlated group
+        + [("neg", float(i), float(100 - 5 * i)) for i in range(1, 20)]
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {
+        r["g"]: r["corr"]
+        for r in grouped_correlation(df, "g", "x", "y", 100, 100).collect()
+    }
+    assert got["pos"] == 1.0
+    assert got["neg"] == -1.0
+
+
+def test_grouped_mode_tie_break(spark):
+    from gpt_rag_ingestion_spark.operators.profiling import grouped_mode
+
+    df = spark.createDataFrame(
+        [("g1", "b"), ("g1", "b"), ("g1", "a"), ("g1", "a"), ("g1", "c"),
+         ("g2", "z")],
+        "g string, v string",
+    )
+    got = {
+        r["g"]: (r["mode_value"], r["mode_count"])
+        for r in grouped_mode(df, "g", "v").collect()
+    }
+    assert got["g1"] == ("a", 2)  # tie with "b": smaller value wins
+    assert got["g2"] == ("z", 1)
