@@ -2261,6 +2261,28 @@ def q124_grouped_mode(spark: SparkSession, sf: str) -> DataFrame:
     return grouped_mode(toks, "source", "token")
 
 
+def q125_fuzzy_linkage(spark: SparkSession, sf: str) -> DataFrame:
+    """Record linkage: customers matched against a corrupted mirror
+    (3rd char dropped) by Levenshtein ≤ 2, candidates from a
+    (prefix, ±2-length-bucket) blocking join — the all-pairs
+    comparison never appears in the plan."""
+    from gpt_rag_ingestion_spark.operators.linkage import fuzzy_join
+
+    cust = _t(spark, sf, "customer")
+    clean = cust.select(
+        F.col("c_custkey").alias("clean_key"), F.col("c_name").alias("name")
+    )
+    dirty = cust.select(
+        (F.col("c_custkey") + 1000000).alias("dirty_key"),
+        F.concat(
+            F.substring("c_name", 1, 2), F.substring("c_name", 4, 1000)
+        ).alias("name"),
+    )
+    return fuzzy_join(
+        clean, dirty, "clean_key", "dirty_key", max_distance=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2380,6 +2402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_temporal_lookup": q122_temporal_lookup,
         "q123_grouped_correlation": q123_grouped_correlation,
         "q124_grouped_mode": q124_grouped_mode,
+        "q125_fuzzy_linkage": q125_fuzzy_linkage,
     }
 
 
@@ -4314,5 +4337,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, token AS mode_value,
               CAST(cnt AS BIGINT) AS mode_count
             FROM r WHERE rn = 1
+        """,
+        "q125_fuzzy_linkage": """
+            WITH clean AS (
+              SELECT c_custkey AS clean_key, lower(c_name) AS t
+              FROM customer),
+            dirty AS (
+              SELECT c_custkey + 1000000 AS dirty_key,
+                lower(substr(c_name, 1, 2) || substr(c_name, 4, 1000)) AS t
+              FROM customer),
+            lb AS (
+              SELECT clean_key, t AS t_l, substr(t, 1, 2) AS pfx,
+                s.lb AS lb
+              FROM clean,
+                unnest(generate_series(CAST(length(t) - 2 AS BIGINT),
+                                       CAST(length(t) + 2 AS BIGINT)))
+                  AS s(lb)),
+            rb AS (
+              SELECT dirty_key, t AS t_r, substr(t, 1, 2) AS pfx,
+                CAST(length(t) AS BIGINT) AS lb
+              FROM dirty)
+            SELECT DISTINCT clean_key, dirty_key,
+              CAST(levenshtein(t_l, t_r) AS INT) AS distance
+            FROM lb JOIN rb USING (pfx, lb)
+            WHERE levenshtein(t_l, t_r) <= 2
         """,
     }

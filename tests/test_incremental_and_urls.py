@@ -464,3 +464,28 @@ def test_grouped_mode_tie_break(spark):
     }
     assert got["g1"] == ("a", 2)  # tie with "b": smaller value wins
     assert got["g2"] == ("z", 1)
+
+
+def test_fuzzy_join_blocking_and_distance(spark):
+    from gpt_rag_ingestion_spark.operators.linkage import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "Jonathan Smith"), (2, "Alice Jones"), (3, "Bob")],
+        "lk long, name string",
+    )
+    right = spark.createDataFrame(
+        [(10, "Jonathon Smith"),   # 1 substitution -> match 1
+         (11, "alice  jones"),     # extra space -> match 2 (dist 1)
+         (12, "Robert"),           # far from Bob
+         (13, "Zonathan Smith")],  # dist 1 BUT prefix differs: blocked out
+        "rk long, name string",
+    )
+    got = {
+        (r["lk"], r["rk"]): r["distance"]
+        for r in fuzzy_join(left, right, "lk", "rk").collect()
+    }
+    assert got[(1, 10)] == 1
+    assert got[(2, 11)] == 1
+    assert (3, 12) not in got
+    # prefix blocking trades recall for never doing all-pairs:
+    assert (1, 13) not in got
