@@ -2283,6 +2283,58 @@ def q125_fuzzy_linkage(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q126_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """Outlier clipping: per-event-type winsorization to the exact
+    nearest-rank p05/p95 (integer rank arithmetic, total tie-break) —
+    the numeric-cleaning step before any mean-based quality feature.
+    One window pass for ranks, per-type clip bounds via conditional
+    max, broadcast join + clamp."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cnt = Window.partitionBy("event_type")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(cnt)
+    )
+    k05 = F.expr("(5 * n + 99) div 100")
+    k95 = F.expr("(95 * n + 99) div 100")
+    bounds = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == k05, F.col("value"))).alias("p05"),
+        F.max(F.when(F.col("rn") == k95, F.col("value"))).alias("p95"),
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+            .alias("value_clipped"),
+        )
+    )
+
+
+def q127_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-spine gap filling: hourly event counts with explicit ZERO
+    rows for silent hours — the spine generated relationally
+    (sequence over the observed min..max hour) and left-joined to the
+    aggregated counts.  Dashboards and anomaly detectors need the
+    zeros; a plain groupBy silently omits them."""
+    ev = _t(spark, sf, "events")
+    hours = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    ).select(
+        F.explode(
+            F.expr("sequence(mn, mx, interval 1 hour)")
+        ).alias("hour_ts")
+    )
+    counts = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return hours.join(counts, "hour_ts", "left").select(
+        "hour_ts", F.coalesce("n", F.lit(0)).alias("n_events")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2403,6 +2455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_grouped_correlation": q123_grouped_correlation,
         "q124_grouped_mode": q124_grouped_mode,
         "q125_fuzzy_linkage": q125_fuzzy_linkage,
+        "q126_winsorize": q126_winsorize,
+        "q127_gap_fill": q127_gap_fill,
     }
 
 
@@ -4361,5 +4415,39 @@ def oracle_sql() -> dict[str, str]:
               CAST(levenshtein(t_l, t_r) AS INT) AS distance
             FROM lb JOIN rb USING (pfx, lb)
             WHERE levenshtein(t_l, t_r) <= 2
+        """,
+        "q126_winsorize": """
+            WITH r AS (
+              SELECT event_id, event_type, value,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY value, event_id) AS rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM events),
+            b AS (
+              SELECT event_type,
+                max(CASE WHEN rn = (5 * n + 99) // 100 THEN value END)
+                  AS p05,
+                max(CASE WHEN rn = (95 * n + 99) // 100 THEN value END)
+                  AS p95
+              FROM r GROUP BY event_type)
+            SELECT e.event_id, e.event_type,
+              LEAST(GREATEST(e.value, b.p05), b.p95) AS value_clipped
+            FROM events e JOIN b USING (event_type)
+        """,
+        "q127_gap_fill": """
+            WITH bounds AS (
+              SELECT date_trunc('hour', min(ts)) AS mn,
+                     date_trunc('hour', max(ts)) AS mx
+              FROM events),
+            spine AS (
+              SELECT unnest(generate_series(mn, mx, INTERVAL '1 hour'))
+                AS hour_ts
+              FROM bounds),
+            c AS (
+              SELECT date_trunc('hour', ts) AS hour_ts,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1)
+            SELECT s.hour_ts, COALESCE(c.n, 0) AS n_events
+            FROM spine s LEFT JOIN c USING (hour_ts)
         """,
     }
