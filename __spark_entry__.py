@@ -2335,6 +2335,35 @@ def q127_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q128_acl_visibility(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level security over the reference's ACL model
+    (metadata_security_user_ids/group_ids, empty = public): the
+    documents visible to principal u7 ∈ {g3, g11}, with the winning
+    rule — user grant > group grant > public.  Pure array algebra
+    (array_contains / arrays_overlap) pushed next to the scan."""
+    cust = _t(spark, sf, "customer")
+    user_ids = F.when(
+        F.col("c_custkey") % 3 != 0,
+        F.array(F.concat(F.lit("u"), (F.col("c_custkey") % 50).cast("string"))),
+    ).otherwise(F.array().cast("array<string>"))
+    group_ids = F.when(
+        F.col("c_custkey") % 2 == 0,
+        F.array(F.concat(F.lit("g"), F.col("c_nationkey").cast("string"))),
+    ).otherwise(F.array().cast("array<string>"))
+    d = cust.select("c_custkey", user_ids.alias("u"), group_ids.alias("g"))
+    principal_groups = F.array(F.lit("g3"), F.lit("g11"))
+    reason = (
+        F.when(F.array_contains("u", "u7"), F.lit("user"))
+        .when(F.arrays_overlap("g", principal_groups), F.lit("group"))
+        .when((F.size("u") == 0) & (F.size("g") == 0), F.lit("public"))
+    )
+    return (
+        d.withColumn("reason", reason)
+        .filter(F.col("reason").isNotNull())
+        .select("c_custkey", "reason")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2457,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_fuzzy_linkage": q125_fuzzy_linkage,
         "q126_winsorize": q126_winsorize,
         "q127_gap_fill": q127_gap_fill,
+        "q128_acl_visibility": q128_acl_visibility,
     }
 
 
@@ -4449,5 +4479,22 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY 1)
             SELECT s.hour_ts, COALESCE(c.n, 0) AS n_events
             FROM spine s LEFT JOIN c USING (hour_ts)
+        """,
+        "q128_acl_visibility": """
+            WITH d AS (
+              SELECT c_custkey,
+                CASE WHEN c_custkey % 3 != 0
+                     THEN 'u' || CAST(c_custkey % 50 AS VARCHAR) END AS uid,
+                CASE WHEN c_custkey % 2 = 0
+                     THEN 'g' || CAST(c_nationkey AS VARCHAR) END AS gid
+              FROM customer)
+            SELECT c_custkey,
+              CASE WHEN uid = 'u7' THEN 'user'
+                   WHEN gid IN ('g3', 'g11') THEN 'group'
+                   WHEN uid IS NULL AND gid IS NULL THEN 'public'
+              END AS reason
+            FROM d
+            WHERE uid = 'u7' OR gid IN ('g3', 'g11')
+               OR (uid IS NULL AND gid IS NULL)
         """,
     }
