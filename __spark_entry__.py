@@ -2364,6 +2364,19 @@ def q128_acl_visibility(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q129_join_size_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Planner statistics: |orders ⋈ lineitem| estimated from two
+    count-min synopses via the AMS/CMS inner product (min over depth
+    rows of Σ cellA·cellB) — the broadcast-vs-shuffle decision input,
+    costing sketch-sized work regardless of table size.  Exact join
+    count rides along for calibration."""
+    from gpt_rag_ingestion_spark.operators.sketches import cms_join_size
+
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return cms_join_size(orders, li, "o_orderkey", "l_orderkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2487,6 +2500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_winsorize": q126_winsorize,
         "q127_gap_fill": q127_gap_fill,
         "q128_acl_visibility": q128_acl_visibility,
+        "q129_join_size_sketch": q129_join_size_sketch,
     }
 
 
@@ -2629,7 +2643,32 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT token, true_count, {j} AS j, {_cm_bucket(j)} AS bucket FROM tc"
         for j in range(4)
     )
+    def _cms_votes(table: str, key: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {j} AS j, "
+            f"CAST('0x' || substr(md5('cm{j}:' || CAST({key} AS VARCHAR)),"
+            f" 1, 8) AS BIGINT) % 256 AS bucket FROM {table}"
+            for j in range(4)
+        )
+
+    cms_join_sql = f"""
+        WITH ca AS (
+          SELECT j, bucket, COUNT(*) AS ca
+          FROM ({_cms_votes("orders", "o_orderkey")}) GROUP BY j, bucket),
+        cb AS (
+          SELECT j, bucket, COUNT(*) AS cb
+          FROM ({_cms_votes("lineitem", "l_orderkey")}) GROUP BY j, bucket),
+        pj AS (
+          SELECT ca.j, SUM(ca.ca * cb.cb) AS ip
+          FROM ca JOIN cb USING (j, bucket) GROUP BY ca.j),
+        est AS (SELECT CAST(min(ip) AS BIGINT) AS est_rows FROM pj),
+        ex AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS exact_rows
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+        SELECT est_rows, exact_rows FROM est, ex
+    """
     return {
+        "q129_join_size_sketch": cms_join_sql,
         "q01_pricing_summary": """
             WITH s AS (
               SELECT l_returnflag, l_linestatus,

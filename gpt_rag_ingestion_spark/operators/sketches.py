@@ -300,3 +300,66 @@ def kmv_set_algebra(
             f"(rho_num * est_union) div least(cast(n_all as bigint), {k})"
         ).alias("est_intersection"),
     )
+
+
+def cms_join_size(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Join-cardinality estimation from count-min sketches: |A ⋈ B| =
+    Σ_v fA(v)·fB(v), estimated as min over rows j of the sketch
+    inner product Σ_b cellA[j,b]·cellB[j,b] (AMS/CMS inner-product
+    estimator, upper-bounds the truth like point CMS estimates).
+
+    This is the statistic a cost-based planner wants BEFORE running a
+    join (broadcast vs shuffle vs skew handling) — computed from two
+    depth×width synopses built in one aggregation pass per side, so
+    the decision costs sketch-size work regardless of table size.
+    Exact count rides along for calibration; md5 buckets make the
+    estimate oracle-checkable.  Output: one row
+    (est_rows, exact_rows)."""
+    def counters(df: DataFrame, key: str, name: str) -> DataFrame:
+        k = F.col(key).cast("string")
+        votes = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            (
+                                F.conv(
+                                    F.substring(
+                                        F.md5(F.concat(F.lit(f"cm{j}:"), k)),
+                                        1, 8,
+                                    ),
+                                    16, 10,
+                                ).cast("long")
+                                % width
+                            ).alias("bucket"),
+                        )
+                        for j in range(depth)
+                    ]
+                )
+            ).alias("jb")
+        ).select("jb.j", "jb.bucket")
+        return votes.groupBy("j", "bucket").agg(
+            F.count(F.lit(1)).alias(name)
+        )
+    ca = counters(left, left_key, "ca")
+    cb = counters(right, right_key, "cb")
+    per_j = (
+        ca.join(cb, on=["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+    )
+    est = per_j.agg(F.min("ip").alias("est_rows"))
+    exact = (
+        left.select(F.col(left_key).alias("_k"))
+        .join(right.select(F.col(right_key).alias("_k")), "_k")
+        .agg(F.count(F.lit(1)).alias("exact_rows"))
+    )
+    return est.crossJoin(exact)

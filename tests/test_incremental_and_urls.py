@@ -489,3 +489,18 @@ def test_fuzzy_join_blocking_and_distance(spark):
     assert (3, 12) not in got
     # prefix blocking trades recall for never doing all-pairs:
     assert (1, 13) not in got
+
+
+def test_cms_join_size_overestimates_within_bound(spark):
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from gpt_rag_ingestion_spark.operators.sketches import cms_join_size
+
+    left = spark.range(0, 2000).select((F.col("id") % 500).alias("k"))
+    right = spark.range(0, 3000).select((F.col("id") % 500).alias("r"))
+    row = cms_join_size(left, right, "k", "r").collect()[0]
+    # exact = 500 keys x 4 x 6
+    assert row["exact_rows"] == 500 * 4 * 6
+    # CMS inner product never underestimates, collision overshoot bounded
+    assert row["est_rows"] >= row["exact_rows"]
+    assert row["est_rows"] < row["exact_rows"] * 3
