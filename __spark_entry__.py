@@ -2377,6 +2377,63 @@ def q129_join_size_sketch(spark: SparkSession, sf: str) -> DataFrame:
     return cms_join_size(orders, li, "o_orderkey", "l_orderkey")
 
 
+def q130_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel per session: within each 30-min-gap
+    session (q35's islands), did view → click → purchase happen IN
+    ORDER?  Conditional-min timestamps per step + ordering predicates;
+    one window pass + one aggregation."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    prev = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.unix_micros(F.col("ts")) - prev > gap_us), 1
+    ).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = ev.withColumn("session_seq", F.sum(new_sess).over(wrun))
+
+    def step_ts(step):
+        return F.min(
+            F.when(F.col("event_type") == step, F.unix_micros(F.col("ts")))
+        )
+
+    agg = sess.groupBy("user_id", "session_seq").agg(
+        step_ts("view").alias("t_view"),
+        step_ts("click").alias("t_click"),
+        step_ts("purchase").alias("t_buy"),
+    )
+    reached_click = F.col("t_view").isNotNull() & (
+        F.col("t_click") > F.col("t_view")
+    )
+    reached_buy = reached_click & (F.col("t_buy") > F.col("t_click"))
+    return agg.select(
+        "user_id",
+        "session_seq",
+        F.col("t_view").isNotNull().alias("s1_view"),
+        F.coalesce(reached_click, F.lit(False)).alias("s2_click"),
+        F.coalesce(reached_buy, F.lit(False)).alias("s3_purchase"),
+    )
+
+
+def q131_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Retention cohort grid: users grouped by first-active day, then
+    distinct active users per (cohort_day, days_since) — the
+    engagement report every analytics store ships.  One min-per-user
+    aggregation broadcast back + one distinct count."""
+    ev = _t(spark, sf, "events")
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_day")
+    )
+    joined = ev.join(F.broadcast(first), "user_id")
+    days_since = F.datediff(F.to_date(F.col("ts")), F.col("cohort_day"))
+    return (
+        joined.groupBy(
+            F.col("cohort_day"), days_since.alias("days_since")
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2501,6 +2558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_gap_fill": q127_gap_fill,
         "q128_acl_visibility": q128_acl_visibility,
         "q129_join_size_sketch": q129_join_size_sketch,
+        "q130_funnel": q130_funnel,
+        "q131_retention_cohorts": q131_retention_cohorts,
     }
 
 
@@ -4518,6 +4577,54 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY 1)
             SELECT s.hour_ts, COALESCE(c.n, 0) AS n_events
             FROM spine s LEFT JOIN c USING (hour_ts)
+        """,
+        "q130_funnel": """
+            WITH s AS (
+              SELECT *,
+                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            r AS (
+              SELECT *,
+                SUM(new_sess) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session_seq
+              FROM s),
+            a AS (
+              SELECT user_id, session_seq,
+                min(CASE WHEN event_type = 'view'
+                    THEN epoch_us(ts) END) AS t_view,
+                min(CASE WHEN event_type = 'click'
+                    THEN epoch_us(ts) END) AS t_click,
+                min(CASE WHEN event_type = 'purchase'
+                    THEN epoch_us(ts) END) AS t_buy
+              FROM r GROUP BY user_id, session_seq)
+            SELECT user_id, session_seq,
+              t_view IS NOT NULL AS s1_view,
+              COALESCE(t_view IS NOT NULL AND t_click > t_view, false)
+                AS s2_click,
+              COALESCE(t_view IS NOT NULL AND t_click > t_view
+                       AND t_buy > t_click, false) AS s3_purchase
+            FROM a
+        """,
+        "q131_retention_cohorts": """
+            WITH f AS (
+              SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE)
+                AS cohort_day
+              FROM events GROUP BY user_id),
+            j AS (
+              SELECT e.user_id, f.cohort_day,
+                date_diff('day', CAST(f.cohort_day AS DATE),
+                          CAST(date_trunc('day', e.ts) AS DATE))
+                  AS days_since
+              FROM events e JOIN f USING (user_id))
+            SELECT cohort_day, CAST(days_since AS INT) AS days_since,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+            FROM j GROUP BY cohort_day, days_since
         """,
         "q128_acl_visibility": """
             WITH d AS (
