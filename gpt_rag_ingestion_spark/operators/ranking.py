@@ -89,7 +89,9 @@ def distributed_row_number(
         offsets.append((pid, running))
         running += n
     spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, ["__pid", "__offset"])
+    # explicit schema: empty inputs yield an empty offset list, which
+    # createDataFrame cannot infer a schema from
+    off_df = spark.createDataFrame(offsets, "__pid int, __offset long")
     return (
         local.join(F.broadcast(off_df), "__pid")
         .withColumn(rank_col, (F.col("__local_rn") + F.col("__offset")).cast("long"))
@@ -162,7 +164,10 @@ def distributed_running_sum(
         offsets.append((key, running))
         running += t or 0
     spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, [key_col, "__offset"])
+    off_df = spark.createDataFrame(
+        [(int(k), int(o)) for k, o in offsets],
+        f"{key_col} long, __offset long",
+    )
     return (
         local.join(F.broadcast(off_df), key_col)
         .withColumn(sum_col, (F.col("__local_sum") + F.col("__offset")).cast("long"))

@@ -1105,3 +1105,112 @@ def test_training_corpus_job_epoch_weights(spark, tmp_path):
     assert "copy_idx" in got.columns
     assert got.select("_uid").distinct().count() == got.count()
     assert n_shards >= 2
+
+
+def test_round2_operators_on_empty_and_singleton_inputs(spark):
+    """Edge-case sweep for the round-2 families: empty / singleton
+    inputs neither crash nor fabricate rows."""
+    from pyspark.sql import functions as F
+
+    from gpt_rag_ingestion_spark.operators.dedup import incremental_dedup
+    from gpt_rag_ingestion_spark.operators.diff import snapshot_diff
+    from gpt_rag_ingestion_spark.operators.incremental import (
+        maintain_rollup,
+        scd2_intervals,
+    )
+    from gpt_rag_ingestion_spark.operators.linkage import fuzzy_join
+    from gpt_rag_ingestion_spark.operators.linkgraph import (
+        pagerank_quantized,
+        triangle_count,
+    )
+    from gpt_rag_ingestion_spark.operators.packing import token_blocks
+    from gpt_rag_ingestion_spark.operators.profiling import (
+        column_stats,
+        grouped_correlation,
+        grouped_mode,
+    )
+    from gpt_rag_ingestion_spark.operators.sampling import epoch_expand
+    from gpt_rag_ingestion_spark.operators.sketches import (
+        cms_join_size,
+        kmv_set_algebra,
+    )
+    from gpt_rag_ingestion_spark.operators.text_analysis import collocations
+    from gpt_rag_ingestion_spark.operators.vocab import (
+        build_vocab,
+        encode_with_vocab,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    one = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+
+    # incremental dedup: empty batch, empty base, both
+    assert incremental_dedup(one, empty).count() == 0
+    got = incremental_dedup(empty, one).collect()
+    assert [(r["decision"], r["dup_of"]) for r in got] == [("new", None)]
+    assert incremental_dedup(empty, empty).count() == 0
+
+    # epoch expansion over empty / weight 0
+    assert epoch_expand(empty, F.lit(20000)).count() == 0
+    assert epoch_expand(one, F.lit(0)).count() == 0
+
+    # rollup maintenance with all-empty deltas is the identity
+    old = one.groupBy("text").agg(F.count("*").alias("n_rows"))
+    kept = maintain_rollup(
+        old, empty.select(F.col("text")), empty.select(F.col("text")),
+        key="text", sum_cols=[],
+    )
+    assert kept.count() == 1
+
+    # SCD2 on empty / single change
+    ev_empty = spark.createDataFrame(
+        [], "k string, ts timestamp, v string"
+    )
+    assert scd2_intervals(ev_empty, "k", "ts", ["v"]).count() == 0
+
+    # snapshot diff: both empty, one side empty
+    assert snapshot_diff(empty, empty, key="doc_id").count() == 0
+    assert {
+        r["change"] for r in snapshot_diff(empty, one, key="doc_id").collect()
+    } == {"added"}
+
+    # graph ops on empty edge sets
+    nodes1 = spark.createDataFrame([(1,)], "id long")
+    e_empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank_quantized(nodes1, e_empty, iters=2).count() == 1
+    assert triangle_count(e_empty).collect()[0]["n_triangles"] == 0
+
+    # blockization: empty in, empty out
+    assert token_blocks(
+        spark.createDataFrame([], "doc_id long, n long"),
+        "n", [F.asc("doc_id")], 8,
+    ).count() == 0
+
+    # profiling family
+    assert column_stats(empty).count() == 2  # one row per column
+    assert grouped_correlation(
+        spark.createDataFrame([], "g string, x double, y double"),
+        "g", "x", "y",
+    ).count() == 0
+    assert grouped_mode(
+        spark.createDataFrame([], "g string, v string"), "g", "v"
+    ).count() == 0
+
+    # linkage / collocations / sketches
+    assert fuzzy_join(
+        empty.selectExpr("doc_id AS lk", "text AS name"),
+        one.selectExpr("doc_id AS rk", "text AS name"),
+        "lk", "rk",
+    ).count() == 0
+    assert collocations(empty, min_count=1, k=5).count() == 0
+    assert collocations(one, min_count=1, k=5).count() == 1
+    assert kmv_set_algebra(
+        spark.createDataFrame([], "g string, v long"), "g", "v"
+    ).count() == 0
+    row = cms_join_size(empty, one, "doc_id", "doc_id").collect()[0]
+    assert row["exact_rows"] == 0 and row["est_rows"] is None or row["est_rows"] == 0
+
+    # vocab: empty corpus -> empty vocab; encode over empty vocab = all OOV
+    v = build_vocab(empty)
+    assert v.count() == 0
+    enc = encode_with_vocab(one, v).collect()[0]
+    assert enc["n_oov"] == enc["n_tokens"] == 2
