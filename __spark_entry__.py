@@ -2434,6 +2434,65 @@ def q131_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q132_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust outlier detection: per-event-type median and MAD (median
+    absolute deviation) by exact nearest-rank over cent-quantized
+    values, flag |x − med| > 3·MAD — the robust-statistics cleaner that
+    survives the heavy tails winsorization (q126) only clips.  Two
+    window passes on the same key, everything integer."""
+    ev = _t(spark, sf, "events")
+    v = F.round(F.col("value") * 100).cast("long")
+    d = ev.select("event_id", "event_type", v.alias("v"))
+    w = Window.partitionBy("event_type").orderBy("v", "event_id")
+    cnt = Window.partitionBy("event_type")
+    r1 = d.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(cnt)
+    )
+    med = r1.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("v"))
+        ).alias("med")
+    )
+    dd = d.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("v") - F.col("med"))
+    )
+    w2 = Window.partitionBy("event_type").orderBy("ad", "event_id")
+    r2 = dd.withColumn("rn", F.row_number().over(w2)).withColumn(
+        "n", F.count(F.lit(1)).over(cnt)
+    )
+    mad = r2.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("ad"))
+        ).alias("mad")
+    )
+    out = dd.join(F.broadcast(mad), "event_type")
+    return out.select(
+        "event_id",
+        "event_type",
+        (F.col("ad") > 3 * F.col("mad")).alias("is_outlier"),
+    )
+
+
+def q133_strip_accents(spark: SparkSession, sf: str) -> DataFrame:
+    """Search/matching normalization: diacritic stripping via NFD +
+    combining-mark removal (Arrow-batched UDF; oracle: DuckDB
+    strip_accents) on synthesized accented text — the companion of NFC
+    canonicalization (q105) on the lossy side of the fold."""
+    from gpt_rag_ingestion_spark.functions.text import strip_accents_udf
+
+    docs = _t(spark, sf, "documents")
+    raw = F.concat(
+        F.substring("text", 1, 40), F.lit(" café naïve façade Zürich")
+    )
+    d = docs.select("doc_id", raw.alias("raw"))
+    stripped = strip_accents_udf(F.col("raw"))
+    return d.select(
+        "doc_id",
+        stripped.alias("stripped"),
+        (stripped == F.col("raw")).alias("unchanged"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2560,6 +2619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_join_size_sketch": q129_join_size_sketch,
         "q130_funnel": q130_funnel,
         "q131_retention_cohorts": q131_retention_cohorts,
+        "q132_mad_outliers": q132_mad_outliers,
+        "q133_strip_accents": q133_strip_accents,
     }
 
 
@@ -4625,6 +4686,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT cohort_day, CAST(days_since AS INT) AS days_since,
               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
             FROM j GROUP BY cohort_day, days_since
+        """,
+        "q132_mad_outliers": """
+            WITH d AS (
+              SELECT event_id, event_type,
+                CAST(round(value * 100) AS BIGINT) AS v
+              FROM events),
+            r1 AS (
+              SELECT *,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY v, event_id) AS rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM d),
+            med AS (
+              SELECT event_type,
+                max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS med
+              FROM r1 GROUP BY event_type),
+            dd AS (
+              SELECT d.event_id, d.event_type, abs(d.v - m.med) AS ad
+              FROM d JOIN med m USING (event_type)),
+            r2 AS (
+              SELECT *,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY ad, event_id) AS rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM dd),
+            mad AS (
+              SELECT event_type,
+                max(CASE WHEN rn = (n + 1) // 2 THEN ad END) AS mad
+              FROM r2 GROUP BY event_type)
+            SELECT dd.event_id, dd.event_type,
+              dd.ad > 3 * mad.mad AS is_outlier
+            FROM dd JOIN mad USING (event_type)
+        """,
+        "q133_strip_accents": """
+            WITH d AS (
+              SELECT doc_id,
+                substr(text, 1, 40)
+                  || ' caf' || chr(233) || ' na' || chr(239)
+                  || 've fa' || chr(231) || 'ade Z' || chr(252) || 'rich'
+                  AS raw
+              FROM documents)
+            SELECT doc_id, strip_accents(raw) AS stripped,
+              strip_accents(raw) = raw AS unchanged
+            FROM d
         """,
         "q128_acl_visibility": """
             WITH d AS (

@@ -106,3 +106,26 @@ def nfc_normalize_udf(text: pd.Series) -> pd.Series:
     return text.map(
         lambda s: None if s is None else unicodedata.normalize("NFC", s)
     )
+
+
+@pandas_udf(StringType())
+def strip_accents_udf(text: pd.Series) -> pd.Series:
+    """Diacritic stripping for search/matching keys: NFD-decompose,
+    drop combining marks, NFC-recompose the rest.  The LOSSY companion
+    of nfc_normalize_udf — 'café' and 'cafe' become the same matching
+    key (DuckDB's strip_accents is the oracle twin)."""
+    import unicodedata
+
+    def strip(s: str | None) -> str | None:
+        if s is None:
+            return None
+        return unicodedata.normalize(
+            "NFC",
+            "".join(
+                ch
+                for ch in unicodedata.normalize("NFD", s)
+                if not unicodedata.combining(ch)
+            ),
+        )
+
+    return text.map(strip)

@@ -504,3 +504,24 @@ def test_cms_join_size_overestimates_within_bound(spark):
     # CMS inner product never underestimates, collision overshoot bounded
     assert row["est_rows"] >= row["exact_rows"]
     assert row["est_rows"] < row["exact_rows"] * 3
+
+
+def test_strip_accents_udf(spark):
+    from gpt_rag_ingestion_spark.functions.text import strip_accents_udf
+
+    df = spark.createDataFrame(
+        [("café",), ("café",), ("Zürich",), ("plain",),
+         (None,)],
+        "s string",
+    )
+    got = {
+        r["s"]: r["n"]
+        for r in df.select(
+            "s", strip_accents_udf(F.col("s")).alias("n")
+        ).collect()
+    }
+    assert got["café"] == "cafe"       # precomposed
+    assert got["café"] == "cafe"      # decomposed
+    assert got["Zürich"] == "Zurich"
+    assert got["plain"] == "plain"
+    assert got[None] is None
