@@ -2493,6 +2493,54 @@ def q133_strip_accents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q134_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Share-of-total reporting (ratio_to_report): each nation's
+    revenue share within its region — integer-cent sums, window total
+    per region, share rounded to 6 — the BI percent-of-parent pattern
+    with exact arithmetic."""
+    nation = F.broadcast(_t(spark, sf, "nation"))
+    region = F.broadcast(_t(spark, sf, "region"))
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per_nation = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = Window.partitionBy("r_name")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        "cents",
+        F.round(
+            F.col("cents") / F.sum("cents").over(w), 6
+        ).alias("share"),
+    )
+
+
+def q135_cumulative_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cumulative distinct users per day — the first-occurrence
+    flag (min ts per user) + a running sum over the daily new-user
+    counts; never a distinct-inside-window, which engines either
+    reject or recompute per row."""
+    ev = _t(spark, sf, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("day")
+    )
+    daily_new = first_day.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily_new.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2621,6 +2669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_retention_cohorts": q131_retention_cohorts,
         "q132_mad_outliers": q132_mad_outliers,
         "q133_strip_accents": q133_strip_accents,
+        "q134_revenue_share": q134_revenue_share,
+        "q135_cumulative_distinct": q135_cumulative_distinct,
     }
 
 
@@ -4730,6 +4780,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, strip_accents(raw) AS stripped,
               strip_accents(raw) = raw AS unchanged
             FROM d
+        """,
+        "q134_revenue_share": """
+            WITH pn AS (
+              SELECT r.r_name, n.n_name,
+                CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+              FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              GROUP BY r.r_name, n.n_name)
+            SELECT r_name, n_name, cents,
+              round(CAST(cents AS DOUBLE)
+                / SUM(cents) OVER (PARTITION BY r_name), 6) AS share
+            FROM pn
+        """,
+        "q135_cumulative_distinct": """
+            WITH fd AS (
+              SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE)
+                AS day
+              FROM events GROUP BY user_id),
+            dn AS (
+              SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+              FROM fd GROUP BY day)
+            SELECT day, new_users,
+              CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+            FROM dn
         """,
         "q128_acl_visibility": """
             WITH d AS (
