@@ -2541,6 +2541,66 @@ def q135_cumulative_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q136_latest_per_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-latest record per key — the ETL compaction primitive
+    (dedupe a CDC feed to current state): struct-ordered max by
+    (ts, event_id) with NO window sort, one aggregation."""
+    ev = _t(spark, sf, "events")
+    packed = F.struct(
+        F.col("ts").alias("t"),
+        F.col("event_id").alias("e"),
+        F.col("event_type").alias("ty"),
+        F.col("value").alias("v"),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(F.max(packed).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.e").alias("last_event_id"),
+            F.col("m.ty").alias("last_type"),
+            F.col("m.t").alias("last_ts"),
+        )
+    )
+
+
+def q137_dwell_times(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-event dwell time per user: lag deltas in integer
+    microseconds, per-user count/mean (integer div) / max — the
+    engagement-telemetry report; one key-partitioned window + one
+    aggregation."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    gaps = ev.withColumn("gap_us", gap).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.expr("sum(gap_us) div count(1)").alias("mean_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+
+
+def q138_embedding_dim_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension embedding statistics (the normalization /
+    whitening input for the ANN family): posexplode to (dim, q-value)
+    with 1e3 quantization, exact integer sums -> mean and variance in
+    1e-6 units — mergeable across shards like every stats pass here."""
+    emb = _t(spark, sf, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("long"),
+    )
+    d = emb.select(F.posexplode(q).alias("dim", "v"))
+    return d.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(v) div count(1)").alias("mean_q"),
+        F.expr(
+            "(sum(v * v) - (sum(v) * sum(v)) div count(1)) div count(1)"
+        ).alias("var_q"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2671,6 +2731,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q133_strip_accents": q133_strip_accents,
         "q134_revenue_share": q134_revenue_share,
         "q135_cumulative_distinct": q135_cumulative_distinct,
+        "q136_latest_per_key": q136_latest_per_key,
+        "q137_dwell_times": q137_dwell_times,
+        "q138_embedding_dim_stats": q138_embedding_dim_stats,
     }
 
 
@@ -4809,6 +4872,41 @@ def oracle_sql() -> dict[str, str]:
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS BIGINT) AS cum_users
             FROM dn
+        """,
+        "q136_latest_per_key": """
+            SELECT user_id, event_id AS last_event_id,
+              event_type AS last_type, ts AS last_ts
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) t
+            WHERE rn = 1
+        """,
+        "q137_dwell_times": """
+            WITH g AS (
+              SELECT user_id,
+                epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+              FROM events)
+            SELECT user_id,
+              CAST(COUNT(*) AS BIGINT) AS n_gaps,
+              CAST(SUM(gap_us) // COUNT(*) AS BIGINT) AS mean_gap_us,
+              CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+            FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+        """,
+        "q138_embedding_dim_stats": """
+            WITH d AS (
+              SELECT CAST(s.i AS INT) AS dim,
+                CAST(round(CAST(e.embedding[s.i + 1] AS DOUBLE) * 1000)
+                  AS BIGINT) AS v
+              FROM embeddings e,
+                unnest(range(0, len(e.embedding))) AS s(i))
+            SELECT dim,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(v) // COUNT(*) AS BIGINT) AS mean_q,
+              CAST((SUM(v * v) - (SUM(v) * SUM(v)) // COUNT(*))
+                   // COUNT(*) AS BIGINT) AS var_q
+            FROM d GROUP BY dim
         """,
         "q128_acl_visibility": """
             WITH d AS (
