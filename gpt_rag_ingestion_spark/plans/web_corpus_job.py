@@ -1,0 +1,151 @@
+"""Web-corpus ingestion job — the round-2 flagship composition.
+
+The production loop for a crawl-fed training corpus: every batch of
+fetched pages must be (1) keyed by canonical URL and domain, (2)
+admitted through the domain blocklist / quality / per-domain-cap
+funnel, (3) deduplicated AGAINST THE EXISTING CORPUS (not just within
+the batch), and (4) landed both into the corpus table and into
+training shards — with an auditable disposition for every input row.
+
+Composition of existing operators, one job:
+
+    urls (functions/urls.py)          — canonical_url, url_domain
+      → admission funnel (q110 shape) — blocklist ⟕, quality gate,
+                                         deterministic per-domain cap
+      → incremental_dedup (dedup.py)  — digest + hashed-shingle
+                                         Jaccard vs the BASE corpus;
+                                         batch text never joins base
+                                         text, keys only
+      → admit 'new' rows              — merge_upsert into the corpus
+                                         (idempotent, partition-
+                                         prunable) + JSONL/parquet
+                                         training shards + manifest
+
+Costs O(batch) against corpus-side key sidecars — the batch is the
+small side of every join; the corpus is touched by digest/shingle-key
+aggregates only (see SCALE.md on incremental dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gpt_rag_ingestion_spark.functions.urls import canonical_url, url_domain
+from gpt_rag_ingestion_spark.operators.dedup import incremental_dedup
+from gpt_rag_ingestion_spark.operators.shards import write_training_shards
+from gpt_rag_ingestion_spark.operators.text_analysis import bpe_ish_token_count
+from gpt_rag_ingestion_spark.operators.upsert import merge_upsert
+
+
+def run_web_corpus_job(
+    spark: SparkSession,
+    batch: DataFrame,
+    corpus_path: str,
+    shards_dir: str,
+    blocked_domains: list[str] | None = None,
+    min_chars: int = 100,
+    cap_per_domain: int = 10_000,
+    near_dup_threshold: float = 0.5,
+    target_tokens_per_shard: int = 50_000,
+    shard_fmt: str = "parquet",
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """One batch through the web-corpus loop.  Returns the AUDIT
+    relation — (id, domain, disposition, dup_of) for every input row,
+    disposition ∈ {blocked_domain, low_quality, over_cap,
+    exact_dup_base, exact_dup_batch, near_dup_base, admitted}.
+    Side effects: admitted rows merged into ``corpus_path`` and
+    written as training shards under ``shards_dir``."""
+    d = batch.select(
+        F.col(id_col),
+        F.col(text_col),
+        canonical_url(F.col(url_col)).alias("canonical"),
+        url_domain(F.col(url_col)).alias("domain"),
+    )
+    if blocked_domains:
+        bl = spark.createDataFrame(
+            [(x,) for x in blocked_domains], "domain string"
+        ).withColumn("_b", F.lit(True))
+        d = d.join(F.broadcast(bl), on="domain", how="left")
+    else:
+        d = d.withColumn("_b", F.lit(None).cast("boolean"))
+    ok_domain = F.col("_b").isNull()
+    ok_quality = F.length(text_col) >= min_chars
+    w = Window.partitionBy("domain").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    surv = (
+        d.filter(ok_domain & ok_quality)
+        .withColumn("_rank", F.row_number().over(w))
+        .select(id_col, "_rank")
+    )
+    staged = d.join(surv, on=id_col, how="left")
+    funnel_disp = (
+        F.when(~ok_domain, F.lit("blocked_domain"))
+        .when(~ok_quality, F.lit("low_quality"))
+        .when(F.col("_rank") > cap_per_domain, F.lit("over_cap"))
+    )
+    staged = staged.withColumn("_fd", funnel_disp).cache()
+
+    candidates = staged.filter(F.col("_fd").isNull()).select(id_col, text_col)
+    try:
+        base = spark.read.parquet(corpus_path).select(id_col, text_col)
+        have_base = True
+    except Exception:
+        have_base = False
+        base = candidates.limit(0)
+    decisions = incremental_dedup(
+        base, candidates, text_col=text_col, id_col=id_col,
+        threshold=near_dup_threshold,
+    )
+
+    audit = (
+        staged.join(decisions, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            "domain",
+            F.coalesce(
+                F.col("_fd"),
+                F.when(F.col("decision") == "new", F.lit("admitted")).otherwise(
+                    F.col("decision")
+                ),
+            ).alias("disposition"),
+            "dup_of",
+        )
+    )
+    # materialize the audit BEFORE the merge mutates the base the
+    # dedup lineage reads — cluster-side (localCheckpoint), the batch
+    # never rides through the driver
+    audit = audit.localCheckpoint()
+
+    admitted_ids = audit.filter(F.col("disposition") == "admitted").select(
+        id_col
+    )
+    admitted = (
+        batch.join(F.broadcast(admitted_ids), on=id_col, how="left_semi")
+        .select(
+            F.col(id_col),
+            F.col(url_col),
+            F.col(text_col),
+            url_domain(F.col(url_col)).alias("domain"),
+            bpe_ish_token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        )
+    )
+    n_admitted = admitted.count()
+    if n_admitted > 0:
+        write_training_shards(
+            admitted,
+            shards_dir,
+            tokens_col="n_tokens",
+            order=[F.asc(id_col)],
+            target_tokens=target_tokens_per_shard,
+            id_col=id_col,
+            bucket_expr=(F.col(id_col) / 4096).cast("long"),
+            fmt=shard_fmt,
+        )
+        merge_upsert(spark, corpus_path, admitted, key=id_col)
+    staged.unpersist()
+    return audit

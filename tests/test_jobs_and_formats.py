@@ -337,3 +337,70 @@ def test_ingest_job_incremental_rollup_maintenance(spark, tmp_path):
         spark, _docs(spark, [("d2", "tiny text here", t2)]), table, "r4", **kw,
     )
     assert maintained() == recompute()
+
+
+def test_web_corpus_job_two_batches(spark, tmp_path):
+    """The web-corpus loop: batch 1 admits fresh pages (minus the
+    blocklist/quality/dup gates); batch 2 is mostly repeats of batch 1
+    and must be rejected AGAINST THE CORPUS, not just within itself."""
+    from gpt_rag_ingestion_spark.plans.web_corpus_job import (
+        run_web_corpus_job,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    shards1 = str(tmp_path / "s1")
+    shards2 = str(tmp_path / "s2")
+
+    def url(i, dom):
+        return f"https://www.{dom}/page/{i}?utm_source=crawl"
+
+    b1 = spark.createDataFrame(
+        [
+            (1, url(1, "good.org"), "unique page text one " * 20),
+            (2, url(2, "good.org"), "unique page text two " * 20),
+            (3, url(3, "spam.biz"), "spam spam spam " * 30),      # blocked
+            (4, url(4, "good.org"), "tiny"),                       # low quality
+            (5, url(5, "other.net"), "unique page text one " * 20),  # dup of 1 in batch
+        ],
+        "doc_id long, url string, text string",
+    )
+    a1 = {
+        r["doc_id"]: (r["disposition"], r["dup_of"])
+        for r in run_web_corpus_job(
+            spark, b1, corpus, shards1, blocked_domains=["spam.biz"],
+            min_chars=50,
+        ).collect()
+    }
+    assert a1[1] == ("admitted", None)
+    assert a1[2] == ("admitted", None)
+    assert a1[3] == ("blocked_domain", None)
+    assert a1[4] == ("low_quality", None)
+    assert a1[5] == ("exact_dup_batch", 1)
+    tbl = spark.read.parquet(corpus)
+    assert sorted(r["doc_id"] for r in tbl.collect()) == [1, 2]
+
+    # batch 2: exact repeat of 1, near-dup of 2, and one new page
+    b2 = spark.createDataFrame(
+        [
+            (11, url(11, "good.org"), "unique page text one " * 20),
+            (12, url(12, "good.org"),
+             "unique page text two " * 19 + "unique page text tw0 "),
+            (13, url(13, "fresh.io"), "entirely new material here " * 15),
+        ],
+        "doc_id long, url string, text string",
+    )
+    a2 = {
+        r["doc_id"]: (r["disposition"], r["dup_of"])
+        for r in run_web_corpus_job(
+            spark, b2, corpus, shards2, blocked_domains=["spam.biz"],
+            min_chars=50,
+        ).collect()
+    }
+    assert a2[11] == ("exact_dup_base", 1)
+    assert a2[12] == ("near_dup_base", 2)
+    assert a2[13] == ("admitted", None)
+    tbl2 = spark.read.parquet(corpus)
+    assert sorted(r["doc_id"] for r in tbl2.collect()) == [1, 2, 13]
+    # shards from batch 2 hold ONLY the admitted doc
+    s2 = spark.read.parquet(shards2)
+    assert [r["doc_id"] for r in s2.collect()] == [13]
