@@ -2601,6 +2601,44 @@ def q138_embedding_dim_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q139_media_fingerprint_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal dedup: banded Hamming search over 48-bit MEDIA
+    fingerprints (perceptual-hash stand-ins synthesized so every
+    group of 4 media ids shares a base hash with 0/1/2/8 flipped
+    bits) — the image/audio twin of q95, same pigeonhole-complete
+    plan via hamming_pairs_from_fingerprints.  d ≤ 3 keeps the
+    0/1/2-bit variants and rejects the 8-bit one."""
+    from gpt_rag_ingestion_spark.operators.dedup import (
+        hamming_pairs_from_fingerprints,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    with_base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.conv(
+            F.substring(
+                F.md5((F.col("doc_id") / 4).cast("long").cast("string")), 1, 12
+            ),
+            16, 10,
+        ).cast("long").alias("base"),
+    )
+    media = with_base.selectExpr(
+        "media_id",
+        """CASE media_id % 4
+             WHEN 0 THEN base
+             WHEN 1 THEN base ^ (shiftleft(CAST(1 AS BIGINT),
+                                 CAST(media_id % 37 AS INT)))
+             WHEN 2 THEN base ^ (shiftleft(CAST(1 AS BIGINT),
+                                 CAST(media_id % 29 AS INT)))
+                              ^ (shiftleft(CAST(1 AS BIGINT),
+                                 CAST((media_id + 13) % 41 AS INT)))
+             ELSE base ^ CAST(255 AS BIGINT) END AS fp""",
+    )
+    return hamming_pairs_from_fingerprints(
+        media, "fp", "media_id", bits=48, bands=6, max_distance=3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2734,6 +2772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_latest_per_key": q136_latest_per_key,
         "q137_dwell_times": q137_dwell_times,
         "q138_embedding_dim_stats": q138_embedding_dim_stats,
+        "q139_media_fingerprint_neardup": q139_media_fingerprint_neardup,
     }
 
 
@@ -4907,6 +4946,36 @@ def oracle_sql() -> dict[str, str]:
               CAST((SUM(v * v) - (SUM(v) * SUM(v)) // COUNT(*))
                    // COUNT(*) AS BIGINT) AS var_q
             FROM d GROUP BY dim
+        """,
+        "q139_media_fingerprint_neardup": """
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                CAST('0x' || substr(md5(CAST(doc_id // 4 AS VARCHAR)),
+                     1, 12) AS BIGINT) AS base
+              FROM documents),
+            fp AS (
+              SELECT media_id,
+                CASE media_id % 4
+                  WHEN 0 THEN base
+                  WHEN 1 THEN xor(base,
+                    CAST(1 AS BIGINT) << CAST(media_id % 37 AS INT))
+                  WHEN 2 THEN xor(xor(base,
+                      CAST(1 AS BIGINT) << CAST(media_id % 29 AS INT)),
+                    CAST(1 AS BIGINT) << CAST((media_id + 13) % 41 AS INT))
+                  ELSE xor(base, 255) END AS fp
+              FROM m),
+            bands AS (
+              SELECT media_id, fp, s.b AS b,
+                (fp >> (CAST(s.b AS INT) * 8)) & 255 AS bv
+              FROM fp, unnest(range(0, 6)) AS s(b)),
+            cand AS (
+              SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                a.fp AS fa, b.fp AS fb
+              FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+                AND a.media_id < b.media_id)
+            SELECT id_a, id_b,
+              CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+            FROM cand WHERE bit_count(xor(fa, fb)) <= 3
         """,
         "q128_acl_visibility": """
             WITH d AS (

@@ -713,13 +713,32 @@ def hamming_neardup_pairs(
     Scale: the only shuffles are the band join on (band, band-bits) —
     compact integer keys — and the candidate dedup; nothing quadratic
     unless a band value is degenerate-hot (salt or widen bands then)."""
+    sims = simhash(df, text_col, id_col, bits=bits)
+    return hamming_pairs_from_fingerprints(
+        sims, "simhash", id_col, bits=bits, bands=bands,
+        max_distance=max_distance,
+    )
+
+
+def hamming_pairs_from_fingerprints(
+    df: DataFrame,
+    fp_col: str,
+    id_col: str = "doc_id",
+    bits: int = 16,
+    bands: int = 4,
+    max_distance: int = 3,
+) -> DataFrame:
+    """The banded Hamming search over an ARBITRARY integer fingerprint
+    column — text SimHash (``hamming_neardup_pairs``), image/audio
+    perceptual hashes, codec-level content hashes: any ``bits``-wide
+    signal rides the same pigeonhole-complete plan."""
     if max_distance >= bands:
         raise ValueError("pigeonhole completeness needs max_distance < bands")
     if bits % bands != 0:
         raise ValueError("bits must divide evenly into bands")
     width = bits // bands
     mask = (1 << width) - 1
-    sims = simhash(df, text_col, id_col, bits=bits)
+    sims = df.select(F.col(id_col), F.col(fp_col).alias("simhash"))
     banded = sims.select(
         F.col(id_col),
         F.col("simhash"),
