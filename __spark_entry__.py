@@ -2639,6 +2639,30 @@ def q139_media_fingerprint_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q140_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew #3 — the salted JOIN as an oracle-backed query (q62 proved
+    the salted AGG): events (5 hot event_type keys) joined to a small
+    dimension through (key, salt) so each hot key spreads over 8
+    reducers; the oracle IS the plain unsalted join, so hash equality
+    proves semantics preservation."""
+    from gpt_rag_ingestion_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf, "events")
+    dim = spark.createDataFrame(
+        [
+            ("view", 1), ("click", 3), ("purchase", 10),
+            ("signup", 5), ("error", 0),
+        ],
+        "event_type string, weight int",
+    )
+    out = salted_join(
+        ev.select("event_id", "event_type", "user_id"), dim, "event_type"
+    )
+    return out.select(
+        "event_id", "event_type", "user_id", "weight"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2773,6 +2797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_dwell_times": q137_dwell_times,
         "q138_embedding_dim_stats": q138_embedding_dim_stats,
         "q139_media_fingerprint_neardup": q139_media_fingerprint_neardup,
+        "q140_salted_join": q140_salted_join,
     }
 
 
@@ -4976,6 +5001,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b,
               CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
             FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+        """,
+        "q140_salted_join": """
+            WITH dim AS (
+              SELECT * FROM (VALUES
+                ('view', 1), ('click', 3), ('purchase', 10),
+                ('signup', 5), ('error', 0)) AS t(event_type, weight))
+            SELECT e.event_id, e.event_type, e.user_id,
+              CAST(d.weight AS INT) AS weight
+            FROM events e JOIN dim d USING (event_type)
         """,
         "q128_acl_visibility": """
             WITH d AS (
