@@ -125,6 +125,30 @@ PLAN_PROPERTIES = {
     # pivot with an explicit value list: one aggregation pass, no
     # value-discovery job in the plan
     "q119_event_pivot": (["HashAggregate"], []),
+    # collocations: top-k via per-partition heaps; unigram joins
+    # broadcast
+    "q120_collocations": (
+        ["TakeOrderedAndProject", "BroadcastHashJoin"],
+        [],
+    ),
+    # fuzzy linkage: candidates from the blocking equi-join — the
+    # all-pairs nested loop must never appear
+    "q125_fuzzy_linkage": (["Join"], ["NestedLoop", "CartesianProduct"]),
+    # revenue share: dimension joins broadcast, share window rides the
+    # region partitioning
+    "q134_revenue_share": (["BroadcastHashJoin", "Window"], []),
+    # latest-per-key: ONE aggregation (struct max — SortAggregate,
+    # since struct ordering is not hash-aggregable), no row_number
+    # window over the whole table
+    "q136_latest_per_key": (["SortAggregate"], ["Window"]),
+    # media fingerprints: banded equi-join only
+    "q139_media_fingerprint_neardup": (
+        ["Join"],
+        ["NestedLoop", "CartesianProduct"],
+    ),
+    # salted join: the (key, salt) hash join — no broadcast needed to
+    # fix skew, and certainly no nested loop
+    "q140_salted_join": (["Join"], ["NestedLoop", "CartesianProduct"]),
 }
 
 
