@@ -77,7 +77,7 @@ def main() -> None:
     materialize(entry_mod._t(spark, sf_dir, "lineitem").limit(1000))
 
     timings: dict[str, float] = {}
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     for name in headline:
         best = None
         for _ in range(repeats):

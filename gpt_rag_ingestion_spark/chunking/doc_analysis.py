@@ -27,9 +27,7 @@ import re
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
-    ArrayType,
     IntegerType,
     LongType,
     StringType,
@@ -140,19 +138,6 @@ def chunk_analyzed_markdown(
     return out
 
 
-_PAGE_CHUNK_STRUCT = ArrayType(
-    StructType(
-        [
-            StructField("chunk_id", IntegerType()),
-            StructField("content", StringType()),
-            StructField("page", IntegerType()),
-            StructField("offset", LongType()),
-            StructField("length", IntegerType()),
-        ]
-    )
-)
-
-
 def chunk_analyzed_documents(
     docs: DataFrame,
     md_col: str = "markdown",
@@ -167,6 +152,8 @@ def chunk_analyzed_documents(
     ``start_page_col`` supplies a per-row first-page number (the giant-
     document part path)."""
 
+    import numpy as np
+
     from gpt_rag_ingestion_spark.session import ensure_importable
 
     ensure_importable(docs)
@@ -176,47 +163,65 @@ def chunk_analyzed_documents(
         if docs.rdd.getNumPartitions() < min(target, 8):
             docs = docs.repartition(target)
 
-    if start_page_col is None:
+    # One mapInPandas stage with COLUMNAR output: the per-document
+    # sequential semantics (marker numbering, page attribution) stay in
+    # the Python kernel, but chunk rows leave Python as flat pandas
+    # columns instead of ARRAY<STRUCT> + explode — the struct-building
+    # Arrow crossing costs ~4x the chunking itself.
+    keep = [c for c in docs.columns if c != md_col]
+    by_name = {f.name: f for f in docs.schema.fields}
+    out_schema = StructType(
+        [by_name[c] for c in keep]
+        + [
+            StructField("chunk_id", IntegerType()),
+            StructField("content", StringType()),
+            StructField("page", IntegerType()),
+            StructField("offset", LongType()),
+            StructField("length", IntegerType()),
+        ]
+    )
 
-        @pandas_udf(_PAGE_CHUNK_STRUCT)
-        def _chunk(mds: pd.Series) -> pd.Series:
-            return mds.map(
-                lambda s: chunk_analyzed_markdown(
-                    s or "", max_tokens=max_tokens, overlap=overlap,
-                    min_tokens=min_tokens,
-                )
-            )
-
-        chunks_col = _chunk(F.col(md_col))
-    else:
-
-        @pandas_udf(_PAGE_CHUNK_STRUCT)
-        def _chunk_sp(mds: pd.Series, sps: pd.Series) -> pd.Series:
-            return pd.Series(
-                [
+    def gen(batches):
+        for pdf in batches:
+            if start_page_col is None:
+                per_doc = [
+                    chunk_analyzed_markdown(
+                        s or "", max_tokens=max_tokens, overlap=overlap,
+                        min_tokens=min_tokens,
+                    )
+                    for s in pdf[md_col]
+                ]
+            else:
+                per_doc = [
                     chunk_analyzed_markdown(
                         s or "", max_tokens=max_tokens, overlap=overlap,
                         min_tokens=min_tokens,
                         start_page=int(sp) if sp is not None else 1,
                     )
-                    for s, sp in zip(mds, sps)
+                    for s, sp in zip(pdf[md_col], pdf[start_page_col])
                 ]
+            counts = [len(r) for r in per_doc]
+            flat = [c for r in per_doc for c in r]
+            idx = np.repeat(np.arange(len(pdf)), counts)
+            out = {}
+            for c in keep:
+                out[c] = pdf[c].iloc[idx].reset_index(drop=True)
+            out["chunk_id"] = np.fromiter(
+                (c["chunk_id"] for c in flat), dtype=np.int32, count=len(flat)
             )
+            out["content"] = pd.Series([c["content"] for c in flat], dtype=object)
+            out["page"] = np.fromiter(
+                (c["page"] for c in flat), dtype=np.int32, count=len(flat)
+            )
+            out["offset"] = np.fromiter(
+                (c["offset"] for c in flat), dtype=np.int64, count=len(flat)
+            )
+            out["length"] = np.fromiter(
+                (c["length"] for c in flat), dtype=np.int32, count=len(flat)
+            )
+            yield pd.DataFrame(out)
 
-        chunks_col = _chunk_sp(F.col(md_col), F.col(start_page_col))
-
-    return (
-        docs.withColumn("_chunks", chunks_col)
-        .withColumn("_c", F.explode("_chunks"))
-        .select(
-            *[c for c in docs.columns if c != md_col],
-            F.col("_c.chunk_id").alias("chunk_id"),
-            F.col("_c.content").alias("content"),
-            F.col("_c.page").alias("page"),
-            F.col("_c.offset").alias("offset"),
-            F.col("_c.length").alias("length"),
-        )
-    )
+    return docs.mapInPandas(gen, schema=out_schema)
 
 
 def split_document_parts(

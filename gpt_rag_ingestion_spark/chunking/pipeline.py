@@ -6,17 +6,19 @@ chunking/chunkers/base_chunker.py:154-234).  Here the whole corpus is
 one DataFrame plan:
 
     documents
-      -> applyInPandas-free chunk UDF (ARRAY<STRUCT> + explode)
-      -> deterministic ids (F1-F3)
-      -> byte-safe truncation (F6)
-      -> embedding enricher (U1, pandas UDF)
+      -> ONE mapInPandas stage: split (C4) + byte-safe truncation (F6)
+         + deterministic embedding (U1), columnar in and out
+      -> deterministic ids (F1-F3) as JVM column expressions
       -> CHUNK_SCHEMA rows
 
 Scale notes (100 TB):
-- the chunk UDF is an Arrow-batched pandas UDF returning
-  ARRAY<STRUCT>; explode happens JVM-side.  No shuffle anywhere in the
-  pipeline — it is a narrow map from scan to sink, so it scales
-  linearly with executors.
+- the whole Python section is a single Arrow-batched mapInPandas
+  kernel emitting FLAT pandas columns (np.repeat for per-document
+  metadata).  The earlier ARRAY<STRUCT>+explode shape paid a per-chunk
+  Python-dict->Arrow-struct conversion worth ~4x the split itself and
+  a second Python stage for embedding — both gone.  No shuffle
+  anywhere in the pipeline — a narrow map from scan to sink, linear
+  with executors.
 - documents are processed where they are read (no repartition unless
   the source has pathological file sizing); embedding concurrency is
   the task count.
@@ -31,6 +33,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -45,7 +48,7 @@ from gpt_rag_ingestion_spark.chunking.splitter import (
     split_text_recursive,
 )
 from gpt_rag_ingestion_spark.functions.keys import chunk_key, sanitize_key
-from gpt_rag_ingestion_spark.embeddings import hash_embedding_udf
+from gpt_rag_ingestion_spark.embeddings import embed_batch_np, hash_embedding_udf
 
 _CHUNK_STRUCT = ArrayType(
     StructType(
@@ -58,18 +61,17 @@ _CHUNK_STRUCT = ArrayType(
     )
 )
 
-
 def make_chunk_udf(
     max_tokens: int = CHUNK_NUM_TOKENS,
     overlap: int = TOKEN_OVERLAP,
     min_tokens: int = MIN_CHUNK_SIZE,
     separators: list | None = None,
 ):
-    """Split + byte-safe truncation fused into ONE pandas UDF — the
-    32,766-byte cap (F6) is part of the chunk contract, and fusing it
-    here saves a whole JVM<->Python Arrow round-trip per corpus pass.
-    ``separators`` selects a format-specific set (markdown headers,
-    python defs — splitter.separators_for_extension)."""
+    """Split + byte-safe truncation fused into ONE pandas UDF returning
+    ARRAY<STRUCT> (32,766-byte cap, F6).  Used by chunkers that need
+    the chunk array as a COLUMN (e.g. transcription: per-doc summary
+    joins back onto each chunk); the corpus hot path uses the columnar
+    mapInPandas kernel below instead."""
     from gpt_rag_ingestion_spark.functions.text import MAX_CONTENT_BYTES
     from gpt_rag_ingestion_spark.session import ship_active
 
@@ -177,7 +179,6 @@ def chunk_documents(
         target = docs.sparkSession.sparkContext.defaultParallelism
         if docs.rdd.getNumPartitions() < min(target, 8):
             docs = docs.repartition(target)
-    embed = hash_embedding_udf(embedding_dim)
 
     carry = list(carry_cols or [])
     if source_col:
@@ -189,26 +190,126 @@ def chunk_documents(
         )
         chunks_expr = F.col("_tc.chunks")
         carry = carry + [timing_col]
-    else:
-        chunk_udf = make_chunk_udf(max_tokens, overlap, min_tokens, separators)
-        chunks_expr = chunk_udf(F.col(text_col))
-    parent = sanitize_key(F.col(doc_key_col).cast("string"))
-    out = (
-        docs.withColumn("_chunks", chunks_expr)
-        .select(
-            parent.alias("parent_id"),
-            *[F.col(c) for c in carry],
-            F.explode("_chunks").alias("_c"),
+        parent = sanitize_key(F.col(doc_key_col).cast("string"))
+        embed = hash_embedding_udf(embedding_dim)
+        return (
+            docs.withColumn("_chunks", chunks_expr)
+            .select(
+                parent.alias("parent_id"),
+                *[F.col(c) for c in carry],
+                F.explode("_chunks").alias("_c"),
+            )
+            .select(
+                "parent_id",
+                *carry,
+                F.col("_c.chunk_id").alias("chunk_id"),
+                F.col("_c.offset").alias("offset"),
+                F.col("_c.length").alias("length"),
+                F.col("_c.content").alias("content"),
+            )
+            .withColumn("id", chunk_key(F.col("parent_id"), F.col("chunk_id")))
+            .withColumn("contentVector", embed(F.col("content")))
         )
-        .select(
-            "parent_id",
+    # Fast path: split + truncate + embed in ONE mapInPandas stage with
+    # COLUMNAR output.  The ARRAY<STRUCT> + explode shape pays a
+    # per-chunk Python-dict -> Arrow-struct conversion that costs ~4x
+    # the split itself; emitting flat pandas columns (np.repeat for the
+    # per-document carry values) keeps the Arrow crossing vectorized,
+    # and the deterministic keys stay JVM-side column expressions.
+    chunks = _chunk_embed_map_in_pandas(
+        docs, text_col, doc_key_col, carry,
+        max_tokens, overlap, min_tokens, separators, embedding_dim,
+    )
+    return (
+        chunks.select(
+            sanitize_key(F.col(doc_key_col).cast("string")).alias("parent_id"),
             *carry,
-            F.col("_c.chunk_id").alias("chunk_id"),
-            F.col("_c.offset").alias("offset"),
-            F.col("_c.length").alias("length"),
-            F.col("_c.content").alias("content"),
+            "chunk_id",
+            "offset",
+            "length",
+            "content",
+            "contentVector",
         )
         .withColumn("id", chunk_key(F.col("parent_id"), F.col("chunk_id")))
-        .withColumn("contentVector", embed(F.col("content")))
+        .select(
+            "parent_id", *carry, "chunk_id", "offset", "length", "content",
+            "id", "contentVector",
+        )
     )
-    return out
+
+
+def _chunk_embed_map_in_pandas(
+    docs: DataFrame,
+    text_col: str,
+    doc_key_col: str,
+    carry: list,
+    max_tokens: int,
+    overlap: int,
+    min_tokens: int,
+    separators,
+    embedding_dim: int,
+):
+    """mapInPandas chunk+embed kernel: one Python stage, columnar in and
+    out.  Output rows = one per chunk, carrying the document key and
+    ``carry`` columns (np.repeat), plus chunk_id/offset/length/content/
+    contentVector."""
+    import numpy as np
+
+    from gpt_rag_ingestion_spark.functions.text import MAX_CONTENT_BYTES
+    from gpt_rag_ingestion_spark.session import ship_active
+
+    ship_active()
+
+    passthrough = [doc_key_col] + [c for c in carry]
+    # prune the Arrow input to what the kernel reads
+    docs = docs.select(*dict.fromkeys(passthrough + [text_col]))
+    by_name = {f.name: f for f in docs.schema.fields}
+    out_schema = StructType(
+        [by_name[c] for c in passthrough]
+        + [
+            StructField("chunk_id", IntegerType()),
+            StructField("offset", LongType()),
+            StructField("length", IntegerType()),
+            StructField("content", StringType()),
+            StructField("contentVector", ArrayType(FloatType())),
+        ]
+    )
+
+    def _split_one(s: str) -> list[dict]:
+        chunks = split_text_recursive(
+            s or "", max_tokens=max_tokens, overlap_tokens=overlap,
+            min_tokens=min_tokens, separators=separators,
+        )
+        for c in chunks:
+            b = c["content"].encode("utf-8")
+            if len(b) > MAX_CONTENT_BYTES:
+                c["content"] = b[:MAX_CONTENT_BYTES].decode("utf-8", "ignore")
+                c["length"] = len(c["content"])
+        return chunks
+
+    def gen(batches):
+        for pdf in batches:
+            per_doc = [_split_one(s) for s in pdf[text_col]]
+            counts = [len(r) for r in per_doc]
+            flat = [c for r in per_doc for c in r]
+            idx = np.repeat(np.arange(len(pdf)), counts)
+            out = {}
+            for c in passthrough:
+                out[c] = pdf[c].iloc[idx].reset_index(drop=True)
+            out["chunk_id"] = np.fromiter(
+                (c["chunk_id"] for c in flat), dtype=np.int32, count=len(flat)
+            )
+            out["offset"] = np.fromiter(
+                (c["offset"] for c in flat), dtype=np.int64, count=len(flat)
+            )
+            out["length"] = np.fromiter(
+                (c["length"] for c in flat), dtype=np.int32, count=len(flat)
+            )
+            contents = [c["content"] for c in flat]
+            out["content"] = pd.Series(contents, dtype=object)
+            out["contentVector"] = pd.Series(
+                embed_batch_np(contents, embedding_dim), dtype=object
+            )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(gen, schema=out_schema)

@@ -52,40 +52,45 @@ def embed_text_deterministic(text: str, dim: int) -> list[float]:
     return out.astype(np.float32).tolist()
 
 
-def hash_embedding_udf(dim: int = 64):
-    """Deterministic embedding provider as a pandas UDF.
+def embed_batch_np(texts, dim: int) -> list:
+    """Vectorized batch form of ``embed_text_deterministic`` — the
+    sha256 keystream is the only per-row Python work; the word→float
+    mapping, normalization, and float32 cast run as ONE numpy pass over
+    the whole batch, bit-identical to the scalar function row by row
+    (same little-endian word order, same arithmetic).  Returns a list
+    of float32 numpy vectors (Arrow-serializable as ARRAY<FLOAT>)."""
+    n = len(texts)
+    if n == 0:
+        return []
+    nblocks = (dim + 7) // 8
+    counters = [struct.pack("<I", c) for c in range(nblocks)]
+    buf = b"".join(
+        hashlib.sha256(seed + c).digest()
+        for t in texts
+        for seed in (
+            hashlib.sha256(("" if t is None else str(t)).encode("utf-8")).digest(),
+        )
+        for c in counters
+    )
+    words = np.frombuffer(buf, dtype="<u4").reshape(n, nblocks * 8)[:, :dim]
+    out = words.astype(np.float64) / 2147483648.0 - 1.0
+    norms = np.linalg.norm(out, axis=1)
+    np.divide(out, norms[:, None], out=out, where=norms[:, None] > 0)
+    return list(out.astype(np.float32))
 
-    Batch-vectorized: the sha256 keystream is the only per-row Python
-    work; the word→float mapping, normalization, and float32 cast run
-    as ONE numpy pass over the whole Arrow batch — bit-identical to
-    ``embed_text_deterministic`` row by row (same words, same
-    arithmetic), ~an order of magnitude less per-row overhead."""
+
+def hash_embedding_udf(dim: int = 64):
+    """Deterministic embedding provider as a pandas UDF (batch-
+    vectorized via ``embed_batch_np``)."""
     from gpt_rag_ingestion_spark.session import ship_active
 
     ship_active()
 
-    nblocks = (dim + 7) // 8
-    counters = [struct.pack("<I", c) for c in range(nblocks)]
-
     @pandas_udf(ArrayType(FloatType()))
     def _embed(texts: pd.Series) -> pd.Series:
-        vals = texts.fillna("").to_numpy()
-        if len(vals) == 0:
-            return pd.Series([], dtype=object)
-        buf = b"".join(
-            hashlib.sha256(seed + c).digest()
-            for t in vals
-            for seed in (hashlib.sha256(str(t).encode("utf-8")).digest(),)
-            for c in counters
+        return pd.Series(
+            embed_batch_np(texts.fillna("").to_numpy(), dim), dtype=object
         )
-        words = np.frombuffer(buf, dtype="<u4").reshape(len(vals), nblocks * 8)[
-            :, :dim
-        ]
-        out = words.astype(np.float64) / 2147483648.0 - 1.0
-        norms = np.linalg.norm(out, axis=1)
-        np.divide(out, norms[:, None], out=out, where=norms[:, None] > 0)
-        out32 = out.astype(np.float32)
-        return pd.Series(list(out32))
 
     return _embed
 
