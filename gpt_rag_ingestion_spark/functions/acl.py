@@ -28,3 +28,30 @@ def parse_acl_ids(col: Column | str, cap: int = ACL_MAX_IDS) -> Column:
         lambda x: x != "",
     )
     return F.slice(F.array_distinct(cleaned), 1, cap)
+
+
+# roles that grant read visibility (reference tools/sharepoint.py:469)
+READ_ROLES = ("read", "write")
+
+
+def read_access_entities(perms: Column | str, cap: int = ACL_MAX_IDS) -> Column:
+    """Drive-item permissions → ordered-distinct reader ids (reference
+    tools/sharepoint.py:464-476 ``_get_read_access_entities``): keep
+    grants whose ``roles`` include read or write, take their user ids
+    in grant order, dedup preserving first occurrence, cap like every
+    other ACL list (A7).
+
+    ``perms`` is an ``ARRAY<STRUCT<roles: ARRAY<STRING>,
+    user_ids: ARRAY<STRING>>>`` column (the Graph response's
+    ``grantedToIdentitiesV2`` flattened to ids).  Pure column algebra —
+    filter + flatten + array_distinct, no Python."""
+    c = F.col(perms) if isinstance(perms, str) else perms
+    readable = F.filter(
+        c,
+        lambda p: F.arrays_overlap(
+            p["roles"], F.array(*[F.lit(r) for r in READ_ROLES])
+        ),
+    )
+    ids = F.flatten(F.transform(readable, lambda p: p["user_ids"]))
+    cleaned = F.filter(ids, lambda x: x.isNotNull() & (x != ""))
+    return F.slice(F.array_distinct(cleaned), 1, cap)

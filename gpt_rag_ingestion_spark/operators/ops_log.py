@@ -69,6 +69,40 @@ def apply_blocklist(
     )
 
 
+def unblock_files(
+    attempts: DataFrame,
+    keys: DataFrame,
+    file_col: str = "file_key",
+    status_col: str = "status",
+) -> DataFrame:
+    """Admin unblock (reference api/admin.py:364-383 resets
+    ``blocked``/attempt counters in the file's log blob).  Relationally
+    — where blocked == 'consecutive failures since last success' (see
+    ``blocked_files``) — unblocking a file means forgetting its failed
+    attempts to date: append one synthetic ``unblocked`` success marker
+    per key, timestamped at the file's latest attempt, so the
+    consecutive-failure count restarts at 0 while history stays
+    append-only (no row mutation, merge-friendly at any scale).
+    Returns the attempts table with markers appended; re-running
+    ``blocked_files`` on it no longer reports the unblocked keys."""
+    latest = (
+        attempts.join(F.broadcast(keys.select(file_col)), on=file_col, how="left_semi")
+        .groupBy(file_col)
+        .agg(F.max("attempt_ts").alias("attempt_ts"))
+    )
+    markers = latest.select(
+        file_col,
+        F.lit("success").alias(status_col),
+        "attempt_ts",
+        *[
+            F.lit(None).cast(attempts.schema[c].dataType).alias(c)
+            for c in attempts.columns
+            if c not in (file_col, status_col, "attempt_ts")
+        ],
+    ).select(*attempts.columns)
+    return attempts.unionByName(markers)
+
+
 def run_summary(results: DataFrame, run_col: str = "run_id") -> DataFrame:
     """A2: per-run counters (reference :267-338) as one aggregation over
     per-file result rows with a ``status`` column."""

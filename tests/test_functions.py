@@ -89,3 +89,24 @@ def test_parse_acl_cap_32(spark):
     out = _one(spark, parse_acl_ids("x"), many)
     assert len(out) == 32
     assert out[0] == "id0"
+
+
+def test_read_access_entities(spark):
+    from gpt_rag_ingestion_spark.functions.acl import read_access_entities
+
+    rows = [
+        (
+            [
+                {"roles": ["read"], "user_ids": ["u1", "u2"]},
+                {"roles": ["owner"], "user_ids": ["u9"]},  # dropped: no read/write
+                {"roles": ["write", "other"], "user_ids": ["u2", "u3", None]},
+            ],
+        )
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "perms: array<struct<roles: array<string>, user_ids: array<string>>>",
+    )
+    out = df.select(read_access_entities("perms").alias("r")).first()["r"]
+    # grant order preserved, dedup keeps first occurrence, nulls dropped
+    assert out == ["u1", "u2", "u3"]

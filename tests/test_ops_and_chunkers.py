@@ -82,6 +82,27 @@ def test_apply_blocklist(spark):
     assert out == {"f2", "f9"}
 
 
+def test_unblock_files(spark):
+    from gpt_rag_ingestion_spark.operators.ops_log import unblock_files
+
+    attempts = _attempts(spark)
+    keys = spark.createDataFrame([("f1",)], ["file_key"])
+    after = unblock_files(attempts, keys)
+    # f1 no longer blocked; one marker row appended, history untouched
+    assert blocked_files(after).count() == 0
+    assert after.count() == attempts.count() + 1
+    # a fresh failure after the unblock starts counting from 1
+    new_fail = spark.createDataFrame(
+        [("f1", _ts("2024-01-01T03:00:00"), "failed")],
+        ["file_key", "attempt_ts", "status"],
+    )
+    again = after.unionByName(new_fail)
+    assert blocked_files(again).count() == 0
+    assert (
+        blocked_files(again, max_attempts=1).filter("file_key = 'f1'").count() == 1
+    )
+
+
 def test_run_summary_counters(spark):
     rows = [
         ("r1", "success", 5),
