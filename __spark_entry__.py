@@ -2663,6 +2663,23 @@ def q140_salted_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q141_dedup_planner(spark: SparkSession, sf: str) -> DataFrame:
+    """Cost-based physical-strategy choice for near-dup dedup (SURVEY.md
+    §7's "strategy choosing brute-force vs LSH join"): the exact second
+    moment of the shingle frequency distribution — Σ c*(c-1)/2 = the
+    row count the exact pair join would materialize — plus the
+    deterministic exact-vs-LSH decision derived from it.  One shuffle
+    on 8-byte shingle hashes, strictly cheaper than the join it
+    predicts; the decision predicate is plain arithmetic, so the
+    PLANNER ITSELF is oracle-checked."""
+    from gpt_rag_ingestion_spark.operators.dedup import choose_dedup_strategy
+
+    docs = _t(spark, sf, "documents")
+    return choose_dedup_strategy(
+        docs, "text", "doc_id", n=3, pairs_per_doc_budget=64
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2798,6 +2815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_embedding_dim_stats": q138_embedding_dim_stats,
         "q139_media_fingerprint_neardup": q139_media_fingerprint_neardup,
         "q140_salted_join": q140_salted_join,
+        "q141_dedup_planner": q141_dedup_planner,
     }
 
 
@@ -5010,6 +5028,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.event_type, e.user_id,
               CAST(d.weight AS INT) AS weight
             FROM events e JOIN dim d USING (event_type)
+        """,
+        "q141_dedup_planner": f"""
+            WITH sh AS ({_SHINGLES}),
+            freq AS (
+              SELECT shingle, CAST(COUNT(*) AS BIGINT) AS c
+              FROM sh GROUP BY shingle),
+            syn AS (
+              SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_shingles,
+                CAST(COUNT(*) AS BIGINT) AS distinct_shingles,
+                CAST(COALESCE(SUM(c * (c - 1)), 0) // 2 AS BIGINT) AS est_pairs,
+                CAST(COALESCE(MAX(c), 0) AS BIGINT) AS hot_shingle_count
+              FROM freq),
+            nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+            SELECT n_docs, n_shingles, distinct_shingles, est_pairs,
+              hot_shingle_count,
+              CASE WHEN est_pairs <= n_docs * 64 THEN 'exact_pair_join'
+                   ELSE 'lsh_candidates' END AS strategy
+            FROM nd, syn
         """,
         "q128_acl_visibility": """
             WITH d AS (

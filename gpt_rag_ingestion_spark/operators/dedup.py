@@ -879,3 +879,115 @@ def incremental_dedup(
         decision.alias("decision"),
         dup_of.alias("dup_of"),
     )
+
+
+def shingle_join_synopsis(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """One-row synopsis of the shingle self-join's cost — the input to
+    ``choose_dedup_strategy`` (SURVEY.md §7's "strategy choosing
+    brute-force vs LSH join for dedup" made concrete).
+
+    The exact n-gram Jaccard path (``ngram_jaccard_pairs``) materializes
+    Σ_s C(df_s, 2) joined rows — the SECOND MOMENT of the shingle
+    frequency distribution, which one groupBy computes exactly:
+
+        est_pairs = Σ over shingles of c*(c-1)/2
+
+    Columns: n_docs, n_shingles (doc,shingle incidences), distinct
+    shingles, est_pairs, and hot_shingle_count (max single-shingle
+    frequency — the skew indicator: one viral boilerplate shingle of
+    frequency f alone contributes f(f-1)/2 pairs).
+
+    Scale design (100 TB): the synopsis is ONE shuffle on 8-byte
+    ``xxhash64(shingle)`` keys, the same key the join itself would use —
+    strictly cheaper than the join it predicts.  ``sample_mod=k`` keeps
+    only shingles with hash % k == 0 (a 1/k universe sample — sampling
+    the shingle UNIVERSE, not rows, so each sampled shingle's frequency
+    is exact) and scales est_pairs/counts back up by k: the estimator
+    stays unbiased while the shuffle shrinks k-fold."""
+    sh = word_shingles(df, text_col, id_col, n).select(
+        F.col(id_col), F.xxhash64("shingle").alias("h")
+    )
+    scale = 1 if not sample_mod else sample_mod
+    if sample_mod:
+        sh = sh.filter(F.pmod(F.col("h"), F.lit(sample_mod)) == 0)
+    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    syn = freq.agg(
+        (F.coalesce(F.sum("c"), F.lit(0)) * scale).alias("n_shingles"),
+        (F.count(F.lit(1)) * scale).alias("distinct_shingles"),
+        # sum c*(c-1) is even; shiftright keeps the arithmetic integer
+        # (a float division would lose exactness past 2^53 pairs)
+        (
+            F.shiftright(
+                F.coalesce(F.sum(F.col("c") * (F.col("c") - 1)), F.lit(0)), 1
+            )
+            * scale
+        ).alias("est_pairs"),
+        F.coalesce(F.max("c"), F.lit(0)).alias("hot_shingle_count"),
+    )
+    return n_docs.crossJoin(syn)
+
+
+def choose_dedup_strategy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    pairs_per_doc_budget: int = 64,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """Cost-based physical-strategy choice for near-dup detection: adds
+    ``strategy`` ('exact_pair_join' | 'lsh_candidates') to the synopsis.
+
+    Rule: the exact hashed-shingle self-join is the better plan while
+    its joined-row count stays O(corpus) — est_pairs <= budget * n_docs
+    — because it skips the signature pass and verifies for free.  Past
+    that (boilerplate-heavy corpora, viral shingles) the join output
+    explodes quadratically and MinHash+LSH banding (signature pass +
+    band shuffle, output bounded by collision design) wins.  The
+    decision is a deterministic arithmetic predicate over the synopsis,
+    so the planner itself is oracle-checkable."""
+    syn = shingle_join_synopsis(df, text_col, id_col, n, sample_mod)
+    return syn.withColumn(
+        "strategy",
+        F.when(
+            F.col("est_pairs") <= F.col("n_docs") * F.lit(pairs_per_doc_budget),
+            F.lit("exact_pair_join"),
+        ).otherwise(F.lit("lsh_candidates")),
+    )
+
+
+def neardup_pairs_auto(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    pairs_per_doc_budget: int = 64,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Route to the chosen strategy: exact pair join under the budget,
+    else LSH candidates verified by the exact Jaccard on the candidate
+    set (both legs end in identical (id_a, id_b, ..., jaccard) rows, so
+    callers are strategy-agnostic).  The one-row synopsis is the only
+    driver-side materialization — deciding a physical plan from a
+    bounded statistic is the same move Spark's AQE makes with runtime
+    stats."""
+    decision = choose_dedup_strategy(
+        df, text_col, id_col, n, pairs_per_doc_budget
+    ).first()
+    if decision["strategy"] == "exact_pair_join":
+        return ngram_jaccard_pairs(df, text_col, id_col, n, threshold)
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, n, num_hashes=num_hashes, bands=bands
+    )
+    return ngram_jaccard_pairs(
+        df, text_col, id_col, n, threshold, candidates=cands
+    )

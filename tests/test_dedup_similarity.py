@@ -530,3 +530,58 @@ def test_ivfpq_matches_ivf_recall_at_same_probes(spark):
     # probing more cells strictly buys recall (the IVF tradeoff knob)
     r_more = recall(ivfpq_ann(emb, emb, k=k, n_cells=16, n_probe=8).collect())
     assert r_more > r_ivfpq
+
+
+# ------------------------------------------------- cost-based planner
+
+def test_dedup_planner_synopsis_exact(spark):
+    from gpt_rag_ingestion_spark.operators.dedup import (
+        choose_dedup_strategy,
+        shingle_join_synopsis,
+    )
+
+    docs = _docs(spark)
+    syn = shingle_join_synopsis(docs).first()
+    # docs 1,2 identical (11 shingles each, deduped per doc), doc 3
+    # shares most of them; second moment counts every co-occurrence
+    assert syn["n_docs"] == 4
+    assert syn["distinct_shingles"] < syn["n_shingles"]
+    # pairs >= the 11 shingles docs 1/2 share
+    assert syn["est_pairs"] >= 11
+    assert syn["hot_shingle_count"] == 3  # shingles present in docs 1,2,3
+
+    small = choose_dedup_strategy(docs).first()
+    assert small["strategy"] == "exact_pair_join"
+    # a boilerplate-heavy corpus (everyone shares the same text) blows
+    # the per-doc pair budget -> LSH
+    boiler = spark.createDataFrame(
+        [(i, "shared boilerplate header words repeated forever") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    assert choose_dedup_strategy(boiler).first()["strategy"] == "lsh_candidates"
+
+
+def test_neardup_auto_routes_both_ways(spark):
+    from gpt_rag_ingestion_spark.operators.dedup import neardup_pairs_auto
+
+    docs = _docs(spark)
+    # exact route: equal to the plain exact pair join
+    auto = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in neardup_pairs_auto(docs, threshold=0.3).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert auto == exact
+    # LSH route still verifies with the exact Jaccard on candidates,
+    # so identical docs keep jaccard 1.0
+    boiler = spark.createDataFrame(
+        [(i, "shared boilerplate header words repeated forever") for i in range(12)],
+        ["doc_id", "text"],
+    )
+    routed = neardup_pairs_auto(boiler, threshold=0.9, pairs_per_doc_budget=1)
+    rows = routed.collect()
+    assert len(rows) == 12 * 11 // 2  # identical docs: all pairs survive
+    assert all(r["jaccard"] == 1.0 for r in rows)
