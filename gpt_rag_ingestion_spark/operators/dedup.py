@@ -50,9 +50,12 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     """(id, shingle) distinct word n-grams.
 
     Built as a narrow array transform (sequence over the token array +
-    concat of adjacent slots) — no join, no shuffle until the final
-    distinct; stays entirely in whole-stage codegen.  Equivalent to the
-    relational positional-self-join formulation used by the SQL oracle
+    concat of adjacent slots) with a PER-ROW ``array_distinct`` before
+    the explode — a document's shingles all live in its own array, so
+    deduping them is local and the whole operator is shuffle-free
+    (an ``explode().distinct()`` formulation would shuffle every
+    shingle STRING once per corpus pass).  Equivalent to the relational
+    positional-self-join formulation used by the SQL oracle
     (with ``\\s+`` splitting, empty tokens can only appear at position 0,
     so filtering them never creates mid-sequence gaps)."""
     # materialize the token array once — referencing the split expression
@@ -72,9 +75,8 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        with_toks.select(F.col(id_col), F.explode(shingles).alias("shingle"))
-        .distinct()
+    return with_toks.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 
 
@@ -117,8 +119,14 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(cand_docs, on=id_col, how="left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # pin the self-join to SHUFFLED HASH on the 8-byte key: the shingle
+    # stream is corpus-sized, so Catalyst's file-size estimate (tiny for
+    # a narrow explode over small parquet) must never tempt it into
+    # broadcasting a side that is O(corpus) at 100 TB; shuffled hash
+    # also skips the sort a merge join would pay on a high-cardinality
+    # integer key.
+    a = sh.hint("shuffle_hash").alias("a")
+    b = sh.hint("shuffle_hash").alias("b")
     inter = (
         a.join(b, on="shingle")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -233,14 +241,36 @@ def minhash_lsh_candidates(
     band_rows = sig.select(
         F.col(id_col), F.explode(band_structs).alias("bb")
     ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
-    a = band_rows.alias("a")
-    b2 = band_rows.alias("b")
-    return (
-        a.join(b2, on=["band", "band_hash"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    # Pair generation as ONE groupBy + bucket-local expansion instead of
+    # a self-join: a join would either broadcast an O(corpus) side
+    # (wrong at scale) or shuffle band_rows twice and recompute the
+    # signature aggregation per side (self-join exchanges don't always
+    # canonicalize to one).  Here the signature pass runs exactly once,
+    # the only corpus shuffle is the bucket groupBy, and the i<j pair
+    # set of each bucket unfolds JVM-side from the sorted member array
+    # — quadratic only within a bucket, which LSH banding bounds by
+    # design (a degenerate all-identical corpus is quadratic in ANY
+    # pairwise formulation, including the join it replaces).
+    buckets = (
+        band_rows.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
+    ids = F.col("_ids")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ids) - 1),
+            lambda i: F.transform(
+                F.slice(ids, i + 1, F.size(ids) - i),
+                lambda x: F.struct(
+                    F.element_at(ids, i).alias("id_a"), x.alias("id_b")
+                ),
+            ),
         )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -756,12 +786,15 @@ def hamming_pairs_from_fingerprints(
             )
         ).alias("band"),
     ).select(id_col, "simhash", "band.b", "band.bv")
+    # shuffled-hash both sides: O(corpus) stream, never broadcast; the
+    # identical shuffles collapse to one via ReuseExchange, so the
+    # upstream fingerprint computation runs once, not per join side
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "b", "bv"
-    )
+    ).hint("shuffle_hash")
     b_side = banded.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "b", "bv"
-    )
+    ).hint("shuffle_hash")
     cand = (
         a.join(b_side, on=["b", "bv"])
         .filter(F.col("id_a") < F.col("id_b"))
