@@ -937,3 +937,168 @@ def ivfpq_ann(
         .select("query_id", "corpus_id")
     )
     return exact_rerank(corpus, queries, shortlist, k, id_col, vec_col)
+
+
+# ------------------------------------------------------------------ IVF index
+# Persisted IVF lifecycle: build once, append batches WITHOUT refitting,
+# query with partition-pruned cell reads, monitor assignment drift.
+# Every other ANN entry point in this module refits per call — fine for
+# a one-shot query, wrong for a living 100 TB corpus where the index
+# outlives any single job.
+
+
+def ivf_index_build(
+    corpus: DataFrame,
+    index_path: str,
+    n_centroids: int = 16,
+    kmeans_iters: int = 5,
+    fit_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build a persisted IVF index: centroids (parquet, one row per
+    centroid) + postings laid out as ``postings/cell=N/`` parquet
+    partitions.  The cell-partitioned layout is the point at scale —
+    a probe of p cells out of C reads p/C of the data via partition
+    PRUNING, no index-wide scan, no shuffle at query time beyond the
+    cogroup.  Returns build stats (also persisted to ``stats``; the
+    batch's mean top-1 centroid similarity is the drift baseline)."""
+    spark = corpus.sparkSession
+    C = fit_spherical_centroids(
+        corpus, n_centroids, kmeans_iters, fit_sample, id_col, vec_col
+    )
+    cent_rows = [
+        (int(j), [float(x) for x in C[j]]) for j in range(len(C))
+    ]
+    spark.createDataFrame(
+        cent_rows, "centroid_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    n = _ivf_append(corpus, index_path, C, "build", id_col, vec_col)
+    return n
+
+
+def _ivf_load_centroids(spark, index_path: str):
+    rows = (
+        spark.read.parquet(f"{index_path}/centroids")
+        .orderBy("centroid_id")
+        .collect()
+    )
+    return np.vstack([np.asarray(r["centroid"], dtype="float64") for r in rows])
+
+
+def _ivf_append(vectors, index_path, C, batch_label, id_col, vec_col) -> dict:
+    spark = vectors.sparkSession
+    b_c = spark.sparkContext.broadcast(C)
+
+    @pandas_udf("cell long, sim double")
+    def assign_udf(vecs: pd.Series) -> pd.DataFrame:
+        cm = b_c.value
+        V = np.vstack(vecs.to_numpy()).astype("float64")
+        V = V / np.maximum(np.linalg.norm(V, axis=1)[:, None], 1e-12)
+        S = V @ cm.T
+        cell = S.argmax(axis=1)
+        return pd.DataFrame(
+            {"cell": cell, "sim": S[np.arange(len(V)), cell]}
+        )
+
+    assigned = vectors.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cv"),
+        assign_udf(F.col(vec_col)).alias("_a"),
+    ).select("corpus_id", "cv", F.col("_a.cell").alias("cell"), F.col("_a.sim").alias("sim"))
+    assigned.select("corpus_id", "cv", "cell").write.partitionBy("cell").mode(
+        "append"
+    ).parquet(f"{index_path}/postings")
+    stats = assigned.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.avg("sim").alias("mean_assign_sim"),
+    ).first()
+    row = {
+        "batch": batch_label,
+        "n_vectors": int(stats["n_vectors"]),
+        "mean_assign_sim": float(stats["mean_assign_sim"]),
+    }
+    spark.createDataFrame(
+        [tuple(row.values())], "batch string, n_vectors long, mean_assign_sim double"
+    ).coalesce(1).write.mode("append").parquet(f"{index_path}/stats")
+    return row
+
+
+def ivf_index_append(
+    vectors: DataFrame,
+    index_path: str,
+    batch_label: str = "append",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental maintenance: assign a new batch to the EXISTING
+    centroids and append its cell partitions — O(batch), never O(index),
+    no refit, readers unaffected (parquet append into cell dirs).
+    The returned/persisted ``mean_assign_sim`` tracks drift: when fresh
+    batches assign markedly worse than the build baseline, the data has
+    moved and the index wants a rebuild (``ivf_needs_refit``)."""
+    from gpt_rag_ingestion_spark.session import ensure_importable
+
+    ensure_importable(vectors)
+    C = _ivf_load_centroids(vectors.sparkSession, index_path)
+    return _ivf_append(vectors, index_path, C, batch_label, id_col, vec_col)
+
+
+def ivf_index_query(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    n_probe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the persisted index: probe the n_probe nearest cells per
+    query and push ``cell IN (probed)`` into the postings scan — with
+    the cell-partitioned layout that is directory-level partition
+    pruning, so a 2-of-16 probe reads ~1/8th of the postings.  Exact
+    cosine + global top-k inside the probed cells (same cogrouped tail
+    as ivf_ann)."""
+    from gpt_rag_ingestion_spark.session import ensure_importable
+
+    ensure_importable(queries)
+    C = _ivf_load_centroids(spark, index_path)
+    b_c = spark.sparkContext.broadcast(C)
+    n_probe_eff = min(n_probe, len(C))
+
+    @pandas_udf("array<long>")
+    def probe_udf(vecs: pd.Series) -> pd.Series:
+        cm = b_c.value
+        V = np.vstack(vecs.to_numpy()).astype("float64")
+        V = V / np.maximum(np.linalg.norm(V, axis=1)[:, None], 1e-12)
+        S = V @ cm.T
+        top = np.argsort(-S, axis=1)[:, :n_probe_eff]
+        return pd.Series(list(top))
+
+    qd = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probe_udf(F.col(vec_col))).alias("cell"),
+    )
+    probed = [
+        int(r["cell"]) for r in qd.select("cell").distinct().collect()
+    ]
+    postings = (
+        spark.read.parquet(f"{index_path}/postings")
+        .filter(F.col("cell").isin(probed))
+        .withColumn("cell", F.col("cell").cast("long"))
+    )
+    return _cogrouped_topk(postings, qd, "cell", k)
+
+
+def ivf_needs_refit(spark, index_path: str, tolerance: float = 0.05) -> bool:
+    """Refit signal: some appended batch's mean assignment similarity
+    fell more than ``tolerance`` below the build baseline (the
+    conservative min over appends — parquet row order isn't load
+    order)."""
+    stats = spark.read.parquet(f"{index_path}/stats").collect()
+    base = next(r for r in stats if r["batch"] == "build")["mean_assign_sim"]
+    appended = [r["mean_assign_sim"] for r in stats if r["batch"] != "build"]
+    if not appended:
+        return False
+    return min(appended) < base - tolerance

@@ -585,3 +585,55 @@ def test_neardup_auto_routes_both_ways(spark):
     rows = routed.collect()
     assert len(rows) == 12 * 11 // 2  # identical docs: all pairs survive
     assert all(r["jaccard"] == 1.0 for r in rows)
+
+
+# ------------------------------------------------- persisted IVF index
+
+def test_ivf_index_lifecycle(spark, tmp_path):
+    from gpt_rag_ingestion_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_query,
+        ivf_needs_refit,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    built = ivf_index_build(emb, idx, n_centroids=8)
+    assert built["n_vectors"] == emb.count()
+
+    # the persisted index answers exactly like the refit-per-call
+    # operator with the same deterministic centroid fit
+    from gpt_rag_ingestion_spark.operators.similarity import ivf_ann
+
+    q = emb.limit(20)
+    res = {
+        (r["query_id"], r["corpus_id"], r["rank"])
+        for r in ivf_index_query(spark, idx, q, n_probe=2, k=5).collect()
+    }
+    direct = {
+        (r["query_id"], r["corpus_id"], r["rank"])
+        for r in ivf_ann(emb, q, dim=64, n_centroids=8, n_probe=2, k=5).collect()
+    }
+    assert res == direct
+
+    # cell-partitioned layout exists on disk (the pruning surface)
+    files = set()
+    for f in spark.read.parquet(f"{idx}/postings").inputFiles():
+        files.add(f.split("cell=")[1].split("/")[0])
+    assert len(files) == 8
+
+    # append WITHOUT refit: re-inserting the same vectors under new ids
+    # makes each twin the top-1 hit of its original (cosine ~1, the
+    # self-pair mask only blocks identical ids)
+    shifted = emb.limit(10).selectExpr(
+        "vec_id + 1000000 as vec_id", "embedding"
+    )
+    stats = ivf_index_append(shifted, idx, batch_label="b1")
+    assert stats["n_vectors"] == 10
+    res2 = ivf_index_query(spark, idx, shifted, n_probe=2, k=1)
+    top = {r["query_id"]: r["corpus_id"] for r in res2.filter("rank = 1").collect()}
+    assert all(top[i] == i - 1000000 for i in top)
+
+    # same-distribution appends don't trigger the refit signal
+    assert ivf_needs_refit(spark, idx, tolerance=0.05) is False
