@@ -275,3 +275,52 @@ def enrich_stream_with_dimension(
     if select_cols:
         out = out.select(*select_cols)
     return out
+
+
+def run_incremental_ivf(
+    spark: SparkSession,
+    landing_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    schema: str = "vec_id LONG, embedding ARRAY<FLOAT>",
+    n_centroids: int = 16,
+) -> None:
+    """Streaming maintenance of the persisted IVF index
+    (operators/similarity.ivf_index_build/append): the first non-empty
+    micro-batch BUILDS the index (centroid fit + cell-partitioned
+    postings), every later batch APPENDS against the existing centroids
+    — O(batch) work, plain parquet appends into cell directories, no
+    refit, readers (`ivf_index_query`) never blocked.
+
+    This is the ANN face of the same pattern as the sketch maintainer:
+    the corpus stream is consumed once, queries run against the
+    maintained structure, and each append's recorded assignment
+    similarity feeds the `ivf_needs_refit` drift signal — a living
+    index for a corpus that never stops growing.  AvailableNow drains
+    with exactly-once batch tracking via the checkpoint."""
+    import os
+
+    from gpt_rag_ingestion_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+    )
+
+    stream = spark.readStream.schema(schema).format("json").load(landing_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not os.path.exists(os.path.join(index_path, "centroids")):
+            ivf_index_build(batch_df, index_path, n_centroids=n_centroids)
+        else:
+            ivf_index_append(
+                batch_df, index_path, batch_label=f"batch-{batch_id}"
+            )
+
+    (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

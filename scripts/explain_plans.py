@@ -149,6 +149,18 @@ PLAN_PROPERTIES = {
     # salted join: the (key, salt) hash join — no broadcast needed to
     # fix skew, and certainly no nested loop
     "q140_salted_join": (["Join"], ["NestedLoop", "CartesianProduct"]),
+    # dedup planner: the synopsis is aggregation-only — the pair join
+    # it predicts must never appear in its own plan
+    "q141_dedup_planner": (["HashAggregate"], ["SortMergeJoin", "ShuffledHashJoin"]),
+    # exact Jaccard: the self-join is PINNED to shuffled-hash — a
+    # broadcast here means an O(corpus) side got broadcast
+    "q16_ngram_jaccard": (["ShuffledHashJoin"], []),
+    # LSH banding: pair generation is a groupBy + bucket-local unfold —
+    # the plan must contain NO join at all
+    "q18_minhash_lsh": (
+        ["HashAggregate", "Generate"],
+        ["SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin", "NestedLoop"],
+    ),
 }
 
 

@@ -350,3 +350,34 @@ def test_streaming_ingest_maintains_rollup(spark, tmp_path):
     drain()
     assert maintained() == recompute()
     assert len(maintained()) == 4
+
+
+def test_incremental_ivf_stream_maintains_index(spark, tmp_path):
+    """Two AvailableNow drains: the first builds the persisted IVF
+    index, the second appends against the existing centroids; queries
+    against the maintained index find the appended twins."""
+    from gpt_rag_ingestion_spark.operators.similarity import ivf_index_query
+    from gpt_rag_ingestion_spark.streaming.micro_batch import run_incremental_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    idx = str(tmp_path / "ivf")
+    ckpt = str(tmp_path / "ckpt")
+
+    emb.limit(100).coalesce(1).write.mode("overwrite").json(str(landing / "b0"))
+    run_incremental_ivf(spark, str(landing) + "/*", idx, ckpt, n_centroids=4)
+    assert spark.read.parquet(f"{idx}/postings").count() == 100
+
+    twins = emb.limit(10).selectExpr("vec_id + 5000 AS vec_id", "embedding")
+    twins.coalesce(1).write.mode("overwrite").json(str(landing / "b1"))
+    run_incremental_ivf(spark, str(landing) + "/*", idx, ckpt, n_centroids=4)
+    assert spark.read.parquet(f"{idx}/postings").count() == 110
+
+    res = ivf_index_query(spark, idx, twins, n_probe=2, k=1)
+    top = {r["query_id"]: r["corpus_id"] for r in res.filter("rank = 1").collect()}
+    assert all(top[i] == i - 5000 for i in top)
+    batches = {
+        r["batch"] for r in spark.read.parquet(f"{idx}/stats").collect()
+    }
+    assert "build" in batches and any(b.startswith("batch-") for b in batches)
