@@ -182,6 +182,8 @@ def chunk_analyzed_documents(
     )
 
     def gen(batches):
+        from gpt_rag_ingestion_spark.chunking.pipeline import flatten_doc_lists
+
         for pdf in batches:
             if start_page_col is None:
                 per_doc = [
@@ -200,24 +202,17 @@ def chunk_analyzed_documents(
                     )
                     for s, sp in zip(pdf[md_col], pdf[start_page_col])
                 ]
-            counts = [len(r) for r in per_doc]
-            flat = [c for r in per_doc for c in r]
-            idx = np.repeat(np.arange(len(pdf)), counts)
-            out = {}
-            for c in keep:
-                out[c] = pdf[c].iloc[idx].reset_index(drop=True)
-            out["chunk_id"] = np.fromiter(
-                (c["chunk_id"] for c in flat), dtype=np.int32, count=len(flat)
-            )
-            out["content"] = pd.Series([c["content"] for c in flat], dtype=object)
-            out["page"] = np.fromiter(
-                (c["page"] for c in flat), dtype=np.int32, count=len(flat)
-            )
-            out["offset"] = np.fromiter(
-                (c["offset"] for c in flat), dtype=np.int64, count=len(flat)
-            )
-            out["length"] = np.fromiter(
-                (c["length"] for c in flat), dtype=np.int32, count=len(flat)
+            out, _ = flatten_doc_lists(
+                pdf,
+                keep,
+                per_doc,
+                [
+                    ("chunk_id", np.int32),
+                    ("content", None),
+                    ("page", np.int32),
+                    ("offset", np.int64),
+                    ("length", np.int32),
+                ],
             )
             yield pd.DataFrame(out)
 

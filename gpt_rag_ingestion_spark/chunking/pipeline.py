@@ -61,21 +61,17 @@ _CHUNK_STRUCT = ArrayType(
     )
 )
 
-def make_chunk_udf(
-    max_tokens: int = CHUNK_NUM_TOKENS,
-    overlap: int = TOKEN_OVERLAP,
-    min_tokens: int = MIN_CHUNK_SIZE,
+
+def make_split_one(
+    max_tokens: int,
+    overlap: int,
+    min_tokens: int,
     separators: list | None = None,
 ):
-    """Split + byte-safe truncation fused into ONE pandas UDF returning
-    ARRAY<STRUCT> (32,766-byte cap, F6).  Used by chunkers that need
-    the chunk array as a COLUMN (e.g. transcription: per-doc summary
-    joins back onto each chunk); the corpus hot path uses the columnar
-    mapInPandas kernel below instead."""
+    """The ONE implementation of split + 32,766-byte truncation (F6)
+    shared by every chunk kernel in this module — the byte-cap contract
+    must not fork between the ARRAY<STRUCT> and columnar paths."""
     from gpt_rag_ingestion_spark.functions.text import MAX_CONTENT_BYTES
-    from gpt_rag_ingestion_spark.session import ship_active
-
-    ship_active()
 
     def _split_one(s: str) -> list[dict]:
         chunks = split_text_recursive(
@@ -88,6 +84,51 @@ def make_chunk_udf(
                 c["content"] = b[:MAX_CONTENT_BYTES].decode("utf-8", "ignore")
                 c["length"] = len(c["content"])
         return chunks
+
+    return _split_one
+
+
+def flatten_doc_lists(pdf, keep_cols, per_doc, fields):
+    """Columnar explode-in-pandas: one output row per item of
+    ``per_doc`` (a list of per-document dict lists), with the
+    document-level ``keep_cols`` repeated via np.repeat and each
+    ``fields`` entry ``(name, numpy dtype | None)`` pulled from the
+    item dicts (None = object/string column).  Shared by the chunk
+    kernels here and in doc_analysis so the flattening pattern has one
+    implementation.  Returns (column dict, flat item list)."""
+    import numpy as np
+
+    counts = [len(r) for r in per_doc]
+    flat = [c for r in per_doc for c in r]
+    idx = np.repeat(np.arange(len(pdf)), counts)
+    out = {}
+    for c in keep_cols:
+        out[c] = pdf[c].iloc[idx].reset_index(drop=True)
+    for name, dt in fields:
+        if dt is None:
+            out[name] = pd.Series([c[name] for c in flat], dtype=object)
+        else:
+            out[name] = np.fromiter(
+                (c[name] for c in flat), dtype=dt, count=len(flat)
+            )
+    return out, flat
+
+def make_chunk_udf(
+    max_tokens: int = CHUNK_NUM_TOKENS,
+    overlap: int = TOKEN_OVERLAP,
+    min_tokens: int = MIN_CHUNK_SIZE,
+    separators: list | None = None,
+):
+    """Split + byte-safe truncation fused into ONE pandas UDF returning
+    ARRAY<STRUCT> (32,766-byte cap, F6).  Used by chunkers that need
+    the chunk array as a COLUMN (e.g. transcription: per-doc summary
+    joins back onto each chunk); the corpus hot path uses the columnar
+    mapInPandas kernel below instead."""
+    from gpt_rag_ingestion_spark.session import ship_active
+
+    ship_active()
+
+    _split_one = make_split_one(max_tokens, overlap, min_tokens, separators)
 
     @pandas_udf(_CHUNK_STRUCT)
     def _chunk(texts: pd.Series) -> pd.Series:
@@ -109,22 +150,11 @@ def make_timed_chunk_udf(
     per-document number even though the stage is fused)."""
     import time
 
-    from gpt_rag_ingestion_spark.functions.text import MAX_CONTENT_BYTES
     from gpt_rag_ingestion_spark.session import ship_active
 
     ship_active()
 
-    def _split_one(s: str) -> list[dict]:
-        chunks = split_text_recursive(
-            s or "", max_tokens=max_tokens, overlap_tokens=overlap,
-            min_tokens=min_tokens, separators=separators,
-        )
-        for c in chunks:
-            b = c["content"].encode("utf-8")
-            if len(b) > MAX_CONTENT_BYTES:
-                c["content"] = b[:MAX_CONTENT_BYTES].decode("utf-8", "ignore")
-                c["length"] = len(c["content"])
-        return chunks
+    _split_one = make_split_one(max_tokens, overlap, min_tokens, separators)
 
     timed_struct = StructType(
         [
@@ -255,7 +285,6 @@ def _chunk_embed_map_in_pandas(
     contentVector."""
     import numpy as np
 
-    from gpt_rag_ingestion_spark.functions.text import MAX_CONTENT_BYTES
     from gpt_rag_ingestion_spark.session import ship_active
 
     ship_active()
@@ -274,41 +303,25 @@ def _chunk_embed_map_in_pandas(
             StructField("contentVector", ArrayType(FloatType())),
         ]
     )
-
-    def _split_one(s: str) -> list[dict]:
-        chunks = split_text_recursive(
-            s or "", max_tokens=max_tokens, overlap_tokens=overlap,
-            min_tokens=min_tokens, separators=separators,
-        )
-        for c in chunks:
-            b = c["content"].encode("utf-8")
-            if len(b) > MAX_CONTENT_BYTES:
-                c["content"] = b[:MAX_CONTENT_BYTES].decode("utf-8", "ignore")
-                c["length"] = len(c["content"])
-        return chunks
+    _split_one = make_split_one(max_tokens, overlap, min_tokens, separators)
 
     def gen(batches):
         for pdf in batches:
             per_doc = [_split_one(s) for s in pdf[text_col]]
-            counts = [len(r) for r in per_doc]
-            flat = [c for r in per_doc for c in r]
-            idx = np.repeat(np.arange(len(pdf)), counts)
-            out = {}
-            for c in passthrough:
-                out[c] = pdf[c].iloc[idx].reset_index(drop=True)
-            out["chunk_id"] = np.fromiter(
-                (c["chunk_id"] for c in flat), dtype=np.int32, count=len(flat)
+            out, flat = flatten_doc_lists(
+                pdf,
+                passthrough,
+                per_doc,
+                [
+                    ("chunk_id", np.int32),
+                    ("offset", np.int64),
+                    ("length", np.int32),
+                    ("content", None),
+                ],
             )
-            out["offset"] = np.fromiter(
-                (c["offset"] for c in flat), dtype=np.int64, count=len(flat)
-            )
-            out["length"] = np.fromiter(
-                (c["length"] for c in flat), dtype=np.int32, count=len(flat)
-            )
-            contents = [c["content"] for c in flat]
-            out["content"] = pd.Series(contents, dtype=object)
             out["contentVector"] = pd.Series(
-                embed_batch_np(contents, embedding_dim), dtype=object
+                embed_batch_np([c["content"] for c in flat], embedding_dim),
+                dtype=object,
             )
             yield pd.DataFrame(out)
 

@@ -52,6 +52,14 @@ def read_access_entities(perms: Column | str, cap: int = ACL_MAX_IDS) -> Column:
             p["roles"], F.array(*[F.lit(r) for r in READ_ROLES])
         ),
     )
-    ids = F.flatten(F.transform(readable, lambda p: p["user_ids"]))
+    # flatten() returns NULL if ANY element array is null — one grant
+    # with no resolvable ids must not null the whole ACL, so coalesce
+    # each grant's id list to [] first
+    ids = F.flatten(
+        F.transform(
+            readable,
+            lambda p: F.coalesce(p["user_ids"], F.array().cast("array<string>")),
+        )
+    )
     cleaned = F.filter(ids, lambda x: x.isNotNull() & (x != ""))
     return F.slice(F.array_distinct(cleaned), 1, cap)

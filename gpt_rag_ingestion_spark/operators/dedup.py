@@ -54,10 +54,15 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     the explode — a document's shingles all live in its own array, so
     deduping them is local and the whole operator is shuffle-free
     (an ``explode().distinct()`` formulation would shuffle every
-    shingle STRING once per corpus pass).  Equivalent to the relational
-    positional-self-join formulation used by the SQL oracle
-    (with ``\\s+`` splitting, empty tokens can only appear at position 0,
-    so filtering them never creates mid-sequence gaps)."""
+    shingle STRING once per corpus pass).  PRECONDITION: ``id_col`` is
+    unique per row — the local dedup cannot collapse shingles across
+    two rows that share an id, so a doubly-ingested document would
+    double its shingle counts (run ``exact_duplicates``/the freshness
+    merge first, which the ingest pipeline does by construction).
+    Equivalent to the relational positional-self-join formulation used
+    by the SQL oracle (with ``\\s+`` splitting, empty tokens can only
+    appear at position 0, so filtering them never creates mid-sequence
+    gaps)."""
     # materialize the token array once — referencing the split expression
     # inside the transform lambda would re-evaluate it per element (O(n^2))
     with_toks = df.select(

@@ -957,16 +957,23 @@ def ivf_index_build(
     vec_col: str = "embedding",
 ) -> dict:
     """Build a persisted IVF index: centroids (parquet, one row per
-    centroid) + postings laid out as ``postings/cell=N/`` parquet
-    partitions.  The cell-partitioned layout is the point at scale —
-    a probe of p cells out of C reads p/C of the data via partition
-    PRUNING, no index-wide scan, no shuffle at query time beyond the
-    cogroup.  Returns build stats (also persisted to ``stats``; the
-    batch's mean top-1 centroid similarity is the drift baseline)."""
+    centroid) + postings laid out as ``postings/batch=L/cell=N/``
+    parquet partitions.  The cell-partitioned layout is the point at
+    scale — a probe of p cells out of C reads p/C of the data via
+    partition PRUNING, no index-wide scan, no shuffle at query time
+    beyond the cogroup.  A REBUILD at the same path (the
+    ``ivf_needs_refit`` remedy) replaces postings and stats wholesale —
+    stale cells assigned under the old centroids must not survive.
+    Returns build stats (also persisted; the build batch's mean top-1
+    centroid similarity is the drift baseline)."""
     spark = corpus.sparkSession
     C = fit_spherical_centroids(
         corpus, n_centroids, kmeans_iters, fit_sample, id_col, vec_col
     )
+    # wipe any previous generation BEFORE the new centroids land: old
+    # postings/stats are keyed to the old centroid set
+    jvm_fs_delete(spark, f"{index_path}/postings")
+    jvm_fs_delete(spark, f"{index_path}/stats")
     cent_rows = [
         (int(j), [float(x) for x in C[j]]) for j in range(len(C))
     ]
@@ -975,6 +982,27 @@ def ivf_index_build(
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
     n = _ivf_append(corpus, index_path, C, "build", id_col, vec_col)
     return n
+
+
+def jvm_fs_delete(spark, path: str) -> None:
+    """Delete a path through the Hadoop FileSystem API — works on any
+    supported scheme (local, hdfs://, abfss://, s3a://), unlike
+    driver-local os/shutil."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def jvm_fs_exists(spark, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API (scheme-aware —
+    a driver-local os.path.exists is always False for remote stores)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(hconf).exists(p)
 
 
 def _ivf_load_centroids(spark, index_path: str):
@@ -987,6 +1015,12 @@ def _ivf_load_centroids(spark, index_path: str):
 
 
 def _ivf_append(vectors, index_path, C, batch_label, id_col, vec_col) -> dict:
+    """Assign + write one batch.  IDEMPOTENT per batch_label: postings
+    land under ``postings/batch=<label>/`` and stats under
+    ``stats/batch=<label>/``, each written with overwrite — a retried
+    micro-batch (foreachBatch is at-least-once) replaces its own
+    directory instead of double-appending, which is what makes the
+    streaming maintainer effectively exactly-once."""
     spark = vectors.sparkSession
     b_c = spark.sparkContext.broadcast(C)
 
@@ -1005,22 +1039,32 @@ def _ivf_append(vectors, index_path, C, batch_label, id_col, vec_col) -> dict:
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("cv"),
         assign_udf(F.col(vec_col)).alias("_a"),
-    ).select("corpus_id", "cv", F.col("_a.cell").alias("cell"), F.col("_a.sim").alias("sim"))
-    assigned.select("corpus_id", "cv", "cell").write.partitionBy("cell").mode(
-        "append"
-    ).parquet(f"{index_path}/postings")
-    stats = assigned.agg(
-        F.count(F.lit(1)).alias("n_vectors"),
-        F.avg("sim").alias("mean_assign_sim"),
-    ).first()
+    ).select(
+        "corpus_id", "cv", F.col("_a.cell").alias("cell"), F.col("_a.sim").alias("sim")
+    )
+    # one assignment pass feeds both the write and the stats agg
+    assigned = assigned.persist()
+    try:
+        assigned.select("corpus_id", "cv", "cell").write.partitionBy("cell").mode(
+            "overwrite"
+        ).parquet(f"{index_path}/postings/batch={batch_label}")
+        stats = assigned.agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.avg("sim").alias("mean_assign_sim"),
+        ).first()
+    finally:
+        assigned.unpersist()
     row = {
         "batch": batch_label,
         "n_vectors": int(stats["n_vectors"]),
         "mean_assign_sim": float(stats["mean_assign_sim"]),
     }
     spark.createDataFrame(
-        [tuple(row.values())], "batch string, n_vectors long, mean_assign_sim double"
-    ).coalesce(1).write.mode("append").parquet(f"{index_path}/stats")
+        [(row["n_vectors"], row["mean_assign_sim"])],
+        "n_vectors long, mean_assign_sim double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{index_path}/stats/batch={batch_label}"
+    )
     return row
 
 
@@ -1079,7 +1123,8 @@ def ivf_index_query(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.explode(probe_udf(F.col(vec_col))).alias("cell"),
-    )
+    ).localCheckpoint()  # one probe-UDF pass: the probed-cell collect
+    # below and the cogroup both read the materialized result
     probed = [
         int(r["cell"]) for r in qd.select("cell").distinct().collect()
     ]
@@ -1087,6 +1132,7 @@ def ivf_index_query(
         spark.read.parquet(f"{index_path}/postings")
         .filter(F.col("cell").isin(probed))
         .withColumn("cell", F.col("cell").cast("long"))
+        .select("corpus_id", "cv", "cell")
     )
     return _cogrouped_topk(postings, qd, "cell", k)
 
@@ -1095,9 +1141,14 @@ def ivf_needs_refit(spark, index_path: str, tolerance: float = 0.05) -> bool:
     """Refit signal: some appended batch's mean assignment similarity
     fell more than ``tolerance`` below the build baseline (the
     conservative min over appends — parquet row order isn't load
-    order)."""
+    order).  An index whose build stats vanished (e.g. a crash between
+    centroid write and the build batch) has no baseline — report that
+    as needing a rebuild rather than crashing the monitor."""
     stats = spark.read.parquet(f"{index_path}/stats").collect()
-    base = next(r for r in stats if r["batch"] == "build")["mean_assign_sim"]
+    base_rows = [r for r in stats if r["batch"] == "build"]
+    if not base_rows:
+        return True
+    base = base_rows[0]["mean_assign_sim"]
     appended = [r["mean_assign_sim"] for r in stats if r["batch"] != "build"]
     if not appended:
         return False

@@ -296,13 +296,15 @@ def run_incremental_ivf(
     the corpus stream is consumed once, queries run against the
     maintained structure, and each append's recorded assignment
     similarity feeds the `ivf_needs_refit` drift signal — a living
-    index for a corpus that never stops growing.  AvailableNow drains
-    with exactly-once batch tracking via the checkpoint."""
-    import os
-
+    index for a corpus that never stops growing.  foreachBatch is
+    at-least-once; the per-batch postings/stats directories are written
+    with overwrite keyed on batch_id (see `_ivf_append`), so a retried
+    batch replaces its own output instead of double-appending —
+    effectively exactly-once."""
     from gpt_rag_ingestion_spark.operators.similarity import (
         ivf_index_append,
         ivf_index_build,
+        jvm_fs_exists,
     )
 
     stream = spark.readStream.schema(schema).format("json").load(landing_dir)
@@ -310,7 +312,9 @@ def run_incremental_ivf(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if not os.path.exists(os.path.join(index_path, "centroids")):
+        # scheme-aware existence check — a driver-local os.path.exists
+        # is always False for hdfs://abfss://s3a:// index paths
+        if not jvm_fs_exists(spark, f"{index_path}/centroids"):
             ivf_index_build(batch_df, index_path, n_centroids=n_centroids)
         else:
             ivf_index_append(

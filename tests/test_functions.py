@@ -100,6 +100,7 @@ def test_read_access_entities(spark):
                 {"roles": ["read"], "user_ids": ["u1", "u2"]},
                 {"roles": ["owner"], "user_ids": ["u9"]},  # dropped: no read/write
                 {"roles": ["write", "other"], "user_ids": ["u2", "u3", None]},
+                {"roles": ["read"], "user_ids": None},  # unresolvable grant
             ],
         )
     ]
