@@ -637,3 +637,16 @@ def test_ivf_index_lifecycle(spark, tmp_path):
 
     # same-distribution appends don't trigger the refit signal
     assert ivf_needs_refit(spark, idx, tolerance=0.05) is False
+
+    # at-least-once retry: re-running the same batch label overwrites
+    # its own directory instead of double-appending
+    ivf_index_append(shifted, idx, batch_label="b1")
+    assert spark.read.parquet(f"{idx}/postings").count() == emb.count() + 10
+
+    # a rebuild at the same path replaces postings/stats wholesale —
+    # no stale old-centroid cells, exactly one build baseline
+    built2 = ivf_index_build(emb, idx, n_centroids=8)
+    assert built2["n_vectors"] == emb.count()
+    assert spark.read.parquet(f"{idx}/postings").count() == emb.count()
+    stats = spark.read.parquet(f"{idx}/stats").collect()
+    assert [r["batch"] for r in stats] == ["build"]
