@@ -3256,9 +3256,13 @@ def oracle_sql() -> dict[str, str]:
                   AS embedding_tokens
               FROM lineitem GROUP BY l_orderkey)
             SELECT l_orderkey, pages_analyzed, embedding_tokens,
-              round(pages_analyzed * 0.01
-                    + embedding_tokens / 1000.0 * 0.00013, 4)
-                AS estimated_cost_usd
+              -- decimal-domain cost: double 4dp rounding diverges
+              -- between engines at boundary rows (sf0.1 sweep)
+              CAST(round(CAST(pages_analyzed AS DECIMAL(20,0))
+                           * CAST(0.01 AS DECIMAL(10,6))
+                         + CAST(embedding_tokens AS DECIMAL(20,4))
+                           * CAST(0.00000013 AS DECIMAL(12,8)), 4)
+                   AS DOUBLE) AS estimated_cost_usd
             FROM usage
         """,
         "q39_markdown_rows": """
@@ -4753,9 +4757,15 @@ def oracle_sql() -> dict[str, str]:
                 CAST(SUM(y * y) AS BIGINT) AS syy
               FROM q GROUP BY l_returnflag)
             SELECT l_returnflag, n,
-              round(CAST(n * sxy - sx * sy AS DOUBLE)
-                / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                   * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr
+              -- cross terms in HUGEINT: n*sxy overflows INT64 past
+              -- ~600k dollar-scale rows (mirrors Spark's DECIMAL(38,0))
+              round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                         AS DOUBLE)
+                / (sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                             - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                   * sqrt(CAST(CAST(n AS HUGEINT) * syy
+                               - CAST(sy AS HUGEINT) * sy AS DOUBLE))), 6)
+                AS corr
             FROM s
         """,
         "q124_grouped_mode": """

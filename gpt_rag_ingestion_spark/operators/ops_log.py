@@ -127,20 +127,28 @@ def cost_estimate(
     out_tokens_col: str = "completion_tokens_out",
 ) -> DataFrame:
     """A4: the reference's cost model (blob_storage_indexer.py:634-653)
-    as a column expression, rounded to 4 dp like the reference."""
+    as a column expression, rounded to 4 dp like the reference.
+
+    The arithmetic runs in the DECIMAL domain: double rounding at a
+    4 dp boundary diverges between engines when enough rows exist to
+    hit one (the sf0.1 oracle sweep caught exactly that), while exact
+    decimal products + HALF_UP round are engine-identical.  The per-1k
+    rates are folded to exact per-token decimal literals (0.00013/1000
+    = 0.00000013 etc.) so no division appears; token counts are
+    integral, so the double->decimal cast is exact."""
+    pages = F.coalesce(F.col(pages_col), F.lit(0)).cast("decimal(20,0)")
+    embed = F.coalesce(F.col(embed_tokens_col), F.lit(0)).cast("decimal(20,4)")
+    cin = F.coalesce(F.col(in_tokens_col), F.lit(0)).cast("decimal(20,4)")
+    cout = F.coalesce(F.col(out_tokens_col), F.lit(0)).cast("decimal(20,4)")
     cost = (
-        F.coalesce(F.col(pages_col), F.lit(0)) * F.lit(COST_PER_PAGE_ANALYSIS)
-        + F.coalesce(F.col(embed_tokens_col), F.lit(0))
-        / 1000.0
-        * F.lit(COST_PER_1K_EMBEDDING_TOKENS)
-        + F.coalesce(F.col(in_tokens_col), F.lit(0))
-        / 1000.0
-        * F.lit(COST_PER_1K_COMPLETION_IN)
-        + F.coalesce(F.col(out_tokens_col), F.lit(0))
-        / 1000.0
-        * F.lit(COST_PER_1K_COMPLETION_OUT)
+        pages * F.lit(COST_PER_PAGE_ANALYSIS).cast("decimal(10,6)")
+        + embed * F.lit(COST_PER_1K_EMBEDDING_TOKENS / 1000.0).cast("decimal(12,8)")
+        + cin * F.lit(COST_PER_1K_COMPLETION_IN / 1000.0).cast("decimal(12,8)")
+        + cout * F.lit(COST_PER_1K_COMPLETION_OUT / 1000.0).cast("decimal(12,8)")
     )
-    return usage.withColumn("estimated_cost_usd", F.round(cost, 4))
+    return usage.withColumn(
+        "estimated_cost_usd", F.round(cost, 4).cast("double")
+    )
 
 
 def retention_targets(

@@ -119,9 +119,14 @@ def grouped_correlation(
     also how you compute corr over 100 TB without a second scan for
     the means.
 
-    Pick the scales so Σ(value·scale)² stays far below 2^63 at your
-    row count — correlation is scale-invariant, so coarser
-    quantization costs only quantization noise, never sum overflow."""
+    Pick the scales so the per-row Σ(value·scale)² terms stay below
+    2^63 — correlation is scale-invariant, so coarser quantization
+    costs only quantization noise, never sum overflow.  The closed-form
+    CROSS terms (n·Σxy − Σx·Σy etc.) outgrow int64 long before the
+    sums do (n·Σxy ≈ 2e19 already at 600k rows of dollar-scale data —
+    caught by the sf0.1 oracle sweep), so they are computed in
+    DECIMAL(38,0): exact-integer in both engines (Spark decimal128,
+    DuckDB HUGEINT), identical double rounding at the final ratio."""
     x = F.round(F.col(x_col) * x_scale).cast("long")
     y = F.round(F.col(y_col) * y_scale).cast("long")
     sums = df.groupBy(group_col).agg(
@@ -132,11 +137,12 @@ def grouped_correlation(
         F.sum(x * x).alias("sxx"),
         F.sum(y * y).alias("syy"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
     den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        (d("n") * d("sxx") - d("sx") * d("sx")).cast("double")
     ) * F.sqrt(
-        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        (d("n") * d("syy") - d("sy") * d("sy")).cast("double")
     )
     return sums.select(
         group_col,
