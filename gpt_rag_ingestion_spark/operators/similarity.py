@@ -378,6 +378,27 @@ def cell_assign_udf(b_c):
     return cell_udf
 
 
+def probe_udf_factory(b_c, n_probe_eff: int, extract=None):
+    """Top-``n_probe_eff`` nearest-centroid probe UDF over a broadcast
+    unit-norm centroid matrix — the ONE implementation shared by
+    ivf_ann, ivfpq_ann, and the persisted-index query path (a fix to
+    the norm floor or argsort tie-handling must not fork the paths the
+    lifecycle test pins equal).  ``extract`` pulls the matrix out of a
+    composite broadcast value (e.g. IVFPQ's (centroids, codebooks))."""
+
+    @pandas_udf("array<long>")
+    def probe_udf(vecs: pd.Series) -> pd.Series:
+        val = b_c.value
+        cm = extract(val) if extract is not None else val
+        V = np.vstack(vecs.to_numpy()).astype("float64")
+        V = V / np.maximum(np.linalg.norm(V, axis=1)[:, None], 1e-12)
+        S = V @ cm.T
+        top = np.argsort(-S, axis=1)[:, :n_probe_eff]
+        return pd.Series(list(top))
+
+    return probe_udf
+
+
 def ivf_ann(
     corpus: DataFrame,
     queries: DataFrame,
@@ -418,15 +439,7 @@ def ivf_ann(
         return pd.Series((V @ cm.T).argmax(axis=1))
 
     n_probe_eff = min(n_probe, len(C))
-
-    @pandas_udf("array<long>")
-    def probe_udf(vecs: pd.Series) -> pd.Series:
-        cm = b_c.value
-        V = np.vstack(vecs.to_numpy()).astype("float64")
-        V = V / np.maximum(np.linalg.norm(V, axis=1)[:, None], 1e-12)
-        S = V @ cm.T
-        top = np.argsort(-S, axis=1)[:, :n_probe_eff]
-        return pd.Series(list(top))
+    probe_udf = probe_udf_factory(b_c, n_probe_eff)
 
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
@@ -873,15 +886,7 @@ def ivfpq_ann(
 
     # --- queries: probe cells, carry the query vector to the cogroup
     n_probe_eff = min(n_probe, len(C))
-
-    @pandas_udf("array<long>")
-    def probe_udf(vecs: pd.Series) -> pd.Series:
-        cm, _bk = b_model.value
-        V = np.vstack(vecs.to_numpy()).astype("float64")
-        V = V / np.maximum(np.linalg.norm(V, axis=1)[:, None], 1e-12)
-        S = V @ cm.T
-        top = np.argsort(-S, axis=1)[:, :n_probe_eff]
-        return pd.Series(list(top))
+    probe_udf = probe_udf_factory(b_model, n_probe_eff, extract=lambda v: v[0])
 
     qd = queries.select(
         F.col(id_col).alias("query_id"),
@@ -955,6 +960,7 @@ def ivf_index_build(
     fit_sample: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_label: str = "build",
 ) -> dict:
     """Build a persisted IVF index: centroids (parquet, one row per
     centroid) + postings laid out as ``postings/batch=L/cell=N/``
@@ -962,25 +968,34 @@ def ivf_index_build(
     scale — a probe of p cells out of C reads p/C of the data via
     partition PRUNING, no index-wide scan, no shuffle at query time
     beyond the cogroup.  A REBUILD at the same path (the
-    ``ivf_needs_refit`` remedy) replaces postings and stats wholesale —
-    stale cells assigned under the old centroids must not survive.
-    Returns build stats (also persisted; the build batch's mean top-1
-    centroid similarity is the drift baseline)."""
+    ``ivf_needs_refit`` remedy) replaces postings/stats/baseline
+    wholesale — stale cells assigned under the old centroids must not
+    survive.  The build batch's mean top-1 centroid similarity is
+    persisted to ``baseline`` as the drift reference.  ``batch_label``
+    names the build batch's postings/stats directories — a streaming
+    build batch passes its batch id so a foreachBatch RETRY (which
+    takes the append path, centroids now existing) overwrites the SAME
+    directory instead of duplicating the build's vectors."""
     spark = corpus.sparkSession
     C = fit_spherical_centroids(
         corpus, n_centroids, kmeans_iters, fit_sample, id_col, vec_col
     )
     # wipe any previous generation BEFORE the new centroids land: old
-    # postings/stats are keyed to the old centroid set
+    # postings/stats/baseline are keyed to the old centroid set
     jvm_fs_delete(spark, f"{index_path}/postings")
     jvm_fs_delete(spark, f"{index_path}/stats")
+    jvm_fs_delete(spark, f"{index_path}/baseline")
     cent_rows = [
         (int(j), [float(x) for x in C[j]]) for j in range(len(C))
     ]
     spark.createDataFrame(
         cent_rows, "centroid_id int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
-    n = _ivf_append(corpus, index_path, C, "build", id_col, vec_col)
+    n = _ivf_append(corpus, index_path, C, batch_label, id_col, vec_col)
+    spark.createDataFrame(
+        [(batch_label, n["mean_assign_sim"])],
+        "batch string, mean_assign_sim double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/baseline")
     return n
 
 
@@ -1045,13 +1060,21 @@ def _ivf_append(vectors, index_path, C, batch_label, id_col, vec_col) -> dict:
     # one assignment pass feeds both the write and the stats agg
     assigned = assigned.persist()
     try:
-        assigned.select("corpus_id", "cv", "cell").write.partitionBy("cell").mode(
-            "overwrite"
-        ).parquet(f"{index_path}/postings/batch={batch_label}")
         stats = assigned.agg(
             F.count(F.lit(1)).alias("n_vectors"),
             F.avg("sim").alias("mean_assign_sim"),
         ).first()
+        if stats["n_vectors"] == 0:
+            # an empty batch must not overwrite (= destroy) whatever a
+            # previous run wrote under this label, and avg(sim) is null
+            return {
+                "batch": batch_label,
+                "n_vectors": 0,
+                "mean_assign_sim": None,
+            }
+        assigned.select("corpus_id", "cv", "cell").write.partitionBy("cell").mode(
+            "overwrite"
+        ).parquet(f"{index_path}/postings/batch={batch_label}")
     finally:
         assigned.unpersist()
     row = {
@@ -1108,16 +1131,7 @@ def ivf_index_query(
     ensure_importable(queries)
     C = _ivf_load_centroids(spark, index_path)
     b_c = spark.sparkContext.broadcast(C)
-    n_probe_eff = min(n_probe, len(C))
-
-    @pandas_udf("array<long>")
-    def probe_udf(vecs: pd.Series) -> pd.Series:
-        cm = b_c.value
-        V = np.vstack(vecs.to_numpy()).astype("float64")
-        V = V / np.maximum(np.linalg.norm(V, axis=1)[:, None], 1e-12)
-        S = V @ cm.T
-        top = np.argsort(-S, axis=1)[:, :n_probe_eff]
-        return pd.Series(list(top))
+    probe_udf = probe_udf_factory(b_c, min(n_probe, len(C)))
 
     qd = queries.select(
         F.col(id_col).alias("query_id"),
@@ -1141,15 +1155,24 @@ def ivf_needs_refit(spark, index_path: str, tolerance: float = 0.05) -> bool:
     """Refit signal: some appended batch's mean assignment similarity
     fell more than ``tolerance`` below the build baseline (the
     conservative min over appends — parquet row order isn't load
-    order).  An index whose build stats vanished (e.g. a crash between
-    centroid write and the build batch) has no baseline — report that
-    as needing a rebuild rather than crashing the monitor."""
-    stats = spark.read.parquet(f"{index_path}/stats").collect()
-    base_rows = [r for r in stats if r["batch"] == "build"]
-    if not base_rows:
+    order).  An index with no readable baseline — a crash between the
+    centroid write and the build batch leaves stats/baseline absent
+    entirely — reports True (rebuild) instead of crashing the
+    monitor."""
+    if not jvm_fs_exists(spark, f"{index_path}/baseline"):
         return True
-    base = base_rows[0]["mean_assign_sim"]
-    appended = [r["mean_assign_sim"] for r in stats if r["batch"] != "build"]
+    base_row = spark.read.parquet(f"{index_path}/baseline").first()
+    if base_row is None:
+        return True
+    base, base_label = base_row["mean_assign_sim"], base_row["batch"]
+    if not jvm_fs_exists(spark, f"{index_path}/stats"):
+        return True
+    stats = spark.read.parquet(f"{index_path}/stats").collect()
+    appended = [
+        r["mean_assign_sim"]
+        for r in stats
+        if r["batch"] != base_label and r["mean_assign_sim"] is not None
+    ]
     if not appended:
         return False
     return min(appended) < base - tolerance

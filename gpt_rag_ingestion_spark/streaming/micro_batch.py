@@ -315,7 +315,14 @@ def run_incremental_ivf(
         # scheme-aware existence check — a driver-local os.path.exists
         # is always False for hdfs://abfss://s3a:// index paths
         if not jvm_fs_exists(spark, f"{index_path}/centroids"):
-            ivf_index_build(batch_df, index_path, n_centroids=n_centroids)
+            # the build batch is labeled by ITS batch id: a foreachBatch
+            # retry of this batch (centroids now existing) takes the
+            # append path with the same label and overwrites the same
+            # postings directory — idempotent, no build/append split
+            ivf_index_build(
+                batch_df, index_path, n_centroids=n_centroids,
+                batch_label=f"batch-{batch_id}",
+            )
         else:
             ivf_index_append(
                 batch_df, index_path, batch_label=f"batch-{batch_id}"

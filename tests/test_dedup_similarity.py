@@ -606,7 +606,7 @@ def test_ivf_index_lifecycle(spark, tmp_path):
     # operator with the same deterministic centroid fit
     from gpt_rag_ingestion_spark.operators.similarity import ivf_ann
 
-    q = emb.limit(20)
+    q = emb.filter("vec_id < 20")
     res = {
         (r["query_id"], r["corpus_id"], r["rank"])
         for r in ivf_index_query(spark, idx, q, n_probe=2, k=5).collect()
@@ -626,7 +626,7 @@ def test_ivf_index_lifecycle(spark, tmp_path):
     # append WITHOUT refit: re-inserting the same vectors under new ids
     # makes each twin the top-1 hit of its original (cosine ~1, the
     # self-pair mask only blocks identical ids)
-    shifted = emb.limit(10).selectExpr(
+    shifted = emb.filter("vec_id < 10").selectExpr(
         "vec_id + 1000000 as vec_id", "embedding"
     )
     stats = ivf_index_append(shifted, idx, batch_label="b1")

@@ -365,11 +365,11 @@ def test_incremental_ivf_stream_maintains_index(spark, tmp_path):
     idx = str(tmp_path / "ivf")
     ckpt = str(tmp_path / "ckpt")
 
-    emb.limit(100).coalesce(1).write.mode("overwrite").json(str(landing / "b0"))
+    emb.filter("vec_id < 100").coalesce(1).write.mode("overwrite").json(str(landing / "b0"))
     run_incremental_ivf(spark, str(landing) + "/*", idx, ckpt, n_centroids=4)
     assert spark.read.parquet(f"{idx}/postings").count() == 100
 
-    twins = emb.limit(10).selectExpr("vec_id + 5000 AS vec_id", "embedding")
+    twins = emb.filter("vec_id < 10").selectExpr("vec_id + 5000 AS vec_id", "embedding")
     twins.coalesce(1).write.mode("overwrite").json(str(landing / "b1"))
     run_incremental_ivf(spark, str(landing) + "/*", idx, ckpt, n_centroids=4)
     assert spark.read.parquet(f"{idx}/postings").count() == 110
@@ -377,7 +377,14 @@ def test_incremental_ivf_stream_maintains_index(spark, tmp_path):
     res = ivf_index_query(spark, idx, twins, n_probe=2, k=1)
     top = {r["query_id"]: r["corpus_id"] for r in res.filter("rank = 1").collect()}
     assert all(top[i] == i - 5000 for i in top)
+    # the build batch is labeled by its batch id (retry idempotence);
+    # the baseline records which label is the drift reference
     batches = {
         r["batch"] for r in spark.read.parquet(f"{idx}/stats").collect()
     }
-    assert "build" in batches and any(b.startswith("batch-") for b in batches)
+    assert batches == {"batch-0", "batch-1"}
+    base = spark.read.parquet(f"{idx}/baseline").first()
+    assert base["batch"] == "batch-0"
+    from gpt_rag_ingestion_spark.operators.similarity import ivf_needs_refit
+
+    assert ivf_needs_refit(spark, idx, tolerance=0.05) is False
