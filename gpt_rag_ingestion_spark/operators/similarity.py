@@ -1107,6 +1107,7 @@ def ivf_index_append(
     from gpt_rag_ingestion_spark.session import ensure_importable
 
     ensure_importable(vectors)
+    _ivf_recover(vectors.sparkSession, index_path)
     C = _ivf_load_centroids(vectors.sparkSession, index_path)
     return _ivf_append(vectors, index_path, C, batch_label, id_col, vec_col)
 
@@ -1129,6 +1130,7 @@ def ivf_index_query(
     from gpt_rag_ingestion_spark.session import ensure_importable
 
     ensure_importable(queries)
+    _ivf_recover(spark, index_path)
     C = _ivf_load_centroids(spark, index_path)
     b_c = spark.sparkContext.broadcast(C)
     probe_udf = probe_udf_factory(b_c, min(n_probe, len(C)))
@@ -1176,3 +1178,59 @@ def ivf_needs_refit(spark, index_path: str, tolerance: float = 0.05) -> bool:
     if not appended:
         return False
     return min(appended) < base - tolerance
+
+
+def jvm_fs_rename(spark, src: str, dst: str) -> bool:
+    """Atomic-per-directory rename through the Hadoop FileSystem API."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    ps, pd_ = jvm.org.apache.hadoop.fs.Path(src), jvm.org.apache.hadoop.fs.Path(dst)
+    fs = ps.getFileSystem(hconf)
+    return bool(fs.rename(ps, pd_))
+
+
+def _ivf_recover(spark, index_path: str) -> None:
+    """Finish an interrupted postings swap: if ``postings`` is missing
+    and ``postings__old`` exists, the crash happened between the two
+    renames — restore the old generation.  If both exist, the swap
+    completed and ``__old`` is garbage (same contract as
+    operators/upsert)."""
+    postings = f"{index_path}/postings"
+    old = f"{index_path}/postings__old"
+    if jvm_fs_exists(spark, old):
+        if jvm_fs_exists(spark, postings):
+            jvm_fs_delete(spark, old)
+        else:
+            jvm_fs_rename(spark, old, postings)
+
+
+def ivf_index_compact(spark, index_path: str, label: str = "compacted") -> dict:
+    """Consolidate the ``batch=...`` postings generations left by
+    streaming appends into ONE generation — the index's OPTIMIZE.
+    Hourly micro-batch appends write a file set per (batch, cell); at
+    1024 cells that is ~25k files/day, and every probe pays a parquet
+    footer fetch per file.  One read → one partitionBy(cell) write
+    restores O(cells) files while queries keep the same pruned layout.
+
+    Crash-safe swap (the upsert contract): the consolidated generation
+    stages OUTSIDE ``postings/``, then postings→postings__old,
+    staging→postings, delete __old; ``_ivf_recover`` (run by
+    query/append/compact) finishes an interrupted swap from either
+    side.  Stats history and the drift baseline are untouched —
+    compaction moves bytes, not meaning."""
+    _ivf_recover(spark, index_path)
+    postings = f"{index_path}/postings"
+    staging = f"{index_path}/postings__staging"
+    old = f"{index_path}/postings__old"
+    existing = spark.read.parquet(postings).select("corpus_id", "cv", "cell")
+    n_before = int(existing.count())
+    jvm_fs_delete(spark, staging)
+    existing.write.partitionBy("cell").mode("overwrite").parquet(
+        f"{staging}/batch={label}"
+    )
+    jvm_fs_delete(spark, old)
+    jvm_fs_rename(spark, postings, old)
+    jvm_fs_rename(spark, staging, postings)
+    jvm_fs_delete(spark, old)
+    spark.catalog.refreshByPath(postings)
+    return {"n_vectors": n_before, "label": label}

@@ -650,3 +650,53 @@ def test_ivf_index_lifecycle(spark, tmp_path):
     assert spark.read.parquet(f"{idx}/postings").count() == emb.count()
     stats = spark.read.parquet(f"{idx}/stats").collect()
     assert [r["batch"] for r in stats] == ["build"]
+
+
+def test_ivf_index_compact_and_recover(spark, tmp_path):
+    from gpt_rag_ingestion_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_compact,
+        ivf_index_query,
+        jvm_fs_exists,
+        jvm_fs_rename,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    ivf_index_build(emb.filter("vec_id < 300"), idx, n_centroids=8)
+    ivf_index_append(
+        emb.filter("vec_id >= 300 AND vec_id < 400"), idx, batch_label="b1"
+    )
+    ivf_index_append(emb.filter("vec_id >= 400"), idx, batch_label="b2")
+
+    q = emb.filter("vec_id < 20")
+    before = {
+        (r["query_id"], r["corpus_id"], r["rank"])
+        for r in ivf_index_query(spark, idx, q, n_probe=2, k=5).collect()
+    }
+
+    out = ivf_index_compact(spark, idx)
+    assert out["n_vectors"] == emb.count()
+    # one consolidated generation, fewer files, same answers
+    import os
+
+    batches = os.listdir(f"{idx}/postings")
+    assert batches == ["batch=compacted"]
+    after = {
+        (r["query_id"], r["corpus_id"], r["rank"])
+        for r in ivf_index_query(spark, idx, q, n_probe=2, k=5).collect()
+    }
+    assert after == before
+
+    # crash window: postings renamed away, __old left behind -> the next
+    # reader recovers it
+    jvm_fs_rename(spark, f"{idx}/postings", f"{idx}/postings__old")
+    assert not jvm_fs_exists(spark, f"{idx}/postings")
+    recovered = {
+        (r["query_id"], r["corpus_id"], r["rank"])
+        for r in ivf_index_query(spark, idx, q, n_probe=2, k=5).collect()
+    }
+    assert recovered == before
+    assert jvm_fs_exists(spark, f"{idx}/postings")
+    assert not jvm_fs_exists(spark, f"{idx}/postings__old")
