@@ -2663,6 +2663,86 @@ def q140_salted_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q142_read_access(spark: SparkSession, sf: str) -> DataFrame:
+    """Drive-item permission grants → reader ACLs (reference
+    tools/sharepoint.py:464-476 via functions/acl.read_access_entities):
+    per customer, three synthetic grants — a read grant with the
+    user key + a shared id, an owner grant (dropped: no read/write),
+    and a write grant that is UNRESOLVABLE (null ids) for every third
+    customer and otherwise carries the nation group + the shared id
+    again (deduped, order preserved).  Pure array algebra; the ordered
+    first-occurrence dedup IS the semantics under test."""
+    from gpt_rag_ingestion_spark.functions.acl import read_access_entities
+
+    cust = _t(spark, sf, "customer")
+    ukey = F.concat(F.lit("u"), (F.col("c_custkey") % 50).cast("string"))
+    gkey = F.concat(F.lit("g"), F.col("c_nationkey").cast("string"))
+    grant3 = F.when(
+        F.col("c_custkey") % 3 == 0,
+        F.struct(
+            F.array(F.lit("write")).alias("roles"),
+            F.lit(None).cast("array<string>").alias("user_ids"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.array(F.lit("write")).alias("roles"),
+            F.array(gkey, F.lit("u-shared")).alias("user_ids"),
+        )
+    )
+    perms = F.array(
+        F.struct(
+            F.array(F.lit("read")).alias("roles"),
+            F.array(ukey, F.lit("u-shared")).alias("user_ids"),
+        ),
+        F.struct(
+            F.array(F.lit("owner")).alias("roles"),
+            F.array(F.lit("u-owner")).alias("user_ids"),
+        ),
+        grant3,
+    )
+    return cust.select(
+        "c_custkey", read_access_entities(perms).alias("readers")
+    )
+
+
+def q143_blocklist_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    """P3 end-to-end through the driver gate: events become per-file
+    attempt rows (error -> failed), ``blocked_files`` derives the
+    consecutive-failure blocklist, ``unblock_files`` clears the
+    even-numbered files (admin action, reference api/admin.py:364),
+    and the blocklist is re-derived — the oracle is the closed-form
+    relational statement of the whole lifecycle, so both the blocking
+    predicate AND the append-only unblock semantics are hash-checked."""
+    from gpt_rag_ingestion_spark.operators.ops_log import (
+        blocked_files,
+        unblock_files,
+    )
+
+    ev = _t(spark, sf, "events")
+    attempts = ev.select(
+        F.concat(F.lit("f"), (F.col("user_id") % 200).cast("string")).alias(
+            "file_key"
+        ),
+        F.col("ts").alias("attempt_ts"),
+        F.when(F.col("event_type") == "error", F.lit("failed"))
+        .otherwise(F.lit("success"))
+        .alias("status"),
+    )
+    even = (
+        attempts.select("file_key")
+        .distinct()
+        .filter(F.expr("CAST(substr(file_key, 2) AS INT) % 2 = 0"))
+    )
+    after = unblock_files(attempts, even)
+    # threshold 1 (any failure since the last success blocks) so the
+    # lifecycle produces a non-trivial set at every SF
+    return blocked_files(after, max_attempts=1).select(
+        "file_key", F.col("consecutive_failures").cast("long").alias(
+            "consecutive_failures"
+        )
+    )
+
+
 def q141_dedup_planner(spark: SparkSession, sf: str) -> DataFrame:
     """Cost-based physical-strategy choice for near-dup dedup (SURVEY.md
     §7's "strategy choosing brute-force vs LSH join"): the exact second
@@ -2816,6 +2896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_media_fingerprint_neardup": q139_media_fingerprint_neardup,
         "q140_salted_join": q140_salted_join,
         "q141_dedup_planner": q141_dedup_planner,
+        "q142_read_access": q142_read_access,
+        "q143_blocklist_lifecycle": q143_blocklist_lifecycle,
     }
 
 
@@ -5038,6 +5120,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.event_type, e.user_id,
               CAST(d.weight AS INT) AS weight
             FROM events e JOIN dim d USING (event_type)
+        """,
+        "q143_blocklist_lifecycle": """
+            WITH a AS (
+              SELECT 'f' || CAST(user_id % 200 AS VARCHAR) AS file_key,
+                ts AS attempt_ts,
+                CASE WHEN event_type = 'error' THEN 'failed'
+                     ELSE 'success' END AS status
+              FROM events),
+            ls AS (
+              SELECT file_key,
+                max(CASE WHEN status = 'success' THEN attempt_ts END)
+                  AS last_ok
+              FROM a GROUP BY file_key),
+            fails AS (
+              SELECT a.file_key, CAST(COUNT(*) AS BIGINT)
+                  AS consecutive_failures
+              FROM a JOIN ls USING (file_key)
+              WHERE status = 'failed'
+                AND (last_ok IS NULL OR attempt_ts > last_ok)
+              GROUP BY a.file_key)
+            -- the unblock marker (synthetic success at the file's max
+            -- attempt_ts) zeroes every even file's consecutive count,
+            -- so the post-unblock blocklist is the odd blocked files
+            SELECT file_key, consecutive_failures
+            FROM fails
+            WHERE consecutive_failures >= 1
+              AND CAST(substr(file_key, 2) AS INT) % 2 = 1
+        """,
+        "q142_read_access": """
+            -- closed form of the ordered first-occurrence dedup over
+            -- the synthetic grants: read grant ids, owner grant
+            -- dropped, write grant empty for every third customer
+            -- (null user_ids) else nation group (u-shared dedups)
+            SELECT c_custkey,
+              CASE WHEN c_custkey % 3 = 0
+                   THEN ['u' || CAST(c_custkey % 50 AS VARCHAR), 'u-shared']
+                   ELSE ['u' || CAST(c_custkey % 50 AS VARCHAR), 'u-shared',
+                         'g' || CAST(c_nationkey AS VARCHAR)]
+              END AS readers
+            FROM customer
         """,
         "q141_dedup_planner": f"""
             WITH sh AS ({_SHINGLES}),
