@@ -161,6 +161,15 @@ PLAN_PROPERTIES = {
         ["HashAggregate", "Generate"],
         ["SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin", "NestedLoop"],
     ),
+    # reader-ACL extraction: pure array algebra next to the scan —
+    # shuffle-free
+    "q142_read_access": (["[codegen id :"], ["Exchange"]),
+    # blocklist lifecycle: key-compacted aggregations and broadcast
+    # semi-joins only — never a nested loop over attempts
+    "q143_blocklist_lifecycle": (
+        ["BroadcastHashJoin", "LeftSemi"],
+        ["NestedLoop", "CartesianProduct"],
+    ),
 }
 
 
