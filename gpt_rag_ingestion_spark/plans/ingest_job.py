@@ -51,6 +51,7 @@ def run_ingest_job(
     min_tokens: int = 100,
     ops_table_path: str | None = None,
     rollup_path: str | None = None,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """One incremental ingest run.  Returns the run-summary DataFrame
     (A2 counters); side effect: the chunks table at ``table_path`` is
@@ -75,7 +76,17 @@ def run_ingest_job(
     row (file_key NULL), since in Spark the upload/merge is one job
     phase rather than a per-file call.  ``costEstimate`` applies the
     reference cost model to exact per-file usage columns
-    (embedding tokens from the chunk contents; pages when present)."""
+    (embedding tokens from the chunk contents; pages when present).
+
+    ``partition_cols`` partitions the chunks table and routes the merge
+    through the partition-pruned overwrite (operators/upsert.py) — at
+    100 TB an hourly increment then rewrites O(increment) partitions
+    instead of O(table).  Recommended: ``["ingest_date"]`` (derived
+    here as ``to_date(ts_col)`` when absent from the source) or
+    ``["source", "ingest_date"]`` when the listing carries a ``source``
+    column.  Every partition column must either already exist in
+    ``source_docs`` (it is carried through chunking unchanged) or be
+    ``ingest_date``."""
     import time as _time
 
     _t_wall = _time.monotonic()
@@ -98,6 +109,26 @@ def run_ingest_job(
     listing = source_docs.withColumn(
         "parent_id", sanitize_key(F.col(doc_key_col).cast("string"))
     )
+
+    # partition columns ride through chunking as carry columns; the one
+    # derivable column is ingest_date (= the source timestamp's date)
+    _RESERVED = {"parent_id", "chunk_id", "offset", "length", "content",
+                 "id", "contentVector", "metadata_storage_last_modified"}
+    if partition_cols:
+        for c in partition_cols:
+            if c in _RESERVED:
+                raise ValueError(
+                    f"partition column {c!r} collides with a chunk output column"
+                )
+            if c not in listing.columns:
+                if c == "ingest_date":
+                    listing = listing.withColumn(
+                        "ingest_date", F.to_date(F.col(ts_col))
+                    )
+                else:
+                    raise ValueError(
+                        f"partition column {c!r} not in source_docs and not derivable"
+                    )
 
     # 2. freshness (J1/P1/P2)
     if have_table:
@@ -127,6 +158,7 @@ def run_ingest_job(
         max_tokens=max_tokens,
         overlap=overlap,
         min_tokens=min_tokens,
+        carry_cols=list(partition_cols) if partition_cols else None,
         timing_col="_chunk_sec" if ops_table_path else None,
     )
     # carry the source timestamp through for the next run's watermark
@@ -182,7 +214,8 @@ def run_ingest_job(
     _t_upload = _time.monotonic()
     if n_candidates > 0:
         merge_upsert(
-            spark, table_path, chunks.drop("_chunk_sec"), key="parent_id"
+            spark, table_path, chunks.drop("_chunk_sec"), key="parent_id",
+            partition_cols=partition_cols,
         )
     upload_sec = round(_time.monotonic() - _t_upload, 3)
 

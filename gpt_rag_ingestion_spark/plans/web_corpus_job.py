@@ -52,13 +52,24 @@ def run_web_corpus_job(
     id_col: str = "doc_id",
     url_col: str = "url",
     text_col: str = "text",
+    partition_cols: list[str] | None = None,
+    domain_buckets: int = 64,
 ) -> DataFrame:
     """One batch through the web-corpus loop.  Returns the AUDIT
     relation — (id, domain, disposition, dup_of) for every input row,
     disposition ∈ {blocked_domain, low_quality, over_cap,
     exact_dup_base, exact_dup_batch, near_dup_base, admitted}.
     Side effects: admitted rows merged into ``corpus_path`` and
-    written as training shards under ``shards_dir``."""
+    written as training shards under ``shards_dir``.
+
+    ``partition_cols`` partitions the corpus table and routes the merge
+    through the partition-pruned overwrite (operators/upsert.py) so a
+    batch rewrites O(batch partitions), never O(corpus).  Partitioning
+    by raw ``domain`` is legal but explodes partition count at web
+    scale (millions of dirs); the supported derived column
+    ``domain_bucket`` = ``pmod(xxhash64(domain), domain_buckets)``
+    keeps the partition count fixed while a batch still prunes to the
+    buckets its domains hash into."""
     d = batch.select(
         F.col(id_col),
         F.col(text_col),
@@ -134,6 +145,23 @@ def run_web_corpus_job(
             bpe_ish_token_count(F.col(text_col)).cast("long").alias("n_tokens"),
         )
     )
+    # derived partition columns go on the MERGE side only — training
+    # shards keep the plain admitted schema
+    to_merge = admitted
+    if partition_cols:
+        for c in partition_cols:
+            if c in to_merge.columns:
+                continue
+            if c == "domain_bucket":
+                to_merge = to_merge.withColumn(
+                    "domain_bucket",
+                    F.pmod(F.xxhash64("domain"), F.lit(domain_buckets)),
+                )
+            else:
+                raise ValueError(
+                    f"partition column {c!r} not in the admitted schema "
+                    "and not derivable (only 'domain_bucket' is)"
+                )
     n_admitted = admitted.count()
     if n_admitted > 0:
         write_training_shards(
@@ -146,6 +174,9 @@ def run_web_corpus_job(
             bucket_expr=(F.col(id_col) / 4096).cast("long"),
             fmt=shard_fmt,
         )
-        merge_upsert(spark, corpus_path, admitted, key=id_col)
+        merge_upsert(
+            spark, corpus_path, to_merge, key=id_col,
+            partition_cols=partition_cols,
+        )
     staged.unpersist()
     return audit
