@@ -2761,6 +2761,16 @@ def q141_dedup_planner(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's correctness gate records only the
+    # FIRST 50 entries, so the window below is curated to be (a) all
+    # oracle-backed and (b) a cross-section of every operator family —
+    # ingest/freshness/purge, ops lifecycle (merge q60, blocklist q37,
+    # stale q58), chunking (q10/q29/q39/q54), classic + round-2 dedup
+    # (q15-q18, q91/q95/q102/q141), exact-ANN baselines (q19/q46/q64),
+    # text analysis, streaming (q24/q43/q61), sketches (q70/q88),
+    # packing (q78), decontamination (q76), composed web admission
+    # (q110).  Everything after slot 50 is checked by the full gate
+    # (scripts/check_oracle.py over all entries).
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q02_watermark_agg": q02_watermark_agg,
@@ -2781,12 +2791,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_simhash": q17_simhash,
         "q18_minhash_lsh": q18_minhash_lsh,
         "q19_knn_top1": q19_knn_top1,
-        "q20_ann_lsh": q20_ann_lsh,
         "q21_quality_scores": q21_quality_scores,
         "q22_language_id": q22_language_id,
         "q23_fingerprint": q23_fingerprint,
         "q24_tumbling_window": q24_tumbling_window,
-        "q26_json_extract": q26_json_extract,
         "q29_chunk_keys_long": q29_chunk_keys_long,
         "q31_media_features": q31_media_features,
         "q34_enrichment_join": q34_enrichment_join,
@@ -2798,9 +2806,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_admin_search": q40_admin_search,
         "q41_acl_parse": q41_acl_parse,
         "q43_windowed_counts": q43_windowed_counts,
+        "q46_embedding_neardup": q46_embedding_neardup,
+        "q54_sheet_mode": q54_sheet_mode,
+        "q57_token_stats": q57_token_stats,
+        "q58_stale_runs": q58_stale_runs,
+        "q60_merge_upsert": q60_merge_upsert,
+        "q61_first_seen": q61_first_seen,
+        "q64_knn_topk": q64_knn_topk,
+        "q70_kmv_sketch": q70_kmv_sketch,
+        "q76_decontaminate": q76_decontaminate,
+        "q78_pack_sequences": q78_pack_sequences,
+        "q88_count_min": q88_count_min,
+        "q91_span_dedup": q91_span_dedup,
+        "q95_hamming_neardup": q95_hamming_neardup,
+        "q102_incremental_dedup": q102_incremental_dedup,
+        "q110_web_admission": q110_web_admission,
+        "q141_dedup_planner": q141_dedup_planner,
+        "q20_ann_lsh": q20_ann_lsh,
+        "q26_json_extract": q26_json_extract,
         "q44_iso_parse": q44_iso_parse,
         "q45_fields_to_text": q45_fields_to_text,
-        "q46_embedding_neardup": q46_embedding_neardup,
         "q47_ivf_ann": q47_ivf_ann,
         "q48_base64": q48_base64,
         "q49_rolling_fingerprint": q49_rolling_fingerprint,
@@ -2808,31 +2833,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_transcription_chunks": q51_transcription_chunks,
         "q52_multimodal_chunks": q52_multimodal_chunks,
         "q53_mixed_corpus": q53_mixed_corpus,
-        "q54_sheet_mode": q54_sheet_mode,
         "q55_path_keys": q55_path_keys,
         "q56_byte_truncate": q56_byte_truncate,
-        "q57_token_stats": q57_token_stats,
-        "q58_stale_runs": q58_stale_runs,
         "q59_run_history": q59_run_history,
-        "q60_merge_upsert": q60_merge_upsert,
-        "q61_first_seen": q61_first_seen,
         "q62_salted_agg": q62_salted_agg,
         "q63_dedup_clusters": q63_dedup_clusters,
-        "q64_knn_topk": q64_knn_topk,
         "q65_guid_validation": q65_guid_validation,
         "q66_tfidf_terms": q66_tfidf_terms,
         "q67_neardup_verified": q67_neardup_verified,
         "q68_quality_filter": q68_quality_filter,
         "q69_source_cap": q69_source_cap,
-        "q70_kmv_sketch": q70_kmv_sketch,
         "q71_asof_join": q71_asof_join,
         "q72_time_rollup": q72_time_rollup,
         "q73_hash_sample": q73_hash_sample,
         "q74_pii_scrub": q74_pii_scrub,
         "q75_curation_funnel": q75_curation_funnel,
-        "q76_decontaminate": q76_decontaminate,
         "q77_repetition": q77_repetition,
-        "q78_pack_sequences": q78_pack_sequences,
         "q79_semdedup": q79_semdedup,
         "q80_stream_dedup": q80_stream_dedup,
         "q81_dup_spans": q81_dup_spans,
@@ -2842,21 +2858,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_mixture": q85_mixture,
         "q86_centroid_outliers": q86_centroid_outliers,
         "q87_range_join": q87_range_join,
-        "q88_count_min": q88_count_min,
         "q89_inverted_index": q89_inverted_index,
         "q90_bloom_semijoin": q90_bloom_semijoin,
-        "q91_span_dedup": q91_span_dedup,
         "q92_sync_actions": q92_sync_actions,
         "q93_bpe_merges": q93_bpe_merges,
         "q94_shard_assignment": q94_shard_assignment,
-        "q95_hamming_neardup": q95_hamming_neardup,
         "q96_cluster_keeper": q96_cluster_keeper,
         "q97_interval_join": q97_interval_join,
         "q98_quality_percentile_gate": q98_quality_percentile_gate,
         "q99_rolling_hour_counts": q99_rolling_hour_counts,
         "q100_histogram_quantiles": q100_histogram_quantiles,
         "q101_corpus_health": q101_corpus_health,
-        "q102_incremental_dedup": q102_incremental_dedup,
         "q103_epoch_mixture": q103_epoch_mixture,
         "q104_incremental_rollup": q104_incremental_rollup,
         "q105_nfc_normalize": q105_nfc_normalize,
@@ -2864,7 +2876,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_bpe_segment": q107_bpe_segment,
         "q108_pagerank": q108_pagerank,
         "q109_snapshot_diff": q109_snapshot_diff,
-        "q110_web_admission": q110_web_admission,
         "q111_vocab_encode": q111_vocab_encode,
         "q112_table_stats": q112_table_stats,
         "q113_kmv_set_algebra": q113_kmv_set_algebra,
@@ -2895,7 +2906,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_embedding_dim_stats": q138_embedding_dim_stats,
         "q139_media_fingerprint_neardup": q139_media_fingerprint_neardup,
         "q140_salted_join": q140_salted_join,
-        "q141_dedup_planner": q141_dedup_planner,
         "q142_read_access": q142_read_access,
         "q143_blocklist_lifecycle": q143_blocklist_lifecycle,
     }
