@@ -213,6 +213,7 @@ def chunk_documents(
     carry = list(carry_cols or [])
     if source_col:
         carry = [source_col] + carry
+    carry = list(dict.fromkeys(carry))
     if timing_col:
         timed_udf = make_timed_chunk_udf(max_tokens, overlap, min_tokens, separators)
         docs = docs.withColumn("_tc", timed_udf(F.col(text_col))).withColumn(
@@ -289,7 +290,19 @@ def _chunk_embed_map_in_pandas(
 
     ship_active()
 
-    passthrough = [doc_key_col] + [c for c in carry]
+    # dedup (doc_key_col may also appear in carry) and reject carry
+    # names that collide with the kernel's chunk output columns — either
+    # would produce a duplicate-field schema or silently overwrite a
+    # column in the output dict
+    passthrough = list(dict.fromkeys([doc_key_col] + list(carry)))
+    bad = [
+        c for c in passthrough
+        if c in ("chunk_id", "offset", "length", "content", "contentVector")
+    ]
+    if bad:
+        raise ValueError(
+            f"carry column(s) {bad} collide with chunk output columns"
+        )
     # prune the Arrow input to what the kernel reads
     docs = docs.select(*dict.fromkeys(passthrough + [text_col]))
     by_name = {f.name: f for f in docs.schema.fields}

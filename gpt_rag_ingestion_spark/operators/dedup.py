@@ -108,7 +108,13 @@ def ngram_jaccard_pairs(
     fixed-width key instead of shingle text, shrinking shuffle volume by
     ~an order of magnitude.  Collisions would need ~2^32 distinct
     shingles to matter (birthday bound); at that corpus size use the
-    MinHash+LSH candidate path with this as the verifier."""
+    MinHash+LSH candidate path with this as the verifier.
+
+    PRECONDITION (inherited from ``word_shingles``): ``id_col`` is
+    unique per row — a doubly-ingested id double-counts its shingles,
+    inflating |A|, |B| and intersections.  Dedup ids first
+    (``exact_duplicates`` / the freshness merge) when uniqueness is not
+    guaranteed by construction."""
     # no .cache(): shingling is a cheap narrow transform, and a cached
     # DataFrame here would pin executor storage for the session lifetime
     # on every invocation (there is no good unpersist point for a lazily
@@ -221,7 +227,9 @@ def minhash_lsh_candidates(
     """LSH banding: split the signature into ``bands`` bands of r rows;
     docs sharing any band-hash become candidate pairs.  Output is
     distinct (id_a < id_b) candidate pairs — feed to
-    ``ngram_jaccard_pairs``-style verification for exactness."""
+    ``ngram_jaccard_pairs``-style verification for exactness.
+    PRECONDITION: ``id_col`` unique per row (see ``word_shingles`` —
+    duplicate ids corrupt the per-doc signatures)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_fn=hash_fn)
@@ -947,7 +955,10 @@ def shingle_join_synopsis(
     only shingles with hash % k == 0 (a 1/k universe sample — sampling
     the shingle UNIVERSE, not rows, so each sampled shingle's frequency
     is exact) and scales est_pairs/counts back up by k: the estimator
-    stays unbiased while the shuffle shrinks k-fold."""
+    stays unbiased while the shuffle shrinks k-fold.
+
+    PRECONDITION: ``id_col`` unique per row (see ``word_shingles`` —
+    duplicate ids inflate the second moment and n_shingles)."""
     sh = word_shingles(df, text_col, id_col, n).select(
         F.col(id_col), F.xxhash64("shingle").alias("h")
     )
@@ -1017,7 +1028,10 @@ def neardup_pairs_auto(
     callers are strategy-agnostic).  The one-row synopsis is the only
     driver-side materialization — deciding a physical plan from a
     bounded statistic is the same move Spark's AQE makes with runtime
-    stats."""
+    stats.
+
+    PRECONDITION: ``id_col`` unique per row (see ``word_shingles``);
+    both legs and the synopsis assume it."""
     decision = choose_dedup_strategy(
         df, text_col, id_col, n, pairs_per_doc_budget
     ).first()

@@ -37,6 +37,7 @@ def blocked_files(
     file_col: str = "file_key",
     status_col: str = "status",
     max_attempts: int = MAX_FILE_PROCESSING_ATTEMPTS,
+    ts_col: str = "attempt_ts",
 ) -> DataFrame:
     """P3: files whose consecutive-failure count reached the cap.  The
     reference mutates a ``blocked`` flag per file (blob_storage_indexer
@@ -44,13 +45,13 @@ def blocked_files(
     >= max'."""
     w = Window.partitionBy(file_col)
     last_success = F.max(
-        F.when(F.col(status_col) == "success", F.col("attempt_ts"))
+        F.when(F.col(status_col) == "success", F.col(ts_col))
     ).over(w)
     fails_after = (
         attempts.withColumn("_last_ok", last_success)
         .filter(
             (F.col(status_col) == "failed")
-            & (F.col("_last_ok").isNull() | (F.col("attempt_ts") > F.col("_last_ok")))
+            & (F.col("_last_ok").isNull() | (F.col(ts_col) > F.col("_last_ok")))
         )
         .groupBy(file_col)
         .agg(F.count(F.lit(1)).alias("consecutive_failures"))
@@ -74,6 +75,7 @@ def unblock_files(
     keys: DataFrame,
     file_col: str = "file_key",
     status_col: str = "status",
+    ts_col: str = "attempt_ts",
 ) -> DataFrame:
     """Admin unblock (reference api/admin.py:364-383 resets
     ``blocked``/attempt counters in the file's log blob).  Relationally
@@ -88,16 +90,16 @@ def unblock_files(
     latest = (
         attempts.join(F.broadcast(keys.select(file_col)), on=file_col, how="left_semi")
         .groupBy(file_col)
-        .agg(F.max("attempt_ts").alias("attempt_ts"))
+        .agg(F.max(ts_col).alias(ts_col))
     )
     markers = latest.select(
         file_col,
         F.lit("success").alias(status_col),
-        "attempt_ts",
+        ts_col,
         *[
             F.lit(None).cast(attempts.schema[c].dataType).alias(c)
             for c in attempts.columns
-            if c not in (file_col, status_col, "attempt_ts")
+            if c not in (file_col, status_col, ts_col)
         ],
     ).select(*attempts.columns)
     return attempts.unionByName(markers)

@@ -1126,11 +1126,18 @@ def ivf_index_query(
     the cell-partitioned layout that is directory-level partition
     pruning, so a 2-of-16 probe reads ~1/8th of the postings.  Exact
     cosine + global top-k inside the probed cells (same cogrouped tail
-    as ivf_ann)."""
+    as ivf_ann).
+
+    Readers NEVER mutate the index: a query that lands inside a
+    compactor's swap window (``postings`` renamed away, replacement not
+    yet in place) falls back to READING ``postings__old`` — it does not
+    rename it back, which could otherwise interleave with the
+    compactor's staging→postings rename and nest a double-generation
+    layout.  Swap recovery runs only from the writers
+    (append/compact) under the single-writer assumption."""
     from gpt_rag_ingestion_spark.session import ensure_importable
 
     ensure_importable(queries)
-    _ivf_recover(spark, index_path)
     C = _ivf_load_centroids(spark, index_path)
     b_c = spark.sparkContext.broadcast(C)
     probe_udf = probe_udf_factory(b_c, min(n_probe, len(C)))
@@ -1144,8 +1151,14 @@ def ivf_index_query(
     probed = [
         int(r["cell"]) for r in qd.select("cell").distinct().collect()
     ]
+    postings_path = f"{index_path}/postings"
+    if not jvm_fs_exists(spark, postings_path) and jvm_fs_exists(
+        spark, f"{index_path}/postings__old"
+    ):
+        # mid-swap: read the previous generation, mutate nothing
+        postings_path = f"{index_path}/postings__old"
     postings = (
-        spark.read.parquet(f"{index_path}/postings")
+        spark.read.parquet(postings_path)
         .filter(F.col("cell").isin(probed))
         .withColumn("cell", F.col("cell").cast("long"))
         .select("corpus_id", "cv", "cell")
@@ -1194,7 +1207,13 @@ def _ivf_recover(spark, index_path: str) -> None:
     and ``postings__old`` exists, the crash happened between the two
     renames — restore the old generation.  If both exist, the swap
     completed and ``__old`` is garbage (same contract as
-    operators/upsert)."""
+    operators/upsert).
+
+    WRITER-only (append/compact, single-writer assumption): a reader
+    running this during a live compactor's swap window would rename the
+    old generation back and collide with the compactor's
+    staging→postings rename; readers instead fall back to reading
+    ``postings__old`` (see ivf_index_query)."""
     postings = f"{index_path}/postings"
     old = f"{index_path}/postings__old"
     if jvm_fs_exists(spark, old):
@@ -1214,9 +1233,10 @@ def ivf_index_compact(spark, index_path: str, label: str = "compacted") -> dict:
 
     Crash-safe swap (the upsert contract): the consolidated generation
     stages OUTSIDE ``postings/``, then postings→postings__old,
-    staging→postings, delete __old; ``_ivf_recover`` (run by
-    query/append/compact) finishes an interrupted swap from either
-    side.  Stats history and the drift baseline are untouched —
+    staging→postings, delete __old; ``_ivf_recover`` (run by the
+    writers append/compact only — readers fall back to
+    ``postings__old`` without renaming) finishes an interrupted swap
+    from either side.  Stats history and the drift baseline are untouched —
     compaction moves bytes, not meaning."""
     _ivf_recover(spark, index_path)
     postings = f"{index_path}/postings"

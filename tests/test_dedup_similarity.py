@@ -689,10 +689,27 @@ def test_ivf_index_compact_and_recover(spark, tmp_path):
     }
     assert after == before
 
-    # crash window: postings renamed away, __old left behind -> the next
-    # reader recovers it
+    # crash/swap window: postings renamed away, __old left behind.
+    # A READER answers from the old generation WITHOUT touching the
+    # filesystem (a racing compactor may be mid-swap; a reader that
+    # renamed __old back would collide with its staging->postings
+    # rename and nest a double-generation layout).
     jvm_fs_rename(spark, f"{idx}/postings", f"{idx}/postings__old")
     assert not jvm_fs_exists(spark, f"{idx}/postings")
+    during = {
+        (r["query_id"], r["corpus_id"], r["rank"])
+        for r in ivf_index_query(spark, idx, q, n_probe=2, k=5).collect()
+    }
+    assert during == before
+    assert not jvm_fs_exists(spark, f"{idx}/postings")      # reader mutated nothing
+    assert jvm_fs_exists(spark, f"{idx}/postings__old")
+
+    # the next WRITER (single-writer assumption) finishes the recovery
+    ivf_index_append(
+        emb.filter("vec_id < 0"), idx, batch_label="noop"
+    )
+    assert jvm_fs_exists(spark, f"{idx}/postings")
+    assert not jvm_fs_exists(spark, f"{idx}/postings__old")
     recovered = {
         (r["query_id"], r["corpus_id"], r["rank"])
         for r in ivf_index_query(spark, idx, q, n_probe=2, k=5).collect()

@@ -135,3 +135,53 @@ def test_events_ts_unit_detection(spark, tmp_path):
     }
     assert entry_mod._events_ts_unit(str(nsdir)) == "ns"
     assert got == want
+
+
+def test_unblock_files_custom_ts_col(spark):
+    """Review finding: unblock_files hardcoded 'attempt_ts'; a caller
+    with another timestamp column got an AnalysisException (or a marker
+    with its real ts column nulled)."""
+    from gpt_rag_ingestion_spark.operators.ops_log import (
+        blocked_files,
+        unblock_files,
+    )
+
+    _t = dt.datetime.fromisoformat
+    attempts = spark.createDataFrame(
+        [("f1", "failed", _t(f"2024-01-01T00:00:0{i}")) for i in range(3)],
+        "file_key STRING, status STRING, tried_at TIMESTAMP",
+    )
+    assert blocked_files(attempts, ts_col="tried_at").count() == 1
+    after = unblock_files(
+        attempts, spark.createDataFrame([("f1",)], ["file_key"]),
+        ts_col="tried_at",
+    )
+    marker = after.filter(F.col("status") == "success").collect()
+    assert len(marker) == 1
+    assert marker[0]["tried_at"] == _t("2024-01-01T00:00:02")
+    assert blocked_files(after, ts_col="tried_at").count() == 0
+
+
+def test_chunk_carry_dedup_and_collision_guard(spark):
+    """Review finding: passing doc_key_col again in carry_cols built a
+    duplicate-field mapInPandas schema; a carry column named like a
+    chunk output column silently overwrote it."""
+    from gpt_rag_ingestion_spark.chunking.pipeline import chunk_documents
+
+    docs = spark.createDataFrame(
+        [("d1", "alpha " * 40, "s1")], ["doc_id", "text", "source"]
+    )
+    out = chunk_documents(
+        docs, doc_key_col="doc_id", carry_cols=["doc_id", "source"],
+        max_tokens=20, overlap=2, min_tokens=2, embedding_dim=4,
+    )
+    assert sorted(out.columns) == sorted(set(out.columns))  # no dup fields
+    rows = out.collect()
+    assert rows and all(r["doc_id"] == "d1" and r["source"] == "s1" for r in rows)
+
+    with pytest.raises(ValueError, match="collide"):
+        chunk_documents(
+            docs.withColumnRenamed("source", "content"),
+            doc_key_col="doc_id", source_col=None, carry_cols=["content"],
+            max_tokens=20, overlap=2, min_tokens=2, embedding_dim=4,
+        ).collect()
