@@ -81,6 +81,31 @@ def main() -> int:
             f"x{r1:5.1f} x{r2:5.1f}  {note}"
         )
 
+    # batched-BPE instrumentation: same learned merge table, fewer
+    # cluster round-trips (each round = one pair-count job + one
+    # checkpointed merge application)
+    import gpt_rag_ingestion_spark.operators.bpe as bpe
+
+    docs = (
+        spark.read.parquet(f"{SFS[0]}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    bpe_rows = []
+    for k, exact in ((1, True), (16, True), (8, False), (16, False)):
+        t0 = time.monotonic()
+        merges = bpe.bpe_train(
+            docs, num_merges=48, merges_per_round=k, exact=exact
+        )
+        n_merges = merges.count()
+        mode = "exact" if exact else "skip"
+        bpe_rows.append(
+            (k, mode, n_merges, bpe.LAST_TRAIN_ROUNDS, time.monotonic() - t0)
+        )
+        print(
+            f"bpe_train k={k:2d} {mode}: {n_merges} merges in "
+            f"{bpe.LAST_TRAIN_ROUNDS} rounds, {bpe_rows[-1][4]:.1f}s"
+        )
+
     with open("/root/repo/SCALING.md", "w") as f:
         f.write(
             "# SCALING — measured wall time vs data size\n\n"
@@ -98,6 +123,23 @@ def main() -> int:
                 f"| {name} | {family} | {t[0]:.2f}s | {t[1]:.2f}s | {t[2]:.2f}s "
                 f"| x{r1:.1f} | x{r2:.1f} | {note} |\n"
             )
+        f.write(
+            "\n## Batched BPE training (48 merges, sf0.001 documents)\n\n"
+            "Each round = one pair-count job + one checkpointed merge\n"
+            "application; at a production 32k-merge vocabulary the round\n"
+            "count — not per-round cost — is the wall-clock driver.\n"
+            "`exact` applies only the provably-safe prefix of the ordered\n"
+            "pair list (learned table bit-identical to sequential —\n"
+            "unit-proven — but character-level early merges interact, so\n"
+            "rounds barely drop); `skip` is standard batched BPE (pick K\n"
+            "mutually non-interacting pairs, skipping interacting ones):\n"
+            "rounds ~ merges/K, identical to sequential exactly when the\n"
+            "picked pairs don't interact.\n\n"
+            "| merges_per_round | mode | merges learned | cluster rounds | wall |\n"
+            "|---|---|---|---|---|\n"
+        )
+        for k, mode, n_merges, rounds_, wall in bpe_rows:
+            f.write(f"| {k} | {mode} | {n_merges} | {rounds_} | {wall:.1f}s |\n")
         f.write(
             "\nReading: every streaming-shape operator stays at or under\n"
             "~linear through the measured range; the exact families (q16,\n"

@@ -1214,3 +1214,90 @@ def test_round2_operators_on_empty_and_singleton_inputs(spark):
     assert v.count() == 0
     enc = encode_with_vocab(one, v).collect()[0]
     assert enc["n_oov"] == enc["n_tokens"] == 2
+
+
+def test_bpe_batched_equals_sequential(spark):
+    """Round-3: merges_per_round=K batches pairwise-safe merges into one
+    job per round; the learned merge table must be IDENTICAL to the
+    sequential argmax-per-job result, with far fewer cluster rounds."""
+    import gpt_rag_ingestion_spark.operators.bpe as bpe
+
+    # (a) constructed corpus whose top merges are pairwise disjoint
+    texts = [
+        "aa bb cc dd aa bb cc dd aa bb",
+        "ee ff gg hh ee ff gg hh",
+        "aa cc ee gg aa cc",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    seq = [tuple(r) for r in bpe.bpe_train(docs, num_merges=8).collect()]
+    seq_rounds = bpe.LAST_TRAIN_ROUNDS
+    bat = [
+        tuple(r)
+        for r in bpe.bpe_train(docs, num_merges=8, merges_per_round=8).collect()
+    ]
+    bat_rounds = bpe.LAST_TRAIN_ROUNDS
+    assert bat == seq
+    assert bat_rounds < seq_rounds
+
+    # (b) natural text (overlapping pairs everywhere): the safety rules
+    # must force fallbacks exactly where needed so the sequence still
+    # matches the python reference merge-for-merge
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    real = real.select("doc_id", "text").limit(60)
+    freqs = {}
+    for r in real.collect():
+        for w in (r["text"] or "").lower().split():
+            freqs[w] = freqs.get(w, 0) + 1
+    want = _bpe_python(freqs, 24)
+    got = [
+        (r["rank"], r["left"], r["right"], r["token"], r["n_pair"])
+        for r in bpe.bpe_train(
+            real, num_merges=24, merges_per_round=8
+        ).orderBy("rank").collect()
+    ]
+    rounds_batched = bpe.LAST_TRAIN_ROUNDS
+    assert got == want
+    assert rounds_batched < 24  # strictly fewer rounds than merges
+
+
+def test_bpe_skip_batched_mode(spark):
+    """exact=False (standard batched BPE): identical to sequential on a
+    corpus whose top pairs don't interact, and rounds ~ merges/K on
+    natural text."""
+    import gpt_rag_ingestion_spark.operators.bpe as bpe
+
+    texts = [
+        "aa bb cc dd aa bb cc dd aa bb",
+        "ee ff gg hh ee ff gg hh",
+        "aa cc ee gg aa cc",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    seq = [tuple(r) for r in bpe.bpe_train(docs, num_merges=8).collect()]
+    skip = [
+        tuple(r)
+        for r in bpe.bpe_train(
+            docs, num_merges=8, merges_per_round=8, exact=False
+        ).collect()
+    ]
+    assert skip == seq  # non-interacting top pairs: provably equal
+
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    real = real.select("doc_id", "text").limit(60)
+    got = bpe.bpe_train(
+        real, num_merges=32, merges_per_round=8, exact=False
+    ).collect()
+    assert bpe.LAST_TRAIN_ROUNDS <= 32 // 8 + 3  # ~merges/K rounds
+    # merge-table validity: contiguous ranks, unique tokens, every
+    # merge's sides are base chars or previously learned tokens
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    toks = [r["token"] for r in got]
+    assert len(set(toks)) == len(toks)
+    known = set()
+    for r in got:
+        for side in (r["left"], r["right"]):
+            assert len(side) == 1 or side in known
+        known.add(r["token"])
