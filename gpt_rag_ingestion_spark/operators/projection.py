@@ -35,6 +35,35 @@ def include_exclude_fields(
     return df.withColumn(out_col or map_col, filtered)
 
 
+def include_exclude_fields_by_cols(
+    df: DataFrame,
+    map_col: str,
+    include_col: str,
+    exclude_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """P6 with PER-ROW config: include/exclude arrive as array COLUMNS
+    (the config-DF-driven hydration joins each item to its collection's
+    config row), so one plan projects every collection at once — no
+    per-collection driver loop.  Semantics match
+    ``include_exclude_fields``: null include = keep all; a non-null
+    include wins over exclude (reference precedence,
+    sharepoint_indexer.py:316-329)."""
+    c, inc, exc = F.col(map_col), F.col(include_col), F.col(exclude_col)
+    filtered = (
+        F.when(
+            inc.isNotNull(),
+            F.map_filter(c, lambda k, _v: F.array_contains(inc, k)),
+        )
+        .when(
+            exc.isNotNull() & (F.size(exc) > 0),
+            F.map_filter(c, lambda k, _v: ~F.array_contains(exc, k)),
+        )
+        .otherwise(c)
+    )
+    return df.withColumn(out_col or map_col, filtered)
+
+
 def fields_map_to_text(map_col: str) -> Column:
     """F18 on a MAP column: sorted ``k: v`` lines (deterministic order)."""
     c = F.col(map_col)

@@ -171,6 +171,166 @@ def sharepoint_attachments_to_docs(
     )
 
 
+# --------------------------------------------------------------- S8:
+# config-DataFrame-driven hydration (reference
+# jobs/sharepoint_indexer.py:231-368 loads `sharepoint_site` documents
+# from a config container and normalizes them into collection specs).
+
+SITE_CONFIG_SCHEMA = (
+    "type STRING, siteDomain STRING, siteName STRING, category STRING, "
+    "lists ARRAY<STRUCT<listId STRING, listName STRING, filter STRING, "
+    "includeFields ARRAY<STRING>, excludeFields ARRAY<STRING>, "
+    "category STRING, listType STRING>>"
+)
+
+
+def parse_site_configs(configs: DataFrame, doc_col: str = "doc") -> DataFrame:
+    """S8: normalize raw site-config documents (one JSON string per
+    row, the landing-zone image of the reference's config container)
+    into one row per valid (site, list) collection — the relational
+    twin of ``_parse_collections`` (reference sharepoint_indexer.py:
+    275-368), validation rules included:
+
+    - only ``type == 'sharepoint_site'`` docs with non-blank
+      siteDomain/siteName and a ``lists`` array survive;
+    - a list needs listId or listName;
+    - includeFields: trimmed, blanks dropped, first-occurrence dedup
+      (``array_distinct``), null when absent;
+    - excludeFields: trimmed/blank-dropped, ``[]`` when absent;
+    - category: list-level, else site-level, else '';
+    - listType: 'document_library' recognized case-insensitively,
+      anything else (including invalid values) defaults to
+      'generic_list' (:333-349).
+
+    ``filter`` is carried through verbatim: it is an OData predicate
+    the CRAWLER pushes into the Graph query when filling the landing
+    zone (F24/SURVEY — not evaluated here).  Output: (site_domain,
+    site_name, site, list_id, list_name, filter, include_fields,
+    exclude_fields, category, list_type) where ``site`` =
+    'domain/name', the key the landing-zone items carry."""
+    c = F.from_json(F.col(doc_col), SITE_CONFIG_SCHEMA)
+    sites = (
+        configs.select(c.alias("c"))
+        .filter(
+            (F.lower(F.trim(F.coalesce(F.col("c.type"), F.lit("")))) == "sharepoint_site")
+            & (F.trim(F.coalesce(F.col("c.siteDomain"), F.lit(""))) != "")
+            & (F.trim(F.coalesce(F.col("c.siteName"), F.lit(""))) != "")
+            & F.col("c.lists").isNotNull()
+        )
+        .select(
+            F.trim("c.siteDomain").alias("site_domain"),
+            F.trim("c.siteName").alias("site_name"),
+            F.trim(F.coalesce(F.col("c.category"), F.lit(""))).alias("_site_cat"),
+            F.explode("c.lists").alias("l"),
+        )
+    )
+    clean = lambda col: F.array_distinct(  # noqa: E731
+        F.filter(
+            F.transform(col, lambda x: F.trim(x)), lambda x: x != ""
+        )
+    )
+    list_id = F.nullif(F.trim(F.coalesce(F.col("l.listId"), F.lit(""))), F.lit(""))
+    list_name = F.nullif(F.trim(F.coalesce(F.col("l.listName"), F.lit(""))), F.lit(""))
+    lt = F.lower(F.trim(F.coalesce(F.col("l.listType"), F.lit(""))))
+    return (
+        sites.filter(list_id.isNotNull() | list_name.isNotNull())
+        .select(
+            "site_domain",
+            "site_name",
+            F.concat_ws("/", "site_domain", "site_name").alias("site"),
+            list_id.alias("list_id"),
+            list_name.alias("list_name"),
+            F.nullif(
+                F.trim(F.coalesce(F.col("l.filter"), F.lit(""))), F.lit("")
+            ).alias("filter"),
+            F.when(
+                F.col("l.includeFields").isNotNull(),
+                clean(F.col("l.includeFields")),
+            ).alias("include_fields"),
+            F.coalesce(
+                clean(F.col("l.excludeFields")),
+                F.array().cast("array<string>"),
+            ).alias("exclude_fields"),
+            F.coalesce(
+                F.nullif(F.trim(F.coalesce(F.col("l.category"), F.lit(""))), F.lit("")),
+                F.nullif(F.col("_site_cat"), F.lit("")),
+                F.lit(""),
+            ).alias("category"),
+            F.when(lt == "document_library", F.lit("document_library"))
+            .otherwise(F.lit("generic_list"))
+            .alias("list_type"),
+        )
+    )
+
+
+def sharepoint_ingest_from_config(
+    configs: DataFrame,
+    items: DataFrame,
+    attachments: DataFrame | None = None,
+    lookups: dict[str, DataFrame] | None = None,
+    allowed_exts: list[str] | None = None,
+    embedding_dim: int = 64,
+    doc_col: str = "doc",
+) -> DataFrame:
+    """§3.3/S8 composed, config-DataFrame-driven: hydrate collection
+    specs from the config documents and drive BOTH ingestion paths for
+    every configured collection in ONE plan — no per-collection driver
+    loop:
+
+    - generic_list collections: items ⨝ config (broadcast — config is
+      bounded by the number of configured lists), per-ROW
+      include/exclude projection, then the body-doc mapping;
+    - document_library collections: attachments ⨝ config (broadcast),
+      config category attached (item-level category wins when present),
+      then the attachment chunk pipeline.
+
+    Unconfigured (site, list) rows never enter either branch — the
+    inner join IS the reference's 'iterate configured collections'
+    (sharepoint_indexer.py:1239-1311)."""
+    from gpt_rag_ingestion_spark.operators.projection import (
+        include_exclude_fields_by_cols,
+    )
+
+    cols = parse_site_configs(configs, doc_col=doc_col)
+
+    generic = cols.filter(F.col("list_type") == "generic_list").select(
+        "site", "list_id", "include_fields", "exclude_fields",
+        F.col("category").alias("_cfg_category"),
+    )
+    body_items = items.join(F.broadcast(generic), on=["site", "list_id"])
+    body_items = include_exclude_fields_by_cols(
+        body_items, "fields", "include_fields", "exclude_fields"
+    )
+    body_items = body_items.withColumn(
+        "category",
+        F.coalesce(
+            *( [F.nullif(F.col("category"), F.lit(""))] if "category" in items.columns else [] ),
+            F.col("_cfg_category"),
+        ),
+    ).drop("include_fields", "exclude_fields", "_cfg_category")
+    bodies = sharepoint_items_to_docs(
+        body_items, lookups=lookups, embedding_dim=embedding_dim
+    )
+
+    if attachments is None:
+        return bodies
+    libs = cols.filter(F.col("list_type") == "document_library").select(
+        "site", "list_id", F.col("category").alias("_cfg_category")
+    )
+    att = attachments.join(F.broadcast(libs), on=["site", "list_id"])
+    att = att.withColumn(
+        "category",
+        F.coalesce(
+            *( [F.nullif(F.col("category"), F.lit(""))] if "category" in attachments.columns else [] ),
+            F.col("_cfg_category"),
+        ),
+    ).drop("_cfg_category")
+    atts = sharepoint_attachments_to_docs(
+        att, allowed_exts=allowed_exts, embedding_dim=embedding_dim
+    )
+    return bodies.unionByName(atts, allowMissingColumns=True)
+
+
 def sharepoint_ingest_docs(
     items: DataFrame,
     attachments: DataFrame | None = None,
@@ -207,8 +367,10 @@ def sharepoint_items_to_docs(
     embedding_dim: int = 64,
 ) -> DataFrame:
     """items(site, list_id, item_id, fields MAP, last_modified,
-    user_acl_str?, group_acl_str?) -> one search doc per item (list-item
-    bodies are single-chunk docs, reference :905-929)."""
+    user_acl_str?, group_acl_str?, category?) -> one search doc per item
+    (list-item bodies are single-chunk docs, reference :905-929).  A
+    ``category`` column (e.g. attached by the config-driven hydration)
+    rides through to the docs."""
     ensure_importable(items)
     embed = hash_embedding_udf(embedding_dim)
 
@@ -246,6 +408,11 @@ def sharepoint_items_to_docs(
             F.lit(0).alias("chunk_id"),
             "content",
             F.length("content").alias("length"),
+            (
+                F.coalesce(F.col("category"), F.lit(""))
+                if "category" in cols
+                else F.lit("")
+            ).alias("category"),
             F.lit("sharepoint-list").alias("source"),
             embed(F.col("content")).alias("contentVector"),
         )

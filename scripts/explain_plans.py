@@ -201,12 +201,61 @@ def _sharepoint_composed(spark, sf_dir):
     )
 
 
+def _sharepoint_config_driven(spark, _sf_dir):
+    """S8 config-DF-driven hydration: the parsed config relation joins
+    BOTH ingestion branches as a broadcast build side (bounded by the
+    number of configured collections), the per-row include/exclude is a
+    map_filter, and the branches union — all one plan, no
+    per-collection driver loop."""
+    import datetime as dt
+    import json
+
+    from gpt_rag_ingestion_spark.plans.sharepoint_job import (
+        sharepoint_ingest_from_config,
+    )
+
+    t = dt.datetime.fromisoformat("2024-03-01T00:00:00")
+    cfg = spark.createDataFrame(
+        [(json.dumps({
+            "type": "sharepoint_site",
+            "siteDomain": "contoso", "siteName": "eng",
+            "lists": [
+                {"listId": "listA", "includeFields": ["Title"]},
+                {"listId": "libB", "listType": "document_library"},
+            ],
+        }),)],
+        ["doc"],
+    )
+    items = spark.createDataFrame(
+        [("contoso/eng", "listA", 1, {"Title": "Spec"}, t)],
+        "site STRING, list_id STRING, item_id INT, "
+        "fields MAP<STRING,STRING>, last_modified TIMESTAMP",
+    )
+    atts = spark.createDataFrame(
+        [("contoso/eng", "libB", 1, "spec.pdf", b"words. " * 50, t)],
+        "site STRING, list_id STRING, item_id INT, file_name STRING, "
+        "payload BINARY, last_modified TIMESTAMP",
+    )
+    return sharepoint_ingest_from_config(
+        cfg, items, attachments=atts, embedding_dim=8
+    )
+
+
 #: composed jobs that aren't driver queries: name -> (builder, must, must_not)
 EXTRA_PLANS = {
     "sharepoint_ingest_composed": (
         _sharepoint_composed,
         ["BroadcastHashJoin", "Union"],
         [],
+    ),
+    # config joins must broadcast (explicit hint — the bounded config
+    # relation must never shuffle the corpus-sized item/attachment
+    # stream); map_filter = per-row include/exclude projection.  The
+    # chunk<->file-metadata join may legitimately sort-merge at scale.
+    "sharepoint_config_driven": (
+        _sharepoint_config_driven,
+        ["BroadcastHashJoin", "Union", "map_filter"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
 }
 

@@ -123,3 +123,121 @@ def test_sharepoint_ingest_union(spark):
     assert {r["source"] for r in rows} == {"sharepoint-list"}
     # single schema across both branches
     assert len({tuple(sorted(r.asDict().keys())) for r in rows}) == 1
+
+
+def test_parse_site_configs(spark):
+    """S8 hydration: the relational twin of _parse_collections
+    (reference sharepoint_indexer.py:275-368) including its validation
+    rules."""
+    import json
+
+    from gpt_rag_ingestion_spark.plans.sharepoint_job import parse_site_configs
+
+    docs = [
+        {  # valid: one generic list + one document library
+            "type": "sharepoint_site",
+            "siteDomain": " contoso.sharepoint.com ",
+            "siteName": "eng",
+            "category": "engineering",
+            "lists": [
+                {
+                    "listId": "listA",
+                    "includeFields": [" Title ", "OwnerId", "Title", ""],
+                    "excludeFields": ["Internal"],
+                    "filter": "fields/Modified gt '2024-01-01'",
+                },
+                {
+                    "listId": "libB",
+                    "listType": "Document_Library",
+                    "category": "specs",
+                },
+                {"listType": "generic_list"},  # no listId/listName: dropped
+                {"listName": "Legacy", "listType": "bogus_type"},
+            ],
+        },
+        {"type": "sharepoint_site", "siteName": "x", "lists": []},  # no domain
+        {"type": "other_thing", "siteDomain": "d", "siteName": "n", "lists": []},
+        {"type": "sharepoint_site", "siteDomain": "d", "siteName": "n"},  # no lists
+    ]
+    cfg = spark.createDataFrame([(json.dumps(d),) for d in docs], ["doc"])
+    rows = {
+        (r["list_id"], r["list_name"]): r
+        for r in parse_site_configs(cfg).collect()
+    }
+    assert set(rows) == {("listA", None), ("libB", None), (None, "Legacy")}
+    a = rows[("listA", None)]
+    assert a["site"] == "contoso.sharepoint.com/eng"
+    assert a["include_fields"] == ["Title", "OwnerId"]  # trim+dedup, order kept
+    assert a["exclude_fields"] == ["Internal"]
+    assert a["category"] == "engineering"  # site-level fallback
+    assert a["list_type"] == "generic_list"
+    assert a["filter"] == "fields/Modified gt '2024-01-01'"
+    b = rows[("libB", None)]
+    assert b["list_type"] == "document_library"  # case-insensitive
+    assert b["category"] == "specs"  # list-level wins
+    assert b["include_fields"] is None and b["exclude_fields"] == []
+    legacy = rows[(None, "Legacy")]
+    assert legacy["list_type"] == "generic_list"  # invalid type defaults
+
+
+def test_sharepoint_ingest_from_config(spark):
+    """S8 composed: a two-collection config drives bodies + attachments
+    in one plan; unconfigured lists never ingest; include projection
+    and config category land on the docs."""
+    import json
+
+    from gpt_rag_ingestion_spark.plans.sharepoint_job import (
+        sharepoint_ingest_from_config,
+    )
+
+    cfg = spark.createDataFrame(
+        [(json.dumps({
+            "type": "sharepoint_site",
+            "siteDomain": "contoso.sharepoint.com",
+            "siteName": "eng",
+            "category": "engineering",
+            "lists": [
+                {"listId": "listA", "includeFields": ["Title", "OwnerId"]},
+                {"listId": "libB", "listType": "document_library",
+                 "category": "specs"},
+            ],
+        }),)],
+        ["doc"],
+    )
+    t = dt.datetime.fromisoformat("2024-03-01T00:00:00")
+    site = "contoso.sharepoint.com/eng"
+    items = spark.createDataFrame(
+        [
+            (site, "listA", 1,
+             {"Title": "Spec", "OwnerId": "7", "Internal": "x"},
+             t, '["u1"]', "g1"),
+            (site, "unconfigured", 2, {"Title": "Nope"}, t, "[]", ""),
+        ],
+        "site STRING, list_id STRING, item_id INT, fields MAP<STRING,STRING>, "
+        "last_modified TIMESTAMP, user_acl_str STRING, group_acl_str STRING",
+    )
+    attachments = spark.createDataFrame(
+        [
+            (site, "libB", 9, "doc.pdf", b"words here. " * 30, t),
+            (site, "listA", 1, "skip.pdf", b"body attachment", t),
+        ],
+        "site STRING, list_id STRING, item_id INT, file_name STRING, "
+        "payload BINARY, last_modified TIMESTAMP",
+    )
+    rows = sharepoint_ingest_from_config(
+        cfg, items, attachments=attachments,
+        lookups={"OwnerId": _owners(spark)}, embedding_dim=8,
+    ).collect()
+    parents = {r["parent_id"] for r in rows}
+    # configured generic list -> body doc; configured library -> chunks;
+    # unconfigured list / non-library attachment -> absent
+    body = [r for r in rows if r["parent_id"].startswith("contoso-sharepoint-com-eng-listA-1")]
+    att = [r for r in rows if "libB-9-doc-pdf" in r["parent_id"]]
+    assert body and att
+    assert not any("unconfigured" in p for p in parents)
+    assert not any("skip-pdf" in p for p in parents)
+    d1 = body[0]
+    assert "OwnerId: Alice" in d1["content"]  # lookup resolved
+    assert "Internal" not in d1["content"]  # include projection applied
+    assert d1["category"] == "engineering"  # site-level category
+    assert att[0]["category"] == "specs"  # list-level category
