@@ -19,6 +19,69 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _ann_recall(spark, entry_mod, sf_dir: str, k: int = 10) -> dict:
+    """recall@k of every ANN family vs the exact tiled baseline
+    (quantized_dot_topk) on the embeddings table.  Tracked per round in
+    BENCH_r{N}.json; floors are asserted in
+    tests/test_scale_features.py::test_ann_recall_floors."""
+    from pyspark.sql import functions as F
+
+    from gpt_rag_ingestion_spark.operators.similarity import (
+        ivf_ann,
+        ivfpq_ann,
+        lsh_bucketed_ann,
+        pq_ann_refined,
+        quantized_dot_topk,
+    )
+
+    emb = entry_mod._t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).cache()
+    # ground truth = exact COSINE top-k (the metric every ANN family
+    # ranks by): run the exact tiled baseline on unit-normalized vectors
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    unit = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x / F.greatest(norm, F.lit(1e-12))
+        ).alias("embedding"),
+    )
+    truth: dict = {}
+    for r in quantized_dot_topk(unit, k=k).collect():
+        truth.setdefault(r["vec_id"], set()).add(r["nn_id"])
+    # PQ-family query side is a bounded batch by documented contract
+    pq_queries = emb.filter(F.col("vec_id") % 8 == 0)
+    # settings chosen for the synthetic (weakly clustered) embeddings:
+    # recall floors for these settings are asserted in
+    # tests/test_scale_features.py::test_ann_recall_floors
+    variants = {
+        "lsh": lambda: lsh_bucketed_ann(emb, emb, dim=64, bits=6, k=k, probes=3),
+        "ivf": lambda: ivf_ann(emb, emb, dim=64, n_centroids=16, n_probe=6, k=k),
+        "pq_refine": lambda: pq_ann_refined(emb, pq_queries, k=k),
+        "ivfpq": lambda: ivfpq_ann(
+            emb, pq_queries, k=k, n_probe=8, refine_factor=8
+        ),
+    }
+    out = {}
+    for name, fn in variants.items():
+        got: dict = {}
+        for r in fn().collect():
+            got.setdefault(r["query_id"], set()).add(r["corpus_id"])
+        recs = [
+            len(v & truth.get(q, set())) / max(len(truth.get(q, set())), 1)
+            for q, v in got.items()
+        ]
+        out[name] = round(sum(recs) / max(len(recs), 1), 4)
+    emb.unpersist()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -113,6 +176,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "ann_recall": _ann_recall(spark, entry_mod, sf_dir),
         "sf": sf_val,
     }
     print(json.dumps(out))

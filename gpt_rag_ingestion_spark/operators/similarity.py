@@ -87,19 +87,31 @@ def tiled_block_pairs(
         boost = math.isqrt(par // (n_tiles * n_qb)) + 1
         n_tiles = min(max(n_c, 1), n_tiles * boost)
         n_qb = min(max(n_q, 1), n_qb * boost)
+    # BOTH key columns must be BIGINT on BOTH sides: a cogroup whose
+    # grouping keys differ in type between the frames (INT from
+    # explode(sequence) vs BIGINT from pmod(xxhash64)) hash-partitions
+    # the two sides differently, silently pairing a group's corpus rows
+    # with an EMPTY query side once the data spans more than one
+    # shuffle partition — invisible at small row counts (one partition
+    # co-locates everything), catastrophic at scale.
+    zero, last_qb, last_ct = (
+        F.lit(0).cast("long"),
+        F.lit(n_qb - 1).cast("long"),
+        F.lit(n_tiles - 1).cast("long"),
+    )
     c = (
         corpus.select(
             F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
         )
         .withColumn("ct", F.pmod(F.xxhash64(F.col("cid")), F.lit(n_tiles)))
-        .withColumn("qb", F.explode(F.sequence(F.lit(0), F.lit(n_qb - 1))))
+        .withColumn("qb", F.explode(F.sequence(zero, last_qb)))
     )
     q = (
         queries.select(
             F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
         )
         .withColumn("qb", F.pmod(F.xxhash64(F.col("qid")), F.lit(n_qb)))
-        .withColumn("ct", F.explode(F.sequence(F.lit(0), F.lit(n_tiles - 1))))
+        .withColumn("ct", F.explode(F.sequence(zero, last_ct)))
     )
     return c, q
 
@@ -316,7 +328,14 @@ def _make_bucket_scorer(k: int):
 def _cogrouped_topk(c: DataFrame, qd: DataFrame, cell_col: str, k: int) -> DataFrame:
     """Shared tail of LSH/IVF ANN: cogroup corpus and probing queries on
     the cell key, score densely per cell, merge per-cell candidates into
-    the global top-k with a window."""
+    the global top-k with a window.
+
+    Both frames' cell keys are cast to BIGINT before the cogroup: a
+    type mismatch between the sides hash-partitions them differently
+    and silently pairs groups with an empty opposite side once the data
+    spans multiple partitions (see tiled_block_pairs)."""
+    c = c.withColumn(cell_col, F.col(cell_col).cast("long"))
+    qd = qd.withColumn(cell_col, F.col(cell_col).cast("long"))
     cands = (
         c.groupby(cell_col)
         .cogroup(qd.groupby(cell_col))
@@ -926,6 +945,9 @@ def ivfpq_ann(
             }
         )
 
+    # align key types before the cogroup (see _cogrouped_topk)
+    enc = enc.withColumn("cell", F.col("cell").cast("long"))
+    qd = qd.withColumn("cell", F.col("cell").cast("long"))
     cands = (
         enc.groupby("cell")
         .cogroup(qd.groupby("cell"))

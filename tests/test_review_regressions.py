@@ -185,3 +185,32 @@ def test_chunk_carry_dedup_and_collision_guard(spark):
             doc_key_col="doc_id", source_col=None, carry_cols=["content"],
             max_tokens=20, overlap=2, min_tokens=2, embedding_dim=4,
         ).collect()
+
+
+def test_tiled_cogroup_covers_all_queries_multi_partition(spark):
+    """Round-3 bug: tiled_block_pairs produced INT block ids on one
+    side of the cogroup and BIGINT on the other; the mismatched key
+    types hash-partition the two frames differently, silently pairing
+    whole query blocks with an empty corpus side once the data spans
+    multiple shuffle partitions.  2000 vectors (multiple partitions at
+    32 shuffle partitions) must all surface in the exact top-k."""
+    import numpy as np
+
+    from gpt_rag_ingestion_spark.operators.similarity import (
+        quantized_dot_topk,
+        tiled_block_pairs,
+    )
+
+    n, dim = 2000, 8
+    rng = np.random.default_rng(7)
+    V = rng.normal(size=(n, dim)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, V[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    ).repartition(16)
+    c, q = tiled_block_pairs(emb, emb, 256, "vec_id", "embedding")
+    assert dict(c.dtypes)["qb"] == dict(q.dtypes)["qb"] == "bigint"
+    assert dict(c.dtypes)["ct"] == dict(q.dtypes)["ct"] == "bigint"
+    out = quantized_dot_topk(emb, k=5)
+    assert out.select("vec_id").distinct().count() == n
+    assert out.count() == n * 5

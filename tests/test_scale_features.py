@@ -1301,3 +1301,17 @@ def test_bpe_skip_batched_mode(spark):
         for side in (r["left"], r["right"]):
             assert len(side) == 1 or side in known
         known.add(r["token"])
+
+
+def test_ann_recall_floors(spark):
+    """The bench's tracked ann_recall metrics must stay above their
+    floors (recall@10 vs the exact cosine baseline, at the bench's
+    probe settings, on the synthetic weakly-clustered embeddings)."""
+    import __spark_entry__ as entry_mod
+    from bench import _ann_recall
+
+    rec = _ann_recall(spark, entry_mod, SF)
+    assert rec["lsh"] >= 0.70, rec
+    assert rec["ivf"] >= 0.55, rec
+    assert rec["pq_refine"] >= 0.75, rec
+    assert rec["ivfpq"] >= 0.60, rec
