@@ -240,11 +240,12 @@ def chunk_corpus(
     embed = hash_embedding_udf(embedding_dim)
 
     # spread a small corpus across cores ONCE here (the per-branch
-    # pipelines are told not to re-probe: spread=False) — at real scale
-    # the source already has enough partitions and this is a no-op
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < min(par, 8):
-        docs = docs.repartition(par)
+    # pipelines are told not to re-probe: spread=False) — file-listing
+    # estimate, no plan->RDD probe; at real scale the source already
+    # has enough partitions and this is a no-op
+    from gpt_rag_ingestion_spark.session import spread_small_input
+
+    docs = spread_small_input(docs)
 
     tagged = docs.withColumn(
         "chunker", chunker_for_extension(ext_col, office_supported)

@@ -198,17 +198,18 @@ def chunk_documents(
     skips the small-input repartition probe — pass it when the caller
     already spread the corpus (e.g. chunk_corpus), since the probe's
     plan->RDD conversion costs a query compilation per call."""
-    from gpt_rag_ingestion_spark.session import ensure_importable
+    from gpt_rag_ingestion_spark.session import (
+        ensure_importable,
+        spread_small_input,
+    )
 
     ensure_importable(docs)
     # a small source (single parquet file) arrives as 1-2 partitions and
-    # would serialize the whole UDF pipeline onto one core — spread it.
-    # At real scale inputs already have >= cluster parallelism partitions
-    # and this is a no-op (no shuffle added).
+    # would serialize the whole UDF pipeline onto one core — spread it
+    # (file-listing estimate, no plan->RDD probe).  At real scale inputs
+    # already have >= cluster parallelism partitions and this is a no-op.
     if spread:
-        target = docs.sparkSession.sparkContext.defaultParallelism
-        if docs.rdd.getNumPartitions() < min(target, 8):
-            docs = docs.repartition(target)
+        docs = spread_small_input(docs)
 
     carry = list(carry_cols or [])
     if source_col:

@@ -663,6 +663,34 @@ def pq_encode(
     )
 
 
+PQ_MAX_QUERY_ROWS = 65536
+
+
+def _collect_query_batch(
+    queries: DataFrame, id_col: str, vec_col: str,
+    max_rows: int = PQ_MAX_QUERY_ROWS,
+):
+    """The PQ family's documented contract: the query side is a BOUNDED
+    batch (it broadcasts as per-query distance tables).  Guard the
+    driver collect — ``limit(max_rows + 1)`` bounds the transfer itself,
+    and an over-limit batch fails fast with the remedy instead of
+    OOMing the driver."""
+    qp = (
+        queries.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(max_rows + 1)
+        .toPandas()
+    )
+    if len(qp) > max_rows:
+        raise ValueError(
+            f"PQ query batch exceeds {max_rows} rows; the PQ family "
+            "broadcasts queries as distance tables, so slice the query "
+            "side into bounded batches (or use lsh_bucketed_ann / "
+            "ivf_ann, whose query side stays distributed)"
+        )
+    return qp
+
+
 def pq_ann(
     corpus: DataFrame,
     queries: DataFrame,
@@ -695,7 +723,7 @@ def pq_ann(
     )
     codes = pq_encode(corpus, books, id_col, vec_col)
 
-    qp = queries.select(id_col, vec_col).orderBy(id_col).toPandas()
+    qp = _collect_query_batch(queries, id_col, vec_col)
     qids = qp[id_col].to_numpy()
     Q = np.vstack(qp[vec_col].to_numpy()).astype("float64")
     Q = Q / np.maximum(np.linalg.norm(Q, axis=1)[:, None], 1e-12)
@@ -790,7 +818,7 @@ def exact_rerank(
     """Exact integer-quantized-dot re-rank of a (query_id, corpus_id)
     shortlist: the shortlist broadcasts to the raw-vector scan (no
     corpus shuffle), the final window shuffles k'·|Q| compact rows."""
-    qp = queries.select(id_col, vec_col).orderBy(id_col).toPandas()
+    qp = _collect_query_batch(queries, id_col, vec_col)
     qmat = _quantize_np(
         np.vstack(qp[vec_col].to_numpy()).astype("float64")
     )

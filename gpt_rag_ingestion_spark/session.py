@@ -61,6 +61,47 @@ def ship_active() -> None:
         ship_package(s)
 
 
+def spread_small_input(docs: DataFrame, cap: int = 8) -> DataFrame:
+    """Spread a SMALL input across cores without the plan->RDD
+    partition probe (``df.rdd.getNumPartitions()`` costs a query
+    compilation per call).  The scan partition count is estimated from
+    the leaf file listing: ceil(file_size / maxPartitionBytes) summed
+    over input files (sizes best-effort for local paths; one partition
+    per file otherwise).  Non-file sources (createDataFrame ranges,
+    already-shuffled plans) are left alone — they already carry the
+    session parallelism.  At real scale the estimate exceeds the
+    threshold immediately and this is a no-op."""
+    sc = docs.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        files = docs.inputFiles()
+    except Exception:
+        return docs
+    if not files:
+        return docs
+    threshold = min(target, cap)
+    if len(files) >= threshold:
+        return docs
+    raw = docs.sparkSession.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728"
+    )
+    try:
+        max_bytes = int(raw.lower().rstrip("b"))
+    except ValueError:
+        max_bytes = 128 * 1024 * 1024  # a sized string like "128MB"
+    est = 0
+    for f in files:
+        path = f.split("://", 1)[-1] if "://" in f else f.removeprefix("file:")
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            size = 0
+        est += max(1, -(-size // max_bytes))
+        if est >= threshold:
+            return docs
+    return docs.repartition(target)
+
+
 def get_spark(
     app_name: str = "gpt-rag-ingestion-spark",
     master: str | None = None,
