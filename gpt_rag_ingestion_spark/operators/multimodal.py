@@ -64,9 +64,23 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_image_stub(payload: bytes, deterministic_fake: bool = False) -> dict:
-    """Placeholder for PIL/ffmpeg decode.  The real implementation needs
-    image/audio libraries not present in this container."""
+    """Image decode: PIL when installed (real width/height/frames),
+    else a clearly-marked gate.  ``deterministic_fake=True`` is the
+    seeded stand-in used by tests/bench in library-free containers."""
     if not deterministic_fake:
+        try:
+            import io
+
+            from PIL import Image  # noqa: F401
+
+            with Image.open(io.BytesIO(payload or b"")) as img:
+                return {
+                    "width": int(img.width),
+                    "height": int(img.height),
+                    "n_frames": int(getattr(img, "n_frames", 1)),
+                }
+        except ImportError:
+            pass
         raise NotImplementedError(
             "media decoding requires image/audio libraries not available "
             "in this environment; pass deterministic_fake=True for the "
