@@ -40,10 +40,17 @@ _HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 def _escape_path_value(v) -> str:
     """Mirror Spark's partition-path escaping so we can address a
-    partition directory from its column values."""
+    partition directory from its column values.  NULL **and the empty
+    string** both map to the Hive default partition — Spark's
+    getPartitionPathString does the same, which means a partitioned
+    table cannot distinguish '' from NULL in a partition column (both
+    read back as NULL).  Don't partition on a column where that
+    distinction matters."""
     if v is None:
         return _HIVE_DEFAULT_PARTITION
     s = str(v)
+    if s == "":
+        return _HIVE_DEFAULT_PARTITION
     return "".join(f"%{ord(c):02X}" if c in _ESCAPE_CHARS else c for c in s)
 
 
@@ -151,8 +158,11 @@ def merge_upsert(
 
     # Swap ONLY the affected partition directories; untouched partitions'
     # files are never rewritten (the property the 100 TB design needs).
-    for values in affected:
-        rel = _partition_rel_path(partition_cols, values)
+    # Dedup by RESOLVED path: '' and NULL partition values share one
+    # Hive-default directory, and swapping the same dir twice would
+    # find the staging gone and delete the live data.
+    rels = sorted({_partition_rel_path(partition_cols, v) for v in affected})
+    for rel in rels:
         staged_dir = os.path.join(tmp, rel)
         live_dir = os.path.join(table_path, rel)
         if os.path.exists(staged_dir):
@@ -214,8 +224,8 @@ def delete_keys(
         F.broadcast(key_set), on=key, how="left_anti"
     )
     kept.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
-    for values in affected:
-        rel = _partition_rel_path(partition_cols, values)
+    rels = sorted({_partition_rel_path(partition_cols, v) for v in affected})
+    for rel in rels:  # dedup: ''/NULL share the Hive default dir
         staged_dir = os.path.join(tmp, rel)
         live_dir = os.path.join(table_path, rel)
         if os.path.exists(staged_dir):

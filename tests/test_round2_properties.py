@@ -135,3 +135,49 @@ def test_incremental_dedup_exact_classes_property(spark, texts):
             assert (dec, dup) == ("exact_dup_batch", first_in_batch[t])
         else:
             assert dec in ("new", "near_dup_base")
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pvals=st.lists(
+        st.text(
+            alphabet="ab/:=%#\\'\" .\t-_0123456789",
+            min_size=0, max_size=12,
+        ) | st.none(),
+        min_size=1, max_size=4, unique=True,
+    ),
+    data=st.data(),
+)
+def test_partitioned_merge_escaping_property(spark, tmp_path_factory, pvals, data):
+    """Round-3: the partition-pruned merge must be byte-identical to
+    the unpartitioned rewrite for ARBITRARY partition values — the
+    directory addressing mirrors Spark's escapePathName, so slashes,
+    quotes, '%', '=', ':', whitespace, and NULL must all round-trip
+    through the partition swap.  The one Spark-inherent exception:
+    Hive layout maps the EMPTY STRING to the default partition, so it
+    reads back as NULL — canonicalize '' to NULL on both sides."""
+    import pyspark.sql.functions as _F
+
+    from gpt_rag_ingestion_spark.operators.upsert import merge_upsert
+
+    n = len(pvals)
+    rows1 = [(f"k{i}", pvals[i % n], i) for i in range(2 * n)]
+    # second batch re-ingests half the keys, possibly moving partitions
+    moved = data.draw(st.permutations(pvals))
+    rows2 = [(f"k{i}", moved[i % n], 100 + i) for i in range(n)]
+
+    base = tmp_path_factory.mktemp("merge_prop")
+    plain, parted = str(base / "plain"), str(base / "parted")
+    schema = "parent_id string, part string, v int"
+    for table, pc in ((plain, None), (parted, ["part"])):
+        merge_upsert(spark, table, spark.createDataFrame(rows1, schema),
+                     partition_cols=pc)
+        merge_upsert(spark, table, spark.createDataFrame(rows2, schema),
+                     partition_cols=pc)
+    canon = lambda p: sorted(  # noqa: E731
+        (r["parent_id"], r["part"] or None, r["v"])
+        for r in spark.read.parquet(p)
+        .select("parent_id", _F.col("part").cast("string"), "v").collect()
+    )
+    assert canon(parted) == canon(plain)
