@@ -2820,6 +2820,73 @@ def q144_giant_doc_parts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q145_streaming_web_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.10 + web-corpus loop END-TO-END as a stream: two AvailableNow
+    drains of a crawl landing zone through
+    streaming/micro_batch.run_streaming_web_corpus — funnel
+    (blocklist + quality), incremental dedup AGAINST THE ACCUMULATED
+    CORPUS, idempotent merge, per-batch shards/audit.  Batch 2 plants
+    exact duplicates of batch-1 documents (doc_id%9==2 copies
+    doc_id-1's text) and in-batch duplicates (doc_id%9==8 copies
+    doc_id-3's), so the audit must show exact_dup_base /
+    exact_dup_batch with the right dup_of targets.  The oracle states
+    the whole two-batch lifecycle in closed form (funnel + digest-min
+    joins, batch 2 deduping against batch 1's ADMITTED set only) —
+    near-dup is disabled (threshold 0.999) so the oracle needs no
+    shingle arithmetic."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.streaming.micro_batch import (
+        run_streaming_web_corpus,
+    )
+
+    _ensure_shipped(spark)
+    docs = _t(spark, sf, "documents")
+    base = tempfile.mkdtemp(prefix="q145-")
+    landing = f"{base}/landing"
+    url = F.concat(
+        F.lit("https://www.d"),
+        (F.col("doc_id") % 15).cast("string"),
+        F.lit(".org/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    by_src = docs.select(
+        F.col("doc_id").alias("src_id"), F.col("text")
+    )
+    b1 = docs.filter("doc_id % 3 = 1").select(
+        "doc_id", url.alias("url"), "text"
+    )
+    src_id = (
+        F.when(F.col("doc_id") % 9 == 2, F.col("doc_id") - 1)
+        .when(F.col("doc_id") % 9 == 8, F.col("doc_id") - 3)
+        .otherwise(F.col("doc_id"))
+    )
+    b2 = (
+        docs.filter("doc_id % 3 = 2")
+        .select("doc_id", url.alias("url"), src_id.alias("src_id"))
+        .join(by_src, "src_id")
+        .select("doc_id", "url", "text")
+    )
+    kw = dict(
+        schema="doc_id LONG, url STRING, text STRING",
+        blocked_domains=["d4.org", "d5.org"],
+        min_chars=200,
+        cap_per_domain=1_000_000,
+        near_dup_threshold=0.999,
+    )
+    for batch in (b1, b2):
+        batch.coalesce(1).write.mode("append").json(landing)
+        run_streaming_web_corpus(
+            spark, landing, f"{base}/corpus", f"{base}/shards",
+            f"{base}/audit", f"{base}/ckpt", **kw,
+        )
+    return (
+        spark.read.parquet(f"{base}/audit")
+        .select("doc_id", "domain", "disposition", "dup_of", "batch_id")
+        .localCheckpoint()  # pin before the tmp dir ages out
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries, so the window below is curated to be (a) all
@@ -2970,6 +3037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_salted_join": q140_salted_join,
         "q142_read_access": q142_read_access,
         "q143_blocklist_lifecycle": q143_blocklist_lifecycle,
+        "q145_streaming_web_corpus": q145_streaming_web_corpus,
     }
 
 
@@ -5192,6 +5260,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.event_type, e.user_id,
               CAST(d.weight AS INT) AS weight
             FROM events e JOIN dim d USING (event_type)
+        """,
+        "q145_streaming_web_corpus": """
+            -- two-batch streaming lifecycle in closed form: batch 1
+            -- (doc_id%3=1, raw text) funnels and dedups in-batch; its
+            -- ADMITTED set is the corpus batch 2 (doc_id%3=2, with
+            -- %9=2 copying doc_id-1 and %9=8 copying doc_id-3) dedups
+            -- against, before its own in-batch digest pass
+            WITH b1 AS (
+              SELECT doc_id,
+                'd' || CAST(doc_id % 15 AS VARCHAR) || '.org' AS domain,
+                text
+              FROM documents WHERE doc_id % 3 = 1),
+            b2src AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 9 = 2 THEN doc_id - 1
+                     WHEN doc_id % 9 = 8 THEN doc_id - 3
+                     ELSE doc_id END AS src_id
+              FROM documents WHERE doc_id % 3 = 2),
+            b2 AS (
+              SELECT d.doc_id,
+                'd' || CAST(d.doc_id % 15 AS VARCHAR) || '.org' AS domain,
+                s.text
+              FROM b2src d JOIN documents s ON s.doc_id = d.src_id),
+            f1 AS (
+              SELECT *, (domain IN ('d4.org', 'd5.org')) AS blocked,
+                (length(text) >= 200) AS q
+              FROM b1),
+            d1 AS (SELECT doc_id, md5(text) AS digest
+                   FROM f1 WHERE NOT blocked AND q),
+            m1 AS (SELECT digest, min(doc_id) AS mn FROM d1 GROUP BY 1),
+            a1 AS (
+              SELECT f1.doc_id, f1.domain,
+                CASE WHEN blocked THEN 'blocked_domain'
+                     WHEN NOT q THEN 'low_quality'
+                     WHEN m1.mn < f1.doc_id THEN 'exact_dup_batch'
+                     ELSE 'admitted' END AS disposition,
+                CASE WHEN NOT blocked AND q AND m1.mn < f1.doc_id
+                     THEN m1.mn END AS dup_of,
+                0 AS batch_id
+              FROM f1 LEFT JOIN d1 ON d1.doc_id = f1.doc_id
+              LEFT JOIN m1 ON m1.digest = d1.digest),
+            corpus1 AS (
+              SELECT d1.doc_id, d1.digest
+              FROM d1 JOIN m1 ON m1.digest = d1.digest
+              WHERE m1.mn = d1.doc_id),
+            f2 AS (
+              SELECT *, (domain IN ('d4.org', 'd5.org')) AS blocked,
+                (length(text) >= 200) AS q
+              FROM b2),
+            d2 AS (SELECT doc_id, md5(text) AS digest
+                   FROM f2 WHERE NOT blocked AND q),
+            bm AS (SELECT digest, min(doc_id) AS dup_base
+                   FROM corpus1 GROUP BY 1),
+            m2 AS (SELECT digest, min(doc_id) AS mn FROM d2 GROUP BY 1),
+            a2 AS (
+              SELECT f2.doc_id, f2.domain,
+                CASE WHEN blocked THEN 'blocked_domain'
+                     WHEN NOT q THEN 'low_quality'
+                     WHEN bm.dup_base IS NOT NULL THEN 'exact_dup_base'
+                     WHEN m2.mn < f2.doc_id THEN 'exact_dup_batch'
+                     ELSE 'admitted' END AS disposition,
+                CASE WHEN blocked OR NOT q THEN NULL
+                     WHEN bm.dup_base IS NOT NULL THEN bm.dup_base
+                     WHEN m2.mn < f2.doc_id THEN m2.mn END AS dup_of,
+                1 AS batch_id
+              FROM f2 LEFT JOIN d2 ON d2.doc_id = f2.doc_id
+              LEFT JOIN bm ON bm.digest = d2.digest
+              LEFT JOIN m2 ON m2.digest = d2.digest)
+            SELECT * FROM a1 UNION ALL SELECT * FROM a2
         """,
         "q144_giant_doc_parts": """
             -- closed form of the part-split equivalence invariant: the

@@ -100,6 +100,63 @@ def run_incremental_ingest(
     )
 
 
+def run_streaming_web_corpus(
+    spark: SparkSession,
+    landing_dir: str,
+    corpus_path: str,
+    shards_dir: str,
+    audit_path: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id LONG, url STRING, text STRING",
+    fmt: str = "json",
+    **job_kwargs,
+) -> None:
+    """The web-corpus admission loop as a STREAM: one AvailableNow
+    drain of the crawl landing zone, each micro-batch running the full
+    composed job (plans/web_corpus_job.run_web_corpus_job) — URL
+    canonicalization, blocklist/quality/per-domain-cap funnel,
+    incremental dedup AGAINST THE ACCUMULATED CORPUS, idempotent merge,
+    training shards — so a crawler can feed batches continuously and
+    the corpus/dedup state advances batch over batch.
+
+    Exactly-once effect from at-least-once foreachBatch, layer by
+    layer: the checkpoint never re-reads drained files; a REPLAYED
+    batch rewrites its own ``batch=<id>`` shard and audit directories
+    (overwrite, not append); and the corpus merge is delete-then-insert
+    on doc id, so re-merging the same admitted rows is a no-op.  A
+    replayed batch's rows also re-enter incremental dedup against a
+    corpus that may already contain them — they resolve to
+    ``exact_dup_base`` and are simply not re-admitted, which keeps the
+    audit of a replay HONEST rather than double-admitting."""
+    from gpt_rag_ingestion_spark.plans.web_corpus_job import run_web_corpus_job
+
+    stream = spark.readStream.schema(schema).format(fmt).load(landing_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        audit = run_web_corpus_job(
+            spark,
+            batch_df,
+            corpus_path,
+            f"{shards_dir}/batch={batch_id}",
+            **job_kwargs,
+        )
+        (
+            audit.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .parquet(f"{audit_path}/batch={batch_id}")
+        )
+
+    (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",

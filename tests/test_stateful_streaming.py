@@ -388,3 +388,67 @@ def test_incremental_ivf_stream_maintains_index(spark, tmp_path):
     from gpt_rag_ingestion_spark.operators.similarity import ivf_needs_refit
 
     assert ivf_needs_refit(spark, idx, tolerance=0.05) is False
+
+
+def test_streaming_web_corpus(spark, tmp_path):
+    """§2.10 + web-corpus loop composed as a stream: two AvailableNow
+    drains, cross-batch dedup against the accumulated corpus, per-batch
+    idempotent shard/audit directories."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from gpt_rag_ingestion_spark.streaming.micro_batch import (
+        run_streaming_web_corpus,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    corpus = str(tmp_path / "corpus")
+    shards = str(tmp_path / "shards")
+    audit = str(tmp_path / "audit")
+    ckpt = str(tmp_path / "ckpt")
+
+    def rows(items):
+        return "\n".join(json.dumps(x) for x in items)
+
+    (landing / "b1.json").write_text(
+        rows(
+            [
+                {"doc_id": 1, "url": "https://a.example/x", "text": "alpha " * 40},
+                {"doc_id": 2, "url": "https://b.example/y", "text": "beta " * 40},
+            ]
+        )
+    )
+    kw = dict(min_chars=10)
+    run_streaming_web_corpus(spark, str(landing), corpus, shards, audit, ckpt, **kw)
+    assert spark.read.parquet(corpus).count() == 2
+
+    # batch 2: one exact dup of the base, one fresh, one low-quality
+    (landing / "b2.json").write_text(
+        rows(
+            [
+                {"doc_id": 3, "url": "https://a.example/x2", "text": "alpha " * 40},
+                {"doc_id": 4, "url": "https://c.example/z", "text": "gamma " * 40},
+                {"doc_id": 5, "url": "https://d.example/q", "text": "tiny"},
+            ]
+        )
+    )
+    run_streaming_web_corpus(spark, str(landing), corpus, shards, audit, ckpt, **kw)
+
+    tbl = spark.read.parquet(corpus)
+    assert {r["doc_id"] for r in tbl.collect()} == {1, 2, 4}
+    audits = spark.read.parquet(audit)
+    disp = {r["doc_id"]: r["disposition"] for r in audits.collect()}
+    assert disp[3] == "exact_dup_base"  # deduped ACROSS batches
+    assert disp[4] == "admitted"
+    assert disp[5] == "low_quality"
+    # per-batch directories exist (the idempotent replay unit)
+    import os
+
+    assert sorted(os.listdir(audit))[:1] == ["batch=0"] or any(
+        d.startswith("batch=") for d in os.listdir(audit)
+    )
+    assert {r["batch_id"] for r in audits.collect()} == {0, 1}
+    sh = spark.read.parquet(shards)
+    assert {r["doc_id"] for r in sh.collect()} == {1, 2, 4}
