@@ -452,3 +452,30 @@ def test_streaming_web_corpus(spark, tmp_path):
     assert {r["batch_id"] for r in audits.collect()} == {0, 1}
     sh = spark.read.parquet(shards)
     assert {r["doc_id"] for r in sh.collect()} == {1, 2, 4}
+
+
+def test_web_corpus_replay_is_idempotent(spark, tmp_path):
+    """At-least-once replay: re-offering an already-admitted batch
+    resolves every row to exact_dup_base and leaves the corpus
+    byte-identical — the property that makes the streaming wrapper's
+    foreachBatch effectively exactly-once."""
+    from gpt_rag_ingestion_spark.plans.web_corpus_job import run_web_corpus_job
+
+    corpus = str(tmp_path / "corpus")
+    batch = spark.createDataFrame(
+        [(1, "https://a.example/x", "alpha " * 40),
+         (2, "https://b.example/y", "beta " * 40)],
+        "doc_id LONG, url STRING, text STRING",
+    )
+    run_web_corpus_job(spark, batch, corpus, str(tmp_path / "s0"), min_chars=10)
+    before = sorted(
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(corpus).collect()
+    )
+    audit2 = run_web_corpus_job(
+        spark, batch, corpus, str(tmp_path / "s1"), min_chars=10
+    )
+    assert {r["disposition"] for r in audit2.collect()} == {"exact_dup_base"}
+    after = sorted(
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(corpus).collect()
+    )
+    assert after == before
