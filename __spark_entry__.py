@@ -2887,6 +2887,35 @@ def q145_streaming_web_corpus(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q146_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/eval split hygiene: GROUP-level split (by source, so
+    same-site documents never straddle the boundary) via split_assign,
+    then the exact-duplicate leakage guard — every document whose
+    content digest appears in BOTH splits is flagged.  The documents
+    table's duplicates stay within a source, so a MIRROR source
+    (every 7th document republished verbatim) is planted to exercise
+    the cross-split flag; the whole check (hash split + digest span)
+    is closed-form SQL."""
+    from gpt_rag_ingestion_spark.operators.sampling import (
+        split_assign,
+        split_leakage_guard,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    mirror = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lit("mirror").alias("source"),
+        "text",
+    )
+    split = split_assign(
+        docs.unionByName(mirror), id_col="source",
+        fractions={"train": 0.8, "eval": 0.2}, salt="split-lk",
+    )
+    return split_leakage_guard(split).select(
+        "doc_id", "source", "split", "leaked"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries, so the window below is curated to be (a) all
@@ -3038,6 +3067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_read_access": q142_read_access,
         "q143_blocklist_lifecycle": q143_blocklist_lifecycle,
         "q145_streaming_web_corpus": q145_streaming_web_corpus,
+        "q146_split_leakage": q146_split_leakage,
     }
 
 
@@ -5260,6 +5290,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.event_type, e.user_id,
               CAST(d.weight AS INT) AS weight
             FROM events e JOIN dim d USING (event_type)
+        """,
+        "q146_split_leakage": """
+            WITH u AS (
+              SELECT doc_id, source, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, 'mirror', text
+              FROM documents WHERE doc_id % 7 = 0),
+            s AS (
+              SELECT doc_id, source, text,
+                CASE WHEN CAST('0x' || substr(md5('split-lk' || source),
+                       1, 8) AS BIGINT) < 858993459
+                     THEN 'eval' ELSE 'train' END AS split
+              FROM u),
+            span AS (
+              SELECT md5(text) AS dg,
+                count(DISTINCT split) AS nsplits
+              FROM s GROUP BY 1)
+            SELECT doc_id, source, split,
+              (nsplits > 1) AS leaked
+            FROM s JOIN span ON span.dg = md5(s.text)
         """,
         "q145_streaming_web_corpus": """
             -- two-batch streaming lifecycle in closed form: batch 1

@@ -110,6 +110,34 @@ def split_assign(
     return df.withColumn(out_col, expr)
 
 
+def split_leakage_guard(
+    df: DataFrame,
+    split_col: str = "split",
+    text_col: str = "text",
+    out_col: str = "leaked",
+) -> DataFrame:
+    """Train/eval LEAKAGE guard: flag every row whose exact content
+    digest also appears in ANOTHER split — the held-out set is worthless
+    where its members (or their exact copies) sit in train.  Distinct
+    from benchmark decontamination (q76): this guards a split of ONE
+    corpus against itself, the step right after ``split_assign``.
+
+    Scale shape: one groupBy over 16-byte digests counting distinct
+    splits, joined back on the digest — the corpus text never shuffles,
+    only (digest, split) pairs.  Group-level splitting (assign by
+    source/domain, not doc id) prevents most leakage up front; this
+    guard catches what crosses groups (mirrors, syndicated copies)."""
+    d = df.withColumn("_dg", F.md5(F.col(text_col)))
+    span = d.groupBy("_dg").agg(
+        F.count_distinct(F.col(split_col)).alias("_nsplits")
+    )
+    return (
+        d.join(span, "_dg")
+        .withColumn(out_col, F.col("_nsplits") > 1)
+        .drop("_dg", "_nsplits")
+    )
+
+
 def epoch_expand(
     df: DataFrame,
     weights_q: Column,
