@@ -880,56 +880,11 @@ def ivfpq_ann(
     ensure_importable(corpus)
     spark = corpus.sparkSession
 
-    # --- coarse quantizer + residual codebooks on one driver sample
-    C = fit_spherical_centroids(
-        corpus, n_cells, fit_sample=fit_sample, id_col=id_col, vec_col=vec_col
+    C, books = _fit_ivfpq_model(
+        corpus, n_cells, n_subspaces, pq_centroids, fit_sample, id_col, vec_col
     )
-    samp = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(fit_sample).toPandas()
-    )
-    X = np.vstack(samp[vec_col].to_numpy()).astype("float64")
-    X = X / np.maximum(np.linalg.norm(X, axis=1)[:, None], 1e-12)
-    cell_of = (X @ C.T).argmax(axis=1)
-    R = X - C[cell_of]
-    n, d = R.shape
-    if d % n_subspaces != 0:
-        raise ValueError(f"dim {d} not divisible by n_subspaces {n_subspaces}")
-    d_sub = d // n_subspaces
-    m = min(pq_centroids, n)
-    books = np.zeros((n_subspaces, m, d_sub))
-    for s in range(n_subspaces):
-        Rs = R[:, s * d_sub : (s + 1) * d_sub]
-        idx = np.linspace(0, n - 1, num=m, dtype=int)
-        B = Rs[idx].copy()
-        for _ in range(10):
-            d2 = ((Rs[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for j in range(m):
-                members = Rs[assign == j]
-                if len(members):
-                    B[j] = members.mean(axis=0)
-        books[s] = B
     b_model = spark.sparkContext.broadcast((C, books))
-
-    # --- encode corpus: (cell, residual codes) in one Arrow pass
-    @pandas_udf("struct<cell: long, codes: array<int>>")
-    def encode_udf(vecs: pd.Series) -> pd.DataFrame:
-        cm, bk = b_model.value
-        n_sub, mm, ds = bk.shape
-        V = np.vstack(vecs.to_numpy()).astype("float64")
-        V = V / np.maximum(np.linalg.norm(V, axis=1)[:, None], 1e-12)
-        cells = (V @ cm.T).argmax(axis=1)
-        Rv = V - cm[cells]
-        codes = np.empty((len(V), n_sub), dtype="int32")
-        for s in range(n_sub):
-            Rs = Rv[:, s * ds : (s + 1) * ds]
-            d2 = ((Rs[:, None, :] - bk[s][None, :, :]) ** 2).sum(axis=2)
-            codes[:, s] = d2.argmin(axis=1)
-        return pd.DataFrame({"cell": cells, "codes": list(codes)})
-
-    enc = corpus.select(
-        F.col(id_col).alias("corpus_id"), encode_udf(F.col(vec_col)).alias("e")
-    ).select("corpus_id", F.col("e.cell").alias("cell"), F.col("e.codes").alias("codes"))
+    enc = _ivfpq_encode(corpus, b_model, id_col, vec_col)
 
     # --- queries: probe cells, carry the query vector to the cogroup
     n_probe_eff = min(n_probe, len(C))
@@ -942,55 +897,7 @@ def ivfpq_ann(
     )
 
     kk = k * refine_factor
-
-    def score(cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
-        if cdf.empty or qdf.empty:
-            return pd.DataFrame(
-                {"query_id": [], "corpus_id": [], "approx_l2sq": []}
-            )
-        cm, bk = b_model.value
-        n_sub, mm, ds = bk.shape
-        cell = int(cdf["cell"].iloc[0])
-        order = cdf["corpus_id"].to_numpy().argsort(kind="stable")
-        cids = cdf["corpus_id"].to_numpy()[order]
-        codes = np.vstack(cdf["codes"].to_numpy()[order]).astype("int64")
-        Q = np.vstack(qdf["qv"].to_numpy()).astype("float64")
-        Q = Q / np.maximum(np.linalg.norm(Q, axis=1)[:, None], 1e-12)
-        Rq = Q - cm[cell]
-        T = np.empty((len(Q), n_sub, mm))
-        for s in range(n_sub):
-            Rs = Rq[:, s * ds : (s + 1) * ds]
-            T[:, s, :] = ((Rs[:, None, :] - bk[s][None, :, :]) ** 2).sum(axis=2)
-        D = T[:, np.arange(n_sub)[None, :], codes[:, :]].sum(axis=2)
-        kb = min(kk, D.shape[1])
-        part = np.argsort(D, axis=1, kind="stable")[:, :kb]
-        qids = qdf["query_id"].to_numpy()
-        return pd.DataFrame(
-            {
-                "query_id": np.repeat(qids, kb),
-                "corpus_id": cids[part].ravel(),
-                "approx_l2sq": D[np.arange(len(qids))[:, None], part].ravel(),
-            }
-        )
-
-    # align key types before the cogroup (see _cogrouped_topk)
-    enc = enc.withColumn("cell", F.col("cell").cast("long"))
-    qd = qd.withColumn("cell", F.col("cell").cast("long"))
-    cands = (
-        enc.groupby("cell")
-        .cogroup(qd.groupby("cell"))
-        .applyInPandas(
-            score, schema="query_id long, corpus_id long, approx_l2sq double"
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("approx_l2sq"), F.asc("corpus_id")
-    )
-    shortlist = (
-        cands.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= kk)
-        .select("query_id", "corpus_id")
-    )
+    shortlist = _ivfpq_adc_shortlist(enc, qd, b_model, kk)
     return exact_rerank(corpus, queries, shortlist, k, id_col, vec_col)
 
 
@@ -1304,3 +1211,286 @@ def ivf_index_compact(spark, index_path: str, label: str = "compacted") -> dict:
     jvm_fs_delete(spark, old)
     spark.catalog.refreshByPath(postings)
     return {"n_vectors": n_before, "label": label}
+
+
+# ------------------------------------------------------------ IVFPQ internals
+# shared by the per-call ivfpq_ann and the persisted index lifecycle
+
+
+def _fit_ivfpq_model(
+    corpus, n_cells, n_subspaces, pq_centroids, fit_sample, id_col, vec_col
+):
+    """Coarse spherical-kmeans centroids + per-subspace residual PQ
+    codebooks, both fit on ONE bounded deterministic driver sample
+    (Jégou et al. 2011 §VI).  Returns (C [n_cells×d], books
+    [n_sub×m×d_sub]) as numpy arrays."""
+    C = fit_spherical_centroids(
+        corpus, n_cells, fit_sample=fit_sample, id_col=id_col, vec_col=vec_col
+    )
+    samp = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(fit_sample).toPandas()
+    )
+    X = np.vstack(samp[vec_col].to_numpy()).astype("float64")
+    X = X / np.maximum(np.linalg.norm(X, axis=1)[:, None], 1e-12)
+    cell_of = (X @ C.T).argmax(axis=1)
+    R = X - C[cell_of]
+    n, d = R.shape
+    if d % n_subspaces != 0:
+        raise ValueError(f"dim {d} not divisible by n_subspaces {n_subspaces}")
+    d_sub = d // n_subspaces
+    m = min(pq_centroids, n)
+    books = np.zeros((n_subspaces, m, d_sub))
+    for s in range(n_subspaces):
+        Rs = R[:, s * d_sub : (s + 1) * d_sub]
+        idx = np.linspace(0, n - 1, num=m, dtype=int)
+        B = Rs[idx].copy()
+        for _ in range(10):
+            d2 = ((Rs[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(m):
+                members = Rs[assign == j]
+                if len(members):
+                    B[j] = members.mean(axis=0)
+        books[s] = B
+    return C, books
+
+
+def _ivfpq_encode(corpus, b_model, id_col, vec_col):
+    """(corpus_id, cell, codes) — cell assignment + residual PQ codes
+    in one Arrow pass over the corpus."""
+
+    @pandas_udf("struct<cell: long, codes: array<int>>")
+    def encode_udf(vecs: pd.Series) -> pd.DataFrame:
+        cm, bk = b_model.value
+        n_sub, mm, ds = bk.shape
+        V = np.vstack(vecs.to_numpy()).astype("float64")
+        V = V / np.maximum(np.linalg.norm(V, axis=1)[:, None], 1e-12)
+        cells = (V @ cm.T).argmax(axis=1)
+        Rv = V - cm[cells]
+        codes = np.empty((len(V), n_sub), dtype="int32")
+        for s in range(n_sub):
+            Rs = Rv[:, s * ds : (s + 1) * ds]
+            d2 = ((Rs[:, None, :] - bk[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = d2.argmin(axis=1)
+        return pd.DataFrame({"cell": cells, "codes": list(codes)})
+
+    return corpus.select(
+        F.col(id_col).alias("corpus_id"), encode_udf(F.col(vec_col)).alias("e")
+    ).select(
+        "corpus_id", F.col("e.cell").alias("cell"), F.col("e.codes").alias("codes")
+    )
+
+
+def _ivfpq_adc_shortlist(enc, qd, b_model, kk):
+    """Cogrouped ADC scoring of (cell, codes) postings against probing
+    queries, returning the per-query top-``kk`` (query_id, corpus_id)
+    shortlist for exact refinement.  One scorer implementation —
+    ``_ivfpq_adc_rank`` — serves both this and the no-refine ranked
+    return."""
+    return _ivfpq_adc_rank(enc, qd, b_model, kk).select(
+        "query_id", "corpus_id"
+    )
+
+
+# --------------------------------------------------------------- IVFPQ index
+# Persisted IVFPQ lifecycle: the postings hold CODES, not vectors — at
+# 16 subspaces × 1 byte-ish code per subspace that is a 16-32× smaller
+# index than the raw-vector IVF postings, which is what makes a
+# trillion-vector index storable at all (FAISS IVFPQ architecture).
+# The raw vectors stay in the source corpus table (the system of
+# record); exact refinement joins the shortlist back to it.
+
+
+def ivfpq_index_build(
+    corpus: DataFrame,
+    index_path: str,
+    n_cells: int = 16,
+    n_subspaces: int = 16,
+    pq_centroids: int = 64,
+    fit_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build the persisted IVFPQ index: fit the coarse quantizer +
+    residual codebooks on a bounded sample, persist them as parquet
+    model tables (centroids: (cell, c); codebooks: (subspace, code,
+    b)), and encode the corpus into cell-partitioned CODE postings —
+    the same batch=<label>/cell=<c> layout as the raw-vector IVF index,
+    so queries prune directories identically."""
+    from gpt_rag_ingestion_spark.session import ensure_importable
+
+    ensure_importable(corpus)
+    spark = corpus.sparkSession
+    C, books = _fit_ivfpq_model(
+        corpus, n_cells, n_subspaces, pq_centroids, fit_sample, id_col, vec_col
+    )
+    spark.createDataFrame(
+        [(i, C[i].tolist()) for i in range(len(C))], "cell int, c array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    spark.createDataFrame(
+        [
+            (s, j, books[s][j].tolist())
+            for s in range(books.shape[0])
+            for j in range(books.shape[1])
+        ],
+        "subspace int, code int, b array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/codebooks")
+    jvm_fs_delete(spark, f"{index_path}/postings")
+    b_model = spark.sparkContext.broadcast((C, books))
+    enc = _ivfpq_encode(corpus, b_model, id_col, vec_col)
+    enc.write.partitionBy("cell").mode("overwrite").parquet(
+        f"{index_path}/postings/batch=build"
+    )
+    n = spark.read.parquet(f"{index_path}/postings").count()
+    return {"n_vectors": int(n), "n_cells": int(len(C))}
+
+
+def _ivfpq_load_model(spark, index_path: str):
+    cent = spark.read.parquet(f"{index_path}/centroids").collect()
+    C = np.zeros((len(cent), len(cent[0]["c"])))
+    for r in cent:
+        C[r["cell"]] = r["c"]
+    rows = spark.read.parquet(f"{index_path}/codebooks").collect()
+    n_sub = max(r["subspace"] for r in rows) + 1
+    m = max(r["code"] for r in rows) + 1
+    d_sub = len(rows[0]["b"])
+    books = np.zeros((n_sub, m, d_sub))
+    for r in rows:
+        books[r["subspace"]][r["code"]] = r["b"]
+    return C, books
+
+
+def ivfpq_index_append(
+    vectors: DataFrame,
+    index_path: str,
+    batch_label: str = "append",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """O(batch) incremental maintenance: encode against the PERSISTED
+    model (no refit) and write the batch's own postings directory —
+    overwrite per label, so an at-least-once retry replaces rather than
+    double-appends (the streaming-maintainer contract of
+    ivf_index_append)."""
+    from gpt_rag_ingestion_spark.session import ensure_importable
+
+    ensure_importable(vectors)
+    spark = vectors.sparkSession
+    _ivf_recover(spark, index_path)
+    model = _ivfpq_load_model(spark, index_path)
+    b_model = spark.sparkContext.broadcast(model)
+    enc = _ivfpq_encode(vectors, b_model, id_col, vec_col).persist()
+    try:
+        n = enc.count()
+        if n == 0:
+            return {"batch": batch_label, "n_vectors": 0}
+        enc.write.partitionBy("cell").mode("overwrite").parquet(
+            f"{index_path}/postings/batch={batch_label}"
+        )
+    finally:
+        enc.unpersist()
+    return {"batch": batch_label, "n_vectors": int(n)}
+
+
+def ivfpq_index_query(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    n_probe: int = 4,
+    k: int = 10,
+    refine_with: DataFrame | None = None,
+    refine_factor: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the persisted IVFPQ index: probe n_probe cells, push
+    ``cell IN (probed)`` into the code-postings scan (directory-level
+    pruning on the cell-partitioned layout), ADC-score the codes, and —
+    when ``refine_with`` (the raw-vector corpus table, the system of
+    record) is given — exactly re-rank the k·refine_factor shortlist.
+    Without ``refine_with`` the ADC ranking itself is returned
+    (query_id, corpus_id, rank).  Readers never mutate the index (same
+    contract as ivf_index_query: mid-swap they fall back to reading
+    ``postings__old``)."""
+    from gpt_rag_ingestion_spark.session import ensure_importable
+
+    ensure_importable(queries)
+    model = _ivfpq_load_model(spark, index_path)
+    C, _books = model
+    b_model = spark.sparkContext.broadcast(model)
+    probe_udf = probe_udf_factory(
+        b_model, min(n_probe, len(C)), extract=lambda v: v[0]
+    )
+    qd = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probe_udf(F.col(vec_col))).alias("cell"),
+    ).localCheckpoint()
+    probed = [int(r["cell"]) for r in qd.select("cell").distinct().collect()]
+    postings_path = f"{index_path}/postings"
+    if not jvm_fs_exists(spark, postings_path) and jvm_fs_exists(
+        spark, f"{index_path}/postings__old"
+    ):
+        postings_path = f"{index_path}/postings__old"
+    enc = (
+        spark.read.parquet(postings_path)
+        .filter(F.col("cell").isin(probed))
+        .select("corpus_id", "codes", F.col("cell").cast("long").alias("cell"))
+    )
+    if refine_with is not None:
+        shortlist = _ivfpq_adc_shortlist(enc, qd, b_model, k * refine_factor)
+        return exact_rerank(refine_with, queries, shortlist, k, id_col, vec_col)
+    return _ivfpq_adc_rank(enc, qd, b_model, k)
+
+
+def _ivfpq_adc_rank(enc, qd, b_model, k):
+    """ADC top-k WITH rank (query_id, corpus_id, approx_l2sq, rank) —
+    the no-refine return shape of ivfpq_index_query."""
+
+    def score(cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
+        if cdf.empty or qdf.empty:
+            return pd.DataFrame(
+                {"query_id": [], "corpus_id": [], "approx_l2sq": []}
+            )
+        cm, bk = b_model.value
+        n_sub, mm, ds = bk.shape
+        cell = int(cdf["cell"].iloc[0])
+        order = cdf["corpus_id"].to_numpy().argsort(kind="stable")
+        cids = cdf["corpus_id"].to_numpy()[order]
+        codes = np.vstack(cdf["codes"].to_numpy()[order]).astype("int64")
+        Q = np.vstack(qdf["qv"].to_numpy()).astype("float64")
+        Q = Q / np.maximum(np.linalg.norm(Q, axis=1)[:, None], 1e-12)
+        Rq = Q - cm[cell]
+        T = np.empty((len(Q), n_sub, mm))
+        for s in range(n_sub):
+            Rs = Rq[:, s * ds : (s + 1) * ds]
+            T[:, s, :] = ((Rs[:, None, :] - bk[s][None, :, :]) ** 2).sum(axis=2)
+        D = T[:, np.arange(n_sub)[None, :], codes[:, :]].sum(axis=2)
+        kb = min(k, D.shape[1])
+        part = np.argsort(D, axis=1, kind="stable")[:, :kb]
+        qids = qdf["query_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, kb),
+                "corpus_id": cids[part].ravel(),
+                "approx_l2sq": D[np.arange(len(qids))[:, None], part].ravel(),
+            }
+        )
+
+    enc = enc.withColumn("cell", F.col("cell").cast("long"))
+    qd = qd.withColumn("cell", F.col("cell").cast("long"))
+    cands = (
+        enc.groupby("cell")
+        .cogroup(qd.groupby("cell"))
+        .applyInPandas(
+            score, schema="query_id long, corpus_id long, approx_l2sq double"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_l2sq"), F.asc("corpus_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "approx_l2sq", "rank")
+    )

@@ -717,3 +717,91 @@ def test_ivf_index_compact_and_recover(spark, tmp_path):
     assert recovered == before
     assert jvm_fs_exists(spark, f"{idx}/postings")
     assert not jvm_fs_exists(spark, f"{idx}/postings__old")
+
+
+def test_ivfpq_index_lifecycle(spark, tmp_path):
+    """Persisted IVFPQ: codes-only postings (the 16-32x smaller index),
+    refit-free append, pruned+refined query matching the per-call
+    operator, retry idempotence, reader fallback during a swap window."""
+    from gpt_rag_ingestion_spark.operators.similarity import (
+        ivfpq_ann,
+        ivfpq_index_append,
+        ivfpq_index_build,
+        ivfpq_index_query,
+        jvm_fs_exists,
+        jvm_fs_rename,
+        quantized_dot_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivfpq")
+    built = ivfpq_index_build(emb, idx, n_cells=8)
+    assert built["n_vectors"] == emb.count()
+    # postings hold codes, never raw vectors
+    post = spark.read.parquet(f"{idx}/postings")
+    assert sorted(post.columns) == ["batch", "cell", "codes", "corpus_id"]
+
+    q = emb.filter("vec_id < 20")
+    # refined query == the per-call ivfpq_ann with the same geometry
+    res = {
+        (r["query_id"], r["corpus_id"], r["rank"])
+        for r in ivfpq_index_query(
+            spark, idx, q, n_probe=4, k=5, refine_with=emb
+        ).collect()
+    }
+    direct = {
+        (r["query_id"], r["corpus_id"], r["rank"])
+        for r in ivfpq_ann(
+            emb, q, k=5, n_cells=8, n_probe=4,
+        ).collect()
+    }
+    assert res == direct
+
+    # unrefined ADC ranking: decent recall@5 vs the exact baseline
+    exact = {}
+    for r in quantized_dot_topk(emb, k=5).collect():
+        exact.setdefault(r["vec_id"], set()).add(r["nn_id"])
+    adc = {}
+    for r in ivfpq_index_query(spark, idx, q, n_probe=4, k=5).collect():
+        adc.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    rec = sum(len(v & exact[qid]) / 5 for qid, v in adc.items()) / len(adc)
+    # ADC alone is the coarse shortlist generator; refinement (asserted
+    # equal to ivfpq_ann above) is the recall mechanism
+    assert rec >= 0.25
+
+    # refit-free append: re-inserted twins become their originals' top-1
+    twins = emb.filter("vec_id < 10").selectExpr(
+        "vec_id + 1000000 as vec_id", "embedding"
+    )
+    stats = ivfpq_index_append(twins, idx, batch_label="b1")
+    assert stats["n_vectors"] == 10
+    top = {
+        r["query_id"]: r["corpus_id"]
+        for r in ivfpq_index_query(
+            spark, idx, twins, n_probe=4, k=1,
+            refine_with=emb.select("vec_id", "embedding").unionByName(twins),
+        ).filter("rank = 1").collect()
+    }
+    assert all(top[i] == i - 1000000 for i in top)
+
+    # at-least-once retry replaces the batch directory, not doubles it
+    ivfpq_index_append(twins, idx, batch_label="b1")
+    assert (
+        spark.read.parquet(f"{idx}/postings").count() == emb.count() + 10
+    )
+
+    # reader fallback mid-swap: no filesystem mutation by the reader
+    before = {
+        (r["query_id"], r["corpus_id"])
+        for r in ivfpq_index_query(spark, idx, q, n_probe=4, k=5).collect()
+    }
+    jvm_fs_rename(spark, f"{idx}/postings", f"{idx}/postings__old")
+    during = {
+        (r["query_id"], r["corpus_id"])
+        for r in ivfpq_index_query(spark, idx, q, n_probe=4, k=5).collect()
+    }
+    assert during == before
+    assert not jvm_fs_exists(spark, f"{idx}/postings")
+    # the next writer heals the swap
+    ivfpq_index_append(emb.filter("vec_id < 0"), idx, batch_label="noop")
+    assert jvm_fs_exists(spark, f"{idx}/postings")
