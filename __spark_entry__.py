@@ -2916,6 +2916,39 @@ def q146_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q147_sidecar_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup against the PERSISTED key-only sidecar
+    (dedup_sidecar_build + incremental_dedup_sidecar): same synthetic
+    base/increment as q102, but the base text is read exactly once at
+    sidecar-build time and classification touches digests/shingle
+    hashes/sizes only — the O(batch) production loop.  The oracle is
+    q102's closed form verbatim, so the sidecar path is hash-pinned
+    equal to the text path."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.dedup import (
+        dedup_sidecar_build,
+        incremental_dedup_sidecar,
+    )
+
+    _ensure_shipped(spark)
+    docs = _t(spark, sf, "documents")
+    base = docs.filter("doc_id % 3 != 0").select("doc_id", "text")
+    incr = (
+        docs.filter("doc_id % 3 = 0")
+        .selectExpr(
+            "doc_id",
+            "CASE WHEN doc_id % 9 = 0 THEN doc_id + 1 "
+            "WHEN doc_id % 9 = 6 THEN doc_id - 3 ELSE doc_id END AS src_id",
+        )
+        .join(docs.selectExpr("doc_id AS src_id", "text"), "src_id")
+        .select("doc_id", "text")
+    )
+    side = tempfile.mkdtemp(prefix="q147-sidecar-")
+    dedup_sidecar_build(base, side)
+    return incremental_dedup_sidecar(incr, side, threshold=0.1).localCheckpoint()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries, so the window below is curated to be (a) all
@@ -3068,6 +3101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_blocklist_lifecycle": q143_blocklist_lifecycle,
         "q145_streaming_web_corpus": q145_streaming_web_corpus,
         "q146_split_leakage": q146_split_leakage,
+        "q147_sidecar_dedup": q147_sidecar_dedup,
     }
 
 
@@ -5290,6 +5324,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.event_type, e.user_id,
               CAST(d.weight AS INT) AS weight
             FROM events e JOIN dim d USING (event_type)
+        """,
+        "q147_sidecar_dedup": """
+            WITH base AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0),
+            incr AS (
+              SELECT d.doc_id, s.text
+              FROM (SELECT doc_id,
+                      CASE WHEN doc_id % 9 = 0 THEN doc_id + 1
+                           WHEN doc_id % 9 = 6 THEN doc_id - 3
+                           ELSE doc_id END AS src_id
+                    FROM documents WHERE doc_id % 3 = 0) d
+              JOIN documents s ON s.doc_id = d.src_id),
+            bmin AS (SELECT md5(text) AS digest, min(doc_id) AS dup_of_base
+                     FROM base GROUP BY 1),
+            idig AS (SELECT doc_id, md5(text) AS digest FROM incr),
+            imin AS (SELECT digest, min(doc_id) AS batch_min
+                     FROM idig GROUP BY 1),
+            staged AS (
+              SELECT i.doc_id, b.dup_of_base, m.batch_min
+              FROM idig i LEFT JOIN bmin b ON i.digest = b.digest
+              JOIN imin m ON i.digest = m.digest),
+            i_toks AS (
+              SELECT doc_id, s.i AS pos, l[s.i + 1] AS token FROM
+              (SELECT doc_id, string_split_regex(text, '\\s+') AS l
+               FROM incr) d, unnest(range(0, len(d.l))) AS s(i)),
+            i_ne AS (SELECT * FROM i_toks WHERE token != ''),
+            i_sh AS (
+              SELECT DISTINCT a.doc_id,
+                a.token || ' ' || b.token || ' ' || c.token AS shingle
+              FROM i_ne a
+              JOIN i_ne b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              JOIN i_ne c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+            b_toks AS (
+              SELECT doc_id, s.i AS pos, l[s.i + 1] AS token FROM
+              (SELECT doc_id, string_split_regex(text, '\\s+') AS l
+               FROM base) d, unnest(range(0, len(d.l))) AS s(i)),
+            b_ne AS (SELECT * FROM b_toks WHERE token != ''),
+            b_sh AS (
+              SELECT DISTINCT a.doc_id,
+                a.token || ' ' || b.token || ' ' || c.token AS shingle
+              FROM b_ne a
+              JOIN b_ne b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              JOIN b_ne c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+            isz AS (SELECT doc_id, COUNT(*) AS n FROM i_sh GROUP BY 1),
+            bsz AS (SELECT doc_id, COUNT(*) AS n FROM b_sh GROUP BY 1),
+            inter AS (
+              SELECT i.doc_id AS iid, b.doc_id AS bid, COUNT(*) AS ni
+              FROM i_sh i JOIN b_sh b ON i.shingle = b.shingle
+              GROUP BY 1, 2),
+            near AS (
+              SELECT iid AS doc_id, min(bid) AS near_of
+              FROM inter
+              JOIN isz ON isz.doc_id = inter.iid
+              JOIN bsz ON bsz.doc_id = inter.bid
+              WHERE round(CAST(ni AS DOUBLE) / (isz.n + bsz.n - ni), 6)
+                    >= 0.1
+              GROUP BY 1)
+            SELECT s.doc_id,
+              CASE WHEN s.dup_of_base IS NOT NULL THEN 'exact_dup_base'
+                   WHEN s.batch_min < s.doc_id THEN 'exact_dup_batch'
+                   WHEN n.near_of IS NOT NULL THEN 'near_dup_base'
+                   ELSE 'new' END AS decision,
+              CASE WHEN s.dup_of_base IS NOT NULL THEN s.dup_of_base
+                   WHEN s.batch_min < s.doc_id THEN s.batch_min
+                   ELSE n.near_of END AS dup_of
+            FROM staged s LEFT JOIN near n ON n.doc_id = s.doc_id
         """,
         "q146_split_leakage": """
             WITH u AS (

@@ -1043,3 +1043,149 @@ def neardup_pairs_auto(
     return ngram_jaccard_pairs(
         df, text_col, id_col, n, threshold, candidates=cands
     )
+
+
+# ------------------------------------------------------------ dedup sidecar
+# Persisted digest/shingle indexes for incremental dedup — the
+# production shape incremental_dedup's docstring promises: the base
+# corpus's text is read ONCE (at build/admission time); every later
+# batch classifies against key-only sidecar tables, so a batch costs
+# O(batch + matched keys), never O(corpus).  Same lifecycle contract as
+# the persisted ANN indexes: per-label batch directories, overwrite on
+# retry (at-least-once safe), union-on-read.
+#
+# Layout under <sidecar_path>/:
+#   meta                       — (n int): the shingle width
+#   digests/batch=<label>/     — (digest string, doc_id long)
+#   shingles/batch=<label>/    — (sh long, doc_id long)   xxhash64 keys
+#   sizes/batch=<label>/       — (doc_id long, n_shingles long)
+
+
+def _sidecar_write(docs, sidecar_path, label, text_col, id_col, n) -> int:
+    spark = docs.sparkSession
+    dig = docs.select(
+        F.md5(F.col(text_col)).alias("digest"),
+        F.col(id_col).cast("long").alias("doc_id"),
+    )
+    dig.write.mode("overwrite").parquet(f"{sidecar_path}/digests/batch={label}")
+    sh = word_shingles(docs, text_col, id_col, n).select(
+        F.xxhash64("shingle").alias("sh"),
+        F.col(id_col).cast("long").alias("doc_id"),
+    )
+    sh.write.mode("overwrite").parquet(f"{sidecar_path}/shingles/batch={label}")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sizes.write.mode("overwrite").parquet(f"{sidecar_path}/sizes/batch={label}")
+    return int(
+        spark.read.parquet(f"{sidecar_path}/digests/batch={label}").count()
+    )
+
+
+def dedup_sidecar_build(
+    corpus: DataFrame,
+    sidecar_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> dict:
+    """Build the sidecar from the existing corpus — the ONE corpus-text
+    pass; every later batch classification reads keys only."""
+    spark = corpus.sparkSession
+    spark.createDataFrame([(n,)], "n int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{sidecar_path}/meta")
+    n_docs = _sidecar_write(corpus, sidecar_path, "build", text_col, id_col, n)
+    return {"n_docs": n_docs, "n": n}
+
+
+def dedup_sidecar_append(
+    admitted: DataFrame,
+    sidecar_path: str,
+    batch_label: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Admit a batch into the sidecar: one batch-text pass writing the
+    batch's OWN digest/shingle/size directories (overwrite per label —
+    a replayed admission replaces itself).  Call with the rows an
+    ingestion actually admitted, after classification."""
+    spark = admitted.sparkSession
+    n = spark.read.parquet(f"{sidecar_path}/meta").first()["n"]
+    n_docs = _sidecar_write(
+        admitted, sidecar_path, batch_label, text_col, id_col, int(n)
+    )
+    return {"batch": batch_label, "n_docs": n_docs}
+
+
+def incremental_dedup_sidecar(
+    incr: DataFrame,
+    sidecar_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.1,
+) -> DataFrame:
+    """``incremental_dedup`` against the PERSISTED sidecar instead of
+    the base corpus text — row-for-row equal output (unit-pinned), but
+    the base side is touched by key only: the digest index joins on
+    16-byte digests, the shingle postings join on 8-byte hashes, and
+    per-doc sizes come precomputed.  Base text is never re-read, re-
+    shingled, or shuffled — the O(batch) classification loop."""
+    spark = incr.sparkSession
+    n = int(spark.read.parquet(f"{sidecar_path}/meta").first()["n"])
+    b_dig = spark.read.parquet(f"{sidecar_path}/digests")
+    b_min = b_dig.groupBy("digest").agg(F.min("doc_id").alias("dup_of_base"))
+
+    digest = F.md5(F.col(text_col))
+    i_dig = incr.select(F.col(id_col), digest.alias("digest"))
+    batch_min = i_dig.groupBy("digest").agg(F.min(id_col).alias("batch_min"))
+    staged = i_dig.join(b_min, "digest", "left").join(batch_min, "digest")
+
+    unresolved = staged.filter(
+        F.col("dup_of_base").isNull() & (F.col("batch_min") == F.col(id_col))
+    ).select(id_col)
+    sh_i = word_shingles(
+        incr.join(unresolved, on=id_col, how="left_semi"), text_col, id_col, n
+    ).select(F.col(id_col).alias("_iid"), F.xxhash64("shingle").alias("sh"))
+    sh_b = spark.read.parquet(f"{sidecar_path}/shingles").select(
+        F.col("doc_id").alias("_bid"), "sh"
+    )
+    n_i = sh_i.groupBy("_iid").agg(F.count(F.lit(1)).alias("n_i"))
+    inter = (
+        sh_i.join(sh_b, "sh")
+        .groupBy("_iid", "_bid")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    n_b = spark.read.parquet(f"{sidecar_path}/sizes").select(
+        F.col("doc_id").alias("_bid"), F.col("n_shingles").alias("n_b")
+    )
+    near = (
+        inter.join(n_i, "_iid")
+        .join(n_b, "_bid")
+        .filter(
+            F.round(
+                F.col("n_inter") / (F.col("n_i") + F.col("n_b") - F.col("n_inter")),
+                6,
+            )
+            >= threshold
+        )
+        .groupBy("_iid")
+        .agg(F.min("_bid").alias("near_of"))
+        .withColumnRenamed("_iid", id_col)
+    )
+
+    out = staged.join(near, on=id_col, how="left")
+    decision = (
+        F.when(F.col("dup_of_base").isNotNull(), F.lit("exact_dup_base"))
+        .when(F.col("batch_min") < F.col(id_col), F.lit("exact_dup_batch"))
+        .when(F.col("near_of").isNotNull(), F.lit("near_dup_base"))
+        .otherwise(F.lit("new"))
+    )
+    dup_of = (
+        F.when(F.col("dup_of_base").isNotNull(), F.col("dup_of_base"))
+        .when(F.col("batch_min") < F.col(id_col), F.col("batch_min"))
+        .otherwise(F.col("near_of"))
+    )
+    return out.select(
+        F.col(id_col),
+        decision.alias("decision"),
+        dup_of.alias("dup_of"),
+    )

@@ -805,3 +805,75 @@ def test_ivfpq_index_lifecycle(spark, tmp_path):
     # the next writer heals the swap
     ivfpq_index_append(emb.filter("vec_id < 0"), idx, batch_label="noop")
     assert jvm_fs_exists(spark, f"{idx}/postings")
+
+
+def test_dedup_sidecar_lifecycle(spark, tmp_path):
+    """Persisted digest/shingle sidecar: classification against the
+    sidecar is ROW-FOR-ROW equal to incremental_dedup against the base
+    text; admitted batches append per-label (retry-idempotent) and the
+    next batch dedups against base+admitted without any base re-read."""
+    from pyspark.sql import functions as F
+
+    from gpt_rag_ingestion_spark.operators.dedup import (
+        dedup_sidecar_append,
+        dedup_sidecar_build,
+        incremental_dedup,
+        incremental_dedup_sidecar,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.filter("doc_id % 3 != 0").select("doc_id", "text")
+    # same synthetic increment shape as q102: some exact dups of base,
+    # some in-batch dups, rest fresh-ish
+    incr = (
+        docs.filter("doc_id % 3 = 0")
+        .selectExpr(
+            "doc_id",
+            "CASE WHEN doc_id % 9 = 0 THEN doc_id + 1 "
+            "WHEN doc_id % 9 = 6 THEN doc_id - 3 ELSE doc_id END AS src_id",
+        )
+        .join(
+            docs.selectExpr("doc_id AS src_id", "text"), "src_id"
+        )
+        .select("doc_id", "text")
+    )
+
+    side = str(tmp_path / "sidecar")
+    built = dedup_sidecar_build(base, side)
+    assert built["n_docs"] == base.count()
+
+    want = sorted(
+        tuple(r) for r in incremental_dedup(base, incr, threshold=0.1).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in incremental_dedup_sidecar(incr, side, threshold=0.1).collect()
+    )
+    assert got == want and len(got) == incr.count()
+
+    # admit the 'new' rows, retry the append (idempotent), then a copy
+    # of an admitted row must classify exact_dup_base on the next batch
+    new_ids = [
+        r["doc_id"]
+        for r in incremental_dedup_sidecar(incr, side).collect()
+        if r["decision"] == "new"
+    ]
+    admitted = incr.filter(F.col("doc_id").isin(new_ids[:20]))
+    dedup_sidecar_append(admitted, side, "b1")
+    dedup_sidecar_append(admitted, side, "b1")  # at-least-once replay
+    probe = admitted.limit(1).selectExpr("doc_id + 500000 AS doc_id", "text")
+    out = incremental_dedup_sidecar(probe, side).collect()
+    assert len(out) == 1 and out[0]["decision"] == "exact_dup_base"
+
+    # equivalence also holds against the grown corpus
+    grown = base.unionByName(admitted)
+    probe2 = incr.filter(~F.col("doc_id").isin(new_ids[:20]))
+    want2 = sorted(
+        tuple(r)
+        for r in incremental_dedup(grown, probe2, threshold=0.1).collect()
+    )
+    got2 = sorted(
+        tuple(r)
+        for r in incremental_dedup_sidecar(probe2, side, threshold=0.1).collect()
+    )
+    assert got2 == want2
