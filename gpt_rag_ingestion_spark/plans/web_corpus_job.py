@@ -54,6 +54,8 @@ def run_web_corpus_job(
     text_col: str = "text",
     partition_cols: list[str] | None = None,
     domain_buckets: int = 64,
+    sidecar_path: str | None = None,
+    batch_label: str = "batch",
 ) -> DataFrame:
     """One batch through the web-corpus loop.  Returns the AUDIT
     relation — (id, domain, disposition, dup_of) for every input row,
@@ -69,7 +71,17 @@ def run_web_corpus_job(
     scale (millions of dirs); the supported derived column
     ``domain_bucket`` = ``pmod(xxhash64(domain), domain_buckets)``
     keeps the partition count fixed while a batch still prunes to the
-    buckets its domains hash into."""
+    buckets its domains hash into.
+
+    ``sidecar_path`` switches dedup to the persisted key-only sidecar
+    (operators/dedup.py: digest index + hashed-shingle postings +
+    sizes): classification never re-reads the corpus TEXT, and admitted
+    rows are appended to the sidecar under ``batch_label`` (overwrite
+    per label — replay-idempotent, pass the micro-batch id from
+    streaming).  Decisions are row-for-row equal to the text path
+    (unit-pinned); at 100 TB this is the difference between
+    re-shingling the corpus every batch and touching O(batch + matched
+    keys)."""
     d = batch.select(
         F.col(id_col),
         F.col(text_col),
@@ -102,16 +114,29 @@ def run_web_corpus_job(
     staged = staged.withColumn("_fd", funnel_disp).cache()
 
     candidates = staged.filter(F.col("_fd").isNull()).select(id_col, text_col)
-    try:
-        base = spark.read.parquet(corpus_path).select(id_col, text_col)
-        have_base = True
-    except Exception:
-        have_base = False
-        base = candidates.limit(0)
-    decisions = incremental_dedup(
-        base, candidates, text_col=text_col, id_col=id_col,
-        threshold=near_dup_threshold,
-    )
+    use_sidecar = False
+    if sidecar_path is not None:
+        from gpt_rag_ingestion_spark.operators.similarity import jvm_fs_exists
+
+        use_sidecar = jvm_fs_exists(spark, f"{sidecar_path}/meta")
+    if use_sidecar:
+        from gpt_rag_ingestion_spark.operators.dedup import (
+            incremental_dedup_sidecar,
+        )
+
+        decisions = incremental_dedup_sidecar(
+            candidates, sidecar_path, text_col=text_col, id_col=id_col,
+            threshold=near_dup_threshold,
+        )
+    else:
+        try:
+            base = spark.read.parquet(corpus_path).select(id_col, text_col)
+        except Exception:
+            base = candidates.limit(0)
+        decisions = incremental_dedup(
+            base, candidates, text_col=text_col, id_col=id_col,
+            threshold=near_dup_threshold,
+        )
 
     audit = (
         staged.join(decisions, on=id_col, how="left")
@@ -178,5 +203,22 @@ def run_web_corpus_job(
             spark, corpus_path, to_merge, key=id_col,
             partition_cols=partition_cols,
         )
+        if sidecar_path is not None:
+            from gpt_rag_ingestion_spark.operators.dedup import (
+                dedup_sidecar_append,
+                dedup_sidecar_build,
+            )
+
+            to_admit = admitted.select(id_col, text_col)
+            if use_sidecar:
+                dedup_sidecar_append(
+                    to_admit, sidecar_path, batch_label,
+                    text_col=text_col, id_col=id_col,
+                )
+            else:
+                # first batch bootstraps the sidecar (meta + build dir)
+                dedup_sidecar_build(
+                    to_admit, sidecar_path, text_col=text_col, id_col=id_col
+                )
     staged.unpersist()
     return audit

@@ -109,6 +109,7 @@ def run_streaming_web_corpus(
     checkpoint_dir: str,
     schema: str = "doc_id LONG, url STRING, text STRING",
     fmt: str = "json",
+    sidecar_path: str | None = None,
     **job_kwargs,
 ) -> None:
     """The web-corpus admission loop as a STREAM: one AvailableNow
@@ -127,7 +128,13 @@ def run_streaming_web_corpus(
     replayed batch's rows also re-enter incremental dedup against a
     corpus that may already contain them — they resolve to
     ``exact_dup_base`` and are simply not re-admitted, which keeps the
-    audit of a replay HONEST rather than double-admitting."""
+    audit of a replay HONEST rather than double-admitting.
+
+    ``sidecar_path`` enables the persisted key-only dedup sidecar: the
+    first admitting batch bootstraps it, later batches classify against
+    keys and append their admissions under their own micro-batch label
+    — the corpus text is never re-shingled, so per-batch dedup cost
+    stays O(batch) across the stream's whole lifetime."""
     from gpt_rag_ingestion_spark.plans.web_corpus_job import run_web_corpus_job
 
     stream = spark.readStream.schema(schema).format(fmt).load(landing_dir)
@@ -140,6 +147,8 @@ def run_streaming_web_corpus(
             batch_df,
             corpus_path,
             f"{shards_dir}/batch={batch_id}",
+            sidecar_path=sidecar_path,
+            batch_label=str(batch_id),
             **job_kwargs,
         )
         (

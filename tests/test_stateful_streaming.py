@@ -479,3 +479,55 @@ def test_web_corpus_replay_is_idempotent(spark, tmp_path):
         (r["doc_id"], r["text"]) for r in spark.read.parquet(corpus).collect()
     )
     assert after == before
+
+
+def test_streaming_web_corpus_with_sidecar(spark, tmp_path):
+    """Sidecar-backed streaming admission: same audits as the text-path
+    run, sidecar bootstrapped by batch 0 and appended per micro-batch."""
+    import json
+    import os
+
+    from gpt_rag_ingestion_spark.streaming.micro_batch import (
+        run_streaming_web_corpus,
+    )
+
+    batches = [
+        [
+            {"doc_id": 1, "url": "https://a.example/x", "text": "alpha " * 40},
+            {"doc_id": 2, "url": "https://b.example/y", "text": "beta " * 40},
+        ],
+        [
+            {"doc_id": 3, "url": "https://a.example/x2", "text": "alpha " * 40},
+            {"doc_id": 4, "url": "https://c.example/z", "text": "gamma " * 40},
+        ],
+    ]
+
+    def run(name, **extra):
+        landing = tmp_path / name / "landing"
+        landing.mkdir(parents=True)
+        root = str(tmp_path / name)
+        for i, b in enumerate(batches):
+            (landing / f"b{i}.json").write_text(
+                "\n".join(json.dumps(x) for x in b)
+            )
+            run_streaming_web_corpus(
+                spark, str(landing), f"{root}/corpus", f"{root}/shards",
+                f"{root}/audit", f"{root}/ckpt", min_chars=10, **extra,
+            )
+        return root
+
+    plain = run("plain")
+    sided = run("sided", sidecar_path=str(tmp_path / "sided" / "sidecar"))
+    canon = lambda p: sorted(  # noqa: E731
+        (r["doc_id"], r["disposition"], r["dup_of"], r["batch_id"])
+        for r in spark.read.parquet(f"{p}/audit").collect()
+    )
+    assert canon(sided) == canon(plain)
+    disp = dict(
+        (r["doc_id"], r["disposition"])
+        for r in spark.read.parquet(f"{sided}/audit").collect()
+    )
+    assert disp[3] == "exact_dup_base"
+    # sidecar holds the build bootstrap + batch-1 appends
+    side = str(tmp_path / "sided" / "sidecar")
+    assert sorted(os.listdir(f"{side}/digests")) == ["batch=1", "batch=build"]
