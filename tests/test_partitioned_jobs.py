@@ -164,3 +164,40 @@ def test_web_corpus_job_partitioned_matches_unpartitioned(spark, tmp_path):
     assert results["plain"][0] == results["parted"][0]
     assert results["plain"][1] == results["parted"][1]
     assert len(results["plain"][1]) == 3
+
+
+def test_merge_two_level_partitioning(spark, tmp_path):
+    """(source, ingest_date)-style two-level partitioned merge: nested
+    partition dirs swap independently, NULLs land in the Hive default
+    dir at either level, and content stays byte-identical to the
+    unpartitioned rewrite."""
+    from gpt_rag_ingestion_spark.operators.upsert import merge_upsert
+
+    schema = "parent_id string, src string, day string, v int"
+    rows1 = [("k1", "a", "d1", 1), ("k2", "a", "d2", 2),
+             ("k3", "b", "d1", 3), ("k4", None, "d1", 4),
+             ("k5", "b", None, 5)]
+    rows2 = [("k2", "a", "d3", 22),   # moved partitions
+             ("k6", "b", "d1", 6)]    # new key into existing partition
+
+    plain, parted = str(tmp_path / "plain"), str(tmp_path / "parted")
+    for table, pc in ((plain, None), (parted, ["src", "day"])):
+        merge_upsert(spark, table, spark.createDataFrame(rows1, schema),
+                     partition_cols=pc)
+        merge_upsert(spark, table, spark.createDataFrame(rows2, schema),
+                     partition_cols=pc)
+    canon = lambda p: sorted(  # noqa: E731
+        (r["parent_id"], r["src"], r["day"], r["v"])
+        for r in spark.read.parquet(p).collect()
+    )
+    assert canon(parted) == canon(plain)
+    import os
+
+    dirs = {
+        os.path.relpath(r, parted)
+        for r, d, f in os.walk(parted) if not d and f
+    }
+    assert "src=a/day=d3" in dirs
+    assert "src=__HIVE_DEFAULT_PARTITION__/day=d1" in dirs
+    assert "src=b/day=__HIVE_DEFAULT_PARTITION__" in dirs
+    assert not any(r.endswith("day=d2") for r in dirs)  # emptied & dropped
