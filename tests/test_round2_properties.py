@@ -181,3 +181,31 @@ def test_partitioned_merge_escaping_property(spark, tmp_path_factory, pvals, dat
         .select("parent_id", _F.col("part").cast("string"), "v").collect()
     )
     assert canon(parted) == canon(plain)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=6),
+        min_size=3, max_size=60,
+    ),
+    k=st.integers(min_value=2, max_value=8),
+)
+def test_bpe_exact_batching_property(spark, words, k):
+    """exact=True batched BPE must learn the IDENTICAL merge table to
+    the one-merge-per-round sequential baseline on ARBITRARY corpora —
+    the safe-prefix selection rule, property-tested."""
+    import gpt_rag_ingestion_spark.operators.bpe as bpe
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i::3])) for i in range(3)], ["doc_id", "text"]
+    )
+    seq = [tuple(r) for r in bpe.bpe_train(docs, num_merges=10).collect()]
+    bat = [
+        tuple(r)
+        for r in bpe.bpe_train(
+            docs, num_merges=10, merges_per_round=k, exact=True
+        ).collect()
+    ]
+    assert bat == seq
