@@ -1131,7 +1131,9 @@ def incremental_dedup_sidecar(
     shingled, or shuffled — the O(batch) classification loop."""
     spark = incr.sparkSession
     n = int(spark.read.parquet(f"{sidecar_path}/meta").first()["n"])
-    b_dig = spark.read.parquet(f"{sidecar_path}/digests")
+    from gpt_rag_ingestion_spark.operators.similarity import read_batched_dir
+
+    b_dig = read_batched_dir(spark, f"{sidecar_path}/digests")
     b_min = b_dig.groupBy("digest").agg(F.min("doc_id").alias("dup_of_base"))
 
     digest = F.md5(F.col(text_col))
@@ -1145,7 +1147,7 @@ def incremental_dedup_sidecar(
     sh_i = word_shingles(
         incr.join(unresolved, on=id_col, how="left_semi"), text_col, id_col, n
     ).select(F.col(id_col).alias("_iid"), F.xxhash64("shingle").alias("sh"))
-    sh_b = spark.read.parquet(f"{sidecar_path}/shingles").select(
+    sh_b = read_batched_dir(spark, f"{sidecar_path}/shingles").select(
         F.col("doc_id").alias("_bid"), "sh"
     )
     n_i = sh_i.groupBy("_iid").agg(F.count(F.lit(1)).alias("n_i"))
@@ -1154,7 +1156,7 @@ def incremental_dedup_sidecar(
         .groupBy("_iid", "_bid")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    n_b = spark.read.parquet(f"{sidecar_path}/sizes").select(
+    n_b = read_batched_dir(spark, f"{sidecar_path}/sizes").select(
         F.col("doc_id").alias("_bid"), F.col("n_shingles").alias("n_b")
     )
     near = (
@@ -1189,3 +1191,20 @@ def incremental_dedup_sidecar(
         decision.alias("decision"),
         dup_of.alias("dup_of"),
     )
+
+
+def dedup_sidecar_compact(spark, sidecar_path: str) -> dict:
+    """OPTIMIZE for the dedup sidecar: consolidate each sub-table's
+    per-batch generations (digests / shingles / sizes) into one, with
+    the shared crash-safe swap (operators/similarity.compact_batched_dir).
+    Per-doc size rows appear in exactly one batch each, so plain
+    consolidation preserves semantics — classification results are
+    byte-identical before and after (unit-pinned)."""
+    from gpt_rag_ingestion_spark.operators.similarity import (
+        compact_batched_dir,
+    )
+
+    out = {}
+    for sub in ("digests", "shingles", "sizes"):
+        out[sub] = compact_batched_dir(spark, f"{sidecar_path}/{sub}")
+    return out

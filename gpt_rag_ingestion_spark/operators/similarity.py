@@ -1494,3 +1494,62 @@ def _ivfpq_adc_rank(enc, qd, b_model, k):
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "approx_l2sq", "rank")
     )
+
+
+def _recover_swap(spark, live_path: str) -> None:
+    """Generic writer-side swap recovery for a ``<dir>``/``<dir>__old``
+    pair (the _ivf_recover contract for any batched directory)."""
+    old = f"{live_path}__old"
+    if jvm_fs_exists(spark, old):
+        if jvm_fs_exists(spark, live_path):
+            jvm_fs_delete(spark, old)
+        else:
+            jvm_fs_rename(spark, old, live_path)
+
+
+def compact_batched_dir(
+    spark, dir_path: str, partition_by: str | None = None,
+    label: str = "compacted",
+) -> int:
+    """Consolidate a directory of ``batch=<label>`` generations into
+    ONE generation with the crash-safe rename protocol shared by the
+    persisted indexes: stage outside the live dir, live→__old,
+    staging→live, drop __old.  Writers run ``_recover_swap`` first;
+    readers fall back to ``__old`` without renaming.  Returns the row
+    count moved."""
+    _recover_swap(spark, dir_path)
+    df = spark.read.parquet(dir_path).drop("batch")
+    n = int(df.count())
+    staging, old = f"{dir_path}__staging", f"{dir_path}__old"
+    jvm_fs_delete(spark, staging)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(f"{staging}/batch={label}")
+    jvm_fs_delete(spark, old)
+    jvm_fs_rename(spark, dir_path, old)
+    jvm_fs_rename(spark, staging, dir_path)
+    jvm_fs_delete(spark, old)
+    spark.catalog.refreshByPath(dir_path)
+    return n
+
+
+def read_batched_dir(spark, dir_path: str):
+    """Read a batched directory, falling back to the ``__old``
+    generation during a compactor's swap window — readers never rename
+    (the ivf_index_query reader contract)."""
+    if not jvm_fs_exists(spark, dir_path) and jvm_fs_exists(
+        spark, f"{dir_path}__old"
+    ):
+        dir_path = f"{dir_path}__old"
+    return spark.read.parquet(dir_path)
+
+
+def ivfpq_index_compact(spark, index_path: str, label: str = "compacted") -> dict:
+    """OPTIMIZE for the IVFPQ code postings: consolidate the per-batch
+    generations into one cell-partitioned generation (same pruned
+    layout, O(cells) files instead of O(batches x cells))."""
+    n = compact_batched_dir(
+        spark, f"{index_path}/postings", partition_by="cell", label=label
+    )
+    return {"n_vectors": n, "label": label}

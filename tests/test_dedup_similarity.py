@@ -877,3 +877,64 @@ def test_dedup_sidecar_lifecycle(spark, tmp_path):
         for r in incremental_dedup_sidecar(probe2, side, threshold=0.1).collect()
     )
     assert got2 == want2
+
+
+def test_ivfpq_index_compact(spark, tmp_path):
+    from gpt_rag_ingestion_spark.operators.similarity import (
+        ivfpq_index_append,
+        ivfpq_index_build,
+        ivfpq_index_compact,
+        ivfpq_index_query,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_index_build(emb.filter("vec_id < 300"), idx, n_cells=8)
+    ivfpq_index_append(emb.filter("vec_id >= 300 AND vec_id < 400"), idx, "b1")
+    ivfpq_index_append(emb.filter("vec_id >= 400"), idx, "b2")
+    q = emb.filter("vec_id < 20")
+    before = {
+        (r["query_id"], r["corpus_id"], r["rank"])
+        for r in ivfpq_index_query(spark, idx, q, n_probe=4, k=5).collect()
+    }
+    out = ivfpq_index_compact(spark, idx)
+    assert out["n_vectors"] == emb.count()
+    import os
+
+    assert os.listdir(f"{idx}/postings") == ["batch=compacted"]
+    after = {
+        (r["query_id"], r["corpus_id"], r["rank"])
+        for r in ivfpq_index_query(spark, idx, q, n_probe=4, k=5).collect()
+    }
+    assert after == before
+
+
+def test_dedup_sidecar_compact(spark, tmp_path):
+    from gpt_rag_ingestion_spark.operators.dedup import (
+        dedup_sidecar_append,
+        dedup_sidecar_build,
+        dedup_sidecar_compact,
+        incremental_dedup_sidecar,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.filter("doc_id % 3 != 0").select("doc_id", "text")
+    extra = docs.filter("doc_id % 3 = 0").limit(30).select("doc_id", "text")
+    probe = docs.limit(40).selectExpr("doc_id + 900000 AS doc_id", "text")
+
+    side = str(tmp_path / "sidecar")
+    dedup_sidecar_build(base, side)
+    dedup_sidecar_append(extra, side, "b1")
+    before = sorted(
+        tuple(r) for r in incremental_dedup_sidecar(probe, side).collect()
+    )
+    counts = dedup_sidecar_compact(spark, side)
+    assert counts["digests"] == base.count() + 30
+    import os
+
+    for sub in ("digests", "shingles", "sizes"):
+        assert os.listdir(f"{side}/{sub}") == ["batch=compacted"]
+    after = sorted(
+        tuple(r) for r in incremental_dedup_sidecar(probe, side).collect()
+    )
+    assert after == before
