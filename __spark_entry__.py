@@ -364,12 +364,14 @@ def q17_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q18_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """Dedup (MinHash+LSH candidates), md5-hash mode: lexicographic min
-    over hex digests is a valid permutation-min in any engine with md5,
-    so the full signature->bands->pairs pipeline is oracle-checked."""
+    """Dedup (MinHash+LSH candidates), sha256 portable mode: lexicographic
+    min over fixed-width hex digests is a valid permutation-min in any
+    engine with sha256 (8 slices per digest = half the hash calls of
+    md5), so the full signature->bands->pairs pipeline is
+    oracle-checked."""
     docs = _t(spark, sf, "documents")
     return minhash_lsh_candidates(
-        docs, "text", "doc_id", n=3, num_hashes=16, bands=8, hash_fn="md5"
+        docs, "text", "doc_id", n=3, num_hashes=16, bands=8, hash_fn="sha256"
     )
 
 
@@ -1064,7 +1066,7 @@ def q63_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = _t(spark, sf, "documents")
     pairs = minhash_lsh_candidates(
-        docs, "text", "doc_id", n=3, num_hashes=16, bands=8, hash_fn="md5"
+        docs, "text", "doc_id", n=3, num_hashes=16, bands=8, hash_fn="sha256"
     )
     return duplicate_clusters(pairs, nodes=docs, id_col="doc_id")
 
@@ -1124,7 +1126,7 @@ def q67_neardup_verified(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = _t(spark, sf, "documents")
     cands = minhash_lsh_candidates(
-        docs, "text", "doc_id", n=3, num_hashes=16, bands=8, hash_fn="md5"
+        docs, "text", "doc_id", n=3, num_hashes=16, bands=8, hash_fn="sha256"
     ).localCheckpoint()  # tiny pair set, referenced 3x downstream —
     # materialize once instead of re-running the LSH pipeline per use
     return ngram_jaccard_pairs(
@@ -1625,7 +1627,7 @@ def q96_cluster_keeper(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = _t(spark, sf, "documents")
     pairs = minhash_lsh_candidates(
-        docs, "text", "doc_id", n=3, num_hashes=16, bands=8, hash_fn="md5"
+        docs, "text", "doc_id", n=3, num_hashes=16, bands=8, hash_fn="sha256"
     )
     clusters = duplicate_clusters(pairs, nodes=docs, id_col="doc_id")
     joined = clusters.join(docs.select("doc_id", "n_chars"), on="doc_id")
@@ -3197,18 +3199,19 @@ def oracle_sql() -> dict[str, str]:
         "SELECT vec_id, list_transform(embedding, x -> "
         "CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings"
     )
-    # 4 salted digests per shingle; each yields four independent 8-hex
-    # slices (b-bit minwise hashing) — mirrors minhash_signatures md5 mode
+    # 2 salted sha256 digests per shingle; each yields EIGHT independent
+    # 8-hex slices (b-bit minwise hashing) — mirrors minhash_signatures
+    # sha256 mode (half the hash calls of the md5 variant)
     minhash_pairs = f"""
             WITH sh AS ({_SHINGLES}),
             dg AS (
               SELECT doc_id,
-                {", ".join(f"md5('s{d}:' || shingle) AS d{d}" for d in range(4))}
+                {", ".join(f"sha256('s{d}:' || shingle) AS d{d}" for d in range(2))}
               FROM sh),
             sig AS (
               SELECT doc_id,
                 {", ".join(
-                    f"min(substr(d{i // 4}, {8 * (i % 4) + 1}, 8)) AS mh_{i}"
+                    f"min(substr(d{i // 8}, {8 * (i % 8) + 1}, 8)) AS mh_{i}"
                     for i in range(16))}
               FROM dg GROUP BY doc_id),
             bands AS (
