@@ -36,8 +36,15 @@ def run_incremental_ingest(
     overlap: int = 8,
     min_tokens: int = 4,
     rollup_path: str | None = None,
+    partition_cols: list[str] | None = None,
 ) -> None:
     """One AvailableNow drain of the landing zone into the chunks table.
+
+    ``partition_cols`` (columns of the landing schema, e.g.
+    ``["source"]``) partitions the chunks table and routes every
+    micro-batch merge through the partition-pruned overwrite — the
+    same O(increment)-rewrite property the batch job gets
+    (plans/ingest_job.py), held across the stream's lifetime.
 
     Idempotence comes from two layers, mirroring the reference: the
     checkpoint never re-reads a processed file, and the merge keyed on
@@ -61,11 +68,15 @@ def run_incremental_ingest(
         docs = batch_df.withColumn(
             "doc_key", F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
         )
+        carry = [
+            c for c in (partition_cols or []) if c not in ("source",)
+        ]
         chunks = chunk_documents(
             docs,
             text_col="text",
             doc_key_col="doc_key",
             source_col="source",
+            carry_cols=carry or None,
             embedding_dim=16,
             max_tokens=max_tokens,
             overlap=overlap,
@@ -85,7 +96,10 @@ def run_incremental_ingest(
             staging = _stage_rollup(
                 spark, rollup_path, old_table=old_table, incoming=chunks
             )
-        merge_upsert(spark, table_path, chunks, key="parent_id")
+        merge_upsert(
+            spark, table_path, chunks, key="parent_id",
+            partition_cols=partition_cols,
+        )
         if staging is not None:
             from gpt_rag_ingestion_spark.operators.upsert import _swap_in
 

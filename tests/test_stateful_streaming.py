@@ -531,3 +531,47 @@ def test_streaming_web_corpus_with_sidecar(spark, tmp_path):
     # sidecar holds the build bootstrap + batch-1 appends
     side = str(tmp_path / "sided" / "sidecar")
     assert sorted(os.listdir(f"{side}/digests")) == ["batch=1", "batch=build"]
+
+
+def test_streaming_ingest_partitioned(spark, tmp_path):
+    """partition_cols through the STREAMING ingest: each micro-batch
+    merge prunes to its own partitions; re-drained content equals the
+    unpartitioned stream's."""
+    import json
+
+    from gpt_rag_ingestion_spark.streaming.micro_batch import (
+        run_incremental_ingest,
+    )
+
+    def feed(landing, name, rows):
+        (landing / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    b1 = [
+        {"doc_id": 1, "text": "alpha " * 30, "source": "s1"},
+        {"doc_id": 2, "text": "beta " * 30, "source": "s2"},
+    ]
+    b2 = [{"doc_id": 3, "text": "gamma " * 30, "source": "s1"}]
+
+    outs = {}
+    for name, pc in (("plain", None), ("parted", ["source"])):
+        landing = tmp_path / name / "landing"
+        landing.mkdir(parents=True)
+        table = str(tmp_path / name / "chunks")
+        ckpt = str(tmp_path / name / "ckpt")
+        feed(landing, "b1.json", b1)
+        run_incremental_ingest(
+            spark, str(landing), table, ckpt, partition_cols=pc
+        )
+        feed(landing, "b2.json", b2)
+        run_incremental_ingest(
+            spark, str(landing), table, ckpt, partition_cols=pc
+        )
+        outs[name] = sorted(
+            (r["parent_id"], r["chunk_id"], r["content"], r["source"])
+            for r in spark.read.parquet(table).collect()
+        )
+    assert outs["parted"] == outs["plain"] and len(outs["plain"]) > 0
+    import os
+
+    dirs = set(os.listdir(str(tmp_path / "parted" / "chunks")))
+    assert {"source=s1", "source=s2"} <= dirs
