@@ -73,9 +73,17 @@ def _ann_recall(spark, entry_mod, sf_dir: str, k: int = 10) -> dict:
         got: dict = {}
         for r in fn().collect():
             got.setdefault(r["query_id"], set()).add(r["corpus_id"])
+        # denominator = the TRUTH query set, not the queries the ANN
+        # happened to answer: a family that silently drops queries
+        # (the cogroup key-type bug class) must show as lost recall,
+        # not as unchanged recall over the survivors
+        if name in ("pq_refine", "ivfpq"):
+            qids = [q for q in truth if q % 8 == 0]
+        else:
+            qids = list(truth)
         recs = [
-            len(v & truth.get(q, set())) / max(len(truth.get(q, set())), 1)
-            for q, v in got.items()
+            len(got.get(q, set()) & truth[q]) / max(len(truth[q]), 1)
+            for q in qids
         ]
         out[name] = round(sum(recs) / max(len(recs), 1), 4)
     emb.unpersist()

@@ -1061,32 +1061,80 @@ def neardup_pairs_auto(
 # batch classifies against key-only sidecar tables, so a batch costs
 # O(batch + matched keys), never O(corpus).  Same lifecycle contract as
 # the persisted ANN indexes: per-label batch directories, overwrite on
-# retry (at-least-once safe), union-on-read.
+# retry (at-least-once safe), union-on-read, single writer.
+#
+# Rows carry a GENERATION: an appended doc_id SUPERSEDES its earlier
+# rows (the merge is delete-then-insert, so a re-admitted id replaced
+# its corpus text); classification keeps only each doc's latest
+# generation, which keeps sidecar decisions row-for-row equal to the
+# text path even across replacements.  Compaction garbage-collects the
+# dead generations.
 #
 # Layout under <sidecar_path>/:
-#   meta                       — (n int): the shingle width
-#   digests/batch=<label>/     — (digest string, doc_id long)
-#   shingles/batch=<label>/    — (sh long, doc_id long)   xxhash64 keys
-#   sizes/batch=<label>/       — (doc_id long, n_shingles long)
+#   meta                       — (n int, gen int): shingle width + last
+#                                generation written (single-writer)
+#   digests/batch=<label>/     — (digest string, doc_id long, gen int)
+#   shingles/batch=<label>/    — (sh long, doc_id long, gen int)  xxhash64
+#   sizes/batch=<label>/       — (doc_id long, n_shingles long, gen int)
+
+_SIDECAR_SUBS = ("digests", "shingles", "sizes")
 
 
-def _sidecar_write(docs, sidecar_path, label, text_col, id_col, n) -> int:
-    spark = docs.sparkSession
+def _sidecar_recover(spark, sidecar_path: str) -> None:
+    """Writer-side swap recovery for every sub-table (a crashed
+    compact leaves <sub>__old; an append that ignored it would make
+    the next compact's recovery DELETE the real generation)."""
+    from gpt_rag_ingestion_spark.operators.similarity import _recover_swap
+
+    for sub in _SIDECAR_SUBS:
+        _recover_swap(spark, f"{sidecar_path}/{sub}")
+
+
+def _sidecar_write_meta(spark, sidecar_path, n, gen) -> None:
+    spark.createDataFrame([(int(n), int(gen))], "n int, gen int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{sidecar_path}/meta__staging")
+    from gpt_rag_ingestion_spark.operators.similarity import (
+        jvm_fs_delete,
+        jvm_fs_rename,
+    )
+
+    jvm_fs_delete(spark, f"{sidecar_path}/meta")
+    jvm_fs_rename(spark, f"{sidecar_path}/meta__staging", f"{sidecar_path}/meta")
+
+
+def _sidecar_write(docs, sidecar_path, label, text_col, id_col, n, gen) -> int:
     dig = docs.select(
         F.md5(F.col(text_col)).alias("digest"),
         F.col(id_col).cast("long").alias("doc_id"),
+        F.lit(int(gen)).alias("gen"),
     )
-    dig.write.mode("overwrite").parquet(f"{sidecar_path}/digests/batch={label}")
     sh = word_shingles(docs, text_col, id_col, n).select(
         F.xxhash64("shingle").alias("sh"),
         F.col(id_col).cast("long").alias("doc_id"),
-    )
-    sh.write.mode("overwrite").parquet(f"{sidecar_path}/shingles/batch={label}")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    sizes.write.mode("overwrite").parquet(f"{sidecar_path}/sizes/batch={label}")
-    return int(
-        spark.read.parquet(f"{sidecar_path}/digests/batch={label}").count()
-    )
+        F.lit(int(gen)).alias("gen"),
+    ).persist()
+    try:
+        sh.write.mode("overwrite").parquet(
+            f"{sidecar_path}/shingles/batch={label}"
+        )
+        sizes = sh.groupBy("doc_id", "gen").agg(
+            F.count(F.lit(1)).alias("n_shingles")
+        ).select("doc_id", "n_shingles", "gen")
+        sizes.write.mode("overwrite").parquet(
+            f"{sidecar_path}/sizes/batch={label}"
+        )
+    finally:
+        sh.unpersist()
+    dig = dig.persist()
+    try:
+        n_docs = int(dig.count())
+        dig.write.mode("overwrite").parquet(
+            f"{sidecar_path}/digests/batch={label}"
+        )
+    finally:
+        dig.unpersist()
+    return n_docs
 
 
 def dedup_sidecar_build(
@@ -1097,12 +1145,21 @@ def dedup_sidecar_build(
     n: int = 3,
 ) -> dict:
     """Build the sidecar from the existing corpus — the ONE corpus-text
-    pass; every later batch classification reads keys only."""
+    pass; every later batch classification reads keys only.  A rebuild
+    at the same path replaces the sidecar wholesale (stale batch
+    directories of a previous life are cleared first, like
+    ivfpq_index_build clears its postings)."""
+    from gpt_rag_ingestion_spark.operators.similarity import jvm_fs_delete
+
     spark = corpus.sparkSession
-    spark.createDataFrame([(n,)], "n int").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{sidecar_path}/meta")
-    n_docs = _sidecar_write(corpus, sidecar_path, "build", text_col, id_col, n)
+    for sub in _SIDECAR_SUBS:
+        jvm_fs_delete(spark, f"{sidecar_path}/{sub}")
+        jvm_fs_delete(spark, f"{sidecar_path}/{sub}__old")
+        jvm_fs_delete(spark, f"{sidecar_path}/{sub}__staging")
+    n_docs = _sidecar_write(
+        corpus, sidecar_path, "build", text_col, id_col, n, gen=0
+    )
+    _sidecar_write_meta(spark, sidecar_path, n, 0)
     return {"n_docs": n_docs, "n": n}
 
 
@@ -1114,15 +1171,41 @@ def dedup_sidecar_append(
     id_col: str = "doc_id",
 ) -> dict:
     """Admit a batch into the sidecar: one batch-text pass writing the
-    batch's OWN digest/shingle/size directories (overwrite per label —
-    a replayed admission replaces itself).  Call with the rows an
-    ingestion actually admitted, after classification."""
+    batch's OWN directories under the next generation number (overwrite
+    per label — a replayed admission replaces itself; its re-bumped
+    generation still selects the same latest rows per doc).  A doc_id
+    that already exists in the sidecar is SUPERSEDED: its older
+    generations stop participating in classification, mirroring the
+    corpus merge's delete-then-insert."""
     spark = admitted.sparkSession
-    n = spark.read.parquet(f"{sidecar_path}/meta").first()["n"]
+    _sidecar_recover(spark, sidecar_path)
+    meta = spark.read.parquet(f"{sidecar_path}/meta").first()
+    gen = int(meta["gen"]) + 1
     n_docs = _sidecar_write(
-        admitted, sidecar_path, batch_label, text_col, id_col, int(n)
+        admitted, sidecar_path, batch_label, text_col, id_col,
+        int(meta["n"]), gen,
     )
-    return {"batch": batch_label, "n_docs": n_docs}
+    _sidecar_write_meta(spark, sidecar_path, int(meta["n"]), gen)
+    return {"batch": batch_label, "n_docs": n_docs, "gen": gen}
+
+
+def _sidecar_live(spark, sidecar_path):
+    """(digests, shingles, sizes) restricted to each doc's LATEST
+    generation — the rows that mirror the current corpus.  The live
+    set is derived from the compact sizes table (one row per doc per
+    generation) and semi-joined into the wider tables."""
+    from gpt_rag_ingestion_spark.operators.similarity import read_batched_dir
+
+    sizes = read_batched_dir(spark, f"{sidecar_path}/sizes")
+    live = sizes.groupBy("doc_id").agg(F.max("gen").alias("gen"))
+    sizes = sizes.join(live, ["doc_id", "gen"], "left_semi")
+    dig = read_batched_dir(spark, f"{sidecar_path}/digests").join(
+        live, ["doc_id", "gen"], "left_semi"
+    )
+    sh = read_batched_dir(spark, f"{sidecar_path}/shingles").join(
+        live, ["doc_id", "gen"], "left_semi"
+    )
+    return dig, sh, sizes
 
 
 def incremental_dedup_sidecar(
@@ -1133,16 +1216,16 @@ def incremental_dedup_sidecar(
     threshold: float = 0.1,
 ) -> DataFrame:
     """``incremental_dedup`` against the PERSISTED sidecar instead of
-    the base corpus text — row-for-row equal output (unit-pinned), but
-    the base side is touched by key only: the digest index joins on
-    16-byte digests, the shingle postings join on 8-byte hashes, and
-    per-doc sizes come precomputed.  Base text is never re-read, re-
-    shingled, or shuffled — the O(batch) classification loop."""
+    the base corpus text — row-for-row equal output (unit-pinned,
+    including across document replacements: only each doc's latest
+    generation participates), but the base side is touched by key
+    only: the digest index joins on 16-byte digests, the shingle
+    postings join on 8-byte hashes, and per-doc sizes come
+    precomputed.  Base text is never re-read, re-shingled, or
+    shuffled — the O(batch) classification loop."""
     spark = incr.sparkSession
     n = int(spark.read.parquet(f"{sidecar_path}/meta").first()["n"])
-    from gpt_rag_ingestion_spark.operators.similarity import read_batched_dir
-
-    b_dig = read_batched_dir(spark, f"{sidecar_path}/digests")
+    b_dig, sh_b_raw, sizes = _sidecar_live(spark, sidecar_path)
     b_min = b_dig.groupBy("digest").agg(F.min("doc_id").alias("dup_of_base"))
 
     digest = F.md5(F.col(text_col))
@@ -1156,16 +1239,14 @@ def incremental_dedup_sidecar(
     sh_i = word_shingles(
         incr.join(unresolved, on=id_col, how="left_semi"), text_col, id_col, n
     ).select(F.col(id_col).alias("_iid"), F.xxhash64("shingle").alias("sh"))
-    sh_b = read_batched_dir(spark, f"{sidecar_path}/shingles").select(
-        F.col("doc_id").alias("_bid"), "sh"
-    )
+    sh_b = sh_b_raw.select(F.col("doc_id").alias("_bid"), "sh")
     n_i = sh_i.groupBy("_iid").agg(F.count(F.lit(1)).alias("n_i"))
     inter = (
         sh_i.join(sh_b, "sh")
         .groupBy("_iid", "_bid")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    n_b = read_batched_dir(spark, f"{sidecar_path}/sizes").select(
+    n_b = sizes.select(
         F.col("doc_id").alias("_bid"), F.col("n_shingles").alias("n_b")
     )
     near = (
@@ -1203,17 +1284,39 @@ def incremental_dedup_sidecar(
 
 
 def dedup_sidecar_compact(spark, sidecar_path: str) -> dict:
-    """OPTIMIZE for the dedup sidecar: consolidate each sub-table's
-    per-batch generations (digests / shingles / sizes) into one, with
-    the shared crash-safe swap (operators/similarity.compact_batched_dir).
-    Per-doc size rows appear in exactly one batch each, so plain
-    consolidation preserves semantics — classification results are
-    byte-identical before and after (unit-pinned)."""
+    """OPTIMIZE + garbage collection for the dedup sidecar: consolidate
+    each sub-table's per-batch generations into one AND drop superseded
+    generations (rows of docs later re-admitted) — classification
+    results are byte-identical before and after (unit-pinned).  Uses
+    the shared crash-safe swap (operators/similarity)."""
     from gpt_rag_ingestion_spark.operators.similarity import (
-        compact_batched_dir,
+        _recover_swap,
+        jvm_fs_delete,
+        jvm_fs_rename,
     )
 
+    _sidecar_recover(spark, sidecar_path)
+    dig, sh, sizes = _sidecar_live(spark, sidecar_path)
     out = {}
-    for sub in ("digests", "shingles", "sizes"):
-        out[sub] = compact_batched_dir(spark, f"{sidecar_path}/{sub}")
+    staged = {}
+    for sub, df in (("digests", dig), ("shingles", sh), ("sizes", sizes)):
+        live_path = f"{sidecar_path}/{sub}"
+        staging = f"{live_path}__staging"
+        jvm_fs_delete(spark, staging)
+        kept = df.drop("batch") if "batch" in df.columns else df
+        kept.write.mode("overwrite").parquet(f"{staging}/batch=compacted")
+        out[sub] = int(
+            spark.read.parquet(f"{staging}/batch=compacted").count()
+        )
+        staged[sub] = staging
+    # all staging generations ready: swap each (crash between swaps is
+    # healed per-sub-table by _sidecar_recover on the next writer)
+    for sub in _SIDECAR_SUBS:
+        live_path = f"{sidecar_path}/{sub}"
+        old = f"{live_path}__old"
+        jvm_fs_delete(spark, old)
+        jvm_fs_rename(spark, live_path, old)
+        jvm_fs_rename(spark, staged[sub], live_path)
+        jvm_fs_delete(spark, old)
+        spark.catalog.refreshByPath(live_path)
     return out

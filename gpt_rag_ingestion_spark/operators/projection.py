@@ -46,13 +46,14 @@ def include_exclude_fields_by_cols(
     (the config-DF-driven hydration joins each item to its collection's
     config row), so one plan projects every collection at once — no
     per-collection driver loop.  Semantics match
-    ``include_exclude_fields``: null include = keep all; a non-null
-    include wins over exclude (reference precedence,
-    sharepoint_indexer.py:316-329)."""
+    ``include_exclude_fields``: a null OR EMPTY include falls through
+    to exclude (an all-blank includeFields list cleans to [] — it must
+    not mean "keep nothing"); a non-empty include wins over exclude
+    (reference precedence, sharepoint_indexer.py:316-329)."""
     c, inc, exc = F.col(map_col), F.col(include_col), F.col(exclude_col)
     filtered = (
         F.when(
-            inc.isNotNull(),
+            inc.isNotNull() & (F.size(inc) > 0),
             F.map_filter(c, lambda k, _v: F.array_contains(inc, k)),
         )
         .when(

@@ -1091,7 +1091,11 @@ def ivf_index_query(
     rename it back, which could otherwise interleave with the
     compactor's staging→postings rename and nest a double-generation
     layout.  Swap recovery runs only from the writers
-    (append/compact) under the single-writer assumption."""
+    (append/compact) under the single-writer assumption.  The fallback
+    NARROWS the race window rather than closing it (the exists-check
+    and the scan are not atomic): a scan overlapping the compactor's
+    final renames can still see FileNotFound and should be retried;
+    snapshot-isolated table formats (Delta/Iceberg) close it fully."""
     from gpt_rag_ingestion_spark.session import ensure_importable
 
     ensure_importable(queries)
@@ -1337,12 +1341,15 @@ def ivfpq_index_build(
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/codebooks")
     jvm_fs_delete(spark, f"{index_path}/postings")
     b_model = spark.sparkContext.broadcast((C, books))
-    enc = _ivfpq_encode(corpus, b_model, id_col, vec_col)
-    enc.write.partitionBy("cell").mode("overwrite").parquet(
-        f"{index_path}/postings/batch=build"
-    )
-    n = spark.read.parquet(f"{index_path}/postings").count()
-    return {"n_vectors": int(n), "n_cells": int(len(C))}
+    enc = _ivfpq_encode(corpus, b_model, id_col, vec_col).persist()
+    try:
+        n = int(enc.count())  # one materialization serves count + write
+        enc.write.partitionBy("cell").mode("overwrite").parquet(
+            f"{index_path}/postings/batch=build"
+        )
+    finally:
+        enc.unpersist()
+    return {"n_vectors": n, "n_cells": int(len(C))}
 
 
 def _ivfpq_load_model(spark, index_path: str):
@@ -1409,9 +1416,10 @@ def ivfpq_index_query(
     when ``refine_with`` (the raw-vector corpus table, the system of
     record) is given — exactly re-rank the k·refine_factor shortlist.
     Without ``refine_with`` the ADC ranking itself is returned
-    (query_id, corpus_id, rank).  Readers never mutate the index (same
-    contract as ivf_index_query: mid-swap they fall back to reading
-    ``postings__old``)."""
+    (query_id, corpus_id, rank).  Readers never mutate the index (the
+    ivf_index_query contract: mid-swap they fall back to reading
+    ``postings__old``; the fallback narrows the race window, it does
+    not close it — see ivf_index_query)."""
     from gpt_rag_ingestion_spark.session import ensure_importable
 
     ensure_importable(queries)
@@ -1537,7 +1545,9 @@ def compact_batched_dir(
 def read_batched_dir(spark, dir_path: str):
     """Read a batched directory, falling back to the ``__old``
     generation during a compactor's swap window — readers never rename
-    (the ivf_index_query reader contract)."""
+    (the ivf_index_query reader contract; like it, the fallback narrows
+    the race window rather than closing it — retry on FileNotFound, or
+    use a snapshot-isolated table format)."""
     if not jvm_fs_exists(spark, dir_path) and jvm_fs_exists(
         spark, f"{dir_path}__old"
     ):

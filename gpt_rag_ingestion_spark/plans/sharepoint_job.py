@@ -271,6 +271,7 @@ def sharepoint_ingest_from_config(
     allowed_exts: list[str] | None = None,
     embedding_dim: int = 64,
     doc_col: str = "doc",
+    list_name_dim: DataFrame | None = None,
 ) -> DataFrame:
     """§3.3/S8 composed, config-DataFrame-driven: hydrate collection
     specs from the config documents and drive BOTH ingestion paths for
@@ -286,12 +287,50 @@ def sharepoint_ingest_from_config(
 
     Unconfigured (site, list) rows never enter either branch — the
     inner join IS the reference's 'iterate configured collections'
-    (sharepoint_indexer.py:1239-1311)."""
+    (sharepoint_indexer.py:1239-1311).
+
+    Legacy listName-only config rows (parse_site_configs admits them,
+    mirroring the reference's Graph-lookup fallback,
+    sharepoint_indexer.py:310-315) must resolve to a list_id before the
+    item join: pass ``list_name_dim`` — (site, list_name, list_id),
+    the landing-zone image of the Graph list catalog.  Rows that stay
+    unresolved raise instead of silently ingesting nothing."""
     from gpt_rag_ingestion_spark.operators.projection import (
         include_exclude_fields_by_cols,
     )
 
     cols = parse_site_configs(configs, doc_col=doc_col)
+    if list_name_dim is not None:
+        dim = F.broadcast(
+            list_name_dim.select(
+                "site",
+                F.col("list_name").alias("_ln"),
+                F.col("list_id").alias("_resolved_id"),
+            )
+        )
+        cols = (
+            cols.join(
+                dim,
+                (cols["site"] == dim["site"]) & (cols["list_name"] == dim["_ln"]),
+                "left",
+            )
+            .drop(dim["site"])
+            .withColumn(
+                "list_id", F.coalesce(F.col("list_id"), F.col("_resolved_id"))
+            )
+            .drop("_ln", "_resolved_id")
+        )
+    unresolved = [
+        (r["site"], r["list_name"])
+        for r in cols.filter(F.col("list_id").isNull())
+        .select("site", "list_name")
+        .collect()
+    ]
+    if unresolved:
+        raise ValueError(
+            "config rows with listName but no resolvable listId "
+            f"(pass list_name_dim to resolve them): {unresolved}"
+        )
 
     generic = cols.filter(F.col("list_type") == "generic_list").select(
         "site", "list_id", "include_fields", "exclude_fields",

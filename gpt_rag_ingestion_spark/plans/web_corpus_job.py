@@ -209,16 +209,18 @@ def run_web_corpus_job(
                 dedup_sidecar_build,
             )
 
-            to_admit = admitted.select(id_col, text_col)
             if use_sidecar:
                 dedup_sidecar_append(
-                    to_admit, sidecar_path, batch_label,
-                    text_col=text_col, id_col=id_col,
+                    admitted.select(id_col, text_col), sidecar_path,
+                    batch_label, text_col=text_col, id_col=id_col,
                 )
             else:
-                # first batch bootstraps the sidecar (meta + build dir)
+                # bootstrap from the POST-MERGE corpus — a sidecar
+                # enabled on a pre-existing corpus must index what is
+                # already there, not just this batch's admissions
                 dedup_sidecar_build(
-                    to_admit, sidecar_path, text_col=text_col, id_col=id_col
+                    spark.read.parquet(corpus_path).select(id_col, text_col),
+                    sidecar_path, text_col=text_col, id_col=id_col,
                 )
     staged.unpersist()
     return audit

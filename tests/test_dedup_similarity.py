@@ -938,3 +938,53 @@ def test_dedup_sidecar_compact(spark, tmp_path):
         tuple(r) for r in incremental_dedup_sidecar(probe, side).collect()
     )
     assert after == before
+
+
+def test_sidecar_replacement_supersedes_old_generation(spark, tmp_path):
+    """Review finding: a re-admitted doc_id REPLACES its corpus text
+    (delete-then-insert merge), so its old sidecar keys must stop
+    matching — classification stays equal to the text path against the
+    CURRENT corpus, and compaction garbage-collects the dead rows."""
+    from gpt_rag_ingestion_spark.operators.dedup import (
+        dedup_sidecar_append,
+        dedup_sidecar_build,
+        dedup_sidecar_compact,
+        incremental_dedup,
+        incremental_dedup_sidecar,
+    )
+
+    X = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    Y = "one two three four five six seven eight nine ten " * 4
+    side = str(tmp_path / "sidecar")
+    base = spark.createDataFrame([(5, X)], "doc_id long, text string")
+    dedup_sidecar_build(base, side)
+
+    # doc 5 re-admitted with NEW text Y (corpus row replaced)
+    dedup_sidecar_append(
+        spark.createDataFrame([(5, Y)], "doc_id long, text string"), side, "b2"
+    )
+    current = spark.createDataFrame([(5, Y)], "doc_id long, text string")
+
+    # doc 200 arrives with the RETIRED text X: the corpus no longer
+    # holds X, so both paths must admit it
+    probe = spark.createDataFrame(
+        [(200, X), (201, Y)], "doc_id long, text string"
+    )
+    want = sorted(
+        tuple(r) for r in incremental_dedup(current, probe).collect()
+    )
+    got = sorted(
+        tuple(r) for r in incremental_dedup_sidecar(probe, side).collect()
+    )
+    assert got == want
+    assert dict((r[0], r[1]) for r in got) == {
+        200: "new", 201: "exact_dup_base"
+    }
+
+    # compaction drops the superseded generation and preserves answers
+    counts = dedup_sidecar_compact(spark, side)
+    assert counts["digests"] == 1  # only doc 5's LIVE row survives
+    got2 = sorted(
+        tuple(r) for r in incremental_dedup_sidecar(probe, side).collect()
+    )
+    assert got2 == want

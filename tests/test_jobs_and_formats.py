@@ -404,3 +404,44 @@ def test_web_corpus_job_two_batches(spark, tmp_path):
     # shards from batch 2 hold ONLY the admitted doc
     s2 = spark.read.parquet(shards2)
     assert [r["doc_id"] for r in s2.collect()] == [13]
+
+
+def test_web_corpus_sidecar_bootstrap_indexes_existing_corpus(spark, tmp_path):
+    """Review finding: enabling sidecar_path on a PRE-EXISTING corpus
+    must index what is already there — a later copy of an old corpus
+    doc must classify exact_dup_base, not 'new'."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from gpt_rag_ingestion_spark.plans.web_corpus_job import run_web_corpus_job
+
+    corpus = str(tmp_path / "corpus")
+    side = str(tmp_path / "sidecar")
+    # corpus built BEFORE the sidecar existed
+    b0 = spark.createDataFrame(
+        [(100, "https://a.example/x", "hello world " * 20)],
+        "doc_id LONG, url STRING, text STRING",
+    )
+    run_web_corpus_job(spark, b0, corpus, str(tmp_path / "s0"), min_chars=10)
+
+    # first sidecar-enabled batch: admits doc 101, bootstraps sidecar
+    b1 = spark.createDataFrame(
+        [(101, "https://b.example/y", "fresh content " * 20)],
+        "doc_id LONG, url STRING, text STRING",
+    )
+    run_web_corpus_job(
+        spark, b1, corpus, str(tmp_path / "s1"), min_chars=10,
+        sidecar_path=side, batch_label="b1",
+    )
+
+    # a verbatim copy of the PRE-SIDECAR doc must be caught
+    b2 = spark.createDataFrame(
+        [(102, "https://c.example/z", "hello world " * 20)],
+        "doc_id LONG, url STRING, text STRING",
+    )
+    audit = run_web_corpus_job(
+        spark, b2, corpus, str(tmp_path / "s2"), min_chars=10,
+        sidecar_path=side, batch_label="b2",
+    ).collect()
+    assert audit[0]["disposition"] == "exact_dup_base"
+    assert audit[0]["dup_of"] == 100
+    assert spark.read.parquet(corpus).count() == 2

@@ -45,6 +45,11 @@ def test_entry_contract(spark):
 
 
 def test_media_stub_raises_without_fake():
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is not None:
+        pytest.skip("PIL installed: the real decode branch applies "
+                    "(covered by tests/test_optional_deps.py)")
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"payload")
 

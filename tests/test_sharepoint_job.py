@@ -241,3 +241,69 @@ def test_sharepoint_ingest_from_config(spark):
     assert "Internal" not in d1["content"]  # include projection applied
     assert d1["category"] == "engineering"  # site-level category
     assert att[0]["category"] == "specs"  # list-level category
+
+
+def test_config_listname_resolution_and_fail_loud(spark):
+    """Review finding: listName-only config rows must resolve via
+    list_name_dim or raise — never silently ingest nothing."""
+    import json
+
+    import pytest
+
+    from gpt_rag_ingestion_spark.plans.sharepoint_job import (
+        sharepoint_ingest_from_config,
+    )
+
+    cfg = spark.createDataFrame(
+        [(json.dumps({
+            "type": "sharepoint_site", "siteDomain": "c", "siteName": "e",
+            "lists": [{"listName": "Tasks"}],
+        }),)],
+        ["doc"],
+    )
+    t = dt.datetime.fromisoformat("2024-03-01T00:00:00")
+    items = spark.createDataFrame(
+        [("c/e", "L9", 1, {"Title": "Spec"}, t)],
+        "site STRING, list_id STRING, item_id INT, "
+        "fields MAP<STRING,STRING>, last_modified TIMESTAMP",
+    )
+    with pytest.raises(ValueError, match="listName"):
+        sharepoint_ingest_from_config(cfg, items, embedding_dim=8).collect()
+
+    dim = spark.createDataFrame(
+        [("c/e", "Tasks", "L9")], "site STRING, list_name STRING, list_id STRING"
+    )
+    rows = sharepoint_ingest_from_config(
+        cfg, items, embedding_dim=8, list_name_dim=dim
+    ).collect()
+    assert len(rows) == 1 and rows[0]["parent_id"] == "c-e-L9-1"
+
+
+def test_config_empty_include_falls_through_to_exclude(spark):
+    """Review finding: includeFields that cleans to [] must NOT mean
+    'keep nothing' — it falls through to excludeFields (reference
+    precedence)."""
+    import json
+
+    from gpt_rag_ingestion_spark.plans.sharepoint_job import (
+        sharepoint_ingest_from_config,
+    )
+
+    cfg = spark.createDataFrame(
+        [(json.dumps({
+            "type": "sharepoint_site", "siteDomain": "c", "siteName": "e",
+            "lists": [{"listId": "L1", "includeFields": ["", "  "],
+                       "excludeFields": ["Secret"]}],
+        }),)],
+        ["doc"],
+    )
+    t = dt.datetime.fromisoformat("2024-03-01T00:00:00")
+    items = spark.createDataFrame(
+        [("c/e", "L1", 1, {"Title": "Spec", "Secret": "x"}, t)],
+        "site STRING, list_id STRING, item_id INT, "
+        "fields MAP<STRING,STRING>, last_modified TIMESTAMP",
+    )
+    rows = sharepoint_ingest_from_config(cfg, items, embedding_dim=8).collect()
+    assert len(rows) == 1
+    assert "Title: Spec" in rows[0]["content"]
+    assert "Secret" not in rows[0]["content"]
