@@ -207,7 +207,16 @@ def parse_site_configs(configs: DataFrame, doc_col: str = "doc") -> DataFrame:
     zone (F24/SURVEY — not evaluated here).  Output: (site_domain,
     site_name, site, list_id, list_name, filter, include_fields,
     exclude_fields, category, list_type) where ``site`` =
-    'domain/name', the key the landing-zone items carry."""
+    'domain/name', the key the landing-zone items carry.
+
+    Accepts either one JSON string per row under ``doc_col`` OR the
+    structured rows ``sources.read_site_configs`` produces
+    (spark.read.json of the config container) — the structured form is
+    re-serialized so both enter the same normalization."""
+    if doc_col not in configs.columns and "siteDomain" in configs.columns:
+        configs = configs.select(
+            F.to_json(F.struct(*configs.columns)).alias(doc_col)
+        )
     c = F.from_json(F.col(doc_col), SITE_CONFIG_SCHEMA)
     sites = (
         configs.select(c.alias("c"))

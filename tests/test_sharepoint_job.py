@@ -307,3 +307,28 @@ def test_config_empty_include_falls_through_to_exclude(spark):
     assert len(rows) == 1
     assert "Title: Spec" in rows[0]["content"]
     assert "Secret" not in rows[0]["content"]
+
+
+def test_config_scan_composes_with_hydration(spark, tmp_path):
+    """S8 end-to-end: sources.read_site_configs (structured JSON scan)
+    feeds parse_site_configs directly — no manual re-serialization."""
+    import json
+
+    from gpt_rag_ingestion_spark.plans.sharepoint_job import parse_site_configs
+    from gpt_rag_ingestion_spark.sources.binary_docs import read_site_configs
+
+    cfgdir = tmp_path / "configs"
+    cfgdir.mkdir()
+    (cfgdir / "a.json").write_text(json.dumps({
+        "type": "sharepoint_site", "siteDomain": "contoso", "siteName": "eng",
+        "lists": [{"listId": "L1", "excludeFields": ["Internal"]}],
+    }))
+    (cfgdir / "b.json").write_text(json.dumps({
+        "type": "sql_endpoint", "id": "other-datasource"
+    }))
+    raw = read_site_configs(spark, str(cfgdir))
+    rows = parse_site_configs(raw).collect()
+    assert len(rows) == 1
+    assert rows[0]["site"] == "contoso/eng"
+    assert rows[0]["list_id"] == "L1"
+    assert rows[0]["exclude_fields"] == ["Internal"]
