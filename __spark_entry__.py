@@ -2951,6 +2951,37 @@ def q147_sidecar_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return incremental_dedup_sidecar(incr, side, threshold=0.1).localCheckpoint()
 
 
+def q148_ivfpq_index_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Persisted IVFPQ index END-TO-END, oracle-checked through its
+    exactness invariant: with every cell probed and a refine shortlist
+    wider than the corpus, the whole lifecycle (build → persist model
+    tables → encode code postings → probe → ADC shortlist → exact
+    rerank against the raw-vector corpus) must return EXACTLY the
+    brute-force quantized-dot top-k.  Any defect in model persistence,
+    code encoding, cell pruning, ADC table math, or the rerank join
+    breaks the hash."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.similarity import (
+        ivfpq_index_build,
+        ivfpq_index_query,
+    )
+
+    _ensure_shipped(spark)
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    idx = tempfile.mkdtemp(prefix="q148-ivfpq-")
+    ivfpq_index_build(emb, idx, n_cells=8)
+    q = emb.filter("vec_id < 40")
+    out = ivfpq_index_query(
+        spark, idx, q, n_probe=8, k=3,
+        refine_with=emb, refine_factor=10_000,
+    )
+    return out.select(
+        F.col("query_id").alias("vec_id"), "rank",
+        F.col("corpus_id").alias("nn_id"), F.col("qdot").alias("dot"),
+    ).localCheckpoint()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries, so the window below is curated to be (a) all
@@ -3104,6 +3135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_streaming_web_corpus": q145_streaming_web_corpus,
         "q146_split_leakage": q146_split_leakage,
         "q147_sidecar_dedup": q147_sidecar_dedup,
+        "q148_ivfpq_index_exact": q148_ivfpq_index_exact,
     }
 
 
@@ -5327,6 +5359,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.event_type, e.user_id,
               CAST(d.weight AS INT) AS weight
             FROM events e JOIN dim d USING (event_type)
+        """,
+        "q148_ivfpq_index_exact": """
+            -- the exactness invariant: full probes + full refine must
+            -- reproduce the brute-force quantized-dot top-3 for the
+            -- query subset
+            WITH q AS (SELECT vec_id, list_transform(embedding, x ->
+                CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+              FROM embeddings),
+            pairs AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+                CAST(list_dot_product(a.q, b.q) AS BIGINT) AS dot
+              FROM q a, q b
+              WHERE a.vec_id != b.vec_id AND a.vec_id < 40)
+            SELECT vec_id, CAST(rn AS INT) AS rank, nn_id, dot FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY dot DESC, nn_id ASC) AS rn FROM pairs) t
+            WHERE rn <= 3
         """,
         "q147_sidecar_dedup": """
             WITH base AS (
