@@ -1956,8 +1956,15 @@ def q110_web_admission(spark: SparkSession, sf: str) -> DataFrame:
     domain (functions/urls.py) → domain blocklist → min-length quality
     gate → deterministic per-domain cap (8, hash order) — every
     document gets an auditable disposition.  The web twin of the q75
-    curation funnel, keyed by crawl domain instead of source tag."""
+    curation funnel, keyed by crawl domain instead of source tag.
+
+    The cap rank comes from operators/ranking.per_key_capped_rank —
+    the skew-immune two-phase guard (count-gate + md5-prefix-bucket
+    window) that replaced the raw per-domain window in round 4; the
+    ranks, and therefore the oracle hash, are identical by
+    construction (the oracle SQL keeps the raw window)."""
     from gpt_rag_ingestion_spark.functions.urls import url_domain
+    from gpt_rag_ingestion_spark.operators.ranking import per_key_capped_rank
 
     docs = _t(spark, sf, "documents")
     url = F.concat(
@@ -1975,19 +1982,19 @@ def q110_web_admission(spark: SparkSession, sf: str) -> DataFrame:
     d = d.join(F.broadcast(blocked), on="domain", how="left")
     ok_domain = F.col("_b").isNull()
     ok_quality = F.col("n_chars") >= 200
-    w = Window.partitionBy("domain").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
-    surv = (
-        d.filter(ok_domain & ok_quality)
-        .withColumn("rank", F.row_number().over(w))
-        .select("doc_id", "rank")
+    surv = per_key_capped_rank(
+        d.filter(ok_domain & ok_quality).select("doc_id", "domain"),
+        key_col="domain",
+        id_col="doc_id",
+        cap=8,
+        rank_col="rank",
     )
     d = d.join(surv, on="doc_id", how="left")
     disposition = (
         F.when(~ok_domain, F.lit("blocked_domain"))
         .when(~ok_quality, F.lit("low_quality"))
-        .when(F.col("rank") <= 8, F.lit("keep"))
+        # a missing rank = under-cap domain, never ranked: keep
+        .when(F.col("rank").isNull() | (F.col("rank") <= 8), F.lit("keep"))
         .otherwise(F.lit("over_cap"))
     )
     return d.select("doc_id", "domain", disposition.alias("disposition"))
@@ -2984,16 +2991,22 @@ def q148_ivfpq_index_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
-    # FIRST 50 entries, so the window below is curated to be (a) all
-    # oracle-backed and (b) a cross-section of every operator family —
-    # ingest/freshness/purge, ops lifecycle (merge q60, blocklist q37,
-    # stale q58), chunking (q10/q29/q39/q54), classic + round-2 dedup
-    # (q15-q18, q91/q95/q102/q141), exact-ANN baselines (q19/q46/q64),
-    # text analysis, streaming (q24/q43/q61), sketches (q70/q88),
-    # giant-doc part-split equivalence (q144),
-    # packing (q78), decontamination (q76), composed web admission
-    # (q110).  Everything after slot 50 is checked by the full gate
-    # (scripts/check_oracle.py over all entries).
+    # FIRST 50 entries.  The window is curated to be (a) all
+    # oracle-backed and (b) a cross-section of every operator family,
+    # and ROTATES each round (round-3 brief): ~34 family anchors stay
+    # fixed — ingest/freshness/purge (q01-q06), chunking
+    # (q10/q29/q39/q54), windows (q11/q13), classic + incremental dedup
+    # (q15-q18, q91/q95/q102/q141), exact-ANN baseline (q19/q46), text
+    # analysis (q21/q57), streaming (q24/q43/q61), ops (q38/q41/q60),
+    # packing (q78), giant-doc equivalence (q144), web admission
+    # (q110) — while the remaining 16 slots rotate toward ids that have
+    # never had a driver-issued green: this round the round-3 lifecycle
+    # proofs (q145-q148), run-history/GUID/keys (q59/q65/q55/q56),
+    # sketches (q100/q113/q129), ACL/blocklist lifecycles (q142/q143),
+    # hamming-media + salted join (q139/q140), ISO parse (q44).
+    # Rotated out (still checked by the full gate,
+    # scripts/check_oracle.py, and green in rounds 1-3): q07-q09, q12,
+    # q14, q22, q34-q37, q40, q58, q64, q70, q76, q88.
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q02_watermark_agg": q02_watermark_agg,
@@ -3001,54 +3014,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q04_purge_anti_join": q04_purge_anti_join,
         "q05_regional_revenue": q05_regional_revenue,
         "q06_run_summary_counters": q06_run_summary_counters,
-        "q07_group_counts": q07_group_counts,
-        "q08_distinct_cap": q08_distinct_cap,
-        "q09_distinct_tokens": q09_distinct_tokens,
         "q10_chunk_fixed": q10_chunk_fixed,
         "q11_window_numbering": q11_window_numbering,
-        "q12_running_offset": q12_running_offset,
         "q13_log_retention": q13_log_retention,
-        "q14_sort_paginate": q14_sort_paginate,
         "q15_exact_dedup": q15_exact_dedup,
         "q16_ngram_jaccard": q16_ngram_jaccard,
         "q17_simhash": q17_simhash,
         "q18_minhash_lsh": q18_minhash_lsh,
         "q19_knn_top1": q19_knn_top1,
         "q21_quality_scores": q21_quality_scores,
-        "q22_language_id": q22_language_id,
-        "q144_giant_doc_parts": q144_giant_doc_parts,
         "q24_tumbling_window": q24_tumbling_window,
         "q29_chunk_keys_long": q29_chunk_keys_long,
         "q31_media_features": q31_media_features,
+        "q38_cost_rollup": q38_cost_rollup,
+        "q39_markdown_rows": q39_markdown_rows,
+        "q41_acl_parse": q41_acl_parse,
+        "q43_windowed_counts": q43_windowed_counts,
+        "q44_iso_parse": q44_iso_parse,
+        "q46_embedding_neardup": q46_embedding_neardup,
+        "q54_sheet_mode": q54_sheet_mode,
+        "q55_path_keys": q55_path_keys,
+        "q56_byte_truncate": q56_byte_truncate,
+        "q57_token_stats": q57_token_stats,
+        "q59_run_history": q59_run_history,
+        "q60_merge_upsert": q60_merge_upsert,
+        "q61_first_seen": q61_first_seen,
+        "q65_guid_validation": q65_guid_validation,
+        "q78_pack_sequences": q78_pack_sequences,
+        "q91_span_dedup": q91_span_dedup,
+        "q95_hamming_neardup": q95_hamming_neardup,
+        "q100_histogram_quantiles": q100_histogram_quantiles,
+        "q102_incremental_dedup": q102_incremental_dedup,
+        "q110_web_admission": q110_web_admission,
+        "q113_kmv_set_algebra": q113_kmv_set_algebra,
+        "q129_join_size_sketch": q129_join_size_sketch,
+        "q139_media_fingerprint_neardup": q139_media_fingerprint_neardup,
+        "q140_salted_join": q140_salted_join,
+        "q141_dedup_planner": q141_dedup_planner,
+        "q142_read_access": q142_read_access,
+        "q143_blocklist_lifecycle": q143_blocklist_lifecycle,
+        "q144_giant_doc_parts": q144_giant_doc_parts,
+        "q145_streaming_web_corpus": q145_streaming_web_corpus,
+        "q146_split_leakage": q146_split_leakage,
+        "q147_sidecar_dedup": q147_sidecar_dedup,
+        "q148_ivfpq_index_exact": q148_ivfpq_index_exact,
+        # ---- end of the 50-slot driver window ----
+        "q07_group_counts": q07_group_counts,
+        "q08_distinct_cap": q08_distinct_cap,
+        "q09_distinct_tokens": q09_distinct_tokens,
+        "q12_running_offset": q12_running_offset,
+        "q14_sort_paginate": q14_sort_paginate,
+        "q22_language_id": q22_language_id,
         "q34_enrichment_join": q34_enrichment_join,
         "q35_sessionize": q35_sessionize,
         "q36_polygon_area": q36_polygon_area,
         "q37_blocklist": q37_blocklist,
-        "q38_cost_rollup": q38_cost_rollup,
-        "q39_markdown_rows": q39_markdown_rows,
         "q40_admin_search": q40_admin_search,
-        "q41_acl_parse": q41_acl_parse,
-        "q43_windowed_counts": q43_windowed_counts,
-        "q46_embedding_neardup": q46_embedding_neardup,
-        "q54_sheet_mode": q54_sheet_mode,
-        "q57_token_stats": q57_token_stats,
         "q58_stale_runs": q58_stale_runs,
-        "q60_merge_upsert": q60_merge_upsert,
-        "q61_first_seen": q61_first_seen,
         "q64_knn_topk": q64_knn_topk,
         "q70_kmv_sketch": q70_kmv_sketch,
         "q76_decontaminate": q76_decontaminate,
-        "q78_pack_sequences": q78_pack_sequences,
         "q88_count_min": q88_count_min,
-        "q91_span_dedup": q91_span_dedup,
-        "q95_hamming_neardup": q95_hamming_neardup,
-        "q102_incremental_dedup": q102_incremental_dedup,
-        "q110_web_admission": q110_web_admission,
-        "q141_dedup_planner": q141_dedup_planner,
         "q20_ann_lsh": q20_ann_lsh,
         "q23_fingerprint": q23_fingerprint,
         "q26_json_extract": q26_json_extract,
-        "q44_iso_parse": q44_iso_parse,
         "q45_fields_to_text": q45_fields_to_text,
         "q47_ivf_ann": q47_ivf_ann,
         "q48_base64": q48_base64,
@@ -3057,12 +3086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_transcription_chunks": q51_transcription_chunks,
         "q52_multimodal_chunks": q52_multimodal_chunks,
         "q53_mixed_corpus": q53_mixed_corpus,
-        "q55_path_keys": q55_path_keys,
-        "q56_byte_truncate": q56_byte_truncate,
-        "q59_run_history": q59_run_history,
         "q62_salted_agg": q62_salted_agg,
         "q63_dedup_clusters": q63_dedup_clusters,
-        "q65_guid_validation": q65_guid_validation,
         "q66_tfidf_terms": q66_tfidf_terms,
         "q67_neardup_verified": q67_neardup_verified,
         "q68_quality_filter": q68_quality_filter,

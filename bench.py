@@ -57,15 +57,16 @@ def _ann_recall(spark, entry_mod, sf_dir: str, k: int = 10) -> dict:
         truth.setdefault(r["vec_id"], set()).add(r["nn_id"])
     # PQ-family query side is a bounded batch by documented contract
     pq_queries = emb.filter(F.col("vec_id") % 8 == 0)
-    # settings chosen for the synthetic (weakly clustered) embeddings:
-    # recall floors for these settings are asserted in
-    # tests/test_scale_features.py::test_ann_recall_floors
+    # settings = the measured recall/latency KNEE for the synthetic
+    # (weakly clustered — recall tracks probed fraction) embeddings;
+    # full curve: scripts/ann_recall_curve.py, published in SCALING.md.
+    # Floors asserted in tests/test_scale_features.py::test_ann_recall_floors
     variants = {
         "lsh": lambda: lsh_bucketed_ann(emb, emb, dim=64, bits=6, k=k, probes=3),
-        "ivf": lambda: ivf_ann(emb, emb, dim=64, n_centroids=16, n_probe=6, k=k),
+        "ivf": lambda: ivf_ann(emb, emb, dim=64, n_centroids=16, n_probe=10, k=k),
         "pq_refine": lambda: pq_ann_refined(emb, pq_queries, k=k),
         "ivfpq": lambda: ivfpq_ann(
-            emb, pq_queries, k=k, n_probe=8, refine_factor=8
+            emb, pq_queries, k=k, n_probe=12, refine_factor=16
         ),
     }
     out = {}

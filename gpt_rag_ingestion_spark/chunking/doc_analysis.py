@@ -154,14 +154,16 @@ def chunk_analyzed_documents(
 
     import numpy as np
 
-    from gpt_rag_ingestion_spark.session import ensure_importable
+    from gpt_rag_ingestion_spark.session import (
+        ensure_importable,
+        spread_small_input,
+    )
 
     ensure_importable(docs)
-    # spread small single-file inputs across cores (no-op at real scale)
+    # spread small single-file inputs across cores (no-op at real scale;
+    # file-listing estimate, never a plan->RDD partition probe)
     if spread:
-        target = docs.sparkSession.sparkContext.defaultParallelism
-        if docs.rdd.getNumPartitions() < min(target, 8):
-            docs = docs.repartition(target)
+        docs = spread_small_input(docs)
 
     # One mapInPandas stage with COLUMNAR output: the per-document
     # sequential semantics (marker numbering, page attribution) stay in

@@ -1070,9 +1070,25 @@ def neardup_pairs_auto(
 # text path even across replacements.  Compaction garbage-collects the
 # dead generations.
 #
+# STEADY-STATE COST: meta carries a ``superseded`` counter (docs with a
+# dead older generation, bumped at append, zeroed at compact).  When it
+# is 0 — the steady state between re-admissions — every doc has exactly
+# one generation, so classification skips liveness entirely: no
+# aggregation or shuffle of any sidecar table, the postings are only
+# streamed under broadcast joins with batch-side keys.  When non-zero,
+# the dead set (one row per RE-ADMITTED doc, bounded by
+# ``dedup_sidecar_maybe_compact``) is broadcast and the postings are
+# liveness-filtered by a broadcast join — the postings are never
+# shuffled by doc_id in either state.  The counter is maintained under
+# the same at-least-once retry contract as the writes themselves
+# (meta is written FIRST, so a crashed append leaves the counter
+# conservatively high, never low).
+#
 # Layout under <sidecar_path>/:
-#   meta                       — (n int, gen int): shingle width + last
-#                                generation written (single-writer)
+#   meta                       — (n int, gen int, superseded long,
+#                                n_live long): shingle width, last
+#                                generation written (single-writer),
+#                                docs with dead generations, live docs
 #   digests/batch=<label>/     — (digest string, doc_id long, gen int)
 #   shingles/batch=<label>/    — (sh long, doc_id long, gen int)  xxhash64
 #   sizes/batch=<label>/       — (doc_id long, n_shingles long, gen int)
@@ -1090,10 +1106,13 @@ def _sidecar_recover(spark, sidecar_path: str) -> None:
         _recover_swap(spark, f"{sidecar_path}/{sub}")
 
 
-def _sidecar_write_meta(spark, sidecar_path, n, gen) -> None:
-    spark.createDataFrame([(int(n), int(gen))], "n int, gen int").coalesce(
-        1
-    ).write.mode("overwrite").parquet(f"{sidecar_path}/meta__staging")
+def _sidecar_write_meta(spark, sidecar_path, n, gen, superseded, n_live) -> None:
+    spark.createDataFrame(
+        [(int(n), int(gen), int(superseded), int(n_live))],
+        "n int, gen int, superseded long, n_live long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{sidecar_path}/meta__staging"
+    )
     from gpt_rag_ingestion_spark.operators.similarity import (
         jvm_fs_delete,
         jvm_fs_rename,
@@ -1101,6 +1120,17 @@ def _sidecar_write_meta(spark, sidecar_path, n, gen) -> None:
 
     jvm_fs_delete(spark, f"{sidecar_path}/meta")
     jvm_fs_rename(spark, f"{sidecar_path}/meta__staging", f"{sidecar_path}/meta")
+
+
+def _sidecar_read_meta(spark, sidecar_path) -> dict:
+    """Meta row as a dict; a pre-counter layout (no ``superseded``
+    column) reads as superseded=None — unknown, so liveness is computed
+    conservatively rather than skipped."""
+    row = spark.read.parquet(f"{sidecar_path}/meta").first()
+    d = row.asDict()
+    d.setdefault("superseded", None)
+    d.setdefault("n_live", None)
+    return d
 
 
 def _sidecar_write(docs, sidecar_path, label, text_col, id_col, n, gen) -> int:
@@ -1159,7 +1189,7 @@ def dedup_sidecar_build(
     n_docs = _sidecar_write(
         corpus, sidecar_path, "build", text_col, id_col, n, gen=0
     )
-    _sidecar_write_meta(spark, sidecar_path, n, 0)
+    _sidecar_write_meta(spark, sidecar_path, n, 0, superseded=0, n_live=n_docs)
     return {"n_docs": n_docs, "n": n}
 
 
@@ -1176,36 +1206,99 @@ def dedup_sidecar_append(
     generation still selects the same latest rows per doc).  A doc_id
     that already exists in the sidecar is SUPERSEDED: its older
     generations stop participating in classification, mirroring the
-    corpus merge's delete-then-insert."""
+    corpus merge's delete-then-insert.
+
+    The meta ``superseded`` counter is bumped by the number of batch
+    doc_ids already present (a broadcast semi-join against the digest
+    index — the index is only SCANNED, never shuffled) and meta is
+    written BEFORE the batch directories: a crash between the two
+    leaves the counter conservatively high (liveness still computed),
+    never low (liveness wrongly skipped), and the at-least-once replay
+    that heals the directories re-counts against the healed state."""
     spark = admitted.sparkSession
     _sidecar_recover(spark, sidecar_path)
-    meta = spark.read.parquet(f"{sidecar_path}/meta").first()
+    from gpt_rag_ingestion_spark.operators.similarity import read_batched_dir
+
+    meta = _sidecar_read_meta(spark, sidecar_path)
     gen = int(meta["gen"]) + 1
+    batch_ids = admitted.select(
+        F.col(id_col).cast("long").alias("doc_id")
+    ).distinct()
+    n_batch = int(batch_ids.count())
+    n_super = int(
+        read_batched_dir(spark, f"{sidecar_path}/digests")
+        .join(F.broadcast(batch_ids), "doc_id", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    if meta["superseded"] is None or meta["n_live"] is None:
+        # pre-counter layout: one-off migration — count actual state
+        dig = read_batched_dir(spark, f"{sidecar_path}/digests")
+        per_doc = dig.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_g"))
+        prior_super = int(per_doc.filter(F.col("_g") > 1).count())
+        prior_live = int(per_doc.count())
+    else:
+        prior_super = int(meta["superseded"])
+        prior_live = int(meta["n_live"])
+    _sidecar_write_meta(
+        spark, sidecar_path, int(meta["n"]), gen,
+        superseded=prior_super + n_super,
+        n_live=prior_live + n_batch - n_super,
+    )
     n_docs = _sidecar_write(
         admitted, sidecar_path, batch_label, text_col, id_col,
         int(meta["n"]), gen,
     )
-    _sidecar_write_meta(spark, sidecar_path, int(meta["n"]), gen)
-    return {"batch": batch_label, "n_docs": n_docs, "gen": gen}
+    return {
+        "batch": batch_label, "n_docs": n_docs, "gen": gen,
+        "newly_superseded": n_super,
+    }
 
 
-def _sidecar_live(spark, sidecar_path):
+def _sidecar_live(spark, sidecar_path, superseded: int | None = None):
     """(digests, shingles, sizes) restricted to each doc's LATEST
-    generation — the rows that mirror the current corpus.  The live
-    set is derived from the compact sizes table (one row per doc per
-    generation) and semi-joined into the wider tables."""
+    generation — the rows that mirror the current corpus.
+
+    Liveness authority is the DIGEST index: it has exactly one row per
+    doc per generation (sizes does NOT — a doc with fewer than ``n``
+    words shingles to nothing, and deriving liveness from sizes would
+    semi-join-drop its digest rows: an exact copy of a short base doc
+    would classify 'new', and compaction would delete its index rows).
+
+    ``superseded`` (from meta) drives the cost shape:
+    - 0 — steady state: every doc has one generation, the raw tables
+      ARE the live tables; no aggregation, no shuffle, no join.
+    - > 0: the dead set (one (doc_id, max_gen) row per RE-ADMITTED doc
+      — small, bounded by ``dedup_sidecar_maybe_compact``) is computed
+      from the digest index and BROADCAST; each table is filtered by a
+      broadcast left join.  The postings are never shuffled by doc_id.
+    - None (unknown / pre-counter meta): same as > 0."""
     from gpt_rag_ingestion_spark.operators.similarity import read_batched_dir
 
+    dig = read_batched_dir(spark, f"{sidecar_path}/digests")
+    sh = read_batched_dir(spark, f"{sidecar_path}/shingles")
     sizes = read_batched_dir(spark, f"{sidecar_path}/sizes")
-    live = sizes.groupBy("doc_id").agg(F.max("gen").alias("gen"))
-    sizes = sizes.join(live, ["doc_id", "gen"], "left_semi")
-    dig = read_batched_dir(spark, f"{sidecar_path}/digests").join(
-        live, ["doc_id", "gen"], "left_semi"
+    if superseded == 0:
+        return dig, sh, sizes
+    dead = (
+        dig.groupBy("doc_id")
+        .agg(F.max("gen").alias("_max_gen"), F.count(F.lit(1)).alias("_ng"))
+        .filter(F.col("_ng") > 1)
+        .select("doc_id", "_max_gen")
     )
-    sh = read_batched_dir(spark, f"{sidecar_path}/shingles").join(
-        live, ["doc_id", "gen"], "left_semi"
-    )
-    return dig, sh, sizes
+
+    def live(t):
+        return (
+            t.join(F.broadcast(dead), "doc_id", "left")
+            .filter(
+                F.col("_max_gen").isNull()
+                | (F.col("gen") == F.col("_max_gen"))
+            )
+            .drop("_max_gen")
+        )
+
+    return live(dig), live(sh), live(sizes)
 
 
 def incremental_dedup_sidecar(
@@ -1221,28 +1314,57 @@ def incremental_dedup_sidecar(
     generation participates), but the base side is touched by key
     only: the digest index joins on 16-byte digests, the shingle
     postings join on 8-byte hashes, and per-doc sizes come
-    precomputed.  Base text is never re-read, re-shingled, or
-    shuffled — the O(batch) classification loop."""
+    precomputed.  Base text is never re-read or re-shingled.
+
+    Cost shape (the 100 TB contract): every sidecar table enters the
+    plan as a SCAN streamed under a broadcast join with batch-side
+    keys — batch digests probe the digest index, batch shingles probe
+    the postings, matched doc ids probe the sizes — so the only
+    exchanges carry batch-proportional rows.  In the steady state
+    (meta.superseded == 0) there is no liveness work at all; after a
+    re-admission the dead set (bounded by
+    ``dedup_sidecar_maybe_compact``) is broadcast as a filter.  The
+    sidecar is NEVER shuffled by doc_id (asserted in PLANS.md).  The
+    batch side of the postings probe is broadcast — keep batches
+    micro-batch-sized (split a giant backfill), as the streaming loop
+    does."""
     spark = incr.sparkSession
-    n = int(spark.read.parquet(f"{sidecar_path}/meta").first()["n"])
-    b_dig, sh_b_raw, sizes = _sidecar_live(spark, sidecar_path)
-    b_min = b_dig.groupBy("digest").agg(F.min("doc_id").alias("dup_of_base"))
+    meta = _sidecar_read_meta(spark, sidecar_path)
+    n = int(meta["n"])
+    b_dig, sh_b_raw, sizes = _sidecar_live(
+        spark, sidecar_path, superseded=meta["superseded"]
+    )
 
     digest = F.md5(F.col(text_col))
     i_dig = incr.select(F.col(id_col), digest.alias("digest"))
+    # probe-first: restrict the digest index to the batch's digests
+    # (broadcast) BEFORE the min-doc aggregation — the groupBy exchange
+    # then carries matched rows only, never the whole index
+    batch_digs = i_dig.select("digest").distinct()
+    b_min = (
+        b_dig.join(F.broadcast(batch_digs), "digest", "left_semi")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("dup_of_base"))
+    )
     batch_min = i_dig.groupBy("digest").agg(F.min(id_col).alias("batch_min"))
-    staged = i_dig.join(b_min, "digest", "left").join(batch_min, "digest")
+    staged = i_dig.join(F.broadcast(b_min), "digest", "left").join(
+        F.broadcast(batch_min), "digest"
+    )
 
     unresolved = staged.filter(
         F.col("dup_of_base").isNull() & (F.col("batch_min") == F.col(id_col))
     ).select(id_col)
     sh_i = word_shingles(
-        incr.join(unresolved, on=id_col, how="left_semi"), text_col, id_col, n
+        incr.join(F.broadcast(unresolved), on=id_col, how="left_semi"),
+        text_col, id_col, n,
     ).select(F.col(id_col).alias("_iid"), F.xxhash64("shingle").alias("sh"))
     sh_b = sh_b_raw.select(F.col("doc_id").alias("_bid"), "sh")
     n_i = sh_i.groupBy("_iid").agg(F.count(F.lit(1)).alias("n_i"))
+    # batch shingles broadcast into the postings scan: the postings
+    # never shuffle (a plain equi-join would exchange them on sh)
     inter = (
-        sh_i.join(sh_b, "sh")
+        F.broadcast(sh_i)
+        .join(sh_b, "sh")
         .groupBy("_iid", "_bid")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -1250,7 +1372,7 @@ def incremental_dedup_sidecar(
         F.col("doc_id").alias("_bid"), F.col("n_shingles").alias("n_b")
     )
     near = (
-        inter.join(n_i, "_iid")
+        F.broadcast(inter.join(F.broadcast(n_i), "_iid"))
         .join(n_b, "_bid")
         .filter(
             F.round(
@@ -1264,7 +1386,7 @@ def incremental_dedup_sidecar(
         .withColumnRenamed("_iid", id_col)
     )
 
-    out = staged.join(near, on=id_col, how="left")
+    out = staged.join(F.broadcast(near), on=id_col, how="left")
     decision = (
         F.when(F.col("dup_of_base").isNotNull(), F.lit("exact_dup_base"))
         .when(F.col("batch_min") < F.col(id_col), F.lit("exact_dup_batch"))
@@ -1296,7 +1418,10 @@ def dedup_sidecar_compact(spark, sidecar_path: str) -> dict:
     )
 
     _sidecar_recover(spark, sidecar_path)
-    dig, sh, sizes = _sidecar_live(spark, sidecar_path)
+    meta = _sidecar_read_meta(spark, sidecar_path)
+    dig, sh, sizes = _sidecar_live(
+        spark, sidecar_path, superseded=meta["superseded"]
+    )
     out = {}
     staged = {}
     for sub, df in (("digests", dig), ("shingles", sh), ("sizes", sizes)):
@@ -1319,4 +1444,39 @@ def dedup_sidecar_compact(spark, sidecar_path: str) -> dict:
         jvm_fs_rename(spark, staged[sub], live_path)
         jvm_fs_delete(spark, old)
         spark.catalog.refreshByPath(live_path)
+    # dead generations are gone: reset the liveness counter so the next
+    # classification takes the zero-work steady-state path
+    _sidecar_write_meta(
+        spark, sidecar_path, int(meta["n"]), int(meta["gen"]),
+        superseded=0, n_live=out["digests"],
+    )
     return out
+
+
+def dedup_sidecar_maybe_compact(
+    spark,
+    sidecar_path: str,
+    dead_ratio: float = 0.2,
+    max_dead: int = 100_000,
+) -> dict:
+    """Compaction TRIGGER for the dedup sidecar, cheap enough to run
+    after every streamed batch (one meta-row read): compact when dead
+    generations exceed ``dead_ratio`` of the live docs OR the absolute
+    ``max_dead`` bound.  The absolute bound is what keeps the
+    non-steady liveness path honest — the dead set must stay
+    broadcastable — and the ratio bound keeps scan waste bounded.
+    Classification results are byte-identical across a triggered
+    compact (compaction's own contract, unit-pinned)."""
+    meta = _sidecar_read_meta(spark, sidecar_path)
+    superseded = meta["superseded"]
+    if superseded is None:  # pre-counter layout: state unknown, fold it
+        counts = dedup_sidecar_compact(spark, sidecar_path)
+        return {"compacted": True, **counts}
+    superseded = int(superseded)
+    n_live = int(meta["n_live"] or 0)
+    if superseded > 0 and (
+        superseded >= max_dead or superseded > dead_ratio * max(n_live, 1)
+    ):
+        counts = dedup_sidecar_compact(spark, sidecar_path)
+        return {"compacted": True, **counts}
+    return {"compacted": False, "superseded": superseded, "n_live": n_live}

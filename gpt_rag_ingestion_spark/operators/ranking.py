@@ -99,6 +99,76 @@ def distributed_row_number(
     )
 
 
+def per_key_capped_rank(
+    rows: DataFrame,
+    key_col: str,
+    id_col: str,
+    cap: int,
+    prior_counts: DataFrame | None = None,
+    rank_col: str = "_rank",
+    buckets_hex_chars: int = 2,
+) -> DataFrame:
+    """Deterministic per-key sampling rank for CAP enforcement, skew-
+    immune: (id, rank) where rank is exactly
+    ``row_number() over (partition by key order by md5(id), id)`` —
+    but computed without a raw per-key window, which serializes a
+    dominant key's entire row set through one task at web scale.
+
+    Two phases:
+    1. count rows per key (map-side-combined aggregate; a hot key
+       costs one row per task) and SKIP keys that cannot exceed
+       ``cap`` — their rows are simply ABSENT from the output (their
+       rank is <= cap by construction; treat a missing rank as
+       under-cap).
+    2. for over-cap keys only, rank decomposed by an order-aligned
+       md5-prefix bucket (16^``buckets_hex_chars``-way): each window
+       task holds at most 1/256 of a hot key; per-bucket offsets (a
+       broadcast-sized table: over-cap keys x 256) recompose the exact
+       global per-key rank.
+
+    ``prior_counts`` — (key_col, n_ranked) — offsets ranks by earlier
+    batches' ranked-row counts, making the cap cumulative across a
+    stream (see plans/web_corpus_job + streaming/micro_batch)."""
+    counts = rows.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+    if prior_counts is not None:
+        prior = prior_counts.select(
+            key_col, F.col("n_ranked").alias("_prior")
+        ).join(F.broadcast(counts.select(key_col)), key_col, "left_semi")
+        counts = counts.join(prior, key_col, "left").withColumn(
+            "_prior", F.coalesce(F.col("_prior"), F.lit(0))
+        )
+    else:
+        counts = counts.withColumn("_prior", F.lit(0).cast("long"))
+    over = counts.filter(F.col("_n") + F.col("_prior") > cap).select(
+        key_col, "_prior"
+    )
+    local = (
+        rows.join(F.broadcast(over), key_col)
+        .withColumn("_key", F.md5(F.col(id_col).cast("string")))
+        .withColumn("_bkt", F.substring("_key", 1, buckets_hex_chars))
+    )
+    w_local = Window.partitionBy(key_col, "_bkt").orderBy("_key", id_col)
+    local = local.withColumn("_lrn", F.row_number().over(w_local))
+    bcounts = local.groupBy(key_col, "_bkt").agg(
+        F.count(F.lit(1)).alias("_bn")
+    )
+    w_off = (
+        Window.partitionBy(key_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bcounts.withColumn(
+        "_off", F.coalesce(F.sum("_bn").over(w_off), F.lit(0))
+    ).select(key_col, "_bkt", "_off")
+    return (
+        local.join(F.broadcast(offs), [key_col, "_bkt"])
+        .withColumn(
+            rank_col, F.col("_lrn") + F.col("_off") + F.col("_prior")
+        )
+        .select(id_col, rank_col)
+    )
+
+
 def distributed_running_sum(
     df: DataFrame,
     order: Sequence[Column],

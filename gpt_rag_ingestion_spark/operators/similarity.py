@@ -1217,6 +1217,52 @@ def ivf_index_compact(spark, index_path: str, label: str = "compacted") -> dict:
     return {"n_vectors": n_before, "label": label}
 
 
+def count_batch_dirs(spark, dir_path: str) -> int:
+    """Number of ``batch=...`` generations under a batched directory —
+    the fragmentation signal the compaction triggers read.  One
+    FileSystem listStatus, no Spark job."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(dir_path)
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        return 0
+    return sum(
+        1
+        for st in fs.listStatus(p)
+        if st.isDirectory() and st.getPath().getName().startswith("batch=")
+    )
+
+
+def ivf_index_maybe_compact(
+    spark, index_path: str, max_fragments: int = 16
+) -> dict:
+    """Compaction TRIGGER for the persisted IVF index, cheap enough for
+    every foreachBatch tick (one directory listing): compact when the
+    postings hold more than ``max_fragments`` batch generations.  Each
+    generation multiplies the per-probe parquet-footer fetches by one
+    file set per (batch, cell) — the trigger bounds that at
+    max_fragments x cells while streaming appends keep landing.
+    Query results are unchanged across the compact (unit-pinned)."""
+    frags = count_batch_dirs(spark, f"{index_path}/postings")
+    if frags > max_fragments:
+        out = ivf_index_compact(spark, index_path)
+        return {"compacted": True, "fragments_before": frags, **out}
+    return {"compacted": False, "fragments": frags}
+
+
+def ivfpq_index_maybe_compact(
+    spark, index_path: str, max_fragments: int = 16
+) -> dict:
+    """IVFPQ twin of ``ivf_index_maybe_compact`` — same directory-count
+    trigger over the code postings."""
+    frags = count_batch_dirs(spark, f"{index_path}/postings")
+    if frags > max_fragments:
+        out = ivfpq_index_compact(spark, index_path)
+        return {"compacted": True, "fragments_before": frags, **out}
+    return {"compacted": False, "fragments": frags}
+
+
 # ------------------------------------------------------------ IVFPQ internals
 # shared by the per-call ivfpq_ann and the persisted index lifecycle
 

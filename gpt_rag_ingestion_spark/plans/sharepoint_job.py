@@ -341,6 +341,24 @@ def sharepoint_ingest_from_config(
             f"(pass list_name_dim to resolve them): {unresolved}"
         )
 
+    # a collection configured in TWO site-config docs must not ingest
+    # twice (advisor finding r3): identical specs collapse; CONFLICTING
+    # specs for the same (site, list_id) raise rather than silently
+    # picking one
+    cols = cols.dropDuplicates()
+    conflicts = [
+        (r["site"], r["list_id"])
+        for r in cols.groupBy("site", "list_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .collect()
+    ]
+    if conflicts:
+        raise ValueError(
+            "conflicting duplicate config specs for collections "
+            f"(same site/list, different fields): {conflicts}"
+        )
+
     generic = cols.filter(F.col("list_type") == "generic_list").select(
         "site", "list_id", "include_fields", "exclude_fields",
         F.col("category").alias("_cfg_category"),

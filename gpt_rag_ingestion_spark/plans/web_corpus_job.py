@@ -28,11 +28,12 @@ aggregates only (see SCALE.md on incremental dedup).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gpt_rag_ingestion_spark.functions.urls import canonical_url, url_domain
 from gpt_rag_ingestion_spark.operators.dedup import incremental_dedup
+from gpt_rag_ingestion_spark.operators.ranking import per_key_capped_rank
 from gpt_rag_ingestion_spark.operators.shards import write_training_shards
 from gpt_rag_ingestion_spark.operators.text_analysis import bpe_ish_token_count
 from gpt_rag_ingestion_spark.operators.upsert import merge_upsert
@@ -56,6 +57,8 @@ def run_web_corpus_job(
     domain_buckets: int = 64,
     sidecar_path: str | None = None,
     batch_label: str = "batch",
+    sidecar_auto_compact: bool = True,
+    prior_domain_counts: DataFrame | None = None,
 ) -> DataFrame:
     """One batch through the web-corpus loop.  Returns the AUDIT
     relation — (id, domain, disposition, dup_of) for every input row,
@@ -81,7 +84,17 @@ def run_web_corpus_job(
     streaming).  Decisions are row-for-row equal to the text path
     (unit-pinned); at 100 TB this is the difference between
     re-shingling the corpus every batch and touching O(batch + matched
-    keys)."""
+    keys).  ``sidecar_auto_compact`` runs the counter-driven compaction
+    trigger (dedup_sidecar_maybe_compact) after the append — a one-row
+    meta read per batch, folding dead generations only when they
+    accumulate.
+
+    ``prior_domain_counts`` — (domain, n_ranked) from earlier batches —
+    makes the per-domain cap CUMULATIVE across a stream: a row's rank
+    within its domain is offset by the count of rows that entered the
+    ranking in prior batches, so the cap bounds admissions over the
+    stream's lifetime, not per batch (the streaming wrapper persists
+    these counts).  Without it the cap is per-batch."""
     d = batch.select(
         F.col(id_col),
         F.col(text_col),
@@ -97,14 +110,18 @@ def run_web_corpus_job(
         d = d.withColumn("_b", F.lit(None).cast("boolean"))
     ok_domain = F.col("_b").isNull()
     ok_quality = F.length(text_col) >= min_chars
-    w = Window.partitionBy("domain").orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    # per-domain cap: two-phase, skew-immune ranking (a raw
+    # Window.partitionBy("domain") serializes a dominant domain's whole
+    # row set through one task at web scale) — see per_key_capped_rank
+    surv = per_key_capped_rank(
+        d.filter(ok_domain & ok_quality).select(id_col, "domain"),
+        key_col="domain",
+        id_col=id_col,
+        cap=cap_per_domain,
+        prior_counts=prior_domain_counts,
     )
-    surv = (
-        d.filter(ok_domain & ok_quality)
-        .withColumn("_rank", F.row_number().over(w))
-        .select(id_col, "_rank")
-    )
+    # rows of under-cap domains have no surv row: rank null, never
+    # over_cap — identical dispositions to the raw per-domain window
     staged = d.join(surv, on=id_col, how="left")
     funnel_disp = (
         F.when(~ok_domain, F.lit("blocked_domain"))
@@ -214,6 +231,12 @@ def run_web_corpus_job(
                     admitted.select(id_col, text_col), sidecar_path,
                     batch_label, text_col=text_col, id_col=id_col,
                 )
+                if sidecar_auto_compact:
+                    from gpt_rag_ingestion_spark.operators.dedup import (
+                        dedup_sidecar_maybe_compact,
+                    )
+
+                    dedup_sidecar_maybe_compact(spark, sidecar_path)
             else:
                 # bootstrap from the POST-MERGE corpus — a sidecar
                 # enabled on a pre-existing corpus must index what is

@@ -63,7 +63,7 @@ def ship_active() -> None:
 
 def spread_small_input(docs: DataFrame, cap: int = 8) -> DataFrame:
     """Spread a SMALL input across cores without the plan->RDD
-    partition probe (``df.rdd.getNumPartitions()`` costs a query
+    partition probe (``getNumPartitions`` on the plan's RDD costs a query
     compilation per call).  The scan partition count is estimated from
     the leaf file listing: ceil(file_size / maxPartitionBytes) summed
     over input files (sizes best-effort for local paths; one partition

@@ -124,6 +124,7 @@ def run_streaming_web_corpus(
     schema: str = "doc_id LONG, url STRING, text STRING",
     fmt: str = "json",
     sidecar_path: str | None = None,
+    domain_counts_path: str | None = None,
     **job_kwargs,
 ) -> None:
     """The web-corpus admission loop as a STREAM: one AvailableNow
@@ -148,7 +149,19 @@ def run_streaming_web_corpus(
     first admitting batch bootstraps it, later batches classify against
     keys and append their admissions under their own micro-batch label
     — the corpus text is never re-shingled, so per-batch dedup cost
-    stays O(batch) across the stream's whole lifetime."""
+    stays O(batch) across the stream's whole lifetime.  The job's
+    counter-driven sidecar compaction trigger runs after each append
+    (one meta-row read; folds dead generations only when re-admissions
+    accumulate past the threshold).
+
+    ``domain_counts_path`` makes the per-domain admission cap
+    CUMULATIVE over the stream's lifetime: each batch writes its
+    per-domain ranked-row counts under its OWN ``batch=<id>``
+    directory (overwrite — a replayed batch replaces itself, never
+    double-counts), and the next batch's cap ranking is offset by the
+    sum of all EARLIER batches' counts.  Without it the cap documented
+    in run_web_corpus_job is per-batch: every micro-batch may admit up
+    to cap_per_domain rows per domain again."""
     from gpt_rag_ingestion_spark.plans.web_corpus_job import run_web_corpus_job
 
     stream = spark.readStream.schema(schema).format(fmt).load(landing_dir)
@@ -156,6 +169,22 @@ def run_streaming_web_corpus(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        prior_counts = None
+        if domain_counts_path is not None:
+            from gpt_rag_ingestion_spark.operators.similarity import (
+                jvm_fs_exists,
+            )
+
+            if jvm_fs_exists(spark, domain_counts_path):
+                prior_counts = (
+                    spark.read.parquet(domain_counts_path)
+                    # replay safety: this batch's own counts from a
+                    # crashed earlier attempt must not offset itself
+                    # (partition values read back type-inferred — cast)
+                    .filter(F.col("batch").cast("string") != str(batch_id))
+                    .groupBy("domain")
+                    .agg(F.sum("n_ranked").alias("n_ranked"))
+                )
         audit = run_web_corpus_job(
             spark,
             batch_df,
@@ -163,6 +192,7 @@ def run_streaming_web_corpus(
             f"{shards_dir}/batch={batch_id}",
             sidecar_path=sidecar_path,
             batch_label=str(batch_id),
+            prior_domain_counts=prior_counts,
             **job_kwargs,
         )
         (
@@ -170,6 +200,18 @@ def run_streaming_web_corpus(
             .write.mode("overwrite")
             .parquet(f"{audit_path}/batch={batch_id}")
         )
+        if domain_counts_path is not None:
+            (
+                audit.filter(
+                    ~F.col("disposition").isin(
+                        "blocked_domain", "low_quality"
+                    )
+                )
+                .groupBy("domain")
+                .agg(F.count(F.lit(1)).alias("n_ranked"))
+                .write.mode("overwrite")
+                .parquet(f"{domain_counts_path}/batch={batch_id}")
+            )
 
     (
         stream.writeStream.foreachBatch(process_batch)
@@ -364,6 +406,7 @@ def run_incremental_ivf(
     checkpoint_dir: str,
     schema: str = "vec_id LONG, embedding ARRAY<FLOAT>",
     n_centroids: int = 16,
+    max_fragments: int = 16,
 ) -> None:
     """Streaming maintenance of the persisted IVF index
     (operators/similarity.ivf_index_build/append): the first non-empty
@@ -380,10 +423,17 @@ def run_incremental_ivf(
     at-least-once; the per-batch postings/stats directories are written
     with overwrite keyed on batch_id (see `_ivf_append`), so a retried
     batch replaces its own output instead of double-appending —
-    effectively exactly-once."""
+    effectively exactly-once.
+
+    After each append the counter-driven compaction trigger runs
+    (``ivf_index_maybe_compact`` — one directory listing per tick):
+    once more than ``max_fragments`` batch generations accumulate, the
+    postings fold to one generation under the crash-safe swap, bounding
+    per-probe footer fetches while the stream keeps appending."""
     from gpt_rag_ingestion_spark.operators.similarity import (
         ivf_index_append,
         ivf_index_build,
+        ivf_index_maybe_compact,
         jvm_fs_exists,
     )
 
@@ -407,6 +457,7 @@ def run_incremental_ivf(
             ivf_index_append(
                 batch_df, index_path, batch_label=f"batch-{batch_id}"
             )
+        ivf_index_maybe_compact(spark, index_path, max_fragments)
 
     (
         stream.writeStream.foreachBatch(process_batch)

@@ -1,0 +1,99 @@
+"""Recall/latency curve for the probe-count knobs of the IVF-family
+ANN operators — the data behind SCALING.md's "ANN recall vs cost"
+table and the bench's default probe settings (BENCH ann_recall).
+
+Sweeps n_probe for ivf_ann and ivfpq_ann against the exact cosine
+top-k baseline (quantized_dot_topk on unit vectors, the same truth
+protocol as bench.py::_ann_recall) and prints one JSON line per
+setting: {"family", "n_probe", "recall", "wall_sec"}.
+
+Run: python3 scripts/ann_recall_curve.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main(sf_dir: str = "/root/testdata/sf0.1", k: int = 10) -> None:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from gpt_rag_ingestion_spark.operators.similarity import (
+        ivf_ann,
+        ivfpq_ann,
+        quantized_dot_topk,
+    )
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = entry_mod._t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).cache()
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    unit = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x / F.greatest(norm, F.lit(1e-12))
+        ).alias("embedding"),
+    )
+    truth: dict = {}
+    for r in quantized_dot_topk(unit, k=k).collect():
+        truth.setdefault(r["vec_id"], set()).add(r["nn_id"])
+    pq_queries = emb.filter(F.col("vec_id") % 8 == 0)
+
+    def recall(df, qids):
+        got: dict = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["corpus_id"])
+        recs = [
+            len(got.get(q, set()) & truth[q]) / max(len(truth[q]), 1)
+            for q in qids
+        ]
+        return round(sum(recs) / max(len(recs), 1), 4)
+
+    all_q = list(truth)
+    pq_q = [q for q in truth if q % 8 == 0]
+    for n_probe in (2, 4, 6, 8, 10, 12, 16):
+        t0 = time.time()
+        df = ivf_ann(emb, emb, dim=64, n_centroids=16, n_probe=n_probe, k=k)
+        rec = recall(df, all_q)
+        print(json.dumps({
+            "family": "ivf", "n_probe": n_probe, "recall": rec,
+            "wall_sec": round(time.time() - t0, 2),
+        }), flush=True)
+    for n_probe in (4, 8, 12, 16):
+        for rf in (8, 16):
+            t0 = time.time()
+            df = ivfpq_ann(
+                emb, pq_queries, k=k, n_probe=n_probe, refine_factor=rf
+            )
+            rec = recall(df, pq_q)
+            print(json.dumps({
+                "family": "ivfpq", "n_probe": n_probe, "refine_factor": rf,
+                "recall": rec, "wall_sec": round(time.time() - t0, 2),
+            }), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")

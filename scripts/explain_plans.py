@@ -105,10 +105,12 @@ PLAN_PROPERTIES = {
     # snapshot diff: ONE full-outer join whose shuffled payload is
     # (key, md5) — the digest projection happens below the exchange
     "q109_snapshot_diff": (["FullOuter", "md5"], []),
-    # web admission: blocklist broadcast; cap window partitioned by
-    # domain (never an unpartitioned window)
+    # web admission: blocklist broadcast; the per-domain cap is the
+    # TWO-PHASE guard — count-gate then a (domain, md5-prefix-bucket)
+    # decomposed window, so a dominant domain spreads over 256 tasks;
+    # the _bkt column in the plan proves the decomposed path is live
     "q110_web_admission": (
-        ["BroadcastHashJoin", "Window"],
+        ["BroadcastHashJoin", "Window", "_bkt"],
         [],
     ),
     # classic top-k reports: per-partition heaps, never a global sort
@@ -241,8 +243,43 @@ def _sharepoint_config_driven(spark, _sf_dir):
     )
 
 
+def _sidecar_steady_state(spark, sf_dir):
+    """Round-4 contract (round-3 brief #1): in the steady state
+    (meta.superseded == 0) sidecar classification must contain NO
+    exchange keyed on doc_id, sh, or _bid — the digest index, shingle
+    postings, and sizes tables are scans streamed under broadcast
+    joins with batch-side keys; liveness costs nothing.  The must-not
+    list below is the q18-style plan rule."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.dedup import (
+        dedup_sidecar_build,
+        incremental_dedup_sidecar,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    side = tempfile.mkdtemp(prefix="plans_sidecar_") + "/sidecar"
+    dedup_sidecar_build(
+        docs.filter("doc_id % 3 != 0").select("doc_id", "text"), side
+    )
+    probe = docs.limit(50).selectExpr("doc_id + 900000 AS doc_id", "text")
+    return incremental_dedup_sidecar(probe, side)
+
+
 #: composed jobs that aren't driver queries: name -> (builder, must, must_not)
 EXTRA_PLANS = {
+    # steady-state sidecar classification: batch-side keys broadcast
+    # into every sidecar scan; NO exchange may lead on doc_id (digest
+    # index / final join), sh (postings), or _bid (sizes)
+    "sidecar_steady_state": (
+        _sidecar_steady_state,
+        ["BroadcastHashJoin"],
+        [
+            "hashpartitioning(doc_id#",
+            "hashpartitioning(sh#",
+            "hashpartitioning(_bid#",
+        ],
+    ),
     "sharepoint_ingest_composed": (
         _sharepoint_composed,
         ["BroadcastHashJoin", "Union"],

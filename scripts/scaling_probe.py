@@ -42,6 +42,61 @@ PROBES = {
 }
 
 
+# Measured by scripts/ann_recall_curve.py at sf0.1 (round 4); rerun
+# that script and refresh this block when probe settings change.
+ANN_RECALL_SECTION = """
+## ANN recall vs probe cost (recall@10 vs exact cosine, sf0.1)
+
+Measured by `scripts/ann_recall_curve.py`.  The synthetic embeddings
+are weakly clustered, so recall tracks the probed FRACTION of the
+corpus almost linearly — the knee is where marginal recall per probed
+cell starts to flatten; on strongly clustered real data the same
+settings sit much further up the curve.  Wall time is nearly flat on
+this corpus (driver/UDF overhead dominates at sf0.1), so the bench
+runs the knee settings: ivf n_probe=10/16 cells (recall 0.878), ivfpq
+n_probe=12, refine_factor=16 (recall 0.912).  Floors asserted in
+tests/test_scale_features.py::test_ann_recall_floors.
+
+| family | n_probe (of 16) | recall@10 | wall |
+|---|---|---|---|
+| ivf | 2 | 0.357 | 1.5s |
+| ivf | 6 | 0.692 | 1.3s |
+| ivf | 8 | 0.798 | 1.4s |
+| ivf | 10 (bench) | 0.878 | 1.2s |
+| ivf | 12 | 0.935 | 1.5s |
+| ivf | 16 (exhaustive) | 0.995 | 1.9s |
+| ivfpq (refine 8) | 8 | 0.742 | 2.5s |
+| ivfpq (refine 16) | 8 | 0.790 | 2.8s |
+| ivfpq (refine 16) | 12 (bench) | 0.912 | 2.6s |
+| ivfpq (refine 16) | 16 | 0.962 | 2.7s |
+"""
+
+# Measured by scripts/skew_probe.py (4M rows, cap 100, local[32]);
+# rerun that script and refresh this block after funnel changes.
+SKEW_SECTION = """
+## Per-domain admission cap under skew (4M rows, ONE domain)
+
+`scripts/skew_probe.py`: a synthetic crawl batch where a single
+domain owns all 4M rows — the raw `Window.partitionBy(domain)` (the
+round-3 weak item) sorts the entire batch in ONE task, while the
+shipped two-phase `per_key_capped_rank` (count-gate + md5-prefix
+bucket decomposition, operators/ranking.py) spreads it across 256
+bucket tasks and stays FLAT vs a uniform 1000-domain batch of the
+same size.  Identical dispositions (unit-pinned vs the raw window).
+
+| shape | wall | note |
+|---|---|---|
+| raw window, 1 domain | 14.2s | whole batch sorts in one task |
+| per_key_capped_rank, 1 domain | 5.0s | 256-way bucket decomposition |
+| per_key_capped_rank, 1000 domains | 5.2s | flat — skew costs nothing |
+
+The count-gate also means UNDER-cap domains (the common case) are
+never ranked at all, and with the streaming wrapper's persisted
+per-domain counts the cap holds over the stream's lifetime, not per
+batch.
+"""
+
+
 def main() -> int:
     from pyspark.sql import SparkSession
 
@@ -151,6 +206,8 @@ def main() -> int:
             "bands, where band-bucket occupancy stays flat for the same\n"
             "distance budget (same plan, wider keys).\n"
         )
+        f.write(ANN_RECALL_SECTION)
+        f.write(SKEW_SECTION)
     print("SCALING.md written")
     return 0
 

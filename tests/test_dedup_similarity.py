@@ -909,6 +909,51 @@ def test_ivfpq_index_compact(spark, tmp_path):
     assert after == before
 
 
+def test_ivf_index_maybe_compact_trigger(spark, tmp_path):
+    """The fragment-count trigger: under the threshold it is a pure
+    listing (no compact); over it, postings fold to one generation and
+    query results are unchanged."""
+    import os
+
+    from gpt_rag_ingestion_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_index_maybe_compact,
+        ivf_index_query,
+        ivfpq_index_maybe_compact,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    ivf_index_build(emb.filter("vec_id < 300"), idx, n_centroids=8)
+    ivf_index_append(emb.filter("vec_id >= 300 AND vec_id < 400"), idx, "b1")
+    ivf_index_append(emb.filter("vec_id >= 400"), idx, "b2")
+    out = ivf_index_maybe_compact(spark, idx, max_fragments=16)
+    assert out == {"compacted": False, "fragments": 3}
+
+    q = emb.filter("vec_id < 20")
+    before = {
+        (r["query_id"], r["corpus_id"], r["rank"])
+        for r in ivf_index_query(spark, idx, q, n_probe=4, k=5).collect()
+    }
+    out = ivf_index_maybe_compact(spark, idx, max_fragments=2)
+    assert out["compacted"] is True and out["fragments_before"] == 3
+    assert os.listdir(f"{idx}/postings") == ["batch=compacted"]
+    after = {
+        (r["query_id"], r["corpus_id"], r["rank"])
+        for r in ivf_index_query(spark, idx, q, n_probe=4, k=5).collect()
+    }
+    assert after == before
+    # post-compact: one generation, trigger back to not firing
+    assert ivf_index_maybe_compact(spark, idx, max_fragments=2) == {
+        "compacted": False, "fragments": 1,
+    }
+    # the IVFPQ twin shares the trigger arithmetic on its own layout
+    assert ivfpq_index_maybe_compact(spark, idx, max_fragments=2)[
+        "compacted"
+    ] is False
+
+
 def test_dedup_sidecar_compact(spark, tmp_path):
     from gpt_rag_ingestion_spark.operators.dedup import (
         dedup_sidecar_append,
@@ -988,3 +1033,163 @@ def test_sidecar_replacement_supersedes_old_generation(spark, tmp_path):
         tuple(r) for r in incremental_dedup_sidecar(probe, side).collect()
     )
     assert got2 == want
+
+
+def test_sidecar_short_docs_keep_digest_rows(spark, tmp_path):
+    """Advisor finding (r3): liveness derived from the SIZES table
+    dropped docs with fewer than n words (zero shingles -> no sizes
+    row), so an exact copy of a short base doc classified 'new' and
+    compaction deleted its digest rows.  Liveness now comes from the
+    digest index: short docs classify, replace, and survive compaction
+    exactly like the text path."""
+    from gpt_rag_ingestion_spark.operators.dedup import (
+        dedup_sidecar_append,
+        dedup_sidecar_build,
+        dedup_sidecar_compact,
+        incremental_dedup,
+        incremental_dedup_sidecar,
+    )
+
+    SHORT = "hi there"  # 2 words < n=3 -> zero shingles
+    LONG = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    side = str(tmp_path / "sidecar")
+    base = spark.createDataFrame(
+        [(1, SHORT), (2, LONG)], "doc_id long, text string"
+    )
+    dedup_sidecar_build(base, side)
+
+    probe = spark.createDataFrame(
+        [(100, SHORT), (101, LONG), (102, "unrelated words entirely")],
+        "doc_id long, text string",
+    )
+    want = sorted(tuple(r) for r in incremental_dedup(base, probe).collect())
+    got = sorted(
+        tuple(r) for r in incremental_dedup_sidecar(probe, side).collect()
+    )
+    assert got == want
+    assert dict((r[0], r[1]) for r in got)[100] == "exact_dup_base"
+
+    # doc 2 RE-ADMITTED with short text: its stale long generation must
+    # stop matching even though the new generation has no sizes row
+    SHORT2 = "bye now"
+    dedup_sidecar_append(
+        spark.createDataFrame([(2, SHORT2)], "doc_id long, text string"),
+        side, "b1",
+    )
+    current = spark.createDataFrame(
+        [(1, SHORT), (2, SHORT2)], "doc_id long, text string"
+    )
+    probe2 = spark.createDataFrame(
+        [(200, LONG), (201, SHORT2)], "doc_id long, text string"
+    )
+    want2 = sorted(
+        tuple(r) for r in incremental_dedup(current, probe2).collect()
+    )
+    got2 = sorted(
+        tuple(r) for r in incremental_dedup_sidecar(probe2, side).collect()
+    )
+    assert got2 == want2
+    assert dict((r[0], r[1]) for r in got2) == {
+        200: "new", 201: "exact_dup_base"
+    }
+
+    # compaction must KEEP the short docs' digest rows
+    counts = dedup_sidecar_compact(spark, side)
+    assert counts["digests"] == 2
+    got3 = sorted(
+        tuple(r) for r in incremental_dedup_sidecar(probe2, side).collect()
+    )
+    assert got3 == want2
+
+
+def test_sidecar_steady_state_no_corpus_shuffle(spark, tmp_path):
+    """The O(batch) contract, asserted on the physical plan: in the
+    steady state (meta.superseded == 0) classification contains NO
+    exchange keyed on any sidecar column — digests/postings/sizes are
+    scans streamed under broadcast joins with batch-side keys.  After a
+    re-admission (superseded > 0) the postings are still never shuffled
+    by sh or doc_id; the only corpus-keyed exchange is the doc-level
+    dead-set aggregation over the digest index."""
+    from gpt_rag_ingestion_spark.operators.dedup import (
+        _sidecar_read_meta,
+        dedup_sidecar_append,
+        dedup_sidecar_build,
+        incremental_dedup_sidecar,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.filter("doc_id % 3 != 0").select("doc_id", "text")
+    side = str(tmp_path / "sidecar")
+    dedup_sidecar_build(base, side)
+    assert _sidecar_read_meta(spark, side)["superseded"] == 0
+
+    probe = docs.limit(30).selectExpr("doc_id + 900000 AS doc_id", "text")
+    plan = incremental_dedup_sidecar(probe, side)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # no exchange leads on doc_id (sidecar OR batch — every doc_id join
+    # side broadcasts), sh (postings), or _bid (sizes); the surviving
+    # exchanges are batch/match-proportional groupBys (digest, _iid)
+    for key in ("doc_id#", "sh#", "_bid#"):
+        assert f"hashpartitioning({key}" not in plan, key
+
+    # re-admit one doc -> superseded=1 -> dead-set path; postings and
+    # sizes must STILL not shuffle (broadcast liveness filter)
+    one = base.limit(1).selectExpr("doc_id", "'replaced text body' AS text")
+    out = dedup_sidecar_append(one, side, "b1")
+    assert out["newly_superseded"] == 1
+    assert _sidecar_read_meta(spark, side)["superseded"] == 1
+    plan2 = incremental_dedup_sidecar(probe, side)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    for key in ("sh#", "_bid#"):
+        assert f"hashpartitioning({key}" not in plan2, key
+
+
+def test_sidecar_maybe_compact_trigger(spark, tmp_path):
+    """The compaction trigger fires from meta counters alone (one-row
+    read per check) and classification is hash-stable across the
+    triggered compact."""
+    from gpt_rag_ingestion_spark.operators.dedup import (
+        _sidecar_read_meta,
+        dedup_sidecar_append,
+        dedup_sidecar_build,
+        dedup_sidecar_maybe_compact,
+        incremental_dedup_sidecar,
+    )
+
+    texts = [
+        (i, f"document number {i} with some shared words body " * 3)
+        for i in range(8)
+    ]
+    side = str(tmp_path / "sidecar")
+    dedup_sidecar_build(
+        spark.createDataFrame(texts, "doc_id long, text string"), side
+    )
+    # no dead generations: trigger must NOT fire
+    out = dedup_sidecar_maybe_compact(spark, side)
+    assert out == {"compacted": False, "superseded": 0, "n_live": 8}
+
+    # re-admit 2 of 8 docs -> 2 dead generations, ratio 0.25 > 0.2
+    repl = spark.createDataFrame(
+        [(0, "fresh body zero"), (1, "fresh body one")],
+        "doc_id long, text string",
+    )
+    dedup_sidecar_append(repl, side, "b1")
+    probe = spark.createDataFrame(
+        [(100, texts[2][1]), (101, "fresh body zero")],
+        "doc_id long, text string",
+    )
+    before = sorted(
+        tuple(r) for r in incremental_dedup_sidecar(probe, side).collect()
+    )
+    out = dedup_sidecar_maybe_compact(spark, side)
+    assert out["compacted"] is True
+    meta = _sidecar_read_meta(spark, side)
+    assert meta["superseded"] == 0 and meta["n_live"] == 8
+    after = sorted(
+        tuple(r) for r in incremental_dedup_sidecar(probe, side).collect()
+    )
+    assert after == before
+    # and the counters are back in steady state: no re-fire
+    assert dedup_sidecar_maybe_compact(spark, side)["compacted"] is False

@@ -406,6 +406,53 @@ def test_web_corpus_job_two_batches(spark, tmp_path):
     assert [r["doc_id"] for r in s2.collect()] == [13]
 
 
+def test_domain_cap_two_phase_matches_raw_window(spark, tmp_path):
+    """Round-3 brief #2: the per-domain cap is now a two-phase guard
+    (count-gate + md5-prefix-bucket-decomposed rank) instead of a raw
+    Window.partitionBy(domain).  Dispositions must be IDENTICAL to the
+    raw window's on a skewed batch where one domain dominates."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gpt_rag_ingestion_spark.plans.web_corpus_job import (
+        run_web_corpus_job,
+    )
+
+    rows = []
+    for i in range(60):  # hot domain: 60 rows, cap 10 -> 50 over_cap
+        rows.append((i, f"https://hot.example/p{i}", f"hot page body {i} " * 10))
+    for i in range(60, 66):  # cool domain: under cap, never ranked
+        rows.append((i, f"https://cool.example/p{i}", f"cool page body {i} " * 10))
+    batch = spark.createDataFrame(rows, "doc_id long, url string, text string")
+
+    got = {
+        r["doc_id"]: r["disposition"]
+        for r in run_web_corpus_job(
+            spark, batch, str(tmp_path / "corpus"), str(tmp_path / "shards"),
+            min_chars=10, cap_per_domain=10,
+        ).collect()
+    }
+    # raw-window reference, computed independently in the test
+    from gpt_rag_ingestion_spark.functions.urls import url_domain
+
+    ref = (
+        batch.withColumn("domain", url_domain(F.col("url")))
+        .withColumn(
+            "_rank",
+            F.row_number().over(
+                Window.partitionBy("domain").orderBy(
+                    F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+                )
+            ),
+        )
+        .collect()
+    )
+    for r in ref:
+        want = "over_cap" if r["_rank"] > 10 else "admitted"
+        assert got[r["doc_id"]] == want, (r["doc_id"], got[r["doc_id"]], want)
+    assert sum(1 for v in got.values() if v == "over_cap") == 50
+
+
 def test_web_corpus_sidecar_bootstrap_indexes_existing_corpus(spark, tmp_path):
     """Review finding: enabling sidecar_path on a PRE-EXISTING corpus
     must index what is already there — a later copy of an old corpus

@@ -1311,7 +1311,10 @@ def test_ann_recall_floors(spark):
     from bench import _ann_recall
 
     rec = _ann_recall(spark, entry_mod, SF)
+    # floors track the round-4 knee settings (ivf n_probe=10, ivfpq
+    # n_probe=12/refine=16) measured by scripts/ann_recall_curve.py at
+    # sf0.1: ivf 0.878, ivfpq 0.912 — floors leave sampling slack
     assert rec["lsh"] >= 0.70, rec
-    assert rec["ivf"] >= 0.55, rec
+    assert rec["ivf"] >= 0.80, rec
     assert rec["pq_refine"] >= 0.75, rec
-    assert rec["ivfpq"] >= 0.60, rec
+    assert rec["ivfpq"] >= 0.84, rec

@@ -332,3 +332,89 @@ def test_config_scan_composes_with_hydration(spark, tmp_path):
     assert rows[0]["site"] == "contoso/eng"
     assert rows[0]["list_id"] == "L1"
     assert rows[0]["exclude_fields"] == ["Internal"]
+
+
+def test_landing_zone_contracts(spark):
+    """The crawler handshake (LANDING_ZONE.md): the engine's own
+    fixtures satisfy the machine-readable contracts, extra columns are
+    allowed, and violations fail fast with a per-column diff."""
+    import pytest
+
+    from gpt_rag_ingestion_spark.sources.contracts import (
+        assert_landing_schema,
+    )
+
+    # _items carries extra ACL columns -> still passes (extras allowed)
+    assert_landing_schema(_items(spark), "sharepoint_items")
+    t = dt.datetime.fromisoformat("2024-03-01T00:00:00")
+    atts = spark.createDataFrame(
+        [("contoso", "libB", 9, "doc.pdf", b"x", t)],
+        "site STRING, list_id STRING, item_id INT, file_name STRING, "
+        "payload BINARY, last_modified TIMESTAMP",
+    )
+    assert_landing_schema(atts, "sharepoint_attachments")
+    assert_landing_schema(
+        spark.createDataFrame([('{"type":"sharepoint_site"}',)], ["doc"]),
+        "site_configs",
+    )
+    assert_landing_schema(
+        spark.createDataFrame(
+            [(1, "https://a.example/x", "text")],
+            "doc_id LONG, url STRING, text STRING",
+        ),
+        "web_crawl",
+    )
+
+    # violation: payload typed string, file_name missing
+    broken = spark.createDataFrame(
+        [("contoso", "libB", 9, "not-bytes", t)],
+        "site STRING, list_id STRING, item_id INT, payload STRING, "
+        "last_modified TIMESTAMP",
+    )
+    with pytest.raises(ValueError) as e:
+        assert_landing_schema(broken, "sharepoint_attachments")
+    msg = str(e.value)
+    assert "file_name" in msg and "payload" in msg and "binary" in msg
+    with pytest.raises(ValueError):
+        assert_landing_schema(atts, "no_such_family")
+
+
+def test_duplicate_config_docs_dedupe_and_conflict(spark):
+    """Advisor finding (r3): a collection configured in TWO config docs
+    must ingest once (identical specs collapse); CONFLICTING specs for
+    the same (site, list) raise instead of silently double-ingesting."""
+    import json
+
+    import pytest
+
+    from gpt_rag_ingestion_spark.plans.sharepoint_job import (
+        sharepoint_ingest_from_config,
+    )
+
+    def cfg_doc(include):
+        return json.dumps({
+            "type": "sharepoint_site",
+            "siteDomain": "contoso", "siteName": "eng",
+            "lists": [{"listId": "listA", "includeFields": include}],
+        })
+
+    t = dt.datetime.fromisoformat("2024-03-01T00:00:00")
+    items = spark.createDataFrame(
+        [("contoso/eng", "listA", 1, {"Title": "Spec"}, t)],
+        "site STRING, list_id STRING, item_id INT, "
+        "fields MAP<STRING,STRING>, last_modified TIMESTAMP",
+    )
+    # same spec twice -> one body doc, not two
+    twice = spark.createDataFrame(
+        [(cfg_doc(["Title"]),), (cfg_doc(["Title"]),)], ["doc"]
+    )
+    rows = sharepoint_ingest_from_config(twice, items, embedding_dim=8).collect()
+    assert len(rows) == 1
+
+    # conflicting include sets -> loud failure naming the collection
+    conflict = spark.createDataFrame(
+        [(cfg_doc(["Title"]),), (cfg_doc(["Title", "Owner"]),)], ["doc"]
+    )
+    with pytest.raises(ValueError) as e:
+        sharepoint_ingest_from_config(conflict, items, embedding_dim=8)
+    assert "listA" in str(e.value)

@@ -481,6 +481,116 @@ def test_web_corpus_replay_is_idempotent(spark, tmp_path):
     assert after == before
 
 
+def test_streaming_domain_cap_cumulative(spark, tmp_path):
+    """Advisor finding (r3): without persisted counts the per-domain
+    cap resets every micro-batch — unbounded over the stream.  With
+    ``domain_counts_path`` the cap is cumulative: batch 0 uses 2 of a
+    3-row budget, so batch 1 may rank only 1 more row from that
+    domain."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from gpt_rag_ingestion_spark.streaming.micro_batch import (
+        run_streaming_web_corpus,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    root = str(tmp_path)
+    batches = [
+        [
+            {"doc_id": i, "url": f"https://one.example/p{i}",
+             "text": f"distinct page body number {i} " * 10}
+            for i in (1, 2)
+        ],
+        [
+            {"doc_id": i, "url": f"https://one.example/p{i}",
+             "text": f"distinct page body number {i} " * 10}
+            for i in (3, 4, 5)
+        ],
+    ]
+    for i, b in enumerate(batches):
+        (landing / f"b{i}.json").write_text(
+            "\n".join(json.dumps(x) for x in b)
+        )
+        run_streaming_web_corpus(
+            spark, str(landing), f"{root}/corpus", f"{root}/shards",
+            f"{root}/audit", f"{root}/ckpt", min_chars=10,
+            cap_per_domain=3,
+            domain_counts_path=f"{root}/domain_counts",
+        )
+    audit = spark.read.parquet(f"{root}/audit")
+    by_batch = {
+        (r["batch_id"], r["disposition"]): 1 for r in audit.collect()
+    }
+    n_admitted = audit.filter(F.col("disposition") == "admitted").count()
+    n_over = audit.filter(F.col("disposition") == "over_cap").count()
+    # 2 admitted in batch 0; batch 1 gets exactly 1 of 3 (budget left)
+    assert n_admitted == 3 and n_over == 2
+    assert (1, "over_cap") in by_batch
+    # counts table: one dir per batch, summing to the 5 ranked rows
+    counts = spark.read.parquet(f"{root}/domain_counts")
+    assert counts.agg(F.sum("n_ranked")).first()[0] == 5
+    assert {
+        str(r["batch"]) for r in counts.select("batch").collect()
+    } == {"0", "1"}
+
+
+def test_streaming_sidecar_triggered_compaction(spark, tmp_path):
+    """Round-3 brief #6: the counter-driven sidecar compaction trigger
+    fires INSIDE the streamed admission loop (a batch re-admits a doc
+    with new text -> dead generation ratio crosses the default
+    threshold -> auto-compact), and the lifecycle stays correct across
+    it: later batches still classify against the compacted index."""
+    import json
+    import os
+
+    from gpt_rag_ingestion_spark.operators.dedup import _sidecar_read_meta
+    from gpt_rag_ingestion_spark.streaming.micro_batch import (
+        run_streaming_web_corpus,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    root = str(tmp_path)
+    side = f"{root}/sidecar"
+    X, Y, Z = "alpha " * 40, "omega " * 40, "gamma " * 40
+    batches = [
+        [{"doc_id": 1, "url": "https://a.example/x", "text": X},
+         {"doc_id": 2, "url": "https://b.example/y", "text": Z}],
+        # doc 1 re-offered with NEW text: classifies 'new' (digest
+        # changed), merge replaces it, sidecar append supersedes its
+        # generation -> superseded/live = 1/2 > 0.2 -> compact fires
+        [{"doc_id": 1, "url": "https://a.example/x", "text": Y}],
+        # doc 30 = the RETIRED text X (must admit: corpus no longer
+        # holds X) and doc 31 = the live replacement text Y (must dup)
+        [{"doc_id": 30, "url": "https://c.example/q", "text": X},
+         {"doc_id": 31, "url": "https://c.example/r", "text": Y}],
+    ]
+    for i, b in enumerate(batches):
+        (landing / f"b{i}.json").write_text(
+            "\n".join(json.dumps(x) for x in b)
+        )
+        run_streaming_web_corpus(
+            spark, str(landing), f"{root}/corpus", f"{root}/shards",
+            f"{root}/audit", f"{root}/ckpt", min_chars=10,
+            sidecar_path=side,
+        )
+        if i == 1:
+            # the batch-1 append superseded doc 1 and the wired
+            # trigger compacted: counters reset, dirs folded
+            meta = _sidecar_read_meta(spark, side)
+            assert meta["superseded"] == 0 and meta["n_live"] == 2
+            assert os.listdir(f"{side}/digests") == ["batch=compacted"]
+    disp = {
+        r["doc_id"]: r["disposition"]
+        for r in spark.read.parquet(f"{root}/audit").collect()
+    }
+    assert disp[30] == "admitted"  # retired text no longer matches
+    assert disp[31] == "exact_dup_base"  # live replacement matches
+
+
 def test_streaming_web_corpus_with_sidecar(spark, tmp_path):
     """Sidecar-backed streaming admission: same audits as the text-path
     run, sidecar bootstrapped by batch 0 and appended per micro-batch."""
