@@ -2989,6 +2989,29 @@ def q148_ivfpq_index_exact(spark: SparkSession, sf: str) -> DataFrame:
     ).localCheckpoint()
 
 
+def q149_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two quantized dimensions
+    (operators/layout.zorder_value) — the arithmetic behind
+    zorder_write's multi-column min/max file skipping (the OPTIMIZE
+    ZORDER BY analog), oracle-checked bit for bit: 8-bit ranks of
+    (o_custkey % 256, o_orderkey % 256) interleave into one 16-bit
+    code through the exact-integer fast path, so there is no float
+    rounding anywhere in either engine."""
+    from gpt_rag_ingestion_spark.operators.layout import zorder_value
+
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("x"),
+        (F.col("o_orderkey") % 256).alias("y"),
+    )
+    z = zorder_value(
+        ["x", "y"], {"x": 0, "y": 0}, {"x": 255, "y": 255}, bits=8
+    )
+    return orders.select(
+        "o_orderkey", "x", "y", z.cast("long").alias("zkey")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries.  The window is curated to be (a) all
@@ -3059,6 +3082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_sidecar_dedup": q147_sidecar_dedup,
         "q148_ivfpq_index_exact": q148_ivfpq_index_exact,
         # ---- end of the 50-slot driver window ----
+        "q149_zorder_key": q149_zorder_key,
         "q07_group_counts": q07_group_counts,
         "q08_distinct_cap": q08_distinct_cap,
         "q09_distinct_tokens": q09_distinct_tokens,
@@ -3249,6 +3273,15 @@ def _pagerank_sql(iters: int = 5) -> str:
     return (
         "WITH " + ",".join(ctes) + f" SELECT doc_id, r AS rank_q FROM r{iters}"
     )
+
+
+#: 8-bit 2-column Morton interleave, x at even bit positions, y at odd
+#: — mirrors operators/layout.zorder_value's bit placement (bit b of
+#: column i lands at b * n_cols + i) in portable integer SQL
+_ZORDER_TERMS = " | ".join(
+    f"(((x >> {b}) & 1) << {2 * b}) | (((y >> {b}) & 1) << {2 * b + 1})"
+    for b in range(8)
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5641,5 +5674,13 @@ def oracle_sql() -> dict[str, str]:
             FROM d
             WHERE uid = 'u7' OR gid IN ('g3', 'g11')
                OR (uid IS NULL AND gid IS NULL)
+        """,
+        "q149_zorder_key": f"""
+            SELECT o_orderkey, x, y,
+                   CAST({_ZORDER_TERMS} AS BIGINT) AS zkey
+            FROM (SELECT o_orderkey,
+                         o_custkey % 256 AS x,
+                         o_orderkey % 256 AS y
+                  FROM orders) t
         """,
     }

@@ -40,11 +40,16 @@ def zorder_value(
         span = hi - lo
         if span <= 0:
             continue
-        scaled = (
-            (F.col(c).cast("double") - F.lit(lo))
-            / F.lit(span)
-            * F.lit((1 << bits) - 1)
-        ).cast("long")
+        if lo.is_integer() and hi.is_integer() and int(span) == (1 << bits) - 1:
+            # already-quantized input: pure integer arithmetic, exact
+            # (and oracle-portable — no float rounding in the code)
+            scaled = F.col(c).cast("long") - F.lit(int(lo))
+        else:
+            scaled = (
+                (F.col(c).cast("double") - F.lit(lo))
+                / F.lit(span)
+                * F.lit((1 << bits) - 1)
+            ).cast("long")
         for b in range(bits):
             bit = F.shiftright(scaled, b).bitwiseAND(F.lit(1).cast("long"))
             parts.append(F.shiftleft(bit, b * n + i))

@@ -262,16 +262,35 @@ def _swap_in(spark: SparkSession, staged: str, table_path: str) -> None:
     spark.catalog.refreshByPath(table_path)
 
 
+def table_parquet_files(table_path: str) -> int:
+    """Leaf parquet file count — the fragmentation signal
+    ``maybe_compact_table`` reads.  Metadata walk only."""
+    return sum(
+        1
+        for _root, _d, names in os.walk(table_path)
+        for n in names
+        if n.endswith(".parquet")
+    )
+
+
 def compact_table(
     spark: SparkSession,
     table_path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
 ) -> tuple[int, int]:
     """Small-file compaction (the OPTIMIZE of every lakehouse): an
     incremental merge-per-hour leaves a long tail of tiny files that
     tax every subsequent scan (one task + one footer fetch each).
     Rewrite the table into ceil(total_bytes / target) right-sized
     files with the same crash-safe swap the merge path uses.
+
+    ``partition_cols`` MUST be passed for a hive-partitioned table:
+    the rewrite then repartitions on the partition columns (one write
+    task per output partition-file — files coalesce WITHIN each
+    partition) and writes with partitionBy, preserving the directory
+    layout the partition-pruned merge path depends on.  Without it a
+    partitioned table would silently flatten to an unpartitioned one.
 
     Driver data: file sizes only (os.walk of the table dir — metadata,
     bounded by file count).  Returns (files_before, files_after).  On
@@ -290,12 +309,36 @@ def compact_table(
     n_out = max(1, math.ceil(total / target_file_bytes))
     existing = spark.read.parquet(table_path)
     tmp = table_path.rstrip("/") + "__staging"
-    existing.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    if partition_cols:
+        (
+            existing.repartition(n_out, *partition_cols)
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(tmp)
+        )
+    else:
+        existing.repartition(n_out).write.mode("overwrite").parquet(tmp)
     _swap_in(spark, tmp, table_path)
-    files_after = sum(
-        1
-        for root, _d, names in os.walk(table_path)
-        for n in names
-        if n.endswith(".parquet")
-    )
-    return files_before, files_after
+    return files_before, table_parquet_files(table_path)
+
+
+def maybe_compact_table(
+    spark: SparkSession,
+    table_path: str,
+    max_files: int = 256,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
+) -> dict:
+    """Compaction TRIGGER for a merge-maintained table, cheap enough
+    for every foreachBatch tick (one metadata walk): rewrite when the
+    leaf parquet file count exceeds ``max_files``.  The third member
+    of the engine's trigger family (dedup sidecar counters, ANN index
+    fragment counts) — merges keep landing per batch, the long tail of
+    tiny files gets folded only when it matters."""
+    files = table_parquet_files(table_path)
+    if files > max_files:
+        before, after = compact_table(
+            spark, table_path, target_file_bytes, partition_cols
+        )
+        return {"compacted": True, "files_before": before, "files_after": after}
+    return {"compacted": False, "files": files}

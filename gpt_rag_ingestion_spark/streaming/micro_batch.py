@@ -125,6 +125,7 @@ def run_streaming_web_corpus(
     fmt: str = "json",
     sidecar_path: str | None = None,
     domain_counts_path: str | None = None,
+    corpus_max_files: int | None = None,
     **job_kwargs,
 ) -> None:
     """The web-corpus admission loop as a STREAM: one AvailableNow
@@ -161,7 +162,14 @@ def run_streaming_web_corpus(
     double-counts), and the next batch's cap ranking is offset by the
     sum of all EARLIER batches' counts.  Without it the cap documented
     in run_web_corpus_job is per-batch: every micro-batch may admit up
-    to cap_per_domain rows per domain again."""
+    to cap_per_domain rows per domain again.
+
+    ``corpus_max_files`` arms the corpus table's OPTIMIZE trigger
+    (operators/upsert.maybe_compact_table): per-batch merges leave a
+    long tail of small parquet files; once the leaf file count exceeds
+    the threshold the table is rewritten into right-sized files under
+    the crash-safe swap, preserving any ``partition_cols`` layout.
+    Rows are untouched — only the file layout changes."""
     from gpt_rag_ingestion_spark.plans.web_corpus_job import run_web_corpus_job
 
     stream = spark.readStream.schema(schema).format(fmt).load(landing_dir)
@@ -211,6 +219,15 @@ def run_streaming_web_corpus(
                 .agg(F.count(F.lit(1)).alias("n_ranked"))
                 .write.mode("overwrite")
                 .parquet(f"{domain_counts_path}/batch={batch_id}")
+            )
+        if corpus_max_files is not None:
+            from gpt_rag_ingestion_spark.operators.upsert import (
+                maybe_compact_table,
+            )
+
+            maybe_compact_table(
+                spark, corpus_path, max_files=corpus_max_files,
+                partition_cols=job_kwargs.get("partition_cols"),
             )
 
     (

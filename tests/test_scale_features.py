@@ -769,6 +769,59 @@ def test_compact_table_reduces_files_keeps_data(spark, tmp_path):
     assert after.agg(F.sum("v")).collect()[0][0] == before_sum
 
 
+def test_maybe_compact_table_trigger_preserves_partitions(spark, tmp_path):
+    """The table OPTIMIZE trigger (round-4): fires from a leaf-file
+    count only when fragmentation crosses the threshold, and a
+    hive-partitioned table keeps its directory layout (so the
+    partition-pruned merge path still works afterwards)."""
+    import os
+
+    from gpt_rag_ingestion_spark.operators.upsert import (
+        maybe_compact_table,
+        merge_upsert,
+        table_parquet_files,
+    )
+
+    table = str(tmp_path / "corpus")
+    for i in range(4):  # 4 merges -> many small files across 2 buckets
+        inc = spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id").alias("parent_id"),
+            (F.col("id") % 2).alias("bucket"),
+            (F.col("id") * 3).alias("v"),
+        ).repartition(4)
+        merge_upsert(spark, table, inc, key="parent_id",
+                     partition_cols=["bucket"])
+    frag = table_parquet_files(table)
+    assert frag > 8
+    before = sorted(
+        (r["parent_id"], r["bucket"], r["v"])
+        for r in spark.read.parquet(table).collect()
+    )
+    # under threshold: listing only, no rewrite
+    out = maybe_compact_table(spark, table, max_files=1000,
+                              partition_cols=["bucket"])
+    assert out == {"compacted": False, "files": frag}
+    # over threshold: rewrite, hive dirs intact, rows identical
+    out = maybe_compact_table(spark, table, max_files=8,
+                              partition_cols=["bucket"])
+    assert out["compacted"] is True and out["files_after"] < frag
+    assert sorted(
+        d for d in os.listdir(table) if d.startswith("bucket=")
+    ) == ["bucket=0", "bucket=1"]
+    after = sorted(
+        (r["parent_id"], r["bucket"], r["v"])
+        for r in spark.read.parquet(table).collect()
+    )
+    assert after == before
+    # and the partition-pruned merge still works on the compacted table
+    merge_upsert(
+        spark, table,
+        spark.createDataFrame([(0, 0, 999)], "parent_id long, bucket long, v long"),
+        key="parent_id", partition_cols=["bucket"],
+    )
+    assert spark.read.parquet(table).filter("parent_id = 0").first()["v"] == 999
+
+
 def test_merge_upsert_schema_evolution(spark, tmp_path):
     from gpt_rag_ingestion_spark.operators.upsert import merge_upsert
 
