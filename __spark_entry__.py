@@ -364,14 +364,16 @@ def q17_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q18_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """Dedup (MinHash+LSH candidates), sha256 portable mode: lexicographic
-    min over fixed-width hex digests is a valid permutation-min in any
-    engine with sha256 (8 slices per digest = half the hash calls of
-    md5), so the full signature->bands->pairs pipeline is
-    oracle-checked."""
+    """Dedup (MinHash+LSH candidates), universal-hash portable mode
+    ('sha256uh'): one sha256 fingerprint per shingle, k affine
+    transforms mod 2^31-1 give the permutation-mins (classic Broder
+    construction), band keys pack base-P — pure integer arithmetic, so
+    the full signature->bands->pairs pipeline is oracle-checked, at
+    ~2x the throughput of the hex-slice digest mode."""
     docs = _t(spark, sf, "documents")
     return minhash_lsh_candidates(
-        docs, "text", "doc_id", n=3, num_hashes=16, bands=8, hash_fn="sha256"
+        docs, "text", "doc_id", n=3, num_hashes=16, bands=8,
+        hash_fn="sha256uh"
     )
 
 
@@ -1066,7 +1068,8 @@ def q63_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = _t(spark, sf, "documents")
     pairs = minhash_lsh_candidates(
-        docs, "text", "doc_id", n=3, num_hashes=16, bands=8, hash_fn="sha256"
+        docs, "text", "doc_id", n=3, num_hashes=16, bands=8,
+        hash_fn="sha256uh"
     )
     return duplicate_clusters(pairs, nodes=docs, id_col="doc_id")
 
@@ -1126,7 +1129,8 @@ def q67_neardup_verified(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = _t(spark, sf, "documents")
     cands = minhash_lsh_candidates(
-        docs, "text", "doc_id", n=3, num_hashes=16, bands=8, hash_fn="sha256"
+        docs, "text", "doc_id", n=3, num_hashes=16, bands=8,
+        hash_fn="sha256uh"
     ).localCheckpoint()  # tiny pair set, referenced 3x downstream —
     # materialize once instead of re-running the LSH pipeline per use
     return ngram_jaccard_pairs(
@@ -1627,7 +1631,8 @@ def q96_cluster_keeper(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = _t(spark, sf, "documents")
     pairs = minhash_lsh_candidates(
-        docs, "text", "doc_id", n=3, num_hashes=16, bands=8, hash_fn="sha256"
+        docs, "text", "doc_id", n=3, num_hashes=16, bands=8,
+        hash_fn="sha256uh"
     )
     clusters = duplicate_clusters(pairs, nodes=docs, id_col="doc_id")
     joined = clusters.join(docs.select("doc_id", "n_chars"), on="doc_id")
@@ -3289,25 +3294,29 @@ def oracle_sql() -> dict[str, str]:
         "SELECT vec_id, list_transform(embedding, x -> "
         "CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings"
     )
-    # 2 salted sha256 digests per shingle; each yields EIGHT independent
-    # 8-hex slices (b-bit minwise hashing) — mirrors minhash_signatures
-    # sha256 mode (half the hash calls of the md5 variant)
+    # universal-hash minhash ('sha256uh', operators/dedup.uh_a/uh_b):
+    # ONE sha256 fingerprint per shingle, k affine transforms mod
+    # 2^31-1 give the permutation-mins; band keys pack base-P.  Every
+    # step is integer arithmetic — identical in any engine with sha256.
+    from gpt_rag_ingestion_spark.operators.dedup import UH_PRIME, uh_a, uh_b
+
     minhash_pairs = f"""
             WITH sh AS ({_SHINGLES}),
             dg AS (
               SELECT doc_id,
-                {", ".join(f"sha256('s{d}:' || shingle) AS d{d}" for d in range(2))}
+                CAST('0x' || substr(sha256(shingle), 1, 8) AS BIGINT) AS x
               FROM sh),
             sig AS (
               SELECT doc_id,
                 {", ".join(
-                    f"min(substr(d{i // 8}, {8 * (i % 8) + 1}, 8)) AS mh_{i}"
+                    f"min(({uh_a(i)} * x + {uh_b(i)}) % {UH_PRIME}) AS mh_{i}"
                     for i in range(16))}
               FROM dg GROUP BY doc_id),
             bands AS (
               {" UNION ALL ".join(
                   f"SELECT doc_id, {b} AS band, "
-                  f"mh_{2 * b} || '|' || mh_{2 * b + 1} AS band_hash FROM sig"
+                  f"mh_{2 * b} * {UH_PRIME} + mh_{2 * b + 1} AS band_hash "
+                  f"FROM sig"
                   for b in range(8))})
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bands a

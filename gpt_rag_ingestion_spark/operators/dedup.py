@@ -167,6 +167,23 @@ def ngram_jaccard_pairs(
     return out
 
 
+#: universal-hash minhash constants (the 'sha256uh' portable mode):
+#: h_i(x) = (a_i * x + b_i) mod P over a 32-bit sha256 fingerprint of
+#: the shingle — the classic Broder construction with a 2-universal
+#: family.  P = 2^31 - 1 (prime); a_i < P and x < 2^32 keep the
+#: product under 2^63 (no int64 overflow in any engine).  The oracle
+#: SQL derives the SAME constants from these helpers.
+UH_PRIME = 2147483647
+
+
+def uh_a(i: int) -> int:
+    return ((2 * i + 1) * 2654435761) % UH_PRIME or 1
+
+
+def uh_b(i: int) -> int:
+    return (i * 40503 + 7) % UH_PRIME
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -180,19 +197,33 @@ def minhash_signatures(
     One explode + one groupBy — the classic Spark MinHash shape.
 
     ``hash_fn``: 'xxhash64' (fast path — 8-byte ints), or the
-    engine-portable digest modes 'sha256' / 'md5' (lexicographic min
-    over fixed-width lowercase hex digests is a valid permutation-min
-    in any engine with the same hash, so results are oracle-checkable).
+    engine-portable modes:
 
-    The digest modes compute ceil(k/slices) digests per shingle, not
-    k: disjoint 8-hex (32-bit) slices of one digest are independent
-    uniform values in the random-oracle model, so each salted digest
-    yields 8 (sha256, 64 hex chars) or 4 (md5, 32) hash functions —
-    the b-bit minwise-hashing trick.  sha256 is the preferred portable
-    mode: half the hash invocations of md5 (hashing stage measured
-    ~45% cheaper at num_hashes=32; at small k the shingle explode and
-    the min-aggregate dominate and the modes tie end-to-end)."""
+    - 'sha256uh' (preferred portable): ONE sha256 per shingle; its
+      first 8 hex chars parse to a 32-bit fingerprint and k affine
+      transforms (a_i * x + b_i mod 2^31-1, constants from
+      ``uh_a``/``uh_b``) give the k permutation-mins — the classic
+      universal-hashing MinHash.  One digest instead of k/8, integer
+      mins instead of string mins: the signature stage measures ~2x
+      cheaper than 'sha256' at num_hashes=16 (sf0.1), and every step
+      is exact integer arithmetic any engine reproduces.
+    - 'sha256' / 'md5': lexicographic min over fixed-width lowercase
+      hex digest slices (ceil(k/8) or ceil(k/4) salted digests per
+      shingle — the b-bit minwise slice trick)."""
     sh = word_shingles(df, text_col, id_col, n)
+    if hash_fn == "sha256uh":
+        x = F.conv(
+            F.substring(F.sha2(F.col("shingle"), 256), 1, 8), 16, 10
+        ).cast("long")
+        sh = sh.select(F.col(id_col), x.alias("_x"))
+        aggs = [
+            F.min(
+                (F.lit(uh_a(i)) * F.col("_x") + F.lit(uh_b(i)))
+                % F.lit(UH_PRIME)
+            ).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+        return sh.groupBy(id_col).agg(*aggs)
     if hash_fn in ("md5", "sha256"):
         per = 4 if hash_fn == "md5" else 8
         mk = (
@@ -245,7 +276,11 @@ def minhash_lsh_candidates(
 
     def band_hash(b: int):
         cols = [F.col(f"mh_{i}") for i in range(b * r, (b + 1) * r)]
-        if hash_fn in ("md5", "sha256"):
+        if hash_fn == "sha256uh" and r == 2:
+            # minima are < P, so base-P positional packing is a
+            # collision-free integer band key ((P-1)*P + P-1 < 2^63)
+            return cols[0] * F.lit(UH_PRIME) + cols[1]
+        if hash_fn in ("md5", "sha256", "sha256uh"):
             # the concatenated minima ARE the band key — no extra hash
             # round needed for an equality join
             return F.concat_ws("|", *cols)
@@ -1134,11 +1169,24 @@ def _sidecar_read_meta(spark, sidecar_path) -> dict:
 
 
 def _sidecar_write(docs, sidecar_path, label, text_col, id_col, n, gen) -> int:
+    # the DIGEST index (the liveness authority) lands FIRST: a crash
+    # mid-write then leaves the new generation visible to liveness, so
+    # the doc's OLD shingles are filtered out and it degrades to a
+    # shingle-less doc (digest-exact classification stays correct)
+    # until the at-least-once replay heals the label — never a union
+    # of two generations' shingles
     dig = docs.select(
         F.md5(F.col(text_col)).alias("digest"),
         F.col(id_col).cast("long").alias("doc_id"),
         F.lit(int(gen)).alias("gen"),
-    )
+    ).persist()
+    try:
+        n_docs = int(dig.count())
+        dig.write.mode("overwrite").parquet(
+            f"{sidecar_path}/digests/batch={label}"
+        )
+    finally:
+        dig.unpersist()
     sh = word_shingles(docs, text_col, id_col, n).select(
         F.xxhash64("shingle").alias("sh"),
         F.col(id_col).cast("long").alias("doc_id"),
@@ -1156,14 +1204,6 @@ def _sidecar_write(docs, sidecar_path, label, text_col, id_col, n, gen) -> int:
         )
     finally:
         sh.unpersist()
-    dig = dig.persist()
-    try:
-        n_docs = int(dig.count())
-        dig.write.mode("overwrite").parquet(
-            f"{sidecar_path}/digests/batch={label}"
-        )
-    finally:
-        dig.unpersist()
     return n_docs
 
 

@@ -286,14 +286,16 @@ def compact_table(
     files with the same crash-safe swap the merge path uses.
 
     ``partition_cols`` MUST be passed for a hive-partitioned table:
-    the rewrite then repartitions on the partition columns (one write
-    task per output partition-file — files coalesce WITHIN each
-    partition) and writes with partitionBy, preserving the directory
-    layout the partition-pruned merge path depends on.  Without it a
-    partitioned table would silently flatten to an unpartitioned one.
+    the rewrite then preserves the directory layout the
+    partition-pruned merge path depends on (without it a partitioned
+    table would silently flatten to an unpartitioned one), and rows
+    are spread over a per-partition SALT sized from estimated bytes —
+    a 20 GB hot partition still rewrites as ~bytes/target files in
+    parallel tasks instead of one straggler writing one giant file.
 
-    Driver data: file sizes only (os.walk of the table dir — metadata,
-    bounded by file count).  Returns (files_before, files_after).  On
+    Driver data: file sizes (os.walk — metadata, bounded by file
+    count) and one per-partition-value row count (a bounded
+    aggregate).  Returns (files_before, files_after).  On
     Delta/Iceberg this is OPTIMIZE / rewrite_data_files; here it is
     the explicit read → repartition → swap."""
     import math
@@ -310,8 +312,30 @@ def compact_table(
     existing = spark.read.parquet(table_path)
     tmp = table_path.rstrip("/") + "__staging"
     if partition_cols:
+        # per-partition salt count ~ that partition's bytes / target
+        # (bytes estimated from row share of the walked total); a
+        # partition value then lands in salt_n tasks -> salt_n
+        # right-sized files, not one
+        pcounts = existing.groupBy(*partition_cols).agg(
+            F.count(F.lit(1)).alias("_n_rows")
+        )
+        total_rows = existing.count()
+        bpr = (total / total_rows) if total_rows else 0.0
+        salt_map = pcounts.select(
+            *partition_cols,
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("_n_rows") * F.lit(bpr) / F.lit(target_file_bytes)),
+            ).cast("long").alias("_salt_n"),
+        )
         (
-            existing.repartition(n_out, *partition_cols)
+            existing.join(F.broadcast(salt_map), list(partition_cols))
+            .withColumn(
+                "_salt",
+                F.pmod(F.monotonically_increasing_id(), F.col("_salt_n")),
+            )
+            .repartition(n_out, *partition_cols, "_salt")
+            .drop("_salt", "_salt_n")
             .write.mode("overwrite")
             .partitionBy(*partition_cols)
             .parquet(tmp)

@@ -53,6 +53,32 @@ def test_minhash_lsh_candidates_superset_of_high_jaccard(spark):
     assert (1, 3) in cands
 
 
+def test_minhash_sha256uh_mode_candidates(spark):
+    """The universal-hash portable mode ('sha256uh': one sha256
+    fingerprint + affine transforms mod 2^31-1) keeps the LSH
+    guarantees: identical docs collide in every band, near-dups are
+    caught, and every minimum is a valid value of the affine family
+    (in [0, P))."""
+    from gpt_rag_ingestion_spark.operators.dedup import (
+        UH_PRIME,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark)
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            docs, num_hashes=32, bands=16, hash_fn="sha256uh"
+        ).collect()
+    }
+    assert (1, 2) in cands
+    assert (1, 3) in cands
+    sig = minhash_signatures(docs, num_hashes=8, hash_fn="sha256uh").collect()
+    for r in sig:
+        for i in range(8):
+            assert 0 <= r[f"mh_{i}"] < UH_PRIME
+
+
 def test_simhash_near_dups_close(spark):
     out = {r["doc_id"]: r["simhash"] for r in simhash(_docs(spark), bits=16).collect()}
     assert out[1] == out[2]

@@ -822,6 +822,41 @@ def test_maybe_compact_table_trigger_preserves_partitions(spark, tmp_path):
     assert spark.read.parquet(table).filter("parent_id = 0").first()["v"] == 999
 
 
+def test_compact_table_salts_hot_partition(spark, tmp_path):
+    """Review finding (r4): the partitioned rewrite must not collapse a
+    hot partition into ONE straggler-written giant file — per-partition
+    salts sized from estimated bytes split it into ~bytes/target
+    right-sized files, while a small partition stays at one file."""
+    import glob
+
+    from gpt_rag_ingestion_spark.operators.upsert import compact_table
+
+    table = str(tmp_path / "t")
+    # bucket 0: ~100k rows of text; bucket 1: 100 rows
+    df = spark.range(100_100).selectExpr(
+        "id AS parent_id",
+        "CASE WHEN id < 100000 THEN 0 ELSE 1 END AS bucket",
+        "repeat('x', 200) AS payload",
+    )
+    df.repartition(20).write.partitionBy("bucket").parquet(table)
+    rows_before = spark.read.parquet(table).count()
+
+    # target sized so bucket 0 wants ~4 files
+    hot_bytes = sum(
+        __import__("os").path.getsize(p)
+        for p in glob.glob(f"{table}/bucket=0/*.parquet")
+    )
+    compact_table(
+        spark, table, target_file_bytes=max(hot_bytes // 4, 1),
+        partition_cols=["bucket"],
+    )
+    hot_files = glob.glob(f"{table}/bucket=0/*.parquet")
+    cold_files = glob.glob(f"{table}/bucket=1/*.parquet")
+    assert len(hot_files) >= 2, "hot partition must split across files"
+    assert len(cold_files) == 1, "small partition must coalesce to one"
+    assert spark.read.parquet(table).count() == rows_before
+
+
 def test_merge_upsert_schema_evolution(spark, tmp_path):
     from gpt_rag_ingestion_spark.operators.upsert import merge_upsert
 
