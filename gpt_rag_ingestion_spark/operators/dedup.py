@@ -394,21 +394,39 @@ def simhash(
     ``bits`` <= 128 (md5 width); default 16 keeps the oracle cheap.
     Everything is integer arithmetic — explode tokens × bits, two
     groupBys, no floats."""
+    # one hex->int parse per 8-char digest chunk (vs one conv per bit),
+    # then per-bit ±1 votes as pure shift/mask exprs and a single
+    # groupBy with `bits` sums — no (token x bit) explosion.
+    # Convention (same as the oracle SQL): bit j = bit (j%4) of the
+    # nibble at hex position j//4.  In a parsed L-char chunk, its m-th
+    # nibble occupies value bits [4*(L-1-m), ...+3], so bit j sits at
+    # value bit 4*(L - 1 - (j//4)%8) + (j%4) of chunk (j//4)//8.
+    # Chunks stay <= 8 chars (32 bits) so the parse never overflows
+    # int64 (a whole 16-char parse would at bits > 60).
+    nchars = -(-bits // 4)
+    chunk_lens = [min(8, nchars - s) for s in range(0, nchars, 8)]
+    h = F.md5(F.col("token"))
     toks = tokenize(df, text_col, id_col).select(
-        id_col, F.md5(F.col("token")).alias("h")
+        id_col,
+        *[
+            F.conv(F.substring(h, 8 * c + 1, L), 16, 10)
+            .cast("long")
+            .alias(f"x{c}")
+            for c, L in enumerate(chunk_lens)
+        ],
     )
-    # one pass, no bit explosion: per token, 16 ±1 vote columns (nibble
-    # extraction per bit as plain exprs), then a single groupBy with 16
-    # sums.  ~16x less data movement than exploding (token × bit) rows.
     vote_cols = []
     for bit in range(bits):
-        nib_pos = bit // 4 + 1
-        shift = bit % 4
+        n = bit // 4
+        c, m = n // 8, n % 8
+        pos = 4 * (chunk_lens[c] - 1 - m) + (bit % 4)
         vote_cols.append(
-            F.expr(
-                f"case when (shiftright(cast(conv(substring(h, {nib_pos}, 1), 16, 10)"
-                f" as int), {shift}) & 1) = 1 then 1 else -1 end"
-            ).alias(f"v{bit}")
+            F.when(
+                F.shiftright(F.col(f"x{c}"), pos).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias(f"v{bit}")
         )
     per_tok = toks.select(F.col(id_col), *vote_cols)
     votes = per_tok.groupBy(id_col).agg(

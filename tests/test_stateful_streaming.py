@@ -390,6 +390,40 @@ def test_incremental_ivf_stream_maintains_index(spark, tmp_path):
     assert ivf_needs_refit(spark, idx, tolerance=0.05) is False
 
 
+def test_incremental_ivf_stream_triggered_compaction(spark, tmp_path):
+    """Round-3 brief #6 (index side): with a low max_fragments the
+    wired trigger compacts the postings INSIDE the stream loop, and
+    queries against the maintained index are unchanged."""
+    import os
+
+    from gpt_rag_ingestion_spark.operators.similarity import ivf_index_query
+    from gpt_rag_ingestion_spark.streaming.micro_batch import (
+        run_incremental_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    idx = str(tmp_path / "ivf")
+    ckpt = str(tmp_path / "ckpt")
+    for i, pred in enumerate(
+        ("vec_id < 100", "vec_id >= 100 AND vec_id < 150", "vec_id >= 150 AND vec_id < 200")
+    ):
+        emb.filter(pred).coalesce(1).write.mode("overwrite").json(
+            str(landing / f"b{i}")
+        )
+        run_incremental_ivf(
+            spark, str(landing) + "/*", idx, ckpt, n_centroids=4,
+            max_fragments=1,
+        )
+    # every drain beyond the first exceeded 1 fragment -> compacted
+    assert os.listdir(f"{idx}/postings") == ["batch=compacted"]
+    assert spark.read.parquet(f"{idx}/postings").count() == 200
+    q = emb.filter("vec_id < 10")
+    res = ivf_index_query(spark, idx, q, n_probe=4, k=2)
+    assert res.filter("rank = 1").count() == 10
+
+
 def test_streaming_web_corpus(spark, tmp_path):
     """§2.10 + web-corpus loop composed as a stream: two AvailableNow
     drains, cross-batch dedup against the accumulated corpus, per-batch
