@@ -2994,6 +2994,74 @@ def q148_ivfpq_index_exact(spark: SparkSession, sf: str) -> DataFrame:
     ).localCheckpoint()
 
 
+def q150_cumulative_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """The STREAM-LIFETIME per-domain cap (round 4) as an
+    oracle-checked two-batch lifecycle: batch 0 ranks against the cap
+    alone; batch 1's ranks are OFFSET by the count of batch-0 rows
+    that entered the ranking (the persisted prior_domain_counts
+    contract of plans/web_corpus_job + streaming/micro_batch), so its
+    rows continue the domain's budget instead of resetting it.  Both
+    the skip fast path (domains that cannot exceed the cap rank
+    nothing) and the offset arithmetic are pinned by the hash."""
+    from gpt_rag_ingestion_spark.functions.urls import url_domain
+    from gpt_rag_ingestion_spark.operators.ranking import per_key_capped_rank
+
+    cap = 15
+    docs = _t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://www.d"),
+        (F.col("doc_id") % 15).cast("string"),
+        F.lit(".org/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    d = docs.select(
+        "doc_id",
+        "n_chars",
+        url_domain(url).alias("domain"),
+        (F.col("doc_id") % 2).alias("batch"),
+    )
+    blocked = spark.createDataFrame(
+        [("d0.org",), ("d7.org",)], "domain string"
+    ).withColumn("_b", F.lit(True))
+    d = d.join(F.broadcast(blocked), on="domain", how="left")
+    ok = F.col("_b").isNull() & (F.col("n_chars") >= 200)
+    d = d.withColumn("_ok", ok)
+
+    def dispo(part):
+        return (
+            F.when(F.col("_b").isNotNull(), F.lit("blocked_domain"))
+            .when(F.col("n_chars") < 200, F.lit("low_quality"))
+            .when(
+                F.col("rank").isNull() | (F.col("rank") <= cap),
+                F.lit("keep"),
+            )
+            .otherwise(F.lit("over_cap"))
+        )
+
+    b0 = d.filter(F.col("batch") == 0)
+    r0 = per_key_capped_rank(
+        b0.filter("_ok").select("doc_id", "domain"),
+        "domain", "doc_id", cap, rank_col="rank",
+    )
+    out0 = b0.join(r0, "doc_id", "left").select(
+        "doc_id", "domain", "batch", dispo(0).alias("disposition")
+    )
+    prior = (
+        b0.filter("_ok").groupBy("domain").agg(
+            F.count(F.lit(1)).alias("n_ranked")
+        )
+    )
+    b1 = d.filter(F.col("batch") == 1)
+    r1 = per_key_capped_rank(
+        b1.filter("_ok").select("doc_id", "domain"),
+        "domain", "doc_id", cap, prior_counts=prior, rank_col="rank",
+    )
+    out1 = b1.join(r1, "doc_id", "left").select(
+        "doc_id", "domain", "batch", dispo(1).alias("disposition")
+    )
+    return out0.unionByName(out1)
+
+
 def q149_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
     """Z-order (Morton) clustering key over two quantized dimensions
     (operators/layout.zorder_value) — the arithmetic behind
@@ -3088,6 +3156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_ivfpq_index_exact": q148_ivfpq_index_exact,
         # ---- end of the 50-slot driver window ----
         "q149_zorder_key": q149_zorder_key,
+        "q150_cumulative_domain_cap": q150_cumulative_domain_cap,
         "q07_group_counts": q07_group_counts,
         "q08_distinct_cap": q08_distinct_cap,
         "q09_distinct_tokens": q09_distinct_tokens,
@@ -5691,5 +5760,37 @@ def oracle_sql() -> dict[str, str]:
                          o_custkey % 256 AS x,
                          o_orderkey % 256 AS y
                   FROM orders) t
+        """,
+        "q150_cumulative_domain_cap": """
+            WITH d AS (
+              SELECT doc_id, n_chars,
+                'd' || CAST(doc_id % 15 AS VARCHAR) || '.org' AS domain,
+                doc_id % 2 AS batch,
+                (doc_id % 15 IN (0, 7)) AS is_blocked,
+                (doc_id % 15 NOT IN (0, 7)) AND n_chars >= 200 AS ok
+              FROM documents),
+            r0 AS (
+              SELECT doc_id,
+                row_number() OVER (PARTITION BY domain
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+              FROM d WHERE batch = 0 AND ok),
+            c0 AS (
+              SELECT domain, COUNT(*) AS n
+              FROM d WHERE batch = 0 AND ok GROUP BY domain),
+            r1 AS (
+              SELECT d.doc_id,
+                row_number() OVER (PARTITION BY d.domain
+                  ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+                + coalesce(c0.n, 0) AS rank
+              FROM d LEFT JOIN c0 ON c0.domain = d.domain
+              WHERE d.batch = 1 AND d.ok)
+            SELECT d.doc_id, d.domain, d.batch,
+              CASE WHEN d.is_blocked THEN 'blocked_domain'
+                   WHEN d.n_chars < 200 THEN 'low_quality'
+                   WHEN coalesce(r.rank, 0) <= 15 THEN 'keep'
+                   ELSE 'over_cap' END AS disposition
+            FROM d
+            LEFT JOIN (SELECT * FROM r0 UNION ALL SELECT * FROM r1) r
+                   ON r.doc_id = d.doc_id
         """,
     }
