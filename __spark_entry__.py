@@ -3027,7 +3027,7 @@ def q150_cumulative_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
     ok = F.col("_b").isNull() & (F.col("n_chars") >= 200)
     d = d.withColumn("_ok", ok)
 
-    def dispo(part):
+    def dispo():
         return (
             F.when(F.col("_b").isNotNull(), F.lit("blocked_domain"))
             .when(F.col("n_chars") < 200, F.lit("low_quality"))
@@ -3044,7 +3044,7 @@ def q150_cumulative_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
         "domain", "doc_id", cap, rank_col="rank",
     )
     out0 = b0.join(r0, "doc_id", "left").select(
-        "doc_id", "domain", "batch", dispo(0).alias("disposition")
+        "doc_id", "domain", "batch", dispo().alias("disposition")
     )
     prior = (
         b0.filter("_ok").groupBy("domain").agg(
@@ -3057,7 +3057,7 @@ def q150_cumulative_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
         "domain", "doc_id", cap, prior_counts=prior, rank_col="rank",
     )
     out1 = b1.join(r1, "doc_id", "left").select(
-        "doc_id", "domain", "batch", dispo(1).alias("disposition")
+        "doc_id", "domain", "batch", dispo().alias("disposition")
     )
     return out0.unionByName(out1)
 

@@ -392,8 +392,8 @@ def simhash(
     bit j of simhash = sign of Σ_tokens (±1 by bit j of md5(token)).
 
     ``bits`` <= 128 (md5 width); default 16 keeps the oracle cheap.
-    Everything is integer arithmetic — explode tokens × bits, two
-    groupBys, no floats."""
+    Everything is integer arithmetic, one groupBy with ``bits`` sums —
+    no (token × bit) explosion, no floats."""
     # one hex->int parse per 8-char digest chunk (vs one conv per bit),
     # then per-bit ±1 votes as pure shift/mask exprs and a single
     # groupBy with `bits` sums — no (token x bit) explosion.
