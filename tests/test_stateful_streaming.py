@@ -571,6 +571,41 @@ def test_streaming_domain_cap_cumulative(spark, tmp_path):
     } == {"0", "1"}
 
 
+def test_streaming_corpus_table_optimize_trigger(spark, tmp_path):
+    """``corpus_max_files`` arms the corpus-table OPTIMIZE inside the
+    stream loop: per-batch merges fragment the table, the trigger
+    folds it once the leaf-file count crosses the threshold, and rows
+    are untouched."""
+    import json
+
+    from gpt_rag_ingestion_spark.operators.upsert import table_parquet_files
+    from gpt_rag_ingestion_spark.streaming.micro_batch import (
+        run_streaming_web_corpus,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    root = str(tmp_path)
+    for i in range(3):
+        batch = [
+            {"doc_id": 100 * i + j, "url": f"https://d{j}.example/p{100 * i + j}",
+             "text": f"page body number {100 * i + j} " * 10}
+            for j in range(4)
+        ]
+        (landing / f"b{i}.json").write_text(
+            "\n".join(json.dumps(x) for x in batch)
+        )
+        run_streaming_web_corpus(
+            spark, str(landing), f"{root}/corpus", f"{root}/shards",
+            f"{root}/audit", f"{root}/ckpt", min_chars=10,
+            corpus_max_files=2,
+        )
+    assert table_parquet_files(f"{root}/corpus") <= 2
+    tbl = spark.read.parquet(f"{root}/corpus")
+    assert tbl.count() == 12
+    assert tbl.select("doc_id").distinct().count() == 12
+
+
 def test_streaming_sidecar_triggered_compaction(spark, tmp_path):
     """Round-3 brief #6: the counter-driven sidecar compaction trigger
     fires INSIDE the streamed admission loop (a batch re-admits a doc
