@@ -2685,7 +2685,9 @@ def q142_read_access(spark: SparkSession, sf: str) -> DataFrame:
     and a write grant that is UNRESOLVABLE (null ids) for every third
     customer and otherwise carries the nation group + the shared id
     again (deduped, order preserved).  Pure array algebra; the ordered
-    first-occurrence dedup IS the semantics under test."""
+    first-occurrence dedup IS the semantics under test.  The result is
+    serialized with array_join (the q41 convention) because the driver
+    canonicalizer requires scalar-only top-level columns."""
     from gpt_rag_ingestion_spark.functions.acl import read_access_entities
 
     cust = _t(spark, sf, "customer")
@@ -2715,7 +2717,8 @@ def q142_read_access(spark: SparkSession, sf: str) -> DataFrame:
         grant3,
     )
     return cust.select(
-        "c_custkey", read_access_entities(perms).alias("readers")
+        "c_custkey",
+        F.array_join(read_access_entities(perms), ",").alias("readers"),
     )
 
 
@@ -5709,12 +5712,13 @@ def oracle_sql() -> dict[str, str]:
             -- closed form of the ordered first-occurrence dedup over
             -- the synthetic grants: read grant ids, owner grant
             -- dropped, write grant empty for every third customer
-            -- (null user_ids) else nation group (u-shared dedups)
+            -- (null user_ids) else nation group (u-shared dedups);
+            -- comma-joined to a scalar for the driver canonicalizer
             SELECT c_custkey,
               CASE WHEN c_custkey % 3 = 0
-                   THEN ['u' || CAST(c_custkey % 50 AS VARCHAR), 'u-shared']
-                   ELSE ['u' || CAST(c_custkey % 50 AS VARCHAR), 'u-shared',
-                         'g' || CAST(c_nationkey AS VARCHAR)]
+                   THEN 'u' || CAST(c_custkey % 50 AS VARCHAR) || ',u-shared'
+                   ELSE 'u' || CAST(c_custkey % 50 AS VARCHAR) || ',u-shared,'
+                        || 'g' || CAST(c_nationkey AS VARCHAR)
               END AS readers
             FROM customer
         """,

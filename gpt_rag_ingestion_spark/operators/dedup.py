@@ -1365,6 +1365,7 @@ def incremental_dedup_sidecar(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.1,
+    broadcast_max_shingles: int = 20_000_000,
 ) -> DataFrame:
     """``incremental_dedup`` against the PERSISTED sidecar instead of
     the base corpus text — row-for-row equal output (unit-pinned,
@@ -1385,7 +1386,12 @@ def incremental_dedup_sidecar(
     sidecar is NEVER shuffled by doc_id (asserted in PLANS.md).  The
     batch side of the postings probe is broadcast — keep batches
     micro-batch-sized (split a giant backfill), as the streaming loop
-    does."""
+    does.  The broadcast is GATED on a cheap batch-size estimate
+    (sum of text lengths / ~6 chars per word ≈ shingle rows, one
+    batch-side agg, never touches the sidecar): above
+    ``broadcast_max_shingles`` the postings probe degrades to a
+    shuffle-hash join — the postings exchange on ``sh`` once instead
+    of failing the job on a driver/broadcast OOM."""
     spark = incr.sparkSession
     meta = _sidecar_read_meta(spark, sidecar_path)
     n = int(meta["n"])
@@ -1419,12 +1425,20 @@ def incremental_dedup_sidecar(
     sh_b = sh_b_raw.select(F.col("doc_id").alias("_bid"), "sh")
     n_i = sh_i.groupBy("_iid").agg(F.count(F.lit(1)).alias("n_i"))
     # batch shingles broadcast into the postings scan: the postings
-    # never shuffle (a plain equi-join would exchange them on sh)
-    inter = (
-        F.broadcast(sh_i)
-        .join(sh_b, "sh")
-        .groupBy("_iid", "_bid")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # never shuffle (a plain equi-join would exchange them on sh).
+    # Guard the broadcast with a cheap estimate — an oversize batch
+    # (backfill routed through the streaming path) would otherwise
+    # blow the broadcast/driver limit and fail the job outright.
+    est_chars = incr.agg(
+        F.coalesce(F.sum(F.length(text_col)), F.lit(0)).alias("c")
+    ).first()["c"]
+    est_shingles = int(est_chars) // 6 + 1
+    if est_shingles <= broadcast_max_shingles:
+        probe = F.broadcast(sh_i).join(sh_b, "sh")
+    else:  # degrade: one postings exchange instead of an OOM
+        probe = sh_i.hint("shuffle_hash").join(sh_b, "sh")
+    inter = probe.groupBy("_iid", "_bid").agg(
+        F.count(F.lit(1)).alias("n_inter")
     )
     n_b = sizes.select(
         F.col("doc_id").alias("_bid"), F.col("n_shingles").alias("n_b")
@@ -1493,8 +1507,16 @@ def dedup_sidecar_compact(spark, sidecar_path: str) -> dict:
         )
         staged[sub] = staging
     # all staging generations ready: swap each (crash between swaps is
-    # healed per-sub-table by _sidecar_recover on the next writer)
-    for sub in _SIDECAR_SUBS:
+    # healed per-sub-table by _sidecar_recover on the next writer).
+    # The LIVENESS AUTHORITY (digests) must swap LAST: if digests
+    # folded first and a crash left shingles/sizes unfolded, the dead
+    # set derived from the folded digests would be empty while stale
+    # shingle/size generations were still on disk — those dead rows
+    # would read as live (inflated n_inter, duplicate size rows) and
+    # the next compact would bake them in.  With digests last, a crash
+    # mid-sequence leaves the dead set intact (or the other tables
+    # already folded, where filtering is a no-op) — always correct.
+    for sub in reversed(_SIDECAR_SUBS):
         live_path = f"{sidecar_path}/{sub}"
         old = f"{live_path}__old"
         jvm_fs_delete(spark, old)

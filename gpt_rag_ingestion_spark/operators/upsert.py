@@ -262,9 +262,40 @@ def _swap_in(spark: SparkSession, staged: str, table_path: str) -> None:
     spark.catalog.refreshByPath(table_path)
 
 
-def table_parquet_files(table_path: str) -> int:
+def _list_parquet_files(spark, table_path: str) -> list[tuple[str, int]]:
+    """(path, bytes) for every leaf parquet file, via the Hadoop
+    FileSystem API so the triggers work on remote stores (hdfs://,
+    s3a://) — os.walk sees only the driver-local filesystem and would
+    silently report 0 files there, disarming the OPTIMIZE trigger.
+    Metadata listing only, no Spark job."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        return []
+    out = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            out.append((st.getPath().toString(), int(st.getLen())))
+    return out
+
+
+def table_parquet_files(table_path: str, spark: SparkSession | None = None) -> int:
     """Leaf parquet file count — the fragmentation signal
-    ``maybe_compact_table`` reads.  Metadata walk only."""
+    ``maybe_compact_table`` reads.  Metadata listing only.  Uses the
+    active session's Hadoop FileSystem (remote-storage-correct);
+    falls back to os.walk only when no session exists AND the path is
+    scheme-less (driver-local)."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is not None:
+        return len(_list_parquet_files(spark, table_path))
+    if "://" in table_path:
+        raise ValueError(
+            f"no active SparkSession to list remote path {table_path!r}"
+        )
     return sum(
         1
         for _root, _d, names in os.walk(table_path)
@@ -293,21 +324,17 @@ def compact_table(
     a 20 GB hot partition still rewrites as ~bytes/target files in
     parallel tasks instead of one straggler writing one giant file.
 
-    Driver data: file sizes (os.walk — metadata, bounded by file
-    count) and one per-partition-value row count (a bounded
-    aggregate).  Returns (files_before, files_after).  On
+    Driver data: file sizes (Hadoop FS listing — metadata, bounded by
+    file count, remote-storage-correct) and one per-partition-value
+    row count (a bounded aggregate).  Returns (files_before, files_after).  On
     Delta/Iceberg this is OPTIMIZE / rewrite_data_files; here it is
     the explicit read → repartition → swap."""
     import math
 
     _recover(table_path)
-    total = 0
-    files_before = 0
-    for root, _dirs, names in os.walk(table_path):
-        for n in names:
-            if n.endswith(".parquet"):
-                files_before += 1
-                total += os.path.getsize(os.path.join(root, n))
+    listed = _list_parquet_files(spark, table_path)
+    files_before = len(listed)
+    total = sum(sz for _p, sz in listed)
     n_out = max(1, math.ceil(total / target_file_bytes))
     existing = spark.read.parquet(table_path)
     tmp = table_path.rstrip("/") + "__staging"
@@ -343,7 +370,7 @@ def compact_table(
     else:
         existing.repartition(n_out).write.mode("overwrite").parquet(tmp)
     _swap_in(spark, tmp, table_path)
-    return files_before, table_parquet_files(table_path)
+    return files_before, table_parquet_files(table_path, spark)
 
 
 def maybe_compact_table(
@@ -359,7 +386,7 @@ def maybe_compact_table(
     of the engine's trigger family (dedup sidecar counters, ANN index
     fragment counts) — merges keep landing per batch, the long tail of
     tiny files gets folded only when it matters."""
-    files = table_parquet_files(table_path)
+    files = table_parquet_files(table_path, spark)
     if files > max_files:
         before, after = compact_table(
             spark, table_path, target_file_bytes, partition_cols

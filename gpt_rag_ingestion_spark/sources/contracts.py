@@ -9,7 +9,7 @@ schemas below are the REQUIRED columns per source family (extra
 columns pass through untouched) and mirror the reference fields noted
 inline.  `assert_landing_schema` is the cheap handshake: call it at
 the top of a job or test to fail fast with a per-column diff instead
-of a mid-plan resolution error.  docs/LANDING_ZONE.md is the prose
+of a mid-plan resolution error.  LANDING_ZONE.md (repo root) is the prose
 version crawler authors read.
 """
 

@@ -20,6 +20,17 @@ TABLES = [
 ]
 
 
+def _nonscalar_columns(schema):
+    """Top-level ARRAY/STRUCT/MAP columns — the driver's pandas
+    canonicalizer cannot sort/factorize them (unhashable cells)."""
+    from pyspark.sql import types as T
+
+    bad_types = (T.ArrayType, T.StructType, T.MapType)
+    return [
+        f.name for f in schema.fields if isinstance(f.dataType, bad_types)
+    ]
+
+
 def normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -70,6 +81,19 @@ def main(sf_dir: str, only: list[str] | None = None):
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
+            bad = _nonscalar_columns(sdf.schema)
+            if bad:
+                # the driver's pandas canonicalizer sort_values()-dies on
+                # unhashable cells (lists/dicts), so any top-level
+                # ARRAY/STRUCT/MAP column is a guaranteed driver 'err'
+                # even though local repr()-hashing would pass it
+                print(
+                    f"{name}: SHAPE ERROR non-scalar top-level columns "
+                    f"{bad} — driver canonicalizer rejects these; "
+                    f"serialize (array_join/to_json) in query AND oracle"
+                )
+                failures.append(name)
+                continue
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:

@@ -1219,3 +1219,111 @@ def test_sidecar_maybe_compact_trigger(spark, tmp_path):
     assert after == before
     # and the counters are back in steady state: no re-fire
     assert dedup_sidecar_maybe_compact(spark, side)["compacted"] is False
+
+
+def test_sidecar_compact_crash_between_swaps_stays_correct(
+    spark, tmp_path, monkeypatch
+):
+    """Advisor finding (r4): the compact swap sequence must fold the
+    LIVENESS AUTHORITY (digests) last.  Injected crash after the first
+    sub-table swap completes: the non-authority table is folded while
+    digests still holds both generations, so the dead set derived from
+    digests stays intact and classification still matches the text
+    path (filtering an already-folded table is a no-op).  Had digests
+    folded first, the dead set would read empty while stale
+    shingle/size rows were still live — the bug this pins against.
+    The retried compact then converges."""
+    import pytest
+
+    from gpt_rag_ingestion_spark.operators import similarity as sim
+    from gpt_rag_ingestion_spark.operators.dedup import (
+        _sidecar_read_meta,
+        dedup_sidecar_append,
+        dedup_sidecar_build,
+        dedup_sidecar_compact,
+        incremental_dedup,
+        incremental_dedup_sidecar,
+    )
+
+    X = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    Y = "one two three four five six seven eight nine ten " * 4
+    side = str(tmp_path / "sidecar")
+    dedup_sidecar_build(
+        spark.createDataFrame([(5, X)], "doc_id long, text string"), side
+    )
+    # doc 5 re-admitted with new text Y -> generation 1 supersedes 0
+    dedup_sidecar_append(
+        spark.createDataFrame([(5, Y)], "doc_id long, text string"),
+        side, "b1",
+    )
+    current = spark.createDataFrame([(5, Y)], "doc_id long, text string")
+    probe = spark.createDataFrame(
+        [(200, X), (201, Y)], "doc_id long, text string"
+    )
+    want = sorted(
+        tuple(r) for r in incremental_dedup(current, probe).collect()
+    )
+
+    real_rename = sim.jvm_fs_rename
+    state = {"swaps": 0}
+
+    def crashing(spark_, src, dst):
+        if str(dst).endswith("__old"):  # the live -> __old leg of a swap
+            state["swaps"] += 1
+            if state["swaps"] == 2:
+                raise RuntimeError("injected crash between sub-table swaps")
+        return real_rename(spark_, src, dst)
+
+    monkeypatch.setattr(sim, "jvm_fs_rename", crashing)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        dedup_sidecar_compact(spark, side)
+    monkeypatch.setattr(sim, "jvm_fs_rename", real_rename)
+
+    # meta was never reset: liveness is still computed, and the intact
+    # digest authority keeps the half-folded sidecar correct
+    assert _sidecar_read_meta(spark, side)["superseded"] == 1
+    got = sorted(
+        tuple(r) for r in incremental_dedup_sidecar(probe, side).collect()
+    )
+    assert got == want
+    assert dict((r[0], r[1]) for r in got) == {
+        200: "new", 201: "exact_dup_base"
+    }
+
+    # retried compact converges and classification is unchanged
+    counts = dedup_sidecar_compact(spark, side)
+    assert counts["digests"] == 1
+    assert _sidecar_read_meta(spark, side)["superseded"] == 0
+    got2 = sorted(
+        tuple(r) for r in incremental_dedup_sidecar(probe, side).collect()
+    )
+    assert got2 == want
+
+
+def test_sidecar_postings_broadcast_gate_fallback(spark, tmp_path):
+    """Advisor finding (r4): the batch-side postings-probe broadcast is
+    gated on an estimated shingle count; an oversize batch degrades to
+    a shuffle-hash join instead of risking a broadcast OOM.  Forcing
+    the fallback (threshold 0) must leave results row-for-row equal."""
+    from gpt_rag_ingestion_spark.operators.dedup import (
+        dedup_sidecar_build,
+        incremental_dedup_sidecar,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.filter("doc_id % 3 != 0").select("doc_id", "text")
+    probe = docs.limit(40).selectExpr("doc_id + 900000 AS doc_id", "text")
+    side = str(tmp_path / "sidecar")
+    dedup_sidecar_build(base, side)
+
+    bcast = sorted(
+        tuple(r) for r in incremental_dedup_sidecar(probe, side).collect()
+    )
+    shuffled = sorted(
+        tuple(r)
+        for r in incremental_dedup_sidecar(
+            probe, side, broadcast_max_shingles=0
+        ).collect()
+    )
+    assert shuffled == bcast
+    assert any(r[1] != "new" for r in bcast)
