@@ -2277,9 +2277,12 @@ def q124_grouped_mode(spark: SparkSession, sf: str) -> DataFrame:
 
 def q125_fuzzy_linkage(spark: SparkSession, sf: str) -> DataFrame:
     """Record linkage: customers matched against a corrupted mirror
-    (3rd char dropped) by Levenshtein ≤ 2, candidates from a
-    (prefix, ±2-length-bucket) blocking join — the all-pairs
-    comparison never appears in the plan."""
+    (3rd char dropped) by Levenshtein ≤ 2, candidates from the
+    deletion-neighborhood equi-join (shared ≤2-deletion variant +
+    same prefix — exact superset of the verified pairs) — the
+    all-pairs comparison never appears in the plan, and the candidate
+    set is output-proportional even though every customer name shares
+    one blocking prefix."""
     from gpt_rag_ingestion_spark.operators.linkage import fuzzy_join
 
     cust = _t(spark, sf, "customer")
