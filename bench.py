@@ -150,8 +150,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # per-query untimed warmup (r4 judge brief: q43/q46/q13 moved
+    # 30-55% between rounds on best-of-3 sub-second measurements —
+    # first-execution codegen/GC noise, not code changes; one warm
+    # pass before the timed repeats stabilizes them)
+    warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
     for name in headline:
         best = None
+        for _ in range(warmup):
+            materialize(qs[name](spark, sf_dir))
         for _ in range(repeats):
             t0 = time.time()
             materialize(qs[name](spark, sf_dir))
