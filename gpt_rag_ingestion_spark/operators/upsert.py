@@ -27,7 +27,6 @@ automatically (``_recover``).
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -60,17 +59,80 @@ def _partition_rel_path(partition_cols: list[str], values) -> str:
     )
 
 
-def _recover(table_path: str) -> None:
+def _hfs(spark: SparkSession, path: str):
+    """(FileSystem, Path) through the Hadoop API — the sink's swaps
+    and recovery must work on any scheme whose rename is atomic
+    (local, hdfs://, abfss://); see SCALE.md 'Sink transactionality'
+    for the contract and the S3 caveat."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(hconf), p
+
+
+def _fs_exists(spark, path: str) -> bool:
+    fs, p = _hfs(spark, path)
+    return bool(fs.exists(p))
+
+
+def _fs_delete(spark, path: str) -> None:
+    fs, p = _hfs(spark, path)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def _fs_rename(spark, src: str, dst: str) -> None:
+    fs, ps = _hfs(spark, src)
+    _fs2, pd_ = _hfs(spark, dst)
+    if not fs.rename(ps, pd_):
+        raise OSError(f"rename failed: {src} -> {dst}")
+
+
+def _fs_mkdirs(spark, path: str) -> None:
+    fs, p = _hfs(spark, path)
+    fs.mkdirs(p)
+
+
+def _heal_partition_old_dirs(spark, table_path: str) -> None:
+    """Finish torn PER-PARTITION swaps: a crash inside
+    ``_swap_dir`` on one partition directory leaves
+    ``<table>/p=v__old`` with ``<table>/p=v`` missing (or both, if the
+    crash hit after the staged rename).  The root-level ``_recover``
+    never saw these (r4 gap) — walk the partition tree and apply the
+    same restore-or-garbage-collect rule to every ``__old`` dir."""
+    fs, root = _hfs(spark, table_path)
+    if not fs.exists(root):
+        return
+    stack = [root]
+    while stack:
+        d = stack.pop()
+        for st in fs.listStatus(d):
+            if not st.isDirectory():
+                continue
+            p = st.getPath()
+            name = p.getName()
+            if name.endswith("__old"):
+                live = p.getParent().suffix("/" + name[: -len("__old")])
+                if fs.exists(live):
+                    fs.delete(p, True)
+                else:
+                    fs.rename(p, live)
+            elif not name.endswith("__staging"):
+                stack.append(p)
+
+
+def _recover(spark: SparkSession, table_path: str) -> None:
     """Heal an interrupted swap: if the live table vanished mid-swap,
     restore the ``__old`` generation; if both exist, the swap completed
-    and ``__old`` is leftover garbage."""
+    and ``__old`` is leftover garbage.  Then heal any torn
+    per-partition swap the same way (partitioned-merge crash window)."""
     old = table_path.rstrip("/") + "__old"
-    if not os.path.exists(old):
-        return
-    if os.path.exists(table_path):
-        shutil.rmtree(old)
-    else:
-        os.rename(old, table_path)
+    if _fs_exists(spark, old):
+        if _fs_exists(spark, table_path):
+            _fs_delete(spark, old)
+        else:
+            _fs_rename(spark, old, table_path)
+    _heal_partition_old_dirs(spark, table_path)
 
 
 def merged_view(
@@ -95,7 +157,7 @@ def merge_upsert(
     """Replace all rows whose ``key`` appears in ``incoming`` with the
     incoming rows; keep everything else.  Equivalent to the reference's
     delete-parent-then-upload (S11+S10) and to Delta MERGE."""
-    _recover(table_path)
+    _recover(spark, table_path)
     try:
         existing = spark.read.parquet(table_path)
         have_existing = True
@@ -163,16 +225,16 @@ def merge_upsert(
     # find the staging gone and delete the live data.
     rels = sorted({_partition_rel_path(partition_cols, v) for v in affected})
     for rel in rels:
-        staged_dir = os.path.join(tmp, rel)
-        live_dir = os.path.join(table_path, rel)
-        if os.path.exists(staged_dir):
-            os.makedirs(os.path.dirname(live_dir), exist_ok=True)
-            _swap_dir(staged_dir, live_dir)
-        elif os.path.exists(live_dir):
+        staged_dir = f"{tmp}/{rel}"
+        live_dir = f"{table_path.rstrip('/')}/{rel}"
+        if _fs_exists(spark, staged_dir):
+            _fs_mkdirs(spark, live_dir.rsplit("/", 1)[0])
+            _swap_dir(spark, staged_dir, live_dir)
+        elif _fs_exists(spark, live_dir):
             # partition became empty after the merge (all its rows were
             # re-ingested keys that moved elsewhere): drop the stale dir
-            shutil.rmtree(live_dir)
-    shutil.rmtree(tmp, ignore_errors=True)
+            _fs_delete(spark, live_dir)
+    _fs_delete(spark, tmp)
     spark.catalog.refreshByPath(table_path)
 
 
@@ -191,7 +253,7 @@ def delete_keys(
     O(partitions touched), never O(table)."""
     import functools
 
-    _recover(table_path)
+    _recover(spark, table_path)
     existing = spark.read.parquet(table_path)
     key_set = keys.select(key).distinct()
     tmp = table_path.rstrip("/") + "__staging"
@@ -226,29 +288,27 @@ def delete_keys(
     kept.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
     rels = sorted({_partition_rel_path(partition_cols, v) for v in affected})
     for rel in rels:  # dedup: ''/NULL share the Hive default dir
-        staged_dir = os.path.join(tmp, rel)
-        live_dir = os.path.join(table_path, rel)
-        if os.path.exists(staged_dir):
-            os.makedirs(os.path.dirname(live_dir), exist_ok=True)
-            _swap_dir(staged_dir, live_dir)
-        elif os.path.exists(live_dir):
+        staged_dir = f"{tmp}/{rel}"
+        live_dir = f"{table_path.rstrip('/')}/{rel}"
+        if _fs_exists(spark, staged_dir):
+            _fs_mkdirs(spark, live_dir.rsplit("/", 1)[0])
+            _swap_dir(spark, staged_dir, live_dir)
+        elif _fs_exists(spark, live_dir):
             # every row of this partition was deleted: drop the dir
-            shutil.rmtree(live_dir)
-    shutil.rmtree(tmp, ignore_errors=True)
+            _fs_delete(spark, live_dir)
+    _fs_delete(spark, tmp)
     spark.catalog.refreshByPath(table_path)
 
 
-def _swap_dir(staged: str, live: str) -> None:
+def _swap_dir(spark: SparkSession, staged: str, live: str) -> None:
     """Crash-safe directory swap (no Spark cache concerns — callers
     refresh the table root afterwards)."""
     old = live.rstrip("/") + "__old"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    if os.path.exists(live):
-        os.rename(live, old)
-    os.rename(staged, live)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    _fs_delete(spark, old)
+    if _fs_exists(spark, live):
+        _fs_rename(spark, live, old)
+    _fs_rename(spark, staged, live)
+    _fs_delete(spark, old)
 
 
 def _swap_in(spark: SparkSession, staged: str, table_path: str) -> None:
@@ -257,7 +317,7 @@ def _swap_in(spark: SparkSession, staged: str, table_path: str) -> None:
     the old table or a recoverable ``__old`` directory, which the next
     call's ``_recover`` restores — never nothing).  On a real deployment
     Delta/Iceberg transactions replace this."""
-    _swap_dir(staged, table_path)
+    _swap_dir(spark, staged, table_path)
     # drop the session's cached file listing for the old generation
     spark.catalog.refreshByPath(table_path)
 
@@ -331,7 +391,7 @@ def compact_table(
     the explicit read → repartition → swap."""
     import math
 
-    _recover(table_path)
+    _recover(spark, table_path)
     listed = _list_parquet_files(spark, table_path)
     files_before = len(listed)
     total = sum(sz for _p, sz in listed)
