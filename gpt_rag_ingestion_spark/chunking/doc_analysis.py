@@ -236,12 +236,51 @@ def split_document_parts(
     group pages into runs of ``max_pages_per_part``, re-join each run
     with the marker.  One row per (doc, part) — so downstream analysis/
     chunking parallelizes across parts instead of looping on one
-    worker, which is the point of the operator at 100 TB.  (The
-    PDF-byte split itself needs pypdf, absent here; a real deployment
-    slots it in front of the analysis UDF with this same parts-as-rows
-    shape.)"""
+    worker, which is the point of the operator at 100 TB.  (Real PDF
+    bytes enter this contract via ``pdf_bytes_to_markdown`` below —
+    pypdf-gated, exercised by the optional-dep lane.)"""
     pages = F.split(F.col(md_col), re.escape(PAGEBREAK_RAW))
     n_parts = F.ceil(F.size(pages) / F.lit(max_pages_per_part)).cast("int")
+    return _split_parts(docs, md_col, pages, n_parts, max_pages_per_part)
+
+
+def pdf_bytes_to_markdown(data: bytes) -> str:
+    """S14/U3 real-PDF branch (optional dependency): PDF bytes → the
+    analyzed-markdown contract (per-page extracted text joined by
+    ``<!-- PageBreak -->`` markers) — the offline stand-in for the
+    reference's Document Intelligence call
+    (tools/doc_intelligence.py:88-198), which returns markdown with
+    the same markers.  Requires ``pypdf``; callers must gate
+    (tests/test_optional_deps.py exercises the branch wherever the
+    library exists).  Downstream (numbering, part-split, chunking) is
+    identical to the synthetic-markdown path, so installing pypdf
+    lights up real-PDF ingestion with no other change."""
+    import io
+
+    from pypdf import PdfReader  # optional dep — ImportError is the gate
+
+    reader = PdfReader(io.BytesIO(data))
+    texts = [(p.extract_text() or "").strip() for p in reader.pages]
+    return f"\n{PAGEBREAK_RAW}\n".join(texts)
+
+
+def pdf_markdown_udf():
+    """Arrow-batched UDF wrapper of ``pdf_bytes_to_markdown`` for the
+    corpus pipeline's doc-analysis slice.  Import-checked lazily so
+    plans that never touch PDF rows work without pypdf."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _u(payload: pd.Series) -> pd.Series:
+        return payload.map(
+            lambda b: pdf_bytes_to_markdown(bytes(b)) if b is not None else None
+        )
+
+    return _u
+
+
+def _split_parts(docs, md_col, pages, n_parts, max_pages_per_part):
     part_mds = F.transform(
         F.sequence(F.lit(0), n_parts - 1),
         lambda i: F.array_join(

@@ -92,3 +92,40 @@ def test_gate_raises_without_imaging_libs():
 
     with pytest.raises(NotImplementedError, match="deterministic_fake"):
         decode_image_stub(b"\x89PNG")
+
+
+@pytest.mark.skipif(not _has("pypdf"), reason="pypdf not installed")
+def test_pypdf_branch_parses_reference_sample_pdf(spark):
+    """Real-PDF branch (S14/U3): pdf_bytes_to_markdown turns the
+    reference's own employee_handbook.pdf into the analyzed-markdown
+    contract (pages joined by PageBreak markers), and the contract
+    pipeline (numbering -> part split -> chunking) consumes it with no
+    further change."""
+    import os
+
+    pdf_path = (
+        "/root/reference/samples/documents/contoso-eletronics/"
+        "employee_handbook.pdf"
+    )
+    if not os.path.exists(pdf_path):
+        pytest.skip("reference sample corpus not present")
+    from gpt_rag_ingestion_spark.chunking.doc_analysis import (
+        PAGEBREAK_RAW,
+        chunk_analyzed_documents,
+        pdf_bytes_to_markdown,
+    )
+
+    with open(pdf_path, "rb") as f:
+        md = pdf_bytes_to_markdown(f.read())
+    assert md.count(PAGEBREAK_RAW) >= 1  # multi-page handbook
+    assert len(md) > 1000
+
+    docs = spark.createDataFrame(
+        [("handbook", md)], "parent_id string, markdown string"
+    )
+    chunks = chunk_analyzed_documents(
+        docs, md_col="markdown", max_tokens=200, overlap=20, min_tokens=5
+    )
+    got = chunks.collect()
+    assert len(got) > 1
+    assert all(r["content"] for r in got)
