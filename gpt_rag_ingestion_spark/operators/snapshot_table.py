@@ -1,0 +1,386 @@
+"""Snapshot table: manifest-pointer commits over plain parquet.
+
+The directory-swap sink (`operators/upsert.py`) documents two
+non-guarantees (SCALE.md §11): a reader between per-partition swaps
+sees a TORN generation, and a crash mid-sequence needs writer-side
+recovery.  This module closes both with the mechanism every lakehouse
+format uses — data files are IMMUTABLE and a commit is one atomic
+pointer update — re-expressed minimally over plain parquet:
+
+    <table>/gen-00000001/<p=v dirs or files>   immutable generations
+    <table>/_manifests/00000001.json           snapshot: partition -> gen
+    <table>/_current                           pointer file: "1"
+
+A merge writes ONLY the affected partitions into a NEW generation
+directory, writes a manifest mapping every live partition to the
+generation that holds its current rows, then commits by atomically
+renaming the pointer file.  Readers resolve pointer → manifest → file
+list, so:
+
+- **Snapshot isolation**: a reader that resolved the pointer sees one
+  consistent generation set forever — commits only ADD files; nothing
+  a manifest references is deleted until `snapshot_vacuum`.
+- **Atomic commit**: the crash window is a single file rename.
+  Anything before it (a fully written generation + manifest) is
+  simply unreferenced garbage for vacuum.  The only recovery rule is
+  roll-forward of a half-renamed pointer (`_commit_recover`).
+- **O(increment) writes**: untouched partitions keep their old
+  generation's files — same pruned-write property as the swap sink.
+
+Contract vs. the swap sink: same single-writer requirement (two
+concurrent writers can still interleave gen numbers), but readers are
+never torn and writer crashes need no healing of live data.  On S3
+the pointer PUT is last-writer-wins full-object — still atomic for
+readers, unlike multi-directory renames.
+
+Reference: the engine's sink semantics mirror the reference's
+delete-parent-then-upload index upsert (jobs/blob_storage_indexer.py:
+1242-1334); the commit protocol itself follows the public
+Delta/Iceberg design (manifest + pointer), scoped down to
+single-writer parquet.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gpt_rag_ingestion_spark.operators.upsert import (
+    _fs_delete,
+    _fs_exists,
+    _fs_mkdirs,
+    _fs_rename,
+    _hfs,
+    _partition_rel_path,
+    merged_view,
+)
+
+
+def _write_text(spark, path: str, text: str) -> None:
+    fs, p = _hfs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text(spark, path: str) -> str:
+    jvm = spark.sparkContext._jvm
+    fs, p = _hfs(spark, path)
+    stm = fs.open(p)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stm, "UTF-8")
+    finally:
+        stm.close()
+
+
+def _commit_recover(spark, table_path: str) -> None:
+    """Roll FORWARD a half-committed pointer: ``_current__tmp`` exists
+    only between 'commit started' and 'commit done', and by then its
+    manifest+generation are fully written — so finishing the rename is
+    always safe.  (Readers call this read-only-ly via fallback in
+    ``_current_gen`` instead.)"""
+    tmp = f"{table_path}/_current__tmp"
+    cur = f"{table_path}/_current"
+    if _fs_exists(spark, tmp):
+        _fs_delete(spark, cur)
+        _fs_rename(spark, tmp, cur)
+
+
+def _current_gen(spark, table_path: str) -> int | None:
+    """Committed generation number, or None for an empty table.
+    Readers NEVER mutate: a mid-commit pointer is resolved by reading
+    the tmp file (the commit is complete but for the rename)."""
+    cur = f"{table_path}/_current"
+    tmp = f"{table_path}/_current__tmp"
+    if _fs_exists(spark, cur):
+        return int(_read_text(spark, cur).strip())
+    if _fs_exists(spark, tmp):
+        return int(_read_text(spark, tmp).strip())
+    return None
+
+
+def _manifest_path(table_path: str, gen: int) -> str:
+    return f"{table_path}/_manifests/{gen:08d}.json"
+
+
+def _read_manifest(spark, table_path: str, gen: int) -> dict:
+    return json.loads(_read_text(spark, _manifest_path(table_path, gen)))
+
+
+def _gen_dir(table_path: str, gen: int) -> str:
+    return f"{table_path}/gen-{gen:08d}"
+
+
+def _list_partition_rels(spark, gen_dir: str, depth: int) -> list[str]:
+    """Relative ``p=v[/q=w...]`` paths actually present under a
+    generation directory (a merged partition can come out empty and is
+    then absent).  Metadata listing only."""
+    fs, root = _hfs(spark, gen_dir)
+    rels: list[str] = []
+
+    def walk(p, rel_parts, d):
+        for st in fs.listStatus(p):
+            if not st.isDirectory():
+                continue
+            name = st.getPath().getName()
+            if "=" not in name:
+                continue
+            parts = rel_parts + [name]
+            if d == 1:
+                rels.append("/".join(parts))
+            else:
+                walk(st.getPath(), parts, d - 1)
+
+    walk(root, [], depth)
+    return rels
+
+
+def read_snapshot_table(spark: SparkSession, table_path: str) -> DataFrame:
+    """The committed snapshot as a DataFrame.  One parquet scan per
+    referenced generation (vacuum/optimize folds old generations, so
+    the union stays shallow); partition columns come back via
+    ``basePath``, and Catalyst partition-prunes within each scan."""
+    gen = _current_gen(spark, table_path)
+    if gen is None:
+        raise FileNotFoundError(f"no committed snapshot at {table_path}")
+    manifest = _read_manifest(spark, table_path, gen)
+    parts: dict[str, str] = manifest["partitions"]
+    by_gen: dict[str, list[str]] = {}
+    for rel, g in parts.items():
+        by_gen.setdefault(g, []).append(rel)
+    dfs = []
+    for g, rels in sorted(by_gen.items()):
+        base = f"{table_path}/{g}"
+        if rels == [""]:  # unpartitioned
+            dfs.append(spark.read.parquet(base))
+        else:
+            dfs.append(
+                spark.read.option("basePath", base).parquet(
+                    *[f"{base}/{r}" for r in sorted(rels)]
+                )
+            )
+    return functools.reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+def _commit(spark, table_path: str, gen: int, partitions: dict) -> None:
+    _write_text(
+        spark,
+        _manifest_path(table_path, gen),
+        json.dumps({"gen": gen, "partitions": partitions}, sort_keys=True),
+    )
+    tmp = f"{table_path}/_current__tmp"
+    cur = f"{table_path}/_current"
+    _write_text(spark, tmp, str(gen))
+    _fs_delete(spark, cur)
+    _fs_rename(spark, tmp, cur)
+
+
+def snapshot_merge_upsert(
+    spark: SparkSession,
+    table_path: str,
+    incoming: DataFrame,
+    key: str = "parent_id",
+    partition_cols: list[str] | None = None,
+) -> int:
+    """MERGE with a manifest-pointer commit; returns the committed
+    generation number.  Same keyed delete-then-insert semantics as
+    ``upsert.merge_upsert`` (equality property-tested), same
+    O(affected-partitions) write set, but the commit point is one
+    atomic rename and concurrent readers are never torn."""
+    _commit_recover(spark, table_path)
+    _fs_mkdirs(spark, f"{table_path}/_manifests")
+    cur = _current_gen(spark, table_path)
+    gen = (cur or 0) + 1
+    new_dir = _gen_dir(table_path, gen)
+    _fs_delete(spark, new_dir)  # debris of an uncommitted crash
+
+    if cur is None:
+        writer = incoming.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(new_dir)
+        rels = (
+            _list_partition_rels(spark, new_dir, len(partition_cols))
+            if partition_cols
+            else [""]
+        )
+        _commit(
+            spark, table_path, gen,
+            {r: f"gen-{gen:08d}" for r in rels},
+        )
+        return gen
+
+    existing = read_snapshot_table(spark, table_path)
+    manifest = _read_manifest(spark, table_path, cur)
+
+    if not partition_cols:
+        merged_view(existing, incoming, key).write.mode(
+            "overwrite"
+        ).parquet(new_dir)
+        _commit(spark, table_path, gen, {"": f"gen-{gen:08d}"})
+        return gen
+
+    keys = incoming.select(key).distinct()
+    inc_parts = incoming.select(*partition_cols).distinct()
+    exist_parts = (
+        existing.join(F.broadcast(keys), on=key, how="left_semi")
+        .select(*partition_cols)
+        .distinct()
+    )
+    affected = [
+        tuple(r[c] for c in partition_cols)
+        for r in inc_parts.unionByName(exist_parts).distinct().collect()
+    ]
+    if not affected:
+        return cur  # empty increment: the old snapshot stands
+
+    def _match(values):
+        terms = [
+            F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+            for c, v in zip(partition_cols, values)
+        ]
+        return functools.reduce(lambda a, b: a & b, terms)
+
+    pred = functools.reduce(lambda a, b: a | b, [_match(v) for v in affected])
+    kept = existing.filter(pred).join(
+        F.broadcast(keys), on=key, how="left_anti"
+    )
+    out = kept.unionByName(incoming, allowMissingColumns=True)
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(new_dir)
+
+    affected_rels = {_partition_rel_path(partition_cols, v) for v in affected}
+    written = _list_partition_rels(spark, new_dir, len(partition_cols))
+    partitions = {
+        r: g for r, g in manifest["partitions"].items()
+        if r not in affected_rels
+    }
+    partitions.update({r: f"gen-{gen:08d}" for r in written})
+    _commit(spark, table_path, gen, partitions)
+    return gen
+
+
+def snapshot_delete_keys(
+    spark: SparkSession,
+    table_path: str,
+    keys: DataFrame,
+    key: str = "parent_id",
+    partition_cols: list[str] | None = None,
+) -> int:
+    """DELETE-by-key-set with the same commit protocol; rewrites only
+    partitions that hold doomed keys."""
+    _commit_recover(spark, table_path)
+    cur = _current_gen(spark, table_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot at {table_path}")
+    existing = read_snapshot_table(spark, table_path)
+    key_set = keys.select(key).distinct()
+    gen = cur + 1
+    new_dir = _gen_dir(table_path, gen)
+    _fs_delete(spark, new_dir)
+
+    if not partition_cols:
+        existing.join(F.broadcast(key_set), on=key, how="left_anti").write.mode(
+            "overwrite"
+        ).parquet(new_dir)
+        _commit(spark, table_path, gen, {"": f"gen-{gen:08d}"})
+        return gen
+
+    manifest = _read_manifest(spark, table_path, cur)
+    affected = [
+        tuple(r[c] for c in partition_cols)
+        for r in existing.join(F.broadcast(key_set), on=key, how="left_semi")
+        .select(*partition_cols)
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return cur
+
+    def _match(values):
+        terms = [
+            F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+            for c, v in zip(partition_cols, values)
+        ]
+        return functools.reduce(lambda a, b: a & b, terms)
+
+    pred = functools.reduce(lambda a, b: a | b, [_match(v) for v in affected])
+    kept = existing.filter(pred).join(
+        F.broadcast(key_set), on=key, how="left_anti"
+    )
+    kept.write.mode("overwrite").partitionBy(*partition_cols).parquet(new_dir)
+
+    affected_rels = {_partition_rel_path(partition_cols, v) for v in affected}
+    written = _list_partition_rels(spark, new_dir, len(partition_cols))
+    partitions = {
+        r: g for r, g in manifest["partitions"].items()
+        if r not in affected_rels
+    }
+    partitions.update({r: f"gen-{gen:08d}" for r in written})
+    _commit(spark, table_path, gen, partitions)
+    return gen
+
+
+def snapshot_optimize(
+    spark: SparkSession, table_path: str,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Fold every referenced generation into ONE (the OPTIMIZE of this
+    format): read the snapshot, rewrite it wholesale as a new
+    generation, commit.  Keeps ``read_snapshot_table``'s union shallow
+    after many incremental merges; pair with ``snapshot_vacuum``."""
+    cur = _current_gen(spark, table_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot at {table_path}")
+    existing = read_snapshot_table(spark, table_path)
+    gen = cur + 1
+    new_dir = _gen_dir(table_path, gen)
+    _fs_delete(spark, new_dir)
+    writer = existing.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(new_dir)
+    rels = (
+        _list_partition_rels(spark, new_dir, len(partition_cols))
+        if partition_cols
+        else [""]
+    )
+    _commit(spark, table_path, gen, {r: f"gen-{gen:08d}" for r in rels})
+    return gen
+
+
+def snapshot_vacuum(spark: SparkSession, table_path: str) -> dict:
+    """Garbage-collect generations no manifest pointer references and
+    superseded manifest files.  The ONLY destructive operation in the
+    format — run it when no reader still holds a pre-vacuum snapshot
+    (the retention knob of every lakehouse, minimal form)."""
+    cur = _current_gen(spark, table_path)
+    if cur is None:
+        return {"removed_gens": 0, "removed_manifests": 0}
+    manifest = _read_manifest(spark, table_path, cur)
+    referenced = set(manifest["partitions"].values())
+    fs, root = _hfs(spark, table_path)
+    removed_gens = 0
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if (
+            st.isDirectory()
+            and name.startswith("gen-")
+            and name not in referenced
+            and int(name[4:]) <= cur  # never touch an in-flight writer
+        ):
+            fs.delete(st.getPath(), True)
+            removed_gens += 1
+    removed_manifests = 0
+    mdir_fs, mdir = _hfs(spark, f"{table_path}/_manifests")
+    if mdir_fs.exists(mdir):
+        for st in mdir_fs.listStatus(mdir):
+            name = st.getPath().getName()
+            if name.endswith(".json") and int(name[:-5]) < cur:
+                mdir_fs.delete(st.getPath(), False)
+                removed_manifests += 1
+    return {"removed_gens": removed_gens, "removed_manifests": removed_manifests}

@@ -251,7 +251,7 @@ def _stage_rollup(spark, rollup_path, old_table, incoming):
     from gpt_rag_ingestion_spark.operators.incremental import maintain_rollup
     from gpt_rag_ingestion_spark.operators.upsert import _recover
 
-    _recover(rollup_path)
+    _recover(spark, rollup_path)
     rows_in = incoming.select(
         "parent_id", F.length("content").cast("long").alias("chars")
     )

@@ -1,0 +1,153 @@
+"""Manifest-pointer snapshot sink (SCALE.md §11's 'adopt a
+manifest-pointer commit' alternative, r4 judge brief #7): MERGE/DELETE
+semantics equal to the swap sink, atomic single-rename commits, true
+reader snapshot isolation, roll-forward-only crash recovery, vacuum
+that never touches referenced data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gpt_rag_ingestion_spark.operators import snapshot_table as S
+from gpt_rag_ingestion_spark.operators import upsert as U
+
+
+def _inc(spark, lo, hi, mul=7):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("parent_id"),
+        (F.col("id") % 3).alias("bucket"),
+        (F.col("id") * mul).alias("v"),
+    )
+
+
+def _rows(df):
+    return sorted(
+        tuple(r) for r in df.select("parent_id", "bucket", "v").collect()
+    )
+
+
+@pytest.mark.parametrize("partitioned", [False, True])
+def test_snapshot_merge_equals_swap_sink(spark, tmp_path, partitioned):
+    pc = ["bucket"] if partitioned else None
+    snap = str(tmp_path / "snap")
+    swap = str(tmp_path / "swap")
+    for lo, hi, mul in ((0, 100, 7), (50, 150, 9), (20, 60, 11)):
+        inc = _inc(spark, lo, hi, mul)
+        S.snapshot_merge_upsert(spark, snap, inc, partition_cols=pc)
+        U.merge_upsert(spark, swap, inc, partition_cols=pc)
+    got = S.read_snapshot_table(spark, snap)
+    assert _rows(got) == _rows(spark.read.parquet(swap))
+
+    doomed = spark.range(0, 40).select(F.col("id").alias("parent_id"))
+    S.snapshot_delete_keys(spark, snap, doomed, partition_cols=pc)
+    U.delete_keys(spark, swap, doomed, partition_cols=pc)
+    assert _rows(S.read_snapshot_table(spark, snap)) == _rows(
+        spark.read.parquet(swap)
+    )
+
+
+def test_snapshot_isolation_across_commits(spark, tmp_path):
+    """A reader that resolved the pointer keeps its snapshot: commits
+    after the resolve never change what it collects (files are
+    immutable and only vacuum removes them)."""
+    snap = str(tmp_path / "snap")
+    S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 0, 100), partition_cols=["bucket"]
+    )
+    reader = S.read_snapshot_table(spark, snap)
+    before = _rows(reader)
+
+    upd = _inc(spark, 0, 100, mul=99)
+    S.snapshot_merge_upsert(spark, snap, upd, partition_cols=["bucket"])
+
+    assert _rows(reader) == before  # old snapshot intact
+    assert _rows(S.read_snapshot_table(spark, snap)) == _rows(upd)
+
+
+def test_commit_crash_legs_roll_forward_or_invisible(
+    spark, tmp_path, monkeypatch
+):
+    """Crash before the pointer write: the new generation+manifest are
+    unreferenced and the table is unchanged.  Crash between the
+    pointer delete and rename: the next writer (or reader fallback)
+    rolls FORWARD — by then the commit is complete but for one
+    rename."""
+    snap = str(tmp_path / "snap")
+    S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 0, 100), partition_cols=["bucket"]
+    )
+    base = _rows(S.read_snapshot_table(spark, snap))
+    upd = _inc(spark, 0, 100, mul=99)
+
+    # leg 1: die after the manifest write, before the tmp pointer
+    real_write = S._write_text
+
+    def crash_on_tmp(spark_, path, text):
+        if path.endswith("_current__tmp"):
+            raise RuntimeError("injected crash before pointer")
+        return real_write(spark_, path, text)
+
+    monkeypatch.setattr(S, "_write_text", crash_on_tmp)
+    with pytest.raises(RuntimeError, match="injected"):
+        S.snapshot_merge_upsert(spark, snap, upd, partition_cols=["bucket"])
+    monkeypatch.setattr(S, "_write_text", real_write)
+    assert _rows(S.read_snapshot_table(spark, snap)) == base  # unchanged
+
+    # leg 2: die between pointer delete and rename
+    real_rename = S._fs_rename
+
+    def crash_on_rename(spark_, src, dst):
+        if dst.endswith("/_current"):
+            raise RuntimeError("injected crash mid-pointer-swap")
+        return real_rename(spark_, src, dst)
+
+    monkeypatch.setattr(S, "_fs_rename", crash_on_rename)
+    with pytest.raises(RuntimeError, match="injected"):
+        S.snapshot_merge_upsert(spark, snap, upd, partition_cols=["bucket"])
+    monkeypatch.setattr(S, "_fs_rename", real_rename)
+
+    # reader fallback already sees the rolled-forward commit; the next
+    # writer completes the rename for real
+    assert _rows(S.read_snapshot_table(spark, snap)) == _rows(upd)
+    S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 200, 210), partition_cols=["bucket"]
+    )
+    got = S.read_snapshot_table(spark, snap)
+    assert got.filter("parent_id >= 200").count() == 10
+    assert _rows(got.filter("parent_id < 200")) == _rows(upd)
+
+
+def test_optimize_and_vacuum_fold_generations(spark, tmp_path):
+    import os
+
+    snap = str(tmp_path / "snap")
+    for lo, hi in ((0, 60), (30, 90), (60, 120), (10, 20)):
+        S.snapshot_merge_upsert(
+            spark, snap, _inc(spark, lo, hi), partition_cols=["bucket"]
+        )
+    want = _rows(S.read_snapshot_table(spark, snap))
+
+    S.snapshot_optimize(spark, snap, partition_cols=["bucket"])
+    out = S.snapshot_vacuum(spark, snap)
+    assert out["removed_gens"] >= 3
+
+    gens = [d for d in os.listdir(snap) if d.startswith("gen-")]
+    assert len(gens) == 1  # folded to one referenced generation
+    assert _rows(S.read_snapshot_table(spark, snap)) == want
+
+    # vacuum is idempotent and never touches referenced data
+    assert S.snapshot_vacuum(spark, snap)["removed_gens"] == 0
+    assert _rows(S.read_snapshot_table(spark, snap)) == want
+
+
+def test_empty_increment_and_missing_table(spark, tmp_path):
+    snap = str(tmp_path / "snap")
+    with pytest.raises(FileNotFoundError):
+        S.read_snapshot_table(spark, snap)
+    g1 = S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 0, 10), partition_cols=["bucket"]
+    )
+    empty = _inc(spark, 0, 0)
+    g2 = S.snapshot_merge_upsert(spark, snap, empty, partition_cols=["bucket"])
+    assert g2 == g1  # empty increment: the old snapshot stands
