@@ -39,6 +39,8 @@ PROBES = {
     "q108_pagerank": ("graph", "5 iterations, joins + aggs"),
     "q114_token_blocks": ("packing", "slim prefix sum + span explode"),
     "q115_shipping_priority": ("olap", "3-way join + TakeOrdered top-k"),
+    "q125_fuzzy_linkage": ("linkage", "deletion-variant equi-join, output-proportional"),
+    "q151_snapshot_merge": ("sink", "manifest commits: O(affected) writes"),
 }
 
 
