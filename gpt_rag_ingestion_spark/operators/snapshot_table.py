@@ -353,6 +353,38 @@ def snapshot_optimize(
     return gen
 
 
+def snapshot_maybe_optimize(
+    spark: SparkSession,
+    table_path: str,
+    max_generations: int = 16,
+    partition_cols: list[str] | None = None,
+) -> dict:
+    """Compaction TRIGGER for a merge-maintained snapshot table — the
+    fourth member of the engine's trigger family (sidecar counters,
+    ANN fragment counts, leaf-file counts): cheap enough for every
+    foreachBatch tick (one manifest read).  When the number of
+    generations the current manifest references exceeds
+    ``max_generations`` (each incremental merge adds one, and the
+    reader unions one scan per generation), fold them with
+    ``snapshot_optimize`` and GC with ``snapshot_vacuum``."""
+    cur = _current_gen(spark, table_path)
+    if cur is None:
+        return {"optimized": False, "generations": 0}
+    manifest = _read_manifest(spark, table_path, cur)
+    n = len(set(manifest["partitions"].values()))
+    if n <= max_generations:
+        # still GC superseded generations (a full-rewrite merge leaves
+        # its predecessor unreferenced) — the stream owns this table,
+        # so no external reader can hold an old snapshot; standalone
+        # users wanting retention call snapshot_vacuum on their own
+        # schedule instead of this trigger
+        gc = snapshot_vacuum(spark, table_path)
+        return {"optimized": False, "generations": n, **gc}
+    snapshot_optimize(spark, table_path, partition_cols=partition_cols)
+    gc = snapshot_vacuum(spark, table_path)
+    return {"optimized": True, "generations_before": n, **gc}
+
+
 def snapshot_vacuum(spark: SparkSession, table_path: str) -> dict:
     """Garbage-collect generations no manifest pointer references and
     superseded manifest files.  The ONLY destructive operation in the

@@ -39,6 +39,17 @@ from gpt_rag_ingestion_spark.operators.text_analysis import bpe_ish_token_count
 from gpt_rag_ingestion_spark.operators.upsert import merge_upsert
 
 
+def _read_corpus(spark, corpus_path: str, corpus_sink: str):
+    """Corpus table read under the selected commit protocol."""
+    if corpus_sink == "snapshot":
+        from gpt_rag_ingestion_spark.operators.snapshot_table import (
+            read_snapshot_table,
+        )
+
+        return read_snapshot_table(spark, corpus_path)
+    return spark.read.parquet(corpus_path)
+
+
 def run_web_corpus_job(
     spark: SparkSession,
     batch: DataFrame,
@@ -59,6 +70,7 @@ def run_web_corpus_job(
     batch_label: str = "batch",
     sidecar_auto_compact: bool = True,
     prior_domain_counts: DataFrame | None = None,
+    corpus_sink: str = "swap",
 ) -> DataFrame:
     """One batch through the web-corpus loop.  Returns the AUDIT
     relation — (id, domain, disposition, dup_of) for every input row,
@@ -94,7 +106,14 @@ def run_web_corpus_job(
     within its domain is offset by the count of rows that entered the
     ranking in prior batches, so the cap bounds admissions over the
     stream's lifetime, not per batch (the streaming wrapper persists
-    these counts).  Without it the cap is per-batch."""
+    these counts).  Without it the cap is per-batch.
+
+    ``corpus_sink`` selects the corpus table's commit protocol:
+    ``"swap"`` = directory-swap merge (operators/upsert.py),
+    ``"snapshot"`` = manifest-pointer commits
+    (operators/snapshot_table.py) — identical MERGE semantics, but
+    every batch commit is one atomic pointer rename and concurrent
+    readers of the growing corpus are never torn (SCALE.md §11)."""
     d = batch.select(
         F.col(id_col),
         F.col(text_col),
@@ -147,7 +166,9 @@ def run_web_corpus_job(
         )
     else:
         try:
-            base = spark.read.parquet(corpus_path).select(id_col, text_col)
+            base = _read_corpus(spark, corpus_path, corpus_sink).select(
+                id_col, text_col
+            )
         except Exception:
             base = candidates.limit(0)
         decisions = incremental_dedup(
@@ -216,10 +237,20 @@ def run_web_corpus_job(
             bucket_expr=(F.col(id_col) / 4096).cast("long"),
             fmt=shard_fmt,
         )
-        merge_upsert(
-            spark, corpus_path, to_merge, key=id_col,
-            partition_cols=partition_cols,
-        )
+        if corpus_sink == "snapshot":
+            from gpt_rag_ingestion_spark.operators.snapshot_table import (
+                snapshot_merge_upsert,
+            )
+
+            snapshot_merge_upsert(
+                spark, corpus_path, to_merge, key=id_col,
+                partition_cols=partition_cols,
+            )
+        else:
+            merge_upsert(
+                spark, corpus_path, to_merge, key=id_col,
+                partition_cols=partition_cols,
+            )
         if sidecar_path is not None:
             from gpt_rag_ingestion_spark.operators.dedup import (
                 dedup_sidecar_append,
@@ -242,7 +273,9 @@ def run_web_corpus_job(
                 # enabled on a pre-existing corpus must index what is
                 # already there, not just this batch's admissions
                 dedup_sidecar_build(
-                    spark.read.parquet(corpus_path).select(id_col, text_col),
+                    _read_corpus(spark, corpus_path, corpus_sink).select(
+                        id_col, text_col
+                    ),
                     sidecar_path, text_col=text_col, id_col=id_col,
                 )
     staged.unpersist()

@@ -169,7 +169,11 @@ def run_streaming_web_corpus(
     long tail of small parquet files; once the leaf file count exceeds
     the threshold the table is rewritten into right-sized files under
     the crash-safe swap, preserving any ``partition_cols`` layout.
-    Rows are untouched — only the file layout changes."""
+    Rows are untouched — only the file layout changes.  With
+    ``corpus_sink="snapshot"`` in ``job_kwargs`` the corpus commits
+    through the manifest-pointer sink instead, and the same knob
+    bounds the REFERENCED GENERATION count
+    (snapshot_table.snapshot_maybe_optimize: fold + vacuum)."""
     from gpt_rag_ingestion_spark.plans.web_corpus_job import run_web_corpus_job
 
     stream = spark.readStream.schema(schema).format(fmt).load(landing_dir)
@@ -221,14 +225,26 @@ def run_streaming_web_corpus(
                 .parquet(f"{domain_counts_path}/batch={batch_id}")
             )
         if corpus_max_files is not None:
-            from gpt_rag_ingestion_spark.operators.upsert import (
-                maybe_compact_table,
-            )
+            if job_kwargs.get("corpus_sink") == "snapshot":
+                # snapshot mode: fragmentation = referenced generation
+                # count (one manifest read), folded by optimize+vacuum
+                from gpt_rag_ingestion_spark.operators.snapshot_table import (
+                    snapshot_maybe_optimize,
+                )
 
-            maybe_compact_table(
-                spark, corpus_path, max_files=corpus_max_files,
-                partition_cols=job_kwargs.get("partition_cols"),
-            )
+                snapshot_maybe_optimize(
+                    spark, corpus_path, max_generations=corpus_max_files,
+                    partition_cols=job_kwargs.get("partition_cols"),
+                )
+            else:
+                from gpt_rag_ingestion_spark.operators.upsert import (
+                    maybe_compact_table,
+                )
+
+                maybe_compact_table(
+                    spark, corpus_path, max_files=corpus_max_files,
+                    partition_cols=job_kwargs.get("partition_cols"),
+                )
 
     (
         stream.writeStream.foreachBatch(process_batch)

@@ -151,3 +151,43 @@ def test_empty_increment_and_missing_table(spark, tmp_path):
     empty = _inc(spark, 0, 0)
     g2 = S.snapshot_merge_upsert(spark, snap, empty, partition_cols=["bucket"])
     assert g2 == g1  # empty increment: the old snapshot stands
+
+
+def test_streaming_web_corpus_snapshot_sink(spark, tmp_path):
+    """The web-corpus streaming loop with corpus_sink='snapshot':
+    admissions land through manifest-pointer commits, replays stay
+    idempotent, and the generation-count trigger folds the table."""
+    import json
+
+    from gpt_rag_ingestion_spark.streaming.micro_batch import (
+        run_streaming_web_corpus,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    root = str(tmp_path)
+    for i in range(3):
+        batch = [
+            {
+                "doc_id": 100 * i + j,
+                "url": f"https://d{j}.example/p{100 * i + j}",
+                "text": f"page body number {100 * i + j} " * 10,
+            }
+            for j in range(4)
+        ]
+        (landing / f"b{i}.json").write_text(
+            "\n".join(json.dumps(x) for x in batch)
+        )
+        run_streaming_web_corpus(
+            spark, str(landing), f"{root}/corpus", f"{root}/shards",
+            f"{root}/audit", f"{root}/ckpt", min_chars=10,
+            corpus_max_files=2, corpus_sink="snapshot",
+        )
+    tbl = S.read_snapshot_table(spark, f"{root}/corpus")
+    assert tbl.count() == 12
+    assert tbl.select("doc_id").distinct().count() == 12
+    # trigger folded generations down to the bound
+    import os
+
+    gens = [d for d in os.listdir(f"{root}/corpus") if d.startswith("gen-")]
+    assert len(gens) <= 2
