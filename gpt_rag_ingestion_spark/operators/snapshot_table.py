@@ -140,14 +140,29 @@ def _list_partition_rels(spark, gen_dir: str, depth: int) -> list[str]:
     return rels
 
 
-def read_snapshot_table(spark: SparkSession, table_path: str) -> DataFrame:
+def read_snapshot_table(
+    spark: SparkSession, table_path: str, at_gen: int | None = None
+) -> DataFrame:
     """The committed snapshot as a DataFrame.  One parquet scan per
     referenced generation (vacuum/optimize folds old generations, so
     the union stays shallow); partition columns come back via
-    ``basePath``, and Catalyst partition-prunes within each scan."""
-    gen = _current_gen(spark, table_path)
+    ``basePath``, and Catalyst partition-prunes within each scan.
+    Generations may differ in schema (an increment that added a
+    column): the union aligns by name with missing columns as NULL —
+    the same evolution contract as the swap sink's merge.
+
+    ``at_gen`` is TIME TRAVEL: read the snapshot as of an earlier
+    committed generation — valid for any manifest vacuum has not yet
+    removed (vacuum is the retention boundary, as in every lakehouse
+    format)."""
+    gen = at_gen if at_gen is not None else _current_gen(spark, table_path)
     if gen is None:
         raise FileNotFoundError(f"no committed snapshot at {table_path}")
+    if not _fs_exists(spark, _manifest_path(table_path, gen)):
+        raise FileNotFoundError(
+            f"no manifest for generation {gen} at {table_path} "
+            "(never committed, or removed by snapshot_vacuum)"
+        )
     manifest = _read_manifest(spark, table_path, gen)
     parts: dict[str, str] = manifest["partitions"]
     by_gen: dict[str, list[str]] = {}
@@ -164,7 +179,9 @@ def read_snapshot_table(spark: SparkSession, table_path: str) -> DataFrame:
                     *[f"{base}/{r}" for r in sorted(rels)]
                 )
             )
-    return functools.reduce(lambda a, b: a.unionByName(b), dfs)
+    return functools.reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+    )
 
 
 def _commit(spark, table_path: str, gen: int, partitions: dict) -> None:

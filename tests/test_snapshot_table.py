@@ -191,3 +191,37 @@ def test_streaming_web_corpus_snapshot_sink(spark, tmp_path):
 
     gens = [d for d in os.listdir(f"{root}/corpus") if d.startswith("gen-")]
     assert len(gens) <= 2
+
+
+def test_time_travel_and_schema_evolution(spark, tmp_path):
+    """Lakehouse parity: ``at_gen`` reads any un-vacuumed snapshot;
+    generations with different schemas union by name (missing columns
+    NULL) — the swap-sink merge's evolution contract."""
+    snap = str(tmp_path / "snap")
+    g1 = S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 0, 50), partition_cols=["bucket"]
+    )
+    # second increment ADDS a column
+    inc2 = _inc(spark, 40, 80).withColumn("lang", F.lit("en"))
+    g2 = S.snapshot_merge_upsert(
+        spark, snap, inc2, partition_cols=["bucket"]
+    )
+
+    now = S.read_snapshot_table(spark, snap)
+    assert "lang" in now.columns
+    by_id = {r["parent_id"]: r["lang"] for r in now.collect()}
+    assert by_id[45] == "en"
+    assert by_id[0] is None  # old-generation rows: evolved column NULL
+    assert len(by_id) == 80
+
+    past = S.read_snapshot_table(spark, snap, at_gen=g1)
+    assert past.count() == 50
+    assert "lang" not in past.columns
+
+    # vacuum is the retention boundary for time travel
+    S.snapshot_optimize(spark, snap, partition_cols=["bucket"])
+    S.snapshot_vacuum(spark, snap)
+    with pytest.raises(FileNotFoundError, match="vacuum"):
+        S.read_snapshot_table(spark, snap, at_gen=g1)
+    assert S.read_snapshot_table(spark, snap).count() == 80
+    assert g2 == g1 + 1
