@@ -3181,6 +3181,28 @@ def q152_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
     return out.localCheckpoint()
 
 
+def q153_lm_quality_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style corpus-LM quality gate (operators/ngram_lm): train
+    add-one-smoothed bigram counts on the documents table, score every
+    doc by the exact integer-sum inverse-probability ratio
+    SUM(c1+V)/SUM(c12+1), split into head/middle/tail thirds by
+    distributed global rank.  Log-free by design so the whole model →
+    score → bucket pipeline hash-matches a SQL oracle; the log2
+    perplexity column exists for humans but is excluded here."""
+    from gpt_rag_ingestion_spark.operators.ngram_lm import (
+        lm_quality_buckets,
+        lm_score,
+        train_bigram_counts,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    c12, c1, v = train_bigram_counts(docs, max_tokens=128)
+    scored = lm_score(docs, c12, c1, v, max_tokens=128)
+    return lm_quality_buckets(scored).select(
+        "doc_id", "n_bigrams", "score", "bucket"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries.  The window is curated to be (a) all
@@ -3275,6 +3297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q149_zorder_key": q149_zorder_key,
         "q151_snapshot_merge": q151_snapshot_merge,
         "q152_bucketed_join": q152_bucketed_join,
+        "q153_lm_quality_buckets": q153_lm_quality_buckets,
         "q150_cumulative_domain_cap": q150_cumulative_domain_cap,
         "q07_group_counts": q07_group_counts,
         "q08_distinct_cap": q08_distinct_cap,
@@ -5880,6 +5903,44 @@ def oracle_sql() -> dict[str, str]:
                          o_custkey % 256 AS x,
                          o_orderkey % 256 AS y
                   FROM orders) t
+        """,
+        "q153_lm_quality_buckets": """
+            WITH w AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x != '')[1:128] AS ws
+              FROM documents),
+            bg AS (
+              SELECT doc_id, ws[s.i] AS w1, ws[s.i + 1] AS w2
+              FROM w, unnest(range(1, len(ws))) AS s(i)
+              WHERE len(ws) >= 2),
+            c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+                    FROM bg GROUP BY w1, w2),
+            c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+                   FROM bg GROUP BY w1),
+            v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c1),
+            scored AS (
+              SELECT bg.doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                SUM(COALESCE(c1.c1, 0) + v.v) AS num,
+                SUM(COALESCE(c12.c12, 0) + 1) AS den
+              FROM bg
+              LEFT JOIN c12 USING (w1, w2)
+              LEFT JOIN c1 USING (w1)
+              CROSS JOIN v
+              GROUP BY bg.doc_id),
+            ranked AS (
+              SELECT doc_id, n_bigrams,
+                round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS score,
+                row_number() OVER (
+                  ORDER BY round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6),
+                           doc_id) AS rn,
+                COUNT(*) OVER () AS n
+              FROM scored)
+            SELECT doc_id, n_bigrams, score,
+              ['head', 'middle', 'tail'][
+                CAST(((rn - 1) * 3) // n AS INT) + 1] AS bucket
+            FROM ranked
         """,
         "q152_bucketed_join": """
             SELECT o_orderpriority,

@@ -1,0 +1,72 @@
+"""Corpus-trained n-gram LM fluency scoring (operators/ngram_lm):
+semantic sanity (predictable text scores LOWER than gibberish under
+the inverse-probability score), degenerate docs, bucket split
+exactness.  Cross-engine value parity is the q153 oracle's job."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gpt_rag_ingestion_spark.operators.ngram_lm import (
+    lm_quality_buckets,
+    lm_score,
+    train_bigram_counts,
+)
+
+
+def _score_map(spark, rows):
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    c12, c1, v = train_bigram_counts(docs)
+    scored = lm_score(docs, c12, c1, v)
+    return {r["doc_id"]: r for r in scored.collect()}
+
+
+def test_fluent_text_scores_lower_than_gibberish(spark):
+    common = "the cat sat on the mat and the cat sat on the mat again"
+    rows = [(i, common) for i in range(20)]  # fluent mass
+    rows.append((100, common))              # fluent probe
+    rows.append((101, "zq xv wk jm qp zx vb nk lw pf td gh rs mn"))
+    got = _score_map(spark, rows)
+    assert got[100]["score"] < got[101]["score"]
+    # every bigram of the gibberish doc is unique: den = n_bigrams * 2
+    g = got[101]
+    assert g["n_bigrams"] == 13  # 14 words -> 13 bigrams
+
+
+def test_short_docs_carry_no_sequence_evidence(spark):
+    rows = [(1, "hello world again"), (2, "single"), (3, ""), (4, "a b")]
+    got = _score_map(spark, rows)
+    assert set(got) == {1, 4}  # <2 words -> no bigrams -> dropped
+
+
+def test_buckets_split_into_exact_thirds(spark):
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i % 7} common tail words here") for i in range(90)],
+        "doc_id long, text string",
+    )
+    c12, c1, v = train_bigram_counts(docs)
+    out = lm_quality_buckets(lm_score(docs, c12, c1, v))
+    counts = {
+        r["bucket"]: r["n"]
+        for r in out.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"head": 30, "middle": 30, "tail": 30}
+    # deterministic under re-evaluation
+    a = sorted(tuple(r) for r in out.collect())
+    b = sorted(tuple(r) for r in out.collect())
+    assert a == b
+
+
+def test_min_count_prunes_model_not_semantics_of_common_text(spark):
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 5) for i in range(10)]
+        + [(99, "rare pair here")],
+        "doc_id long, text string",
+    )
+    c12a, c1, v = train_bigram_counts(docs)
+    c12b, _c1, _v = train_bigram_counts(docs, min_count=5)
+    assert c12b.count() < c12a.count()
+    sa = {r["doc_id"]: r["score"] for r in lm_score(docs, c12a, c1, v).collect()}
+    sb = {r["doc_id"]: r["score"] for r in lm_score(docs, c12b, c1, v).collect()}
+    assert sa[0] == sb[0]  # common bigrams survive the prune untouched
+    assert sb[99] >= sa[99]  # pruned rare bigrams fall back to smoothing
