@@ -3203,6 +3203,17 @@ def q153_lm_quality_buckets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q154_char_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """SentencePiece character-coverage ranking (operators/vocab):
+    frequency-ranked corpus alphabet with the integer-exact 99.95%
+    coverage cut — the tokenizer-training twin of the vocab/BPE
+    lifecycle (q93/q107/q111)."""
+    from gpt_rag_ingestion_spark.operators.vocab import char_coverage
+
+    docs = _t(spark, sf, "documents").select("text")
+    return char_coverage(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries.  The window is curated to be (a) all
@@ -3298,6 +3309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_snapshot_merge": q151_snapshot_merge,
         "q152_bucketed_join": q152_bucketed_join,
         "q153_lm_quality_buckets": q153_lm_quality_buckets,
+        "q154_char_coverage": q154_char_coverage,
         "q150_cumulative_domain_cap": q150_cumulative_domain_cap,
         "q07_group_counts": q07_group_counts,
         "q08_distinct_cap": q08_distinct_cap,
@@ -5903,6 +5915,25 @@ def oracle_sql() -> dict[str, str]:
                          o_custkey % 256 AS x,
                          o_orderkey % 256 AS y
                   FROM orders) t
+        """,
+        "q154_char_coverage": """
+            WITH ch AS (
+              SELECT c.ch AS ch FROM documents,
+                unnest(string_split(text, '')) AS c(ch)
+              WHERE c.ch != ''),
+            counts AS (
+              SELECT ch, CAST(COUNT(*) AS BIGINT) AS n
+              FROM ch GROUP BY ch),
+            t AS (SELECT SUM(n) AS total FROM counts),
+            ranked AS (
+              SELECT ch, n,
+                row_number() OVER (ORDER BY n DESC, ch ASC) AS rank,
+                SUM(n) OVER (ORDER BY n DESC, ch ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+              FROM counts)
+            SELECT ch, n, CAST(rank AS BIGINT) AS rank,
+              (cum_n - n) * 10000 < t.total * 9995 AS in_vocab
+            FROM ranked, t
         """,
         "q153_lm_quality_buckets": """
             WITH w AS (

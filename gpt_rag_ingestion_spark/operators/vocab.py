@@ -86,3 +86,47 @@ def encode_with_vocab(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum((F.col("tid") == OOV_ID).cast("long")).alias("n_oov"),
     )
+
+
+def char_coverage(
+    docs,
+    text_col: str = "text",
+    coverage_num: int = 9995,
+    coverage_den: int = 10_000,
+):
+    """SentencePiece-style character coverage (its
+    ``character_coverage=0.9995`` default): rank every character by
+    corpus frequency and mark the prefix of the ranking that the
+    tokenizer's base alphabet must cover — everything past it falls to
+    ``<unk>``/byte-fallback.  The tokenizer-training twin of
+    ``build_vocab``.
+
+    Pure integer arithmetic end to end (a char is in-vocab iff the
+    cumulative count BEFORE it has not yet reached
+    ceil(total * num/den): ``(cum - n) * den < total * num``) — so the
+    whole ranking hash-matches any SQL engine.
+
+    Scale note: the window runs over DISTINCT CHARACTERS — bounded by
+    the unicode repertoire (thousands of rows at web scale, after a
+    corpus-wide count shuffle on 1-char keys) — so the unpartitioned
+    window here is safe by cardinality, unlike one over rows."""
+    from pyspark.sql import Window
+
+    chars = docs.select(
+        F.explode(F.split(F.col(text_col), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("ch").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("ch").asc())
+    total = counts.agg(F.sum("n")).first()[0] or 0
+    ranked = counts.select(
+        "ch", "n",
+        F.row_number().over(w).alias("rank"),
+        F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum_n"),
+    )
+    in_vocab = (
+        (F.col("cum_n") - F.col("n")) * F.lit(int(coverage_den))
+        < F.lit(int(total)) * F.lit(int(coverage_num))
+    )
+    return ranked.select("ch", "n", "rank", in_vocab.alias("in_vocab"))

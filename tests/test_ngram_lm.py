@@ -70,3 +70,22 @@ def test_min_count_prunes_model_not_semantics_of_common_text(spark):
     sb = {r["doc_id"]: r["score"] for r in lm_score(docs, c12b, c1, v).collect()}
     assert sa[0] == sb[0]  # common bigrams survive the prune untouched
     assert sb[99] >= sa[99]  # pruned rare bigrams fall back to smoothing
+
+
+def test_char_coverage_cut(spark):
+    """operators/vocab.char_coverage: rare chars past the coverage
+    target fall out of the base alphabet (byte-fallback territory)."""
+    from gpt_rag_ingestion_spark.operators.vocab import char_coverage
+
+    text = "a" * 9000 + "b" * 990 + "c" * 9 + "z"
+    docs = spark.createDataFrame([(text,)], "text string")
+    got = {
+        r["ch"]: (r["rank"], r["in_vocab"])
+        for r in char_coverage(docs, coverage_num=9990,
+                               coverage_den=10000).collect()
+    }
+    assert got["a"] == (1, True)
+    assert got["b"] == (2, True)
+    # 'c' starts at cum 9990 = exactly the target -> already covered
+    assert got["c"] == (3, False)
+    assert got["z"] == (4, False)
