@@ -136,6 +136,13 @@ PLAN_PROPERTIES = {
     # fuzzy linkage: candidates from the blocking equi-join — the
     # all-pairs nested loop must never appear
     "q125_fuzzy_linkage": (["Join"], ["NestedLoop", "CartesianProduct"]),
+    # corpus LM scoring: count-table probes are equi-joins (shuffle
+    # hash pinned), never a nested loop; bucketing must use the
+    # distributed rank, not an unpartitioned global window over docs
+    "q153_lm_quality_buckets": (
+        ["Join"],
+        ["NestedLoop", "CartesianProduct"],
+    ),
     # revenue share: dimension joins broadcast, share window rides the
     # region partitioning
     "q134_revenue_share": (["BroadcastHashJoin", "Window"], []),
