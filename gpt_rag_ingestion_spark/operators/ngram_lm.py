@@ -167,3 +167,53 @@ def lm_quality_buckets(
     return ranked.select(
         F.col(id_col), "n_bigrams", "score", label.alias("bucket")
     )
+
+
+def maintain_bigram_counts(
+    c12: DataFrame,
+    c1: DataFrame,
+    added: DataFrame | None = None,
+    removed: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 512,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Incremental LM maintenance: counts are ADDITIVE, so an ingest
+    wave (or a purge) updates the model with O(delta) work instead of
+    a corpus retrain — old + counts(added) − counts(removed), rows at
+    zero dropped (the ``maintain_rollup`` identity, applied to the LM).
+    Returns the new (c12, c1, V); equality with a full retrain is
+    unit-pinned.
+
+    Note ``min_count``-pruned tables are NOT maintainable this way
+    (pruning is lossy); maintain the unpruned counts and prune at
+    score time."""
+    spark = c12.sparkSession
+
+    def delta(docs, sign):
+        bg = _doc_bigrams(docs, text_col, id_col, max_tokens)
+        d12 = bg.groupBy("w1", "w2").agg(
+            (F.count(F.lit(1)) * sign).alias("c12")
+        )
+        d1 = bg.groupBy("w1").agg((F.count(F.lit(1)) * sign).alias("c1"))
+        return d12, d1
+
+    empty12 = spark.createDataFrame([], "w1 string, w2 string, c12 long")
+    empty1 = spark.createDataFrame([], "w1 string, c1 long")
+    a12, a1 = delta(added, F.lit(1)) if added is not None else (empty12, empty1)
+    r12, r1 = (
+        delta(removed, F.lit(-1)) if removed is not None else (empty12, empty1)
+    )
+    new12 = (
+        c12.unionByName(a12).unionByName(r12)
+        .groupBy("w1", "w2")
+        .agg(F.sum("c12").cast("long").alias("c12"))
+        .filter(F.col("c12") > 0)
+    )
+    new1 = (
+        c1.unionByName(a1).unionByName(r1)
+        .groupBy("w1")
+        .agg(F.sum("c1").cast("long").alias("c1"))
+        .filter(F.col("c1") > 0)
+    )
+    return new12, new1, int(new1.count())

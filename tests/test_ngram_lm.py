@@ -89,3 +89,35 @@ def test_char_coverage_cut(spark):
     # 'c' starts at cum 9990 = exactly the target -> already covered
     assert got["c"] == (3, False)
     assert got["z"] == (4, False)
+
+
+def test_incremental_counts_equal_full_retrain(spark):
+    """maintain_bigram_counts(old, +added, -removed) must equal a full
+    retrain on the post-change corpus — the additive-counts identity."""
+    from gpt_rag_ingestion_spark.operators.ngram_lm import (
+        maintain_bigram_counts,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = docs([(i, f"alpha beta w{i} gamma delta beta") for i in range(20)])
+    added = docs([(100 + i, f"new words w{i} arriving now") for i in range(5)])
+    removed = docs([(i, f"alpha beta w{i} gamma delta beta") for i in range(3)])
+
+    c12, c1, _v = train_bigram_counts(base)
+    i12, i1, iv = maintain_bigram_counts(c12, c1, added=added, removed=removed)
+
+    after = docs(
+        [(i, f"alpha beta w{i} gamma delta beta") for i in range(3, 20)]
+        + [(100 + i, f"new words w{i} arriving now") for i in range(5)]
+    )
+    f12, f1, fv = train_bigram_counts(after)
+
+    assert sorted(tuple(r) for r in i12.collect()) == sorted(
+        tuple(r) for r in f12.collect()
+    )
+    assert sorted(tuple(r) for r in i1.collect()) == sorted(
+        tuple(r) for r in f1.collect()
+    )
+    assert iv == fv
