@@ -3214,6 +3214,133 @@ def q154_char_coverage(spark: SparkSession, sf: str) -> DataFrame:
     return char_coverage(docs)
 
 
+_BM25_QUERIES = [
+    ("q0", ["spark", "join", "fast"]),
+    ("q1", ["table", "scan", "filter"]),
+    ("q2", ["window", "agg", "group"]),
+    ("q3", ["customer", "order", "query"]),
+    ("q4", ["vector", "hash", "merge"]),
+    ("q5", ["stream", "batch", "line"]),
+    ("q6", ["slow", "big", "small"]),
+    ("q7", ["sort", "column", "data"]),
+]
+
+
+def _bm25_query_df(spark: SparkSession):
+    return spark.createDataFrame(
+        [(qid, terms) for qid, terms in _BM25_QUERIES],
+        "query_id string, terms array<string>",
+    )
+
+
+# shared CTE block for the q155/q156 oracles: inverted index + the
+# integer-exact BM25 scoring (operators/search.py's documented
+# surrogates), with the query term set inlined as VALUES
+_BM25_ORACLE_CTES = (
+    """toks AS (
+              SELECT doc_id AS doc, t.token
+              FROM documents,
+                unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x != '')) AS t(token)),
+            postings AS (
+              SELECT token, doc, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM toks GROUP BY token, doc),
+            dfreq AS (
+              SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+              FROM postings GROUP BY token),
+            doclen AS (
+              SELECT doc, CAST(COUNT(*) AS BIGINT) AS dl
+              FROM toks GROUP BY doc),
+            cc AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(dl) AS BIGINT) AS l
+              FROM doclen),
+            qs(query_id, token) AS (VALUES """
+    + ", ".join(
+        f"('{qid}', '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    + """),
+            cand AS (
+              SELECT q.query_id, p.doc, p.tf, f.df, d.dl
+              FROM (SELECT DISTINCT query_id, token FROM qs) q
+              JOIN postings p USING (token)
+              JOIN dfreq f USING (token)
+              JOIN doclen d USING (doc)),
+            scored AS (
+              SELECT query_id, doc,
+                CAST(SUM(
+                  ((((cc.n - df + 1) * 1000000) // (df + 1)) * 44 * tf)
+                  // (20 * tf + 6 + ((18 * dl * cc.n) // cc.l))
+                ) AS BIGINT) AS score_q
+              FROM cand, cc GROUP BY query_id, doc)"""
+)
+
+
+def q155_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-text BM25 retrieval over the documents corpus
+    (operators/search — the reference's AI Search text leg): inverted
+    index build + integer-exact BM25 (linear-idf surrogate, k1=6/5,
+    b=3/4 cross-multiplied — the q66 determinism convention) + per-
+    query top-10.  Postings are probed via a broadcast semi-join on
+    the query term set, so only candidate docs are scored."""
+    from gpt_rag_ingestion_spark.operators.search import (
+        bm25_topk,
+        build_text_index,
+    )
+
+    docs = _t(spark, sf, "documents")
+    index = build_text_index(docs, text_col="text", id_col="doc_id")
+    return bm25_topk(index, _bm25_query_df(spark), k=10)
+
+
+def q156_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval (the reference's AI Search hybrid mode): BM25
+    text ranking ⊕ quantized-cosine vector ranking, fused by integer-
+    exact Reciprocal Rank Fusion (SUM(S div (60 + rank))).  Query
+    vectors are the embeddings of vec_id 0-7 (aligned with the 8 text
+    queries); both legs contribute their top-20, the fusion returns
+    top-10 per query."""
+    from pyspark.sql import Window
+
+    from gpt_rag_ingestion_spark.operators.search import (
+        bm25_topk,
+        build_text_index,
+        rrf_fuse,
+    )
+
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    index = build_text_index(docs, text_col="text", id_col="doc_id")
+    bm25 = bm25_topk(index, _bm25_query_df(spark), k=20)
+
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("long"),
+    )
+    quant = emb.select(F.col("vec_id"), qv.alias("qv"))
+    queries_v = quant.filter(F.col("vec_id") < 8).select(
+        F.concat(F.lit("q"), F.col("vec_id").cast("string")).alias("query_id"),
+        F.col("qv").alias("q_qv"),
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("q_qv"), F.col("qv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("doc"))
+    vec_rank = (
+        F.broadcast(queries_v)
+        .join(quant.select(F.col("vec_id").alias("doc"), "qv"))
+        .select("query_id", "doc", qdot.alias("qdot"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("query_id", "doc", "rank")
+    )
+    return rrf_fuse(
+        [bm25.select("query_id", "doc", "rank"), vec_rank], k=10
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries.  The window is curated to be (a) all
@@ -3310,6 +3437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_bucketed_join": q152_bucketed_join,
         "q153_lm_quality_buckets": q153_lm_quality_buckets,
         "q154_char_coverage": q154_char_coverage,
+        "q155_bm25_topk": q155_bm25_topk,
+        "q156_hybrid_rrf": q156_hybrid_rrf,
         "q150_cumulative_domain_cap": q150_cumulative_domain_cap,
         "q07_group_counts": q07_group_counts,
         "q08_distinct_cap": q08_distinct_cap,
@@ -5915,6 +6044,59 @@ def oracle_sql() -> dict[str, str]:
                          o_custkey % 256 AS x,
                          o_orderkey % 256 AS y
                   FROM orders) t
+        """,
+        "q155_bm25_topk": f"""
+            WITH {_BM25_ORACLE_CTES},
+            ranked AS (
+              SELECT query_id, doc, score_q,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY score_q DESC, doc ASC) AS rank
+              FROM scored)
+            SELECT query_id, rank, doc, score_q
+            FROM ranked WHERE rank <= 10
+        """,
+        "q156_hybrid_rrf": f"""
+            WITH {_BM25_ORACLE_CTES},
+            branked AS (
+              SELECT query_id, doc,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY score_q DESC, doc ASC) AS rank
+              FROM scored),
+            btop AS (SELECT query_id, doc, rank FROM branked
+                     WHERE rank <= 20),
+            vq AS (
+              SELECT vec_id, list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            qv AS (
+              SELECT 'q' || CAST(vec_id AS VARCHAR) AS query_id,
+                     qv AS q_qv
+              FROM vq WHERE vec_id < 8),
+            vscore AS (
+              SELECT q.query_id, d.vec_id AS doc,
+                CAST(list_dot_product(q.q_qv, d.qv) AS BIGINT) AS qdot
+              FROM qv q, vq d),
+            vrank AS (
+              SELECT query_id, doc,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY qdot DESC, doc ASC) AS rank
+              FROM vscore),
+            vtop AS (SELECT query_id, doc, rank FROM vrank
+                     WHERE rank <= 20),
+            contribs AS (
+              SELECT query_id, doc, 1000000 // (60 + rank) AS c FROM btop
+              UNION ALL
+              SELECT query_id, doc, 1000000 // (60 + rank) FROM vtop),
+            fused AS (
+              SELECT query_id, doc, CAST(SUM(c) AS BIGINT) AS rrf_q
+              FROM contribs GROUP BY query_id, doc),
+            franked AS (
+              SELECT query_id, doc, rrf_q,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY rrf_q DESC, doc ASC) AS rank
+              FROM fused)
+            SELECT query_id, rank, doc, rrf_q
+            FROM franked WHERE rank <= 10
         """,
         "q154_char_coverage": """
             WITH ch AS (
