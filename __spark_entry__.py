@@ -3236,10 +3236,14 @@ def _bm25_query_df(spark: SparkSession):
 # shared CTE block for the q155/q156 oracles: inverted index + the
 # integer-exact BM25 scoring (operators/search.py's documented
 # surrogates), with the query term set inlined as VALUES
-_BM25_ORACLE_CTES = (
+def _bm25_oracle_ctes(corpus_sql: str = "documents") -> str:
+    return _BM25_ORACLE_CTES_TEMPLATE.replace("__CORPUS__", corpus_sql)
+
+
+_BM25_ORACLE_CTES_TEMPLATE = (
     """toks AS (
               SELECT doc_id AS doc, t.token
-              FROM documents,
+              FROM (SELECT * FROM __CORPUS__) __corp,
                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
                                    x -> x != '')) AS t(token)),
             postings AS (
@@ -3341,6 +3345,42 @@ def q156_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q157_text_index_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    """Persisted inverted-index lifecycle (operators/search): build on
+    the full documents corpus, APPEND a replacement batch (every 7th
+    doc re-ingested with truncated text — the indexer's delete-parent-
+    then-upload), DELETE every 11th doc (the purger's tombstones),
+    run the counter-driven compaction trigger, then BM25 top-10.  The
+    oracle is closed-form BM25 SQL over the post-change corpus, so
+    upsert + tombstone + compaction + maintained N/L counters are all
+    hash-pinned in one composed check."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.search import (
+        text_index_append,
+        text_index_build,
+        text_index_delete,
+        text_index_maybe_compact,
+        text_index_query,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="q157-tindex-") + "/idx"
+    text_index_build(docs, path)
+    repl = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.substring("text", 1, 199).alias("text")
+    )
+    text_index_append(repl, path, "b1")
+    text_index_delete(
+        spark, path,
+        docs.filter(F.col("doc_id") % 11 == 0).select("doc_id"), "p1",
+    )
+    text_index_maybe_compact(spark, path)
+    return text_index_query(
+        spark, path, _bm25_query_df(spark), k=10
+    ).localCheckpoint()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries.  The window is curated to be (a) all
@@ -3439,6 +3479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_char_coverage": q154_char_coverage,
         "q155_bm25_topk": q155_bm25_topk,
         "q156_hybrid_rrf": q156_hybrid_rrf,
+        "q157_text_index_lifecycle": q157_text_index_lifecycle,
         "q150_cumulative_domain_cap": q150_cumulative_domain_cap,
         "q07_group_counts": q07_group_counts,
         "q08_distinct_cap": q08_distinct_cap,
@@ -6045,8 +6086,22 @@ def oracle_sql() -> dict[str, str]:
                          o_orderkey % 256 AS y
                   FROM orders) t
         """,
+        "q157_text_index_lifecycle": f"""
+            WITH {_bm25_oracle_ctes(
+                "(SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+                "THEN substr(text, 1, 199) ELSE text END AS text "
+                "FROM documents WHERE doc_id % 11 != 0)"
+            )},
+            ranked AS (
+              SELECT query_id, doc, score_q,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY score_q DESC, doc ASC) AS rank
+              FROM scored)
+            SELECT query_id, rank, doc, score_q
+            FROM ranked WHERE rank <= 10
+        """,
         "q155_bm25_topk": f"""
-            WITH {_BM25_ORACLE_CTES},
+            WITH {_bm25_oracle_ctes()},
             ranked AS (
               SELECT query_id, doc, score_q,
                 row_number() OVER (PARTITION BY query_id
@@ -6056,7 +6111,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 10
         """,
         "q156_hybrid_rrf": f"""
-            WITH {_BM25_ORACLE_CTES},
+            WITH {_bm25_oracle_ctes()},
             branked AS (
               SELECT query_id, doc,
                 row_number() OVER (PARTITION BY query_id

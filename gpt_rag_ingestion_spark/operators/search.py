@@ -154,3 +154,375 @@ def rrf_fuse(
         .filter(F.col("rank") <= int(k))
         .select(query_id_col, "rank", "doc", "rrf_q")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted inverted-index lifecycle
+# ---------------------------------------------------------------------------
+# The reference's indexer continuously UPSERTS chunk docs into AI
+# Search and its purger DELETES vanished parents — the text index is a
+# long-lived, incrementally-maintained artifact, not a per-query
+# build.  This lifecycle mirrors the engine's other persisted indexes
+# (IVF/IVFPQ postings, dedup sidecar): per-batch generation
+# directories, a liveness authority, meta counters driving a
+# steady-state fast path and a compaction trigger, crash-safe swaps.
+#
+# Layout under <index_path>/:
+#   meta                  — (gen int, superseded long, n_live long,
+#                            l_live long)
+#   postings/batch=<b>/   — (token string, doc long, tf long, gen int)
+#   doclen/batch=<b>/     — (doc long, dl long, gen int); dl NULL is a
+#                            DELETE tombstone (the purger's leg)
+#
+# Liveness authority: DOCLEN — exactly one row per doc per generation
+# (a tokenless doc still gets dl = 0; postings would drop it).  Every
+# doc's latest generation wins; a tombstone at the latest generation
+# removes the doc entirely.  meta.superseded == 0 is the steady state:
+# raw tables ARE the live tables, no liveness work at all.
+
+_TEXT_INDEX_SUBS = ("postings", "doclen")
+
+
+def _tindex_tables(chunks, text_col, id_col, gen):
+    toks = chunks.select(
+        F.col(id_col).cast("long").alias("doc"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
+        ).alias("token"),
+    )
+    postings = toks.groupBy("token", "doc").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    ).withColumn("gen", F.lit(int(gen)))
+    doclen = (
+        chunks.select(F.col(id_col).cast("long").alias("doc"))
+        .join(
+            toks.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("dl")),
+            "doc", "left",
+        )
+        .select("doc", F.coalesce("dl", F.lit(0).cast("long")).alias("dl"))
+        .withColumn("gen", F.lit(int(gen)))
+    )
+    return postings, doclen
+
+
+def _tindex_write_meta(spark, index_path, gen, superseded, n_live, l_live):
+    from gpt_rag_ingestion_spark.operators.similarity import (
+        jvm_fs_delete,
+        jvm_fs_rename,
+    )
+
+    spark.createDataFrame(
+        [(int(gen), int(superseded), int(n_live), int(l_live))],
+        "gen int, superseded long, n_live long, l_live long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/meta__staging")
+    jvm_fs_delete(spark, f"{index_path}/meta")
+    jvm_fs_rename(spark, f"{index_path}/meta__staging", f"{index_path}/meta")
+
+
+def _tindex_read_meta(spark, index_path) -> dict:
+    return spark.read.parquet(f"{index_path}/meta").first().asDict()
+
+
+def _tindex_recover(spark, index_path) -> None:
+    """Swap recovery + COMMIT recovery: batch directories are named
+    ``batch=<label>__g<gen>`` and the committed state is meta.gen —
+    any dir with a newer gen is a crashed, uncommitted append/delete
+    (meta commits LAST) and is pruned here, so it can never pollute
+    liveness or collide with the gen the next writer allocates."""
+    from gpt_rag_ingestion_spark.operators.similarity import (
+        _recover_swap,
+        jvm_fs_exists,
+        jvm_fs_rename,
+    )
+
+    for sub in _TEXT_INDEX_SUBS:
+        _recover_swap(spark, f"{index_path}/{sub}")
+    if not jvm_fs_exists(spark, f"{index_path}/meta"):
+        if jvm_fs_exists(spark, f"{index_path}/meta__staging"):
+            jvm_fs_rename(
+                spark, f"{index_path}/meta__staging", f"{index_path}/meta"
+            )
+        else:
+            return  # pre-build: nothing to prune
+    committed = int(_tindex_read_meta(spark, index_path)["gen"])
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for sub in _TEXT_INDEX_SUBS:
+        root = jvm.org.apache.hadoop.fs.Path(f"{index_path}/{sub}")
+        fs = root.getFileSystem(hconf)
+        if not fs.exists(root):
+            continue
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if "__g" in name:
+                try:
+                    g = int(name.rsplit("__g", 1)[1])
+                except ValueError:
+                    continue
+                if g > committed:
+                    fs.delete(st.getPath(), True)
+
+
+def _tindex_live(spark, index_path, superseded):
+    """(postings, doclen) restricted to each doc's latest generation,
+    tombstones dropped.  superseded == 0: raw tables are live (except
+    tombstones, which only exist when superseded > 0 — a tombstone
+    always supersedes the doc's build/append row)."""
+    from gpt_rag_ingestion_spark.operators.similarity import read_batched_dir
+
+    postings = read_batched_dir(spark, f"{index_path}/postings")
+    doclen = read_batched_dir(spark, f"{index_path}/doclen")
+    if superseded == 0:
+        return postings, doclen.filter(F.col("dl").isNotNull())
+    dead = (
+        doclen.groupBy("doc")
+        .agg(F.max("gen").alias("_max_gen"), F.count(F.lit(1)).alias("_ng"))
+        .filter(F.col("_ng") > 1)
+        .select("doc", "_max_gen")
+    )
+
+    def live(t):
+        return (
+            t.join(F.broadcast(dead), "doc", "left")
+            .filter(
+                F.col("_max_gen").isNull() | (F.col("gen") == F.col("_max_gen"))
+            )
+            .drop("_max_gen")
+        )
+
+    return live(postings), live(doclen).filter(F.col("dl").isNotNull())
+
+
+def text_index_build(
+    chunks: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Build the persisted index from the existing corpus (the one
+    full-corpus pass; later batches touch O(batch))."""
+    from gpt_rag_ingestion_spark.operators.similarity import jvm_fs_delete
+
+    spark = chunks.sparkSession
+    for sub in _TEXT_INDEX_SUBS:
+        jvm_fs_delete(spark, f"{index_path}/{sub}")
+        jvm_fs_delete(spark, f"{index_path}/{sub}__old")
+        jvm_fs_delete(spark, f"{index_path}/{sub}__staging")
+    postings, doclen = _tindex_tables(chunks, text_col, id_col, gen=0)
+    postings.write.mode("overwrite").parquet(
+        f"{index_path}/postings/batch=build"
+    )
+    doclen.write.mode("overwrite").parquet(f"{index_path}/doclen/batch=build")
+    agg = spark.read.parquet(f"{index_path}/doclen/batch=build").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("l")
+    ).first()
+    _tindex_write_meta(
+        spark, index_path, 0, 0, agg["n"] or 0, agg["l"] or 0
+    )
+    return {"n_docs": int(agg["n"] or 0), "total_len": int(agg["l"] or 0)}
+
+
+def _tindex_delta(spark, index_path, batch_doclen, meta):
+    """(newly_superseded, n_delta, l_delta) for a batch about to land:
+    probe the CURRENT live doclen with the batch's doc keys (broadcast
+    — O(batch) rows move) to find replaced docs and their old lengths."""
+    _p, live_dl = _tindex_live(spark, index_path, meta["superseded"])
+    keys = batch_doclen.select("doc").distinct()
+    replaced = live_dl.join(F.broadcast(keys), "doc", "left_semi")
+    old = replaced.agg(
+        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("l")
+    ).first()
+    new = batch_doclen.filter(F.col("dl").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("l")
+    ).first()
+    return (
+        int(old["n"]),
+        int(new["n"]) - int(old["n"]),
+        int(new["l"]) - int(old["l"]),
+    )
+
+
+def text_index_append(
+    batch: DataFrame,
+    index_path: str,
+    batch_label: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Upsert a batch (the indexer's delete-parent-then-upload): docs
+    already present are superseded by their new generation.  Replay-
+    idempotent per ``batch_label`` (overwrite of the batch dirs)."""
+    spark = batch.sparkSession
+    _tindex_recover(spark, index_path)
+    meta = _tindex_read_meta(spark, index_path)
+    gen = int(meta["gen"]) + 1
+    postings, doclen = _tindex_tables(batch, text_col, id_col, gen)
+    doclen = doclen.persist()
+    try:
+        # deltas from the COMMITTED live state, dirs written next,
+        # meta commit LAST: a crash before the meta rename leaves
+        # gen-stamped orphan dirs that _tindex_recover prunes, so a
+        # replay recomputes deltas against unchanged state (no double
+        # counting); a replay AFTER the commit supersedes the batch's
+        # own docs (delta 0) — idempotent either way
+        n_super, n_delta, l_delta = _tindex_delta(
+            spark, index_path, doclen, meta
+        )
+        postings.write.mode("overwrite").parquet(
+            f"{index_path}/postings/batch={batch_label}__g{gen}"
+        )
+        doclen.write.mode("overwrite").parquet(
+            f"{index_path}/doclen/batch={batch_label}__g{gen}"
+        )
+        _tindex_write_meta(
+            spark, index_path, gen,
+            int(meta["superseded"]) + n_super,
+            int(meta["n_live"]) + n_delta,
+            int(meta["l_live"]) + l_delta,
+        )
+    finally:
+        doclen.unpersist()
+    return {"batch": batch_label, "gen": gen, "newly_superseded": n_super}
+
+
+def text_index_delete(
+    spark,
+    index_path: str,
+    keys: DataFrame,
+    batch_label: str,
+    id_col: str = "doc_id",
+) -> dict:
+    """The purger's leg: tombstone every given doc id (dl NULL at a
+    new generation) — its postings stop matching immediately;
+    compaction garbage-collects them."""
+    _tindex_recover(spark, index_path)
+    meta = _tindex_read_meta(spark, index_path)
+    gen = int(meta["gen"]) + 1
+    tomb = keys.select(
+        F.col(id_col).cast("long").alias("doc"),
+        F.lit(None).cast("long").alias("dl"),
+        F.lit(int(gen)).alias("gen"),
+    )
+    _p, live_dl = _tindex_live(spark, index_path, meta["superseded"])
+    doomed = live_dl.join(
+        F.broadcast(tomb.select("doc").distinct()), "doc", "left_semi"
+    )
+    old = doomed.agg(
+        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("l")
+    ).first()
+    tomb.write.mode("overwrite").parquet(
+        f"{index_path}/doclen/batch={batch_label}__g{gen}"
+    )
+    _tindex_write_meta(  # commit point (same protocol as append)
+        spark, index_path, gen,
+        int(meta["superseded"]) + int(old["n"]),
+        int(meta["n_live"]) - int(old["n"]),
+        int(meta["l_live"]) - int(old["l"]),
+    )
+    return {"batch": batch_label, "gen": gen, "tombstoned": int(old["n"])}
+
+
+def text_index_query(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """BM25 top-k against the PERSISTED index.  The postings scan is
+    semi-joined on the broadcast query term set FIRST, so only
+    candidate rows leave the scan; df comes from the candidate
+    postings (a per-token count over the handful of query tokens) and
+    N/L from the maintained meta counters — no corpus-wide work per
+    query batch."""
+    from pyspark.sql import Window
+
+    _tindex_recover(spark, index_path)
+    meta = _tindex_read_meta(spark, index_path)
+    postings, doclen = _tindex_live(spark, index_path, meta["superseded"])
+    n, l = int(meta["n_live"]), int(meta["l_live"])
+
+    qterms = queries.select(
+        F.col(query_id_col), F.explode(F.col(terms_col)).alias("token")
+    ).distinct()
+    cand = postings.join(
+        F.broadcast(qterms.select("token").distinct()), "token", "left_semi"
+    )
+    # liveness of the doclen side rode along in _tindex_live; restrict
+    # it to candidate docs before the join (broadcast both small sides)
+    cand = cand.join(doclen.select("doc", "dl").hint("shuffle_hash"), "doc")
+    dfreq = cand.groupBy("token").agg(
+        F.count_distinct("doc").alias("df")
+    )
+    scored_in = (
+        cand.join(F.broadcast(qterms), "token")
+        .join(F.broadcast(dfreq), "token")
+    )
+    term_q = F.expr(
+        f"((({n} - df + 1) * {IDF_SCALE}) div (df + 1)) * 44 * tf"
+        f" div (20 * tf + 6 + ((18 * dl * {n}) div {max(l, 1)}))"
+    )
+    scored = (
+        scored_in.select(query_id_col, "doc", term_q.alias("term_q"))
+        .groupBy(query_id_col, "doc")
+        .agg(F.sum("term_q").cast("long").alias("score_q"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score_q"), F.asc("doc"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(query_id_col, "rank", "doc", "score_q")
+    )
+
+
+def text_index_compact(spark, index_path: str) -> dict:
+    """Fold per-batch generations to one and drop superseded/tombstoned
+    rows; query results are unchanged (unit-pinned).  The liveness
+    authority (doclen) swaps LAST — the dedup-sidecar crash rule."""
+    from gpt_rag_ingestion_spark.operators.similarity import (
+        jvm_fs_delete,
+        jvm_fs_rename,
+    )
+
+    _tindex_recover(spark, index_path)
+    meta = _tindex_read_meta(spark, index_path)
+    postings, doclen = _tindex_live(spark, index_path, meta["superseded"])
+    out = {}
+    staged = {}
+    for sub, df in (("postings", postings), ("doclen", doclen)):
+        staging = f"{index_path}/{sub}__staging"
+        jvm_fs_delete(spark, staging)
+        kept = df.drop("batch") if "batch" in df.columns else df
+        kept.write.mode("overwrite").parquet(f"{staging}/batch=compacted")
+        out[sub] = int(
+            spark.read.parquet(f"{staging}/batch=compacted").count()
+        )
+        staged[sub] = staging
+    for sub in reversed(_TEXT_INDEX_SUBS):  # doclen (authority) last
+        live_path = f"{index_path}/{sub}"
+        old = f"{live_path}__old"
+        jvm_fs_delete(spark, old)
+        jvm_fs_rename(spark, live_path, old)
+        jvm_fs_rename(spark, staged[sub], live_path)
+        jvm_fs_delete(spark, old)
+        spark.catalog.refreshByPath(live_path)
+    _tindex_write_meta(
+        spark, index_path, int(meta["gen"]), 0, out["doclen"],
+        int(meta["l_live"]),
+    )
+    return out
+
+
+def text_index_maybe_compact(
+    spark, index_path: str, dead_ratio: float = 0.2, max_dead: int = 100_000
+) -> dict:
+    """Counter-driven compaction trigger (one meta-row read per tick
+    — the trigger-family contract)."""
+    meta = _tindex_read_meta(spark, index_path)
+    superseded = int(meta["superseded"])
+    n_live = max(int(meta["n_live"]), 1)
+    if superseded > max_dead or superseded / n_live > dead_ratio:
+        out = text_index_compact(spark, index_path)
+        return {"compacted": True, **out}
+    return {"compacted": False, "superseded": superseded}

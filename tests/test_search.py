@@ -81,3 +81,135 @@ def test_bm25_empty_and_unknown_terms(spark):
         index, _queries(spark, [("q", ["zzz", "qqq"])]), k=5
     )
     assert out.count() == 0
+
+
+def _persisted_queries(spark):
+    return _queries(
+        spark,
+        [("qa", ["cat", "dog"]), ("qb", ["fish", "stone"]),
+         ("qc", ["tree", "bird", "cat"])],
+    )
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BASE_ROWS = [
+    (1, "cat dog cat dog cat"),
+    (2, "cat bird fish tree house"),
+    (3, "tree house bird fish stone"),
+    (4, "cat cat cat cat cat cat cat"),
+    (5, "dog stone dog stone fish"),
+]
+
+
+def _want(spark, rows, k=5):
+    from gpt_rag_ingestion_spark.operators.search import build_text_index
+
+    idx = build_text_index(_corpus(spark, rows))
+    return sorted(
+        tuple(r) for r in bm25_topk(idx, _persisted_queries(spark), k=k).collect()
+    )
+
+
+def test_persisted_text_index_lifecycle(spark, tmp_path):
+    """build -> query == in-memory BM25; append (doc replacement) and
+    delete (purger tombstones) keep query results equal to a full
+    rebuild on the post-change corpus; compaction trigger preserves
+    results and restores the steady state."""
+    from gpt_rag_ingestion_spark.operators import search as X
+
+    path = str(tmp_path / "tindex")
+    X.text_index_build(_corpus(spark, BASE_ROWS), path)
+    got = sorted(
+        tuple(r)
+        for r in X.text_index_query(
+            spark, path, _persisted_queries(spark), k=5
+        ).collect()
+    )
+    assert got == _want(spark, BASE_ROWS)
+
+    # replace doc 2's text, add doc 6
+    changed = [(2, "stone stone stone tree"), (6, "dog fish dog")]
+    X.text_index_append(_corpus(spark, changed), path, "b1")
+    after = {r[0]: r for r in BASE_ROWS} | {r[0]: r for r in changed}
+    got = sorted(
+        tuple(r)
+        for r in X.text_index_query(
+            spark, path, _persisted_queries(spark), k=5
+        ).collect()
+    )
+    assert got == _want(spark, list(after.values()))
+
+    # purge docs 1 and 4
+    X.text_index_delete(
+        spark, path,
+        spark.createDataFrame([(1,), (4,)], "doc_id long"), "p1",
+    )
+    for d in (1, 4):
+        after.pop(d)
+    want = _want(spark, list(after.values()))
+    got = sorted(
+        tuple(r)
+        for r in X.text_index_query(
+            spark, path, _persisted_queries(spark), k=5
+        ).collect()
+    )
+    assert got == want
+
+    # trigger compacts (4 superseded docs vs 4 live: ratio >> 0.2)
+    out = X.text_index_maybe_compact(spark, path)
+    assert out["compacted"] is True
+    got = sorted(
+        tuple(r)
+        for r in X.text_index_query(
+            spark, path, _persisted_queries(spark), k=5
+        ).collect()
+    )
+    assert got == want
+    assert X.text_index_maybe_compact(spark, path)["compacted"] is False
+
+
+def test_persisted_text_index_append_crash_replay(
+    spark, tmp_path, monkeypatch
+):
+    """Crash BEFORE the meta commit: the gen-stamped orphan dirs are
+    pruned at the next entry, queries see the pre-crash state, and the
+    replayed append converges to the uncrashed twin byte-for-byte."""
+    import pytest as _pytest
+
+    from gpt_rag_ingestion_spark.operators import search as X
+
+    path = str(tmp_path / "tindex")
+    twin = str(tmp_path / "twin")
+    X.text_index_build(_corpus(spark, BASE_ROWS), path)
+    X.text_index_build(_corpus(spark, BASE_ROWS), twin)
+    batch = _corpus(spark, [(2, "stone stone stone tree")])
+
+    real = X._tindex_write_meta
+
+    def crash(*a, **kw):
+        raise RuntimeError("injected crash before meta commit")
+
+    monkeypatch.setattr(X, "_tindex_write_meta", crash)
+    with _pytest.raises(RuntimeError, match="injected"):
+        X.text_index_append(batch, path, "b1")
+    monkeypatch.setattr(X, "_tindex_write_meta", real)
+
+    # pre-crash state visible (orphan pruned on entry)
+    got = sorted(
+        tuple(r)
+        for r in X.text_index_query(
+            spark, path, _persisted_queries(spark), k=5
+        ).collect()
+    )
+    assert got == _want(spark, BASE_ROWS)
+
+    # replay, compare against the uncrashed twin
+    X.text_index_append(batch, path, "b1")
+    X.text_index_append(batch, twin, "b1")
+    q = _persisted_queries(spark)
+    a = sorted(tuple(r) for r in X.text_index_query(spark, path, q, k=5).collect())
+    b = sorted(tuple(r) for r in X.text_index_query(spark, twin, q, k=5).collect())
+    assert a == b
