@@ -71,6 +71,7 @@ def run_web_corpus_job(
     sidecar_auto_compact: bool = True,
     prior_domain_counts: DataFrame | None = None,
     corpus_sink: str = "swap",
+    text_index_path: str | None = None,
 ) -> DataFrame:
     """One batch through the web-corpus loop.  Returns the AUDIT
     relation — (id, domain, disposition, dup_of) for every input row,
@@ -107,6 +108,14 @@ def run_web_corpus_job(
     ranking in prior batches, so the cap bounds admissions over the
     stream's lifetime, not per batch (the streaming wrapper persists
     these counts).  Without it the cap is per-batch.
+
+    ``text_index_path`` maintains the persisted BM25 inverted index
+    alongside the corpus (operators/search lifecycle) — the reference
+    indexer's search-index upsert: first admitting batch bootstraps
+    from the post-merge corpus, later batches append under their own
+    label (replay-idempotent) and run the counter compaction trigger.
+    Retrieval then serves from ``text_index_query`` with no corpus
+    pass.
 
     ``corpus_sink`` selects the corpus table's commit protocol:
     ``"swap"`` = directory-swap merge (operators/upsert.py),
@@ -277,6 +286,33 @@ def run_web_corpus_job(
                         id_col, text_col
                     ),
                     sidecar_path, text_col=text_col, id_col=id_col,
+                )
+        if text_index_path is not None:
+            from gpt_rag_ingestion_spark.operators.search import (
+                text_index_append,
+                text_index_build,
+                text_index_maybe_compact,
+            )
+            from gpt_rag_ingestion_spark.operators.similarity import (
+                jvm_fs_exists,
+            )
+
+            if jvm_fs_exists(spark, f"{text_index_path}/meta"):
+                # replay-idempotent per batch_label (the reference
+                # indexer's upsert of the same docs into its search
+                # index); the counter trigger folds superseded rows
+                text_index_append(
+                    admitted.select(id_col, text_col), text_index_path,
+                    batch_label, text_col=text_col, id_col=id_col,
+                )
+                text_index_maybe_compact(spark, text_index_path)
+            else:
+                # bootstrap from the POST-MERGE corpus, like the sidecar
+                text_index_build(
+                    _read_corpus(spark, corpus_path, corpus_sink).select(
+                        id_col, text_col
+                    ),
+                    text_index_path, text_col=text_col, id_col=id_col,
                 )
     staged.unpersist()
     return audit

@@ -213,3 +213,43 @@ def test_persisted_text_index_append_crash_replay(
     a = sorted(tuple(r) for r in X.text_index_query(spark, path, q, k=5).collect())
     b = sorted(tuple(r) for r in X.text_index_query(spark, twin, q, k=5).collect())
     assert a == b
+
+
+def test_web_corpus_job_maintains_text_index(spark, tmp_path):
+    """run_web_corpus_job(text_index_path=...): the search index stays
+    query-consistent with the admitted corpus across batches — the
+    reference indexer's corpus+search-index co-upsert."""
+    from gpt_rag_ingestion_spark.operators import search as X
+    from gpt_rag_ingestion_spark.plans.web_corpus_job import (
+        run_web_corpus_job,
+    )
+
+    root = str(tmp_path)
+    for b in range(2):
+        batch = spark.createDataFrame(
+            [
+                (100 * b + j,
+                 f"https://d{j}.example/p{100 * b + j}",
+                 f"cat dog page body number {100 * b + j} " * 5)
+                for j in range(6)
+            ],
+            "doc_id long, url string, text string",
+        )
+        run_web_corpus_job(
+            spark, batch, f"{root}/corpus", f"{root}/shards/b{b}",
+            min_chars=10, batch_label=f"b{b}",
+            text_index_path=f"{root}/tindex",
+        )
+    corpus = spark.read.parquet(f"{root}/corpus")
+    n = corpus.count()
+    assert n == 12
+    q = _queries(spark, [("q", ["cat", "dog"])])
+    got = X.text_index_query(spark, f"{root}/tindex", q, k=50)
+    assert got.count() == n  # every admitted doc matches cat+dog
+    # equality with a fresh rebuild on the corpus table
+    want_idx = str(tmp_path / "rebuild")
+    X.text_index_build(corpus.select("doc_id", "text"), want_idx)
+    want = sorted(
+        tuple(r) for r in X.text_index_query(spark, want_idx, q, k=50).collect()
+    )
+    assert sorted(tuple(r) for r in got.collect()) == want
