@@ -41,6 +41,8 @@ PROBES = {
     "q115_shipping_priority": ("olap", "3-way join + TakeOrdered top-k"),
     "q125_fuzzy_linkage": ("linkage", "deletion-variant equi-join, output-proportional"),
     "q151_snapshot_merge": ("sink", "manifest commits: O(affected) writes"),
+    "q155_bm25_topk": ("search", "postings build + candidate-only scoring"),
+    "q157_text_index_lifecycle": ("search", "persisted index: build+upsert+tombstone+query"),
 }
 
 
