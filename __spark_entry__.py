@@ -3381,6 +3381,24 @@ def q157_text_index_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
     ).localCheckpoint()
 
 
+def q158_search_highlights(spark: SparkSession, sf: str) -> DataFrame:
+    """Hit highlighting over the BM25 top-k (the search service's
+    ``highlights`` field): earliest query-term occurrence per hit doc,
+    fixed-width snippet cut around it — string algebra on the hit set
+    only, never the corpus."""
+    from gpt_rag_ingestion_spark.operators.search import (
+        bm25_topk,
+        build_text_index,
+        highlight_snippets,
+    )
+
+    docs = _t(spark, sf, "documents")
+    index = build_text_index(docs, text_col="text", id_col="doc_id")
+    q = _bm25_query_df(spark)
+    hits = bm25_topk(index, q, k=5)
+    return highlight_snippets(hits, docs, q, snippet_chars=60)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries.  The window is curated to be (a) all
@@ -3480,6 +3498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q155_bm25_topk": q155_bm25_topk,
         "q156_hybrid_rrf": q156_hybrid_rrf,
         "q157_text_index_lifecycle": q157_text_index_lifecycle,
+        "q158_search_highlights": q158_search_highlights,
         "q150_cumulative_domain_cap": q150_cumulative_domain_cap,
         "q07_group_counts": q07_group_counts,
         "q08_distinct_cap": q08_distinct_cap,
@@ -6085,6 +6104,30 @@ def oracle_sql() -> dict[str, str]:
                          o_custkey % 256 AS x,
                          o_orderkey % 256 AS y
                   FROM orders) t
+        """,
+        "q158_search_highlights": f"""
+            WITH {_bm25_oracle_ctes()},
+            ranked AS (
+              SELECT query_id, doc, score_q,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY score_q DESC, doc ASC) AS rank
+              FROM scored),
+            hits AS (SELECT query_id, doc, rank FROM ranked
+                     WHERE rank <= 5),
+            qterms AS (SELECT DISTINCT query_id, token FROM qs),
+            hd AS (
+              SELECT h.query_id, h.rank, h.doc, lower(d.text) AS t
+              FROM hits h JOIN documents d ON d.doc_id = h.doc),
+            pos AS (
+              SELECT hd.query_id, hd.rank, hd.doc, hd.t,
+                CAST(COALESCE(MIN(CASE WHEN strpos(hd.t, q.token) > 0
+                        THEN strpos(hd.t, q.token) END), 1) AS BIGINT)
+                  AS match_pos
+              FROM hd JOIN qterms q USING (query_id)
+              GROUP BY hd.query_id, hd.rank, hd.doc, hd.t)
+            SELECT query_id, rank, doc, match_pos,
+              substr(t, GREATEST(1, match_pos - 30), 60) AS snippet
+            FROM pos
         """,
         "q157_text_index_lifecycle": f"""
             WITH {_bm25_oracle_ctes(

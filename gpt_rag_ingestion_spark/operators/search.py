@@ -526,3 +526,44 @@ def text_index_maybe_compact(
         out = text_index_compact(spark, index_path)
         return {"compacted": True, **out}
     return {"compacted": False, "superseded": superseded}
+
+
+def highlight_snippets(
+    hits: DataFrame,
+    docs: DataFrame,
+    queries: DataFrame,
+    snippet_chars: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Hit highlighting (the search service's ``highlights`` field):
+    for each (query, doc) hit, locate the EARLIEST occurrence of any
+    query term in the lowercased document and cut a ``snippet_chars``
+    window starting there.
+
+    Pure string algebra — one locate() per query term (a handful) on
+    the HIT documents only (semi-joined, never the corpus), folded
+    with array_min.  A hit whose terms do not appear verbatim (e.g.
+    matched via a later chunk) snips from the start.  Output:
+    (query_id, rank, doc, match_pos, snippet)."""
+    hit_docs = docs.select(
+        F.col(id_col).alias("doc"), F.lower(F.col(text_col)).alias("_t")
+    ).join(F.broadcast(hits.select("doc").distinct()), "doc", "left_semi")
+    joined = hits.join(F.broadcast(queries), query_id_col).join(
+        hit_docs.hint("shuffle_hash"), "doc"
+    )
+    pos = F.expr(
+        f"coalesce(array_min(filter(transform({terms_col}, "
+        "t -> locate(t, _t)), p -> p > 0)), 1)"
+    )
+    staged = joined.withColumn("match_pos", pos.cast("long"))
+    snippet = F.expr(
+        f"substring(_t, greatest(1, match_pos - {int(snippet_chars) // 2}), "
+        f"{int(snippet_chars)})"
+    )
+    return staged.select(
+        query_id_col, "rank", "doc", "match_pos",
+        snippet.alias("snippet"),
+    )

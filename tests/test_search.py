@@ -253,3 +253,29 @@ def test_web_corpus_job_maintains_text_index(spark, tmp_path):
         tuple(r) for r in X.text_index_query(spark, want_idx, q, k=50).collect()
     )
     assert sorted(tuple(r) for r in got.collect()) == want
+
+
+def test_highlight_snippets_window(spark):
+    from gpt_rag_ingestion_spark.operators.search import (
+        bm25_topk,
+        build_text_index,
+        highlight_snippets,
+    )
+
+    docs = _corpus(
+        spark,
+        [(1, "x " * 40 + "needle in the haystack " + "y " * 40),
+         (2, "needle first word")],
+    )
+    idx = build_text_index(docs)
+    q = _queries(spark, [("q", ["needle"])])
+    hits = bm25_topk(idx, q, k=5)
+    out = {
+        r["doc"]: r
+        for r in highlight_snippets(hits, docs, q, snippet_chars=20).collect()
+    }
+    assert "needle" in out[1]["snippet"]
+    assert out[1]["match_pos"] == 81  # after 40 "x " pairs
+    assert out[2]["match_pos"] == 1
+    assert out[2]["snippet"].startswith("needle")
+    assert all(len(r["snippet"]) <= 20 for r in out.values())
