@@ -125,8 +125,12 @@ def char_coverage(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ).alias("cum_n"),
     )
+    # literals cast to LONG: int32 literals would constant-fold the
+    # total*num product in 32-bit and overflow past ~215k corpus chars
     in_vocab = (
-        (F.col("cum_n") - F.col("n")) * F.lit(int(coverage_den))
-        < F.lit(int(total)) * F.lit(int(coverage_num))
+        (F.col("cum_n") - F.col("n"))
+        * F.lit(int(coverage_den)).cast("long")
+        < F.lit(int(total)).cast("long")
+        * F.lit(int(coverage_num)).cast("long")
     )
     return ranked.select("ch", "n", "rank", in_vocab.alias("in_vocab"))
