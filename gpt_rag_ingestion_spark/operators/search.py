@@ -48,6 +48,19 @@ RRF_SCALE = 1_000_000
 RRF_K = 60
 
 
+def _idf_scale(n_docs: int) -> int:
+    """Integer headroom guard: the largest intermediate is
+    ~n * S * 44 * tf (tf ≤ doc length).  S = 1e6 is exact-safe to
+    ~10M docs with generous tf; beyond that drop S so the product
+    stays far below 2^63.  Deterministic given the corpus size, so
+    oracles reproduce it by the same rule."""
+    if n_docs < 10_000_000:
+        return IDF_SCALE
+    if n_docs < 10_000_000_000:
+        return 10_000
+    return 100
+
+
 def build_text_index(
     chunks: DataFrame,
     text_col: str = "text",
@@ -95,6 +108,7 @@ def bm25_topk(
     from pyspark.sql import Window
 
     n, l = index["n_docs"], index["total_len"]
+    scale = _idf_scale(n)
     qterms = queries.select(
         F.col(query_id_col), F.explode(F.col(terms_col)).alias("token")
     ).distinct()
@@ -105,7 +119,7 @@ def bm25_topk(
         .join(index["doclen"].hint("shuffle_hash"), "doc")
     )
     term_q = F.expr(
-        f"((({n} - df + 1) * {IDF_SCALE}) div (df + 1)) * 44 * tf"
+        f"((({n} - df + 1) * {scale}) div (df + 1)) * 44 * tf"
         f" div (20 * tf + 6 + ((18 * dl * {n}) div {max(l, 1)}))"
     )
     scored = (
@@ -442,6 +456,7 @@ def text_index_query(
     meta = _tindex_read_meta(spark, index_path)
     postings, doclen = _tindex_live(spark, index_path, meta["superseded"])
     n, l = int(meta["n_live"]), int(meta["l_live"])
+    scale = _idf_scale(n)
 
     qterms = queries.select(
         F.col(query_id_col), F.explode(F.col(terms_col)).alias("token")
@@ -460,7 +475,7 @@ def text_index_query(
         .join(F.broadcast(dfreq), "token")
     )
     term_q = F.expr(
-        f"((({n} - df + 1) * {IDF_SCALE}) div (df + 1)) * 44 * tf"
+        f"((({n} - df + 1) * {scale}) div (df + 1)) * 44 * tf"
         f" div (20 * tf + 6 + ((18 * dl * {n}) div {max(l, 1)}))"
     )
     scored = (
