@@ -3399,6 +3399,27 @@ def q158_search_highlights(spark: SparkSession, sf: str) -> DataFrame:
     return highlight_snippets(hits, docs, q, snippet_chars=60)
 
 
+def q159_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact phrase search (operators/search.phrase_topk — the quoted-
+    query mode the search service offers): position-shift equi-join,
+    phrase occurrence = a base offset where every term of the phrase
+    landed.  Pure integer relational algebra, one corpus explode."""
+    from gpt_rag_ingestion_spark.operators.search import phrase_topk
+
+    docs = _t(spark, sf, "documents")
+    phrases = spark.createDataFrame(
+        [
+            ("p0", ["table", "scan"]),
+            ("p1", ["fast", "table"]),
+            ("p2", ["the", "line"]),
+            ("p3", ["value", "fast", "merge"]),
+            ("p4", ["a", "a"]),
+        ],
+        "phrase_id string, terms array<string>",
+    )
+    return phrase_topk(docs, phrases, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries.  The window is curated to be (a) all
@@ -3499,6 +3520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q156_hybrid_rrf": q156_hybrid_rrf,
         "q157_text_index_lifecycle": q157_text_index_lifecycle,
         "q158_search_highlights": q158_search_highlights,
+        "q159_phrase_search": q159_phrase_search,
         "q150_cumulative_domain_cap": q150_cumulative_domain_cap,
         "q07_group_counts": q07_group_counts,
         "q08_distinct_cap": q08_distinct_cap,
@@ -6104,6 +6126,42 @@ def oracle_sql() -> dict[str, str]:
                          o_custkey % 256 AS x,
                          o_orderkey % 256 AS y
                   FROM orders) t
+        """,
+        "q159_phrase_search": """
+            WITH toks AS (
+              SELECT doc_id AS doc, s.i - 1 AS pos, ws[s.i] AS token
+              FROM (SELECT doc_id,
+                      list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x != '') AS ws
+                    FROM documents) d,
+                unnest(range(1, len(ws) + 1)) AS s(i)),
+            ph(phrase_id, i, token, m) AS (VALUES
+              ('p0', 0, 'table', 2), ('p0', 1, 'scan', 2),
+              ('p1', 0, 'fast', 2), ('p1', 1, 'table', 2),
+              ('p2', 0, 'the', 2), ('p2', 1, 'line', 2),
+              ('p3', 0, 'value', 3), ('p3', 1, 'fast', 3),
+              ('p3', 2, 'merge', 3),
+              ('p4', 0, 'a', 2), ('p4', 1, 'a', 2)),
+            cand AS (
+              SELECT ph.phrase_id, t.doc, ph.m,
+                t.pos - ph.i AS base, ph.i
+              FROM toks t JOIN ph USING (token)),
+            occ AS (
+              SELECT phrase_id, doc, m, base,
+                COUNT(DISTINCT i) AS hits
+              FROM cand GROUP BY phrase_id, doc, m, base
+              HAVING COUNT(DISTINCT i) = m),
+            tf AS (
+              SELECT phrase_id, doc,
+                CAST(COUNT(*) AS BIGINT) AS phrase_tf
+              FROM occ GROUP BY phrase_id, doc),
+            ranked AS (
+              SELECT phrase_id, doc, phrase_tf,
+                row_number() OVER (PARTITION BY phrase_id
+                  ORDER BY phrase_tf DESC, doc ASC) AS rank
+              FROM tf)
+            SELECT phrase_id, rank, doc, phrase_tf
+            FROM ranked WHERE rank <= 10
         """,
         "q158_search_highlights": f"""
             WITH {_bm25_oracle_ctes()},

@@ -582,3 +582,61 @@ def highlight_snippets(
         query_id_col, "rank", "doc", "match_pos",
         snippet.alias("snippet"),
     )
+
+
+def phrase_topk(
+    docs: DataFrame,
+    phrases: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    phrase_id_col: str = "phrase_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Exact PHRASE search (the search service's quoted-query mode):
+    a phrase of m words matches at base position b iff term i appears
+    at b+i for every i — found relationally with the classic
+    position-shift trick: explode (doc, pos, token) once, join the
+    exploded (phrase, i, term) list on token, normalize each hit to
+    ``base = pos - i``, and a base where ALL m terms landed is a
+    phrase occurrence (COUNT(DISTINCT i) = m).  One corpus explode +
+    two groupBys — no per-phrase scan, no UDF, and repeated words
+    inside a phrase ("the the") are handled because i is counted
+    distinct, not tokens.
+
+    Output: (phrase_id, rank, doc, phrase_tf) — top-k docs per phrase
+    by occurrence count, ties (tf desc, doc asc)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
+        ).alias("pos", "token"),
+    )
+    pterm = phrases.select(
+        F.col(phrase_id_col),
+        F.size(F.col(terms_col)).alias("_m"),
+        F.posexplode(F.col(terms_col)).alias("i", "token"),
+    )
+    cand = toks.join(F.broadcast(pterm), "token").select(
+        phrase_id_col, "doc", "_m",
+        (F.col("pos") - F.col("i")).alias("base"),
+        F.col("i"),
+    )
+    occ = (
+        cand.groupBy(phrase_id_col, "doc", "_m", "base")
+        .agg(F.count_distinct("i").alias("_hits"))
+        .filter(F.col("_hits") == F.col("_m"))
+    )
+    tf = occ.groupBy(phrase_id_col, "doc").agg(
+        F.count(F.lit(1)).cast("long").alias("phrase_tf")
+    )
+    w = Window.partitionBy(phrase_id_col).orderBy(
+        F.desc("phrase_tf"), F.asc("doc")
+    )
+    return (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(phrase_id_col, "rank", "doc", "phrase_tf")
+    )

@@ -279,3 +279,33 @@ def test_highlight_snippets_window(spark):
     assert out[2]["match_pos"] == 1
     assert out[2]["snippet"].startswith("needle")
     assert all(len(r["snippet"]) <= 20 for r in out.values())
+
+
+def test_phrase_topk_semantics(spark):
+    from gpt_rag_ingestion_spark.operators.search import phrase_topk
+
+    docs = _corpus(
+        spark,
+        [
+            (1, "big cat sat big cat sat big cat"),
+            (2, "cat big sat"),        # both words, wrong order
+            (3, "big dog and a cat"),  # both words, not adjacent
+            (4, "big big big"),        # repeated-word phrase fodder
+        ],
+    )
+    phrases = spark.createDataFrame(
+        [("pa", ["big", "cat"]), ("pb", ["big", "big"]),
+         ("pc", ["sat", "big", "cat"])],
+        "phrase_id string, terms array<string>",
+    )
+    out = phrase_topk(docs, phrases, k=5)
+    got = {
+        (r["phrase_id"], r["doc"]): (r["rank"], r["phrase_tf"])
+        for r in out.collect()
+    }
+    assert got[("pa", 1)] == (1, 3)      # three adjacent "big cat"
+    assert ("pa", 2) not in got          # order matters
+    assert ("pa", 3) not in got          # adjacency matters
+    assert got[("pb", 4)] == (1, 2)      # "big big big" -> 2 overlapping
+    assert ("pb", 1) not in got          # "big cat" never adjacent bigs
+    assert got[("pc", 1)] == (1, 2)      # "sat big cat" twice
