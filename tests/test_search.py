@@ -309,3 +309,46 @@ def test_phrase_topk_semantics(spark):
     assert got[("pb", 4)] == (1, 2)      # "big big big" -> 2 overlapping
     assert ("pb", 1) not in got          # "big cat" never adjacent bigs
     assert got[("pc", 1)] == (1, 2)      # "sat big cat" twice
+
+
+def test_phrase_topk_matches_bruteforce_on_random_docs(spark):
+    """Property check: position-shift phrase matching equals a python
+    brute-force overlap count on random word-soup docs."""
+    import random
+
+    rng = random.Random(11)
+    vocab = ["a", "b", "c", "d"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 30))))
+        for i in range(40)
+    ]
+    phrase_sets = [
+        ("p0", ["a", "b"]), ("p1", ["b", "b"]), ("p2", ["c", "a", "c"]),
+        ("p3", ["d"]),
+    ]
+
+    def brute(text, terms):
+        ws = text.split()
+        m = len(terms)
+        return sum(
+            1 for b in range(len(ws) - m + 1) if ws[b:b + m] == terms
+        )
+
+    want = {}
+    for pid, terms in phrase_sets:
+        for i, text in rows:
+            tf = brute(text, terms)
+            if tf > 0:
+                want[(pid, i)] = tf
+
+    from gpt_rag_ingestion_spark.operators.search import phrase_topk
+
+    docs = _corpus(spark, rows)
+    phrases = spark.createDataFrame(
+        phrase_sets, "phrase_id string, terms array<string>"
+    )
+    got = {
+        (r["phrase_id"], r["doc"]): r["phrase_tf"]
+        for r in phrase_topk(docs, phrases, k=1000).collect()
+    }
+    assert got == want

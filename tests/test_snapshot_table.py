@@ -225,3 +225,56 @@ def test_time_travel_and_schema_evolution(spark, tmp_path):
         S.read_snapshot_table(spark, snap, at_gen=g1)
     assert S.read_snapshot_table(spark, snap).count() == 80
     assert g2 == g1 + 1
+
+
+def test_model_based_random_op_sequences(spark, tmp_path):
+    """Model-based check: random merge/delete/optimize/vacuum
+    sequences against a plain dict model of MERGE semantics — the
+    snapshot table must agree after every committed step."""
+    import random
+
+    rng = random.Random(7)
+    snap = str(tmp_path / "snap")
+    model: dict[int, tuple] = {}
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "parent_id long, bucket long, v long"
+        )
+
+    S.snapshot_merge_upsert(
+        spark, snap, mk([(i, i % 3, i) for i in range(10)]),
+        partition_cols=["bucket"],
+    )
+    model.update({i: (i, i % 3, i) for i in range(10)})
+
+    for step in range(12):
+        op = rng.choice(["merge", "merge", "delete", "optimize", "vacuum"])
+        if op == "merge":
+            rows = [
+                (k, k % 3, rng.randrange(1000))
+                for k in rng.sample(range(30), rng.randint(1, 6))
+            ]
+            S.snapshot_merge_upsert(
+                spark, snap, mk(rows), partition_cols=["bucket"]
+            )
+            model.update({r[0]: r for r in rows})
+        elif op == "delete" and model:
+            doomed = rng.sample(sorted(model), min(3, len(model)))
+            S.snapshot_delete_keys(
+                spark, snap,
+                spark.createDataFrame([(d,) for d in doomed], "parent_id long"),
+                partition_cols=["bucket"],
+            )
+            for d in doomed:
+                model.pop(d)
+        elif op == "optimize":
+            S.snapshot_optimize(spark, snap, partition_cols=["bucket"])
+        else:
+            S.snapshot_vacuum(spark, snap)
+        got = sorted(
+            tuple(r)
+            for r in S.read_snapshot_table(spark, snap)
+            .select("parent_id", "bucket", "v").collect()
+        )
+        assert got == sorted(model.values()), f"diverged at step {step} ({op})"
