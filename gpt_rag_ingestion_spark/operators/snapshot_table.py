@@ -217,6 +217,13 @@ def snapshot_merge_upsert(
     _fs_delete(spark, new_dir)  # debris of an uncommitted crash
 
     if cur is None:
+        if partition_cols and incoming.isEmpty():
+            # a partitioned empty write leaves no partition dirs (and
+            # no schema) — there is nothing to commit or read back
+            raise ValueError(
+                "cannot initialize a partitioned snapshot table from "
+                "an empty DataFrame"
+            )
         writer = incoming.write.mode("overwrite")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)

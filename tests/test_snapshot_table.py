@@ -278,3 +278,14 @@ def test_model_based_random_op_sequences(spark, tmp_path):
             .select("parent_id", "bucket", "v").collect()
         )
         assert got == sorted(model.values()), f"diverged at step {step} ({op})"
+
+
+def test_partitioned_empty_init_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="empty DataFrame"):
+        S.snapshot_merge_upsert(
+            spark, str(tmp_path / "s"), _inc(spark, 0, 0),
+            partition_cols=["bucket"],
+        )
+    # unpartitioned empty init is fine (schema-bearing empty parquet)
+    S.snapshot_merge_upsert(spark, str(tmp_path / "u"), _inc(spark, 0, 0))
+    assert S.read_snapshot_table(spark, str(tmp_path / "u")).count() == 0
