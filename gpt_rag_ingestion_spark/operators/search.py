@@ -112,10 +112,18 @@ def bm25_topk(
     qterms = queries.select(
         F.col(query_id_col), F.explode(F.col(terms_col)).alias("token")
     ).distinct()
+    # dfreq restricted to the query tokens BEFORE broadcasting — the
+    # full table is |vocabulary| rows (easily 100M+ at web scale, a
+    # broadcast that would not fit); the restricted one is a handful.
+    # The doclen join stays a shuffle-hash of one compact (doc, dl)
+    # table — bounded by doc count, never text.
+    qdf = index["dfreq"].join(
+        F.broadcast(qterms.select("token").distinct()), "token", "left_semi"
+    )
     cand = (
         index["postings"]
         .join(F.broadcast(qterms), "token")
-        .join(F.broadcast(index["dfreq"]), "token")
+        .join(F.broadcast(qdf), "token")
         .join(index["doclen"].hint("shuffle_hash"), "doc")
     )
     term_q = F.expr(
