@@ -3420,6 +3420,23 @@ def q159_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
     return phrase_topk(docs, phrases, k=10)
 
 
+def q160_suggest_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Autocomplete suggester (operators/search.suggest_terms): top-5
+    index terms per prefix by document frequency — the search
+    service's suggest endpoint over the engine's own dfreq table."""
+    from gpt_rag_ingestion_spark.operators.search import (
+        build_text_index,
+        suggest_terms,
+    )
+
+    docs = _t(spark, sf, "documents")
+    index = build_text_index(docs, text_col="text", id_col="doc_id")
+    prefixes = spark.createDataFrame(
+        [("s",), ("ta",), ("f",), ("c",), ("b",)], "prefix string"
+    )
+    return suggest_terms(index, prefixes, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries.  The window is curated to be (a) all
@@ -3521,6 +3538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q157_text_index_lifecycle": q157_text_index_lifecycle,
         "q158_search_highlights": q158_search_highlights,
         "q159_phrase_search": q159_phrase_search,
+        "q160_suggest_terms": q160_suggest_terms,
         "q150_cumulative_domain_cap": q150_cumulative_domain_cap,
         "q07_group_counts": q07_group_counts,
         "q08_distinct_cap": q08_distinct_cap,
@@ -6126,6 +6144,27 @@ def oracle_sql() -> dict[str, str]:
                          o_custkey % 256 AS x,
                          o_orderkey % 256 AS y
                   FROM orders) t
+        """,
+        "q160_suggest_terms": """
+            WITH toks AS (
+              SELECT doc_id AS doc, t.token
+              FROM documents,
+                unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x != '')) AS t(token)),
+            dfreq AS (
+              SELECT token, CAST(COUNT(DISTINCT doc) AS BIGINT) AS df
+              FROM toks GROUP BY token),
+            pf(prefix) AS (VALUES ('s'), ('ta'), ('f'), ('c'), ('b')),
+            cand AS (
+              SELECT pf.prefix, d.token, d.df
+              FROM dfreq d JOIN pf ON starts_with(d.token, pf.prefix)),
+            ranked AS (
+              SELECT prefix, token, df,
+                row_number() OVER (PARTITION BY prefix
+                  ORDER BY df DESC, token ASC) AS rank
+              FROM cand)
+            SELECT prefix, rank, token, df
+            FROM ranked WHERE rank <= 5
         """,
         "q159_phrase_search": """
             WITH toks AS (

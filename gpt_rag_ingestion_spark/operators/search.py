@@ -648,3 +648,31 @@ def phrase_topk(
         .filter(F.col("rank") <= int(k))
         .select(phrase_id_col, "rank", "doc", "phrase_tf")
     )
+
+
+def suggest_terms(
+    index: dict,
+    prefixes: DataFrame,
+    k: int = 5,
+    prefix_col: str = "prefix",
+) -> DataFrame:
+    """Autocomplete (the search service's suggester): top-``k`` index
+    terms per prefix by document frequency, ties alphabetical.  The
+    dfreq table is |vocabulary|-sized; the prefix probe is a broadcast
+    of the (tiny) prefix set against it — one scan, no corpus touch.
+    A production deployment additionally range-partitions dfreq by
+    token so the startswith predicate prunes files."""
+    from pyspark.sql import Window
+
+    cand = index["dfreq"].join(
+        F.broadcast(prefixes.select(prefix_col).distinct()),
+        F.col("token").startswith(F.col(prefix_col)),
+    )
+    w = Window.partitionBy(prefix_col).orderBy(
+        F.desc("df"), F.asc("token")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(prefix_col, "rank", "token", "df")
+    )
