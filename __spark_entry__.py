@@ -3437,6 +3437,38 @@ def q160_suggest_terms(spark: SparkSession, sf: str) -> DataFrame:
     return suggest_terms(index, prefixes, k=5)
 
 
+def q161_span_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-tree rollup (operators/tracing — the offline analog of the
+    reference's OTel telemetry): flame-graph SELF time = duration
+    minus direct children's, aggregated per span name.  Run over a
+    deterministic synthetic trace forest derived from orders (every
+    %4==0 order is a root; its 3 successors are children), so the
+    trace algebra itself is hash-checked — the live SpanRecorder
+    clock is unit-tested instead."""
+    from gpt_rag_ingestion_spark.operators.tracing import span_rollup
+
+    orders = _t(spark, sf, "orders")
+    spans = orders.select(
+        F.concat(F.lit("t"), (F.col("o_custkey") % 50).cast("string")).alias(
+            "trace_id"
+        ),
+        F.col("o_orderkey").cast("long").alias("span_id"),
+        F.when(
+            F.col("o_orderkey") % 4 == 0, F.lit(None).cast("long")
+        ).otherwise(
+            (F.col("o_orderkey") - F.col("o_orderkey") % 4).cast("long")
+        ).alias("parent_id"),
+        F.concat(F.lit("phase"), (F.col("o_orderkey") % 4).cast("string")).alias(
+            "name"
+        ),
+        F.lit(0).cast("long").alias("start_ms"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("dur_ms"),
+        (F.col("o_orderkey") % 13 != 0).alias("ok"),
+        F.create_map().cast("map<string,string>").alias("attrs"),
+    )
+    return span_rollup(spans)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries.  The window is curated to be (a) all
@@ -3539,6 +3571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_search_highlights": q158_search_highlights,
         "q159_phrase_search": q159_phrase_search,
         "q160_suggest_terms": q160_suggest_terms,
+        "q161_span_rollup": q161_span_rollup,
         "q150_cumulative_domain_cap": q150_cumulative_domain_cap,
         "q07_group_counts": q07_group_counts,
         "q08_distinct_cap": q08_distinct_cap,
@@ -6144,6 +6177,35 @@ def oracle_sql() -> dict[str, str]:
                          o_custkey % 256 AS x,
                          o_orderkey % 256 AS y
                   FROM orders) t
+        """,
+        "q161_span_rollup": """
+            WITH spans AS (
+              SELECT 't' || CAST(o_custkey % 50 AS VARCHAR) AS trace_id,
+                CAST(o_orderkey AS BIGINT) AS span_id,
+                CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                     ELSE CAST(o_orderkey - o_orderkey % 4 AS BIGINT)
+                END AS parent_id,
+                'phase' || CAST(o_orderkey % 4 AS VARCHAR) AS name,
+                CAST(floor(o_totalprice) AS BIGINT) AS dur_ms,
+                o_orderkey % 13 != 0 AS ok
+              FROM orders),
+            kids AS (
+              SELECT trace_id, parent_id AS span_id,
+                SUM(dur_ms) AS child_ms
+              FROM spans WHERE parent_id IS NOT NULL
+              GROUP BY trace_id, parent_id),
+            enriched AS (
+              SELECT s.name, s.dur_ms, s.ok,
+                GREATEST(CAST(0 AS BIGINT),
+                  s.dur_ms - COALESCE(k.child_ms, 0)) AS self_ms
+              FROM spans s
+              LEFT JOIN kids k USING (trace_id, span_id))
+            SELECT name, CAST(COUNT(*) AS BIGINT) AS n_calls,
+              CAST(SUM(dur_ms) AS BIGINT) AS total_ms,
+              CAST(SUM(self_ms) AS BIGINT) AS self_ms,
+              CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_failed
+            FROM enriched GROUP BY name
         """,
         "q160_suggest_terms": """
             WITH toks AS (
