@@ -52,6 +52,7 @@ def run_ingest_job(
     ops_table_path: str | None = None,
     rollup_path: str | None = None,
     partition_cols: list[str] | None = None,
+    recorder=None,
 ) -> DataFrame:
     """One incremental ingest run.  Returns the run-summary DataFrame
     (A2 counters); side effect: the chunks table at ``table_path`` is
@@ -88,6 +89,13 @@ def run_ingest_job(
     ``source_docs`` (it is carried through chunking unchanged) or be
     ``ingest_date``."""
     import time as _time
+    from contextlib import nullcontext
+
+    def _sp(name, **attrs):
+        # phase spans for the optional operators/tracing.SpanRecorder
+        # (the reference's OTel layer records the same phase tree,
+        # telemetry/telemetry.py); no-op when tracing is off
+        return recorder.span(name, **attrs) if recorder is not None else nullcontext()
 
     _t_wall = _time.monotonic()
     # 1. index-state watermarks from the existing chunks table (A1/S9)
@@ -145,7 +153,8 @@ def run_ingest_job(
         ).withColumnRenamed("file_key", "parent_id")
 
     candidates = candidates.cache()
-    n_candidates = candidates.count()
+    with _sp("scan_freshness", run=run_id):
+        n_candidates = candidates.count()
 
     # 4. chunk + embed (narrow map); per-doc split seconds measured
     # inside the UDF when ops logging is on
@@ -186,7 +195,8 @@ def run_ingest_job(
     )
     summary = run_summary(per_file)
     summary_schema = summary.schema
-    summary_rows = summary.collect()
+    with _sp("chunk_embed", run=run_id):
+        summary_rows = summary.collect()
 
     # 5b. per-file ops rows (timings + costEstimate populated) —
     # written to the ops table pre-merge for the same cache-invalidation
@@ -195,9 +205,10 @@ def run_ingest_job(
     # only driver value is the single summed chunk-seconds scalar.
     tracked_sec = 0.0
     if ops_table_path:
-        tracked_sec = _write_per_file_ops(
-            spark, chunks, run_id, ops_table_path
-        )
+        with _sp("ops_log", run=run_id):
+            tracked_sec = _write_per_file_ops(
+                spark, chunks, run_id, ops_table_path
+            )
 
     # 5c. incremental dashboard-rollup maintenance (IVM): staged from
     # the PRE-merge table + the increment, swapped in after the merge
@@ -213,10 +224,11 @@ def run_ingest_job(
     # column is ops-only and never lands in the chunks table
     _t_upload = _time.monotonic()
     if n_candidates > 0:
-        merge_upsert(
-            spark, table_path, chunks.drop("_chunk_sec"), key="parent_id",
-            partition_cols=partition_cols,
-        )
+        with _sp("merge", run=run_id):
+            merge_upsert(
+                spark, table_path, chunks.drop("_chunk_sec"), key="parent_id",
+                partition_cols=partition_cols,
+            )
     upload_sec = round(_time.monotonic() - _t_upload, 3)
 
     if rollup_staging is not None:

@@ -57,3 +57,33 @@ def test_critical_path_follows_heaviest_child(spark):
         for r in critical_path(_tree(spark)).collect()
     ]
     assert path == [(0, "root"), (1, "a"), (2, "leaf")]
+
+
+def test_ingest_job_records_phase_spans(spark, tmp_path):
+    """run_ingest_job(recorder=...): the phase tree lands in the
+    recorder and rolls up — the reference's per-run OTel trace."""
+    from pyspark.sql import functions as F
+
+    from gpt_rag_ingestion_spark.plans.ingest_job import run_ingest_job
+
+    docs = spark.range(0, 8).select(
+        F.concat(F.lit("doc-"), F.col("id").cast("string")).alias("doc_key"),
+        F.concat(F.lit("body text "), F.col("id").cast("string")).alias("text"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("last_modified"),
+    )
+    rec = SpanRecorder("run-1")
+    with rec.span("ingest_job", run="run-1"):
+        run_ingest_job(
+            spark, docs, str(tmp_path / "chunks"), "run-1",
+            min_tokens=1, recorder=rec,
+        )
+    df = rec.spans_df(spark)
+    names = {r["name"] for r in df.collect()}
+    assert {"ingest_job", "scan_freshness", "chunk_embed", "merge"} <= names
+    roll = {r["name"]: r for r in span_rollup(df).collect()}
+    assert roll["ingest_job"]["n_calls"] == 1
+    assert roll["ingest_job"]["self_ms"] <= roll["ingest_job"]["total_ms"]
+    path = [
+        r["name"] for r in critical_path(df).collect()
+    ]
+    assert path[0] == "ingest_job" and len(path) == 2
