@@ -409,16 +409,41 @@ def snapshot_maybe_optimize(
     return {"optimized": True, "generations_before": n, **gc}
 
 
-def snapshot_vacuum(spark: SparkSession, table_path: str) -> dict:
-    """Garbage-collect generations no manifest pointer references and
-    superseded manifest files.  The ONLY destructive operation in the
-    format — run it when no reader still holds a pre-vacuum snapshot
-    (the retention knob of every lakehouse, minimal form)."""
+def snapshot_vacuum(
+    spark: SparkSession, table_path: str, keep_snapshots: int = 1
+) -> dict:
+    """Garbage-collect unreferenced generations and superseded
+    manifests.  The ONLY destructive operation in the format — the
+    retention knob of every lakehouse, minimal form.
+
+    ``keep_snapshots`` (≥ 1) retains the newest N committed snapshots:
+    their manifests stay readable for TIME TRAVEL (``at_gen``) and
+    every generation any retained manifest references survives.  The
+    default 1 keeps only the current snapshot (most aggressive); raise
+    it to give concurrent readers / auditors a window."""
     cur = _current_gen(spark, table_path)
     if cur is None:
         return {"removed_gens": 0, "removed_manifests": 0}
-    manifest = _read_manifest(spark, table_path, cur)
-    referenced = set(manifest["partitions"].values())
+    keep = max(1, int(keep_snapshots))
+    # retained manifests = the newest `keep` that actually exist
+    mdir_fs, mdir = _hfs(spark, f"{table_path}/_manifests")
+    manifest_gens = []
+    if mdir_fs.exists(mdir):
+        for st in mdir_fs.listStatus(mdir):
+            name = st.getPath().getName()
+            if name.endswith(".json"):
+                try:
+                    manifest_gens.append(int(name[:-5]))
+                except ValueError:
+                    continue
+    manifest_gens.sort(reverse=True)
+    retained = {g for g in manifest_gens if g <= cur}
+    retained = set(sorted(retained, reverse=True)[:keep]) | {cur}
+    referenced: set[str] = set()
+    for g in retained:
+        referenced |= set(
+            _read_manifest(spark, table_path, g)["partitions"].values()
+        )
     fs, root = _hfs(spark, table_path)
     removed_gens = 0
     for st in fs.listStatus(root):
@@ -432,11 +457,14 @@ def snapshot_vacuum(spark: SparkSession, table_path: str) -> dict:
             fs.delete(st.getPath(), True)
             removed_gens += 1
     removed_manifests = 0
-    mdir_fs, mdir = _hfs(spark, f"{table_path}/_manifests")
     if mdir_fs.exists(mdir):
         for st in mdir_fs.listStatus(mdir):
             name = st.getPath().getName()
-            if name.endswith(".json") and int(name[:-5]) < cur:
+            if (
+                name.endswith(".json")
+                and int(name[:-5]) < cur
+                and int(name[:-5]) not in retained
+            ):
                 mdir_fs.delete(st.getPath(), False)
                 removed_manifests += 1
     return {"removed_gens": removed_gens, "removed_manifests": removed_manifests}

@@ -289,3 +289,32 @@ def test_partitioned_empty_init_raises(spark, tmp_path):
     # unpartitioned empty init is fine (schema-bearing empty parquet)
     S.snapshot_merge_upsert(spark, str(tmp_path / "u"), _inc(spark, 0, 0))
     assert S.read_snapshot_table(spark, str(tmp_path / "u")).count() == 0
+
+
+def test_vacuum_retention_keeps_time_travel_window(spark, tmp_path):
+    """keep_snapshots=N: the newest N snapshots stay readable after
+    vacuum; older ones are gone."""
+    snap = str(tmp_path / "snap")
+    gens = []
+    for lo, hi, mul in ((0, 20, 7), (10, 30, 9), (0, 5, 11), (25, 40, 13)):
+        gens.append(
+            S.snapshot_merge_upsert(
+                spark, snap, _inc(spark, lo, hi, mul),
+                partition_cols=["bucket"],
+            )
+        )
+    want_g3 = _rows(S.read_snapshot_table(spark, snap, at_gen=gens[2]))
+    want_g4 = _rows(S.read_snapshot_table(spark, snap, at_gen=gens[3]))
+
+    S.snapshot_vacuum(spark, snap, keep_snapshots=2)
+    # newest two retained, older gone
+    assert _rows(S.read_snapshot_table(spark, snap, at_gen=gens[2])) == want_g3
+    assert _rows(S.read_snapshot_table(spark, snap, at_gen=gens[3])) == want_g4
+    with pytest.raises(FileNotFoundError):
+        S.read_snapshot_table(spark, snap, at_gen=gens[0])
+
+    # aggressive vacuum: only the current snapshot remains
+    S.snapshot_vacuum(spark, snap)
+    with pytest.raises(FileNotFoundError):
+        S.read_snapshot_table(spark, snap, at_gen=gens[2])
+    assert _rows(S.read_snapshot_table(spark, snap)) == want_g4
