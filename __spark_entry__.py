@@ -3469,6 +3469,20 @@ def q161_span_rollup(spark: SparkSession, sf: str) -> DataFrame:
     return span_rollup(spans)
 
 
+def q162_char_collision(spark: SparkSession, sf: str) -> DataFrame:
+    """FineWeb-family entropy filter, log-free (operators/
+    text_analysis.char_collision_features): Simpson collision index
+    over characters — exact integer collision/pair counts via a
+    zero-shuffle per-row fold; the oracle is the explode+groupBy
+    closed form."""
+    from gpt_rag_ingestion_spark.operators.text_analysis import (
+        char_collision_features,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return char_collision_features(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries.  The window is curated to be (a) all
@@ -3572,6 +3586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q159_phrase_search": q159_phrase_search,
         "q160_suggest_terms": q160_suggest_terms,
         "q161_span_rollup": q161_span_rollup,
+        "q162_char_collision": q162_char_collision,
         "q150_cumulative_domain_cap": q150_cumulative_domain_cap,
         "q07_group_counts": q07_group_counts,
         "q08_distinct_cap": q08_distinct_cap,
@@ -6177,6 +6192,27 @@ def oracle_sql() -> dict[str, str]:
                          o_custkey % 256 AS x,
                          o_orderkey % 256 AS y
                   FROM orders) t
+        """,
+        "q162_char_collision": """
+            WITH ch AS (
+              SELECT doc_id, c.ch
+              FROM documents, unnest(string_split(text, '')) AS c(ch)
+              WHERE c.ch != ''),
+            per AS (
+              SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+              FROM ch GROUP BY doc_id, ch),
+            agg AS (
+              SELECT doc_id,
+                CAST(SUM(c) AS BIGINT) AS n_chars,
+                CAST(SUM(c * (c - 1)) AS BIGINT) AS collisions
+              FROM per GROUP BY doc_id)
+            SELECT doc_id, n_chars, collisions,
+              n_chars * (n_chars - 1) AS pairs,
+              CASE WHEN n_chars >= 2 THEN
+                round(CAST(collisions AS DOUBLE)
+                      / (n_chars * (n_chars - 1)), 6)
+              END AS collision_index
+            FROM agg
         """,
         "q161_span_rollup": """
             WITH spans AS (

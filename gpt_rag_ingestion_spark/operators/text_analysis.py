@@ -480,3 +480,86 @@ def collocations(
         k,
         rank_col="rank",
     )
+
+
+def char_collision_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character diversity via the Simpson collision
+    index: p = Σ c_i(c_i−1) / (n(n−1)) — the probability two random
+    characters are equal.  Low-entropy gibberish (padding runs, key
+    mashing, binary-as-text) collides far above natural language, so
+    this is the log-free ENTROPY filter of the FineWeb-style quality
+    family: exact integer numerator/denominator (hash-matchable in any
+    engine) plus the rounded ratio.
+
+    100 TB shape: a narrow per-row fold over the sorted char array
+    (the ``_max_multiplicity`` pattern) — zero shuffle, composes into
+    any scan.  The SQL-oracle formulation is the explode+groupBy
+    equivalent."""
+    chars = F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
+    fold = F.aggregate(
+        F.array_sort(chars),
+        F.struct(
+            F.lit("\x00").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("coll"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            (
+                acc["coll"]
+                + F.when(x == acc["prev"], acc["run"] * 2).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("coll"),
+        ),
+        # Σ c(c-1) accumulated incrementally: extending a run from
+        # length r to r+1 adds (r+1)r - r(r-1) = 2r collisions
+        lambda acc: acc["coll"],
+    )
+    n = F.size(chars).cast("long")
+    return df.select(
+        F.col(id_col),
+        n.alias("n_chars"),
+        fold.alias("collisions"),
+        (n * (n - 1)).alias("pairs"),
+        F.when(n >= 2, F.round(fold / (n * (n - 1)), 6)).alias(
+            "collision_index"
+        ),
+    )
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compressibility per document — the classic boilerplate /
+    gibberish detector (highly repetitive text compresses far below
+    natural language; random noise barely compresses).  Arrow-batched
+    pandas UDF over stdlib zlib; deterministic for a given zlib, but
+    NOT cross-engine oracle-able (no zlib in SQL) — unit-pinned by
+    range instead."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if not t:
+                return None
+            raw = t.encode("utf-8")
+            return round(len(zlib.compress(raw, level)) / len(raw), 6)
+
+        return texts.map(one)
+
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        _ratio(F.col(text_col)).alias("zlib_ratio"),
+    )

@@ -121,3 +121,39 @@ def test_incremental_counts_equal_full_retrain(spark):
         tuple(r) for r in f1.collect()
     )
     assert iv == fv
+
+
+def test_char_collision_index_semantics(spark):
+    from gpt_rag_ingestion_spark.operators.text_analysis import (
+        char_collision_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abcd"), (3, "aabb"), (4, "x"), (5, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in char_collision_features(docs).collect()}
+    assert (got[1]["collisions"], got[1]["pairs"]) == (12, 12)  # all equal
+    assert got[1]["collision_index"] == 1.0
+    assert got[2]["collisions"] == 0                            # all distinct
+    assert got[3]["collisions"] == 4                            # 2+2
+    assert got[4]["collision_index"] is None                    # n < 2
+    assert got[5]["n_chars"] == 0
+
+
+def test_compression_ratio_orders_repetition_below_noise(spark):
+    from gpt_rag_ingestion_spark.operators.text_analysis import (
+        compression_ratio,
+    )
+    import random
+
+    rng = random.Random(3)
+    noise = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(2000))
+    docs = spark.createDataFrame(
+        [(1, "spam " * 400), (2, noise), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["zlib_ratio"] for r in compression_ratio(docs).collect()}
+    assert got[1] < 0.05          # pure repetition collapses
+    assert got[2] > 0.5           # near-random barely compresses
+    assert got[3] is None
