@@ -543,11 +543,12 @@ def compression_ratio(
     pandas UDF over stdlib zlib; deterministic for a given zlib, but
     NOT cross-engine oracle-able (no zlib in SQL) — unit-pinned by
     range instead."""
-    import pandas as pd
+    import pandas as pd  # noqa: F401 (annotation namespace)
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
-    def _ratio(texts: pd.Series) -> pd.Series:
+    def _ratio(texts):
+        # type: (pd.Series) -> pd.Series
         import zlib
 
         def one(t):
