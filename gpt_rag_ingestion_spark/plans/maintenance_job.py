@@ -1,0 +1,91 @@
+"""Unified maintenance pass — the engine's OPTIMIZE scheduler.
+
+Every persisted artifact in the engine carries its own cheap
+compaction TRIGGER (a counter or listing read per tick): the merge
+table's leaf-file count, the dedup sidecar's superseded counter, the
+ANN indexes' fragment counts, the text index's superseded counter,
+the snapshot table's referenced-generation count.  Streaming loops
+already arm their own triggers per batch; this job is the BATCH
+entry point — run it on a schedule (the reference runs its scheduled
+maintenance through function timers) and every artifact that crossed
+its threshold folds, everything else costs one metadata read.
+
+All trigger thresholds keep their operator defaults unless
+overridden via ``knobs`` (keyed by artifact name below).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def run_maintenance_job(
+    spark: SparkSession,
+    corpus_path: str | None = None,
+    corpus_partition_cols: list[str] | None = None,
+    snapshot_path: str | None = None,
+    snapshot_partition_cols: list[str] | None = None,
+    sidecar_path: str | None = None,
+    text_index_path: str | None = None,
+    ivf_index_path: str | None = None,
+    ivfpq_index_path: str | None = None,
+    knobs: dict | None = None,
+) -> dict:
+    """Run every applicable trigger once; returns a dict of each
+    artifact's trigger outcome (whatever the operator reports).
+    Artifacts whose path is None are skipped; a missing/empty artifact
+    reports its trigger's own not-armed result rather than failing the
+    sweep."""
+    knobs = knobs or {}
+    out: dict[str, dict] = {}
+
+    def _run(name, fn, *args, **kw):
+        kw.update(knobs.get(name, {}))
+        try:
+            out[name] = fn(*args, **kw)
+        except Exception as e:  # one artifact must not sink the sweep
+            out[name] = {"error": f"{type(e).__name__}: {e}"}
+
+    if corpus_path is not None:
+        from gpt_rag_ingestion_spark.operators.upsert import (
+            maybe_compact_table,
+        )
+
+        _run(
+            "corpus", maybe_compact_table, spark, corpus_path,
+            partition_cols=corpus_partition_cols,
+        )
+    if snapshot_path is not None:
+        from gpt_rag_ingestion_spark.operators.snapshot_table import (
+            snapshot_maybe_optimize,
+        )
+
+        _run(
+            "snapshot", snapshot_maybe_optimize, spark, snapshot_path,
+            partition_cols=snapshot_partition_cols,
+        )
+    if sidecar_path is not None:
+        from gpt_rag_ingestion_spark.operators.dedup import (
+            dedup_sidecar_maybe_compact,
+        )
+
+        _run("sidecar", dedup_sidecar_maybe_compact, spark, sidecar_path)
+    if text_index_path is not None:
+        from gpt_rag_ingestion_spark.operators.search import (
+            text_index_maybe_compact,
+        )
+
+        _run("text_index", text_index_maybe_compact, spark, text_index_path)
+    if ivf_index_path is not None:
+        from gpt_rag_ingestion_spark.operators.similarity import (
+            ivf_index_maybe_compact,
+        )
+
+        _run("ivf", ivf_index_maybe_compact, spark, ivf_index_path)
+    if ivfpq_index_path is not None:
+        from gpt_rag_ingestion_spark.operators.similarity import (
+            ivfpq_index_maybe_compact,
+        )
+
+        _run("ivfpq", ivfpq_index_maybe_compact, spark, ivfpq_index_path)
+    return out
