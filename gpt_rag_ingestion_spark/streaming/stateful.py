@@ -74,3 +74,103 @@ def streaming_first_seen(stream: DataFrame, key_col: str = "key") -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUTPUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("session_start_ms", LongType()),
+        StructField("session_end_ms", LongType()),
+        StructField("n_events", LongType()),
+        StructField("closed_by", StringType()),  # 'gap' | 'timeout'
+    ]
+)
+
+_SESSION_STATE = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def make_session_fn(gap_ms: int):
+    """Custom stateful SESSION WINDOWS with event-time timeout — the
+    applyInPandasWithState twin of ``session_window()`` that also lets
+    arbitrary per-session logic ride along (the built-in can only
+    aggregate).  State per key = the one OPEN session (three longs —
+    bounded regardless of stream length); a batch's events close and
+    emit any session whose gap is exceeded, and the state-store
+    timeout (watermark-driven) closes idle sessions without waiting
+    for another event — the part a batch rewrite cannot express."""
+
+    def session_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "key": [k], "session_start_ms": [start],
+                    "session_end_ms": [last], "n_events": [n],
+                    "closed_by": ["timeout"],
+                }
+            )
+            return
+        ts = sorted(
+            int(t)
+            for pdf in pdfs
+            for t in pdf["ts_ms"].tolist()
+        )
+        out = {c: [] for c in
+               ("key", "session_start_ms", "session_end_ms", "n_events",
+                "closed_by")}
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        for t in ts:
+            if last is not None and t - last > gap_ms:
+                out["key"].append(k)
+                out["session_start_ms"].append(start)
+                out["session_end_ms"].append(last)
+                out["n_events"].append(n)
+                out["closed_by"].append("gap")
+                start, n = t, 0
+            if start is None:
+                start = t
+            last = t
+            n += 1
+        if start is not None:
+            state.update((start, last, n))
+            state.setTimeoutTimestamp(last + gap_ms)
+        yield pd.DataFrame(out)
+
+    return session_fn
+
+
+def streaming_sessions(
+    stream: DataFrame, gap_ms: int, key_col: str = "key"
+) -> DataFrame:
+    """Attach the stateful session operator to a stream with columns
+    (key, ts TIMESTAMP); requires a watermark on ts (drives the
+    event-time timeout that closes idle sessions)."""
+    from pyspark.sql import functions as F
+
+    from gpt_rag_ingestion_spark.session import ensure_importable
+
+    ensure_importable(stream)
+    staged = stream.withColumn(
+        "ts_ms", (F.col("ts").cast("double") * 1000).cast("long")
+    )
+    return staged.groupBy(key_col).applyInPandasWithState(
+        make_session_fn(gap_ms),
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

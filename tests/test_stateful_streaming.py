@@ -754,3 +754,76 @@ def test_streaming_ingest_partitioned(spark, tmp_path):
 
     dirs = set(os.listdir(str(tmp_path / "parted" / "chunks")))
     assert {"source=s1", "source=s2"} <= dirs
+
+
+def test_streaming_sessions_gap_and_timeout(spark, tmp_path):
+    """Custom stateful session windows (streaming/stateful.py
+    make_session_fn): gap-closed sessions emit as events arrive;
+    idle sessions close via the EVENT-TIME TIMEOUT when the watermark
+    passes — across two availableNow cycles of the same checkpoint
+    (state survives the restart)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from gpt_rag_ingestion_spark.streaming.stateful import (
+        streaming_sessions,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    out_dir = str(tmp_path / "out")
+
+    def run_cycle(_label):
+        stream = (
+            spark.readStream.schema("key STRING, ts TIMESTAMP")
+            .format("json")
+            .load(str(src))
+            .withWatermark("ts", "0 seconds")
+        )
+        out = streaming_sessions(stream, gap_ms=10_000)
+        (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return {
+            (r["key"], r["session_start_ms"]): r
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    def write_batch(name, rows):
+        (src / name).write_text(
+            "\n".join(
+                json.dumps({"key": k, "ts": ts}) for k, ts in rows
+            )
+        )
+
+    # batch 1: key a has two sessions separated by > 10s; key b one open
+    write_batch("b1.json", [
+        ("a", "2024-01-01 00:00:00"),
+        ("a", "2024-01-01 00:00:05"),
+        ("a", "2024-01-01 00:00:30"),   # > 10s gap -> closes session 1
+        ("b", "2024-01-01 00:00:01"),
+    ])
+    got1 = run_cycle("sess1")
+    base = 1704067200000  # 2024-01-01 00:00:00 UTC in ms
+    s1 = got1[("a", base)]
+    assert (s1["session_end_ms"], s1["n_events"], s1["closed_by"]) == (
+        base + 5000, 2, "gap",
+    )
+
+    # batch 2: far-future event advances the watermark past both open
+    # sessions -> they close by TIMEOUT (state survived the restart)
+    write_batch("b2.json", [("c", "2024-01-01 01:00:00")])
+    got2 = run_cycle("sess2")
+    a2 = got2[("a", base + 30000)]
+    assert (a2["n_events"], a2["closed_by"]) == (1, "timeout")
+    b1 = got2[("b", base + 1000)]
+    assert (b1["n_events"], b1["closed_by"]) == (1, "timeout")
