@@ -352,3 +352,37 @@ def test_phrase_topk_matches_bruteforce_on_random_docs(spark):
         for r in phrase_topk(docs, phrases, k=1000).collect()
     }
     assert got == want
+
+
+def test_persisted_index_edge_cases(spark, tmp_path):
+    """Empty batches, delete-to-empty, unknown-doc deletes, unicode
+    tokens — the persisted index degrades gracefully everywhere."""
+    from gpt_rag_ingestion_spark.operators import search as X
+
+    path = str(tmp_path / "t")
+    docs = _corpus(
+        spark,
+        [(1, "héllo wörld héllo"), (2, "plain ascii words")],
+    )
+    X.text_index_build(docs, path)
+    q = _queries(spark, [("q", ["héllo"]), ("q2", ["missing"])])
+    got = X.text_index_query(spark, path, q, k=5).collect()
+    assert [(r["query_id"], r["doc"]) for r in got] == [("q", 1)]
+
+    # empty append batch: a no-op generation
+    X.text_index_append(_corpus(spark, []), path, "empty")
+    assert X.text_index_query(spark, path, q, k=5).count() == 1
+
+    # delete an unknown doc: tombstone lands, counters untouched
+    X.text_index_delete(
+        spark, path, spark.createDataFrame([(99,)], "doc_id long"), "p0"
+    )
+    assert X.text_index_query(spark, path, q, k=5).count() == 1
+
+    # delete everything -> empty result set, compaction still sound
+    X.text_index_delete(
+        spark, path, spark.createDataFrame([(1,), (2,)], "doc_id long"), "p1"
+    )
+    assert X.text_index_query(spark, path, q, k=5).count() == 0
+    X.text_index_compact(spark, path)
+    assert X.text_index_query(spark, path, q, k=5).count() == 0
