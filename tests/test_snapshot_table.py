@@ -318,3 +318,32 @@ def test_vacuum_retention_keeps_time_travel_window(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         S.read_snapshot_table(spark, snap, at_gen=gens[2])
     assert _rows(S.read_snapshot_table(spark, snap)) == want_g4
+
+
+def test_snapshot_two_level_partitioning(spark, tmp_path):
+    """Nested (source, bucket) partition layout: rel-path listing,
+    pruned merges, and reads all handle depth-2 directories."""
+    snap = str(tmp_path / "snap")
+
+    def inc(lo, hi, mul=7):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("parent_id"),
+            F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("source"),
+            (F.col("id") % 3).alias("bucket"),
+            (F.col("id") * mul).alias("v"),
+        )
+
+    S.snapshot_merge_upsert(
+        spark, snap, inc(0, 60), partition_cols=["source", "bucket"]
+    )
+    S.snapshot_merge_upsert(
+        spark, snap, inc(30, 90, mul=11), partition_cols=["source", "bucket"]
+    )
+    got = S.read_snapshot_table(spark, snap)
+    assert got.count() == 90
+    rows = {r["parent_id"]: r for r in got.collect()}
+    assert rows[10]["v"] == 70 and rows[40]["v"] == 440
+    assert rows[40]["source"] == "s0" and rows[40]["bucket"] == 1
+    S.snapshot_optimize(spark, snap, partition_cols=["source", "bucket"])
+    S.snapshot_vacuum(spark, snap)
+    assert S.read_snapshot_table(spark, snap).count() == 90
