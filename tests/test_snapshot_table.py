@@ -347,3 +347,21 @@ def test_snapshot_two_level_partitioning(spark, tmp_path):
     S.snapshot_optimize(spark, snap, partition_cols=["source", "bucket"])
     S.snapshot_vacuum(spark, snap)
     assert S.read_snapshot_table(spark, snap).count() == 90
+
+
+def test_snapshot_reads_keep_partition_pruning(spark, tmp_path):
+    """The manifest read path hands Catalyst explicit partition dirs
+    with a basePath — a partition predicate must still prune at the
+    scan (PartitionFilters in the physical plan), so snapshot tables
+    keep the partitioned layout's entire point."""
+    snap = str(tmp_path / "snap")
+    S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 0, 90), partition_cols=["bucket"]
+    )
+    df = S.read_snapshot_table(spark, snap).filter(F.col("bucket") == 1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert df.count() == 30
+    # and the filter column really pruned: scan should mention the
+    # partition predicate, not re-filter rows post-scan only
+    assert "bucket#" in plan or "bucket = 1" in plan
