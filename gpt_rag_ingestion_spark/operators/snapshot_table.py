@@ -352,15 +352,44 @@ def snapshot_delete_keys(
 def snapshot_optimize(
     spark: SparkSession, table_path: str,
     partition_cols: list[str] | None = None,
+    zorder_cols: list[str] | None = None,
+    zorder_bits: int = 16,
 ) -> int:
     """Fold every referenced generation into ONE (the OPTIMIZE of this
     format): read the snapshot, rewrite it wholesale as a new
     generation, commit.  Keeps ``read_snapshot_table``'s union shallow
-    after many incremental merges; pair with ``snapshot_vacuum``."""
+    after many incremental merges; pair with ``snapshot_vacuum``.
+
+    ``zorder_cols`` is the ``OPTIMIZE ... ZORDER BY`` analog: the
+    rewrite clusters rows on the Morton curve over those columns
+    (operators/layout.zorder_value) so parquet min/max footers prune
+    multi-column range predicates — one stats pass + a sort folded
+    into the rewrite the fold was doing anyway."""
     cur = _current_gen(spark, table_path)
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot at {table_path}")
     existing = read_snapshot_table(spark, table_path)
+    if zorder_cols:
+        from gpt_rag_ingestion_spark.operators.layout import zorder_value
+
+        stats = existing.agg(
+            *[F.min(c).alias(f"min_{c}") for c in zorder_cols],
+            *[F.max(c).alias(f"max_{c}") for c in zorder_cols],
+        ).collect()[0]
+        z = zorder_value(
+            zorder_cols,
+            {c: stats[f"min_{c}"] for c in zorder_cols},
+            {c: stats[f"max_{c}"] for c in zorder_cols},
+            zorder_bits,
+        )
+        existing = (
+            existing.withColumn("__z", z)
+            .repartitionByRange(
+                max(spark.sparkContext.defaultParallelism, 1), "__z"
+            )
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
     gen = cur + 1
     new_dir = _gen_dir(table_path, gen)
     _fs_delete(spark, new_dir)

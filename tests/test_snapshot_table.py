@@ -365,3 +365,46 @@ def test_snapshot_reads_keep_partition_pruning(spark, tmp_path):
     # and the filter column really pruned: scan should mention the
     # partition predicate, not re-filter rows post-scan only
     assert "bucket#" in plan or "bucket = 1" in plan
+
+
+def test_optimize_zorder_clusters_files(spark, tmp_path):
+    """OPTIMIZE ... ZORDER BY analog: after a z-ordered fold, the
+    per-file min/max ranges of the clustered columns are narrow (a
+    point predicate's value range hits a strict subset of files) and
+    rows are untouched."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    snap = str(tmp_path / "snap")
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("parent_id"),
+        (F.col("id") % 128).alias("x"),
+        ((F.col("id") * 37) % 128).alias("y"),
+        F.lit(1).alias("bucket"),
+        F.col("id").alias("v"),
+    )
+    S.snapshot_merge_upsert(spark, snap, df, partition_cols=["bucket"])
+    want = _rows(S.read_snapshot_table(spark, snap).select(
+        "parent_id", "bucket", "v"))
+    S.snapshot_optimize(
+        spark, snap, partition_cols=["bucket"], zorder_cols=["x", "y"],
+        zorder_bits=7,
+    )
+    S.snapshot_vacuum(spark, snap)
+    assert _rows(S.read_snapshot_table(spark, snap).select(
+        "parent_id", "bucket", "v")) == want
+
+    files = sorted(glob.glob(f"{snap}/gen-*/bucket=1/*.parquet"))
+    assert len(files) >= 4
+    spans = []
+    for f in files:
+        md = pq.read_metadata(f)
+        lo = min(md.row_group(i).column(1).statistics.min
+                 for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(1).statistics.max
+                 for i in range(md.num_row_groups))
+        spans.append((lo, hi))
+    # z-clustering: most files cover well under the full 0-127 x-range
+    narrow = sum(1 for lo, hi in spans if hi - lo < 100)
+    assert narrow >= len(spans) // 2, spans
