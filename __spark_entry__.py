@@ -3303,7 +3303,10 @@ def q156_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     exact Reciprocal Rank Fusion (SUM(S div (60 + rank))).  Query
     vectors are the embeddings of vec_id 0-7 (aligned with the 8 text
     queries); both legs contribute their top-20, the fusion returns
-    top-10 per query."""
+    top-10 per query.  The vector leg here is the EXACT-dot oracle
+    twin (an 8-query broadcast against the corpus — the q19 baseline
+    shape); the production substitution at corpus scale is the ANN
+    family (q47/q148), whose rankings drop into rrf_fuse unchanged."""
     from pyspark.sql import Window
 
     from gpt_rag_ingestion_spark.operators.search import (
