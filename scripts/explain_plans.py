@@ -143,6 +143,18 @@ PLAN_PROPERTIES = {
         ["Join"],
         ["NestedLoop", "CartesianProduct"],
     ),
+    # BM25: postings probed by broadcast equi-joins on query terms —
+    # the all-pairs (query x corpus) scan must never appear
+    "q155_bm25_topk": (
+        ["BroadcastHashJoin"],
+        ["NestedLoop", "CartesianProduct"],
+    ),
+    # phrase search: ONE position-shift equi-join (broadcast phrase
+    # terms), never a per-phrase scan or nested loop
+    "q159_phrase_search": (
+        ["BroadcastHashJoin"],
+        ["NestedLoop", "CartesianProduct"],
+    ),
     # revenue share: dimension joins broadcast, share window rides the
     # region partitioning
     "q134_revenue_share": (["BroadcastHashJoin", "Window"], []),
