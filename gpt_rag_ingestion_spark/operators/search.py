@@ -1,13 +1,19 @@
 """Full-text BM25 + hybrid RRF fusion — the retrieval side of the
 reference's index.
 
-The reference uploads chunks into Azure AI Search and delegates
-retrieval to its hybrid ranking: BM25 full-text + vector similarity,
-fused by Reciprocal Rank Fusion (the documented AI Search hybrid
-mode).  This module re-expresses that retrieval Spark-first so a user
-of the reference can run the SAME query shapes against the engine's
-chunk tables: an inverted-index BM25 scorer and an RRF fuser that
-combines any number of rankings (BM25, exact cosine, ANN).
+The reference uploads chunks into Azure AI Search (reference
+tools/aisearch.py:68-96 ``index_document``/``upload_documents``;
+deletes via :98-115 ``delete_document`` and :117-160
+``delete_documents``, driven by jobs/blob_storage_indexer.py:1242-1334
+and the purger) and delegates retrieval to the service's hybrid
+ranking: BM25 full-text + vector similarity, fused by Reciprocal Rank
+Fusion (the documented AI Search hybrid mode).  This module
+re-expresses that retrieval Spark-first so a user of the reference
+can run the SAME query shapes against the engine's chunk tables: an
+inverted-index BM25 scorer and an RRF fuser that combines any number
+of rankings (BM25, exact cosine, ANN).  The persisted lifecycle below
+mirrors the upsert/delete surface of those reference entry points
+(upsert = ``text_index_append``, delete = ``text_index_delete``).
 
 Determinism contract (the q66 linear-idf convention, extended):
 classic BM25 sums ln-idf floats whose last ulp differs across libms,
