@@ -340,10 +340,16 @@ def text_index_build(
     postings.write.mode("overwrite").parquet(
         f"{index_path}/postings/batch=build"
     )
-    doclen.write.mode("overwrite").parquet(f"{index_path}/doclen/batch=build")
-    agg = spark.read.parquet(f"{index_path}/doclen/batch=build").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("l")
-    ).first()
+    doclen = doclen.persist()
+    try:
+        doclen.write.mode("overwrite").parquet(
+            f"{index_path}/doclen/batch=build"
+        )
+        agg = doclen.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("l")
+        ).first()
+    finally:
+        doclen.unpersist()
     _tindex_write_meta(
         spark, index_path, 0, 0, agg["n"] or 0, agg["l"] or 0
     )
@@ -357,16 +363,19 @@ def _tindex_delta(spark, index_path, batch_doclen, meta):
     _p, live_dl = _tindex_live(spark, index_path, meta["superseded"])
     keys = batch_doclen.select("doc").distinct()
     replaced = live_dl.join(F.broadcast(keys), "doc", "left_semi")
-    old = replaced.agg(
-        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("l")
-    ).first()
-    new = batch_doclen.filter(F.col("dl").isNotNull()).agg(
-        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("l")
-    ).first()
+    old_agg = replaced.agg(
+        F.count(F.lit(1)).alias("on"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("ol"),
+    )
+    new_agg = batch_doclen.filter(F.col("dl").isNotNull()).agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("nl"),
+    )
+    row = old_agg.crossJoin(new_agg).first()  # both aggs in ONE action
     return (
-        int(old["n"]),
-        int(new["n"]) - int(old["n"]),
-        int(new["l"]) - int(old["l"]),
+        int(row["on"]),
+        int(row["nn"]) - int(row["on"]),
+        int(row["nl"]) - int(row["ol"]),
     )
 
 
