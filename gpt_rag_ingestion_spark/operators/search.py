@@ -211,9 +211,27 @@ def rrf_fuse(
 _TEXT_INDEX_SUBS = ("postings", "doclen")
 
 
+def _badid_agg():
+    # built lazily: a Column needs an active SparkContext
+    return F.sum(
+        F.when(F.col("doc").isNull(), F.lit(1)).otherwise(F.lit(0))
+    ).alias("badid")
+
+
+def _raise_badid(n, where):
+    if int(n or 0) > 0:
+        raise ValueError(
+            f"text index {where}: {int(n)} doc id(s) cast to NULL — the "
+            "persisted layout keys docs by long; non-numeric ids (e.g. "
+            "string chunk keys) must be mapped to a numeric surrogate "
+            "(xxhash64 or a dimension join) before indexing.  Refusing "
+            "to collapse them onto doc=NULL."
+        )
+
+
 def _tindex_tables(chunks, text_col, id_col, gen):
     toks = chunks.select(
-        F.col(id_col).cast("long").alias("doc"),
+        F.col(id_col).try_cast("long").alias("doc"),
         F.explode(
             F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
         ).alias("token"),
@@ -222,7 +240,7 @@ def _tindex_tables(chunks, text_col, id_col, gen):
         F.count(F.lit(1)).cast("long").alias("tf")
     ).withColumn("gen", F.lit(int(gen)))
     doclen = (
-        chunks.select(F.col(id_col).cast("long").alias("doc"))
+        chunks.select(F.col(id_col).try_cast("long").alias("doc"))
         .join(
             toks.groupBy("doc").agg(F.count(F.lit(1)).cast("long").alias("dl")),
             "doc", "left",
@@ -291,15 +309,24 @@ def _tindex_recover(spark, index_path) -> None:
                     fs.delete(st.getPath(), True)
 
 
-def _tindex_live(spark, index_path, superseded):
+def _tindex_live(spark, index_path, superseded, committed_gen=None):
     """(postings, doclen) restricted to each doc's latest generation,
     tombstones dropped.  superseded == 0: raw tables are live (except
     tombstones, which only exist when superseded > 0 — a tombstone
-    always supersedes the doc's build/append row)."""
+    always supersedes the doc's build/append row).
+
+    ``committed_gen`` (meta.gen) additionally drops rows from
+    UNCOMMITTED generations — a concurrent append/delete writes its
+    gen-stamped dirs BEFORE the meta commit, so a reader racing it
+    must ignore gen > meta.gen rather than prune the writer's dirs
+    (readers never rename/delete — the read_batched_dir contract)."""
     from gpt_rag_ingestion_spark.operators.similarity import read_batched_dir
 
     postings = read_batched_dir(spark, f"{index_path}/postings")
     doclen = read_batched_dir(spark, f"{index_path}/doclen")
+    if committed_gen is not None:
+        postings = postings.filter(F.col("gen") <= int(committed_gen))
+        doclen = doclen.filter(F.col("gen") <= int(committed_gen))
     if superseded == 0:
         return postings, doclen.filter(F.col("dl").isNotNull())
     dead = (
@@ -346,8 +373,9 @@ def text_index_build(
             f"{index_path}/doclen/batch=build"
         )
         agg = doclen.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("l")
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("l"), _badid_agg()
         ).first()
+        _raise_badid(agg["badid"], "build")
     finally:
         doclen.unpersist()
     _tindex_write_meta(
@@ -367,11 +395,17 @@ def _tindex_delta(spark, index_path, batch_doclen, meta):
         F.count(F.lit(1)).alias("on"),
         F.coalesce(F.sum("dl"), F.lit(0)).alias("ol"),
     )
-    new_agg = batch_doclen.filter(F.col("dl").isNotNull()).agg(
-        F.count(F.lit(1)).alias("nn"),
-        F.coalesce(F.sum("dl"), F.lit(0)).alias("nl"),
+    new_agg = batch_doclen.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("dl").isNotNull(), 1).otherwise(0)), F.lit(0)
+        ).alias("nn"),
+        F.coalesce(
+            F.sum(F.when(F.col("dl").isNotNull(), F.col("dl"))), F.lit(0)
+        ).alias("nl"),
+        _badid_agg(),
     )
     row = old_agg.crossJoin(new_agg).first()  # both aggs in ONE action
+    _raise_badid(row["badid"], "append")
     return (
         int(row["on"]),
         int(row["nn"]) - int(row["on"]),
@@ -436,7 +470,7 @@ def text_index_delete(
     meta = _tindex_read_meta(spark, index_path)
     gen = int(meta["gen"]) + 1
     tomb = keys.select(
-        F.col(id_col).cast("long").alias("doc"),
+        F.col(id_col).try_cast("long").alias("doc"),
         F.lit(None).cast("long").alias("dl"),
         F.lit(int(gen)).alias("gen"),
     )
@@ -444,9 +478,15 @@ def text_index_delete(
     doomed = live_dl.join(
         F.broadcast(tomb.select("doc").distinct()), "doc", "left_semi"
     )
-    old = doomed.agg(
-        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("l")
-    ).first()
+    old = (
+        doomed.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("l"),
+        )
+        .crossJoin(tomb.agg(_badid_agg()))  # 1-row x 1-row: one action
+        .first()
+    )
+    _raise_badid(old["badid"], "delete")
     tomb.write.mode("overwrite").parquet(
         f"{index_path}/doclen/batch={batch_label}__g{gen}"
     )
@@ -475,9 +515,15 @@ def text_index_query(
     query batch."""
     from pyspark.sql import Window
 
-    _tindex_recover(spark, index_path)
+    # READ path: no recovery/pruning here — a query racing an
+    # in-flight append must not delete the writer's pre-commit batch
+    # dirs.  Uncommitted generations are excluded by the gen <=
+    # meta.gen filter inside _tindex_live (meta commits last, so the
+    # committed gen is the reader's snapshot).
     meta = _tindex_read_meta(spark, index_path)
-    postings, doclen = _tindex_live(spark, index_path, meta["superseded"])
+    postings, doclen = _tindex_live(
+        spark, index_path, meta["superseded"], committed_gen=meta["gen"]
+    )
     n, l = int(meta["n_live"]), int(meta["l_live"])
     scale = _idf_scale(n)
 
@@ -537,7 +583,16 @@ def text_index_compact(spark, index_path: str) -> dict:
             spark.read.parquet(f"{staging}/batch=compacted").count()
         )
         staged[sub] = staging
-    for sub in reversed(_TEXT_INDEX_SUBS):  # doclen (authority) last
+    # Swap in declaration order: postings FIRST, doclen (the liveness
+    # authority) LAST — the dedup-sidecar crash rule (dedup.py swaps
+    # its authority `digests` last for the same reason).  A crash
+    # after the postings swap but before the doclen swap leaves the
+    # OLD multi-generation doclen next to compacted postings: the
+    # dead-set still derives from the old doclen, so superseded docs
+    # stay dead and a re-run of compact converges.  The reverse order
+    # (doclen first) would empty the dead-set while old postings rows
+    # still exist, double-counting tf/df forever.
+    for sub in _TEXT_INDEX_SUBS:
         live_path = f"{index_path}/{sub}"
         old = f"{live_path}__old"
         jvm_fs_delete(spark, old)

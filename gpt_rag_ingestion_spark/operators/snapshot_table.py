@@ -7,8 +7,13 @@ recovery.  This module closes both with the mechanism every lakehouse
 format uses — data files are IMMUTABLE and a commit is one atomic
 pointer update — re-expressed minimally over plain parquet:
 
-    <table>/gen-00000001/<p=v dirs or files>   immutable generations
+    <table>/gen-00000001-<tok>/<p=v dirs...>   immutable generations
+                                               (<tok> = per-attempt token:
+                                               racing writers never share
+                                               a directory)
     <table>/_manifests/00000001.json           snapshot: partition -> gen
+                                               dir name; claimed by atomic
+                                               create-exclusive
     <table>/_current                           pointer file: "1"
 
 A merge writes ONLY the affected partitions into a NEW generation
@@ -27,11 +32,20 @@ list, so:
 - **O(increment) writes**: untouched partitions keep their old
   generation's files — same pruned-write property as the swap sink.
 
-Contract vs. the swap sink: same single-writer requirement (two
-concurrent writers can still interleave gen numbers), but readers are
-never torn and writer crashes need no healing of live data.  On S3
-the pointer PUT is last-writer-wins full-object — still atomic for
-readers, unlike multi-directory renames.
+Contract vs. the swap sink: readers are never torn, writer crashes
+need no healing of live data, and CONCURRENT WRITERS are arbitrated:
+each commit (a) writes its data under a generation directory whose
+name carries a per-attempt token — two writers racing to gen N can
+never clobber each other's files — and (b) claims the generation by
+ATOMIC CREATE-EXCLUSIVE of its manifest (the optimistic-concurrency
+primitive Delta Lake uses on HDFS), then (c) re-checks the pointer
+still names the snapshot the merge was based on.  Exactly one racer
+commits; the others raise ``SnapshotWriteConflict`` (retry = re-run
+the merge against the new snapshot) and their orphan generation dirs
+are garbage for ``snapshot_vacuum``.  On S3 the pointer PUT is
+last-writer-wins full-object — still atomic for readers, unlike
+multi-directory renames (exclusive-create needs a consistent store;
+on raw S3 swap in a conditional PUT / DynamoDB log, as Delta does).
 
 Reference: the engine's sink semantics mirror the reference's
 delete-parent-then-upload index upsert (jobs/blob_storage_indexer.py:
@@ -44,6 +58,7 @@ from __future__ import annotations
 
 import functools
 import json
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -59,9 +74,37 @@ from gpt_rag_ingestion_spark.operators.upsert import (
 )
 
 
+class SnapshotWriteConflict(RuntimeError):
+    """Another writer committed first: the snapshot this merge was
+    based on is no longer current.  The table is intact (the winner's
+    commit stands; this attempt's generation dir is unreferenced
+    garbage for vacuum).  Retry by re-running the merge."""
+
+
 def _write_text(spark, path: str, text: str) -> None:
     fs, p = _hfs(spark, path)
     out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _write_text_exclusive(spark, path: str, text: str) -> None:
+    """Atomic create-exclusive (``fs.create(p, overwrite=False)``):
+    exactly one of N racing writers succeeds — the commit-arbitration
+    primitive.  Raises ``SnapshotWriteConflict`` if the file exists."""
+    fs, p = _hfs(spark, path)
+    try:
+        out = fs.create(p, False)
+    except Exception as e:  # Py4JJavaError: FileAlreadyExistsException
+        name = type(e).__name__
+        msg = str(e)
+        if "AlreadyExists" in msg or "already exists" in msg.lower():
+            raise SnapshotWriteConflict(
+                f"generation already claimed by a concurrent writer: {path}"
+            ) from None
+        raise RuntimeError(f"exclusive create failed ({name}): {msg}") from e
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
@@ -82,13 +125,54 @@ def _commit_recover(spark, table_path: str) -> None:
     """Roll FORWARD a half-committed pointer: ``_current__tmp`` exists
     only between 'commit started' and 'commit done', and by then its
     manifest+generation are fully written — so finishing the rename is
-    always safe.  (Readers call this read-only-ly via fallback in
+    safe.  ``_write_text`` itself is NOT atomic though: a crash
+    mid-write can leave a truncated/empty tmp whose roll-forward would
+    brick every later ``_current_gen`` on ``int('')`` — so validate
+    first (parses as an int AND that generation's manifest exists);
+    anything else never reached the commit's atomic point and the tmp
+    is deleted.  (Readers call this read-only-ly via fallback in
     ``_current_gen`` instead.)"""
     tmp = f"{table_path}/_current__tmp"
     cur = f"{table_path}/_current"
-    if _fs_exists(spark, tmp):
+    if not _fs_exists(spark, tmp):
+        return
+    try:
+        gen = int(_read_text(spark, tmp).strip())
+        ok = _fs_exists(spark, _manifest_path(table_path, gen))
+    except Exception:  # unreadable / non-int / missing-manifest probe
+        ok = False
+    if ok:
         _fs_delete(spark, cur)
         _fs_rename(spark, tmp, cur)
+    else:
+        _fs_delete(spark, tmp)
+
+
+def _claim_recover(spark, table_path: str) -> None:
+    """Writer-start recovery of CRASHED CLAIMS: a manifest with gen >
+    the committed pointer is a commit that died between its
+    create-exclusive claim and the pointer swap.  Left in place it
+    would block the next writer's claim of that generation forever, so
+    prune it (the committed snapshot is untouched — the pointer never
+    moved).  Writers only; readers never mutate.  NOTE the residual
+    race this implies: if the 'crashed' claimant is actually alive and
+    mid-commit, its claim can be pruned and its commit lost — see the
+    module docstring's arbitration contract (detect-and-abort, not
+    full serializability, on plain filesystems)."""
+    cur = _current_gen(spark, table_path)
+    fs, mdir = _hfs(spark, f"{table_path}/_manifests")
+    if not fs.exists(mdir):
+        return
+    for st in fs.listStatus(mdir):
+        name = st.getPath().getName()
+        if not name.endswith(".json"):
+            continue
+        try:
+            g = int(name[:-5])
+        except ValueError:
+            continue
+        if cur is None or g > cur:
+            fs.delete(st.getPath(), False)
 
 
 def _current_gen(spark, table_path: str) -> int | None:
@@ -112,8 +196,18 @@ def _read_manifest(spark, table_path: str, gen: int) -> dict:
     return json.loads(_read_text(spark, _manifest_path(table_path, gen)))
 
 
-def _gen_dir(table_path: str, gen: int) -> str:
-    return f"{table_path}/gen-{gen:08d}"
+def _gen_name(gen: int) -> str:
+    """Generation directory name with a per-attempt token: two writers
+    racing to the same generation number write to DIFFERENT
+    directories, so the commit-time loser can never have clobbered the
+    winner's data files.  The manifest stores the full name, so
+    readers and vacuum never parse the token; vacuum parses only the
+    8-digit gen prefix."""
+    return f"gen-{gen:08d}-{uuid.uuid4().hex[:8]}"
+
+
+def _gen_dir(table_path: str, name: str) -> str:
+    return f"{table_path}/{name}"
 
 
 def _list_partition_rels(spark, gen_dir: str, depth: int) -> list[str]:
@@ -184,12 +278,31 @@ def read_snapshot_table(
     )
 
 
-def _commit(spark, table_path: str, gen: int, partitions: dict) -> None:
-    _write_text(
+def _commit(
+    spark, table_path: str, gen: int, partitions: dict,
+    expected_cur: int | None,
+) -> None:
+    """Fenced commit.  Leg 1: claim generation ``gen`` by atomic
+    create-exclusive of its manifest — of N writers that based their
+    merge on the same snapshot (and so computed the same ``gen``),
+    exactly one create succeeds; the rest raise
+    ``SnapshotWriteConflict`` before touching the pointer.  Leg 2:
+    re-read the pointer and verify it still names ``expected_cur`` —
+    catches the pathological stale-writer case where vacuum removed
+    the manifest a faster chain of commits had claimed (the
+    create-exclusive would wrongly succeed).  Only then the atomic
+    pointer swap."""
+    _write_text_exclusive(
         spark,
         _manifest_path(table_path, gen),
         json.dumps({"gen": gen, "partitions": partitions}, sort_keys=True),
     )
+    actual = _current_gen(spark, table_path)
+    if actual != expected_cur:
+        raise SnapshotWriteConflict(
+            f"snapshot moved during merge: based on {expected_cur}, "
+            f"pointer now at {actual} ({table_path})"
+        )
     tmp = f"{table_path}/_current__tmp"
     cur = f"{table_path}/_current"
     _write_text(spark, tmp, str(gen))
@@ -210,11 +323,12 @@ def snapshot_merge_upsert(
     O(affected-partitions) write set, but the commit point is one
     atomic rename and concurrent readers are never torn."""
     _commit_recover(spark, table_path)
+    _claim_recover(spark, table_path)
     _fs_mkdirs(spark, f"{table_path}/_manifests")
     cur = _current_gen(spark, table_path)
     gen = (cur or 0) + 1
-    new_dir = _gen_dir(table_path, gen)
-    _fs_delete(spark, new_dir)  # debris of an uncommitted crash
+    gname = _gen_name(gen)
+    new_dir = _gen_dir(table_path, gname)
 
     if cur is None:
         if partition_cols and incoming.isEmpty():
@@ -235,7 +349,8 @@ def snapshot_merge_upsert(
         )
         _commit(
             spark, table_path, gen,
-            {r: f"gen-{gen:08d}" for r in rels},
+            {r: gname for r in rels},
+            expected_cur=cur,
         )
         return gen
 
@@ -246,7 +361,7 @@ def snapshot_merge_upsert(
         merged_view(existing, incoming, key).write.mode(
             "overwrite"
         ).parquet(new_dir)
-        _commit(spark, table_path, gen, {"": f"gen-{gen:08d}"})
+        _commit(spark, table_path, gen, {"": gname}, expected_cur=cur)
         return gen
 
     keys = incoming.select(key).distinct()
@@ -283,8 +398,8 @@ def snapshot_merge_upsert(
         r: g for r, g in manifest["partitions"].items()
         if r not in affected_rels
     }
-    partitions.update({r: f"gen-{gen:08d}" for r in written})
-    _commit(spark, table_path, gen, partitions)
+    partitions.update({r: gname for r in written})
+    _commit(spark, table_path, gen, partitions, expected_cur=cur)
     return gen
 
 
@@ -298,20 +413,21 @@ def snapshot_delete_keys(
     """DELETE-by-key-set with the same commit protocol; rewrites only
     partitions that hold doomed keys."""
     _commit_recover(spark, table_path)
+    _claim_recover(spark, table_path)
     cur = _current_gen(spark, table_path)
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot at {table_path}")
     existing = read_snapshot_table(spark, table_path)
     key_set = keys.select(key).distinct()
     gen = cur + 1
-    new_dir = _gen_dir(table_path, gen)
-    _fs_delete(spark, new_dir)
+    gname = _gen_name(gen)
+    new_dir = _gen_dir(table_path, gname)
 
     if not partition_cols:
         existing.join(F.broadcast(key_set), on=key, how="left_anti").write.mode(
             "overwrite"
         ).parquet(new_dir)
-        _commit(spark, table_path, gen, {"": f"gen-{gen:08d}"})
+        _commit(spark, table_path, gen, {"": gname}, expected_cur=cur)
         return gen
 
     manifest = _read_manifest(spark, table_path, cur)
@@ -344,8 +460,8 @@ def snapshot_delete_keys(
         r: g for r, g in manifest["partitions"].items()
         if r not in affected_rels
     }
-    partitions.update({r: f"gen-{gen:08d}" for r in written})
-    _commit(spark, table_path, gen, partitions)
+    partitions.update({r: gname for r in written})
+    _commit(spark, table_path, gen, partitions, expected_cur=cur)
     return gen
 
 
@@ -365,6 +481,8 @@ def snapshot_optimize(
     (operators/layout.zorder_value) so parquet min/max footers prune
     multi-column range predicates — one stats pass + a sort folded
     into the rewrite the fold was doing anyway."""
+    _commit_recover(spark, table_path)
+    _claim_recover(spark, table_path)
     cur = _current_gen(spark, table_path)
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot at {table_path}")
@@ -391,8 +509,8 @@ def snapshot_optimize(
             .drop("__z")
         )
     gen = cur + 1
-    new_dir = _gen_dir(table_path, gen)
-    _fs_delete(spark, new_dir)
+    gname = _gen_name(gen)
+    new_dir = _gen_dir(table_path, gname)
     writer = existing.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
@@ -402,7 +520,7 @@ def snapshot_optimize(
         if partition_cols
         else [""]
     )
-    _commit(spark, table_path, gen, {r: f"gen-{gen:08d}" for r in rels})
+    _commit(spark, table_path, gen, {r: gname for r in rels}, expected_cur=cur)
     return gen
 
 
@@ -481,7 +599,7 @@ def snapshot_vacuum(
             st.isDirectory()
             and name.startswith("gen-")
             and name not in referenced
-            and int(name[4:]) <= cur  # never touch an in-flight writer
+            and int(name[4:12]) <= cur  # never touch an in-flight writer
         ):
             fs.delete(st.getPath(), True)
             removed_gens += 1

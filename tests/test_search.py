@@ -386,3 +386,135 @@ def test_persisted_index_edge_cases(spark, tmp_path):
     assert X.text_index_query(spark, path, q, k=5).count() == 0
     X.text_index_compact(spark, path)
     assert X.text_index_query(spark, path, q, k=5).count() == 0
+
+
+def test_compact_crash_between_swaps_keeps_liveness(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r5 (high): compaction must swap postings FIRST and
+    doclen (the liveness authority) LAST.  Crash the doclen swap:
+    compacted postings sit next to the OLD multi-generation doclen —
+    the dead-set still derives from the old doclen, so superseded docs
+    stay dead, queries equal the pre-crash answers, and a re-run of
+    compact converges to the steady state."""
+    import pytest as _pytest
+
+    from gpt_rag_ingestion_spark.operators import search as X
+    from gpt_rag_ingestion_spark.operators import similarity as SIM
+
+    path = str(tmp_path / "tindex")
+    X.text_index_build(_corpus(spark, BASE_ROWS), path)
+    changed = [(2, "stone stone stone tree"), (6, "dog fish dog")]
+    X.text_index_append(_corpus(spark, changed), path, "b1")
+    after = {r[0]: r for r in BASE_ROWS} | {r[0]: r for r in changed}
+    want = _want(spark, list(after.values()))
+
+    real_rename = SIM.jvm_fs_rename
+
+    def crash_on_doclen(spark_, src, dst):
+        if src.endswith("/doclen"):  # live -> __old, the authority leg
+            raise RuntimeError("injected crash between swaps")
+        return real_rename(spark_, src, dst)
+
+    monkeypatch.setattr(SIM, "jvm_fs_rename", crash_on_doclen)
+    with _pytest.raises(RuntimeError, match="injected"):
+        X.text_index_compact(spark, path)
+    monkeypatch.setattr(SIM, "jvm_fs_rename", real_rename)
+
+    # postings are compacted, doclen is old, meta.superseded > 0:
+    # queries must still equal the pre-crash answers (no tf/df
+    # double counting from superseded generations)
+    got = sorted(
+        tuple(r)
+        for r in X.text_index_query(
+            spark, path, _persisted_queries(spark), k=5
+        ).collect()
+    )
+    assert got == want
+
+    # re-running compact converges to the steady state
+    X.text_index_compact(spark, path)
+    meta = X._tindex_read_meta(spark, path)
+    assert int(meta["superseded"]) == 0
+    got = sorted(
+        tuple(r)
+        for r in X.text_index_query(
+            spark, path, _persisted_queries(spark), k=5
+        ).collect()
+    )
+    assert got == want
+
+
+def test_query_path_never_prunes_inflight_writer_dirs(spark, tmp_path):
+    """ADVICE r5 (medium): the query path is READ-ONLY.  Simulate an
+    in-flight append (gen-stamped dirs written, meta not yet
+    committed): the query must answer from the committed snapshot AND
+    leave the writer's directories untouched, so the writer's later
+    meta commit references intact data."""
+    from gpt_rag_ingestion_spark.operators import search as X
+    from gpt_rag_ingestion_spark.operators.similarity import jvm_fs_exists
+
+    path = str(tmp_path / "tindex")
+    X.text_index_build(_corpus(spark, BASE_ROWS), path)
+    want = _want(spark, BASE_ROWS)
+
+    # hand-write what text_index_append stages BEFORE its meta commit
+    gen = int(X._tindex_read_meta(spark, path)["gen"]) + 1
+    postings, doclen = X._tindex_tables(
+        _corpus(spark, [(2, "stone stone stone tree")]), "text", "doc_id", gen
+    )
+    pdir = f"{path}/postings/batch=b1__g{gen}"
+    ddir = f"{path}/doclen/batch=b1__g{gen}"
+    postings.write.mode("overwrite").parquet(pdir)
+    doclen.write.mode("overwrite").parquet(ddir)
+
+    got = sorted(
+        tuple(r)
+        for r in X.text_index_query(
+            spark, path, _persisted_queries(spark), k=5
+        ).collect()
+    )
+    assert got == want  # committed snapshot only (gen filter)
+    assert jvm_fs_exists(spark, pdir) and jvm_fs_exists(spark, ddir)
+
+    # the writer retries its append (writer-side recovery prunes the
+    # staged dirs and replays) — converges to the post-append state
+    X.text_index_append(
+        _corpus(spark, [(2, "stone stone stone tree")]), path, "b1"
+    )
+    after = {r[0]: r for r in BASE_ROWS} | {2: (2, "stone stone stone tree")}
+    got = sorted(
+        tuple(r)
+        for r in X.text_index_query(
+            spark, path, _persisted_queries(spark), k=5
+        ).collect()
+    )
+    assert got == _want(spark, list(after.values()))
+
+
+def test_text_index_rejects_null_cast_doc_ids(spark, tmp_path):
+    """ADVICE r5 (low): non-numeric ids must fail fast, not collapse
+    onto doc=NULL."""
+    import pytest as _pytest
+
+    from gpt_rag_ingestion_spark.operators import search as X
+
+    path = str(tmp_path / "tindex")
+    bad = spark.createDataFrame(
+        [("chunk-a", "cat dog"), ("chunk-b", "dog fish")],
+        "doc_id string, text string",
+    )
+    with _pytest.raises(ValueError, match="cast to NULL"):
+        X.text_index_build(bad, path)
+
+    ok = _corpus(spark, BASE_ROWS)
+    X.text_index_build(ok, path)
+    with _pytest.raises(ValueError, match="cast to NULL"):
+        X.text_index_append(
+            bad, path, "b1"
+        )
+    with _pytest.raises(ValueError, match="cast to NULL"):
+        X.text_index_delete(
+            spark, path,
+            spark.createDataFrame([("chunk-a",)], "doc_id string"), "p1",
+        )

