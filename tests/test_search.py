@@ -518,3 +518,44 @@ def test_text_index_rejects_null_cast_doc_ids(spark, tmp_path):
             spark, path,
             spark.createDataFrame([("chunk-a",)], "doc_id string"), "p1",
         )
+
+
+def test_text_index_apply_batches_upsert_and_delete(spark, tmp_path):
+    """text_index_apply = append + delete in ONE generation/commit
+    (delete-then-upload semantics: a key in both sets keeps its batch
+    row).  Equivalence: apply(batch, keys) == append(batch) then
+    delete(keys - batch) run on a twin — same query answers, same
+    live counters — while consuming ONE generation."""
+    from gpt_rag_ingestion_spark.operators import search as X
+
+    path = str(tmp_path / "apply")
+    twin = str(tmp_path / "twin")
+    X.text_index_build(_corpus(spark, BASE_ROWS), path)
+    X.text_index_build(_corpus(spark, BASE_ROWS), twin)
+
+    batch = [(2, "stone stone stone tree"), (6, "dog fish dog")]
+    # delete 1 and 2: doc 2 is ALSO in the batch -> its upload wins
+    keys = spark.createDataFrame([(1,), (2,)], "doc_id long")
+
+    out = X.text_index_apply(_corpus(spark, batch), keys, path, "b1")
+    assert out["gen"] == 1  # one generation for both legs
+
+    X.text_index_append(_corpus(spark, batch), twin, "b1")
+    X.text_index_delete(
+        spark, twin, spark.createDataFrame([(1,)], "doc_id long"), "p1"
+    )
+
+    q = _persisted_queries(spark)
+    a = sorted(tuple(r) for r in X.text_index_query(spark, path, q, k=5).collect())
+    b = sorted(tuple(r) for r in X.text_index_query(spark, twin, q, k=5).collect())
+    assert a == b
+    ma, mb = (
+        X._tindex_read_meta(spark, path), X._tindex_read_meta(spark, twin)
+    )
+    assert (ma["n_live"], ma["l_live"]) == (mb["n_live"], mb["l_live"])
+    # compaction converges both to the same steady state
+    X.text_index_compact(spark, path)
+    X.text_index_compact(spark, twin)
+    a = sorted(tuple(r) for r in X.text_index_query(spark, path, q, k=5).collect())
+    b = sorted(tuple(r) for r in X.text_index_query(spark, twin, q, k=5).collect())
+    assert a == b
