@@ -3240,6 +3240,65 @@ def _bm25_oracle_ctes(corpus_sql: str = "documents") -> str:
     return _BM25_ORACLE_CTES_TEMPLATE.replace("__CORPUS__", corpus_sql)
 
 
+def _bm25_ctes_with_queries(queries, corpus_sql: str = "documents") -> str:
+    """The BM25 CTE chain with a CUSTOM query-term list (the template
+    bakes _BM25_QUERIES into the qs VALUES)."""
+    import re
+
+    vals = ", ".join(
+        f"('{qid}', '{t}')" for qid, terms in queries for t in terms
+    )
+    return re.sub(
+        r"qs\(query_id, token\) AS \(VALUES .*?\),\n            cand",
+        f"qs(query_id, token) AS (VALUES {vals}),\n            cand",
+        _bm25_oracle_ctes(corpus_sql),
+        flags=re.S,
+    )
+
+
+def _bm25_prefixed_ctes(prefix: str, corpus_sql: str) -> str:
+    """The BM25 CTE chain with every CTE name prefixed, so two
+    instantiations (one per FIELD) can coexist in one WITH clause —
+    the q165 multi-field oracle."""
+    import re
+
+    tmpl = _bm25_oracle_ctes(corpus_sql)
+    for name in (
+        "toks", "postings", "dfreq", "doclen", "cc", "qs", "cand",
+        "scored",
+    ):
+        tmpl = re.sub(rf"\b{name}\b", f"{prefix}{name}", tmpl)
+    return tmpl
+
+
+_TITLE_CORPUS_SQL = (
+    "(SELECT doc_id, array_to_string("
+    "(list_filter(string_split_regex(lower(text), '\\s+'), "
+    "x -> x != ''))[1:6], ' ') AS text FROM documents)"
+)
+
+
+def _fuzzy_bm25_ctes() -> str:
+    """q163's oracle CTEs: the standard chain with the fuzzy query
+    set, plus an ``exp`` CTE expanding each term to vocabulary terms
+    within levenshtein 1 (direct lev join — affordable oracle-side on
+    a tiny term set); cand scores the EXPANDED set."""
+    ctes = _bm25_ctes_with_queries(_FUZZY_QUERIES)
+    ctes = ctes.replace(
+        "),\n            cand AS (",
+        "),\n            exp AS (\n"
+        "              SELECT DISTINCT q.query_id, v.token\n"
+        "              FROM qs q JOIN dfreq v\n"
+        "                ON levenshtein(q.token, v.token) <= 1),\n"
+        "            cand AS (",
+        1,
+    )
+    return ctes.replace(
+        "FROM (SELECT DISTINCT query_id, token FROM qs) q",
+        "FROM (SELECT query_id, token FROM exp) q",
+    )
+
+
 _BM25_ORACLE_CTES_TEMPLATE = (
     """toks AS (
               SELECT doc_id AS doc, t.token
@@ -3488,6 +3547,78 @@ def q162_char_collision(spark: SparkSession, sf: str) -> DataFrame:
     return char_collision_features(docs)
 
 
+_FUZZY_QUERIES = [
+    ("f0", ["tabl", "scann"]),      # table/scan: deletion + insertion
+    ("f1", ["joln", "sparkk"]),     # join/spark: substitution + insertion
+    ("f2", ["window", "agg"]),      # exact terms also expand (lev 0/1)
+    ("f3", ["merge", "hash"]),      # all exact (fuzzy = superset)
+]
+
+
+def q163_fuzzy_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy full-text search (operators/search.fuzzy_bm25_topk — the
+    search service's ``~`` fuzzy operator): each query term expands to
+    vocabulary terms within Levenshtein 1 via the FastSS
+    deletion-variant equi-join (never |terms| x |vocab|), then the
+    standard integer-exact BM25 scores the expanded set.  Typo'd
+    queries ("tabel scann") retrieve what their intended terms would.
+    The oracle computes the same expansion with a direct
+    levenshtein() join (tiny query set makes that affordable
+    oracle-side) and the same closed-form BM25."""
+    from gpt_rag_ingestion_spark.operators.search import (
+        build_text_index,
+        fuzzy_bm25_topk,
+    )
+
+    docs = _t(spark, sf, "documents")
+    index = build_text_index(docs, text_col="text", id_col="doc_id")
+    queries = spark.createDataFrame(
+        _FUZZY_QUERIES, "query_id string, terms array<string>"
+    )
+    return fuzzy_bm25_topk(index, queries, k=10, max_distance=1)
+
+
+def q164_facet_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Search facets (operators/search.facet_counts — the service's
+    ``facet=`` parameter): per-query counts of lang and source over
+    the BM25 top-10 hit set.  The metadata join touches hit docs only
+    (broadcast semi-join); the corpus is never rescanned."""
+    from gpt_rag_ingestion_spark.operators.search import (
+        bm25_topk,
+        build_text_index,
+        facet_counts,
+    )
+
+    docs = _t(spark, sf, "documents")
+    index = build_text_index(docs, text_col="text", id_col="doc_id")
+    hits = bm25_topk(index, _bm25_query_df(spark), k=10)
+    return facet_counts(hits, docs, ["lang", "source"])
+
+
+def q165_multifield_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-field weighted BM25 (operators/search.multifield_bm25_topk
+    — the search service's scoring profiles / field boosts): a
+    synthesized title field (first 6 tokens) at weight 3 plus the body
+    at weight 1, each scored by the integer-exact BM25 core and
+    combined as an exact weighted sum — the whole profile
+    hash-matches the closed-form SQL twin."""
+    from gpt_rag_ingestion_spark.operators.search import (
+        multifield_bm25_topk,
+    )
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "title",
+        F.expr(
+            "array_join(slice(filter(split(lower(text), '\\\\s+'), "
+            "x -> x != ''), 1, 6), ' ')"
+        ),
+    )
+    return multifield_bm25_topk(
+        docs, _bm25_query_df(spark), fields=[("title", 3), ("text", 1)],
+        k=10,
+    )
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW and len(queries()) == 155 on every gate run.
@@ -3721,7 +3852,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_revenue_share": q134_revenue_share,
         "q136_latest_per_key": q136_latest_per_key,
         "q137_dwell_times": q137_dwell_times,
-        "q138_embedding_dim_stats": q138_embedding_dim_stats,    }
+        "q138_embedding_dim_stats": q138_embedding_dim_stats,
+        "q163_fuzzy_search": q163_fuzzy_search,
+        "q164_facet_counts": q164_facet_counts,
+        "q165_multifield_bm25": q165_multifield_bm25,
+    }
 
 
 # --------------------------------------------------------------------------
@@ -6532,5 +6667,52 @@ def oracle_sql() -> dict[str, str]:
             FROM d
             LEFT JOIN (SELECT * FROM r0 UNION ALL SELECT * FROM r1) r
                    ON r.doc_id = d.doc_id
+        """,
+        "q163_fuzzy_search": f"""
+            WITH {_fuzzy_bm25_ctes()},
+            ranked AS (
+              SELECT query_id, doc, score_q,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY score_q DESC, doc ASC) AS rank
+              FROM scored)
+            SELECT query_id, rank, doc, score_q
+            FROM ranked WHERE rank <= 10
+        """,
+        "q164_facet_counts": f"""
+            WITH {_bm25_oracle_ctes()},
+            ranked AS (
+              SELECT query_id, doc,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY score_q DESC, doc ASC) AS rank
+              FROM scored),
+            sel AS (SELECT query_id, doc FROM ranked WHERE rank <= 10)
+            SELECT s.query_id, 'lang' AS facet,
+                   CAST(d.lang AS VARCHAR) AS value,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM sel s JOIN documents d ON d.doc_id = s.doc
+            GROUP BY s.query_id, d.lang
+            UNION ALL
+            SELECT s.query_id, 'source', CAST(d.source AS VARCHAR),
+                   CAST(COUNT(*) AS BIGINT)
+            FROM sel s JOIN documents d ON d.doc_id = s.doc
+            GROUP BY s.query_id, d.source
+        """,
+        "q165_multifield_bm25": f"""
+            WITH {_bm25_prefixed_ctes("t_", _TITLE_CORPUS_SQL)},
+            {_bm25_prefixed_ctes("b_", "documents")},
+            allp AS (
+              SELECT query_id, doc, 3 * score_q AS ws FROM t_scored
+              UNION ALL
+              SELECT query_id, doc, 1 * score_q AS ws FROM b_scored),
+            total AS (
+              SELECT query_id, doc, CAST(SUM(ws) AS BIGINT) AS score_q
+              FROM allp GROUP BY query_id, doc),
+            ranked AS (
+              SELECT query_id, doc, score_q,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY score_q DESC, doc ASC) AS rank
+              FROM total)
+            SELECT query_id, rank, doc, score_q
+            FROM ranked WHERE rank <= 10
         """,
     }

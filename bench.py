@@ -61,12 +61,19 @@ def _ann_recall(spark, entry_mod, sf_dir: str, k: int = 10) -> dict:
     # (weakly clustered — recall tracks probed fraction) embeddings;
     # full curve: scripts/ann_recall_curve.py, published in SCALING.md.
     # Floors asserted in tests/test_scale_features.py::test_ann_recall_floors
+    # metric="cosine" for the PQ family: truth is cosine and the ADC
+    # shortlist prunes in cosine geometry, so the re-rank must score
+    # cosine too (the r6 clustered-corpus study: a raw-dot re-rank
+    # capped recall at 0.71 on varying-norm vectors)
     variants = {
         "lsh": lambda: lsh_bucketed_ann(emb, emb, dim=64, bits=6, k=k, probes=3),
         "ivf": lambda: ivf_ann(emb, emb, dim=64, n_centroids=16, n_probe=10, k=k),
-        "pq_refine": lambda: pq_ann_refined(emb, pq_queries, k=k),
+        "pq_refine": lambda: pq_ann_refined(
+            emb, pq_queries, k=k, metric="cosine"
+        ),
         "ivfpq": lambda: ivfpq_ann(
-            emb, pq_queries, k=k, n_probe=12, refine_factor=16
+            emb, pq_queries, k=k, n_probe=12, refine_factor=16,
+            metric="cosine",
         ),
     }
     out = {}

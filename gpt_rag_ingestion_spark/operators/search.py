@@ -100,24 +100,16 @@ def build_text_index(
     }
 
 
-def bm25_topk(
+def _bm25_scores(
     index: dict,
-    queries: DataFrame,
-    k: int = 10,
+    qterms: DataFrame,
     query_id_col: str = "query_id",
-    terms_col: str = "terms",
 ) -> DataFrame:
-    """(query_id, rank, doc, score_q): integer-exact BM25 top-k per
-    query.  ``queries``: (query_id, terms ARRAY<STRING>).  The postings
-    are probed by a broadcast semi-join on the query term set — only
-    candidate documents flow into scoring."""
-    from pyspark.sql import Window
-
+    """(query_id, doc, score_q) for an exploded-and-distinct
+    (query_id, token) term set — the shared scoring core of
+    ``bm25_topk`` / ``fuzzy_bm25_topk`` / ``multifield_bm25_topk``."""
     n, l = index["n_docs"], index["total_len"]
     scale = _idf_scale(n)
-    qterms = queries.select(
-        F.col(query_id_col), F.explode(F.col(terms_col)).alias("token")
-    ).distinct()
     # dfreq restricted to the query tokens BEFORE broadcasting — the
     # full table is |vocabulary| rows (easily 100M+ at web scale, a
     # broadcast that would not fit); the restricted one is a handful.
@@ -136,18 +128,42 @@ def bm25_topk(
         f"((({n} - df + 1) * {scale}) div (df + 1)) * 44 * tf"
         f" div (20 * tf + 6 + ((18 * dl * {n}) div {max(l, 1)}))"
     )
-    scored = (
+    return (
         cand.select(query_id_col, "doc", term_q.alias("term_q"))
         .groupBy(query_id_col, "doc")
         .agg(F.sum("term_q").cast("long").alias("score_q"))
     )
+
+
+def _topk_by_score(scored, k, query_id_col, score_col="score_q"):
+    from pyspark.sql import Window
+
     w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("score_q"), F.asc("doc")
+        F.desc(score_col), F.asc("doc")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= int(k))
-        .select(query_id_col, "rank", "doc", "score_q")
+        .select(query_id_col, "rank", "doc", score_col)
+    )
+
+
+def bm25_topk(
+    index: dict,
+    queries: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """(query_id, rank, doc, score_q): integer-exact BM25 top-k per
+    query.  ``queries``: (query_id, terms ARRAY<STRING>).  The postings
+    are probed by a broadcast semi-join on the query term set — only
+    candidate documents flow into scoring."""
+    qterms = queries.select(
+        F.col(query_id_col), F.explode(F.col(terms_col)).alias("token")
+    ).distinct()
+    return _topk_by_score(
+        _bm25_scores(index, qterms, query_id_col), k, query_id_col
     )
 
 
@@ -825,3 +841,153 @@ def suggest_terms(
         .filter(F.col("rank") <= int(k))
         .select(prefix_col, "rank", "token", "df")
     )
+
+
+def fuzzy_expand_terms(
+    index: dict,
+    queries: DataFrame,
+    max_distance: int = 1,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Fuzzy query expansion (the search service's ``~`` fuzzy
+    operator): (query_id, token) pairs where ``token`` is an index
+    vocabulary term within Levenshtein ``max_distance`` of ANY of the
+    query's terms.  The original terms are included (distance 0).
+
+    Spark-first shape: NEVER |terms| x |vocabulary| — both sides
+    explode to their deletion-neighborhood variants (the FastSS
+    invariant shared with operators/linkage: lev(a,b) <= d implies a
+    common string within d deletions of each) keyed by xxhash64, the
+    equi-join meets only real near-misses, and exact levenshtein()
+    verifies the survivors.  The vocabulary side's variant build is
+    O(|vocab| * len) hashed keys — at web scale precompute and persist
+    it next to the index (same layout as the postings; it is itself a
+    deletion-variant index)."""
+    from gpt_rag_ingestion_spark.operators.linkage import (
+        _deletion_variants,
+    )
+
+    qterms = queries.select(
+        F.col(query_id_col), F.explode(F.col(terms_col)).alias("term")
+    ).distinct()
+
+    def variants(df, col):
+        return df.withColumn(
+            "_var", F.explode(_deletion_variants(col, max_distance))
+        ).select(
+            "*", F.xxhash64(F.col("_var")).alias("_vh")
+        ).drop("_var")
+
+    qv = variants(qterms, "term")
+    vv = variants(index["dfreq"].select("token"), "token")
+    cand = (
+        qv.join(vv.hint("shuffle_hash"), "_vh")
+        .select(query_id_col, "term", "token")
+        .distinct()
+    )
+    return (
+        cand.filter(
+            F.levenshtein(F.col("term"), F.col("token")) <= int(max_distance)
+        )
+        .select(query_id_col, "token")
+        .distinct()
+    )
+
+
+def fuzzy_bm25_topk(
+    index: dict,
+    queries: DataFrame,
+    k: int = 10,
+    max_distance: int = 1,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """BM25 top-k where every query term also matches vocabulary terms
+    within ``max_distance`` edits (fuzzy search): expand, then score
+    the expanded term set with the standard integer-exact BM25 core.
+    A typo'd query ("tabel scann") retrieves the documents its
+    intended terms would have."""
+    expanded = fuzzy_expand_terms(
+        index, queries, max_distance, query_id_col, terms_col
+    )
+    return _topk_by_score(
+        _bm25_scores(index, expanded, query_id_col), k, query_id_col
+    )
+
+
+def facet_counts(
+    hits: DataFrame,
+    docs: DataFrame,
+    facet_cols: list[str],
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Facet aggregation over a result set (the search service's
+    ``facet=`` parameter): for each query, the count of hits per value
+    of each facet column.  Output long-form: (query_id, facet, value,
+    n) with value serialized to string (driver-canonicalizer-safe).
+
+    Cost: the facet metadata join touches HIT docs only (broadcast
+    semi-join on the hit set — a top-k result is tiny by construction),
+    then one stack + one groupBy; the corpus is never scanned."""
+    hit_docs = docs.select(
+        F.col(id_col).alias("doc"),
+        *[F.col(c).cast("string").alias(c) for c in facet_cols],
+    ).join(F.broadcast(hits.select("doc").distinct()), "doc", "left_semi")
+    joined = hits.select(query_id_col, "doc").join(
+        F.broadcast(hit_docs), "doc"
+    )
+    stack_args = ", ".join(f"'{c}', {c}" for c in facet_cols)
+    stacked = joined.select(
+        query_id_col,
+        F.expr(
+            f"stack({len(facet_cols)}, {stack_args}) as (facet, value)"
+        ),
+    )
+    return stacked.groupBy(query_id_col, "facet", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def multifield_bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    fields: list[tuple[str, int]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Multi-field weighted BM25 (the search service's scoring
+    profiles / field boosts): each (column, integer weight) in
+    ``fields`` is indexed independently, scored with the standard
+    integer-exact BM25 core, and the per-field scores combine as
+    ``score_q = SUM(weight * field_score)`` — a title hit with weight
+    3 counts three body hits' worth.  Exact integers throughout, so
+    the whole profile hash-matches any SQL engine.
+
+    Scale: one tokenize pass per field (each a narrow map + one
+    (doc, token) shuffle), per-field candidate scoring (broadcast
+    term-set semi-joins), and a final union + groupBy over candidate
+    rows only."""
+    qterms = queries.select(
+        F.col(query_id_col), F.explode(F.col(terms_col)).alias("token")
+    ).distinct()
+    parts = []
+    for col, weight in fields:
+        index = build_text_index(docs, text_col=col, id_col=id_col)
+        scored = _bm25_scores(index, qterms, query_id_col)
+        parts.append(
+            scored.select(
+                query_id_col, "doc",
+                (F.col("score_q") * F.lit(int(weight))).alias("_ws"),
+            )
+        )
+    import functools
+
+    allp = functools.reduce(lambda a, b: a.unionByName(b), parts)
+    total = allp.groupBy(query_id_col, "doc").agg(
+        F.sum("_ws").cast("long").alias("score_q")
+    )
+    return _topk_by_score(total, k, query_id_col)

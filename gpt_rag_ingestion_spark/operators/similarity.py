@@ -781,6 +781,7 @@ def pq_ann_refined(
     n_centroids: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "dot",
 ) -> DataFrame:
     """PQ shortlist + exact re-rank — the standard production PQ
     deployment (Jégou et al. 2011 §V): the compressed-code scan yields
@@ -804,7 +805,9 @@ def pq_ann_refined(
         id_col=id_col,
         vec_col=vec_col,
     ).select("query_id", "corpus_id")
-    return exact_rerank(corpus, queries, shortlist, k, id_col, vec_col)
+    return exact_rerank(
+        corpus, queries, shortlist, k, id_col, vec_col, metric=metric
+    )
 
 
 def exact_rerank(
@@ -814,22 +817,45 @@ def exact_rerank(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "dot",
 ) -> DataFrame:
-    """Exact integer-quantized-dot re-rank of a (query_id, corpus_id)
+    """Exact integer-quantized re-rank of a (query_id, corpus_id)
     shortlist: the shortlist broadcasts to the raw-vector scan (no
-    corpus shuffle), the final window shuffles k'·|Q| compact rows."""
+    corpus shuffle), the final window shuffles k'·|Q| compact rows.
+
+    ``metric``: ``"dot"`` scores the RAW quantized inner product (the
+    q148 exactness contract; identical to cosine when callers
+    pre-normalize).  ``"cosine"`` unit-normalizes BOTH sides before
+    quantizing — use this on corpora whose vector norms vary, because
+    the PQ/ADC shortlist upstream always works in cosine geometry
+    (every encode path normalizes) and a raw-dot re-rank of a cosine
+    shortlist answers a different question than it pruned for.  The
+    r6 clustered-corpus recall study caught exactly that: ivfpq
+    recall@10 capped at 0.71 on mixture-of-Gaussians data no matter
+    how many cells were probed or how deep the refine pool went
+    (refine 128 = 64% of the corpus exactly rescored!), because the
+    re-rank returned max-dot rows while truth was max-cosine; with
+    metric="cosine" the same settings recover the IVF-level curve."""
+    if metric not in ("dot", "cosine"):
+        raise ValueError(f"metric must be 'dot' or 'cosine': {metric!r}")
     qp = _collect_query_batch(queries, id_col, vec_col)
-    qmat = _quantize_np(
-        np.vstack(qp[vec_col].to_numpy()).astype("float64")
-    )
+    qraw = np.vstack(qp[vec_col].to_numpy()).astype("float64")
+    if metric == "cosine":
+        qraw = qraw / np.maximum(
+            np.linalg.norm(qraw, axis=1)[:, None], 1e-12
+        )
+    qmat = _quantize_np(qraw)
     qindex = {int(q): i for i, q in enumerate(qp[id_col].to_numpy())}
     spark = corpus.sparkSession
-    b_q = spark.sparkContext.broadcast((qindex, qmat))
+    b_q = spark.sparkContext.broadcast((qindex, qmat, metric))
 
     @pandas_udf("long")
     def qdot_udf(qid: pd.Series, cv: pd.Series) -> pd.Series:
-        qix, qm = b_q.value
-        C = _quantize_np(np.vstack(cv.to_numpy()))
+        qix, qm, met = b_q.value
+        C = np.vstack(cv.to_numpy()).astype("float64")
+        if met == "cosine":
+            C = C / np.maximum(np.linalg.norm(C, axis=1)[:, None], 1e-12)
+        C = _quantize_np(C)
         rows = np.array([qix[int(q)] for q in qid.to_numpy()])
         return pd.Series((qm[rows] * C).sum(axis=1))
 
@@ -861,6 +887,7 @@ def ivfpq_ann(
     fit_sample: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "dot",
 ) -> DataFrame:
     """IVF + PQ — the FAISS IVFPQ architecture (Jégou et al. 2011
     §VI): a coarse spherical-kmeans quantizer prunes the scan to
@@ -898,7 +925,9 @@ def ivfpq_ann(
 
     kk = k * refine_factor
     shortlist = _ivfpq_adc_shortlist(enc, qd, b_model, kk)
-    return exact_rerank(corpus, queries, shortlist, k, id_col, vec_col)
+    return exact_rerank(
+        corpus, queries, shortlist, k, id_col, vec_col, metric=metric
+    )
 
 
 # ------------------------------------------------------------------ IVF index
@@ -1455,6 +1484,7 @@ def ivfpq_index_query(
     refine_factor: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "dot",
 ) -> DataFrame:
     """Query the persisted IVFPQ index: probe n_probe cells, push
     ``cell IN (probed)`` into the code-postings scan (directory-level
@@ -1493,7 +1523,10 @@ def ivfpq_index_query(
     )
     if refine_with is not None:
         shortlist = _ivfpq_adc_shortlist(enc, qd, b_model, k * refine_factor)
-        return exact_rerank(refine_with, queries, shortlist, k, id_col, vec_col)
+        return exact_rerank(
+            refine_with, queries, shortlist, k, id_col, vec_col,
+            metric=metric,
+        )
     return _ivfpq_adc_rank(enc, qd, b_model, k)
 
 

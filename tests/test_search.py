@@ -559,3 +559,101 @@ def test_text_index_apply_batches_upsert_and_delete(spark, tmp_path):
     a = sorted(tuple(r) for r in X.text_index_query(spark, path, q, k=5).collect())
     b = sorted(tuple(r) for r in X.text_index_query(spark, twin, q, k=5).collect())
     assert a == b
+
+
+def test_fuzzy_expand_terms_finds_lev1_vocab(spark):
+    """FastSS deletion-variant expansion == direct levenshtein<=1 join
+    (including the original term at distance 0), never a terms x vocab
+    cross join."""
+    from gpt_rag_ingestion_spark.operators.search import (
+        build_text_index,
+        fuzzy_expand_terms,
+    )
+
+    docs = _corpus(
+        spark,
+        [(1, "table scan filter"), (2, "tables cat fan"), (3, "scant tab")],
+    )
+    index = build_text_index(docs)
+    q = _queries(spark, [("q", ["tabl", "scan"])])
+    got = {
+        (r["query_id"], r["token"])
+        for r in fuzzy_expand_terms(index, q, max_distance=1).collect()
+    }
+    # tabl -> table (ins), tab (del); NOT tables (lev 2)
+    # scan -> scan (0), scant (ins), fan? (lev 2: s->f + c del) no
+    assert got == {
+        ("q", "table"), ("q", "tab"), ("q", "scan"), ("q", "scant"),
+    }
+
+
+def test_fuzzy_bm25_retrieves_typo_targets(spark):
+    from gpt_rag_ingestion_spark.operators.search import (
+        bm25_topk,
+        build_text_index,
+        fuzzy_bm25_topk,
+    )
+
+    docs = _corpus(spark, BASE_ROWS)
+    index = build_text_index(docs)
+    exact = bm25_topk(index, _queries(spark, [("q", ["cat", "dog"])]), k=5)
+    fuzzy = fuzzy_bm25_topk(
+        index, _queries(spark, [("q", ["catt", "dogg"])]), k=5
+    )
+    a = sorted((r["rank"], r["doc"]) for r in exact.collect())
+    b = sorted((r["rank"], r["doc"]) for r in fuzzy.collect())
+    assert a == b  # typo'd query == intended query's ranking
+
+
+def test_facet_counts_over_hits(spark):
+    from gpt_rag_ingestion_spark.operators.search import facet_counts
+
+    hits = spark.createDataFrame(
+        [("q1", 1, 1), ("q1", 2, 2), ("q2", 2, 1)],
+        "query_id string, doc long, rank int",
+    )
+    docs = spark.createDataFrame(
+        [(1, "en", "web"), (2, "en", "pdf"), (3, "fr", "web")],
+        "doc_id long, lang string, source string",
+    )
+    got = {
+        (r["query_id"], r["facet"], r["value"]): r["n"]
+        for r in facet_counts(hits, docs, ["lang", "source"]).collect()
+    }
+    assert got == {
+        ("q1", "lang", "en"): 2,
+        ("q1", "source", "web"): 1,
+        ("q1", "source", "pdf"): 1,
+        ("q2", "lang", "en"): 1,
+        ("q2", "source", "pdf"): 1,
+    }
+
+
+def test_multifield_weights_boost_title_hits(spark):
+    """A weight-3 title hit must outrank a body-only hit of the same
+    shape, and weights (1, 0) must reduce to single-field BM25."""
+    from gpt_rag_ingestion_spark.operators.search import (
+        bm25_topk,
+        build_text_index,
+        multifield_bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat news", "filler words only here"),
+            (2, "boring title", "cat cat story filler pad"),
+            (3, "unrelated", "nothing to see"),
+        ],
+        "doc_id long, title string, text string",
+    )
+    q = _queries(spark, [("q", ["cat"])])
+    out = multifield_bm25_topk(docs, q, fields=[("title", 3), ("text", 1)], k=3)
+    ranked = [r["doc"] for r in sorted(out.collect(), key=lambda r: r["rank"])]
+    assert ranked[0] == 1  # title hit x3 beats body tf=2
+    assert set(ranked) == {1, 2}
+
+    solo = multifield_bm25_topk(docs, q, fields=[("text", 1)], k=3)
+    base = bm25_topk(build_text_index(docs, text_col="text"), q, k=3)
+    assert sorted(map(tuple, solo.collect())) == sorted(
+        map(tuple, base.collect())
+    )
