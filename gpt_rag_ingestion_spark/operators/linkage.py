@@ -118,15 +118,23 @@ def fuzzy_join(
         lmax = left.agg(F.max(F.length(F.col(text_col)))).first()[0] or 0
         rmax = right.agg(F.max(F.length(F.col(text_col)))).first()[0] or 0
         if max(int(lmax), int(rmax)) <= delvar_max_len:
-            def delvar(df: DataFrame, key: str, side: str) -> DataFrame:
+            def delvar(df: DataFrame, key: str) -> DataFrame:
+                # KEY-ONLY variant rows: (key, prefix, xxhash64(variant
+                # of the post-prefix suffix)).  The prefix rides as its
+                # own equi-join key (lev(pfx+u, pfx+v) == lev(u, v));
+                # the text does NOT travel with the unfold — a true
+                # pair shares ~O(len) variants and popular variants on
+                # degenerate corpora (serial-number names) unfold
+                # quadratically inside their bucket, so the join
+                # output is tens of millions of rows where the
+                # verified pair set is sub-million.  Keeping that
+                # unfold at 18 bytes/row (two longs + prefix) and
+                # deduping to distinct key PAIRS before any string is
+                # attached cut q125's sf0.1 wall ~3x.
                 t = F.lower(F.col(text_col))
                 base = df.select(
                     F.col(key),
-                    t.alias(f"_t_{side}"),
                     F.substring(t, 1, prefix_len).alias("_pfx"),
-                    # variants over the post-prefix suffix only: the
-                    # prefix rides as its own equi-join key and
-                    # lev(pfx+u, pfx+v) == lev(u, v)
                     F.expr(
                         f"substring(lower({text_col}), {prefix_len + 1})"
                     ).alias("_sfx"),
@@ -135,28 +143,29 @@ def fuzzy_join(
                     "_var",
                     F.explode(_deletion_variants("_sfx", max_distance)),
                 ).select(
-                    key,
-                    f"_t_{side}",
-                    "_pfx",
-                    # 8-byte key on the wire, not the variant text
-                    F.xxhash64(F.col("_var")).alias("_vh"),
+                    key, "_pfx", F.xxhash64(F.col("_var")).alias("_vh")
                 )
 
-            cand = (
-                delvar(left, left_key, "l")
-                .join(delvar(right, right_key, "r"), on=["_pfx", "_vh"])
-                # a true pair shares ~O(len) variants: fold the
-                # duplicates BEFORE the verifier so Levenshtein runs
-                # once per logical pair
-                .select(left_key, right_key, "_t_l", "_t_r")
+            pairs = (
+                delvar(left, left_key)
+                .join(delvar(right, right_key), on=["_pfx", "_vh"])
+                .select(left_key, right_key)
                 .distinct()
+            )
+            lt = left.select(
+                F.col(left_key), F.lower(F.col(text_col)).alias("_t_l")
+            )
+            rt = right.select(
+                F.col(right_key), F.lower(F.col(text_col)).alias("_t_r")
+            )
+            cand = pairs.join(lt.hint("shuffle_hash"), left_key).join(
+                rt.hint("shuffle_hash"), right_key
             )
             dist = F.levenshtein(F.col("_t_l"), F.col("_t_r"))
             return (
                 cand.withColumn("distance", dist)
                 .filter(F.col("distance") <= max_distance)
                 .select(left_key, right_key, "distance")
-                .distinct()
             )
 
     def blocked(df: DataFrame, key: str, side: str) -> DataFrame:

@@ -209,14 +209,27 @@ def rrf_fuse(
 # build.  This lifecycle mirrors the engine's other persisted indexes
 # (IVF/IVFPQ postings, dedup sidecar): per-batch generation
 # directories, a liveness authority, meta counters driving a
-# steady-state fast path and a compaction trigger, crash-safe swaps.
+# steady-state fast path and a compaction trigger, and ONE commit
+# point: meta is a MANIFEST (r6).
 #
 # Layout under <index_path>/:
-#   meta                  — (gen int, superseded long, n_live long,
-#                            l_live long)
-#   postings/batch=<b>/   — (token string, doc long, tf long, gen int)
-#   doclen/batch=<b>/     — (doc long, dl long, gen int); dl NULL is a
-#                            DELETE tombstone (the purger's leg)
+#   meta                  — one-line JSON {gen, superseded, n_live,
+#                            l_live, batches: {postings: [names],
+#                            doclen: [names]}}.  The manifest IS the
+#                            snapshot: readers read ONLY listed batch
+#                            dirs, so every commit (append, delete,
+#                            apply, COMPACT) is one atomic meta
+#                            rename — no directory swaps anywhere,
+#                            and readers get snapshot isolation like
+#                            the snapshot-table sink.
+#   postings/batch=<label>__g<gen>/ — (token string, doc long,
+#                            tf long, gen int)
+#   doclen/batch=<label>__g<gen>/   — (doc long, dl long, gen int);
+#                            dl NULL is a DELETE tombstone (the
+#                            purger's leg)
+#   claims/g<gen>         — generation claims (create-exclusive):
+#                            concurrent writers racing for the same
+#                            generation are arbitrated at commit time
 #
 # Liveness authority: DOCLEN — exactly one row per doc per generation
 # (a tokenless doc still gets dl = 0; postings would drop it).  Every
@@ -225,6 +238,39 @@ def rrf_fuse(
 # raw tables ARE the live tables, no liveness work at all.
 
 _TEXT_INDEX_SUBS = ("postings", "doclen")
+
+
+class TextIndexWriteConflict(RuntimeError):
+    """Another writer claimed this generation first: the committed
+    index this batch was computed against has moved (or is about to).
+    The index is intact; retry the operation."""
+
+
+def _tindex_claim(spark, index_path, gen) -> None:
+    """Generation claim by atomic create-exclusive (the snapshot
+    table's arbitration primitive applied to the text index), taken
+    at COMMIT time — after a writer's batch dirs are written, before
+    its meta rename.  Of N writers that read the same committed meta
+    (and so computed the same next gen), exactly one creates
+    ``claims/g<gen>``; the rest raise, clean up their own unlisted
+    dirs, and never touch meta.  Crashed claims (gen > committed
+    meta.gen) are pruned by writer-start recovery, with the same
+    documented residual race as the snapshot table's
+    _claim_recover."""
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        SnapshotWriteConflict,
+        _write_text_exclusive,
+    )
+
+    try:
+        _write_text_exclusive(
+            spark, f"{index_path}/claims/g{int(gen):08d}", str(int(gen))
+        )
+    except SnapshotWriteConflict:
+        raise TextIndexWriteConflict(
+            f"generation {gen} already claimed by a concurrent writer "
+            f"({index_path})"
+        ) from None
 
 
 def _badid_agg():
@@ -267,12 +313,16 @@ def _tindex_tables(chunks, text_col, id_col, gen):
     return postings, doclen
 
 
-def _tindex_write_meta(spark, index_path, gen, superseded, n_live, l_live):
+def _tindex_write_meta(
+    spark, index_path, gen, superseded, n_live, l_live, batches
+):
     """Meta is a one-line JSON FILE written driver-side (zero Spark
     jobs — it was a 1-row parquet write + read per lifecycle op, ~10
     fixed jobs across build/append/delete/compact/query; r5 judge
-    brief #4).  Same crash protocol: staging file, delete, rename —
-    the rename is the commit point."""
+    brief #4).  ``batches`` is the MANIFEST: {"postings": [dir
+    names], "doclen": [dir names]} — the committed snapshot readers
+    resolve.  Crash protocol: staging file, delete, rename — the
+    rename is the one commit point of every lifecycle op."""
     import json as _json
 
     from gpt_rag_ingestion_spark.operators.similarity import (
@@ -290,6 +340,9 @@ def _tindex_write_meta(spark, index_path, gen, superseded, n_live, l_live):
                 "superseded": int(superseded),
                 "n_live": int(n_live),
                 "l_live": int(l_live),
+                "batches": {
+                    sub: sorted(batches[sub]) for sub in _TEXT_INDEX_SUBS
+                },
             }
         ),
     )
@@ -306,19 +359,21 @@ def _tindex_read_meta(spark, index_path) -> dict:
 
 
 def _tindex_recover(spark, index_path) -> None:
-    """Swap recovery + COMMIT recovery: batch directories are named
-    ``batch=<label>__g<gen>`` and the committed state is meta.gen —
-    any dir with a newer gen is a crashed, uncommitted append/delete
-    (meta commits LAST) and is pruned here, so it can never pollute
-    liveness or collide with the gen the next writer allocates."""
+    """WRITER-start recovery (readers never mutate): roll a
+    half-committed meta forward, then garbage-collect (a) batch dirs
+    NOT in the committed manifest whose gen is <= committed — debris
+    of conflict losers and of superseded pre-compact batches (dirs
+    with gen > committed belong to an IN-FLIGHT writer and are left
+    alone; they become collectable only after some later commit moves
+    the committed gen past them), and (b) crashed generation claims
+    (gen > committed), which would otherwise block that generation
+    forever.  Same slow-writer caveat as the snapshot table's
+    _claim_recover."""
     from gpt_rag_ingestion_spark.operators.similarity import (
-        _recover_swap,
         jvm_fs_exists,
         jvm_fs_rename,
     )
 
-    for sub in _TEXT_INDEX_SUBS:
-        _recover_swap(spark, f"{index_path}/{sub}")
     if not jvm_fs_exists(spark, f"{index_path}/meta"):
         if jvm_fs_exists(spark, f"{index_path}/meta__staging"):
             jvm_fs_rename(
@@ -326,43 +381,68 @@ def _tindex_recover(spark, index_path) -> None:
             )
         else:
             return  # pre-build: nothing to prune
-    committed = int(_tindex_read_meta(spark, index_path)["gen"])
+    meta = _tindex_read_meta(spark, index_path)
+    committed = int(meta["gen"])
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     for sub in _TEXT_INDEX_SUBS:
+        listed = {f"batch={n}" for n in meta["batches"][sub]}
         root = jvm.org.apache.hadoop.fs.Path(f"{index_path}/{sub}")
         fs = root.getFileSystem(hconf)
         if not fs.exists(root):
             continue
         for st in fs.listStatus(root):
             name = st.getPath().getName()
-            if "__g" in name:
-                try:
-                    g = int(name.rsplit("__g", 1)[1])
-                except ValueError:
-                    continue
-                if g > committed:
-                    fs.delete(st.getPath(), True)
+            if name in listed or "__g" not in name:
+                continue
+            try:
+                g = int(name.rsplit("__g", 1)[1])
+            except ValueError:
+                continue
+            if g <= committed:
+                fs.delete(st.getPath(), True)
+    croot = jvm.org.apache.hadoop.fs.Path(f"{index_path}/claims")
+    cfs = croot.getFileSystem(hconf)
+    if cfs.exists(croot):
+        for st in cfs.listStatus(croot):
+            name = st.getPath().getName()
+            try:
+                g = int(name.lstrip("g"))
+            except ValueError:
+                continue
+            if g > committed:
+                cfs.delete(st.getPath(), False)
 
 
-def _tindex_live(spark, index_path, superseded, committed_gen=None):
-    """(postings, doclen) restricted to each doc's latest generation,
-    tombstones dropped.  superseded == 0: raw tables are live (except
-    tombstones, which only exist when superseded > 0 — a tombstone
-    always supersedes the doc's build/append row).
+def _tindex_read_sub(spark, index_path, sub, names):
+    """Read EXACTLY the manifest-listed batch dirs of one sub-table.
+    Unlisted dirs (an in-flight writer's staging, a conflict loser's
+    debris) are invisible by construction — readers never need a gen
+    filter and never prune."""
+    paths = [f"{index_path}/{sub}/batch={n}" for n in names]
+    if not paths:
+        schema = (
+            "token string, doc long, tf long, gen int"
+            if sub == "postings"
+            else "doc long, dl long, gen int"
+        )
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*paths)
 
-    ``committed_gen`` (meta.gen) additionally drops rows from
-    UNCOMMITTED generations — a concurrent append/delete writes its
-    gen-stamped dirs BEFORE the meta commit, so a reader racing it
-    must ignore gen > meta.gen rather than prune the writer's dirs
-    (readers never rename/delete — the read_batched_dir contract)."""
-    from gpt_rag_ingestion_spark.operators.similarity import read_batched_dir
 
-    postings = read_batched_dir(spark, f"{index_path}/postings")
-    doclen = read_batched_dir(spark, f"{index_path}/doclen")
-    if committed_gen is not None:
-        postings = postings.filter(F.col("gen") <= int(committed_gen))
-        doclen = doclen.filter(F.col("gen") <= int(committed_gen))
+def _tindex_live(spark, index_path, meta):
+    """(postings, doclen) resolved through the manifest and restricted
+    to each doc's latest generation, tombstones dropped.
+    meta.superseded == 0: raw tables are live (except tombstones,
+    which only exist when superseded > 0 — a tombstone always
+    supersedes the doc's build/append row)."""
+    superseded = int(meta["superseded"])
+    postings = _tindex_read_sub(
+        spark, index_path, "postings", meta["batches"]["postings"]
+    )
+    doclen = _tindex_read_sub(
+        spark, index_path, "doclen", meta["batches"]["doclen"]
+    )
     if superseded == 0:
         return postings, doclen.filter(F.col("dl").isNotNull())
     dead = (
@@ -397,16 +477,16 @@ def text_index_build(
     spark = chunks.sparkSession
     for sub in _TEXT_INDEX_SUBS:
         jvm_fs_delete(spark, f"{index_path}/{sub}")
-        jvm_fs_delete(spark, f"{index_path}/{sub}__old")
-        jvm_fs_delete(spark, f"{index_path}/{sub}__staging")
+    jvm_fs_delete(spark, f"{index_path}/claims")
+    jvm_fs_delete(spark, f"{index_path}/meta")
     postings, doclen = _tindex_tables(chunks, text_col, id_col, gen=0)
     postings.write.mode("overwrite").parquet(
-        f"{index_path}/postings/batch=build"
+        f"{index_path}/postings/batch=build__g0"
     )
     doclen = doclen.persist()
     try:
         doclen.write.mode("overwrite").parquet(
-            f"{index_path}/doclen/batch=build"
+            f"{index_path}/doclen/batch=build__g0"
         )
         agg = doclen.agg(
             F.count(F.lit(1)).alias("n"), F.sum("dl").alias("l"), _badid_agg()
@@ -415,7 +495,8 @@ def text_index_build(
     finally:
         doclen.unpersist()
     _tindex_write_meta(
-        spark, index_path, 0, 0, agg["n"] or 0, agg["l"] or 0
+        spark, index_path, 0, 0, agg["n"] or 0, agg["l"] or 0,
+        {"postings": ["build__g0"], "doclen": ["build__g0"]},
     )
     return {"n_docs": int(agg["n"] or 0), "total_len": int(agg["l"] or 0)}
 
@@ -424,7 +505,7 @@ def _tindex_delta(spark, index_path, batch_doclen, meta):
     """(newly_superseded, n_delta, l_delta) for a batch about to land:
     probe the CURRENT live doclen with the batch's doc keys (broadcast
     — O(batch) rows move) to find replaced docs and their old lengths."""
-    _p, live_dl = _tindex_live(spark, index_path, meta["superseded"])
+    _p, live_dl = _tindex_live(spark, index_path, meta)
     keys = batch_doclen.select("doc").distinct()
     replaced = live_dl.join(F.broadcast(keys), "doc", "left_semi")
     old_agg = replaced.agg(
@@ -463,33 +544,65 @@ def text_index_append(
     _tindex_recover(spark, index_path)
     meta = _tindex_read_meta(spark, index_path)
     gen = int(meta["gen"]) + 1
+    name = f"{batch_label}__g{gen}"
     postings, doclen = _tindex_tables(batch, text_col, id_col, gen)
     doclen = doclen.persist()
     try:
-        # deltas from the COMMITTED live state, dirs written next,
-        # meta commit LAST: a crash before the meta rename leaves
-        # gen-stamped orphan dirs that _tindex_recover prunes, so a
-        # replay recomputes deltas against unchanged state (no double
-        # counting); a replay AFTER the commit supersedes the batch's
-        # own docs (delta 0) — idempotent either way
+        # deltas from the COMMITTED live state, dirs written next
+        # (UNLISTED until the commit — readers resolve the manifest,
+        # so staged dirs are invisible), claim, then the meta rename
+        # commits everything at once.  A crash anywhere before the
+        # commit leaves unlisted debris that writer recovery collects;
+        # a replay AFTER the commit supersedes the batch's own docs
+        # (delta 0) — idempotent either way.
         n_super, n_delta, l_delta = _tindex_delta(
             spark, index_path, doclen, meta
         )
         postings.write.mode("overwrite").parquet(
-            f"{index_path}/postings/batch={batch_label}__g{gen}"
+            f"{index_path}/postings/batch={name}"
         )
         doclen.write.mode("overwrite").parquet(
-            f"{index_path}/doclen/batch={batch_label}__g{gen}"
+            f"{index_path}/doclen/batch={name}"
         )
-        _tindex_write_meta(
-            spark, index_path, gen,
+        _tindex_commit(
+            spark, index_path, meta, gen,
             int(meta["superseded"]) + n_super,
             int(meta["n_live"]) + n_delta,
             int(meta["l_live"]) + l_delta,
+            add={"postings": [name], "doclen": [name]},
         )
     finally:
         doclen.unpersist()
     return {"batch": batch_label, "gen": gen, "newly_superseded": n_super}
+
+
+def _tindex_commit(
+    spark, index_path, meta, gen, superseded, n_live, l_live, add,
+    replace=False,
+):
+    """Claim the generation, then commit the new manifest.  On a lost
+    claim the writer deletes its own staged dirs (they are unlisted —
+    harmless to readers — but tidy) and raises."""
+    from gpt_rag_ingestion_spark.operators.similarity import jvm_fs_delete
+
+    try:
+        _tindex_claim(spark, index_path, gen)
+    except TextIndexWriteConflict:
+        for sub in _TEXT_INDEX_SUBS:
+            for n in add.get(sub, []):
+                jvm_fs_delete(spark, f"{index_path}/{sub}/batch={n}")
+        raise
+    batches = {
+        sub: (
+            list(add.get(sub, []))
+            if replace
+            else list(meta["batches"][sub]) + list(add.get(sub, []))
+        )
+        for sub in _TEXT_INDEX_SUBS
+    }
+    _tindex_write_meta(
+        spark, index_path, gen, superseded, n_live, l_live, batches
+    )
 
 
 def text_index_delete(
@@ -505,12 +618,13 @@ def text_index_delete(
     _tindex_recover(spark, index_path)
     meta = _tindex_read_meta(spark, index_path)
     gen = int(meta["gen"]) + 1
+    name = f"{batch_label}__g{gen}"
     tomb = keys.select(
         F.col(id_col).try_cast("long").alias("doc"),
         F.lit(None).cast("long").alias("dl"),
         F.lit(int(gen)).alias("gen"),
     )
-    _p, live_dl = _tindex_live(spark, index_path, meta["superseded"])
+    _p, live_dl = _tindex_live(spark, index_path, meta)
     doomed = live_dl.join(
         F.broadcast(tomb.select("doc").distinct()), "doc", "left_semi"
     )
@@ -524,13 +638,14 @@ def text_index_delete(
     )
     _raise_badid(old["badid"], "delete")
     tomb.write.mode("overwrite").parquet(
-        f"{index_path}/doclen/batch={batch_label}__g{gen}"
+        f"{index_path}/doclen/batch={name}"
     )
-    _tindex_write_meta(  # commit point (same protocol as append)
-        spark, index_path, gen,
+    _tindex_commit(
+        spark, index_path, meta, gen,
         int(meta["superseded"]) + int(old["n"]),
         int(meta["n_live"]) - int(old["n"]),
         int(meta["l_live"]) - int(old["l"]),
+        add={"doclen": [name]},
     )
     return {"batch": batch_label, "gen": gen, "tombstoned": int(old["n"])}
 
@@ -555,6 +670,7 @@ def text_index_apply(
     _tindex_recover(spark, index_path)
     meta = _tindex_read_meta(spark, index_path)
     gen = int(meta["gen"]) + 1
+    name = f"{batch_label}__g{gen}"
     postings, doclen = _tindex_tables(batch, text_col, id_col, gen)
     # tombstones for delete keys NOT re-uploaded this tick (two rows
     # for one doc at the same generation would break latest-gen-wins)
@@ -578,16 +694,17 @@ def text_index_apply(
             spark, index_path, doclen, meta
         )
         postings.write.mode("overwrite").parquet(
-            f"{index_path}/postings/batch={batch_label}__g{gen}"
+            f"{index_path}/postings/batch={name}"
         )
         doclen.write.mode("overwrite").parquet(
-            f"{index_path}/doclen/batch={batch_label}__g{gen}"
+            f"{index_path}/doclen/batch={name}"
         )
-        _tindex_write_meta(
-            spark, index_path, gen,
+        _tindex_commit(
+            spark, index_path, meta, gen,
             int(meta["superseded"]) + n_super,
             int(meta["n_live"]) + n_delta,
             int(meta["l_live"]) + l_delta,
+            add={"postings": [name], "doclen": [name]},
         )
     finally:
         doclen.unpersist()
@@ -612,13 +729,10 @@ def text_index_query(
 
     # READ path: no recovery/pruning here — a query racing an
     # in-flight append must not delete the writer's pre-commit batch
-    # dirs.  Uncommitted generations are excluded by the gen <=
-    # meta.gen filter inside _tindex_live (meta commits last, so the
-    # committed gen is the reader's snapshot).
+    # dirs.  The manifest read in meta IS the reader's snapshot:
+    # staged/unlisted dirs are invisible by construction.
     meta = _tindex_read_meta(spark, index_path)
-    postings, doclen = _tindex_live(
-        spark, index_path, meta["superseded"], committed_gen=meta["gen"]
-    )
+    postings, doclen = _tindex_live(spark, index_path, meta)
     n, l = int(meta["n_live"]), int(meta["l_live"])
     scale = _idf_scale(n)
 
@@ -656,49 +770,46 @@ def text_index_query(
 
 
 def text_index_compact(spark, index_path: str) -> dict:
-    """Fold per-batch generations to one and drop superseded/tombstoned
-    rows; query results are unchanged (unit-pinned).  The liveness
-    authority (doclen) swaps LAST — the dedup-sidecar crash rule."""
-    from gpt_rag_ingestion_spark.operators.similarity import (
-        jvm_fs_delete,
-        jvm_fs_rename,
-    )
+    """Fold the manifest's generations into one compacted batch and
+    drop superseded/tombstoned rows; query results are unchanged
+    (unit-pinned).  With the manifest there are NO directory swaps:
+    the compacted batch is written as a new (unlisted, invisible)
+    dir, the meta rename atomically REPLACES the manifest with it,
+    and the old batch dirs become unlisted debris that this writer —
+    or any later writer's recovery — garbage-collects.  A crash
+    anywhere leaves the old manifest fully intact (the r5 advisor's
+    swap-ordering hazard class is gone structurally).  Compaction
+    claims a generation like every other writer, so it also cannot
+    race an append."""
+    from gpt_rag_ingestion_spark.operators.similarity import jvm_fs_delete
 
     _tindex_recover(spark, index_path)
     meta = _tindex_read_meta(spark, index_path)
-    postings, doclen = _tindex_live(spark, index_path, meta["superseded"])
+    gen = int(meta["gen"]) + 1
+    name = f"compacted__g{gen}"
+    postings, doclen = _tindex_live(spark, index_path, meta)
     out = {}
-    staged = {}
     for sub, df in (("postings", postings), ("doclen", doclen)):
-        staging = f"{index_path}/{sub}__staging"
-        jvm_fs_delete(spark, staging)
-        kept = df.drop("batch") if "batch" in df.columns else df
-        kept.write.mode("overwrite").parquet(f"{staging}/batch=compacted")
-        out[sub] = int(
-            spark.read.parquet(f"{staging}/batch=compacted").count()
+        df.write.mode("overwrite").parquet(
+            f"{index_path}/{sub}/batch={name}"
         )
-        staged[sub] = staging
-    # Swap in declaration order: postings FIRST, doclen (the liveness
-    # authority) LAST — the dedup-sidecar crash rule (dedup.py swaps
-    # its authority `digests` last for the same reason).  A crash
-    # after the postings swap but before the doclen swap leaves the
-    # OLD multi-generation doclen next to compacted postings: the
-    # dead-set still derives from the old doclen, so superseded docs
-    # stay dead and a re-run of compact converges.  The reverse order
-    # (doclen first) would empty the dead-set while old postings rows
-    # still exist, double-counting tf/df forever.
-    for sub in _TEXT_INDEX_SUBS:
-        live_path = f"{index_path}/{sub}"
-        old = f"{live_path}__old"
-        jvm_fs_delete(spark, old)
-        jvm_fs_rename(spark, live_path, old)
-        jvm_fs_rename(spark, staged[sub], live_path)
-        jvm_fs_delete(spark, old)
-        spark.catalog.refreshByPath(live_path)
-    _tindex_write_meta(
-        spark, index_path, int(meta["gen"]), 0, out["doclen"],
+        out[sub] = int(
+            spark.read.parquet(f"{index_path}/{sub}/batch={name}").count()
+        )
+    old_names = {
+        sub: list(meta["batches"][sub]) for sub in _TEXT_INDEX_SUBS
+    }
+    _tindex_commit(
+        spark, index_path, meta, gen, 0, out["doclen"],
         int(meta["l_live"]),
+        add={"postings": [name], "doclen": [name]},
+        replace=True,
     )
+    # committed: the pre-compact dirs are unlisted with gen <= gen —
+    # collect them now rather than leaving them to the next writer
+    for sub, names in old_names.items():
+        for n in names:
+            jvm_fs_delete(spark, f"{index_path}/{sub}/batch={n}")
     return out
 
 

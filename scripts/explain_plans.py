@@ -155,6 +155,24 @@ PLAN_PROPERTIES = {
         ["BroadcastHashJoin"],
         ["NestedLoop", "CartesianProduct"],
     ),
+    # fuzzy search: the term-to-vocabulary expansion is a
+    # deletion-variant EQUI-join on xxhash64 keys — the |terms| x
+    # |vocab| levenshtein cross join (the naive plan) must not appear
+    "q163_fuzzy_search": (
+        ["Join"],
+        ["NestedLoop", "CartesianProduct"],
+    ),
+    # facets: hit-set-only metadata join, broadcast both directions
+    "q164_facet_counts": (
+        ["BroadcastHashJoin"],
+        ["NestedLoop", "CartesianProduct"],
+    ),
+    # multi-field profile: per-field candidate scoring via broadcast
+    # term-set joins, weighted union + one final aggregation
+    "q165_multifield_bm25": (
+        ["BroadcastHashJoin"],
+        ["NestedLoop", "CartesianProduct"],
+    ),
     # revenue share: dimension joins broadcast, share window rides the
     # region partitioning
     "q134_revenue_share": (["BroadcastHashJoin", "Window"], []),

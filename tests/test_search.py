@@ -388,19 +388,21 @@ def test_persisted_index_edge_cases(spark, tmp_path):
     assert X.text_index_query(spark, path, q, k=5).count() == 0
 
 
-def test_compact_crash_between_swaps_keeps_liveness(
+def test_compact_crash_leaves_manifest_intact(
     spark, tmp_path, monkeypatch
 ):
-    """ADVICE r5 (high): compaction must swap postings FIRST and
-    doclen (the liveness authority) LAST.  Crash the doclen swap:
-    compacted postings sit next to the OLD multi-generation doclen —
-    the dead-set still derives from the old doclen, so superseded docs
-    stay dead, queries equal the pre-crash answers, and a re-run of
-    compact converges to the steady state."""
+    """ADVICE r5 (high), closed STRUCTURALLY in r6: compaction no
+    longer swaps directories at all — it writes the compacted batch
+    as an unlisted dir and commits by replacing the MANIFEST in one
+    atomic meta rename.  Crash compaction at its commit: the old
+    manifest (and so every query answer) is fully intact, the debris
+    is invisible to readers, and a re-run converges to the steady
+    state.  The old swap-ordering hazard class (a crash between the
+    postings and doclen swaps double-counting tf/df) cannot exist in
+    this design."""
     import pytest as _pytest
 
     from gpt_rag_ingestion_spark.operators import search as X
-    from gpt_rag_ingestion_spark.operators import similarity as SIM
 
     path = str(tmp_path / "tindex")
     X.text_index_build(_corpus(spark, BASE_ROWS), path)
@@ -409,21 +411,18 @@ def test_compact_crash_between_swaps_keeps_liveness(
     after = {r[0]: r for r in BASE_ROWS} | {r[0]: r for r in changed}
     want = _want(spark, list(after.values()))
 
-    real_rename = SIM.jvm_fs_rename
+    real = X._tindex_write_meta
 
-    def crash_on_doclen(spark_, src, dst):
-        if src.endswith("/doclen"):  # live -> __old, the authority leg
-            raise RuntimeError("injected crash between swaps")
-        return real_rename(spark_, src, dst)
+    def crash(*a, **kw):
+        raise RuntimeError("injected crash at compact commit")
 
-    monkeypatch.setattr(SIM, "jvm_fs_rename", crash_on_doclen)
+    monkeypatch.setattr(X, "_tindex_write_meta", crash)
     with _pytest.raises(RuntimeError, match="injected"):
         X.text_index_compact(spark, path)
-    monkeypatch.setattr(SIM, "jvm_fs_rename", real_rename)
+    monkeypatch.setattr(X, "_tindex_write_meta", real)
 
-    # postings are compacted, doclen is old, meta.superseded > 0:
-    # queries must still equal the pre-crash answers (no tf/df
-    # double counting from superseded generations)
+    # the old manifest still stands: queries equal the pre-crash
+    # answers, superseded counters unchanged
     got = sorted(
         tuple(r)
         for r in X.text_index_query(
@@ -431,6 +430,7 @@ def test_compact_crash_between_swaps_keeps_liveness(
         ).collect()
     )
     assert got == want
+    assert int(X._tindex_read_meta(spark, path)["superseded"]) > 0
 
     # re-running compact converges to the steady state
     X.text_index_compact(spark, path)
@@ -657,3 +657,59 @@ def test_multifield_weights_boost_title_hits(spark):
     assert sorted(map(tuple, solo.collect())) == sorted(
         map(tuple, base.collect())
     )
+
+
+def test_text_index_two_writer_claim_conflict(spark, tmp_path, monkeypatch):
+    """Concurrent text-index writers are arbitrated by generation
+    claims (create-exclusive, the snapshot table's fence): a second
+    writer racing for the same generation raises
+    TextIndexWriteConflict before touching any batch directory, and a
+    claim whose writer died (never committed meta) is pruned by the
+    next writer's recovery instead of blocking the gen forever."""
+    import pytest as _pytest
+
+    from gpt_rag_ingestion_spark.operators import search as X
+
+    path = str(tmp_path / "tindex")
+    X.text_index_build(_corpus(spark, BASE_ROWS), path)
+    want = _want(spark, BASE_ROWS)
+
+    # writer B claims the next generation WHILE A is mid-append
+    # (after A's recovery — a pre-existing claim would correctly be
+    # pruned as crashed — but before A's commit): hook A's delta
+    # probe, the step between its meta read and its dir writes
+    gen = int(X._tindex_read_meta(spark, path)["gen"]) + 1
+    real_delta = X._tindex_delta
+    state = {"fired": False}
+
+    def delta_with_racer(spark_, idx_path, batch_doclen, meta):
+        if not state["fired"]:
+            state["fired"] = True
+            X._tindex_claim(spark_, idx_path, gen)  # writer B wins
+        return real_delta(spark_, idx_path, batch_doclen, meta)
+
+    monkeypatch.setattr(X, "_tindex_delta", delta_with_racer)
+    batch = _corpus(spark, [(2, "stone stone stone tree")])
+    with _pytest.raises(X.TextIndexWriteConflict):
+        X.text_index_append(batch, path, "a1")
+    monkeypatch.setattr(X, "_tindex_delta", real_delta)
+    # the conflict left the committed index untouched
+    got = sorted(
+        tuple(r)
+        for r in X.text_index_query(
+            spark, path, _persisted_queries(spark), k=5
+        ).collect()
+    )
+    assert got == want
+
+    # B crashed without committing: the next writer's recovery prunes
+    # the orphan claim and the append goes through
+    X.text_index_append(batch, path, "a1")
+    after = {r[0]: r for r in BASE_ROWS} | {2: (2, "stone stone stone tree")}
+    got = sorted(
+        tuple(r)
+        for r in X.text_index_query(
+            spark, path, _persisted_queries(spark), k=5
+        ).collect()
+    )
+    assert got == _want(spark, list(after.values()))
