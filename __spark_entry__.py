@@ -3619,6 +3619,74 @@ def q165_multifield_bm25(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q166_snapshot_changes(spark: SparkSession, sf: str) -> DataFrame:
+    """CHANGE DATA FEED over the snapshot-table sink
+    (operators/snapshot_table.snapshot_changes — the Delta
+    table_changes / Iceberg incremental-read analog): three commits
+    (init, update merge %10 -> 'U', keyed delete %7), then the diff
+    between generations 1 and 3.  Only partitions whose manifest
+    mapping changed are read (immutable generations make equal
+    mappings proof of equal content), and rewritten-but-identical
+    rows digest out — update postimages and delete preimages are
+    hash-pinned against the closed relational form."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        snapshot_changes,
+        snapshot_delete_keys,
+        snapshot_merge_upsert,
+    )
+
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        (F.col("o_orderkey") % 8).cast("int").alias("bucket"),
+    )
+    tbl = tempfile.mkdtemp(prefix="q166-cdf-") + "/t"
+    g1 = snapshot_merge_upsert(
+        spark, tbl, orders, key="o_orderkey", partition_cols=["bucket"]
+    )
+    upd = orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_orderstatus", F.lit("U")
+    )
+    snapshot_merge_upsert(
+        spark, tbl, upd, key="o_orderkey", partition_cols=["bucket"]
+    )
+    doomed = orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    g3 = snapshot_delete_keys(
+        spark, tbl, doomed, key="o_orderkey", partition_cols=["bucket"]
+    )
+    out = snapshot_changes(spark, tbl, g1, g3, key="o_orderkey")
+    return out.select(
+        "o_orderkey",
+        F.col("_change_type").alias("change_type"),
+        F.col("bucket").cast("int").alias("bucket"),
+        "o_orderstatus", "o_totalprice",
+    ).localCheckpoint()
+
+
+def q167_filtered_vector_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Vector search with a metadata filter
+    (operators/similarity.filtered_knn — the search service's
+    vectorFilterMode): BOTH modes in one output.  preFilter restricts
+    the corpus first (k results guaranteed); postFilter ranks the
+    full corpus then drops non-matching hits (fewer than k possible —
+    the documented service caveat, visible in the row counts).
+    Integer-quantized dots, oracle-exact."""
+    from gpt_rag_ingestion_spark.operators.similarity import filtered_knn
+
+    emb = _t(spark, sf, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8)
+    pre = filtered_knn(
+        emb, qs, "label = 1", k=5, mode="pre"
+    ).withColumn("mode", F.lit("pre"))
+    post = filtered_knn(
+        emb, qs, "label = 1", k=5, mode="post"
+    ).withColumn("mode", F.lit("post"))
+    return pre.unionByName(post).select(
+        "mode", "query_id", "rank", "corpus_id", "dot_q"
+    )
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW and len(queries()) == 155 on every gate run.
@@ -3856,6 +3924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q163_fuzzy_search": q163_fuzzy_search,
         "q164_facet_counts": q164_facet_counts,
         "q165_multifield_bm25": q165_multifield_bm25,
+        "q166_snapshot_changes": q166_snapshot_changes,
+        "q167_filtered_vector_search": q167_filtered_vector_search,
     }
 
 
@@ -6667,6 +6737,54 @@ def oracle_sql() -> dict[str, str]:
             FROM d
             LEFT JOIN (SELECT * FROM r0 UNION ALL SELECT * FROM r1) r
                    ON r.doc_id = d.doc_id
+        """,
+        "q166_snapshot_changes": """
+            -- diff(gen1, gen3) of: init ; merge(%10 -> 'U') ;
+            -- delete(%7).  Updates carry the POST-image (gen3),
+            -- deletes the PRE-image (gen1); %70 keys are deletes.
+            SELECT o_orderkey, 'update' AS change_type,
+                   CAST(o_orderkey % 8 AS INT) AS bucket,
+                   'U' AS o_orderstatus, o_totalprice
+            FROM orders
+            WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 != 0
+            UNION ALL
+            SELECT o_orderkey, 'delete',
+                   CAST(o_orderkey % 8 AS INT),
+                   o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % 7 = 0
+        """,
+        "q167_filtered_vector_search": """
+            WITH v AS (
+              SELECT vec_id, label, list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+              FROM embeddings),
+            qs AS (SELECT vec_id AS query_id, q AS qq
+                   FROM v WHERE vec_id < 8),
+            pres AS (
+              SELECT s.query_id, d.vec_id AS corpus_id,
+                CAST(list_dot_product(s.qq, d.q) AS BIGINT) AS dot_q
+              FROM qs s JOIN v d
+                ON d.label = 1 AND d.vec_id != s.query_id),
+            prer AS (
+              SELECT query_id, corpus_id, dot_q,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY dot_q DESC, corpus_id ASC) AS rank
+              FROM pres),
+            alls AS (
+              SELECT s.query_id, d.vec_id AS corpus_id,
+                CAST(list_dot_product(s.qq, d.q) AS BIGINT) AS dot_q
+              FROM qs s JOIN v d ON d.vec_id != s.query_id),
+            allr AS (
+              SELECT query_id, corpus_id, dot_q,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY dot_q DESC, corpus_id ASC) AS rank
+              FROM alls)
+            SELECT 'pre' AS mode, query_id, rank, corpus_id, dot_q
+            FROM prer WHERE rank <= 5
+            UNION ALL
+            SELECT 'post', query_id, rank, corpus_id, dot_q
+            FROM allr WHERE rank <= 5
+              AND corpus_id IN (SELECT vec_id FROM v WHERE label = 1)
         """,
         "q163_fuzzy_search": f"""
             WITH {_fuzzy_bm25_ctes()},

@@ -1642,3 +1642,66 @@ def ivfpq_index_compact(spark, index_path: str, label: str = "compacted") -> dic
         spark, f"{index_path}/postings", partition_by="cell", label=label
     )
     return {"n_vectors": n, "label": label}
+
+
+def filtered_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    predicate,
+    k: int = 10,
+    mode: str = "pre",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vector search with a metadata filter — the search service's
+    vector filter modes (AI Search ``vectorFilterMode``):
+
+    - ``mode="pre"`` (preFilter): restrict the corpus FIRST, then
+      exact top-k over the survivors.  Guarantees k results whenever
+      k survivors exist; cost O(|survivors| x |Q|) — the right mode
+      for selective filters.
+    - ``mode="post"`` (postFilter): top-k over the FULL corpus, then
+      drop hits failing the filter — can return FEWER than k per
+      query (the documented service caveat, reproduced exactly);
+      pairs naturally with an ANN index on the unfiltered corpus.
+
+    Scoring is the integer-quantized dot (the q19/q64 determinism
+    convention — oracle-exact in any SQL engine); self-pairs are
+    excluded.  Queries broadcast; the corpus never shuffles until the
+    k-row-per-query window merge.
+
+    ``predicate``: a Column or SQL string over the corpus columns."""
+    if mode not in ("pre", "post"):
+        raise ValueError(f"mode must be 'pre' or 'post': {mode!r}")
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    base = corpus.filter(pred) if mode == "pre" else corpus
+    c = base.select(
+        F.col(id_col).alias("corpus_id"), _qvec(F.col(vec_col)).alias("cq")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _qvec(F.col(vec_col)).alias("qq")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("cq"), F.col("qq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id", dot.alias("dot_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_q"), F.asc("corpus_id")
+    )
+    hits = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "rank", "corpus_id", "dot_q")
+    )
+    if mode == "pre":
+        return hits
+    keep = corpus.filter(pred).select(F.col(id_col).alias("corpus_id"))
+    return hits.join(F.broadcast(keep), "corpus_id", "left_semi").select(
+        "query_id", "rank", "corpus_id", "dot_q"
+    )

@@ -1327,3 +1327,41 @@ def test_sidecar_postings_broadcast_gate_fallback(spark, tmp_path):
     )
     assert shuffled == bcast
     assert any(r[1] != "new" for r in bcast)
+
+
+def test_filtered_knn_pre_vs_post_modes(spark):
+    """preFilter guarantees k results over the restricted corpus;
+    postFilter ranks the full corpus then drops non-matching hits and
+    may return fewer — and every preFilter hit satisfies the filter."""
+    import pandas as pd
+
+    from gpt_rag_ingestion_spark.operators.similarity import filtered_knn
+
+    rows = []
+    for i in range(40):
+        vec = [0.0] * 8
+        vec[i % 8] = 1.0
+        vec[(i + 1) % 8] = 0.5 + (i % 5) * 0.1
+        rows.append((i, vec, i % 2))
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    )
+    qs = emb.filter("vec_id < 4")
+
+    pre = filtered_knn(emb, qs, "label = 1", k=3, mode="pre").collect()
+    odd = {r[0] for r in rows if r[2] == 1}
+    assert all(r["corpus_id"] in odd for r in pre)
+    assert {r["query_id"] for r in pre} == {0, 1, 2, 3}
+    per_q = {}
+    for r in pre:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+
+    post = filtered_knn(emb, qs, "label = 1", k=3, mode="post").collect()
+    assert all(r["corpus_id"] in odd for r in post)
+    # postFilter can only lose hits vs the unfiltered top-3
+    assert len(post) <= len(pre)
+
+    # identical predicate => post hits are a subset of pre hits' pairs
+    pre_pairs = {(r["query_id"], r["corpus_id"]) for r in pre}
+    assert {(r["query_id"], r["corpus_id"]) for r in post} <= pre_pairs

@@ -489,3 +489,58 @@ def test_truncated_tmp_pointer_never_bricks_table(spark, tmp_path):
             partition_cols=["bucket"],
         )
         assert _rows(S.read_snapshot_table(spark, snap)) == base
+
+
+def test_snapshot_changes_cdf(spark, tmp_path):
+    """Change data feed: insert/update/delete classification between
+    two committed snapshots, computed from CHANGED partitions only
+    (equal manifest mappings are proof of equal content)."""
+    snap = str(tmp_path / "snap")
+    g1 = S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 0, 30), partition_cols=["bucket"]
+    )
+    # touch ONLY bucket 1: update keys 1,4 (bucket 1), insert 100
+    upd = spark.createDataFrame(
+        [(1, 1, 999), (4, 1, 888), (100, 1, 777)],
+        "parent_id long, bucket long, v long",
+    )
+    g2 = S.snapshot_merge_upsert(
+        spark, snap, upd, partition_cols=["bucket"]
+    )
+
+    ma = S._read_manifest(spark, snap, g1)
+    mb = S._read_manifest(spark, snap, g2)
+    assert S._changed_partitions(ma, mb) == ["bucket=1"]  # pruned diff
+
+    got = {
+        (r["parent_id"], r["_change_type"], r["v"])
+        for r in S.snapshot_changes(spark, snap, g1, g2).collect()
+    }
+    # rewritten-but-identical rows of bucket 1 (7, 10, 13, ...) must
+    # NOT appear; only the three touched keys do
+    assert got == {(1, "update", 999), (4, "update", 888),
+                   (100, "insert", 777)}
+
+    g3 = S.snapshot_delete_keys(
+        spark, snap,
+        spark.createDataFrame([(1,), (2,)], "parent_id long"),
+        partition_cols=["bucket"],
+    )
+    got = {
+        (r["parent_id"], r["_change_type"], r["v"])
+        for r in S.snapshot_changes(spark, snap, g2, g3).collect()
+    }
+    assert got == {(1, "delete", 999), (2, "delete", 2 * 7)}
+
+    # full-span diff composes the increments
+    got = {
+        (r["parent_id"], r["_change_type"])
+        for r in S.snapshot_changes(spark, snap, g1, g3).collect()
+    }
+    assert got == {(1, "delete"), (2, "delete"), (4, "update"),
+                   (100, "insert")}
+
+    # vacuumed manifests are the retention boundary
+    S.snapshot_vacuum(spark, snap, keep_snapshots=1)
+    with pytest.raises(FileNotFoundError):
+        S.snapshot_changes(spark, snap, g1, g3)
