@@ -23,6 +23,7 @@ def run_purge_job(
     live_source: DataFrame,
     key: str = "parent_id",
     partition_cols: list[str] | None = None,
+    text_index_path: str | None = None,
 ) -> dict:
     """Delete chunks whose ``key`` no longer exists in ``live_source``.
     Returns the purger counters (A6): parents before/after, docs
@@ -30,7 +31,15 @@ def run_purge_job(
 
     ``partition_cols``: when the chunks table is partitioned, the
     delete rewrites only partitions holding doomed keys (see
-    ``delete_keys``) — O(touched partitions), not O(table)."""
+    ``delete_keys``) — O(touched partitions), not O(table).
+
+    ``text_index_path``: the reference purger ALSO deletes the
+    vanished parents from the search index (blob_storage_indexer.py's
+    purger drives aisearch delete_documents); pass the persisted text
+    index maintained by the web-corpus/ingest job and the same target
+    key-set is tombstoned there in one extra generation commit
+    (``text_index_delete``), with the counter-trigger folding them
+    later."""
     index = spark.read.parquet(table_path)
     docs_before = index.count()
     parents_before = index.select(key).distinct().count()
@@ -43,10 +52,26 @@ def run_purge_job(
     n_target_parents = targets.count()
 
     docs_deleted = 0
+    index_tombstoned = 0
     if n_target_parents:
         # no broadcast hint: the orphan set is usually tiny but CAN be
         # huge (bulk source deletion) — let AQE pick the strategy
         docs_deleted = index.join(targets, on=key, how="left_semi").count()
+        # search-index leg FIRST: delete_keys' table rewrite refreshes
+        # the path `targets` was derived from, which can evict the
+        # cached target set and recompute it against the post-delete
+        # table (empty) — tombstone while the lineage is still valid
+        if text_index_path is not None:
+            from gpt_rag_ingestion_spark.operators.search import (
+                text_index_delete,
+                text_index_maybe_compact,
+            )
+
+            out = text_index_delete(
+                spark, text_index_path, targets, "purge", id_col=key
+            )
+            index_tombstoned = out["tombstoned"]
+            text_index_maybe_compact(spark, text_index_path)
         delete_keys(
             spark, table_path, targets, key=key, partition_cols=partition_cols
         )
@@ -65,4 +90,5 @@ def run_purge_job(
         "docsScanned": docs_before,
         "docsDeleted": docs_deleted,
         "parentsPurged": n_target_parents,
+        "searchIndexTombstoned": index_tombstoned,
     }

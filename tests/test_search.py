@@ -713,3 +713,47 @@ def test_text_index_two_writer_claim_conflict(spark, tmp_path, monkeypatch):
         ).collect()
     )
     assert got == _want(spark, list(after.values()))
+
+
+def test_purge_job_tombstones_text_index(spark, tmp_path):
+    """The reference purger deletes vanished parents from the search
+    index too (aisearch delete_documents): run_purge_job with
+    ``text_index_path`` tombstones the same target key-set, so
+    queries stop matching purged docs — and a replay tombstones
+    nothing new."""
+    from gpt_rag_ingestion_spark.operators import search as X
+    from gpt_rag_ingestion_spark.plans.purge_job import run_purge_job
+
+    chunks = _corpus(spark, BASE_ROWS).withColumnRenamed(
+        "doc_id", "parent_id"
+    )
+    table = str(tmp_path / "chunks")
+    chunks.write.mode("overwrite").parquet(table)
+    idx = str(tmp_path / "tindex")
+    X.text_index_build(
+        _corpus(spark, BASE_ROWS), idx, text_col="text", id_col="doc_id"
+    )
+
+    # docs 1 and 4 vanish from the live source
+    live = chunks.filter(~F.col("parent_id").isin(1, 4)).select("parent_id")
+    out = run_purge_job(
+        spark, table, live, key="parent_id", text_index_path=idx
+    )
+    assert out["parentsPurged"] == 2
+    assert out["searchIndexTombstoned"] == 2
+
+    after = {r[0]: r for r in BASE_ROWS if r[0] not in (1, 4)}
+    got = sorted(
+        tuple(r)
+        for r in X.text_index_query(
+            spark, idx, _persisted_queries(spark), k=5
+        ).collect()
+    )
+    assert got == _want(spark, list(after.values()))
+
+    # replay: nothing left to purge or tombstone
+    out = run_purge_job(
+        spark, table, live, key="parent_id", text_index_path=idx
+    )
+    assert out["parentsPurged"] == 0
+    assert out["searchIndexTombstoned"] == 0
