@@ -3687,6 +3687,71 @@ def q167_filtered_vector_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q168_cdf_view_maintenance(spark: SparkSession, sf: str) -> DataFrame:
+    """CDF-driven MATERIALIZED-VIEW MAINTENANCE — the reason change
+    feeds exist: a per-status rollup of the snapshot table is carried
+    from generation 1 to generation 3 using ONLY the change feed
+    (removed = deletes + update_preimages, added = inserts +
+    update_postimages; operators/incremental.maintain_rollup), never
+    rescanning the table.  snapshot_changes(include_preimages=True)
+    emits Delta CDF's full row schema, and the manifest diff reads
+    changed partitions only — O(increment) end to end.  The oracle
+    RECOMPUTES the rollup from the closed-form post-state; hash
+    equality proves the maintenance identity through the commit
+    protocol."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.incremental import (
+        maintain_rollup,
+    )
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        read_snapshot_table,
+        snapshot_changes,
+        snapshot_delete_keys,
+        snapshot_merge_upsert,
+    )
+
+    orders = _t(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    rows = orders.select(
+        "o_orderkey", "o_orderstatus", cents.alias("cents"),
+        (F.col("o_orderkey") % 8).cast("int").alias("bucket"),
+    )
+    tbl = tempfile.mkdtemp(prefix="q168-cdf-") + "/t"
+    g1 = snapshot_merge_upsert(
+        spark, tbl, rows, key="o_orderkey", partition_cols=["bucket"]
+    )
+    upd = rows.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", F.lit("U").alias("o_orderstatus"),
+        (F.col("cents") + 1).alias("cents"), "bucket",
+    )
+    snapshot_merge_upsert(
+        spark, tbl, upd, key="o_orderkey", partition_cols=["bucket"]
+    )
+    g3 = snapshot_delete_keys(
+        spark, tbl,
+        rows.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+        key="o_orderkey", partition_cols=["bucket"],
+    )
+    old_rollup = (
+        read_snapshot_table(spark, tbl, at_gen=g1)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("cents").alias("cents"))
+    )
+    ch = snapshot_changes(
+        spark, tbl, g1, g3, key="o_orderkey", include_preimages=True
+    )
+    removed = ch.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select("o_orderstatus", "cents")
+    added = ch.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select("o_orderstatus", "cents")
+    return maintain_rollup(
+        old_rollup, removed, added, key="o_orderstatus", sum_cols=["cents"]
+    ).localCheckpoint()
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW and len(queries()) == 155 on every gate run.
@@ -3926,6 +3991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q165_multifield_bm25": q165_multifield_bm25,
         "q166_snapshot_changes": q166_snapshot_changes,
         "q167_filtered_vector_search": q167_filtered_vector_search,
+        "q168_cdf_view_maintenance": q168_cdf_view_maintenance,
     }
 
 
@@ -6785,6 +6851,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'post', query_id, rank, corpus_id, dot_q
             FROM allr WHERE rank <= 5
               AND corpus_id IN (SELECT vec_id FROM v WHERE label = 1)
+        """,
+        "q168_cdf_view_maintenance": """
+            -- fresh recompute over the closed post-state of:
+            -- init ; merge(%10 -> 'U', cents+1) ; delete(%7) —
+            -- must equal the CDF-maintained rollup bit for bit
+            WITH base AS (
+              SELECT o_orderkey AS k, o_orderstatus AS s,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders),
+            post AS (
+              SELECT CASE WHEN k % 10 = 0 THEN 'U' ELSE s END AS st,
+                     cents + CASE WHEN k % 10 = 0 THEN 1 ELSE 0 END AS c
+              FROM base WHERE k % 7 != 0)
+            SELECT st AS o_orderstatus,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(c) AS BIGINT) AS cents
+            FROM post GROUP BY st
         """,
         "q163_fuzzy_search": f"""
             WITH {_fuzzy_bm25_ctes()},

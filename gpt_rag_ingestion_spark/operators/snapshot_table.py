@@ -659,12 +659,20 @@ def snapshot_changes(
     from_gen: int,
     to_gen: int,
     key: str = "parent_id",
+    include_preimages: bool = False,
 ) -> DataFrame:
     """CHANGE DATA FEED between two committed snapshots (the Delta
     `table_changes` / Iceberg incremental-read analog, scoped to this
     format): one row per key whose content differs, with
     ``_change_type`` in {'insert', 'update', 'delete'} — update and
     insert carry the POST-image, delete the PRE-image.
+
+    ``include_preimages=True`` switches to Delta CDF's full schema:
+    updates emit TWO rows, ``update_preimage`` (the FROM-side row) and
+    ``update_postimage`` (the TO-side row) — exactly what downstream
+    incremental view maintenance needs (removed = deletes +
+    update_preimages, added = inserts + update_postimages; see
+    operators/incremental.maintain_rollup).
 
     Scale shape: the manifests are compared driver-side and only
     partitions whose generation mapping CHANGED are read on either
@@ -725,10 +733,26 @@ def snapshot_changes(
         | F.col("_hb").isNull()
         | (F.col("_ha") != F.col("_hb"))
     ).withColumn("_change_type", ct)
-    img = [
-        F.when(
-            F.col("_change_type") == "delete", F.col(f"_rowa.{c}")
-        ).otherwise(F.col(f"_rowb.{c}")).alias(c)
-        for c in cols
-    ]
-    return out.select(key, "_change_type", *img)
+    if not include_preimages:
+        img = [
+            F.when(
+                F.col("_change_type") == "delete", F.col(f"_rowa.{c}")
+            ).otherwise(F.col(f"_rowb.{c}")).alias(c)
+            for c in cols
+        ]
+        return out.select(key, "_change_type", *img)
+    pre = out.filter(F.col("_change_type") != "insert").select(
+        key,
+        F.when(F.col("_change_type") == "delete", F.lit("delete"))
+        .otherwise(F.lit("update_preimage"))
+        .alias("_change_type"),
+        *[F.col(f"_rowa.{c}").alias(c) for c in cols],
+    )
+    post = out.filter(F.col("_change_type") != "delete").select(
+        key,
+        F.when(F.col("_change_type") == "insert", F.lit("insert"))
+        .otherwise(F.lit("update_postimage"))
+        .alias("_change_type"),
+        *[F.col(f"_rowb.{c}").alias(c) for c in cols],
+    )
+    return pre.unionByName(post)

@@ -42,7 +42,9 @@ PROBES = {
     "q125_fuzzy_linkage": ("linkage", "deletion-variant equi-join, output-proportional"),
     "q151_snapshot_merge": ("sink", "manifest commits: O(affected) writes"),
     "q155_bm25_topk": ("search", "postings build + candidate-only scoring"),
-    "q157_text_index_lifecycle": ("search", "persisted index: build+upsert+tombstone+query"),
+    "q157_text_index_lifecycle": ("search", "persisted index: batched apply tick + query (manifest commits)"),
+    "q163_fuzzy_search": ("search", "FastSS term-vocab expansion + BM25 (vocab-variant pass)"),
+    "q166_snapshot_changes": ("sink", "CDF: manifest diff reads changed partitions only"),
 }
 
 

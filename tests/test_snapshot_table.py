@@ -544,3 +544,27 @@ def test_snapshot_changes_cdf(spark, tmp_path):
     S.snapshot_vacuum(spark, snap, keep_snapshots=1)
     with pytest.raises(FileNotFoundError):
         S.snapshot_changes(spark, snap, g1, g3)
+
+
+def test_snapshot_changes_preimages_schema(spark, tmp_path):
+    """include_preimages=True: updates emit pre+post rows (Delta CDF's
+    full schema) and the pair reconstructs both sides exactly."""
+    snap = str(tmp_path / "snap")
+    g1 = S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 0, 10), partition_cols=["bucket"]
+    )
+    upd = spark.createDataFrame(
+        [(1, 1, 999), (50, 2, 555)], "parent_id long, bucket long, v long"
+    )
+    g2 = S.snapshot_merge_upsert(spark, snap, upd, partition_cols=["bucket"])
+    got = {
+        (r["parent_id"], r["_change_type"], r["v"])
+        for r in S.snapshot_changes(
+            spark, snap, g1, g2, include_preimages=True
+        ).collect()
+    }
+    assert got == {
+        (1, "update_preimage", 7),
+        (1, "update_postimage", 999),
+        (50, "insert", 555),
+    }
