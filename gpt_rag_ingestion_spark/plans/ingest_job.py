@@ -53,6 +53,7 @@ def run_ingest_job(
     rollup_path: str | None = None,
     partition_cols: list[str] | None = None,
     recorder=None,
+    text_index_path: str | None = None,
 ) -> DataFrame:
     """One incremental ingest run.  Returns the run-summary DataFrame
     (A2 counters); side effect: the chunks table at ``table_path`` is
@@ -78,6 +79,18 @@ def run_ingest_job(
     phase rather than a per-file call.  ``costEstimate`` applies the
     reference cost model to exact per-file usage columns
     (embedding tokens from the chunk contents; pages when present).
+
+    ``text_index_path`` maintains a CHUNK-level persisted BM25 index
+    alongside the chunks table — the reference indexer uploads every
+    chunk into AI Search keyed by chunk id, delete-parents-then-upload
+    (jobs/blob_storage_indexer.py:1242-1334), and this is that tick:
+    one ``text_index_apply`` per run carrying the run's new chunks AND
+    tombstones for the re-ingested parents' old chunk ids, in one
+    generation commit.  Chunk keys are strings, so the index doc id is
+    the ``xxhash64(id)`` surrogate (the documented numeric-surrogate
+    path; resolve hits back through ``xxhash64(id)`` on the chunks
+    table).  Bootstrap on a pre-existing corpus builds from the
+    post-merge table, like the web-corpus job's sidecar.
 
     ``partition_cols`` partitions the chunks table and routes the merge
     through the partition-pruned overwrite (operators/upsert.py) — at
@@ -210,6 +223,46 @@ def run_ingest_job(
                 spark, chunks, run_id, ops_table_path
             )
 
+    # 5d. search-index tick — PRE-merge for the same lineage reason as
+    # 5/5b (chunks' freshness lineage reads the pre-merge table; the
+    # index artifact's own consistency is order-independent: a crash
+    # between this tick and the merge re-ingests the same parents next
+    # run and the replayed apply supersedes its own docs)
+    tindex_bootstrap = False
+    if text_index_path is not None and n_candidates > 0:
+        from gpt_rag_ingestion_spark.operators.search import (
+            text_index_apply,
+            text_index_maybe_compact,
+        )
+        from gpt_rag_ingestion_spark.operators.similarity import (
+            jvm_fs_exists,
+        )
+
+        if jvm_fs_exists(spark, f"{text_index_path}/meta"):
+            with _sp("search_index", run=run_id):
+                old_ids = (
+                    chunks_table.join(
+                        candidates.select("parent_id"),
+                        "parent_id", "left_semi",
+                    ).select(F.xxhash64(F.col("id")).alias("chunk_doc"))
+                    if have_table
+                    else spark.createDataFrame([], "chunk_doc long")
+                )
+                text_index_apply(
+                    chunks.select(
+                        F.xxhash64(F.col("id")).alias("chunk_doc"),
+                        F.col("content").alias("text"),
+                    ),
+                    old_ids,
+                    text_index_path,
+                    f"run-{run_id}",
+                    text_col="text",
+                    id_col="chunk_doc",
+                )
+                text_index_maybe_compact(spark, text_index_path)
+        else:
+            tindex_bootstrap = True  # built post-merge, below
+
     # 5c. incremental dashboard-rollup maintenance (IVM): staged from
     # the PRE-merge table + the increment, swapped in after the merge
     rollup_staging = None
@@ -235,6 +288,22 @@ def run_ingest_job(
         from gpt_rag_ingestion_spark.operators.upsert import _swap_in
 
         _swap_in(spark, rollup_staging, rollup_path)
+
+    if tindex_bootstrap:
+        from gpt_rag_ingestion_spark.operators.search import (
+            text_index_build,
+        )
+
+        with _sp("search_index", run=run_id):
+            text_index_build(
+                spark.read.parquet(table_path).select(
+                    F.xxhash64(F.col("id")).alias("chunk_doc"),
+                    F.col("content").alias("text"),
+                ),
+                text_index_path,
+                text_col="text",
+                id_col="chunk_doc",
+            )
 
     candidates.unpersist()
     chunks.unpersist()

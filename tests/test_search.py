@@ -757,3 +757,93 @@ def test_purge_job_tombstones_text_index(spark, tmp_path):
     )
     assert out["parentsPurged"] == 0
     assert out["searchIndexTombstoned"] == 0
+
+
+def test_ingest_job_maintains_chunk_text_index(spark, tmp_path):
+    """run_ingest_job(text_index_path=...): the persisted chunk-level
+    BM25 index stays query-consistent with the chunks table across
+    incremental runs — bootstrap build on run 1, then one
+    text_index_apply tick per run (new chunks + tombstones for the
+    re-ingested parents' old chunk ids), doc ids = xxhash64(id)
+    surrogates."""
+    from gpt_rag_ingestion_spark.operators import search as X
+    from gpt_rag_ingestion_spark.plans.ingest_job import run_ingest_job
+
+    table = str(tmp_path / "chunks")
+    idx = str(tmp_path / "tindex")
+
+    def listing(rows):
+        return spark.createDataFrame(
+            rows, "doc_key string, text string, last_modified timestamp"
+        )
+
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    t1 = dt.datetime(2026, 2, 1)
+    run_ingest_job(
+        spark,
+        listing([("a", "cat dog cat " * 30, t0), ("b", "fish stone " * 40, t0)]),
+        table, "r1", max_tokens=16, overlap=2, min_tokens=2,
+        text_index_path=idx,
+    )
+
+    def expected():
+        return {
+            r["chunk_doc"]: None
+            for r in spark.read.parquet(table)
+            .select(F.xxhash64(F.col("id")).alias("chunk_doc"))
+            .collect()
+        }
+
+    meta = X._tindex_read_meta(spark, idx)
+    assert int(meta["n_live"]) == len(expected())
+
+    # run 2: doc a re-ingested with NEW text (newer ts), doc c added
+    run_ingest_job(
+        spark,
+        listing([
+            ("a", "tree bird tree " * 25, t1),
+            ("c", "house dog house " * 20, t1),
+        ]),
+        table, "r2", max_tokens=16, overlap=2, min_tokens=2,
+        text_index_path=idx,
+    )
+    meta = X._tindex_read_meta(spark, idx)
+    assert int(meta["n_live"]) == len(expected())
+
+    # the index answers exactly what a fresh build over the merged
+    # chunks table answers
+    q = spark.createDataFrame(
+        [("q1", ["cat", "dog"]), ("q2", ["tree", "house"]),
+         ("q3", ["fish"])],
+        "query_id string, terms array<string>",
+    )
+    got = sorted(
+        tuple(r) for r in X.text_index_query(spark, idx, q, k=10).collect()
+    )
+    from gpt_rag_ingestion_spark.operators.search import (
+        bm25_topk,
+        build_text_index,
+    )
+
+    fresh = build_text_index(
+        spark.read.parquet(table).select(
+            F.xxhash64(F.col("id")).alias("chunk_doc"),
+            F.col("content").alias("text"),
+        ),
+        text_col="text", id_col="chunk_doc",
+    )
+    want = sorted(tuple(r) for r in bm25_topk(fresh, q, k=10).collect())
+    assert got == want
+    # doc a's run-1 text was the only "cat" source; its replacement
+    # removed it, so q1 ("cat dog") can only match via "dog" docs now
+    q1_docs = {r[2] for r in got if r[0] == "q1"}
+    a_chunks = {
+        r["chunk_doc"]
+        for r in spark.read.parquet(table)
+        .filter(F.col("parent_id") == "a")
+        .select(F.xxhash64(F.col("id")).alias("chunk_doc"))
+        .collect()
+    }
+    assert not (q1_docs & a_chunks)  # a's new text has no cat/dog
