@@ -3752,6 +3752,27 @@ def q168_cdf_view_maintenance(spark: SparkSession, sf: str) -> DataFrame:
     ).localCheckpoint()
 
 
+def q169_spell_suggest(spark: SparkSession, sf: str) -> DataFrame:
+    """'Did you mean' spell correction
+    (operators/search.suggest_corrections): top-2 vocabulary
+    suggestions per input term by (edit distance, document frequency,
+    token), candidates from the FastSS deletion-variant join — the
+    oracle recomputes with a direct levenshtein join over the tiny
+    term set."""
+    from gpt_rag_ingestion_spark.operators.search import (
+        build_text_index,
+        suggest_corrections,
+    )
+
+    docs = _t(spark, sf, "documents")
+    index = build_text_index(docs, text_col="text", id_col="doc_id")
+    terms = spark.createDataFrame(
+        [("tabl",), ("scann",), ("joln",), ("window",), ("zzzz",)],
+        "term string",
+    )
+    return suggest_corrections(index, terms, k=2, max_distance=1)
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW and len(queries()) == 155 on every gate run.
@@ -3992,6 +4013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q166_snapshot_changes": q166_snapshot_changes,
         "q167_filtered_vector_search": q167_filtered_vector_search,
         "q168_cdf_view_maintenance": q168_cdf_view_maintenance,
+        "q169_spell_suggest": q169_spell_suggest,
     }
 
 
@@ -6851,6 +6873,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'post', query_id, rank, corpus_id, dot_q
             FROM allr WHERE rank <= 5
               AND corpus_id IN (SELECT vec_id FROM v WHERE label = 1)
+        """,
+        "q169_spell_suggest": """
+            WITH toks AS (
+              SELECT doc_id AS doc, t.token
+              FROM documents,
+                unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x != '')) AS t(token)),
+            dfreq AS (
+              SELECT token, CAST(COUNT(DISTINCT doc) AS BIGINT) AS df
+              FROM toks GROUP BY token),
+            terms(term) AS (VALUES ('tabl'), ('scann'), ('joln'),
+                                   ('window'), ('zzzz')),
+            cand AS (
+              SELECT t.term, v.token, v.df,
+                     CAST(levenshtein(t.term, v.token) AS INT) AS distance
+              FROM terms t JOIN dfreq v
+                ON levenshtein(t.term, v.token) <= 1),
+            ranked AS (
+              SELECT term, token, df, distance,
+                row_number() OVER (PARTITION BY term
+                  ORDER BY distance ASC, df DESC, token ASC) AS rank
+              FROM cand)
+            SELECT term, rank, token AS suggestion, distance, df
+            FROM ranked WHERE rank <= 2
         """,
         "q168_cdf_view_maintenance": """
             -- fresh recompute over the closed post-state of:

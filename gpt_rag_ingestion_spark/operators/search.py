@@ -1102,3 +1102,76 @@ def multifield_bm25_topk(
         F.sum("_ws").cast("long").alias("score_q")
     )
     return _topk_by_score(total, k, query_id_col)
+
+
+def resolve_chunk_hits(
+    hits: DataFrame,
+    chunks: DataFrame,
+    id_col: str = "id",
+    doc_col: str = "doc",
+) -> DataFrame:
+    """Resolve surrogate-keyed search hits back to chunk rows: the
+    ingest job indexes chunks under ``xxhash64(id)`` (string chunk
+    keys can't be posting keys), so a hit's ``doc`` joins the chunks
+    table through the same hash.  Broadcast the (tiny) hit set; the
+    chunks scan is semi-pruned before the equi-join."""
+    keyed = chunks.withColumn(doc_col, F.xxhash64(F.col(id_col)))
+    return keyed.join(
+        F.broadcast(hits), on=doc_col, how="inner"
+    )
+
+
+def suggest_corrections(
+    index: dict,
+    terms: DataFrame,
+    k: int = 1,
+    max_distance: int = 1,
+    term_col: str = "term",
+) -> DataFrame:
+    """'Did you mean' spell correction against the index vocabulary:
+    for each input term, the top-``k`` vocabulary tokens ranked by
+    (edit distance ASC, document frequency DESC, token ASC) within
+    ``max_distance`` edits.  A term that IS a vocabulary token
+    suggests itself at distance 0 (rank 1), so the output doubles as
+    an is-in-vocabulary check.
+
+    Same FastSS deletion-variant candidate join as
+    ``fuzzy_expand_terms`` (never |terms| x |vocab|), then one window
+    per term.  Output: (term, rank, suggestion, distance, df)."""
+    from pyspark.sql import Window
+
+    from gpt_rag_ingestion_spark.operators.linkage import (
+        _deletion_variants,
+    )
+
+    t = terms.select(F.col(term_col)).distinct()
+
+    def variants(df, col):
+        return df.withColumn(
+            "_var", F.explode(_deletion_variants(col, max_distance))
+        ).select("*", F.xxhash64(F.col("_var")).alias("_vh")).drop("_var")
+
+    cand = (
+        variants(t, term_col)
+        .join(
+            variants(index["dfreq"].select("token", "df"), "token").hint(
+                "shuffle_hash"
+            ),
+            "_vh",
+        )
+        .select(term_col, "token", "df")
+        .distinct()
+        .withColumn(
+            "distance", F.levenshtein(F.col(term_col), F.col("token"))
+        )
+        .filter(F.col("distance") <= int(max_distance))
+    )
+    w = Window.partitionBy(term_col).orderBy(
+        F.asc("distance"), F.desc("df"), F.asc("token")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(term_col, "rank", F.col("token").alias("suggestion"),
+                "distance", "df")
+    )
