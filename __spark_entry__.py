@@ -3773,6 +3773,99 @@ def q169_spell_suggest(spark: SparkSession, sf: str) -> DataFrame:
     return suggest_corrections(index, terms, k=2, max_distance=1)
 
 
+def q170_snapshot_data_skipping(spark: SparkSession, sf: str) -> DataFrame:
+    """FILE-LEVEL DATA SKIPPING over the snapshot-table format
+    (operators/snapshot_table.snapshot_enable_stats /
+    snapshot_read_where — the Delta per-file stats / Iceberg
+    manifest-bounds mechanism): per-file min/max statistics are
+    collected at COMMIT time (one column-pruned aggregation over the
+    increment, grouped on _metadata.file_path), OPTIMIZE Z-orders the
+    table on the cents column, and the range read then decides its
+    file list from commit metadata alone — before any task launches.
+    The query ASSERTS files were actually skipped (clustering makes
+    file [min,max] windows narrow), then re-applies the exact
+    predicate, so the oracle is a plain filter: hash equality proves
+    pruning is a pure I/O optimization."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        snapshot_enable_stats,
+        snapshot_merge_upsert,
+        snapshot_optimize,
+        snapshot_read_where,
+    )
+
+    orders = _t(spark, sf, "orders")
+    rows = orders.select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 4).cast("int").alias("bucket"),
+    )
+    tbl = tempfile.mkdtemp(prefix="q170-skip-") + "/t"
+    snapshot_enable_stats(spark, tbl, cols=["cents"])
+    snapshot_merge_upsert(
+        spark, tbl, rows, key="o_orderkey", partition_cols=["bucket"]
+    )
+    snapshot_optimize(
+        spark, tbl, partition_cols=["bucket"], zorder_cols=["cents"]
+    )
+    rep: dict = {}
+    out = snapshot_read_where(
+        spark, tbl, {"cents": (5_000_000, 7_500_000)}, report=rep
+    )
+    assert rep["files_skipped"] > 0 and rep["unpruned_gens"] == 0, (
+        f"data skipping did not engage: {rep}"
+    )
+    return out.select(
+        "o_orderkey", "o_orderstatus", "cents"
+    ).localCheckpoint()
+
+
+def q171_snapshot_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """BLOOM-PRUNED POINT LOOKUP over the snapshot table
+    (snapshot_read_point): commit-time xxhash64 bloom bitmaps per file
+    (explode + collect_set — per-file state bounded by the bitmap, not
+    the rows), a key IN (...) read that opens only files whose bloom
+    lights all k bits per value.  The table is hash-scattered on
+    purpose — min/max stats CANNOT prune a scattered key column; the
+    bloom is what makes point lookups metadata-bounded.  Skipping is
+    asserted inline; the exact IN filter re-applies, and the oracle
+    recomputes over the base table."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        snapshot_enable_stats,
+        snapshot_merge_upsert,
+        snapshot_read_point,
+    )
+
+    orders = _t(spark, sf, "orders")
+    rows = orders.select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).repartition(16)  # hash-scatter: every file spans the key range
+    tbl = tempfile.mkdtemp(prefix="q171-bloom-") + "/t"
+    # 2^17 bits/file keeps the bloom unsaturated at every tested SF
+    snapshot_enable_stats(
+        spark, tbl, cols=["cents"], bloom_cols=["o_orderkey"],
+        bloom_bits=1 << 17,
+    )
+    snapshot_merge_upsert(spark, tbl, rows, key="o_orderkey")
+    keys = [
+        r[0]
+        for r in orders.select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(5)
+        .collect()
+    ]
+    rep: dict = {}
+    out = snapshot_read_point(spark, tbl, "o_orderkey", keys, report=rep)
+    assert rep["files_skipped"] > 0, f"bloom pruning did not engage: {rep}"
+    return out.select(
+        "o_orderkey", "o_orderstatus", "cents"
+    ).localCheckpoint()
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW and len(queries()) == 155 on every gate run.
@@ -4014,6 +4107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q167_filtered_vector_search": q167_filtered_vector_search,
         "q168_cdf_view_maintenance": q168_cdf_view_maintenance,
         "q169_spell_suggest": q169_spell_suggest,
+        "q170_snapshot_data_skipping": q170_snapshot_data_skipping,
+        "q171_snapshot_point_lookup": q171_snapshot_point_lookup,
     }
 
 
@@ -6897,6 +6992,24 @@ def oracle_sql() -> dict[str, str]:
               FROM cand)
             SELECT term, rank, token AS suggestion, distance, df
             FROM ranked WHERE rank <= 2
+        """,
+        "q170_snapshot_data_skipping": """
+            -- the snapshot holds exactly the base rows (one init
+            -- commit + an OPTIMIZE rewrite); the pruned range read
+            -- must equal a plain filter
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+            WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+                  BETWEEN 5000000 AND 7500000
+        """,
+        "q171_snapshot_point_lookup": """
+            -- bloom-pruned IN over the 5 smallest order keys
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+            WHERE o_orderkey IN (
+              SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5)
         """,
         "q168_cdf_view_maintenance": """
             -- fresh recompute over the closed post-state of:

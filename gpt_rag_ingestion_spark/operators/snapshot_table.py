@@ -56,6 +56,7 @@ single-writer parquet.
 
 from __future__ import annotations
 
+import datetime as _dt
 import functools
 import json
 import uuid
@@ -342,6 +343,7 @@ def snapshot_merge_upsert(
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(new_dir)
+        _maybe_write_stats(spark, table_path, gname, new_dir)
         rels = (
             _list_partition_rels(spark, new_dir, len(partition_cols))
             if partition_cols
@@ -361,6 +363,7 @@ def snapshot_merge_upsert(
         merged_view(existing, incoming, key).write.mode(
             "overwrite"
         ).parquet(new_dir)
+        _maybe_write_stats(spark, table_path, gname, new_dir)
         _commit(spark, table_path, gen, {"": gname}, expected_cur=cur)
         return gen
 
@@ -391,6 +394,7 @@ def snapshot_merge_upsert(
     )
     out = kept.unionByName(incoming, allowMissingColumns=True)
     out.write.mode("overwrite").partitionBy(*partition_cols).parquet(new_dir)
+    _maybe_write_stats(spark, table_path, gname, new_dir)
 
     affected_rels = {_partition_rel_path(partition_cols, v) for v in affected}
     written = _list_partition_rels(spark, new_dir, len(partition_cols))
@@ -427,6 +431,7 @@ def snapshot_delete_keys(
         existing.join(F.broadcast(key_set), on=key, how="left_anti").write.mode(
             "overwrite"
         ).parquet(new_dir)
+        _maybe_write_stats(spark, table_path, gname, new_dir)
         _commit(spark, table_path, gen, {"": gname}, expected_cur=cur)
         return gen
 
@@ -453,6 +458,7 @@ def snapshot_delete_keys(
         F.broadcast(key_set), on=key, how="left_anti"
     )
     kept.write.mode("overwrite").partitionBy(*partition_cols).parquet(new_dir)
+    _maybe_write_stats(spark, table_path, gname, new_dir)
 
     affected_rels = {_partition_rel_path(partition_cols, v) for v in affected}
     written = _list_partition_rels(spark, new_dir, len(partition_cols))
@@ -515,6 +521,7 @@ def snapshot_optimize(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(new_dir)
+    _maybe_write_stats(spark, table_path, gname, new_dir)
     rels = (
         _list_partition_rels(spark, new_dir, len(partition_cols))
         if partition_cols
@@ -602,6 +609,7 @@ def snapshot_vacuum(
             and int(name[4:12]) <= cur  # never touch an in-flight writer
         ):
             fs.delete(st.getPath(), True)
+            _fs_delete(spark, _gen_stats_path(table_path, name))
             removed_gens += 1
     removed_manifests = 0
     if mdir_fs.exists(mdir):
@@ -756,3 +764,379 @@ def snapshot_changes(
         *[F.col(f"_rowb.{c}").alias(c) for c in cols],
     )
     return pre.unionByName(post)
+
+
+# ---------------------------------------------------------------------------
+# DATA SKIPPING: per-file column statistics + bloom filters
+# ---------------------------------------------------------------------------
+#
+# The read path above prunes at two grains already: the manifest maps
+# PARTITIONS to generations (dir-level pruning) and parquet row-group
+# footers prune inside a file once it is opened.  What is missing at
+# 100 TB is the grain in between — deciding, from COMMIT-TIME METADATA
+# ALONE, which files a predicate can touch, before any executor opens
+# anything.  That is Delta's per-file stats / Iceberg's manifest
+# column bounds.  Re-expressed here:
+#
+#     <table>/_stats_config.json      {"cols": [...], "bloom_cols": [...],
+#                                      "bloom_bits": m, "bloom_hashes": k}
+#     <table>/_stats/<gen-name>.json  per-FILE min/max/null-count for
+#                                     each stats column, plus an
+#                                     xxhash64 bloom bitmap per bloom
+#                                     column — written BEFORE the
+#                                     commit, immutable alongside the
+#                                     generation directory it covers
+#
+# Stats are collected as ONE column-pruned Spark aggregation over the
+# just-written generation, grouped on `_metadata.file_path` — cost is
+# O(increment) in the stats columns only, never a second pass over the
+# table.  Generations written before stats were enabled simply have no
+# sidecar and are read unpruned (the Delta behavior for files with
+# missing stats: no skip, never wrong).
+#
+# Readers: `snapshot_read_where` serves conjunctive RANGE predicates
+# (skip a file when its [min,max] misses the range, or when the file
+# is all-NULL for a range column — range predicates are
+# null-rejecting); `snapshot_read_point` serves key IN (...) lookups
+# through the per-file blooms (false positives re-filtered exactly,
+# false negatives impossible — lookups hash with the same JVM
+# xxhash64 the build used).  Both apply the exact residual filter, so
+# pruning is a pure I/O optimization with oracle-checkable semantics
+# (q170/q171).
+
+_STATS_CONF = "_stats_config.json"
+_STATS_DIR = "_stats"
+
+#: min/max stats support exactly the types whose JSON round-trip
+#: preserves ordering driver-side (decimals would compare as strings,
+#: binary/nested have no total order worth a footer stat).
+_STATS_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "string", "boolean", "date", "timestamp", "timestamp_ntz",
+}
+
+
+def _stat_jsonable(v):
+    """Collected min/max → JSON, ordering-preserving: dates and
+    timestamps become ISO-8601 strings (fixed-width date/time prefix,
+    fractional seconds only extend — lexicographic order matches
+    temporal order); everything else is a JSON native."""
+    if isinstance(v, _dt.datetime) or isinstance(v, _dt.date):
+        return v.isoformat(sep="T") if isinstance(v, _dt.datetime) else v.isoformat()
+    return v
+
+
+def snapshot_enable_stats(
+    spark: SparkSession,
+    table_path: str,
+    cols: list[str],
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 4096,
+    bloom_hashes: int = 3,
+) -> None:
+    """Turn on write-time file statistics for FUTURE generations.
+    Idempotent overwrite; existing generations keep (lack of) their
+    sidecars and are read unpruned — exactly how enabling stats late
+    behaves in the real formats."""
+    conf = {
+        "cols": list(cols),
+        "bloom_cols": list(bloom_cols or []),
+        "bloom_bits": int(bloom_bits),
+        "bloom_hashes": int(bloom_hashes),
+    }
+    _fs_mkdirs(spark, table_path)
+    _write_text(spark, f"{table_path}/{_STATS_CONF}", json.dumps(conf, sort_keys=True))
+
+
+def _stats_conf(spark, table_path: str) -> dict | None:
+    p = f"{table_path}/{_STATS_CONF}"
+    if not _fs_exists(spark, p):
+        return None
+    return json.loads(_read_text(spark, p))
+
+
+def _gen_stats_path(table_path: str, gname: str) -> str:
+    return f"{table_path}/{_STATS_DIR}/{gname}.json"
+
+
+def _maybe_write_stats(spark, table_path: str, gname: str, new_dir: str) -> None:
+    """Collect per-file stats for a just-written generation (one
+    column-pruned aggregation over the increment) and persist the
+    sidecar.  Called by every writer BETWEEN data write and commit, so
+    a sidecar exists iff its generation's files are fully on disk; an
+    uncommitted generation's sidecar is garbage vacuum removes with
+    the directory."""
+    conf = _stats_conf(spark, table_path)
+    if not conf:
+        return
+    df = spark.read.parquet(new_dir)
+    cols = [c for c in conf["cols"] if c in df.columns]
+    bcols = [c for c in conf.get("bloom_cols", []) if c in df.columns]
+    if not cols and not bcols:
+        return
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for c in cols:
+        if types[c] not in _STATS_TYPES:
+            raise TypeError(
+                f"stats column {c!r} has unsupported type {types[c]!r}; "
+                f"supported: {sorted(_STATS_TYPES)}"
+            )
+    # file path relative to the generation dir (the token in the name
+    # makes `/<gname>/` unique in the URI)
+    rel = F.substring_index(
+        F.col("_metadata.file_path"), f"/{gname}/", -1
+    ).alias("__file")
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"__min__{c}"),
+            F.max(c).alias(f"__max__{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls__{c}"),
+        ]
+    per_file = df.groupBy(rel).agg(*aggs).collect()
+    # Blooms in a second column-pruned pass: explode the k positions
+    # per row, then collect_set — map-side combine dedups before the
+    # shuffle and the per-file state is bounded by the bitmap size m,
+    # never by the row count (a collect_list of per-row arrays would
+    # materialize O(rows*k) before dedup).
+    m, k = int(conf.get("bloom_bits", 4096)), int(conf.get("bloom_hashes", 3))
+    blooms: dict[str, dict[str, int]] = {c: {} for c in bcols}
+    for c in bcols:
+        pos = df.filter(F.col(c).isNotNull()).select(
+            rel,
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(F.col(c), F.lit(i)), F.lit(m))
+                        for i in range(k)
+                    ]
+                )
+            ).alias("__p"),
+        )
+        for r in pos.groupBy("__file").agg(
+            F.collect_set("__p").alias("__ps")
+        ).collect():
+            bits = 0
+            for b in r["__ps"]:
+                bits |= 1 << int(b)
+            blooms[c][r["__file"]] = bits
+    files: dict[str, dict] = {}
+    for r in per_file:
+        ent: dict = {"rows": r["__rows"], "cols": {}}
+        for c in cols:
+            ent["cols"][c] = {
+                "min": _stat_jsonable(r[f"__min__{c}"]),
+                "max": _stat_jsonable(r[f"__max__{c}"]),
+                "nulls": r[f"__nulls__{c}"],
+            }
+        for c in bcols:
+            ent.setdefault("bloom", {})[c] = format(
+                blooms[c].get(r["__file"], 0), "x"
+            )
+        files[r["__file"]] = ent
+    _fs_mkdirs(spark, f"{table_path}/{_STATS_DIR}")
+    _write_text(
+        spark,
+        _gen_stats_path(table_path, gname),
+        json.dumps(
+            {"gen_dir": gname, "bloom_bits": m, "bloom_hashes": k,
+             "files": files},
+            sort_keys=True,
+        ),
+    )
+
+
+def _bound_key(v):
+    """User-supplied range bound → the same normalized form
+    `_stat_jsonable` stored, so driver-side comparisons are
+    like-for-like."""
+    return _stat_jsonable(v)
+
+
+def _resolve_file_sets(spark, table_path: str, at_gen: int | None):
+    """Manifest → per-generation (base_dir, live_rels, stats|None).
+    `stats` is the parsed sidecar restricted to files whose partition
+    directory is still referenced by THIS manifest (a generation can
+    hold partitions a later commit superseded)."""
+    gen = at_gen if at_gen is not None else _current_gen(spark, table_path)
+    if gen is None:
+        raise FileNotFoundError(f"no committed snapshot at {table_path}")
+    manifest = _read_manifest(spark, table_path, gen)
+    by_gen: dict[str, list[str]] = {}
+    for rel, g in manifest["partitions"].items():
+        by_gen.setdefault(g, []).append(rel)
+    out = []
+    for g, rels in sorted(by_gen.items()):
+        sp = _gen_stats_path(table_path, g)
+        stats = None
+        if _fs_exists(spark, sp):
+            raw = json.loads(_read_text(spark, sp))
+            live = set(rels)
+            stats = dict(raw)
+            stats["files"] = {
+                f: e
+                for f, e in raw["files"].items()
+                if ("/".join(f.split("/")[:-1]) in live)
+                or (rels == [""] and "/" not in f)
+            }
+        out.append((f"{table_path}/{g}", sorted(rels), stats))
+    return out
+
+
+def _range_keeps(ent: dict, ranges: dict) -> bool:
+    """File-survives test for a conjunction of closed ranges.  Missing
+    stats for a column → keep (never wrong).  All-NULL file for a
+    range column → skip (range predicates are null-rejecting)."""
+    for c, (lo, hi) in ranges.items():
+        st = ent["cols"].get(c)
+        if st is None:
+            continue
+        if st["nulls"] == ent["rows"]:
+            return False
+        mn, mx = st["min"], st["max"]
+        if mn is None or mx is None:
+            continue
+        if lo is not None and mx < _bound_key(lo):
+            return False
+        if hi is not None and mn > _bound_key(hi):
+            return False
+    return True
+
+
+def _read_selected(spark, selections, schema_src):
+    """selections: list of (base, [files]|None) — None = whole-dir read
+    (no stats for that generation).  Empty overall selection returns
+    an empty frame with the snapshot's schema."""
+    dfs = []
+    for base, files in selections:
+        if files is None:
+            dfs.append(spark.read.option("basePath", base).parquet(base))
+        elif files:
+            dfs.append(
+                spark.read.option("basePath", base).parquet(
+                    *[f"{base}/{f}" for f in sorted(files)]
+                )
+            )
+    if not dfs:
+        return schema_src.limit(0)
+    return functools.reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+    )
+
+
+def snapshot_read_where(
+    spark: SparkSession,
+    table_path: str,
+    ranges: dict,
+    at_gen: int | None = None,
+    report: dict | None = None,
+) -> DataFrame:
+    """Stats-pruned snapshot read for a conjunction of closed ranges
+    ``{col: (lo, hi)}`` (either bound may be None).  Only files whose
+    commit-time [min,max] intersects every range are opened; the exact
+    predicate is re-applied, so the result is IDENTICAL to
+    ``read_snapshot_table(...).filter(...)`` — just with the file list
+    decided from metadata before any task launches.  Pass ``report``
+    to receive {files_total, files_read, files_skipped,
+    unpruned_gens}."""
+    sets = _resolve_file_sets(spark, table_path, at_gen)
+    selections = []
+    total = read_n = unpruned = 0
+    for base, rels, stats in sets:
+        if stats is None:
+            selections.append((base, None))
+            unpruned += 1
+            continue
+        total += len(stats["files"])
+        keep = [
+            f for f, e in stats["files"].items() if _range_keeps(e, ranges)
+        ]
+        read_n += len(keep)
+        selections.append((base, keep))
+    if report is not None:
+        report.update(
+            files_total=total,
+            files_read=read_n,
+            files_skipped=total - read_n,
+            unpruned_gens=unpruned,
+        )
+    df = _read_selected(
+        spark, selections,
+        read_snapshot_table(spark, table_path, at_gen=at_gen),
+    )
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            df = df.filter(F.col(c) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(c) <= F.lit(hi))
+    return df
+
+
+def snapshot_read_point(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    values: list,
+    at_gen: int | None = None,
+    report: dict | None = None,
+) -> DataFrame:
+    """Bloom-pruned point lookup: ``col IN (values)``.  Lookup hashes
+    are computed by the SAME JVM xxhash64 the build used (a
+    #values-row Spark job — types match the stored column exactly, so
+    false negatives are impossible); a file is read iff some value
+    lights all its k bloom bits, or min/max stats admit it when the
+    sidecar predates bloom config.  Exact IN filter re-applied."""
+    sets = _resolve_file_sets(spark, table_path, at_gen)
+    conf = _stats_conf(spark, table_path) or {}
+    m = int(conf.get("bloom_bits", 4096))
+    k = int(conf.get("bloom_hashes", 3))
+    schema_src = read_snapshot_table(spark, table_path, at_gen=at_gen)
+    vdf = spark.createDataFrame(
+        [(v,) for v in values], schema=schema_src.select(col).schema
+    )
+    pos = vdf.select(
+        F.array(
+            *[F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m)) for i in range(k)]
+        ).alias("p")
+    ).collect()
+    want = [tuple(int(x) for x in r["p"]) for r in pos]
+    selections = []
+    total = read_n = unpruned = 0
+    for base, rels, stats in sets:
+        if stats is None:
+            selections.append((base, None))
+            unpruned += 1
+            continue
+        bm = int(stats.get("bloom_bits", m))
+        keep = []
+        total += len(stats["files"])
+        for f, e in stats["files"].items():
+            bl = (e.get("bloom") or {}).get(col)
+            if bl is None:
+                # no bloom for this file: fall back to min/max, else keep
+                st = e["cols"].get(col)
+                if st is None or st["min"] is None:
+                    keep.append(f)
+                    continue
+                if any(
+                    st["min"] <= _bound_key(v) <= st["max"] for v in values
+                ):
+                    keep.append(f)
+                continue
+            bits = int(bl, 16)
+            if bm != m:
+                keep.append(f)  # config changed mid-table: never skip
+                continue
+            if any(all(bits >> p & 1 for p in ps) for ps in want):
+                keep.append(f)
+        read_n += len(keep)
+        selections.append((base, keep))
+    if report is not None:
+        report.update(
+            files_total=total,
+            files_read=read_n,
+            files_skipped=total - read_n,
+            unpruned_gens=unpruned,
+        )
+    df = _read_selected(spark, selections, schema_src)
+    return df.filter(F.col(col).isin(values))

@@ -1,0 +1,248 @@
+"""Data skipping over the snapshot-table format: per-file min/max
+stats + bloom filters collected at commit time (the Delta per-file
+stats / Iceberg manifest-bounds mechanism), pruned range reads and
+point lookups that are provably pure I/O optimizations — every test
+asserts BOTH result equality against the unpruned read AND that files
+were actually skipped."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gpt_rag_ingestion_spark.operators import snapshot_table as S
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _clustered(spark, n=4000, files=8):
+    """Rows range-clustered on v so file min/max windows are narrow."""
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("parent_id"),
+            (F.col("id") % 4).cast("int").alias("bucket"),
+            (F.col("id") * 3).alias("v"),
+            F.concat(F.lit("s"), (F.col("id") % 17)).alias("s"),
+        )
+        .repartitionByRange(files, "v")
+    )
+
+
+@pytest.mark.parametrize("partitioned", [False, True])
+def test_range_skip_equals_full_filter(spark, tmp_path, partitioned):
+    tbl = str(tmp_path / "t")
+    pc = ["bucket"] if partitioned else None
+    S.snapshot_enable_stats(spark, tbl, cols=["v", "s"])
+    S.snapshot_merge_upsert(
+        spark, tbl, _clustered(spark), partition_cols=pc
+    )
+    rep: dict = {}
+    got = S.snapshot_read_where(spark, tbl, {"v": (600, 900)}, report=rep)
+    want = S.read_snapshot_table(spark, tbl).filter(
+        (F.col("v") >= 600) & (F.col("v") <= 900)
+    )
+    cols = ["parent_id", "bucket", "v", "s"]
+    assert _rows(got.select(*cols)) == _rows(want.select(*cols))
+    assert rep["files_skipped"] > 0, rep
+    assert rep["files_read"] < rep["files_total"]
+    assert rep["unpruned_gens"] == 0
+
+
+def test_open_bounds_and_string_stats(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    S.snapshot_enable_stats(spark, tbl, cols=["v", "s"])
+    S.snapshot_merge_upsert(spark, tbl, _clustered(spark))
+    # open lower bound
+    got = S.snapshot_read_where(spark, tbl, {"v": (None, 300)})
+    want = S.read_snapshot_table(spark, tbl).filter(F.col("v") <= 300)
+    assert got.count() == want.count() == 101
+    # string range (lexicographic)
+    got = S.snapshot_read_where(spark, tbl, {"s": ("s3", "s5")})
+    want = S.read_snapshot_table(spark, tbl).filter(
+        (F.col("s") >= "s3") & (F.col("s") <= "s5")
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_all_null_file_is_skipped(spark, tmp_path):
+    """A file that is all-NULL for a range column is skippable: range
+    predicates are null-rejecting."""
+    tbl = str(tmp_path / "t")
+    S.snapshot_enable_stats(spark, tbl, cols=["v"])
+    nulls = spark.range(100).select(
+        F.col("id").alias("parent_id"),
+        F.lit(None).cast("long").alias("v"),
+        F.lit(0).alias("grp"),
+    )
+    vals = spark.range(100, 200).select(
+        F.col("id").alias("parent_id"),
+        (F.col("id") * 2).alias("v"),
+        F.lit(1).alias("grp"),
+    )
+    # grp is a PARTITION column, so the all-NULL rows land in their own
+    # directory — and therefore their own file(s) — structurally
+    S.snapshot_merge_upsert(
+        spark, tbl, nulls.unionByName(vals), partition_cols=["grp"]
+    )
+    rep: dict = {}
+    got = S.snapshot_read_where(spark, tbl, {"v": (0, 10**9)}, report=rep)
+    assert got.count() == 100
+    assert rep["files_skipped"] >= 1  # the all-null file
+
+
+def test_stats_enabled_late_reads_unpruned_but_correct(spark, tmp_path):
+    """Generations written before enable_stats have no sidecar: the
+    pruned read falls back to whole-generation scans (unpruned_gens
+    counts them) and stays correct; a later commit gets stats."""
+    tbl = str(tmp_path / "t")
+    S.snapshot_merge_upsert(spark, tbl, _clustered(spark, n=1000))
+    S.snapshot_enable_stats(spark, tbl, cols=["v"])
+    rep: dict = {}
+    got = S.snapshot_read_where(spark, tbl, {"v": (0, 600)}, report=rep)
+    want = S.read_snapshot_table(spark, tbl).filter(
+        (F.col("v") >= 0) & (F.col("v") <= 600)
+    )
+    assert _rows(got) == _rows(want)
+    assert rep["unpruned_gens"] == 1 and rep["files_total"] == 0
+    # optimize rewrites everything under the now-enabled config
+    S.snapshot_optimize(spark, tbl, zorder_cols=["v"])
+    rep2: dict = {}
+    got2 = S.snapshot_read_where(spark, tbl, {"v": (0, 600)}, report=rep2)
+    assert _rows(got2.select("parent_id", "v")) == _rows(
+        want.select("parent_id", "v")
+    )
+    assert rep2["unpruned_gens"] == 0 and rep2["files_skipped"] > 0
+
+
+def test_multi_generation_pruning_respects_live_partitions(spark, tmp_path):
+    """After an incremental merge, the old generation's sidecar still
+    lists files for partitions the new generation superseded — pruning
+    must consider only files whose partition is live in THIS manifest,
+    or superseded rows would resurface."""
+    tbl = str(tmp_path / "t")
+    S.snapshot_enable_stats(spark, tbl, cols=["v"])
+    S.snapshot_merge_upsert(
+        spark, tbl, _clustered(spark, n=2000), partition_cols=["bucket"]
+    )
+    # rewrite bucket 1 only, with shifted values
+    inc = (
+        spark.range(2000, 2400)
+        .select(
+            F.col("id").alias("parent_id"),
+            F.lit(1).cast("int").alias("bucket"),
+            (F.col("id") * 3).alias("v"),
+            F.lit("sx").alias("s"),
+        )
+    )
+    S.snapshot_merge_upsert(spark, tbl, inc, partition_cols=["bucket"])
+    got = S.snapshot_read_where(spark, tbl, {"v": (None, None)})
+    want = S.read_snapshot_table(spark, tbl)
+    assert _rows(got) == _rows(want)
+    # and a real range still matches
+    got = S.snapshot_read_where(spark, tbl, {"v": (6000, 6900)})
+    assert _rows(got) == _rows(
+        want.filter((F.col("v") >= 6000) & (F.col("v") <= 6900))
+    )
+
+
+def test_time_travel_pruned_read(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    S.snapshot_enable_stats(spark, tbl, cols=["v"])
+    g1 = S.snapshot_merge_upsert(spark, tbl, _clustered(spark, n=1000))
+    S.snapshot_merge_upsert(
+        spark, tbl,
+        spark.range(1000, 1500).select(
+            F.col("id").alias("parent_id"),
+            (F.col("id") % 4).cast("int").alias("bucket"),
+            (F.col("id") * 3).alias("v"),
+            F.lit("sx").alias("s"),
+        ),
+    )
+    got = S.snapshot_read_where(spark, tbl, {"v": (0, 999)}, at_gen=g1)
+    want = S.read_snapshot_table(spark, tbl, at_gen=g1).filter(
+        (F.col("v") >= 0) & (F.col("v") <= 999)
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_empty_selection_keeps_schema(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    S.snapshot_enable_stats(spark, tbl, cols=["v"])
+    S.snapshot_merge_upsert(spark, tbl, _clustered(spark, n=500))
+    rep: dict = {}
+    got = S.snapshot_read_where(
+        spark, tbl, {"v": (10**12, 10**13)}, report=rep
+    )
+    assert got.count() == 0
+    assert rep["files_read"] == 0
+    assert set(got.columns) == {"parent_id", "bucket", "v", "s"}
+
+
+def test_bloom_point_lookup(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    S.snapshot_enable_stats(
+        spark, tbl, cols=["v"], bloom_cols=["parent_id"]
+    )
+    # NOT clustered on parent_id: min/max can't prune ids, blooms can
+    df = (
+        spark.range(20000)
+        .select(
+            F.col("id").alias("parent_id"),
+            (F.col("id") * 7).alias("v"),
+        )
+        .repartition(16)  # hash-scatter: every file spans the id range
+    )
+    S.snapshot_merge_upsert(spark, tbl, df)
+    keys = [3, 777, 4242, 19999]
+    rep: dict = {}
+    got = S.snapshot_read_point(spark, tbl, "parent_id", keys, report=rep)
+    assert _rows(got) == sorted((k, k * 7) for k in keys)
+    assert rep["files_skipped"] > 0, rep
+    # no false negatives across a wider probe
+    probe = list(range(0, 20000, 997))
+    got2 = S.snapshot_read_point(spark, tbl, "parent_id", probe)
+    assert got2.count() == len(probe)
+    # absent keys return nothing
+    assert (
+        S.snapshot_read_point(spark, tbl, "parent_id", [10**9]).count() == 0
+    )
+
+
+def test_point_lookup_falls_back_to_minmax_without_bloom(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    S.snapshot_enable_stats(spark, tbl, cols=["parent_id"])  # no bloom col
+    S.snapshot_merge_upsert(spark, tbl, _clustered(spark, n=4000))
+    rep: dict = {}
+    got = S.snapshot_read_point(spark, tbl, "parent_id", [5, 3999], report=rep)
+    assert got.count() == 2
+    # clustered on v == clustered on id here, so min/max prunes too
+    assert rep["files_skipped"] > 0
+
+
+def test_vacuum_removes_dead_sidecars(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    S.snapshot_enable_stats(spark, tbl, cols=["v"])
+    S.snapshot_merge_upsert(spark, tbl, _clustered(spark, n=500))
+    S.snapshot_optimize(spark, tbl)
+    fs, d = S._hfs(spark, f"{tbl}/{S._STATS_DIR}")
+    assert len(list(fs.listStatus(d))) == 2
+    S.snapshot_vacuum(spark, tbl)
+    live = [st.getPath().getName() for st in fs.listStatus(d)]
+    cur = S._current_gen(spark, tbl)
+    ref = set(S._read_manifest(spark, tbl, cur)["partitions"].values())
+    assert live == [f"{g}.json" for g in sorted(ref)]
+    # pruned reads still work post-vacuum
+    assert S.snapshot_read_where(spark, tbl, {"v": (0, 30)}).count() == 11
+
+
+def test_unsupported_stats_type_fails_fast(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    S.snapshot_enable_stats(spark, tbl, cols=["arr"])
+    bad = spark.range(10).select(
+        F.col("id").alias("parent_id"), F.array(F.col("id")).alias("arr")
+    )
+    with pytest.raises(TypeError, match="unsupported type"):
+        S.snapshot_merge_upsert(spark, tbl, bad)
