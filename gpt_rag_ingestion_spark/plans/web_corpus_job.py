@@ -72,6 +72,8 @@ def run_web_corpus_job(
     prior_domain_counts: DataFrame | None = None,
     corpus_sink: str = "swap",
     text_index_path: str | None = None,
+    corpus_stats_cols: list[str] | None = None,
+    corpus_bloom_key: bool = False,
 ) -> DataFrame:
     """One batch through the web-corpus loop.  Returns the AUDIT
     relation — (id, domain, disposition, dup_of) for every input row,
@@ -122,7 +124,15 @@ def run_web_corpus_job(
     ``"snapshot"`` = manifest-pointer commits
     (operators/snapshot_table.py) — identical MERGE semantics, but
     every batch commit is one atomic pointer rename and concurrent
-    readers of the growing corpus are never torn (SCALE.md §11)."""
+    readers of the growing corpus are never torn (SCALE.md §11).
+
+    ``corpus_stats_cols`` / ``corpus_bloom_key`` (snapshot sink only)
+    enable write-time file statistics on the corpus table before the
+    first merge: each commit then records per-file min/max for the
+    named columns (and an ``id_col`` bloom when ``corpus_bloom_key``),
+    so downstream curation reads range-prune (snapshot_read_where) and
+    document lookups bloom-prune (snapshot_read_point) from commit
+    metadata alone — see SCALE.md §11 'Data skipping'."""
     d = batch.select(
         F.col(id_col),
         F.col(text_col),
@@ -248,9 +258,24 @@ def run_web_corpus_job(
         )
         if corpus_sink == "snapshot":
             from gpt_rag_ingestion_spark.operators.snapshot_table import (
+                _stats_conf,
+                snapshot_enable_stats,
                 snapshot_merge_upsert,
             )
 
+            if (corpus_stats_cols or corpus_bloom_key) and not _stats_conf(
+                spark, corpus_path
+            ):
+                # first admitting batch turns on write-time file stats
+                # for the corpus table: every later commit carries
+                # per-file min/max (+ id-column blooms) so readers can
+                # range-prune (e.g. n_tokens curation scans) and
+                # point-look-up documents without corpus passes
+                snapshot_enable_stats(
+                    spark, corpus_path,
+                    cols=corpus_stats_cols or [],
+                    bloom_cols=[id_col] if corpus_bloom_key else [],
+                )
             snapshot_merge_upsert(
                 spark, corpus_path, to_merge, key=id_col,
                 partition_cols=partition_cols,

@@ -246,3 +246,54 @@ def test_unsupported_stats_type_fails_fast(spark, tmp_path):
     )
     with pytest.raises(TypeError, match="unsupported type"):
         S.snapshot_merge_upsert(spark, tbl, bad)
+
+
+def test_web_corpus_snapshot_sink_with_stats(spark, tmp_path):
+    """Composition: the streaming web-corpus loop with
+    corpus_sink='snapshot' + corpus_stats_cols/_bloom_key enables
+    write-time stats on the FIRST admitting batch; every later commit
+    (including the generation-fold trigger's optimize) carries
+    sidecars, so curation range reads and doc-id lookups prune."""
+    import json
+
+    from gpt_rag_ingestion_spark.streaming.micro_batch import (
+        run_streaming_web_corpus,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    root = str(tmp_path)
+    for i in range(3):
+        batch = [
+            {
+                "doc_id": 100 * i + j,
+                "url": f"https://d{j}.example/p{100 * i + j}",
+                "text": f"page body number {100 * i + j} " * (10 + j),
+            }
+            for j in range(4)
+        ]
+        (landing / f"b{i}.json").write_text(
+            "\n".join(json.dumps(x) for x in batch)
+        )
+        run_streaming_web_corpus(
+            spark, str(landing), f"{root}/corpus", f"{root}/shards",
+            f"{root}/audit", f"{root}/ckpt", min_chars=10,
+            corpus_max_files=2, corpus_sink="snapshot",
+            corpus_stats_cols=["n_tokens"], corpus_bloom_key=True,
+        )
+    full = S.read_snapshot_table(spark, f"{root}/corpus")
+    assert full.count() == 12
+    # range read over the stats column: equality + sidecars present
+    rep: dict = {}
+    got = S.snapshot_read_where(
+        spark, f"{root}/corpus", {"n_tokens": (0, 10**9)}, report=rep
+    )
+    assert got.count() == 12
+    assert rep["unpruned_gens"] == 0  # every commit carried stats
+    # bloom point lookup on the id column
+    rep2: dict = {}
+    hit = S.snapshot_read_point(
+        spark, f"{root}/corpus", "doc_id", [203], report=rep2
+    )
+    assert hit.count() == 1
+    assert rep2["unpruned_gens"] == 0
