@@ -3339,6 +3339,62 @@ _BM25_ORACLE_CTES_TEMPLATE = (
 )
 
 
+def _retrieval_eval_oracle(k: int = 10, scale: int = 1_000_000) -> str:
+    """q172's oracle: the standard BM25 CTE chain + top-k ranking,
+    a first-term relevance set, and the SAME integer DCG weight /
+    ideal-prefix tables the operator computes driver-side (identical
+    Python round(scale/log2(i+1)) — floats never reach either
+    engine)."""
+    import math
+
+    w = [round(scale / math.log2(i + 1)) for i in range(1, k + 1)]
+    cum = [sum(w[: i + 1]) for i in range(k)]
+    w_vals = ", ".join(f"({i + 1}, {x})" for i, x in enumerate(w))
+    cum_vals = ", ".join(f"({i + 1}, {x})" for i, x in enumerate(cum))
+    ft_vals = ", ".join(
+        f"('{qid}', '{terms[0]}')" for qid, terms in _BM25_QUERIES
+    )
+    return f"""
+        WITH {_bm25_oracle_ctes()},
+        topk AS (
+          SELECT query_id, doc,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY score_q DESC, doc ASC) AS rank
+          FROM scored),
+        hits AS (SELECT * FROM topk WHERE rank <= {k}),
+        ft(query_id, token) AS (VALUES {ft_vals}),
+        qrels AS (
+          SELECT DISTINCT f.query_id, t.doc
+          FROM ft f JOIN toks t ON t.token = f.token),
+        nrel AS (
+          SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+          FROM qrels GROUP BY query_id),
+        w(rank, w_q) AS (VALUES {w_vals}),
+        cum(n, idcg) AS (VALUES {cum_vals}),
+        relhits AS (
+          SELECT h.query_id, h.rank FROM hits h
+          JOIN qrels r ON r.query_id = h.query_id AND r.doc = h.doc),
+        agg AS (
+          SELECT query_id, CAST(COUNT(*) AS BIGINT) AS hits_at_k,
+                 MIN(rank) AS first_rank,
+                 CAST(SUM(w.w_q) AS BIGINT) AS dcg_q
+          FROM relhits JOIN w USING (rank) GROUP BY query_id)
+        SELECT n.query_id, n.n_rel,
+          CAST(COALESCE(a.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+          CAST(CASE WHEN a.first_rank IS NULL THEN 0
+               ELSE {scale} // a.first_rank END AS BIGINT) AS rr_q,
+          CAST(COALESCE(a.hits_at_k, 0) * {scale} // n.n_rel
+               AS BIGINT) AS recall_q,
+          CAST(COALESCE(a.dcg_q, 0) AS BIGINT) AS dcg_q,
+          CAST(c.idcg AS BIGINT) AS idcg_q,
+          CAST(COALESCE(a.dcg_q, 0) * {scale} // c.idcg
+               AS BIGINT) AS ndcg_q
+        FROM nrel n
+        LEFT JOIN agg a USING (query_id)
+        JOIN cum c ON c.n = LEAST(n.n_rel, {k})
+    """
+
+
 def q155_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Full-text BM25 retrieval over the documents corpus
     (operators/search — the reference's AI Search text leg): inverted
@@ -3866,6 +3922,44 @@ def q171_snapshot_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
     ).localCheckpoint()
 
 
+def q172_retrieval_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """RETRIEVAL-QUALITY EVALUATION (operators/ranking.
+    retrieval_metrics — the relevance-tuning loop the reference's AI
+    Search deployments run): recall@10, reciprocal rank, and nDCG@10
+    per query over the BM25 top-10, against a relational relevance
+    set (docs containing the query's FIRST term).  DCG weights
+    round(scale/log2(rank+1)) are driver-side INTEGER literals, all
+    ratios integer div — the oracle replicates the identical VALUES
+    table, so the floats never leave the driver."""
+    from gpt_rag_ingestion_spark.operators.ranking import (
+        retrieval_metrics,
+    )
+    from gpt_rag_ingestion_spark.operators.search import (
+        bm25_topk,
+        build_text_index,
+    )
+
+    docs = _t(spark, sf, "documents")
+    index = build_text_index(docs, text_col="text", id_col="doc_id")
+    hits = bm25_topk(index, _bm25_query_df(spark), k=10)
+    first_terms = spark.createDataFrame(
+        [(qid, terms[0]) for qid, terms in _BM25_QUERIES],
+        "query_id string, token string",
+    )
+    toks = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda x: x != ""
+            )
+        ).alias("token"),
+    )
+    qrels = first_terms.join(toks, on="token").select(
+        "query_id", "doc"
+    ).distinct()
+    return retrieval_metrics(hits, qrels, k=10)
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW and len(queries()) == 155 on every gate run.
@@ -4109,6 +4203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q169_spell_suggest": q169_spell_suggest,
         "q170_snapshot_data_skipping": q170_snapshot_data_skipping,
         "q171_snapshot_point_lookup": q171_snapshot_point_lookup,
+        "q172_retrieval_eval": q172_retrieval_eval,
     }
 
 
@@ -6993,6 +7088,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, rank, token AS suggestion, distance, df
             FROM ranked WHERE rank <= 2
         """,
+        "q172_retrieval_eval": _retrieval_eval_oracle(),
         "q170_snapshot_data_skipping": """
             -- the snapshot holds exactly the base rows (one init
             -- commit + an OPTIMIZE rewrite); the pruned range read

@@ -243,3 +243,82 @@ def distributed_running_sum(
         .withColumn(sum_col, (F.col("__local_sum") + F.col("__offset")).cast("long"))
         .drop(key_col, "__local_sum", "__offset")
     )
+
+
+def retrieval_metrics(
+    hits: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc",
+    rank_col: str = "rank",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Offline retrieval-quality evaluation — the metrics loop every
+    search deployment runs against its own index (the reference's AI
+    Search relevance tuning, done as a relation): per query,
+
+        n_rel      |relevant docs|            (from ``qrels``)
+        hits_at_k  |relevant ∩ top-k|
+        recall_q   hits_at_k * scale // n_rel
+        rr_q       scale // rank of the FIRST relevant hit (0 if none)
+                   — mean over queries = MRR * scale
+        dcg_q      Σ w[rank] over relevant hits, with the binary-gain
+                   DCG weight w[i] = round(scale / log2(i+1))
+                   precomputed driver-side as INTEGER literals
+        idcg_q     Σ w[1..min(n_rel, k)]  (ideal ordering)
+        ndcg_q     dcg_q * scale // idcg_q
+
+    Everything is integer arithmetic over driver-side-constant weight
+    tables (k entries), so results are exactly reproducible in any
+    engine — the oracle replicates the same VALUES.  Queries with no
+    relevant documents are excluded (nDCG undefined).
+
+    Scale shape: ``hits`` is O(queries * k) and ``qrels`` is the
+    relevance set; the joins are keyed by (query, doc) and every
+    aggregate is per-query — nothing touches the corpus.  Macro
+    averages are one further tiny aggregate over the output.
+    """
+    import math
+
+    w = [round(scale / math.log2(i + 1)) for i in range(1, k + 1)]
+    cum = [sum(w[: i + 1]) for i in range(k)]
+    w_arr = F.array(*[F.lit(x) for x in w])
+    cum_arr = F.array(*[F.lit(x) for x in cum])
+
+    topk = hits.filter(F.col(rank_col) <= k).select(
+        query_col, doc_col, rank_col
+    )
+    rel = qrels.select(query_col, doc_col).distinct()
+    rel_hits = topk.join(rel, on=[query_col, doc_col], how="inner")
+    agg = rel_hits.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("hits_at_k"),
+        F.min(rank_col).alias("_first"),
+        F.sum(F.element_at(w_arr, F.col(rank_col).cast("int"))).alias(
+            "_dcg"
+        ),
+    )
+    nrel = rel.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_rel"))
+    out = nrel.join(agg, on=query_col, how="left")
+    idcg = F.element_at(
+        cum_arr, F.least(F.col("n_rel"), F.lit(k)).cast("int")
+    )
+    s = int(scale)
+    return out.withColumn("_idcg", idcg).select(
+        F.col(query_col),
+        F.col("n_rel").cast("long").alias("n_rel"),
+        F.coalesce(F.col("hits_at_k"), F.lit(0)).cast("long").alias(
+            "hits_at_k"
+        ),
+        F.when(F.col("_first").isNull(), F.lit(0).cast("long"))
+        .otherwise(F.expr(f"CAST({s} AS BIGINT) div _first"))
+        .alias("rr_q"),
+        F.expr(
+            f"CAST(coalesce(hits_at_k, 0) AS BIGINT) * {s} div n_rel"
+        ).alias("recall_q"),
+        F.coalesce(F.col("_dcg"), F.lit(0)).cast("long").alias("dcg_q"),
+        F.col("_idcg").cast("long").alias("idcg_q"),
+        F.expr(
+            f"CAST(coalesce(_dcg, 0) AS BIGINT) * {s} div _idcg"
+        ).alias("ndcg_q"),
+    )
