@@ -1140,3 +1140,142 @@ def snapshot_read_point(
         )
     df = _read_selected(spark, selections, schema_src)
     return df.filter(F.col(col).isin(values))
+
+
+def snapshot_compact_partitions(
+    spark: SparkSession,
+    table_path: str,
+    partition_cols: list[str],
+    rels: list[str] | None = None,
+    max_files_per_partition: int | None = None,
+    zorder_cols: list[str] | None = None,
+    zorder_bits: int = 16,
+) -> dict:
+    """PARTITION-SELECTIVE OPTIMIZE — the form compaction takes at
+    100 TB, where `snapshot_optimize`'s whole-table rewrite is not an
+    option: rewrite ONLY the named partitions (``rels``, relative
+    ``p=v[/q=w]`` paths) — or, with ``max_files_per_partition``, only
+    partitions whose live file count exceeds the bound (counted from
+    the stats sidecars when present, a filesystem listing otherwise —
+    metadata either way) — into one new generation; every other
+    partition's manifest mapping is carried forward untouched.  This
+    is Delta's ``OPTIMIZE table WHERE <partition predicate>``.
+
+    ``zorder_cols`` clusters the rewritten subset on the Morton curve
+    (bounds computed over the subset).  Commits through the same
+    fenced protocol as every writer; the rewritten generation gets a
+    stats sidecar when stats are enabled.  Returns
+    {committed_gen, compacted, files_before} (gen unchanged if
+    nothing qualified)."""
+    _commit_recover(spark, table_path)
+    _claim_recover(spark, table_path)
+    cur = _current_gen(spark, table_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot at {table_path}")
+    manifest = _read_manifest(spark, table_path, cur)
+    parts: dict[str, str] = manifest["partitions"]
+    if rels is None and max_files_per_partition is None:
+        raise ValueError("pass rels or max_files_per_partition")
+    if rels is not None:
+        missing = sorted(set(rels) - set(parts))
+        if missing:
+            raise ValueError(f"unknown partitions: {missing}")
+        chosen = {r: None for r in rels}
+    else:
+        # live file count per partition rel: prefer the stats sidecars
+        # (pure metadata), fall back to one listing per generation
+        counts: dict[str, int] = {r: 0 for r in parts}
+        by_gen: dict[str, list[str]] = {}
+        for r, g in parts.items():
+            by_gen.setdefault(g, []).append(r)
+        for g, grels in by_gen.items():
+            sp = _gen_stats_path(table_path, g)
+            live = set(grels)
+            if _fs_exists(spark, sp):
+                raw = json.loads(_read_text(spark, sp))
+                for f in raw["files"]:
+                    rel = "/".join(f.split("/")[:-1])
+                    if rel in live or (grels == [""] and "/" not in f):
+                        counts[rel if rel in live else ""] += 1
+            else:
+                for r in grels:
+                    sub = f"{table_path}/{g}" + (f"/{r}" if r else "")
+                    fs, p = _hfs(spark, sub)
+                    if not fs.exists(p):
+                        continue
+                    counts[r] += sum(
+                        1
+                        for st in fs.listStatus(p)
+                        if st.isFile()
+                        and st.getPath().getName().endswith(".parquet")
+                    )
+        chosen = {
+            r: c
+            for r, c in counts.items()
+            if c > max_files_per_partition
+        }
+    if not chosen:
+        return {"committed_gen": cur, "compacted": [], "files_before": 0}
+
+    subset = _read_partition_subset(
+        spark, table_path, {r: parts[r] for r in chosen}
+    )
+    if zorder_cols:
+        from gpt_rag_ingestion_spark.operators.layout import zorder_value
+
+        stats = subset.agg(
+            *[F.min(c).alias(f"min_{c}") for c in zorder_cols],
+            *[F.max(c).alias(f"max_{c}") for c in zorder_cols],
+        ).collect()[0]
+        z = zorder_value(
+            zorder_cols,
+            {c: stats[f"min_{c}"] for c in zorder_cols},
+            {c: stats[f"max_{c}"] for c in zorder_cols},
+            zorder_bits,
+        )
+        subset = (
+            subset.withColumn("__z", z)
+            .repartitionByRange(
+                max(spark.sparkContext.defaultParallelism, 1), "__z"
+            )
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    else:
+        # right-size: one file per partition dir unless the data says
+        # otherwise (AQE coalesces the tiny shuffle partitions)
+        subset = subset.repartition(*[F.col(c) for c in partition_cols])
+    gen = cur + 1
+    gname = _gen_name(gen)
+    new_dir = _gen_dir(table_path, gname)
+    subset.write.mode("overwrite").partitionBy(*partition_cols).parquet(
+        new_dir
+    )
+    _maybe_write_stats(spark, table_path, gname, new_dir)
+    written = _list_partition_rels(spark, new_dir, len(partition_cols))
+    partitions = {r: g for r, g in parts.items() if r not in chosen}
+    partitions.update({r: gname for r in written})
+    _commit(spark, table_path, gen, partitions, expected_cur=cur)
+    return {
+        "committed_gen": gen,
+        "compacted": sorted(chosen),
+        "files_before": sum(c or 0 for c in chosen.values()),
+    }
+
+
+def snapshot_metadata_count(
+    spark: SparkSession, table_path: str, at_gen: int | None = None
+) -> int | None:
+    """Exact COUNT(*) from commit metadata alone — no file opened, no
+    job run (the Delta metadata-only count): sums the per-file row
+    counts recorded in the stats sidecars over the manifest's live
+    files.  Returns None when any live generation lacks a sidecar
+    (count would need a scan; callers fall back to
+    ``read_snapshot_table(...).count()``)."""
+    sets = _resolve_file_sets(spark, table_path, at_gen)
+    total = 0
+    for _base, _rels, stats in sets:
+        if stats is None:
+            return None
+        total += sum(e["rows"] for e in stats["files"].values())
+    return total

@@ -297,3 +297,101 @@ def test_web_corpus_snapshot_sink_with_stats(spark, tmp_path):
     )
     assert hit.count() == 1
     assert rep2["unpruned_gens"] == 0
+
+
+def test_compact_partitions_selective(spark, tmp_path):
+    """Partition-selective OPTIMIZE: only fragmented partitions are
+    rewritten; every other partition keeps its generation mapping
+    (immutable files — provably untouched), content is unchanged, and
+    the compacted partitions' live file counts drop."""
+    tbl = str(tmp_path / "t")
+    S.snapshot_enable_stats(spark, tbl, cols=["v"])
+    # 6 merges, each touching bucket 0 and 1 -> those fragment
+    for i in range(6):
+        inc = spark.range(i * 100, i * 100 + 100).select(
+            F.col("id").alias("parent_id"),
+            (F.col("id") % 2).cast("int").alias("bucket"),
+            (F.col("id") * 3).alias("v"),
+        )
+        S.snapshot_merge_upsert(
+            spark, tbl, inc, partition_cols=["bucket"]
+        )
+    # one quiet partition that never fragments
+    quiet = spark.range(10_000, 10_050).select(
+        F.col("id").alias("parent_id"),
+        F.lit(9).cast("int").alias("bucket"),
+        (F.col("id") * 3).alias("v"),
+    ).coalesce(1)
+    S.snapshot_merge_upsert(spark, tbl, quiet, partition_cols=["bucket"])
+    before = _rows(S.read_snapshot_table(spark, tbl))
+    cur = S._current_gen(spark, tbl)
+    man_before = S._read_manifest(spark, tbl, cur)["partitions"]
+
+    rep = S.snapshot_compact_partitions(
+        spark, tbl, ["bucket"], max_files_per_partition=2
+    )
+    assert sorted(rep["compacted"]) == ["bucket=0", "bucket=1"]
+    assert rep["files_before"] > 4
+    man_after = S._read_manifest(
+        spark, tbl, rep["committed_gen"]
+    )["partitions"]
+    # quiet partition's mapping carried forward verbatim
+    assert man_after["bucket=9"] == man_before["bucket=9"]
+    assert man_after["bucket=0"] != man_before["bucket=0"]
+    assert _rows(S.read_snapshot_table(spark, tbl)) == before
+    # compacted partitions now under the file bound
+    rep2 = S.snapshot_compact_partitions(
+        spark, tbl, ["bucket"], max_files_per_partition=2
+    )
+    assert rep2["compacted"] == [] and rep2["committed_gen"] == rep[
+        "committed_gen"
+    ]
+    # pruned reads still correct after selective compaction
+    got = S.snapshot_read_where(spark, tbl, {"v": (0, 600)})
+    want = [t for t in before if 0 <= t[1] <= 600]  # (id, v, bucket)
+    assert _rows(got) == sorted(want)
+
+
+def test_compact_partitions_explicit_rels_and_zorder(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    S.snapshot_enable_stats(spark, tbl, cols=["v"])
+    for i in range(3):
+        S.snapshot_merge_upsert(
+            spark, tbl,
+            _clustered(spark, n=300).withColumn(
+                "parent_id", F.col("parent_id") + i * 1000
+            ),
+            partition_cols=["bucket"],
+        )
+    before = _rows(S.read_snapshot_table(spark, tbl))
+    rep = S.snapshot_compact_partitions(
+        spark, tbl, ["bucket"], rels=["bucket=2"], zorder_cols=["v"]
+    )
+    assert rep["compacted"] == ["bucket=2"]
+    assert _rows(S.read_snapshot_table(spark, tbl)) == before
+    with pytest.raises(ValueError, match="unknown partitions"):
+        S.snapshot_compact_partitions(
+            spark, tbl, ["bucket"], rels=["bucket=77"]
+        )
+
+
+def test_metadata_count(spark, tmp_path):
+    tbl = str(tmp_path / "t")
+    S.snapshot_enable_stats(spark, tbl, cols=["v"])
+    g1 = S.snapshot_merge_upsert(
+        spark, tbl, _clustered(spark, n=1200), partition_cols=["bucket"]
+    )
+    S.snapshot_merge_upsert(
+        spark, tbl,
+        _clustered(spark, n=200).withColumn(
+            "parent_id", F.col("parent_id") + 5000
+        ),
+        partition_cols=["bucket"],
+    )
+    got = S.snapshot_metadata_count(spark, tbl)
+    assert got == S.read_snapshot_table(spark, tbl).count() == 1400
+    assert S.snapshot_metadata_count(spark, tbl, at_gen=g1) == 1200
+    # a table without stats: None (caller must scan)
+    tbl2 = str(tmp_path / "u")
+    S.snapshot_merge_upsert(spark, tbl2, _clustered(spark, n=50))
+    assert S.snapshot_metadata_count(spark, tbl2) is None
