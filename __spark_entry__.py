@@ -3960,6 +3960,65 @@ def q172_retrieval_eval(spark: SparkSession, sf: str) -> DataFrame:
     return retrieval_metrics(hits, qrels, k=10)
 
 
+def q173_partition_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    """PARTITION-SELECTIVE OPTIMIZE lifecycle (operators/
+    snapshot_table.snapshot_compact_partitions — Delta's ``OPTIMIZE
+    ... WHERE``): three merges land disjoint bucket sets in three
+    generations, then only the fragmented buckets are rewritten —
+    the untouched bucket's manifest mapping is ASSERTED to carry
+    forward verbatim (immutable files: provably unread), the
+    metadata-only COUNT (snapshot_metadata_count, no job) is asserted
+    against the relational count, and the post-compaction table must
+    hash-equal the closed form (all orders rows) — compaction moves
+    bytes, never rows."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        _current_gen,
+        _read_manifest,
+        read_snapshot_table,
+        snapshot_compact_partitions,
+        snapshot_enable_stats,
+        snapshot_merge_upsert,
+        snapshot_metadata_count,
+    )
+
+    orders = _t(spark, sf, "orders")
+    rows = orders.select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 4).cast("int").alias("bucket"),
+    )
+    tbl = tempfile.mkdtemp(prefix="q173-compact-") + "/t"
+    snapshot_enable_stats(spark, tbl, cols=["cents"])
+    for buckets in ((0, 1), (2,), (3,)):
+        snapshot_merge_upsert(
+            spark, tbl, rows.filter(F.col("bucket").isin(*buckets)),
+            key="o_orderkey", partition_cols=["bucket"],
+        )
+    man_before = _read_manifest(
+        spark, tbl, _current_gen(spark, tbl)
+    )["partitions"]
+    rep = snapshot_compact_partitions(
+        spark, tbl, ["bucket"], rels=["bucket=0", "bucket=1"],
+        zorder_cols=["cents"],
+    )
+    assert rep["compacted"] == ["bucket=0", "bucket=1"], rep
+    man_after = _read_manifest(
+        spark, tbl, rep["committed_gen"]
+    )["partitions"]
+    assert man_after["bucket=3"] == man_before["bucket=3"], (
+        "untouched partition's mapping must carry forward verbatim"
+    )
+    out = read_snapshot_table(spark, tbl)
+    n_meta = snapshot_metadata_count(spark, tbl)
+    assert n_meta is not None and n_meta == out.count(), n_meta
+    return out.select(
+        "o_orderkey", "o_orderstatus", "cents",
+        F.col("bucket").cast("int").alias("bucket"),
+    ).localCheckpoint()
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW and len(queries()) == 155 on every gate run.
@@ -4204,6 +4263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q170_snapshot_data_skipping": q170_snapshot_data_skipping,
         "q171_snapshot_point_lookup": q171_snapshot_point_lookup,
         "q172_retrieval_eval": q172_retrieval_eval,
+        "q173_partition_compaction": q173_partition_compaction,
     }
 
 
@@ -7089,6 +7149,14 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 2
         """,
         "q172_retrieval_eval": _retrieval_eval_oracle(),
+        "q173_partition_compaction": """
+            -- compaction moves bytes, never rows: the final table is
+            -- exactly the base relation
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   CAST(o_orderkey % 4 AS INT) AS bucket
+            FROM orders
+        """,
         "q170_snapshot_data_skipping": """
             -- the snapshot holds exactly the base rows (one init
             -- commit + an OPTIMIZE rewrite); the pruned range read

@@ -325,6 +325,7 @@ def snapshot_merge_upsert(
     atomic rename and concurrent readers are never torn."""
     _commit_recover(spark, table_path)
     _claim_recover(spark, table_path)
+    _validate_constraints(spark, table_path, incoming)
     _fs_mkdirs(spark, f"{table_path}/_manifests")
     cur = _current_gen(spark, table_path)
     gen = (cur or 0) + 1
@@ -1279,3 +1280,91 @@ def snapshot_metadata_count(
             return None
         total += sum(e["rows"] for e in stats["files"].values())
     return total
+
+
+# ---------------------------------------------------------------------------
+# CONSTRAINTS: named CHECK expressions enforced at write time
+# ---------------------------------------------------------------------------
+
+_CONSTRAINTS_CONF = "_constraints.json"
+
+
+class SnapshotConstraintViolation(ValueError):
+    """A write (or ADD CONSTRAINT over existing data) found rows
+    violating a named CHECK expression.  The table is unchanged —
+    validation happens BEFORE any data is written."""
+
+
+def _constraints(spark, table_path: str) -> dict:
+    p = f"{table_path}/{_CONSTRAINTS_CONF}"
+    if not _fs_exists(spark, p):
+        return {}
+    return json.loads(_read_text(spark, p))["checks"]
+
+
+def _validate_constraints(spark, table_path: str, df: DataFrame) -> None:
+    """One filter-count per defined constraint over the INCREMENT
+    (O(increment), the Delta write-time validation).  Counts every
+    violating constraint before raising, so the error names them
+    all."""
+    checks = _constraints(spark, table_path)
+    if not checks:
+        return
+    bad = {}
+    for name, expr in sorted(checks.items()):
+        # NULL check results do NOT satisfy a constraint (Delta rule)
+        n = df.filter(~F.coalesce(F.expr(expr), F.lit(False))).count()
+        if n:
+            bad[name] = n
+    if bad:
+        raise SnapshotConstraintViolation(
+            f"write rejected by CHECK constraint(s) {bad} at {table_path}"
+        )
+
+
+def snapshot_add_constraint(
+    spark: SparkSession, table_path: str, name: str, expr: str
+) -> None:
+    """ADD CONSTRAINT <name> CHECK (<expr>): existing data is
+    validated FIRST (one filter-count over the snapshot — the ALTER
+    TABLE scan every format pays once); every later merge validates
+    its increment before writing.  Idempotent for an identical
+    (name, expr); a different expr under an existing name is an
+    error (DROP first)."""
+    existing = _constraints(spark, table_path)
+    if name in existing and existing[name] != expr:
+        raise ValueError(
+            f"constraint {name!r} already defined as "
+            f"{existing[name]!r}; drop it first"
+        )
+    if _current_gen(spark, table_path) is not None:
+        snap = read_snapshot_table(spark, table_path)
+        n = snap.filter(~F.coalesce(F.expr(expr), F.lit(False))).count()
+        if n:
+            raise SnapshotConstraintViolation(
+                f"cannot add constraint {name!r}: {n} existing rows "
+                f"violate CHECK ({expr})"
+            )
+    checks = dict(existing)
+    checks[name] = expr
+    _fs_mkdirs(spark, table_path)
+    _write_text(
+        spark,
+        f"{table_path}/{_CONSTRAINTS_CONF}",
+        json.dumps({"checks": checks}, sort_keys=True),
+    )
+
+
+def snapshot_drop_constraint(
+    spark: SparkSession, table_path: str, name: str
+) -> bool:
+    """DROP CONSTRAINT; returns whether it existed."""
+    checks = _constraints(spark, table_path)
+    found = name in checks
+    checks.pop(name, None)
+    _write_text(
+        spark,
+        f"{table_path}/{_CONSTRAINTS_CONF}",
+        json.dumps({"checks": checks}, sort_keys=True),
+    )
+    return found

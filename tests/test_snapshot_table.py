@@ -568,3 +568,47 @@ def test_snapshot_changes_preimages_schema(spark, tmp_path):
         (1, "update_postimage", 999),
         (50, "insert", 555),
     }
+
+
+def test_check_constraints(spark, tmp_path):
+    """Delta-parity CHECK constraints: validated over existing data at
+    ADD time, over each increment at MERGE time (before anything is
+    written — a rejected merge leaves the table byte-identical), NULL
+    check results violate, DROP re-opens the gate."""
+    snap = str(tmp_path / "snap")
+    S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 0, 100), partition_cols=["bucket"]
+    )
+    S.snapshot_add_constraint(spark, snap, "v_nonneg", "v >= 0")
+    # idempotent re-add; conflicting redefinition rejected
+    S.snapshot_add_constraint(spark, snap, "v_nonneg", "v >= 0")
+    with pytest.raises(ValueError, match="drop it first"):
+        S.snapshot_add_constraint(spark, snap, "v_nonneg", "v >= 1")
+    # adding a constraint existing data violates fails with the count
+    with pytest.raises(S.SnapshotConstraintViolation, match="100 existing"):
+        S.snapshot_add_constraint(spark, snap, "v_big", "v >= 10000")
+
+    gen_before = S._current_gen(spark, snap)
+    before = _rows(S.read_snapshot_table(spark, snap))
+    bad = _inc(spark, 100, 120).withColumn(
+        "v", F.when(F.col("parent_id") % 2 == 0, -F.col("v"))
+    )  # odd ids -> NULL v: NULL check results violate too
+    with pytest.raises(S.SnapshotConstraintViolation, match="v_nonneg"):
+        S.snapshot_merge_upsert(
+            spark, snap, bad, partition_cols=["bucket"]
+        )
+    assert S._current_gen(spark, snap) == gen_before
+    assert _rows(S.read_snapshot_table(spark, snap)) == before
+
+    good = _inc(spark, 100, 120)
+    S.snapshot_merge_upsert(spark, snap, good, partition_cols=["bucket"])
+    assert S.read_snapshot_table(spark, snap).count() == 120
+
+    assert S.snapshot_drop_constraint(spark, snap, "v_nonneg") is True
+    assert S.snapshot_drop_constraint(spark, snap, "v_nonneg") is False
+    S.snapshot_merge_upsert(
+        spark, snap,
+        _inc(spark, 200, 205).withColumn("v", -F.col("v")),
+        partition_cols=["bucket"],
+    )
+    assert S.read_snapshot_table(spark, snap).count() == 125
