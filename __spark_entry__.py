@@ -4019,6 +4019,64 @@ def q173_partition_compaction(spark: SparkSession, sf: str) -> DataFrame:
     ).localCheckpoint()
 
 
+def q174_deletion_vectors(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE-ON-READ DELETE via deletion vectors
+    (operators/snapshot_table.snapshot_delete_keys mode='dv' — the
+    Delta/Iceberg DV design): the delete commit records (file,
+    row-position) pairs in an immutable sidecar the manifest
+    references and touches NO data file — ASSERTED inline: the
+    partition→generation mapping is identical before and after, and
+    the metadata-only count already reflects the deletes.  Readers
+    anti-join the vectors; time travel to the pre-delete snapshot
+    still sees every row (asserted).  The post-state must hash-equal
+    the closed form — at 100 TB this is deleting ten rows with
+    kilobytes of metadata instead of a partition rewrite."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        _read_manifest,
+        read_snapshot_table,
+        snapshot_delete_keys,
+        snapshot_enable_stats,
+        snapshot_merge_upsert,
+        snapshot_metadata_count,
+    )
+
+    orders = _t(spark, sf, "orders")
+    rows = orders.select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 4).cast("int").alias("bucket"),
+    )
+    tbl = tempfile.mkdtemp(prefix="q174-dv-") + "/t"
+    snapshot_enable_stats(spark, tbl, cols=["cents"])
+    g1 = snapshot_merge_upsert(
+        spark, tbl, rows, key="o_orderkey", partition_cols=["bucket"]
+    )
+    doomed = rows.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    g2 = snapshot_delete_keys(
+        spark, tbl, doomed, key="o_orderkey",
+        partition_cols=["bucket"], mode="dv",
+    )
+    m1 = _read_manifest(spark, tbl, g1)
+    m2 = _read_manifest(spark, tbl, g2)
+    assert m1["partitions"] == m2["partitions"], (
+        "a DV delete must not move any partition to a new generation"
+    )
+    assert m2.get("dv"), "the delete must be recorded as a DV reference"
+    out = read_snapshot_table(spark, tbl)
+    n_meta = snapshot_metadata_count(spark, tbl)
+    assert n_meta == out.count(), (n_meta, "metadata count must net DVs")
+    assert (
+        read_snapshot_table(spark, tbl, at_gen=g1).count()
+        > out.count()
+    ), "time travel must still see the deleted rows"
+    return out.select(
+        "o_orderkey", "o_orderstatus", "cents",
+        F.col("bucket").cast("int").alias("bucket"),
+    ).localCheckpoint()
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW and len(queries()) == 155 on every gate run.
@@ -4264,6 +4322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q171_snapshot_point_lookup": q171_snapshot_point_lookup,
         "q172_retrieval_eval": q172_retrieval_eval,
         "q173_partition_compaction": q173_partition_compaction,
+        "q174_deletion_vectors": q174_deletion_vectors,
     }
 
 
@@ -7149,6 +7208,14 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 2
         """,
         "q172_retrieval_eval": _retrieval_eval_oracle(),
+        "q174_deletion_vectors": """
+            -- merge-on-read delete of %7 keys: the post-state is the
+            -- plain filtered relation
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   CAST(o_orderkey % 4 AS INT) AS bucket
+            FROM orders WHERE o_orderkey % 7 != 0
+        """,
         "q173_partition_compaction": """
             -- compaction moves bytes, never rows: the final table is
             -- exactly the base relation

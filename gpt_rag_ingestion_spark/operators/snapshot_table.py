@@ -235,6 +235,87 @@ def _list_partition_rels(spark, gen_dir: str, depth: int) -> list[str]:
     return rels
 
 
+_DV_DIR = "_dvs"
+
+
+def _dv_map(spark, table_path: str, manifest: dict) -> dict:
+    """The accumulated deletion-vector map as of one manifest:
+    {"<gen-dir>/<rel-file>": [row indices]} — empty when the snapshot
+    carries no DVs.  DV files are immutable; the manifest references
+    one by name, so readers of any snapshot see exactly its deletes
+    (same isolation rule as data files)."""
+    name = manifest.get("dv")
+    if not name:
+        return {}
+    return json.loads(
+        _read_text(spark, f"{table_path}/{_DV_DIR}/{name}")
+    )["files"]
+
+
+def _write_dv(spark, table_path: str, gen: int, files: dict) -> str:
+    name = f"{gen:08d}-{uuid.uuid4().hex[:8]}.json"
+    _fs_mkdirs(spark, f"{table_path}/{_DV_DIR}")
+    _write_text(
+        spark,
+        f"{table_path}/{_DV_DIR}/{name}",
+        json.dumps(
+            {"files": {k: sorted(v) for k, v in files.items()}},
+            sort_keys=True,
+        ),
+    )
+    return name
+
+
+def _carry_dv_ref(
+    spark, table_path: str, old_manifest: dict, new_partitions: dict,
+    gen: int,
+) -> dict | None:
+    """A rewriting commit must CARRY the deletion vectors of files it
+    did not rewrite: entries whose (generation, partition) is still
+    live in the new manifest survive; entries for rewritten partitions
+    die (their deletes were materialized by the read the rewrite was
+    based on).  Reuses the old immutable DV file when nothing was
+    dropped.  Returns the manifest ``extra`` dict or None."""
+    dv = _dv_map(spark, table_path, old_manifest)
+    if not dv:
+        return None
+    live = {(g, r) for r, g in new_partitions.items()}
+    kept = {}
+    for k, v in dv.items():
+        gname, rest = k.split("/", 1)
+        rel = "/".join(rest.split("/")[:-1])
+        if (gname, rel) in live:
+            kept[k] = v
+    if not kept:
+        return None
+    if kept == dv:
+        return {"dv": old_manifest["dv"]}
+    return {"dv": _write_dv(spark, table_path, gen, kept)}
+
+
+def _apply_dv(spark, df: DataFrame, gname: str, dv_map: dict) -> DataFrame:
+    """Merge-on-read: anti-join the per-file deleted row positions
+    (broadcast — DV size is bounded by the write-path contract) against
+    the scan's (file, row_index) metadata.  No DV entries for this
+    generation → the scan is returned untouched (zero overhead)."""
+    pairs = [
+        (k.split("/", 1)[1], int(pos))
+        for k, v in dv_map.items()
+        if k.split("/", 1)[0] == gname
+        for pos in v
+    ]
+    if not pairs:
+        return df
+    doomed = spark.createDataFrame(pairs, "__file string, __pos long")
+    tagged = df.withColumn(
+        "__file",
+        F.substring_index(F.col("_metadata.file_path"), f"/{gname}/", -1),
+    ).withColumn("__pos", F.col("_metadata.row_index"))
+    return tagged.join(
+        F.broadcast(doomed), on=["__file", "__pos"], how="left_anti"
+    ).drop("__file", "__pos")
+
+
 def read_snapshot_table(
     spark: SparkSession, table_path: str, at_gen: int | None = None
 ) -> DataFrame:
@@ -260,6 +341,7 @@ def read_snapshot_table(
         )
     manifest = _read_manifest(spark, table_path, gen)
     parts: dict[str, str] = manifest["partitions"]
+    dv = _dv_map(spark, table_path, manifest)
     by_gen: dict[str, list[str]] = {}
     for rel, g in parts.items():
         by_gen.setdefault(g, []).append(rel)
@@ -267,13 +349,12 @@ def read_snapshot_table(
     for g, rels in sorted(by_gen.items()):
         base = f"{table_path}/{g}"
         if rels == [""]:  # unpartitioned
-            dfs.append(spark.read.parquet(base))
+            raw = spark.read.parquet(base)
         else:
-            dfs.append(
-                spark.read.option("basePath", base).parquet(
-                    *[f"{base}/{r}" for r in sorted(rels)]
-                )
+            raw = spark.read.option("basePath", base).parquet(
+                *[f"{base}/{r}" for r in sorted(rels)]
             )
+        dfs.append(_apply_dv(spark, raw, g, dv))
     return functools.reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
     )
@@ -282,6 +363,7 @@ def read_snapshot_table(
 def _commit(
     spark, table_path: str, gen: int, partitions: dict,
     expected_cur: int | None,
+    extra: dict | None = None,
 ) -> None:
     """Fenced commit.  Leg 1: claim generation ``gen`` by atomic
     create-exclusive of its manifest — of N writers that based their
@@ -293,10 +375,13 @@ def _commit(
     the manifest a faster chain of commits had claimed (the
     create-exclusive would wrongly succeed).  Only then the atomic
     pointer swap."""
+    body = {"gen": gen, "partitions": partitions}
+    if extra:
+        body.update(extra)
     _write_text_exclusive(
         spark,
         _manifest_path(table_path, gen),
-        json.dumps({"gen": gen, "partitions": partitions}, sort_keys=True),
+        json.dumps(body, sort_keys=True),
     )
     actual = _current_gen(spark, table_path)
     if actual != expected_cur:
@@ -365,7 +450,12 @@ def snapshot_merge_upsert(
             "overwrite"
         ).parquet(new_dir)
         _maybe_write_stats(spark, table_path, gname, new_dir)
-        _commit(spark, table_path, gen, {"": gname}, expected_cur=cur)
+        _commit(
+            spark, table_path, gen, {"": gname}, expected_cur=cur,
+            extra=_carry_dv_ref(
+                spark, table_path, manifest, {"": gname}, gen
+            ),
+        )
         return gen
 
     keys = incoming.select(key).distinct()
@@ -404,7 +494,10 @@ def snapshot_merge_upsert(
         if r not in affected_rels
     }
     partitions.update({r: gname for r in written})
-    _commit(spark, table_path, gen, partitions, expected_cur=cur)
+    _commit(
+        spark, table_path, gen, partitions, expected_cur=cur,
+        extra=_carry_dv_ref(spark, table_path, manifest, partitions, gen),
+    )
     return gen
 
 
@@ -414,9 +507,29 @@ def snapshot_delete_keys(
     keys: DataFrame,
     key: str = "parent_id",
     partition_cols: list[str] | None = None,
+    mode: str = "rewrite",
+    max_dv_rows: int = 2_000_000,
 ) -> int:
-    """DELETE-by-key-set with the same commit protocol; rewrites only
-    partitions that hold doomed keys."""
+    """DELETE-by-key-set with the same commit protocol.
+
+    ``mode="rewrite"`` (default) rewrites only partitions that hold
+    doomed keys — O(affected partitions) of DATA moved per delete.
+
+    ``mode="dv"`` is the MERGE-ON-READ path (Delta/Iceberg deletion
+    vectors): no data file is touched at all — the commit records the
+    doomed rows' (file, row-position) pairs in an immutable DV file
+    the manifest references, and every reader anti-joins them out.
+    At 100 TB this is the difference between rewriting a partition to
+    delete ten rows and writing kilobytes of metadata; the rows are
+    physically dropped (and the DV cleared) by the next rewrite of
+    their partition — merge, OPTIMIZE, or ``snapshot_compact_
+    partitions``, exactly Delta's PURGE.  The DV write path collects
+    the doomed positions driver-side (bounded by ``max_dv_rows``,
+    fail-fast above — a bigger delete should rewrite instead; a
+    production port swaps the JSON for roaring-bitmap files without
+    changing the protocol)."""
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(f"mode must be 'rewrite' or 'dv', got {mode!r}")
     _commit_recover(spark, table_path)
     _claim_recover(spark, table_path)
     cur = _current_gen(spark, table_path)
@@ -428,12 +541,76 @@ def snapshot_delete_keys(
     gname = _gen_name(gen)
     new_dir = _gen_dir(table_path, gname)
 
+    if mode == "dv":
+        manifest = _read_manifest(spark, table_path, cur)
+        dv = _dv_map(spark, table_path, manifest)
+        by_gen: dict[str, list[str]] = {}
+        for rel, g in manifest["partitions"].items():
+            by_gen.setdefault(g, []).append(rel)
+        hit_parts = []
+        for g, rels in sorted(by_gen.items()):
+            base = f"{table_path}/{g}"
+            if rels == [""]:
+                raw = spark.read.parquet(base)
+            else:
+                raw = spark.read.option("basePath", base).parquet(
+                    *[f"{base}/{r}" for r in sorted(rels)]
+                )
+            # apply EXISTING DVs first so re-deleting a dead row is a
+            # no-op, then record the survivors that match
+            live = _apply_dv(
+                spark,
+                raw.withColumn(
+                    "__f",
+                    F.concat(
+                        F.lit(g + "/"),
+                        F.substring_index(
+                            F.col("_metadata.file_path"), f"/{g}/", -1
+                        ),
+                    ),
+                ).withColumn("__p", F.col("_metadata.row_index")),
+                g,
+                dv,
+            )
+            hit_parts.append(
+                live.join(F.broadcast(key_set), on=key, how="left_semi")
+                .select("__f", "__p")
+            )
+        hits = functools.reduce(lambda a, b: a.unionByName(b), hit_parts)
+        rows = hits.groupBy("__f").agg(F.collect_list("__p").alias("ps")).collect()
+        n = sum(len(r["ps"]) for r in rows)
+        if n > max_dv_rows:
+            raise ValueError(
+                f"DV delete would record {n} rows (> max_dv_rows="
+                f"{max_dv_rows}); use mode='rewrite' for deletes this "
+                "large"
+            )
+        if n == 0:
+            return cur  # nothing doomed: the old snapshot stands
+        merged = {k: set(v) for k, v in dv.items()}
+        for r in rows:
+            merged.setdefault(r["__f"], set()).update(
+                int(x) for x in r["ps"]
+            )
+        name = _write_dv(spark, table_path, gen, merged)
+        _commit(
+            spark, table_path, gen, dict(manifest["partitions"]),
+            expected_cur=cur, extra={"dv": name},
+        )
+        return gen
+
     if not partition_cols:
+        manifest = _read_manifest(spark, table_path, cur)
         existing.join(F.broadcast(key_set), on=key, how="left_anti").write.mode(
             "overwrite"
         ).parquet(new_dir)
         _maybe_write_stats(spark, table_path, gname, new_dir)
-        _commit(spark, table_path, gen, {"": gname}, expected_cur=cur)
+        _commit(
+            spark, table_path, gen, {"": gname}, expected_cur=cur,
+            extra=_carry_dv_ref(
+                spark, table_path, manifest, {"": gname}, gen
+            ),
+        )
         return gen
 
     manifest = _read_manifest(spark, table_path, cur)
@@ -468,7 +645,10 @@ def snapshot_delete_keys(
         if r not in affected_rels
     }
     partitions.update({r: gname for r in written})
-    _commit(spark, table_path, gen, partitions, expected_cur=cur)
+    _commit(
+        spark, table_path, gen, partitions, expected_cur=cur,
+        extra=_carry_dv_ref(spark, table_path, manifest, partitions, gen),
+    )
     return gen
 
 
@@ -623,6 +803,26 @@ def snapshot_vacuum(
             ):
                 mdir_fs.delete(st.getPath(), False)
                 removed_manifests += 1
+    # deletion-vector files: keep those any retained manifest
+    # references; the rest (superseded accumulations, crashed-commit
+    # orphans with gen <= cur) are garbage
+    dv_live = set()
+    for g in retained:
+        name = _read_manifest(spark, table_path, g).get("dv")
+        if name:
+            dv_live.add(name)
+    dv_fs, dvdir = _hfs(spark, f"{table_path}/{_DV_DIR}")
+    if dv_fs.exists(dvdir):
+        for st in dv_fs.listStatus(dvdir):
+            name = st.getPath().getName()
+            if not name.endswith(".json") or name in dv_live:
+                continue
+            try:
+                g = int(name.split("-")[0])
+            except ValueError:
+                continue
+            if g <= cur:  # never touch an in-flight writer's DV
+                dv_fs.delete(st.getPath(), False)
     return {"removed_gens": removed_gens, "removed_manifests": removed_manifests}
 
 
@@ -637,10 +837,12 @@ def _changed_partitions(manifest_a: dict, manifest_b: dict) -> list[str]:
     return sorted(r for r in set(pa) | set(pb) if pa.get(r) != pb.get(r))
 
 
-def _read_partition_subset(spark, table_path: str, parts: dict):
+def _read_partition_subset(
+    spark, table_path: str, parts: dict, dv_map: dict | None = None
+):
     """Read a {rel: gen-dir} subset of one manifest (same mechanics as
-    read_snapshot_table, restricted).  Returns None for an empty
-    subset."""
+    read_snapshot_table, restricted; ``dv_map`` = that manifest's
+    deletion vectors).  Returns None for an empty subset."""
     if not parts:
         return None
     by_gen: dict[str, list[str]] = {}
@@ -650,13 +852,12 @@ def _read_partition_subset(spark, table_path: str, parts: dict):
     for g, rels in sorted(by_gen.items()):
         base = f"{table_path}/{g}"
         if rels == [""]:
-            dfs.append(spark.read.parquet(base))
+            raw = spark.read.parquet(base)
         else:
-            dfs.append(
-                spark.read.option("basePath", base).parquet(
-                    *[f"{base}/{r}" for r in sorted(rels)]
-                )
+            raw = spark.read.option("basePath", base).parquet(
+                *[f"{base}/{r}" for r in sorted(rels)]
             )
+        dfs.append(_apply_dv(spark, raw, g, dv_map or {}))
     return functools.reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
     )
@@ -702,14 +903,32 @@ def snapshot_changes(
             )
     ma = _read_manifest(spark, table_path, from_gen)
     mb = _read_manifest(spark, table_path, to_gen)
+    dva = _dv_map(spark, table_path, ma)
+    dvb = _dv_map(spark, table_path, mb)
     changed = set(_changed_partitions(ma, mb))
+
+    # a partition whose generation mapping is unchanged can still have
+    # CHANGED CONTENT under merge-on-read: its files' deletion vectors
+    # differ between the two snapshots
+    def _dv_by_rel(dv):
+        out: dict[str, dict] = {}
+        for k, v in dv.items():
+            gname, rest = k.split("/", 1)
+            rel = "/".join(rest.split("/")[:-1])
+            out.setdefault(rel, {})[k] = sorted(v)
+        return out
+
+    ra, rb = _dv_by_rel(dva), _dv_by_rel(dvb)
+    changed |= {r for r in set(ra) | set(rb) if ra.get(r) != rb.get(r)}
     a = _read_partition_subset(
         spark, table_path,
         {r: g for r, g in ma["partitions"].items() if r in changed},
+        dv_map=dva,
     )
     b = _read_partition_subset(
         spark, table_path,
         {r: g for r, g in mb["partitions"].items() if r in changed},
+        dv_map=dvb,
     )
     if a is None and b is None:
         raise ValueError("no partitions changed and no schema available")
@@ -963,6 +1182,7 @@ def _resolve_file_sets(spark, table_path: str, at_gen: int | None):
     if gen is None:
         raise FileNotFoundError(f"no committed snapshot at {table_path}")
     manifest = _read_manifest(spark, table_path, gen)
+    dv = _dv_map(spark, table_path, manifest)
     by_gen: dict[str, list[str]] = {}
     for rel, g in manifest["partitions"].items():
         by_gen.setdefault(g, []).append(rel)
@@ -981,7 +1201,7 @@ def _resolve_file_sets(spark, table_path: str, at_gen: int | None):
                 or (rels == [""] and "/" not in f)
             }
         out.append((f"{table_path}/{g}", sorted(rels), stats))
-    return out
+    return out, dv
 
 
 def _range_keeps(ent: dict, ranges: dict) -> bool:
@@ -1004,20 +1224,25 @@ def _range_keeps(ent: dict, ranges: dict) -> bool:
     return True
 
 
-def _read_selected(spark, selections, schema_src):
+def _read_selected(spark, selections, schema_src, dv_map=None):
     """selections: list of (base, [files]|None) — None = whole-dir read
     (no stats for that generation).  Empty overall selection returns
-    an empty frame with the snapshot's schema."""
+    an empty frame with the snapshot's schema.  ``dv_map``: the
+    snapshot's deletion vectors, anti-joined per generation (stats
+    stay valid upper bounds under DVs — deletes only remove rows, so
+    pruning is conservative, never wrong)."""
     dfs = []
     for base, files in selections:
+        g = base.rsplit("/", 1)[-1]
         if files is None:
-            dfs.append(spark.read.option("basePath", base).parquet(base))
+            raw = spark.read.option("basePath", base).parquet(base)
         elif files:
-            dfs.append(
-                spark.read.option("basePath", base).parquet(
-                    *[f"{base}/{f}" for f in sorted(files)]
-                )
+            raw = spark.read.option("basePath", base).parquet(
+                *[f"{base}/{f}" for f in sorted(files)]
             )
+        else:
+            continue
+        dfs.append(_apply_dv(spark, raw, g, dv_map or {}))
     if not dfs:
         return schema_src.limit(0)
     return functools.reduce(
@@ -1040,7 +1265,7 @@ def snapshot_read_where(
     decided from metadata before any task launches.  Pass ``report``
     to receive {files_total, files_read, files_skipped,
     unpruned_gens}."""
-    sets = _resolve_file_sets(spark, table_path, at_gen)
+    sets, dv = _resolve_file_sets(spark, table_path, at_gen)
     selections = []
     total = read_n = unpruned = 0
     for base, rels, stats in sets:
@@ -1064,6 +1289,7 @@ def snapshot_read_where(
     df = _read_selected(
         spark, selections,
         read_snapshot_table(spark, table_path, at_gen=at_gen),
+        dv_map=dv,
     )
     for c, (lo, hi) in ranges.items():
         if lo is not None:
@@ -1087,7 +1313,7 @@ def snapshot_read_point(
     false negatives are impossible); a file is read iff some value
     lights all its k bloom bits, or min/max stats admit it when the
     sidecar predates bloom config.  Exact IN filter re-applied."""
-    sets = _resolve_file_sets(spark, table_path, at_gen)
+    sets, dv = _resolve_file_sets(spark, table_path, at_gen)
     conf = _stats_conf(spark, table_path) or {}
     m = int(conf.get("bloom_bits", 4096))
     k = int(conf.get("bloom_hashes", 3))
@@ -1139,7 +1365,7 @@ def snapshot_read_point(
             files_skipped=total - read_n,
             unpruned_gens=unpruned,
         )
-    df = _read_selected(spark, selections, schema_src)
+    df = _read_selected(spark, selections, schema_src, dv_map=dv)
     return df.filter(F.col(col).isin(values))
 
 
@@ -1219,7 +1445,8 @@ def snapshot_compact_partitions(
         return {"committed_gen": cur, "compacted": [], "files_before": 0}
 
     subset = _read_partition_subset(
-        spark, table_path, {r: parts[r] for r in chosen}
+        spark, table_path, {r: parts[r] for r in chosen},
+        dv_map=_dv_map(spark, table_path, manifest),
     )
     if zorder_cols:
         from gpt_rag_ingestion_spark.operators.layout import zorder_value
@@ -1256,7 +1483,10 @@ def snapshot_compact_partitions(
     written = _list_partition_rels(spark, new_dir, len(partition_cols))
     partitions = {r: g for r, g in parts.items() if r not in chosen}
     partitions.update({r: gname for r in written})
-    _commit(spark, table_path, gen, partitions, expected_cur=cur)
+    _commit(
+        spark, table_path, gen, partitions, expected_cur=cur,
+        extra=_carry_dv_ref(spark, table_path, manifest, partitions, gen),
+    )
     return {
         "committed_gen": gen,
         "compacted": sorted(chosen),
@@ -1273,12 +1503,14 @@ def snapshot_metadata_count(
     files.  Returns None when any live generation lacks a sidecar
     (count would need a scan; callers fall back to
     ``read_snapshot_table(...).count()``)."""
-    sets = _resolve_file_sets(spark, table_path, at_gen)
+    sets, dv = _resolve_file_sets(spark, table_path, at_gen)
     total = 0
-    for _base, _rels, stats in sets:
+    for base, _rels, stats in sets:
         if stats is None:
             return None
-        total += sum(e["rows"] for e in stats["files"].values())
+        g = base.rsplit("/", 1)[-1]
+        for f, e in stats["files"].items():
+            total += e["rows"] - len(dv.get(f"{g}/{f}", []))
     return total
 
 
