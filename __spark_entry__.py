@@ -7183,7 +7183,7 @@ def oracle_sql() -> dict[str, str]:
             FROM allr WHERE rank <= 5
               AND corpus_id IN (SELECT vec_id FROM v WHERE label = 1)
         """,
-        "q169_spell_suggest": """
+        "q169_spell_suggest": r"""
             WITH toks AS (
               SELECT doc_id AS doc, t.token
               FROM documents,

@@ -1600,3 +1600,39 @@ def snapshot_drop_constraint(
         json.dumps({"checks": checks}, sort_keys=True),
     )
     return found
+
+
+def snapshot_update(
+    spark: SparkSession,
+    table_path: str,
+    where: str,
+    assignments: dict,
+    key: str = "parent_id",
+    partition_cols: list[str] | None = None,
+) -> int:
+    """UPDATE ... SET <assignments> WHERE <where> — executed as a
+    keyed merge of the transformed matching rows, so it inherits the
+    whole commit contract for free: O(affected partitions) writes,
+    fenced atomic commit, CHECK-constraint validation over exactly
+    the updated rows, CDF visibility as update_pre/postimages, stats
+    sidecars on the rewritten generation.  Updating a PARTITION
+    column is legal (the merge's key semi-join removes the row from
+    its old partition); updating ``key`` itself is rejected — that is
+    an insert+delete, not an update.  Returns the committed
+    generation (unchanged when nothing matches)."""
+    if key in assignments:
+        raise ValueError(
+            f"cannot assign the merge key {key!r}; delete+insert instead"
+        )
+    cur = _current_gen(spark, table_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot at {table_path}")
+    matched = read_snapshot_table(spark, table_path).filter(F.expr(where))
+    upd = matched
+    for c, e in sorted(assignments.items()):
+        upd = upd.withColumn(c, F.expr(e))
+    if upd.isEmpty():
+        return cur
+    return snapshot_merge_upsert(
+        spark, table_path, upd, key=key, partition_cols=partition_cols
+    )

@@ -612,3 +612,45 @@ def test_check_constraints(spark, tmp_path):
         partition_cols=["bucket"],
     )
     assert S.read_snapshot_table(spark, snap).count() == 125
+
+
+def test_snapshot_update(spark, tmp_path):
+    """UPDATE-as-merge: expression assignments over a predicate,
+    partition-moving updates, constraint enforcement on exactly the
+    updated rows, and a no-match no-op."""
+    snap = str(tmp_path / "snap")
+    S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 0, 100), partition_cols=["bucket"]
+    )
+    g = S.snapshot_update(
+        spark, snap, "parent_id % 10 = 0", {"v": "v + 1"},
+        partition_cols=["bucket"],
+    )
+    by_id = {r["parent_id"]: r["v"] for r in
+             S.read_snapshot_table(spark, snap).collect()}
+    assert by_id[10] == 71 and by_id[11] == 77 and len(by_id) == 100
+    # partition-moving update: rows leave their old partition
+    S.snapshot_update(
+        spark, snap, "parent_id < 3", {"bucket": "9"},
+        partition_cols=["bucket"],
+    )
+    now = S.read_snapshot_table(spark, snap)
+    assert now.filter(F.col("bucket") == 9).count() == 3
+    assert now.filter(
+        (F.col("parent_id") < 3) & (F.col("bucket") != 9)
+    ).count() == 0
+    assert now.count() == 100
+    # no-match: pointer does not move
+    assert S.snapshot_update(
+        spark, snap, "parent_id = -1", {"v": "0"},
+        partition_cols=["bucket"],
+    ) == g + 1
+    # constraints see the POST-assignment rows
+    S.snapshot_add_constraint(spark, snap, "v_cap", "v <= 100000")
+    with pytest.raises(S.SnapshotConstraintViolation):
+        S.snapshot_update(
+            spark, snap, "parent_id = 5", {"v": "999999"},
+            partition_cols=["bucket"],
+        )
+    with pytest.raises(ValueError, match="cannot assign the merge key"):
+        S.snapshot_update(spark, snap, "true", {"parent_id": "1"})
