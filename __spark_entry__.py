@@ -4077,6 +4077,64 @@ def q174_deletion_vectors(spark: SparkSession, sf: str) -> DataFrame:
     ).localCheckpoint()
 
 
+def q175_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """JOHNSON–LINDENSTRAUSS SKETCH SEARCH (operators/similarity.
+    project_embeddings + quantized_dot_top1(quantize=False)): every
+    embedding is projected 64→16 dims by a deterministic sparse
+    Achlioptas sign matrix (integer matmul, Arrow-batched), and top-1
+    search runs entirely in the sketch space — a 4× cheaper scan per
+    dot product, the standard pre-filter in front of exact re-ranking.
+    The oracle regenerates the IDENTICAL matrix from the same integer
+    hash (VALUES triples) and recomputes the projected argmax, so the
+    sketch pipeline is exact end to end."""
+    from gpt_rag_ingestion_spark.operators.similarity import (
+        project_embeddings,
+        quantized_dot_top1,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    proj = project_embeddings(emb, out_dim=16).select("vec_id", "proj")
+    return quantized_dot_top1(
+        proj, vec_col="proj", quantize=False
+    ).select("vec_id", "nn_id", F.col("dot").alias("pdot"))
+
+
+def _rp_oracle(out_dim: int = 16, dim: int = 64) -> str:
+    """q175's oracle: the same sparse sign matrix as VALUES triples
+    (1-based for DuckDB list indexing), projection as a join-aggregate,
+    argmax in the sketch space with the module's (dot desc, id asc)
+    tie-break."""
+    from gpt_rag_ingestion_spark.operators.similarity import rp_sign_rows
+
+    vals = ", ".join(
+        f"({i + 1}, {j + 1}, {s})" for i, j, s in rp_sign_rows(dim, out_dim)
+    )
+    return f"""
+        WITH r(i, j, s) AS (VALUES {vals}),
+        q AS (
+          SELECT vec_id, list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+          FROM embeddings),
+        proj AS (
+          SELECT e.vec_id, r.j,
+                 CAST(SUM(e.qv[r.i] * r.s) AS BIGINT) AS p
+          FROM q e JOIN r ON true GROUP BY e.vec_id, r.j),
+        pv AS (
+          SELECT vec_id, list(p ORDER BY j) AS pvec
+          FROM proj GROUP BY vec_id),
+        pairs AS (
+          SELECT a.vec_id, b.vec_id AS nn_id,
+                 CAST(list_dot_product(a.pvec, b.pvec) AS BIGINT) AS pdot
+          FROM pv a JOIN pv b ON b.vec_id != a.vec_id),
+        best AS (
+          SELECT vec_id, nn_id, pdot,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY pdot DESC, nn_id ASC) AS rn
+          FROM pairs)
+        SELECT vec_id, nn_id, pdot FROM best WHERE rn = 1
+    """
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW and len(queries()) == 155 on every gate run.
@@ -4323,6 +4381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q172_retrieval_eval": q172_retrieval_eval,
         "q173_partition_compaction": q173_partition_compaction,
         "q174_deletion_vectors": q174_deletion_vectors,
+        "q175_random_projection": q175_random_projection,
     }
 
 
@@ -7208,6 +7267,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 2
         """,
         "q172_retrieval_eval": _retrieval_eval_oracle(),
+        "q175_random_projection": _rp_oracle(),
         "q174_deletion_vectors": """
             -- merge-on-read delete of %7 keys: the post-state is the
             -- plain filtered relation

@@ -121,6 +121,7 @@ def quantized_dot_top1(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     tile_rows: int = 4096,
+    quantize: bool = True,
 ) -> DataFrame:
     """For every vector: the other vector maximizing the integer-quantized
     dot product (ties -> smaller neighbor id).  Exact, engine-portable.
@@ -130,6 +131,8 @@ def quantized_dot_top1(
     by a hash of the id, queries are blocked the same way, each
     (query-block, corpus-tile) pair is scored with one int64 numpy
     matmul inside a cogrouped applyInPandas, and the per-tile winners
+    (``quantize=False`` accepts already-integer vectors — e.g. the
+    random-projection sketches of ``project_embeddings`` — verbatim)
     are max-merged relationally (struct max on (dot, -nn_id), i.e. the
     smallest-id tie-break).  int64 keeps it exact (values bounded by
     dim * 10^6 << 2^63).  Result is hash-identical to a single global
@@ -145,9 +148,12 @@ def quantized_dot_top1(
             return pd.DataFrame({"qid": [], "nn_id": [], "dot": []})
         order = cdf["cid"].to_numpy().argsort(kind="stable")
         cids = cdf["cid"].to_numpy()[order]
-        cmat = _quantize_np(np.vstack(cdf["cv"].to_numpy()[order]))
+        _q = _quantize_np if quantize else (
+            lambda m: m.astype("int64")  # already-integer vectors
+        )
+        cmat = _q(np.vstack(cdf["cv"].to_numpy()[order]))
         qids = qdf["qid"].to_numpy()
-        qmat = _quantize_np(np.vstack(qdf["qv"].to_numpy()))
+        qmat = _q(np.vstack(qdf["qv"].to_numpy()))
         dots = qmat @ cmat.T  # int64 exact
         # mask self-pairs (corpus ids sorted -> binary search)
         self_pos = np.searchsorted(cids, qids)
@@ -1705,3 +1711,53 @@ def filtered_knn(
     return hits.join(F.broadcast(keep), "corpus_id", "left_semi").select(
         "query_id", "rank", "corpus_id", "dot_q"
     )
+
+
+def rp_sign_rows(dim: int, out_dim: int) -> list[tuple[int, int, int]]:
+    """Deterministic sparse random-projection matrix (Achlioptas 2003:
+    entries +1/0/-1 with density 1/3) as its NONZERO (i, j, sign)
+    triples, 0-based.  The 'randomness' is a fixed integer hash of the
+    coordinates — no RNG state — so any engine regenerates the
+    identical matrix: the oracle embeds these triples as a VALUES
+    table and must reproduce the projections bit for bit."""
+    rows = []
+    for i in range(dim):
+        for j in range(out_dim):
+            h = (i * 2654435761 + j * 40503 + 12345) % 6
+            if h == 0:
+                rows.append((i, j, 1))
+            elif h == 1:
+                rows.append((i, j, -1))
+    return rows
+
+
+def project_embeddings(
+    emb: DataFrame,
+    out_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    proj_col: str = "proj",
+) -> DataFrame:
+    """Johnson–Lindenstrauss sketch: quantize each vector (the module's
+    round(x*1000) convention) and multiply by the deterministic sparse
+    sign matrix — one Arrow-batched int64 matmul per batch, exact and
+    engine-portable.  A 64→16 projection cuts every downstream
+    dot-product scan 4× while JL keeps relative distances; pair with
+    ``quantized_dot_top1(..., quantize=False)`` for search in the
+    sketch space (q175), or use it as a cheap pre-filter whose
+    candidates are re-ranked at full dimension."""
+    from pyspark.sql.functions import pandas_udf
+
+    from gpt_rag_ingestion_spark.session import ensure_importable
+
+    ensure_importable(emb)
+
+    @pandas_udf("array<long>")
+    def _proj(v: pd.Series) -> pd.Series:
+        mat = _quantize_np(np.vstack(v.to_numpy()))
+        R = np.zeros((mat.shape[1], out_dim), dtype="int64")
+        for i, j, s in rp_sign_rows(mat.shape[1], out_dim):
+            R[i, j] = s
+        return pd.Series(list(mat @ R))
+
+    return emb.withColumn(proj_col, _proj(F.col(vec_col)))

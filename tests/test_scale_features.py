@@ -1467,3 +1467,52 @@ def test_ann_recall_floors_clustered(spark):
     )
     assert ivfpq >= 0.90, ivfpq  # measured 0.982; raw-dot rerank: 0.71
     emb.unpersist()
+
+
+def test_random_projection_exact_and_partition_invariant(spark):
+    """The JL sketch is exact integer algebra: projections equal the
+    numpy reference bit for bit, are invariant to partitioning, and
+    sketch-space top-1 search (quantize=False) equals a brute-force
+    argmax over the projected vectors."""
+    import numpy as np
+
+    from gpt_rag_ingestion_spark.operators.similarity import (
+        _quantize_np,
+        project_embeddings,
+        quantized_dot_top1,
+        rp_sign_rows,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(300, 64)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(300)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    out = {
+        r["vec_id"]: np.array(r["proj"])
+        for r in project_embeddings(emb, out_dim=16).collect()
+    }
+    R = np.zeros((64, 16), dtype="int64")
+    for i, j, s in rp_sign_rows(64, 16):
+        R[i, j] = s
+    want = _quantize_np(vecs) @ R
+    assert all((out[i] == want[i]).all() for i in range(300))
+    # nonzero density ~1/3 (the Achlioptas setting)
+    assert 250 < len(rp_sign_rows(64, 16)) < 430
+
+    proj = project_embeddings(emb.repartition(16), out_dim=16).select(
+        "vec_id", "proj"
+    )
+    got = {
+        (r["vec_id"], r["nn_id"], r["dot"])
+        for r in quantized_dot_top1(
+            proj, vec_col="proj", quantize=False, tile_rows=64
+        ).collect()
+    }
+    dots = want @ want.T
+    np.fill_diagonal(dots, np.iinfo("int64").min)
+    expect = {
+        (q, int(dots[q].argmax()), int(dots[q].max())) for q in range(300)
+    }
+    assert got == expect
