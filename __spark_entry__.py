@@ -4135,6 +4135,63 @@ def _rp_oracle(out_dim: int = 16, dim: int = 64) -> str:
     """
 
 
+def q176_snapshot_restore(spark: SparkSession, sf: str) -> DataFrame:
+    """RESTORE TABLE TO VERSION (operators/snapshot_table.
+    snapshot_restore — the Delta RESTORE): after an init commit, a
+    mutating merge, and a DV delete, the table is restored to
+    generation 1 — a FORWARD commit that re-references the original
+    generation directories (no data copied; asserted via the manifest)
+    — and must hash-equal the pristine base relation.  History
+    (snapshot_history, DESCRIBE HISTORY) is asserted to read
+    [merge, merge, delete_dv, restore]."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        _read_manifest,
+        read_snapshot_table,
+        snapshot_delete_keys,
+        snapshot_history,
+        snapshot_merge_upsert,
+        snapshot_restore,
+    )
+
+    orders = _t(spark, sf, "orders")
+    rows = orders.select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 4).cast("int").alias("bucket"),
+    )
+    tbl = tempfile.mkdtemp(prefix="q176-restore-") + "/t"
+    g1 = snapshot_merge_upsert(
+        spark, tbl, rows, key="o_orderkey", partition_cols=["bucket"]
+    )
+    upd = rows.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_orderstatus", F.lit("X")
+    )
+    snapshot_merge_upsert(
+        spark, tbl, upd, key="o_orderkey", partition_cols=["bucket"]
+    )
+    snapshot_delete_keys(
+        spark, tbl,
+        rows.filter(F.col("o_orderkey") % 11 == 0).select("o_orderkey"),
+        key="o_orderkey", partition_cols=["bucket"], mode="dv",
+    )
+    g4 = snapshot_restore(spark, tbl, g1)
+    assert [e["op"] for e in snapshot_history(spark, tbl)] == [
+        "merge", "merge", "delete_dv", "restore",
+    ]
+    m1 = _read_manifest(spark, tbl, g1)
+    m4 = _read_manifest(spark, tbl, g4)
+    assert m1["partitions"] == m4["partitions"], (
+        "restore must re-reference, not copy, the target's generations"
+    )
+    assert m4.get("dv") is None  # gen 1 carried no vectors
+    return read_snapshot_table(spark, tbl).select(
+        "o_orderkey", "o_orderstatus", "cents",
+        F.col("bucket").cast("int").alias("bucket"),
+    ).localCheckpoint()
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW and len(queries()) == 155 on every gate run.
@@ -4382,6 +4439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_partition_compaction": q173_partition_compaction,
         "q174_deletion_vectors": q174_deletion_vectors,
         "q175_random_projection": q175_random_projection,
+        "q176_snapshot_restore": q176_snapshot_restore,
     }
 
 
@@ -7268,6 +7326,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q172_retrieval_eval": _retrieval_eval_oracle(),
         "q175_random_projection": _rp_oracle(),
+        "q176_snapshot_restore": """
+            -- restore to generation 1: the pristine base relation
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   CAST(o_orderkey % 4 AS INT) AS bucket
+            FROM orders
+        """,
         "q174_deletion_vectors": """
             -- merge-on-read delete of %7 keys: the post-state is the
             -- plain filtered relation

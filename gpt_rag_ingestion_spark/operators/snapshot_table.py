@@ -364,6 +364,7 @@ def _commit(
     spark, table_path: str, gen: int, partitions: dict,
     expected_cur: int | None,
     extra: dict | None = None,
+    op: str = "merge",
 ) -> None:
     """Fenced commit.  Leg 1: claim generation ``gen`` by atomic
     create-exclusive of its manifest — of N writers that based their
@@ -375,7 +376,7 @@ def _commit(
     the manifest a faster chain of commits had claimed (the
     create-exclusive would wrongly succeed).  Only then the atomic
     pointer swap."""
-    body = {"gen": gen, "partitions": partitions}
+    body = {"gen": gen, "partitions": partitions, "op": op}
     if extra:
         body.update(extra)
     _write_text_exclusive(
@@ -595,7 +596,7 @@ def snapshot_delete_keys(
         name = _write_dv(spark, table_path, gen, merged)
         _commit(
             spark, table_path, gen, dict(manifest["partitions"]),
-            expected_cur=cur, extra={"dv": name},
+            expected_cur=cur, extra={"dv": name}, op="delete_dv",
         )
         return gen
 
@@ -610,6 +611,7 @@ def snapshot_delete_keys(
             extra=_carry_dv_ref(
                 spark, table_path, manifest, {"": gname}, gen
             ),
+            op="delete",
         )
         return gen
 
@@ -648,6 +650,7 @@ def snapshot_delete_keys(
     _commit(
         spark, table_path, gen, partitions, expected_cur=cur,
         extra=_carry_dv_ref(spark, table_path, manifest, partitions, gen),
+        op="delete",
     )
     return gen
 
@@ -708,7 +711,10 @@ def snapshot_optimize(
         if partition_cols
         else [""]
     )
-    _commit(spark, table_path, gen, {r: gname for r in rels}, expected_cur=cur)
+    _commit(
+        spark, table_path, gen, {r: gname for r in rels},
+        expected_cur=cur, op="optimize",
+    )
     return gen
 
 
@@ -1486,6 +1492,7 @@ def snapshot_compact_partitions(
     _commit(
         spark, table_path, gen, partitions, expected_cur=cur,
         extra=_carry_dv_ref(spark, table_path, manifest, partitions, gen),
+        op="compact",
     )
     return {
         "committed_gen": gen,
@@ -1636,3 +1643,138 @@ def snapshot_update(
     return snapshot_merge_upsert(
         spark, table_path, upd, key=key, partition_cols=partition_cols
     )
+
+
+def snapshot_history(spark: SparkSession, table_path: str) -> list[dict]:
+    """DESCRIBE HISTORY: one dict per commit whose manifest still
+    exists (vacuum is the retention boundary), oldest first —
+    {gen, op, n_partitions, n_generations, has_dv, current}.  Driver-
+    side metadata only; older manifests may predate the op tag and
+    report op=None."""
+    cur = _current_gen(spark, table_path)
+    fs, mdir = _hfs(spark, f"{table_path}/_manifests")
+    if not fs.exists(mdir):
+        return []
+    gens = []
+    for st in fs.listStatus(mdir):
+        name = st.getPath().getName()
+        if name.endswith(".json"):
+            try:
+                g = int(name[:-5])
+            except ValueError:
+                continue
+            if cur is None or g <= cur:
+                gens.append(g)
+    out = []
+    for g in sorted(gens):
+        m = _read_manifest(spark, table_path, g)
+        out.append(
+            {
+                "gen": g,
+                "op": m.get("op"),
+                "n_partitions": len(m["partitions"]),
+                "n_generations": len(set(m["partitions"].values())),
+                "has_dv": bool(m.get("dv")),
+                "current": g == cur,
+            }
+        )
+    return out
+
+
+def snapshot_restore(
+    spark: SparkSession, table_path: str, to_gen: int
+) -> int:
+    """RESTORE TABLE TO VERSION (Delta RESTORE): commit a NEW
+    generation whose manifest equals the target snapshot's — the
+    restore is itself a commit (history moves forward, never
+    rewinds), no data is copied (the old generation directories are
+    re-referenced), and the target's deletion vectors are restored
+    with it.  Requires the target manifest to still exist (vacuum is
+    the retention boundary).  After a restore, run vacuum only with a
+    retention window that keeps the re-referenced generations —
+    handled automatically: vacuum keeps everything the CURRENT
+    manifest references."""
+    _commit_recover(spark, table_path)
+    _claim_recover(spark, table_path)
+    cur = _current_gen(spark, table_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot at {table_path}")
+    if not _fs_exists(spark, _manifest_path(table_path, to_gen)):
+        raise FileNotFoundError(
+            f"no manifest for generation {to_gen} at {table_path} "
+            "(never committed, or removed by snapshot_vacuum)"
+        )
+    if to_gen == cur:
+        return cur
+    target = _read_manifest(spark, table_path, to_gen)
+    gen = cur + 1
+    extra = {"restored_from": to_gen}
+    if target.get("dv"):
+        extra["dv"] = target["dv"]
+    _commit(
+        spark, table_path, gen, dict(target["partitions"]),
+        expected_cur=cur, extra=extra, op="restore",
+    )
+    return gen
+
+
+def snapshot_consume_changes(
+    spark: SparkSession,
+    table_path: str,
+    cursor_path: str,
+    key: str = "parent_id",
+    include_preimages: bool = False,
+) -> dict:
+    """Cursor-based INCREMENTAL CONSUMPTION of the change feed — the
+    loop every downstream incremental job runs (Delta's streaming CDF
+    reader, batch form):
+
+        state = snapshot_consume_changes(spark, tbl, cursor)
+        ...apply state["changes"]...
+        state["ack"]()          # durably advance the cursor
+
+    Semantics: ``changes`` covers (last-acked gen, current gen]; the
+    FIRST call (no cursor yet) returns the whole current snapshot as
+    inserts — the bootstrap contract.  ``ack`` is called AFTER the
+    caller has applied the changes, so delivery is at-least-once: a
+    crash before ack re-delivers the same interval (downstream
+    application must be idempotent or transactional, as with every
+    change feed).  ``changes`` is None when the table hasn't moved.
+    Raises FileNotFoundError when vacuum removed the cursor's
+    manifest — the consumer fell behind the retention window and must
+    re-bootstrap (delete the cursor)."""
+    cur = _current_gen(spark, table_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot at {table_path}")
+    acked = None
+    if _fs_exists(spark, cursor_path):
+        acked = int(_read_text(spark, cursor_path).strip())
+
+    def ack(to_gen=cur):
+        tmp = f"{cursor_path}__tmp"
+        _write_text(spark, tmp, str(to_gen))
+        _fs_delete(spark, cursor_path)
+        _fs_rename(spark, tmp, cursor_path)
+
+    if acked is not None and acked == cur:
+        return {"changes": None, "from_gen": acked, "to_gen": cur,
+                "ack": ack}
+    if acked is None:
+        snap = read_snapshot_table(spark, table_path)
+        boot = snap.withColumn("_change_type", F.lit("insert")).select(
+            key, "_change_type",
+            *[c for c in snap.columns if c != key],
+        )
+        return {"changes": boot, "from_gen": None, "to_gen": cur,
+                "ack": ack}
+    if not _fs_exists(spark, _manifest_path(table_path, acked)):
+        raise FileNotFoundError(
+            f"cursor at generation {acked} fell behind the vacuum "
+            f"retention window of {table_path}; delete {cursor_path} "
+            "to re-bootstrap"
+        )
+    ch = snapshot_changes(
+        spark, table_path, acked, cur, key=key,
+        include_preimages=include_preimages,
+    )
+    return {"changes": ch, "from_gen": acked, "to_gen": cur, "ack": ack}

@@ -654,3 +654,117 @@ def test_snapshot_update(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="cannot assign the merge key"):
         S.snapshot_update(spark, snap, "true", {"parent_id": "1"})
+
+
+def test_history_and_restore(spark, tmp_path):
+    """DESCRIBE HISTORY + RESTORE: history lists op-tagged commits;
+    restore is a forward commit that re-references the target's
+    generations (no data copied) and survives vacuum because the
+    current manifest references them."""
+    snap = str(tmp_path / "snap")
+    g1 = S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 0, 100), partition_cols=["bucket"]
+    )
+    want_g1 = _rows(S.read_snapshot_table(spark, snap))
+    S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 50, 200, mul=9), partition_cols=["bucket"]
+    )
+    S.snapshot_delete_keys(
+        spark, snap,
+        spark.range(10).select(F.col("id").alias("parent_id")),
+        partition_cols=["bucket"], mode="dv",
+    )
+    h = S.snapshot_history(spark, snap)
+    assert [e["op"] for e in h] == ["merge", "merge", "delete_dv"]
+    assert [e["current"] for e in h] == [False, False, True]
+    assert h[-1]["has_dv"] and not h[0]["has_dv"]
+
+    g4 = S.snapshot_restore(spark, snap, g1)
+    assert g4 == 4
+    assert _rows(S.read_snapshot_table(spark, snap)) == want_g1
+    assert S.snapshot_history(spark, snap)[-1]["op"] == "restore"
+    # restore to the current gen is a no-op
+    assert S.snapshot_restore(spark, snap, g4) == g4
+    # vacuum keeps the re-referenced generation alive
+    S.snapshot_vacuum(spark, snap)
+    assert _rows(S.read_snapshot_table(spark, snap)) == want_g1
+    with pytest.raises(FileNotFoundError):
+        S.snapshot_restore(spark, snap, 99)
+
+
+def test_consume_changes_cursor_loop(spark, tmp_path):
+    """The incremental-consumer loop: bootstrap delivers the snapshot
+    as inserts, acked intervals never re-deliver, un-acked intervals
+    DO (at-least-once), and a rollup maintained purely from consumed
+    changes equals a fresh recompute."""
+    from gpt_rag_ingestion_spark.operators.incremental import (
+        maintain_rollup,
+    )
+
+    snap = str(tmp_path / "snap")
+    cursor = str(tmp_path / "cursor")
+    S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 0, 100), partition_cols=["bucket"]
+    )
+    st = S.snapshot_consume_changes(spark, snap, cursor)
+    assert st["from_gen"] is None
+    boot = st["changes"]
+    assert boot.count() == 100
+    assert boot.select("_change_type").distinct().collect()[0][0] == "insert"
+    rollup = (
+        boot.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("v"))
+        .localCheckpoint()
+    )
+    st["ack"]()
+
+    # nothing moved: no changes
+    assert S.snapshot_consume_changes(spark, snap, cursor)["changes"] is None
+
+    S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 90, 150, mul=13), partition_cols=["bucket"]
+    )
+    st2 = S.snapshot_consume_changes(
+        spark, snap, cursor, include_preimages=True
+    )
+    ch = st2["changes"].localCheckpoint()
+    assert set(
+        r[0] for r in ch.select("_change_type").distinct().collect()
+    ) == {"insert", "update_preimage", "update_postimage"}
+    # crash before ack: the same interval re-delivers
+    st3 = S.snapshot_consume_changes(
+        spark, snap, cursor, include_preimages=True
+    )
+    assert (st3["from_gen"], st3["to_gen"]) == (
+        st2["from_gen"], st2["to_gen"],
+    )
+    removed = ch.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select("bucket", "v")
+    added = ch.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select("bucket", "v")
+    rollup = maintain_rollup(
+        rollup, removed, added, key="bucket", sum_cols=["v"]
+    )
+    st3["ack"]()
+    fresh = (
+        S.read_snapshot_table(spark, snap)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("v"))
+    )
+    assert sorted(
+        tuple(r) for r in rollup.select("bucket", "n_rows", "v").collect()
+    ) == sorted(
+        tuple(r) for r in fresh.select("bucket", "n_rows", "v").collect()
+    )
+    # cursor fell behind retention: fail with re-bootstrap guidance
+    S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 0, 10, mul=21), partition_cols=["bucket"]
+    )
+    S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 0, 10, mul=23), partition_cols=["bucket"]
+    )
+    S.snapshot_vacuum(spark, snap)  # keep_snapshots=1 drops old manifests
+    with pytest.raises(FileNotFoundError, match="re-bootstrap"):
+        S.snapshot_consume_changes(spark, snap, cursor)
