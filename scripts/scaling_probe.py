@@ -45,6 +45,9 @@ PROBES = {
     "q157_text_index_lifecycle": ("search", "persisted index: batched apply tick + query (manifest commits)"),
     "q163_fuzzy_search": ("search", "FastSS term-vocab expansion + BM25 (vocab-variant pass)"),
     "q166_snapshot_changes": ("sink", "CDF: manifest diff reads changed partitions only"),
+    "q170_snapshot_data_skipping": ("sink", "stats-pruned range read: file list from commit metadata"),
+    "q174_deletion_vectors": ("sink", "merge-on-read delete: metadata-only commit, readers anti-join DVs"),
+    "q175_random_projection": ("similarity", "JL sketch 64->16 int64 matmul + tiled top-1 in sketch space"),
 }
 
 
