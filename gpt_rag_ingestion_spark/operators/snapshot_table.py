@@ -397,18 +397,64 @@ def _commit(
     _fs_rename(spark, tmp, cur)
 
 
+class SnapshotSchemaMismatch(ValueError):
+    """Strict-mode merge found incoming columns the table does not
+    have, or a type conflict on a shared column.  Nothing was
+    written."""
+
+
+def _enforce_schema(
+    existing: DataFrame, incoming: DataFrame,
+    partition_cols: list[str] | None,
+) -> None:
+    have = {f.name: f.dataType.simpleString() for f in existing.schema.fields}
+    inc = {f.name: f.dataType.simpleString() for f in incoming.schema.fields}
+    extras = sorted(set(inc) - set(have))
+    if extras:
+        raise SnapshotSchemaMismatch(
+            f"incoming columns not in the table schema: {extras} "
+            "(pass schema_evolution='merge' to evolve)"
+        )
+    # partition columns come back TYPE-INFERRED from directory names
+    # (int for small numbers) — their stored type is lossy, so strict
+    # mode checks their presence but not their width
+    skip = set(partition_cols or [])
+    clashes = {
+        c: (have[c], t)
+        for c, t in inc.items()
+        if c not in skip and have[c] != t
+    }
+    if clashes:
+        raise SnapshotSchemaMismatch(
+            f"column type conflicts (table vs incoming): {clashes}"
+        )
+
+
 def snapshot_merge_upsert(
     spark: SparkSession,
     table_path: str,
     incoming: DataFrame,
     key: str = "parent_id",
     partition_cols: list[str] | None = None,
+    schema_evolution: str = "merge",
 ) -> int:
     """MERGE with a manifest-pointer commit; returns the committed
     generation number.  Same keyed delete-then-insert semantics as
     ``upsert.merge_upsert`` (equality property-tested), same
     O(affected-partitions) write set, but the commit point is one
-    atomic rename and concurrent readers are never torn."""
+    atomic rename and concurrent readers are never torn.
+
+    ``schema_evolution``: ``"merge"`` (default, the swap sink's
+    contract) aligns by name — incoming may add columns, old rows read
+    them back as NULL; ``"strict"`` is Delta's schema ENFORCEMENT:
+    incoming columns must be a subset of the table's with identical
+    types, or ``SnapshotSchemaMismatch`` is raised before anything is
+    written (missing incoming columns still land as NULL)."""
+    if schema_evolution not in ("merge", "strict"):
+        raise ValueError(
+            f"schema_evolution must be 'merge' or 'strict', got "
+            f"{schema_evolution!r}"
+        )
     _commit_recover(spark, table_path)
     _claim_recover(spark, table_path)
     _validate_constraints(spark, table_path, incoming)
@@ -444,6 +490,8 @@ def snapshot_merge_upsert(
         return gen
 
     existing = read_snapshot_table(spark, table_path)
+    if schema_evolution == "strict":
+        _enforce_schema(existing, incoming, partition_cols)
     manifest = _read_manifest(spark, table_path, cur)
 
     if not partition_cols:

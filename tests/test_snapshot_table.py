@@ -768,3 +768,41 @@ def test_consume_changes_cursor_loop(spark, tmp_path):
     S.snapshot_vacuum(spark, snap)  # keep_snapshots=1 drops old manifests
     with pytest.raises(FileNotFoundError, match="re-bootstrap"):
         S.snapshot_consume_changes(spark, snap, cursor)
+
+
+def test_strict_schema_enforcement(spark, tmp_path):
+    """schema_evolution='strict' is Delta's enforcement: new incoming
+    columns and type conflicts are rejected before any write; missing
+    columns still land as NULL; the default stays evolutionary."""
+    snap = str(tmp_path / "snap")
+    S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 0, 50), partition_cols=["bucket"]
+    )
+    wide = _inc(spark, 50, 60).withColumn("lang", F.lit("en"))
+    with pytest.raises(S.SnapshotSchemaMismatch, match="lang"):
+        S.snapshot_merge_upsert(
+            spark, snap, wide, partition_cols=["bucket"],
+            schema_evolution="strict",
+        )
+    retyped = _inc(spark, 50, 60).withColumn(
+        "v", F.col("v").cast("string")
+    )
+    with pytest.raises(S.SnapshotSchemaMismatch, match="type conflicts"):
+        S.snapshot_merge_upsert(
+            spark, snap, retyped, partition_cols=["bucket"],
+            schema_evolution="strict",
+        )
+    assert S.read_snapshot_table(spark, snap).count() == 50  # untouched
+    # subset schema is fine strictly: v arrives NULL
+    narrow = _inc(spark, 50, 60).drop("v")
+    S.snapshot_merge_upsert(
+        spark, snap, narrow, partition_cols=["bucket"],
+        schema_evolution="strict",
+    )
+    now = S.read_snapshot_table(spark, snap)
+    assert now.count() == 60
+    assert now.filter(F.col("parent_id") == 55).collect()[0]["v"] is None
+    with pytest.raises(ValueError, match="schema_evolution"):
+        S.snapshot_merge_upsert(
+            spark, snap, narrow, schema_evolution="nope"
+        )
