@@ -4192,6 +4192,76 @@ def q176_snapshot_restore(spark: SparkSession, sf: str) -> DataFrame:
     ).localCheckpoint()
 
 
+def q177_sketch_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """TWO-STAGE ANN: SKETCH SCAN + EXACT RERANK (operators/
+    similarity.sketch_rerank_top1 — the production deployment of the
+    JL sketch): the corpus is scanned at 32 dims (2× cheaper dots)
+    keeping a 64-deep shortlist per query, then ONLY the shortlist is
+    re-scored at full 64-dim with the exact quantized dot (JVM
+    zip_with — |Q|·64 rows, never a corpus pass) and the winner kept.
+    Both stages are deterministic integer algebra, so unlike sampled
+    ANN the ENTIRE two-stage pipeline has an exact oracle: DuckDB
+    regenerates the same sketch, the same shortlist, the same rerank,
+    bit for bit.  Measured top-1 recall vs exact at this setting:
+    0.674 on the clustered corpus (floor-asserted in
+    tests/test_scale_features.py) — the sketch is the CHEAP
+    pre-filter; recall-critical paths use IVF/IVFPQ (0.88–0.98)."""
+    from gpt_rag_ingestion_spark.operators.similarity import (
+        sketch_rerank_top1,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    return sketch_rerank_top1(emb, out_dim=32, shortlist=64).select(
+        "vec_id", "nn_id", "dot"
+    )
+
+
+def _sketch_rerank_oracle(
+    out_dim: int = 32, shortlist: int = 64, dim: int = 64
+) -> str:
+    from gpt_rag_ingestion_spark.operators.similarity import rp_sign_rows
+
+    vals = ", ".join(
+        f"({i + 1}, {j + 1}, {s})" for i, j, s in rp_sign_rows(dim, out_dim)
+    )
+    return f"""
+        WITH r(i, j, s) AS (VALUES {vals}),
+        q AS (
+          SELECT vec_id, list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+          FROM embeddings),
+        proj AS (
+          SELECT e.vec_id, r.j,
+                 CAST(SUM(e.qv[r.i] * r.s) AS BIGINT) AS p
+          FROM q e JOIN r ON true GROUP BY e.vec_id, r.j),
+        pv AS (
+          SELECT vec_id, list(p ORDER BY j) AS pvec
+          FROM proj GROUP BY vec_id),
+        ppairs AS (
+          SELECT a.vec_id, b.vec_id AS nn_id,
+                 CAST(list_dot_product(a.pvec, b.pvec) AS BIGINT) AS pdot
+          FROM pv a JOIN pv b ON b.vec_id != a.vec_id),
+        short AS (
+          SELECT vec_id, nn_id FROM (
+            SELECT vec_id, nn_id,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY pdot DESC, nn_id ASC) AS rn
+            FROM ppairs) WHERE rn <= {shortlist}),
+        rer AS (
+          SELECT s.vec_id, s.nn_id,
+                 CAST(list_dot_product(q1.qv, q2.qv) AS BIGINT) AS dot
+          FROM short s
+          JOIN q q1 ON q1.vec_id = s.vec_id
+          JOIN q q2 ON q2.vec_id = s.nn_id),
+        best AS (
+          SELECT vec_id, nn_id, dot,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dot DESC, nn_id ASC) AS rn
+          FROM rer)
+        SELECT vec_id, nn_id, dot FROM best WHERE rn = 1
+    """
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW and len(queries()) == 155 on every gate run.
@@ -4440,6 +4510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q174_deletion_vectors": q174_deletion_vectors,
         "q175_random_projection": q175_random_projection,
         "q176_snapshot_restore": q176_snapshot_restore,
+        "q177_sketch_rerank": q177_sketch_rerank,
     }
 
 
@@ -7326,6 +7397,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q172_retrieval_eval": _retrieval_eval_oracle(),
         "q175_random_projection": _rp_oracle(),
+        "q177_sketch_rerank": _sketch_rerank_oracle(),
         "q176_snapshot_restore": """
             -- restore to generation 1: the pristine base relation
             SELECT o_orderkey, o_orderstatus,

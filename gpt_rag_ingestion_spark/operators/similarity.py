@@ -485,6 +485,7 @@ def quantized_dot_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     tile_rows: int = 4096,
+    quantize: bool = True,
 ) -> DataFrame:
     """For every vector: the top-``k`` other vectors by integer-quantized
     dot product (ties -> smaller neighbor id); output one row per
@@ -509,9 +510,12 @@ def quantized_dot_topk(
             return pd.DataFrame({"qid": [], "nn_id": [], "dot": []})
         order = cdf["cid"].to_numpy().argsort(kind="stable")
         cids = cdf["cid"].to_numpy()[order]
-        cmat = _quantize_np(np.vstack(cdf["cv"].to_numpy()[order]))
+        _q = _quantize_np if quantize else (
+            lambda m: m.astype("int64")  # already-integer sketches
+        )
+        cmat = _q(np.vstack(cdf["cv"].to_numpy()[order]))
         qids = qdf["qid"].to_numpy()
-        qmat = _quantize_np(np.vstack(qdf["qv"].to_numpy()))
+        qmat = _q(np.vstack(qdf["qv"].to_numpy()))
         dots = qmat @ cmat.T
         self_pos = np.searchsorted(cids, qids)
         rowidx = np.arange(len(qids))
@@ -1720,10 +1724,19 @@ def rp_sign_rows(dim: int, out_dim: int) -> list[tuple[int, int, int]]:
     coordinates — no RNG state — so any engine regenerates the
     identical matrix: the oracle embeds these triples as a VALUES
     table and must reproduce the projections bit for bit."""
+    import hashlib
+
     rows = []
     for i in range(dim):
         for j in range(out_dim):
-            h = (i * 2654435761 + j * 40503 + 12345) % 6
+            # a REAL mix, not an affine map: (a*i + b*j + c) % 6 makes
+            # column pairs with 3(j-j') ≡ 0 (mod 6) byte-identical —
+            # 16 columns collapse to 2 distinct directions and the
+            # sketch is useless.  md5 of the coordinates is
+            # deterministic, portable, and independent per cell.
+            h = int.from_bytes(
+                hashlib.md5(f"rp:{i}:{j}".encode()).digest()[:8], "big"
+            ) % 6
             if h == 0:
                 rows.append((i, j, 1))
             elif h == 1:
@@ -1761,3 +1774,64 @@ def project_embeddings(
         return pd.Series(list(mat @ R))
 
     return emb.withColumn(proj_col, _proj(F.col(vec_col)))
+
+
+def sketch_rerank_top1(
+    emb: DataFrame,
+    out_dim: int = 16,
+    shortlist: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tile_rows: int = 4096,
+) -> DataFrame:
+    """TWO-STAGE ANN — the production pattern the JL sketch exists
+    for: (1) scan in sketch space (``out_dim``-wide int64 dots, 4×
+    cheaper at 64→16) keeping a per-query ``shortlist``; (2) re-rank
+    ONLY the shortlist at full dimension with the exact quantized dot
+    (JVM-side zip_with aggregate — the candidates are |Q|·shortlist
+    rows, never a corpus pass) and keep the winner.  Output
+    (id, nn_id, dot) with dot = the FULL-dimension quantized dot and
+    the module's (dot desc, id asc) tie-break — deterministic and
+    oracle-reproducible end to end, unlike sampled ANN.  Recall is
+    governed by the JL distortion at ``out_dim`` and recovered by
+    ``shortlist`` depth."""
+    proj = project_embeddings(
+        emb, out_dim, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "proj")
+    cand = quantized_dot_topk(
+        proj, k=shortlist, vec_col="proj", id_col=id_col,
+        tile_rows=tile_rows, quantize=False,
+    ).select(F.col(id_col), F.col("nn_id"))
+    qv = emb.select(
+        F.col(id_col), _qvec(F.col(vec_col)).alias("__qv")
+    )
+    pairs = (
+        cand.join(qv.withColumnRenamed("__qv", "__qq"), on=id_col)
+        .join(
+            qv.withColumnRenamed(id_col, "nn_id").withColumnRenamed(
+                "__qv", "__cv"
+            ),
+            on="nn_id",
+        )
+        .withColumn(
+            "dot",
+            F.aggregate(
+                F.zip_with("__qq", "__cv", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    return (
+        pairs.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(F.col("dot"), (-F.col("nn_id")).alias("neg"))
+            ).alias("m")
+        )
+        .select(
+            F.col(id_col),
+            (-F.col("m.neg")).alias("nn_id"),
+            F.col("m.dot").alias("dot"),
+        )
+    )

