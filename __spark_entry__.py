@@ -4262,6 +4262,76 @@ def _sketch_rerank_oracle(
     """
 
 
+def q178_more_like_this(spark: SparkSession, sf: str) -> DataFrame:
+    """MORE LIKE THIS (operators/search.more_like_this — the search
+    service's moreLikeThis parameter): for each of the 5 smallest
+    doc_ids, the 10 most characteristic terms are selected by integer
+    tf·idf over the document's own posting rows (ties to the smaller
+    token, hapax terms dropped), then the standard candidate-only
+    BM25 core scores that term set against the corpus with the seed
+    excluded — related-document retrieval with zero extra index
+    state.  Cost is O(selected terms' posting lists), never a corpus
+    pass."""
+    from gpt_rag_ingestion_spark.operators.search import (
+        build_text_index,
+        more_like_this,
+    )
+
+    docs = _t(spark, sf, "documents")
+    index = build_text_index(docs, text_col="text", id_col="doc_id")
+    seeds = docs.select("doc_id").orderBy("doc_id").limit(5)
+    return more_like_this(index, seeds, k=10, max_query_terms=10)
+
+
+def _mlt_oracle(k: int = 10, terms: int = 10, min_df: int = 2) -> str:
+    """q178's oracle: the standard corpus CTE prefix (toks/postings/
+    dfreq/doclen/cc), per-seed tf·idf term selection with the scorer's
+    own integer idf factor, then the scoring/ranking tail."""
+    prefix = _BM25_ORACLE_CTES_TEMPLATE.split(
+        "qs(query_id, token) AS"
+    )[0].replace("__CORPUS__", "documents")
+    return f"""
+        WITH {prefix}
+        seeds AS (
+          SELECT doc_id AS seed_doc FROM documents
+          ORDER BY doc_id LIMIT 5),
+        own AS (
+          SELECT s.seed_doc, p.token, p.tf, f.df
+          FROM seeds s
+          JOIN postings p ON p.doc = s.seed_doc
+          JOIN dfreq f USING (token)
+          WHERE f.df >= {min_df}),
+        sel AS (
+          SELECT seed_doc, token FROM (
+            SELECT seed_doc, token,
+              row_number() OVER (PARTITION BY seed_doc ORDER BY
+                tf * (((cc.n - df + 1) * 1000000) // (df + 1)) DESC,
+                token ASC) AS r
+            FROM own, cc) WHERE r <= {terms}),
+        cand AS (
+          SELECT q.seed_doc, p.doc, p.tf, f.df, d.dl
+          FROM sel q
+          JOIN postings p USING (token)
+          JOIN dfreq f USING (token)
+          JOIN doclen d USING (doc)
+          WHERE p.doc != q.seed_doc),
+        scored AS (
+          SELECT seed_doc, doc,
+            CAST(SUM(
+              ((((cc.n - df + 1) * 1000000) // (df + 1)) * 44 * tf)
+              // (20 * tf + 6 + ((18 * dl * cc.n) // cc.l))
+            ) AS BIGINT) AS score_q
+          FROM cand, cc GROUP BY seed_doc, doc),
+        ranked AS (
+          SELECT seed_doc, doc, score_q,
+            row_number() OVER (PARTITION BY seed_doc
+              ORDER BY score_q DESC, doc ASC) AS rank
+          FROM scored)
+        SELECT seed_doc, CAST(rank AS INT) AS rank, doc, score_q
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW and len(queries()) == 155 on every gate run.
@@ -4511,6 +4581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q175_random_projection": q175_random_projection,
         "q176_snapshot_restore": q176_snapshot_restore,
         "q177_sketch_rerank": q177_sketch_rerank,
+        "q178_more_like_this": q178_more_like_this,
     }
 
 
@@ -7398,6 +7469,7 @@ def oracle_sql() -> dict[str, str]:
         "q172_retrieval_eval": _retrieval_eval_oracle(),
         "q175_random_projection": _rp_oracle(),
         "q177_sketch_rerank": _sketch_rerank_oracle(),
+        "q178_more_like_this": _mlt_oracle(),
         "q176_snapshot_restore": """
             -- restore to generation 1: the pristine base relation
             SELECT o_orderkey, o_orderstatus,

@@ -1175,3 +1175,57 @@ def suggest_corrections(
         .select(term_col, "rank", F.col("token").alias("suggestion"),
                 "distance", "df")
     )
+
+
+def more_like_this(
+    index: dict,
+    seed_docs: DataFrame,
+    k: int = 10,
+    max_query_terms: int = 10,
+    min_df: int = 2,
+) -> DataFrame:
+    """MORE LIKE THIS (the search service's ``moreLikeThis``
+    parameter, reference jobs' related-documents surface): for each
+    seed document, select its ``max_query_terms`` most
+    characteristic terms — integer tf·idf over the index's own
+    postings, the same linear-idf surrogate the scorer uses, ties to
+    the lexicographically smaller token — and run the standard BM25
+    scoring with the seed's term set as the query, excluding the seed
+    itself.  Output (seed_doc, rank, doc, score_q).
+
+    Scale shape: term selection is one per-seed window over the
+    seed's OWN posting rows (|seeds|·doc-length rows, never the
+    corpus); scoring is the shared candidate-only core — cost is
+    O(selected terms' posting lists).  ``min_df`` drops hapax terms
+    whose posting lists retrieve nothing but the seed."""
+    from pyspark.sql import Window
+
+    n = index["n_docs"]
+    scale = _idf_scale(n)
+    seeds = seed_docs.select(F.col(seed_docs.columns[0]).alias("seed_doc"))
+    own = (
+        index["postings"]
+        .join(
+            F.broadcast(seeds), F.col("doc") == F.col("seed_doc"), "inner"
+        )
+        .join(index["dfreq"], "token")
+        .filter(F.col("df") >= int(min_df))
+        .withColumn(
+            "tfidf_q",
+            F.col("tf")
+            * F.expr(
+                f"(({n} - df + 1) * CAST({scale} AS BIGINT)) div (df + 1)"
+            ),
+        )
+    )
+    w = Window.partitionBy("seed_doc").orderBy(
+        F.desc("tfidf_q"), F.asc("token")
+    )
+    qterms = (
+        own.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= int(max_query_terms))
+        .select(F.col("seed_doc"), "token")
+    )
+    scored = _bm25_scores(index, qterms, query_id_col="seed_doc")
+    scored = scored.filter(F.col("doc") != F.col("seed_doc"))
+    return _topk_by_score(scored, k, "seed_doc")

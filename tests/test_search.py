@@ -847,3 +847,33 @@ def test_ingest_job_maintains_chunk_text_index(spark, tmp_path):
         .collect()
     }
     assert not (q1_docs & a_chunks)  # a's new text has no cat/dog
+
+
+def test_more_like_this(spark):
+    """MLT: seeds retrieve their near-duplicates first, never
+    themselves; hapax terms are dropped; the term cap binds."""
+    from gpt_rag_ingestion_spark.operators.search import (
+        build_text_index,
+        more_like_this,
+    )
+
+    rows = [
+        (0, "spark join planner makes fast joins fast"),
+        (1, "spark join planner makes fast joins faster still"),
+        (2, "entirely unrelated text about gardens and tulips"),
+        (3, "gardens and tulips and more gardens"),
+        (4, "xylophone"),  # hapax-only doc: no terms survive min_df
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    index = build_text_index(docs)
+    seeds = spark.createDataFrame([(0,), (3,), (4,)], "doc_id long")
+    out = more_like_this(index, seeds, k=3, max_query_terms=4)
+    got = {
+        s: [r["doc"] for r in out.filter(F.col("seed_doc") == s)
+            .orderBy("rank").collect()]
+        for s in (0, 3, 4)
+    }
+    assert got[0][0] == 1          # the near-duplicate ranks first
+    assert got[3][0] == 2          # garden doc finds the garden doc
+    assert 0 not in got[0] and 3 not in got[3]   # seeds excluded
+    assert got[4] == []            # hapax-only seed retrieves nothing
