@@ -37,6 +37,9 @@ def run_incremental_ingest(
     min_tokens: int = 4,
     rollup_path: str | None = None,
     partition_cols: list[str] | None = None,
+    sink: str = "swap",
+    max_generations: int | None = None,
+    stats_cols: list[str] | None = None,
 ) -> None:
     """One AvailableNow drain of the landing zone into the chunks table.
 
@@ -55,7 +58,15 @@ def run_incremental_ingest(
     maintenance to the stream: every micro-batch updates the
     per-parent dashboard rollup as old + Δbatch − Δreplaced — the
     rollup stays O(increment)-fresh across the stream's whole
-    lifetime without any table rescan."""
+    lifetime without any table rescan.
+
+    ``sink="snapshot"`` commits each micro-batch through the
+    manifest-pointer table (operators/snapshot_table.py) instead of
+    the directory swap: readers of the growing chunks table are never
+    torn, and ``max_generations`` arms the per-tick generation-fold
+    trigger (snapshot_maybe_optimize).  ``stats_cols`` enables
+    write-time file statistics on the FIRST batch so every commit
+    carries data-skipping sidecars (SCALE.md §11)."""
     stream = (
         spark.readStream.schema(schema)
         .format("json")
@@ -87,7 +98,14 @@ def run_incremental_ingest(
             from gpt_rag_ingestion_spark.plans.ingest_job import _stage_rollup
 
             try:
-                old_table = spark.read.parquet(table_path)
+                if sink == "snapshot":
+                    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+                        read_snapshot_table,
+                    )
+
+                    old_table = read_snapshot_table(spark, table_path)
+                else:
+                    old_table = spark.read.parquet(table_path)
             except Exception:
                 old_table = None
             # foreachBatch sources are one-shot plans — pin the batch
@@ -96,10 +114,30 @@ def run_incremental_ingest(
             staging = _stage_rollup(
                 spark, rollup_path, old_table=old_table, incoming=chunks
             )
-        merge_upsert(
-            spark, table_path, chunks, key="parent_id",
-            partition_cols=partition_cols,
-        )
+        if sink == "snapshot":
+            from gpt_rag_ingestion_spark.operators.snapshot_table import (
+                _stats_conf,
+                snapshot_enable_stats,
+                snapshot_maybe_optimize,
+                snapshot_merge_upsert,
+            )
+
+            if stats_cols and not _stats_conf(spark, table_path):
+                snapshot_enable_stats(spark, table_path, cols=stats_cols)
+            snapshot_merge_upsert(
+                spark, table_path, chunks, key="parent_id",
+                partition_cols=partition_cols,
+            )
+            if max_generations is not None:
+                snapshot_maybe_optimize(
+                    spark, table_path, max_generations=max_generations,
+                    partition_cols=partition_cols,
+                )
+        else:
+            merge_upsert(
+                spark, table_path, chunks, key="parent_id",
+                partition_cols=partition_cols,
+            )
         if staging is not None:
             from gpt_rag_ingestion_spark.operators.upsert import _swap_in
 

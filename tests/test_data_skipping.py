@@ -395,3 +395,49 @@ def test_metadata_count(spark, tmp_path):
     tbl2 = str(tmp_path / "u")
     S.snapshot_merge_upsert(spark, tbl2, _clustered(spark, n=50))
     assert S.snapshot_metadata_count(spark, tbl2) is None
+
+
+def test_streaming_ingest_snapshot_sink(spark, tmp_path):
+    """run_incremental_ingest with sink='snapshot': micro-batch merges
+    commit through the manifest pointer, the generation trigger folds,
+    stats sidecars ride every commit, and replays stay idempotent."""
+    import json
+
+    from gpt_rag_ingestion_spark.streaming.micro_batch import (
+        run_incremental_ingest,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    root = str(tmp_path)
+    for i in range(3):
+        docs = [
+            {
+                "doc_id": 10 * i + j,
+                "text": f"streamed document body {10 * i + j} " * 12,
+                "source": f"s{j % 2}",
+            }
+            for j in range(4)
+        ]
+        (landing / f"b{i}.json").write_text(
+            "\n".join(json.dumps(d) for d in docs)
+        )
+        run_incremental_ingest(
+            spark, str(landing), f"{root}/chunks", f"{root}/ckpt",
+            partition_cols=["source"], sink="snapshot",
+            max_generations=2, stats_cols=["length"],
+        )
+    tbl = S.read_snapshot_table(spark, f"{root}/chunks")
+    assert tbl.select("parent_id").distinct().count() == 12
+    rep: dict = {}
+    got = S.snapshot_read_where(
+        spark, f"{root}/chunks", {"length": (0, 10**6)}, report=rep
+    )
+    assert got.count() == tbl.count()
+    assert rep["unpruned_gens"] == 0  # every commit carried stats
+    import os
+
+    gens = [
+        d for d in os.listdir(f"{root}/chunks") if d.startswith("gen-")
+    ]
+    assert len(gens) <= 2  # fold trigger engaged
