@@ -149,6 +149,17 @@ PLAN_PROPERTIES = {
         ["BroadcastHashJoin"],
         ["NestedLoop", "CartesianProduct"],
     ),
+    # more-like-this: seed term selection + candidate-only scoring are
+    # all equi-joins; the |seeds| x |corpus| scan must never appear
+    "q178_more_like_this": (
+        ["BroadcastHashJoin"],
+        ["NestedLoop", "CartesianProduct"],
+    ),
+    # retrieval eval: per-(query,doc) equi-joins only
+    "q172_retrieval_eval": (
+        ["Join"],
+        ["NestedLoop", "CartesianProduct"],
+    ),
     # phrase search: ONE position-shift equi-join (broadcast phrase
     # terms), never a per-phrase scan or nested loop
     "q159_phrase_search": (
