@@ -466,6 +466,7 @@ def snapshot_merge_upsert(
         )
     _commit_recover(spark, table_path)
     _claim_recover(spark, table_path)
+    incoming = _apply_generated(spark, table_path, incoming)
     _validate_constraints(spark, table_path, incoming)
     _fs_mkdirs(spark, f"{table_path}/_manifests")
     cur = _current_gen(spark, table_path)
@@ -1840,3 +1841,57 @@ def snapshot_consume_changes(
         include_preimages=include_preimages,
     )
     return {"changes": ch, "from_gen": acked, "to_gen": cur, "ack": ack}
+
+
+# ---------------------------------------------------------------------------
+# GENERATED COLUMNS
+# ---------------------------------------------------------------------------
+
+_GENERATED_CONF = "_generated_columns.json"
+
+
+def snapshot_set_generated_columns(
+    spark: SparkSession, table_path: str, columns: dict
+) -> None:
+    """Delta GENERATED ALWAYS AS: declare ``{col: sql_expr}`` once;
+    every merge computes a declared column from its expression when
+    the increment does not carry it (and REJECTS an increment that
+    carries a conflicting value — the Delta rule: supplied values must
+    match the generation expression).  The standard use is a derived
+    partition column (e.g. event date from a timestamp) that callers
+    never have to remember to add."""
+    _fs_mkdirs(spark, table_path)
+    _write_text(
+        spark,
+        f"{table_path}/{_GENERATED_CONF}",
+        json.dumps({"columns": dict(columns)}, sort_keys=True),
+    )
+
+
+def _generated_columns(spark, table_path: str) -> dict:
+    p = f"{table_path}/{_GENERATED_CONF}"
+    if not _fs_exists(spark, p):
+        return {}
+    return json.loads(_read_text(spark, p))["columns"]
+
+
+class SnapshotGeneratedColumnViolation(ValueError):
+    """An increment supplied values for a generated column that differ
+    from its generation expression.  Nothing was written."""
+
+
+def _apply_generated(spark, table_path: str, incoming: DataFrame) -> DataFrame:
+    gen_cols = _generated_columns(spark, table_path)
+    for c, expr in sorted(gen_cols.items()):
+        if c in incoming.columns:
+            n = incoming.filter(
+                ~F.col(c).eqNullSafe(F.expr(expr))
+            ).count()
+            if n:
+                raise SnapshotGeneratedColumnViolation(
+                    f"{n} incoming rows supply {c!r} values that differ "
+                    f"from GENERATED ALWAYS AS ({expr})"
+                )
+        else:
+            incoming = incoming.withColumn(c, F.expr(expr))
+    return incoming

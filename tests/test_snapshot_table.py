@@ -836,3 +836,30 @@ def test_optimize_write_one_file_per_partition(spark, tmp_path):
 
     assert all(n > 1 for n in files_per_bucket(a).values())
     assert all(n == 1 for n in files_per_bucket(b).values())
+
+
+def test_generated_columns(spark, tmp_path):
+    """GENERATED ALWAYS AS: declared columns are computed at merge
+    time when absent (here a derived partition column), conflicting
+    supplied values are rejected, matching supplied values pass."""
+    snap = str(tmp_path / "snap")
+    S.snapshot_set_generated_columns(
+        spark, snap, {"vband": "CAST(v div 100 AS INT)"}
+    )
+    inc = _inc(spark, 0, 60)  # no vband column: it gets generated
+    S.snapshot_merge_upsert(spark, snap, inc, partition_cols=["vband"])
+    now = S.read_snapshot_table(spark, snap)
+    assert "vband" in now.columns
+    got = {r["parent_id"]: r["vband"] for r in now.collect()}
+    assert got[20] == (20 * 7) // 100 and len(got) == 60
+    # supplied-and-matching: fine
+    ok = _inc(spark, 60, 70).withColumn(
+        "vband", F.expr("CAST(v div 100 AS INT)")
+    )
+    S.snapshot_merge_upsert(spark, snap, ok, partition_cols=["vband"])
+    assert S.read_snapshot_table(spark, snap).count() == 70
+    # supplied-and-conflicting: rejected before write
+    bad = _inc(spark, 70, 80).withColumn("vband", F.lit(999))
+    with pytest.raises(S.SnapshotGeneratedColumnViolation):
+        S.snapshot_merge_upsert(spark, snap, bad, partition_cols=["vband"])
+    assert S.read_snapshot_table(spark, snap).count() == 70
