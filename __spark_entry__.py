@@ -4332,6 +4332,62 @@ def _mlt_oracle(k: int = 10, terms: int = 10, min_df: int = 2) -> str:
     """
 
 
+def q179_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) — the classic
+    EXISTS / NOT-EXISTS composition, expressed as one semi- and one
+    anti-join against per-order supplier profiles instead of
+    correlated subqueries: for finalized orders, count per supplier
+    the lineitems that were LATE (receipt > commit) where at least
+    one OTHER supplier fed the same order (multi-supplier order:
+    semi-join on an aggregated profile) but NO other supplier was
+    late (anti-join on the late-supplier profile).  Profiles are
+    per-order aggregates — two compact shuffles keyed by order, never
+    a lineitem self-join; top 20 by (numwait desc, name asc)."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = _t(spark, sf, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    # this dataset carries ship/order dates (no receipt/commit pair):
+    # a lineitem is LATE when it shipped > 60 days after the order
+    lif = li.join(orders, li.l_orderkey == orders.o_orderkey).drop(
+        "o_orderkey"
+    )
+    is_late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
+    late = lif.filter(is_late)
+    # per-order profiles: distinct supplier count overall and among
+    # the late — each one aggregation on the order key
+    prof_all = lif.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    prof_late = late.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_late")
+    )
+    cand = (
+        late.join(prof_all.filter(F.col("n_supp") >= 2), on="l_orderkey")
+        .join(prof_late, on="l_orderkey")
+        # sole late supplier of a multi-supplier order: the NOT EXISTS
+        .filter(F.col("n_late") == 1)
+    )
+    out = (
+        cand.join(
+            F.broadcast(supp), cand.l_suppkey == supp.s_suppkey
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("numwait"), F.asc("s_name")
+    )
+    return out.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW and len(queries()) == 155 on every gate run.
@@ -4582,6 +4638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q176_snapshot_restore": q176_snapshot_restore,
         "q177_sketch_rerank": q177_sketch_rerank,
         "q178_more_like_this": q178_more_like_this,
+        "q179_waiting_suppliers": q179_waiting_suppliers,
     }
 
 
@@ -7469,6 +7526,38 @@ def oracle_sql() -> dict[str, str]:
         "q172_retrieval_eval": _retrieval_eval_oracle(),
         "q175_random_projection": _rp_oracle(),
         "q177_sketch_rerank": _sketch_rerank_oracle(),
+        "q179_waiting_suppliers": """
+            WITH lif AS (
+              SELECT l.l_orderkey, l.l_suppkey,
+                     l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                       AS is_late
+              FROM lineitem l
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+              WHERE o.o_orderstatus = 'F'),
+            late AS (SELECT l_orderkey, l_suppkey FROM lif
+                     WHERE is_late),
+            pa AS (SELECT l_orderkey,
+                          COUNT(DISTINCT l_suppkey) AS n_supp
+                   FROM lif GROUP BY l_orderkey),
+            pl AS (SELECT l_orderkey,
+                          COUNT(DISTINCT l_suppkey) AS n_late
+                   FROM late GROUP BY l_orderkey),
+            cand AS (
+              SELECT l.l_suppkey FROM late l
+              JOIN pa ON pa.l_orderkey = l.l_orderkey AND pa.n_supp >= 2
+              JOIN pl ON pl.l_orderkey = l.l_orderkey AND pl.n_late = 1),
+            agg AS (
+              SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+              FROM cand c JOIN supplier s ON s.s_suppkey = c.l_suppkey
+              GROUP BY s.s_name),
+            top AS (
+              SELECT s_name, numwait,
+                row_number() OVER (ORDER BY numwait DESC, s_name ASC)
+                  AS rank
+              FROM agg)
+            SELECT s_name, numwait, CAST(rank AS INT) AS rank
+            FROM top WHERE rank <= 20
+        """,
         "q178_more_like_this": _mlt_oracle(),
         "q176_snapshot_restore": """
             -- restore to generation 1: the pristine base relation
