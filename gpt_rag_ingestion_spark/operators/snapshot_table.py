@@ -1336,16 +1336,29 @@ def snapshot_read_where(
     unpruned_gens}."""
     sets, dv = _resolve_file_sets(spark, table_path, at_gen)
     selections = []
-    total = read_n = unpruned = 0
+    total = read_n = unpruned = pruned_parts = 0
     for base, rels, stats in sets:
+        live = [r for r in rels if _rel_survives_ranges(r, ranges)]
+        pruned_parts += len(rels) - len(live)
         if stats is None:
-            selections.append((base, None))
+            # no sidecar: read the SURVIVING partition dirs wholesale
+            # (directory paths flow through the same selected-read as
+            # file paths)
+            if live == rels:
+                selections.append((base, None))
+            elif live:
+                selections.append((base, list(live)))
             unpruned += 1
             continue
+        live_set = set(live)
+        files = {
+            f: e
+            for f, e in stats["files"].items()
+            if ("/".join(f.split("/")[:-1]) in live_set)
+            or (live == [""] and "/" not in f)
+        }
         total += len(stats["files"])
-        keep = [
-            f for f, e in stats["files"].items() if _range_keeps(e, ranges)
-        ]
+        keep = [f for f, e in files.items() if _range_keeps(e, ranges)]
         read_n += len(keep)
         selections.append((base, keep))
     if report is not None:
@@ -1354,6 +1367,7 @@ def snapshot_read_where(
             files_read=read_n,
             files_skipped=total - read_n,
             unpruned_gens=unpruned,
+            pruned_partitions=pruned_parts,
         )
     df = _read_selected(
         spark, selections,
@@ -1895,3 +1909,49 @@ def _apply_generated(spark, table_path: str, incoming: DataFrame) -> DataFrame:
         else:
             incoming = incoming.withColumn(c, F.expr(expr))
     return incoming
+
+
+def _rel_survives_ranges(rel: str, ranges: dict) -> bool:
+    """Driver-side PARTITION pruning for the metadata read path: a
+    ``p=v`` directory whose value falls outside a range on that
+    partition column is dropped before any file is selected.
+    Conservative by construction — a value that does not coerce
+    cleanly to the bound's type keeps the directory; the exact
+    residual filter downstream guarantees correctness either way.
+    Hive's NULL directory is skippable (range predicates are
+    null-rejecting)."""
+    from urllib.parse import unquote
+
+    if not rel:
+        return True
+    parts = {}
+    for seg in rel.split("/"):
+        k, _, v = seg.partition("=")
+        parts[k] = unquote(v)
+    for c, (lo, hi) in ranges.items():
+        if c not in parts:
+            continue
+        raw = parts[c]
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            return False
+        for bound, op in ((lo, "lo"), (hi, "hi")):
+            if bound is None:
+                continue
+            try:
+                if isinstance(bound, bool):
+                    v = raw == "true"
+                elif isinstance(bound, int):
+                    v = int(raw)
+                elif isinstance(bound, float):
+                    v = float(raw)
+                elif isinstance(bound, str):
+                    v = raw
+                else:
+                    continue  # unknown bound type: keep
+            except ValueError:
+                continue  # not coercible: keep, residual filter decides
+            if op == "lo" and v < bound:
+                return False
+            if op == "hi" and v > bound:
+                return False
+    return True

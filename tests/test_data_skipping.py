@@ -441,3 +441,61 @@ def test_streaming_ingest_snapshot_sink(spark, tmp_path):
         d for d in os.listdir(f"{root}/chunks") if d.startswith("gen-")
     ]
     assert len(gens) <= 2  # fold trigger engaged
+
+
+def test_partition_pruning_in_metadata_read(spark, tmp_path):
+    """A range on a PARTITION column drops whole directories
+    driver-side before any file is selected — with stats (files of
+    pruned partitions never counted as read) and without (surviving
+    dirs read wholesale); NULL partitions are skippable; string
+    coercion failures stay conservative."""
+    tbl = str(tmp_path / "t")
+    S.snapshot_enable_stats(spark, tbl, cols=["v"])
+    base = _clustered(spark, n=2000)
+    S.snapshot_merge_upsert(spark, tbl, base, partition_cols=["bucket"])
+    full = S.read_snapshot_table(spark, tbl)
+    rep: dict = {}
+    got = S.snapshot_read_where(spark, tbl, {"bucket": (1, 2)}, report=rep)
+    want = full.filter((F.col("bucket") >= 1) & (F.col("bucket") <= 2))
+    assert _rows(got) == _rows(want)
+    assert rep["pruned_partitions"] == 2  # buckets 0 and 3 dropped
+    # composed: partition range AND data range prune together
+    rep2: dict = {}
+    got2 = S.snapshot_read_where(
+        spark, tbl, {"bucket": (1, 1), "v": (0, 600)}, report=rep2
+    )
+    want2 = full.filter(
+        (F.col("bucket") == 1) & (F.col("v") >= 0) & (F.col("v") <= 600)
+    )
+    assert _rows(got2) == _rows(want2)
+    assert rep2["pruned_partitions"] == 3
+    assert rep2["files_skipped"] > 0
+
+    # no-stats table: surviving dirs are read wholesale, still correct
+    tbl2 = str(tmp_path / "u")
+    S.snapshot_merge_upsert(
+        spark, tbl2, _clustered(spark, n=500), partition_cols=["bucket"]
+    )
+    rep3: dict = {}
+    got3 = S.snapshot_read_where(
+        spark, tbl2, {"bucket": (2, 3)}, report=rep3
+    )
+    assert _rows(got3) == _rows(
+        S.read_snapshot_table(spark, tbl2).filter(
+            (F.col("bucket") >= 2) & (F.col("bucket") <= 3)
+        )
+    )
+    assert rep3["pruned_partitions"] == 2 and rep3["unpruned_gens"] == 1
+
+    # NULL partition value: range-pruned (null-rejecting)
+    tbl3 = str(tmp_path / "w")
+    withnull = spark.range(100).select(
+        F.col("id").alias("parent_id"),
+        F.when(F.col("id") < 50, (F.col("id") % 2).cast("int")).alias(
+            "bucket"
+        ),
+        (F.col("id") * 3).alias("v"),
+    )
+    S.snapshot_merge_upsert(spark, tbl3, withnull, partition_cols=["bucket"])
+    got4 = S.snapshot_read_where(spark, tbl3, {"bucket": (0, 9)})
+    assert got4.count() == 50  # NULL-bucket rows excluded
