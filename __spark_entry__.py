@@ -4388,6 +4388,43 @@ def q179_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+def q180_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue) — the
+    correlated scalar subquery ``l_quantity < 0.2 * avg(l_quantity)
+    per part`` DECORRELATED into one per-part profile join, with the
+    fractional average removed by integer cross-multiplication:
+    ``5 * qty * n_rows < sum_qty`` (quantities are integral).
+    Revenue of qualifying Brand#13 lineitems in cents (this dataset
+    carries p_brand but no container), integer-divided by 7 (the
+    query's weekly average) — one exact integer the oracle reproduces
+    bit for bit."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey",
+        F.round("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias(
+            "cents"
+        ),
+    )
+    part = _t(spark, sf, "part").filter(
+        F.col("p_brand") == "Brand#13"
+    ).select("p_partkey")
+    prof = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    qual = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(prof, on="l_partkey")
+        .filter(F.col("qty") * F.col("n_rows") * 5 < F.col("sum_qty"))
+    )
+    return qual.agg(
+        F.coalesce(
+            F.expr("CAST(SUM(cents) AS BIGINT) div 7"), F.lit(0)
+        ).alias("avg_yearly_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+    )
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW and len(queries()) == 155 on every gate run.
@@ -4639,6 +4676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q177_sketch_rerank": q177_sketch_rerank,
         "q178_more_like_this": q178_more_like_this,
         "q179_waiting_suppliers": q179_waiting_suppliers,
+        "q180_small_quantity_revenue": q180_small_quantity_revenue,
     }
 
 
@@ -7526,6 +7564,30 @@ def oracle_sql() -> dict[str, str]:
         "q172_retrieval_eval": _retrieval_eval_oracle(),
         "q175_random_projection": _rp_oracle(),
         "q177_sketch_rerank": _sketch_rerank_oracle(),
+        "q180_small_quantity_revenue": """
+            WITH li AS (
+              SELECT l_partkey,
+                     CAST(round(l_quantity) AS BIGINT) AS qty,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                       AS cents
+              FROM lineitem),
+            p13 AS (SELECT p_partkey FROM part
+                    WHERE p_brand = 'Brand#13'),
+            prof AS (
+              SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sum_qty,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows
+              FROM li GROUP BY l_partkey),
+            qual AS (
+              SELECT li.cents FROM li
+              JOIN p13 ON p13.p_partkey = li.l_partkey
+              JOIN prof ON prof.l_partkey = li.l_partkey
+              WHERE li.qty * prof.n_rows * 5 < prof.sum_qty)
+            SELECT
+              CAST(COALESCE(SUM(cents) // 7, 0) AS BIGINT)
+                AS avg_yearly_cents,
+              CAST(COUNT(*) AS BIGINT) AS n_lineitems
+            FROM qual
+        """,
         "q179_waiting_suppliers": """
             WITH lif AS (
               SELECT l.l_orderkey, l.l_suppkey,
