@@ -4425,6 +4425,52 @@ def q180_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q181_idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales-opportunity) — two correlated
+    subqueries decorrelated: customers whose balance exceeds the
+    GLOBAL average of positive balances (scalar subquery → one 1-row
+    aggregate, compared by integer cross-multiplication: cents * n >
+    sum) and who have NO OPEN ('O') orders (NOT EXISTS → broadcast
+    anti-join on the open-order customer keys; every customer in this
+    dataset has SOME order, so Q22's no-order form is vacuous),
+    rolled up per nation.  All integer cents — exact in any engine."""
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey", "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    nation = _t(spark, sf, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    orders = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+        .distinct()
+    )
+    pos = cust.filter(F.col("cents") > 0).agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(pos))  # 1-row aggregate merge
+        .filter(F.col("cents") * F.col("n") > F.col("s"))
+        .join(
+            F.broadcast(orders),
+            cust.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
+    )
+    return (
+        rich.join(
+            F.broadcast(nation), rich.c_nationkey == nation.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum("cents").cast("long").alias("totacctbal_cents"),
+        )
+    )
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW and len(queries()) == 155 on every gate run.
@@ -4677,6 +4723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q178_more_like_this": q178_more_like_this,
         "q179_waiting_suppliers": q179_waiting_suppliers,
         "q180_small_quantity_revenue": q180_small_quantity_revenue,
+        "q181_idle_rich_customers": q181_idle_rich_customers,
     }
 
 
@@ -7564,6 +7611,29 @@ def oracle_sql() -> dict[str, str]:
         "q172_retrieval_eval": _retrieval_eval_oracle(),
         "q175_random_projection": _rp_oracle(),
         "q177_sketch_rerank": _sketch_rerank_oracle(),
+        "q181_idle_rich_customers": """
+            WITH c AS (
+              SELECT c_custkey, c_nationkey,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+              FROM customer),
+            pos AS (
+              SELECT CAST(SUM(cents) AS BIGINT) AS s,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM c WHERE cents > 0),
+            rich AS (
+              SELECT c.* FROM c, pos
+              WHERE c.cents * pos.n > pos.s
+                AND NOT EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'O'))
+            SELECT n.n_name,
+                   CAST(COUNT(*) AS BIGINT) AS numcust,
+                   CAST(SUM(r.cents) AS BIGINT) AS totacctbal_cents
+            FROM rich r JOIN nation n
+              ON n.n_nationkey = r.c_nationkey
+            GROUP BY n.n_name
+        """,
         "q180_small_quantity_revenue": """
             WITH li AS (
               SELECT l_partkey,
