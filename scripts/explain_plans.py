@@ -149,6 +149,23 @@ PLAN_PROPERTIES = {
         ["BroadcastHashJoin"],
         ["NestedLoop", "CartesianProduct"],
     ),
+    # Q21 shape: per-order profile equi-joins, never a lineitem
+    # self-nested-loop; supplier dimension broadcasts
+    "q179_waiting_suppliers": (
+        ["BroadcastHashJoin"],
+        ["NestedLoop", "CartesianProduct"],
+    ),
+    # Q17 shape: decorrelated profile join; part filter broadcasts
+    "q180_small_quantity_revenue": (
+        ["BroadcastHashJoin"],
+        ["NestedLoop", "CartesianProduct"],
+    ),
+    # Q22 shape: the NOT EXISTS is a broadcast ANTI join (the 1-row
+    # aggregate merge is the only nested-loop-free cross join)
+    "q181_idle_rich_customers": (
+        ["BroadcastHashJoin", "LeftAnti"],
+        [],
+    ),
     # more-like-this: seed term selection + candidate-only scoring are
     # all equi-joins; the |seeds| x |corpus| scan must never appear
     "q178_more_like_this": (
