@@ -1955,3 +1955,83 @@ def _rel_survives_ranges(rel: str, ranges: dict) -> bool:
             if op == "hi" and v > bound:
                 return False
     return True
+
+
+def snapshot_analyze(
+    spark: SparkSession, table_path: str, cols: list[str]
+) -> dict:
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS: one
+    column-pruned pass over the committed snapshot computing, per
+    column, row/null counts, min/max, and an approximate NDV
+    (HyperLogLog++ via approx_count_distinct — a planner statistic,
+    not an oracle surface).  Persisted to
+    ``_table_stats/<gen>.json`` keyed by the generation it DESCRIBES,
+    so staleness is one integer comparison (`snapshot_table_stats`
+    reports it); re-run after large merges or OPTIMIZE.  This is the
+    table-level tier of the stats family — file-level min/max prune
+    reads, table-level NDV/extremes feed join planning and the
+    engine's own cost decisions (e.g. neardup_pairs_auto's synopsis
+    routing)."""
+    cur = _current_gen(spark, table_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot at {table_path}")
+    df = read_snapshot_table(spark, table_path)
+    missing = sorted(set(cols) - set(df.columns))
+    if missing:
+        raise ValueError(f"no such columns: {missing}")
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"__min__{c}"),
+            F.max(c).alias(f"__max__{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls__{c}"),
+            F.approx_count_distinct(c).alias(f"__ndv__{c}"),
+        ]
+    r = df.agg(*aggs).collect()[0]
+    out = {
+        "gen": cur,
+        "rows": r["__rows"],
+        "columns": {
+            c: {
+                "min": _stat_jsonable(r[f"__min__{c}"]),
+                "max": _stat_jsonable(r[f"__max__{c}"]),
+                "nulls": r[f"__nulls__{c}"],
+                "ndv": r[f"__ndv__{c}"],
+            }
+            for c in cols
+        },
+    }
+    _fs_mkdirs(spark, f"{table_path}/_table_stats")
+    _write_text(
+        spark,
+        f"{table_path}/_table_stats/{cur:08d}.json",
+        json.dumps(out, sort_keys=True),
+    )
+    return out
+
+
+def snapshot_table_stats(
+    spark: SparkSession, table_path: str
+) -> dict | None:
+    """The newest persisted ANALYZE result plus ``stale`` (whether the
+    table has committed past the generation it describes).  None when
+    never analyzed."""
+    fs, d = _hfs(spark, f"{table_path}/_table_stats")
+    if not fs.exists(d):
+        return None
+    gens = []
+    for st in fs.listStatus(d):
+        name = st.getPath().getName()
+        if name.endswith(".json"):
+            try:
+                gens.append(int(name[:-5]))
+            except ValueError:
+                continue
+    if not gens:
+        return None
+    g = max(gens)
+    out = json.loads(
+        _read_text(spark, f"{table_path}/_table_stats/{g:08d}.json")
+    )
+    out["stale"] = _current_gen(spark, table_path) != g
+    return out

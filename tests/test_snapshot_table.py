@@ -863,3 +863,27 @@ def test_generated_columns(spark, tmp_path):
     with pytest.raises(S.SnapshotGeneratedColumnViolation):
         S.snapshot_merge_upsert(spark, snap, bad, partition_cols=["vband"])
     assert S.read_snapshot_table(spark, snap).count() == 70
+
+
+def test_analyze_table_stats(spark, tmp_path):
+    snap = str(tmp_path / "snap")
+    S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 0, 500), partition_cols=["bucket"]
+    )
+    out = S.snapshot_analyze(spark, snap, ["v", "bucket"])
+    assert out["rows"] == 500
+    assert out["columns"]["v"]["min"] == 0
+    assert out["columns"]["v"]["max"] == 499 * 7
+    assert out["columns"]["v"]["nulls"] == 0
+    # HLL estimate within 10% of the exact 500 / 3
+    assert abs(out["columns"]["v"]["ndv"] - 500) <= 50
+    assert abs(out["columns"]["bucket"]["ndv"] - 3) <= 1
+    got = S.snapshot_table_stats(spark, snap)
+    assert got["stale"] is False
+    S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 500, 600), partition_cols=["bucket"]
+    )
+    assert S.snapshot_table_stats(spark, snap)["stale"] is True
+    with pytest.raises(ValueError, match="no such columns"):
+        S.snapshot_analyze(spark, snap, ["nope"])
+    assert S.snapshot_table_stats(spark, str(tmp_path / "none")) is None
