@@ -2035,3 +2035,25 @@ def snapshot_table_stats(
     )
     out["stale"] = _current_gen(spark, table_path) != g
     return out
+
+
+def snapshot_maybe_analyze(
+    spark: SparkSession,
+    table_path: str,
+    cols: list[str],
+    max_stale_generations: int = 8,
+) -> dict:
+    """ANALYZE trigger — the stats member of the engine's trigger
+    family: re-analyze when the table was never analyzed or the
+    newest stats describe a generation ``max_stale_generations`` or
+    more behind the pointer; otherwise one metadata read and done."""
+    cur = _current_gen(spark, table_path)
+    if cur is None:
+        return {"analyzed": False, "reason": "empty table"}
+    st = snapshot_table_stats(spark, table_path)
+    if st is not None and cur - st["gen"] < max_stale_generations:
+        return {
+            "analyzed": False, "described_gen": st["gen"], "current": cur,
+        }
+    out = snapshot_analyze(spark, table_path, cols)
+    return {"analyzed": True, "gen": out["gen"], "rows": out["rows"]}

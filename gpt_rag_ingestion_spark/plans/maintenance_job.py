@@ -25,6 +25,7 @@ def run_maintenance_job(
     corpus_partition_cols: list[str] | None = None,
     snapshot_path: str | None = None,
     snapshot_partition_cols: list[str] | None = None,
+    snapshot_stats_cols: list[str] | None = None,
     sidecar_path: str | None = None,
     text_index_path: str | None = None,
     ivf_index_path: str | None = None,
@@ -64,6 +65,15 @@ def run_maintenance_job(
             "snapshot", snapshot_maybe_optimize, spark, snapshot_path,
             partition_cols=snapshot_partition_cols,
         )
+        if snapshot_stats_cols:
+            from gpt_rag_ingestion_spark.operators.snapshot_table import (
+                snapshot_maybe_analyze,
+            )
+
+            _run(
+                "snapshot_stats", snapshot_maybe_analyze, spark,
+                snapshot_path, cols=snapshot_stats_cols,
+            )
     if sidecar_path is not None:
         from gpt_rag_ingestion_spark.operators.dedup import (
             dedup_sidecar_maybe_compact,

@@ -887,3 +887,22 @@ def test_analyze_table_stats(spark, tmp_path):
     with pytest.raises(ValueError, match="no such columns"):
         S.snapshot_analyze(spark, snap, ["nope"])
     assert S.snapshot_table_stats(spark, str(tmp_path / "none")) is None
+
+
+def test_maybe_analyze_trigger(spark, tmp_path):
+    snap = str(tmp_path / "snap")
+    S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 0, 100), partition_cols=["bucket"]
+    )
+    first = S.snapshot_maybe_analyze(spark, snap, ["v"])
+    assert first["analyzed"] is True
+    # within the staleness window: one metadata read, no job
+    again = S.snapshot_maybe_analyze(spark, snap, ["v"])
+    assert again["analyzed"] is False and again["described_gen"] == 1
+    for i in range(8):
+        S.snapshot_merge_upsert(
+            spark, snap, _inc(spark, 100 + i, 101 + i),
+            partition_cols=["bucket"],
+        )
+    rearmed = S.snapshot_maybe_analyze(spark, snap, ["v"])
+    assert rearmed["analyzed"] is True and rearmed["rows"] == 108
