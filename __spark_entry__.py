@@ -4471,6 +4471,27 @@ def q181_idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q182_filtered_search(spark: SparkSession, sf: str) -> DataFrame:
+    """FILTERED full-text search (operators/search.filtered_bm25_topk
+    — the service's ``filter=`` composed with ``search=``): BM25
+    scores stay corpus-wide (the filter never perturbs idf/doclen —
+    the AI Search semantic), the candidate set is restricted to
+    English documents by a broadcast semi-join BEFORE the top-k
+    window, so k filtered results come back whenever k exist."""
+    from gpt_rag_ingestion_spark.operators.search import (
+        build_text_index,
+        filtered_bm25_topk,
+    )
+
+    docs = _t(spark, sf, "documents")
+    index = build_text_index(docs, text_col="text", id_col="doc_id")
+    return filtered_bm25_topk(
+        index, _bm25_query_df(spark),
+        doc_meta=docs, predicate="lang = 'en'",
+        k=10, doc_id_col="doc_id",
+    )
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW and len(queries()) == 155 on every gate run.
@@ -4724,6 +4745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_waiting_suppliers": q179_waiting_suppliers,
         "q180_small_quantity_revenue": q180_small_quantity_revenue,
         "q181_idle_rich_customers": q181_idle_rich_customers,
+        "q182_filtered_search": q182_filtered_search,
     }
 
 
@@ -7380,6 +7402,21 @@ def oracle_sql() -> dict[str, str]:
                 row_number() OVER (PARTITION BY query_id
                   ORDER BY score_q DESC, doc ASC) AS rank
               FROM scored)
+            SELECT query_id, rank, doc, score_q
+            FROM ranked WHERE rank <= 10
+        """,
+        "q182_filtered_search": f"""
+            WITH {_bm25_oracle_ctes()},
+            allowed AS (SELECT doc_id AS doc FROM documents
+                        WHERE lang = 'en'),
+            fs AS (
+              SELECT s.query_id, s.doc, s.score_q
+              FROM scored s JOIN allowed a USING (doc)),
+            ranked AS (
+              SELECT query_id, doc, score_q,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY score_q DESC, doc ASC) AS rank
+              FROM fs)
             SELECT query_id, rank, doc, score_q
             FROM ranked WHERE rank <= 10
         """,

@@ -1229,3 +1229,34 @@ def more_like_this(
     scored = _bm25_scores(index, qterms, query_id_col="seed_doc")
     scored = scored.filter(F.col("doc") != F.col("seed_doc"))
     return _topk_by_score(scored, k, "seed_doc")
+
+
+def filtered_bm25_topk(
+    index: dict,
+    queries: DataFrame,
+    doc_meta: DataFrame,
+    predicate: str,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    doc_id_col: str = "doc",
+) -> DataFrame:
+    """FILTERED full-text search — the service's ``filter=`` composed
+    with ``search=`` (reference: AI Search $filter on the index
+    query): BM25 scores are computed against the FULL index (idf/
+    doclen statistics are corpus-wide, the service semantic), then the
+    candidate set is restricted to documents satisfying ``predicate``
+    over ``doc_meta`` via a broadcast semi-join BEFORE the top-k
+    window — so k results come back whenever k filtered matches
+    exist, and the filter never perturbs scores.  Cost adds one
+    semi-join on the candidate set (O(candidates), never the
+    corpus)."""
+    qterms = queries.select(
+        F.col(query_id_col), F.explode(F.col(terms_col)).alias("token")
+    ).distinct()
+    scored = _bm25_scores(index, qterms, query_id_col)
+    allowed = doc_meta.filter(F.expr(predicate)).select(
+        F.col(doc_id_col).alias("doc")
+    )
+    scored = scored.join(F.broadcast(allowed), on="doc", how="left_semi")
+    return _topk_by_score(scored, k, query_id_col)

@@ -877,3 +877,35 @@ def test_more_like_this(spark):
     assert got[3][0] == 2          # garden doc finds the garden doc
     assert 0 not in got[0] and 3 not in got[3]   # seeds excluded
     assert got[4] == []            # hapax-only seed retrieves nothing
+
+
+def test_filtered_bm25(spark):
+    """The filter restricts the RESULT set, never the statistics:
+    scores of surviving docs equal the unfiltered run's scores, and
+    excluded docs never appear."""
+    from gpt_rag_ingestion_spark.operators.search import (
+        bm25_topk,
+        build_text_index,
+        filtered_bm25_topk,
+    )
+
+    rows = [
+        (0, "spark join fast", "en"),
+        (1, "spark join faster", "en"),
+        (2, "spark join fastest", "de"),
+        (3, "unrelated garden text", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    index = build_text_index(docs)
+    qs = spark.createDataFrame(
+        [("q0", ["spark", "join"])], "query_id string, terms array<string>"
+    )
+    plain = {r["doc"]: r["score_q"] for r in bm25_topk(index, qs).collect()}
+    filt = filtered_bm25_topk(
+        index, qs, doc_meta=docs, predicate="lang = 'en'",
+        doc_id_col="doc_id",
+    ).collect()
+    got = {r["doc"]: r["score_q"] for r in filt}
+    assert 2 not in got and set(got) == {0, 1}
+    assert all(got[d] == plain[d] for d in got)  # scores unperturbed
+    assert [r["rank"] for r in sorted(filt, key=lambda r: r["rank"])] == [1, 2]
