@@ -4492,6 +4492,67 @@ def q182_filtered_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q183_filtered_hybrid(spark: SparkSession, sf: str) -> DataFrame:
+    """FILTERED HYBRID retrieval — the reference service's most common
+    production query (search= + vectorQueries + filter= in one
+    request): ONE metadata predicate (lang = 'en') restricts BOTH
+    legs' candidate sets before their per-query top-20 windows
+    (pre-filter semantics, so each leg still contributes a full
+    shortlist), BM25 statistics stay corpus-wide, the exact-dot
+    vector leg is the q19 oracle-twin shape, and integer RRF fuses
+    the two filtered rankings into the top-10."""
+    from pyspark.sql import Window
+
+    from gpt_rag_ingestion_spark.operators.search import (
+        build_text_index,
+        filtered_bm25_topk,
+        rrf_fuse,
+    )
+
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    index = build_text_index(docs, text_col="text", id_col="doc_id")
+    bm25 = filtered_bm25_topk(
+        index, _bm25_query_df(spark),
+        doc_meta=docs, predicate="lang = 'en'",
+        k=20, doc_id_col="doc_id",
+    )
+    allowed = docs.filter(F.col("lang") == "en").select(
+        F.col("doc_id").alias("doc")
+    )
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("long"),
+    )
+    quant = emb.select(F.col("vec_id"), qv.alias("qv"))
+    queries_v = quant.filter(F.col("vec_id") < 8).select(
+        F.concat(F.lit("q"), F.col("vec_id").cast("string")).alias(
+            "query_id"
+        ),
+        F.col("qv").alias("q_qv"),
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("q_qv"), F.col("qv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("qdot"), F.asc("doc")
+    )
+    vec_rank = (
+        F.broadcast(queries_v)
+        .join(quant.select(F.col("vec_id").alias("doc"), "qv"))
+        .join(F.broadcast(allowed), on="doc", how="left_semi")
+        .select("query_id", "doc", qdot.alias("qdot"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("query_id", "doc", "rank")
+    )
+    return rrf_fuse(
+        [bm25.select("query_id", "doc", "rank"), vec_rank], k=10
+    )
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW and len(queries()) == 155 on every gate run.
@@ -4746,6 +4807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q180_small_quantity_revenue": q180_small_quantity_revenue,
         "q181_idle_rich_customers": q181_idle_rich_customers,
         "q182_filtered_search": q182_filtered_search,
+        "q183_filtered_hybrid": q183_filtered_hybrid,
     }
 
 
@@ -7419,6 +7481,52 @@ def oracle_sql() -> dict[str, str]:
               FROM fs)
             SELECT query_id, rank, doc, score_q
             FROM ranked WHERE rank <= 10
+        """,
+        "q183_filtered_hybrid": f"""
+            WITH {_bm25_oracle_ctes()},
+            allowed AS (SELECT doc_id AS doc FROM documents
+                        WHERE lang = 'en'),
+            branked AS (
+              SELECT s.query_id, s.doc,
+                row_number() OVER (PARTITION BY s.query_id
+                  ORDER BY s.score_q DESC, s.doc ASC) AS rank
+              FROM scored s JOIN allowed a USING (doc)),
+            btop AS (SELECT query_id, doc, rank FROM branked
+                     WHERE rank <= 20),
+            vq AS (
+              SELECT vec_id, list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+              FROM embeddings),
+            qv AS (
+              SELECT 'q' || CAST(vec_id AS VARCHAR) AS query_id,
+                     qv AS q_qv
+              FROM vq WHERE vec_id < 8),
+            vscore AS (
+              SELECT q.query_id, d.vec_id AS doc,
+                CAST(list_dot_product(q.q_qv, d.qv) AS BIGINT) AS qdot
+              FROM qv q, vq d
+              JOIN allowed a ON a.doc = d.vec_id),
+            vrank AS (
+              SELECT query_id, doc,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY qdot DESC, doc ASC) AS rank
+              FROM vscore),
+            vtop AS (SELECT query_id, doc, rank FROM vrank
+                     WHERE rank <= 20),
+            contribs AS (
+              SELECT query_id, doc, 1000000 // (60 + rank) AS c FROM btop
+              UNION ALL
+              SELECT query_id, doc, 1000000 // (60 + rank) FROM vtop),
+            fused AS (
+              SELECT query_id, doc, CAST(SUM(c) AS BIGINT) AS rrf_q
+              FROM contribs GROUP BY query_id, doc),
+            franked AS (
+              SELECT query_id, doc, rrf_q,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY rrf_q DESC, doc ASC) AS rank
+              FROM fused)
+            SELECT query_id, rank, doc, rrf_q
+            FROM franked WHERE rank <= 10
         """,
         "q156_hybrid_rrf": f"""
             WITH {_bm25_oracle_ctes()},
