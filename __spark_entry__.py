@@ -4553,6 +4553,28 @@ def q183_filtered_hybrid(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q184_semantic_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """L2 SEMANTIC RERANK over the L1 BM25 top-20 (operators/search.
+    semantic_rerank — the service's queryType=semantic second stage,
+    with the deterministic stand-in cross signal the engine's model
+    stand-ins use): coverage of distinct query terms (scaled) + total
+    tf tie-band, L1-rank fallback for full ties, re-ranked to top-10.
+    Only the shortlist joins the postings — |Q|·20 rows, never a
+    corpus pass.  Integer-exact end to end, so L1→L2 is one
+    hash-checked pipeline."""
+    from gpt_rag_ingestion_spark.operators.search import (
+        bm25_topk,
+        build_text_index,
+        semantic_rerank,
+    )
+
+    docs = _t(spark, sf, "documents")
+    index = build_text_index(docs, text_col="text", id_col="doc_id")
+    qdf = _bm25_query_df(spark)
+    l1 = bm25_topk(index, qdf, k=20)
+    return semantic_rerank(index, l1, qdf, k=10)
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW and len(queries()) == 155 on every gate run.
@@ -4808,6 +4830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q181_idle_rich_customers": q181_idle_rich_customers,
         "q182_filtered_search": q182_filtered_search,
         "q183_filtered_hybrid": q183_filtered_hybrid,
+        "q184_semantic_rerank": q184_semantic_rerank,
     }
 
 
@@ -7480,6 +7503,39 @@ def oracle_sql() -> dict[str, str]:
                   ORDER BY score_q DESC, doc ASC) AS rank
               FROM fs)
             SELECT query_id, rank, doc, score_q
+            FROM ranked WHERE rank <= 10
+        """,
+        "q184_semantic_rerank": f"""
+            WITH {_bm25_oracle_ctes()},
+            l1 AS (
+              SELECT query_id, doc, score_q,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY score_q DESC, doc ASC) AS l1rank
+              FROM scored),
+            sl AS (SELECT query_id, doc, l1rank FROM l1
+                   WHERE l1rank <= 20),
+            m AS (
+              SELECT s.query_id, s.doc,
+                     CAST(COUNT(*) AS BIGINT) AS nterms,
+                     CAST(SUM(p.tf) AS BIGINT) AS ttf
+              FROM sl s
+              JOIN (SELECT DISTINCT query_id, token FROM qs) q
+                ON q.query_id = s.query_id
+              JOIN postings p ON p.token = q.token AND p.doc = s.doc
+              GROUP BY s.query_id, s.doc),
+            sem AS (
+              SELECT s.query_id, s.doc, s.l1rank,
+                CAST(COALESCE(m.nterms, 0) * 1000000
+                     + LEAST(COALESCE(m.ttf, 0), 999999) AS BIGINT)
+                  AS sem_q
+              FROM sl s LEFT JOIN m
+                ON m.query_id = s.query_id AND m.doc = s.doc),
+            ranked AS (
+              SELECT query_id, doc, sem_q,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY sem_q DESC, l1rank ASC, doc ASC) AS rank
+              FROM sem)
+            SELECT query_id, rank, doc, sem_q
             FROM ranked WHERE rank <= 10
         """,
         "q183_filtered_hybrid": f"""

@@ -1260,3 +1260,59 @@ def filtered_bm25_topk(
     )
     scored = scored.join(F.broadcast(allowed), on="doc", how="left_semi")
     return _topk_by_score(scored, k, query_id_col)
+
+
+def semantic_rerank(
+    index: dict,
+    hits: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """L2 SEMANTIC RERANKER stand-in (the service reranks the L1
+    top-50 with a cross-encoder; reference deployments enable it as
+    queryType=semantic): re-orders an L1 hit list by a DETERMINISTIC
+    stand-in cross signal — coverage_q = how many DISTINCT query
+    terms the document contains, scaled, plus the document's total tf
+    over the query terms as the dense tie-band — falling back to the
+    L1 rank for full ties.  Like the engine's other model stand-ins
+    (get_embeddings / get_completion), the contract is the real one:
+    rerank ONLY the shortlist (|Q|·k rows joined against the
+    postings, never a corpus pass), emit (query_id, rank, doc,
+    sem_q), swap the scorer for a real cross-encoder UDF in
+    production.  Integer-exact, so the whole L1→L2 pipeline is
+    oracle-checkable."""
+    from pyspark.sql import Window
+
+    qterms = queries.select(
+        F.col(query_id_col), F.explode(F.col(terms_col)).alias("token")
+    ).distinct()
+    sl = hits.select(query_id_col, "doc", F.col("rank").alias("_l1"))
+    # per (query, doc in shortlist): distinct matched terms + total tf
+    m = (
+        sl.join(F.broadcast(qterms), on=query_id_col)
+        .join(index["postings"], on=["token", "doc"], how="inner")
+        .groupBy(query_id_col, "doc")
+        .agg(
+            F.count(F.lit(1)).alias("_nterms"),
+            F.sum("tf").alias("_tf"),
+        )
+    )
+    scored = sl.join(m, on=[query_id_col, "doc"], how="left").select(
+        query_id_col,
+        "doc",
+        "_l1",
+        (
+            F.coalesce(F.col("_nterms"), F.lit(0)) * 1_000_000
+            + F.least(F.coalesce(F.col("_tf"), F.lit(0)), F.lit(999_999))
+        ).cast("long").alias("sem_q"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("sem_q"), F.asc("_l1"), F.asc("doc")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(query_id_col, "rank", "doc", "sem_q")
+    )
