@@ -909,3 +909,31 @@ def test_filtered_bm25(spark):
     assert 2 not in got and set(got) == {0, 1}
     assert all(got[d] == plain[d] for d in got)  # scores unperturbed
     assert [r["rank"] for r in sorted(filt, key=lambda r: r["rank"])] == [1, 2]
+
+
+def test_semantic_rerank(spark):
+    """A doc covering BOTH query terms outranks one stuffing a single
+    term, whatever L1 said; docs outside the L1 shortlist never
+    appear; L1 rank breaks full ties."""
+    from gpt_rag_ingestion_spark.operators.search import (
+        bm25_topk,
+        build_text_index,
+        semantic_rerank,
+    )
+
+    rows = [
+        (0, "spark " * 50),                 # single-term stuffing
+        (1, "spark join"),                  # covers both terms
+        (2, "spark join " * 3),             # covers both, higher tf
+        (3, "garden tulips only"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    index = build_text_index(docs)
+    qs = spark.createDataFrame(
+        [("q0", ["spark", "join"])], "query_id string, terms array<string>"
+    )
+    l1 = bm25_topk(index, qs, k=3)
+    out = semantic_rerank(index, l1, qs, k=3).orderBy("rank").collect()
+    order = [r["doc"] for r in out]
+    assert order[0] == 2 and order[1] == 1  # coverage beats stuffing
+    assert 3 not in order  # outside the L1 shortlist
