@@ -166,6 +166,17 @@ PLAN_PROPERTIES = {
         ["BroadcastHashJoin", "LeftAnti"],
         [],
     ),
+    # filtered search: the metadata filter is a broadcast SEMI join on
+    # the candidate set, never a corpus-wide pass or nested loop
+    "q182_filtered_search": (
+        ["BroadcastHashJoin", "LeftSemi"],
+        ["NestedLoop", "CartesianProduct"],
+    ),
+    # L2 rerank: shortlist-only postings join
+    "q184_semantic_rerank": (
+        ["BroadcastHashJoin"],
+        ["NestedLoop", "CartesianProduct"],
+    ),
     # more-like-this: seed term selection + candidate-only scoring are
     # all equi-joins; the |seeds| x |corpus| scan must never appear
     "q178_more_like_this": (
