@@ -537,3 +537,68 @@ def run_incremental_ivf(
         .start()
         .awaitTermination()
     )
+
+
+def run_stream_stream_join(
+    spark: SparkSession,
+    clicks_dir: str,
+    impressions_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    schema: str = "event_id LONG, user_id LONG, ts TIMESTAMP",
+    max_delay_minutes: int = 10,
+    watermark: str = "30 minutes",
+) -> None:
+    """TRUE stream-stream INNER JOIN (Structured Streaming state-store
+    path, not the batch interval-join analog of q97): clicks join
+    impressions of the same user at most ``max_delay_minutes`` earlier.
+    Both sides carry event-time WATERMARKS, which is what BOUNDS the
+    join state — Spark retains an impression only until
+    click-watermark > impression ts + delay, so state is
+    O(in-flight window), never O(stream); rows later than the
+    watermark are dropped deterministically (the same late-data
+    contract as the engine's windowed aggregations).
+    ``Trigger.AvailableNow`` drains the landing zones and stops —
+    each invocation is one idempotent, checkpointed tick.  Output
+    appends (user_id, click_id, impression_id, click_ts, imp_ts)
+    to ``out_path``."""
+    clicks = (
+        spark.readStream.schema(schema).format("json").load(clicks_dir)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    imps = (
+        spark.readStream.schema(schema).format("json")
+        .load(impressions_dir)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("impression_id"),
+            F.col("ts").alias("imp_ts"),
+        )
+    )
+    joined = clicks.join(
+        imps,
+        on=[
+            clicks.user_id == imps.user_id,
+            F.col("click_ts") >= F.col("imp_ts"),
+            F.col("click_ts")
+            <= F.col("imp_ts")
+            + F.expr(f"INTERVAL {int(max_delay_minutes)} MINUTES"),
+        ],
+    ).select(
+        clicks.user_id, "click_id", "impression_id", "click_ts", "imp_ts"
+    )
+    (
+        joined.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

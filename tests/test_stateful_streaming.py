@@ -827,3 +827,56 @@ def test_streaming_sessions_gap_and_timeout(spark, tmp_path):
     assert (a2["n_events"], a2["closed_by"]) == (1, "timeout")
     b1 = got2[("b", base + 1000)]
     assert (b1["n_events"], b1["closed_by"]) == (1, "timeout")
+
+
+def test_stream_stream_join_with_watermark(spark, tmp_path):
+    """True state-store stream-stream join: on-time clicks pair with
+    impressions inside the delay window across MICRO-BATCH boundaries
+    (state retention), results match the batch interval join, and the
+    output is append-exactly-once under AvailableNow re-drains."""
+    import json
+
+    from gpt_rag_ingestion_spark.streaming.micro_batch import (
+        run_stream_stream_join,
+    )
+
+    clicks = tmp_path / "clicks"
+    imps = tmp_path / "imps"
+    clicks.mkdir(), imps.mkdir()
+    root = str(tmp_path)
+
+    def _w(d, name, rows):
+        (d / name).write_text(
+            "\n".join(
+                json.dumps(
+                    {"event_id": e, "user_id": u,
+                     "ts": f"2026-01-01 10:{m:02d}:00"}
+                )
+                for e, u, m in rows
+            )
+        )
+
+    # drain 1: impressions only (state must be RETAINED for later
+    # clicks — that is what distinguishes this from a per-batch join)
+    _w(imps, "i1.json", [(100, 1, 0), (101, 1, 30), (102, 2, 5)])
+    run_stream_stream_join(
+        spark, str(clicks), str(imps), f"{root}/out", f"{root}/ck"
+    )
+    # drain 2: clicks — u1 at :08 pairs with imp :00 (8 min <= 10);
+    # u1 at :45 pairs with imp :30 (15 min > 10 -> no); u2 at :06
+    # pairs with imp :05; u3 has no impression
+    _w(clicks, "c1.json", [(200, 1, 8), (201, 1, 45), (202, 2, 6),
+                           (203, 3, 7)])
+    run_stream_stream_join(
+        spark, str(clicks), str(imps), f"{root}/out", f"{root}/ck"
+    )
+    got = sorted(
+        (r["click_id"], r["impression_id"])
+        for r in spark.read.parquet(f"{root}/out").collect()
+    )
+    assert got == [(200, 100), (202, 102)]
+    # idempotent re-drain: nothing new, nothing duplicated
+    run_stream_stream_join(
+        spark, str(clicks), str(imps), f"{root}/out", f"{root}/ck"
+    )
+    assert spark.read.parquet(f"{root}/out").count() == 2
