@@ -880,3 +880,50 @@ def test_stream_stream_join_with_watermark(spark, tmp_path):
         spark, str(clicks), str(imps), f"{root}/out", f"{root}/ck"
     )
     assert spark.read.parquet(f"{root}/out").count() == 2
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """The BUILT-IN streaming dedup (dropDuplicatesWithinWatermark) —
+    the state-store alternative to streaming_first_seen for the
+    at-least-once landing zones: duplicates arriving across
+    micro-batches inside the watermark window are dropped, and the
+    watermark BOUNDS the dedup state (keys older than it expire — the
+    documented contract that makes infinite streams feasible)."""
+    import json
+
+    land = tmp_path / "land"
+    land.mkdir()
+    root = str(tmp_path)
+
+    def _w(name, rows):
+        (land / name).write_text(
+            "\n".join(
+                json.dumps(
+                    {"k": k, "ts": f"2026-01-01 10:{m:02d}:00"}
+                )
+                for k, m in rows
+            )
+        )
+
+    def _drain():
+        (
+            spark.readStream.schema("k LONG, ts TIMESTAMP")
+            .format("json").load(str(land))
+            .withWatermark("ts", "30 minutes")
+            .dropDuplicatesWithinWatermark(["k"])
+            .writeStream.format("parquet")
+            .option("path", f"{root}/out")
+            .option("checkpointLocation", f"{root}/ck")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    _w("b1.json", [(1, 0), (2, 1), (1, 2)])  # in-batch dup of k=1
+    _drain()
+    # cross-batch dup of k=2 inside the watermark window: dropped
+    _w("b2.json", [(2, 5), (3, 6)])
+    _drain()
+    got = sorted(r["k"] for r in spark.read.parquet(f"{root}/out").collect())
+    assert got == [1, 2, 3]
