@@ -559,39 +559,24 @@ def run_stream_stream_join(
     watermark are dropped deterministically (the same late-data
     contract as the engine's windowed aggregations).
     ``Trigger.AvailableNow`` drains the landing zones and stops —
-    each invocation is one idempotent, checkpointed tick.  Output
-    appends (user_id, click_id, impression_id, click_ts, imp_ts)
-    to ``out_path``."""
+    each invocation is one idempotent, checkpointed tick (the
+    cross-tick state retention the test proves: an impression drained
+    in tick 1 pairs with a click in tick 2).  The join itself is
+    ``interval_join_streams`` — one definition for the batch oracle
+    (q97) and this runner.  Output appends (user_id, impression_id,
+    click_id, imp_ts, click_ts) to ``out_path``."""
+    wm = int("".join(ch for ch in watermark if ch.isdigit()))
     clicks = (
         spark.readStream.schema(schema).format("json").load(clicks_dir)
-        .withWatermark("ts", watermark)
-        .select(
-            F.col("user_id"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_ts"),
-        )
     )
     imps = (
         spark.readStream.schema(schema).format("json")
         .load(impressions_dir)
-        .withWatermark("ts", watermark)
-        .select(
-            F.col("user_id"),
-            F.col("event_id").alias("impression_id"),
-            F.col("ts").alias("imp_ts"),
-        )
     )
-    joined = clicks.join(
-        imps,
-        on=[
-            clicks.user_id == imps.user_id,
-            F.col("click_ts") >= F.col("imp_ts"),
-            F.col("click_ts")
-            <= F.col("imp_ts")
-            + F.expr(f"INTERVAL {int(max_delay_minutes)} MINUTES"),
-        ],
-    ).select(
-        clicks.user_id, "click_id", "impression_id", "click_ts", "imp_ts"
+    joined = interval_join_streams(
+        clicks, imps,
+        max_delay_minutes=int(max_delay_minutes),
+        watermark_minutes=wm,
     )
     (
         joined.writeStream.format("parquet")
