@@ -499,3 +499,75 @@ def test_partition_pruning_in_metadata_read(spark, tmp_path):
     S.snapshot_merge_upsert(spark, tbl3, withnull, partition_cols=["bucket"])
     got4 = S.snapshot_read_where(spark, tbl3, {"bucket": (0, 9)})
     assert got4.count() == 50  # NULL-bucket rows excluded
+
+
+# -- property: pruning is invisible to results, for ANY range ----------------
+
+_PTBL: dict = {}
+
+
+def _prop_table(spark, tmp_path_factory):
+    if "t" not in _PTBL:
+        tbl = str(tmp_path_factory.mktemp("skipprop") / "t")
+        S.snapshot_enable_stats(spark, tbl, cols=["v", "s"])
+        S.snapshot_merge_upsert(
+            spark, tbl, _clustered(spark, n=3000), partition_cols=["bucket"]
+        )
+        # a second generation + some DV deletes so the property spans
+        # multi-gen manifests and merge-on-read state
+        S.snapshot_merge_upsert(
+            spark, tbl,
+            spark.range(3000, 3400).select(
+                F.col("id").alias("parent_id"),
+                (F.col("id") % 4).cast("int").alias("bucket"),
+                (F.col("id") * 3).alias("v"),
+                F.lit("sx").alias("s"),
+            ),
+            partition_cols=["bucket"],
+        )
+        S.snapshot_delete_keys(
+            spark, tbl,
+            spark.range(0, 3400, 11).select(F.col("id").alias("parent_id")),
+            partition_cols=["bucket"], mode="dv",
+        )
+        _PTBL["t"] = tbl
+        _PTBL["full"] = S.read_snapshot_table(spark, tbl).cache()
+        _PTBL["full"].count()
+    return _PTBL["t"], _PTBL["full"]
+
+
+def test_pruned_read_equals_filter_property(spark, tmp_path_factory):
+    """For ANY conjunction of ranges over data, string, and partition
+    columns — open, empty, inverted, or out-of-domain — the pruned
+    read equals the plain filter over a multi-generation, DV-carrying
+    table.  hypothesis drives the ranges; pruning must be invisible."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    tbl, full = _prop_table(spark, tmp_path_factory)
+
+    bound = st.one_of(st.none(), st.integers(-1000, 12000))
+    sbound = st.one_of(st.none(), st.sampled_from(
+        ["", "s0", "s12", "s16", "s5", "sx", "zz"]
+    ))
+    pbound = st.one_of(st.none(), st.integers(-1, 5))
+
+    @settings(
+        max_examples=12, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(vlo=bound, vhi=bound, slo=sbound, shi=sbound,
+           plo=pbound, phi=pbound)
+    def _prop(vlo, vhi, slo, shi, plo, phi):
+        ranges = {"v": (vlo, vhi), "s": (slo, shi), "bucket": (plo, phi)}
+        got = S.snapshot_read_where(spark, tbl, ranges)
+        cond = F.lit(True)
+        for c, (lo, hi) in ranges.items():
+            if lo is not None:
+                cond = cond & (F.col(c) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(c) <= F.lit(hi))
+        want = full.filter(cond)
+        assert _rows(got) == _rows(want)
+
+    _prop()
