@@ -207,3 +207,45 @@ def test_dv_vacuum_and_guards(spark, tmp_path):
             spark.range(3).select(F.col("id").alias("parent_id")),
             mode="nope",
         )
+
+
+def test_dv_delete_crash_legs(spark, tmp_path, monkeypatch):
+    """A crash between the DV file write and the commit leaves the
+    table unchanged (orphan DV + pruned claim), the retried delete
+    succeeds, and once a later commit moves the pointer past the
+    orphan's generation, vacuum garbage-collects it."""
+    tbl = str(tmp_path / "t")
+    S.snapshot_merge_upsert(
+        spark, tbl, _df(spark), partition_cols=["bucket"]
+    )
+    before = _rows(S.read_snapshot_table(spark, tbl))
+    doomed = spark.range(0, 100).select(F.col("id").alias("parent_id"))
+
+    real_commit = S._commit
+
+    def crash_commit(*a, **kw):
+        raise RuntimeError("injected crash after DV write")
+
+    monkeypatch.setattr(S, "_commit", crash_commit)
+    with pytest.raises(RuntimeError, match="injected"):
+        S.snapshot_delete_keys(
+            spark, tbl, doomed, partition_cols=["bucket"], mode="dv"
+        )
+    monkeypatch.setattr(S, "_commit", real_commit)
+    # table unchanged; the orphan DV file exists but is unreferenced
+    assert _rows(S.read_snapshot_table(spark, tbl)) == before
+    fs, dvdir = S._hfs(spark, f"{tbl}/{S._DV_DIR}")
+    assert len(list(fs.listStatus(dvdir))) == 1  # the orphan
+
+    # retry succeeds (claim recovery prunes nothing here — the crash
+    # happened before the claim)
+    g = S.snapshot_delete_keys(
+        spark, tbl, doomed, partition_cols=["bucket"], mode="dv"
+    )
+    assert S.read_snapshot_table(spark, tbl).count() == 900
+    # orphan + live accumulations: once the pointer is at/past the
+    # orphan's generation, vacuum removes everything unreferenced
+    S.snapshot_vacuum(spark, tbl)
+    live = [st.getPath().getName() for st in fs.listStatus(dvdir)]
+    assert live == [S._read_manifest(spark, tbl, g)["dv"]]
+    assert S.read_snapshot_table(spark, tbl).count() == 900
