@@ -4575,6 +4575,44 @@ def q184_semantic_rerank(spark: SparkSession, sf: str) -> DataFrame:
     return semantic_rerank(index, l1, qdf, k=10)
 
 
+def q185_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """COHORT RETENTION — the product-analytics staple: users are
+    cohorted by their FIRST active week, and each (cohort, week
+    offset) cell counts how many came back, with the retention ratio
+    integer-quantized.  Weeks are integer epoch-weeks
+    (epoch-seconds div 86400 div 7) — no calendar/timezone trunc
+    semantics to diverge between engines.  Shape: one (user, week)
+    distinct, one per-user min, one join back, one grouped
+    count-distinct — every shuffle keyed by user or (cohort, offset);
+    the cohort-size join broadcasts."""
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        (
+            F.col("ts").cast("long") / F.lit(86400 * 7)
+        ).cast("long").alias("wk"),
+    ).distinct()
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    act = (
+        ev.join(first, on="user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias(
+            "week_offset"
+        ))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    sizes = first.groupBy("cohort_wk").agg(
+        F.countDistinct("user_id").alias("n_cohort")
+    )
+    return act.join(F.broadcast(sizes), on="cohort_wk").select(
+        F.col("cohort_wk").cast("long"),
+        F.col("week_offset").cast("long"),
+        F.col("n_active").cast("long"),
+        F.col("n_cohort").cast("long"),
+        F.expr(
+            "CAST(n_active AS BIGINT) * 1000000 div n_cohort"
+        ).alias("retention_q"),
+    )
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW and len(queries()) == 155 on every gate run.
@@ -4831,6 +4869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q182_filtered_search": q182_filtered_search,
         "q183_filtered_hybrid": q183_filtered_hybrid,
         "q184_semantic_rerank": q184_semantic_rerank,
+        "q185_cohort_retention": q185_cohort_retention,
     }
 
 
@@ -7504,6 +7543,31 @@ def oracle_sql() -> dict[str, str]:
               FROM fs)
             SELECT query_id, rank, doc, score_q
             FROM ranked WHERE rank <= 10
+        """,
+        "q185_cohort_retention": """
+            WITH uw AS (
+              SELECT DISTINCT user_id,
+                CAST(CAST(epoch(ts) AS BIGINT) // (86400 * 7) AS BIGINT)
+                  AS wk
+              FROM events),
+            first AS (
+              SELECT user_id, CAST(MIN(wk) AS BIGINT) AS cohort_wk
+              FROM uw GROUP BY user_id),
+            act AS (
+              SELECT f.cohort_wk,
+                     CAST(u.wk - f.cohort_wk AS BIGINT) AS week_offset,
+                     CAST(COUNT(DISTINCT u.user_id) AS BIGINT)
+                       AS n_active
+              FROM uw u JOIN first f USING (user_id)
+              GROUP BY 1, 2),
+            sizes AS (
+              SELECT cohort_wk,
+                     CAST(COUNT(*) AS BIGINT) AS n_cohort
+              FROM first GROUP BY cohort_wk)
+            SELECT a.cohort_wk, a.week_offset, a.n_active, s.n_cohort,
+                   CAST(a.n_active * 1000000 // s.n_cohort AS BIGINT)
+                     AS retention_q
+            FROM act a JOIN sizes s USING (cohort_wk)
         """,
         "q184_semantic_rerank": f"""
             WITH {_bm25_oracle_ctes()},
