@@ -4613,6 +4613,43 @@ def q185_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q186_stickiness(spark: SparkSession, sf: str) -> DataFrame:
+    """DAU / WAU STICKINESS — exact rolling distinct users, done
+    scale-right: COUNT(DISTINCT) does not compose over sliding
+    windows, so each (user, active-day) pair EXPLODES to the 7
+    trailing report days it contributes to (a bounded ×7 row
+    multiplication of an already-distinct compact pair set), and WAU
+    is then a plain per-day distinct count — exact, no window-over-
+    distinct, every shuffle on integer keys.  Days are integer epoch
+    days (no calendar trunc); stickiness = DAU * 1e6 div WAU; only
+    days with actual activity are reported."""
+    ud = _t(spark, sf, "events").select(
+        "user_id",
+        (F.col("ts").cast("long") / F.lit(86400)).cast("long").alias("d"),
+    ).distinct()
+    dau = ud.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.col("d") + F.lit(6))
+        ).alias("d"),
+    )
+    wau = contrib.groupBy("d").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, on="d")
+        .select(
+            F.col("d").cast("long").alias("day"),
+            F.col("dau").cast("long"),
+            F.col("wau").cast("long"),
+            F.expr("CAST(dau AS BIGINT) * 1000000 div wau").alias(
+                "stickiness_q"
+            ),
+        )
+    )
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW and len(queries()) == 155 on every gate run.
@@ -4870,6 +4907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q183_filtered_hybrid": q183_filtered_hybrid,
         "q184_semantic_rerank": q184_semantic_rerank,
         "q185_cohort_retention": q185_cohort_retention,
+        "q186_stickiness": q186_stickiness,
     }
 
 
@@ -7543,6 +7581,25 @@ def oracle_sql() -> dict[str, str]:
               FROM fs)
             SELECT query_id, rank, doc, score_q
             FROM ranked WHERE rank <= 10
+        """,
+        "q186_stickiness": """
+            WITH ud AS (
+              SELECT DISTINCT user_id,
+                CAST(CAST(epoch(ts) AS BIGINT) // 86400 AS BIGINT) AS d
+              FROM events),
+            dau AS (
+              SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+              FROM ud GROUP BY d),
+            contrib AS (
+              SELECT u.user_id, CAST(u.d + g.o AS BIGINT) AS d
+              FROM ud u, (SELECT UNNEST(generate_series(0, 6)) AS o) g),
+            wau AS (
+              SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+              FROM contrib GROUP BY d)
+            SELECT a.d AS day, a.dau, w.wau,
+                   CAST(a.dau * 1000000 // w.wau AS BIGINT)
+                     AS stickiness_q
+            FROM dau a JOIN wau w USING (d)
         """,
         "q185_cohort_retention": """
             WITH uw AS (
