@@ -4650,6 +4650,38 @@ def q186_stickiness(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q187_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """EVENT TRANSITION MATRIX (first-order Markov over per-user
+    event sequences) — the behavioral-model input: consecutive event
+    pairs via a per-user lag window (total (ts, event_id) ordering —
+    engine-identical sequences), pair counts, and the row-normalized
+    transition probability integer-quantized.  One user-keyed window
+    + one (from, to) aggregation; nothing global."""
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n").alias("row_total")
+    )
+    return pairs.join(F.broadcast(totals), on="from_type").select(
+        "from_type", "to_type", "n",
+        F.col("row_total").cast("long"),
+        F.expr("CAST(n AS BIGINT) * 1000000 div row_total").alias(
+            "p_q"
+        ),
+    )
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW and len(queries()) == 155 on every gate run.
@@ -4908,6 +4940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q184_semantic_rerank": q184_semantic_rerank,
         "q185_cohort_retention": q185_cohort_retention,
         "q186_stickiness": q186_stickiness,
+        "q187_event_transitions": q187_event_transitions,
     }
 
 
@@ -7581,6 +7614,24 @@ def oracle_sql() -> dict[str, str]:
               FROM fs)
             SELECT query_id, rank, doc, score_q
             FROM ranked WHERE rank <= 10
+        """,
+        "q187_event_transitions": """
+            WITH seq AS (
+              SELECT user_id, event_type,
+                lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS next_type
+              FROM events),
+            pairs AS (
+              SELECT event_type AS from_type, next_type AS to_type,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM seq WHERE next_type IS NOT NULL
+              GROUP BY 1, 2),
+            totals AS (
+              SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total
+              FROM pairs GROUP BY from_type)
+            SELECT p.from_type, p.to_type, p.n, t.row_total,
+                   CAST(p.n * 1000000 // t.row_total AS BIGINT) AS p_q
+            FROM pairs p JOIN totals t USING (from_type)
         """,
         "q186_stickiness": """
             WITH ud AS (
