@@ -4682,6 +4682,41 @@ def q187_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q188_rag_end_to_end(spark: SparkSession, sf: str) -> DataFrame:
+    """THE COMPOSED RAG PIPELINE IN ONE GATE QUERY — what a user of
+    the reference actually runs end to end: documents are CHUNKED
+    (the pure-codegen fixed splitter, q10's hot path), the inverted
+    index is built OVER THE CHUNKS, L1 BM25 retrieves the top-10
+    passages per query, and the L2 reranker returns the top-5 with
+    the parent document and chunk recovered from the composite id.
+    Ingestion transform → index build → retrieval → rerank, one
+    declarative plan, hash-checked against DuckDB recomputing the
+    identical chunking + scoring chain."""
+    from gpt_rag_ingestion_spark.operators.search import (
+        bm25_topk,
+        build_text_index,
+        semantic_rerank,
+    )
+
+    docs = _t(spark, sf, "documents")
+    chunks = chunk_fixed(docs, "text", size=200, overlap=40, min_len=1)
+    corpus = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).cast("long").alias(
+            "cid"
+        ),
+        F.col("content"),
+    )
+    index = build_text_index(corpus, text_col="content", id_col="cid")
+    qdf = _bm25_query_df(spark)
+    l1 = bm25_topk(index, qdf, k=10)
+    l2 = semantic_rerank(index, l1, qdf, k=5)
+    return l2.select(
+        "query_id", "rank", "doc", "sem_q",
+        F.expr("doc div 1000").alias("doc_id"),
+        F.expr("doc % 1000").alias("chunk_id"),
+    )
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW and len(queries()) == 155 on every gate run.
@@ -4941,6 +4976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q185_cohort_retention": q185_cohort_retention,
         "q186_stickiness": q186_stickiness,
         "q187_event_transitions": q187_event_transitions,
+        "q188_rag_end_to_end": q188_rag_end_to_end,
     }
 
 
@@ -7677,6 +7713,42 @@ def oracle_sql() -> dict[str, str]:
                      AS retention_q
             FROM act a JOIN sizes s USING (cohort_wk)
         """,
+        "q188_rag_end_to_end": f"""
+            WITH {{_bm25_oracle_ctes(CHUNK_CORPUS)}},
+            l1 AS (
+              SELECT query_id, doc, score_q,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY score_q DESC, doc ASC) AS l1rank
+              FROM scored),
+            sl AS (SELECT query_id, doc, l1rank FROM l1
+                   WHERE l1rank <= 10),
+            m AS (
+              SELECT s.query_id, s.doc,
+                     CAST(COUNT(*) AS BIGINT) AS nterms,
+                     CAST(SUM(p.tf) AS BIGINT) AS ttf
+              FROM sl s
+              JOIN (SELECT DISTINCT query_id, token FROM qs) q
+                ON q.query_id = s.query_id
+              JOIN postings p ON p.token = q.token AND p.doc = s.doc
+              GROUP BY s.query_id, s.doc),
+            sem AS (
+              SELECT s.query_id, s.doc, s.l1rank,
+                CAST(COALESCE(m.nterms, 0) * 1000000
+                     + LEAST(COALESCE(m.ttf, 0), 999999) AS BIGINT)
+                  AS sem_q
+              FROM sl s LEFT JOIN m
+                ON m.query_id = s.query_id AND m.doc = s.doc),
+            ranked AS (
+              SELECT query_id, doc, sem_q,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY sem_q DESC, l1rank ASC, doc ASC) AS rank
+              FROM sem)
+            SELECT query_id, rank, doc, sem_q,
+                   CAST(doc // 1000 AS BIGINT) AS doc_id,
+                   CAST(doc % 1000 AS BIGINT) AS chunk_id
+            FROM ranked WHERE rank <= 5
+        """.replace("{_bm25_oracle_ctes(CHUNK_CORPUS)}",
+                    _bm25_oracle_ctes('(SELECT d.doc_id * 1000 + CAST(s.i AS BIGINT) AS doc_id, substr(d.text, CAST(s.i AS INT) * 160 + 1, 200) AS text FROM documents d, unnest(range(0, greatest((length(d.text) - 1) // 160, 0) + 1)) AS s(i) WHERE length(substr(d.text, CAST(s.i AS INT) * 160 + 1, 200)) >= 1)')),
         "q184_semantic_rerank": f"""
             WITH {_bm25_oracle_ctes()},
             l1 AS (
