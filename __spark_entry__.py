@@ -4719,7 +4719,8 @@ def q188_rag_end_to_end(spark: SparkSession, sf: str) -> DataFrame:
 
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
-#: DRIVER_WINDOW and len(queries()) == 155 on every gate run.
+#: DRIVER_WINDOW (and that the registry/oracle counts match QUERIES.md)
+#: on every gate run.
 DRIVER_WINDOW = [
     "q01_pricing_summary",
     "q02_watermark_agg",
@@ -4738,62 +4739,62 @@ DRIVER_WINDOW = [
     "q60_merge_upsert",
     "q110_web_admission",
     "q144_giant_doc_parts",
-    "q149_zorder_key",
-    "q151_snapshot_merge",
-    "q152_bucketed_join",
-    "q153_lm_quality_buckets",
-    "q154_char_coverage",
-    "q155_bm25_topk",
-    "q156_hybrid_rrf",
-    "q157_text_index_lifecycle",
-    "q158_search_highlights",
-    "q159_phrase_search",
-    "q160_suggest_terms",
-    "q161_span_rollup",
-    "q162_char_collision",
-    "q115_shipping_priority",
-    "q116_returned_revenue",
-    "q117_order_count_histogram",
     "q108_pagerank",
-    "q121_triangle_count",
-    "q62_salted_agg",
-    "q66_tfidf_terms",
-    "q68_quality_filter",
-    "q69_source_cap",
-    "q72_time_rollup",
-    "q73_hash_sample",
-    "q74_pii_scrub",
-    "q75_curation_funnel",
-    "q77_repetition",
-    "q80_stream_dedup",
-    "q81_dup_spans",
-    "q82_corpus_freq",
-    "q83_group_profile",
-    "q85_mixture",
-    "q86_centroid_outliers",
+    "q130_funnel",
+    "q166_snapshot_changes",
+    "q168_cdf_view_maintenance",
+    "q170_snapshot_data_skipping",
+    "q171_snapshot_point_lookup",
+    "q173_partition_compaction",
+    "q174_deletion_vectors",
+    "q176_snapshot_restore",
+    "q163_fuzzy_search",
+    "q164_facet_counts",
+    "q165_multifield_bm25",
+    "q169_spell_suggest",
+    "q178_more_like_this",
+    "q182_filtered_search",
+    "q183_filtered_hybrid",
+    "q184_semantic_rerank",
+    "q172_retrieval_eval",
+    "q175_random_projection",
+    "q177_sketch_rerank",
+    "q185_cohort_retention",
+    "q186_stickiness",
+    "q187_event_transitions",
+    "q188_rag_end_to_end",
+    "q167_filtered_vector_search",
+    "q89_inverted_index",
+    "q97_interval_join",
+    "q99_rolling_hour_counts",
+    "q105_nfc_normalize",
+    "q119_event_pivot",
+    "q127_gap_fill",
+    "q134_revenue_share",
+    "q136_latest_per_key",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
     # FIRST 50 entries, which are pinned by the DRIVER_WINDOW constant
-    # below and asserted by scripts/check_oracle.py (r5 judge brief #2:
-    # a misplaced paste can no longer silently evict a window slot —
-    # the literal is also checked duplicate-free against the source).
-    # The window rotates each round (round-3 brief): 17 family anchors
-    # stay fixed — ingest/freshness/purge (q01-q06), chunking (q10),
-    # dedup (q15-q18), exact-ANN (q19), streaming (q24), ops
-    # (q38/q60), web admission (q110), giant-doc equivalence (q144) —
-    # while the remaining 33 slots burn down the never-driver-checked
-    # backlog.  This round (r6): the full round-5 family — search
-    # (q155-q160), LM gates (q153/q154/q162), snapshot sink + layout
-    # (q149/q151/q152), tracing (q161) — plus olap (q115-q117), graph
-    # (q108/q121), and 15 more never-checked text/corpus/stat ids
-    # (q62-q86 odds).  Rotated out (driver-green in r5, still checked
-    # by the full gate): q11, q13, q21, q29, q39, q41, q43, q46, q54,
-    # q57, q61, q63, q67, q71, q78, q84, q87, q90, q91, q92, q94, q95,
-    # q102, q109, q111, q114, q118, q125, q131, q135, q141, q142,
-    # q150.
+    # above and asserted by scripts/check_oracle.py (the literal is
+    # also checked duplicate-free against the source).  The window
+    # rotates each round: 17 family anchors stay fixed —
+    # ingest/freshness/purge (q01-q06), chunking (q10), dedup
+    # (q15-q18), exact-ANN (q19), streaming (q24), ops (q38/q60), web
+    # admission (q110), giant-doc equivalence (q144) — while the
+    # remaining 33 slots burn down the never-driver-checked backlog.
+    # This round (r7): q108 stays to prove the HUGEINT oracle fix;
+    # q130 joins for the identical latent fix; the whole round-6
+    # surface gets first driver rows — lakehouse (q166/q168/q170/
+    # q171/q173/q174/q176), search extensions (q163-q165/q169/q178/
+    # q182-q184), retrieval eval (q172), sketches (q175/q177),
+    # analytics + RAG (q185-q188), filtered vector search (q167) —
+    # plus 8 older never-checked ids (q89/q97/q99/q105/q119/q127/
+    # q134/q136).  Rotated out (driver-green in r6, still checked by
+    # the full gate): q115-q117, q121, q149, q151-q162, q62, q66,
+    # q68, q69, q72-q75, q77, q80-q83, q85, q86.
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q02_watermark_agg": q02_watermark_agg,
@@ -4812,6 +4813,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_merge_upsert": q60_merge_upsert,
         "q110_web_admission": q110_web_admission,
         "q144_giant_doc_parts": q144_giant_doc_parts,
+        "q108_pagerank": q108_pagerank,
+        "q130_funnel": q130_funnel,
+        "q166_snapshot_changes": q166_snapshot_changes,
+        "q168_cdf_view_maintenance": q168_cdf_view_maintenance,
+        "q170_snapshot_data_skipping": q170_snapshot_data_skipping,
+        "q171_snapshot_point_lookup": q171_snapshot_point_lookup,
+        "q173_partition_compaction": q173_partition_compaction,
+        "q174_deletion_vectors": q174_deletion_vectors,
+        "q176_snapshot_restore": q176_snapshot_restore,
+        "q163_fuzzy_search": q163_fuzzy_search,
+        "q164_facet_counts": q164_facet_counts,
+        "q165_multifield_bm25": q165_multifield_bm25,
+        "q169_spell_suggest": q169_spell_suggest,
+        "q178_more_like_this": q178_more_like_this,
+        "q182_filtered_search": q182_filtered_search,
+        "q183_filtered_hybrid": q183_filtered_hybrid,
+        "q184_semantic_rerank": q184_semantic_rerank,
+        "q172_retrieval_eval": q172_retrieval_eval,
+        "q175_random_projection": q175_random_projection,
+        "q177_sketch_rerank": q177_sketch_rerank,
+        "q185_cohort_retention": q185_cohort_retention,
+        "q186_stickiness": q186_stickiness,
+        "q187_event_transitions": q187_event_transitions,
+        "q188_rag_end_to_end": q188_rag_end_to_end,
+        "q167_filtered_vector_search": q167_filtered_vector_search,
+        "q89_inverted_index": q89_inverted_index,
+        "q97_interval_join": q97_interval_join,
+        "q99_rolling_hour_counts": q99_rolling_hour_counts,
+        "q105_nfc_normalize": q105_nfc_normalize,
+        "q119_event_pivot": q119_event_pivot,
+        "q127_gap_fill": q127_gap_fill,
+        "q134_revenue_share": q134_revenue_share,
+        "q136_latest_per_key": q136_latest_per_key,
+        # ---- end of the 50-slot driver window (DRIVER_WINDOW) ----
         "q149_zorder_key": q149_zorder_key,
         "q151_snapshot_merge": q151_snapshot_merge,
         "q152_bucketed_join": q152_bucketed_join,
@@ -4828,7 +4863,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_shipping_priority": q115_shipping_priority,
         "q116_returned_revenue": q116_returned_revenue,
         "q117_order_count_histogram": q117_order_count_histogram,
-        "q108_pagerank": q108_pagerank,
         "q121_triangle_count": q121_triangle_count,
         "q62_salted_agg": q62_salted_agg,
         "q66_tfidf_terms": q66_tfidf_terms,
@@ -4845,7 +4879,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_group_profile": q83_group_profile,
         "q85_mixture": q85_mixture,
         "q86_centroid_outliers": q86_centroid_outliers,
-        # ---- end of the 50-slot driver window (DRIVER_WINDOW) ----
         "q11_window_numbering": q11_window_numbering,
         "q13_log_retention": q13_log_retention,
         "q21_quality_scores": q21_quality_scores,
@@ -4923,60 +4956,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_multimodal_chunks": q52_multimodal_chunks,
         "q53_mixed_corpus": q53_mixed_corpus,
         "q79_semdedup": q79_semdedup,
-        "q89_inverted_index": q89_inverted_index,
         "q93_bpe_merges": q93_bpe_merges,
         "q96_cluster_keeper": q96_cluster_keeper,
-        "q97_interval_join": q97_interval_join,
         "q98_quality_percentile_gate": q98_quality_percentile_gate,
-        "q99_rolling_hour_counts": q99_rolling_hour_counts,
         "q101_corpus_health": q101_corpus_health,
         "q103_epoch_mixture": q103_epoch_mixture,
         "q104_incremental_rollup": q104_incremental_rollup,
-        "q105_nfc_normalize": q105_nfc_normalize,
         "q106_url_canonical": q106_url_canonical,
         "q107_bpe_segment": q107_bpe_segment,
         "q112_table_stats": q112_table_stats,
-        "q119_event_pivot": q119_event_pivot,
         "q120_collocations": q120_collocations,
         "q122_temporal_lookup": q122_temporal_lookup,
         "q123_grouped_correlation": q123_grouped_correlation,
         "q124_grouped_mode": q124_grouped_mode,
         "q126_winsorize": q126_winsorize,
-        "q127_gap_fill": q127_gap_fill,
         "q128_acl_visibility": q128_acl_visibility,
-        "q130_funnel": q130_funnel,
         "q132_mad_outliers": q132_mad_outliers,
         "q133_strip_accents": q133_strip_accents,
-        "q134_revenue_share": q134_revenue_share,
-        "q136_latest_per_key": q136_latest_per_key,
         "q137_dwell_times": q137_dwell_times,
         "q138_embedding_dim_stats": q138_embedding_dim_stats,
-        "q163_fuzzy_search": q163_fuzzy_search,
-        "q164_facet_counts": q164_facet_counts,
-        "q165_multifield_bm25": q165_multifield_bm25,
-        "q166_snapshot_changes": q166_snapshot_changes,
-        "q167_filtered_vector_search": q167_filtered_vector_search,
-        "q168_cdf_view_maintenance": q168_cdf_view_maintenance,
-        "q169_spell_suggest": q169_spell_suggest,
-        "q170_snapshot_data_skipping": q170_snapshot_data_skipping,
-        "q171_snapshot_point_lookup": q171_snapshot_point_lookup,
-        "q172_retrieval_eval": q172_retrieval_eval,
-        "q173_partition_compaction": q173_partition_compaction,
-        "q174_deletion_vectors": q174_deletion_vectors,
-        "q175_random_projection": q175_random_projection,
-        "q176_snapshot_restore": q176_snapshot_restore,
-        "q177_sketch_rerank": q177_sketch_rerank,
-        "q178_more_like_this": q178_more_like_this,
         "q179_waiting_suppliers": q179_waiting_suppliers,
         "q180_small_quantity_revenue": q180_small_quantity_revenue,
         "q181_idle_rich_customers": q181_idle_rich_customers,
-        "q182_filtered_search": q182_filtered_search,
-        "q183_filtered_hybrid": q183_filtered_hybrid,
-        "q184_semantic_rerank": q184_semantic_rerank,
-        "q185_cohort_retention": q185_cohort_retention,
-        "q186_stickiness": q186_stickiness,
-        "q187_event_transitions": q187_event_transitions,
-        "q188_rag_end_to_end": q188_rag_end_to_end,
     }
 
 
@@ -5062,8 +5063,12 @@ def _pagerank_sql(iters: int = 5) -> str:
         )
         # each CTE references only the previous one — the unrolled chain
         # mirrors the Spark loop exactly
+    # CAST: DuckDB promotes the SUM-derived ``r`` to HUGEINT, which a
+    # pandas-based canonicalizer coerces to float64 (hash-mismatch vs
+    # Spark's int64).  Values stay well under 2^63 — rank_q <= 1e12.
     return (
-        "WITH " + ",".join(ctes) + f" SELECT doc_id, r AS rank_q FROM r{iters}"
+        "WITH " + ",".join(ctes)
+        + f" SELECT doc_id, CAST(r AS BIGINT) AS rank_q FROM r{iters}"
     )
 
 
@@ -7044,7 +7049,7 @@ def oracle_sql() -> dict[str, str]:
                 min(CASE WHEN event_type = 'purchase'
                     THEN epoch_us(ts) END) AS t_buy
               FROM r GROUP BY user_id, session_seq)
-            SELECT user_id, session_seq,
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
               t_view IS NOT NULL AS s1_view,
               COALESCE(t_view IS NOT NULL AND t_click > t_view, false)
                 AS s2_click,

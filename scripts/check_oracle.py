@@ -91,6 +91,40 @@ def check_registry(entry_mod) -> None:
     )
 
 
+#: DuckDB output types the driver's pandas canonicalizer coerces to
+#: float64 (HUGEINT/UHUGEINT) or object/Decimal (DECIMAL) — either way
+#: the value hash diverges from Spark's int64/double even when the
+#: values are identical (r6 judge: q108/q130).  Same class-closing
+#: move as the non-scalar-column guard above.
+_BAD_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def check_oracle_types(con, oracles) -> list[str]:
+    """DESCRIBE every oracle (plans only — no execution) and reject
+    HUGEINT/UHUGEINT/DECIMAL output columns; DuckDB silently promotes
+    SUM(BIGINT)->HUGEINT and integer division keeps it, so any new
+    oracle with SUM-derived arithmetic can regress without this."""
+    bad = []
+    for name, sql in oracles.items():
+        try:
+            rows = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as e:
+            bad.append(f"{name}: DESCRIBE failed {type(e).__name__}: {str(e)[:200]}")
+            continue
+        for col, ctype, *_ in rows:
+            if any(t in ctype.upper() for t in _BAD_ORACLE_TYPES):
+                bad.append(
+                    f"{name}: column {col!r} is {ctype} — CAST it "
+                    "(driver canonicalizer coerces to float64/object)"
+                )
+    for line in bad:
+        print("ORACLE TYPE GUARD:", line)
+    if not bad:
+        print(f"oracle type guard: {len(oracles)} oracles DESCRIBEd, "
+              "no HUGEINT/UHUGEINT/DECIMAL outputs")
+    return bad
+
+
 def main(sf_dir: str, only: list[str] | None = None):
     from pyspark.sql import SparkSession
     import __spark_entry__ as entry_mod
@@ -114,6 +148,9 @@ def main(sf_dir: str, only: list[str] | None = None):
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    failures.extend(
+        name.split(":", 1)[0] for name in check_oracle_types(con, oracles)
+    )
     for name, fn in qs.items():
         if only and name not in only:
             continue
