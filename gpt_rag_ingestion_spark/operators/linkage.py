@@ -115,9 +115,14 @@ def fuzzy_join(
     treatment.  Pass an explicit int to skip the measurement.
     ``delvar_max_len=0`` forces the block-join path."""
     if max_distance in (1, 2) and delvar_max_len > 0:
-        lmax = left.agg(F.max(F.length(F.col(text_col)))).first()[0] or 0
-        rmax = right.agg(F.max(F.length(F.col(text_col)))).first()[0] or 0
-        if max(int(lmax), int(rmax)) <= delvar_max_len:
+        # ONE tiny job for both sides' max length (was two)
+        mx = (
+            left.select(F.length(F.col(text_col)).alias("_n"))
+            .unionAll(right.select(F.length(F.col(text_col)).alias("_n")))
+            .agg(F.max("_n"))
+            .first()[0]
+        ) or 0
+        if int(mx) <= delvar_max_len:
             def delvar(df: DataFrame, key: str) -> DataFrame:
                 # KEY-ONLY variant rows: (key, prefix, xxhash64(variant
                 # of the post-prefix suffix)).  The prefix rides as its
@@ -139,6 +144,13 @@ def fuzzy_join(
                         f"substring(lower({text_col}), {prefix_len + 1})"
                     ).alias("_sfx"),
                 )
+                # a small input often arrives as 1-3 scan partitions;
+                # the O(len²/2) variant unfold below is the CPU hot
+                # spot, so spread it across the cluster before the
+                # explode (round-robin on ~20-byte rows — cheap)
+                par = df.sparkSession.sparkContext.defaultParallelism
+                if base.rdd.getNumPartitions() < par:
+                    base = base.repartition(par)
                 return base.withColumn(
                     "_var",
                     F.explode(_deletion_variants("_sfx", max_distance)),
@@ -158,14 +170,23 @@ def fuzzy_join(
             rt = right.select(
                 F.col(right_key), F.lower(F.col(text_col)).alias("_t_r")
             )
-            cand = pairs.join(lt.hint("shuffle_hash"), left_key).join(
-                rt.hint("shuffle_hash"), right_key
-            )
+            # text attach: no join strategy forced — the (key, text)
+            # sides are a column-pruned scan of the inputs, so Catalyst
+            # auto-broadcasts them when small (the common case; the
+            # 1.9M-pair candidate set then never re-shuffles) and falls
+            # back to a shuffle join past the broadcast threshold (the
+            # 100 TB case).  Forcing shuffle_hash here cost two extra
+            # full-candidate shuffles at every scale.
+            cand = pairs.join(lt, left_key).join(rt, right_key)
             dist = F.levenshtein(F.col("_t_l"), F.col("_t_r"))
             return (
                 cand.withColumn("distance", dist)
                 .filter(F.col("distance") <= max_distance)
                 .select(left_key, right_key, "distance")
+                # duplicate input ROWS per key would multiply through
+                # the two attach joins (advisor r6) — pairs are already
+                # distinct, so this dedup is output-proportional
+                .dropDuplicates([left_key, right_key])
             )
 
     def blocked(df: DataFrame, key: str, side: str) -> DataFrame:

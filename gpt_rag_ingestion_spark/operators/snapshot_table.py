@@ -39,10 +39,22 @@ name carries a per-attempt token — two writers racing to gen N can
 never clobber each other's files — and (b) claims the generation by
 ATOMIC CREATE-EXCLUSIVE of its manifest (the optimistic-concurrency
 primitive Delta Lake uses on HDFS), then (c) re-checks the pointer
-still names the snapshot the merge was based on.  Exactly one racer
+still names the snapshot the merge was based on AND that the claim
+file is still byte-identical to its own write.  Exactly one racer
 commits; the others raise ``SnapshotWriteConflict`` (retry = re-run
 the merge against the new snapshot) and their orphan generation dirs
-are garbage for ``snapshot_vacuum``.  On S3 the pointer PUT is
+are garbage for ``snapshot_vacuum``.  Claims carry a LEASE
+(``CLAIM_LEASE_MS``): crash recovery never prunes a claim younger
+than the lease, so a slow-but-alive writer cannot lose its claim to
+an ordinary stall; aborted commits release their own claim
+immediately.  Residual (documented, not closed): a writer stalled
+mid-commit for LONGER than the lease can have its claim pruned and
+re-claimed — the ownership re-check in ``_commit`` then detects it
+at the pointer swap, except for a stall landing in the instant
+between that check and the rename.  Full serializability on a plain
+filesystem would need a coordination service; this contract is
+detect-and-abort with a lease-bounded race window.  On S3 the pointer
+PUT is
 last-writer-wins full-object — still atomic for readers, unlike
 multi-directory renames (exclusive-create needs a consistent store;
 on raw S3 swap in a conditional PUT / DynamoDB log, as Delta does).
@@ -149,21 +161,48 @@ def _commit_recover(spark, table_path: str) -> None:
         _fs_delete(spark, tmp)
 
 
-def _claim_recover(spark, table_path: str) -> None:
+#: Claim lease: ``_claim_recover`` never prunes a claim manifest
+#: younger than this (file mtime vs the JVM clock).  A slow-but-alive
+#: writer therefore keeps its claim for at least the lease; the cost
+#: is that a claim orphaned by a hard crash (SIGKILL between claim and
+#: pointer) blocks new commits of that generation for up to the lease
+#: (writers see ``SnapshotWriteConflict`` and retry later).  Aborts
+#: that raise (conflict, validation, injected failure) self-clean
+#: their claim in ``_commit`` and never wait out the lease.
+CLAIM_LEASE_MS = 10 * 60 * 1000
+
+
+def _now_ms(spark) -> int:
+    # the JVM clock, for comparability with HDFS/localFS mtimes that
+    # the same JVM stamps
+    return int(
+        spark.sparkContext._jvm.java.lang.System.currentTimeMillis()
+    )
+
+
+def _claim_recover(
+    spark, table_path: str, lease_ms: int | None = None
+) -> None:
     """Writer-start recovery of CRASHED CLAIMS: a manifest with gen >
     the committed pointer is a commit that died between its
     create-exclusive claim and the pointer swap.  Left in place it
     would block the next writer's claim of that generation forever, so
     prune it (the committed snapshot is untouched — the pointer never
-    moved).  Writers only; readers never mutate.  NOTE the residual
-    race this implies: if the 'crashed' claimant is actually alive and
-    mid-commit, its claim can be pruned and its commit lost — see the
-    module docstring's arbitration contract (detect-and-abort, not
-    full serializability, on plain filesystems)."""
+    moved) — but ONLY once it is older than ``CLAIM_LEASE_MS``: a
+    younger claim may belong to a writer that is alive and mid-commit,
+    and pruning it could let this writer re-claim the generation and
+    the slow writer later swap the pointer onto the wrong manifest
+    (lost commit).  With the lease, a live writer loses its claim only
+    if it stalls mid-commit for longer than the lease, and even then
+    ``_commit``'s claim-ownership re-verify narrows the damage window
+    to the instant before the pointer swap.  Writers only; readers
+    never mutate."""
     cur = _current_gen(spark, table_path)
     fs, mdir = _hfs(spark, f"{table_path}/_manifests")
     if not fs.exists(mdir):
         return
+    lease = CLAIM_LEASE_MS if lease_ms is None else lease_ms
+    now = _now_ms(spark)
     for st in fs.listStatus(mdir):
         name = st.getPath().getName()
         if not name.endswith(".json"):
@@ -172,7 +211,9 @@ def _claim_recover(spark, table_path: str) -> None:
             g = int(name[:-5])
         except ValueError:
             continue
-        if cur is None or g > cur:
+        if (cur is None or g > cur) and (
+            now - st.getModificationTime() > lease
+        ):
             fs.delete(st.getPath(), False)
 
 
@@ -379,20 +420,57 @@ def _commit(
     body = {"gen": gen, "partitions": partitions, "op": op}
     if extra:
         body.update(extra)
-    _write_text_exclusive(
-        spark,
-        _manifest_path(table_path, gen),
-        json.dumps(body, sort_keys=True),
-    )
-    actual = _current_gen(spark, table_path)
-    if actual != expected_cur:
-        raise SnapshotWriteConflict(
-            f"snapshot moved during merge: based on {expected_cur}, "
-            f"pointer now at {actual} ({table_path})"
-        )
+    body_json = json.dumps(body, sort_keys=True)
+    claimed = _manifest_path(table_path, gen)
+    _write_text_exclusive(spark, claimed, body_json)
     tmp = f"{table_path}/_current__tmp"
     cur = f"{table_path}/_current"
-    _write_text(spark, tmp, str(gen))
+    try:
+        actual = _current_gen(spark, table_path)
+        if actual != expected_cur:
+            raise SnapshotWriteConflict(
+                f"snapshot moved during merge: based on {expected_cur}, "
+                f"pointer now at {actual} ({table_path})"
+            )
+        # claim-ownership re-verify: if this writer stalled past
+        # CLAIM_LEASE_MS, recovery may have pruned its claim and a
+        # rival re-claimed the generation — swapping the pointer now
+        # would commit the RIVAL's manifest under this writer's name.
+        # The generation dir names inside ``partitions`` carry a
+        # per-attempt token, so byte-comparing the manifest proves
+        # ownership.  (A stall in the window between this read and
+        # the rename below is the residual race; the lease makes it
+        # require a >lease stall AND a hit on this one instant.)
+        if _read_text(spark, claimed) != body_json:
+            raise SnapshotWriteConflict(
+                f"claim for generation {gen} was pruned after a "
+                f">{CLAIM_LEASE_MS} ms stall and re-claimed by another "
+                f"writer ({table_path}); retry the merge"
+            )
+        _write_text(spark, tmp, str(gen))
+    except BaseException:
+        # Abort BEFORE the commit's atomic point (a fully written tmp
+        # pointer): release the claim so the table is immediately
+        # writable instead of blocked for the lease — but only if the
+        # claim is still OURS (never delete a rival's manifest).
+        # Best-effort: a failure here leaves an orphan for the lease
+        # path.
+        try:
+            if _read_text(spark, claimed) == body_json:
+                _fs_delete(spark, claimed)
+        except Exception:
+            pass
+        try:
+            # our tmp only — full ("57") or truncated ("5") writes of
+            # str(gen) are prefixes; a rival's valid pointer mid-swap
+            # names a different gen and is left alone
+            if _fs_exists(spark, tmp):
+                t = _read_text(spark, tmp).strip()
+                if str(gen).startswith(t):
+                    _fs_delete(spark, tmp)
+        except Exception:
+            pass
+        raise
     _fs_delete(spark, cur)
     _fs_rename(spark, tmp, cur)
 

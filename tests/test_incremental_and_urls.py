@@ -594,3 +594,24 @@ def test_fuzzy_join_delvar_equals_block_path(spark):
     longl = left.selectExpr("lk", "repeat(name, 12) AS name")
     longr = right.selectExpr("rk", "repeat(name, 12) AS name")
     assert fuzzy_join(longl, longr, "lk", "rk").count() >= 0
+
+
+def test_fuzzy_join_duplicate_input_rows_dedup(spark):
+    """Advisor r6: duplicate input ROWS per key used to multiply
+    through the two text-attach joins on the deletion-variant path.
+    The terminal dropDuplicates must emit one row per (lk, rk) pair
+    regardless of input row duplication."""
+    from gpt_rag_ingestion_spark.operators.linkage import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "jonathan smith")] * 3 + [(2, "alice jones")],
+        "lk long, name string",
+    )
+    right = spark.createDataFrame(
+        [(10, "jonathon smith")] * 2 + [(11, "alice  jones")],
+        "rk long, name string",
+    )
+    rows = fuzzy_join(left, right, "lk", "rk").collect()
+    pairs = [(r["lk"], r["rk"]) for r in rows]
+    assert sorted(pairs) == [(1, 10), (2, 11)]  # no multiplicity
+    assert all(r["distance"] == 1 for r in rows)
