@@ -24,6 +24,7 @@ def run_purge_job(
     key: str = "parent_id",
     partition_cols: list[str] | None = None,
     text_index_path: str | None = None,
+    text_index_id_col: str | None = None,
 ) -> dict:
     """Delete chunks whose ``key`` no longer exists in ``live_source``.
     Returns the purger counters (A6): parents before/after, docs
@@ -36,10 +37,25 @@ def run_purge_job(
     ``text_index_path``: the reference purger ALSO deletes the
     vanished parents from the search index (blob_storage_indexer.py's
     purger drives aisearch delete_documents); pass the persisted text
-    index maintained by the web-corpus/ingest job and the same target
-    key-set is tombstoned there in one extra generation commit
-    (``text_index_delete``), with the counter-trigger folding them
-    later."""
+    index and the doomed docs are tombstoned there in one extra
+    generation commit (``text_index_delete``), with the
+    counter-trigger folding them later.
+
+    ``text_index_id_col`` selects HOW the index is keyed (advisor r6:
+    the two pairings use different doc ids, and tombstoning by the
+    wrong one either aborts the job or silently leaves purged chunks
+    searchable):
+
+    - ``None`` (default): the index's doc ids ARE the table ``key``
+      (the parent-keyed index ``text_index_build(id_col=key)``
+      produces — the pairing ``test_purge_job_tombstones_text_index``
+      covers).
+    - a column name (e.g. ``"id"``): the index is keyed by
+      ``xxhash64(<col>)`` CHUNK surrogates, the convention
+      ``run_ingest_job``'s maintained index uses — targets are
+      resolved to doc ids by semi-joining the chunks table on ``key``
+      and hashing that column, so every chunk of a purged parent is
+      tombstoned."""
     index = spark.read.parquet(table_path)
     docs_before = index.count()
     parents_before = index.select(key).distinct().count()
@@ -67,8 +83,19 @@ def run_purge_job(
                 text_index_maybe_compact,
             )
 
+            if text_index_id_col is None:
+                doomed_docs, idc = targets, key
+            else:
+                # chunk-surrogate index (run_ingest_job's convention):
+                # doomed parents -> their chunks' xxhash64(id) doc ids
+                doomed_docs = index.join(
+                    targets, on=key, how="left_semi"
+                ).select(
+                    F.xxhash64(F.col(text_index_id_col)).alias("chunk_doc")
+                )
+                idc = "chunk_doc"
             out = text_index_delete(
-                spark, text_index_path, targets, "purge", id_col=key
+                spark, text_index_path, doomed_docs, "purge", id_col=idc
             )
             index_tombstoned = out["tombstoned"]
             text_index_maybe_compact(spark, text_index_path)

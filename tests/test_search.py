@@ -937,3 +937,63 @@ def test_semantic_rerank(spark):
     order = [r["doc"] for r in out]
     assert order[0] == 2 and order[1] == 1  # coverage beats stuffing
     assert 3 not in order  # outside the L1 shortlist
+
+
+def test_purge_job_tombstones_chunk_surrogate_index(spark, tmp_path):
+    """Advisor r6 (medium): the ingest-job-maintained index is keyed
+    by xxhash64(chunk id) surrogates, NOT by parent_id — purging with
+    the default key-based tombstones would abort on string parents (or
+    silently tombstone nothing).  text_index_id_col='id' resolves
+    doomed parents to their chunks' surrogate doc ids, so purged
+    chunks stop being searchable and survivors still match."""
+    from gpt_rag_ingestion_spark.operators import search as X
+    from gpt_rag_ingestion_spark.plans.ingest_job import run_ingest_job
+    from gpt_rag_ingestion_spark.plans.purge_job import run_purge_job
+
+    table = str(tmp_path / "chunks")
+    idx = str(tmp_path / "tindex")
+
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    listing = spark.createDataFrame(
+        [("a", "cat dog cat " * 30, t0), ("b", "fish stone " * 40, t0),
+         ("c", "tree bird tree " * 25, t0)],
+        "doc_key string, text string, last_modified timestamp",
+    )
+    run_ingest_job(
+        spark, listing, table, "r1", max_tokens=16, overlap=2,
+        min_tokens=2, text_index_path=idx,
+    )
+    n_a = spark.read.parquet(table).filter("parent_id = 'a'").count()
+    assert n_a > 1  # multi-chunk parent: surrogate mapping matters
+
+    # parent 'a' vanishes from the live source
+    live = spark.createDataFrame([("b",), ("c",)], "parent_id string")
+    out = run_purge_job(
+        spark, table, live, key="parent_id",
+        text_index_path=idx, text_index_id_col="id",
+    )
+    assert out["parentsPurged"] == 1
+    assert out["searchIndexTombstoned"] == n_a  # every chunk of 'a'
+
+    # the index now answers exactly a fresh build over the survivors
+    q = spark.createDataFrame(
+        [("q1", ["cat", "dog"]), ("q2", ["fish"]), ("q3", ["tree"])],
+        "query_id string, terms array<string>",
+    )
+    got = sorted(
+        tuple(r) for r in X.text_index_query(spark, idx, q, k=10).collect()
+    )
+    fresh = X.build_text_index(
+        spark.read.parquet(table).select(
+            F.xxhash64(F.col("id")).alias("chunk_doc"),
+            F.col("content").alias("text"),
+        ),
+        text_col="text", id_col="chunk_doc",
+    )
+    want = sorted(
+        tuple(r) for r in X.bm25_topk(fresh, q, k=10).collect()
+    )
+    assert got == want
+    assert not any(r[0] == "q1" for r in got)  # only 'a' had cat/dog
