@@ -734,6 +734,21 @@ def snapshot_delete_keys(
             merged.setdefault(r["__f"], set()).update(
                 int(x) for x in r["ps"]
             )
+        # the bound holds for the ACCUMULATED map, not just this
+        # call's increment (advisor r6): every reader collects and
+        # broadcasts the whole merged DV, so repeated small DV deletes
+        # must not creep past the contract — compaction (OPTIMIZE /
+        # snapshot_compact_partitions) physically drops the rows and
+        # resets the map
+        total = sum(len(s) for s in merged.values())
+        if total > max_dv_rows:
+            raise ValueError(
+                f"accumulated deletion vectors would reach {total} rows "
+                f"(> max_dv_rows={max_dv_rows}) after this delete; "
+                "compact the table (snapshot_optimize / "
+                "snapshot_compact_partitions) to fold the DVs into a "
+                "rewrite, or use mode='rewrite' for this delete"
+            )
         name = _write_dv(spark, table_path, gen, merged)
         _commit(
             spark, table_path, gen, dict(manifest["partitions"]),

@@ -249,3 +249,48 @@ def test_dv_delete_crash_legs(spark, tmp_path, monkeypatch):
     live = [st.getPath().getName() for st in fs.listStatus(dvdir)]
     assert live == [S._read_manifest(spark, tbl, g)["dv"]]
     assert S.read_snapshot_table(spark, tbl).count() == 900
+
+
+def test_dv_accumulated_map_bounded(spark, tmp_path):
+    """Advisor r6 (low): max_dv_rows must bound the MERGED DV map —
+    the thing every reader collects and broadcasts — not just one
+    call's increment.  Repeated small DV deletes fail fast once the
+    accumulated map would cross the bound, with compaction advised;
+    after compaction the map resets and DV deletes work again."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from gpt_rag_ingestion_spark.operators import snapshot_table as S
+
+    snap = str(tmp_path / "snap")
+    df = spark.range(0, 300).select(
+        F.col("id").alias("parent_id"),
+        (F.col("id") % 4).alias("bucket"),
+        (F.col("id") * 3).alias("v"),
+    )
+    S.snapshot_merge_upsert(spark, snap, df, partition_cols=["bucket"])
+
+    def doom(lo, hi):
+        return spark.range(lo, hi).select(F.col("id").alias("parent_id"))
+
+    # two small deletes fit; the third would push the MERGED map past
+    # the bound even though its own increment is tiny
+    S.snapshot_delete_keys(
+        spark, snap, doom(0, 40), mode="dv", max_dv_rows=100
+    )
+    S.snapshot_delete_keys(
+        spark, snap, doom(40, 80), mode="dv", max_dv_rows=100
+    )
+    with pytest.raises(ValueError, match="accumulated deletion vectors"):
+        S.snapshot_delete_keys(
+            spark, snap, doom(80, 120), mode="dv", max_dv_rows=100
+        )
+    # table state untouched by the refused delete
+    assert S.read_snapshot_table(spark, snap).count() == 300 - 80
+
+    # compaction folds the DVs into a rewrite; DV deletes resume
+    S.snapshot_optimize(spark, snap, partition_cols=["bucket"])
+    S.snapshot_delete_keys(
+        spark, snap, doom(80, 120), mode="dv", max_dv_rows=100
+    )
+    assert S.read_snapshot_table(spark, snap).count() == 300 - 120
