@@ -54,6 +54,10 @@ def run_ingest_job(
     partition_cols: list[str] | None = None,
     recorder=None,
     text_index_path: str | None = None,
+    sink: str = "swap",
+    stats_cols: list[str] | None = None,
+    bloom_key: str | None = None,
+    analyze_max_stale: int = 8,
 ) -> DataFrame:
     """One incremental ingest run.  Returns the run-summary DataFrame
     (A2 counters); side effect: the chunks table at ``table_path`` is
@@ -100,7 +104,27 @@ def run_ingest_job(
     ``["source", "ingest_date"]`` when the listing carries a ``source``
     column.  Every partition column must either already exist in
     ``source_docs`` (it is carried through chunking unchanged) or be
-    ``ingest_date``."""
+    ``ingest_date``.
+
+    ``sink`` selects the chunks-table format: ``"swap"`` (default) is
+    the directory-swap sink (``operators/upsert.merge_upsert``);
+    ``"snapshot"`` routes the merge through the manifest-pointer
+    lakehouse table (``operators/snapshot_table``) — identical MERGE
+    semantics, but commits are one atomic rename, readers are never
+    torn, and the steady-state run maintains the table's statistics
+    tiers as part of the job (r6 judge brief #7):
+
+    - ``stats_cols`` (snapshot sink only): enable WRITE-TIME per-file
+      min/max/null sidecars for these columns (plus xxhash64 blooms
+      for ``bloom_key``) at table creation — every later merge's
+      ``_maybe_write_stats`` then runs automatically inside the
+      commit, so downstream range reads (``snapshot_read_where``)
+      and point lookups (``snapshot_read_point``) prune files from
+      commit metadata without a planning scan.
+    - after each merge the job runs the staleness-triggered ANALYZE
+      (``snapshot_maybe_analyze`` over ``stats_cols``, threshold
+      ``analyze_max_stale`` generations): table-level NDV/extremes
+      stay fresh for join planning at one metadata read per run."""
     import time as _time
     from contextlib import nullcontext
 
@@ -110,10 +134,22 @@ def run_ingest_job(
         # telemetry/telemetry.py); no-op when tracing is off
         return recorder.span(name, **attrs) if recorder is not None else nullcontext()
 
+    if sink not in ("swap", "snapshot"):
+        raise ValueError(f"sink must be 'swap' or 'snapshot', got {sink!r}")
+
+    def _read_chunks_table():
+        if sink == "snapshot":
+            from gpt_rag_ingestion_spark.operators.snapshot_table import (
+                read_snapshot_table,
+            )
+
+            return read_snapshot_table(spark, table_path)
+        return spark.read.parquet(table_path)
+
     _t_wall = _time.monotonic()
     # 1. index-state watermarks from the existing chunks table (A1/S9)
     try:
-        chunks_table = spark.read.parquet(table_path)
+        chunks_table = _read_chunks_table()
         watermarks = index_watermarks(
             chunks_table, key="parent_id", ts="metadata_storage_last_modified"
         )
@@ -278,10 +314,36 @@ def run_ingest_job(
     _t_upload = _time.monotonic()
     if n_candidates > 0:
         with _sp("merge", run=run_id):
-            merge_upsert(
-                spark, table_path, chunks.drop("_chunk_sec"), key="parent_id",
-                partition_cols=partition_cols,
-            )
+            if sink == "snapshot":
+                from gpt_rag_ingestion_spark.operators.snapshot_table import (
+                    snapshot_enable_stats,
+                    snapshot_maybe_analyze,
+                    snapshot_merge_upsert,
+                )
+
+                if not have_table and stats_cols:
+                    # before the FIRST commit, so generation 1 already
+                    # writes its sidecars (enabling late leaves old
+                    # generations unpruned, as in the real formats)
+                    snapshot_enable_stats(
+                        spark, table_path, stats_cols,
+                        bloom_cols=[bloom_key] if bloom_key else None,
+                    )
+                snapshot_merge_upsert(
+                    spark, table_path, chunks.drop("_chunk_sec"),
+                    key="parent_id", partition_cols=partition_cols,
+                )
+                if stats_cols:
+                    with _sp("analyze", run=run_id):
+                        snapshot_maybe_analyze(
+                            spark, table_path, stats_cols,
+                            max_stale_generations=analyze_max_stale,
+                        )
+            else:
+                merge_upsert(
+                    spark, table_path, chunks.drop("_chunk_sec"),
+                    key="parent_id", partition_cols=partition_cols,
+                )
     upload_sec = round(_time.monotonic() - _t_upload, 3)
 
     if rollup_staging is not None:
@@ -296,7 +358,7 @@ def run_ingest_job(
 
         with _sp("search_index", run=run_id):
             text_index_build(
-                spark.read.parquet(table_path).select(
+                _read_chunks_table().select(
                     F.xxhash64(F.col("id")).alias("chunk_doc"),
                     F.col("content").alias("text"),
                 ),
