@@ -4717,6 +4717,277 @@ def q188_rag_end_to_end(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _rev_cc():
+    """Integer-exact lineitem revenue in CENTI-CENTS: cents × (100 -
+    discount%), both factors integral, so sums are engine-independent
+    BIGINTs (oracles CAST the DuckDB HUGEINT promotion back down).
+    A function, not a module constant — Column construction needs an
+    active SparkContext."""
+    return (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+
+
+def q189_order_priority_check(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking) — the correlated
+    EXISTS (a lineitem shipped late for ITS order) decorrelated into a
+    LEFT SEMI join carrying the correlation as a join condition; this
+    dataset has no receipt/commit dates, so 'late' is l_shipdate >
+    o_orderdate + 60 days (the q179/Q21 lateness convention).  The
+    orders window filter is pushed into the parquet scan; the semi
+    join shuffles only (orderkey, shipdate) pairs."""
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def q190_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): share of one month's
+    revenue from PROMO-type parts.  Part dimension broadcasts; the
+    fractional percentage is integer-exact per-mille arithmetic
+    (100000 × promo div total) over centi-cent sums."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01"))
+    ).select("l_partkey", _rev_cc().alias("rev_cc"))
+    part = _t(spark, sf, "part").select("p_partkey", "p_type")
+    j = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    )
+    return j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_cc")).otherwise(0))
+        .cast("long").alias("promo_cc"),
+        F.sum("rev_cc").cast("long").alias("total_cc"),
+    ).select(
+        "promo_cc", "total_cc",
+        F.expr("(100000 * promo_cc) div total_cc").alias("promo_permille"),
+    )
+
+
+def q191_late_shipment_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / order priority): per lateness
+    bucket (no shipmode column here — late = shipped > 45 days after
+    order date, the dataset's lateness convention), how many HIGH-
+    priority (1-URGENT/2-HIGH) vs LOW-priority lineitems shipped in
+    1997.  One broadcast-free equi join (orders projected to two
+    columns), conditional counts — the Q12 CASE-inside-SUM shape."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    bucket = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"),
+        F.lit("late"),
+    ).otherwise(F.lit("ontime"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(bucket.alias("ship_bucket")).agg(
+        F.sum(high.cast("long")).cast("long").alias("high_line_count"),
+        F.sum((~high).cast("long")).cast("long").alias("low_line_count"),
+    )
+
+
+def q192_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    quantity exceeds 300, with their customer — the GROUP BY ...
+    HAVING subquery becomes a pre-aggregated per-order profile
+    SEMI-joined back (qualifying keys are few, so the semi side
+    broadcasts), top-100 by quantity with a total orderkey
+    tie-break."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", F.round("l_quantity").cast("long").alias("qty")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.col("o_orderdate"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias(
+                "total_cents"
+            ),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q193_bracket_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, OR-of-brackets): revenue
+    of lineitems matching any of three (brand, size range, quantity
+    range) brackets — the classic join-with-disjunctive-predicate
+    plan: part broadcasts, the OR evaluates INSIDE the join's codegen
+    stage, never as three scans (this dataset has no
+    container/shipmode, so brackets use p_size)."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey",
+        F.round("l_quantity").cast("long").alias("qty"),
+        _rev_cc().alias("rev_cc"),
+    )
+    part = _t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b = (
+        ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 10)
+         & F.col("qty").between(1, 15))
+        | ((F.col("p_brand") == "Brand#7") & F.col("p_size").between(5, 20)
+           & F.col("qty").between(10, 25))
+        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(15, 40)
+           & F.col("qty").between(20, 35))
+    )
+    return j.filter(b).agg(
+        F.sum("rev_cc").cast("long").alias("revenue_cc"),
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+    )
+
+
+def q194_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): revenue
+    flowing supplier-nation → customer-nation for the (NATION_1,
+    NATION_2) pair in either direction, per ship year.  Both nation
+    dimensions broadcast; the pair filter applies post-join inside
+    codegen; centi-cent sums."""
+    nation = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select(
+        "l_orderkey", "l_suppkey",
+        F.year("l_shipdate").alias("l_year"),
+        _rev_cc().alias("rev_cc"),
+    )
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    sn = F.broadcast(nation.withColumnRenamed("n_name", "supp_nation"))
+    cn = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("cn_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(sn, supp.s_nationkey == sn.n_nationkey)
+        .join(cn, cust.c_nationkey == cn.cn_key)
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return j.filter(pair).groupBy(
+        "supp_nation", "cust_nation", "l_year"
+    ).agg(F.sum("rev_cc").cast("long").alias("revenue_cc"))
+
+
+def q195_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_3's share of
+    ASIA-region supplier revenue per order year — the
+    fraction-of-group aggregate computed as conditional-sum /
+    total-sum per year, integer per-mille (no window needed: one
+    grouped aggregation carries both sums)."""
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", _rev_cc().alias("rev_cc")
+    )
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    # market = ASIA customers (nation→region), share side = NATION_3
+    # suppliers
+    asia_nations = F.broadcast(
+        nation.join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+            "left_semi",
+        ).select(F.col("n_nationkey").alias("an_key"))
+    )
+    sn = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(asia_nations, cust.c_nationkey == F.col("an_key"), "left_semi")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(sn, supp.s_nationkey == F.col("sn_key"))
+    )
+    return (
+        j.groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("rev_cc"))
+                .otherwise(0)
+            ).cast("long").alias("nation_cc"),
+            F.sum("rev_cc").cast("long").alias("total_cc"),
+        )
+        .select(
+            "o_year", "nation_cc", "total_cc",
+            F.expr("(100000 * nation_cc) div total_cc").alias(
+                "share_permille"
+            ),
+        )
+    )
+
+
+def q196_banded_discount_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): pure scan-filter-
+    aggregate — 1997 lineitems with discount in the 5-7% band and
+    quantity < 24; the whole predicate must push into the parquet
+    scan (asserted in PLANS.md) and the revenue here is
+    extendedprice × discount in centi-cents (the 'what would we lose'
+    aggregate), one codegen stage, no join at all."""
+    li = _t(spark, sf, "lineitem")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * disc_pct
+            ).cast("long").alias("discount_cc"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+    )
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW (and that the registry/oracle counts match QUERIES.md)
@@ -4978,6 +5249,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_waiting_suppliers": q179_waiting_suppliers,
         "q180_small_quantity_revenue": q180_small_quantity_revenue,
         "q181_idle_rich_customers": q181_idle_rich_customers,
+        "q189_order_priority_check": q189_order_priority_check,
+        "q190_promo_revenue": q190_promo_revenue,
+        "q191_late_shipment_priority": q191_late_shipment_priority,
+        "q192_large_orders": q192_large_orders,
+        "q193_bracket_revenue": q193_bracket_revenue,
+        "q194_volume_shipping": q194_volume_shipping,
+        "q195_market_share": q195_market_share,
+        "q196_banded_discount_revenue": q196_banded_discount_revenue,
     }
 
 
@@ -8245,5 +8524,144 @@ def oracle_sql() -> dict[str, str]:
               FROM total)
             SELECT query_id, rank, doc, score_q
             FROM ranked WHERE rank <= 10
+        """,
+        "q189_order_priority_check": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-04-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "q190_promo_revenue": """
+            WITH j AS (
+              SELECT p.p_type,
+                CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                AS rev_cc
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+                AND l.l_shipdate < TIMESTAMP '1997-10-01'),
+            s AS (
+              SELECT
+                CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_cc
+                         ELSE 0 END) AS BIGINT) AS promo_cc,
+                CAST(SUM(rev_cc) AS BIGINT) AS total_cc
+              FROM j)
+            SELECT promo_cc, total_cc,
+              CAST((100000 * promo_cc) // total_cc AS BIGINT)
+                AS promo_permille
+            FROM s
+        """,
+        "q191_late_shipment_priority": """
+            SELECT
+              CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+                   THEN 'late' ELSE 'ontime' END AS ship_bucket,
+              CAST(SUM(CASE WHEN o.o_orderpriority IN
+                ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+                AS high_line_count,
+              CAST(SUM(CASE WHEN o.o_orderpriority NOT IN
+                ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+                AS low_line_count
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        """,
+        "q192_large_orders": """
+            WITH big AS (
+              SELECT l_orderkey,
+                CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                  AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 300)
+            SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+              CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+              b.total_qty
+            FROM orders o
+            JOIN big b ON o.o_orderkey = b.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY b.total_qty DESC, o.o_orderkey ASC
+            LIMIT 100
+        """,
+        "q193_bracket_revenue": """
+            SELECT
+              CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_cc,
+              COUNT(*) AS n_lineitems
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE
+              (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 10
+               AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 1 AND 15)
+              OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 5 AND 20
+               AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 10 AND 25)
+              OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 15 AND 40
+               AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 20 AND 35)
+        """,
+        "q194_volume_shipping": """
+            WITH j AS (
+              SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                CAST(year(l.l_shipdate) AS INT) AS l_year,
+                CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                AS rev_cc
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+              JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+              WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l.l_shipdate < TIMESTAMP '1998-01-01')
+            SELECT supp_nation, cust_nation, l_year,
+              CAST(SUM(rev_cc) AS BIGINT) AS revenue_cc
+            FROM j
+            WHERE (supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')
+               OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1')
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "q195_market_share": """
+            WITH j AS (
+              SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+                ns.n_name AS supp_nation,
+                CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                AS rev_cc
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation na ON c.c_nationkey = na.n_nationkey
+              JOIN region r ON na.n_regionkey = r.r_regionkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+              WHERE r.r_name = 'ASIA'
+                AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o.o_orderdate < TIMESTAMP '1998-01-01'),
+            s AS (
+              SELECT o_year,
+                CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                         THEN rev_cc ELSE 0 END) AS BIGINT) AS nation_cc,
+                CAST(SUM(rev_cc) AS BIGINT) AS total_cc
+              FROM j GROUP BY o_year)
+            SELECT o_year, nation_cc, total_cc,
+              CAST((100000 * nation_cc) // total_cc AS BIGINT)
+                AS share_permille
+            FROM s
+        """,
+        "q196_banded_discount_revenue": """
+            SELECT
+              CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+                AS discount_cc,
+              COUNT(*) AS n_lineitems
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
         """,
     }
