@@ -4988,6 +4988,158 @@ def q196_banded_discount_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q197_snapshot_clone(spark: SparkSession, sf: str) -> DataFrame:
+    """SHALLOW CLONE as experiment branching (Delta CREATE TABLE ...
+    SHALLOW CLONE): the orders snapshot is cloned with ZERO data
+    copied (the clone's manifest references the source's generation
+    dirs by absolute path), a candidate curation policy (drop every
+    third order) is applied ON THE BRANCH, and a divergent source
+    merge proves isolation both ways.  Output: per (side, status)
+    counts and cent-sums of both tables — the oracle recomputes each
+    side's closed form, so the hash proves the branch saw the policy,
+    the source didn't, and neither leaked into the other."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        read_snapshot_table,
+        snapshot_clone,
+        snapshot_delete_keys,
+        snapshot_merge_upsert,
+    )
+
+    orders = _t(spark, sf, "orders")
+    rows = orders.select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 8).cast("int").alias("bucket"),
+    )
+    base = tempfile.mkdtemp(prefix="q197-clone-")
+    src, cln = f"{base}/src", f"{base}/cln"
+    snapshot_merge_upsert(
+        spark, src, rows, key="o_orderkey", partition_cols=["bucket"]
+    )
+    snapshot_clone(spark, src, cln)
+    # branch policy: suppress every third order on the CLONE only
+    snapshot_delete_keys(
+        spark, cln,
+        rows.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey"),
+        key="o_orderkey", partition_cols=["bucket"],
+    )
+    # divergent source change: re-status every 13th order on SOURCE only
+    snapshot_merge_upsert(
+        spark, src,
+        rows.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+            "o_orderstatus", F.lit("X")
+        ),
+        key="o_orderkey", partition_cols=["bucket"],
+    )
+
+    def _sum(side, df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        ).select(F.lit(side).alias("side"), "*")
+
+    return _sum("source", read_snapshot_table(spark, src)).unionByName(
+        _sum("clone", read_snapshot_table(spark, cln))
+    )
+
+
+def q198_freshness_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Scoring-profile FRESHNESS boost (the search service's
+    `freshness` function, linear interpolation): BM25 relevance
+    multiplied by an integer per-mille decay of document age — recent
+    docs outrank equally-relevant stale ones, docs past the window
+    keep the bare score.  Ages are a deterministic function of doc_id
+    (the corpus carries no dates); boost joins CANDIDATE rows only,
+    broadcast."""
+    from gpt_rag_ingestion_spark.operators.search import (
+        build_text_index,
+        freshness_boosted_topk,
+    )
+
+    docs = _t(spark, sf, "documents")
+    index = build_text_index(docs)
+    doc_days = docs.select(
+        F.col("doc_id").alias("doc"),
+        (10000 + F.col("doc_id") % 400).cast("long").alias("day"),
+    )
+    return freshness_boosted_topk(
+        index, _bm25_query_df(spark), doc_days,
+        now_day=10400, window_days=365, weight_permille=500, k=10,
+    )
+
+
+def q199_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """K-ANONYMITY release audit over quasi-identifiers (lang, source,
+    length band): one grouped count per QI combination with the
+    meets-k verdict — the governance gate before a corpus ships, same
+    single-shuffle shape as exact dedup."""
+    from gpt_rag_ingestion_spark.operators.pii import k_anonymity_audit
+
+    docs = _t(spark, sf, "documents").select(
+        "lang", "source",
+        F.expr("n_chars div 500").cast("long").alias("len_band"),
+    )
+    return k_anonymity_audit(docs, ["lang", "source", "len_band"], k=5)
+
+
+def q200_cdf_rollup_live(spark: SparkSession, sf: str) -> DataFrame:
+    """JOB-LEVEL incremental view maintenance, end to end (the r6
+    brief-#8 mechanism as a gate query): a per-user rollup of a
+    snapshot events table is maintained across THREE commits — bulk
+    insert, value-doubling update of one user band, delete of another
+    — purely from the change feed after bootstrap (the applied
+    generation rides inside the rollup's own directory swap).  The
+    oracle recomputes the final state's closed form; hash equality
+    proves the IVM identity through insert, update pre/post images,
+    and delete."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.incremental import (
+        maintain_snapshot_rollup,
+    )
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        snapshot_delete_keys,
+        snapshot_merge_upsert,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_id") % 6).cast("int").alias("bucket"),
+    )
+    base = tempfile.mkdtemp(prefix="q200-ivm-")
+    snap, roll = f"{base}/snap", f"{base}/roll"
+    sums = {"sum_cents": "cents"}
+
+    def tick():
+        maintain_snapshot_rollup(
+            spark, snap, roll, key="user_id", row_key="event_id",
+            sum_exprs=sums, count_col="n_events",
+        )
+
+    snapshot_merge_upsert(
+        spark, snap, ev, key="event_id", partition_cols=["bucket"]
+    )
+    tick()  # bootstrap
+    snapshot_merge_upsert(
+        spark, snap,
+        ev.filter(F.col("user_id") % 5 == 0).withColumn(
+            "cents", F.col("cents") * 2
+        ),
+        key="event_id", partition_cols=["bucket"],
+    )
+    tick()  # update pre/post images
+    snapshot_delete_keys(
+        spark, snap,
+        ev.filter(F.col("user_id") % 7 == 0).select("event_id"),
+        key="event_id", partition_cols=["bucket"],
+    )
+    tick()  # deletes
+    return spark.read.parquet(roll)
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW (and that the registry/oracle counts match QUERIES.md)
@@ -5257,6 +5409,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q194_volume_shipping": q194_volume_shipping,
         "q195_market_share": q195_market_share,
         "q196_banded_discount_revenue": q196_banded_discount_revenue,
+        "q197_snapshot_clone": q197_snapshot_clone,
+        "q198_freshness_rank": q198_freshness_rank,
+        "q199_k_anonymity": q199_k_anonymity,
+        "q200_cdf_rollup_live": q200_cdf_rollup_live,
     }
 
 
@@ -8663,5 +8819,65 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1998-01-01'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        "q197_snapshot_clone": """
+            WITH base AS (
+              SELECT o_orderkey, o_orderstatus,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders),
+            src AS (
+              SELECT o_orderkey,
+                CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                     ELSE o_orderstatus END AS o_orderstatus,
+                cents
+              FROM base),
+            cln AS (
+              SELECT * FROM base WHERE o_orderkey % 3 <> 0)
+            SELECT 'source' AS side, o_orderstatus,
+              COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM src GROUP BY o_orderstatus
+            UNION ALL
+            SELECT 'clone', o_orderstatus,
+              COUNT(*), CAST(SUM(cents) AS BIGINT)
+            FROM cln GROUP BY o_orderstatus
+        """,
+        "q198_freshness_rank": f"""
+            WITH {_bm25_oracle_ctes()},
+            boosted AS (
+              SELECT query_id, doc,
+                CAST(score_q * (1000 +
+                  (500 * greatest(0, 365 - (400 - doc % 400))) // 365)
+                  AS BIGINT) AS boosted_q
+              FROM scored),
+            ranked AS (
+              SELECT query_id, doc, boosted_q,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY boosted_q DESC, doc ASC) AS rank
+              FROM boosted)
+            SELECT query_id, rank, doc, boosted_q
+            FROM ranked WHERE rank <= 10
+        """,
+        "q199_k_anonymity": """
+            SELECT lang, source,
+              CAST(n_chars // 500 AS BIGINT) AS len_band,
+              COUNT(*) AS group_n,
+              COUNT(*) >= 5 AS meets_k
+            FROM documents
+            GROUP BY lang, source, n_chars // 500
+        """,
+        "q200_cdf_rollup_live": """
+            WITH ev AS (
+              SELECT event_id, user_id,
+                CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            final AS (
+              SELECT user_id,
+                CASE WHEN user_id % 5 = 0 THEN cents * 2
+                     ELSE cents END AS cents
+              FROM ev WHERE user_id % 7 <> 0)
+            SELECT user_id,
+              COUNT(*) AS n_events,
+              CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM final GROUP BY user_id
         """,
     }

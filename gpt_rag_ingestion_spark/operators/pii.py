@@ -48,3 +48,44 @@ def scrub_pii(
         counts.append(_count(F.col(text_col), pattern).alias(f"n_{name}"))
         scrubbed = F.regexp_replace(scrubbed, pattern, token)
     return df.select("*", *counts).withColumn(out, scrubbed)
+
+
+def k_anonymity_audit(
+    df: DataFrame, qi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """K-ANONYMITY audit over a quasi-identifier (QI) column set — the
+    governance gate a training corpus runs before release: a row is
+    k-anonymous iff at least ``k`` rows share its exact QI
+    combination, so small groups are re-identification risks and must
+    be suppressed or generalized.
+
+    Returns one row PER QI GROUP: the QI values, ``group_n``, and
+    ``meets_k`` — the caller either anti-joins the failing groups out
+    (suppression) or coarsens a QI column and re-audits
+    (generalization).  Cost: one grouped count on the QI key — the
+    same single-shuffle shape as exact dedup; no row-level output, so
+    the result is |distinct QI| rows regardless of corpus size."""
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    return df.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("group_n"),
+        (F.count(F.lit(1)) >= int(k)).alias("meets_k"),
+    )
+
+
+def k_anonymity_suppress(
+    df: DataFrame, qi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Drop every row whose QI group is smaller than ``k`` (the
+    suppression arm of the audit).  A window count would shuffle the
+    full rows; instead the failing-group KEY SET (small by
+    construction — each failing group has < k rows) broadcasts into a
+    LEFT ANTI join, so the corpus passes through one hash join with
+    no row-level shuffle."""
+    failing = (
+        df.groupBy(*qi_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") < int(k))
+        .select(*qi_cols)
+    )
+    return df.join(F.broadcast(failing), on=qi_cols, how="left_anti")

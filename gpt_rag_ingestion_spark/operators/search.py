@@ -167,6 +167,55 @@ def bm25_topk(
     )
 
 
+def freshness_boosted_topk(
+    index: dict,
+    queries: DataFrame,
+    doc_days: DataFrame,
+    now_day: int,
+    window_days: int = 365,
+    weight_permille: int = 500,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """BM25 top-k with a FRESHNESS scoring profile (the search
+    service's `freshness` scoring function with linear
+    interpolation): documents whose date is within ``window_days`` of
+    ``now_day`` get a linearly-decaying boost, so a recent doc
+    outranks an equally-relevant stale one.
+
+    ``doc_days``: (doc, day) with integer epoch days; docs missing
+    from it (or older than the window) get zero boost.  Integer-exact:
+    ``boost = weight_permille * max(0, window - age) div window`` and
+    ``boosted_q = score_q * (1000 + boost)`` — the multiplicative
+    (1 + w·decay) profile shape in per-mille arithmetic, so the whole
+    ranking hash-matches any SQL engine.
+
+    Scale: scoring is the shared candidate-only core; the boost is a
+    broadcast join of a (doc, day) dimension against CANDIDATE rows
+    only — never a corpus pass."""
+    qterms = queries.select(
+        F.col(query_id_col), F.explode(F.col(terms_col)).alias("token")
+    ).distinct()
+    scored = _bm25_scores(index, qterms, query_id_col)
+    wd = int(window_days)
+    w = int(weight_permille)
+    nd = int(now_day)
+    joined = scored.join(F.broadcast(doc_days), "doc", "left")
+    boost = F.expr(
+        f"CASE WHEN day IS NOT NULL AND {nd} - day >= 0 THEN "
+        f"({w} * greatest(0, {wd} - ({nd} - day))) div {wd} "
+        "ELSE 0 END"
+    )
+    boosted = joined.select(
+        query_id_col, "doc",
+        (F.col("score_q") * (F.lit(1000) + boost)).cast("long").alias(
+            "boosted_q"
+        ),
+    )
+    return _topk_by_score(boosted, k, query_id_col, score_col="boosted_q")
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     k: int = 10,

@@ -230,6 +230,16 @@ def _current_gen(spark, table_path: str) -> int | None:
     return None
 
 
+def _gen_base(table_path: str, g: str) -> str:
+    """Resolve a manifest generation reference to its directory.
+    Normally a bare dir name under ``table_path``; a SHALLOW CLONE's
+    manifest references the SOURCE table's generation dirs by absolute
+    path (``snapshot_clone``) — immutability makes cross-table
+    references safe until the source's vacuum, exactly Delta's
+    shallow-clone contract."""
+    return g if g.startswith("/") or "://" in g else f"{table_path}/{g}"
+
+
 def _manifest_path(table_path: str, gen: int) -> str:
     return f"{table_path}/_manifests/{gen:08d}.json"
 
@@ -388,7 +398,7 @@ def read_snapshot_table(
         by_gen.setdefault(g, []).append(rel)
     dfs = []
     for g, rels in sorted(by_gen.items()):
-        base = f"{table_path}/{g}"
+        base = _gen_base(table_path, g)
         if rels == [""]:  # unpartitioned
             raw = spark.read.parquet(base)
         else:
@@ -691,7 +701,7 @@ def snapshot_delete_keys(
             by_gen.setdefault(g, []).append(rel)
         hit_parts = []
         for g, rels in sorted(by_gen.items()):
-            base = f"{table_path}/{g}"
+            base = _gen_base(table_path, g)
             if rels == [""]:
                 raw = spark.read.parquet(base)
             else:
@@ -1012,7 +1022,7 @@ def _read_partition_subset(
         by_gen.setdefault(g, []).append(rel)
     dfs = []
     for g, rels in sorted(by_gen.items()):
-        base = f"{table_path}/{g}"
+        base = _gen_base(table_path, g)
         if rels == [""]:
             raw = spark.read.parquet(base)
         else:
@@ -1352,7 +1362,9 @@ def _resolve_file_sets(spark, table_path: str, at_gen: int | None):
     for g, rels in sorted(by_gen.items()):
         sp = _gen_stats_path(table_path, g)
         stats = None
-        if _fs_exists(spark, sp):
+        # cloned (absolute) refs have no local sidecar by construction;
+        # their reads stay unpruned until a rewrite localizes them
+        if "/" not in g and _fs_exists(spark, sp):
             raw = json.loads(_read_text(spark, sp))
             live = set(rels)
             stats = dict(raw)
@@ -1362,7 +1374,7 @@ def _resolve_file_sets(spark, table_path: str, at_gen: int | None):
                 if ("/".join(f.split("/")[:-1]) in live)
                 or (rels == [""] and "/" not in f)
             }
-        out.append((f"{table_path}/{g}", sorted(rels), stats))
+        out.append((_gen_base(table_path, g), sorted(rels), stats))
     return out, dv
 
 
@@ -1602,7 +1614,7 @@ def snapshot_compact_partitions(
                         counts[rel if rel in live else ""] += 1
             else:
                 for r in grels:
-                    sub = f"{table_path}/{g}" + (f"/{r}" if r else "")
+                    sub = _gen_base(table_path, g) + (f"/{r}" if r else "")
                     fs, p = _hfs(spark, sub)
                     if not fs.exists(p):
                         continue
@@ -1886,6 +1898,58 @@ def snapshot_restore(
         expected_cur=cur, extra=extra, op="restore",
     )
     return gen
+
+
+def snapshot_clone(
+    spark: SparkSession, source_path: str, clone_path: str
+) -> int:
+    """SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src`):
+    create a NEW table whose first manifest references the SOURCE's
+    current generation directories BY ABSOLUTE PATH — zero data
+    copied, metadata-only cost, and the clone is immediately a
+    first-class table: merges, deletes, OPTIMIZE, time travel and CDF
+    all work, writing their own LOCAL generations on top of the
+    shared ones.  Divergence is free in both directions because
+    generations are immutable — the clone never mutates the source
+    and vice versa.  The training-data use case is experiment
+    branching: fork the 100 TB corpus table, apply a candidate
+    filter/dedup policy on the branch, compare, throw away.
+
+    Contract limits (both are Delta's own shallow-clone caveats):
+    - the SOURCE's ``snapshot_vacuum`` does not know about clones; a
+      source vacuum can delete generations the clone references.
+      OPTIMIZE on the clone fully localizes it (every partition
+      rewrites into a clone-local generation) and removes the
+      dependency.
+    - cloned refs carry no local stats sidecars, so reads of
+      still-shared generations are unpruned until a rewrite
+      localizes them (``_resolve_file_sets`` skips absolute refs).
+    - a source with ACTIVE deletion vectors must be compacted first
+      (the DV map is keyed by source-local file paths); refused
+      explicitly below.
+    """
+    cur = _current_gen(spark, source_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot at {source_path}")
+    if _current_gen(spark, clone_path) is not None:
+        raise FileExistsError(f"clone target already exists: {clone_path}")
+    manifest = _read_manifest(spark, source_path, cur)
+    if manifest.get("dv"):
+        raise ValueError(
+            f"source {source_path} has active deletion vectors; run "
+            "snapshot_optimize/compact on it before cloning"
+        )
+    src_abs = source_path.rstrip("/")
+    partitions = {
+        rel: _gen_base(src_abs, g)
+        for rel, g in manifest["partitions"].items()
+    }
+    _fs_mkdirs(spark, clone_path)
+    _commit(
+        spark, clone_path, 1, partitions, expected_cur=None,
+        extra={"cloned_from": src_abs, "cloned_gen": cur}, op="clone",
+    )
+    return 1
 
 
 def snapshot_consume_changes(

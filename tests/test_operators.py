@@ -221,3 +221,33 @@ def test_sync_actions_all_four(spark):
         "skewed": "skip",
         "gone": "purge",
     }
+
+
+def test_k_anonymity_audit_and_suppress(spark):
+    """k-anonymity: the audit reports exact group sizes and verdicts;
+    suppression drops exactly the under-k groups' rows and is a
+    fixpoint (re-auditing the suppressed output passes)."""
+    from gpt_rag_ingestion_spark.operators.pii import (
+        k_anonymity_audit,
+        k_anonymity_suppress,
+    )
+
+    rows = (
+        [("en", "web", i) for i in range(5)]
+        + [("en", "pdf", i) for i in range(2)]
+        + [("fr", "web", 0)]
+    )
+    df = spark.createDataFrame(rows, "lang string, source string, rid int")
+    audit = {
+        (r["lang"], r["source"]): (r["group_n"], r["meets_k"])
+        for r in k_anonymity_audit(df, ["lang", "source"], k=3).collect()
+    }
+    assert audit[("en", "web")] == (5, True)
+    assert audit[("en", "pdf")] == (2, False)
+    assert audit[("fr", "web")] == (1, False)
+
+    kept = k_anonymity_suppress(df, ["lang", "source"], k=3)
+    assert kept.count() == 5
+    assert kept.filter("source = 'pdf' OR lang = 'fr'").count() == 0
+    re_audit = k_anonymity_audit(kept, ["lang", "source"], k=3)
+    assert re_audit.filter("NOT meets_k").count() == 0

@@ -997,3 +997,50 @@ def test_purge_job_tombstones_chunk_surrogate_index(spark, tmp_path):
     )
     assert got == want
     assert not any(r[0] == "q1" for r in got)  # only 'a' had cat/dog
+
+
+def test_freshness_boosted_topk(spark):
+    """Scoring-profile freshness: a fresh doc overtakes an equally-
+    scored stale one; docs past the window keep the bare BM25 rank;
+    docs missing from the dates dimension get zero boost."""
+    from gpt_rag_ingestion_spark.operators.search import (
+        bm25_topk,
+        build_text_index,
+        freshness_boosted_topk,
+    )
+
+    rows = [
+        (1, "apple banana cherry"),
+        (2, "apple banana cherry"),   # identical text to doc 1
+        (3, "apple apple apple banana banana cherry"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_text_index(docs)
+    q = spark.createDataFrame(
+        [("q1", ["apple", "banana"])],
+        "query_id string, terms array<string>",
+    )
+    plain = {r["doc"]: r["rank"] for r in bm25_topk(idx, q, k=3).collect()}
+    # doc 1 wins ties over doc 2 on the doc tie-break
+    assert plain[1] < plain[2]
+
+    # doc 2 fresh (age 10), doc 1 stale (past window), doc 3 absent
+    days = spark.createDataFrame(
+        [(1, 9000), (2, 10390)], "doc long, day long"
+    )
+    boosted = {
+        r["doc"]: (r["rank"], r["boosted_q"])
+        for r in freshness_boosted_topk(
+            idx, q, days, now_day=10400, window_days=365,
+            weight_permille=500, k=3,
+        ).collect()
+    }
+    assert boosted[2][0] < boosted[1][0]  # freshness flipped the tie
+    # stale + absent docs: boosted_q == 1000 x plain score (zero boost)
+    plain_scores = {
+        r["doc"]: r["score_q"] for r in bm25_topk(idx, q, k=3).collect()
+    }
+    assert boosted[1][1] == plain_scores[1] * 1000
+    assert boosted[3][1] == plain_scores[3] * 1000
+    # fresh doc: boost = 500 * (365 - 10) div 365
+    assert boosted[2][1] == plain_scores[2] * (1000 + 500 * 355 // 365)

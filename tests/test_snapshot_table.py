@@ -986,3 +986,66 @@ def test_aborted_commit_releases_own_claim(spark, tmp_path, monkeypatch):
         spark, snap, _inc(spark, 0, 10, mul=5), partition_cols=["bucket"]
     )
     assert S._current_gen(spark, snap) == cur + 1
+
+
+def test_shallow_clone_diverges_and_localizes(spark, tmp_path):
+    """snapshot_clone: zero-copy metadata clone reads bit-equal to the
+    source; divergent merges on either side never touch the other;
+    OPTIMIZE on the clone localizes every partition (no absolute refs
+    remain), after which vacuuming the source cannot break the
+    clone."""
+    src = str(tmp_path / "src")
+    cln = str(tmp_path / "cln")
+    S.snapshot_merge_upsert(
+        spark, src, _inc(spark, 0, 60), partition_cols=["bucket"]
+    )
+    base = _rows(S.read_snapshot_table(spark, src))
+    assert S.snapshot_clone(spark, src, cln) == 1
+    assert _rows(S.read_snapshot_table(spark, cln)) == base
+
+    # clone refuses to overwrite and refuses DV-carrying sources
+    with pytest.raises(FileExistsError):
+        S.snapshot_clone(spark, src, cln)
+
+    # diverge the clone; source untouched
+    S.snapshot_merge_upsert(
+        spark, cln, _inc(spark, 0, 20, mul=99), partition_cols=["bucket"]
+    )
+    assert _rows(S.read_snapshot_table(spark, src)) == base
+    got = S.read_snapshot_table(spark, cln)
+    assert got.filter("parent_id < 20 AND v = 99 * parent_id").count() == 20
+
+    # diverge the source; clone untouched
+    S.snapshot_merge_upsert(
+        spark, src, _inc(spark, 40, 60, mul=55), partition_cols=["bucket"]
+    )
+    assert (
+        S.read_snapshot_table(spark, cln)
+        .filter("parent_id >= 40 AND v = 55 * parent_id")
+        .count() == 0
+    )
+    want_clone = _rows(S.read_snapshot_table(spark, cln))
+
+    # OPTIMIZE localizes: no absolute generation refs remain
+    S.snapshot_optimize(spark, cln, partition_cols=["bucket"])
+    m = S._read_manifest(spark, cln, S._current_gen(spark, cln))
+    assert all(not g.startswith("/") for g in m["partitions"].values())
+    assert _rows(S.read_snapshot_table(spark, cln)) == want_clone
+
+    # source vacuum (even aggressive) can no longer hurt the clone
+    S.snapshot_vacuum(spark, src)
+    S.snapshot_vacuum(spark, cln)
+    assert _rows(S.read_snapshot_table(spark, cln)) == want_clone
+
+    # DV-carrying source is refused
+    dv_src = str(tmp_path / "dvsrc")
+    S.snapshot_merge_upsert(
+        spark, dv_src, _inc(spark, 0, 30), partition_cols=["bucket"]
+    )
+    S.snapshot_delete_keys(
+        spark, dv_src,
+        spark.range(0, 5).selectExpr("id AS parent_id"),
+        mode="dv",
+    )
+    with pytest.raises(ValueError, match="deletion vectors"):
+        S.snapshot_clone(spark, dv_src, str(tmp_path / "dvcln"))
