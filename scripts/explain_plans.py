@@ -41,6 +41,29 @@ PLAN_PROPERTIES = {
     # merge-upsert core: broadcast LEFT ANTI (key set is the small side)
     # + union with the incoming rows
     "q60_merge_upsert": (["BroadcastHashJoin", "LeftAnti", "Union"], []),
+    # Q4 shape: the decorrelated EXISTS is a SEMI join carrying the
+    # correlation (shipdate vs its own order's date) as the condition,
+    # and the orders window reaches the scan
+    "q189_order_priority_check": (
+        ["LeftSemi", "LessThan(o_orderdate,1997-04-01"],
+        ["CartesianProduct"],
+    ),
+    # Q19 shape: the OR-of-brackets evaluates inside ONE join stage —
+    # and Catalyst derives the part-side disjunction into the scan's
+    # pushed filters (never three scans, never a nested loop)
+    "q193_bracket_revenue": (
+        ["BroadcastHashJoin", "Or(Or(And(EqualTo(p_brand,Brand#13)"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # Q6 shape: the whole 4-predicate band must reach the parquet scan
+    "q196_banded_discount_revenue": (
+        [
+            "GreaterThanOrEqual(l_shipdate,1997-01-01",
+            "GreaterThanOrEqual(l_discount,0.05)",
+            "LessThan(l_quantity,24.0)",
+        ],
+        ["Join"],
+    ),
     # salted aggregation: two HashAggregate pairs (partial+final per
     # phase) — the (key, salt) phase then the key phase
     "q62_salted_agg": (["HashAggregate"], []),
