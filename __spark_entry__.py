@@ -5140,6 +5140,79 @@ def q200_cdf_rollup_live(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(roll)
 
 
+def q201_revenue_rollup_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """OLAP ROLLUP (GROUPING SETS): per-(region, order-year) order
+    counts and cent-sums with the year subtotals and grand total in
+    ONE pass — Spark's native `rollup` expands the grouping sets
+    inside a single aggregation (Expand + one shuffle), and
+    `grouping_id()` disambiguates subtotal rows exactly as SQL
+    GROUPING does.  Dims broadcast; integer cents."""
+    region = F.broadcast(_t(spark, sf, "region"))
+    nation = F.broadcast(_t(spark, sf, "nation"))
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    j = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select(
+            "r_name",
+            F.year("o_orderdate").alias("o_year"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias(
+                "cents"
+            ),
+        )
+    )
+    return j.rollup("r_name", "o_year").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+def q202_metric_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT (melt): the wide per-user event matrix (q119's pivot)
+    turned back into long (user_id, metric, n) form — the
+    dashboard-to-warehouse round trip.  Spark's `unpivot` is a
+    zero-shuffle Expand over the already-aggregated wide rows; zero
+    counts are kept (a melted matrix is dense by contract)."""
+    ev = _t(spark, sf, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = ev.groupBy("user_id").pivot("event_type", types).agg(
+        F.count(F.lit(1))
+    )
+    wide = wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types],
+    )
+    return wide.unpivot(
+        "user_id", types, "metric", "n"
+    )
+
+
+def q203_value_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """NTILE decile profiling: per event type, the value distribution
+    cut into 10 equal-count buckets with per-bucket count/min/max —
+    the feature-binning pass before quantile-based quality gates.
+    One window pass (ntile + the same partition's ordering), then a
+    grouped aggregation; values integer-quantized to centi-units so
+    min/max hash exactly."""
+    ev = _t(spark, sf, "events").select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cv"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cv", "event_id")
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("cv").alias("min_cv"),
+            F.max("cv").alias("max_cv"),
+        )
+    )
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW (and that the registry/oracle counts match QUERIES.md)
@@ -5413,6 +5486,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q198_freshness_rank": q198_freshness_rank,
         "q199_k_anonymity": q199_k_anonymity,
         "q200_cdf_rollup_live": q200_cdf_rollup_live,
+        "q201_revenue_rollup_cube": q201_revenue_rollup_cube,
+        "q202_metric_unpivot": q202_metric_unpivot,
+        "q203_value_deciles": q203_value_deciles,
     }
 
 
@@ -8879,5 +8955,48 @@ def oracle_sql() -> dict[str, str]:
               COUNT(*) AS n_events,
               CAST(SUM(cents) AS BIGINT) AS sum_cents
             FROM final GROUP BY user_id
+        """,
+        "q201_revenue_rollup_cube": """
+            SELECT r.r_name,
+              CAST(year(o.o_orderdate) AS INT) AS o_year,
+              COUNT(*) AS n_orders,
+              CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+              CAST(GROUPING(r.r_name) * 2 + GROUPING(year(o.o_orderdate))
+                AS BIGINT) AS gid
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY ROLLUP(r.r_name, year(o.o_orderdate))
+        """,
+        "q202_metric_unpivot": """
+            WITH wide AS (
+              SELECT user_id,
+                CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+              FROM events GROUP BY user_id)
+            SELECT user_id, 'click' AS metric, click AS n FROM wide
+            UNION ALL SELECT user_id, 'error', error FROM wide
+            UNION ALL SELECT user_id, 'purchase', purchase FROM wide
+            UNION ALL SELECT user_id, 'signup', signup FROM wide
+            UNION ALL SELECT user_id, 'view', view FROM wide
+        """,
+        "q203_value_deciles": """
+            WITH q AS (
+              SELECT event_type, event_id,
+                CAST(round(value * 100) AS BIGINT) AS cv
+              FROM events),
+            t AS (
+              SELECT event_type, cv,
+                CAST(ntile(10) OVER (PARTITION BY event_type
+                  ORDER BY cv, event_id) AS BIGINT) AS decile
+              FROM q)
+            SELECT event_type, decile,
+              COUNT(*) AS n, MIN(cv) AS min_cv, MAX(cv) AS max_cv
+            FROM t GROUP BY event_type, decile
         """,
     }
