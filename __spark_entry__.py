@@ -5213,6 +5213,80 @@ def q203_value_deciles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q204_cdc_conditional_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL CONDITIONAL MERGE (Delta MERGE / SQL:2003) applying a CDC
+    batch to the orders snapshot: last-writer-wins updates (``s.ver >
+    t.ver`` — stale events rejected), tombstone deletes that WIN over
+    updates (Delta clause order), and inserts gated on ``NOT
+    s.tombstone`` so an unmatched delete marker is a no-op instead of
+    a resurrection.  One full-outer join inside affected partitions;
+    the oracle recomputes the post-state closed form."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        read_snapshot_table,
+        snapshot_merge_upsert,
+        snapshot_merge_when,
+    )
+
+    orders = _t(spark, sf, "orders")
+    base = orders.select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 8).cast("int").alias("bucket"),
+        F.lit(1).cast("long").alias("ver"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.lit(False).alias("tomb"),
+    )
+    tbl = tempfile.mkdtemp(prefix="q204-cdc-") + "/t"
+    snapshot_merge_upsert(
+        spark, tbl, base, key="o_orderkey", partition_cols=["bucket"]
+    )
+    # the CDC batch: fresh updates (%4==0, ver 2), stale updates
+    # (%4==1, ver 0 — must be rejected), tombstones (%6==0 — win over
+    # the %12==0 overlap with updates), inserts (shifted keys), and
+    # unmatched tombstones (shifted keys) that must NOT insert
+    # key-unique CDC batch (the operator's Delta-inherited
+    # precondition): %12==0 keys are tombstones, not updates — the
+    # delete-wins-over-update ordering is exercised by the tombstone
+    # rows themselves (ver 9 satisfies the update condition too)
+    upd = base.filter(
+        (F.col("o_orderkey") % 4 == 0) & (F.col("o_orderkey") % 6 != 0)
+    ).select(
+        "o_orderkey", "bucket", F.lit(2).cast("long").alias("ver"),
+        (F.col("cents") + 7).alias("cents"), F.lit(False).alias("tomb"),
+    )
+    stale = base.filter(F.col("o_orderkey") % 4 == 1).select(
+        "o_orderkey", "bucket", F.lit(0).cast("long").alias("ver"),
+        F.lit(-1).cast("long").alias("cents"), F.lit(False).alias("tomb"),
+    )
+    dels = base.filter(F.col("o_orderkey") % 6 == 0).select(
+        "o_orderkey", "bucket", F.lit(9).cast("long").alias("ver"),
+        F.lit(0).cast("long").alias("cents"), F.lit(True).alias("tomb"),
+    )
+    ins = base.filter(F.col("o_orderkey") % 10 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "bucket", F.lit(1).cast("long").alias("ver"),
+        F.lit(4200).cast("long").alias("cents"), F.lit(False).alias("tomb"),
+    )
+    dead_ins = base.filter(F.col("o_orderkey") % 10 == 3).select(
+        (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+        "bucket", F.lit(1).cast("long").alias("ver"),
+        F.lit(0).cast("long").alias("cents"), F.lit(True).alias("tomb"),
+    )
+    cdc = upd.unionByName(stale).unionByName(dels).unionByName(
+        ins
+    ).unionByName(dead_ins)
+    snapshot_merge_when(
+        spark, tbl, cdc, key="o_orderkey", partition_cols=["bucket"],
+        matched_update="s.ver > t.ver",
+        matched_delete="s.tomb",
+        insert_condition="NOT s.tomb",
+    )
+    return read_snapshot_table(spark, tbl).select(
+        "o_orderkey", "ver", "cents", "tomb"
+    )
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW (and that the registry/oracle counts match QUERIES.md)
@@ -5489,6 +5563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q201_revenue_rollup_cube": q201_revenue_rollup_cube,
         "q202_metric_unpivot": q202_metric_unpivot,
         "q203_value_deciles": q203_value_deciles,
+        "q204_cdc_conditional_merge": q204_cdc_conditional_merge,
     }
 
 
@@ -8998,5 +9073,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, decile,
               COUNT(*) AS n, MIN(cv) AS min_cv, MAX(cv) AS max_cv
             FROM t GROUP BY event_type, decile
+        """,
+        "q204_cdc_conditional_merge": """
+            WITH base AS (
+              SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders),
+            surviving AS (
+              SELECT o_orderkey,
+                CASE WHEN o_orderkey % 4 = 0
+                     THEN CAST(2 AS BIGINT) ELSE CAST(1 AS BIGINT)
+                END AS ver,
+                CASE WHEN o_orderkey % 4 = 0 THEN cents + 7
+                     ELSE cents END AS cents,
+                false AS tomb
+              FROM base WHERE o_orderkey % 6 <> 0),
+            inserted AS (
+              SELECT o_orderkey + 10000000 AS o_orderkey,
+                CAST(1 AS BIGINT) AS ver,
+                CAST(4200 AS BIGINT) AS cents, false AS tomb
+              FROM base WHERE o_orderkey % 10 = 0)
+            SELECT * FROM surviving
+            UNION ALL SELECT * FROM inserted
         """,
     }

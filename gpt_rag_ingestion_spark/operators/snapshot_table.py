@@ -653,6 +653,155 @@ def snapshot_merge_upsert(
     return gen
 
 
+def snapshot_merge_when(
+    spark: SparkSession,
+    table_path: str,
+    incoming: DataFrame,
+    key: str = "parent_id",
+    partition_cols: list[str] | None = None,
+    matched_update: str | None = None,
+    matched_delete: str | None = None,
+    insert_unmatched: bool = True,
+    insert_condition: str | None = None,
+) -> int:
+    """CONDITIONAL MERGE — the full Delta/SQL:2003 MERGE form, on top
+    of the same manifest-pointer commit:
+
+        WHEN MATCHED AND <matched_delete>  THEN DELETE
+        WHEN MATCHED AND <matched_update>  THEN UPDATE SET * (source)
+        WHEN MATCHED                       THEN keep target row
+        WHEN NOT MATCHED AND <insert_condition> THEN INSERT *
+                                           (if ``insert_unmatched``)
+        (unmatched target rows are always kept)
+
+    Conditions are SQL boolean expressions over BOTH sides via the
+    ``t``/``s`` aliases (e.g. ``"s.ts > t.ts"`` — last-writer-wins
+    by timestamp; ``"s.tombstone"`` — CDC-style delete markers).
+    ``matched_update=None`` means unconditional update (plain upsert
+    for matched rows); delete wins over update when both match, as in
+    Delta's clause ordering.  ``insert_condition`` (over ``s.*``)
+    gates inserts — the CDC idiom ``NOT s.tombstone`` makes unmatched
+    delete markers no-ops instead of resurrecting rows.  The source
+    must be key-unique (multiple matches per target row fan the
+    full-outer join out), exactly Delta MERGE's own precondition.
+
+    Scale shape: identical to ``snapshot_merge_upsert`` — only
+    partitions holding matched keys or receiving inserts rewrite
+    (O(affected), never O(table)); the row arbitration is ONE
+    full-outer join on the key inside those partitions, resolved
+    column-wise with no UDF.  Incoming must carry the table's exact
+    column set (conditional row arbitration has no meaningful NULL
+    fill for absent columns — use snapshot_merge_upsert's schema
+    evolution first if the schema must move)."""
+    _commit_recover(spark, table_path)
+    _claim_recover(spark, table_path)
+    cur = _current_gen(spark, table_path)
+    if cur is None:
+        if not insert_unmatched:
+            raise FileNotFoundError(
+                f"no committed snapshot at {table_path}"
+            )
+        return snapshot_merge_upsert(
+            spark, table_path, incoming, key=key,
+            partition_cols=partition_cols,
+        )
+    existing = read_snapshot_table(spark, table_path)
+    if sorted(existing.columns) != sorted(incoming.columns):
+        raise SnapshotSchemaMismatch(
+            "snapshot_merge_when needs identical column sets; table "
+            f"has {sorted(existing.columns)}, incoming "
+            f"{sorted(incoming.columns)}"
+        )
+    manifest = _read_manifest(spark, table_path, cur)
+    gen = cur + 1
+    gname = _gen_name(gen)
+    new_dir = _gen_dir(table_path, gname)
+    cols = existing.columns
+
+    def _arbitrate(target: DataFrame) -> DataFrame:
+        t, s = target.alias("t"), incoming.alias("s")
+        j = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+        t_here = F.col(f"t.{key}").isNotNull()
+        s_here = F.col(f"s.{key}").isNotNull()
+        matched = t_here & s_here
+        del_c = (
+            F.expr(matched_delete) if matched_delete else F.lit(False)
+        )
+        upd_c = F.expr(matched_update) if matched_update else F.lit(True)
+        ins_c = (
+            F.expr(insert_condition) if insert_condition else F.lit(True)
+        )
+        keep = F.when(matched, ~del_c).when(t_here, F.lit(True)).otherwise(
+            F.lit(bool(insert_unmatched)) & ins_c
+        )
+        use_source = F.when(matched, ~del_c & upd_c).otherwise(~t_here)
+        out = j.filter(keep).select(
+            *[
+                F.when(use_source, F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+                for c in cols
+            ]
+        )
+        return out
+
+    if not partition_cols:
+        _arbitrate(existing).write.mode("overwrite").parquet(new_dir)
+        _maybe_write_stats(spark, table_path, gname, new_dir)
+        _commit(
+            spark, table_path, gen, {"": gname}, expected_cur=cur,
+            extra=_carry_dv_ref(
+                spark, table_path, manifest, {"": gname}, gen
+            ),
+            op="merge_when",
+        )
+        return gen
+
+    keys = incoming.select(key).distinct()
+    inc_parts = incoming.select(*partition_cols).distinct()
+    exist_parts = (
+        existing.join(F.broadcast(keys), on=key, how="left_semi")
+        .select(*partition_cols)
+        .distinct()
+    )
+    affected = [
+        tuple(r[c] for c in partition_cols)
+        for r in inc_parts.unionByName(exist_parts).distinct().collect()
+    ]
+    if not affected:
+        return cur
+
+    def _match(values):
+        terms = [
+            F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+            for c, v in zip(partition_cols, values)
+        ]
+        return functools.reduce(lambda a, b: a & b, terms)
+
+    pred = functools.reduce(
+        lambda a, b: a | b, [_match(v) for v in affected]
+    )
+    _arbitrate(existing.filter(pred)).write.mode(
+        "overwrite"
+    ).partitionBy(*partition_cols).parquet(new_dir)
+    _maybe_write_stats(spark, table_path, gname, new_dir)
+    affected_rels = {
+        _partition_rel_path(partition_cols, v) for v in affected
+    }
+    written = _list_partition_rels(spark, new_dir, len(partition_cols))
+    partitions = {
+        r: g for r, g in manifest["partitions"].items()
+        if r not in affected_rels
+    }
+    partitions.update({r: gname for r in written})
+    _commit(
+        spark, table_path, gen, partitions, expected_cur=cur,
+        extra=_carry_dv_ref(spark, table_path, manifest, partitions, gen),
+        op="merge_when",
+    )
+    return gen
+
+
 def snapshot_delete_keys(
     spark: SparkSession,
     table_path: str,

@@ -1049,3 +1049,73 @@ def test_shallow_clone_diverges_and_localizes(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="deletion vectors"):
         S.snapshot_clone(spark, dv_src, str(tmp_path / "dvcln"))
+
+
+def test_merge_when_conditional_clauses(spark, tmp_path):
+    """snapshot_merge_when: the full MERGE form — delete-wins clause
+    ordering, conditional update (last-writer-wins by version),
+    unmatched-source insert on/off, unmatched-target rows untouched,
+    and O(affected)-partition rewrites (an untouched partition keeps
+    its generation)."""
+    snap = str(tmp_path / "snap")
+
+    def rows(data):
+        return spark.createDataFrame(
+            data, "parent_id long, bucket int, ver long, v string"
+        )
+
+    S.snapshot_merge_upsert(
+        spark, snap,
+        rows([(1, 0, 1, "a"), (2, 0, 1, "b"), (3, 1, 5, "c"),
+              (4, 1, 1, "d"), (9, 2, 1, "z")]),
+        partition_cols=["bucket"],
+    )
+    m0 = S._read_manifest(spark, snap, S._current_gen(spark, snap))
+
+    inc = rows([
+        (1, 0, 2, "A"),        # newer ver -> update
+        (3, 1, 2, "STALE"),    # older ver -> keep target
+        (4, 1, 9, "DEAD"),     # delete condition wins over update
+        (5, 0, 1, "e"),        # unmatched -> insert
+    ])
+    S.snapshot_merge_when(
+        spark, snap, inc, partition_cols=["bucket"],
+        matched_update="s.ver > t.ver",
+        matched_delete="s.v = 'DEAD'",
+    )
+    got = {
+        r["parent_id"]: (r["ver"], r["v"])
+        for r in S.read_snapshot_table(spark, snap).collect()
+    }
+    assert got == {
+        1: (2, "A"),   # updated
+        2: (1, "b"),   # unmatched target kept
+        3: (5, "c"),   # stale update rejected
+        5: (1, "e"),   # inserted
+        9: (1, "z"),   # untouched partition
+    }
+    # bucket=2 was not affected: its generation mapping is unchanged
+    m1 = S._read_manifest(spark, snap, S._current_gen(spark, snap))
+    assert m1["partitions"]["bucket=2"] == m0["partitions"]["bucket=2"]
+
+    # insert_unmatched=False: pure conditional update/delete pass
+    S.snapshot_merge_when(
+        spark, snap,
+        rows([(2, 0, 9, "B2"), (7, 0, 1, "nope")]),
+        partition_cols=["bucket"],
+        matched_update="s.ver > t.ver",
+        insert_unmatched=False,
+    )
+    got = {
+        r["parent_id"]: r["v"]
+        for r in S.read_snapshot_table(spark, snap).collect()
+    }
+    assert got[2] == "B2" and 7 not in got
+
+    # schema mismatch is refused before any write
+    with pytest.raises(S.SnapshotSchemaMismatch):
+        S.snapshot_merge_when(
+            spark, snap,
+            spark.createDataFrame([(1, 0)], "parent_id long, bucket int"),
+            partition_cols=["bucket"],
+        )
