@@ -5287,6 +5287,53 @@ def q204_cdc_conditional_merge(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q205_dynamic_partition_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING: the fact table is laid out
+    partitioned by ship-year, the dimension filter (1997 order
+    priorities) is only known at RUN time through the join — Catalyst
+    injects a dynamicpruning subquery on the fact scan so only the
+    partitions the dimension admits are read (the star-schema
+    scale saver: a 100 TB fact table reads one year, not all).
+    The layout write is part of the query (idempotent per sf dir);
+    the oracle recomputes from the raw table, proving pruning never
+    changes results."""
+    import tempfile
+
+    li = _t(spark, sf, "lineitem")
+    fact_dir = (
+        tempfile.gettempdir()
+        + f"/q205-fact-{sf.strip('/').replace('/', '_')}"
+    )
+    import os
+
+    if not os.path.exists(fact_dir + "/_SUCCESS"):
+        li.withColumn("ship_year", F.year("l_shipdate")).write.mode(
+            "overwrite"
+        ).partitionBy("ship_year").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    # the admitted year set is RUNTIME-ONLY: a date-range predicate on
+    # the dimension implies year 1997, but Catalyst cannot fold a
+    # range into year() — only DPP's runtime subquery can prune the
+    # fact partitions (a static `ship_year == 1997` here would
+    # constant-propagate through the join and bypass DPP entirely)
+    years = (
+        _t(spark, sf, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .select(F.year("o_orderdate").alias("ship_year"))
+        .distinct()
+    )
+    j = fact.join(years, on="ship_year")
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long").alias("sum_cents"),
+    )
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW (and that the registry/oracle counts match QUERIES.md)
@@ -5564,6 +5611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q202_metric_unpivot": q202_metric_unpivot,
         "q203_value_deciles": q203_value_deciles,
         "q204_cdc_conditional_merge": q204_cdc_conditional_merge,
+        "q205_dynamic_partition_pruning": q205_dynamic_partition_pruning,
     }
 
 
@@ -9095,5 +9143,19 @@ def oracle_sql() -> dict[str, str]:
               FROM base WHERE o_orderkey % 10 = 0)
             SELECT * FROM surviving
             UNION ALL SELECT * FROM inserted
+        """,
+        "q205_dynamic_partition_pruning": """
+            WITH years AS (
+              SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS y
+              FROM orders
+              WHERE o_orderpriority = '1-URGENT'
+                AND o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01')
+            SELECT l.l_returnflag, COUNT(*) AS n,
+              CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents
+            FROM lineitem l
+            JOIN years y ON CAST(year(l.l_shipdate) AS INT) = y.y
+            GROUP BY l.l_returnflag
         """,
     }

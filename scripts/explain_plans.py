@@ -55,6 +55,13 @@ PLAN_PROPERTIES = {
         ["BroadcastHashJoin", "Or(Or(And(EqualTo(p_brand,Brand#13)"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # dynamic partition pruning: the fact scan must carry a
+    # dynamicpruning subquery on the partition column (the year set is
+    # runtime-only — a static equality would bypass DPP)
+    "q205_dynamic_partition_pruning": (
+        ["dynamicpruningexpression(ship_year"],
+        ["CartesianProduct"],
+    ),
     # Q6 shape: the whole 4-predicate band must reach the parquet scan
     "q196_banded_discount_revenue": (
         [
