@@ -49,6 +49,11 @@ PROBES = {
     "q174_deletion_vectors": ("sink", "merge-on-read delete: metadata-only commit, readers anti-join DVs"),
     "q175_random_projection": ("similarity", "JL sketch 64->16 int64 matmul + tiled top-1 in sketch space"),
     "q177_sketch_rerank": ("similarity", "two-stage: 32-dim sketch scan + exact 64-dim shortlist rerank"),
+    "q192_large_orders": ("olap", "per-order profile + broadcast semi of qualifying keys, top-100"),
+    "q197_snapshot_clone": ("sink", "zero-copy clone + branch delete + divergent source merge"),
+    "q200_cdf_rollup_live": ("sink", "3-commit IVM from the change feed: O(changed partitions)/tick"),
+    "q204_cdc_conditional_merge": ("sink", "full MERGE form: one full-outer join inside affected partitions"),
+    "q205_dynamic_partition_pruning": ("olap", "DPP subquery prunes fact partitions at run time"),
 }
 
 
