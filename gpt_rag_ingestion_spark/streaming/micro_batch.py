@@ -322,10 +322,20 @@ def interval_join_streams(
     ts_col: str = "ts",
     max_delay_minutes: int = 10,
     watermark_minutes: int = 30,
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join (the ad-attribution
     shape: match each click to the impression that preceded it by at
     most ``max_delay_minutes``).  Works identically as a batch plan.
+
+    ``how="left_outer"`` is the UNCONVERTED-IMPRESSIONS feed: an
+    impression with no click inside its delay window is emitted with
+    NULL click columns — but only once the GLOBAL watermark (the min
+    of both sides') has passed the end of its window, when Spark can
+    PROVE no matching click can still arrive.  This is Structured
+    Streaming's outer stream-stream join contract: correctness is
+    bought with emission latency of one watermark, and state stays
+    bounded exactly as in the inner form.
 
     Scale mechanics: both sides declare watermarks, and the join
     condition couples the event times, so Spark bounds BOTH state
@@ -357,10 +367,12 @@ def interval_join_streams(
             <= F.col("imp_ts") + F.expr(f"INTERVAL {max_delay_minutes} MINUTES")
         )
     )
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
     return (
-        imp.join(clk, on=cond, how="inner")
+        imp.join(clk, on=cond, how=how)
         .select(
-            F.col("c_key").alias(key_col),
+            F.coalesce(F.col("i_key"), F.col("c_key")).alias(key_col),
             "impression_id",
             "click_id",
             "imp_ts",
@@ -548,6 +560,7 @@ def run_stream_stream_join(
     schema: str = "event_id LONG, user_id LONG, ts TIMESTAMP",
     max_delay_minutes: int = 10,
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> None:
     """TRUE stream-stream INNER JOIN (Structured Streaming state-store
     path, not the batch interval-join analog of q97): clicks join
@@ -561,7 +574,9 @@ def run_stream_stream_join(
     ``Trigger.AvailableNow`` drains the landing zones and stops —
     each invocation is one idempotent, checkpointed tick (the
     cross-tick state retention the test proves: an impression drained
-    in tick 1 pairs with a click in tick 2).  The join itself is
+    in tick 1 pairs with a click in tick 2).  ``how="left_outer"``
+    adds the unconverted-impressions rows (NULL click columns) once
+    the watermark closes their window.  The join itself is
     ``interval_join_streams`` — one definition for the batch oracle
     (q97) and this runner.  Output appends (user_id, impression_id,
     click_id, imp_ts, click_ts) to ``out_path``."""
@@ -577,6 +592,7 @@ def run_stream_stream_join(
         clicks, imps,
         max_delay_minutes=int(max_delay_minutes),
         watermark_minutes=wm,
+        how=how,
     )
     (
         joined.writeStream.format("parquet")

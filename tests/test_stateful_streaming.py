@@ -927,3 +927,81 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     _drain()
     got = sorted(r["k"] for r in spark.read.parquet(f"{root}/out").collect())
     assert got == [1, 2, 3]
+
+
+def test_stream_stream_left_outer_join(spark, tmp_path):
+    """how='left_outer': the unconverted-impressions feed — an
+    impression whose delay window closed with no click emits ONCE
+    with NULL click columns, but only after the global watermark
+    (min of both sides') proves no match can arrive; matched pairs
+    are identical to the inner join and unmatched CLICKS are never
+    emitted."""
+    import json
+
+    from gpt_rag_ingestion_spark.streaming.micro_batch import (
+        run_stream_stream_join,
+    )
+
+    clicks = tmp_path / "clicks"
+    imps = tmp_path / "imps"
+    clicks.mkdir(), imps.mkdir()
+    root = str(tmp_path)
+
+    def _w(d, name, rows):
+        (d / name).write_text(
+            "\n".join(
+                json.dumps(
+                    {"event_id": e, "user_id": u,
+                     "ts": f"2026-01-01 {h:02d}:{m:02d}:00"}
+                )
+                for e, u, h, m in rows
+            )
+        )
+
+    def drain():
+        run_stream_stream_join(
+            spark, str(clicks), str(imps), f"{root}/out", f"{root}/ck",
+            how="left_outer",
+        )
+
+    # imp 100 (u1 10:00) converts via click 200 (10:08); imp 101
+    # (u1 10:30) never converts; click 203 (u3) has no impression
+    _w(imps, "i1.json", [(100, 1, 10, 0), (101, 1, 10, 30),
+                         (102, 2, 10, 5)])
+    drain()
+    _w(clicks, "c1.json", [(200, 1, 10, 8), (202, 2, 10, 6),
+                           (203, 3, 10, 7)])
+    drain()
+    got = spark.read.parquet(f"{root}/out")
+    pairs = sorted(
+        (r["click_id"], r["impression_id"])
+        for r in got.filter("click_id IS NOT NULL").collect()
+    )
+    assert pairs == [(200, 100), (202, 102)]
+    # the unmatched impression cannot emit yet: the watermark has not
+    # passed the end of its window
+    assert got.filter("click_id IS NULL").count() == 0
+
+    # advance BOTH watermarks past 10:30 + 10min delay + 30min wm,
+    # then tick once more so the closed window flushes
+    _w(imps, "i2.json", [(900, 9, 12, 0)])
+    _w(clicks, "c2.json", [(901, 9, 12, 0)])
+    drain()
+    _w(imps, "i3.json", [(902, 9, 12, 30)])
+    _w(clicks, "c3.json", [(903, 9, 12, 30)])
+    drain()
+    unmatched = {
+        r["impression_id"]
+        for r in spark.read.parquet(f"{root}/out")
+        .filter("click_id IS NULL")
+        .collect()
+    }
+    assert 101 in unmatched
+    # matched impressions and matchless clicks never appear unmatched
+    assert {100, 102}.isdisjoint(unmatched)
+    ids = {
+        r["click_id"]
+        for r in spark.read.parquet(f"{root}/out").collect()
+        if r["click_id"] is not None
+    }
+    assert 203 not in ids
