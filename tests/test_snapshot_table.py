@@ -1119,3 +1119,54 @@ def test_merge_when_conditional_clauses(spark, tmp_path):
             spark.createDataFrame([(1, 0)], "parent_id long, bucket int"),
             partition_cols=["bucket"],
         )
+
+
+def test_merge_when_matches_dict_model(spark, tmp_path):
+    """Model-based check of the full MERGE form: a sequence of random
+    key-unique CDC batches applied via snapshot_merge_when must leave
+    the table equal to a plain Python dict applying the same clause
+    semantics (delete > update > keep; gated inserts), at every
+    step."""
+    import random
+
+    rng = random.Random(7)
+    snap = str(tmp_path / "snap")
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            rows, "parent_id long, bucket int, ver long, tomb boolean"
+        )
+
+    model: dict[int, tuple] = {}
+    init = [(k, k % 3, 1, False) for k in range(40)]
+    for k, b, v, t in init:
+        model[k] = (b, v, t)
+    S.snapshot_merge_upsert(
+        spark, snap, df_of(init), partition_cols=["bucket"]
+    )
+
+    for step in range(5):
+        ks = rng.sample(range(80), rng.randint(5, 25))
+        batch = [
+            (k, k % 3, rng.randint(0, 3), rng.random() < 0.3)
+            for k in ks
+        ]
+        S.snapshot_merge_when(
+            spark, snap, df_of(batch), partition_cols=["bucket"],
+            matched_update="s.ver > t.ver",
+            matched_delete="s.tomb",
+            insert_condition="NOT s.tomb",
+        )
+        for k, b, v, t in batch:
+            if k in model:
+                if t:
+                    del model[k]
+                elif v > model[k][1]:
+                    model[k] = (b, v, t)
+            elif not t:
+                model[k] = (b, v, t)
+        got = {
+            r["parent_id"]: (r["bucket"], r["ver"], r["tomb"])
+            for r in S.read_snapshot_table(spark, snap).collect()
+        }
+        assert got == model, f"diverged at step {step}"
