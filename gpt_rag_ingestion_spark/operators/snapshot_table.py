@@ -1066,7 +1066,8 @@ def snapshot_maybe_optimize(
 
 
 def snapshot_vacuum(
-    spark: SparkSession, table_path: str, keep_snapshots: int = 1
+    spark: SparkSession, table_path: str, keep_snapshots: int = 1,
+    retain_hours: float | None = None,
 ) -> dict:
     """Garbage-collect unreferenced generations and superseded
     manifests.  The ONLY destructive operation in the format — the
@@ -1076,7 +1077,14 @@ def snapshot_vacuum(
     their manifests stay readable for TIME TRAVEL (``at_gen``) and
     every generation any retained manifest references survives.  The
     default 1 keeps only the current snapshot (most aggressive); raise
-    it to give concurrent readers / auditors a window."""
+    it to give concurrent readers / auditors a window.
+
+    ``retain_hours`` (Delta's `VACUUM ... RETAIN n HOURS`) ADDS
+    age-based retention: every manifest whose file mtime is within
+    the window is kept too, whatever ``keep_snapshots`` says — the
+    contract an auditor or a long-running reader relies on ("anything
+    committed in the last N hours stays time-travelable").  The two
+    knobs compose as a union of retained sets."""
     cur = _current_gen(spark, table_path)
     if cur is None:
         return {"removed_gens": 0, "removed_manifests": 0}
@@ -1084,17 +1092,30 @@ def snapshot_vacuum(
     # retained manifests = the newest `keep` that actually exist
     mdir_fs, mdir = _hfs(spark, f"{table_path}/_manifests")
     manifest_gens = []
+    fresh: set[int] = set()
+    cutoff = (
+        None
+        if retain_hours is None
+        else _now_ms(spark) - int(float(retain_hours) * 3_600_000)
+    )
     if mdir_fs.exists(mdir):
         for st in mdir_fs.listStatus(mdir):
             name = st.getPath().getName()
             if name.endswith(".json"):
                 try:
-                    manifest_gens.append(int(name[:-5]))
+                    g = int(name[:-5])
                 except ValueError:
                     continue
+                manifest_gens.append(g)
+                if cutoff is not None and st.getModificationTime() >= cutoff:
+                    fresh.add(g)
     manifest_gens.sort(reverse=True)
     retained = {g for g in manifest_gens if g <= cur}
-    retained = set(sorted(retained, reverse=True)[:keep]) | {cur}
+    retained = (
+        set(sorted(retained, reverse=True)[:keep])
+        | {cur}
+        | {g for g in fresh if g <= cur}
+    )
     referenced: set[str] = set()
     for g in retained:
         referenced |= set(

@@ -1170,3 +1170,37 @@ def test_merge_when_matches_dict_model(spark, tmp_path):
             for r in S.read_snapshot_table(spark, snap).collect()
         }
         assert got == model, f"diverged at step {step}"
+
+
+def test_vacuum_retain_hours_window(spark, tmp_path):
+    """Age-based retention (VACUUM RETAIN n HOURS): manifests younger
+    than the window stay time-travelable even under the aggressive
+    keep_snapshots=1 default; aging them past the window (mtime) lets
+    the same vacuum reclaim them."""
+    import os
+
+    snap = str(tmp_path / "snap")
+    for lo, hi in ((0, 30), (0, 10), (10, 20)):
+        S.snapshot_merge_upsert(
+            spark, snap, _inc(spark, lo, hi, mul=lo + 2),
+            partition_cols=["bucket"],
+        )
+    cur = S._current_gen(spark, snap)
+    want_g1 = _rows(S.read_snapshot_table(spark, snap, at_gen=1))
+
+    out = S.snapshot_vacuum(spark, snap, retain_hours=24)
+    assert out["removed_manifests"] == 0  # all commits are fresh
+    assert _rows(S.read_snapshot_table(spark, snap, at_gen=1)) == want_g1
+
+    # age generation 1's manifest past the window; gen 2 stays fresh
+    m1 = os.path.join(snap, "_manifests", f"{1:08d}.json")
+    old_ts = (S._now_ms(spark) - 48 * 3_600_000) / 1000.0
+    os.utime(m1, (old_ts, old_ts))
+    S.snapshot_vacuum(spark, snap, retain_hours=24)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        S.read_snapshot_table(spark, snap, at_gen=1)
+    # gen 2 (fresh) still readable; current untouched
+    assert S.read_snapshot_table(spark, snap, at_gen=2).count() > 0
+    assert S._current_gen(spark, snap) == cur
