@@ -5334,6 +5334,36 @@ def q205_dynamic_partition_pruning(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q206_unconverted_impressions(spark: SparkSession, sf: str) -> DataFrame:
+    """The LEFT-OUTER interval join's batch oracle twin (q97 is the
+    inner form): every view event, joined to the click events of the
+    same user within 10 minutes AFTER it — views with no such click
+    emit once with NULL click columns (the unconverted-impressions
+    feed the streaming runner produces incrementally with
+    how='left_outer').  ONE definition shared with the streaming
+    path (interval_join_streams), so the hash check here certifies
+    the stream's join semantics too."""
+    from gpt_rag_ingestion_spark.streaming.micro_batch import (
+        interval_join_streams,
+    )
+
+    ev = _t(spark, sf, "events")
+    imps = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = interval_join_streams(
+        clicks, imps, max_delay_minutes=10, how="left_outer"
+    )
+    return out.select(
+        "user_id", "impression_id", "click_id",
+        F.unix_micros("imp_ts").alias("imp_us"),
+        F.unix_micros("click_ts").alias("click_us"),
+    )
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW (and that the registry/oracle counts match QUERIES.md)
@@ -5612,6 +5642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q203_value_deciles": q203_value_deciles,
         "q204_cdc_conditional_merge": q204_cdc_conditional_merge,
         "q205_dynamic_partition_pruning": q205_dynamic_partition_pruning,
+        "q206_unconverted_impressions": q206_unconverted_impressions,
     }
 
 
@@ -9157,5 +9188,17 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l
             JOIN years y ON CAST(year(l.l_shipdate) AS INT) = y.y
             GROUP BY l.l_returnflag
+        """,
+        "q206_unconverted_impressions": """
+            SELECT i.user_id,
+              i.event_id AS impression_id,
+              c.event_id AS click_id,
+              epoch_us(i.ts) AS imp_us,
+              epoch_us(c.ts) AS click_us
+            FROM (SELECT * FROM events WHERE event_type = 'view') i
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON i.user_id = c.user_id
+             AND i.ts <= c.ts
+             AND c.ts <= i.ts + INTERVAL 10 MINUTE
         """,
     }
