@@ -975,6 +975,7 @@ def snapshot_optimize(
     partition_cols: list[str] | None = None,
     zorder_cols: list[str] | None = None,
     zorder_bits: int = 16,
+    target_file_mb: int | None = None,
 ) -> int:
     """Fold every referenced generation into ONE (the OPTIMIZE of this
     format): read the snapshot, rewrite it wholesale as a new
@@ -985,7 +986,16 @@ def snapshot_optimize(
     rewrite clusters rows on the Morton curve over those columns
     (operators/layout.zorder_value) so parquet min/max footers prune
     multi-column range predicates — one stats pass + a sort folded
-    into the rewrite the fold was doing anyway."""
+    into the rewrite the fold was doing anyway.
+
+    ``target_file_mb`` is the OPTIMIZE target-file-size knob: the
+    rewrite caps rows per output file at ``target_bytes / measured
+    avg row bytes`` (from the CURRENT generation's parquet footprint
+    — metadata listing + one count, no extra data pass), so a table
+    of many merge slivers folds into right-sized files instead of one
+    giant file per partition.  Right-sized means splittable scans and
+    bounded task memory at 100 TB — the same reason every lakehouse
+    OPTIMIZE has this knob."""
     _commit_recover(spark, table_path)
     _claim_recover(spark, table_path)
     cur = _current_gen(spark, table_path)
@@ -1016,7 +1026,33 @@ def snapshot_optimize(
     gen = cur + 1
     gname = _gen_name(gen)
     new_dir = _gen_dir(table_path, gname)
+    if target_file_mb:
+        from gpt_rag_ingestion_spark.operators.upsert import (
+            _list_parquet_files,
+        )
+
+        total_bytes = sum(
+            b for _p, b in _list_parquet_files(spark, table_path)
+        )
+        total_rows = existing.count()
+        if total_rows > 0 and total_bytes > 0:
+            rows_per_file = max(
+                1,
+                int(target_file_mb) * 1024 * 1024 * total_rows
+                // total_bytes,
+            )
+            # bin-pack, not just cap: coalesce each table partition to
+            # one task (the file-count FLOOR is task count), then let
+            # maxRecordsPerFile split back up to the target.  The
+            # z-order path keeps its range partitioning — its task
+            # layout IS the clustering.
+            if partition_cols and not zorder_cols:
+                existing = existing.repartition(
+                    *[F.col(c) for c in partition_cols]
+                )
     writer = existing.write.mode("overwrite")
+    if target_file_mb and total_rows > 0 and total_bytes > 0:
+        writer = writer.option("maxRecordsPerFile", rows_per_file)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(new_dir)

@@ -1204,3 +1204,45 @@ def test_vacuum_retain_hours_window(spark, tmp_path):
     # gen 2 (fresh) still readable; current untouched
     assert S.read_snapshot_table(spark, snap, at_gen=2).count() > 0
     assert S._current_gen(spark, snap) == cur
+
+
+def test_optimize_target_file_size(spark, tmp_path):
+    """OPTIMIZE's target-file-size knob: with a fat payload and a
+    small target the fold splits each partition into multiple
+    right-sized files; with a huge target it folds to one file per
+    partition — contents identical either way."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    snap = str(tmp_path / "snap")
+    fat = spark.range(0, 4000).select(
+        F.col("id").alias("parent_id"),
+        (F.col("id") % 2).cast("int").alias("bucket"),
+        # ~1 KB/row of INCOMPRESSIBLE payload (30 distinct uuids —
+        # a repeat() would snappy-compress to nothing and defeat the
+        # bytes-per-row measurement the knob relies on)
+        F.expr(
+            "concat_ws('', transform(sequence(1, 30), i -> uuid()))"
+        ).alias("payload"),
+    )
+    S.snapshot_merge_upsert(
+        spark, snap, fat, partition_cols=["bucket"]
+    )
+    n_rows = S.read_snapshot_table(spark, snap).count()
+
+    S.snapshot_optimize(
+        spark, snap, partition_cols=["bucket"], target_file_mb=1
+    )
+    S.snapshot_vacuum(spark, snap)
+    small_files = glob.glob(f"{snap}/gen-*/bucket=*/*.parquet")
+    assert len(small_files) > 2  # > one file per partition
+    assert S.read_snapshot_table(spark, snap).count() == n_rows
+
+    S.snapshot_optimize(
+        spark, snap, partition_cols=["bucket"], target_file_mb=1024
+    )
+    S.snapshot_vacuum(spark, snap)
+    big_files = glob.glob(f"{snap}/gen-*/bucket=*/*.parquet")
+    assert len(big_files) < len(small_files)
+    assert S.read_snapshot_table(spark, snap).count() == n_rows
