@@ -5364,6 +5364,51 @@ def q206_unconverted_impressions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q207_scoring_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """The COMPOSED scoring profile (the search service's full model):
+    BM25 × (1 + magnitude(n_chars) + tag(source/lang ∩ query tags)) —
+    longer docs boost linearly inside a clamped range, and each query
+    carries its own tag set so the same doc ranks differently per
+    caller (the personalization function).  Sum aggregation, linear
+    interpolation, integer per-mille — hash-exact against the oracle
+    recomputing the identical profile in SQL."""
+    from gpt_rag_ingestion_spark.operators.search import (
+        build_text_index,
+        scoring_profile_topk,
+    )
+
+    docs = _t(spark, sf, "documents")
+    index = build_text_index(docs)
+    values = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.col("n_chars").cast("long").alias("value"),
+    )
+    doc_tags = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.array("source", "lang").alias("tags"),
+    )
+    qdf = _bm25_query_df(spark)
+    # deterministic per-query tag sets: even queries prefer English
+    # wiki-ish sources, odd ones Chinese src1 docs
+    query_tags = qdf.select(
+        "query_id",
+        F.when(
+            F.expr("CAST(substring(query_id, 2) AS INT) % 2 = 0"),
+            F.array(F.lit("en"), F.lit("src0")),
+        ).otherwise(F.array(F.lit("zh"), F.lit("src1"))).alias("qtags"),
+    )
+    return scoring_profile_topk(
+        index, qdf,
+        functions=[
+            {"type": "magnitude", "values": values, "range_min": 100,
+             "range_max": 500, "weight_permille": 300},
+            {"type": "tag", "doc_tags": doc_tags,
+             "query_tags": query_tags, "weight_permille": 400},
+        ],
+        k=10,
+    )
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW (and that the registry/oracle counts match QUERIES.md)
@@ -5643,6 +5688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q204_cdc_conditional_merge": q204_cdc_conditional_merge,
         "q205_dynamic_partition_pruning": q205_dynamic_partition_pruning,
         "q206_unconverted_impressions": q206_unconverted_impressions,
+        "q207_scoring_profile": q207_scoring_profile,
     }
 
 
@@ -9200,5 +9246,26 @@ def oracle_sql() -> dict[str, str]:
               ON i.user_id = c.user_id
              AND i.ts <= c.ts
              AND c.ts <= i.ts + INTERVAL 10 MINUTE
+        """,
+        "q207_scoring_profile": f"""
+            WITH {_bm25_oracle_ctes()},
+            boosted AS (
+              SELECT s.query_id, s.doc,
+                CAST(s.score_q * (1000
+                  + (300 * least(greatest(d.n_chars - 100, 0), 400)) // 400
+                  + (400 * (
+                      (CASE WHEN CAST(substring(s.query_id, 2) AS INT) % 2 = 0
+                            THEN (d.lang = 'en')::INT + (d.source = 'src0')::INT
+                            ELSE (d.lang = 'zh')::INT + (d.source = 'src1')::INT
+                       END))) // 2
+                ) AS BIGINT) AS boosted_q
+              FROM scored s JOIN documents d ON d.doc_id = s.doc),
+            ranked AS (
+              SELECT query_id, doc, boosted_q,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY boosted_q DESC, doc ASC) AS rank
+              FROM boosted)
+            SELECT query_id, rank, doc, boosted_q
+            FROM ranked WHERE rank <= 10
         """,
     }

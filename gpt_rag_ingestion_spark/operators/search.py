@@ -46,6 +46,8 @@ index IS the pre-computation, exactly like the search service.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -210,6 +212,100 @@ def freshness_boosted_topk(
     boosted = joined.select(
         query_id_col, "doc",
         (F.col("score_q") * (F.lit(1000) + boost)).cast("long").alias(
+            "boosted_q"
+        ),
+    )
+    return _topk_by_score(boosted, k, query_id_col, score_col="boosted_q")
+
+
+def scoring_profile_topk(
+    index: dict,
+    queries: DataFrame,
+    functions: list[dict],
+    k: int = 10,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """The search service's FULL scoring-profile model: BM25 relevance
+    times (1 + Σ function boosts), with the three scoring-function
+    types composable in one call (sum aggregation, linear
+    interpolation — the service defaults):
+
+    - ``{"type": "freshness", "days": DF(doc, day), "now_day": int,
+      "window_days": int, "weight_permille": int}`` — linear decay of
+      document age inside the window (see ``freshness_boosted_topk``).
+    - ``{"type": "magnitude", "values": DF(doc, value),
+      "range_min": int, "range_max": int, "weight_permille": int}`` —
+      boost grows linearly with a numeric field (popularity, length,
+      rating) clamped to the range.
+    - ``{"type": "tag", "doc_tags": DF(doc, tags ARRAY<STRING>),
+      "query_tags": DF(query_id, qtags ARRAY<STRING>),
+      "weight_permille": int}`` — boost ∝ |doc tags ∩ query tags| /
+      |query tags| (the tag() personalization function; per-query, so
+      the same doc boosts differently per caller).
+
+    Integer per-mille arithmetic throughout — the whole profile
+    hash-matches any SQL engine.  Every boost dimension joins
+    CANDIDATE rows only (broadcast), never the corpus."""
+    qterms = queries.select(
+        F.col(query_id_col), F.explode(F.col(terms_col)).alias("token")
+    ).distinct()
+    scored = _bm25_scores(index, qterms, query_id_col)
+    boosts = []
+    for i, fn in enumerate(functions):
+        w = int(fn["weight_permille"])
+        kind = fn["type"]
+        bcol = f"_b{i}"
+        if kind == "freshness":
+            nd, wd = int(fn["now_day"]), int(fn["window_days"])
+            scored = scored.join(
+                F.broadcast(fn["days"]), "doc", "left"
+            ).withColumn(
+                bcol,
+                F.expr(
+                    f"CASE WHEN day IS NOT NULL AND {nd} - day >= 0 "
+                    f"THEN ({w} * greatest(0, {wd} - ({nd} - day))) "
+                    f"div {wd} ELSE 0 END"
+                ),
+            ).drop("day")
+        elif kind == "magnitude":
+            lo, hi = int(fn["range_min"]), int(fn["range_max"])
+            span = max(hi - lo, 1)
+            scored = scored.join(
+                F.broadcast(fn["values"]), "doc", "left"
+            ).withColumn(
+                bcol,
+                F.expr(
+                    f"CASE WHEN value IS NULL THEN 0 ELSE "
+                    f"({w} * least(greatest(value - {lo}, 0), {span})) "
+                    f"div {span} END"
+                ),
+            ).drop("value")
+        elif kind == "tag":
+            scored = scored.join(
+                F.broadcast(fn["doc_tags"]), "doc", "left"
+            ).join(
+                F.broadcast(fn["query_tags"]), query_id_col, "left"
+            ).withColumn(
+                bcol,
+                F.expr(
+                    "CASE WHEN tags IS NULL OR qtags IS NULL "
+                    "OR size(qtags) = 0 THEN 0 ELSE "
+                    f"({w} * size(array_intersect(tags, qtags))) "
+                    "div size(qtags) END"
+                ),
+            ).drop("tags", "qtags")
+        else:
+            raise ValueError(f"unknown scoring function type: {kind!r}")
+        boosts.append(F.col(bcol))
+    total = (
+        functools.reduce(lambda a, b: a + b, boosts)
+        if boosts
+        else F.lit(0)
+    )
+    boosted = scored.select(
+        query_id_col, "doc",
+        (F.col("score_q") * (F.lit(1000) + total)).cast("long").alias(
             "boosted_q"
         ),
     )

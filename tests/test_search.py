@@ -1044,3 +1044,67 @@ def test_freshness_boosted_topk(spark):
     assert boosted[3][1] == plain_scores[3] * 1000
     # fresh doc: boost = 500 * (365 - 10) div 365
     assert boosted[2][1] == plain_scores[2] * (1000 + 500 * 355 // 365)
+
+
+def test_scoring_profile_topk_composed(spark):
+    """The composed scoring profile: magnitude boosts the doc with the
+    bigger field value, tag boosts per-query (same doc, different
+    rank for different callers), zero functions degrade to bare BM25
+    × 1000, and an unknown function type is refused."""
+    import pytest
+
+    from gpt_rag_ingestion_spark.operators.search import (
+        bm25_topk,
+        build_text_index,
+        scoring_profile_topk,
+    )
+
+    rows = [(1, "apple banana"), (2, "apple banana"), (3, "apple banana")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_text_index(docs)
+    q = spark.createDataFrame(
+        [("q0", ["apple"]), ("q1", ["apple"])],
+        "query_id string, terms array<string>",
+    )
+    values = spark.createDataFrame(
+        [(1, 0), (2, 500), (3, 0)], "doc long, value long"
+    )
+    doc_tags = spark.createDataFrame(
+        [(1, ["red"]), (2, ["blue"]), (3, ["green"])],
+        "doc long, tags array<string>",
+    )
+    query_tags = spark.createDataFrame(
+        [("q0", ["red"]), ("q1", ["green"])],
+        "query_id string, qtags array<string>",
+    )
+    out = scoring_profile_topk(
+        idx, q,
+        functions=[
+            {"type": "magnitude", "values": values, "range_min": 0,
+             "range_max": 500, "weight_permille": 200},
+            {"type": "tag", "doc_tags": doc_tags,
+             "query_tags": query_tags, "weight_permille": 500},
+        ],
+        k=3,
+    )
+    ranks = {
+        (r["query_id"], r["doc"]): r["rank"] for r in out.collect()
+    }
+    # q0: doc1 (tag 500) > doc2 (magnitude 200) > doc3 (nothing)
+    assert ranks[("q0", 1)] == 1 and ranks[("q0", 2)] == 2
+    # q1: doc3 (tag) wins instead — per-query personalization
+    assert ranks[("q1", 3)] == 1 and ranks[("q1", 2)] == 2
+
+    # zero functions = bare BM25 × 1000
+    bare = scoring_profile_topk(idx, q, functions=[], k=3)
+    plain = {
+        r["doc"]: r["score_q"]
+        for r in bm25_topk(idx, q, k=3).filter("query_id = 'q0'").collect()
+    }
+    for r in bare.filter("query_id = 'q0'").collect():
+        assert r["boosted_q"] == plain[r["doc"]] * 1000
+
+    with pytest.raises(ValueError, match="unknown scoring function"):
+        scoring_profile_topk(
+            idx, q, functions=[{"type": "geo", "weight_permille": 1}]
+        ).collect()
