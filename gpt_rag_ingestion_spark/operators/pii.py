@@ -89,3 +89,64 @@ def k_anonymity_suppress(
         .select(*qi_cols)
     )
     return df.join(F.broadcast(failing), on=qi_cols, how="left_anti")
+
+
+def k_anonymity_generalize(
+    df: DataFrame,
+    qi: dict[str, list[str]],
+    k: int = 5,
+) -> tuple[DataFrame, dict]:
+    """GENERALIZATION ladder — the other arm of k-anonymity (suppression
+    destroys rows; generalization coarsens them): ``qi`` maps each
+    output QI column to an ordered list of SQL expressions over the
+    input, coarser at higher levels (e.g. ``{"region": ["city",
+    "state", "country"], "age_b": ["age", "age div 10 * 10",
+    "age div 25 * 25"]}``).  Levels advance in LOCKSTEP (global
+    recoding, the standard full-domain model): the smallest level
+    whose under-k row count stops improving — or hits zero — wins,
+    and any still-failing rows are suppressed.
+
+    Returns ``(released_df, report)``: the released rows carry the
+    chosen level's QI columns plus every non-QI input column;
+    ``report`` = {"level": L, "suppressed_rows": n, "released_rows":
+    m}.  Cost: one grouped count per level tried (≤ max ladder
+    height, a handful) + one suppression anti-join — every pass is
+    the exact-dedup shuffle shape, never a row-level sort."""
+    if not qi or any(not lvls for lvls in qi.values()):
+        raise ValueError("qi must map each column to >= 1 expression")
+    max_level = max(len(v) for v in qi.values())
+
+    def _select(level: int) -> DataFrame:
+        exprs = [
+            F.expr(lvls[min(level, len(lvls) - 1)]).alias(c)
+            for c, lvls in qi.items()
+        ]
+        others = [F.col(c) for c in df.columns]
+        return df.select(*others, *exprs)
+
+    def _violating(g: DataFrame) -> int:
+        out = (
+            g.groupBy(*qi.keys())
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") < int(k))
+            .agg(F.coalesce(F.sum("_n"), F.lit(0)))
+            .first()[0]
+        )
+        return int(out)
+
+    chosen, best_bad = 0, None
+    for level in range(max_level):
+        bad = _violating(_select(level))
+        if best_bad is None or bad < best_bad:
+            chosen, best_bad = level, bad
+        if bad == 0:
+            break
+    released = k_anonymity_suppress(
+        _select(chosen), list(qi.keys()), k=k
+    )
+    n_released = released.count()
+    return released, {
+        "level": chosen,
+        "suppressed_rows": int(best_bad),
+        "released_rows": int(n_released),
+    }

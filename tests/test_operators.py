@@ -251,3 +251,32 @@ def test_k_anonymity_audit_and_suppress(spark):
     assert kept.filter("source = 'pdf' OR lang = 'fr'").count() == 0
     re_audit = k_anonymity_audit(kept, ["lang", "source"], k=3)
     assert re_audit.filter("NOT meets_k").count() == 0
+
+
+def test_k_anonymity_generalize_ladder(spark):
+    """The generalization arm: level 0 (raw city) violates k, level 1
+    (state) fixes the big groups, stragglers suppress; the released
+    table is k-anonymous at the chosen level and non-QI columns
+    survive."""
+    from gpt_rag_ingestion_spark.operators.pii import (
+        k_anonymity_audit,
+        k_anonymity_generalize,
+    )
+
+    rows = (
+        [(f"r{i}", "springfield", "IL") for i in range(3)]
+        + [(f"s{i}", "chicago", "IL") for i in range(3)]
+        + [(f"t{i}", "miami", "FL") for i in range(5)]
+        + [("lone", "anchorage", "AK")]
+    )
+    df = spark.createDataFrame(rows, "rid string, city string, st string")
+    released, rep = k_anonymity_generalize(
+        df, {"region": ["city", "st"]}, k=5
+    )
+    # level 0: every IL city group has 3 < 5 -> level 1 merges IL to 6
+    assert rep["level"] == 1
+    assert rep["suppressed_rows"] == 1          # the AK loner
+    assert rep["released_rows"] == 11
+    audit = k_anonymity_audit(released, ["region"], k=5)
+    assert audit.filter("NOT meets_k").count() == 0
+    assert set(released.columns) == {"rid", "city", "st", "region"}
