@@ -712,6 +712,8 @@ def snapshot_merge_when(
             f"has {sorted(existing.columns)}, incoming "
             f"{sorted(incoming.columns)}"
         )
+    # CHECK constraints bind on every write path, conditional or not
+    _validate_constraints(spark, table_path, incoming)
     manifest = _read_manifest(spark, table_path, cur)
     gen = cur + 1
     gname = _gen_name(gen)

@@ -1246,3 +1246,32 @@ def test_optimize_target_file_size(spark, tmp_path):
     big_files = glob.glob(f"{snap}/gen-*/bucket=*/*.parquet")
     assert len(big_files) < len(small_files)
     assert S.read_snapshot_table(spark, snap).count() == n_rows
+
+
+def test_merge_when_enforces_check_constraints(spark, tmp_path):
+    """CHECK constraints bind on the conditional-merge path too: a
+    violating CDC batch is refused before anything is written."""
+    import pyspark.sql.functions as F
+
+    snap = str(tmp_path / "snap")
+    df = spark.range(0, 20).select(
+        F.col("id").alias("parent_id"),
+        (F.col("id") % 2).cast("int").alias("bucket"),
+        (F.col("id") + 1).alias("v"),
+    )
+    S.snapshot_merge_upsert(spark, snap, df, partition_cols=["bucket"])
+    S.snapshot_add_constraint(spark, snap, "v_positive", "v > 0")
+    bad = spark.range(0, 3).select(
+        F.col("id").alias("parent_id"),
+        (F.col("id") % 2).cast("int").alias("bucket"),
+        F.lit(-5).cast("long").alias("v"),
+    )
+    gen_before = S._current_gen(spark, snap)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="v_positive"):
+        S.snapshot_merge_when(
+            spark, snap, bad, partition_cols=["bucket"],
+            matched_update="s.v > t.v",
+        )
+    assert S._current_gen(spark, snap) == gen_before
