@@ -2153,6 +2153,13 @@ def snapshot_clone(
         for rel, g in manifest["partitions"].items()
     }
     _fs_mkdirs(spark, clone_path)
+    # clones inherit TABLE METADATA (Delta clones carry table
+    # properties): stats config so clone-local generations write
+    # skipping sidecars, CHECK constraints, generated columns
+    for conf in (_STATS_CONF, _CONSTRAINTS_CONF, _GENERATED_CONF):
+        sp = f"{src_abs}/{conf}"
+        if _fs_exists(spark, sp):
+            _write_text(spark, f"{clone_path}/{conf}", _read_text(spark, sp))
     _commit(
         spark, clone_path, 1, partitions, expected_cur=None,
         extra={"cloned_from": src_abs, "cloned_gen": cur}, op="clone",

@@ -1275,3 +1275,42 @@ def test_merge_when_enforces_check_constraints(spark, tmp_path):
             matched_update="s.v > t.v",
         )
     assert S._current_gen(spark, snap) == gen_before
+
+
+def test_clone_inherits_table_metadata(spark, tmp_path):
+    """Clones carry table metadata: the source's stats config makes
+    clone-local generations write skipping sidecars, and the source's
+    CHECK constraints bind on clone writes."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    cln = str(tmp_path / "cln")
+    df = spark.range(0, 50).select(
+        F.col("id").alias("parent_id"),
+        (F.col("id") % 2).cast("int").alias("bucket"),
+        (F.col("id") + 1).alias("v"),
+    )
+    S.snapshot_enable_stats(spark, src, cols=["v"])
+    S.snapshot_merge_upsert(spark, src, df, partition_cols=["bucket"])
+    S.snapshot_add_constraint(spark, src, "v_positive", "v > 0")
+    S.snapshot_clone(spark, src, cln)
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="v_positive"):
+        S.snapshot_merge_upsert(
+            spark, cln,
+            df.withColumn("v", F.lit(-1).cast("long")).limit(3),
+            partition_cols=["bucket"],
+        )
+    # a clone-local merge writes its own stats sidecar and range reads
+    # prune through it
+    S.snapshot_merge_upsert(
+        spark, cln,
+        df.withColumn("v", F.col("v") + 1000),
+        partition_cols=["bucket"],
+    )
+    rep: dict = {}
+    got = S.snapshot_read_where(spark, cln, {"v": (1001, None)}, report=rep)
+    assert got.count() == 50
+    assert rep["files_total"] > 0
