@@ -367,8 +367,43 @@ def _apply_dv(spark, df: DataFrame, gname: str, dv_map: dict) -> DataFrame:
     ).drop("__file", "__pos")
 
 
+def snapshot_gen_at_timestamp(
+    spark: SparkSession, table_path: str, ts_ms: int
+) -> int:
+    """TIME TRAVEL BY TIMESTAMP (Delta's `AS OF TIMESTAMP` half of the
+    surface; ``at_gen`` is the `AS OF VERSION` half): the newest
+    committed generation whose manifest was written at or before
+    ``ts_ms`` (epoch millis, compared against manifest file mtimes —
+    the commit clock).  Raises if every retained manifest is newer
+    (the asked-for moment predates retention or the table)."""
+    cur = _current_gen(spark, table_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot at {table_path}")
+    fs, mdir = _hfs(spark, f"{table_path}/_manifests")
+    best = None
+    if fs.exists(mdir):
+        for st in fs.listStatus(mdir):
+            name = st.getPath().getName()
+            if not name.endswith(".json"):
+                continue
+            try:
+                g = int(name[:-5])
+            except ValueError:
+                continue
+            if g <= cur and st.getModificationTime() <= int(ts_ms):
+                if best is None or g > best:
+                    best = g
+    if best is None:
+        raise FileNotFoundError(
+            f"no snapshot of {table_path} existed at ts={ts_ms} "
+            "(before the table, or vacuumed past retention)"
+        )
+    return best
+
+
 def read_snapshot_table(
-    spark: SparkSession, table_path: str, at_gen: int | None = None
+    spark: SparkSession, table_path: str, at_gen: int | None = None,
+    at_ts_ms: int | None = None,
 ) -> DataFrame:
     """The committed snapshot as a DataFrame.  One parquet scan per
     referenced generation (vacuum/optimize folds old generations, so
@@ -378,10 +413,16 @@ def read_snapshot_table(
     column): the union aligns by name with missing columns as NULL —
     the same evolution contract as the swap sink's merge.
 
-    ``at_gen`` is TIME TRAVEL: read the snapshot as of an earlier
-    committed generation — valid for any manifest vacuum has not yet
+    ``at_gen`` is TIME TRAVEL (`AS OF VERSION`); ``at_ts_ms`` is
+    `AS OF TIMESTAMP` (resolved to a generation via manifest mtimes,
+    ``snapshot_gen_at_timestamp``) — valid for any manifest vacuum
+    has not yet
     removed (vacuum is the retention boundary, as in every lakehouse
     format)."""
+    if at_gen is not None and at_ts_ms is not None:
+        raise ValueError("pass at_gen or at_ts_ms, not both")
+    if at_ts_ms is not None:
+        at_gen = snapshot_gen_at_timestamp(spark, table_path, at_ts_ms)
     gen = at_gen if at_gen is not None else _current_gen(spark, table_path)
     if gen is None:
         raise FileNotFoundError(f"no committed snapshot at {table_path}")

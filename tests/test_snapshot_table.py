@@ -1314,3 +1314,38 @@ def test_clone_inherits_table_metadata(spark, tmp_path):
     got = S.snapshot_read_where(spark, cln, {"v": (1001, None)}, report=rep)
     assert got.count() == 50
     assert rep["files_total"] > 0
+
+
+def test_time_travel_by_timestamp(spark, tmp_path):
+    """AS OF TIMESTAMP: manifest mtimes are the commit clock — a
+    timestamp between commits resolves to the earlier one, before the
+    table raises, and at_gen/at_ts_ms are mutually exclusive."""
+    import os
+
+    snap = str(tmp_path / "snap")
+    S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 0, 10), partition_cols=["bucket"]
+    )
+    S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 0, 10, mul=99), partition_cols=["bucket"]
+    )
+    # separate the two commit mtimes deterministically
+    m1 = os.path.join(snap, "_manifests", f"{1:08d}.json")
+    m2 = os.path.join(snap, "_manifests", f"{2:08d}.json")
+    t1, t2 = 1_000_000_000.0, 2_000_000_000.0  # epoch secs
+    os.utime(m1, (t1, t1))
+    os.utime(m2, (t2, t2))
+
+    between = int(1_500_000_000 * 1000)
+    assert S.snapshot_gen_at_timestamp(spark, snap, between) == 1
+    got = S.read_snapshot_table(spark, snap, at_ts_ms=between)
+    assert _rows(got) == _rows(S.read_snapshot_table(spark, snap, at_gen=1))
+    after = int(2_500_000_000 * 1000)
+    assert S.snapshot_gen_at_timestamp(spark, snap, after) == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="existed at"):
+        S.snapshot_gen_at_timestamp(spark, snap, int(t1 * 1000) - 5000)
+    with _pytest.raises(ValueError, match="not both"):
+        S.read_snapshot_table(spark, snap, at_gen=1, at_ts_ms=between)
