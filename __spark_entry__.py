@@ -5409,6 +5409,78 @@ def q207_scoring_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q208_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary):
+    each customer's days-since-last-order, order count, and cent
+    total, each cut into quintiles (ntile with total tie-breaks), and
+    the composite `532`-style segment code — the classic CRM rollup,
+    one aggregation + one window pass.  Recency quintile 5 = most
+    recent (ntile ascends with days-since, so it is inverted)."""
+    orders = _t(spark, sf, "orders")
+    anchor = orders.agg(F.max("o_orderdate")).first()[0]
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(F.lit(anchor), F.max("o_orderdate")).cast("long").alias(
+            "days_since"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long").alias("cents"),
+    )
+    wr = Window.orderBy(F.asc("days_since"), F.asc("o_custkey"))
+    wf = Window.orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+    wm = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    seg = per_cust.select(
+        "o_custkey", "days_since", "n_orders", "cents",
+        (6 - F.ntile(5).over(wr)).cast("long").alias("r_q"),
+        (6 - F.ntile(5).over(wf)).cast("long").alias("f_q"),
+        (6 - F.ntile(5).over(wm)).cast("long").alias("m_q"),
+    )
+    return seg.select(
+        "*",
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).alias(
+            "segment"
+        ),
+    )
+
+
+def q209_last_touch_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """LAST-TOUCH ATTRIBUTION: each purchase is credited to the same
+    user's most recent click within the 7 preceding days — the as-of
+    join expressed as one window pass over the interleaved event
+    stream (clicks and purchases union-sorted per user; a running
+    `last(click) ignore nulls` carries the candidate, the window
+    predicate re-checks it), so no join blowup for power users with
+    thousands of clicks.  Unattributed purchases stay with NULL
+    click."""
+    ev = _t(spark, sf, "events")
+    mixed = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_us = F.when(F.col("event_type") == "click", F.col("us"))
+    attributed = mixed.select(
+        "*",
+        F.last(click_id, ignorenulls=True).over(w).alias("last_click"),
+        F.last(click_us, ignorenulls=True).over(w).alias("last_click_us"),
+    ).filter(F.col("event_type") == "purchase")
+    window_us = 7 * 86400 * 1000000
+    return attributed.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("us").alias("purchase_us"),
+        F.when(
+            F.col("last_click_us") >= F.col("us") - window_us,
+            F.col("last_click"),
+        ).alias("click_id"),
+    )
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW (and that the registry/oracle counts match QUERIES.md)
@@ -5689,6 +5761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q205_dynamic_partition_pruning": q205_dynamic_partition_pruning,
         "q206_unconverted_impressions": q206_unconverted_impressions,
         "q207_scoring_profile": q207_scoring_profile,
+        "q208_rfm_segments": q208_rfm_segments,
+        "q209_last_touch_attribution": q209_last_touch_attribution,
     }
 
 
@@ -9267,5 +9341,47 @@ def oracle_sql() -> dict[str, str]:
               FROM boosted)
             SELECT query_id, rank, doc, boosted_q
             FROM ranked WHERE rank <= 10
+        """,
+        "q208_rfm_segments": """
+            WITH pc AS (
+              SELECT o_custkey,
+                CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                  (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+                  AS BIGINT) AS days_since,
+                COUNT(*) AS n_orders,
+                CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+              FROM orders GROUP BY o_custkey),
+            q AS (
+              SELECT *,
+                CAST(6 - ntile(5) OVER (ORDER BY days_since ASC,
+                  o_custkey ASC) AS BIGINT) AS r_q,
+                CAST(6 - ntile(5) OVER (ORDER BY n_orders DESC,
+                  o_custkey ASC) AS BIGINT) AS f_q,
+                CAST(6 - ntile(5) OVER (ORDER BY cents DESC,
+                  o_custkey ASC) AS BIGINT) AS m_q
+              FROM pc)
+            SELECT o_custkey, days_since, n_orders, cents, r_q, f_q,
+              m_q,
+              CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS segment
+            FROM q
+        """,
+        "q209_last_touch_attribution": """
+            WITH mixed AS (
+              SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+              FROM events WHERE event_type IN ('click', 'purchase')),
+            carried AS (
+              SELECT *,
+                last_value(CASE WHEN event_type = 'click'
+                  THEN event_id END IGNORE NULLS) OVER w AS last_click,
+                last_value(CASE WHEN event_type = 'click'
+                  THEN us END IGNORE NULLS) OVER w AS last_click_us
+              FROM mixed
+              WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+            SELECT user_id, event_id AS purchase_id, us AS purchase_us,
+              CASE WHEN last_click_us >= us - 604800000000
+                   THEN last_click END AS click_id
+            FROM carried WHERE event_type = 'purchase'
         """,
     }
