@@ -5481,6 +5481,62 @@ def q209_last_touch_attribution(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q210_grouped_median_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT grouped median without floats: the interpolated median is
+    rational with denominator 2, so ``median × 2`` is an integer —
+    odd-count groups contribute twice the middle rank's value, even
+    ones the sum of the two middle ranks.  One window pass for ranks,
+    conditional sums per group; hash-exact in any engine (the usual
+    percentile_cont is float and engine-divergent)."""
+    ev = _t(spark, sf, "events").select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cv"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cv", "event_id")
+    cnt = Window.partitionBy("event_type")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(cnt)
+    )
+    lo = F.expr("(n + 1) div 2")
+    hi = F.expr("n div 2 + 1")
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.when(F.col("rn") == lo, F.col("cv")).otherwise(0)
+            + F.when((F.col("rn") == hi) & (hi != lo), F.col("cv")).otherwise(0)
+            + F.when((F.col("rn") == lo) & (hi == lo), F.col("cv")).otherwise(0)
+        ).cast("long").alias("median_x2"),
+    )
+
+
+def q211_pareto_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    """PARETO / ABC analysis: customers sorted by revenue descending,
+    cumulative share in integer per-mille, flagged while the RUNNING
+    total (exclusive of the current row) is still under 80% — the
+    classic 'which heads cover 80% of the mass' cut, one aggregation
+    + one window pass over |customers| rows."""
+    orders = _t(spark, sf, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long").alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    total = per_cust.agg(F.sum("cents")).first()[0]
+    return per_cust.select(
+        "o_custkey", "cents",
+        F.expr(
+            f"(1000 * (sum(cents) OVER (ORDER BY cents DESC, o_custkey ASC"
+            f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))"
+            f" div {int(total)}"
+        ).alias("cum_permille"),
+        (
+            F.coalesce(F.sum("cents").over(wprev), F.lit(0)) * 5
+            < F.lit(int(total)) * 4
+        ).alias("in_top80"),
+    )
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW (and that the registry/oracle counts match QUERIES.md)
@@ -5763,6 +5819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q207_scoring_profile": q207_scoring_profile,
         "q208_rfm_segments": q208_rfm_segments,
         "q209_last_touch_attribution": q209_last_touch_attribution,
+        "q210_grouped_median_exact": q210_grouped_median_exact,
+        "q211_pareto_frontier": q211_pareto_frontier,
     }
 
 
@@ -9383,5 +9441,43 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN last_click_us >= us - 604800000000
                    THEN last_click END AS click_id
             FROM carried WHERE event_type = 'purchase'
+        """,
+        "q210_grouped_median_exact": """
+            WITH q AS (
+              SELECT event_type, event_id,
+                CAST(round(value * 100) AS BIGINT) AS cv
+              FROM events),
+            r AS (
+              SELECT event_type, cv,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY cv, event_id) AS rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM q)
+            SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+              CAST(SUM(
+                CASE WHEN rn = (n + 1) // 2 THEN cv ELSE 0 END
+                + CASE WHEN rn = n // 2 + 1 AND n // 2 + 1 <> (n + 1) // 2
+                       THEN cv ELSE 0 END
+                + CASE WHEN rn = (n + 1) // 2 AND n // 2 + 1 = (n + 1) // 2
+                       THEN cv ELSE 0 END) AS BIGINT) AS median_x2
+            FROM r GROUP BY event_type
+        """,
+        "q211_pareto_frontier": """
+            WITH pc AS (
+              SELECT o_custkey,
+                CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+              FROM orders GROUP BY o_custkey),
+            t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM pc)
+            SELECT o_custkey, cents,
+              CAST((1000 * SUM(cents) OVER (ORDER BY cents DESC,
+                o_custkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND
+                CURRENT ROW)) // (SELECT total FROM t) AS BIGINT)
+                AS cum_permille,
+              COALESCE(SUM(cents) OVER (ORDER BY cents DESC,
+                o_custkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND
+                1 PRECEDING), 0) * 5 < (SELECT total FROM t) * 4
+                AS in_top80
+            FROM pc
         """,
     }
