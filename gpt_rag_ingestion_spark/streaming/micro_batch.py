@@ -40,6 +40,7 @@ def run_incremental_ingest(
     sink: str = "swap",
     max_generations: int | None = None,
     stats_cols: list[str] | None = None,
+    rollup_mode: str = "stage",
 ) -> None:
     """One AvailableNow drain of the landing zone into the chunks table.
 
@@ -66,7 +67,22 @@ def run_incremental_ingest(
     torn, and ``max_generations`` arms the per-tick generation-fold
     trigger (snapshot_maybe_optimize).  ``stats_cols`` enables
     write-time file statistics on the FIRST batch so every commit
-    carries data-skipping sidecars (SCALE.md §11)."""
+    carries data-skipping sidecars (SCALE.md §11).
+
+    ``rollup_mode`` (snapshot sink only): ``"stage"`` (default) keeps
+    the swap-staged delta maintenance; ``"cdf"`` maintains the rollup
+    FROM THE TABLE'S OWN CHANGE FEED after each commit
+    (``incremental.maintain_snapshot_rollup``) — the applied
+    generation rides inside the rollup's directory swap, so a crashed
+    tick replays cleanly and the stream and any batch maintenance job
+    can SHARE one rollup without double-counting (both consume the
+    same feed cursor)."""
+    if rollup_mode not in ("stage", "cdf"):
+        raise ValueError(
+            f"rollup_mode must be 'stage' or 'cdf', got {rollup_mode!r}"
+        )
+    if rollup_mode == "cdf" and sink != "snapshot":
+        raise ValueError("rollup_mode='cdf' needs sink='snapshot'")
     stream = (
         spark.readStream.schema(schema)
         .format("json")
@@ -94,7 +110,7 @@ def run_incremental_ingest(
             min_tokens=min_tokens,
         )
         staging = None
-        if rollup_path is not None:
+        if rollup_path is not None and rollup_mode == "stage":
             from gpt_rag_ingestion_spark.plans.ingest_job import _stage_rollup
 
             try:
@@ -142,6 +158,16 @@ def run_incremental_ingest(
             from gpt_rag_ingestion_spark.operators.upsert import _swap_in
 
             _swap_in(spark, staging, rollup_path)
+        if rollup_path is not None and rollup_mode == "cdf":
+            from gpt_rag_ingestion_spark.operators.incremental import (
+                maintain_snapshot_rollup,
+            )
+
+            maintain_snapshot_rollup(
+                spark, table_path, rollup_path,
+                key="parent_id", row_key="id",
+                sum_exprs={"chars": "length(content)"},
+            )
 
     (
         stream.writeStream.foreachBatch(process_batch)

@@ -1349,3 +1349,27 @@ def test_time_travel_by_timestamp(spark, tmp_path):
         S.snapshot_gen_at_timestamp(spark, snap, int(t1 * 1000) - 5000)
     with _pytest.raises(ValueError, match="not both"):
         S.read_snapshot_table(spark, snap, at_gen=1, at_ts_ms=between)
+
+
+def test_clone_change_feed_works_across_absolute_refs(spark, tmp_path):
+    """CDF on a clone: the diff between the clone's bootstrap
+    generation (absolute refs into the source) and a clone-local
+    merge reads across both layouts and reports exactly the touched
+    keys."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    cln = str(tmp_path / "cln")
+    S.snapshot_merge_upsert(
+        spark, src, _inc(spark, 0, 30), partition_cols=["bucket"]
+    )
+    S.snapshot_clone(spark, src, cln)
+    S.snapshot_merge_upsert(
+        spark, cln, _inc(spark, 0, 5, mul=99), partition_cols=["bucket"]
+    )
+    ch = S.snapshot_changes(spark, cln, 1, 2)
+    got = {
+        (r["parent_id"], r["_change_type"]) for r in ch.collect()
+    }
+    # parent 0 is 0 under any multiplier -> digest-equal, no change row
+    assert got == {(i, "update") for i in range(1, 5)}

@@ -1005,3 +1005,79 @@ def test_stream_stream_left_outer_join(spark, tmp_path):
         if r["click_id"] is not None
     }
     assert 203 not in ids
+
+
+def test_streaming_cdf_rollup_mode(spark, tmp_path):
+    """rollup_mode='cdf' on the snapshot-sink streaming ingest: the
+    per-parent rollup is maintained from the table's own change feed
+    each tick and equals a full recompute after every drain —
+    including a re-ingest that REPLACES a parent's chunks (the case
+    staged deltas and CDF must agree on)."""
+    import json
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        read_snapshot_table,
+    )
+    from gpt_rag_ingestion_spark.streaming.micro_batch import (
+        run_incremental_ingest,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    root = str(tmp_path)
+
+    def _w(name, rows):
+        (land / name).write_text(
+            "\n".join(
+                json.dumps({"doc_id": d, "text": t, "source": s})
+                for d, t, s in rows
+            )
+        )
+
+    def drain():
+        run_incremental_ingest(
+            spark, str(land), f"{root}/chunks", f"{root}/ck",
+            rollup_path=f"{root}/rollup", sink="snapshot",
+            rollup_mode="cdf",
+        )
+
+    def recompute():
+        import pyspark.sql.functions as F
+
+        return sorted(
+            tuple(r)
+            for r in read_snapshot_table(spark, f"{root}/chunks")
+            .groupBy("parent_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_chunks"),
+                F.sum(F.length("content").cast("long")).alias("chars"),
+            )
+            .collect()
+        )
+
+    def rollup():
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{root}/rollup").collect()
+        )
+
+    _w("b1.json", [(1, "alpha beta " * 30, "web"),
+                   (2, "gamma delta " * 20, "web")])
+    drain()
+    assert rollup() == recompute()
+
+    # tick 2: doc 1 re-ingested with shorter text, doc 3 added
+    _w("b2.json", [(1, "short text", "web"),
+                   (3, "epsilon zeta " * 25, "wiki")])
+    drain()
+    assert rollup() == recompute()
+
+    # guard: cdf mode requires the snapshot sink
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="needs sink='snapshot'"):
+        run_incremental_ingest(
+            spark, str(land), f"{root}/chunks2", f"{root}/ck2",
+            rollup_path=f"{root}/rollup2", sink="swap",
+            rollup_mode="cdf",
+        )
