@@ -5537,6 +5537,55 @@ def q211_pareto_frontier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q212_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """INTRA-document line dedup (RefinedWeb per-doc boilerplate
+    removal — distinct from q91's corpus-wide span removal): the query
+    plants a duplicate line per document (the first sentence appended
+    at the end), and the operator must collapse exactly it while
+    preserving original order.  Shuffles (doc, line, pos) only —
+    no cross-document state."""
+    from gpt_rag_ingestion_spark.operators.text_analysis import (
+        dedup_lines_within_doc,
+    )
+
+    docs = _t(spark, sf, "documents")
+    lines = F.split(F.col("text"), r"\. ")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.array_join(lines, "\n"), F.lit("\n"), F.element_at(lines, 1)
+        ).alias("text"),
+    )
+    out = dedup_lines_within_doc(planted)
+    return out.select(
+        "doc_id", F.md5(F.col("text")).alias("text_md5"),
+        "n_lines", "n_removed",
+    )
+
+
+def q213_vocab_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """TOKENIZER ROUND-TRIP AUDIT: encode every document with the
+    frequency-ranked vocab (min_freq=3, so OOVs exist), decode the id
+    sequences back, and report the reconstruction — decode(encode(x))
+    equals the whitespace-normalized original exactly when the doc has
+    no OOV tokens (OOVs come back as the sentinel).  The validation
+    pass every corpus should run before its tokenized shards ship."""
+    from gpt_rag_ingestion_spark.operators.vocab import (
+        build_vocab,
+        decode_with_vocab,
+        encode_with_vocab,
+    )
+
+    docs = _t(spark, sf, "documents")
+    vocab = build_vocab(docs, min_freq=3)
+    enc = encode_with_vocab(docs, vocab)
+    dec = decode_with_vocab(enc, vocab)
+    return enc.select("doc_id", "n_tokens", "n_oov").join(
+        dec.select("doc_id", F.md5(F.col("text")).alias("decoded_md5")),
+        on="doc_id",
+    )
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW (and that the registry/oracle counts match QUERIES.md)
@@ -5821,6 +5870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q209_last_touch_attribution": q209_last_touch_attribution,
         "q210_grouped_median_exact": q210_grouped_median_exact,
         "q211_pareto_frontier": q211_pareto_frontier,
+        "q212_line_dedup": q212_line_dedup,
+        "q213_vocab_roundtrip": q213_vocab_roundtrip,
     }
 
 
@@ -9479,5 +9530,50 @@ def oracle_sql() -> dict[str, str]:
                 1 PRECEDING), 0) * 5 < (SELECT total FROM t) * 4
                 AS in_top80
             FROM pc
+        """,
+        "q212_line_dedup": """
+            WITH d AS (
+              SELECT doc_id, string_split_regex(text, '\. ') AS l
+              FROM documents),
+            base AS (
+              SELECT doc_id, list_append(l, l[1]) AS ls FROM d),
+            lines AS (
+              SELECT doc_id, s.i AS pos, ls[s.i + 1] AS line
+              FROM base, unnest(range(0, len(ls))) AS s(i)),
+            firsts AS (
+              SELECT doc_id, line, MIN(pos) AS pos, COUNT(*) AS n
+              FROM lines GROUP BY doc_id, line)
+            SELECT doc_id,
+              md5(string_agg(line, chr(10) ORDER BY pos)) AS text_md5,
+              CAST(SUM(n) AS BIGINT) AS n_lines,
+              CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_removed
+            FROM firsts GROUP BY doc_id
+        """,
+        "q213_vocab_roundtrip": """
+            WITH toks AS (
+              SELECT doc_id, s.i AS pos, lower(l[s.i + 1]) AS token FROM
+              (SELECT doc_id, string_split_regex(text, '\s+') AS l
+               FROM documents) d, unnest(range(0, len(d.l))) AS s(i)),
+            ne AS (SELECT * FROM toks WHERE token != ''),
+            freqs AS (
+              SELECT token, COUNT(*) AS freq FROM ne GROUP BY token
+              HAVING COUNT(*) >= 3),
+            vocab AS (
+              SELECT token,
+                row_number() OVER (ORDER BY freq DESC, token ASC)
+                  AS token_id
+              FROM freqs),
+            mapped AS (
+              SELECT ne.doc_id, ne.pos, ne.token,
+                COALESCE(v.token_id, 0) AS tid
+              FROM ne LEFT JOIN vocab v ON v.token = ne.token)
+            SELECT doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_oov,
+              md5(string_agg(
+                CASE WHEN tid = 0 THEN '<unk>' ELSE token END,
+                ' ' ORDER BY pos)) AS decoded_md5
+            FROM mapped GROUP BY doc_id
         """,
     }

@@ -564,3 +564,40 @@ def compression_ratio(
         F.length(text_col).alias("n_chars"),
         _ratio(F.col(text_col)).alias("zlib_ratio"),
     )
+
+
+def dedup_lines_within_doc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """INTRA-document line dedup (the RefinedWeb/CCNet per-document
+    step, distinct from corpus-wide span removal): within each
+    document, keep only the FIRST occurrence of every exact line and
+    reassemble in original order.  Boilerplate (repeated headers,
+    navigation, chorus lines) collapses without any cross-document
+    state — the whole pass is posexplode → per-(doc, line) min-pos →
+    ordered re-aggregation, shuffling (doc, line-hash, pos) triples
+    only; at 100 TB this is one partial-aggregated shuffle bounded by
+    line count, no corpus-wide table.
+
+    Returns (id_col, text, n_lines, n_removed)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    firsts = lines.groupBy(id_col, "line").agg(
+        F.min("pos").alias("pos"), F.count(F.lit(1)).alias("_n")
+    )
+    return firsts.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias(text_col),
+        F.sum("_n").cast("long").alias("n_lines"),
+        (F.sum("_n") - F.count(F.lit(1))).cast("long").alias("n_removed"),
+    )

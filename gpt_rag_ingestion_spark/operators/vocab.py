@@ -134,3 +134,40 @@ def char_coverage(
         * F.lit(int(coverage_num)).cast("long")
     )
     return ranked.select("ch", "n", "rank", in_vocab.alias("in_vocab"))
+
+
+def decode_with_vocab(
+    encoded: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    ids_col: str = "ids",
+    oov_token: str = "<unk>",
+) -> DataFrame:
+    """(id_col, text) — the inverse of ``encode_with_vocab``: each id
+    array mapped back through the vocabulary (OOV ids become
+    ``oov_token``) and re-joined with single spaces.  Exactly the
+    encode's mirror: posexplode → broadcast vocab join → ordered
+    re-aggregation (one shuffle bounded by token count) —
+    the round-trip identity (decode(encode(x)) == normalized x for
+    fully in-vocab text) is the tokenizer-validation audit every
+    training pipeline should run before a corpus ships."""
+    toks = encoded.select(
+        F.col(id_col),
+        F.posexplode(F.col(ids_col)).alias("pos", "tid"),
+    )
+    mapped = toks.join(
+        F.broadcast(vocab.select(F.col("token_id").alias("tid"), "token")),
+        on="tid", how="left",
+    ).select(
+        id_col, "pos",
+        F.coalesce(F.col("token"), F.lit(oov_token)).alias("tok"),
+    )
+    return mapped.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text")
+    )

@@ -280,3 +280,44 @@ def test_k_anonymity_generalize_ladder(spark):
     audit = k_anonymity_audit(released, ["region"], k=5)
     assert audit.filter("NOT meets_k").count() == 0
     assert set(released.columns) == {"rid", "city", "st", "region"}
+
+
+def test_vocab_roundtrip_and_line_dedup(spark):
+    """decode(encode(x)) equals whitespace-normalized lowercase x for
+    in-vocab text, OOV ids surface as the sentinel; intra-doc line
+    dedup keeps first occurrences in order and counts removals."""
+    from gpt_rag_ingestion_spark.operators.text_analysis import (
+        dedup_lines_within_doc,
+    )
+    from gpt_rag_ingestion_spark.operators.vocab import (
+        build_vocab,
+        decode_with_vocab,
+        encode_with_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "a dog and a cat")],
+        "doc_id long, text string",
+    )
+    vocab = build_vocab(docs)
+    enc = encode_with_vocab(docs, vocab)
+    dec = {r["doc_id"]: r["text"] for r in decode_with_vocab(enc, vocab).collect()}
+    assert dec == {1: "the cat sat on the mat", 2: "a dog and a cat"}
+
+    # OOV round-trip: unseen token decodes as the sentinel
+    probe = spark.createDataFrame([(9, "the zebra sat")], "doc_id long, text string")
+    enc2 = encode_with_vocab(probe, vocab)
+    dec2 = decode_with_vocab(enc2, vocab).collect()[0]["text"]
+    assert dec2 == "the <unk> sat"
+
+    lined = spark.createDataFrame(
+        [(1, "header\nbody one\nheader\nbody two\nheader"),
+         (2, "unique\nlines\nonly")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+        for r in dedup_lines_within_doc(lined).collect()
+    }
+    assert out[1] == ("header\nbody one\nbody two", 5, 2)
+    assert out[2] == ("unique\nlines\nonly", 3, 0)
