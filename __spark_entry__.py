@@ -5412,10 +5412,17 @@ def q207_scoring_profile(spark: SparkSession, sf: str) -> DataFrame:
 def q208_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     """RFM customer segmentation (recency / frequency / monetary):
     each customer's days-since-last-order, order count, and cent
-    total, each cut into quintiles (ntile with total tie-breaks), and
-    the composite `532`-style segment code — the classic CRM rollup,
-    one aggregation + one window pass.  Recency quintile 5 = most
-    recent (ntile ascends with days-since, so it is inverted)."""
+    total, each cut into quintiles, and the composite `532`-style
+    segment code.  NO unpartitioned window: each dimension ranks via
+    ``distributed_row_number`` (range-partition + local rank +
+    broadcast offsets) on a two-column projection, and the quintile
+    comes from exact ntile arithmetic over (rank, n) — at 1.5B
+    customers the rollup never funnels through one sort task.
+    Recency quintile 5 = most recent."""
+    from gpt_rag_ingestion_spark.operators.ranking import (
+        distributed_row_number,
+    )
+
     orders = _t(spark, sf, "orders")
     anchor = orders.agg(F.max("o_orderdate")).first()[0]
     per_cust = orders.groupBy("o_custkey").agg(
@@ -5426,17 +5433,36 @@ def q208_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .cast("long").alias("cents"),
     )
-    wr = Window.orderBy(F.asc("days_since"), F.asc("o_custkey"))
-    wf = Window.orderBy(F.desc("n_orders"), F.asc("o_custkey"))
-    wm = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
-    seg = per_cust.select(
-        "o_custkey", "days_since", "n_orders", "cents",
-        (6 - F.ntile(5).over(wr)).cast("long").alias("r_q"),
-        (6 - F.ntile(5).over(wf)).cast("long").alias("f_q"),
-        (6 - F.ntile(5).over(wm)).cast("long").alias("m_q"),
+    n = per_cust.count()
+    q_, r_ = n // 5, n % 5
+    boundary = r_ * (q_ + 1)
+    d = max(q_, 1)
+
+    def quintile(order_cols, out_col):
+        # exact ntile(5) from the global rank: the first n%5 buckets
+        # hold n div 5 + 1 rows, the rest n div 5 (the SQL-standard
+        # definition both engines implement)
+        ranked = distributed_row_number(
+            per_cust.select("o_custkey", "days_since", "n_orders", "cents"),
+            order_cols, rank_col="__rn",
+        )
+        tile = F.expr(
+            f"CASE WHEN __rn <= {boundary} THEN (__rn + {q_}) div {q_ + 1} "
+            f"ELSE {r_} + (__rn - {boundary} + {d} - 1) div {d} END"
+        )
+        return ranked.select(
+            "o_custkey", (6 - tile).cast("long").alias(out_col)
+        )
+
+    rq = quintile([F.asc("days_since"), F.asc("o_custkey")], "r_q")
+    fq = quintile([F.desc("n_orders"), F.asc("o_custkey")], "f_q")
+    mq = quintile([F.desc("cents"), F.asc("o_custkey")], "m_q")
+    seg = per_cust.join(rq, "o_custkey").join(fq, "o_custkey").join(
+        mq, "o_custkey"
     )
     return seg.select(
-        "*",
+        "o_custkey", "days_since", "n_orders", "cents",
+        "r_q", "f_q", "m_q",
         (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).alias(
             "segment"
         ),
@@ -5512,28 +5538,32 @@ def q210_grouped_median_exact(spark: SparkSession, sf: str) -> DataFrame:
 def q211_pareto_frontier(spark: SparkSession, sf: str) -> DataFrame:
     """PARETO / ABC analysis: customers sorted by revenue descending,
     cumulative share in integer per-mille, flagged while the RUNNING
-    total (exclusive of the current row) is still under 80% — the
-    classic 'which heads cover 80% of the mass' cut, one aggregation
-    + one window pass over |customers| rows."""
+    total (exclusive of the current row) is still under 80%.  The
+    prefix sum is ``distributed_running_sum`` (range-partition +
+    local prefix + broadcast partition offsets) — no unpartitioned
+    window, so the classic 'heads covering 80%' cut survives a
+    1.5B-customer rollup."""
+    from gpt_rag_ingestion_spark.operators.ranking import (
+        distributed_running_sum,
+    )
+
     orders = _t(spark, sf, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .cast("long").alias("cents")
     )
-    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
-    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
-    total = per_cust.agg(F.sum("cents")).first()[0]
-    return per_cust.select(
+    total = int(per_cust.agg(F.sum("cents")).first()[0])
+    cum = distributed_running_sum(
+        per_cust,
+        [F.desc("cents"), F.asc("o_custkey")],
+        "cents", sum_col="cum",
+    )
+    return cum.select(
         "o_custkey", "cents",
-        F.expr(
-            f"(1000 * (sum(cents) OVER (ORDER BY cents DESC, o_custkey ASC"
-            f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))"
-            f" div {int(total)}"
-        ).alias("cum_permille"),
-        (
-            F.coalesce(F.sum("cents").over(wprev), F.lit(0)) * 5
-            < F.lit(int(total)) * 4
-        ).alias("in_top80"),
+        F.expr(f"(1000 * cum) div {total}").alias("cum_permille"),
+        ((F.col("cum") - F.col("cents")) * 5 < F.lit(total) * 4).alias(
+            "in_top80"
+        ),
     )
 
 
