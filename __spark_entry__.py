@@ -5616,6 +5616,23 @@ def q213_vocab_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q214_autocomplete_two_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Autocomplete ``twoTerms`` mode (the search service's other
+    autocomplete verb; q160 covers oneTerm): complete the partial
+    term and append its most likely FOLLOWING term, ranked by bigram
+    frequency — per-document lead() window + grouped count, prefix
+    probe broadcast against the bigram vocabulary."""
+    from gpt_rag_ingestion_spark.operators.search import (
+        autocomplete_two_terms,
+    )
+
+    docs = _t(spark, sf, "documents")
+    prefixes = spark.createDataFrame(
+        [("sp",), ("ta",), ("que",), ("wi",)], "prefix string"
+    )
+    return autocomplete_two_terms(docs, prefixes, k=5)
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW (and that the registry/oracle counts match QUERIES.md)
@@ -5902,6 +5919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q211_pareto_frontier": q211_pareto_frontier,
         "q212_line_dedup": q212_line_dedup,
         "q213_vocab_roundtrip": q213_vocab_roundtrip,
+        "q214_autocomplete_two_terms": q214_autocomplete_two_terms,
     }
 
 
@@ -9605,5 +9623,29 @@ def oracle_sql() -> dict[str, str]:
                 CASE WHEN tid = 0 THEN '<unk>' ELSE token END,
                 ' ' ORDER BY pos)) AS decoded_md5
             FROM mapped GROUP BY doc_id
+        """,
+        "q214_autocomplete_two_terms": """
+            WITH toks AS (
+              SELECT doc_id, s.i AS pos, lower(l[s.i + 1]) AS w1 FROM
+              (SELECT doc_id, string_split_regex(text, '\s+') AS l
+               FROM documents) d, unnest(range(0, len(d.l))) AS s(i)),
+            ne AS (SELECT * FROM toks WHERE w1 != ''),
+            seq AS (
+              SELECT doc_id, w1,
+                lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+              FROM ne),
+            bigrams AS (
+              SELECT w1, w2, COUNT(*) AS n FROM seq
+              WHERE w2 IS NOT NULL GROUP BY w1, w2),
+            pfx AS (SELECT * FROM (VALUES ('sp'), ('ta'), ('que'),
+              ('wi')) AS t(prefix)),
+            cand AS (
+              SELECT p.prefix, b.w1, b.w2, b.n,
+                row_number() OVER (PARTITION BY p.prefix
+                  ORDER BY b.n DESC, b.w1 ASC, b.w2 ASC) AS rank
+              FROM bigrams b JOIN pfx p ON starts_with(b.w1, p.prefix))
+            SELECT prefix, CAST(rank AS BIGINT) AS rank,
+              w1 AS term_one, w2 AS term_two, CAST(n AS BIGINT) AS n
+            FROM cand WHERE rank <= 5
         """,
     }

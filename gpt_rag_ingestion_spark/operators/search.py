@@ -1071,6 +1071,60 @@ def phrase_topk(
     )
 
 
+def autocomplete_two_terms(
+    docs: DataFrame,
+    prefixes: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    prefix_col: str = "prefix",
+) -> DataFrame:
+    """The autocomplete endpoint's ``twoTerms`` mode: complete the
+    partial term AND append its most likely following term, ranked by
+    BIGRAM frequency (the service derives this from indexed shingles;
+    here from an explicit bigram count).  Per prefix: candidate
+    bigrams whose first term starts with the prefix, top-``k`` by
+    (count DESC, term_one ASC, term_two ASC).
+
+    Scale: the bigram table is one per-document lead() window over
+    (doc, pos) tokens + a grouped count — |bigram vocabulary| rows;
+    the prefix probe broadcasts against it like the one-term
+    suggester.  No corpus re-scan per keystroke."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col("doc_id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("pos", "w1"),
+    )
+    wnext = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.withColumn("w2", F.lead("w1").over(wnext))
+        .filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    cand = bigrams.join(
+        F.broadcast(prefixes.select(prefix_col).distinct()),
+        F.col("w1").startswith(F.col(prefix_col)),
+    )
+    w = Window.partitionBy(prefix_col).orderBy(
+        F.desc("n"), F.asc("w1"), F.asc("w2")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            prefix_col, F.col("rank").cast("long").alias("rank"),
+            F.col("w1").alias("term_one"), F.col("w2").alias("term_two"),
+            "n",
+        )
+    )
+
+
 def suggest_terms(
     index: dict,
     prefixes: DataFrame,

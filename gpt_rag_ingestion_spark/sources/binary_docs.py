@@ -137,3 +137,49 @@ def read_json_kind_routed(
         out = df if out is None else out.unionByName(df, allowMissingColumns=True)
     assert out is not None
     return out
+
+
+def read_jsonl_quarantine(
+    spark,
+    path: str,
+    schema: str,
+    quarantine_path: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines landing-zone read with CORRUPT-RECORD QUARANTINE —
+    the robustness contract a real feed needs (the reference's HTTP
+    fetchers retry/skip individual documents; a Spark batch source
+    must not let one mangled line abort a 100 TB drain, nor silently
+    drop it):
+
+    - good rows parse against ``schema`` (PERMISSIVE mode — the Spark
+      default — with an explicit ``_corrupt_record`` capture column),
+    - bad rows land in the QUARANTINE frame as (src_file, raw_line)
+      for replay/audit, optionally appended to ``quarantine_path``.
+
+    Returns ``(good, quarantined)``.  A row is quarantined iff Spark
+    could not parse it against the schema (malformed JSON or type
+    conflict); partially-null rows that PARSE stay good — schema
+    validation beyond parseability belongs to CHECK constraints at
+    the sink.  One scan feeds both frames."""
+    full = f"{schema}, _corrupt_record STRING"
+    raw = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .withColumn("src_file", F.input_file_name())
+        # PERMISSIVE corrupt capture is populated lazily per row —
+        # cache so the good/bad split reads ONE parse, and so the
+        # Spark requirement that a corrupt-record query not select
+        # only the corrupt column is satisfied through the split
+        .cache()
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record", "src_file"
+    )
+    quarantined = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        "src_file", F.col("_corrupt_record").alias("raw_line")
+    )
+    if quarantine_path is not None:
+        quarantined.write.mode("append").parquet(quarantine_path)
+    return good, quarantined

@@ -561,3 +561,37 @@ def test_ingest_job_snapshot_sink_stats_and_analyze(spark, tmp_path):
         table, "r3", **kw,
     )
     assert S._current_gen(spark, table) == gen_before
+
+
+def test_jsonl_quarantine_split(spark, tmp_path):
+    """Corrupt-record quarantine: malformed lines and type conflicts
+    land in the quarantine frame with their source file, parseable
+    rows (including partial/null fields) stay good, and the persisted
+    quarantine parquet matches."""
+    from gpt_rag_ingestion_spark.sources.binary_docs import (
+        read_jsonl_quarantine,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "good one"}\n'
+        'NOT JSON AT ALL\n'
+        '{"doc_id": "not-a-number", "text": "type clash"}\n'
+        '{"doc_id": 4}\n'
+    )
+    qdir = str(tmp_path / "quarantine")
+    good, bad = read_jsonl_quarantine(
+        spark, str(land), "doc_id LONG, text STRING",
+        quarantine_path=qdir,
+    )
+    got = {r["doc_id"]: r["text"] for r in good.collect()}
+    assert got == {1: "good one", 4: None}  # partial row stays good
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 2
+    assert all(r["src_file"].endswith("a.jsonl") for r in bad_rows)
+    raws = {r["raw_line"] for r in bad_rows}
+    assert "NOT JSON AT ALL" in raws
+    assert any("not-a-number" in r for r in raws)
+    # persisted quarantine matches the frame
+    assert spark.read.parquet(qdir).count() == 2
