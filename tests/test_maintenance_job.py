@@ -180,3 +180,54 @@ def test_cdf_rollup_maintenance_equals_recompute(spark, tmp_path):
     assert out == {
         "updated": False, "applied_gen": cur + 1, "mode": "noop"
     } or out["mode"] == "noop"
+
+
+def test_cdf_rollup_tracks_dv_deletes(spark, tmp_path):
+    """Merge-on-read deletes change CONTENT without changing the
+    generation mapping — the change feed detects the DV delta and the
+    maintained rollup must still equal a full recompute."""
+    from gpt_rag_ingestion_spark.operators import snapshot_table as S
+    from gpt_rag_ingestion_spark.operators.incremental import (
+        maintain_snapshot_rollup,
+    )
+
+    snap = str(tmp_path / "snap")
+    roll = str(tmp_path / "rollup")
+    df = spark.range(0, 120).select(
+        F.concat(F.lit("p"), (F.col("id") % 10)).alias("parent_id"),
+        (F.col("id") % 3).cast("int").alias("bucket"),
+        F.concat(F.lit("x"), F.col("id")).alias("content"),
+        F.col("id").alias("rid"),
+    )
+    S.snapshot_merge_upsert(spark, snap, df, key="rid",
+                            partition_cols=["bucket"])
+
+    def tick():
+        return maintain_snapshot_rollup(
+            spark, snap, roll, key="parent_id", row_key="rid",
+        )
+
+    def recompute():
+        return sorted(
+            tuple(r)
+            for r in S.read_snapshot_table(spark, snap)
+            .groupBy("parent_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_chunks"),
+                F.sum(F.length("content").cast("long")).alias("chars"),
+            )
+            .collect()
+        )
+
+    tick()  # bootstrap
+    S.snapshot_delete_keys(
+        spark, snap,
+        spark.range(0, 30).select(F.col("id").alias("rid")),
+        key="rid", mode="dv",
+    )
+    out = tick()
+    assert out["mode"] == "incremental"
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(roll).collect()
+    )
+    assert got == recompute()
