@@ -5633,6 +5633,36 @@ def q214_autocomplete_two_terms(spark: SparkSession, sf: str) -> DataFrame:
     return autocomplete_two_terms(docs, prefixes, k=5)
 
 
+def q215_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the revenue VIEW (per-supplier
+    quarterly revenue) feeds a max-revenue selection — the correlated
+    `= (SELECT max(...))` decorrelated into a 1-row broadcast join,
+    so ties all emerge (Q15's defined semantics) and the view
+    aggregates once, not once per comparison.  Centi-cent exact.
+    Completes the feasible TPC-H set on this star schema (every query
+    not needing partsupp/receiptdate columns): 1,3,4,5,6,7,8,10,12,
+    13,14,15,17,18,19,21,22."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        F.sum(_rev_cc()).cast("long").alias("total_revenue_cc")
+    )
+    mx = revenue.agg(
+        F.max("total_revenue_cc").alias("__mx")
+    )
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(
+            F.broadcast(mx),
+            revenue.total_revenue_cc == F.col("__mx"),
+        )
+        .join(supp, revenue.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue_cc")
+    )
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW (and that the registry/oracle counts match QUERIES.md)
@@ -5920,6 +5950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q212_line_dedup": q212_line_dedup,
         "q213_vocab_roundtrip": q213_vocab_roundtrip,
         "q214_autocomplete_two_terms": q214_autocomplete_two_terms,
+        "q215_top_supplier": q215_top_supplier,
     }
 
 
@@ -9647,5 +9678,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT prefix, CAST(rank AS BIGINT) AS rank,
               w1 AS term_one, w2 AS term_two, CAST(n AS BIGINT) AS n
             FROM cand WHERE rank <= 5
+        """,
+        "q215_top_supplier": """
+            WITH revenue AS (
+              SELECT l_suppkey,
+                CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS total_revenue_cc
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1997-04-01'
+              GROUP BY l_suppkey)
+            SELECT s.s_suppkey, s.s_name, r.total_revenue_cc
+            FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            WHERE r.total_revenue_cc = (
+              SELECT MAX(total_revenue_cc) FROM revenue)
         """,
     }
