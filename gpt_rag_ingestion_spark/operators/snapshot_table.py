@@ -2208,6 +2208,54 @@ def snapshot_clone(
     return 1
 
 
+def snapshot_table_detail(spark: SparkSession, table_path: str) -> dict:
+    """DESCRIBE DETAIL (the admin/ops metadata card, Delta's
+    `DESCRIBE DETAIL` analog): current generation, referenced
+    generation count, live file count and byte size, partition list,
+    DV row count, stats/constraints/generated-column config presence,
+    and the current manifest's op tag — ALL from metadata reads (the
+    manifest, sidecars, and a file listing of referenced dirs); no
+    Spark job, no data scan."""
+    cur = _current_gen(spark, table_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot at {table_path}")
+    manifest = _read_manifest(spark, table_path, cur)
+    parts = manifest["partitions"]
+    gens = sorted(set(parts.values()))
+    n_files = 0
+    n_bytes = 0
+    for g in gens:
+        base = _gen_base(table_path, g)
+        fs, p = _hfs(spark, base)
+        if not fs.exists(p):
+            continue
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            st = it.next()
+            if st.getPath().getName().endswith(".parquet"):
+                n_files += 1
+                n_bytes += int(st.getLen())
+    dv = _dv_map(spark, table_path, manifest)
+    return {
+        "path": table_path,
+        "generation": cur,
+        "num_referenced_generations": len(gens),
+        "num_files": n_files,
+        "size_bytes": n_bytes,
+        "partitions": sorted(parts.keys()),
+        "dv_rows": sum(len(v) for v in dv.values()),
+        "op": manifest.get("op"),
+        "stats_enabled": _stats_conf(spark, table_path) is not None,
+        "has_constraints": _fs_exists(
+            spark, f"{table_path}/{_CONSTRAINTS_CONF}"
+        ),
+        "has_generated_columns": _fs_exists(
+            spark, f"{table_path}/{_GENERATED_CONF}"
+        ),
+        "cloned_from": manifest.get("cloned_from"),
+    }
+
+
 def snapshot_consume_changes(
     spark: SparkSession,
     table_path: str,

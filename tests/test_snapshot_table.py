@@ -1373,3 +1373,36 @@ def test_clone_change_feed_works_across_absolute_refs(spark, tmp_path):
     }
     # parent 0 is 0 under any multiplier -> digest-equal, no change row
     assert got == {(i, "update") for i in range(1, 5)}
+
+
+def test_table_detail_metadata_only(spark, tmp_path):
+    """DESCRIBE DETAIL: generation/file/byte/partition/DV facts from
+    metadata reads alone, tracking merges, DV deletes, and clones."""
+    snap = str(tmp_path / "snap")
+    S.snapshot_enable_stats(spark, snap, cols=["v"])
+    S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 0, 40), partition_cols=["bucket"]
+    )
+    d = S.snapshot_table_detail(spark, snap)
+    assert d["generation"] == 1 and d["num_referenced_generations"] == 1
+    assert d["num_files"] > 0 and d["size_bytes"] > 0
+    assert d["partitions"] == sorted(
+        f"bucket={r['bucket']}"
+        for r in S.read_snapshot_table(spark, snap)
+        .select("bucket").distinct().collect()
+    )
+    assert d["dv_rows"] == 0 and d["stats_enabled"] and d["op"] == "merge"
+
+    S.snapshot_delete_keys(
+        spark, snap,
+        spark.range(0, 5).selectExpr("id AS parent_id"), mode="dv",
+    )
+    d2 = S.snapshot_table_detail(spark, snap)
+    assert d2["dv_rows"] == 5 and d2["op"] == "delete_dv"
+
+    cln = str(tmp_path / "cln")
+    S.snapshot_optimize(spark, snap, partition_cols=["bucket"])
+    S.snapshot_clone(spark, snap, cln)
+    dc = S.snapshot_table_detail(spark, cln)
+    assert dc["cloned_from"] == snap and dc["op"] == "clone"
+    assert dc["num_files"] > 0  # counts through absolute refs
