@@ -58,6 +58,7 @@ def run_ingest_job(
     stats_cols: list[str] | None = None,
     bloom_key: str | None = None,
     analyze_max_stale: int = 8,
+    force_reprocess: bool = False,
 ) -> DataFrame:
     """One incremental ingest run.  Returns the run-summary DataFrame
     (A2 counters); side effect: the chunks table at ``table_path`` is
@@ -187,8 +188,12 @@ def run_ingest_job(
                         f"partition column {c!r} not in source_docs and not derivable"
                     )
 
-    # 2. freshness (J1/P1/P2)
-    if have_table:
+    # 2. freshness (J1/P1/P2); force_reprocess is the admin
+    # "re-chunk everything" button (changed chunking params/embedding
+    # model invalidate every chunk, so the watermark filter must not
+    # apply) — the merge stays keyed delete-then-insert, so the
+    # backfill is idempotent and readers never see a torn corpus
+    if have_table and not force_reprocess:
         candidates = freshness_candidates(
             listing, watermarks, key="parent_id", ts=ts_col
         )

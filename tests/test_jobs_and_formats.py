@@ -595,3 +595,44 @@ def test_jsonl_quarantine_split(spark, tmp_path):
     assert any("not-a-number" in r for r in raws)
     # persisted quarantine matches the frame
     assert spark.read.parquet(qdir).count() == 2
+
+
+def test_ingest_job_force_reprocess_backfill(spark, tmp_path):
+    """force_reprocess: the admin re-chunk-everything backfill — the
+    freshness filter is bypassed (same timestamps, every doc
+    reprocesses), new chunking params take effect across the whole
+    corpus, and the keyed merge keeps it idempotent."""
+    table = str(tmp_path / "chunks")
+    t0 = _ts("2026-01-01T00:00:00")
+    batch = _docs(
+        spark,
+        [("d1", "alpha beta " * 60, t0), ("d2", "gamma delta " * 60, t0)],
+    )
+    run_ingest_job(
+        spark, batch, table, "r1", max_tokens=64, overlap=4, min_tokens=2,
+        embedding_dim=8,
+    )
+    n_coarse = spark.read.parquet(table).count()
+
+    # same listing, same timestamps: a normal run is a no-op
+    s = run_ingest_job(
+        spark, batch, table, "r2", max_tokens=16, overlap=4, min_tokens=2,
+        embedding_dim=8,
+    ).collect()
+    assert s == [] or s[0]["sourceFiles"] == 0
+    assert spark.read.parquet(table).count() == n_coarse
+
+    # backfill with finer chunking: everything reprocesses
+    s = run_ingest_job(
+        spark, batch, table, "r3", max_tokens=16, overlap=4, min_tokens=2,
+        embedding_dim=8, force_reprocess=True,
+    ).collect()[0]
+    assert s["sourceFiles"] == 2
+    n_fine = spark.read.parquet(table).count()
+    assert n_fine > n_coarse  # finer chunks -> more rows
+    # idempotent: replaying the backfill changes nothing
+    run_ingest_job(
+        spark, batch, table, "r4", max_tokens=16, overlap=4, min_tokens=2,
+        embedding_dim=8, force_reprocess=True,
+    )
+    assert spark.read.parquet(table).count() == n_fine
