@@ -331,9 +331,21 @@ def _carry_dv_ref(
     if not dv:
         return None
     live = {(g, r) for r, g in new_partitions.items()}
+    # DV keys are "<genref>/<relpath>"; genref may itself contain
+    # slashes (a shallow clone's ABSOLUTE source-generation ref), so
+    # parse by longest-prefix match against the known generation refs
+    # rather than split('/', 1).
+    gens = sorted(
+        {g for g in old_manifest["partitions"].values()}
+        | {g for _, g in ((r, g) for r, g in new_partitions.items())},
+        key=len, reverse=True,
+    )
     kept = {}
     for k, v in dv.items():
-        gname, rest = k.split("/", 1)
+        gname = next((g for g in gens if k.startswith(g + "/")), None)
+        if gname is None:
+            continue
+        rest = k[len(gname) + 1:]
         rel = "/".join(rest.split("/")[:-1])
         if (gname, rel) in live:
             kept[k] = v
@@ -344,23 +356,33 @@ def _carry_dv_ref(
     return {"dv": _write_dv(spark, table_path, gen, kept)}
 
 
-def _apply_dv(spark, df: DataFrame, gname: str, dv_map: dict) -> DataFrame:
+def _apply_dv(
+    spark, df: DataFrame, gname: str, dv_map: dict,
+    base: str | None = None,
+) -> DataFrame:
     """Merge-on-read: anti-join the per-file deleted row positions
     (broadcast — DV size is bounded by the write-path contract) against
     the scan's (file, row_index) metadata.  No DV entries for this
-    generation → the scan is returned untouched (zero overhead)."""
+    generation → the scan is returned untouched (zero overhead).
+
+    ``gname`` is the manifest's generation REF — a bare dir name, or a
+    shallow clone's absolute source path (may contain slashes), so DV
+    keys are matched by ``startswith(gname + '/')`` and the scan's
+    file paths are relativized against the RESOLVED directory
+    (``base``), never by splitting on the first slash."""
     pairs = [
-        (k.split("/", 1)[1], int(pos))
+        (k[len(gname) + 1:], int(pos))
         for k, v in dv_map.items()
-        if k.split("/", 1)[0] == gname
+        if k.startswith(gname + "/")
         for pos in v
     ]
     if not pairs:
         return df
+    delim = (base.rstrip("/") if base else f"/{gname}") + "/"
     doomed = spark.createDataFrame(pairs, "__file string, __pos long")
     tagged = df.withColumn(
         "__file",
-        F.substring_index(F.col("_metadata.file_path"), f"/{gname}/", -1),
+        F.substring_index(F.col("_metadata.file_path"), delim, -1),
     ).withColumn("__pos", F.col("_metadata.row_index"))
     return tagged.join(
         F.broadcast(doomed), on=["__file", "__pos"], how="left_anti"
@@ -446,7 +468,7 @@ def read_snapshot_table(
             raw = spark.read.option("basePath", base).parquet(
                 *[f"{base}/{r}" for r in sorted(rels)]
             )
-        dfs.append(_apply_dv(spark, raw, g, dv))
+        dfs.append(_apply_dv(spark, raw, g, dv, base=base))
     return functools.reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
     )
@@ -767,12 +789,22 @@ def snapshot_merge_when(
         t_here = F.col(f"t.{key}").isNotNull()
         s_here = F.col(f"s.{key}").isNotNull()
         matched = t_here & s_here
+        # SQL/Delta MERGE: a clause condition that evaluates to NULL
+        # means the clause does NOT fire (three-valued logic never
+        # deletes/updates/inserts a row).  Without the coalesce,
+        # "s.tombstone" with a NULL tombstone made `keep` NULL and
+        # filter(keep) silently DELETED the matched row.
         del_c = (
-            F.expr(matched_delete) if matched_delete else F.lit(False)
+            F.coalesce(F.expr(matched_delete), F.lit(False))
+            if matched_delete else F.lit(False)
         )
-        upd_c = F.expr(matched_update) if matched_update else F.lit(True)
+        upd_c = (
+            F.coalesce(F.expr(matched_update), F.lit(False))
+            if matched_update else F.lit(True)
+        )
         ins_c = (
-            F.expr(insert_condition) if insert_condition else F.lit(True)
+            F.coalesce(F.expr(insert_condition), F.lit(False))
+            if insert_condition else F.lit(True)
         )
         keep = F.when(matched, ~del_c).when(t_here, F.lit(True)).otherwise(
             F.lit(bool(insert_unmatched)) & ins_c
@@ -901,7 +933,12 @@ def snapshot_delete_keys(
                     *[f"{base}/{r}" for r in sorted(rels)]
                 )
             # apply EXISTING DVs first so re-deleting a dead row is a
-            # no-op, then record the survivors that match
+            # no-op, then record the survivors that match.  Relativize
+            # against the RESOLVED generation dir so a shallow clone's
+            # absolute generation refs produce keys _apply_dv can
+            # match on read (advisor r7: the old f"/{g}/" delimiter
+            # never matched an absolute ref and the delete was
+            # committed but invisible).
             live = _apply_dv(
                 spark,
                 raw.withColumn(
@@ -909,12 +946,14 @@ def snapshot_delete_keys(
                     F.concat(
                         F.lit(g + "/"),
                         F.substring_index(
-                            F.col("_metadata.file_path"), f"/{g}/", -1
+                            F.col("_metadata.file_path"),
+                            base.rstrip("/") + "/", -1,
                         ),
                     ),
                 ).withColumn("__p", F.col("_metadata.row_index")),
                 g,
                 dv,
+                base=base,
             )
             hit_parts.append(
                 live.join(F.broadcast(key_set), on=key, how="left_semi")
@@ -1278,7 +1317,7 @@ def _read_partition_subset(
             raw = spark.read.option("basePath", base).parquet(
                 *[f"{base}/{r}" for r in sorted(rels)]
             )
-        dfs.append(_apply_dv(spark, raw, g, dv_map or {}))
+        dfs.append(_apply_dv(spark, raw, g, dv_map or {}, base=base))
     return functools.reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
     )
@@ -1331,10 +1370,22 @@ def snapshot_changes(
     # a partition whose generation mapping is unchanged can still have
     # CHANGED CONTENT under merge-on-read: its files' deletion vectors
     # differ between the two snapshots
+    gens_ab = sorted(
+        set(ma["partitions"].values()) | set(mb["partitions"].values()),
+        key=len, reverse=True,
+    )
+
     def _dv_by_rel(dv):
+        # gen refs may contain slashes (clone absolute paths): parse
+        # keys by longest-prefix match, never split('/', 1)
         out: dict[str, dict] = {}
         for k, v in dv.items():
-            gname, rest = k.split("/", 1)
+            gname = next(
+                (g for g in gens_ab if k.startswith(g + "/")), None
+            )
+            if gname is None:
+                continue
+            rest = k[len(gname) + 1:]
             rel = "/".join(rest.split("/")[:-1])
             out.setdefault(rel, {})[k] = sorted(v)
         return out
@@ -1595,7 +1646,10 @@ def _bound_key(v):
 
 
 def _resolve_file_sets(spark, table_path: str, at_gen: int | None):
-    """Manifest → per-generation (base_dir, live_rels, stats|None).
+    """Manifest → per-generation (gen_ref, base_dir, live_rels,
+    stats|None).  ``gen_ref`` is the manifest's generation reference
+    verbatim (a clone's absolute path included) — DV keys are prefixed
+    by it, so consumers must NOT re-derive it from base_dir.
     `stats` is the parsed sidecar restricted to files whose partition
     directory is still referenced by THIS manifest (a generation can
     hold partitions a later commit superseded)."""
@@ -1623,7 +1677,7 @@ def _resolve_file_sets(spark, table_path: str, at_gen: int | None):
                 if ("/".join(f.split("/")[:-1]) in live)
                 or (rels == [""] and "/" not in f)
             }
-        out.append((_gen_base(table_path, g), sorted(rels), stats))
+        out.append((g, _gen_base(table_path, g), sorted(rels), stats))
     return out, dv
 
 
@@ -1648,15 +1702,15 @@ def _range_keeps(ent: dict, ranges: dict) -> bool:
 
 
 def _read_selected(spark, selections, schema_src, dv_map=None):
-    """selections: list of (base, [files]|None) — None = whole-dir read
+    """selections: list of (gen_ref, base, [files]|None) — None =
+    whole-dir read
     (no stats for that generation).  Empty overall selection returns
     an empty frame with the snapshot's schema.  ``dv_map``: the
     snapshot's deletion vectors, anti-joined per generation (stats
     stay valid upper bounds under DVs — deletes only remove rows, so
     pruning is conservative, never wrong)."""
     dfs = []
-    for base, files in selections:
-        g = base.rsplit("/", 1)[-1]
+    for g, base, files in selections:
         if files is None:
             raw = spark.read.option("basePath", base).parquet(base)
         elif files:
@@ -1665,7 +1719,7 @@ def _read_selected(spark, selections, schema_src, dv_map=None):
             )
         else:
             continue
-        dfs.append(_apply_dv(spark, raw, g, dv_map or {}))
+        dfs.append(_apply_dv(spark, raw, g, dv_map or {}, base=base))
     if not dfs:
         return schema_src.limit(0)
     return functools.reduce(
@@ -1691,7 +1745,7 @@ def snapshot_read_where(
     sets, dv = _resolve_file_sets(spark, table_path, at_gen)
     selections = []
     total = read_n = unpruned = pruned_parts = 0
-    for base, rels, stats in sets:
+    for g, base, rels, stats in sets:
         live = [r for r in rels if _rel_survives_ranges(r, ranges)]
         pruned_parts += len(rels) - len(live)
         if stats is None:
@@ -1699,9 +1753,9 @@ def snapshot_read_where(
             # (directory paths flow through the same selected-read as
             # file paths)
             if live == rels:
-                selections.append((base, None))
+                selections.append((g, base, None))
             elif live:
-                selections.append((base, list(live)))
+                selections.append((g, base, list(live)))
             unpruned += 1
             continue
         live_set = set(live)
@@ -1714,7 +1768,7 @@ def snapshot_read_where(
         total += len(stats["files"])
         keep = [f for f, e in files.items() if _range_keeps(e, ranges)]
         read_n += len(keep)
-        selections.append((base, keep))
+        selections.append((g, base, keep))
     if report is not None:
         report.update(
             files_total=total,
@@ -1766,9 +1820,9 @@ def snapshot_read_point(
     want = [tuple(int(x) for x in r["p"]) for r in pos]
     selections = []
     total = read_n = unpruned = 0
-    for base, rels, stats in sets:
+    for g, base, rels, stats in sets:
         if stats is None:
-            selections.append((base, None))
+            selections.append((g, base, None))
             unpruned += 1
             continue
         bm = int(stats.get("bloom_bits", m))
@@ -1794,7 +1848,7 @@ def snapshot_read_point(
             if any(all(bits >> p & 1 for p in ps) for ps in want):
                 keep.append(f)
         read_n += len(keep)
-        selections.append((base, keep))
+        selections.append((g, base, keep))
     if report is not None:
         report.update(
             files_total=total,
@@ -1943,10 +1997,9 @@ def snapshot_metadata_count(
     ``read_snapshot_table(...).count()``)."""
     sets, dv = _resolve_file_sets(spark, table_path, at_gen)
     total = 0
-    for base, _rels, stats in sets:
+    for g, base, _rels, stats in sets:
         if stats is None:
             return None
-        g = base.rsplit("/", 1)[-1]
         for f, e in stats["files"].items():
             total += e["rows"] - len(dv.get(f"{g}/{f}", []))
     return total

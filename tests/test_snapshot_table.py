@@ -1121,6 +1121,51 @@ def test_merge_when_conditional_clauses(spark, tmp_path):
         )
 
 
+def test_merge_when_null_conditions_do_not_fire(spark, tmp_path):
+    """SQL/Delta MERGE three-valued logic: a clause condition that
+    evaluates to NULL means the clause does NOT fire.  A NULL
+    matched_delete must KEEP the row (the pre-fix code filtered it
+    out), a NULL matched_update must keep the target values, and a
+    NULL insert_condition must not insert."""
+    snap = str(tmp_path / "snap")
+
+    def rows(data):
+        return spark.createDataFrame(
+            data, "parent_id long, ver long, tomb boolean, v string"
+        )
+
+    S.snapshot_merge_upsert(
+        spark, snap, rows([(1, 1, False, "a"), (2, 1, False, "b"),
+                           (3, 1, False, "c")])
+    )
+    inc = rows([
+        (1, 2, None, "A"),    # NULL delete cond -> not deleted (updated)
+        (2, None, True, "B"),  # NULL update cond -> target kept; tomb
+                               # True fires delete? no: delete cond is
+                               # s.tomb -> True -> DELETED (sanity leg)
+        (3, 2, None, "C"),     # NULL delete, ver newer -> updated
+        (4, None, None, "D"),  # unmatched + NULL insert cond -> no insert
+        (5, 9, False, "E"),    # unmatched + insert cond true -> inserted
+    ])
+    S.snapshot_merge_when(
+        spark, snap, inc,
+        matched_update="s.ver > t.ver",
+        matched_delete="s.tomb",
+        insert_condition="s.ver > 0",
+    )
+    got = {
+        r["parent_id"]: (r["ver"], r["v"])
+        for r in S.read_snapshot_table(spark, snap).collect()
+    }
+    assert got == {
+        1: (2, "A"),   # NULL tomb: delete clause silent, update fired
+        3: (2, "C"),
+        5: (9, "E"),
+    }, got
+    assert 2 not in got      # True tomb still deletes
+    assert 4 not in got      # NULL insert_condition never inserts
+
+
 def test_merge_when_matches_dict_model(spark, tmp_path):
     """Model-based check of the full MERGE form: a sequence of random
     key-unique CDC batches applied via snapshot_merge_when must leave
@@ -1275,6 +1320,53 @@ def test_merge_when_enforces_check_constraints(spark, tmp_path):
             matched_update="s.v > t.v",
         )
     assert S._current_gen(spark, snap) == gen_before
+
+
+def test_dv_delete_on_clone_shared_generations(spark, tmp_path):
+    """DV-mode delete on a SHALLOW CLONE whose generations are still
+    shared absolute refs: the recorded keys must match what _apply_dv
+    relativizes on read (advisor r7 — the old split('/',1) parse never
+    matched an absolute ref, so the delete committed but every reader
+    still saw the doomed rows).  Also: the DV must survive a partial
+    rewrite via _carry_dv_ref's prefix parse, and a second DV delete
+    must treat already-dead rows as no-ops."""
+    src = str(tmp_path / "src")
+    cln = str(tmp_path / "cln")
+    S.snapshot_merge_upsert(
+        spark, src, _inc(spark, 0, 40), partition_cols=["bucket"]
+    )
+    S.snapshot_clone(spark, src, cln)
+    m = S._read_manifest(spark, cln, S._current_gen(spark, cln))
+    assert all(g.startswith("/") for g in m["partitions"].values())
+
+    doomed = spark.range(0, 7).selectExpr("id AS parent_id")
+    g1 = S.snapshot_delete_keys(spark, cln, doomed, mode="dv")
+    got = S.read_snapshot_table(spark, cln)
+    assert got.filter("parent_id < 7").count() == 0
+    assert got.count() == 33
+    # the source is untouched (its files were never written to)
+    assert S.read_snapshot_table(spark, src).count() == 40
+
+    # re-deleting dead rows is a no-op commit (n == 0 short-circuit)
+    assert S.snapshot_delete_keys(spark, cln, doomed, mode="dv") == g1
+
+    # a partial rewrite carries the absolute-ref DV entries for the
+    # partitions it did not touch
+    S.snapshot_merge_upsert(
+        spark, cln, _inc(spark, 38, 40, mul=5), partition_cols=["bucket"]
+    )
+    got = S.read_snapshot_table(spark, cln)
+    assert got.filter("parent_id < 7").count() == 0
+    assert got.filter("parent_id = 38 AND v = 190").count() == 1
+
+    # a second DV delete on the mixed (absolute + local) manifest
+    S.snapshot_delete_keys(
+        spark, cln, spark.range(10, 12).selectExpr("id AS parent_id"),
+        mode="dv",
+    )
+    got = S.read_snapshot_table(spark, cln)
+    assert got.filter("parent_id IN (10, 11)").count() == 0
+    assert got.count() == 31
 
 
 def test_clone_inherits_table_metadata(spark, tmp_path):
