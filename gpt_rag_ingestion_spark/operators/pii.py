@@ -14,6 +14,8 @@ oracle) match identically.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -95,6 +97,7 @@ def k_anonymity_generalize(
     df: DataFrame,
     qi: dict[str, list[str]],
     k: int = 5,
+    drop: list[str] | None = None,
 ) -> tuple[DataFrame, dict]:
     """GENERALIZATION ladder — the other arm of k-anonymity (suppression
     destroys rows; generalization coarsens them): ``qi`` maps each
@@ -107,21 +110,41 @@ def k_anonymity_generalize(
     and any still-failing rows are suppressed.
 
     Returns ``(released_df, report)``: the released rows carry the
-    chosen level's QI columns plus every non-QI input column;
-    ``report`` = {"level": L, "suppressed_rows": n, "released_rows":
-    m}.  Cost: one grouped count per level tried (≤ max ladder
-    height, a handful) + one suppression anti-join — every pass is
-    the exact-dedup shuffle shape, never a row-level sort."""
+    chosen level's QI columns plus the non-QI input columns — the RAW
+    quasi-identifier source columns (every input column referenced by
+    any ladder expression, or the explicit ``drop`` list when given)
+    are REMOVED, because a frame that still carries raw ``city``/
+    ``age`` next to their generalizations is not k-anonymous with
+    respect to its own columns.  ``report`` = {"level": L,
+    "suppressed_rows": n, "released_rows": m, "dropped_cols": [...]}.
+    Cost: one grouped count per level tried (≤ max ladder height, a
+    handful) + one suppression anti-join — every pass is the
+    exact-dedup shuffle shape, never a row-level sort."""
     if not qi or any(not lvls for lvls in qi.values()):
         raise ValueError("qi must map each column to >= 1 expression")
     max_level = max(len(v) for v in qi.values())
+    if drop is None:
+        # every input column referenced by ANY ladder expression is a
+        # raw quasi-identifier and must not ship in the release
+        pat = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+        refs = {
+            tok
+            for lvls in qi.values()
+            for e in lvls
+            for tok in pat.findall(e)
+        }
+        drop = [c for c in df.columns if c in refs]
+    drop_set = set(drop)
 
     def _select(level: int) -> DataFrame:
         exprs = [
             F.expr(lvls[min(level, len(lvls) - 1)]).alias(c)
             for c, lvls in qi.items()
         ]
-        others = [F.col(c) for c in df.columns]
+        others = [
+            F.col(c) for c in df.columns
+            if c not in drop_set and c not in qi
+        ]
         return df.select(*others, *exprs)
 
     def _violating(g: DataFrame) -> int:
@@ -149,4 +172,5 @@ def k_anonymity_generalize(
         "level": chosen,
         "suppressed_rows": int(best_bad),
         "released_rows": int(n_released),
+        "dropped_cols": sorted(drop_set),
     }

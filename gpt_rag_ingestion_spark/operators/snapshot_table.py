@@ -1113,9 +1113,24 @@ def snapshot_optimize(
             _list_parquet_files,
         )
 
-        total_bytes = sum(
-            b for _p, b in _list_parquet_files(spark, table_path)
-        )
+        # measure ONLY the current manifest's referenced footprint:
+        # a recursive table_path listing counts superseded generations
+        # awaiting vacuum (overcount → undersized files) and misses a
+        # clone's absolute-path generations (undercount)
+        manifest_now = _read_manifest(spark, table_path, cur)
+        by_gen_now: dict[str, list[str]] = {}
+        for rel, g in manifest_now["partitions"].items():
+            by_gen_now.setdefault(g, []).append(rel)
+        total_bytes = 0
+        for g, rels in by_gen_now.items():
+            base = _gen_base(table_path, g)
+            roots = [base] if rels == [""] else [
+                f"{base}/{r}" for r in rels
+            ]
+            for root in roots:
+                total_bytes += sum(
+                    b for _p, b in _list_parquet_files(spark, root)
+                )
         total_rows = existing.count()
         if total_rows > 0 and total_bytes > 0:
             rows_per_file = max(

@@ -279,7 +279,17 @@ def test_k_anonymity_generalize_ladder(spark):
     assert rep["released_rows"] == 11
     audit = k_anonymity_audit(released, ["region"], k=5)
     assert audit.filter("NOT meets_k").count() == 0
-    assert set(released.columns) == {"rid", "city", "st", "region"}
+    # the RAW quasi-identifier sources (city, st) must NOT ship in the
+    # release — with them the frame is not k-anonymous w.r.t. its own
+    # columns (advisor r7)
+    assert set(released.columns) == {"rid", "region"}
+    assert rep["dropped_cols"] == ["city", "st"]
+
+    # an explicit drop list overrides the expression-reference scan
+    released2, rep2 = k_anonymity_generalize(
+        df, {"region": ["city", "st"]}, k=5, drop=["city", "st", "rid"]
+    )
+    assert set(released2.columns) == {"region"}
 
 
 def test_vocab_roundtrip_and_line_dedup(spark):

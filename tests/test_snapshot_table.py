@@ -1293,6 +1293,43 @@ def test_optimize_target_file_size(spark, tmp_path):
     assert S.read_snapshot_table(spark, snap).count() == n_rows
 
 
+def test_optimize_sizing_ignores_superseded_generations(spark, tmp_path):
+    """target_file_mb measures avg row bytes from the generations the
+    CURRENT manifest references — not a recursive table_path listing
+    (advisor r7): stale pre-vacuum generations must not inflate
+    total_bytes and undersize the output files.  A table carrying two
+    superseded full-size generations must fold to exactly as many
+    files as a clean single-generation control."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    def fat():
+        return spark.range(0, 3000).select(
+            F.col("id").alias("parent_id"),
+            (F.col("id") % 2).cast("int").alias("bucket"),
+            F.expr(
+                "concat_ws('', transform(sequence(1, 30), i -> uuid()))"
+            ).alias("payload"),
+        )
+
+    dirty = str(tmp_path / "dirty")
+    clean = str(tmp_path / "clean")
+    for _ in range(3):   # 3 generations on disk, only the last live
+        S.snapshot_merge_upsert(spark, dirty, fat(), partition_cols=["bucket"])
+    S.snapshot_merge_upsert(spark, clean, fat(), partition_cols=["bucket"])
+
+    S.snapshot_optimize(spark, dirty, partition_cols=["bucket"], target_file_mb=2)
+    S.snapshot_optimize(spark, clean, partition_cols=["bucket"], target_file_mb=2)
+    m_dirty = S._read_manifest(spark, dirty, S._current_gen(spark, dirty))
+    m_clean = S._read_manifest(spark, clean, S._current_gen(spark, clean))
+    g_dirty = set(m_dirty["partitions"].values()).pop()
+    g_clean = set(m_clean["partitions"].values()).pop()
+    n_dirty = len(glob.glob(f"{dirty}/{g_dirty}/bucket=*/*.parquet"))
+    n_clean = len(glob.glob(f"{clean}/{g_clean}/bucket=*/*.parquet"))
+    assert n_dirty == n_clean, (n_dirty, n_clean)
+
+
 def test_merge_when_enforces_check_constraints(spark, tmp_path):
     """CHECK constraints bind on the conditional-merge path too: a
     violating CDC batch is refused before anything is written."""
