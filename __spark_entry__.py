@@ -5194,16 +5194,31 @@ def q203_value_deciles(spark: SparkSession, sf: str) -> DataFrame:
     """NTILE decile profiling: per event type, the value distribution
     cut into 10 equal-count buckets with per-bucket count/min/max —
     the feature-binning pass before quantile-based quality gates.
-    One window pass (ntile + the same partition's ordering), then a
-    grouped aggregation; values integer-quantized to centi-units so
-    min/max hash exactly."""
+    NO low-cardinality window (event_type has ~5 values — ntile over
+    it would sort 1/5 of the fact table in ONE task at 100 TB):
+    ``grouped_row_number`` range-partitions on (event_type, cv, id),
+    ranks locally, recomposes with broadcast per-(group, partition)
+    offsets, and ``exact_ntile`` turns (rank, group size) into the
+    SQL-standard decile with integer arithmetic; then the same grouped
+    aggregation.  Values integer-quantized to centi-units so min/max
+    hash exactly."""
+    from gpt_rag_ingestion_spark.operators.ranking import (
+        exact_ntile,
+        grouped_row_number,
+    )
+
     ev = _t(spark, sf, "events").select(
         "event_type", "event_id",
         F.round(F.col("value") * 100).cast("long").alias("cv"),
     )
-    w = Window.partitionBy("event_type").orderBy("cv", "event_id")
+    ranked = grouped_row_number(
+        ev, ["event_type"], [F.col("cv"), F.col("event_id")],
+        rank_col="__rn", n_col="__n",
+    )
     return (
-        ev.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        ranked.withColumn(
+            "decile", exact_ntile("__rn", "__n", 10).cast("long")
+        )
         .groupBy("event_type", "decile")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
@@ -5511,17 +5526,24 @@ def q210_grouped_median_exact(spark: SparkSession, sf: str) -> DataFrame:
     """EXACT grouped median without floats: the interpolated median is
     rational with denominator 2, so ``median × 2`` is an integer —
     odd-count groups contribute twice the middle rank's value, even
-    ones the sum of the two middle ranks.  One window pass for ranks,
-    conditional sums per group; hash-exact in any engine (the usual
-    percentile_cont is float and engine-divergent)."""
+    ones the sum of the two middle ranks.  Ranks come from
+    ``grouped_row_number`` (range-partition + local rank + broadcast
+    per-(group, partition) offsets) — NOT a window partitioned on the
+    ~5-value event_type, which would sort 1/5 of the fact table in one
+    task at scale; conditional sums per group; hash-exact in any
+    engine (the usual percentile_cont is float and
+    engine-divergent)."""
+    from gpt_rag_ingestion_spark.operators.ranking import (
+        grouped_row_number,
+    )
+
     ev = _t(spark, sf, "events").select(
         "event_type", "event_id",
         F.round(F.col("value") * 100).cast("long").alias("cv"),
     )
-    w = Window.partitionBy("event_type").orderBy("cv", "event_id")
-    cnt = Window.partitionBy("event_type")
-    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(cnt)
+    ranked = grouped_row_number(
+        ev, ["event_type"], [F.col("cv"), F.col("event_id")],
+        rank_col="rn", n_col="n",
     )
     lo = F.expr("(n + 1) div 2")
     hi = F.expr("n div 2 + 1")

@@ -166,6 +166,21 @@ PLAN_PROPERTIES = {
     # fuzzy linkage: candidates from the blocking equi-join — the
     # all-pairs nested loop must never appear
     "q125_fuzzy_linkage": (["Join"], ["NestedLoop", "CartesianProduct"]),
+    # deciles / exact median over the ~5-value event_type key: NO
+    # ntile-over-group window (one task would sort ~N/5 of the fact
+    # table) — the grouped_row_number recipe instead: a range
+    # repartition, per-(group, partition) local ranks, and a
+    # broadcast offset join; ntile is pure arithmetic over (rank, n)
+    "q203_value_deciles": (
+        ["rangepartitioning(event_type", "__grp_part_cnt",
+         "BroadcastExchange"],
+        ["ntile("],
+    ),
+    "q210_grouped_median_exact": (
+        ["rangepartitioning(event_type", "__grp_part_cnt",
+         "BroadcastExchange"],
+        ["ntile("],
+    ),
     # corpus LM scoring: count-table probes are equi-joins (shuffle
     # hash pinned), never a nested loop; bucketing must use the
     # distributed rank, not an unpartitioned global window over docs

@@ -54,7 +54,9 @@ PROBES = {
     "q200_cdf_rollup_live": ("sink", "3-commit IVM from the change feed: O(changed partitions)/tick"),
     "q204_cdc_conditional_merge": ("sink", "full MERGE form: one full-outer join inside affected partitions"),
     "q205_dynamic_partition_pruning": ("olap", "DPP subquery prunes fact partitions at run time"),
+    "q203_value_deciles": ("olap", "grouped distributed rank + arithmetic ntile — no 5-partition window sort"),
     "q208_rfm_segments": ("olap", "3x distributed rank (range-partition + offsets), no global sort task"),
+    "q210_grouped_median_exact": ("olap", "grouped distributed rank; median = rank-selected sums, no group sort task"),
     "q209_last_touch_attribution": ("window", "as-of as ONE window pass over the interleaved stream"),
     "q212_line_dedup": ("text", "intra-doc line dedup: (doc, line, pos) shuffle only"),
     "q213_vocab_roundtrip": ("vocab", "encode + decode mirror: two broadcast joins + ordered re-agg"),

@@ -515,6 +515,54 @@ def test_inverted_index_postings(spark):
     assert rows["c"]["postings"] == "2:1"
 
 
+def test_grouped_row_number_matches_grouped_window(spark):
+    """grouped_row_number + exact_ntile must reproduce the plain
+    partitioned window's row_number/count/ntile EXACTLY, on data that
+    spans many shuffle partitions (single-partition runs co-locate
+    everything and hide recomposition bugs) — including groups smaller
+    than the bucket count and a NULL group key."""
+    from pyspark.sql import Window
+
+    from gpt_rag_ingestion_spark.operators.ranking import (
+        exact_ntile,
+        grouped_row_number,
+    )
+
+    df = (
+        spark.range(0, 2000)
+        .select(
+            F.col("id"),
+            F.when(F.col("id") < 1995, (F.col("id") % 4).cast("string"))
+            .when(F.col("id") < 1999, F.lit("tiny"))
+            .otherwise(F.lit(None))
+            .alias("g"),
+            (F.col("id") * 2654435761 % 500).alias("v"),
+        )
+        .repartition(16)
+    )
+    order = [F.asc("v"), F.asc("id")]
+    got = {
+        (r["id"], r["rn"], r["n"], r["t"])
+        for r in grouped_row_number(
+            df, ["g"], order, rank_col="rn", n_col="n",
+            num_partitions=13,
+        )
+        .withColumn("t", exact_ntile("rn", "n", 10).cast("long"))
+        .collect()
+    }
+    w = Window.partitionBy("g").orderBy(*order)
+    want = {
+        (r["id"], r["rn"], r["n"], r["t"])
+        for r in df.withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("g")).cast("long")
+        )
+        .withColumn("t", F.ntile(10).over(w).cast("long"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_distributed_row_number_matches_global_window(spark):
     from pyspark.sql import Window
 
