@@ -9632,7 +9632,7 @@ def oracle_sql() -> dict[str, str]:
                 AS in_top80
             FROM pc
         """,
-        "q212_line_dedup": """
+        "q212_line_dedup": r"""
             WITH d AS (
               SELECT doc_id, string_split_regex(text, '\. ') AS l
               FROM documents),
@@ -9650,7 +9650,7 @@ def oracle_sql() -> dict[str, str]:
               CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_removed
             FROM firsts GROUP BY doc_id
         """,
-        "q213_vocab_roundtrip": """
+        "q213_vocab_roundtrip": r"""
             WITH toks AS (
               SELECT doc_id, s.i AS pos, lower(l[s.i + 1]) AS token FROM
               (SELECT doc_id, string_split_regex(text, '\s+') AS l
@@ -9677,7 +9677,7 @@ def oracle_sql() -> dict[str, str]:
                 ' ' ORDER BY pos)) AS decoded_md5
             FROM mapped GROUP BY doc_id
         """,
-        "q214_autocomplete_two_terms": """
+        "q214_autocomplete_two_terms": r"""
             WITH toks AS (
               SELECT doc_id, s.i AS pos, lower(l[s.i + 1]) AS w1 FROM
               (SELECT doc_id, string_split_regex(text, '\s+') AS l

@@ -26,3 +26,26 @@ def test_window_is_oracle_backed():
     oracles = set(entry_mod.oracle_sql())
     missing = [k for k in entry_mod.DRIVER_WINDOW if k not in oracles]
     assert not missing, f"rows-only ids in the driver window: {missing}"
+
+
+def test_repo_sources_compile_without_warnings():
+    """Invalid escape sequences in non-raw literals (DeprecationWarning
+    today, SyntaxError in a future CPython) must never regress: the
+    .pyc cache swallows compile-time warnings on re-import, so this
+    re-compiles every repo source from text with warnings-as-errors
+    (r7 judge brief #4)."""
+    import glob
+    import warnings
+
+    paths = ["/root/repo/__spark_entry__.py", "/root/repo/bench.py"]
+    paths += glob.glob(
+        "/root/repo/gpt_rag_ingestion_spark/**/*.py", recursive=True
+    )
+    paths += glob.glob("/root/repo/scripts/*.py")
+    assert len(paths) > 30
+    for path in paths:
+        with open(path) as f:
+            src = f.read()
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            compile(src, path, "exec", dont_inherit=True)
