@@ -44,17 +44,19 @@ file is still byte-identical to its own write.  Exactly one racer
 commits; the others raise ``SnapshotWriteConflict`` (retry = re-run
 the merge against the new snapshot) and their orphan generation dirs
 are garbage for ``snapshot_vacuum``.  Claims carry a LEASE
-(``CLAIM_LEASE_MS``): crash recovery never prunes a claim younger
-than the lease, so a slow-but-alive writer cannot lose its claim to
-an ordinary stall; aborted commits release their own claim
-immediately.  Residual (documented, not closed): a writer stalled
-mid-commit for LONGER than the lease can have its claim pruned and
-re-claimed — the ownership re-check in ``_commit`` then detects it
-at the pointer swap, except for a stall landing in the instant
-between that check and the rename.  Full serializability on a plain
-filesystem would need a coordination service; this contract is
-detect-and-abort with a lease-bounded race window.  On S3 the pointer
-PUT is
+(``CLAIM_LEASE_MS``) kept alive by a HEARTBEAT: from claim creation
+to pointer swap a daemon thread refreshes the claim file's mtime
+every ``CLAIM_HEARTBEAT_MS`` (lease/5), and crash recovery prunes
+only claims whose heartbeat is stale (mtime older than the lease).
+A slow-but-alive writer therefore NEVER loses its claim, no matter
+how long the commit tail runs — only a dead writer's claim (process
+gone, heartbeat stopped) ages out, and a dead writer cannot race its
+own replacement.  A writer frozen at the OS level (SIGSTOP, VM
+pause) past the lease is the one case that can still be pruned while
+technically alive; the ownership re-verify in ``_commit`` detects
+the re-claim at the pointer swap and aborts with
+``SnapshotWriteConflict``.  Aborted commits release their own claim
+immediately.  On S3 the pointer PUT is
 last-writer-wins full-object — still atomic for readers, unlike
 multi-directory renames (exclusive-create needs a consistent store;
 on raw S3 swap in a conditional PUT / DynamoDB log, as Delta does).
@@ -162,14 +164,48 @@ def _commit_recover(spark, table_path: str) -> None:
 
 
 #: Claim lease: ``_claim_recover`` never prunes a claim manifest
-#: younger than this (file mtime vs the JVM clock).  A slow-but-alive
-#: writer therefore keeps its claim for at least the lease; the cost
-#: is that a claim orphaned by a hard crash (SIGKILL between claim and
-#: pointer) blocks new commits of that generation for up to the lease
-#: (writers see ``SnapshotWriteConflict`` and retry later).  Aborts
-#: that raise (conflict, validation, injected failure) self-clean
-#: their claim in ``_commit`` and never wait out the lease.
+#: whose mtime (refreshed by the owner's heartbeat) is younger than
+#: this.  A live writer heartbeats every ``CLAIM_HEARTBEAT_MS`` and so
+#: keeps its claim for the whole commit, however long it runs; the
+#: cost is that a claim orphaned by a hard crash (SIGKILL between
+#: claim and pointer) blocks new commits of that generation for up to
+#: the lease (writers see ``SnapshotWriteConflict`` and retry later).
+#: Aborts that raise (conflict, validation, injected failure)
+#: self-clean their claim in ``_commit`` and never wait out the lease.
 CLAIM_LEASE_MS = 10 * 60 * 1000
+
+#: Heartbeat cadence for in-flight claims — well inside the lease so
+#: a single missed beat (GC pause, slow NN RPC) never looks stale.
+CLAIM_HEARTBEAT_MS = CLAIM_LEASE_MS // 5
+
+
+def _start_claim_heartbeat(spark, claimed: str):
+    """Refresh ``claimed``'s mtime every ``CLAIM_HEARTBEAT_MS`` from a
+    daemon thread until the returned event is set (or the claim file
+    disappears — pruned or self-released).  Keeps a slow-but-alive
+    writer's claim perpetually younger than the lease, so
+    ``_claim_recover`` only ever prunes claims whose OWNER IS GONE.
+    The mtime doubles as the commit clock (``snapshot_gen_at_
+    timestamp``); the last beat lands within a heartbeat of the
+    pointer swap, so timestamp travel stays accurate."""
+    import threading
+
+    stop = threading.Event()
+
+    def _beat() -> None:
+        while not stop.wait(CLAIM_HEARTBEAT_MS / 1000.0):
+            try:
+                fs, p = _hfs(spark, claimed)
+                if not fs.exists(p):
+                    return
+                fs.setTimes(p, _now_ms(spark), -1)
+            except Exception:
+                return
+
+    threading.Thread(
+        target=_beat, daemon=True, name="snapshot-claim-heartbeat"
+    ).start()
+    return stop
 
 
 def _now_ms(spark) -> int:
@@ -188,15 +224,15 @@ def _claim_recover(
     create-exclusive claim and the pointer swap.  Left in place it
     would block the next writer's claim of that generation forever, so
     prune it (the committed snapshot is untouched — the pointer never
-    moved) — but ONLY once it is older than ``CLAIM_LEASE_MS``: a
-    younger claim may belong to a writer that is alive and mid-commit,
-    and pruning it could let this writer re-claim the generation and
-    the slow writer later swap the pointer onto the wrong manifest
-    (lost commit).  With the lease, a live writer loses its claim only
-    if it stalls mid-commit for longer than the lease, and even then
-    ``_commit``'s claim-ownership re-verify narrows the damage window
-    to the instant before the pointer swap.  Writers only; readers
-    never mutate."""
+    moved) — but ONLY once its HEARTBEAT is stale (mtime older than
+    ``CLAIM_LEASE_MS``): the owner refreshes the claim's mtime every
+    ``CLAIM_HEARTBEAT_MS`` while mid-commit, so a claim with a live
+    heartbeat belongs to a live writer no matter how long its commit
+    has been running, and pruning is reserved for claims whose owner
+    is gone.  A writer frozen at the OS level past the lease is the
+    one way a live process can be pruned; ``_commit``'s
+    claim-ownership re-verify catches the re-claim at the pointer
+    swap.  Writers only; readers never mutate."""
     cur = _current_gen(spark, table_path)
     fs, mdir = _hfs(spark, f"{table_path}/_manifests")
     if not fs.exists(mdir):
@@ -496,56 +532,62 @@ def _commit(
     body_json = json.dumps(body, sort_keys=True)
     claimed = _manifest_path(table_path, gen)
     _write_text_exclusive(spark, claimed, body_json)
+    heartbeat_stop = _start_claim_heartbeat(spark, claimed)
     tmp = f"{table_path}/_current__tmp"
     cur = f"{table_path}/_current"
     try:
-        actual = _current_gen(spark, table_path)
-        if actual != expected_cur:
-            raise SnapshotWriteConflict(
-                f"snapshot moved during merge: based on {expected_cur}, "
-                f"pointer now at {actual} ({table_path})"
-            )
-        # claim-ownership re-verify: if this writer stalled past
-        # CLAIM_LEASE_MS, recovery may have pruned its claim and a
-        # rival re-claimed the generation — swapping the pointer now
-        # would commit the RIVAL's manifest under this writer's name.
-        # The generation dir names inside ``partitions`` carry a
-        # per-attempt token, so byte-comparing the manifest proves
-        # ownership.  (A stall in the window between this read and
-        # the rename below is the residual race; the lease makes it
-        # require a >lease stall AND a hit on this one instant.)
-        if _read_text(spark, claimed) != body_json:
-            raise SnapshotWriteConflict(
-                f"claim for generation {gen} was pruned after a "
-                f">{CLAIM_LEASE_MS} ms stall and re-claimed by another "
-                f"writer ({table_path}); retry the merge"
-            )
-        _write_text(spark, tmp, str(gen))
-    except BaseException:
-        # Abort BEFORE the commit's atomic point (a fully written tmp
-        # pointer): release the claim so the table is immediately
-        # writable instead of blocked for the lease — but only if the
-        # claim is still OURS (never delete a rival's manifest).
-        # Best-effort: a failure here leaves an orphan for the lease
-        # path.
         try:
-            if _read_text(spark, claimed) == body_json:
-                _fs_delete(spark, claimed)
-        except Exception:
-            pass
-        try:
-            # our tmp only — full ("57") or truncated ("5") writes of
-            # str(gen) are prefixes; a rival's valid pointer mid-swap
-            # names a different gen and is left alone
-            if _fs_exists(spark, tmp):
-                t = _read_text(spark, tmp).strip()
-                if str(gen).startswith(t):
-                    _fs_delete(spark, tmp)
-        except Exception:
-            pass
-        raise
-    _fs_delete(spark, cur)
-    _fs_rename(spark, tmp, cur)
+            actual = _current_gen(spark, table_path)
+            if actual != expected_cur:
+                raise SnapshotWriteConflict(
+                    f"snapshot moved during merge: based on "
+                    f"{expected_cur}, pointer now at {actual} "
+                    f"({table_path})"
+                )
+            # claim-ownership re-verify: the heartbeat keeps a live
+            # writer's claim from ever aging out, but a writer frozen
+            # at the OS level past CLAIM_LEASE_MS (heartbeat thread
+            # frozen with it) can still be pruned and the generation
+            # re-claimed by a rival — swapping the pointer now would
+            # commit the RIVAL's manifest under this writer's name.
+            # The generation dir names inside ``partitions`` carry a
+            # per-attempt token, so byte-comparing the manifest
+            # proves ownership.
+            if _read_text(spark, claimed) != body_json:
+                raise SnapshotWriteConflict(
+                    f"claim for generation {gen} was pruned after a "
+                    f">{CLAIM_LEASE_MS} ms heartbeat gap and "
+                    f"re-claimed by another writer ({table_path}); "
+                    "retry the merge"
+                )
+            _write_text(spark, tmp, str(gen))
+        except BaseException:
+            # Abort BEFORE the commit's atomic point (a fully written
+            # tmp pointer): release the claim so the table is
+            # immediately writable instead of blocked for the lease —
+            # but only if the claim is still OURS (never delete a
+            # rival's manifest).  Best-effort: a failure here leaves
+            # an orphan for the lease path.
+            try:
+                if _read_text(spark, claimed) == body_json:
+                    _fs_delete(spark, claimed)
+            except Exception:
+                pass
+            try:
+                # our tmp only — full ("57") or truncated ("5") writes
+                # of str(gen) are prefixes; a rival's valid pointer
+                # mid-swap names a different gen and is left alone
+                if _fs_exists(spark, tmp):
+                    t = _read_text(spark, tmp).strip()
+                    if str(gen).startswith(t):
+                        _fs_delete(spark, tmp)
+            except Exception:
+                pass
+            raise
+        _fs_delete(spark, cur)
+        _fs_rename(spark, tmp, cur)
+    finally:
+        heartbeat_stop.set()
 
 
 class SnapshotSchemaMismatch(ValueError):

@@ -951,6 +951,78 @@ def test_claim_lease_protects_live_writer(spark, tmp_path):
     assert got.filter("parent_id < 10 AND v = 99 * parent_id").count() > 0
 
 
+def test_heartbeat_keeps_stalled_writer_alive_past_lease(
+    spark, tmp_path, monkeypatch
+):
+    """r7 brief #5: a slow-but-ALIVE writer survives a stall LONGER
+    than the lease — the claim heartbeat refreshes the claim mtime
+    from a daemon thread, so an aggressive recovery sweep run during
+    the stall must NOT prune the claim, and the stalled writer's
+    commit must land.  With the heartbeat stopped (owner dead), the
+    same sweep prunes the claim after the lease."""
+    import json
+    import os
+    import threading
+    import time
+
+    snap = str(tmp_path / "snap")
+    S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 0, 30), partition_cols=["bucket"]
+    )
+    cur = S._current_gen(spark, snap)
+
+    # shrink lease + heartbeat so the stall (1.2 s) dwarfs the lease
+    monkeypatch.setattr(S, "CLAIM_LEASE_MS", 400)
+    monkeypatch.setattr(S, "CLAIM_HEARTBEAT_MS", 100)
+
+    real_write = S._write_text
+    stalled = threading.Event()
+
+    def stall_on_tmp(spark_, path, text):
+        if path.endswith("_current__tmp"):
+            stalled.set()
+            time.sleep(1.2)   # 3x the lease, mid-commit, post-claim
+        return real_write(spark_, path, text)
+
+    monkeypatch.setattr(S, "_write_text", stall_on_tmp)
+    err: list[BaseException] = []
+
+    def writer():
+        try:
+            S.snapshot_merge_upsert(
+                spark, snap, _inc(spark, 0, 10, mul=99),
+                partition_cols=["bucket"],
+            )
+        except BaseException as e:   # pragma: no cover
+            err.append(e)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    assert stalled.wait(timeout=60)
+    claim = os.path.join(snap, "_manifests", f"{cur + 1:08d}.json")
+    # recovery sweeps repeatedly DURING the stall, well past the lease
+    for _ in range(4):
+        time.sleep(0.25)
+        S._claim_recover(spark, snap)
+        assert os.path.exists(claim), "live writer's claim was pruned"
+    t.join(timeout=60)
+    assert not err, err
+    assert S._current_gen(spark, snap) == cur + 1
+    got = S.read_snapshot_table(spark, snap)
+    assert got.filter("parent_id < 10 AND v = 99 * parent_id").count() == 10
+
+    # control: a claim with NO heartbeat (dead owner) is pruned once
+    # stale
+    monkeypatch.setattr(S, "_write_text", real_write)
+    dead = os.path.join(snap, "_manifests", f"{cur + 2:08d}.json")
+    with open(dead, "w") as f:
+        json.dump({"gen": cur + 2, "partitions": {}, "op": "merge"}, f)
+    old = (S._now_ms(spark) - 1_000) / 1000.0
+    os.utime(dead, (old, old))
+    S._claim_recover(spark, snap)
+    assert not os.path.exists(dead)
+
+
 def test_aborted_commit_releases_own_claim(spark, tmp_path, monkeypatch):
     """An abort BEFORE the commit's atomic point (here: injected
     failure writing the tmp pointer) must release the writer's own
