@@ -1240,6 +1240,83 @@ def snapshot_maybe_optimize(
     return {"optimized": True, "generations_before": n, **gc}
 
 
+#: Registered shallow clones of a table live as pointer files under
+#: <table>/_clones/ — vacuum reads them to protect still-shared
+#: generations (Delta logs shallow clones for the same reason).
+_CLONES_DIR = "_clones"
+
+
+def _register_clone(spark, source_root: str, clone_path: str) -> None:
+    """Breadcrumb at the SOURCE: '<source>/_clones/<id>.json' names a
+    clone whose manifests may reference this table's generation dirs.
+    Written at clone time; pruned by vacuum once the clone is gone or
+    fully localized."""
+    _fs_mkdirs(spark, f"{source_root}/{_CLONES_DIR}")
+    name = f"{uuid.uuid4().hex[:12]}.json"
+    _write_text(
+        spark,
+        f"{source_root}/{_CLONES_DIR}/{name}",
+        json.dumps(
+            {"clone_path": clone_path.rstrip("/")}, sort_keys=True
+        ),
+    )
+
+
+def _clone_protected_gens(spark, table_path: str) -> set[str]:
+    """Generation dir NAMES of ``table_path`` still referenced by any
+    REGISTERED LIVE clone — the set ``snapshot_vacuum`` must not
+    delete, whatever its retention knobs say.  Every manifest the
+    clone currently retains counts (the clone's own vacuum decides
+    how many that is).  Stale registrations — clone deleted, or fully
+    localized by OPTIMIZE so no absolute ref into this table remains —
+    are pruned as a side effect, so the guard is self-cleaning."""
+    root = table_path.rstrip("/")
+    fs, cdir = _hfs(spark, f"{root}/{_CLONES_DIR}")
+    if not fs.exists(cdir):
+        return set()
+    protected: set[str] = set()
+    for st in fs.listStatus(cdir):
+        name = st.getPath().getName()
+        if not name.endswith(".json"):
+            continue
+        try:
+            reg = json.loads(
+                _read_text(spark, f"{root}/{_CLONES_DIR}/{name}")
+            )
+            cpath = str(reg["clone_path"])
+        except Exception:
+            fs.delete(st.getPath(), False)
+            continue
+        refs: set[str] = set()
+        # scan the clone's manifest FILES, not just its committed
+        # pointer: a clone mid-commit has claimed its manifest but not
+        # yet swapped _current, and its refs must already protect
+        mfs, mdir = _hfs(spark, f"{cpath}/_manifests")
+        if mfs.exists(mdir):
+            for mst in mfs.listStatus(mdir):
+                mn = mst.getPath().getName()
+                if not mn.endswith(".json"):
+                    continue
+                try:
+                    m = json.loads(
+                        _read_text(spark, f"{cpath}/_manifests/{mn}")
+                    )
+                except Exception:
+                    continue
+                for g in m.get("partitions", {}).values():
+                    if isinstance(g, str) and g.startswith(root + "/"):
+                        refs.add(g[len(root) + 1:])
+        if refs:
+            protected |= refs
+        elif _now_ms(spark) - st.getModificationTime() > CLAIM_LEASE_MS:
+            # clone gone or fully localized: registration is stale.
+            # The lease-sized grace keeps a registration written
+            # instants before the clone's first manifest from being
+            # reaped mid-clone.
+            fs.delete(st.getPath(), False)
+    return protected
+
+
 def snapshot_vacuum(
     spark: SparkSession, table_path: str, keep_snapshots: int = 1,
     retain_hours: float | None = None,
@@ -1259,10 +1336,19 @@ def snapshot_vacuum(
     the window is kept too, whatever ``keep_snapshots`` says — the
     contract an auditor or a long-running reader relies on ("anything
     committed in the last N hours stays time-travelable").  The two
-    knobs compose as a union of retained sets."""
+    knobs compose as a union of retained sets.
+
+    CLONE-AWARE: generations still referenced by a registered live
+    shallow clone (``_clones/`` breadcrumbs written by
+    ``snapshot_clone``) are never deleted, whatever the retention
+    knobs say — branching a table and waiting out the source's
+    retention cannot break the branch.  The guard is metadata-only
+    (read each clone's manifests) and self-cleaning (stale
+    registrations pruned once a clone dies or localizes)."""
     cur = _current_gen(spark, table_path)
     if cur is None:
         return {"removed_gens": 0, "removed_manifests": 0}
+    clone_protected = _clone_protected_gens(spark, table_path)
     keep = max(1, int(keep_snapshots))
     # retained manifests = the newest `keep` that actually exist
     mdir_fs, mdir = _hfs(spark, f"{table_path}/_manifests")
@@ -1298,6 +1384,7 @@ def snapshot_vacuum(
         )
     fs, root = _hfs(spark, table_path)
     removed_gens = 0
+    protected_for_clones = 0
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if (
@@ -1306,6 +1393,9 @@ def snapshot_vacuum(
             and name not in referenced
             and int(name[4:12]) <= cur  # never touch an in-flight writer
         ):
+            if name in clone_protected:
+                protected_for_clones += 1
+                continue
             fs.delete(st.getPath(), True)
             _fs_delete(spark, _gen_stats_path(table_path, name))
             removed_gens += 1
@@ -1340,7 +1430,11 @@ def snapshot_vacuum(
                 continue
             if g <= cur:  # never touch an in-flight writer's DV
                 dv_fs.delete(st.getPath(), False)
-    return {"removed_gens": removed_gens, "removed_manifests": removed_manifests}
+    return {
+        "removed_gens": removed_gens,
+        "removed_manifests": removed_manifests,
+        "protected_for_clones": protected_for_clones,
+    }
 
 
 def _changed_partitions(manifest_a: dict, manifest_b: dict) -> list[str]:
@@ -2274,12 +2368,16 @@ def snapshot_clone(
     branching: fork the 100 TB corpus table, apply a candidate
     filter/dedup policy on the branch, compare, throw away.
 
-    Contract limits (both are Delta's own shallow-clone caveats):
-    - the SOURCE's ``snapshot_vacuum`` does not know about clones; a
-      source vacuum can delete generations the clone references.
-      OPTIMIZE on the clone fully localizes it (every partition
-      rewrites into a clone-local generation) and removes the
-      dependency.
+    VACUUM SAFETY: cloning registers a breadcrumb at every source
+    table the new manifest references (``_clones/<id>.json``), and
+    ``snapshot_vacuum`` refuses to delete generations a registered
+    live clone still references — so branching a corpus and waiting
+    out the source's retention is SAFE, not an operational footgun.
+    OPTIMIZE on the clone localizes every partition and releases the
+    protection (the breadcrumb self-prunes at the source's next
+    vacuum).
+
+    Contract limits (Delta's own shallow-clone caveats):
     - cloned refs carry no local stats sidecars, so reads of
       still-shared generations are unpruned until a rewrite
       localizes them (``_resolve_file_sets`` skips absolute refs).
@@ -2311,6 +2409,14 @@ def snapshot_clone(
         sp = f"{src_abs}/{conf}"
         if _fs_exists(spark, sp):
             _write_text(spark, f"{clone_path}/{conf}", _read_text(spark, sp))
+    # register BEFORE the clone's commit at EVERY table whose
+    # generations it will reference — the direct source, and (for a
+    # clone-of-clone) any deeper original the source itself still
+    # shared.  Order matters: an aborted clone leaves a breadcrumb
+    # that self-prunes at the source's next vacuum, whereas a
+    # committed-but-unregistered clone would be a vacuum race window.
+    for ref_root in {g.rsplit("/", 1)[0] for g in partitions.values()}:
+        _register_clone(spark, ref_root, clone_path)
     _commit(
         spark, clone_path, 1, partitions, expected_cur=None,
         extra={"cloned_from": src_abs, "cloned_gen": cur}, op="clone",

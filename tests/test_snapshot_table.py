@@ -1431,6 +1431,56 @@ def test_merge_when_enforces_check_constraints(spark, tmp_path):
     assert S._current_gen(spark, snap) == gen_before
 
 
+def test_vacuum_is_clone_aware(spark, tmp_path):
+    """r7 brief #3: source-side vacuum must NOT delete generations a
+    registered live clone still references — branch a table, advance
+    the source past the shared generations, vacuum aggressively: the
+    clone stays readable, bit-identical to its branch point.  After
+    the clone localizes (OPTIMIZE) and the registration grace passes,
+    the same vacuum reclaims the shared generations and prunes the
+    stale breadcrumb."""
+    import glob
+    import os
+    import time
+
+    src = str(tmp_path / "src")
+    cln = str(tmp_path / "cln")
+    S.snapshot_merge_upsert(
+        spark, src, _inc(spark, 0, 40), partition_cols=["bucket"]
+    )
+    S.snapshot_clone(spark, src, cln)
+    branch_rows = _rows(S.read_snapshot_table(spark, cln))
+
+    # advance the source past the shared generations (full rewrite)
+    S.snapshot_optimize(spark, src, partition_cols=["bucket"])
+    S.snapshot_merge_upsert(
+        spark, src, _inc(spark, 0, 40, mul=7), partition_cols=["bucket"]
+    )
+    rep = S.snapshot_vacuum(spark, src, keep_snapshots=1)
+    assert rep["protected_for_clones"] > 0
+    # the clone still reads its branch point exactly
+    assert _rows(S.read_snapshot_table(spark, cln)) == branch_rows
+
+    # localize the clone, age the breadcrumb past the grace window:
+    # the next source vacuum reclaims the shared generations and
+    # self-prunes the registration
+    S.snapshot_optimize(spark, cln, partition_cols=["bucket"])
+    S.snapshot_vacuum(spark, cln)
+    for bc in glob.glob(f"{src}/_clones/*.json"):
+        old = (S._now_ms(spark) - S.CLAIM_LEASE_MS - 60_000) / 1000.0
+        os.utime(bc, (old, old))
+    rep2 = S.snapshot_vacuum(spark, src, keep_snapshots=1)
+    assert rep2["protected_for_clones"] == 0
+    assert rep2["removed_gens"] > 0
+    assert glob.glob(f"{src}/_clones/*.json") == []
+    assert _rows(S.read_snapshot_table(spark, cln)) == branch_rows
+    # source unaffected throughout
+    assert (
+        S.read_snapshot_table(spark, src)
+        .filter("v = 7 * parent_id").count() == 40
+    )
+
+
 def test_dv_delete_on_clone_shared_generations(spark, tmp_path):
     """DV-mode delete on a SHALLOW CLONE whose generations are still
     shared absolute refs: the recorded keys must match what _apply_dv
