@@ -5685,6 +5685,281 @@ def q215_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q216_streaming_cdf_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING job-level IVM as a gate query (r7 brief #6): three
+    AvailableNow drains of a JSON landing zone through
+    streaming/micro_batch.run_incremental_ingest with
+    ``sink="snapshot"`` + ``rollup_mode="cdf"`` — tick 1 bulk-ingests,
+    tick 2 adds new documents (CDF inserts), tick 3 RE-SENDS a slice
+    of tick 1's documents with extended text (delete-then-insert merge
+    → CDF deletes + inserts, chunk counts change).  After the drains
+    the per-document rollup parquet — maintained purely from the
+    chunks table's change feed, never rescanned — is FULL-OUTER
+    compared against a fresh recompute over the final table; any
+    divergence in chunk count or char sum flips ``rollup_ok`` and
+    hash-mismatches the closed-form oracle (the q144 self-verifying
+    invariant pattern).  Reference parity: the admin file-list view
+    the reference re-pages per tick (blob_storage_indexer.py:821-897),
+    held fresh at O(changed partitions) per micro-batch."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        read_snapshot_table,
+    )
+    from gpt_rag_ingestion_spark.streaming.micro_batch import (
+        run_incremental_ingest,
+    )
+
+    _ensure_shipped(spark)
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "source")
+    base = tempfile.mkdtemp(prefix="q216-cdf-")
+    landing = f"{base}/landing"
+    snap, roll, ckpt = f"{base}/snap", f"{base}/roll", f"{base}/ckpt"
+    b1 = docs.filter("doc_id % 4 = 1")
+    b2 = docs.filter("doc_id % 4 = 2")
+    b3 = docs.filter("doc_id % 8 = 1").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" appended update tail making this document longer"),
+        ),
+    )
+    for batch in (b1, b2, b3):
+        batch.coalesce(1).write.mode("append").json(landing)
+        run_incremental_ingest(
+            spark, landing, snap, ckpt,
+            schema="doc_id LONG, text STRING, source STRING",
+            rollup_path=roll,
+            partition_cols=["source"],
+            sink="snapshot",
+            rollup_mode="cdf",
+        )
+    maintained = spark.read.parquet(roll).select(
+        "parent_id", "n_chunks", "chars"
+    )
+    recompute = read_snapshot_table(spark, snap).groupBy("parent_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.length("content")).cast("long").alias("__chars"),
+    )
+    cmp = maintained.join(recompute, "parent_id", "full_outer")
+    return (
+        cmp.select(
+            F.regexp_extract("parent_id", "([0-9]+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            (
+                F.col("n_chunks").eqNullSafe(F.col("__n"))
+                & F.col("chars").eqNullSafe(F.col("__chars"))
+            ).alias("rollup_ok"),
+        )
+        .withColumn("was_updated", F.col("doc_id") % 8 == 1)
+        .select("doc_id", "was_updated", "rollup_ok")
+        .localCheckpoint()  # pin before the tmp dir ages out
+    )
+
+
+def q217_describe_detail(spark: SparkSession, sf: str) -> DataFrame:
+    """DESCRIBE DETAIL as a gate query (r7 brief #8): build a
+    partitioned snapshot table (stats enabled, a CHECK constraint, a
+    DV-mode delete on top), then emit the metadata card
+    ``snapshot_table_detail`` computes WITHOUT a data scan —
+    generation, referenced-generation count, partition list, DV row
+    count, last op, config flags.  Every field is deterministic from
+    the events table, so the oracle states the card in closed form;
+    file/byte counts (task-count dependent) are asserted as
+    presence booleans.  Delta's `DESCRIBE DETAIL`; reference parity:
+    the admin status card blob_storage_indexer.py:821-897 serves."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        snapshot_add_constraint,
+        snapshot_delete_keys,
+        snapshot_enable_stats,
+        snapshot_merge_upsert,
+        snapshot_table_detail,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_id") % 4).cast("int").alias("bucket"),
+    )
+    base = tempfile.mkdtemp(prefix="q217-detail-")
+    snap = f"{base}/snap"
+    snapshot_enable_stats(spark, snap, cols=["user_id"])
+    snapshot_merge_upsert(
+        spark, snap, ev, key="event_id", partition_cols=["bucket"]
+    )
+    snapshot_add_constraint(spark, snap, "nonneg_user", "user_id >= 0")
+    snapshot_delete_keys(
+        spark, snap,
+        ev.filter("event_id % 10 = 3").select("event_id"),
+        key="event_id", mode="dv",
+    )
+    d = snapshot_table_detail(spark, snap)
+    return spark.createDataFrame(
+        [(
+            int(d["generation"]),
+            int(d["num_referenced_generations"]),
+            ",".join(d["partitions"]),
+            int(d["dv_rows"]),
+            str(d["op"]),
+            bool(d["stats_enabled"]),
+            bool(d["has_constraints"]),
+            bool(d["num_files"] > 0),
+            bool(d["size_bytes"] > 0),
+            bool(d["cloned_from"] is None),
+        )],
+        "generation long, n_gens long, partitions string, dv_rows long,"
+        " op string, stats_enabled boolean, has_constraints boolean,"
+        " has_files boolean, has_bytes boolean, not_cloned boolean",
+    )
+
+
+def q218_force_reprocess_backfill(spark: SparkSession, sf: str) -> DataFrame:
+    """force_reprocess idempotence as a gate query (r7 brief #8): the
+    admin re-chunk-everything backfill.  Run 1 ingests a corpus slice
+    with coarse chunking; run 2 re-lists the SAME corpus with finer
+    params but NO force — the freshness watermark makes it a no-op;
+    run 3 sets force_reprocess=True — every document re-chunks finer
+    (delete-then-insert, no duplicate ids; reference semantics
+    blob_storage_indexer.py:614-615); run 4 replays the backfill —
+    bit-identical table.  Per-document invariants (no-op held, finer
+    produced strictly more chunks, replay identical in ids AND
+    content) are computed Spark-side and stated closed-form by the
+    oracle (q144 pattern)."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.plans.ingest_job import run_ingest_job
+
+    _ensure_shipped(spark)
+    docs = (
+        _t(spark, sf, "documents")
+        .filter("doc_id % 5 = 0 AND n_chars >= 300")
+        .select(
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+            .alias("doc_key"),
+            "text",
+            F.lit("2026-01-01 00:00:00").cast("timestamp")
+            .alias("last_modified"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="q218-backfill-")
+    table = f"{base}/chunks"
+    fine = dict(max_tokens=16, overlap=4, min_tokens=2, embedding_dim=8)
+
+    def snap_counts():
+        return (
+            spark.read.parquet(table)
+            .groupBy("parent_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.md5(
+                    F.concat_ws(
+                        "|", F.sort_array(F.collect_list(
+                            F.concat_ws(":", "id", F.md5("content"))
+                        ))
+                    )
+                ).alias("sig"),
+            )
+            .localCheckpoint()
+        )
+
+    run_ingest_job(
+        spark, docs, table, "r1",
+        max_tokens=64, overlap=8, min_tokens=4, embedding_dim=8,
+    )
+    c1 = snap_counts()
+    run_ingest_job(spark, docs, table, "r2", **fine)   # no force: no-op
+    c2 = snap_counts()
+    run_ingest_job(spark, docs, table, "r3", force_reprocess=True, **fine)
+    c3 = snap_counts()
+    run_ingest_job(spark, docs, table, "r4", force_reprocess=True, **fine)
+    c4 = snap_counts()
+
+    def pick(df, tag):
+        return df.select(
+            "parent_id",
+            F.col("n").alias(f"n_{tag}"),
+            F.col("sig").alias(f"sig_{tag}"),
+        )
+
+    j = (
+        pick(c1, "1").join(pick(c2, "2"), "parent_id")
+        .join(pick(c3, "3"), "parent_id")
+        .join(pick(c4, "4"), "parent_id")
+    )
+    return j.select(
+        F.regexp_extract("parent_id", "([0-9]+)$", 1)
+        .cast("long").alias("doc_id"),
+        (F.col("sig_1") == F.col("sig_2")).alias("noop_without_force"),
+        (F.col("n_3") > F.col("n_2")).alias("finer_after_force"),
+        (F.col("sig_3") == F.col("sig_4")).alias("replay_idempotent"),
+    )
+
+
+def q219_concurrent_writers(spark: SparkSession, sf: str) -> DataFrame:
+    """OPTIMISTIC CONCURRENCY as a gate query: two writers race REAL
+    merges onto one snapshot table from separate threads — writer A
+    doubles the cents of buckets 0-1, writer B adds 5 to buckets 2-3 —
+    with ``max_conflict_rebases`` on.  Their write sets are disjoint,
+    so whichever commits second REBASES its manifest onto the winner
+    instead of aborting (Delta's conflict-resolution rule), and the
+    final table is the same union whichever order the race resolves —
+    which is exactly why a closed-form oracle can exist for a
+    nondeterministic schedule.  The N-ingest-jobs-one-100TB-table
+    pattern."""
+    import tempfile
+    import threading
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        read_snapshot_table,
+        snapshot_merge_upsert,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_id") % 4).cast("int").alias("bucket"),
+    )
+    base = tempfile.mkdtemp(prefix="q219-occ-")
+    snap = f"{base}/snap"
+    snapshot_merge_upsert(
+        spark, snap, ev, key="event_id", partition_cols=["bucket"]
+    )
+    start = threading.Barrier(2)
+    errs: list = []
+
+    def writer(pred, col):
+        try:
+            inc = ev.filter(pred).withColumn("cents", col)
+            start.wait(timeout=120)
+            snapshot_merge_upsert(
+                spark, snap, inc, key="event_id",
+                partition_cols=["bucket"], max_conflict_rebases=8,
+            )
+        except BaseException as e:   # surfaced below
+            errs.append(e)
+
+    ts = [
+        threading.Thread(
+            target=writer, args=("bucket IN (0, 1)", F.col("cents") * 2)
+        ),
+        threading.Thread(
+            target=writer, args=("bucket IN (2, 3)", F.col("cents") + 5)
+        ),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=600)
+    if errs:
+        raise errs[0]
+    return read_snapshot_table(spark, snap).select(
+        "event_id", "user_id", "cents", "bucket"
+    ).localCheckpoint()
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW (and that the registry/oracle counts match QUERIES.md)
@@ -5707,39 +5982,39 @@ DRIVER_WINDOW = [
     "q60_merge_upsert",
     "q110_web_admission",
     "q144_giant_doc_parts",
-    "q108_pagerank",
-    "q130_funnel",
-    "q166_snapshot_changes",
-    "q168_cdf_view_maintenance",
-    "q170_snapshot_data_skipping",
-    "q171_snapshot_point_lookup",
-    "q173_partition_compaction",
-    "q174_deletion_vectors",
-    "q176_snapshot_restore",
-    "q163_fuzzy_search",
-    "q164_facet_counts",
-    "q165_multifield_bm25",
-    "q169_spell_suggest",
-    "q178_more_like_this",
-    "q182_filtered_search",
-    "q183_filtered_hybrid",
-    "q184_semantic_rerank",
-    "q172_retrieval_eval",
-    "q175_random_projection",
-    "q177_sketch_rerank",
-    "q185_cohort_retention",
-    "q186_stickiness",
-    "q187_event_transitions",
-    "q188_rag_end_to_end",
-    "q167_filtered_vector_search",
-    "q89_inverted_index",
-    "q97_interval_join",
-    "q99_rolling_hour_counts",
-    "q105_nfc_normalize",
-    "q119_event_pivot",
-    "q127_gap_fill",
-    "q134_revenue_share",
-    "q136_latest_per_key",
+    "q189_order_priority_check",
+    "q190_promo_revenue",
+    "q191_late_shipment_priority",
+    "q192_large_orders",
+    "q193_bracket_revenue",
+    "q194_volume_shipping",
+    "q195_market_share",
+    "q196_banded_discount_revenue",
+    "q197_snapshot_clone",
+    "q198_freshness_rank",
+    "q199_k_anonymity",
+    "q200_cdf_rollup_live",
+    "q201_revenue_rollup_cube",
+    "q202_metric_unpivot",
+    "q203_value_deciles",
+    "q204_cdc_conditional_merge",
+    "q205_dynamic_partition_pruning",
+    "q206_unconverted_impressions",
+    "q207_scoring_profile",
+    "q208_rfm_segments",
+    "q209_last_touch_attribution",
+    "q210_grouped_median_exact",
+    "q211_pareto_frontier",
+    "q212_line_dedup",
+    "q213_vocab_roundtrip",
+    "q214_autocomplete_two_terms",
+    "q215_top_supplier",
+    "q216_streaming_cdf_rollup",
+    "q217_describe_detail",
+    "q218_force_reprocess_backfill",
+    "q101_corpus_health",
+    "q120_collocations",
+    "q128_acl_visibility",
 ]
 
 
@@ -5753,16 +6028,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (q15-q18), exact-ANN (q19), streaming (q24), ops (q38/q60), web
     # admission (q110), giant-doc equivalence (q144) — while the
     # remaining 33 slots burn down the never-driver-checked backlog.
-    # This round (r7): q108 stays to prove the HUGEINT oracle fix;
-    # q130 joins for the identical latent fix; the whole round-6
-    # surface gets first driver rows — lakehouse (q166/q168/q170/
-    # q171/q173/q174/q176), search extensions (q163-q165/q169/q178/
-    # q182-q184), retrieval eval (q172), sketches (q175/q177),
-    # analytics + RAG (q185-q188), filtered vector search (q167) —
-    # plus 8 older never-checked ids (q89/q97/q99/q105/q119/q127/
-    # q134/q136).  Rotated out (driver-green in r6, still checked by
-    # the full gate): q115-q117, q121, q149, q151-q162, q62, q66,
-    # q68, q69, q72-q75, q77, q80-q83, q85, q86.
+    # This round (r8): ALL of q189-q218 get first driver rows — the
+    # TPC-H tail (q189-q196), clone/k-anon/IVM/rollup/unpivot/deciles/
+    # CDC-merge/DPP/interval/scoring (q197-q207), the distributed-rank
+    # analytics (q208-q211), line-dedup/vocab/autocomplete/Q15
+    # (q212-q215), and the three NEW round-8 gate ids (q216 streaming
+    # CDF rollup, q217 DESCRIBE DETAIL, q218 force_reprocess) — plus
+    # three older never-checked ids (q101/q120/q128).  Rotated out
+    # (driver-green in r7, still checked by the full gate): q108,
+    # q130, q163-q188 block, q89/q97/q99/q105/q119/q127/q134/q136.
+    # Never-driver-checked after this window: 20 ids.
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q02_watermark_agg": q02_watermark_agg,
@@ -5781,171 +6056,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_merge_upsert": q60_merge_upsert,
         "q110_web_admission": q110_web_admission,
         "q144_giant_doc_parts": q144_giant_doc_parts,
-        "q108_pagerank": q108_pagerank,
-        "q130_funnel": q130_funnel,
-        "q166_snapshot_changes": q166_snapshot_changes,
-        "q168_cdf_view_maintenance": q168_cdf_view_maintenance,
-        "q170_snapshot_data_skipping": q170_snapshot_data_skipping,
-        "q171_snapshot_point_lookup": q171_snapshot_point_lookup,
-        "q173_partition_compaction": q173_partition_compaction,
-        "q174_deletion_vectors": q174_deletion_vectors,
-        "q176_snapshot_restore": q176_snapshot_restore,
-        "q163_fuzzy_search": q163_fuzzy_search,
-        "q164_facet_counts": q164_facet_counts,
-        "q165_multifield_bm25": q165_multifield_bm25,
-        "q169_spell_suggest": q169_spell_suggest,
-        "q178_more_like_this": q178_more_like_this,
-        "q182_filtered_search": q182_filtered_search,
-        "q183_filtered_hybrid": q183_filtered_hybrid,
-        "q184_semantic_rerank": q184_semantic_rerank,
-        "q172_retrieval_eval": q172_retrieval_eval,
-        "q175_random_projection": q175_random_projection,
-        "q177_sketch_rerank": q177_sketch_rerank,
-        "q185_cohort_retention": q185_cohort_retention,
-        "q186_stickiness": q186_stickiness,
-        "q187_event_transitions": q187_event_transitions,
-        "q188_rag_end_to_end": q188_rag_end_to_end,
-        "q167_filtered_vector_search": q167_filtered_vector_search,
-        "q89_inverted_index": q89_inverted_index,
-        "q97_interval_join": q97_interval_join,
-        "q99_rolling_hour_counts": q99_rolling_hour_counts,
-        "q105_nfc_normalize": q105_nfc_normalize,
-        "q119_event_pivot": q119_event_pivot,
-        "q127_gap_fill": q127_gap_fill,
-        "q134_revenue_share": q134_revenue_share,
-        "q136_latest_per_key": q136_latest_per_key,
-        # ---- end of the 50-slot driver window (DRIVER_WINDOW) ----
-        "q149_zorder_key": q149_zorder_key,
-        "q151_snapshot_merge": q151_snapshot_merge,
-        "q152_bucketed_join": q152_bucketed_join,
-        "q153_lm_quality_buckets": q153_lm_quality_buckets,
-        "q154_char_coverage": q154_char_coverage,
-        "q155_bm25_topk": q155_bm25_topk,
-        "q156_hybrid_rrf": q156_hybrid_rrf,
-        "q157_text_index_lifecycle": q157_text_index_lifecycle,
-        "q158_search_highlights": q158_search_highlights,
-        "q159_phrase_search": q159_phrase_search,
-        "q160_suggest_terms": q160_suggest_terms,
-        "q161_span_rollup": q161_span_rollup,
-        "q162_char_collision": q162_char_collision,
-        "q115_shipping_priority": q115_shipping_priority,
-        "q116_returned_revenue": q116_returned_revenue,
-        "q117_order_count_histogram": q117_order_count_histogram,
-        "q121_triangle_count": q121_triangle_count,
-        "q62_salted_agg": q62_salted_agg,
-        "q66_tfidf_terms": q66_tfidf_terms,
-        "q68_quality_filter": q68_quality_filter,
-        "q69_source_cap": q69_source_cap,
-        "q72_time_rollup": q72_time_rollup,
-        "q73_hash_sample": q73_hash_sample,
-        "q74_pii_scrub": q74_pii_scrub,
-        "q75_curation_funnel": q75_curation_funnel,
-        "q77_repetition": q77_repetition,
-        "q80_stream_dedup": q80_stream_dedup,
-        "q81_dup_spans": q81_dup_spans,
-        "q82_corpus_freq": q82_corpus_freq,
-        "q83_group_profile": q83_group_profile,
-        "q85_mixture": q85_mixture,
-        "q86_centroid_outliers": q86_centroid_outliers,
-        "q11_window_numbering": q11_window_numbering,
-        "q13_log_retention": q13_log_retention,
-        "q21_quality_scores": q21_quality_scores,
-        "q29_chunk_keys_long": q29_chunk_keys_long,
-        "q39_markdown_rows": q39_markdown_rows,
-        "q41_acl_parse": q41_acl_parse,
-        "q43_windowed_counts": q43_windowed_counts,
-        "q46_embedding_neardup": q46_embedding_neardup,
-        "q54_sheet_mode": q54_sheet_mode,
-        "q57_token_stats": q57_token_stats,
-        "q61_first_seen": q61_first_seen,
-        "q63_dedup_clusters": q63_dedup_clusters,
-        "q67_neardup_verified": q67_neardup_verified,
-        "q71_asof_join": q71_asof_join,
-        "q78_pack_sequences": q78_pack_sequences,
-        "q84_session_window": q84_session_window,
-        "q87_range_join": q87_range_join,
-        "q90_bloom_semijoin": q90_bloom_semijoin,
-        "q91_span_dedup": q91_span_dedup,
-        "q92_sync_actions": q92_sync_actions,
-        "q94_shard_assignment": q94_shard_assignment,
-        "q95_hamming_neardup": q95_hamming_neardup,
-        "q102_incremental_dedup": q102_incremental_dedup,
-        "q109_snapshot_diff": q109_snapshot_diff,
-        "q111_vocab_encode": q111_vocab_encode,
-        "q114_token_blocks": q114_token_blocks,
-        "q118_scd2_intervals": q118_scd2_intervals,
-        "q125_fuzzy_linkage": q125_fuzzy_linkage,
-        "q131_retention_cohorts": q131_retention_cohorts,
-        "q135_cumulative_distinct": q135_cumulative_distinct,
-        "q141_dedup_planner": q141_dedup_planner,
-        "q142_read_access": q142_read_access,
-        "q150_cumulative_domain_cap": q150_cumulative_domain_cap,
-        "q31_media_features": q31_media_features,
-        "q44_iso_parse": q44_iso_parse,
-        "q55_path_keys": q55_path_keys,
-        "q56_byte_truncate": q56_byte_truncate,
-        "q59_run_history": q59_run_history,
-        "q65_guid_validation": q65_guid_validation,
-        "q100_histogram_quantiles": q100_histogram_quantiles,
-        "q113_kmv_set_algebra": q113_kmv_set_algebra,
-        "q129_join_size_sketch": q129_join_size_sketch,
-        "q139_media_fingerprint_neardup": q139_media_fingerprint_neardup,
-        "q140_salted_join": q140_salted_join,
-        "q143_blocklist_lifecycle": q143_blocklist_lifecycle,
-        "q145_streaming_web_corpus": q145_streaming_web_corpus,
-        "q146_split_leakage": q146_split_leakage,
-        "q147_sidecar_dedup": q147_sidecar_dedup,
-        "q148_ivfpq_index_exact": q148_ivfpq_index_exact,
-        "q07_group_counts": q07_group_counts,
-        "q08_distinct_cap": q08_distinct_cap,
-        "q09_distinct_tokens": q09_distinct_tokens,
-        "q12_running_offset": q12_running_offset,
-        "q14_sort_paginate": q14_sort_paginate,
-        "q22_language_id": q22_language_id,
-        "q34_enrichment_join": q34_enrichment_join,
-        "q35_sessionize": q35_sessionize,
-        "q36_polygon_area": q36_polygon_area,
-        "q37_blocklist": q37_blocklist,
-        "q40_admin_search": q40_admin_search,
-        "q58_stale_runs": q58_stale_runs,
-        "q64_knn_topk": q64_knn_topk,
-        "q70_kmv_sketch": q70_kmv_sketch,
-        "q76_decontaminate": q76_decontaminate,
-        "q88_count_min": q88_count_min,
-        "q20_ann_lsh": q20_ann_lsh,
-        "q23_fingerprint": q23_fingerprint,
-        "q26_json_extract": q26_json_extract,
-        "q45_fields_to_text": q45_fields_to_text,
-        "q47_ivf_ann": q47_ivf_ann,
-        "q48_base64": q48_base64,
-        "q49_rolling_fingerprint": q49_rolling_fingerprint,
-        "q50_doc_analysis_pages": q50_doc_analysis_pages,
-        "q51_transcription_chunks": q51_transcription_chunks,
-        "q52_multimodal_chunks": q52_multimodal_chunks,
-        "q53_mixed_corpus": q53_mixed_corpus,
-        "q79_semdedup": q79_semdedup,
-        "q93_bpe_merges": q93_bpe_merges,
-        "q96_cluster_keeper": q96_cluster_keeper,
-        "q98_quality_percentile_gate": q98_quality_percentile_gate,
-        "q101_corpus_health": q101_corpus_health,
-        "q103_epoch_mixture": q103_epoch_mixture,
-        "q104_incremental_rollup": q104_incremental_rollup,
-        "q106_url_canonical": q106_url_canonical,
-        "q107_bpe_segment": q107_bpe_segment,
-        "q112_table_stats": q112_table_stats,
-        "q120_collocations": q120_collocations,
-        "q122_temporal_lookup": q122_temporal_lookup,
-        "q123_grouped_correlation": q123_grouped_correlation,
-        "q124_grouped_mode": q124_grouped_mode,
-        "q126_winsorize": q126_winsorize,
-        "q128_acl_visibility": q128_acl_visibility,
-        "q132_mad_outliers": q132_mad_outliers,
-        "q133_strip_accents": q133_strip_accents,
-        "q137_dwell_times": q137_dwell_times,
-        "q138_embedding_dim_stats": q138_embedding_dim_stats,
-        "q179_waiting_suppliers": q179_waiting_suppliers,
-        "q180_small_quantity_revenue": q180_small_quantity_revenue,
-        "q181_idle_rich_customers": q181_idle_rich_customers,
         "q189_order_priority_check": q189_order_priority_check,
         "q190_promo_revenue": q190_promo_revenue,
         "q191_late_shipment_priority": q191_late_shipment_priority,
@@ -5973,6 +6083,174 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q213_vocab_roundtrip": q213_vocab_roundtrip,
         "q214_autocomplete_two_terms": q214_autocomplete_two_terms,
         "q215_top_supplier": q215_top_supplier,
+        "q216_streaming_cdf_rollup": q216_streaming_cdf_rollup,
+        "q217_describe_detail": q217_describe_detail,
+        "q218_force_reprocess_backfill": q218_force_reprocess_backfill,
+        "q101_corpus_health": q101_corpus_health,
+        "q120_collocations": q120_collocations,
+        "q128_acl_visibility": q128_acl_visibility,
+        "q07_group_counts": q07_group_counts,
+        "q08_distinct_cap": q08_distinct_cap,
+        "q09_distinct_tokens": q09_distinct_tokens,
+        "q11_window_numbering": q11_window_numbering,
+        "q12_running_offset": q12_running_offset,
+        "q13_log_retention": q13_log_retention,
+        "q14_sort_paginate": q14_sort_paginate,
+        "q20_ann_lsh": q20_ann_lsh,
+        "q21_quality_scores": q21_quality_scores,
+        "q22_language_id": q22_language_id,
+        "q23_fingerprint": q23_fingerprint,
+        "q26_json_extract": q26_json_extract,
+        "q29_chunk_keys_long": q29_chunk_keys_long,
+        "q31_media_features": q31_media_features,
+        "q34_enrichment_join": q34_enrichment_join,
+        "q35_sessionize": q35_sessionize,
+        "q36_polygon_area": q36_polygon_area,
+        "q37_blocklist": q37_blocklist,
+        "q39_markdown_rows": q39_markdown_rows,
+        "q40_admin_search": q40_admin_search,
+        "q41_acl_parse": q41_acl_parse,
+        "q43_windowed_counts": q43_windowed_counts,
+        "q44_iso_parse": q44_iso_parse,
+        "q45_fields_to_text": q45_fields_to_text,
+        "q46_embedding_neardup": q46_embedding_neardup,
+        "q47_ivf_ann": q47_ivf_ann,
+        "q48_base64": q48_base64,
+        "q49_rolling_fingerprint": q49_rolling_fingerprint,
+        "q50_doc_analysis_pages": q50_doc_analysis_pages,
+        "q51_transcription_chunks": q51_transcription_chunks,
+        "q52_multimodal_chunks": q52_multimodal_chunks,
+        "q53_mixed_corpus": q53_mixed_corpus,
+        "q54_sheet_mode": q54_sheet_mode,
+        "q55_path_keys": q55_path_keys,
+        "q56_byte_truncate": q56_byte_truncate,
+        "q57_token_stats": q57_token_stats,
+        "q58_stale_runs": q58_stale_runs,
+        "q59_run_history": q59_run_history,
+        "q61_first_seen": q61_first_seen,
+        "q62_salted_agg": q62_salted_agg,
+        "q63_dedup_clusters": q63_dedup_clusters,
+        "q64_knn_topk": q64_knn_topk,
+        "q65_guid_validation": q65_guid_validation,
+        "q66_tfidf_terms": q66_tfidf_terms,
+        "q67_neardup_verified": q67_neardup_verified,
+        "q68_quality_filter": q68_quality_filter,
+        "q69_source_cap": q69_source_cap,
+        "q70_kmv_sketch": q70_kmv_sketch,
+        "q71_asof_join": q71_asof_join,
+        "q72_time_rollup": q72_time_rollup,
+        "q73_hash_sample": q73_hash_sample,
+        "q74_pii_scrub": q74_pii_scrub,
+        "q75_curation_funnel": q75_curation_funnel,
+        "q76_decontaminate": q76_decontaminate,
+        "q77_repetition": q77_repetition,
+        "q78_pack_sequences": q78_pack_sequences,
+        "q79_semdedup": q79_semdedup,
+        "q80_stream_dedup": q80_stream_dedup,
+        "q81_dup_spans": q81_dup_spans,
+        "q82_corpus_freq": q82_corpus_freq,
+        "q83_group_profile": q83_group_profile,
+        "q84_session_window": q84_session_window,
+        "q85_mixture": q85_mixture,
+        "q86_centroid_outliers": q86_centroid_outliers,
+        "q87_range_join": q87_range_join,
+        "q88_count_min": q88_count_min,
+        "q89_inverted_index": q89_inverted_index,
+        "q90_bloom_semijoin": q90_bloom_semijoin,
+        "q91_span_dedup": q91_span_dedup,
+        "q92_sync_actions": q92_sync_actions,
+        "q93_bpe_merges": q93_bpe_merges,
+        "q94_shard_assignment": q94_shard_assignment,
+        "q95_hamming_neardup": q95_hamming_neardup,
+        "q96_cluster_keeper": q96_cluster_keeper,
+        "q97_interval_join": q97_interval_join,
+        "q98_quality_percentile_gate": q98_quality_percentile_gate,
+        "q99_rolling_hour_counts": q99_rolling_hour_counts,
+        "q100_histogram_quantiles": q100_histogram_quantiles,
+        "q102_incremental_dedup": q102_incremental_dedup,
+        "q103_epoch_mixture": q103_epoch_mixture,
+        "q104_incremental_rollup": q104_incremental_rollup,
+        "q105_nfc_normalize": q105_nfc_normalize,
+        "q106_url_canonical": q106_url_canonical,
+        "q107_bpe_segment": q107_bpe_segment,
+        "q108_pagerank": q108_pagerank,
+        "q109_snapshot_diff": q109_snapshot_diff,
+        "q111_vocab_encode": q111_vocab_encode,
+        "q112_table_stats": q112_table_stats,
+        "q113_kmv_set_algebra": q113_kmv_set_algebra,
+        "q114_token_blocks": q114_token_blocks,
+        "q115_shipping_priority": q115_shipping_priority,
+        "q116_returned_revenue": q116_returned_revenue,
+        "q117_order_count_histogram": q117_order_count_histogram,
+        "q118_scd2_intervals": q118_scd2_intervals,
+        "q119_event_pivot": q119_event_pivot,
+        "q121_triangle_count": q121_triangle_count,
+        "q122_temporal_lookup": q122_temporal_lookup,
+        "q123_grouped_correlation": q123_grouped_correlation,
+        "q124_grouped_mode": q124_grouped_mode,
+        "q125_fuzzy_linkage": q125_fuzzy_linkage,
+        "q126_winsorize": q126_winsorize,
+        "q127_gap_fill": q127_gap_fill,
+        "q129_join_size_sketch": q129_join_size_sketch,
+        "q130_funnel": q130_funnel,
+        "q131_retention_cohorts": q131_retention_cohorts,
+        "q132_mad_outliers": q132_mad_outliers,
+        "q133_strip_accents": q133_strip_accents,
+        "q134_revenue_share": q134_revenue_share,
+        "q135_cumulative_distinct": q135_cumulative_distinct,
+        "q136_latest_per_key": q136_latest_per_key,
+        "q137_dwell_times": q137_dwell_times,
+        "q138_embedding_dim_stats": q138_embedding_dim_stats,
+        "q139_media_fingerprint_neardup": q139_media_fingerprint_neardup,
+        "q140_salted_join": q140_salted_join,
+        "q141_dedup_planner": q141_dedup_planner,
+        "q142_read_access": q142_read_access,
+        "q143_blocklist_lifecycle": q143_blocklist_lifecycle,
+        "q145_streaming_web_corpus": q145_streaming_web_corpus,
+        "q146_split_leakage": q146_split_leakage,
+        "q147_sidecar_dedup": q147_sidecar_dedup,
+        "q148_ivfpq_index_exact": q148_ivfpq_index_exact,
+        "q149_zorder_key": q149_zorder_key,
+        "q150_cumulative_domain_cap": q150_cumulative_domain_cap,
+        "q151_snapshot_merge": q151_snapshot_merge,
+        "q152_bucketed_join": q152_bucketed_join,
+        "q153_lm_quality_buckets": q153_lm_quality_buckets,
+        "q154_char_coverage": q154_char_coverage,
+        "q155_bm25_topk": q155_bm25_topk,
+        "q156_hybrid_rrf": q156_hybrid_rrf,
+        "q157_text_index_lifecycle": q157_text_index_lifecycle,
+        "q158_search_highlights": q158_search_highlights,
+        "q159_phrase_search": q159_phrase_search,
+        "q160_suggest_terms": q160_suggest_terms,
+        "q161_span_rollup": q161_span_rollup,
+        "q162_char_collision": q162_char_collision,
+        "q163_fuzzy_search": q163_fuzzy_search,
+        "q164_facet_counts": q164_facet_counts,
+        "q165_multifield_bm25": q165_multifield_bm25,
+        "q166_snapshot_changes": q166_snapshot_changes,
+        "q167_filtered_vector_search": q167_filtered_vector_search,
+        "q168_cdf_view_maintenance": q168_cdf_view_maintenance,
+        "q169_spell_suggest": q169_spell_suggest,
+        "q170_snapshot_data_skipping": q170_snapshot_data_skipping,
+        "q171_snapshot_point_lookup": q171_snapshot_point_lookup,
+        "q172_retrieval_eval": q172_retrieval_eval,
+        "q173_partition_compaction": q173_partition_compaction,
+        "q174_deletion_vectors": q174_deletion_vectors,
+        "q175_random_projection": q175_random_projection,
+        "q176_snapshot_restore": q176_snapshot_restore,
+        "q177_sketch_rerank": q177_sketch_rerank,
+        "q178_more_like_this": q178_more_like_this,
+        "q179_waiting_suppliers": q179_waiting_suppliers,
+        "q180_small_quantity_revenue": q180_small_quantity_revenue,
+        "q181_idle_rich_customers": q181_idle_rich_customers,
+        "q182_filtered_search": q182_filtered_search,
+        "q183_filtered_hybrid": q183_filtered_hybrid,
+        "q184_semantic_rerank": q184_semantic_rerank,
+        "q185_cohort_retention": q185_cohort_retention,
+        "q186_stickiness": q186_stickiness,
+        "q187_event_transitions": q187_event_transitions,
+        "q188_rag_end_to_end": q188_rag_end_to_end,
+        "q219_concurrent_writers": q219_concurrent_writers,
     }
 
 
@@ -9715,5 +9993,49 @@ def oracle_sql() -> dict[str, str]:
             FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
             WHERE r.total_revenue_cc = (
               SELECT MAX(total_revenue_cc) FROM revenue)
+        """,
+        "q216_streaming_cdf_rollup": """
+            -- q144-style self-verifying invariant: the Spark side
+            -- full-outer compares the CDF-maintained rollup against a
+            -- fresh recompute of the final chunks table; any IVM
+            -- divergence (count or char sum, either side missing)
+            -- flips rollup_ok and mismatches this closed form
+            SELECT doc_id, (doc_id % 8 = 1) AS was_updated,
+              true AS rollup_ok
+            FROM documents WHERE doc_id % 4 IN (1, 2)
+        """,
+        "q217_describe_detail": """
+            SELECT CAST(2 AS BIGINT) AS generation,
+              CAST(1 AS BIGINT) AS n_gens,
+              'bucket=0,bucket=1,bucket=2,bucket=3' AS partitions,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+                 WHERE event_id % 10 = 3) AS dv_rows,
+              'delete_dv' AS op,
+              true AS stats_enabled, true AS has_constraints,
+              true AS has_files, true AS has_bytes, true AS not_cloned
+        """,
+        "q218_force_reprocess_backfill": """
+            -- q144-style self-verifying invariants: the Spark side
+            -- compares the chunks table's per-document (count, id +
+            -- content signature) across the four runs; a freshness
+            -- regression, duplicate ids after backfill, or a
+            -- non-idempotent replay flips a boolean and mismatches
+            SELECT doc_id,
+              true AS noop_without_force,
+              true AS finer_after_force,
+              true AS replay_idempotent
+            FROM documents
+            WHERE doc_id % 5 = 0 AND n_chars >= 300
+        """,
+        "q219_concurrent_writers": """
+            -- the race's outcome is schedule-independent because the
+            -- write sets are disjoint: buckets 0-1 doubled, 2-3 +5
+            SELECT event_id, user_id,
+              CASE WHEN event_id % 4 IN (0, 1)
+                   THEN CAST(round(value * 100) AS BIGINT) * 2
+                   ELSE CAST(round(value * 100) AS BIGINT) + 5 END
+                AS cents,
+              CAST(event_id % 4 AS INT) AS bucket
+            FROM events
         """,
     }

@@ -263,6 +263,13 @@ def _current_gen(spark, table_path: str) -> int | None:
         return int(_read_text(spark, cur).strip())
     if _fs_exists(spark, tmp):
         return int(_read_text(spark, tmp).strip())
+    # re-probe the pointer once: a concurrent commit's delete(cur) →
+    # rename(tmp, cur) swap has an instant where the first probe
+    # missed cur and the second missed tmp (already renamed) — on a
+    # committed table one of the two exists at all times, so a second
+    # look settles it.  Cost on a genuinely empty table: one exists().
+    if _fs_exists(spark, cur):
+        return int(_read_text(spark, cur).strip())
     return None
 
 
@@ -560,6 +567,31 @@ def _commit(
                     f"re-claimed by another writer ({table_path}); "
                     "retry the merge"
                 )
+            # the PREDECESSOR's commit may still be mid-swap: its tmp
+            # is written (so _current_gen reported expected_cur) but
+            # its rename is pending — writing our tmp now would
+            # overwrite its pointer and one of the two renames would
+            # find tmp gone.  Wait for the swap to clear; if the
+            # writer died mid-swap, roll its rename forward (the same
+            # roll-forward _commit_recover performs).
+            import time as _time
+
+            for _ in range(200):
+                if not _fs_exists(spark, tmp):
+                    break
+                _time.sleep(0.05)
+            else:
+                try:
+                    if _fs_exists(spark, cur):
+                        _fs_delete(spark, cur)
+                    _fs_rename(spark, tmp, cur)
+                except Exception:
+                    pass
+            if _current_gen(spark, table_path) != expected_cur:
+                raise SnapshotWriteConflict(
+                    f"snapshot moved during merge: based on "
+                    f"{expected_cur} ({table_path})"
+                )
             _write_text(spark, tmp, str(gen))
         except BaseException:
             # Abort BEFORE the commit's atomic point (a fully written
@@ -588,6 +620,101 @@ def _commit(
         _fs_rename(spark, tmp, cur)
     finally:
         heartbeat_stop.set()
+
+
+def _commit_rebasing(
+    spark, table_path: str, gen: int, partitions: dict,
+    expected_cur: int | None,
+    extra: dict | None = None,
+    op: str = "merge",
+    max_rebases: int = 0,
+) -> int:
+    """``_commit`` with Delta-style CONCURRENCY CONTROL: when the
+    pointer moved while this writer was computing (another job
+    committed first), do not give up — if the two write sets touch
+    DISJOINT partitions, REBASE this commit onto the new snapshot
+    (overlay our changed/removed partition mappings onto the rival's
+    manifest) and retry at the next generation.  This is what lets N
+    ingest jobs land concurrently on one 100 TB table when each owns
+    its partition range, instead of serializing through retry-the-
+    whole-merge.
+
+    Correctness preconditions (refused otherwise, raising the
+    original ``SnapshotWriteConflict``):
+    - overlapping write sets never rebase (the rival may have changed
+      rows this merge's arbitration read);
+    - deletion vectors on either side never rebase (our staged DV map
+      was computed against the base manifest; the rival's DV ref
+      would be silently dropped by our manifest).
+    Callers must also guarantee keys are PARTITION-LOCAL (the engine's
+    partition columns derive from the merge key, e.g. bucket = key %
+    N) — with cross-partition keys, two disjoint-partition merges can
+    both insert the same key, the same write-serializable caveat
+    Delta documents.
+
+    Returns the committed generation.  A claim race on the same
+    generation (rival claimed but has not committed) waits briefly
+    for the pointer to move and retries; ``max_rebases`` bounds both
+    loops."""
+    import time
+
+    base_parts: dict = (
+        {}
+        if expected_cur is None
+        else dict(
+            _read_manifest(spark, table_path, expected_cur)["partitions"]
+        )
+    )
+    attempt_gen, attempt_parts, attempt_cur = gen, dict(partitions), expected_cur
+    last: SnapshotWriteConflict | None = None
+    for _ in range(max(0, int(max_rebases)) + 1):
+        try:
+            _commit(
+                spark, table_path, attempt_gen, attempt_parts,
+                attempt_cur, extra=extra, op=op,
+            )
+            return attempt_gen
+        except SnapshotWriteConflict as e:
+            last = e
+            actual = _current_gen(spark, table_path)
+            if actual == attempt_cur or actual is None:
+                # claim race: a rival claimed this generation but has
+                # not committed — or its pointer swap is mid-flight
+                # (the exists(cur)/exists(tmp) probes can both miss in
+                # the instant between delete and rename, reading None
+                # on a committed table).  Wait a beat and retry.
+                time.sleep(0.2)
+                continue
+            if extra and extra.get("dv"):
+                raise
+            actual_m = _read_manifest(spark, table_path, actual)
+            if actual_m.get("dv"):
+                raise
+            rival_parts = dict(actual_m["partitions"])
+            ours = {
+                r
+                for r in set(attempt_parts) | set(base_parts)
+                if attempt_parts.get(r) != base_parts.get(r)
+            }
+            theirs = {
+                r
+                for r in set(rival_parts) | set(base_parts)
+                if rival_parts.get(r) != base_parts.get(r)
+            }
+            if ours & theirs:
+                raise
+            rebased = dict(rival_parts)
+            for r in ours:
+                if r in attempt_parts:
+                    rebased[r] = attempt_parts[r]
+                else:
+                    rebased.pop(r, None)
+            base_parts = rival_parts
+            attempt_parts = rebased
+            attempt_cur = actual
+            attempt_gen = actual + 1
+    assert last is not None
+    raise last
 
 
 class SnapshotSchemaMismatch(ValueError):
@@ -631,6 +758,7 @@ def snapshot_merge_upsert(
     partition_cols: list[str] | None = None,
     schema_evolution: str = "merge",
     optimize_write: bool = False,
+    max_conflict_rebases: int = 0,
 ) -> int:
     """MERGE with a manifest-pointer commit; returns the committed
     generation number.  Same keyed delete-then-insert semantics as
@@ -688,12 +816,11 @@ def snapshot_merge_upsert(
             if partition_cols
             else [""]
         )
-        _commit(
+        return _commit_rebasing(
             spark, table_path, gen,
             {r: gname for r in rels},
-            expected_cur=cur,
+            expected_cur=cur, max_rebases=max_conflict_rebases,
         )
-        return gen
 
     existing = read_snapshot_table(spark, table_path)
     if schema_evolution == "strict":
@@ -705,13 +832,13 @@ def snapshot_merge_upsert(
             "overwrite"
         ).parquet(new_dir)
         _maybe_write_stats(spark, table_path, gname, new_dir)
-        _commit(
+        return _commit_rebasing(
             spark, table_path, gen, {"": gname}, expected_cur=cur,
             extra=_carry_dv_ref(
                 spark, table_path, manifest, {"": gname}, gen
             ),
+            max_rebases=max_conflict_rebases,
         )
-        return gen
 
     keys = incoming.select(key).distinct()
     inc_parts = incoming.select(*partition_cols).distinct()
@@ -751,11 +878,11 @@ def snapshot_merge_upsert(
         if r not in affected_rels
     }
     partitions.update({r: gname for r in written})
-    _commit(
+    return _commit_rebasing(
         spark, table_path, gen, partitions, expected_cur=cur,
         extra=_carry_dv_ref(spark, table_path, manifest, partitions, gen),
+        max_rebases=max_conflict_rebases,
     )
-    return gen
 
 
 def snapshot_merge_when(
@@ -2469,7 +2596,21 @@ def snapshot_table_detail(spark: SparkSession, table_path: str) -> dict:
             spark, f"{table_path}/{_GENERATED_CONF}"
         ),
         "cloned_from": manifest.get("cloned_from"),
+        "n_registered_clones": _count_clone_registrations(
+            spark, table_path
+        ),
     }
+
+
+def _count_clone_registrations(spark, table_path: str) -> int:
+    fs, cdir = _hfs(spark, f"{table_path}/{_CLONES_DIR}")
+    if not fs.exists(cdir):
+        return 0
+    return sum(
+        1
+        for st in fs.listStatus(cdir)
+        if st.getPath().getName().endswith(".json")
+    )
 
 
 def snapshot_consume_changes(

@@ -951,6 +951,105 @@ def test_claim_lease_protects_live_writer(spark, tmp_path):
     assert got.filter("parent_id < 10 AND v = 99 * parent_id").count() > 0
 
 
+def test_commit_rebase_disjoint_partitions(spark, tmp_path):
+    """Delta-style optimistic concurrency: a writer whose base
+    snapshot moved commits anyway when the rival touched DISJOINT
+    partitions — its manifest is rebased onto the winner's.
+    Overlapping write sets and DV-carrying snapshots still raise."""
+    snap = str(tmp_path / "snap")
+    S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 0, 40), partition_cols=["bucket"]
+    )
+    m1 = S._read_manifest(spark, snap, 1)
+
+    # rival commits bucket-0 changes -> gen 2
+    b0 = _inc(spark, 0, 40, mul=3).filter("bucket = 0")
+    S.snapshot_merge_upsert(spark, snap, b0, partition_cols=["bucket"])
+    assert S._current_gen(spark, snap) == 2
+
+    # stale writer: a bucket-1 rewrite computed against gen 1
+    gname = S._gen_name(99)
+    new_dir = S._gen_dir(snap, gname)
+    upd = (
+        S.read_snapshot_table(spark, snap)
+        .filter("bucket = 1")
+        .withColumn("v", F.col("v") + 1000)
+    )
+    upd.write.mode("overwrite").partitionBy("bucket").parquet(new_dir)
+    stale_parts = dict(m1["partitions"])
+    stale_parts["bucket=1"] = gname
+    got_gen = S._commit_rebasing(
+        spark, snap, 2, stale_parts, expected_cur=1, max_rebases=2
+    )
+    assert got_gen == 3
+    t = S.read_snapshot_table(spark, snap)
+    # both the rival's bucket-0 change and ours survived
+    assert t.filter("bucket = 0 AND v = 3 * parent_id").count() > 0
+    assert t.filter("bucket = 1 AND v = 7 * parent_id + 1000").count() > 0
+
+    # overlapping write set: refused
+    clash = dict(m1["partitions"])
+    clash["bucket=0"] = gname
+    with pytest.raises(S.SnapshotWriteConflict):
+        S._commit_rebasing(
+            spark, snap, 2, clash, expected_cur=1, max_rebases=2
+        )
+
+    # DV on the winning chain: refused (a rebase would drop the ref)
+    S.snapshot_delete_keys(
+        spark, snap, spark.range(0, 2).selectExpr("id AS parent_id"),
+        mode="dv",
+    )
+    stale2 = dict(m1["partitions"])
+    stale2["bucket=1"] = gname
+    with pytest.raises(S.SnapshotWriteConflict):
+        S._commit_rebasing(
+            spark, snap, 2, stale2, expected_cur=1, max_rebases=2
+        )
+
+
+def test_concurrent_disjoint_writers_both_land(spark, tmp_path):
+    """Two snapshot_merge_upsert writers racing on DISJOINT buckets
+    with max_conflict_rebases on: BOTH must commit (no
+    SnapshotWriteConflict escapes), and the final table holds both
+    increments — the N-jobs-one-table pattern at scale."""
+    import threading
+
+    snap = str(tmp_path / "snap")
+    S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 0, 40), partition_cols=["bucket"]
+    )
+    start = threading.Barrier(2)
+    errs: list[BaseException] = []
+
+    def writer(mul, bucket):
+        try:
+            inc = _inc(spark, 0, 40, mul=mul).filter(
+                f"bucket = {bucket}"
+            )
+            start.wait(timeout=60)
+            S.snapshot_merge_upsert(
+                spark, snap, inc, partition_cols=["bucket"],
+                max_conflict_rebases=5,
+            )
+        except BaseException as e:
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=writer, args=(5, 0)),
+        threading.Thread(target=writer, args=(9, 1)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errs, errs
+    t = S.read_snapshot_table(spark, snap)
+    assert t.filter("bucket = 0 AND v = 5 * parent_id").count() > 0
+    assert t.filter("bucket = 1 AND v = 9 * parent_id").count() > 0
+    assert t.count() == 40
+
+
 def test_heartbeat_keeps_stalled_writer_alive_past_lease(
     spark, tmp_path, monkeypatch
 ):
