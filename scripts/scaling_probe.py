@@ -60,6 +60,8 @@ PROBES = {
     "q209_last_touch_attribution": ("window", "as-of as ONE window pass over the interleaved stream"),
     "q212_line_dedup": ("text", "intra-doc line dedup: (doc, line, pos) shuffle only"),
     "q213_vocab_roundtrip": ("vocab", "encode + decode mirror: two broadcast joins + ordered re-agg"),
+    "q216_streaming_cdf_rollup": ("sink", "3-tick streaming IVM from the change feed + full recompute compare"),
+    "q219_concurrent_writers": ("sink", "two racing merges, disjoint buckets: rebase commits, no aborts"),
     "q214_autocomplete_two_terms": ("search", "bigram vocabulary probe, no corpus re-scan per prefix"),
 }
 
