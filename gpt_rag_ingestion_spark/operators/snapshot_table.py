@@ -617,7 +617,24 @@ def _commit(
                 pass
             raise
         _fs_delete(spark, cur)
-        _fs_rename(spark, tmp, cur)
+        try:
+            _fs_rename(spark, tmp, cur)
+        except Exception:
+            # a concurrent writer's _commit_recover may have rolled
+            # THIS swap forward (consuming tmp) between our delete and
+            # rename — the commit is then already visible.  Verify the
+            # pointer; if the roll-forward itself raced our delete and
+            # left NO pointer, rewrite it (we know our generation, and
+            # a successor cannot have committed without first
+            # observing ours).
+            got = None
+            try:
+                if _fs_exists(spark, cur):
+                    got = int(_read_text(spark, cur).strip())
+            except Exception:
+                pass
+            if got is None or got < gen:
+                _write_text(spark, cur, str(gen))
     finally:
         heartbeat_stop.set()
 
@@ -895,6 +912,7 @@ def snapshot_merge_when(
     matched_delete: str | None = None,
     insert_unmatched: bool = True,
     insert_condition: str | None = None,
+    max_conflict_rebases: int = 0,
 ) -> int:
     """CONDITIONAL MERGE — the full Delta/SQL:2003 MERGE form, on top
     of the same manifest-pointer commit:
@@ -924,7 +942,8 @@ def snapshot_merge_when(
     column-wise with no UDF.  Incoming must carry the table's exact
     column set (conditional row arbitration has no meaningful NULL
     fill for absent columns — use snapshot_merge_upsert's schema
-    evolution first if the schema must move)."""
+    evolution first if the schema must move).  ``max_conflict_rebases``
+    enables the disjoint-partition rebase (``_commit_rebasing``)."""
     _commit_recover(spark, table_path)
     _claim_recover(spark, table_path)
     cur = _current_gen(spark, table_path)
@@ -992,14 +1011,13 @@ def snapshot_merge_when(
     if not partition_cols:
         _arbitrate(existing).write.mode("overwrite").parquet(new_dir)
         _maybe_write_stats(spark, table_path, gname, new_dir)
-        _commit(
+        return _commit_rebasing(
             spark, table_path, gen, {"": gname}, expected_cur=cur,
             extra=_carry_dv_ref(
                 spark, table_path, manifest, {"": gname}, gen
             ),
-            op="merge_when",
+            op="merge_when", max_rebases=max_conflict_rebases,
         )
-        return gen
 
     keys = incoming.select(key).distinct()
     inc_parts = incoming.select(*partition_cols).distinct()
@@ -1038,12 +1056,11 @@ def snapshot_merge_when(
         if r not in affected_rels
     }
     partitions.update({r: gname for r in written})
-    _commit(
+    return _commit_rebasing(
         spark, table_path, gen, partitions, expected_cur=cur,
         extra=_carry_dv_ref(spark, table_path, manifest, partitions, gen),
-        op="merge_when",
+        op="merge_when", max_rebases=max_conflict_rebases,
     )
-    return gen
 
 
 def snapshot_delete_keys(
@@ -1054,6 +1071,7 @@ def snapshot_delete_keys(
     partition_cols: list[str] | None = None,
     mode: str = "rewrite",
     max_dv_rows: int = 2_000_000,
+    max_conflict_rebases: int = 0,
 ) -> int:
     """DELETE-by-key-set with the same commit protocol.
 
@@ -1072,7 +1090,12 @@ def snapshot_delete_keys(
     the doomed positions driver-side (bounded by ``max_dv_rows``,
     fail-fast above — a bigger delete should rewrite instead; a
     production port swaps the JSON for roaring-bitmap files without
-    changing the protocol)."""
+    changing the protocol).
+
+    ``max_conflict_rebases`` applies to the REWRITE path only (the
+    disjoint-partition rebase, ``_commit_rebasing``); a DV commit's
+    merged map was computed against the base snapshot's DV state, so
+    DV-mode conflicts always re-run."""
     if mode not in ("rewrite", "dv"):
         raise ValueError(f"mode must be 'rewrite' or 'dv', got {mode!r}")
     _commit_recover(spark, table_path)
@@ -1213,12 +1236,11 @@ def snapshot_delete_keys(
         if r not in affected_rels
     }
     partitions.update({r: gname for r in written})
-    _commit(
+    return _commit_rebasing(
         spark, table_path, gen, partitions, expected_cur=cur,
         extra=_carry_dv_ref(spark, table_path, manifest, partitions, gen),
-        op="delete",
+        op="delete", max_rebases=max_conflict_rebases,
     )
-    return gen
 
 
 def snapshot_optimize(

@@ -94,7 +94,10 @@ def test_commit_crash_legs_roll_forward_or_invisible(
     monkeypatch.setattr(S, "_write_text", real_write)
     assert _rows(S.read_snapshot_table(spark, snap)) == base  # unchanged
 
-    # leg 2: die between pointer delete and rename
+    # leg 2a: the rename FAILS but the writer is alive — the commit
+    # self-heals by rewriting the pointer (r8: a concurrent recover
+    # can legitimately consume tmp mid-swap, so a failed rename is no
+    # longer fatal), and the table is immediately committed
     real_rename = S._fs_rename
 
     def crash_on_rename(spark_, src, dst):
@@ -103,16 +106,25 @@ def test_commit_crash_legs_roll_forward_or_invisible(
         return real_rename(spark_, src, dst)
 
     monkeypatch.setattr(S, "_fs_rename", crash_on_rename)
-    with pytest.raises(RuntimeError, match="injected"):
-        S.snapshot_merge_upsert(spark, snap, upd, partition_cols=["bucket"])
+    S.snapshot_merge_upsert(spark, snap, upd, partition_cols=["bucket"])
     monkeypatch.setattr(S, "_fs_rename", real_rename)
+    assert _rows(S.read_snapshot_table(spark, snap)) == _rows(upd)
 
-    # reader fallback already sees the rolled-forward commit; the next
-    # writer completes the rename for real
+    # leg 2b: the writer DIES between delete and rename (simulated by
+    # hand: pointer gone, tmp present) — reader fallback sees the
+    # commit, and the next writer's recover rolls the rename forward
+    import os
+
+    cur_gen = S._current_gen(spark, snap)
+    with open(os.path.join(snap, "_current__tmp"), "w") as f:
+        f.write(str(cur_gen))
+    os.remove(os.path.join(snap, "_current"))
     assert _rows(S.read_snapshot_table(spark, snap)) == _rows(upd)
     S.snapshot_merge_upsert(
         spark, snap, _inc(spark, 200, 210), partition_cols=["bucket"]
     )
+    assert os.path.exists(os.path.join(snap, "_current"))
+    assert not os.path.exists(os.path.join(snap, "_current__tmp"))
     got = S.read_snapshot_table(spark, snap)
     assert got.filter("parent_id >= 200").count() == 10
     assert _rows(got.filter("parent_id < 200")) == _rows(upd)
@@ -1048,6 +1060,55 @@ def test_concurrent_disjoint_writers_both_land(spark, tmp_path):
     assert t.filter("bucket = 0 AND v = 5 * parent_id").count() > 0
     assert t.filter("bucket = 1 AND v = 9 * parent_id").count() > 0
     assert t.count() == 40
+
+
+def test_rebase_through_merge_when_and_delete(spark, tmp_path):
+    """max_conflict_rebases pass-throughs: a conditional MERGE and a
+    keyed rewrite-delete racing on disjoint buckets both land."""
+    import threading
+
+    snap = str(tmp_path / "snap")
+    S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 0, 60), partition_cols=["bucket"]
+    )
+    start = threading.Barrier(2)
+    errs: list[BaseException] = []
+
+    def merger():
+        try:
+            inc = _inc(spark, 0, 60, mul=11).filter("bucket = 0")
+            start.wait(timeout=60)
+            S.snapshot_merge_when(
+                spark, snap, inc, partition_cols=["bucket"],
+                matched_update="s.v > t.v", max_conflict_rebases=5,
+            )
+        except BaseException as e:
+            errs.append(e)
+
+    def deleter():
+        try:
+            doomed = (
+                _inc(spark, 0, 60).filter("bucket = 1")
+                .select("parent_id")
+            )
+            start.wait(timeout=60)
+            S.snapshot_delete_keys(
+                spark, snap, doomed, partition_cols=["bucket"],
+                max_conflict_rebases=5,
+            )
+        except BaseException as e:
+            errs.append(e)
+
+    ts = [threading.Thread(target=merger), threading.Thread(target=deleter)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errs, errs
+    t = S.read_snapshot_table(spark, snap)
+    assert t.filter("bucket = 1").count() == 0          # delete landed
+    assert t.filter("bucket = 0 AND v = 11 * parent_id").count() > 0
+    assert t.filter("bucket = 2 AND v = 7 * parent_id").count() > 0
 
 
 def test_heartbeat_keeps_stalled_writer_alive_past_lease(
