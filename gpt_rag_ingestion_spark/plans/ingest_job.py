@@ -59,10 +59,13 @@ def run_ingest_job(
     bloom_key: str | None = None,
     analyze_max_stale: int = 8,
     force_reprocess: bool = False,
+    max_conflict_rebases: int = 0,
 ) -> DataFrame:
     """One incremental ingest run.  Returns the run-summary DataFrame
     (A2 counters); side effect: the chunks table at ``table_path`` is
-    merged up to date.
+    merged up to date.  ``max_conflict_rebases`` (snapshot sink):
+    lets N ingest jobs land concurrently on one table when their
+    partition sets are disjoint (snapshot_table._commit_rebasing).
 
     When ``rollup_path`` is set, a per-parent dashboard rollup
     (parent_id, n_chunks, chars) is maintained INCREMENTALLY through
@@ -337,6 +340,7 @@ def run_ingest_job(
                 snapshot_merge_upsert(
                     spark, table_path, chunks.drop("_chunk_sec"),
                     key="parent_id", partition_cols=partition_cols,
+                    max_conflict_rebases=max_conflict_rebases,
                 )
                 if stats_cols:
                     with _sp("analyze", run=run_id):

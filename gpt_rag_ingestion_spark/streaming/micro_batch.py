@@ -41,6 +41,7 @@ def run_incremental_ingest(
     max_generations: int | None = None,
     stats_cols: list[str] | None = None,
     rollup_mode: str = "stage",
+    max_conflict_rebases: int = 0,
 ) -> None:
     """One AvailableNow drain of the landing zone into the chunks table.
 
@@ -76,7 +77,12 @@ def run_incremental_ingest(
     generation rides inside the rollup's directory swap, so a crashed
     tick replays cleanly and the stream and any batch maintenance job
     can SHARE one rollup without double-counting (both consume the
-    same feed cursor)."""
+    same feed cursor).
+
+    ``max_conflict_rebases`` (snapshot sink): passed through to the
+    merge so several landing-zone streams can feed ONE table when
+    their partition sets are disjoint (snapshot_table's
+    _commit_rebasing)."""
     if rollup_mode not in ("stage", "cdf"):
         raise ValueError(
             f"rollup_mode must be 'stage' or 'cdf', got {rollup_mode!r}"
@@ -143,6 +149,7 @@ def run_incremental_ingest(
             snapshot_merge_upsert(
                 spark, table_path, chunks, key="parent_id",
                 partition_cols=partition_cols,
+                max_conflict_rebases=max_conflict_rebases,
             )
             if max_generations is not None:
                 snapshot_maybe_optimize(

@@ -636,3 +636,60 @@ def test_ingest_job_force_reprocess_backfill(spark, tmp_path):
         embedding_dim=8, force_reprocess=True,
     )
     assert spark.read.parquet(table).count() == n_fine
+
+
+def test_ingest_jobs_race_disjoint_partitions(spark, tmp_path):
+    """Job-level optimistic concurrency: two run_ingest_job calls race
+    onto ONE snapshot chunks table with disjoint source partitions and
+    max_conflict_rebases on — both land (the loser rebases its commit
+    instead of aborting), and the table holds both corpora."""
+    import threading
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        read_snapshot_table,
+    )
+
+    table = str(tmp_path / "chunks")
+    t0 = _ts("2026-01-01T00:00:00")
+    a = _docs(
+        spark, [(f"a{i}", f"alpha text {i} " * 40, t0) for i in range(6)]
+    ).withColumn("src", F.lit("a"))
+    b = _docs(
+        spark, [(f"b{i}", f"beta text {i} " * 40, t0) for i in range(6)]
+    ).withColumn("src", F.lit("b"))
+    # seed so both racers start from the same committed generation
+    seed = _docs(spark, [("seed", "seed text " * 40, t0)]).withColumn(
+        "src", F.lit("a")
+    )
+    run_ingest_job(
+        spark, seed, table, "r0", max_tokens=32, overlap=4,
+        min_tokens=2, embedding_dim=8, partition_cols=["src"],
+        sink="snapshot",
+    )
+    start = threading.Barrier(2)
+    errs: list[BaseException] = []
+
+    def job(batch, rid):
+        try:
+            start.wait(timeout=120)
+            run_ingest_job(
+                spark, batch, table, rid, max_tokens=32, overlap=4,
+                min_tokens=2, embedding_dim=8, partition_cols=["src"],
+                sink="snapshot", max_conflict_rebases=6,
+            )
+        except BaseException as e:
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=job, args=(a, "ra")),
+        threading.Thread(target=job, args=(b, "rb")),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=600)
+    assert not errs, errs
+    got = read_snapshot_table(spark, table)
+    assert got.filter("parent_id LIKE 'a%'").count() >= 6
+    assert got.filter("parent_id LIKE 'b%'").count() >= 6
+    assert got.filter("parent_id = 'seed'").count() >= 1
