@@ -157,10 +157,28 @@ def _commit_recover(spark, table_path: str) -> None:
     except Exception:  # unreadable / non-int / missing-manifest probe
         ok = False
     if ok:
-        _fs_delete(spark, cur)
-        _fs_rename(spark, tmp, cur)
+        # two writers can race this roll-forward (both starting merges
+        # behind the same mid-swap commit) — or the live owner's own
+        # rename lands first.  Whoever loses the rename must not
+        # propagate: verify the pointer instead, and restore it if the
+        # delete-then-rename interleaving left none.
+        try:
+            _fs_delete(spark, cur)
+            _fs_rename(spark, tmp, cur)
+        except Exception:
+            got = None
+            try:
+                if _fs_exists(spark, cur):
+                    got = int(_read_text(spark, cur).strip())
+            except Exception:
+                pass
+            if got is None or got < gen:
+                _write_text(spark, cur, str(gen))
     else:
-        _fs_delete(spark, tmp)
+        try:
+            _fs_delete(spark, tmp)
+        except Exception:
+            pass
 
 
 #: Claim lease: ``_claim_recover`` never prunes a claim manifest
@@ -259,18 +277,29 @@ def _current_gen(spark, table_path: str) -> int | None:
     the tmp file (the commit is complete but for the rename)."""
     cur = f"{table_path}/_current"
     tmp = f"{table_path}/_current__tmp"
-    if _fs_exists(spark, cur):
-        return int(_read_text(spark, cur).strip())
-    if _fs_exists(spark, tmp):
-        return int(_read_text(spark, tmp).strip())
+
+    def _try_read(path):
+        # exists() then read() is a TOCTOU under a concurrent swap —
+        # treat a vanished-between-probes file as absent, not an error
+        try:
+            if _fs_exists(spark, path):
+                return int(_read_text(spark, path).strip())
+        except Exception:
+            pass
+        return None
+
+    got = _try_read(cur)
+    if got is not None:
+        return got
+    got = _try_read(tmp)
+    if got is not None:
+        return got
     # re-probe the pointer once: a concurrent commit's delete(cur) →
     # rename(tmp, cur) swap has an instant where the first probe
     # missed cur and the second missed tmp (already renamed) — on a
     # committed table one of the two exists at all times, so a second
     # look settles it.  Cost on a genuinely empty table: one exists().
-    if _fs_exists(spark, cur):
-        return int(_read_text(spark, cur).strip())
-    return None
+    return _try_read(cur)
 
 
 def _gen_base(table_path: str, g: str) -> str:
@@ -685,51 +714,55 @@ def _commit_rebasing(
     attempt_gen, attempt_parts, attempt_cur = gen, dict(partitions), expected_cur
     last: SnapshotWriteConflict | None = None
     for _ in range(max(0, int(max_rebases)) + 1):
-        try:
-            _commit(
-                spark, table_path, attempt_gen, attempt_parts,
-                attempt_cur, extra=extra, op=op,
-            )
-            return attempt_gen
-        except SnapshotWriteConflict as e:
-            last = e
-            actual = _current_gen(spark, table_path)
-            if actual == attempt_cur or actual is None:
-                # claim race: a rival claimed this generation but has
-                # not committed — or its pointer swap is mid-flight
-                # (the exists(cur)/exists(tmp) probes can both miss in
-                # the instant between delete and rename, reading None
-                # on a committed table).  Wait a beat and retry.
+        # claim-race patience (separate budget from the rebases): a
+        # rival holding the SAME generation's claim either commits —
+        # the pointer moves and we rebase — or aborts and releases the
+        # claim, letting our retry land.  Mid-swap pointer reads
+        # (None) are the same transient.
+        actual = attempt_cur
+        for _ in range(75):          # <= ~15 s per rebase attempt
+            try:
+                _commit(
+                    spark, table_path, attempt_gen, attempt_parts,
+                    attempt_cur, extra=extra, op=op,
+                )
+                return attempt_gen
+            except SnapshotWriteConflict as e:
+                last = e
+                actual = _current_gen(spark, table_path)
+                if actual is not None and actual != attempt_cur:
+                    break            # rival committed: rebase below
                 time.sleep(0.2)
-                continue
-            if extra and extra.get("dv"):
-                raise
-            actual_m = _read_manifest(spark, table_path, actual)
-            if actual_m.get("dv"):
-                raise
-            rival_parts = dict(actual_m["partitions"])
-            ours = {
-                r
-                for r in set(attempt_parts) | set(base_parts)
-                if attempt_parts.get(r) != base_parts.get(r)
-            }
-            theirs = {
-                r
-                for r in set(rival_parts) | set(base_parts)
-                if rival_parts.get(r) != base_parts.get(r)
-            }
-            if ours & theirs:
-                raise
-            rebased = dict(rival_parts)
-            for r in ours:
-                if r in attempt_parts:
-                    rebased[r] = attempt_parts[r]
-                else:
-                    rebased.pop(r, None)
-            base_parts = rival_parts
-            attempt_parts = rebased
-            attempt_cur = actual
-            attempt_gen = actual + 1
+        else:
+            raise last               # rival never resolved: give up
+        if extra and extra.get("dv"):
+            raise last
+        actual_m = _read_manifest(spark, table_path, actual)
+        if actual_m.get("dv"):
+            raise last
+        rival_parts = dict(actual_m["partitions"])
+        ours = {
+            r
+            for r in set(attempt_parts) | set(base_parts)
+            if attempt_parts.get(r) != base_parts.get(r)
+        }
+        theirs = {
+            r
+            for r in set(rival_parts) | set(base_parts)
+            if rival_parts.get(r) != base_parts.get(r)
+        }
+        if ours & theirs:
+            raise last
+        rebased = dict(rival_parts)
+        for r in ours:
+            if r in attempt_parts:
+                rebased[r] = attempt_parts[r]
+            else:
+                rebased.pop(r, None)
+        base_parts = rival_parts
+        attempt_parts = rebased
+        attempt_cur = actual
+        attempt_gen = actual + 1
     assert last is not None
     raise last
 
