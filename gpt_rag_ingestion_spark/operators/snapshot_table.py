@@ -41,9 +41,14 @@ ATOMIC CREATE-EXCLUSIVE of its manifest (the optimistic-concurrency
 primitive Delta Lake uses on HDFS), then (c) re-checks the pointer
 still names the snapshot the merge was based on AND that the claim
 file is still byte-identical to its own write.  Exactly one racer
-commits; the others raise ``SnapshotWriteConflict`` (retry = re-run
-the merge against the new snapshot) and their orphan generation dirs
-are garbage for ``snapshot_vacuum``.  Claims carry a LEASE
+commits a given generation; the others either REBASE — with
+``max_conflict_rebases`` set and a write set disjoint from the
+winner's, the loser overlays its partition mappings onto the winner's
+manifest and commits the NEXT generation, reusing its already-written
+data files (``_commit_rebasing``, Delta's conflict-resolution rule) —
+or raise ``SnapshotWriteConflict`` (retry = re-run the merge against
+the new snapshot); abandoned generation dirs are garbage for
+``snapshot_vacuum``.  Claims carry a LEASE
 (``CLAIM_LEASE_MS``) kept alive by a HEARTBEAT: from claim creation
 to pointer swap a daemon thread refreshes the claim file's mtime
 every ``CLAIM_HEARTBEAT_MS`` (lease/5), and crash recovery prunes
