@@ -5960,6 +5960,56 @@ def q219_concurrent_writers(spark: SparkSession, sf: str) -> DataFrame:
     ).localCheckpoint()
 
 
+def q220_clone_survives_vacuum(spark: SparkSession, sf: str) -> DataFrame:
+    """CLONE-AWARE VACUUM as a gate query (r7 brief #3): branch a
+    snapshot table with a zero-copy shallow clone, advance the SOURCE
+    past every shared generation (full-table merge), then vacuum the
+    source at the most aggressive retention — the clone must still
+    read its branch point BIT-EXACTLY because vacuum refuses to
+    delete generations a registered live clone references (the
+    ``_clones`` breadcrumb registry).  The oracle states the branch
+    point in closed form over the raw events table, so any row the
+    vacuum wrongly reclaimed (or any stale row leaking from the
+    advanced source) hash-mismatches; ``vacuum_protected`` pins that
+    the guard actually fired (protected_for_clones > 0), not that the
+    vacuum happened to skip the generations for another reason."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        read_snapshot_table,
+        snapshot_clone,
+        snapshot_merge_upsert,
+        snapshot_vacuum,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_id") % 3).cast("int").alias("bucket"),
+    )
+    base = tempfile.mkdtemp(prefix="q220-clonevac-")
+    src, cln = f"{base}/src", f"{base}/cln"
+    snapshot_merge_upsert(
+        spark, src, ev, key="event_id", partition_cols=["bucket"]
+    )
+    snapshot_clone(spark, src, cln)
+    # advance the source past every shared generation
+    snapshot_merge_upsert(
+        spark, src, ev.withColumn("cents", F.col("cents") * 2),
+        key="event_id", partition_cols=["bucket"],
+    )
+    rep = snapshot_vacuum(spark, src, keep_snapshots=1)
+    return (
+        read_snapshot_table(spark, cln)
+        .select("event_id", "user_id", "cents", "bucket")
+        .withColumn(
+            "vacuum_protected",
+            F.lit(bool(rep["protected_for_clones"] > 0)),
+        )
+        .localCheckpoint()
+    )
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW (and that the registry/oracle counts match QUERIES.md)
@@ -6251,6 +6301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q187_event_transitions": q187_event_transitions,
         "q188_rag_end_to_end": q188_rag_end_to_end,
         "q219_concurrent_writers": q219_concurrent_writers,
+        "q220_clone_survives_vacuum": q220_clone_survives_vacuum,
     }
 
 
@@ -10036,6 +10087,17 @@ def oracle_sql() -> dict[str, str]:
                    ELSE CAST(round(value * 100) AS BIGINT) + 5 END
                 AS cents,
               CAST(event_id % 4 AS INT) AS bucket
+            FROM events
+        """,
+        "q220_clone_survives_vacuum": """
+            -- the clone's branch point, stated from raw events: the
+            -- source advanced (cents doubled) and vacuumed at
+            -- keep_snapshots=1 AFTER the clone; only the clone-aware
+            -- guard keeps these rows readable
+            SELECT event_id, user_id,
+              CAST(round(value * 100) AS BIGINT) AS cents,
+              CAST(event_id % 3 AS INT) AS bucket,
+              true AS vacuum_protected
             FROM events
         """,
     }
