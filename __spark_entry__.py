@@ -6010,6 +6010,73 @@ def q220_clone_survives_vacuum(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q221_boilerplate_strip(spark: SparkSession, sf: str) -> DataFrame:
+    """LINE-LEVEL boilerplate removal (jusText/C4-style, the cleanup
+    between extraction and quality gates): each document gets planted
+    boilerplate — an ASCII separator row and a digit-heavy footer —
+    around its prose, and ``strip_boilerplate`` must drop exactly the
+    short/symbol-heavy lines.  The whole pass is JVM higher-order
+    functions (split → filter(lambda) → array_join) in codegen — no
+    shuffle, no Python — and the oracle replicates the identical
+    integer line-predicate over the identically planted text."""
+    from gpt_rag_ingestion_spark.operators.text_analysis import (
+        strip_boilerplate,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("==========================================\n"),
+            F.col("text"),
+            F.lit("\nid "),
+            F.lpad(F.col("doc_id").cast("string"), 30, "0"),
+            F.lit(" 000 111 222 333"),
+        ).alias("text"),
+    )
+    out = strip_boilerplate(docs, "text", out_col="clean")
+    return out.select(
+        "doc_id", "n_lines", "n_kept",
+        F.length("clean").cast("long").alias("kept_len"),
+    )
+
+
+def q222_card_scrub_luhn(spark: SparkSession, sf: str) -> DataFrame:
+    """PII: checksum-verified credit-card scrubbing.  Every document
+    gets a planted 16-digit PAN whose Luhn check digit is CORRECT for
+    even doc_ids and off-by-one for odd ones — the scrubber must mask
+    exactly the valid ones (a 16-digit order id that fails mod-10 is
+    not a card; the false-positive control real scrubbers use).  Both
+    the check-digit construction and the scrub are replicated
+    verbatim by the oracle, so the hash pins candidate extraction,
+    the Luhn lambda, and the replace fold."""
+    from gpt_rag_ingestion_spark.operators.pii import scrub_card_numbers
+
+    base15 = "lpad(CAST(doc_id AS STRING), 15, '4')"
+    d = f"CAST(substr({base15}, 17 - i, 1) AS INT)"
+    s_sum = (
+        "aggregate(sequence(2, 16), 0, (acc, i) -> acc + "
+        f"CASE WHEN i % 2 = 0 THEN IF({d} * 2 > 9, {d} * 2 - 9, {d} * 2) "
+        f"ELSE {d} END)"
+    )
+    check = (
+        f"CASE WHEN doc_id % 2 = 0 THEN (10 - {s_sum} % 10) % 10 "
+        f"ELSE ((10 - {s_sum} % 10) % 10 + 1) % 10 END"
+    )
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(
+            f"concat(text, ' pay ', {base15}, CAST({check} AS STRING))"
+        ).alias("text"),
+    )
+    out = scrub_card_numbers(docs, "text", out_col="clean")
+    return out.select(
+        "doc_id",
+        F.col("n_card_candidates").cast("long").alias("n_candidates"),
+        F.col("n_luhn_valid").cast("long").alias("n_valid"),
+        F.length("clean").cast("long").alias("scrubbed_len"),
+    )
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW (and that the registry/oracle counts match QUERIES.md)
@@ -6302,6 +6369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q188_rag_end_to_end": q188_rag_end_to_end,
         "q219_concurrent_writers": q219_concurrent_writers,
         "q220_clone_survives_vacuum": q220_clone_survives_vacuum,
+        "q221_boilerplate_strip": q221_boilerplate_strip,
+        "q222_card_scrub_luhn": q222_card_scrub_luhn,
     }
 
 
@@ -10099,5 +10168,69 @@ def oracle_sql() -> dict[str, str]:
               CAST(event_id % 3 AS INT) AS bucket,
               true AS vacuum_protected
             FROM events
+        """,
+        "q221_boilerplate_strip": """
+            WITH planted AS (
+              SELECT doc_id,
+                '==========================================' || chr(10)
+                || text || chr(10) || 'id '
+                || lpad(CAST(doc_id AS VARCHAR), 30, '0')
+                || ' 000 111 222 333' AS t
+              FROM documents),
+            split AS (
+              SELECT doc_id, string_split(t, chr(10)) AS ls FROM planted),
+            kept AS (
+              SELECT doc_id, ls,
+                list_filter(ls, x -> length(x) >= 30 AND
+                  length(regexp_replace(x, '[^A-Za-z ]', '', 'g')) * 100
+                    >= 55 * length(x)) AS ks
+              FROM split)
+            SELECT doc_id,
+              CAST(len(ls) AS BIGINT) AS n_lines,
+              CAST(len(ks) AS BIGINT) AS n_kept,
+              CAST(length(array_to_string(ks, chr(10))) AS BIGINT)
+                AS kept_len
+            FROM kept
+        """,
+        "q222_card_scrub_luhn": """
+            WITH planted AS (
+              SELECT doc_id,
+                text || ' pay ' || b15 || CAST(
+                  CASE WHEN doc_id % 2 = 0 THEN (10 - s % 10) % 10
+                       ELSE ((10 - s % 10) % 10 + 1) % 10 END AS VARCHAR)
+                  AS t
+              FROM (
+                SELECT doc_id, text, b15,
+                  list_sum(list_transform(range(2, 17), i ->
+                    CASE WHEN i % 2 = 0 THEN
+                      CASE WHEN CAST(substr(b15, 17 - i, 1) AS INT) * 2 > 9
+                        THEN CAST(substr(b15, 17 - i, 1) AS INT) * 2 - 9
+                        ELSE CAST(substr(b15, 17 - i, 1) AS INT) * 2 END
+                    ELSE CAST(substr(b15, 17 - i, 1) AS INT) END)) AS s
+                FROM (SELECT doc_id, text,
+                        lpad(CAST(doc_id AS VARCHAR), 15, '4') AS b15
+                      FROM documents))),
+            scanned AS (
+              SELECT doc_id, t,
+                regexp_extract_all(t, '[0-9]{16}') AS cands
+              FROM planted),
+            validated AS (
+              SELECT doc_id, t, cands,
+                list_filter(cands, c ->
+                  list_sum(list_transform(range(1, 17), i ->
+                    CASE WHEN i % 2 = 0 THEN
+                      CASE WHEN CAST(substr(c, 17 - i, 1) AS INT) * 2 > 9
+                        THEN CAST(substr(c, 17 - i, 1) AS INT) * 2 - 9
+                        ELSE CAST(substr(c, 17 - i, 1) AS INT) * 2 END
+                    ELSE CAST(substr(c, 17 - i, 1) AS INT) END)) % 10 = 0
+                ) AS valid
+              FROM scanned)
+            SELECT doc_id,
+              CAST(len(cands) AS BIGINT) AS n_candidates,
+              CAST(len(valid) AS BIGINT) AS n_valid,
+              CAST(length(list_reduce(list_prepend(t, valid),
+                (x, y) -> replace(x, y, '<CARD>'))) AS BIGINT)
+                AS scrubbed_len
+            FROM validated
         """,
     }

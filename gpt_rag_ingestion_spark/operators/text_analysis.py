@@ -601,3 +601,38 @@ def dedup_lines_within_doc(
         F.sum("_n").cast("long").alias("n_lines"),
         (F.sum("_n") - F.count(F.lit(1))).cast("long").alias("n_removed"),
     )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    min_chars: int = 30,
+    min_alpha_pct: int = 55,
+) -> DataFrame:
+    """LINE-LEVEL boilerplate removal — the jusText/C4-style cleanup
+    between raw extraction and quality scoring: navigation menus,
+    button rows, copyright footers and ASCII separators are SHORT or
+    SYMBOL-HEAVY lines, so a line survives iff it has at least
+    ``min_chars`` characters AND letters+spaces make up at least
+    ``min_alpha_pct`` percent of it (integer percent — exact in any
+    engine).  Adds ``n_lines`` / ``n_kept`` counters for the corpus
+    report.
+
+    Scale shape: one ``split -> filter(lambda) -> array_join`` chain of
+    JVM higher-order functions inside whole-stage codegen — no
+    shuffle, no Python, which is the only acceptable cost for a pass
+    that touches every byte of a 100 TB corpus."""
+    out = out_col or text_col
+    keep = (
+        f"x -> length(x) >= {int(min_chars)} AND "
+        f"length(regexp_replace(x, '[^A-Za-z ]', '')) * 100 >= "
+        f"{int(min_alpha_pct)} * length(x)"
+    )
+    lines = f"split({text_col}, '\\n')"
+    kept = f"filter({lines}, {keep})"
+    return df.select(
+        "*",
+        F.expr(f"size({lines})").cast("long").alias("n_lines"),
+        F.expr(f"size({kept})").cast("long").alias("n_kept"),
+    ).withColumn(out, F.expr(f"array_join({kept}, '\\n')"))

@@ -331,3 +331,44 @@ def test_vocab_roundtrip_and_line_dedup(spark):
     }
     assert out[1] == ("header\nbody one\nbody two", 5, 2)
     assert out[2] == ("unique\nlines\nonly", 3, 0)
+
+
+def test_strip_boilerplate_lines(spark):
+    """Line heuristic: short lines, symbol rows and digit-heavy lines
+    drop; long mostly-alpha prose survives in order; counters agree."""
+    from gpt_rag_ingestion_spark.operators.text_analysis import (
+        strip_boilerplate,
+    )
+
+    body = "\n".join([
+        "Home | About | Contact",                              # menu: symbols
+        "This is a long enough line of plain english prose to keep around.",
+        "=====================================",                # separator
+        "(c) 2026 example.com 12345 67890 11111 22222 33333 44444 55555",
+        "Another perfectly ordinary sentence that carries actual content.",
+        "ok",                                                   # too short
+    ])
+    df = spark.createDataFrame([(1, body)], "doc_id long, text string")
+    got = strip_boilerplate(df, "text").collect()[0]
+    assert got["n_lines"] == 6
+    assert got["n_kept"] == 2
+    kept = got["text"].split("\n")
+    assert kept[0].startswith("This is a long enough")
+    assert kept[1].startswith("Another perfectly")
+
+
+def test_scrub_card_numbers_luhn_gate(spark):
+    """Only Luhn-valid 16-digit runs are masked: 4532015112830366
+    passes (masked), 1234567812345678 fails (left alone)."""
+    from gpt_rag_ingestion_spark.operators.pii import scrub_card_numbers
+
+    df = spark.createDataFrame(
+        [(1, "pay 4532015112830366 ref 1234567812345678 ok")],
+        "doc_id long, text string",
+    )
+    got = scrub_card_numbers(df, "text").collect()[0]
+    assert got["n_card_candidates"] == 2
+    assert got["n_luhn_valid"] == 1
+    assert "<CARD>" in got["text"]
+    assert "4532015112830366" not in got["text"]
+    assert "1234567812345678" in got["text"]
