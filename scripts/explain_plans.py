@@ -166,6 +166,12 @@ PLAN_PROPERTIES = {
     # fuzzy linkage: candidates from the blocking equi-join — the
     # all-pairs nested loop must never appear
     "q125_fuzzy_linkage": (["Join"], ["NestedLoop", "CartesianProduct"]),
+    # corpus-byte-touching text passes must be pure codegen: split ->
+    # filter(lambda) -> array_join (q221) and extract_all -> Luhn
+    # filter -> replace fold (q222) — a shuffle or Python hop here
+    # multiplies the cost of scrubbing 100 TB
+    "q221_boilerplate_strip": (["[codegen id :"], ["Exchange"]),
+    "q222_card_scrub_luhn": (["[codegen id :"], ["Exchange"]),
     # deciles / exact median over the ~5-value event_type key: NO
     # ntile-over-group window (one task would sort ~N/5 of the fact
     # table) — the grouped_row_number recipe instead: a range

@@ -61,6 +61,8 @@ PROBES = {
     "q212_line_dedup": ("text", "intra-doc line dedup: (doc, line, pos) shuffle only"),
     "q213_vocab_roundtrip": ("vocab", "encode + decode mirror: two broadcast joins + ordered re-agg"),
     "q216_streaming_cdf_rollup": ("sink", "3-tick streaming IVM from the change feed + full recompute compare"),
+    "q221_boilerplate_strip": ("text", "line filter: codegen split/filter/join, zero shuffle"),
+    "q222_card_scrub_luhn": ("text", "Luhn-gated scrub: codegen extract/filter/fold, zero shuffle"),
     "q219_concurrent_writers": ("sink", "two racing merges, disjoint buckets: rebase commits, no aborts"),
     "q214_autocomplete_two_terms": ("search", "bigram vocabulary probe, no corpus re-scan per prefix"),
 }
