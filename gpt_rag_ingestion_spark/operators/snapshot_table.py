@@ -307,6 +307,83 @@ def _current_gen(spark, table_path: str) -> int | None:
     return _try_read(cur)
 
 
+def _with_schema(
+    extra: dict | None, df: DataFrame,
+    partition_cols: list[str] | None = None,
+    prev: dict | None = None,
+) -> dict:
+    """Attach the committed LOGICAL schema (and partition-column
+    names) to a commit's manifest body.  The stored schema is the fix
+    for partition-column type inference: read-back of a
+    hive-partitioned generation otherwise re-infers partition types
+    from directory NAMES, flipping a string column whose current
+    values look numeric to BIGINT (crashing the next merge union with
+    ANSI CAST_INVALID_INPUT, and silently changing the table's dtype
+    between commits).  ``read_snapshot_table`` pins partition columns
+    to these stored types; DESCRIBE DETAIL surfaces them (Delta's
+    metadata card carries format + columns)."""
+    from pyspark.sql.types import StructType
+
+    # canonical column ORDER: the predecessor manifest's (Delta keeps
+    # the logical order stable across commits — a partitioned
+    # read-back otherwise appends partition columns last and the
+    # stored order would drift after the first merge), then any new
+    # columns in the frame's own order
+    fields = {f.name: f for f in df.schema.fields}
+    ordered = []
+    if prev and prev.get("schema"):
+        for fj in prev["schema"]["fields"]:
+            if fj["name"] in fields:
+                ordered.append(fields.pop(fj["name"]))
+    ordered.extend(fields.values())
+    out = dict(extra or {})
+    out["schema"] = json.loads(StructType(ordered).json())
+    if partition_cols:
+        out["partition_cols"] = list(partition_cols)
+    return out
+
+
+def _manifest_schema(manifest: dict):
+    """(StructType, partition_cols) stored in a manifest, or
+    (None, []) for manifests written before schema tracking."""
+    from pyspark.sql.types import StructType
+
+    raw = manifest.get("schema")
+    if not raw:
+        return None, []
+    return StructType.fromJson(raw), list(manifest.get("partition_cols") or [])
+
+
+def _read_parquet_pinned(
+    spark, manifest: dict, base: str, paths: list[str] | None
+) -> DataFrame:
+    """Parquet scan with partition-column types PINNED to the
+    manifest's stored schema instead of inferred from directory
+    names.  ``paths`` None = whole-dir scan.  Manifests without a
+    stored schema (legacy) read exactly as before."""
+    schema, pcols = _manifest_schema(manifest)
+    if schema is None:
+        if paths is None:
+            return spark.read.option("basePath", base).parquet(base)
+        return spark.read.option("basePath", base).parquet(*paths)
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        if paths is None:
+            df = spark.read.option("basePath", base).parquet(base)
+        else:
+            df = spark.read.option("basePath", base).parquet(*paths)
+    finally:
+        spark.conf.set(key, old)
+    for c in pcols:
+        if c in df.columns and c in schema.names:
+            want = schema[c].dataType
+            if df.schema[c].dataType != want:
+                df = df.withColumn(c, F.col(c).cast(want))
+    return df
+
+
 def _gen_base(table_path: str, g: str) -> str:
     """Resolve a manifest generation reference to its directory.
     Normally a bare dir name under ``table_path``; a SHALLOW CLONE's
@@ -542,8 +619,11 @@ def read_snapshot_table(
         if rels == [""]:  # unpartitioned
             raw = spark.read.parquet(base)
         else:
-            raw = spark.read.option("basePath", base).parquet(
-                *[f"{base}/{r}" for r in sorted(rels)]
+            # partition-column types come PINNED from the manifest's
+            # stored schema, never re-inferred from directory names
+            raw = _read_parquet_pinned(
+                spark, manifest, base,
+                [f"{base}/{r}" for r in sorted(rels)],
             )
         dfs.append(_apply_dv(spark, raw, g, dv, base=base))
     return functools.reduce(
@@ -570,6 +650,25 @@ def _commit(
     body = {"gen": gen, "partitions": partitions, "op": op}
     if extra:
         body.update(extra)
+    # schema CARRY: metadata-only commits (delete-by-DV, optimize,
+    # compact, constraint-era ops) inherit the predecessor manifest's
+    # stored schema, so once a data commit records it, every later
+    # snapshot has one without threading it through each call site.
+    # Data commits that change the schema pass it via ``extra``
+    # (``_with_schema``).  Rebase note: a rebased commit re-enters
+    # here with the RIVAL's gen as expected_cur, so the carry picks up
+    # the rival's schema when ours didn't state one — and partition-
+    # column types (the part read-back depends on) never change
+    # across disjoint-partition rebases.
+    if "schema" not in body and expected_cur is not None:
+        try:
+            prev = _read_manifest(spark, table_path, expected_cur)
+            if prev.get("schema"):
+                body["schema"] = prev["schema"]
+                if prev.get("partition_cols"):
+                    body["partition_cols"] = prev["partition_cols"]
+        except Exception:
+            pass
     body_json = json.dumps(body, sort_keys=True)
     claimed = _manifest_path(table_path, gen)
     _write_text_exclusive(spark, claimed, body_json)
@@ -778,10 +877,7 @@ class SnapshotSchemaMismatch(ValueError):
     written."""
 
 
-def _enforce_schema(
-    existing: DataFrame, incoming: DataFrame,
-    partition_cols: list[str] | None,
-) -> None:
+def _enforce_schema(existing: DataFrame, incoming: DataFrame) -> None:
     have = {f.name: f.dataType.simpleString() for f in existing.schema.fields}
     inc = {f.name: f.dataType.simpleString() for f in incoming.schema.fields}
     extras = sorted(set(inc) - set(have))
@@ -790,14 +886,13 @@ def _enforce_schema(
             f"incoming columns not in the table schema: {extras} "
             "(pass schema_evolution='merge' to evolve)"
         )
-    # partition columns come back TYPE-INFERRED from directory names
-    # (int for small numbers) — their stored type is lossy, so strict
-    # mode checks their presence but not their width
-    skip = set(partition_cols or [])
+    # partition-column types are PINNED on read-back from the
+    # manifest's stored schema (r9: no more directory-name inference),
+    # so strict mode compares them like any other column
     clashes = {
         c: (have[c], t)
         for c, t in inc.items()
-        if c not in skip and have[c] != t
+        if have[c] != t
     }
     if clashes:
         raise SnapshotSchemaMismatch(
@@ -874,23 +969,27 @@ def snapshot_merge_upsert(
         return _commit_rebasing(
             spark, table_path, gen,
             {r: gname for r in rels},
-            expected_cur=cur, max_rebases=max_conflict_rebases,
+            expected_cur=cur,
+            extra=_with_schema(None, first, partition_cols),
+            max_rebases=max_conflict_rebases,
         )
 
     existing = read_snapshot_table(spark, table_path)
     if schema_evolution == "strict":
-        _enforce_schema(existing, incoming, partition_cols)
+        _enforce_schema(existing, incoming)
     manifest = _read_manifest(spark, table_path, cur)
 
     if not partition_cols:
-        merged_view(existing, incoming, key).write.mode(
-            "overwrite"
-        ).parquet(new_dir)
+        out = merged_view(existing, incoming, key)
+        out.write.mode("overwrite").parquet(new_dir)
         _maybe_write_stats(spark, table_path, gname, new_dir)
         return _commit_rebasing(
             spark, table_path, gen, {"": gname}, expected_cur=cur,
-            extra=_carry_dv_ref(
-                spark, table_path, manifest, {"": gname}, gen
+            extra=_with_schema(
+                _carry_dv_ref(
+                    spark, table_path, manifest, {"": gname}, gen
+                ),
+                out, prev=manifest,
             ),
             max_rebases=max_conflict_rebases,
         )
@@ -935,7 +1034,10 @@ def snapshot_merge_upsert(
     partitions.update({r: gname for r in written})
     return _commit_rebasing(
         spark, table_path, gen, partitions, expected_cur=cur,
-        extra=_carry_dv_ref(spark, table_path, manifest, partitions, gen),
+        extra=_with_schema(
+            _carry_dv_ref(spark, table_path, manifest, partitions, gen),
+            out, partition_cols, prev=manifest,
+        ),
         max_rebases=max_conflict_rebases,
     )
 
@@ -1047,12 +1149,16 @@ def snapshot_merge_when(
         return out
 
     if not partition_cols:
-        _arbitrate(existing).write.mode("overwrite").parquet(new_dir)
+        out = _arbitrate(existing)
+        out.write.mode("overwrite").parquet(new_dir)
         _maybe_write_stats(spark, table_path, gname, new_dir)
         return _commit_rebasing(
             spark, table_path, gen, {"": gname}, expected_cur=cur,
-            extra=_carry_dv_ref(
-                spark, table_path, manifest, {"": gname}, gen
+            extra=_with_schema(
+                _carry_dv_ref(
+                    spark, table_path, manifest, {"": gname}, gen
+                ),
+                out, prev=manifest,
             ),
             op="merge_when", max_rebases=max_conflict_rebases,
         )
@@ -1081,7 +1187,8 @@ def snapshot_merge_when(
     pred = functools.reduce(
         lambda a, b: a | b, [_match(v) for v in affected]
     )
-    _arbitrate(existing.filter(pred)).write.mode(
+    out = _arbitrate(existing.filter(pred))
+    out.write.mode(
         "overwrite"
     ).partitionBy(*partition_cols).parquet(new_dir)
     _maybe_write_stats(spark, table_path, gname, new_dir)
@@ -1096,7 +1203,10 @@ def snapshot_merge_when(
     partitions.update({r: gname for r in written})
     return _commit_rebasing(
         spark, table_path, gen, partitions, expected_cur=cur,
-        extra=_carry_dv_ref(spark, table_path, manifest, partitions, gen),
+        extra=_with_schema(
+            _carry_dv_ref(spark, table_path, manifest, partitions, gen),
+            out, partition_cols, prev=manifest,
+        ),
         op="merge_when", max_rebases=max_conflict_rebases,
     )
 
@@ -1159,8 +1269,9 @@ def snapshot_delete_keys(
             if rels == [""]:
                 raw = spark.read.parquet(base)
             else:
-                raw = spark.read.option("basePath", base).parquet(
-                    *[f"{base}/{r}" for r in sorted(rels)]
+                raw = _read_parquet_pinned(
+                    spark, manifest, base,
+                    [f"{base}/{r}" for r in sorted(rels)],
                 )
             # apply EXISTING DVs first so re-deleting a dead row is a
             # no-op, then record the survivors that match.  Relativize
@@ -1636,11 +1747,13 @@ def _changed_partitions(manifest_a: dict, manifest_b: dict) -> list[str]:
 
 
 def _read_partition_subset(
-    spark, table_path: str, parts: dict, dv_map: dict | None = None
+    spark, table_path: str, parts: dict, dv_map: dict | None = None,
+    manifest: dict | None = None,
 ):
     """Read a {rel: gen-dir} subset of one manifest (same mechanics as
     read_snapshot_table, restricted; ``dv_map`` = that manifest's
-    deletion vectors).  Returns None for an empty subset."""
+    deletion vectors; ``manifest`` pins partition-column types to its
+    stored schema).  Returns None for an empty subset."""
     if not parts:
         return None
     by_gen: dict[str, list[str]] = {}
@@ -1652,8 +1765,9 @@ def _read_partition_subset(
         if rels == [""]:
             raw = spark.read.parquet(base)
         else:
-            raw = spark.read.option("basePath", base).parquet(
-                *[f"{base}/{r}" for r in sorted(rels)]
+            raw = _read_parquet_pinned(
+                spark, manifest or {}, base,
+                [f"{base}/{r}" for r in sorted(rels)],
             )
         dfs.append(_apply_dv(spark, raw, g, dv_map or {}, base=base))
     return functools.reduce(
@@ -1733,12 +1847,12 @@ def snapshot_changes(
     a = _read_partition_subset(
         spark, table_path,
         {r: g for r, g in ma["partitions"].items() if r in changed},
-        dv_map=dva,
+        dv_map=dva, manifest=ma,
     )
     b = _read_partition_subset(
         spark, table_path,
         {r: g for r, g in mb["partitions"].items() if r in changed},
-        dv_map=dvb,
+        dv_map=dvb, manifest=mb,
     )
     if a is None and b is None:
         raise ValueError("no partitions changed and no schema available")
@@ -2039,21 +2153,23 @@ def _range_keeps(ent: dict, ranges: dict) -> bool:
     return True
 
 
-def _read_selected(spark, selections, schema_src, dv_map=None):
+def _read_selected(spark, selections, schema_src, dv_map=None, manifest=None):
     """selections: list of (gen_ref, base, [files]|None) — None =
     whole-dir read
     (no stats for that generation).  Empty overall selection returns
     an empty frame with the snapshot's schema.  ``dv_map``: the
     snapshot's deletion vectors, anti-joined per generation (stats
     stay valid upper bounds under DVs — deletes only remove rows, so
-    pruning is conservative, never wrong)."""
+    pruning is conservative, never wrong).  ``manifest`` pins
+    partition-column types to its stored schema."""
     dfs = []
     for g, base, files in selections:
         if files is None:
-            raw = spark.read.option("basePath", base).parquet(base)
+            raw = _read_parquet_pinned(spark, manifest or {}, base, None)
         elif files:
-            raw = spark.read.option("basePath", base).parquet(
-                *[f"{base}/{f}" for f in sorted(files)]
+            raw = _read_parquet_pinned(
+                spark, manifest or {}, base,
+                [f"{base}/{f}" for f in sorted(files)],
             )
         else:
             continue
@@ -2115,10 +2231,12 @@ def snapshot_read_where(
             unpruned_gens=unpruned,
             pruned_partitions=pruned_parts,
         )
+    mgen = at_gen if at_gen is not None else _current_gen(spark, table_path)
     df = _read_selected(
         spark, selections,
         read_snapshot_table(spark, table_path, at_gen=at_gen),
         dv_map=dv,
+        manifest=_read_manifest(spark, table_path, mgen),
     )
     for c, (lo, hi) in ranges.items():
         if lo is not None:
@@ -2194,7 +2312,11 @@ def snapshot_read_point(
             files_skipped=total - read_n,
             unpruned_gens=unpruned,
         )
-    df = _read_selected(spark, selections, schema_src, dv_map=dv)
+    mgen = at_gen if at_gen is not None else _current_gen(spark, table_path)
+    df = _read_selected(
+        spark, selections, schema_src, dv_map=dv,
+        manifest=_read_manifest(spark, table_path, mgen),
+    )
     return df.filter(F.col(col).isin(values))
 
 
@@ -2276,6 +2398,7 @@ def snapshot_compact_partitions(
     subset = _read_partition_subset(
         spark, table_path, {r: parts[r] for r in chosen},
         dv_map=_dv_map(spark, table_path, manifest),
+        manifest=manifest,
     )
     if zorder_cols:
         from gpt_rag_ingestion_spark.operators.layout import zorder_value
@@ -2533,6 +2656,12 @@ def snapshot_restore(
     extra = {"restored_from": to_gen}
     if target.get("dv"):
         extra["dv"] = target["dv"]
+    # the restored snapshot's schema is the TARGET's, not the current
+    # pointer's (the default carry would take the latter)
+    if target.get("schema"):
+        extra["schema"] = target["schema"]
+        if target.get("partition_cols"):
+            extra["partition_cols"] = target["partition_cols"]
     _commit(
         spark, table_path, gen, dict(target["partitions"]),
         expected_cur=cur, extra=extra, op="restore",
@@ -2604,9 +2733,16 @@ def snapshot_clone(
     # committed-but-unregistered clone would be a vacuum race window.
     for ref_root in {g.rsplit("/", 1)[0] for g in partitions.values()}:
         _register_clone(spark, ref_root, clone_path)
+    clone_extra = {"cloned_from": src_abs, "cloned_gen": cur}
+    # a fresh table has no predecessor manifest to carry from —
+    # inherit the source snapshot's stored schema explicitly
+    if manifest.get("schema"):
+        clone_extra["schema"] = manifest["schema"]
+        if manifest.get("partition_cols"):
+            clone_extra["partition_cols"] = manifest["partition_cols"]
     _commit(
         spark, clone_path, 1, partitions, expected_cur=None,
-        extra={"cloned_from": src_abs, "cloned_gen": cur}, op="clone",
+        extra=clone_extra, op="clone",
     )
     return 1
 
@@ -2639,9 +2775,18 @@ def snapshot_table_detail(spark: SparkSession, table_path: str) -> dict:
                 n_files += 1
                 n_bytes += int(st.getLen())
     dv = _dv_map(spark, table_path, manifest)
+    schema, pcols = _manifest_schema(manifest)
     return {
         "path": table_path,
         "generation": cur,
+        # DESCRIBE DETAIL carries the logical schema (Delta's card has
+        # format + columns): "name:type" per column, in schema order;
+        # None for manifests written before schema tracking (r9)
+        "schema": (
+            [f"{f.name}:{f.dataType.simpleString()}" for f in schema.fields]
+            if schema is not None else None
+        ),
+        "partition_columns": pcols,
         "num_referenced_generations": len(gens),
         "num_files": n_files,
         "size_bytes": n_bytes,

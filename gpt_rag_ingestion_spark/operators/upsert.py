@@ -26,10 +26,12 @@ automatically (``_recover``).
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 # Characters Spark's ExternalCatalogUtils.escapePathName escapes when it
 # builds `col=value` partition directory names.
@@ -121,6 +123,79 @@ def _heal_partition_old_dirs(spark, table_path: str) -> None:
                 stack.append(p)
 
 
+#: Sidecar pinning the LOGICAL partition-column types.  Read-back of a
+#: hive-partitioned parquet table otherwise re-infers those types from
+#: the directory NAMES — a string column whose current values all look
+#: numeric (`part=0`, plus `__HIVE_DEFAULT_PARTITION__` for ''/NULL)
+#: silently reads back BIGINT, which (a) crashes the merge union with
+#: ANSI CAST_INVALID_INPUT on the next non-numeric increment and
+#: (b) flips the output column's type between ingests.  The leading
+#: underscore keeps it invisible to Spark's file listing.
+_PARTITION_TYPES_SIDECAR = "_partition_types.json"
+
+
+def _sidecar_path(table_path: str) -> str:
+    return table_path.rstrip("/") + "/" + _PARTITION_TYPES_SIDECAR
+
+
+def _write_partition_types(
+    spark: SparkSession, table_path: str, schema: StructType,
+    partition_cols: list[str],
+) -> None:
+    """Persist the logical types of the partition columns (as a
+    StructType JSON) at the table root.  Called AFTER every swap — the
+    root-level ``_swap_in`` replaces the whole directory, so a sidecar
+    written before the swap would vanish with the old generation."""
+    fields = [schema[c] for c in partition_cols if c in schema.names]
+    if not fields:
+        return
+    fs, p = _hfs(spark, _sidecar_path(table_path))
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(StructType(fields).json().encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_partition_types(spark: SparkSession, table_path: str) -> StructType | None:
+    path = _sidecar_path(table_path)
+    if not _fs_exists(spark, path):
+        return None
+    jvm = spark.sparkContext._jvm
+    fs, p = _hfs(spark, path)
+    stm = fs.open(p)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stm, "UTF-8")
+    finally:
+        stm.close()
+    return StructType.fromJson(json.loads(text))
+
+
+def _read_table(
+    spark: SparkSession, table_path: str, pin: StructType | None
+) -> DataFrame:
+    """Read the table back with partition-column types PINNED, not
+    inferred.  With ``pin`` set, partition-column type inference is
+    disabled for the read (directory values come back as their raw
+    unescaped strings — '00' stays '00', never a lossy int round-trip)
+    and each pinned column is cast to its stored logical type.  With
+    ``pin`` None (legacy table without a sidecar, or unpartitioned),
+    this is a plain read."""
+    if pin is None:
+        return spark.read.parquet(table_path)
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        df = spark.read.parquet(table_path)
+    finally:
+        spark.conf.set(key, old)
+    for f in pin.fields:
+        if f.name in df.columns and df.schema[f.name].dataType != f.dataType:
+            df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
+    return df
+
+
 def _recover(spark: SparkSession, table_path: str) -> None:
     """Heal an interrupted swap: if the live table vanished mid-swap,
     restore the ``__old`` generation; if both exist, the swap completed
@@ -158,8 +233,21 @@ def merge_upsert(
     incoming rows; keep everything else.  Equivalent to the reference's
     delete-parent-then-upload (S11+S10) and to Delta MERGE."""
     _recover(spark, table_path)
+    # Pin partition-column types on read-back: stored sidecar first,
+    # else the incoming frame's logical types (legacy tables written
+    # before the sidecar existed).  Without the pin, Spark re-infers
+    # the types from directory names and numeric-looking string values
+    # crash the union below (ANSI cast) or flip the output type.
+    pin = None
+    if partition_cols:
+        pin = _read_partition_types(spark, table_path)
+        if pin is None:
+            pin = StructType(
+                [incoming.schema[c] for c in partition_cols
+                 if c in incoming.columns]
+            )
     try:
-        existing = spark.read.parquet(table_path)
+        existing = _read_table(spark, table_path, pin)
         have_existing = True
     except Exception:
         have_existing = False
@@ -172,6 +260,10 @@ def merge_upsert(
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(tmp)
         _swap_in(spark, tmp, table_path)
+        if partition_cols:
+            _write_partition_types(
+                spark, table_path, incoming.schema, partition_cols
+            )
         return
 
     keys = incoming.select(key).distinct()
@@ -235,6 +327,7 @@ def merge_upsert(
             # re-ingested keys that moved elsewhere): drop the stale dir
             _fs_delete(spark, live_dir)
     _fs_delete(spark, tmp)
+    _write_partition_types(spark, table_path, out.schema, partition_cols)
     spark.catalog.refreshByPath(table_path)
 
 
@@ -254,7 +347,8 @@ def delete_keys(
     import functools
 
     _recover(spark, table_path)
-    existing = spark.read.parquet(table_path)
+    pin = _read_partition_types(spark, table_path) if partition_cols else None
+    existing = _read_table(spark, table_path, pin)
     key_set = keys.select(key).distinct()
     tmp = table_path.rstrip("/") + "__staging"
 
@@ -297,6 +391,7 @@ def delete_keys(
             # every row of this partition was deleted: drop the dir
             _fs_delete(spark, live_dir)
     _fs_delete(spark, tmp)
+    _write_partition_types(spark, table_path, kept.schema, partition_cols)
     spark.catalog.refreshByPath(table_path)
 
 
@@ -396,7 +491,8 @@ def compact_table(
     files_before = len(listed)
     total = sum(sz for _p, sz in listed)
     n_out = max(1, math.ceil(total / target_file_bytes))
-    existing = spark.read.parquet(table_path)
+    pin = _read_partition_types(spark, table_path) if partition_cols else None
+    existing = _read_table(spark, table_path, pin)
     tmp = table_path.rstrip("/") + "__staging"
     if partition_cols:
         # per-partition salt count ~ that partition's bytes / target
@@ -430,6 +526,9 @@ def compact_table(
     else:
         existing.repartition(n_out).write.mode("overwrite").parquet(tmp)
     _swap_in(spark, tmp, table_path)
+    if partition_cols:
+        # the root swap replaced the whole directory, sidecar included
+        _write_partition_types(spark, table_path, existing.schema, partition_cols)
     return files_before, table_parquet_files(table_path, spark)
 
 
