@@ -5809,10 +5809,15 @@ def q217_describe_detail(spark: SparkSession, sf: str) -> DataFrame:
             bool(d["num_files"] > 0),
             bool(d["size_bytes"] > 0),
             bool(d["cloned_from"] is None),
+            # r9: the manifest-stored logical schema (deterministic
+            # from the ingest frame above) + partition columns
+            ",".join(d["schema"] or []),
+            ",".join(d["partition_columns"]),
         )],
         "generation long, n_gens long, partitions string, dv_rows long,"
         " op string, stats_enabled boolean, has_constraints boolean,"
-        " has_files boolean, has_bytes boolean, not_cloned boolean",
+        " has_files boolean, has_bytes boolean, not_cloned boolean,"
+        " table_schema string, partition_columns string",
     )
 
 
@@ -10132,7 +10137,10 @@ def oracle_sql() -> dict[str, str]:
                  WHERE event_id % 10 = 3) AS dv_rows,
               'delete_dv' AS op,
               true AS stats_enabled, true AS has_constraints,
-              true AS has_files, true AS has_bytes, true AS not_cloned
+              true AS has_files, true AS has_bytes, true AS not_cloned,
+              'event_id:bigint,user_id:bigint,cents:bigint,bucket:int'
+                AS table_schema,
+              'bucket' AS partition_columns
         """,
         "q218_force_reprocess_backfill": """
             -- q144-style self-verifying invariants: the Spark side
@@ -10211,12 +10219,19 @@ def oracle_sql() -> dict[str, str]:
                         lpad(CAST(doc_id AS VARCHAR), 15, '4') AS b15
                       FROM documents))),
             scanned AS (
+              -- candidates are MAXIMAL digit runs of length exactly
+              -- 16 (digit-boundary semantics; RE2 has no lookaround,
+              -- so run-length replicates the operator's form), and
+              -- masking rebuilds the text from its run/separator
+              -- decomposition
               SELECT doc_id, t,
-                regexp_extract_all(t, '[0-9]{16}') AS cands
+                regexp_extract_all(t, '[0-9]+') AS runs,
+                regexp_split_to_array(t, '[0-9]+') AS seps
               FROM planted),
             validated AS (
-              SELECT doc_id, t, cands,
-                list_filter(cands, c ->
+              SELECT doc_id, t, runs, seps,
+                list_filter(runs, c -> length(c) = 16) AS cands,
+                list_filter(list_filter(runs, c -> length(c) = 16), c ->
                   list_sum(list_transform(range(1, 17), i ->
                     CASE WHEN i % 2 = 0 THEN
                       CASE WHEN CAST(substr(c, 17 - i, 1) AS INT) * 2 > 9
@@ -10228,8 +10243,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
               CAST(len(cands) AS BIGINT) AS n_candidates,
               CAST(len(valid) AS BIGINT) AS n_valid,
-              CAST(length(list_reduce(list_prepend(t, valid),
-                (x, y) -> replace(x, y, '<CARD>'))) AS BIGINT)
+              CAST(length(
+                CASE WHEN len(runs) = 0 THEN seps[1]
+                ELSE list_reduce(
+                  list_prepend(seps[1],
+                    list_transform(range(1, len(runs) + 1), i ->
+                      (CASE WHEN list_contains(valid, runs[i])
+                        THEN '<CARD>' ELSE runs[i] END) || seps[i + 1])),
+                  (x, y) -> x || y) END) AS BIGINT)
                 AS scrubbed_len
             FROM validated
         """,

@@ -93,6 +93,18 @@ def k_anonymity_suppress(
     return df.join(F.broadcast(failing), on=qi_cols, how="left_anti")
 
 
+#: SQL words the drop-list tokenizer never treats as column refs
+#: (keywords + literal words common in generalization ladders)
+_SQL_WORDS = frozenset({
+    "and", "as", "asc", "between", "by", "case", "cast", "desc",
+    "distinct", "div", "else", "end", "false", "from", "group", "if",
+    "ilike", "in", "int", "integer", "interval", "is", "like", "not",
+    "null", "or", "order", "over", "rlike", "select", "string", "then",
+    "true", "when", "where", "bigint", "double", "float", "boolean",
+    "date", "timestamp", "decimal", "varchar",
+})
+
+
 def k_anonymity_generalize(
     df: DataFrame,
     qi: dict[str, list[str]],
@@ -125,14 +137,26 @@ def k_anonymity_generalize(
     max_level = max(len(v) for v in qi.values())
     if drop is None:
         # every input column referenced by ANY ladder expression is a
-        # raw quasi-identifier and must not ship in the release
+        # raw quasi-identifier and must not ship in the release.
+        # Tokenization excludes (r8 advisor): string LITERALS (THEN
+        # 'metro' must not drop a column named metro), tokens followed
+        # by '(' (function names), and common SQL keywords — a bare
+        # identifier regex alone would silently drop any unrelated
+        # input column sharing such a name.  Genuinely ambiguous
+        # ladders (a column named like a keyword) should pass an
+        # explicit ``drop`` list.
         pat = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
-        refs = {
-            tok
-            for lvls in qi.values()
-            for e in lvls
-            for tok in pat.findall(e)
-        }
+        refs: set[str] = set()
+        for lvls in qi.values():
+            for e in lvls:
+                cleaned = re.sub(r"'(?:[^']|'')*'", " ", e)
+                for m in pat.finditer(cleaned):
+                    tok = m.group(0)
+                    if cleaned[m.end():].lstrip().startswith("("):
+                        continue  # function call, not a column ref
+                    if tok.lower() in _SQL_WORDS:
+                        continue
+                    refs.add(tok)
         drop = [c for c in df.columns if c in refs]
     drop_set = set(drop)
 
@@ -176,9 +200,15 @@ def k_anonymity_generalize(
     }
 
 
-#: 16 contiguous digits — the common PAN shape.  Deliberately an
-#: explicit class (engine-portable, like the module's other patterns).
-CARD_RE = "[0-9]{16}"
+#: A candidate PAN is a MAXIMAL digit run of length exactly 16 (r8
+#: advisor: a bare '[0-9]{16}' matched the first 16 digits of any
+#: 17+-digit run — long order ids, digit-rendered hashes — and the
+#: masking fold then mangled that prefix everywhere it occurred).
+#: Extraction scans maximal runs and keeps the 16-long ones — the
+#: engine-portable equivalent of '(?<![0-9])[0-9]{16}(?![0-9])'
+#: (DuckDB's RE2 has no lookaround, so the oracle replicates the
+#: run-length form verbatim).
+DIGIT_RUN_RE = "[0-9]+"
 
 
 def _luhn_sql(s: str) -> str:
@@ -198,26 +228,41 @@ def scrub_card_numbers(
     df: DataFrame, text_col: str, out_col: str | None = None
 ) -> DataFrame:
     """Credit-card scrubbing with CHECKSUM-VERIFIED candidates — the
-    false-positive control real PII scrubbers use: a 16-digit run is
-    masked ONLY if it passes the Luhn mod-10 test, so order numbers
-    and hashes that merely look like PANs survive.  Adds
-    ``n_card_candidates`` (all 16-digit runs) and ``n_luhn_valid``
+    false-positive control real PII scrubbers use: a MAXIMAL digit
+    run of length exactly 16 is masked ONLY if it passes the Luhn
+    mod-10 test, so order numbers and hashes that merely look like
+    PANs survive — including 17+-digit runs whose 16-digit prefix
+    happens to checksum (r8 advisor).  Masking rebuilds the text from
+    its digit-run / separator decomposition, so only whole
+    digit-boundary-delimited runs are ever replaced — a valid PAN
+    appearing as a SUBSTRING of a longer run elsewhere is left alone.
+    Adds ``n_card_candidates`` (16-long runs) and ``n_luhn_valid``
     (masked) counters.
 
-    Scale shape: regexp_extract_all + a filter() checksum lambda + a
-    replace() fold — all JVM higher-order functions in codegen, no
-    shuffle, no Python, like the rest of this module's scrub chain."""
+    Scale shape: regexp_extract_all + split + filter()/aggregate()
+    higher-order lambdas — all JVM codegen, no shuffle, no Python,
+    like the rest of this module's scrub chain."""
     out = out_col or text_col
-    cands = f"regexp_extract_all({text_col}, '{CARD_RE}', 0)"
-    valid = f"filter({cands}, s -> {_luhn_sql('s')})"
-    return df.select(
-        "*",
-        F.expr(f"size({cands})").cast("int").alias("n_card_candidates"),
-        F.expr(f"size({valid})").cast("int").alias("n_luhn_valid"),
-    ).withColumn(
-        out,
-        F.expr(
-            f"aggregate({valid}, {text_col}, "
-            "(acc, s) -> replace(acc, s, '<CARD>'))"
-        ),
+    runs_c, seps_c, valid_c = "__pii_runs", "__pii_seps", "__pii_valid"
+    cands = f"filter({runs_c}, s -> length(s) = 16)"
+    rebuilt = (
+        f"IF(size({runs_c}) = 0, element_at({seps_c}, 1), "
+        f"aggregate(sequence(1, size({runs_c})), "
+        f"element_at({seps_c}, 1), "
+        f"(acc, i) -> concat(acc, "
+        f"IF(array_contains({valid_c}, element_at({runs_c}, i)), "
+        f"'<CARD>', element_at({runs_c}, i)), "
+        f"element_at({seps_c}, i + 1))))"
+    )
+    return (
+        df.withColumn(
+            runs_c,
+            F.expr(f"regexp_extract_all({text_col}, '{DIGIT_RUN_RE}', 0)"),
+        )
+        .withColumn(seps_c, F.expr(f"split({text_col}, '{DIGIT_RUN_RE}', -1)"))
+        .withColumn(valid_c, F.expr(f"filter({cands}, s -> {_luhn_sql('s')})"))
+        .withColumn("n_card_candidates", F.expr(f"size({cands})").cast("int"))
+        .withColumn("n_luhn_valid", F.expr(f"size({valid_c})").cast("int"))
+        .withColumn(out, F.expr(rebuilt))
+        .drop(runs_c, seps_c, valid_c)
     )

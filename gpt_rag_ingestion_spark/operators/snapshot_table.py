@@ -714,10 +714,26 @@ def _commit(
                     break
                 _time.sleep(0.05)
             else:
+                # forced roll-forward of a dead predecessor's swap:
+                # validate tmp EXACTLY as _commit_recover does before
+                # renaming it over the pointer (r8 advisor: a writer
+                # SIGKILLed mid-_write_text leaves a truncated/garbage
+                # tmp; renaming that over a valid _current bricks the
+                # table).  Invalid tmp never reached its commit's
+                # atomic point — delete it; and never touch cur until
+                # tmp is known-good.
                 try:
-                    if _fs_exists(spark, cur):
-                        _fs_delete(spark, cur)
-                    _fs_rename(spark, tmp, cur)
+                    pg = int(_read_text(spark, tmp).strip())
+                    tmp_ok = _fs_exists(spark, _manifest_path(table_path, pg))
+                except Exception:
+                    tmp_ok = False
+                try:
+                    if tmp_ok:
+                        if _fs_exists(spark, cur):
+                            _fs_delete(spark, cur)
+                        _fs_rename(spark, tmp, cur)
+                    else:
+                        _fs_delete(spark, tmp)
                 except Exception:
                     pass
             if _current_gen(spark, table_path) != expected_cur:
@@ -815,60 +831,93 @@ def _commit_rebasing(
             _read_manifest(spark, table_path, expected_cur)["partitions"]
         )
     )
+    # dirs THIS writer staged (vs inherited base refs) — what a rebase
+    # must keep alive across a concurrent vacuum (see
+    # _register_inflight) and re-verify before every rebased attempt
+    ours_dirs = set(partitions.values()) - set(base_parts.values())
+    crumb: str | None = None
     attempt_gen, attempt_parts, attempt_cur = gen, dict(partitions), expected_cur
     last: SnapshotWriteConflict | None = None
-    for _ in range(max(0, int(max_rebases)) + 1):
-        # claim-race patience (separate budget from the rebases): a
-        # rival holding the SAME generation's claim either commits —
-        # the pointer moves and we rebase — or aborts and releases the
-        # claim, letting our retry land.  Mid-swap pointer reads
-        # (None) are the same transient.
-        actual = attempt_cur
-        for _ in range(75):          # <= ~15 s per rebase attempt
-            try:
-                _commit(
-                    spark, table_path, attempt_gen, attempt_parts,
-                    attempt_cur, extra=extra, op=op,
-                )
-                return attempt_gen
-            except SnapshotWriteConflict as e:
-                last = e
-                actual = _current_gen(spark, table_path)
-                if actual is not None and actual != attempt_cur:
-                    break            # rival committed: rebase below
-                time.sleep(0.2)
-        else:
-            raise last               # rival never resolved: give up
-        if extra and extra.get("dv"):
-            raise last
-        actual_m = _read_manifest(spark, table_path, actual)
-        if actual_m.get("dv"):
-            raise last
-        rival_parts = dict(actual_m["partitions"])
-        ours = {
-            r
-            for r in set(attempt_parts) | set(base_parts)
-            if attempt_parts.get(r) != base_parts.get(r)
-        }
-        theirs = {
-            r
-            for r in set(rival_parts) | set(base_parts)
-            if rival_parts.get(r) != base_parts.get(r)
-        }
-        if ours & theirs:
-            raise last
-        rebased = dict(rival_parts)
-        for r in ours:
-            if r in attempt_parts:
-                rebased[r] = attempt_parts[r]
+    try:
+        for _ in range(max(0, int(max_rebases)) + 1):
+            # claim-race patience (separate budget from the rebases): a
+            # rival holding the SAME generation's claim either commits —
+            # the pointer moves and we rebase — or aborts and releases the
+            # claim, letting our retry land.  Mid-swap pointer reads
+            # (None) are the same transient.
+            actual = attempt_cur
+            for _ in range(75):          # <= ~15 s per rebase attempt
+                try:
+                    _commit(
+                        spark, table_path, attempt_gen, attempt_parts,
+                        attempt_cur, extra=extra, op=op,
+                    )
+                    return attempt_gen
+                except SnapshotWriteConflict as e:
+                    last = e
+                    actual = _current_gen(spark, table_path)
+                    if actual is not None and actual != attempt_cur:
+                        break            # rival committed: rebase below
+                    time.sleep(0.2)
             else:
-                rebased.pop(r, None)
-        base_parts = rival_parts
-        attempt_parts = rebased
-        attempt_cur = actual
-        attempt_gen = actual + 1
-    assert last is not None
-    raise last
+                raise last               # rival never resolved: give up
+            if extra and extra.get("dv"):
+                raise last
+            actual_m = _read_manifest(spark, table_path, actual)
+            if actual_m.get("dv"):
+                raise last
+            rival_parts = dict(actual_m["partitions"])
+            ours = {
+                r
+                for r in set(attempt_parts) | set(base_parts)
+                if attempt_parts.get(r) != base_parts.get(r)
+            }
+            theirs = {
+                r
+                for r in set(rival_parts) | set(base_parts)
+                if rival_parts.get(r) != base_parts.get(r)
+            }
+            if ours & theirs:
+                raise last
+            # about to REBASE: our staged dirs are now named with a
+            # generation <= the rival's committed cur, i.e. inside
+            # vacuum's deletable range (r8 advisor).  Register the
+            # lease-aged _inflight breadcrumb (once), then verify the
+            # dirs still exist — a vacuum that won the race already
+            # claimed them, and committing would reference vanished
+            # files; surface the conflict instead.
+            if crumb is None:
+                try:
+                    crumb = _register_inflight(spark, table_path, ours_dirs)
+                except Exception:
+                    crumb = None     # best-effort; the verify still runs
+            for d in ours_dirs:
+                if d.startswith("gen-") and not _fs_exists(
+                    spark, _gen_dir(table_path, d)
+                ):
+                    raise SnapshotWriteConflict(
+                        f"staged generation dir {d} was removed by a "
+                        f"concurrent snapshot_vacuum during rebase "
+                        f"({table_path}); retry the merge"
+                    )
+            rebased = dict(rival_parts)
+            for r in ours:
+                if r in attempt_parts:
+                    rebased[r] = attempt_parts[r]
+                else:
+                    rebased.pop(r, None)
+            base_parts = rival_parts
+            attempt_parts = rebased
+            attempt_cur = actual
+            attempt_gen = actual + 1
+        assert last is not None
+        raise last
+    finally:
+        if crumb is not None:
+            try:
+                _fs_delete(spark, crumb)
+            except Exception:
+                pass
 
 
 class SnapshotSchemaMismatch(ValueError):
@@ -1560,6 +1609,58 @@ def _register_clone(spark, source_root: str, clone_path: str) -> None:
     )
 
 
+_INFLIGHT_DIR = "_inflight"
+
+
+def _register_inflight(spark, table_path: str, gnames: set[str]) -> str | None:
+    """Breadcrumb protecting a REBASING writer's staged-but-not-yet-
+    referenced generation dirs from vacuum (r8 advisor): once a rival
+    commits generation N, a loser's dir named gen-N drops inside
+    vacuum's `<= cur` in-flight guard while the loser is still
+    rebasing onto the winner.  `_inflight/<id>.json` names the staged
+    dirs; vacuum skips them while the breadcrumb's mtime is lease-
+    fresh, and prunes stale breadcrumbs (a SIGKILLed rebaser) after
+    ``CLAIM_LEASE_MS``.  Returns the breadcrumb path (callers remove
+    it in a finally)."""
+    local = {g for g in gnames if g.startswith("gen-")}
+    if not local:
+        return None
+    _fs_mkdirs(spark, f"{table_path}/{_INFLIGHT_DIR}")
+    path = f"{table_path}/{_INFLIGHT_DIR}/{uuid.uuid4().hex[:12]}.json"
+    _write_text(spark, path, json.dumps({"gens": sorted(local)}))
+    return path
+
+
+def _inflight_protected_gens(spark, table_path: str) -> set[str]:
+    """Generation dir names named by a lease-fresh ``_inflight``
+    breadcrumb; stale breadcrumbs are pruned in passing."""
+    fs, d = _hfs(spark, f"{table_path}/{_INFLIGHT_DIR}")
+    if not fs.exists(d):
+        return set()
+    out: set[str] = set()
+    now = _now_ms(spark)
+    for st in fs.listStatus(d):
+        if not st.getPath().getName().endswith(".json"):
+            continue
+        if now - st.getModificationTime() > CLAIM_LEASE_MS:
+            try:
+                fs.delete(st.getPath(), False)
+            except Exception:
+                pass
+            continue
+        try:
+            out |= set(
+                json.loads(
+                    _read_text(spark, st.getPath().toString())
+                ).get("gens", [])
+            )
+        except Exception:
+            # unreadable-but-fresh (mid-write): protect nothing from
+            # it, but leave it for the lease to age out
+            continue
+    return out
+
+
 def _clone_protected_gens(spark, table_path: str) -> set[str]:
     """Generation dir NAMES of ``table_path`` still referenced by any
     REGISTERED LIVE clone — the set ``snapshot_vacuum`` must not
@@ -1572,6 +1673,20 @@ def _clone_protected_gens(spark, table_path: str) -> set[str]:
     fs, cdir = _hfs(spark, f"{root}/{_CLONES_DIR}")
     if not fs.exists(cdir):
         return set()
+    # compare refs FULLY QUALIFIED through the Hadoop FileSystem (r8
+    # advisor): a clone registered via file:/... refs and a vacuum
+    # invoked with a plain /... root (or vice versa) must still match,
+    # or the registration reads as empty and gets pruned after the
+    # lease — silently re-exposing still-shared generations.
+    def _qual(path: str) -> str:
+        try:
+            qfs, qp = _hfs(spark, path)
+            return qfs.makeQualified(qp).toString().rstrip("/")
+        except Exception:
+            return path.rstrip("/")
+
+    qroot = _qual(root)
+    qual_cache: dict[str, str] = {}
     protected: set[str] = set()
     for st in fs.listStatus(cdir):
         name = st.getPath().getName()
@@ -1602,8 +1717,13 @@ def _clone_protected_gens(spark, table_path: str) -> set[str]:
                 except Exception:
                     continue
                 for g in m.get("partitions", {}).values():
-                    if isinstance(g, str) and g.startswith(root + "/"):
-                        refs.add(g[len(root) + 1:])
+                    if not isinstance(g, str) or g.startswith("gen-"):
+                        continue  # clone-local dirs are never refs
+                    qg = qual_cache.get(g)
+                    if qg is None:
+                        qg = qual_cache[g] = _qual(g)
+                    if qg.startswith(qroot + "/"):
+                        refs.add(qg[len(qroot) + 1:])
         if refs:
             protected |= refs
         elif _now_ms(spark) - st.getModificationTime() > CLAIM_LEASE_MS:
@@ -1680,6 +1800,14 @@ def snapshot_vacuum(
         referenced |= set(
             _read_manifest(spark, table_path, g)["partitions"].values()
         )
+    # the gen-number guard below no longer covers every in-flight
+    # writer (r8 advisor): a REBASING loser's staged dir keeps its
+    # ORIGINAL generation name, which drops to <= cur the instant its
+    # rival commits — deleting it here would make the rebased commit
+    # reference vanished files.  Rebasing writers register their
+    # staged dirs in _inflight/ (lease-aged, self-pruning) and
+    # re-verify the dirs exist before each rebased attempt.
+    inflight_protected = _inflight_protected_gens(spark, table_path)
     fs, root = _hfs(spark, table_path)
     removed_gens = 0
     protected_for_clones = 0
@@ -1689,6 +1817,7 @@ def snapshot_vacuum(
             st.isDirectory()
             and name.startswith("gen-")
             and name not in referenced
+            and name not in inflight_protected
             and int(name[4:12]) <= cur  # never touch an in-flight writer
         ):
             if name in clone_protected:

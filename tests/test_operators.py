@@ -372,3 +372,32 @@ def test_scrub_card_numbers_luhn_gate(spark):
     assert "<CARD>" in got["text"]
     assert "4532015112830366" not in got["text"]
     assert "1234567812345678" in got["text"]
+
+
+def test_scrub_card_numbers_digit_boundaries(spark):
+    """r8 advisor: a 17+-digit run whose 16-digit PREFIX passes Luhn
+    is NOT a card (no digit boundary) and must survive untouched —
+    including when a genuinely valid PAN elsewhere in the text equals
+    that prefix.  Candidates are maximal runs of length exactly 16."""
+    from gpt_rag_ingestion_spark.operators.pii import scrub_card_numbers
+
+    pan = "4532015112830366"          # Luhn-valid
+    long_run = pan + "9"              # 17 digits, prefix = the PAN
+    df = spark.createDataFrame(
+        [
+            (1, f"order {long_run} card {pan} end"),
+            (2, f"just an id {long_run} here"),
+            (3, "no digits at all"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in scrub_card_numbers(df, "text").collect()}
+    r1 = rows[1]
+    assert r1["n_card_candidates"] == 1 and r1["n_luhn_valid"] == 1
+    assert r1["text"] == f"order {long_run} card <CARD> end"
+    r2 = rows[2]
+    assert r2["n_card_candidates"] == 0 and r2["n_luhn_valid"] == 0
+    assert r2["text"] == f"just an id {long_run} here"
+    assert rows[3]["text"] == "no digits at all"
+    assert rows[4]["text"] is None

@@ -1817,3 +1817,92 @@ def test_table_detail_metadata_only(spark, tmp_path):
     dc = S.snapshot_table_detail(spark, cln)
     assert dc["cloned_from"] == snap and dc["op"] == "clone"
     assert dc["num_files"] > 0  # counts through absolute refs
+
+
+def test_forced_rollforward_validates_garbage_tmp(spark, tmp_path):
+    """r8 advisor #1: a writer SIGKILLed mid-_write_text leaves a
+    truncated/garbage _current__tmp.  The commit wait loop's FORCED
+    roll-forward must validate tmp exactly as _commit_recover does —
+    delete the garbage instead of renaming it over the valid pointer
+    (which bricked the table: unreadable _current, no tmp left)."""
+    snap = str(tmp_path / "snap")
+    S.snapshot_merge_upsert(spark, snap, _inc(spark, 0, 30))
+    cur_before = S._current_gen(spark, snap)
+    # dead writer's torn tmp: garbage bytes, no owner coming back
+    S._write_text(spark, f"{snap}/_current__tmp", "garb@ge")
+    # a direct _commit (bypassing the entry-point _commit_recover)
+    # hits the wait loop, times out (~10 s), validates, deletes the
+    # garbage and lands normally
+    gen = cur_before + 1
+    gname = S._gen_name(gen)
+    _inc(spark, 30, 40).write.parquet(S._gen_dir(snap, gname))
+    S._commit(spark, snap, gen, {"": gname}, expected_cur=cur_before)
+    assert S._current_gen(spark, snap) == gen
+    assert not S._fs_exists(spark, f"{snap}/_current__tmp")
+    assert S.read_snapshot_table(spark, snap).count() == 10
+
+
+def test_vacuum_spares_inflight_rebase_dirs(spark, tmp_path):
+    """r8 advisor #2: a rebasing loser's staged dir keeps its ORIGINAL
+    generation number, which falls inside vacuum's `<= cur` deletable
+    range the instant the rival commits.  A lease-fresh _inflight
+    breadcrumb must protect it; without one (or stale), vacuum
+    reclaims it as before."""
+    snap = str(tmp_path / "snap")
+    S.snapshot_merge_upsert(spark, snap, _inc(spark, 0, 30))
+    S.snapshot_merge_upsert(spark, snap, _inc(spark, 0, 30, mul=9))
+    cur = S._current_gen(spark, snap)
+    # simulate a loser's staged-but-unreferenced dir at gen <= cur
+    gname = S._gen_name(cur)  # same gen number as the winner's commit
+    _inc(spark, 100, 110).write.parquet(S._gen_dir(snap, gname))
+    crumb = S._register_inflight(spark, snap, {gname})
+    assert crumb is not None
+    rep = S.snapshot_vacuum(spark, snap, keep_snapshots=1)
+    assert S._fs_exists(spark, S._gen_dir(snap, gname)), (
+        "inflight-protected dir was vacuumed", rep)
+    # breadcrumb released -> next vacuum reclaims the orphan
+    S._fs_delete(spark, crumb)
+    S.snapshot_vacuum(spark, snap, keep_snapshots=1)
+    assert not S._fs_exists(spark, S._gen_dir(snap, gname))
+
+
+def test_rebase_detects_vacuumed_staging_dir(spark, tmp_path):
+    """Belt for the breadcrumb's suspenders: if vacuum DID reclaim a
+    rebaser's staged dir (raced before the breadcrumb landed), the
+    rebased commit must surface SnapshotWriteConflict instead of
+    committing a manifest that references vanished files."""
+    snap = str(tmp_path / "snap")
+    S.snapshot_merge_upsert(spark, snap, _inc(spark, 0, 30))
+    base_cur = S._current_gen(spark, snap)
+    # this writer stages gen 2 ...
+    gname = S._gen_name(base_cur + 1)
+    _inc(spark, 30, 40).write.parquet(S._gen_dir(snap, gname))
+    # ... but a rival commits gen 2 first
+    S.snapshot_merge_upsert(spark, snap, _inc(spark, 50, 60, mul=9))
+    # ... and vacuum reclaims the loser's staged dir
+    S._fs_delete(spark, S._gen_dir(snap, gname))
+    with pytest.raises(S.SnapshotWriteConflict):
+        S._commit_rebasing(
+            spark, snap, base_cur + 1, {"": gname},
+            expected_cur=base_cur, max_rebases=3,
+        )
+
+
+def test_clone_protection_survives_path_respelling(spark, tmp_path):
+    """r8 advisor #4: clone refs and vacuum's root are compared FULLY
+    QUALIFIED through the Hadoop FileSystem — a vacuum invoked with a
+    file:-scheme spelling of the same source must still see the
+    clone's refs (an unqualified prefix match came back empty and the
+    registration was pruned after the lease, re-exposing shared
+    generations)."""
+    src = str(tmp_path / "src")
+    cln = str(tmp_path / "cln")
+    S.snapshot_merge_upsert(spark, src, _inc(spark, 0, 30))
+    S.snapshot_clone(spark, src, cln)
+    S.snapshot_merge_upsert(spark, src, _inc(spark, 0, 30, mul=9))
+    qualified = "file:" + src
+    prot = S._clone_protected_gens(spark, qualified)
+    assert prot, "qualified respelling must still match clone refs"
+    rep = S.snapshot_vacuum(spark, qualified, keep_snapshots=1)
+    assert rep["protected_for_clones"] >= 1
+    assert S.read_snapshot_table(spark, cln).count() == 30
