@@ -45,10 +45,15 @@ commits a given generation; the others either REBASE — with
 ``max_conflict_rebases`` set and a write set disjoint from the
 winner's, the loser overlays its partition mappings onto the winner's
 manifest and commits the NEXT generation, reusing its already-written
-data files (``_commit_rebasing``, Delta's conflict-resolution rule) —
-or raise ``SnapshotWriteConflict`` (retry = re-run the merge against
-the new snapshot); abandoned generation dirs are garbage for
-``snapshot_vacuum``.  Claims carry a LEASE
+data files (``_commit_rebasing``, Delta's conflict-resolution rule;
+staged dirs are vacuum-protected by a lease-aged ``_inflight``
+breadcrumb for the rebase window) — or, with budget remaining, RETRY
+THE WHOLE MERGE against the winner's snapshot (``_retrying_merge``,
+Delta's fallback for non-disjoint ConcurrentAppend: arbitration
+re-reads the new current table, so last-writer-wins holds even on
+overlapping keys) — or raise ``SnapshotWriteConflict`` (retry = re-run
+the merge against the new snapshot); abandoned generation dirs are
+garbage for ``snapshot_vacuum``.  Claims carry a LEASE
 (``CLAIM_LEASE_MS``) kept alive by a HEARTBEAT: from claim creation
 to pointer swap a daemon thread refreshes the claim file's mtime
 every ``CLAIM_HEARTBEAT_MS`` (lease/5), and crash recovery prunes
@@ -949,7 +954,30 @@ def _enforce_schema(existing: DataFrame, incoming: DataFrame) -> None:
         )
 
 
-def snapshot_merge_upsert(
+
+def _retrying_merge(fn, max_conflict_rebases: int):
+    """OVERLAP FALLBACK (Delta's behavior for non-disjoint
+    ConcurrentAppend, r8 verdict #3): when the cheap disjoint-
+    partition REBASE inside ``_commit_rebasing`` refuses (overlapping
+    write sets, DV on either side) or the claim never resolves, retry
+    the WHOLE merge from scratch against the winner's snapshot —
+    arbitration re-reads the new current table, partitions are
+    recomputed, and last-writer-wins semantics hold.  Bounded by the
+    same ``max_conflict_rebases`` budget as the rebase loop (total
+    work <= (budget+1) merge computations); with a budget of 0 the
+    first conflict propagates exactly as before."""
+    tries = max(0, int(max_conflict_rebases))
+    last: SnapshotWriteConflict | None = None
+    for _ in range(tries + 1):
+        try:
+            return fn()
+        except SnapshotWriteConflict as e:
+            last = e
+    assert last is not None
+    raise last
+
+
+def _snapshot_merge_upsert_once(
     spark: SparkSession,
     table_path: str,
     incoming: DataFrame,
@@ -1091,7 +1119,36 @@ def snapshot_merge_upsert(
     )
 
 
-def snapshot_merge_when(
+
+def snapshot_merge_upsert(
+    spark: SparkSession,
+    table_path: str,
+    incoming: DataFrame,
+    key: str = "parent_id",
+    partition_cols: list[str] | None = None,
+    schema_evolution: str = "merge",
+    optimize_write: bool = False,
+    max_conflict_rebases: int = 0,
+) -> int:
+    """See ``_snapshot_merge_upsert_once`` for the merge contract.
+    ``max_conflict_rebases`` buys BOTH concurrency lanes: disjoint-
+    partition rivals rebase cheaply inside the commit; overlapping
+    rivals fall back to retrying the whole merge against the winner's
+    snapshot (``_retrying_merge``) — Delta's conflict-resolution
+    ladder."""
+    return _retrying_merge(
+        lambda: _snapshot_merge_upsert_once(
+            spark, table_path, incoming, key=key,
+            partition_cols=partition_cols,
+            schema_evolution=schema_evolution,
+            optimize_write=optimize_write,
+            max_conflict_rebases=max_conflict_rebases,
+        ),
+        max_conflict_rebases,
+    )
+
+
+def _snapshot_merge_when_once(
     spark: SparkSession,
     table_path: str,
     incoming: DataFrame,
@@ -1260,7 +1317,37 @@ def snapshot_merge_when(
     )
 
 
-def snapshot_delete_keys(
+
+def snapshot_merge_when(
+    spark: SparkSession,
+    table_path: str,
+    incoming: DataFrame,
+    key: str = "parent_id",
+    partition_cols: list[str] | None = None,
+    matched_update: str | None = None,
+    matched_delete: str | None = None,
+    insert_unmatched: bool = True,
+    insert_condition: str | None = None,
+    max_conflict_rebases: int = 0,
+) -> int:
+    """See ``_snapshot_merge_when_once`` for the MERGE-clause
+    contract; overlap/claim conflicts retry the whole merge against
+    the winner's snapshot (``_retrying_merge``)."""
+    return _retrying_merge(
+        lambda: _snapshot_merge_when_once(
+            spark, table_path, incoming, key=key,
+            partition_cols=partition_cols,
+            matched_update=matched_update,
+            matched_delete=matched_delete,
+            insert_unmatched=insert_unmatched,
+            insert_condition=insert_condition,
+            max_conflict_rebases=max_conflict_rebases,
+        ),
+        max_conflict_rebases,
+    )
+
+
+def _snapshot_delete_keys_once(
     spark: SparkSession,
     table_path: str,
     keys: DataFrame,
@@ -1438,6 +1525,33 @@ def snapshot_delete_keys(
         spark, table_path, gen, partitions, expected_cur=cur,
         extra=_carry_dv_ref(spark, table_path, manifest, partitions, gen),
         op="delete", max_rebases=max_conflict_rebases,
+    )
+
+
+
+def snapshot_delete_keys(
+    spark: SparkSession,
+    table_path: str,
+    keys: DataFrame,
+    key: str = "parent_id",
+    partition_cols: list[str] | None = None,
+    mode: str = "rewrite",
+    max_dv_rows: int = 2_000_000,
+    max_conflict_rebases: int = 0,
+) -> int:
+    """See ``_snapshot_delete_keys_once`` for the delete contract;
+    conflicts retry the whole delete against the winner's snapshot
+    (``_retrying_merge``) — in DV mode the vectors are recomputed
+    against the new current manifest, which is why a DV commit never
+    rebases in place."""
+    return _retrying_merge(
+        lambda: _snapshot_delete_keys_once(
+            spark, table_path, keys, key=key,
+            partition_cols=partition_cols, mode=mode,
+            max_dv_rows=max_dv_rows,
+            max_conflict_rebases=max_conflict_rebases,
+        ),
+        max_conflict_rebases,
     )
 
 

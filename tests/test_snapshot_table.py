@@ -1906,3 +1906,122 @@ def test_clone_protection_survives_path_respelling(spark, tmp_path):
     rep = S.snapshot_vacuum(spark, qualified, keep_snapshots=1)
     assert rep["protected_for_clones"] >= 1
     assert S.read_snapshot_table(spark, cln).count() == 30
+
+
+def test_concurrent_overlapping_writers_both_land(spark, tmp_path):
+    """r8 verdict #3: two merges racing on the SAME partition cannot
+    rebase (overlapping write sets) — with max_conflict_rebases on,
+    the loser must RETRY THE WHOLE MERGE against the winner's
+    snapshot instead of raising.  Both land; because both writers
+    upsert disjoint KEY ranges, the final table holds both increments
+    whatever the commit order (delete-then-insert arbitration re-run
+    on the winner's rows)."""
+    import threading
+
+    snap = str(tmp_path / "snap")
+    S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 0, 30), partition_cols=["bucket"]
+    )
+    start = threading.Barrier(2)
+    errs: list[BaseException] = []
+
+    def writer(lo, hi, mul):
+        try:
+            # every bucket touched by both writers -> never disjoint
+            inc = _inc(spark, lo, hi, mul=mul)
+            start.wait(timeout=60)
+            S.snapshot_merge_upsert(
+                spark, snap, inc, partition_cols=["bucket"],
+                max_conflict_rebases=5,
+            )
+        except BaseException as e:
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=writer, args=(30, 60, 5)),
+        threading.Thread(target=writer, args=(60, 90, 9)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errs, errs
+    t = S.read_snapshot_table(spark, snap)
+    assert t.filter("parent_id < 30 AND v = 7 * parent_id").count() == 30
+    assert t.filter(
+        "parent_id >= 30 AND parent_id < 60 AND v = 5 * parent_id"
+    ).count() == 30
+    assert t.filter(
+        "parent_id >= 60 AND parent_id < 90 AND v = 9 * parent_id"
+    ).count() == 30
+    assert t.count() == 90
+
+
+def test_overlap_retry_last_writer_wins_same_keys(spark, tmp_path):
+    """Sequential proof of the retry semantics the race above cannot
+    pin: writer B computed against gen 1, but A committed gen 2
+    touching the SAME partition and SAME keys first.  B's retry must
+    re-arbitrate against A's rows — B's values win (last writer), and
+    A's non-overlapping keys survive."""
+    snap = str(tmp_path / "snap")
+    S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 0, 30), partition_cols=["bucket"]
+    )
+
+    # B computes against gen 1; the rival lands BETWEEN B's read and
+    # B's commit (hooked at the commit door, so the conflict is real)
+    orig_cr = S._commit_rebasing
+    state = {"fired": False}
+
+    def cr_with_rival(*a, **k):
+        if not state["fired"]:
+            state["fired"] = True
+            S.snapshot_merge_upsert(
+                spark, snap, _inc(spark, 0, 40, mul=5),
+                partition_cols=["bucket"],
+            )
+        return orig_cr(*a, **k)
+
+    S._commit_rebasing = cr_with_rival
+    try:
+        S.snapshot_merge_upsert(
+            spark, snap, _inc(spark, 0, 20, mul=9),
+            partition_cols=["bucket"], max_conflict_rebases=3,
+        )
+    finally:
+        S._commit_rebasing = orig_cr
+
+    t = S.read_snapshot_table(spark, snap)
+    assert t.count() == 40
+    assert t.filter("parent_id < 20 AND v = 9 * parent_id").count() == 20
+    assert t.filter("parent_id >= 20 AND v = 5 * parent_id").count() == 20
+
+
+def test_overlap_conflict_still_raises_without_budget(spark, tmp_path):
+    """max_conflict_rebases=0 keeps the old contract: the first
+    conflict propagates."""
+    snap = str(tmp_path / "snap")
+    S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 0, 30), partition_cols=["bucket"]
+    )
+    orig_cr = S._commit_rebasing
+    state = {"fired": False}
+
+    def cr_with_rival(*a, **k):
+        if not state["fired"]:
+            state["fired"] = True
+            S.snapshot_merge_upsert(
+                spark, snap, _inc(spark, 0, 40, mul=5),
+                partition_cols=["bucket"],
+            )
+        return orig_cr(*a, **k)
+
+    S._commit_rebasing = cr_with_rival
+    try:
+        with pytest.raises(S.SnapshotWriteConflict):
+            S.snapshot_merge_upsert(
+                spark, snap, _inc(spark, 0, 20, mul=9),
+                partition_cols=["bucket"], max_conflict_rebases=0,
+            )
+    finally:
+        S._commit_rebasing = orig_cr
