@@ -6082,6 +6082,321 @@ def q222_card_scrub_luhn(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q223_overlap_merge_race(spark: SparkSession, sf: str) -> DataFrame:
+    """OCC OVERLAP FALLBACK as a gate query (r8 verdict #3, the q219
+    companion): two writers race real merges whose write sets share
+    EVERY partition (writer A re-ingests event_id % 3 = 0, writer B
+    % 3 = 1 — both spread over all four buckets) but touch disjoint
+    KEYS.  A rebase is impossible (overlapping partitions), so the
+    loser must RETRY THE WHOLE MERGE against the winner's snapshot
+    (Delta's non-disjoint ConcurrentAppend resolution); because the
+    increments derive from the immutable source (never from the
+    table), the retry is idempotent and the outcome is
+    schedule-independent — hence a closed-form oracle for a
+    nondeterministic race."""
+    import tempfile
+    import threading
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        read_snapshot_table,
+        snapshot_merge_upsert,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_id") % 4).cast("int").alias("bucket"),
+    )
+    base = tempfile.mkdtemp(prefix="q223-overlap-")
+    snap = f"{base}/snap"
+    snapshot_merge_upsert(
+        spark, snap, ev, key="event_id", partition_cols=["bucket"]
+    )
+    start = threading.Barrier(2)
+    errs: list = []
+
+    def writer(pred, col):
+        try:
+            inc = ev.filter(pred).withColumn("cents", col)
+            start.wait(timeout=120)
+            snapshot_merge_upsert(
+                spark, snap, inc, key="event_id",
+                partition_cols=["bucket"], max_conflict_rebases=8,
+            )
+        except BaseException as e:   # surfaced below
+            errs.append(e)
+
+    ts = [
+        threading.Thread(
+            target=writer, args=("event_id % 3 = 0", F.col("cents") * 2)
+        ),
+        threading.Thread(
+            target=writer, args=("event_id % 3 = 1", F.col("cents") + 5)
+        ),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=600)
+    if errs:
+        raise errs[0]
+    return read_snapshot_table(spark, snap).select(
+        "event_id", "user_id", "cents", "bucket"
+    ).localCheckpoint()
+
+
+def q224_schema_evolution_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """SCHEMA EVOLUTION through the partitioned snapshot merge: the
+    second increment carries a NEW column (``src``); pre-evolution
+    rows read it back as NULL, the manifest's stored schema appends
+    the column while keeping the original order stable (r9 schema
+    tracking), and the evolved schema is returned inline so the hash
+    pins it.  Delta's mergeSchema semantics on this engine's
+    manifest-pointer sink."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        read_snapshot_table,
+        snapshot_merge_upsert,
+        snapshot_table_detail,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_id") % 4).cast("int").alias("bucket"),
+    )
+    base = tempfile.mkdtemp(prefix="q224-evolve-")
+    snap = f"{base}/snap"
+    snapshot_merge_upsert(
+        spark, snap, ev, key="event_id", partition_cols=["bucket"]
+    )
+    inc = ev.filter("event_id % 5 = 0").withColumn(
+        "cents", F.col("cents") + 1
+    ).withColumn(
+        "src", F.concat(F.lit("s"), (F.col("event_id") % 3).cast("string"))
+    )
+    snapshot_merge_upsert(
+        spark, snap, inc, key="event_id", partition_cols=["bucket"]
+    )
+    d = snapshot_table_detail(spark, snap)
+    return read_snapshot_table(spark, snap).select(
+        "event_id", "cents",
+        F.coalesce(F.col("src"), F.lit("<null>")).alias("src"),
+        F.lit(",".join(d["schema"])).alias("table_schema"),
+    ).localCheckpoint()
+
+
+def q225_snapshot_update_where(spark: SparkSession, sf: str) -> DataFrame:
+    """UPDATE ... SET ... WHERE as a gate query: two sequential
+    updates through ``snapshot_update`` (executed as keyed merges, so
+    they inherit the commit protocol) — a value bump on one predicate,
+    then a PARTITION-COLUMN move on another (legal: the merge's
+    semi-join removes the row from its old bucket directory).  Rows
+    matching both predicates see both effects in order; the oracle
+    states the composition closed-form from raw events."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        read_snapshot_table,
+        snapshot_merge_upsert,
+        snapshot_update,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_id") % 4).cast("int").alias("bucket"),
+    )
+    base = tempfile.mkdtemp(prefix="q225-update-")
+    snap = f"{base}/snap"
+    snapshot_merge_upsert(
+        spark, snap, ev, key="event_id", partition_cols=["bucket"]
+    )
+    snapshot_update(
+        spark, snap, "user_id % 7 = 0", {"cents": "cents + 1000"},
+        key="event_id", partition_cols=["bucket"],
+    )
+    snapshot_update(
+        spark, snap, "event_id % 11 = 0",
+        {"bucket": "CAST(pmod(bucket + 1, 4) AS INT)"},
+        key="event_id", partition_cols=["bucket"],
+    )
+    return read_snapshot_table(spark, snap).select(
+        "event_id", "user_id", "cents", "bucket"
+    ).localCheckpoint()
+
+
+def q226_generated_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """GENERATED ALWAYS AS columns (Delta's generated columns) as a
+    gate query: declare ``bucket`` and ``day`` as generation
+    expressions ONCE, then merge increments that do NOT carry them —
+    every commit computes them from the declaration (the standard
+    derived-partition-column pattern, so callers can never forget the
+    partition key).  The oracle recomputes both expressions from raw
+    events."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        read_snapshot_table,
+        snapshot_merge_upsert,
+        snapshot_set_generated_columns,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    base = tempfile.mkdtemp(prefix="q226-gencol-")
+    snap = f"{base}/snap"
+    snapshot_set_generated_columns(
+        spark, snap,
+        {
+            "bucket": "CAST(pmod(event_id, 4) AS INT)",
+            "day": "date_format(ts, 'yyyy-MM-dd')",
+        },
+    )
+    snapshot_merge_upsert(
+        spark, snap, ev.filter("event_id % 2 = 0"),
+        key="event_id", partition_cols=["bucket"],
+    )
+    snapshot_merge_upsert(
+        spark, snap, ev.filter("event_id % 2 = 1"),
+        key="event_id", partition_cols=["bucket"],
+    )
+    return read_snapshot_table(spark, snap).select(
+        "event_id", "cents", "bucket", "day"
+    ).localCheckpoint()
+
+
+def q227_nation_year_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 SHAPE (product-type profit by nation and year), the
+    profit PROXY feasible on this star schema (no partsupp, so no
+    ps_supplycost term — documented deviation): part-name LIKE filter
+    -> 4-way join (part ⋈ lineitem ⋈ supplier ⋈ nation, orders for the
+    year) -> group by (nation, year).  Dimensions broadcast; the fact
+    table never shuffles before its partial aggregation.  Centi-cent
+    exact."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").filter(
+        F.col("p_name").contains("a")
+        & (F.col("p_size") % 3 == 0)
+    ).select("p_partkey")
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    ords = _t(spark, sf, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(ords, li.l_orderkey == ords.o_orderkey)
+        .groupBy("n_name", "o_year")
+        .agg(F.sum(_rev_cc()).cast("long").alias("profit_cc"))
+        .select(
+            F.col("n_name").alias("nation"), "o_year", "profit_cc"
+        )
+    )
+
+
+def q228_contingency_expected(spark: SparkSession, sf: str) -> DataFrame:
+    """CONTINGENCY-TABLE ANALYSIS (feature association, the
+    chi-square building block): observed vs expected counts for the
+    event_type × value-band cross-tab, with the expected count
+    ``row_total * col_total / N`` carried in EXACT integer
+    ten-thousandths (``div``-based fixed point — no floating division
+    anywhere, so any engine reproduces the table bit-for-bit).  One
+    grouped count + two broadcast marginals — no shuffle of the fact
+    table beyond the partial-aggregated groupBy."""
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / 25).cast("int"), F.lit(3)
+        ).alias("band"),
+    )
+    obs = ev.groupBy("event_type", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    rows = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("row_n")
+    )
+    cols = ev.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("col_n")
+    )
+    n = ev.count()
+    return (
+        obs.join(F.broadcast(rows), "event_type")
+        .join(F.broadcast(cols), "band")
+        .select(
+            "event_type", "band", "obs",
+            F.expr(f"(row_n * col_n * 10000) div {int(n)}")
+            .cast("long").alias("expected_e4"),
+        )
+    )
+
+
+def q229_sentence_dedup_global(spark: SparkSession, sf: str) -> DataFrame:
+    """CROSS-document sentence dedup, keep-first-global (the C4-style
+    corpus-wide complement of q212's intra-doc line dedup): documents
+    are re-sentenced deterministically (8-word sentences) and every
+    doc_id gets a PLANTED sentence shared by its doc_id % 17 cohort —
+    the operator must keep each shared sentence only in its
+    lowest-(doc_id, pos) occurrence and reassemble every other
+    document without it, original order preserved.  One
+    sentence-keyed shuffle + one per-doc re-aggregation; no
+    corpus-wide window."""
+    from gpt_rag_ingestion_spark.operators.text_analysis import (
+        dedup_sentences_global,
+    )
+
+    words = F.split(F.col("text"), " ")
+    # words regrouped into 8-word sentences, joined by ". "
+    sentences = F.filter(
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.size(words) - 1) / F.lit(8)).cast("int"),
+            ),
+            lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+        ),
+        lambda s: F.length(s) > 0,
+    )
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.array_join(sentences, ". "),
+            F.lit(". shared boilerplate cohort "),
+            (F.col("doc_id") % 17).cast("string"),
+        ).alias("text"),
+    )
+    out = dedup_sentences_global(docs)
+    return out.select(
+        "doc_id", F.md5(F.col("text")).alias("text_md5"),
+        "n_sentences", "n_kept",
+    )
+
+
+def q230_pps_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """SYSTEMATIC PPS SAMPLING (corpus mixture by weight): draw ~120
+    documents with probability proportional to ``n_chars`` by laying
+    all weights on an integer line (distributed prefix sum — range
+    partition + offsets, never an unpartitioned window) and taking
+    every total/120-th point.  Pure int64 arithmetic end to end (no
+    RNG, no pow, no ulp), which is why the oracle reproduces the draw
+    EXACTLY — the reproducible-mixture primitive q73's uniform hash
+    sampler cannot provide when inclusion must follow weight."""
+    from gpt_rag_ingestion_spark.operators.sampling import (
+        systematic_pps_sample,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    return systematic_pps_sample(
+        docs, ["doc_id"], "n_chars", k=120,
+        bucket_expr=(F.col("doc_id") / 64).cast("long"),
+    ).select("doc_id", "n_chars", "n_picks")
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW (and that the registry/oracle counts match QUERIES.md)
@@ -6104,62 +6419,64 @@ DRIVER_WINDOW = [
     "q60_merge_upsert",
     "q110_web_admission",
     "q144_giant_doc_parts",
-    "q189_order_priority_check",
-    "q190_promo_revenue",
-    "q191_late_shipment_priority",
-    "q192_large_orders",
-    "q193_bracket_revenue",
-    "q194_volume_shipping",
-    "q195_market_share",
-    "q196_banded_discount_revenue",
-    "q197_snapshot_clone",
-    "q198_freshness_rank",
+    "q96_cluster_keeper",
+    "q98_quality_percentile_gate",
+    "q103_epoch_mixture",
+    "q104_incremental_rollup",
+    "q106_url_canonical",
+    "q112_table_stats",
+    "q122_temporal_lookup",
+    "q123_grouped_correlation",
+    "q124_grouped_mode",
+    "q126_winsorize",
+    "q132_mad_outliers",
+    "q133_strip_accents",
+    "q137_dwell_times",
+    "q138_embedding_dim_stats",
+    "q179_waiting_suppliers",
+    "q180_small_quantity_revenue",
+    "q181_idle_rich_customers",
+    "q219_concurrent_writers",
+    "q220_clone_survives_vacuum",
+    "q221_boilerplate_strip",
+    "q222_card_scrub_luhn",
+    "q151_snapshot_merge",
     "q199_k_anonymity",
-    "q200_cdf_rollup_live",
-    "q201_revenue_rollup_cube",
-    "q202_metric_unpivot",
-    "q203_value_deciles",
     "q204_cdc_conditional_merge",
-    "q205_dynamic_partition_pruning",
-    "q206_unconverted_impressions",
-    "q207_scoring_profile",
-    "q208_rfm_segments",
-    "q209_last_touch_attribution",
-    "q210_grouped_median_exact",
-    "q211_pareto_frontier",
-    "q212_line_dedup",
-    "q213_vocab_roundtrip",
-    "q214_autocomplete_two_terms",
-    "q215_top_supplier",
-    "q216_streaming_cdf_rollup",
     "q217_describe_detail",
-    "q218_force_reprocess_backfill",
-    "q101_corpus_health",
-    "q120_collocations",
-    "q128_acl_visibility",
+    "q223_overlap_merge_race",
+    "q224_schema_evolution_merge",
+    "q225_snapshot_update_where",
+    "q226_generated_columns",
+    "q227_nation_year_profit",
+    "q228_contingency_expected",
+    "q229_sentence_dedup_global",
+    "q230_pps_sample",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records only the
-    # FIRST 50 entries, which are pinned by the DRIVER_WINDOW constant
-    # above and asserted by scripts/check_oracle.py (the literal is
-    # also checked duplicate-free against the source).  The window
-    # rotates each round: 17 family anchors stay fixed —
-    # ingest/freshness/purge (q01-q06), chunking (q10), dedup
+    # FIRST 50 entries, pinned by the DRIVER_WINDOW constant above and
+    # asserted by scripts/check_oracle.py (duplicate-free against the
+    # source).  The window rotates each round: 17 family anchors stay
+    # fixed — ingest/freshness/purge (q01-q06), chunking (q10), dedup
     # (q15-q18), exact-ANN (q19), streaming (q24), ops (q38/q60), web
-    # admission (q110), giant-doc equivalence (q144) — while the
-    # remaining 33 slots burn down the never-driver-checked backlog.
-    # This round (r8): ALL of q189-q218 get first driver rows — the
-    # TPC-H tail (q189-q196), clone/k-anon/IVM/rollup/unpivot/deciles/
-    # CDC-merge/DPP/interval/scoring (q197-q207), the distributed-rank
-    # analytics (q208-q211), line-dedup/vocab/autocomplete/Q15
-    # (q212-q215), and the three NEW round-8 gate ids (q216 streaming
-    # CDF rollup, q217 DESCRIBE DETAIL, q218 force_reprocess) — plus
-    # three older never-checked ids (q101/q120/q128).  Rotated out
-    # (driver-green in r7, still checked by the full gate): q108,
-    # q130, q163-q188 block, q89/q97/q99/q105/q119/q127/q134/q136.
-    # Never-driver-checked after this window: 20 ids.
+    # admission (q110), giant-doc equivalence (q144).  This round (r9)
+    # the remaining 33 slots DRAIN THE BACKLOG TO ZERO: all 21 ids
+    # that had never had a driver row (q96 q98 q103 q104 q106 q112
+    # q122-q124 q126 q132 q133 q137 q138 q179-q181 q219-q222), plus
+    # re-exposure of the four ids whose operators or outputs changed
+    # this round (q151/q204 merge commit now stores the logical
+    # schema; q199 drop-list tokenizer hardened; q217 gained
+    # schema/partition_columns output columns), plus the eight NEW r9
+    # ids (q223 OCC overlap race, q224 schema evolution, q225 UPDATE,
+    # q226 generated columns, q227 TPC-H Q9-shape profit proxy, q228
+    # contingency expected counts, q229 cross-doc sentence dedup,
+    # q230 systematic PPS sampling).  After this window every
+    # oracle-backed id in the registry has had >= 1 driver row across
+    # rounds 1-9; only q79/q93/q107 (rows-only by declared policy)
+    # remain outside, cannot enter (test_window_is_oracle_backed).
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q02_watermark_agg": q02_watermark_agg,
@@ -6178,6 +6495,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_merge_upsert": q60_merge_upsert,
         "q110_web_admission": q110_web_admission,
         "q144_giant_doc_parts": q144_giant_doc_parts,
+        "q96_cluster_keeper": q96_cluster_keeper,
+        "q98_quality_percentile_gate": q98_quality_percentile_gate,
+        "q103_epoch_mixture": q103_epoch_mixture,
+        "q104_incremental_rollup": q104_incremental_rollup,
+        "q106_url_canonical": q106_url_canonical,
+        "q112_table_stats": q112_table_stats,
+        "q122_temporal_lookup": q122_temporal_lookup,
+        "q123_grouped_correlation": q123_grouped_correlation,
+        "q124_grouped_mode": q124_grouped_mode,
+        "q126_winsorize": q126_winsorize,
+        "q132_mad_outliers": q132_mad_outliers,
+        "q133_strip_accents": q133_strip_accents,
+        "q137_dwell_times": q137_dwell_times,
+        "q138_embedding_dim_stats": q138_embedding_dim_stats,
+        "q179_waiting_suppliers": q179_waiting_suppliers,
+        "q180_small_quantity_revenue": q180_small_quantity_revenue,
+        "q181_idle_rich_customers": q181_idle_rich_customers,
+        "q219_concurrent_writers": q219_concurrent_writers,
+        "q220_clone_survives_vacuum": q220_clone_survives_vacuum,
+        "q221_boilerplate_strip": q221_boilerplate_strip,
+        "q222_card_scrub_luhn": q222_card_scrub_luhn,
+        "q151_snapshot_merge": q151_snapshot_merge,
+        "q199_k_anonymity": q199_k_anonymity,
+        "q204_cdc_conditional_merge": q204_cdc_conditional_merge,
+        "q217_describe_detail": q217_describe_detail,
+        "q223_overlap_merge_race": q223_overlap_merge_race,
+        "q224_schema_evolution_merge": q224_schema_evolution_merge,
+        "q225_snapshot_update_where": q225_snapshot_update_where,
+        "q226_generated_columns": q226_generated_columns,
+        "q227_nation_year_profit": q227_nation_year_profit,
+        "q228_contingency_expected": q228_contingency_expected,
+        "q229_sentence_dedup_global": q229_sentence_dedup_global,
+        "q230_pps_sample": q230_pps_sample,
         "q189_order_priority_check": q189_order_priority_check,
         "q190_promo_revenue": q190_promo_revenue,
         "q191_late_shipment_priority": q191_late_shipment_priority,
@@ -6188,12 +6538,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q196_banded_discount_revenue": q196_banded_discount_revenue,
         "q197_snapshot_clone": q197_snapshot_clone,
         "q198_freshness_rank": q198_freshness_rank,
-        "q199_k_anonymity": q199_k_anonymity,
         "q200_cdf_rollup_live": q200_cdf_rollup_live,
         "q201_revenue_rollup_cube": q201_revenue_rollup_cube,
         "q202_metric_unpivot": q202_metric_unpivot,
         "q203_value_deciles": q203_value_deciles,
-        "q204_cdc_conditional_merge": q204_cdc_conditional_merge,
         "q205_dynamic_partition_pruning": q205_dynamic_partition_pruning,
         "q206_unconverted_impressions": q206_unconverted_impressions,
         "q207_scoring_profile": q207_scoring_profile,
@@ -6206,7 +6554,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q214_autocomplete_two_terms": q214_autocomplete_two_terms,
         "q215_top_supplier": q215_top_supplier,
         "q216_streaming_cdf_rollup": q216_streaming_cdf_rollup,
-        "q217_describe_detail": q217_describe_detail,
         "q218_force_reprocess_backfill": q218_force_reprocess_backfill,
         "q101_corpus_health": q101_corpus_health,
         "q120_collocations": q120_collocations,
@@ -6284,21 +6631,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_bpe_merges": q93_bpe_merges,
         "q94_shard_assignment": q94_shard_assignment,
         "q95_hamming_neardup": q95_hamming_neardup,
-        "q96_cluster_keeper": q96_cluster_keeper,
         "q97_interval_join": q97_interval_join,
-        "q98_quality_percentile_gate": q98_quality_percentile_gate,
         "q99_rolling_hour_counts": q99_rolling_hour_counts,
         "q100_histogram_quantiles": q100_histogram_quantiles,
         "q102_incremental_dedup": q102_incremental_dedup,
-        "q103_epoch_mixture": q103_epoch_mixture,
-        "q104_incremental_rollup": q104_incremental_rollup,
         "q105_nfc_normalize": q105_nfc_normalize,
-        "q106_url_canonical": q106_url_canonical,
         "q107_bpe_segment": q107_bpe_segment,
         "q108_pagerank": q108_pagerank,
         "q109_snapshot_diff": q109_snapshot_diff,
         "q111_vocab_encode": q111_vocab_encode,
-        "q112_table_stats": q112_table_stats,
         "q113_kmv_set_algebra": q113_kmv_set_algebra,
         "q114_token_blocks": q114_token_blocks,
         "q115_shipping_priority": q115_shipping_priority,
@@ -6307,22 +6648,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_scd2_intervals": q118_scd2_intervals,
         "q119_event_pivot": q119_event_pivot,
         "q121_triangle_count": q121_triangle_count,
-        "q122_temporal_lookup": q122_temporal_lookup,
-        "q123_grouped_correlation": q123_grouped_correlation,
-        "q124_grouped_mode": q124_grouped_mode,
         "q125_fuzzy_linkage": q125_fuzzy_linkage,
-        "q126_winsorize": q126_winsorize,
         "q127_gap_fill": q127_gap_fill,
         "q129_join_size_sketch": q129_join_size_sketch,
         "q130_funnel": q130_funnel,
         "q131_retention_cohorts": q131_retention_cohorts,
-        "q132_mad_outliers": q132_mad_outliers,
-        "q133_strip_accents": q133_strip_accents,
         "q134_revenue_share": q134_revenue_share,
         "q135_cumulative_distinct": q135_cumulative_distinct,
         "q136_latest_per_key": q136_latest_per_key,
-        "q137_dwell_times": q137_dwell_times,
-        "q138_embedding_dim_stats": q138_embedding_dim_stats,
         "q139_media_fingerprint_neardup": q139_media_fingerprint_neardup,
         "q140_salted_join": q140_salted_join,
         "q141_dedup_planner": q141_dedup_planner,
@@ -6334,7 +6667,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_ivfpq_index_exact": q148_ivfpq_index_exact,
         "q149_zorder_key": q149_zorder_key,
         "q150_cumulative_domain_cap": q150_cumulative_domain_cap,
-        "q151_snapshot_merge": q151_snapshot_merge,
         "q152_bucketed_join": q152_bucketed_join,
         "q153_lm_quality_buckets": q153_lm_quality_buckets,
         "q154_char_coverage": q154_char_coverage,
@@ -6362,9 +6694,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q176_snapshot_restore": q176_snapshot_restore,
         "q177_sketch_rerank": q177_sketch_rerank,
         "q178_more_like_this": q178_more_like_this,
-        "q179_waiting_suppliers": q179_waiting_suppliers,
-        "q180_small_quantity_revenue": q180_small_quantity_revenue,
-        "q181_idle_rich_customers": q181_idle_rich_customers,
         "q182_filtered_search": q182_filtered_search,
         "q183_filtered_hybrid": q183_filtered_hybrid,
         "q184_semantic_rerank": q184_semantic_rerank,
@@ -6372,10 +6701,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q186_stickiness": q186_stickiness,
         "q187_event_transitions": q187_event_transitions,
         "q188_rag_end_to_end": q188_rag_end_to_end,
-        "q219_concurrent_writers": q219_concurrent_writers,
-        "q220_clone_survives_vacuum": q220_clone_survives_vacuum,
-        "q221_boilerplate_strip": q221_boilerplate_strip,
-        "q222_card_scrub_luhn": q222_card_scrub_luhn,
     }
 
 
@@ -10253,5 +10578,137 @@ def oracle_sql() -> dict[str, str]:
                   (x, y) -> x || y) END) AS BIGINT)
                 AS scrubbed_len
             FROM validated
+        """,
+        "q223_overlap_merge_race": """
+            -- schedule-independent because the racing write sets are
+            -- key-disjoint and increments derive from the source:
+            -- event_id%3=0 doubled, %3=1 +5, %3=2 untouched
+            SELECT event_id, user_id,
+              CASE WHEN event_id % 3 = 0
+                   THEN CAST(round(value * 100) AS BIGINT) * 2
+                   WHEN event_id % 3 = 1
+                   THEN CAST(round(value * 100) AS BIGINT) + 5
+                   ELSE CAST(round(value * 100) AS BIGINT) END AS cents,
+              CAST(event_id % 4 AS INT) AS bucket
+            FROM events
+        """,
+        "q224_schema_evolution_merge": """
+            SELECT event_id,
+              CAST(round(value * 100) AS BIGINT)
+                + CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS cents,
+              CASE WHEN event_id % 5 = 0
+                   THEN 's' || CAST(event_id % 3 AS VARCHAR)
+                   ELSE '<null>' END AS src,
+              'event_id:bigint,user_id:bigint,cents:bigint,bucket:int,src:string'
+                AS table_schema
+            FROM events
+        """,
+        "q225_snapshot_update_where": """
+            -- UPDATE composition stated closed-form: cents bump first,
+            -- then the partition-column move (rows matching both see
+            -- both effects)
+            SELECT event_id, user_id,
+              CAST(round(value * 100) AS BIGINT)
+                + CASE WHEN user_id % 7 = 0 THEN 1000 ELSE 0 END AS cents,
+              CAST(CASE WHEN event_id % 11 = 0
+                   THEN (event_id % 4 + 1) % 4
+                   ELSE event_id % 4 END AS INT) AS bucket
+            FROM events
+        """,
+        "q226_generated_columns": """
+            -- generated columns recomputed from their declarations
+            SELECT event_id,
+              CAST(round(value * 100) AS BIGINT) AS cents,
+              CAST(event_id % 4 AS INT) AS bucket,
+              strftime(ts, '%Y-%m-%d') AS day
+            FROM events
+        """,
+        "q227_nation_year_profit": """
+            SELECT n_name AS nation,
+              CAST(year(o_orderdate) AS INT) AS o_year,
+              CAST(SUM(
+                CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))
+              ) AS BIGINT) AS profit_cc
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN orders ON o_orderkey = l_orderkey
+            WHERE p_name LIKE '%a%' AND p_size % 3 = 0
+            GROUP BY n_name, CAST(year(o_orderdate) AS INT)
+        """,
+        "q228_contingency_expected": """
+            WITH e AS (
+              SELECT event_type,
+                LEAST(CAST(floor(value / 25) AS INT), 3) AS band
+              FROM events),
+            obs AS (
+              SELECT event_type, band, CAST(COUNT(*) AS BIGINT) AS obs
+              FROM e GROUP BY event_type, band),
+            r AS (
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS row_n
+              FROM e GROUP BY event_type),
+            c AS (
+              SELECT band, CAST(COUNT(*) AS BIGINT) AS col_n
+              FROM e GROUP BY band),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM e)
+            SELECT event_type, band, obs,
+              CAST((row_n * col_n * 10000) // nn AS BIGINT) AS expected_e4
+            FROM obs JOIN r USING (event_type) JOIN c USING (band), n
+        """,
+        "q229_sentence_dedup_global": """
+            WITH sent0 AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(
+                    range(0,
+                      CAST(floor((len(string_split(text, ' ')) - 1) / 8)
+                        AS INT) + 1),
+                    i -> array_to_string(
+                      list_slice(string_split(text, ' '),
+                                 i * 8 + 1, i * 8 + 8), ' ')),
+                  s -> length(s) > 0) AS sents
+              FROM documents),
+            planted AS (
+              SELECT doc_id,
+                list_append(sents,
+                  'shared boilerplate cohort '
+                    || CAST(doc_id % 17 AS VARCHAR)) AS sents
+              FROM sent0),
+            ex AS (
+              -- parallel unnests align positionally in DuckDB
+              SELECT doc_id,
+                unnest(sents) AS s,
+                unnest(range(1, len(sents) + 1)) AS pos
+              FROM planted),
+            dd AS (
+              SELECT doc_id, pos, s,
+                row_number() OVER (
+                  PARTITION BY s ORDER BY doc_id, pos) AS rn
+              FROM ex)
+            SELECT doc_id,
+              md5(COALESCE(
+                string_agg(CASE WHEN rn = 1 THEN s END, '. '
+                           ORDER BY pos), '')) AS text_md5,
+              CAST(COUNT(*) AS BIGINT) AS n_sentences,
+              CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_kept
+            FROM dd GROUP BY doc_id
+        """,
+        "q230_pps_sample": """
+            -- pure-int64 systematic PPS: identical stride arithmetic,
+            -- window prefix sum standing in for the distributed one
+            WITH c AS (
+              SELECT doc_id, n_chars,
+                SUM(n_chars) OVER (ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) AS cum,
+                SUM(n_chars) OVER () AS total
+              FROM documents)
+            SELECT doc_id, n_chars,
+              CAST((cum * 120) // total
+                - ((cum - n_chars) * 120) // total AS BIGINT) AS n_picks
+            FROM c
+            WHERE (cum * 120) // total > ((cum - n_chars) * 120) // total
         """,
     }

@@ -176,3 +176,58 @@ def epoch_expand(
         copies >= 1, F.sequence(F.lit(1).cast("long"), copies)
     ).otherwise(F.array().cast("array<long>"))
     return df.withColumn(copy_col, F.explode(idx))
+
+
+def systematic_pps_sample(
+    df: DataFrame,
+    order_cols: list[str],
+    weight_col: str,
+    k: int,
+    picks_col: str = "n_picks",
+    bucket_expr: Column | None = None,
+) -> DataFrame:
+    """SYSTEMATIC probability-proportional-to-size sampling — the
+    corpus-mixture primitive for "draw ~k documents where a doc's
+    inclusion probability is proportional to its weight" (tokens,
+    bytes, quality mass) with ZERO floating point: lay all weights on
+    an integer line in ``order_cols`` order, then take every
+    ``total/k``-th point.  A row is selected iff a stride boundary
+    falls inside its weight interval, i.e.
+
+        picks = floor(cum * k / total) - floor((cum - w) * k / total)
+
+    (a row heavier than the stride is drawn ``picks`` > 1 times —
+    standard PPS-systematic semantics).  Exactly ``k`` picks total,
+    bit-reproducible in any engine with 64-bit integers — no RNG, no
+    ``pow``, no ulp hazards (this is how the oracle verifies the draw
+    exactly; classic reference: Madow 1949 systematic selection).
+
+    Scale shape: ``ranking.distributed_running_sum`` (range-partition
+    prefix sum — never an unpartitioned window) + one scalar total
+    broadcast into a narrow filter.  Weights must be non-negative
+    integers; sum(weight) * k must fit in int64 — guard with the
+    caller's token/byte budget."""
+    from gpt_rag_ingestion_spark.operators.ranking import (
+        distributed_running_sum,
+    )
+
+    total = df.agg(F.sum(F.col(weight_col).cast("long"))).first()[0]
+    if not total or int(total) <= 0:
+        raise ValueError(f"sum({weight_col}) must be positive, got {total}")
+    total = int(total)
+    order = [F.col(c) for c in order_cols]
+    cum = distributed_running_sum(
+        df, order, weight_col, sum_col="__cum", bucket_expr=bucket_expr
+    )
+    # integer `div`, never `/` (long / long is DOUBLE in Spark SQL —
+    # a ulp at a stride boundary would flip a pick)
+    picks = F.expr(
+        f"CAST((__cum * {int(k)}) div {total} "
+        f"- ((__cum - CAST({weight_col} AS LONG)) * {int(k)}) "
+        f"div {total} AS LONG)"
+    )
+    return (
+        cum.withColumn(picks_col, picks)
+        .filter(F.col(picks_col) > 0)
+        .drop("__cum")
+    )

@@ -603,6 +603,55 @@ def dedup_lines_within_doc(
     )
 
 
+def dedup_sentences_global(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep_re: str = r"\. ",
+    joiner: str = ". ",
+) -> DataFrame:
+    """CROSS-document sentence-level exact dedup, keep-FIRST-global
+    (the C4/RefinedWeb corpus-wide variant of
+    ``dedup_lines_within_doc``): a sentence occurring in many
+    documents survives only at its first occurrence — ordered by
+    (``id_col``, position) — and every later document is reassembled
+    without it.  This is the line-grain complement to document-level
+    MinHash (dedup.py): boilerplate sentences shared across millions
+    of pages never make it into training text.
+
+    Scale shape: posexplode → ONE hash shuffle keyed by the sentence
+    string with a SENTENCE-partitioned window picking the first
+    (id, pos) — never an unpartitioned window, and no join back (the
+    flag rides the same shuffle).  A corpus-wide duplicate's group is
+    bounded by its duplicate count — the q212 line-group skew
+    envelope.  Then one re-aggregation per document.
+
+    Returns (id_col, text, n_sentences, n_kept)."""
+    from pyspark.sql import Window
+
+    sent = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep_re)).alias("pos", "__s"),
+    ).filter(F.length("__s") > 0)
+    w = Window.partitionBy("__s").orderBy(F.col(id_col), F.col("pos"))
+    kept = sent.withColumn("__keep", F.row_number().over(w) == 1)
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__keep"), F.struct("pos", "__s"))
+                    )
+                ),
+                lambda s: s["__s"],
+            ),
+            joiner,
+        ).alias(text_col),
+        F.count(F.lit(1)).cast("long").alias("n_sentences"),
+        F.sum(F.col("__keep").cast("long")).cast("long").alias("n_kept"),
+    )
+
+
 def strip_boilerplate(
     df: DataFrame,
     text_col: str = "text",

@@ -401,3 +401,60 @@ def test_scrub_card_numbers_digit_boundaries(spark):
     assert r2["text"] == f"just an id {long_run} here"
     assert rows[3]["text"] == "no digits at all"
     assert rows[4]["text"] is None
+
+
+def test_dedup_sentences_global_keep_first(spark):
+    """Cross-doc sentence dedup keeps only the lowest-(doc, pos)
+    occurrence of each sentence; later docs are reassembled without
+    it, order preserved."""
+    from gpt_rag_ingestion_spark.operators.text_analysis import (
+        dedup_sentences_global,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha one. shared line. beta two"),
+            (2, "shared line. gamma three"),
+            (3, "gamma three. delta four. shared line"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup_sentences_global(df).collect()}
+    assert got[1]["text"] == "alpha one. shared line. beta two"
+    assert got[1]["n_sentences"] == 3 and got[1]["n_kept"] == 3
+    assert got[2]["text"] == "gamma three"
+    assert got[2]["n_sentences"] == 2 and got[2]["n_kept"] == 1
+    assert got[3]["text"] == "delta four"
+    assert got[3]["n_sentences"] == 3 and got[3]["n_kept"] == 1
+
+
+def test_systematic_pps_sample_exact_k(spark):
+    """PPS-systematic draw: picks sum to exactly k, every pick
+    positive, heavier rows drawn proportionally (a row heavier than
+    the stride is drawn more than once), zero weight never drawn —
+    all integer-exact."""
+    from gpt_rag_ingestion_spark.operators.sampling import (
+        systematic_pps_sample,
+    )
+
+    rows = [(i, (i % 7) * 10) for i in range(1, 201)]  # some zero weights
+    df = spark.createDataFrame(rows, "id long, w long")
+    k = 37
+    got = systematic_pps_sample(df, ["id"], "w", k=k).collect()
+    assert sum(r["n_picks"] for r in got) == k
+    assert all(r["n_picks"] >= 1 for r in got)
+    assert all(r["w"] > 0 for r in got)
+
+    # a dominating weight takes ~its share of the k picks
+    df2 = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 980)], "id long, w long"
+    )
+    got2 = {r["id"]: r["n_picks"] for r in
+            systematic_pps_sample(df2, ["id"], "w", k=10).collect()}
+    assert got2[3] >= 9
+    assert sum(got2.values()) == 10
+
+    # deterministic across repartitionings
+    again = {(r["id"], r["n_picks"]) for r in systematic_pps_sample(
+        df.repartition(16), ["id"], "w", k=k).collect()}
+    assert again == {(r["id"], r["n_picks"]) for r in got}
