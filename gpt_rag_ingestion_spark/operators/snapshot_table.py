@@ -90,6 +90,7 @@ from pyspark.sql import functions as F
 
 from gpt_rag_ingestion_spark.operators.upsert import (
     _fs_delete,
+    _no_partition_inference,
     _fs_exists,
     _fs_mkdirs,
     _fs_rename,
@@ -371,16 +372,14 @@ def _read_parquet_pinned(
         if paths is None:
             return spark.read.option("basePath", base).parquet(base)
         return spark.read.option("basePath", base).parquet(*paths)
-    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    old = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
-    try:
+    # thread-safe ref-counted toggle (see upsert._no_partition_inference
+    # — a naive set/restore pair breaks under q219/q223's concurrent
+    # writer threads sharing one SparkSession)
+    with _no_partition_inference(spark):
         if paths is None:
             df = spark.read.option("basePath", base).parquet(base)
         else:
             df = spark.read.option("basePath", base).parquet(*paths)
-    finally:
-        spark.conf.set(key, old)
     for c in pcols:
         if c in df.columns and c in schema.names:
             want = schema[c].dataType

@@ -171,6 +171,41 @@ def _read_partition_types(spark: SparkSession, table_path: str) -> StructType | 
     return StructType.fromJson(json.loads(text))
 
 
+#: Re-entrant, THREAD-SAFE toggle for partition-column type inference.
+#: A naive set/restore pair is wrong under the engine's concurrent
+#: writers (q219/q223 run real merges from two Python threads over ONE
+#: SparkSession): interleaved toggles can capture each other's "false"
+#: as the old value and leave the session conf stuck off for every
+#: later plain read.  Reference-counted instead: first enter saves the
+#: session value and disables inference, last exit restores it; nested
+#: and concurrent pinned reads share the disabled window (they all
+#: want it off, and each casts its own pinned types afterwards).
+_INFER_KEY = "spark.sql.sources.partitionColumnTypeInference.enabled"
+_INFER_LOCK = __import__("threading").Lock()
+_INFER_STATE = {"depth": 0, "saved": "true"}
+
+
+class _no_partition_inference:
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+
+    def __enter__(self):
+        with _INFER_LOCK:
+            if _INFER_STATE["depth"] == 0:
+                _INFER_STATE["saved"] = self._spark.conf.get(
+                    _INFER_KEY, "true"
+                )
+                self._spark.conf.set(_INFER_KEY, "false")
+            _INFER_STATE["depth"] += 1
+
+    def __exit__(self, *exc):
+        with _INFER_LOCK:
+            _INFER_STATE["depth"] -= 1
+            if _INFER_STATE["depth"] == 0:
+                self._spark.conf.set(_INFER_KEY, _INFER_STATE["saved"])
+        return False
+
+
 def _read_table(
     spark: SparkSession, table_path: str, pin: StructType | None
 ) -> DataFrame:
@@ -180,16 +215,13 @@ def _read_table(
     unescaped strings — '00' stays '00', never a lossy int round-trip)
     and each pinned column is cast to its stored logical type.  With
     ``pin`` None (legacy table without a sidecar, or unpartitioned),
-    this is a plain read."""
+    this is a plain read.  (Partition discovery — where the conf is
+    consulted — happens EAGERLY at DataFrame creation, so restoring
+    the conf right after the read call is safe.)"""
     if pin is None:
         return spark.read.parquet(table_path)
-    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    old = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
-    try:
+    with _no_partition_inference(spark):
         df = spark.read.parquet(table_path)
-    finally:
-        spark.conf.set(key, old)
     for f in pin.fields:
         if f.name in df.columns and df.schema[f.name].dataType != f.dataType:
             df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))

@@ -299,6 +299,33 @@ PLAN_PROPERTIES = {
         ["BroadcastHashJoin", "LeftSemi"],
         ["NestedLoop", "CartesianProduct"],
     ),
+    # Q9-shape profit proxy: every dimension broadcasts; the fact
+    # table's only wide shuffle is its partial-aggregated groupBy
+    "q227_nation_year_profit": (
+        ["BroadcastHashJoin"],
+        ["NestedLoop", "CartesianProduct"],
+    ),
+    # contingency table: marginals broadcast back onto the grouped
+    # counts; the fact scan aggregates partially before any exchange
+    "q228_contingency_expected": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["NestedLoop", "CartesianProduct", "SortMergeJoin"],
+    ),
+    # cross-doc sentence dedup: the keep-first window is PARTITIONED
+    # by the sentence (hashpartitioning(__s)) — never an unpartitioned
+    # corpus-wide window, and no join back (the flag rides the same
+    # shuffle)
+    "q229_sentence_dedup_global": (
+        ["Window", "hashpartitioning(__s"],
+        ["SortMergeJoin", "NestedLoop", "CartesianProduct"],
+    ),
+    # systematic PPS sampling: the prefix sum rides the caller's
+    # monotone bucket — ONE hash exchange feeds the window (the
+    # single-exchange fast path), never a global single-partition sort
+    "q230_pps_sample": (
+        ["Window", "hashpartitioning(__bucket"],
+        ["SinglePartition", "rangepartitioning"],
+    ),
 }
 
 

@@ -65,6 +65,11 @@ PROBES = {
     "q222_card_scrub_luhn": ("text", "Luhn-gated scrub: codegen extract/filter/fold, zero shuffle"),
     "q219_concurrent_writers": ("sink", "two racing merges, disjoint buckets: rebase commits, no aborts"),
     "q214_autocomplete_two_terms": ("search", "bigram vocabulary probe, no corpus re-scan per prefix"),
+    "q223_overlap_merge_race": ("sink", "two racing merges, OVERLAPPING buckets: loser retries whole merge"),
+    "q225_snapshot_update_where": ("sink", "two keyed-merge UPDATEs incl. a partition move: O(affected partitions)"),
+    "q227_nation_year_profit": ("olap", "Q9-shape: broadcast dims, one partial-agg shuffle of the fact"),
+    "q229_sentence_dedup_global": ("text", "cross-doc sentence dedup: one sentence-keyed shuffle + per-doc re-agg"),
+    "q230_pps_sample": ("sampling", "integer prefix sum on the monotone bucket: one exchange"),
 }
 
 

@@ -390,3 +390,48 @@ def test_bpe_exact_batching_property(spark, words, k):
         ).collect()
     ]
     assert bat == seq
+
+
+def test_partition_inference_toggle_thread_safe(spark, tmp_path):
+    """Concurrent pinned reads from multiple threads (the q219/q223
+    writer pattern) must leave the SESSION conf exactly as found: a
+    naive save/restore pair interleaves (both save, one saves the
+    other's 'false') and leaves partition-column type inference stuck
+    off for every later plain read — which is what broke three
+    unrelated partitioned tests in the r9 full-suite run."""
+    import threading
+
+    from gpt_rag_ingestion_spark.operators import upsert as U
+
+    key = U._INFER_KEY
+    baseline = spark.conf.get(key, "true")
+    table = str(tmp_path / "t")
+    U.merge_upsert(
+        spark, table,
+        spark.createDataFrame([("a", "0", 1), ("b", "1", 2)],
+                              "parent_id string, part string, v int"),
+        partition_cols=["part"],
+    )
+    pin = U._read_partition_types(spark, table)
+    errs: list[BaseException] = []
+
+    def reader():
+        try:
+            for _ in range(15):
+                assert dict(U._read_table(spark, table, pin).dtypes)[
+                    "part"] == "string"
+        except BaseException as e:
+            errs.append(e)
+
+    ts = [threading.Thread(target=reader) for _ in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errs, errs
+    assert spark.conf.get(key, "true") == baseline
+    # a later PLAIN read still type-infers (int partition values)
+    it = str(tmp_path / "it")
+    spark.createDataFrame([("x", 3, 1)], "k string, b int, v int") \
+        .write.partitionBy("b").parquet(it)
+    assert dict(spark.read.parquet(it).dtypes)["b"] == "int"
