@@ -6397,6 +6397,114 @@ def q230_pps_sample(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "n_chars", "n_picks")
 
 
+def q231_snapshot_history(spark: SparkSession, sf: str) -> DataFrame:
+    """DESCRIBE HISTORY as a gate query: a scripted commit sequence
+    (merge, partitioned merge, conditional merge-when, DV delete,
+    restore) must leave exactly the expected (generation, op,
+    has_dv, is_current) ledger — oldest first, every manifest still
+    readable (nothing vacuumed), only the last row current.  All
+    metadata reads; the oracle states the ledger literally, plus the
+    row counts at head proving the restore took effect."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        read_snapshot_table,
+        snapshot_delete_keys,
+        snapshot_history,
+        snapshot_merge_upsert,
+        snapshot_merge_when,
+        snapshot_restore,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_id") % 4).cast("int").alias("bucket"),
+    )
+    base = tempfile.mkdtemp(prefix="q231-history-")
+    snap = f"{base}/snap"
+    snapshot_merge_upsert(
+        spark, snap, ev, key="event_id", partition_cols=["bucket"]
+    )
+    snapshot_merge_upsert(
+        spark, snap,
+        ev.filter("event_id % 5 = 0").withColumn(
+            "cents", F.col("cents") * 2
+        ),
+        key="event_id", partition_cols=["bucket"],
+    )
+    snapshot_merge_when(
+        spark, snap, ev.filter("event_id % 7 = 0"),
+        key="event_id", partition_cols=["bucket"],
+        matched_update="s.cents > 0", insert_unmatched=False,
+    )
+    snapshot_delete_keys(
+        spark, snap,
+        ev.filter("event_id % 9 = 0").select("event_id"),
+        key="event_id", mode="dv",
+    )
+    snapshot_restore(spark, snap, to_gen=2)
+    hist = snapshot_history(spark, snap)
+    n_head = read_snapshot_table(spark, snap).count()
+    return spark.createDataFrame(
+        [(
+            int(h["gen"]), str(h["op"]), bool(h["has_dv"]),
+            bool(h["current"]), int(n_head),
+        ) for h in hist],
+        "gen long, op string, has_dv boolean, is_current boolean,"
+        " n_rows_at_head long",
+    )
+
+
+def q232_time_travel_versions(spark: SparkSession, sf: str) -> DataFrame:
+    """TIME TRAVEL (`AS OF VERSION`) as a gate query: three commits
+    evolve the table (full load, doubled cohort, deleted cohort), then
+    every retained generation is read back ``at_gen`` and summarized —
+    count + exact cents sum per version.  The oracle recomputes each
+    snapshot's state closed-form from raw events, proving immutable
+    generations really do preserve every version bit-exactly."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        read_snapshot_table,
+        snapshot_delete_keys,
+        snapshot_merge_upsert,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_id") % 4).cast("int").alias("bucket"),
+    )
+    base = tempfile.mkdtemp(prefix="q232-travel-")
+    snap = f"{base}/snap"
+    snapshot_merge_upsert(
+        spark, snap, ev, key="event_id", partition_cols=["bucket"]
+    )
+    snapshot_merge_upsert(
+        spark, snap,
+        ev.filter("event_id % 3 = 0").withColumn(
+            "cents", F.col("cents") * 2
+        ),
+        key="event_id", partition_cols=["bucket"],
+    )
+    snapshot_delete_keys(
+        spark, snap,
+        ev.filter("event_id % 6 = 1").select("event_id"),
+        key="event_id", partition_cols=["bucket"],
+    )
+    rows = []
+    for g in (1, 2, 3):
+        t = read_snapshot_table(spark, snap, at_gen=g).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+        ).first()
+        rows.append((g, int(t["n"]), int(t["cents_sum"])))
+    return spark.createDataFrame(
+        rows, "version long, n_rows long, cents_sum long"
+    )
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW (and that the registry/oracle counts match QUERIES.md)
@@ -6701,6 +6809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q186_stickiness": q186_stickiness,
         "q187_event_transitions": q187_event_transitions,
         "q188_rag_end_to_end": q188_rag_end_to_end,
+        "q231_snapshot_history": q231_snapshot_history,
+        "q232_time_travel_versions": q232_time_travel_versions,
     }
 
 
@@ -10710,5 +10820,46 @@ def oracle_sql() -> dict[str, str]:
                 - ((cum - n_chars) * 120) // total AS BIGINT) AS n_picks
             FROM c
             WHERE (cum * 120) // total > ((cum - n_chars) * 120) // total
+        """,
+        "q231_snapshot_history": """
+            -- the commit ledger stated literally; merges never delete
+            -- rows and the head is the restore of gen 2, so every row
+            -- reports COUNT(events) at head
+            SELECT CAST(t.gen AS BIGINT) AS gen, t.op, t.has_dv,
+              t.is_current, n.c AS n_rows_at_head
+            FROM (VALUES
+              (1, 'merge',      false, false),
+              (2, 'merge',      false, false),
+              (3, 'merge_when', false, false),
+              (4, 'delete_dv',  true,  false),
+              (5, 'restore',    false, true)
+            ) AS t(gen, op, has_dv, is_current),
+            (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM events) AS n
+        """,
+        "q232_time_travel_versions": """
+            WITH e AS (
+              SELECT event_id,
+                CAST(round(value * 100) AS BIGINT) AS c
+              FROM events),
+            v1 AS (
+              SELECT CAST(1 AS BIGINT) AS version,
+                CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(SUM(c) AS BIGINT) AS cents_sum
+              FROM e),
+            v2 AS (
+              SELECT CAST(2 AS BIGINT),
+                CAST(COUNT(*) AS BIGINT),
+                CAST(SUM(CASE WHEN event_id % 3 = 0
+                              THEN c * 2 ELSE c END) AS BIGINT)
+              FROM e),
+            v3 AS (
+              SELECT CAST(3 AS BIGINT),
+                CAST(COUNT(*) AS BIGINT),
+                CAST(SUM(CASE WHEN event_id % 3 = 0
+                              THEN c * 2 ELSE c END) AS BIGINT)
+              FROM e WHERE event_id % 6 <> 1)
+            SELECT * FROM v1
+            UNION ALL SELECT * FROM v2
+            UNION ALL SELECT * FROM v3
         """,
     }
