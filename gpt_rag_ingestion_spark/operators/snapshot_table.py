@@ -1036,7 +1036,7 @@ def _snapshot_merge_upsert_once(
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(new_dir)
-        _maybe_write_stats(spark, table_path, gname, new_dir)
+        _maybe_write_stats(spark, table_path, gname, new_dir, schema=first.schema)
         rels = (
             _list_partition_rels(spark, new_dir, len(partition_cols))
             if partition_cols
@@ -1058,7 +1058,7 @@ def _snapshot_merge_upsert_once(
     if not partition_cols:
         out = merged_view(existing, incoming, key)
         out.write.mode("overwrite").parquet(new_dir)
-        _maybe_write_stats(spark, table_path, gname, new_dir)
+        _maybe_write_stats(spark, table_path, gname, new_dir, schema=out.schema)
         return _commit_rebasing(
             spark, table_path, gen, {"": gname}, expected_cur=cur,
             extra=_with_schema(
@@ -1099,7 +1099,7 @@ def _snapshot_merge_upsert_once(
     if optimize_write:
         out = out.repartition(*[F.col(c) for c in partition_cols])
     out.write.mode("overwrite").partitionBy(*partition_cols).parquet(new_dir)
-    _maybe_write_stats(spark, table_path, gname, new_dir)
+    _maybe_write_stats(spark, table_path, gname, new_dir, schema=out.schema)
 
     affected_rels = {_partition_rel_path(partition_cols, v) for v in affected}
     written = _list_partition_rels(spark, new_dir, len(partition_cols))
@@ -1256,7 +1256,7 @@ def _snapshot_merge_when_once(
     if not partition_cols:
         out = _arbitrate(existing)
         out.write.mode("overwrite").parquet(new_dir)
-        _maybe_write_stats(spark, table_path, gname, new_dir)
+        _maybe_write_stats(spark, table_path, gname, new_dir, schema=out.schema)
         return _commit_rebasing(
             spark, table_path, gen, {"": gname}, expected_cur=cur,
             extra=_with_schema(
@@ -1296,7 +1296,7 @@ def _snapshot_merge_when_once(
     out.write.mode(
         "overwrite"
     ).partitionBy(*partition_cols).parquet(new_dir)
-    _maybe_write_stats(spark, table_path, gname, new_dir)
+    _maybe_write_stats(spark, table_path, gname, new_dir, schema=out.schema)
     affected_rels = {
         _partition_rel_path(partition_cols, v) for v in affected
     }
@@ -1478,7 +1478,8 @@ def _snapshot_delete_keys_once(
         existing.join(F.broadcast(key_set), on=key, how="left_anti").write.mode(
             "overwrite"
         ).parquet(new_dir)
-        _maybe_write_stats(spark, table_path, gname, new_dir)
+        _maybe_write_stats(spark, table_path, gname, new_dir,
+                           schema=existing.schema)
         _commit(
             spark, table_path, gen, {"": gname}, expected_cur=cur,
             extra=_carry_dv_ref(
@@ -1511,7 +1512,7 @@ def _snapshot_delete_keys_once(
         F.broadcast(key_set), on=key, how="left_anti"
     )
     kept.write.mode("overwrite").partitionBy(*partition_cols).parquet(new_dir)
-    _maybe_write_stats(spark, table_path, gname, new_dir)
+    _maybe_write_stats(spark, table_path, gname, new_dir, schema=kept.schema)
 
     affected_rels = {_partition_rel_path(partition_cols, v) for v in affected}
     written = _list_partition_rels(spark, new_dir, len(partition_cols))
@@ -1655,7 +1656,8 @@ def snapshot_optimize(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(new_dir)
-    _maybe_write_stats(spark, table_path, gname, new_dir)
+    _maybe_write_stats(spark, table_path, gname, new_dir,
+                       schema=existing.schema)
     rels = (
         _list_partition_rels(spark, new_dir, len(partition_cols))
         if partition_cols
@@ -2245,17 +2247,44 @@ def _gen_stats_path(table_path: str, gname: str) -> str:
     return f"{table_path}/{_STATS_DIR}/{gname}.json"
 
 
-def _maybe_write_stats(spark, table_path: str, gname: str, new_dir: str) -> None:
+def _maybe_write_stats(
+    spark, table_path: str, gname: str, new_dir: str,
+    schema=None,
+) -> None:
     """Collect per-file stats for a just-written generation (one
     column-pruned aggregation over the increment) and persist the
     sidecar.  Called by every writer BETWEEN data write and commit, so
     a sidecar exists iff its generation's files are fully on disk; an
     uncommitted generation's sidecar is garbage vacuum removes with
-    the directory."""
+    the directory.
+
+    ``schema`` (the written frame's logical StructType) pins
+    partition-column types for the read-back — without it, stats
+    declared on a numeric-looking STRING partition column would
+    record min/max as ints in some generations and strings in others,
+    and ``_range_keeps``/``_bound_key`` comparisons across the mixed
+    sidecars would be type-inconsistent."""
     conf = _stats_conf(spark, table_path)
     if not conf:
         return
-    df = spark.read.parquet(new_dir)
+    if schema is not None:
+        from pyspark.sql.types import AtomicType
+
+        with _no_partition_inference(spark):
+            df = spark.read.parquet(new_dir)
+        # pin ATOMIC columns only — the only read-back type drift is
+        # partition-directory parsing, and partition columns are
+        # atomic; nested columns can differ in nullability alone and
+        # must not be touched
+        for f in schema.fields:
+            if (
+                isinstance(f.dataType, AtomicType)
+                and f.name in df.columns
+                and df.schema[f.name].dataType != f.dataType
+            ):
+                df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
+    else:
+        df = spark.read.parquet(new_dir)
     cols = [c for c in conf["cols"] if c in df.columns]
     bcols = [c for c in conf.get("bloom_cols", []) if c in df.columns]
     if not cols and not bcols:
@@ -2673,7 +2702,7 @@ def snapshot_compact_partitions(
     subset.write.mode("overwrite").partitionBy(*partition_cols).parquet(
         new_dir
     )
-    _maybe_write_stats(spark, table_path, gname, new_dir)
+    _maybe_write_stats(spark, table_path, gname, new_dir, schema=subset.schema)
     written = _list_partition_rels(spark, new_dir, len(partition_cols))
     partitions = {r: g for r, g in parts.items() if r not in chosen}
     partitions.update({r: gname for r in written})

@@ -2025,3 +2025,43 @@ def test_overlap_conflict_still_raises_without_budget(spark, tmp_path):
             )
     finally:
         S._commit_rebasing = orig_cr
+
+
+def test_stats_sidecar_pins_partition_column_type(spark, tmp_path):
+    """Stats declared on a numeric-looking STRING partition column
+    must record string min/max in EVERY generation (the written
+    frame's logical schema pins the sidecar read-back) — mixed
+    int/string sidecars across generations would make
+    snapshot_read_where's driver-side bound comparisons
+    type-inconsistent."""
+    import json as _json
+
+    snap = str(tmp_path / "snap")
+    S.snapshot_enable_stats(spark, snap, cols=["part", "v"])
+    schema = "parent_id string, part string, v long"
+    S.snapshot_merge_upsert(
+        spark, snap,
+        spark.createDataFrame(
+            [("a", "0", 1), ("b", "1", 2)], schema),
+        key="parent_id", partition_cols=["part"],
+    )
+    S.snapshot_merge_upsert(
+        spark, snap,
+        spark.createDataFrame([("c", "x", 3)], schema),
+        key="parent_id", partition_cols=["part"],
+    )
+    # every sidecar entry's part min/max is a STRING
+    cur = S._current_gen(spark, snap)
+    m = S._read_manifest(spark, snap, cur)
+    for g in set(m["partitions"].values()):
+        sp = S._gen_stats_path(snap, g)
+        if not S._fs_exists(spark, sp):
+            continue
+        stats = _json.loads(S._read_text(spark, sp))
+        for _f, ent in stats["files"].items():
+            if "part" in ent:
+                assert isinstance(ent["part"]["min"], str), (g, ent)
+                assert isinstance(ent["part"]["max"], str), (g, ent)
+    # stats-pruned read with STRING bounds works end to end
+    got = S.snapshot_read_where(spark, snap, {"part": ("0", "1")})
+    assert sorted(r["parent_id"] for r in got.collect()) == ["a", "b"]
