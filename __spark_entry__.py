@@ -6505,6 +6505,62 @@ def q232_time_travel_versions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q233_constraint_enforcement(spark: SparkSession, sf: str) -> DataFrame:
+    """CHECK-CONSTRAINT enforcement as a gate query (Delta's write-
+    time validation): a named constraint is added, a clean increment
+    lands, then a VIOLATING increment must be rejected ATOMICALLY —
+    SnapshotConstraintViolation raised, table bit-identical to before
+    the attempt, generation pointer unmoved, and a DROP CONSTRAINT
+    lets the same rows land.  All four facts are returned as data so
+    the closed-form oracle pins them alongside the row-level state."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        SnapshotConstraintViolation,
+        read_snapshot_table,
+        snapshot_add_constraint,
+        snapshot_drop_constraint,
+        snapshot_merge_upsert,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_id") % 4).cast("int").alias("bucket"),
+    )
+    base = tempfile.mkdtemp(prefix="q233-constraint-")
+    snap = f"{base}/snap"
+    snapshot_add_constraint(spark, snap, "nonneg_cents", "cents >= 0")
+    gen1 = snapshot_merge_upsert(
+        spark, snap, ev, key="event_id", partition_cols=["bucket"]
+    )
+    bad = ev.filter("event_id % 10 = 0").withColumn(
+        "cents", F.col("cents") - F.lit(10_000_000)
+    )
+    caught = False
+    try:
+        snapshot_merge_upsert(
+            spark, snap, bad, key="event_id", partition_cols=["bucket"]
+        )
+    except SnapshotConstraintViolation:
+        caught = True
+    after_reject = read_snapshot_table(spark, snap)
+    unchanged = bool(
+        after_reject.filter("cents < 0").isEmpty()
+        and after_reject.count() == ev.count()
+    )
+    snapshot_drop_constraint(spark, snap, "nonneg_cents")
+    gen2 = snapshot_merge_upsert(
+        spark, snap, bad, key="event_id", partition_cols=["bucket"]
+    )
+    return read_snapshot_table(spark, snap).select(
+        "event_id", "cents", "bucket",
+        F.lit(bool(caught)).alias("violation_caught"),
+        F.lit(unchanged).alias("table_unchanged_after_reject"),
+        F.lit(int(gen2 - gen1)).cast("long").alias("gens_advanced_after_drop"),
+    ).localCheckpoint()
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW (and that the registry/oracle counts match QUERIES.md)
@@ -6811,6 +6867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q188_rag_end_to_end": q188_rag_end_to_end,
         "q231_snapshot_history": q231_snapshot_history,
         "q232_time_travel_versions": q232_time_travel_versions,
+        "q233_constraint_enforcement": q233_constraint_enforcement,
     }
 
 
@@ -10861,5 +10918,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM v1
             UNION ALL SELECT * FROM v2
             UNION ALL SELECT * FROM v3
+        """,
+        "q233_constraint_enforcement": """
+            -- head state after: clean load, REJECTED violating merge
+            -- (atomic, nothing changed), DROP CONSTRAINT, same rows
+            -- land (one generation advanced)
+            SELECT event_id,
+              CASE WHEN event_id % 10 = 0
+                   THEN CAST(round(value * 100) AS BIGINT) - 10000000
+                   ELSE CAST(round(value * 100) AS BIGINT) END AS cents,
+              CAST(event_id % 4 AS INT) AS bucket,
+              true AS violation_caught,
+              true AS table_unchanged_after_reject,
+              CAST(1 AS BIGINT) AS gens_advanced_after_drop
+            FROM events
         """,
     }
