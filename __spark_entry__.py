@@ -1582,8 +1582,10 @@ def q93_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed BPE merge training (Sennrich et al. 2016): one
     corpus pass builds the word-frequency table, then each of the 16
     iterations is a groupBy + TakeOrdered(1) + codegen merge fold over
-    the VOCABULARY relation only. Iterative — no SQL oracle; exactness
-    vs the sequential reference algorithm is pinned by unit test."""
+    the VOCABULARY relation only.  Oracle-backed since r9: the full
+    iterative run is unrolled into 16 chained DuckDB CTEs
+    (_bpe_merges_sql) that replay pair-count -> argmax -> merge-fold
+    bit-for-bit, the same technique as q108's unrolled PageRank."""
     from gpt_rag_ingestion_spark.operators.bpe import bpe_train
 
     docs = _t(spark, sf, "documents")
@@ -1891,8 +1893,11 @@ def q107_bpe_segment(spark: SparkSession, sf: str) -> DataFrame:
     q93/bpe_train — the encode half of the tokenizer lifecycle.  The
     merge list is vocabulary-sized driver data (the ONLY driver
     traffic); segmentation itself is a pure codegen fold, no UDF.
-    Iterative training upstream -> rows-only check; segmentation is
-    pinned against a sequential reference implementation in tests."""
+    Oracle-backed since r9: _bpe_segment_sql unrolls the 8 training
+    iterations and reads each word's encoding off the final vocab
+    state (applying the rank-ordered merge list to a char split IS
+    the training fold), reassembling per-doc sequences by word
+    position."""
     from gpt_rag_ingestion_spark.operators.bpe import bpe_segment, bpe_train
 
     docs = _t(spark, sf, "documents")
@@ -6561,6 +6566,48 @@ def q233_constraint_enforcement(spark: SparkSession, sf: str) -> DataFrame:
     ).localCheckpoint()
 
 
+def q234_merge_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE ... WHEN NOT MATCHED BY SOURCE (Delta 2.3 / SQL:2003
+    MERGE completeness) as a gate query: a bucket-partitioned snapshot
+    table is full-synced against a source slice in ONE merge — matched
+    rows update, new rows insert, and target rows ABSENT from the
+    source either DELETE (even cents) or mark 'stale' (odd cents),
+    with ``by_source_scope="bucket < 6"`` bounding the sync so buckets
+    6-7 are kept verbatim AND their partitions never rewrite (the
+    O(scope)-not-O(table) lever at 100 TB).  The oracle is the closed
+    relational form of all five clauses."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        read_snapshot_table,
+        snapshot_merge_upsert,
+        snapshot_merge_when,
+    )
+
+    orders = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 8).cast("int").alias("bucket"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    base = orders.filter(F.col("k") % 3 != 2).withColumn(
+        "status", F.lit("live")
+    )
+    src = orders.filter(F.col("k") % 2 == 0).select(
+        "k", "bucket", (F.col("v") + 7).alias("v"), F.lit("live").alias("status")
+    )
+    tbl = tempfile.mkdtemp(prefix="q234-bysource-") + "/t"
+    snapshot_merge_upsert(spark, tbl, base, key="k", partition_cols=["bucket"])
+    snapshot_merge_when(
+        spark, tbl, src, key="k", partition_cols=["bucket"],
+        by_source_delete="t.v % 2 = 0",
+        by_source_update={"status": "'stale'"},
+        by_source_scope="bucket < 6",
+    )
+    return read_snapshot_table(spark, tbl).select(
+        "k", F.col("bucket").cast("int").alias("bucket"), "v", "status"
+    ).localCheckpoint()
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW (and that the registry/oracle counts match QUERIES.md)
@@ -6639,8 +6686,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # contingency expected counts, q229 cross-doc sentence dedup,
     # q230 systematic PPS sampling).  After this window every
     # oracle-backed id in the registry has had >= 1 driver row across
-    # rounds 1-9; only q79/q93/q107 (rows-only by declared policy)
-    # remain outside, cannot enter (test_window_is_oracle_backed).
+    # rounds 1-9; only q79 (rows-only by declared policy) remains
+    # outside, cannot enter (test_window_is_oracle_backed).  q93/q107
+    # flipped rows-only -> oracle-backed mid-r9 (unrolled-CTE BPE
+    # oracle) and q231+ landed after the window froze — both groups
+    # are r10 rotation candidates.
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q02_watermark_agg": q02_watermark_agg,
@@ -6868,6 +6918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q231_snapshot_history": q231_snapshot_history,
         "q232_time_travel_versions": q232_time_travel_versions,
         "q233_constraint_enforcement": q233_constraint_enforcement,
+        "q234_merge_by_source": q234_merge_by_source,
     }
 
 
@@ -6960,6 +7011,102 @@ def _pagerank_sql(iters: int = 5) -> str:
         "WITH " + ",".join(ctes)
         + f" SELECT doc_id, CAST(r AS BIGINT) AS rank_q FROM r{iters}"
     )
+
+
+def _bpe_vocab_ctes(iters: int) -> list:
+    """Unrolled BPE training CTEs (shared by the q93/q107 oracles):
+    v0 = the word-frequency table with each word's symbol sequence as
+    a chr(31)-separated, chr(31)-SENTINELLED string (the corpus is
+    lowercase a-z + space, asserted at generation time by the charset
+    of the synthetic tables, so chr(31) can never collide with a
+    symbol).  Each iteration i: pair counts from adjacent tokens,
+    argmax with the same (count DESC, left, right) tie-break as
+    bpe_train, then the merge applied as replace() of the SENTINELLED
+    pattern '|l|r|' -> '|lr|'.  One replace() is left-to-right
+    non-overlapping but consumes the trailing separator, so a match
+    immediately following a replacement is skipped for that pass; the
+    skipped pair's neighbours are then merged tokens (which can never
+    re-match: merged = left||right differs from both), so ONE more
+    pass reaches the fold's fixpoint — three passes are applied for
+    margin.  The fixpoint equals operators/bpe._merge_expr's fold:
+    both merge exactly the greedy left-to-right disjoint occurrences.
+    CTEs are MATERIALIZED: v{i-1} is referenced twice per step and
+    DuckDB would otherwise inline the chain exponentially."""
+    ctes = [r"""
+        bpe_words AS (
+          SELECT w AS word, count(*) AS freq FROM (
+            SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+            FROM documents) WHERE w <> '' GROUP BY 1),
+        v0 AS MATERIALIZED (
+          SELECT word, freq,
+                 chr(31) || array_to_string(string_split(word, ''),
+                 chr(31)) || chr(31) AS s
+          FROM bpe_words)"""]
+    for i in range(1, iters + 1):
+        pat = f"(SELECT chr(31) || lft || chr(31) || rgt || chr(31) FROM m{i})"
+        rep = f"(SELECT chr(31) || lft || rgt || chr(31) FROM m{i})"
+        body = "s"
+        for _ in range(3):
+            body = f"replace({body}, {pat}, {rep})"
+        ctes.append(f"""
+        p{i} AS (
+          SELECT l[j] AS lft, l[j+1] AS rgt, SUM(freq) AS n_pair
+          FROM (SELECT freq, string_split(trim(s, chr(31)), chr(31)) AS l
+                FROM v{i - 1}),
+               UNNEST(range(1, len(l))) AS u(j)
+          GROUP BY 1, 2),
+        m{i} AS (
+          SELECT lft, rgt, CAST(n_pair AS BIGINT) AS n_pair FROM p{i}
+          WHERE n_pair >= 2
+          ORDER BY n_pair DESC, lft, rgt LIMIT 1),
+        v{i} AS MATERIALIZED (
+          SELECT word, freq,
+            CASE WHEN (SELECT count(*) FROM m{i}) = 0 THEN s
+                 ELSE {body} END AS s
+          FROM v{i - 1})""")
+    return ctes
+
+
+def _bpe_merges_sql(iters: int = 16) -> str:
+    """q93 oracle: the learned merge table, one UNION ALL leg per
+    unrolled iteration (an empty m{i} contributes no row, and
+    emptiness is monotone — once the best pair drops below
+    min_pair_count the vocab stops changing — so ranks are dense
+    exactly like bpe_train's early-stop)."""
+    ctes = _bpe_vocab_ctes(iters)
+    sel = "\nUNION ALL\n".join(
+        f'SELECT CAST({i} AS INTEGER) AS rank, lft AS "left", '
+        f'rgt AS "right", lft || rgt AS token, n_pair FROM m{i}'
+        for i in range(1, iters + 1))
+    return "WITH " + ",".join(ctes) + " " + sel
+
+
+def _bpe_segment_sql(iters: int = 8) -> str:
+    """q107 oracle: train the same {iters} merges, then read each
+    word's SEGMENTATION straight off the final vocab state — applying
+    the merge list in rank order to a word's character split is
+    exactly the training fold, so v{iters}.s IS the encoded word.
+    Per-doc token sequences reassemble in word-position order."""
+    ctes = _bpe_vocab_ctes(iters)
+    ctes.append(rf"""
+        docw AS (
+          SELECT doc_id, j AS pos, l[j] AS word
+          FROM (SELECT doc_id,
+                       string_split_regex(lower(text), '\s+') AS l
+                FROM documents),
+               UNNEST(range(1, len(l) + 1)) AS u(j)
+          WHERE l[j] <> ''),
+        seg AS (
+          SELECT d.doc_id, d.pos,
+                 string_split(trim(v.s, chr(31)), chr(31)) AS toks
+          FROM docw d JOIN v{iters} v USING (word)),
+        bpe_agg AS (
+          SELECT doc_id, flatten(list(toks ORDER BY pos)) AS tokens
+          FROM seg GROUP BY doc_id)""")
+    return ("WITH " + ",".join(ctes) +
+            " SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens, "
+            "array_to_string(tokens[1:20], '|') AS head_tokens"
+            " FROM bpe_agg")
 
 
 #: 8-bit 2-column Morton interleave, x at even bit positions, y at odd
@@ -8335,6 +8482,7 @@ def oracle_sql() -> dict[str, str]:
               s.src_ts, w.watermark_ts
             FROM src s FULL OUTER JOIN wm w USING (user_id)
         """,
+        "q93_bpe_merges": _bpe_merges_sql(16),
         "q94_shard_assignment": """
             SELECT doc_id, n_chars,
               CAST((SUM(n_chars) OVER (ORDER BY doc_id
@@ -8489,6 +8637,7 @@ def oracle_sql() -> dict[str, str]:
               regexp_extract(host, '([a-z0-9-]+\\.[a-z0-9-]+)$', 1) AS domain
             FROM p
         """,
+        "q107_bpe_segment": _bpe_segment_sql(8),
         "q108_pagerank": _pagerank_sql(5),
         "q109_snapshot_diff": """
             WITH r AS (
@@ -10932,5 +11081,24 @@ def oracle_sql() -> dict[str, str]:
               true AS table_unchanged_after_reject,
               CAST(1 AS BIGINT) AS gens_advanced_after_drop
             FROM events
+        """,
+        # q234: the closed form of the five MERGE clauses — source rows
+        # always win (matched update + insert), target-only rows inside
+        # the scope delete on even cents / go stale on odd, and rows
+        # outside the scope (bucket >= 6) are kept verbatim
+        "q234_merge_by_source": """
+            WITH o AS (
+              SELECT o_orderkey AS k,
+                     CAST(o_orderkey % 8 AS INTEGER) AS bucket,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS v
+              FROM orders)
+            SELECT k, bucket, v + 7 AS v, 'live' AS status
+            FROM o WHERE k % 2 = 0
+            UNION ALL
+            SELECT k, bucket, v,
+                   CASE WHEN bucket < 6 THEN 'stale' ELSE 'live' END AS status
+            FROM o
+            WHERE k % 3 != 2 AND k % 2 = 1
+              AND NOT (bucket < 6 AND v % 2 = 0)
         """,
     }

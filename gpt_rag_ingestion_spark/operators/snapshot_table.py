@@ -1157,6 +1157,10 @@ def _snapshot_merge_when_once(
     matched_delete: str | None = None,
     insert_unmatched: bool = True,
     insert_condition: str | None = None,
+    by_source_delete: str | None = None,
+    by_source_update: dict[str, str] | None = None,
+    by_source_update_condition: str | None = None,
+    by_source_scope: str | None = None,
     max_conflict_rebases: int = 0,
 ) -> int:
     """CONDITIONAL MERGE — the full Delta/SQL:2003 MERGE form, on top
@@ -1167,7 +1171,10 @@ def _snapshot_merge_when_once(
         WHEN MATCHED                       THEN keep target row
         WHEN NOT MATCHED AND <insert_condition> THEN INSERT *
                                            (if ``insert_unmatched``)
-        (unmatched target rows are always kept)
+        WHEN NOT MATCHED BY SOURCE AND <by_source_delete> THEN DELETE
+        WHEN NOT MATCHED BY SOURCE AND <by_source_update_condition>
+                                           THEN UPDATE SET <by_source_update>
+        WHEN NOT MATCHED BY SOURCE         THEN keep target row
 
     Conditions are SQL boolean expressions over BOTH sides via the
     ``t``/``s`` aliases (e.g. ``"s.ts > t.ts"`` — last-writer-wins
@@ -1180,8 +1187,31 @@ def _snapshot_merge_when_once(
     must be key-unique (multiple matches per target row fan the
     full-outer join out), exactly Delta MERGE's own precondition.
 
-    Scale shape: identical to ``snapshot_merge_upsert`` — only
-    partitions holding matched keys or receiving inserts rewrite
+    WHEN NOT MATCHED BY SOURCE (Delta 2.3 / SQL:2003 completeness —
+    clauses over TARGET rows whose key is absent from the source;
+    only ``t.*`` is in scope, source columns are all NULL there):
+    ``by_source_delete`` is the full-sync idiom (replicate a system
+    of record: anything the source no longer has dies — pass
+    ``"true"`` for unconditional); ``by_source_update`` marks rows
+    stale instead, as {column: SQL expr over ``t``} applied when
+    ``by_source_update_condition`` (default unconditional) holds.
+    Delete wins over update, mirroring the matched-clause ordering;
+    NULL conditions never fire a clause (same 3VL rule).
+
+    Scale: by-source clauses must SEE every target row — the merge
+    becomes table-wide, exactly as Delta's own by-source merges scan
+    the whole target.  ``by_source_scope`` (SQL predicate over
+    partition/data columns, evaluated on the target) bounds that:
+    rows OUTSIDE the scope are kept verbatim and their partitions are
+    not rewritten, so a daily full-sync of one tenant/date-range
+    stays O(scope), not O(table).  A by-source clause whose condition
+    could fire outside the scope is the caller's contract violation —
+    the scope is a partition-pruning promise, stated here because at
+    100 TB it is the difference between a metadata-sized commit and
+    rewriting every partition.
+
+    Scale shape otherwise: identical to ``snapshot_merge_upsert`` —
+    only partitions holding matched keys or receiving inserts rewrite
     (O(affected), never O(table)); the row arbitration is ONE
     full-outer join on the key inside those partitions, resolved
     column-wise with no UDF.  Incoming must carry the table's exact
@@ -1189,6 +1219,12 @@ def _snapshot_merge_when_once(
     fill for absent columns — use snapshot_merge_upsert's schema
     evolution first if the schema must move).  ``max_conflict_rebases``
     enables the disjoint-partition rebase (``_commit_rebasing``)."""
+    has_bs = bool(by_source_delete) or bool(by_source_update)
+    if by_source_update and key in by_source_update:
+        raise ValueError(
+            "by_source_update must not rewrite the merge key "
+            f"{key!r} (key mutation breaks the key-unique contract)"
+        )
     _commit_recover(spark, table_path)
     _claim_recover(spark, table_path)
     cur = _current_gen(spark, table_path)
@@ -1208,6 +1244,12 @@ def _snapshot_merge_when_once(
             f"has {sorted(existing.columns)}, incoming "
             f"{sorted(incoming.columns)}"
         )
+    if by_source_update:
+        bad = sorted(set(by_source_update) - set(existing.columns))
+        if bad:
+            raise ValueError(
+                f"by_source_update targets unknown columns {bad}"
+            )
     # CHECK constraints bind on every write path, conditional or not
     _validate_constraints(spark, table_path, incoming)
     manifest = _read_manifest(spark, table_path, cur)
@@ -1217,11 +1259,20 @@ def _snapshot_merge_when_once(
     cols = existing.columns
 
     def _arbitrate(target: DataFrame) -> DataFrame:
+        # __bs_scope rides along from the PRE-join target relation so
+        # by_source_scope can use bare column names (post-join they
+        # are ambiguous between the t/s aliases)
+        target = target.withColumn(
+            "__bs_scope",
+            F.coalesce(F.expr(by_source_scope), F.lit(False))
+            if (has_bs and by_source_scope) else F.lit(has_bs),
+        )
         t, s = target.alias("t"), incoming.alias("s")
         j = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
         t_here = F.col(f"t.{key}").isNotNull()
         s_here = F.col(f"s.{key}").isNotNull()
         matched = t_here & s_here
+        t_only = t_here & ~s_here
         # SQL/Delta MERGE: a clause condition that evaluates to NULL
         # means the clause does NOT fire (three-valued logic never
         # deletes/updates/inserts a row).  Without the coalesce,
@@ -1239,15 +1290,33 @@ def _snapshot_merge_when_once(
             F.coalesce(F.expr(insert_condition), F.lit(False))
             if insert_condition else F.lit(True)
         )
-        keep = F.when(matched, ~del_c).when(t_here, F.lit(True)).otherwise(
+        bs_on = F.col("t.__bs_scope")
+        bs_del_c = bs_on & (
+            F.coalesce(F.expr(by_source_delete), F.lit(False))
+            if by_source_delete else F.lit(False)
+        )
+        bs_upd_c = bs_on & F.lit(bool(by_source_update)) & (
+            F.coalesce(F.expr(by_source_update_condition), F.lit(False))
+            if by_source_update_condition else F.lit(True)
+        )
+        keep = F.when(matched, ~del_c).when(t_here, ~bs_del_c).otherwise(
             F.lit(bool(insert_unmatched)) & ins_c
         )
         use_source = F.when(matched, ~del_c & upd_c).otherwise(~t_here)
+        sets = by_source_update or {}
         out = j.filter(keep).select(
             *[
-                F.when(use_source, F.col(f"s.{c}"))
-                .otherwise(F.col(f"t.{c}"))
-                .alias(c)
+                (
+                    F.when(
+                        t_only & bs_upd_c, F.expr(sets[c])
+                    ).otherwise(
+                        F.when(use_source, F.col(f"s.{c}"))
+                        .otherwise(F.col(f"t.{c}"))
+                    )
+                    if c in sets else
+                    F.when(use_source, F.col(f"s.{c}"))
+                    .otherwise(F.col(f"t.{c}"))
+                ).alias(c)
                 for c in cols
             ]
         )
@@ -1275,9 +1344,21 @@ def _snapshot_merge_when_once(
         .select(*partition_cols)
         .distinct()
     )
+    all_parts = inc_parts.unionByName(exist_parts)
+    if has_bs:
+        # by-source clauses examine every in-scope target row, so the
+        # scope's partitions join the rewrite set (the whole table
+        # when no scope is given — Delta's own by-source behavior)
+        scoped = (
+            existing.filter(F.expr(by_source_scope))
+            if by_source_scope else existing
+        )
+        all_parts = all_parts.unionByName(
+            scoped.select(*partition_cols).distinct()
+        )
     affected = [
         tuple(r[c] for c in partition_cols)
-        for r in inc_parts.unionByName(exist_parts).distinct().collect()
+        for r in all_parts.distinct().collect()
     ]
     if not affected:
         return cur
@@ -1327,11 +1408,16 @@ def snapshot_merge_when(
     matched_delete: str | None = None,
     insert_unmatched: bool = True,
     insert_condition: str | None = None,
+    by_source_delete: str | None = None,
+    by_source_update: dict[str, str] | None = None,
+    by_source_update_condition: str | None = None,
+    by_source_scope: str | None = None,
     max_conflict_rebases: int = 0,
 ) -> int:
     """See ``_snapshot_merge_when_once`` for the MERGE-clause
-    contract; overlap/claim conflicts retry the whole merge against
-    the winner's snapshot (``_retrying_merge``)."""
+    contract (including WHEN NOT MATCHED BY SOURCE); overlap/claim
+    conflicts retry the whole merge against the winner's snapshot
+    (``_retrying_merge``)."""
     return _retrying_merge(
         lambda: _snapshot_merge_when_once(
             spark, table_path, incoming, key=key,
@@ -1340,6 +1426,10 @@ def snapshot_merge_when(
             matched_delete=matched_delete,
             insert_unmatched=insert_unmatched,
             insert_condition=insert_condition,
+            by_source_delete=by_source_delete,
+            by_source_update=by_source_update,
+            by_source_update_condition=by_source_update_condition,
+            by_source_scope=by_source_scope,
             max_conflict_rebases=max_conflict_rebases,
         ),
         max_conflict_rebases,

@@ -2065,3 +2065,117 @@ def test_stats_sidecar_pins_partition_column_type(spark, tmp_path):
     # stats-pruned read with STRING bounds works end to end
     got = S.snapshot_read_where(spark, snap, {"part": ("0", "1")})
     assert sorted(r["parent_id"] for r in got.collect()) == ["a", "b"]
+
+
+def test_merge_when_by_source_delete_full_sync(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE ... DELETE (Delta 2.3): an
+    unconditional by-source delete turns MERGE into full-sync
+    replication — the table ends exactly equal to the source upserted
+    over the matched rows."""
+    snap = str(tmp_path / "snap")
+    base = spark.range(0, 20).select(
+        F.col("id").alias("parent_id"),
+        (F.col("id") % 4).cast("int").alias("bucket"),
+        (F.col("id") * 10).alias("v"),
+    )
+    S.snapshot_merge_upsert(spark, snap, base, partition_cols=["bucket"])
+    src = spark.range(0, 10).select(
+        F.col("id").alias("parent_id"),
+        (F.col("id") % 4).cast("int").alias("bucket"),
+        (F.col("id") + 100).alias("v"),
+    )
+    S.snapshot_merge_when(
+        spark, snap, src, partition_cols=["bucket"],
+        by_source_delete="true",
+    )
+    got = sorted(
+        (r.parent_id, r.v)
+        for r in S.read_snapshot_table(spark, snap).collect()
+    )
+    assert got == [(i, i + 100) for i in range(10)]
+
+
+def test_merge_when_by_source_update_marks_stale(spark, tmp_path):
+    """By-source UPDATE SET with a condition: target rows absent from
+    the source are rewritten by {col: expr-over-t} when the condition
+    holds; NULL conditions never fire (3VL), and the merge key cannot
+    be a SET target."""
+    snap = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(i, i % 2, 10 * i, "live") for i in range(12)],
+        "parent_id long, bucket int, v long, status string",
+    )
+    S.snapshot_merge_upsert(spark, snap, base, partition_cols=["bucket"])
+    src = spark.createDataFrame(
+        [(i, i % 2, 10 * i, "live") for i in range(6)],
+        "parent_id long, bucket int, v long, status string",
+    )
+    S.snapshot_merge_when(
+        spark, snap, src, partition_cols=["bucket"],
+        by_source_update={"status": "'stale'", "v": "t.v + 1"},
+        by_source_update_condition="t.v >= 80",
+    )
+    rows = {
+        r.parent_id: (r.v, r.status)
+        for r in S.read_snapshot_table(spark, snap).collect()
+    }
+    for i in range(6):
+        assert rows[i] == (10 * i, "live")
+    for i in range(6, 12):
+        if 10 * i >= 80:
+            assert rows[i] == (10 * i + 1, "stale"), (i, rows[i])
+        else:
+            assert rows[i] == (10 * i, "live"), (i, rows[i])
+    with pytest.raises(ValueError, match="merge key"):
+        S.snapshot_merge_when(
+            spark, snap, src, partition_cols=["bucket"],
+            by_source_update={"parent_id": "t.parent_id + 1000"},
+        )
+
+
+def test_merge_when_by_source_scope_prunes_partitions(spark, tmp_path):
+    """``by_source_scope`` is the 100 TB lever: partitions wholly
+    outside the scope are NOT rewritten (their manifest refs keep the
+    old generation) and their rows are kept verbatim even where the
+    by-source condition would otherwise fire."""
+    snap = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(i, i % 4, 10 * i) for i in range(16)],
+        "parent_id long, bucket int, v long",
+    )
+    S.snapshot_merge_upsert(spark, snap, base, partition_cols=["bucket"])
+    before = dict(
+        S._read_manifest(
+            spark, snap, S._current_gen(spark, snap)
+        )["partitions"]
+    )
+    # source touches ONLY bucket 0 (matched keys 0,4,8,12); scope
+    # covers buckets 0 and 1 — buckets 2/3 must keep their gen-1 refs
+    src = spark.createDataFrame(
+        [(i, 0, i + 500) for i in (0, 4)],
+        "parent_id long, bucket int, v long",
+    )
+    S.snapshot_merge_when(
+        spark, snap, src, partition_cols=["bucket"],
+        by_source_delete="true",
+        by_source_scope="bucket < 2",
+    )
+    m = S._read_manifest(spark, snap, S._current_gen(spark, snap))
+    refs = dict(m["partitions"])
+    assert refs["bucket=2"] == before["bucket=2"], refs
+    assert refs["bucket=3"] == before["bucket=3"], refs
+    assert refs["bucket=0"] != before["bucket=0"], refs
+    # every bucket-1 row was deleted by the sync: the partition drops
+    # out of the manifest entirely
+    assert "bucket=1" not in refs, refs
+    got = sorted(
+        (r.parent_id, r.v)
+        for r in S.read_snapshot_table(spark, snap).collect()
+    )
+    # scope buckets 0/1: only source keys survive (0,4 updated); out
+    # of scope buckets 2/3: untouched
+    expect = sorted(
+        [(0, 500), (4, 504)]
+        + [(i, 10 * i) for i in range(16) if i % 4 >= 2]
+    )
+    assert got == expect, got
