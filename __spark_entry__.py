@@ -6608,6 +6608,42 @@ def q234_merge_by_source(spark: SparkSession, sf: str) -> DataFrame:
     ).localCheckpoint()
 
 
+def q235_identity_column(spark: SparkSession, sf: str) -> DataFrame:
+    """GENERATED ALWAYS AS IDENTITY (Delta identity columns) as a gate
+    query: a surrogate key the ENGINE assigns — first commit numbers
+    rows 1000,1003,... in key order; a second overlapping commit keeps
+    matched rows' identities and extends new rows from the derived
+    high-water mark.  Assignment rides
+    ranking.distributed_row_number (range-partition + broadcast
+    offsets — never an unpartitioned window), and the mark derives
+    from the committed table (no side register to race).  The oracle
+    replays both commits' numbering in closed form."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        read_snapshot_table,
+        snapshot_merge_upsert,
+        snapshot_set_identity,
+    )
+
+    orders = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 8).cast("int").alias("bucket"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    tbl = tempfile.mkdtemp(prefix="q235-identity-") + "/t"
+    snapshot_set_identity(spark, tbl, "row_id", start=1000, step=3)
+    b1 = orders.filter(F.col("k") % 3 == 0)
+    snapshot_merge_upsert(spark, tbl, b1, key="k", partition_cols=["bucket"])
+    b2 = orders.filter(F.col("k") % 4 == 0).withColumn(
+        "v", F.col("v") + 5
+    )
+    snapshot_merge_upsert(spark, tbl, b2, key="k", partition_cols=["bucket"])
+    return read_snapshot_table(spark, tbl).select(
+        "k", F.col("bucket").cast("int").alias("bucket"), "v", "row_id"
+    ).localCheckpoint()
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW (and that the registry/oracle counts match QUERIES.md)
@@ -6919,6 +6955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q232_time_travel_versions": q232_time_travel_versions,
         "q233_constraint_enforcement": q233_constraint_enforcement,
         "q234_merge_by_source": q234_merge_by_source,
+        "q235_identity_column": q235_identity_column,
     }
 
 
@@ -11100,5 +11137,31 @@ def oracle_sql() -> dict[str, str]:
             FROM o
             WHERE k % 3 != 2 AND k % 2 = 1
               AND NOT (bucket < 6 AND v % 2 = 0)
+        """,
+        # q235: replay both commits' identity numbering — batch 1 gets
+        # 1000 + 3*(rank-1) in key order, matched keys keep it, new
+        # batch-2 keys extend from the high-water mark in key order
+        "q235_identity_column": """
+            WITH o AS (
+              SELECT o_orderkey AS k,
+                     CAST(o_orderkey % 8 AS INTEGER) AS bucket,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS v
+              FROM orders),
+            b1 AS (
+              SELECT k, bucket, v,
+                     1000 + 3 * (ROW_NUMBER() OVER (ORDER BY k) - 1)
+                       AS row_id
+              FROM o WHERE k % 3 = 0),
+            n2 AS (
+              SELECT k, bucket, v + 5 AS v,
+                     (SELECT max(row_id) FROM b1)
+                       + 3 * ROW_NUMBER() OVER (ORDER BY k) AS row_id
+              FROM o WHERE k % 4 = 0 AND k % 3 != 0)
+            SELECT k, bucket,
+                   CASE WHEN k % 4 = 0 THEN v + 5 ELSE v END AS v,
+                   CAST(row_id AS BIGINT) AS row_id
+            FROM b1
+            UNION ALL
+            SELECT k, bucket, v, CAST(row_id AS BIGINT) AS row_id FROM n2
         """,
     }

@@ -1014,6 +1014,7 @@ def _snapshot_merge_upsert_once(
     _commit_recover(spark, table_path)
     _claim_recover(spark, table_path)
     incoming = _apply_generated(spark, table_path, incoming)
+    incoming = _apply_identity(spark, table_path, incoming, key)
     _validate_constraints(spark, table_path, incoming)
     _fs_mkdirs(spark, f"{table_path}/_manifests")
     cur = _current_gen(spark, table_path)
@@ -3293,6 +3294,105 @@ def _apply_generated(spark, table_path: str, incoming: DataFrame) -> DataFrame:
         else:
             incoming = incoming.withColumn(c, F.expr(expr))
     return incoming
+
+
+_IDENTITY_CONF = "_identity_config.json"
+
+
+def snapshot_set_identity(
+    spark: SparkSession,
+    table_path: str,
+    column: str,
+    start: int = 1,
+    step: int = 1,
+) -> None:
+    """Delta GENERATED ALWAYS AS IDENTITY: declare a surrogate-key
+    column the ENGINE assigns on insert.  Increments must NOT carry
+    the column (the GENERATED ALWAYS rule); ``snapshot_merge_upsert``
+    adds it — matched rows KEEP their existing identity, new rows get
+    ``high_water + step * rank`` with rank assigned 1..n in merge-key
+    order (``ranking.distributed_row_number`` — deterministic, and
+    never an unpartitioned window).  The high-water mark is DERIVED
+    from the committed table (max for positive step, min for
+    negative), never stored: a transactional side-register would need
+    its own OCC story, while the derived mark is correct by
+    construction under restore/time-travel/clone and costs one
+    column-pruned aggregate of a table the merge is reading anyway.
+    Uniqueness holds for values this engine assigned; like Delta,
+    declaring identity on a column with pre-existing caller-written
+    values only guarantees no collision with values >= start."""
+    if int(step) == 0:
+        raise ValueError("identity step must be non-zero")
+    _fs_mkdirs(spark, table_path)
+    _write_text(
+        spark,
+        f"{table_path}/{_IDENTITY_CONF}",
+        json.dumps(
+            {"column": column, "start": int(start), "step": int(step)},
+            sort_keys=True,
+        ),
+    )
+
+
+def _identity_conf(spark, table_path: str) -> dict | None:
+    p = f"{table_path}/{_IDENTITY_CONF}"
+    if not _fs_exists(spark, p):
+        return None
+    return json.loads(_read_text(spark, p))
+
+
+class SnapshotIdentityViolation(ValueError):
+    """An increment supplied values for a GENERATED ALWAYS AS IDENTITY
+    column.  Nothing was written."""
+
+
+def _apply_identity(
+    spark, table_path: str, incoming: DataFrame, key: str
+) -> DataFrame:
+    conf = _identity_conf(spark, table_path)
+    if conf is None:
+        return incoming
+    from .ranking import distributed_row_number
+
+    c, start, step = conf["column"], conf["start"], conf["step"]
+    if c in incoming.columns:
+        raise SnapshotIdentityViolation(
+            f"{c!r} is GENERATED ALWAYS AS IDENTITY — increments must "
+            "not supply it"
+        )
+    cur = _current_gen(spark, table_path)
+    if cur is None:
+        ranked = distributed_row_number(
+            incoming, [F.asc(key)], rank_col="__identity_rn"
+        )
+        return ranked.withColumn(
+            c,
+            (F.lit(start - step)
+             + F.lit(step) * F.col("__identity_rn")).cast("long"),
+        ).drop("__identity_rn")
+    existing = read_snapshot_table(spark, table_path)
+    agg = F.max(F.col(c)) if step > 0 else F.min(F.col(c))
+    hwm_row = existing.agg(
+        F.coalesce(agg, F.lit(start - step)).alias("h")
+    ).collect()[0]
+    hwm = int(hwm_row["h"])
+    ex_ids = existing.select(key, F.col(c).alias("__identity_keep"))
+    j = incoming.join(ex_ids, on=key, how="left")
+    olds = (
+        j.filter(F.col("__identity_keep").isNotNull())
+        .withColumn(c, F.col("__identity_keep"))
+        .drop("__identity_keep")
+    )
+    news = j.filter(F.col("__identity_keep").isNull()).drop(
+        "__identity_keep"
+    )
+    news = distributed_row_number(
+        news, [F.asc(key)], rank_col="__identity_rn"
+    ).withColumn(
+        c,
+        (F.lit(hwm) + F.lit(step) * F.col("__identity_rn")).cast("long"),
+    ).drop("__identity_rn")
+    return olds.unionByName(news)
 
 
 def _rel_survives_ranges(rel: str, ranges: dict) -> bool:

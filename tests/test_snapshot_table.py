@@ -2179,3 +2179,59 @@ def test_merge_when_by_source_scope_prunes_partitions(spark, tmp_path):
         + [(i, 10 * i) for i in range(16) if i % 4 >= 2]
     )
     assert got == expect, got
+
+
+def test_identity_column_assignment_and_keep(spark, tmp_path):
+    """GENERATED ALWAYS AS IDENTITY: the engine assigns
+    hwm + step*rank in merge-key order on insert, matched rows keep
+    their existing identity across later merges, and an increment
+    that supplies the column is rejected before anything is written."""
+    snap = str(tmp_path / "snap")
+    S.snapshot_set_identity(spark, snap, "row_id", start=100, step=2)
+    b1 = spark.createDataFrame(
+        [(5, 2, 50), (3, 0, 30), (9, 1, 90), (1, 1, 10)],
+        "k long, bucket int, v long",
+    )
+    S.snapshot_merge_upsert(spark, snap, b1, key="k", partition_cols=["bucket"])
+    got = {r.k: r.row_id for r in S.read_snapshot_table(spark, snap).collect()}
+    assert got == {1: 100, 3: 102, 5: 104, 9: 106}, got
+    b2 = spark.createDataFrame(
+        [(3, 0, 999), (7, 1, 70), (2, 2, 20)],
+        "k long, bucket int, v long",
+    )
+    S.snapshot_merge_upsert(spark, snap, b2, key="k", partition_cols=["bucket"])
+    rows = {
+        r.k: (r.row_id, r.v)
+        for r in S.read_snapshot_table(spark, snap).collect()
+    }
+    assert rows[3] == (102, 999), rows      # matched: identity kept
+    assert rows[2] == (108, 20), rows       # hwm 106, key order 2 then 7
+    assert rows[7] == (110, 70), rows
+    bad = spark.createDataFrame(
+        [(11, 0, 1, 5)], "k long, bucket int, v long, row_id long"
+    )
+    gen_before = S._current_gen(spark, snap)
+    with pytest.raises(S.SnapshotIdentityViolation):
+        S.snapshot_merge_upsert(
+            spark, snap, bad, key="k", partition_cols=["bucket"]
+        )
+    assert S._current_gen(spark, snap) == gen_before
+
+
+def test_identity_negative_step(spark, tmp_path):
+    """Negative step walks DOWN from start; the derived high-water
+    mark is the MIN for negative steps."""
+    snap = str(tmp_path / "snap")
+    S.snapshot_set_identity(spark, snap, "sid", start=0, step=-5)
+    S.snapshot_merge_upsert(
+        spark, snap,
+        spark.createDataFrame([(2, 1), (1, 1)], "k long, v long"),
+        key="k",
+    )
+    S.snapshot_merge_upsert(
+        spark, snap,
+        spark.createDataFrame([(4, 1)], "k long, v long"),
+        key="k",
+    )
+    got = {r.k: r.sid for r in S.read_snapshot_table(spark, snap).collect()}
+    assert got == {1: 0, 2: -5, 4: -10}, got
