@@ -6644,6 +6644,57 @@ def q235_identity_column(spark: SparkSession, sf: str) -> DataFrame:
     ).localCheckpoint()
 
 
+_Q236_SEQ = [0]
+
+
+def q236_stream_static_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """§2.10 + J7 as a STREAM: stream-static broadcast enrichment
+    (streaming/micro_batch.enrich_stream_with_dimension) — the events
+    file stream left-joined per micro-batch against the static
+    customer dimension (broadcast build side, re-read each batch so a
+    slowly-changing dimension picks up updates without a restart),
+    drained AvailableNow into a memory sink, then rolled up.  The
+    oracle is the identical static join+rollup — stream-static
+    equi-join semantics are exactly batch semantics per batch."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.streaming.micro_batch import (
+        enrich_stream_with_dimension,
+    )
+
+    _ensure_shipped(spark)
+    dim = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = (
+        spark.readStream.schema(_EVENTS_READ_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+        .select("event_id", "user_id", "event_type")
+    )
+    enriched = enrich_stream_with_dimension(
+        stream, dim, on="user_id",
+        select_cols=["event_id", "event_type", "c_mktsegment"],
+    )
+    _Q236_SEQ[0] += 1
+    name = f"q236_stream_static_{_Q236_SEQ[0]}"
+    ckpt = tempfile.mkdtemp(prefix="q236-ckpt-")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW (and that the registry/oracle counts match QUERIES.md)
@@ -6956,6 +7007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q233_constraint_enforcement": q233_constraint_enforcement,
         "q234_merge_by_source": q234_merge_by_source,
         "q235_identity_column": q235_identity_column,
+        "q236_stream_static_enrich": q236_stream_static_enrich,
     }
 
 
@@ -11163,5 +11215,12 @@ def oracle_sql() -> dict[str, str]:
             FROM b1
             UNION ALL
             SELECT k, bucket, v, CAST(row_id AS BIGINT) AS row_id FROM n2
+        """,
+        "q236_stream_static_enrich": """
+            SELECT e.event_type, c.c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events e
+            LEFT JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1, 2
         """,
     }
