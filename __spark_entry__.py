@@ -6695,6 +6695,46 @@ def q236_stream_static_enrich(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q237_overwrite_where(spark: SparkSession, sf: str) -> DataFrame:
+    """INSERT OVERWRITE ... WHERE (Delta replaceWhere) as a gate
+    query — the backfill idiom: recompute one slice (bucket < 3 AND
+    even cents) and swap it in atomically.  Matching rows die,
+    replacement rows land (validated to satisfy the predicate),
+    non-matching rows in affected partitions carry verbatim, and
+    buckets 3-7 never rewrite.  Oracle is the closed relational form
+    of delete-matching-then-insert."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        read_snapshot_table,
+        snapshot_merge_upsert,
+        snapshot_overwrite_where,
+    )
+
+    orders = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 8).cast("int").alias("bucket"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    base = orders.withColumn("status", F.lit("old"))
+    tbl = tempfile.mkdtemp(prefix="q237-replwhere-") + "/t"
+    snapshot_merge_upsert(spark, tbl, base, key="k", partition_cols=["bucket"])
+    repl = (
+        orders.filter(
+            (F.col("bucket") < 3) & (F.col("v") % 2 == 0)
+            & (F.col("k") % 3 == 0)
+        )
+        .withColumn("status", F.lit("new"))
+    )
+    snapshot_overwrite_where(
+        spark, tbl, repl, "bucket < 3 AND v % 2 = 0",
+        partition_cols=["bucket"],
+    )
+    return read_snapshot_table(spark, tbl).select(
+        "k", F.col("bucket").cast("int").alias("bucket"), "v", "status"
+    ).localCheckpoint()
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW (and that the registry/oracle counts match QUERIES.md)
@@ -7008,6 +7048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q234_merge_by_source": q234_merge_by_source,
         "q235_identity_column": q235_identity_column,
         "q236_stream_static_enrich": q236_stream_static_enrich,
+        "q237_overwrite_where": q237_overwrite_where,
     }
 
 
@@ -11222,5 +11263,19 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             LEFT JOIN customer c ON e.user_id = c.c_custkey
             GROUP BY 1, 2
+        """,
+        # q237: delete-matching-then-insert — rows matching the
+        # predicate survive only through the replacement set
+        "q237_overwrite_where": """
+            WITH o AS (
+              SELECT o_orderkey AS k,
+                     CAST(o_orderkey % 8 AS INTEGER) AS bucket,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS v
+              FROM orders)
+            SELECT k, bucket, v, 'old' AS status FROM o
+            WHERE NOT (bucket < 3 AND v % 2 = 0)
+            UNION ALL
+            SELECT k, bucket, v, 'new' AS status FROM o
+            WHERE bucket < 3 AND v % 2 = 0 AND k % 3 = 0
         """,
     }

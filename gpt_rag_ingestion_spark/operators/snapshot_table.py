@@ -2952,6 +2952,139 @@ def snapshot_update(
     )
 
 
+class SnapshotOverwritePredicateViolation(ValueError):
+    """``snapshot_overwrite_where`` received replacement rows that do
+    not satisfy the overwrite predicate.  Nothing was written."""
+
+
+def _snapshot_overwrite_where_once(
+    spark: SparkSession,
+    table_path: str,
+    replacement: DataFrame,
+    where: str,
+    partition_cols: list[str] | None = None,
+    max_conflict_rebases: int = 0,
+) -> int:
+    """INSERT OVERWRITE ... WHERE — Delta's ``replaceWhere``: one
+    atomic commit deletes every committed row matching ``where`` and
+    lands ``replacement`` in its place (the backfill idiom: recompute
+    a slice, swap it in, readers never see a hole).  Every replacement
+    row must itself satisfy ``where`` (Delta's constraint — otherwise
+    the operation isn't an overwrite of that region), checked before
+    anything is written.
+
+    Scale shape: only partitions that HOLD matching rows or RECEIVE
+    replacement rows rewrite; rows in those partitions that do not
+    match ``where`` are carried verbatim, and untouched partitions
+    keep their manifest refs — a partition-aligned predicate makes
+    this a pure partition swap, a row-level predicate costs one
+    filtered rewrite of the affected partitions only."""
+    _commit_recover(spark, table_path)
+    _claim_recover(spark, table_path)
+    cur = _current_gen(spark, table_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot at {table_path}")
+    replacement = _apply_generated(spark, table_path, replacement)
+    n_bad = replacement.filter(
+        ~F.coalesce(F.expr(where), F.lit(False))
+    ).count()
+    if n_bad:
+        raise SnapshotOverwritePredicateViolation(
+            f"{n_bad} replacement rows do not satisfy the overwrite "
+            f"predicate ({where})"
+        )
+    _validate_constraints(spark, table_path, replacement)
+    existing = read_snapshot_table(spark, table_path)
+    if sorted(existing.columns) != sorted(replacement.columns):
+        raise SnapshotSchemaMismatch(
+            "snapshot_overwrite_where needs identical column sets; "
+            f"table has {sorted(existing.columns)}, replacement "
+            f"{sorted(replacement.columns)}"
+        )
+    manifest = _read_manifest(spark, table_path, cur)
+    gen = cur + 1
+    gname = _gen_name(gen)
+    new_dir = _gen_dir(table_path, gname)
+    pred = F.coalesce(F.expr(where), F.lit(False))
+
+    if not partition_cols:
+        out = existing.filter(~pred).unionByName(replacement)
+        out.write.mode("overwrite").parquet(new_dir)
+        _maybe_write_stats(spark, table_path, gname, new_dir, schema=out.schema)
+        return _commit_rebasing(
+            spark, table_path, gen, {"": gname}, expected_cur=cur,
+            extra=_with_schema(
+                _carry_dv_ref(
+                    spark, table_path, manifest, {"": gname}, gen
+                ),
+                out, prev=manifest,
+            ),
+            op="overwrite_where", max_rebases=max_conflict_rebases,
+        )
+
+    affected = [
+        tuple(r[c] for c in partition_cols)
+        for r in existing.filter(pred).select(*partition_cols)
+        .unionByName(replacement.select(*partition_cols))
+        .distinct().collect()
+    ]
+    if not affected:
+        return cur
+
+    def _match(values):
+        terms = [
+            F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+            for c, v in zip(partition_cols, values)
+        ]
+        return functools.reduce(lambda a, b: a & b, terms)
+
+    part_pred = functools.reduce(
+        lambda a, b: a | b, [_match(v) for v in affected]
+    )
+    out = existing.filter(part_pred & ~pred).unionByName(replacement)
+    out.write.mode(
+        "overwrite"
+    ).partitionBy(*partition_cols).parquet(new_dir)
+    _maybe_write_stats(spark, table_path, gname, new_dir, schema=out.schema)
+    affected_rels = {
+        _partition_rel_path(partition_cols, v) for v in affected
+    }
+    written = _list_partition_rels(spark, new_dir, len(partition_cols))
+    partitions = {
+        r: g for r, g in manifest["partitions"].items()
+        if r not in affected_rels
+    }
+    partitions.update({r: gname for r in written})
+    return _commit_rebasing(
+        spark, table_path, gen, partitions, expected_cur=cur,
+        extra=_with_schema(
+            _carry_dv_ref(spark, table_path, manifest, partitions, gen),
+            out, partition_cols, prev=manifest,
+        ),
+        op="overwrite_where", max_rebases=max_conflict_rebases,
+    )
+
+
+def snapshot_overwrite_where(
+    spark: SparkSession,
+    table_path: str,
+    replacement: DataFrame,
+    where: str,
+    partition_cols: list[str] | None = None,
+    max_conflict_rebases: int = 0,
+) -> int:
+    """See ``_snapshot_overwrite_where_once``; overlap/claim conflicts
+    retry against the winner's snapshot (``_retrying_merge``)."""
+    return _retrying_merge(
+        lambda: _snapshot_overwrite_where_once(
+            spark, table_path, replacement, where,
+            partition_cols=partition_cols,
+            max_conflict_rebases=max_conflict_rebases,
+        ),
+        max_conflict_rebases,
+    )
+
+
 def snapshot_history(spark: SparkSession, table_path: str) -> list[dict]:
     """DESCRIBE HISTORY: one dict per commit whose manifest still
     exists (vacuum is the retention boundary), oldest first —

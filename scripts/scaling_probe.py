@@ -70,6 +70,10 @@ PROBES = {
     "q227_nation_year_profit": ("olap", "Q9-shape: broadcast dims, one partial-agg shuffle of the fact"),
     "q229_sentence_dedup_global": ("text", "cross-doc sentence dedup: one sentence-keyed shuffle + per-doc re-agg"),
     "q230_pps_sample": ("sampling", "integer prefix sum on the monotone bucket: one exchange"),
+    "q234_merge_by_source": ("sink", "by-source full sync: scope-bounded partition rewrite (buckets 6-7 untouched)"),
+    "q235_identity_column": ("sink", "identity assignment: distributed rank + derived high-water, 2 commits"),
+    "q236_stream_static_enrich": ("streaming", "stream-static broadcast join, AvailableNow drain + rollup"),
+    "q237_overwrite_where": ("sink", "replaceWhere backfill: affected-partition rewrite, buckets 3-7 untouched"),
 }
 
 

@@ -2235,3 +2235,64 @@ def test_identity_negative_step(spark, tmp_path):
     )
     got = {r.k: r.sid for r in S.read_snapshot_table(spark, snap).collect()}
     assert got == {1: 0, 2: -5, 4: -10}, got
+
+
+def test_overwrite_where_row_level_predicate(spark, tmp_path):
+    """replaceWhere with a row-level predicate: matching rows die,
+    replacement lands, NON-matching rows in affected partitions are
+    carried verbatim, and partitions with no matching rows keep their
+    manifest refs."""
+    snap = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(k, k % 4, 10 * k, "old") for k in range(16)],
+        "k long, bucket int, v long, status string",
+    )
+    S.snapshot_merge_upsert(spark, snap, base, key="k", partition_cols=["bucket"])
+    before = dict(
+        S._read_manifest(
+            spark, snap, S._current_gen(spark, snap)
+        )["partitions"]
+    )
+    # replace "even v in buckets 0-1" with recomputed rows (a subset)
+    repl = spark.createDataFrame(
+        [(k, k % 4, 10 * k, "new") for k in (0, 4)],
+        "k long, bucket int, v long, status string",
+    )
+    S.snapshot_overwrite_where(
+        spark, snap, repl, "bucket < 2 AND v % 20 = 0",
+        partition_cols=["bucket"],
+    )
+    m = S._read_manifest(spark, snap, S._current_gen(spark, snap))
+    refs = dict(m["partitions"])
+    assert refs["bucket=2"] == before["bucket=2"], refs
+    assert refs["bucket=3"] == before["bucket=3"], refs
+    assert refs["bucket=0"] != before["bucket=0"], refs
+    got = sorted(
+        (r.k, r.status)
+        for r in S.read_snapshot_table(spark, snap).collect()
+    )
+    # doomed: bucket<2 AND v%20==0 -> k in {0,4,8,12} (bucket 0, v ends
+    # in 0) and k in {2,6,10,14}? no: v%20==0 means k even; bucket<2
+    # means k%4 in {0,1}; so doomed k: 0,4,8,12 — replaced by 0,4 only
+    expect = sorted(
+        [(0, "new"), (4, "new")]
+        + [(k, "old") for k in range(16) if not (k % 4 < 2 and (10 * k) % 20 == 0 and k % 4 in (0, 1)) ]
+    )
+    assert got == expect, got
+
+
+def test_overwrite_where_rejects_out_of_scope_replacement(spark, tmp_path):
+    """Replacement rows that do not satisfy the predicate are rejected
+    before anything is written (Delta's replaceWhere constraint)."""
+    snap = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(k, k % 2, k) for k in range(8)], "k long, bucket int, v long"
+    )
+    S.snapshot_merge_upsert(spark, snap, base, key="k", partition_cols=["bucket"])
+    gen_before = S._current_gen(spark, snap)
+    bad = spark.createDataFrame([(99, 1, 99)], "k long, bucket int, v long")
+    with pytest.raises(S.SnapshotOverwritePredicateViolation):
+        S.snapshot_overwrite_where(
+            spark, snap, bad, "bucket = 0", partition_cols=["bucket"]
+        )
+    assert S._current_gen(spark, snap) == gen_before
