@@ -6735,6 +6735,73 @@ def q237_overwrite_where(spark: SparkSession, sf: str) -> DataFrame:
     ).localCheckpoint()
 
 
+def _q238_dirty_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministically corrupted lineitem for the data-quality gates:
+    NULL quantity every 97th order, out-of-band discount every 103rd,
+    full duplicates every 101st — each class closed-form recoverable."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
+    )
+    dirty = li.withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 97 == 0, F.lit(None)).otherwise(
+            F.col("l_quantity")
+        ),
+    ).withColumn(
+        "l_discount",
+        F.when(
+            F.col("l_orderkey") % 103 == 0, F.col("l_discount") + 1
+        ).otherwise(F.col("l_discount")),
+    )
+    return dirty.unionByName(dirty.filter(F.col("l_orderkey") % 101 == 0))
+
+
+def q238_quality_report(spark: SparkSession, sf: str) -> DataFrame:
+    """DATA-QUALITY EXPECTATIONS (the Delta Live Tables / Great
+    Expectations surface, operators/quality.check_rules): row rules
+    fold into ONE conditional-sum scan, uniqueness is one hash
+    aggregate, referential integrity one broadcast anti-join — exact
+    violation counts over a deterministically corrupted lineitem
+    (planted NULLs, out-of-band discounts, duplicates, orphaned
+    orders).  The oracle recomputes every count in closed form."""
+    from gpt_rag_ingestion_spark.operators.quality import check_rules
+
+    dirty = _q238_dirty_lineitem(spark, sf)
+    parent = _t(spark, sf, "orders").filter(
+        F.col("o_orderkey") % 89 != 0
+    ).select("o_orderkey")
+    return check_rules(
+        dirty,
+        row_rules={
+            "quantity_present": "l_quantity IS NOT NULL",
+            "discount_in_band": "l_discount BETWEEN 0 AND 0.1",
+        },
+        unique_rules={"line_unique": ["l_orderkey", "l_linenumber"]},
+        fk_rules={"order_exists": (parent, ["l_orderkey"], ["o_orderkey"])},
+    )
+
+
+def q239_quality_quarantine(spark: SparkSession, sf: str) -> DataFrame:
+    """EXPECT-OR-QUARANTINE (DLT's expect_or_drop with a paper trail,
+    operators/quality.split_quarantine): failing rows route to a side
+    relation carrying the sorted violated-rule names, computed once
+    per row in codegen — the ingest pattern that keeps a bad record
+    from failing a 100 TB job while losing nothing.  Returns the
+    quarantined rows; the oracle derives each row's violation set in
+    closed form."""
+    from gpt_rag_ingestion_spark.operators.quality import split_quarantine
+
+    dirty = _q238_dirty_lineitem(spark, sf)
+    ok, bad = split_quarantine(
+        dirty,
+        {
+            "quantity_present": "l_quantity IS NOT NULL",
+            "discount_in_band": "l_discount BETWEEN 0 AND 0.1",
+        },
+    )
+    return bad.select("l_orderkey", "l_linenumber", "violated_rules")
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW (and that the registry/oracle counts match QUERIES.md)
@@ -7049,6 +7116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q235_identity_column": q235_identity_column,
         "q236_stream_static_enrich": q236_stream_static_enrich,
         "q237_overwrite_where": q237_overwrite_where,
+        "q238_quality_report": q238_quality_report,
+        "q239_quality_quarantine": q239_quality_quarantine,
     }
 
 
@@ -11277,5 +11346,63 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT k, bucket, v, 'new' AS status FROM o
             WHERE bucket < 3 AND v % 2 = 0 AND k % 3 = 0
+        """,
+        # q238/q239: the corruption is deterministic, so every
+        # violation count / violation set has a closed form
+        "q238_quality_report": """
+            WITH base AS (
+              SELECT l_orderkey, l_linenumber,
+                CASE WHEN l_orderkey % 97 = 0 THEN NULL
+                     ELSE l_quantity END AS q,
+                CASE WHEN l_orderkey % 103 = 0 THEN l_discount + 1
+                     ELSE l_discount END AS d
+              FROM lineitem),
+            dirty AS (
+              SELECT * FROM base
+              UNION ALL
+              SELECT * FROM base WHERE l_orderkey % 101 = 0),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM dirty)
+            SELECT 'quantity_present' AS rule, 'row' AS kind,
+              CAST((SELECT count(*) FROM dirty WHERE q IS NULL) AS BIGINT)
+                AS n_violations,
+              (SELECT n_rows FROM n) AS n_rows
+            UNION ALL
+            SELECT 'discount_in_band', 'row',
+              CAST((SELECT count(*) FROM dirty
+                    WHERE NOT (d BETWEEN 0 AND 0.1)) AS BIGINT),
+              (SELECT n_rows FROM n)
+            UNION ALL
+            SELECT 'line_unique', 'unique',
+              (SELECT n_rows FROM n)
+                - CAST((SELECT count(*) FROM (
+                     SELECT DISTINCT l_orderkey, l_linenumber FROM dirty))
+                   AS BIGINT),
+              (SELECT n_rows FROM n)
+            UNION ALL
+            SELECT 'order_exists', 'fk',
+              CAST((SELECT count(*) FROM dirty
+                    WHERE l_orderkey % 89 = 0) AS BIGINT),
+              (SELECT n_rows FROM n)
+        """,
+        "q239_quality_quarantine": """
+            WITH base AS (
+              SELECT l_orderkey, l_linenumber,
+                CASE WHEN l_orderkey % 97 = 0 THEN NULL
+                     ELSE l_quantity END AS q,
+                CASE WHEN l_orderkey % 103 = 0 THEN l_discount + 1
+                     ELSE l_discount END AS d
+              FROM lineitem),
+            dirty AS (
+              SELECT * FROM base
+              UNION ALL
+              SELECT * FROM base WHERE l_orderkey % 101 = 0)
+            SELECT l_orderkey, l_linenumber,
+              CASE
+                WHEN q IS NULL AND NOT (d BETWEEN 0 AND 0.1)
+                  THEN 'discount_in_band,quantity_present'
+                WHEN q IS NULL THEN 'quantity_present'
+                ELSE 'discount_in_band' END AS violated_rules
+            FROM dirty
+            WHERE q IS NULL OR NOT (d BETWEEN 0 AND 0.1)
         """,
     }

@@ -74,6 +74,8 @@ PROBES = {
     "q235_identity_column": ("sink", "identity assignment: distributed rank + derived high-water, 2 commits"),
     "q236_stream_static_enrich": ("streaming", "stream-static broadcast join, AvailableNow drain + rollup"),
     "q237_overwrite_where": ("sink", "replaceWhere backfill: affected-partition rewrite, buckets 3-7 untouched"),
+    "q238_quality_report": ("quality", "expectations: ONE conditional-sum scan + hash agg + broadcast-anti"),
+    "q239_quality_quarantine": ("quality", "expect-or-drop split: codegen rule projection, no shuffle"),
 }
 
 

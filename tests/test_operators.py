@@ -458,3 +458,59 @@ def test_systematic_pps_sample_exact_k(spark):
     again = {(r["id"], r["n_picks"]) for r in systematic_pps_sample(
         df.repartition(16), ["id"], "w", k=k).collect()}
     assert again == {(r["id"], r["n_picks"]) for r in got}
+
+
+def test_quality_check_rules_all_kinds(spark):
+    """DLT-style expectations: row rules (NULL = violation), unique
+    rules (NULL keys never violate), and FK rules (NULL child keys
+    ignored) all report exact violation counts in one report."""
+    from gpt_rag_ingestion_spark.operators.quality import check_rules
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "a"), (2, -5, "b"), (3, None, "a"),
+            (4, 7, None), (4, 8, "z"), (None, 9, "a"),
+        ],
+        "id long, v long, cat string",
+    )
+    parent = spark.createDataFrame(
+        [("a",), ("b",)], "cat string"
+    )
+    rep = {
+        r.rule: (r.kind, r.n_violations, r.n_rows)
+        for r in check_rules(
+            df,
+            row_rules={
+                "v_positive": "v > 0",          # -5 and NULL violate
+                "id_not_null": "id IS NOT NULL",
+            },
+            unique_rules={"id_unique": ["id"]},  # 4 duplicated once
+            fk_rules={"cat_in_parent": (parent, ["cat"], ["cat"])},
+        ).collect()
+    }
+    assert rep["v_positive"] == ("row", 2, 6)
+    assert rep["id_not_null"] == ("row", 1, 6)
+    assert rep["id_unique"] == ("unique", 1, 6)
+    # 'z' is an orphan; the NULL cat row is ignored
+    assert rep["cat_in_parent"] == ("fk", 1, 6)
+
+
+def test_quality_split_quarantine(spark):
+    """expect-or-drop: failing rows route to quarantine with the
+    sorted violated-rule names; passing rows come out clean."""
+    from gpt_rag_ingestion_spark.operators.quality import split_quarantine
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, -5), (3, None), (4, 200)],
+        "id long, v long",
+    )
+    ok, bad = split_quarantine(
+        df, {"v_positive": "v > 0", "v_small": "v < 100"}
+    )
+    assert sorted(r.id for r in ok.collect()) == [1]
+    got = {r.id: r.violated_rules for r in bad.collect()}
+    assert got == {
+        2: "v_positive",
+        3: "v_positive,v_small",
+        4: "v_small",
+    }, got
