@@ -6802,6 +6802,49 @@ def q239_quality_quarantine(spark: SparkSession, sf: str) -> DataFrame:
     return bad.select("l_orderkey", "l_linenumber", "violated_rules")
 
 
+def q240_rename_column(spark: SparkSession, sf: str) -> DataFrame:
+    """COLUMN-MAPPING RENAME (Delta ALTER TABLE RENAME COLUMN, name
+    mode) as a gate query: commit a partitioned table, rename a data
+    column METADATA-ONLY (zero files rewritten — the manifest records
+    which generation dirs still carry the old physical name), merge an
+    increment under the NEW name (only its buckets rewrite), and read
+    back: pre-rename dirs and post-rename dirs union under the new
+    logical name.  The returned relation also carries the proof bits —
+    rename commit moved the pointer by exactly 1 and rewrote 0
+    partitions.  Oracle is the closed form of base-then-increment
+    under the final name."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        _current_gen,
+        _read_manifest,
+        read_snapshot_table,
+        snapshot_merge_upsert,
+        snapshot_rename_column,
+    )
+
+    orders = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 8).cast("int").alias("bucket"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    tbl = tempfile.mkdtemp(prefix="q240-rename-") + "/t"
+    snapshot_merge_upsert(spark, tbl, orders, key="k", partition_cols=["bucket"])
+    g1 = _current_gen(spark, tbl)
+    refs1 = dict(_read_manifest(spark, tbl, g1)["partitions"])
+    g2 = snapshot_rename_column(spark, tbl, "v", "cents")
+    refs2 = dict(_read_manifest(spark, tbl, g2)["partitions"])
+    inc = orders.filter(F.col("k") % 5 == 0).select(
+        "k", "bucket", (F.col("v") + 11).alias("cents")
+    )
+    snapshot_merge_upsert(spark, tbl, inc, key="k", partition_cols=["bucket"])
+    return read_snapshot_table(spark, tbl).select(
+        "k", F.col("bucket").cast("int").alias("bucket"), "cents",
+        F.lit(bool(g2 == g1 + 1)).alias("rename_was_one_commit"),
+        F.lit(bool(refs1 == refs2)).alias("rename_rewrote_zero_partitions"),
+    ).localCheckpoint()
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW (and that the registry/oracle counts match QUERIES.md)
@@ -7118,6 +7161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q237_overwrite_where": q237_overwrite_where,
         "q238_quality_report": q238_quality_report,
         "q239_quality_quarantine": q239_quality_quarantine,
+        "q240_rename_column": q240_rename_column,
     }
 
 
@@ -11404,5 +11448,19 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 'discount_in_band' END AS violated_rules
             FROM dirty
             WHERE q IS NULL OR NOT (d BETWEEN 0 AND 0.1)
+        """,
+        # q240: base rows under the renamed column, increment wins on
+        # matched keys; the two proof bits are constants when the
+        # rename really was one metadata-only commit
+        "q240_rename_column": """
+            SELECT o_orderkey AS k,
+                   CAST(o_orderkey % 8 AS INTEGER) AS bucket,
+                   CASE WHEN o_orderkey % 5 = 0
+                        THEN CAST(round(o_totalprice * 100) AS BIGINT) + 11
+                        ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                   END AS cents,
+                   true AS rename_was_one_commit,
+                   true AS rename_rewrote_zero_partitions
+            FROM orders
         """,
     }

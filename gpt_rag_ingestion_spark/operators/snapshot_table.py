@@ -346,6 +346,8 @@ def _with_schema(
     out["schema"] = json.loads(StructType(ordered).json())
     if partition_cols:
         out["partition_cols"] = list(partition_cols)
+    if prev and prev.get("renames") and "renames" not in out:
+        out["renames"] = prev["renames"]
     return out
 
 
@@ -581,6 +583,27 @@ def snapshot_gen_at_timestamp(
     return best
 
 
+def _apply_renames(manifest: dict, g: str, df: DataFrame) -> DataFrame:
+    """COLUMN-MAPPING renames (Delta column mapping, name mode): a
+    rename commit never rewrites data — it records the generation
+    directories live at rename time (``dirs``), whose files carry the
+    OLD physical name; those read back renamed, while directories
+    written after the rename already carry the new name and match no
+    entry.  Applying entries in commit order composes chained renames
+    (a -> b -> c).  Dir-name matching (names embed a random per-attempt
+    token, so they are globally unique) rather than a bare
+    from-in-columns check keeps a LATER schema-evolution column that
+    legitimately reuses the old name from being renamed by accident."""
+    renames = manifest.get("renames") or []
+    if not renames:
+        return df
+    base_name = g.rstrip("/").rsplit("/", 1)[-1]
+    for r in renames:
+        if base_name in r["dirs"] and r["from"] in df.columns:
+            df = df.withColumnRenamed(r["from"], r["to"])
+    return df
+
+
 def read_snapshot_table(
     spark: SparkSession, table_path: str, at_gen: int | None = None,
     at_ts_ms: int | None = None,
@@ -629,7 +652,7 @@ def read_snapshot_table(
                 spark, manifest, base,
                 [f"{base}/{r}" for r in sorted(rels)],
             )
-        dfs.append(_apply_dv(spark, raw, g, dv, base=base))
+        dfs.append(_apply_renames(manifest, g, _apply_dv(spark, raw, g, dv, base=base)))
     return functools.reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
     )
@@ -664,15 +687,22 @@ def _commit(
     # the rival's schema when ours didn't state one — and partition-
     # column types (the part read-back depends on) never change
     # across disjoint-partition rebases.
-    if "schema" not in body and expected_cur is not None:
+    if expected_cur is not None and (
+        "schema" not in body or "renames" not in body
+    ):
         try:
             prev = _read_manifest(spark, table_path, expected_cur)
-            if prev.get("schema"):
+        except Exception:
+            prev = None
+        if prev:
+            if "schema" not in body and prev.get("schema"):
                 body["schema"] = prev["schema"]
                 if prev.get("partition_cols"):
                     body["partition_cols"] = prev["partition_cols"]
-        except Exception:
-            pass
+            # column-mapping rename history carries like the schema —
+            # a commit that doesn't state it inherits it
+            if "renames" not in body and prev.get("renames"):
+                body["renames"] = prev["renames"]
     body_json = json.dumps(body, sort_keys=True)
     claimed = _manifest_path(table_path, gen)
     _write_text_exclusive(spark, claimed, body_json)
@@ -1522,6 +1552,10 @@ def _snapshot_delete_keys_once(
                 dv,
                 base=base,
             )
+            # renames apply before the key semi-join: files in
+            # pre-rename generation dirs carry the OLD physical name
+            # for a renamed (logical) key column
+            live = _apply_renames(manifest, g, live)
             hit_parts.append(
                 live.join(F.broadcast(key_set), on=key, how="left_semi")
                 .select("__f", "__p")
@@ -2104,7 +2138,11 @@ def _read_partition_subset(
                 spark, manifest or {}, base,
                 [f"{base}/{r}" for r in sorted(rels)],
             )
-        dfs.append(_apply_dv(spark, raw, g, dv_map or {}, base=base))
+        dfs.append(
+            _apply_renames(
+                manifest or {}, g, _apply_dv(spark, raw, g, dv_map or {}, base=base)
+            )
+        )
     return functools.reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
     )
@@ -2189,6 +2227,18 @@ def snapshot_changes(
         {r: g for r, g in mb["partitions"].items() if r in changed},
         dv_map=dvb, manifest=mb,
     )
+    # a diff SPANNING a column-mapping rename compares the FROM side
+    # under its pre-rename LOGICAL names — align name-wise (the dirs
+    # machinery already produced a consistent logical frame per side)
+    # so the digest compares the same logical column, not NULL-vs-value
+    if a is not None:
+        for r in mb.get("renames") or []:
+            if (
+                from_gen < r.get("gen", 0) <= to_gen
+                and r["from"] in a.columns
+                and r["to"] not in a.columns
+            ):
+                a = a.withColumnRenamed(r["from"], r["to"])
     if a is None and b is None:
         raise ValueError("no partitions changed and no schema available")
     cols = sorted(
@@ -2535,7 +2585,11 @@ def _read_selected(spark, selections, schema_src, dv_map=None, manifest=None):
             )
         else:
             continue
-        dfs.append(_apply_dv(spark, raw, g, dv_map or {}, base=base))
+        dfs.append(
+            _apply_renames(
+                manifest or {}, g, _apply_dv(spark, raw, g, dv_map or {}, base=base)
+            )
+        )
     if not dfs:
         return schema_src.limit(0)
     return functools.reduce(
@@ -3152,14 +3206,115 @@ def snapshot_restore(
     if target.get("dv"):
         extra["dv"] = target["dv"]
     # the restored snapshot's schema is the TARGET's, not the current
-    # pointer's (the default carry would take the latter)
+    # pointer's (the default carry would take the latter); same for
+    # the rename history — stating it even when empty blocks the carry
     if target.get("schema"):
         extra["schema"] = target["schema"]
         if target.get("partition_cols"):
             extra["partition_cols"] = target["partition_cols"]
+    extra["renames"] = target.get("renames") or []
     _commit(
         spark, table_path, gen, dict(target["partitions"]),
         expected_cur=cur, extra=extra, op="restore",
+    )
+    return gen
+
+
+def snapshot_rename_column(
+    spark: SparkSession, table_path: str, old: str, new: str
+) -> int:
+    """ALTER TABLE ... RENAME COLUMN — Delta's column mapping (name
+    mode): a METADATA-ONLY commit, zero data files rewritten.  The
+    manifest records the rename together with the generation dirs
+    live at commit time; readers rename those dirs' columns on the
+    fly (``_apply_renames``), while every later write carries the new
+    name physically.  OPTIMIZE/compaction naturally LOCALIZES the
+    rename (rewritten dirs match no entry), so the mapping debt
+    self-amortizes.
+
+    Guardrails (each a documented Delta-parity restriction):
+    - PARTITION columns cannot rename (their directory names are the
+      manifest's partition keys; rewrite via overwrite instead);
+    - columns referenced by CHECK constraints, generated columns, the
+      identity column, or the stats/bloom config must have those
+      dropped/re-declared first (never silently rewrite stored
+      expressions);
+    - requires a stored schema (any table committed by this module
+      has one).
+    """
+    import re as _re
+
+    cur = _current_gen(spark, table_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot at {table_path}")
+    manifest = _read_manifest(spark, table_path, cur)
+    schema_json = manifest.get("schema")
+    if not schema_json:
+        raise ValueError(
+            "rename requires a manifest-stored schema (legacy table: "
+            "run one merge first)"
+        )
+    names = [f["name"] for f in schema_json["fields"]]
+    if old not in names:
+        raise ValueError(f"no column {old!r} (have {sorted(names)})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    if old in (manifest.get("partition_cols") or []):
+        raise ValueError(
+            f"{old!r} is a partition column — partition-column renames "
+            "need a rewrite (snapshot_overwrite_where), not metadata"
+        )
+    word = _re.compile(rf"\b{_re.escape(old)}\b")
+    for label, exprs in (
+        ("CHECK constraint", list(_constraints(spark, table_path).values())),
+        ("generated column", list(
+            _generated_columns(spark, table_path).values()
+        ) + list(_generated_columns(spark, table_path).keys())),
+    ):
+        if any(word.search(e) for e in exprs):
+            raise ValueError(
+                f"{old!r} is referenced by a {label}; drop/re-declare "
+                "it around the rename"
+            )
+    idc = _identity_conf(spark, table_path)
+    if idc and idc["column"] == old:
+        raise ValueError(
+            f"{old!r} is the identity column; re-declare identity "
+            "around the rename"
+        )
+    sconf = _stats_conf(spark, table_path) or {}
+    if old in (sconf.get("cols") or []) + (sconf.get("bloom_cols") or []):
+        raise ValueError(
+            f"{old!r} is in the stats/bloom config; re-declare stats "
+            "around the rename"
+        )
+    new_schema = json.loads(json.dumps(schema_json))
+    for f in new_schema["fields"]:
+        if f["name"] == old:
+            f["name"] = new
+    entry = {
+        "from": old,
+        "to": new,
+        "gen": cur + 1,
+        "dirs": sorted(
+            {
+                g.rstrip("/").rsplit("/", 1)[-1]
+                for g in manifest["partitions"].values()
+            }
+        ),
+    }
+    extra = {
+        "schema": new_schema,
+        "renames": (manifest.get("renames") or []) + [entry],
+    }
+    if manifest.get("partition_cols"):
+        extra["partition_cols"] = manifest["partition_cols"]
+    if manifest.get("dv"):
+        extra["dv"] = manifest["dv"]
+    gen = cur + 1
+    _commit(
+        spark, table_path, gen, dict(manifest["partitions"]),
+        expected_cur=cur, extra=extra, op="rename_column",
     )
     return gen
 
@@ -3216,7 +3371,7 @@ def snapshot_clone(
     # clones inherit TABLE METADATA (Delta clones carry table
     # properties): stats config so clone-local generations write
     # skipping sidecars, CHECK constraints, generated columns
-    for conf in (_STATS_CONF, _CONSTRAINTS_CONF, _GENERATED_CONF):
+    for conf in (_STATS_CONF, _CONSTRAINTS_CONF, _GENERATED_CONF, _IDENTITY_CONF):
         sp = f"{src_abs}/{conf}"
         if _fs_exists(spark, sp):
             _write_text(spark, f"{clone_path}/{conf}", _read_text(spark, sp))
@@ -3235,6 +3390,11 @@ def snapshot_clone(
         clone_extra["schema"] = manifest["schema"]
         if manifest.get("partition_cols"):
             clone_extra["partition_cols"] = manifest["partition_cols"]
+    # rename history travels with the shared generation dirs it
+    # describes (dir-name matching is path-independent, so entries
+    # keep working against the clone's absolute source refs)
+    if manifest.get("renames"):
+        clone_extra["renames"] = manifest["renames"]
     _commit(
         spark, clone_path, 1, partitions, expected_cur=None,
         extra=clone_extra, op="clone",

@@ -76,6 +76,7 @@ PROBES = {
     "q237_overwrite_where": ("sink", "replaceWhere backfill: affected-partition rewrite, buckets 3-7 untouched"),
     "q238_quality_report": ("quality", "expectations: ONE conditional-sum scan + hash agg + broadcast-anti"),
     "q239_quality_quarantine": ("quality", "expect-or-drop split: codegen rule projection, no shuffle"),
+    "q240_rename_column": ("sink", "column-mapping rename: metadata-only commit + increment under new name"),
 }
 
 

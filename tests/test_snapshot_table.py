@@ -2296,3 +2296,127 @@ def test_overwrite_where_rejects_out_of_scope_replacement(spark, tmp_path):
             spark, snap, bad, "bucket = 0", partition_cols=["bucket"]
         )
     assert S._current_gen(spark, snap) == gen_before
+
+
+def test_rename_column_metadata_only(spark, tmp_path):
+    """ALTER TABLE RENAME COLUMN is a metadata-only commit: no
+    generation dir is rewritten (manifest refs identical), reads show
+    the new name over old physical files, later merges write the new
+    name physically, and the pre/post dirs union correctly."""
+    snap = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(k, k % 2, 10 * k) for k in range(8)],
+        "k long, bucket int, v long",
+    )
+    S.snapshot_merge_upsert(spark, snap, base, key="k", partition_cols=["bucket"])
+    g1 = S._current_gen(spark, snap)
+    refs_before = dict(S._read_manifest(spark, snap, g1)["partitions"])
+    g2 = S.snapshot_rename_column(spark, snap, "v", "amount")
+    assert g2 == g1 + 1
+    refs_after = dict(S._read_manifest(spark, snap, g2)["partitions"])
+    assert refs_after == refs_before            # zero data movement
+    got = {r.k: r.amount for r in S.read_snapshot_table(spark, snap).collect()}
+    assert got == {k: 10 * k for k in range(8)}, got
+    # merge with the NEW name: only bucket-0 rewrites; bucket-1 rows
+    # still come from the pre-rename dir and union under 'amount'
+    inc = spark.createDataFrame(
+        [(0, 0, 999), (8, 0, 80)], "k long, bucket int, amount long"
+    )
+    S.snapshot_merge_upsert(spark, snap, inc, key="k", partition_cols=["bucket"])
+    got = {r.k: r.amount for r in S.read_snapshot_table(spark, snap).collect()}
+    assert got[0] == 999 and got[8] == 80 and got[1] == 10, got
+    # time travel BEFORE the rename shows the old name
+    old = S.read_snapshot_table(spark, snap, at_gen=g1)
+    assert "v" in old.columns and "amount" not in old.columns
+
+
+def test_rename_column_guardrails(spark, tmp_path):
+    snap = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(1, 0, 5)], "k long, bucket int, v long"
+    )
+    S.snapshot_merge_upsert(spark, snap, base, key="k", partition_cols=["bucket"])
+    with pytest.raises(ValueError, match="partition column"):
+        S.snapshot_rename_column(spark, snap, "bucket", "b2")
+    with pytest.raises(ValueError, match="already exists"):
+        S.snapshot_rename_column(spark, snap, "v", "k")
+    S.snapshot_add_constraint(spark, snap, "v_pos", "v > 0")
+    with pytest.raises(ValueError, match="constraint"):
+        S.snapshot_rename_column(spark, snap, "v", "amount")
+
+
+def test_rename_column_chain_and_name_reuse(spark, tmp_path):
+    """Chained renames compose (v -> amount -> total), and a LATER
+    schema-evolution column that reuses the retired name 'v' is NOT
+    captured by the old rename entries (dir-name matching)."""
+    snap = str(tmp_path / "snap")
+    S.snapshot_merge_upsert(
+        spark, snap,
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        key="k",
+    )
+    S.snapshot_rename_column(spark, snap, "v", "amount")
+    S.snapshot_rename_column(spark, snap, "amount", "total")
+    got = {r.k: r.total for r in S.read_snapshot_table(spark, snap).collect()}
+    assert got == {1: 10, 2: 20}, got
+    # schema evolution re-introduces a fresh column named 'v'
+    S.snapshot_merge_upsert(
+        spark, snap,
+        spark.createDataFrame([(3, 30, 7)], "k long, total long, v long"),
+        key="k",
+    )
+    rows = {
+        r.k: (r.total, r.v)
+        for r in S.read_snapshot_table(spark, snap).collect()
+    }
+    assert rows[3] == (30, 7), rows
+    assert rows[1] == (10, None), rows          # old rows: fresh v is NULL
+
+
+def test_rename_column_restore_and_clone(spark, tmp_path):
+    """RESTORE to a pre-rename generation brings the OLD name back;
+    a shallow clone of a renamed table reads the NEW name through the
+    absolute source refs."""
+    snap = str(tmp_path / "snap")
+    S.snapshot_merge_upsert(
+        spark, snap,
+        spark.createDataFrame([(1, 10)], "k long, v long"),
+        key="k",
+    )
+    g1 = S._current_gen(spark, snap)
+    S.snapshot_rename_column(spark, snap, "v", "amount")
+    clone = str(tmp_path / "clone")
+    S.snapshot_clone(spark, snap, clone)
+    crows = S.read_snapshot_table(spark, clone)
+    assert "amount" in crows.columns and crows.collect()[0].amount == 10
+    S.snapshot_restore(spark, snap, g1)
+    back = S.read_snapshot_table(spark, snap)
+    assert "v" in back.columns and "amount" not in back.columns
+
+
+def test_rename_column_dv_delete_and_cdf(spark, tmp_path):
+    """A DV delete keyed on the RENAMED key column matches rows in
+    pre-rename dirs, and a change feed SPANNING the rename aligns the
+    logical column instead of reporting every row as updated."""
+    snap = str(tmp_path / "snap")
+    S.snapshot_merge_upsert(
+        spark, snap,
+        spark.createDataFrame(
+            [(k, 10 * k) for k in range(6)], "k long, v long"
+        ),
+        key="k",
+    )
+    g1 = S._current_gen(spark, snap)
+    S.snapshot_rename_column(spark, snap, "v", "amount")
+    S.snapshot_delete_keys(
+        spark, snap,
+        spark.createDataFrame([(2,)], "k long"),
+        key="k", mode="dv",
+    )
+    got = sorted(r.k for r in S.read_snapshot_table(spark, snap).collect())
+    assert got == [0, 1, 3, 4, 5], got
+    ch = S.snapshot_changes(
+        spark, snap, g1, S._current_gen(spark, snap), key="k"
+    )
+    rows = {(r.k, r._change_type) for r in ch.collect()}
+    assert rows == {(2, "delete")}, rows
