@@ -600,7 +600,10 @@ def _apply_renames(manifest: dict, g: str, df: DataFrame) -> DataFrame:
     base_name = g.rstrip("/").rsplit("/", 1)[-1]
     for r in renames:
         if base_name in r["dirs"] and r["from"] in df.columns:
-            df = df.withColumnRenamed(r["from"], r["to"])
+            if r["to"] is None:          # metadata-only DROP COLUMN
+                df = df.drop(r["from"])
+            else:
+                df = df.withColumnRenamed(r["from"], r["to"])
     return df
 
 
@@ -2236,9 +2239,11 @@ def snapshot_changes(
             if (
                 from_gen < r.get("gen", 0) <= to_gen
                 and r["from"] in a.columns
-                and r["to"] not in a.columns
             ):
-                a = a.withColumnRenamed(r["from"], r["to"])
+                if r["to"] is None:
+                    a = a.drop(r["from"])
+                elif r["to"] not in a.columns:
+                    a = a.withColumnRenamed(r["from"], r["to"])
     if a is None and b is None:
         raise ValueError("no partitions changed and no schema available")
     cols = sorted(
@@ -3315,6 +3320,94 @@ def snapshot_rename_column(
     _commit(
         spark, table_path, gen, dict(manifest["partitions"]),
         expected_cur=cur, extra=extra, op="rename_column",
+    )
+    return gen
+
+
+def snapshot_drop_column(
+    spark: SparkSession, table_path: str, col: str
+) -> int:
+    """ALTER TABLE ... DROP COLUMN — the same column-mapping
+    machinery as ``snapshot_rename_column`` with ``to=None``: a
+    METADATA-ONLY commit; files in generation dirs live at drop time
+    keep the bytes but readers drop the column on the fly, later
+    writes omit it physically, and OPTIMIZE localizes (physically
+    sheds) it.  A later schema-evolution merge may re-introduce a
+    FRESH column under the same name without resurrecting old values
+    (dir-name matching).  Same guardrails as rename."""
+    import re as _re
+
+    cur = _current_gen(spark, table_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snapshot at {table_path}")
+    manifest = _read_manifest(spark, table_path, cur)
+    schema_json = manifest.get("schema")
+    if not schema_json:
+        raise ValueError(
+            "drop requires a manifest-stored schema (legacy table: "
+            "run one merge first)"
+        )
+    names = [f["name"] for f in schema_json["fields"]]
+    if col not in names:
+        raise ValueError(f"no column {col!r} (have {sorted(names)})")
+    if len(names) == 1:
+        raise ValueError("cannot drop the table's only column")
+    if col in (manifest.get("partition_cols") or []):
+        raise ValueError(
+            f"{col!r} is a partition column — partition-column drops "
+            "need a rewrite (snapshot_overwrite_where), not metadata"
+        )
+    word = _re.compile(rf"\b{_re.escape(col)}\b")
+    for label, exprs in (
+        ("CHECK constraint", list(_constraints(spark, table_path).values())),
+        ("generated column", list(
+            _generated_columns(spark, table_path).values()
+        ) + list(_generated_columns(spark, table_path).keys())),
+    ):
+        if any(word.search(e) for e in exprs):
+            raise ValueError(
+                f"{col!r} is referenced by a {label}; drop/re-declare "
+                "it around the drop"
+            )
+    idc = _identity_conf(spark, table_path)
+    if idc and idc["column"] == col:
+        raise ValueError(
+            f"{col!r} is the identity column; re-declare identity "
+            "around the drop"
+        )
+    sconf = _stats_conf(spark, table_path) or {}
+    if col in (sconf.get("cols") or []) + (sconf.get("bloom_cols") or []):
+        raise ValueError(
+            f"{col!r} is in the stats/bloom config; re-declare stats "
+            "around the drop"
+        )
+    new_schema = json.loads(json.dumps(schema_json))
+    new_schema["fields"] = [
+        f for f in new_schema["fields"] if f["name"] != col
+    ]
+    entry = {
+        "from": col,
+        "to": None,
+        "gen": cur + 1,
+        "dirs": sorted(
+            {
+                g.rstrip("/").rsplit("/", 1)[-1]
+                for g in manifest["partitions"].values()
+            }
+        ),
+    }
+    extra = {
+        "schema": new_schema,
+        "renames": (manifest.get("renames") or []) + [entry],
+    }
+    if manifest.get("partition_cols"):
+        extra["partition_cols"] = manifest["partition_cols"]
+    if manifest.get("dv"):
+        extra["dv"] = manifest["dv"]
+    gen = cur + 1
+    _commit(
+        spark, table_path, gen, dict(manifest["partitions"]),
+        expected_cur=cur, extra=extra, op="drop_column",
     )
     return gen
 

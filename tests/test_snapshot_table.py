@@ -2420,3 +2420,48 @@ def test_rename_column_dv_delete_and_cdf(spark, tmp_path):
     )
     rows = {(r.k, r._change_type) for r in ch.collect()}
     assert rows == {(2, "delete")}, rows
+
+
+def test_drop_column_metadata_only(spark, tmp_path):
+    """DROP COLUMN is metadata-only: refs unchanged, readers shed the
+    column over old files, a later merge omits it physically, and a
+    schema-evolution re-introduction is a FRESH column (old values do
+    not resurrect)."""
+    snap = str(tmp_path / "snap")
+    S.snapshot_merge_upsert(
+        spark, snap,
+        spark.createDataFrame(
+            [(1, 10, "x"), (2, 20, "y")], "k long, v long, tag string"
+        ),
+        key="k",
+    )
+    g1 = S._current_gen(spark, snap)
+    refs1 = dict(S._read_manifest(spark, snap, g1)["partitions"])
+    g2 = S.snapshot_drop_column(spark, snap, "tag")
+    refs2 = dict(S._read_manifest(spark, snap, g2)["partitions"])
+    assert refs1 == refs2
+    snap_df = S.read_snapshot_table(spark, snap)
+    assert sorted(snap_df.columns) == ["k", "v"]
+    # time travel before the drop still shows it
+    assert "tag" in S.read_snapshot_table(spark, snap, at_gen=g1).columns
+    # re-introduce 'tag' via schema evolution: fresh column, old rows NULL
+    S.snapshot_merge_upsert(
+        spark, snap,
+        spark.createDataFrame([(3, 30, "z")], "k long, v long, tag string"),
+        key="k",
+    )
+    rows = {r.k: r.tag for r in S.read_snapshot_table(spark, snap).collect()}
+    assert rows == {1: None, 2: None, 3: "z"}, rows
+
+
+def test_drop_column_guardrails(spark, tmp_path):
+    snap = str(tmp_path / "snap")
+    S.snapshot_merge_upsert(
+        spark, snap,
+        spark.createDataFrame([(1, 0, 5)], "k long, bucket int, v long"),
+        key="k", partition_cols=["bucket"],
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        S.snapshot_drop_column(spark, snap, "bucket")
+    with pytest.raises(ValueError, match="no column"):
+        S.snapshot_drop_column(spark, snap, "ghost")
