@@ -172,6 +172,10 @@ PLAN_PROPERTIES = {
     # multiplies the cost of scrubbing 100 TB
     "q221_boilerplate_strip": (["[codegen id :"], ["Exchange"]),
     "q222_card_scrub_luhn": (["[codegen id :"], ["Exchange"]),
+    # q239 expect-or-quarantine: the rule projection + split is pure
+    # codegen over the union'd scan — a shuffle or Python hop here
+    # would poison the 100 TB every-row ingest gate
+    "q239_quality_quarantine": (["[codegen id :"], ["Exchange"]),
     # deciles / exact median over the ~5-value event_type key: NO
     # ntile-over-group window (one task would sort ~N/5 of the fact
     # table) — the grouped_row_number recipe instead: a range
