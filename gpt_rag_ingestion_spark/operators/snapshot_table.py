@@ -1904,7 +1904,9 @@ def _inflight_protected_gens(spark, table_path: str) -> set[str]:
     return out
 
 
-def _clone_protected_gens(spark, table_path: str) -> set[str]:
+def _clone_protected_gens(
+    spark, table_path: str, prune: bool = True
+) -> set[str]:
     """Generation dir NAMES of ``table_path`` still referenced by any
     REGISTERED LIVE clone — the set ``snapshot_vacuum`` must not
     delete, whatever its retention knobs say.  Every manifest the
@@ -1941,7 +1943,8 @@ def _clone_protected_gens(spark, table_path: str) -> set[str]:
             )
             cpath = str(reg["clone_path"])
         except Exception:
-            fs.delete(st.getPath(), False)
+            if prune:
+                fs.delete(st.getPath(), False)
             continue
         refs: set[str] = set()
         # scan the clone's manifest FILES, not just its committed
@@ -1969,7 +1972,9 @@ def _clone_protected_gens(spark, table_path: str) -> set[str]:
                         refs.add(qg[len(qroot) + 1:])
         if refs:
             protected |= refs
-        elif _now_ms(spark) - st.getModificationTime() > CLAIM_LEASE_MS:
+        elif prune and (
+            _now_ms(spark) - st.getModificationTime() > CLAIM_LEASE_MS
+        ):
             # clone gone or fully localized: registration is stale.
             # The lease-sized grace keeps a registration written
             # instants before the clone's first manifest from being
@@ -1981,6 +1986,7 @@ def _clone_protected_gens(spark, table_path: str) -> set[str]:
 def snapshot_vacuum(
     spark: SparkSession, table_path: str, keep_snapshots: int = 1,
     retain_hours: float | None = None,
+    dry_run: bool = False,
 ) -> dict:
     """Garbage-collect unreferenced generations and superseded
     manifests.  The ONLY destructive operation in the format — the
@@ -2005,11 +2011,19 @@ def snapshot_vacuum(
     knobs say — branching a table and waiting out the source's
     retention cannot break the branch.  The guard is metadata-only
     (read each clone's manifests) and self-cleaning (stale
-    registrations pruned once a clone dies or localizes)."""
+    registrations pruned once a clone dies or localizes).
+
+    ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``): evaluate the
+    FULL retention decision — clone guards, in-flight guards, age
+    windows — and report what WOULD be removed (plus the doomed names
+    under ``would_remove``), deleting nothing.  Clone-registration
+    pruning is also suppressed, so a dry run has zero side effects."""
     cur = _current_gen(spark, table_path)
     if cur is None:
         return {"removed_gens": 0, "removed_manifests": 0}
-    clone_protected = _clone_protected_gens(spark, table_path)
+    clone_protected = _clone_protected_gens(
+        spark, table_path, prune=not dry_run
+    )
     keep = max(1, int(keep_snapshots))
     # retained manifests = the newest `keep` that actually exist
     mdir_fs, mdir = _hfs(spark, f"{table_path}/_manifests")
@@ -2054,6 +2068,7 @@ def snapshot_vacuum(
     fs, root = _hfs(spark, table_path)
     removed_gens = 0
     protected_for_clones = 0
+    doomed_gens: list[str] = []
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if (
@@ -2065,6 +2080,10 @@ def snapshot_vacuum(
         ):
             if name in clone_protected:
                 protected_for_clones += 1
+                continue
+            if dry_run:
+                doomed_gens.append(name)
+                removed_gens += 1
                 continue
             fs.delete(st.getPath(), True)
             _fs_delete(spark, _gen_stats_path(table_path, name))
@@ -2078,8 +2097,10 @@ def snapshot_vacuum(
                 and int(name[:-5]) < cur
                 and int(name[:-5]) not in retained
             ):
-                mdir_fs.delete(st.getPath(), False)
                 removed_manifests += 1
+                if dry_run:
+                    continue
+                mdir_fs.delete(st.getPath(), False)
     # deletion-vector files: keep those any retained manifest
     # references; the rest (superseded accumulations, crashed-commit
     # orphans with gen <= cur) are garbage
@@ -2099,12 +2120,16 @@ def snapshot_vacuum(
             except ValueError:
                 continue
             if g <= cur:  # never touch an in-flight writer's DV
-                dv_fs.delete(st.getPath(), False)
-    return {
+                if not dry_run:
+                    dv_fs.delete(st.getPath(), False)
+    out = {
         "removed_gens": removed_gens,
         "removed_manifests": removed_manifests,
         "protected_for_clones": protected_for_clones,
     }
+    if dry_run:
+        out["would_remove"] = sorted(doomed_gens)
+    return out
 
 
 def _changed_partitions(manifest_a: dict, manifest_b: dict) -> list[str]:

@@ -2465,3 +2465,27 @@ def test_drop_column_guardrails(spark, tmp_path):
         S.snapshot_drop_column(spark, snap, "bucket")
     with pytest.raises(ValueError, match="no column"):
         S.snapshot_drop_column(spark, snap, "ghost")
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    """VACUUM DRY RUN: the full retention decision runs (counts match
+    a later real vacuum, doomed names listed) but nothing is deleted
+    and time travel to superseded generations still works."""
+    snap = str(tmp_path / "snap")
+    for i in range(3):
+        S.snapshot_merge_upsert(
+            spark, snap,
+            spark.createDataFrame([(1, i)], "k long, v long"),
+            key="k",
+        )
+    g1 = 1
+    dry = S.snapshot_vacuum(spark, snap, keep_snapshots=1, dry_run=True)
+    assert dry["removed_gens"] >= 1 and dry["would_remove"], dry
+    # nothing actually deleted: gen-1 manifest still time-travelable
+    old = S.read_snapshot_table(spark, snap, at_gen=g1)
+    assert old.collect()[0].v == 0
+    real = S.snapshot_vacuum(spark, snap, keep_snapshots=1)
+    assert real["removed_gens"] == dry["removed_gens"], (dry, real)
+    assert real["removed_manifests"] == dry["removed_manifests"]
+    with pytest.raises(FileNotFoundError):
+        S.read_snapshot_table(spark, snap, at_gen=g1)
