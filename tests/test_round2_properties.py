@@ -435,3 +435,84 @@ def test_partition_inference_toggle_thread_safe(spark, tmp_path):
     spark.createDataFrame([("x", 3, 1)], "k string, b int, v int") \
         .write.partitionBy("b").parquet(it)
     assert dict(spark.read.parquet(it).dtypes)["b"] == "int"
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("merge"), st.integers(0, 9)),
+            st.tuples(st.just("rename"), st.integers(0, 9)),
+            st.tuples(st.just("drop"), st.integers(0, 9)),
+        ),
+        min_size=1, max_size=5,
+    ),
+)
+def test_column_mapping_model_property(spark, ops):
+    """Model-based check of the column-mapping lifecycle: a random
+    interleaving of merges (delete-then-insert semantics, schema
+    evolution every third merge), metadata-only RENAMEs, and
+    metadata-only DROPs must equal a dict-based reference model —
+    including NULL back-fill of evolved columns and non-resurrection
+    of dropped ones."""
+    import shutil
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators import snapshot_table as S
+
+    d = tempfile.mkdtemp(prefix="colmap-prop-")
+    tbl = d + "/t"
+    try:
+        cols = ["c0"]          # data columns, key 'k' is fixed
+        fresh = [0]
+        model: dict[int, dict] = {}
+
+        def _merge(seed):
+            if seed % 3 == 0:
+                fresh[0] += 1
+                cols.append(f"n{fresh[0]}")
+            keys = [(seed + j) % 7 for j in range(3)]
+            rows = [
+                tuple([k] + [seed * 100 + k + i for i in range(len(cols))])
+                for k in sorted(set(keys))
+            ]
+            schema = "k long, " + ", ".join(f"{c} long" for c in cols)
+            inc = spark.createDataFrame(rows, schema)
+            S.snapshot_merge_upsert(spark, tbl, inc, key="k")
+            for row in rows:
+                k = row[0]
+                model[k] = {c: row[1 + i] for i, c in enumerate(cols)}
+
+        _merge(1)  # table must exist before metadata ops
+        for kind, arg in ops:
+            if kind == "merge":
+                _merge(arg)
+            elif kind == "rename":
+                old = cols[arg % len(cols)]
+                fresh[0] += 1
+                new = f"n{fresh[0]}"
+                S.snapshot_rename_column(spark, tbl, old, new)
+                cols[cols.index(old)] = new
+                for r in model.values():
+                    if old in r:
+                        r[new] = r.pop(old)
+            else:
+                if len(cols) < 2:
+                    continue
+                victim = cols[arg % len(cols)]
+                S.snapshot_drop_column(spark, tbl, victim)
+                cols.remove(victim)
+                for r in model.values():
+                    r.pop(victim, None)
+
+        got = {
+            r["k"]: {c: r[c] for c in cols}
+            for r in S.read_snapshot_table(spark, tbl).collect()
+        }
+        expect = {
+            k: {c: v.get(c) for c in cols} for k, v in model.items()
+        }
+        assert got == expect, (got, expect, cols)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
