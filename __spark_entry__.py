@@ -6845,6 +6845,55 @@ def q240_rename_column(spark: SparkSession, sf: str) -> DataFrame:
     ).localCheckpoint()
 
 
+def q241_nested_types_sink(spark: SparkSession, sf: str) -> DataFrame:
+    """NESTED AND BINARY TYPES through the whole sink lifecycle:
+    STRUCT, ARRAY and BINARY columns ride merge → update-merge → DV
+    delete → read-back unchanged (merge arbitration is row-wise, so
+    nested values need no column algebra).  Output projects nested
+    fields to scalars (the driver canonicalizer takes scalars only);
+    the oracle rebuilds every projection in closed form — binary
+    round-trips as upper-hex of md5."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        read_snapshot_table,
+        snapshot_delete_keys,
+        snapshot_merge_upsert,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        F.struct(
+            F.col("user_id"), F.col("event_type")
+        ).alias("meta"),
+        F.array(
+            F.col("user_id") % 10, F.col("user_id") % 7
+        ).alias("tags"),
+        F.unhex(F.md5(F.col("event_type"))).alias("bin"),
+    )
+    tbl = tempfile.mkdtemp(prefix="q241-nested-") + "/t"
+    snapshot_merge_upsert(spark, tbl, ev, key="event_id")
+    upd = ev.filter(F.col("event_id") % 4 == 0).withColumn(
+        "meta",
+        F.struct(
+            (F.col("meta.user_id") + 1000).alias("user_id"),
+            F.col("meta.event_type").alias("event_type"),
+        ),
+    )
+    snapshot_merge_upsert(spark, tbl, upd, key="event_id")
+    doomed = ev.filter(F.col("event_id") % 9 == 0).select("event_id")
+    snapshot_delete_keys(spark, tbl, doomed, key="event_id", mode="dv")
+    t = read_snapshot_table(spark, tbl)
+    return t.select(
+        "event_id",
+        F.col("meta.user_id").alias("meta_user_id"),
+        F.col("meta.event_type").alias("meta_event_type"),
+        F.element_at("tags", 1).alias("tag0"),
+        F.size("tags").cast("long").alias("n_tags"),
+        F.hex(F.col("bin")).alias("bin_hex"),
+    ).localCheckpoint()
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW (and that the registry/oracle counts match QUERIES.md)
@@ -7162,6 +7211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q238_quality_report": q238_quality_report,
         "q239_quality_quarantine": q239_quality_quarantine,
         "q240_rename_column": q240_rename_column,
+        "q241_nested_types_sink": q241_nested_types_sink,
     }
 
 
@@ -11462,5 +11512,19 @@ def oracle_sql() -> dict[str, str]:
                    true AS rename_was_one_commit,
                    true AS rename_rewrote_zero_partitions
             FROM orders
+        """,
+        # q241: merge arbitration is row-wise, so the closed form is
+        # base-with-updates minus DV-deleted keys, nested values
+        # projected identically
+        "q241_nested_types_sink": """
+            SELECT event_id,
+                   CASE WHEN event_id % 4 = 0 THEN user_id + 1000
+                        ELSE user_id END AS meta_user_id,
+                   event_type AS meta_event_type,
+                   user_id % 10 AS tag0,
+                   CAST(2 AS BIGINT) AS n_tags,
+                   upper(md5(event_type)) AS bin_hex
+            FROM events
+            WHERE event_id % 9 != 0
         """,
     }
