@@ -6894,6 +6894,49 @@ def q241_nested_types_sink(spark: SparkSession, sf: str) -> DataFrame:
     ).localCheckpoint()
 
 
+def q242_ingest_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    """INGEST-LEVEL EXPECTATIONS (DLT expect-or-drop wired into
+    run_ingest_job): documents planted with an out-of-alphabet marker
+    ('_' never occurs in the corpus, so the closed form is exact) are
+    chunked, fail the no-underscores rule, and route to the quarantine
+    side table with rule names + run id — while the merged chunks
+    table provably excludes them (returned as a proof bit).  The
+    oracle is one row per planted document."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.plans.ingest_job import run_ingest_job
+
+    docs = _t(spark, sf, "documents").select(
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias(
+            "doc_key"
+        ),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("bad_chunk"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias(
+            "last_modified"
+        ),
+    )
+    base = tempfile.mkdtemp(prefix="q242-expect-")
+    table, qdir = base + "/chunks", base + "/quarantine"
+    run_ingest_job(
+        spark, docs, table, "run1", max_tokens=30, overlap=4,
+        min_tokens=1, embedding_dim=8,
+        expectations={"no_underscores": "instr(content, '_') = 0"},
+        quarantine_path=qdir,
+    )
+    merged_clean = (
+        spark.read.parquet(table)
+        .filter(F.instr(F.col("content"), "_") > 0)
+        .count()
+        == 0
+    )
+    return spark.read.parquet(qdir).select(
+        "parent_id", "content", "violated_rules",
+        F.lit(bool(merged_clean)).alias("merged_excludes_quarantined"),
+    ).localCheckpoint()
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW (and that the registry/oracle counts match QUERIES.md)
@@ -7212,6 +7255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q239_quality_quarantine": q239_quality_quarantine,
         "q240_rename_column": q240_rename_column,
         "q241_nested_types_sink": q241_nested_types_sink,
+        "q242_ingest_expectations": q242_ingest_expectations,
     }
 
 
@@ -11526,5 +11570,14 @@ def oracle_sql() -> dict[str, str]:
                    upper(md5(event_type)) AS bin_hex
             FROM events
             WHERE event_id % 9 != 0
+        """,
+        # q242: '_' never occurs in the corpus alphabet, so exactly
+        # the planted docs quarantine (one single-chunk doc each)
+        "q242_ingest_expectations": """
+            SELECT 'doc' || CAST(doc_id AS VARCHAR) AS parent_id,
+                   'bad_chunk' AS content,
+                   'no_underscores' AS violated_rules,
+                   true AS merged_excludes_quarantined
+            FROM documents WHERE doc_id % 7 = 0
         """,
     }

@@ -60,6 +60,8 @@ def run_ingest_job(
     analyze_max_stale: int = 8,
     force_reprocess: bool = False,
     max_conflict_rebases: int = 0,
+    expectations: dict[str, str] | None = None,
+    quarantine_path: str | None = None,
 ) -> DataFrame:
     """One incremental ingest run.  Returns the run-summary DataFrame
     (A2 counters); side effect: the chunks table at ``table_path`` is
@@ -109,6 +111,13 @@ def run_ingest_job(
     column.  Every partition column must either already exist in
     ``source_docs`` (it is carried through chunking unchanged) or be
     ``ingest_date``.
+
+    ``expectations`` ({rule_name: SQL predicate over chunk rows},
+    operators/quality): chunks failing any rule are EXCLUDED from the
+    merge and — when ``quarantine_path`` is set — appended there with
+    ``violated_rules`` and this ``run_id`` (DLT's expect-or-drop with
+    a paper trail); counters and the search-index tick see only
+    admitted chunks.
 
     ``sink`` selects the chunks-table format: ``"swap"`` (default) is
     the directory-swap sink (``operators/upsert.merge_upsert``);
@@ -232,6 +241,25 @@ def run_ingest_job(
         F.col("parent_id"), F.col(ts_col).alias("metadata_storage_last_modified")
     )
     chunks = chunks.join(F.broadcast(ts_map), on="parent_id", how="left").cache()
+
+    # 4b. data-quality expectations (DLT expect-or-drop,
+    # operators/quality): failing CHUNK rows never reach the merge —
+    # they route to the quarantine side table with the violated rule
+    # names and this run's id, so a bad record can't fail a 100 TB
+    # run and nothing is silently lost.  Rule predicates see the chunk
+    # schema (content, length, parent_id, carry columns).
+    if expectations:
+        from gpt_rag_ingestion_spark.operators.quality import (
+            split_quarantine,
+        )
+
+        ok_chunks, bad_chunks = split_quarantine(chunks, expectations)
+        if quarantine_path:
+            with _sp("quarantine", run=run_id):
+                bad_chunks.withColumn(
+                    "run_id", F.lit(run_id)
+                ).write.mode("append").parquet(quarantine_path)
+        chunks = ok_chunks.cache()
 
     # 5. run summary (A2) — materialized BEFORE the merge: the freshness
     # join's lineage reads the pre-merge table, and the merge's

@@ -77,6 +77,7 @@ PROBES = {
     "q238_quality_report": ("quality", "expectations: ONE conditional-sum scan + hash agg + broadcast-anti"),
     "q239_quality_quarantine": ("quality", "expect-or-drop split: codegen rule projection, no shuffle"),
     "q240_rename_column": ("sink", "column-mapping rename: metadata-only commit + increment under new name"),
+    "q242_ingest_expectations": ("quality", "expect-or-drop inside the ingest job: quarantine side write"),
 }
 
 

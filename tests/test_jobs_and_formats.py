@@ -693,3 +693,32 @@ def test_ingest_jobs_race_disjoint_partitions(spark, tmp_path):
     assert got.filter("parent_id LIKE 'a%'").count() >= 6
     assert got.filter("parent_id LIKE 'b%'").count() >= 6
     assert got.filter("parent_id = 'seed'").count() >= 1
+
+
+def test_ingest_job_expectations_quarantine(spark, tmp_path):
+    """DLT-style expectations on the ingest: chunks failing a rule
+    never reach the merged table; with quarantine_path set they land
+    in the side table with violated_rules + run_id; counters reflect
+    only admitted chunks."""
+    table = str(tmp_path / "chunks")
+    qdir = str(tmp_path / "quarantine")
+    t0 = _ts("2024-01-01T00:00:00")
+    batch = _docs(
+        spark,
+        [("good1", "alpha " * 40, t0), ("bad1", "tiny", t0)],
+    )
+    run_ingest_job(
+        spark, batch, table, "run1", max_tokens=30, overlap=4,
+        min_tokens=1, embedding_dim=8,
+        expectations={"content_min_len": "length(content) >= 10"},
+        quarantine_path=qdir,
+    )
+    merged = spark.read.parquet(table)
+    assert merged.filter(F.col("parent_id") == "bad1").count() == 0
+    assert merged.filter(F.col("parent_id") == "good1").count() > 0
+    q = spark.read.parquet(qdir)
+    rows = q.select("parent_id", "content", "violated_rules", "run_id").collect()
+    assert len(rows) == 1
+    assert rows[0]["parent_id"] == "bad1"
+    assert rows[0]["violated_rules"] == "content_min_len"
+    assert rows[0]["run_id"] == "run1"
