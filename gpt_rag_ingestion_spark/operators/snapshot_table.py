@@ -3577,6 +3577,12 @@ def snapshot_table_detail(spark: SparkSession, table_path: str) -> dict:
         "n_registered_clones": _count_clone_registrations(
             spark, table_path
         ),
+        "identity_column": (
+            (_identity_conf(spark, table_path) or {}).get("column")
+        ),
+        # live column-mapping debt (rename/drop entries still applied
+        # at read; OPTIMIZE localizes and q240's commit carries them)
+        "n_column_mapping_entries": len(manifest.get("renames") or []),
     }
 
 
