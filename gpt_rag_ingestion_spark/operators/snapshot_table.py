@@ -3726,10 +3726,14 @@ def snapshot_set_identity(
     """Delta GENERATED ALWAYS AS IDENTITY: declare a surrogate-key
     column the ENGINE assigns on insert.  Increments must NOT carry
     the column (the GENERATED ALWAYS rule); ``snapshot_merge_upsert``
-    adds it — matched rows KEEP their existing identity, new rows get
-    ``high_water + step * rank`` with rank assigned 1..n in merge-key
-    order (``ranking.distributed_row_number`` — deterministic, and
-    never an unpartitioned window).  The high-water mark is DERIVED
+    adds it — matched rows KEEP their existing identity when the
+    merge key matches exactly ONE existing row (UPDATE semantics; a
+    key matching several rows is a coarser-grain delete-then-insert,
+    e.g. a parent-keyed chunk merge, and its replacements are inserts
+    with fresh ids), new rows get ``high_water + step * rank`` with
+    rank assigned 1..n in merge-key order
+    (``ranking.distributed_row_number`` — deterministic, and never an
+    unpartitioned window).  The high-water mark is DERIVED
     from the committed table (max for positive step, min for
     negative), never stored: a transactional side-register would need
     its own OCC story, while the derived mark is correct by
@@ -3793,7 +3797,21 @@ def _apply_identity(
         F.coalesce(agg, F.lit(start - step)).alias("h")
     ).collect()[0]
     hwm = int(hwm_row["h"])
-    ex_ids = existing.select(key, F.col(c).alias("__identity_keep"))
+    # identity is KEPT only where the merge key matches exactly ONE
+    # existing row (UPDATE semantics).  A key matching several rows is
+    # a coarser-grain delete-then-insert (e.g. the ingest job's
+    # parent-keyed chunk merges): the old rows die wholesale, so the
+    # replacements are inserts and get fresh ids — and crucially the
+    # keep-join can never fan the increment out.
+    ex_ids = (
+        existing.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("__identity_n"),
+            F.first(F.col(c)).alias("__identity_keep"),
+        )
+        .filter(F.col("__identity_n") == 1)
+        .select(key, "__identity_keep")
+    )
     j = incoming.join(ex_ids, on=key, how="left")
     olds = (
         j.filter(F.col("__identity_keep").isNotNull())

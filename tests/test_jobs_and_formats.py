@@ -722,3 +722,47 @@ def test_ingest_job_expectations_quarantine(spark, tmp_path):
     assert rows[0]["parent_id"] == "bad1"
     assert rows[0]["violated_rules"] == "content_min_len"
     assert rows[0]["run_id"] == "run1"
+
+
+def test_ingest_snapshot_sink_with_identity(spark, tmp_path):
+    """snapshot_set_identity composes with the ingest job's snapshot
+    sink: chunk rows get engine-assigned surrogate ids, stable for
+    unchanged parents across runs."""
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        read_snapshot_table,
+        snapshot_set_identity,
+    )
+
+    table = str(tmp_path / "chunks")
+    snapshot_set_identity(spark, table, "chunk_sid", start=1, step=1)
+    t0 = _ts("2024-01-01T00:00:00")
+    run_ingest_job(
+        spark, _docs(spark, [("d1", "alpha " * 40, t0), ("d2", "beta " * 40, t0)]),
+        table, "run1", max_tokens=30, overlap=4, min_tokens=2,
+        embedding_dim=8, sink="snapshot",
+    )
+    first = {
+        r["id"]: r["chunk_sid"]
+        for r in read_snapshot_table(spark, table).collect()
+    }
+    assert sorted(first.values()) == list(range(1, len(first) + 1))
+    # d2 modified -> only d2's chunks re-ingest with FRESH ids; d1 keeps its
+    t2 = _ts("2024-01-02T00:00:00")
+    run_ingest_job(
+        spark, _docs(spark, [("d1", "alpha " * 40, t0), ("d2", "gamma " * 40, t2)]),
+        table, "run2", max_tokens=30, overlap=4, min_tokens=2,
+        embedding_dim=8, sink="snapshot",
+    )
+    second = {
+        r["id"]: r["chunk_sid"]
+        for r in read_snapshot_table(spark, table).collect()
+    }
+    for cid, sid in first.items():
+        if cid.startswith("d1"):
+            assert second[cid] == sid, (cid, sid, second.get(cid))
+    # d2's chunk KEYS are content-independent (parent+index), so they
+    # reappear — but its rows were delete-then-inserted at parent
+    # grain, so they carry FRESH identities above the old high-water
+    hwm1 = max(first.values())
+    d2_ids = [s for c, s in second.items() if c.startswith("d2")]
+    assert d2_ids and min(d2_ids) > hwm1, (hwm1, sorted(d2_ids))

@@ -2489,3 +2489,30 @@ def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
     assert real["removed_manifests"] == dry["removed_manifests"]
     with pytest.raises(FileNotFoundError):
         S.read_snapshot_table(spark, snap, at_gen=g1)
+
+
+def test_by_source_merge_shows_in_change_feed(spark, tmp_path):
+    """A by-source full-sync merge's deletes/updates surface in the
+    change feed exactly like explicit ones — CDF is derived from the
+    manifests, not from the write path that produced them."""
+    snap = str(tmp_path / "snap")
+    S.snapshot_merge_upsert(
+        spark, snap,
+        spark.createDataFrame(
+            [(k, 10 * k) for k in range(4)], "parent_id long, v long"
+        ),
+    )
+    g1 = S._current_gen(spark, snap)
+    src = spark.createDataFrame([(0, 999), (9, 90)], "parent_id long, v long")
+    S.snapshot_merge_when(
+        spark, snap, src, by_source_delete="t.v >= 20",
+    )
+    ch = {
+        (r.parent_id, r._change_type)
+        for r in S.snapshot_changes(
+            spark, snap, g1, S._current_gen(spark, snap)
+        ).collect()
+    }
+    assert ch == {
+        (0, "update"), (9, "insert"), (2, "delete"), (3, "delete")
+    }, ch
