@@ -3580,9 +3580,22 @@ def snapshot_table_detail(spark: SparkSession, table_path: str) -> dict:
         "identity_column": (
             (_identity_conf(spark, table_path) or {}).get("column")
         ),
-        # live column-mapping debt (rename/drop entries still applied
-        # at read; OPTIMIZE localizes and q240's commit carries them)
-        "n_column_mapping_entries": len(manifest.get("renames") or []),
+        # LIVE column-mapping debt: rename/drop entries still acting on
+        # at least one referenced generation dir.  History is
+        # append-only (a diff spanning old snapshots may still need an
+        # entry), but OPTIMIZE rewrites the dirs and the count here
+        # drops to zero — the self-amortization made measurable.
+        "n_column_mapping_entries": sum(
+            1
+            for r in (manifest.get("renames") or [])
+            if any(
+                d in {
+                    g.rstrip("/").rsplit("/", 1)[-1]
+                    for g in parts.values()
+                }
+                for d in r["dirs"]
+            )
+        ),
     }
 
 

@@ -2516,3 +2516,23 @@ def test_by_source_merge_shows_in_change_feed(spark, tmp_path):
     assert ch == {
         (0, "update"), (9, "insert"), (2, "delete"), (3, "delete")
     }, ch
+
+
+def test_optimize_localizes_column_mapping(spark, tmp_path):
+    """OPTIMIZE rewrites every generation dir under the current
+    (post-rename) names, so the mapping debt measured by DESCRIBE
+    DETAIL drops to zero while history stays time-travelable."""
+    snap = str(tmp_path / "snap")
+    S.snapshot_merge_upsert(
+        spark, snap,
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        key="k",
+    )
+    S.snapshot_rename_column(spark, snap, "v", "amount")
+    d1 = S.snapshot_table_detail(spark, snap)
+    assert d1["n_column_mapping_entries"] == 1, d1
+    S.snapshot_optimize(spark, snap)
+    d2 = S.snapshot_table_detail(spark, snap)
+    assert d2["n_column_mapping_entries"] == 0, d2
+    got = {r.k: r.amount for r in S.read_snapshot_table(spark, snap).collect()}
+    assert got == {1: 10, 2: 20}, got
