@@ -3045,7 +3045,7 @@ def _snapshot_overwrite_where_once(
     spark: SparkSession,
     table_path: str,
     replacement: DataFrame,
-    where: str,
+    where,
     partition_cols: list[str] | None = None,
     max_conflict_rebases: int = 0,
 ) -> int:
@@ -3069,13 +3069,14 @@ def _snapshot_overwrite_where_once(
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot at {table_path}")
     replacement = _apply_generated(spark, table_path, replacement)
+    where_col = F.expr(where) if isinstance(where, str) else where
     n_bad = replacement.filter(
-        ~F.coalesce(F.expr(where), F.lit(False))
+        ~F.coalesce(where_col, F.lit(False))
     ).count()
     if n_bad:
         raise SnapshotOverwritePredicateViolation(
             f"{n_bad} replacement rows do not satisfy the overwrite "
-            f"predicate ({where})"
+            f"predicate ({where if isinstance(where, str) else 'Column'})"
         )
     _validate_constraints(spark, table_path, replacement)
     existing = read_snapshot_table(spark, table_path)
@@ -3089,7 +3090,7 @@ def _snapshot_overwrite_where_once(
     gen = cur + 1
     gname = _gen_name(gen)
     new_dir = _gen_dir(table_path, gname)
-    pred = F.coalesce(F.expr(where), F.lit(False))
+    pred = F.coalesce(where_col, F.lit(False))
 
     if not partition_cols:
         out = existing.filter(~pred).unionByName(replacement)
@@ -3153,12 +3154,13 @@ def snapshot_overwrite_where(
     spark: SparkSession,
     table_path: str,
     replacement: DataFrame,
-    where: str,
+    where,
     partition_cols: list[str] | None = None,
     max_conflict_rebases: int = 0,
 ) -> int:
-    """See ``_snapshot_overwrite_where_once``; overlap/claim conflicts
-    retry against the winner's snapshot (``_retrying_merge``)."""
+    """See ``_snapshot_overwrite_where_once``; ``where`` is a SQL
+    predicate string or a Column.  Overlap/claim conflicts retry
+    against the winner's snapshot (``_retrying_merge``)."""
     return _retrying_merge(
         lambda: _snapshot_overwrite_where_once(
             spark, table_path, replacement, where,
@@ -3166,6 +3168,48 @@ def snapshot_overwrite_where(
             max_conflict_rebases=max_conflict_rebases,
         ),
         max_conflict_rebases,
+    )
+
+
+def snapshot_insert_overwrite_partitions(
+    spark: SparkSession,
+    table_path: str,
+    replacement: DataFrame,
+    partition_cols: list[str],
+    max_conflict_rebases: int = 0,
+) -> int:
+    """Spark's DYNAMIC PARTITION OVERWRITE
+    (``partitionOverwriteMode=dynamic``) on the snapshot sink: every
+    partition PRESENT in ``replacement`` is replaced wholesale in one
+    atomic commit; partitions absent from it are untouched.  Sugar
+    over ``snapshot_overwrite_where`` with the predicate derived from
+    the replacement's own distinct partition tuples (typed literals,
+    NULL-safe), so the replacement trivially satisfies it — the
+    re-partition backfill idiom without hand-writing the predicate."""
+    vals = [
+        tuple(r[c] for c in partition_cols)
+        for r in replacement.select(*partition_cols).distinct().collect()
+    ]
+    cur = _current_gen(spark, table_path)
+    if not vals:
+        if cur is None:
+            raise FileNotFoundError(
+                f"no committed snapshot at {table_path}"
+            )
+        return cur
+
+    def _match(values):
+        terms = [
+            F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+            for c, v in zip(partition_cols, values)
+        ]
+        return functools.reduce(lambda a, b: a & b, terms)
+
+    pred = functools.reduce(lambda a, b: a | b, [_match(v) for v in vals])
+    return snapshot_overwrite_where(
+        spark, table_path, replacement, pred,
+        partition_cols=partition_cols,
+        max_conflict_rebases=max_conflict_rebases,
     )
 
 

@@ -2536,3 +2536,42 @@ def test_optimize_localizes_column_mapping(spark, tmp_path):
     assert d2["n_column_mapping_entries"] == 0, d2
     got = {r.k: r.amount for r in S.read_snapshot_table(spark, snap).collect()}
     assert got == {1: 10, 2: 20}, got
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """Dynamic partition overwrite: partitions present in the
+    replacement swap wholesale, absent ones are untouched (refs
+    preserved)."""
+    snap = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(k, k % 4, 10 * k) for k in range(16)],
+        "k long, bucket int, v long",
+    )
+    S.snapshot_merge_upsert(spark, snap, base, key="k", partition_cols=["bucket"])
+    before = dict(
+        S._read_manifest(
+            spark, snap, S._current_gen(spark, snap)
+        )["partitions"]
+    )
+    repl = spark.createDataFrame(
+        [(100, 1, 1), (101, 2, 2)], "k long, bucket int, v long"
+    )
+    S.snapshot_insert_overwrite_partitions(
+        spark, snap, repl, partition_cols=["bucket"]
+    )
+    refs = dict(
+        S._read_manifest(
+            spark, snap, S._current_gen(spark, snap)
+        )["partitions"]
+    )
+    assert refs["bucket=0"] == before["bucket=0"]
+    assert refs["bucket=3"] == before["bucket=3"]
+    assert refs["bucket=1"] != before["bucket=1"]
+    got = sorted(
+        (r.k, r.bucket) for r in S.read_snapshot_table(spark, snap).collect()
+    )
+    expect = sorted(
+        [(100, 1), (101, 2)]
+        + [(k, k % 4) for k in range(16) if k % 4 in (0, 3)]
+    )
+    assert got == expect, got
