@@ -6937,6 +6937,55 @@ def q242_ingest_expectations(spark: SparkSession, sf: str) -> DataFrame:
     ).localCheckpoint()
 
 
+def q243_dynamic_partition_overwrite(spark: SparkSession, sf: str) -> DataFrame:
+    """DYNAMIC PARTITION OVERWRITE (Spark's
+    partitionOverwriteMode=dynamic on the snapshot sink,
+    snapshot_insert_overwrite_partitions): partitions PRESENT in the
+    replacement swap wholesale in one atomic commit, absent ones are
+    untouched — the nightly re-partition backfill without a
+    hand-written predicate.  The replacement recomputes buckets 2 and
+    5 from a filtered slice; the proof bit pins that every other
+    bucket kept its manifest ref."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        _current_gen,
+        _read_manifest,
+        read_snapshot_table,
+        snapshot_insert_overwrite_partitions,
+        snapshot_merge_upsert,
+    )
+
+    orders = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 8).cast("int").alias("bucket"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    tbl = tempfile.mkdtemp(prefix="q243-dynover-") + "/t"
+    snapshot_merge_upsert(spark, tbl, orders, key="k", partition_cols=["bucket"])
+    refs1 = dict(
+        _read_manifest(spark, tbl, _current_gen(spark, tbl))["partitions"]
+    )
+    repl = orders.filter(
+        F.col("bucket").isin(2, 5) & (F.col("k") % 3 == 0)
+    ).withColumn("v", F.col("v") + 3)
+    snapshot_insert_overwrite_partitions(
+        spark, tbl, repl, partition_cols=["bucket"]
+    )
+    refs2 = dict(
+        _read_manifest(spark, tbl, _current_gen(spark, tbl))["partitions"]
+    )
+    others_kept = all(
+        refs2[r] == refs1[r]
+        for r in refs1
+        if r not in ("bucket=2", "bucket=5")
+    )
+    return read_snapshot_table(spark, tbl).select(
+        "k", F.col("bucket").cast("int").alias("bucket"), "v",
+        F.lit(bool(others_kept)).alias("untouched_buckets_kept_refs"),
+    ).localCheckpoint()
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW (and that the registry/oracle counts match QUERIES.md)
@@ -7256,6 +7305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q240_rename_column": q240_rename_column,
         "q241_nested_types_sink": q241_nested_types_sink,
         "q242_ingest_expectations": q242_ingest_expectations,
+        "q243_dynamic_partition_overwrite": q243_dynamic_partition_overwrite,
     }
 
 
@@ -11579,5 +11629,20 @@ def oracle_sql() -> dict[str, str]:
                    'no_underscores' AS violated_rules,
                    true AS merged_excludes_quarantined
             FROM documents WHERE doc_id % 7 = 0
+        """,
+        # q243: buckets 2/5 survive only through the every-third-key
+        # replacement (+3 cents); every other bucket is verbatim
+        "q243_dynamic_partition_overwrite": """
+            WITH o AS (
+              SELECT o_orderkey AS k,
+                     CAST(o_orderkey % 8 AS INTEGER) AS bucket,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS v
+              FROM orders)
+            SELECT k, bucket, v,
+                   true AS untouched_buckets_kept_refs
+            FROM o WHERE bucket NOT IN (2, 5)
+            UNION ALL
+            SELECT k, bucket, v + 3, true
+            FROM o WHERE bucket IN (2, 5) AND k % 3 = 0
         """,
     }

@@ -78,6 +78,7 @@ PROBES = {
     "q239_quality_quarantine": ("quality", "expect-or-drop split: codegen rule projection, no shuffle"),
     "q240_rename_column": ("sink", "column-mapping rename: metadata-only commit + increment under new name"),
     "q242_ingest_expectations": ("quality", "expect-or-drop inside the ingest job: quarantine side write"),
+    "q243_dynamic_partition_overwrite": ("sink", "dynamic partition overwrite: present partitions swap, others keep refs"),
 }
 
 

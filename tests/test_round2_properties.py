@@ -516,3 +516,79 @@ def test_column_mapping_model_property(spark, ops):
         assert got == expect, (got, expect, cols)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    tgt=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(-20, 20)),
+        min_size=1, max_size=8, unique_by=lambda t: t[0],
+    ),
+    src=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(-20, 20)),
+        min_size=0, max_size=8, unique_by=lambda t: t[0],
+    ),
+    del_thresh=st.integers(-25, 25),
+    upd_thresh=st.integers(-25, 25),
+    scope_mod=st.sampled_from([None, 2, 3]),
+)
+def test_merge_by_source_model_property(
+    spark, tgt, src, del_thresh, upd_thresh, scope_mod
+):
+    """Model-based WHEN NOT MATCHED BY SOURCE: random target/source
+    key sets, delete/update-set conditions, and an optional scope must
+    equal the clause-by-clause reference model (delete wins over
+    update; out-of-scope rows untouched; matched rows update; inserts
+    land)."""
+    import shutil
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators import snapshot_table as S
+
+    d = tempfile.mkdtemp(prefix="bysrc-prop-")
+    tbl = d + "/t"
+    try:
+        S.snapshot_merge_upsert(
+            spark, tbl,
+            spark.createDataFrame(
+                [(k, v, "live") for k, v in tgt],
+                "k long, v long, status string",
+            ),
+        )
+        sdf = spark.createDataFrame(
+            [(k, v, "live") for k, v in src],
+            "k long, v long, status string",
+        )
+        scope = None if scope_mod is None else f"k % {scope_mod} = 0"
+        S.snapshot_merge_when(
+            spark, tbl, sdf,
+            key="k",
+            by_source_delete=f"t.v >= {del_thresh}",
+            by_source_update={"status": "'stale'"},
+            by_source_update_condition=f"t.v <= {upd_thresh}",
+            by_source_scope=scope,
+        )
+        got = {
+            r.k: (r.v, r.status)
+            for r in S.read_snapshot_table(spark, tbl).collect()
+        }
+        model: dict[int, tuple] = {}
+        src_d = dict(src)
+        for k, v in tgt:
+            if k in src_d:
+                model[k] = (src_d[k], "live")      # matched: update
+                continue
+            in_scope = scope_mod is None or k % scope_mod == 0
+            if in_scope and v >= del_thresh:
+                continue                            # by-source delete
+            if in_scope and v <= upd_thresh:
+                model[k] = (v, "stale")             # by-source update
+            else:
+                model[k] = (v, "live")              # kept verbatim
+        for k, v in src:
+            if k not in dict(tgt):
+                model[k] = (v, "live")              # insert
+        assert got == model, (got, model)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
