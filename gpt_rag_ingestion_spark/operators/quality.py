@@ -58,7 +58,11 @@ def check_rules(
 ) -> DataFrame:
     """Evaluate every rule and return the violations report:
     (rule, kind, n_violations, n_rows) — one output row per rule,
-    deterministic, driver-free.
+    deterministic, driver-free.  The report is ONE lazy plan: calling
+    this function runs no job; collecting the report costs one scan
+    for all row rules, one hash aggregate per uniqueness rule, and one
+    broadcast-anti aggregate per referential rule (cache ``df`` when
+    several rule kinds share a non-columnar input).
 
     ``row_rules``: {name: sql_predicate} — all fold into ONE
     conditional-sum aggregate over a single scan.
@@ -94,24 +98,33 @@ def check_rules(
             )
         )
 
+    # ONE lazy single-row total, cross-joined into every unique/fk
+    # report row — no eager driver-side .count() anywhere (r9 advisor:
+    # check_rules must stay a lazy plan, and fk rules must not each
+    # recompute the total)
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+
     for name, cols in sorted(unique_rules.items()):
+        nn = _all_not_null([F.col(c).isNotNull() for c in cols])
+        # count_distinct skips rows with any NULL key column; count
+        # those rows in the SAME aggregate so an all-NULL-key relation
+        # does not read as fully duplicated.  A row with a NULL key
+        # never violates uniqueness (SQL UNIQUE semantics).
         rep = df.agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.count_distinct(*[F.col(c) for c in cols]).alias("__d"),
+            F.sum(F.when(nn, F.lit(0)).otherwise(F.lit(1))).alias(
+                "__null_any"
+            ),
         )
-        # count_distinct skips rows with any NULL key column; count
-        # those rows separately so an all-NULL-key relation does not
-        # read as fully duplicated.  A row with a NULL key never
-        # violates uniqueness (SQL UNIQUE semantics).
-        null_any = df.filter(
-            ~_all_not_null([F.col(c).isNotNull() for c in cols])
-        ).count()
         reports.append(
             rep.select(
                 F.lit(name).alias("rule"),
                 F.lit("unique").alias("kind"),
                 (
-                    F.col("n_rows") - F.lit(null_any) - F.col("__d")
+                    F.col("n_rows")
+                    - F.coalesce(F.col("__null_any"), F.lit(0))
+                    - F.col("__d")
                 ).cast("long").alias("n_violations"),
                 F.col("n_rows").cast("long").alias("n_rows"),
             )
@@ -124,12 +137,16 @@ def check_rules(
             *[F.col(p).alias(c) for c, p in zip(child_cols, parent_cols)]
         ).distinct()
         orphans = child.join(F.broadcast(pk), on=child_cols, how="left_anti")
-        n_rows = df.count()
-        n_orphans = orphans.count()
         reports.append(
-            df.sparkSession.createDataFrame(
-                [(name, "fk", n_orphans, n_rows)],
-                "rule string, kind string, n_violations long, n_rows long",
+            orphans.agg(
+                F.count(F.lit(1)).cast("long").alias("n_violations")
+            )
+            .crossJoin(total)
+            .select(
+                F.lit(name).alias("rule"),
+                F.lit("fk").alias("kind"),
+                "n_violations",
+                "n_rows",
             )
         )
 

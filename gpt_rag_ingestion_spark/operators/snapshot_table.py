@@ -831,6 +831,7 @@ def _commit_rebasing(
     extra: dict | None = None,
     op: str = "merge",
     max_rebases: int = 0,
+    refuse_rebase: str | None = None,
 ) -> int:
     """``_commit`` with Delta-style CONCURRENCY CONTROL: when the
     pointer moved while this writer was computing (another job
@@ -848,7 +849,12 @@ def _commit_rebasing(
       rows this merge's arbitration read);
     - deletion vectors on either side never rebase (our staged DV map
       was computed against the base manifest; the rival's DV ref
-      would be silently dropped by our manifest).
+      would be silently dropped by our manifest);
+    - writes that minted GENERATED ALWAYS AS IDENTITY values never
+      rebase (``refuse_rebase``): the ids derive from the BASE
+      snapshot's high-water mark, so two disjoint-partition rivals
+      would commit colliding ids — they must re-run the merge against
+      the winner instead (``_retrying_merge``).
     Callers must also guarantee keys are PARTITION-LOCAL (the engine's
     partition columns derive from the merge key, e.g. bucket = key %
     N) — with cross-partition keys, two disjoint-partition merges can
@@ -898,6 +904,16 @@ def _commit_rebasing(
                     time.sleep(0.2)
             else:
                 raise last               # rival never resolved: give up
+            if refuse_rebase:
+                # this write set carries state derived from the BASE
+                # snapshot that a silent rebase would not recompute
+                # (e.g. identity values minted off the base's
+                # high-water mark — two disjoint-partition rivals
+                # would both derive the same mark and commit
+                # colliding ids, r9 advisor medium).  Propagate the
+                # conflict so _retrying_merge re-runs the whole merge
+                # against the winner's snapshot.
+                raise last
             if extra and extra.get("dv"):
                 raise last
             actual_m = _read_manifest(spark, table_path, actual)
@@ -1048,6 +1064,14 @@ def _snapshot_merge_upsert_once(
     _claim_recover(spark, table_path)
     incoming = _apply_generated(spark, table_path, incoming)
     incoming = _apply_identity(spark, table_path, incoming, key)
+    # identity values were minted off THIS base snapshot's high-water
+    # mark — a silent disjoint-partition rebase would let a rival
+    # derive the same mark and collide; force retry-the-merge instead
+    id_refuse = (
+        "identity high-water derived from the base snapshot"
+        if _identity_conf(spark, table_path) is not None
+        else None
+    )
     _validate_constraints(spark, table_path, incoming)
     _fs_mkdirs(spark, f"{table_path}/_manifests")
     cur = _current_gen(spark, table_path)
@@ -1082,6 +1106,7 @@ def _snapshot_merge_upsert_once(
             expected_cur=cur,
             extra=_with_schema(None, first, partition_cols),
             max_rebases=max_conflict_rebases,
+            refuse_rebase=id_refuse,
         )
 
     existing = read_snapshot_table(spark, table_path)
@@ -1102,6 +1127,7 @@ def _snapshot_merge_upsert_once(
                 out, prev=manifest,
             ),
             max_rebases=max_conflict_rebases,
+            refuse_rebase=id_refuse,
         )
 
     keys = incoming.select(key).distinct()
@@ -1149,6 +1175,7 @@ def _snapshot_merge_upsert_once(
             out, partition_cols, prev=manifest,
         ),
         max_rebases=max_conflict_rebases,
+        refuse_rebase=id_refuse,
     )
 
 
@@ -1272,6 +1299,42 @@ def _snapshot_merge_when_once(
             partition_cols=partition_cols,
         )
     existing = read_snapshot_table(spark, table_path)
+    # GENERATED ALWAYS AS IDENTITY binds on this write path too (r9
+    # advisor, low): the source must not carry the column; matched
+    # rows keep the TARGET's identity regardless of the update clause,
+    # and inserted rows get fresh engine-assigned ids minted off the
+    # committed high-water mark BEFORE the join (so the arbitration
+    # below stays a plain column pick).
+    idc = _identity_conf(spark, table_path)
+    id_col = idc["column"] if idc else None
+    if idc:
+        if id_col in incoming.columns:
+            raise SnapshotIdentityViolation(
+                f"{id_col!r} is GENERATED ALWAYS AS IDENTITY — the "
+                "merge source must not supply it"
+            )
+        if by_source_update and id_col in by_source_update:
+            raise SnapshotIdentityViolation(
+                f"by_source_update must not rewrite the identity "
+                f"column {id_col!r}"
+            )
+        from .ranking import distributed_row_number
+
+        hwm = _identity_hwm(existing, id_col, idc["start"], idc["step"])
+        ex_keys = existing.select(key).distinct()
+        matched_inc = incoming.join(
+            ex_keys, on=key, how="left_semi"
+        ).withColumn(id_col, F.lit(None).cast("long"))
+        new_inc = distributed_row_number(
+            incoming.join(ex_keys, on=key, how="left_anti"),
+            [F.asc(key)],
+            rank_col="__identity_rn",
+        ).withColumn(
+            id_col,
+            (F.lit(hwm) + F.lit(idc["step"]) * F.col("__identity_rn"))
+            .cast("long"),
+        ).drop("__identity_rn")
+        incoming = matched_inc.unionByName(new_inc)
     if sorted(existing.columns) != sorted(incoming.columns):
         raise SnapshotSchemaMismatch(
             "snapshot_merge_when needs identical column sets; table "
@@ -1338,22 +1401,27 @@ def _snapshot_merge_when_once(
         )
         use_source = F.when(matched, ~del_c & upd_c).otherwise(~t_here)
         sets = by_source_update or {}
-        out = j.filter(keep).select(
-            *[
-                (
-                    F.when(
-                        t_only & bs_upd_c, F.expr(sets[c])
-                    ).otherwise(
-                        F.when(use_source, F.col(f"s.{c}"))
-                        .otherwise(F.col(f"t.{c}"))
-                    )
-                    if c in sets else
+
+        def _pick(c):
+            if idc and c == id_col:
+                # identity survives every matched clause: a row whose
+                # target side exists keeps its committed id; only true
+                # inserts read the pre-minted source id
+                return F.when(t_here, F.col(f"t.{c}")).otherwise(
+                    F.col(f"s.{c}")
+                )
+            if c in sets:
+                return F.when(
+                    t_only & bs_upd_c, F.expr(sets[c])
+                ).otherwise(
                     F.when(use_source, F.col(f"s.{c}"))
                     .otherwise(F.col(f"t.{c}"))
-                ).alias(c)
-                for c in cols
-            ]
-        )
+                )
+            return F.when(use_source, F.col(f"s.{c}")).otherwise(
+                F.col(f"t.{c}")
+            )
+
+        out = j.filter(keep).select(*[_pick(c).alias(c) for c in cols])
         return out
 
     if not partition_cols:
@@ -1369,6 +1437,10 @@ def _snapshot_merge_when_once(
                 out, prev=manifest,
             ),
             op="merge_when", max_rebases=max_conflict_rebases,
+            refuse_rebase=(
+                "identity high-water derived from the base snapshot"
+                if idc else None
+            ),
         )
 
     keys = incoming.select(key).distinct()
@@ -1428,6 +1500,10 @@ def _snapshot_merge_when_once(
             out, partition_cols, prev=manifest,
         ),
         op="merge_when", max_rebases=max_conflict_rebases,
+        refuse_rebase=(
+            "identity high-water derived from the base snapshot"
+            if idc else None
+        ),
     )
 
 
@@ -3025,10 +3101,21 @@ def snapshot_update(
     cur = _current_gen(spark, table_path)
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot at {table_path}")
+    idc = _identity_conf(spark, table_path)
+    if idc and idc["column"] in assignments:
+        raise SnapshotIdentityViolation(
+            f"{idc['column']!r} is GENERATED ALWAYS AS IDENTITY — "
+            "UPDATE must not assign it"
+        )
     matched = read_snapshot_table(spark, table_path).filter(F.expr(where))
     upd = matched
     for c, e in sorted(assignments.items()):
         upd = upd.withColumn(c, F.expr(e))
+    if idc:
+        # the merge path mints/keeps identity itself (GENERATED
+        # ALWAYS); updated rows are existing single-key rows, so the
+        # keep-join reattaches their committed ids
+        upd = upd.drop(idc["column"])
     if upd.isEmpty():
         return cur
     return snapshot_merge_upsert(
@@ -3069,6 +3156,19 @@ def _snapshot_overwrite_where_once(
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot at {table_path}")
     replacement = _apply_generated(spark, table_path, replacement)
+    # GENERATED ALWAYS AS IDENTITY: replacement rows are inserts (the
+    # matched region dies wholesale), so the engine mints their ids —
+    # callers must not supply the column, and ``where`` must not
+    # reference it (engine-assigned values cannot be promised to
+    # satisfy a caller predicate).  Minting happens BEFORE the
+    # predicate/column-set checks so both see the full schema.
+    _ow_existing = read_snapshot_table(spark, table_path)
+    id_refuse = (
+        "identity high-water derived from the base snapshot"
+        if _identity_conf(spark, table_path) is not None
+        else None
+    )
+    replacement = _mint_identity(spark, table_path, replacement, _ow_existing)
     where_col = F.expr(where) if isinstance(where, str) else where
     n_bad = replacement.filter(
         ~F.coalesce(where_col, F.lit(False))
@@ -3079,7 +3179,7 @@ def _snapshot_overwrite_where_once(
             f"predicate ({where if isinstance(where, str) else 'Column'})"
         )
     _validate_constraints(spark, table_path, replacement)
-    existing = read_snapshot_table(spark, table_path)
+    existing = _ow_existing
     if sorted(existing.columns) != sorted(replacement.columns):
         raise SnapshotSchemaMismatch(
             "snapshot_overwrite_where needs identical column sets; "
@@ -3105,6 +3205,7 @@ def _snapshot_overwrite_where_once(
                 out, prev=manifest,
             ),
             op="overwrite_where", max_rebases=max_conflict_rebases,
+            refuse_rebase=id_refuse,
         )
 
     affected = [
@@ -3147,6 +3248,7 @@ def _snapshot_overwrite_where_once(
             out, partition_cols, prev=manifest,
         ),
         op="overwrite_where", max_rebases=max_conflict_rebases,
+        refuse_rebase=id_refuse,
     )
 
 
@@ -3782,15 +3884,27 @@ def snapshot_set_identity(
 ) -> None:
     """Delta GENERATED ALWAYS AS IDENTITY: declare a surrogate-key
     column the ENGINE assigns on insert.  Increments must NOT carry
-    the column (the GENERATED ALWAYS rule); ``snapshot_merge_upsert``
-    adds it — matched rows KEEP their existing identity when the
-    merge key matches exactly ONE existing row (UPDATE semantics; a
-    key matching several rows is a coarser-grain delete-then-insert,
-    e.g. a parent-keyed chunk merge, and its replacements are inserts
-    with fresh ids), new rows get ``high_water + step * rank`` with
-    rank assigned 1..n in merge-key order
-    (``ranking.distributed_row_number`` — deterministic, and never an
-    unpartitioned window).  The high-water mark is DERIVED
+    the column (the GENERATED ALWAYS rule, enforced on EVERY write
+    path: merge_upsert, merge_when, overwrite_where,
+    insert_overwrite_partitions, and update — which also refuses
+    assignments to it); ``snapshot_merge_upsert`` adds it — a row
+    KEEPS its existing identity only when the merge key matches
+    exactly ONE existing row AND exactly ONE incoming row (true
+    UPDATE semantics; a key matching several existing rows is a
+    coarser-grain delete-then-insert, and a key arriving with several
+    incoming rows — a doc re-chunked 1 -> N — must not stamp one old
+    id onto N replacements), all other rows get
+    ``high_water + step * rank`` with rank assigned 1..n in merge-key
+    order (``ranking.distributed_row_number`` — deterministic, and
+    never an unpartitioned window).  ``snapshot_merge_when`` keeps
+    the target's identity for every matched row and mints fresh ids
+    for inserts; the overwrite paths mint fresh ids for all
+    replacement rows (replaced ids are never reused, Delta's rule) —
+    their ``where`` predicate must not reference the identity column.
+    Writes that minted ids never take the silent disjoint-partition
+    rebase (two rivals would derive the same mark and collide); they
+    re-run the merge against the winner instead.  The high-water mark
+    is DERIVED
     from the committed table (max for positive step, min for
     negative), never stored: a transactional side-register would need
     its own OCC story, while the derived mark is correct by
@@ -3824,6 +3938,53 @@ class SnapshotIdentityViolation(ValueError):
     column.  Nothing was written."""
 
 
+def _identity_hwm(existing: DataFrame, c: str, start: int, step: int) -> int:
+    """High-water mark of the committed identity values: one
+    column-pruned aggregate of a table the write is reading anyway."""
+    agg = F.max(F.col(c)) if step > 0 else F.min(F.col(c))
+    row = existing.agg(
+        F.coalesce(agg, F.lit(start - step)).alias("h")
+    ).collect()[0]
+    return int(row["h"])
+
+
+def _mint_identity(
+    spark, table_path: str, df: DataFrame, existing: DataFrame | None
+) -> DataFrame:
+    """GENERATED ALWAYS AS IDENTITY for the pure-insert write paths
+    (``snapshot_overwrite_where`` / ``snapshot_insert_overwrite_
+    partitions``): every incoming row is an insert (the region it
+    replaces dies wholesale), so there is no keep-join — reject
+    caller-supplied values and assign ``high_water + step * rank``
+    with rank 1..n over a deterministic all-column sort.  The mark
+    derives from the FULL committed table (not just surviving rows):
+    ids of replaced rows are never reused, matching Delta's
+    identity-never-reassigned behavior.  No-op without an identity
+    config."""
+    conf = _identity_conf(spark, table_path)
+    if conf is None:
+        return df
+    from .ranking import distributed_row_number
+
+    c, start, step = conf["column"], conf["start"], conf["step"]
+    if c in df.columns:
+        raise SnapshotIdentityViolation(
+            f"{c!r} is GENERATED ALWAYS AS IDENTITY — writes must not "
+            "supply it"
+        )
+    hwm = (
+        start - step
+        if existing is None
+        else _identity_hwm(existing, c, start, step)
+    )
+    order = [F.asc(col) for col in sorted(df.columns)]
+    ranked = distributed_row_number(df, order, rank_col="__identity_rn")
+    return ranked.withColumn(
+        c,
+        (F.lit(hwm) + F.lit(step) * F.col("__identity_rn")).cast("long"),
+    ).drop("__identity_rn")
+
+
 def _apply_identity(
     spark, table_path: str, incoming: DataFrame, key: str
 ) -> DataFrame:
@@ -3849,17 +4010,22 @@ def _apply_identity(
              + F.lit(step) * F.col("__identity_rn")).cast("long"),
         ).drop("__identity_rn")
     existing = read_snapshot_table(spark, table_path)
-    agg = F.max(F.col(c)) if step > 0 else F.min(F.col(c))
-    hwm_row = existing.agg(
-        F.coalesce(agg, F.lit(start - step)).alias("h")
-    ).collect()[0]
-    hwm = int(hwm_row["h"])
+    hwm = _identity_hwm(existing, c, start, step)
     # identity is KEPT only where the merge key matches exactly ONE
-    # existing row (UPDATE semantics).  A key matching several rows is
-    # a coarser-grain delete-then-insert (e.g. the ingest job's
+    # existing row AND exactly ONE incoming row (UPDATE semantics on
+    # both sides).  A key matching several existing rows is a
+    # coarser-grain delete-then-insert (e.g. the ingest job's
     # parent-keyed chunk merges): the old rows die wholesale, so the
     # replacements are inserts and get fresh ids — and crucially the
-    # keep-join can never fan the increment out.
+    # keep-join can never fan the increment out.  Symmetrically, a key
+    # arriving with several incoming rows (a doc re-chunked 1 -> N)
+    # must NOT stamp the one old id onto all N replacements — that
+    # would mint duplicates, breaking the uniqueness guarantee for
+    # engine-assigned values — so those rows also take the fresh-id
+    # path (r9 advisor, high).
+    inc_n = incoming.groupBy(key).agg(
+        F.count(F.lit(1)).alias("__identity_inc_n")
+    )
     ex_ids = (
         existing.groupBy(key)
         .agg(
@@ -3867,6 +4033,8 @@ def _apply_identity(
             F.first(F.col(c)).alias("__identity_keep"),
         )
         .filter(F.col("__identity_n") == 1)
+        .join(inc_n, on=key, how="inner")
+        .filter(F.col("__identity_inc_n") == 1)
         .select(key, "__identity_keep")
     )
     j = incoming.join(ex_ids, on=key, how="left")

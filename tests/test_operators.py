@@ -514,3 +514,37 @@ def test_quality_split_quarantine(spark):
         3: "v_positive,v_small",
         4: "v_small",
     }, got
+
+
+def test_quality_check_rules_is_lazy(spark):
+    """r9 advisor (low): check_rules must run NO driver-side action at
+    call time — the report is one lazy plan (fk/unique violation
+    counts fold into lazy aggregates).  Asserted via a dedicated job
+    group: building the report schedules zero Spark jobs."""
+    from gpt_rag_ingestion_spark.operators.quality import check_rules
+
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, -5, "b"), (2, 8, "z"), (None, 9, "a")],
+        "id long, v long, cat string",
+    )
+    parent = spark.createDataFrame([("a",), ("b",)], "cat string")
+    sc = spark.sparkContext
+    group = "quality-lazy-probe"
+    sc.setJobGroup(group, "check_rules must not run jobs", False)
+    try:
+        rep = check_rules(
+            df,
+            row_rules={"v_positive": "v > 0"},
+            unique_rules={"id_unique": ["id"]},
+            fk_rules={"cat_fk": (parent, ["cat"], ["cat"])},
+        )
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        assert jobs == [], (
+            f"check_rules ran {len(jobs)} eager job(s) at call time"
+        )
+    finally:
+        sc.setJobGroup("", "", False)
+    got = {r.rule: (r.kind, r.n_violations, r.n_rows) for r in rep.collect()}
+    assert got["v_positive"] == ("row", 1, 4)
+    assert got["id_unique"] == ("unique", 1, 4)
+    assert got["cat_fk"] == ("fk", 1, 4)

@@ -2575,3 +2575,196 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
         + [(k, k % 4) for k in range(16) if k % 4 in (0, 3)]
     )
     assert got == expect, got
+
+
+def test_identity_rechunk_fanout_mints_fresh_ids(spark, tmp_path):
+    """r9 advisor (high): a key that previously had ONE row and
+    arrives re-chunked into N rows must NOT stamp the one old id onto
+    all N replacements — every replacement takes the fresh-id path and
+    engine-assigned ids stay globally unique."""
+    snap = str(tmp_path / "snap")
+    S.snapshot_set_identity(spark, snap, "row_id", start=1, step=1)
+    b1 = spark.createDataFrame(
+        [("docA", 0, "v1"), ("docB", 1, "v1")],
+        "parent_id string, bucket int, body string",
+    )
+    S.snapshot_merge_upsert(
+        spark, snap, b1, key="parent_id", partition_cols=["bucket"]
+    )
+    # docA re-chunks 1 -> 3; docB stays 1 -> 1 (keeps its id)
+    b2 = spark.createDataFrame(
+        [("docA", 0, "c1"), ("docA", 0, "c2"), ("docA", 0, "c3"),
+         ("docB", 1, "v2")],
+        "parent_id string, bucket int, body string",
+    )
+    S.snapshot_merge_upsert(
+        spark, snap, b2, key="parent_id", partition_cols=["bucket"]
+    )
+    rows = S.read_snapshot_table(spark, snap).collect()
+    ids = [r.row_id for r in rows]
+    assert len(ids) == len(set(ids)), f"duplicate identity values: {ids}"
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.parent_id, []).append(r)
+    assert len(by_key["docA"]) == 3
+    # all three replacements are fresh (above the committed high-water 2)
+    assert all(r.row_id > 2 for r in by_key["docA"]), rows
+    assert by_key["docB"][0].row_id == 2, rows  # 1 -> 1: kept
+
+
+def test_identity_concurrent_merges_never_collide(spark, tmp_path):
+    """r9 advisor (medium): two concurrent merges on DISJOINT
+    partitions with an identity config must not both derive the same
+    high-water mark via the silent rebase — the loser re-runs the
+    merge against the winner's snapshot, so all engine-assigned ids
+    stay unique."""
+    import threading
+
+    snap = str(tmp_path / "snap")
+    S.snapshot_set_identity(spark, snap, "row_id", start=1, step=1)
+    S.snapshot_merge_upsert(
+        spark, snap,
+        spark.createDataFrame(
+            [("seed", 9, 0)], "parent_id string, bucket int, v int"
+        ),
+        key="parent_id", partition_cols=["bucket"],
+    )
+    errs = []
+
+    def writer(prefix, bucket):
+        try:
+            inc = spark.createDataFrame(
+                [(f"{prefix}{i}", bucket, i) for i in range(5)],
+                "parent_id string, bucket int, v int",
+            )
+            S.snapshot_merge_upsert(
+                spark, snap, inc, key="parent_id",
+                partition_cols=["bucket"], max_conflict_rebases=8,
+            )
+        except Exception as e:      # pragma: no cover - surfaced below
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=writer, args=("a", 0)),
+        threading.Thread(target=writer, args=("b", 1)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    rows = S.read_snapshot_table(spark, snap).collect()
+    assert len(rows) == 11
+    ids = [r.row_id for r in rows]
+    assert len(ids) == len(set(ids)), f"colliding identity values: {sorted(ids)}"
+    assert sorted(ids) == list(range(1, 12)), sorted(ids)
+
+
+def test_identity_merge_when_keeps_target_and_mints_inserts(spark, tmp_path):
+    """r9 advisor (low): GENERATED ALWAYS binds on snapshot_merge_when
+    too — the source must not carry the column, matched updates keep
+    the TARGET's identity, inserts get fresh engine ids."""
+    snap = str(tmp_path / "snap")
+    S.snapshot_set_identity(spark, snap, "row_id", start=10, step=10)
+    S.snapshot_merge_upsert(
+        spark, snap,
+        spark.createDataFrame(
+            [("a", 1), ("b", 2)], "k string, v long"
+        ),
+        key="k",
+    )
+    src = spark.createDataFrame(
+        [("a", 100), ("c", 3)], "k string, v long"
+    )
+    S.snapshot_merge_when(
+        spark, snap, src, key="k", matched_update="s.v > t.v"
+    )
+    got = {r.k: (r.row_id, r.v) for r in S.read_snapshot_table(spark, snap).collect()}
+    assert got["a"] == (10, 100), got    # updated, identity kept
+    assert got["b"] == (20, 2), got      # untouched
+    assert got["c"][0] == 30, got        # fresh id above hwm 20
+    # source carrying the identity column is rejected
+    bad = spark.createDataFrame(
+        [("d", 4, 999)], "k string, v long, row_id long"
+    )
+    with pytest.raises(S.SnapshotIdentityViolation):
+        S.snapshot_merge_when(spark, snap, bad, key="k")
+    # by_source_update must not rewrite identity
+    with pytest.raises(S.SnapshotIdentityViolation):
+        S.snapshot_merge_when(
+            spark, snap, src, key="k",
+            by_source_update={"row_id": "t.row_id + 1"},
+        )
+
+
+def test_identity_overwrite_where_mints_and_never_reuses(spark, tmp_path):
+    """r9 advisor (low): replaceWhere / dynamic partition overwrite
+    mint fresh ids for every replacement row (replaced ids are never
+    reused) and reject caller-supplied identity values."""
+    snap = str(tmp_path / "snap")
+    S.snapshot_set_identity(spark, snap, "row_id", start=1, step=1)
+    base = spark.createDataFrame(
+        [(f"k{i}", i % 2, 0) for i in range(6)],
+        "k string, bucket int, v int",
+    )
+    S.snapshot_merge_upsert(
+        spark, snap, base, key="k", partition_cols=["bucket"]
+    )
+    repl = spark.createDataFrame(
+        [("n1", 0, 1), ("n2", 0, 2)], "k string, bucket int, v int"
+    )
+    S.snapshot_overwrite_where(
+        spark, snap, repl, "bucket = 0", partition_cols=["bucket"]
+    )
+    rows = S.read_snapshot_table(spark, snap).collect()
+    ids = [r.row_id for r in rows]
+    assert len(ids) == len(set(ids)), sorted(ids)
+    new_ids = [r.row_id for r in rows if r.k in ("n1", "n2")]
+    assert all(i > 6 for i in new_ids), rows   # never reuse replaced ids
+    bad = spark.createDataFrame(
+        [("x", 0, 1, 99)], "k string, bucket int, v int, row_id long"
+    )
+    with pytest.raises(S.SnapshotIdentityViolation):
+        S.snapshot_overwrite_where(
+            spark, snap, bad, "bucket = 0", partition_cols=["bucket"]
+        )
+    # dynamic partition overwrite shares the path
+    repl2 = spark.createDataFrame(
+        [("m1", 1, 7)], "k string, bucket int, v int"
+    )
+    S.snapshot_insert_overwrite_partitions(
+        spark, snap, repl2, partition_cols=["bucket"]
+    )
+    rows2 = S.read_snapshot_table(spark, snap).collect()
+    ids2 = [r.row_id for r in rows2]
+    assert len(ids2) == len(set(ids2)), sorted(ids2)
+
+
+def test_identity_update_keeps_ids_and_rejects_assignment(spark, tmp_path):
+    """UPDATE on an identity table: rows keep their engine-assigned
+    ids through the merge rewrite; assigning the identity column is a
+    SnapshotIdentityViolation."""
+    snap = str(tmp_path / "snap")
+    S.snapshot_set_identity(spark, snap, "row_id", start=1, step=1)
+    S.snapshot_merge_upsert(
+        spark, snap,
+        spark.createDataFrame(
+            [("a", 1), ("b", 2), ("c", 3)], "k string, v long"
+        ),
+        key="k",
+    )
+    before = {r.k: r.row_id for r in S.read_snapshot_table(spark, snap).collect()}
+    S.snapshot_update(
+        spark, snap, "v >= 2", {"v": "v * 100"}, key="k"
+    )
+    after = {
+        r.k: (r.row_id, r.v)
+        for r in S.read_snapshot_table(spark, snap).collect()
+    }
+    assert after == {
+        "a": (before["a"], 1),
+        "b": (before["b"], 200),
+        "c": (before["c"], 300),
+    }, after
+    with pytest.raises(S.SnapshotIdentityViolation):
+        S.snapshot_update(spark, snap, "v = 1", {"row_id": "999"}, key="k")
