@@ -624,7 +624,20 @@ def read_snapshot_table(
     ``snapshot_gen_at_timestamp``) — valid for any manifest vacuum
     has not yet
     removed (vacuum is the retention boundary, as in every lakehouse
-    format)."""
+    format).
+
+    AS-OF ACROSS A RENAME/DROP (column-mapping contract): a
+    time-travel read renders the schema AS OF THAT VERSION — a read
+    at a pre-rename generation shows the OLD column name and a
+    pre-drop read still carries the dropped column — because each
+    manifest stores its own logical schema + rename history and a
+    snapshot read is reproducible byte-for-byte.  This deliberately
+    diverges from Delta, which renders time travel through the
+    CURRENT logical schema.  RESTORE follows the same rule: it
+    re-commits the TARGET's schema and rename history (see
+    ``snapshot_restore``), and tests/test_column_mapping_matrix.py
+    pins the full {rename, drop} x {time-travel, clone, restore,
+    optimize} grid."""
     if at_gen is not None and at_ts_ms is not None:
         raise ValueError("pass at_gen or at_ts_ms, not both")
     if at_ts_ms is not None:
@@ -706,6 +719,11 @@ def _commit(
             # a commit that doesn't state it inherits it
             if "renames" not in body and prev.get("renames"):
                 body["renames"] = prev["renames"]
+            # idempotent-writer ledger (Delta txnAppId/txnVersion):
+            # carries forward so any commit chain preserves every
+            # app's high-water version
+            if "txn" not in body and prev.get("txn"):
+                body["txn"] = prev["txn"]
     body_json = json.dumps(body, sort_keys=True)
     claimed = _manifest_path(table_path, gen)
     _write_text_exclusive(spark, claimed, body_json)
@@ -1034,6 +1052,8 @@ def _snapshot_merge_upsert_once(
     schema_evolution: str = "merge",
     optimize_write: bool = False,
     max_conflict_rebases: int = 0,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """MERGE with a manifest-pointer commit; returns the committed
     generation number.  Same keyed delete-then-insert semantics as
@@ -1060,18 +1080,53 @@ def _snapshot_merge_upsert_once(
             f"schema_evolution must be 'merge' or 'strict', got "
             f"{schema_evolution!r}"
         )
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError(
+            "txn_app_id and txn_version must be passed together"
+        )
     _commit_recover(spark, table_path)
     _claim_recover(spark, table_path)
+    # IDEMPOTENT WRITES (Delta txnAppId/txnVersion): each committed
+    # manifest carries a per-app high-water version ledger; a merge
+    # whose (app, version) is already recorded is a RE-DELIVERY (a
+    # restarted streaming micro-batch, a retried orchestrator task)
+    # and must be a no-op — this is what makes foreachBatch into the
+    # snapshot sink exactly-once under at-least-once delivery.
+    txn_ledger: dict = {}
+    if txn_app_id is not None:
+        cur0 = _current_gen(spark, table_path)
+        if cur0 is not None:
+            txn_ledger = dict(
+                _read_manifest(spark, table_path, cur0).get("txn") or {}
+            )
+            seen = txn_ledger.get(txn_app_id)
+            if seen is not None and int(txn_version) <= int(seen):
+                return cur0
+        txn_ledger[txn_app_id] = int(txn_version)
     incoming = _apply_generated(spark, table_path, incoming)
     incoming = _apply_identity(spark, table_path, incoming, key)
     # identity values were minted off THIS base snapshot's high-water
     # mark — a silent disjoint-partition rebase would let a rival
-    # derive the same mark and collide; force retry-the-merge instead
+    # derive the same mark and collide; force retry-the-merge instead.
+    # Same rule for the txn ledger: a rebase would overwrite the
+    # rival's ledger entries with our base-derived map, so idempotent
+    # writers re-run the merge against the winner instead.
     id_refuse = (
         "identity high-water derived from the base snapshot"
         if _identity_conf(spark, table_path) is not None
-        else None
+        else (
+            "txn ledger derived from the base snapshot"
+            if txn_app_id is not None
+            else None
+        )
     )
+
+    def _x(extra: dict | None) -> dict | None:
+        if txn_app_id is None:
+            return extra
+        out = dict(extra or {})
+        out["txn"] = txn_ledger
+        return out
     _validate_constraints(spark, table_path, incoming)
     _fs_mkdirs(spark, f"{table_path}/_manifests")
     cur = _current_gen(spark, table_path)
@@ -1104,7 +1159,7 @@ def _snapshot_merge_upsert_once(
             spark, table_path, gen,
             {r: gname for r in rels},
             expected_cur=cur,
-            extra=_with_schema(None, first, partition_cols),
+            extra=_x(_with_schema(None, first, partition_cols)),
             max_rebases=max_conflict_rebases,
             refuse_rebase=id_refuse,
         )
@@ -1120,12 +1175,12 @@ def _snapshot_merge_upsert_once(
         _maybe_write_stats(spark, table_path, gname, new_dir, schema=out.schema)
         return _commit_rebasing(
             spark, table_path, gen, {"": gname}, expected_cur=cur,
-            extra=_with_schema(
+            extra=_x(_with_schema(
                 _carry_dv_ref(
                     spark, table_path, manifest, {"": gname}, gen
                 ),
                 out, prev=manifest,
-            ),
+            )),
             max_rebases=max_conflict_rebases,
             refuse_rebase=id_refuse,
         )
@@ -1170,10 +1225,10 @@ def _snapshot_merge_upsert_once(
     partitions.update({r: gname for r in written})
     return _commit_rebasing(
         spark, table_path, gen, partitions, expected_cur=cur,
-        extra=_with_schema(
+        extra=_x(_with_schema(
             _carry_dv_ref(spark, table_path, manifest, partitions, gen),
             out, partition_cols, prev=manifest,
-        ),
+        )),
         max_rebases=max_conflict_rebases,
         refuse_rebase=id_refuse,
     )
@@ -1189,13 +1244,28 @@ def snapshot_merge_upsert(
     schema_evolution: str = "merge",
     optimize_write: bool = False,
     max_conflict_rebases: int = 0,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """See ``_snapshot_merge_upsert_once`` for the merge contract.
     ``max_conflict_rebases`` buys BOTH concurrency lanes: disjoint-
     partition rivals rebase cheaply inside the commit; overlapping
     rivals fall back to retrying the whole merge against the winner's
     snapshot (``_retrying_merge``) — Delta's conflict-resolution
-    ladder."""
+    ladder.
+
+    ``txn_app_id``/``txn_version`` are Delta's IDEMPOTENT-WRITES knobs
+    (txnAppId/txnVersion): each commit records a per-app high-water
+    version in the manifest (carried forward by every later commit);
+    a merge whose version is <= the recorded one is a re-delivery and
+    returns the current generation WITHOUT writing.  This is the
+    exactly-once contract for ``foreachBatch`` streaming into the
+    snapshot sink (streaming/micro_batch.stream_into_snapshot): Spark
+    re-runs a micro-batch whose checkpoint commit was lost, and the
+    ledger makes the re-run a no-op instead of a double-apply.
+    Ledger-carrying merges never take the silent disjoint-partition
+    rebase (a rebase would drop the rival's ledger entries); they
+    re-run against the winner, which re-reads the merged ledger."""
     return _retrying_merge(
         lambda: _snapshot_merge_upsert_once(
             spark, table_path, incoming, key=key,
@@ -1203,6 +1273,8 @@ def snapshot_merge_upsert(
             schema_evolution=schema_evolution,
             optimize_write=optimize_write,
             max_conflict_rebases=max_conflict_rebases,
+            txn_app_id=txn_app_id,
+            txn_version=txn_version,
         ),
         max_conflict_rebases,
     )

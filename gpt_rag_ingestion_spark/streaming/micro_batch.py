@@ -515,6 +515,71 @@ def enrich_stream_with_dimension(
     return out
 
 
+def stream_into_snapshot(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key: str = "parent_id",
+    partition_cols: list[str] | None = None,
+    app_id: str | None = None,
+    max_conflict_rebases: int = 0,
+    await_termination: bool = True,
+):
+    """STREAMING SINK INTO THE SNAPSHOT TABLE with EXACTLY-ONCE
+    semantics (r9 verdict #7): ``foreachBatch`` ->
+    ``snapshot_merge_upsert`` carrying the micro-batch id as the
+    idempotence token (Delta's txnAppId/txnVersion pattern —
+    foreachBatch is at-least-once, so the sink must dedup
+    re-deliveries itself).
+
+    Exactly-once decomposition:
+    - Structured Streaming's checkpoint gives each micro-batch a
+      monotonically increasing ``batch_id`` and replays any batch
+      whose checkpoint commit was lost (crash between the sink write
+      and the checkpoint write);
+    - the snapshot manifest records ``{app_id: last_batch_id}``
+      (carried forward by every later commit), so the replayed batch
+      sees its id already in the ledger and the merge is a NO-OP —
+      never a double-apply;
+    - the merge itself is one atomic pointer-swap commit, so a crash
+      mid-merge leaves the old snapshot and the replay converges.
+
+    ``app_id`` defaults to a checkpoint-derived stable id: the same
+    query restarted from the same checkpoint continues its own ledger
+    entry; a different query writing the same table gets its own.
+    Returns the StreamingQuery (already drained when
+    ``await_termination``, the AvailableNow ingest-tick pattern).
+
+    Scale shape: identical to ``snapshot_merge_upsert`` — O(affected
+    partitions) per batch plus the metadata-only ledger row; N
+    streaming writers on disjoint partition ranges coexist via the
+    conflict ladder (ledger writers re-run rather than rebase, see
+    snapshot_merge_upsert)."""
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        snapshot_merge_upsert,
+    )
+
+    app = app_id or f"stream-into-snapshot:{checkpoint_dir}"
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        snapshot_merge_upsert(
+            batch_df.sparkSession, table_path, batch_df, key=key,
+            partition_cols=partition_cols,
+            max_conflict_rebases=max_conflict_rebases,
+            txn_app_id=app, txn_version=int(batch_id),
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
 def run_incremental_ivf(
     spark: SparkSession,
     landing_dir: str,

@@ -1081,3 +1081,112 @@ def test_streaming_cdf_rollup_mode(spark, tmp_path):
             rollup_path=f"{root}/rollup2", sink="swap",
             rollup_mode="cdf",
         )
+
+
+def test_txn_ledger_makes_merge_idempotent(spark, tmp_path):
+    """Delta txnAppId/txnVersion on the snapshot sink: a merge whose
+    (app, version) is already in the manifest ledger is a no-op (same
+    generation back, no new commit); a higher version applies; a
+    second app keeps its own ledger entry; and the ledger survives
+    unrelated commits in between (manifest carry)."""
+    from gpt_rag_ingestion_spark.operators import snapshot_table as S
+
+    t = str(tmp_path / "t")
+
+    def df(items):
+        return spark.createDataFrame(items, "k long, v long")
+
+    g1 = S.snapshot_merge_upsert(
+        spark, t, df([(1, 10), (2, 20)]), key="k",
+        txn_app_id="appA", txn_version=0,
+    )
+    # re-delivery of batch 0: no-op, same generation
+    g2 = S.snapshot_merge_upsert(
+        spark, t, df([(1, 999), (3, 30)]), key="k",
+        txn_app_id="appA", txn_version=0,
+    )
+    assert g2 == g1
+    got = {r.k: r.v for r in S.read_snapshot_table(spark, t).collect()}
+    assert got == {1: 10, 2: 20}, got
+    # next version applies
+    g3 = S.snapshot_merge_upsert(
+        spark, t, df([(3, 30)]), key="k", txn_app_id="appA", txn_version=1,
+    )
+    assert g3 == g1 + 1
+    # a DIFFERENT app is independent
+    g4 = S.snapshot_merge_upsert(
+        spark, t, df([(4, 40)]), key="k", txn_app_id="appB", txn_version=0,
+    )
+    assert g4 == g3 + 1
+    # an unrelated non-ledger commit carries both entries forward
+    S.snapshot_merge_upsert(spark, t, df([(5, 50)]), key="k")
+    cur = S._current_gen(spark, t)
+    ledger = S._read_manifest(spark, t, cur).get("txn")
+    assert ledger == {"appA": 1, "appB": 0}, ledger
+    # both apps' re-deliveries are still no-ops after the carry
+    assert S.snapshot_merge_upsert(
+        spark, t, df([(9, 90)]), key="k", txn_app_id="appA", txn_version=1,
+    ) == cur
+    assert S.snapshot_merge_upsert(
+        spark, t, df([(9, 90)]), key="k", txn_app_id="appB", txn_version=0,
+    ) == cur
+
+
+def test_stream_into_snapshot_exactly_once(spark, tmp_path):
+    """foreachBatch -> snapshot sink: an AvailableNow drain lands the
+    stream's rows; a RE-RUN of a crashed micro-batch (the foreachBatch
+    function called again with the same batch_id — exactly what Spark
+    does when the checkpoint commit was lost) is a no-op: generation
+    unchanged, rows unchanged.  A genuinely new batch still applies."""
+    import json as _json
+
+    from gpt_rag_ingestion_spark.operators import snapshot_table as S
+    from gpt_rag_ingestion_spark.streaming.micro_batch import (
+        stream_into_snapshot,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "b1.json").write_text(
+        "\n".join(_json.dumps({"k": k, "v": 10 * k}) for k in range(6))
+    )
+    table = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("k LONG, v LONG")
+        .format("json").load(str(land))
+    )
+    stream_into_snapshot(
+        stream, table, ckpt, key="k", app_id="q-test",
+    )
+    got = {r.k: r.v for r in S.read_snapshot_table(spark, table).collect()}
+    assert got == {k: 10 * k for k in range(6)}
+    gen_after = S._current_gen(spark, table)
+
+    # crashed-checkpoint replay: Spark re-delivers batch 0 —
+    # simulate by re-applying batch 0's merge with the same txn id
+    replay = spark.createDataFrame(
+        [(k, 10 * k) for k in range(6)], "k long, v long"
+    )
+    S.snapshot_merge_upsert(
+        spark, table, replay, key="k",
+        txn_app_id="q-test", txn_version=0,
+    )
+    assert S._current_gen(spark, table) == gen_after, "double-apply!"
+    assert {
+        r.k: r.v for r in S.read_snapshot_table(spark, table).collect()
+    } == got
+
+    # a new file -> next AvailableNow tick -> batch 1 applies once
+    (land / "b2.json").write_text(
+        _json.dumps({"k": 100, "v": 1000})
+    )
+    stream2 = (
+        spark.readStream.schema("k LONG, v LONG")
+        .format("json").load(str(land))
+    )
+    stream_into_snapshot(
+        stream2, table, ckpt, key="k", app_id="q-test",
+    )
+    got2 = {r.k: r.v for r in S.read_snapshot_table(spark, table).collect()}
+    assert got2 == {**got, 100: 1000}
