@@ -6986,6 +6986,150 @@ def q243_dynamic_partition_overwrite(spark: SparkSession, sf: str) -> DataFrame:
     ).localCheckpoint()
 
 
+def q244_lakehouse_composition(spark: SparkSession, sf: str) -> DataFrame:
+    """COMPOSITION GATE (r9 verdict #4): the round-9 lakehouse features
+    end-to-end through ONE pipeline, because interactions hide between
+    individually-gated features — expectations + quarantine on every
+    increment, GENERATED ALWAYS AS IDENTITY across both merges, a
+    metadata-only RENAME COLUMN mid-history, and a CDF read-back over
+    the post-rename span.  Proof bits ride the output: quarantine
+    counts per batch, CDF insert/update counts, and
+    rename-rewrote-zero-partitions.  Everything is closed-form (keys
+    are unique, so identity numbering is deterministic) and the oracle
+    replays the whole composition in SQL."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.quality import split_quarantine
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        _current_gen,
+        _read_manifest,
+        read_snapshot_table,
+        snapshot_changes,
+        snapshot_merge_upsert,
+        snapshot_rename_column,
+        snapshot_set_identity,
+    )
+
+    orders = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 8).cast("int").alias("bucket"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    tbl = tempfile.mkdtemp(prefix="q244-compose-") + "/t"
+    snapshot_set_identity(spark, tbl, "sid", start=1, step=1)
+    # batch 1: every third order, expect-or-quarantine on a value band
+    ok1, bad1 = split_quarantine(
+        orders.filter(F.col("k") % 3 == 0), {"v_band": "v % 7 != 3"}
+    )
+    snapshot_merge_upsert(
+        spark, tbl, ok1.drop("violated_rules") if "violated_rules"
+        in ok1.columns else ok1,
+        key="k", partition_cols=["bucket"],
+    )
+    n_bad1 = bad1.count()
+    # metadata-only rename mid-history: v -> cents (zero rewrites)
+    g_pre = _current_gen(spark, tbl)
+    refs_pre = dict(_read_manifest(spark, tbl, g_pre)["partitions"])
+    g_ren = snapshot_rename_column(spark, tbl, "v", "cents")
+    refs_ren = dict(_read_manifest(spark, tbl, g_ren)["partitions"])
+    # batch 2 arrives under the NEW name, same expectation re-based
+    ok2, bad2 = split_quarantine(
+        orders.filter(F.col("k") % 4 == 0).select(
+            "k", "bucket", (F.col("v") + 5).alias("cents")
+        ),
+        {"cents_band": "cents % 7 != 3"},
+    )
+    snapshot_merge_upsert(
+        spark, tbl, ok2, key="k", partition_cols=["bucket"]
+    )
+    n_bad2 = bad2.count()
+    g_end = _current_gen(spark, tbl)
+    # CDF over the post-rename span: batch 2's effect, exactly
+    cdf = snapshot_changes(spark, tbl, g_ren, g_end, key="k")
+    counts = {
+        r["_change_type"]: r["n"]
+        for r in cdf.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return read_snapshot_table(spark, tbl).select(
+        "k", F.col("bucket").cast("int").alias("bucket"), "cents",
+        F.col("sid").cast("long").alias("sid"),
+        F.lit(int(n_bad1)).cast("long").alias("n_quarantined_b1"),
+        F.lit(int(n_bad2)).cast("long").alias("n_quarantined_b2"),
+        F.lit(int(counts.get("insert", 0))).cast("long").alias(
+            "n_cdf_inserts"
+        ),
+        F.lit(int(counts.get("update", 0))).cast("long").alias(
+            "n_cdf_updates"
+        ),
+        F.lit(int(counts.get("delete", 0))).cast("long").alias(
+            "n_cdf_deletes"
+        ),
+        F.lit(bool(refs_pre == refs_ren)).alias(
+            "rename_rewrote_zero_partitions"
+        ),
+    ).localCheckpoint()
+
+
+def q245_stream_exactly_once_snapshot(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """STREAMING SINK INTO THE SNAPSHOT TABLE, EXACTLY-ONCE (r9
+    verdict #7, streaming/micro_batch.stream_into_snapshot):
+    foreachBatch -> snapshot_merge_upsert carrying the micro-batch id
+    as the idempotence token (Delta txnAppId/txnVersion).  The events
+    table streams in via AvailableNow; then the gate RE-RUNS the
+    drained micro-batch's merge with the same txn id — Spark's
+    at-least-once replay of a batch whose checkpoint commit was lost —
+    and proves NO DOUBLE-APPLY: the generation pointer did not move
+    and the rows hash-match the static batch oracle.  Proof bits ride
+    the output."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        _current_gen,
+        read_snapshot_table,
+        snapshot_merge_upsert,
+    )
+    from gpt_rag_ingestion_spark.streaming.micro_batch import (
+        stream_into_snapshot,
+    )
+
+    _ensure_shipped(spark)
+    rollup = (
+        lambda df: df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+    stream = (
+        spark.readStream.schema(_EVENTS_READ_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+        .select("event_id", "user_id", "event_type")
+    )
+    base = tempfile.mkdtemp(prefix="q245-stream-")
+    table, ckpt = base + "/snap", base + "/ckpt"
+    stream_into_snapshot(
+        stream, table, ckpt, key="event_id", app_id="q245",
+    )
+    gen_after = _current_gen(spark, table)
+    # crashed-checkpoint replay: re-deliver batch 0 under the same
+    # txn id (the exact call stream_into_snapshot's foreachBatch makes)
+    replay = _t(spark, sf, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    snapshot_merge_upsert(
+        spark, table, replay, key="event_id",
+        txn_app_id="q245", txn_version=0,
+    )
+    no_double_apply = _current_gen(spark, table) == gen_after
+    return rollup(read_snapshot_table(spark, table)).select(
+        "user_id", "n_events", "max_event_id",
+        F.lit(bool(no_double_apply)).alias("replay_was_noop"),
+    ).localCheckpoint()
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW (and that the registry/oracle counts match QUERIES.md)
@@ -7008,31 +7152,31 @@ DRIVER_WINDOW = [
     "q60_merge_upsert",
     "q110_web_admission",
     "q144_giant_doc_parts",
-    "q96_cluster_keeper",
-    "q98_quality_percentile_gate",
-    "q103_epoch_mixture",
-    "q104_incremental_rollup",
-    "q106_url_canonical",
-    "q112_table_stats",
-    "q122_temporal_lookup",
-    "q123_grouped_correlation",
-    "q124_grouped_mode",
-    "q126_winsorize",
-    "q132_mad_outliers",
-    "q133_strip_accents",
-    "q137_dwell_times",
-    "q138_embedding_dim_stats",
-    "q179_waiting_suppliers",
-    "q180_small_quantity_revenue",
-    "q181_idle_rich_customers",
-    "q219_concurrent_writers",
-    "q220_clone_survives_vacuum",
-    "q221_boilerplate_strip",
-    "q222_card_scrub_luhn",
+    "q231_snapshot_history",
+    "q232_time_travel_versions",
+    "q233_constraint_enforcement",
+    "q234_merge_by_source",
+    "q235_identity_column",
+    "q236_stream_static_enrich",
+    "q237_overwrite_where",
+    "q238_quality_report",
+    "q239_quality_quarantine",
+    "q240_rename_column",
+    "q241_nested_types_sink",
+    "q242_ingest_expectations",
+    "q243_dynamic_partition_overwrite",
+    "q93_bpe_merges",
+    "q107_bpe_segment",
+    "q244_lakehouse_composition",
+    "q245_stream_exactly_once_snapshot",
     "q151_snapshot_merge",
     "q199_k_anonymity",
     "q204_cdc_conditional_merge",
     "q217_describe_detail",
+    "q219_concurrent_writers",
+    "q220_clone_survives_vacuum",
+    "q221_boilerplate_strip",
+    "q222_card_scrub_luhn",
     "q223_overlap_merge_race",
     "q224_schema_evolution_merge",
     "q225_snapshot_update_where",
@@ -7051,24 +7195,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # source).  The window rotates each round: 17 family anchors stay
     # fixed — ingest/freshness/purge (q01-q06), chunking (q10), dedup
     # (q15-q18), exact-ANN (q19), streaming (q24), ops (q38/q60), web
-    # admission (q110), giant-doc equivalence (q144).  This round (r9)
-    # the remaining 33 slots DRAIN THE BACKLOG TO ZERO: all 21 ids
-    # that had never had a driver row (q96 q98 q103 q104 q106 q112
-    # q122-q124 q126 q132 q133 q137 q138 q179-q181 q219-q222), plus
-    # re-exposure of the four ids whose operators or outputs changed
-    # this round (q151/q204 merge commit now stores the logical
-    # schema; q199 drop-list tokenizer hardened; q217 gained
-    # schema/partition_columns output columns), plus the eight NEW r9
-    # ids (q223 OCC overlap race, q224 schema evolution, q225 UPDATE,
-    # q226 generated columns, q227 TPC-H Q9-shape profit proxy, q228
-    # contingency expected counts, q229 cross-doc sentence dedup,
-    # q230 systematic PPS sampling).  After this window every
-    # oracle-backed id in the registry has had >= 1 driver row across
-    # rounds 1-9; only q79 (rows-only by declared policy) remains
-    # outside, cannot enter (test_window_is_oracle_backed).  q93/q107
-    # flipped rows-only -> oracle-backed mid-r9 (unrolled-CTE BPE
-    # oracle) and q231+ landed after the window froze — both groups
-    # are r10 rotation candidates.
+    # admission (q110), giant-doc equivalence (q144).  This round
+    # (r10) the remaining 33 slots DRAIN THE r9 ROTATION DEBT (verdict
+    # #1): the 13 ids registered after the r9 window froze
+    # (q231-q243), the two BPE ids that flipped rows-only ->
+    # oracle-backed mid-r9 (q93/q107), the two NEW r10 gates (q244
+    # lakehouse composition, q245 streaming exactly-once snapshot
+    # sink), and re-exposure of the 16 snapshot-family ids whose
+    # write paths changed this round (identity multiplicity +
+    # no-rebase + all-write-path enforcement, txn ledger carry, lazy
+    # quality rules): q151 q199 q204 q217 q219-q230.  After this
+    # window every oracle-backed id in the registry has had >= 1
+    # driver row across rounds 1-10; only the 7 rows-only-by-policy
+    # ids (q20 q47 q50 q51 q52 q53 q79) remain outside, cannot enter
+    # (test_window_is_oracle_backed).
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q02_watermark_agg": q02_watermark_agg,
@@ -7087,6 +7227,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_merge_upsert": q60_merge_upsert,
         "q110_web_admission": q110_web_admission,
         "q144_giant_doc_parts": q144_giant_doc_parts,
+        "q231_snapshot_history": q231_snapshot_history,
+        "q232_time_travel_versions": q232_time_travel_versions,
+        "q233_constraint_enforcement": q233_constraint_enforcement,
+        "q234_merge_by_source": q234_merge_by_source,
+        "q235_identity_column": q235_identity_column,
+        "q236_stream_static_enrich": q236_stream_static_enrich,
+        "q237_overwrite_where": q237_overwrite_where,
+        "q238_quality_report": q238_quality_report,
+        "q239_quality_quarantine": q239_quality_quarantine,
+        "q240_rename_column": q240_rename_column,
+        "q241_nested_types_sink": q241_nested_types_sink,
+        "q242_ingest_expectations": q242_ingest_expectations,
+        "q243_dynamic_partition_overwrite": q243_dynamic_partition_overwrite,
+        "q93_bpe_merges": q93_bpe_merges,
+        "q107_bpe_segment": q107_bpe_segment,
+        "q244_lakehouse_composition": q244_lakehouse_composition,
+        "q245_stream_exactly_once_snapshot": q245_stream_exactly_once_snapshot,
+        "q151_snapshot_merge": q151_snapshot_merge,
+        "q199_k_anonymity": q199_k_anonymity,
+        "q204_cdc_conditional_merge": q204_cdc_conditional_merge,
+        "q217_describe_detail": q217_describe_detail,
+        "q219_concurrent_writers": q219_concurrent_writers,
+        "q220_clone_survives_vacuum": q220_clone_survives_vacuum,
+        "q221_boilerplate_strip": q221_boilerplate_strip,
+        "q222_card_scrub_luhn": q222_card_scrub_luhn,
+        "q223_overlap_merge_race": q223_overlap_merge_race,
+        "q224_schema_evolution_merge": q224_schema_evolution_merge,
+        "q225_snapshot_update_where": q225_snapshot_update_where,
+        "q226_generated_columns": q226_generated_columns,
+        "q227_nation_year_profit": q227_nation_year_profit,
+        "q228_contingency_expected": q228_contingency_expected,
+        "q229_sentence_dedup_global": q229_sentence_dedup_global,
+        "q230_pps_sample": q230_pps_sample,
         "q96_cluster_keeper": q96_cluster_keeper,
         "q98_quality_percentile_gate": q98_quality_percentile_gate,
         "q103_epoch_mixture": q103_epoch_mixture,
@@ -7104,22 +7277,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_waiting_suppliers": q179_waiting_suppliers,
         "q180_small_quantity_revenue": q180_small_quantity_revenue,
         "q181_idle_rich_customers": q181_idle_rich_customers,
-        "q219_concurrent_writers": q219_concurrent_writers,
-        "q220_clone_survives_vacuum": q220_clone_survives_vacuum,
-        "q221_boilerplate_strip": q221_boilerplate_strip,
-        "q222_card_scrub_luhn": q222_card_scrub_luhn,
-        "q151_snapshot_merge": q151_snapshot_merge,
-        "q199_k_anonymity": q199_k_anonymity,
-        "q204_cdc_conditional_merge": q204_cdc_conditional_merge,
-        "q217_describe_detail": q217_describe_detail,
-        "q223_overlap_merge_race": q223_overlap_merge_race,
-        "q224_schema_evolution_merge": q224_schema_evolution_merge,
-        "q225_snapshot_update_where": q225_snapshot_update_where,
-        "q226_generated_columns": q226_generated_columns,
-        "q227_nation_year_profit": q227_nation_year_profit,
-        "q228_contingency_expected": q228_contingency_expected,
-        "q229_sentence_dedup_global": q229_sentence_dedup_global,
-        "q230_pps_sample": q230_pps_sample,
         "q189_order_priority_check": q189_order_priority_check,
         "q190_promo_revenue": q190_promo_revenue,
         "q191_late_shipment_priority": q191_late_shipment_priority,
@@ -7220,7 +7377,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_bloom_semijoin": q90_bloom_semijoin,
         "q91_span_dedup": q91_span_dedup,
         "q92_sync_actions": q92_sync_actions,
-        "q93_bpe_merges": q93_bpe_merges,
         "q94_shard_assignment": q94_shard_assignment,
         "q95_hamming_neardup": q95_hamming_neardup,
         "q97_interval_join": q97_interval_join,
@@ -7228,7 +7384,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_histogram_quantiles": q100_histogram_quantiles,
         "q102_incremental_dedup": q102_incremental_dedup,
         "q105_nfc_normalize": q105_nfc_normalize,
-        "q107_bpe_segment": q107_bpe_segment,
         "q108_pagerank": q108_pagerank,
         "q109_snapshot_diff": q109_snapshot_diff,
         "q111_vocab_encode": q111_vocab_encode,
@@ -7293,19 +7448,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q186_stickiness": q186_stickiness,
         "q187_event_transitions": q187_event_transitions,
         "q188_rag_end_to_end": q188_rag_end_to_end,
-        "q231_snapshot_history": q231_snapshot_history,
-        "q232_time_travel_versions": q232_time_travel_versions,
-        "q233_constraint_enforcement": q233_constraint_enforcement,
-        "q234_merge_by_source": q234_merge_by_source,
-        "q235_identity_column": q235_identity_column,
-        "q236_stream_static_enrich": q236_stream_static_enrich,
-        "q237_overwrite_where": q237_overwrite_where,
-        "q238_quality_report": q238_quality_report,
-        "q239_quality_quarantine": q239_quality_quarantine,
-        "q240_rename_column": q240_rename_column,
-        "q241_nested_types_sink": q241_nested_types_sink,
-        "q242_ingest_expectations": q242_ingest_expectations,
-        "q243_dynamic_partition_overwrite": q243_dynamic_partition_overwrite,
     }
 
 
@@ -11644,5 +11786,71 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT k, bucket, v + 3, true
             FROM o WHERE bucket IN (2, 5) AND k % 3 = 0
+        """,
+        # q244: the whole composition replays in closed form — keys
+        # are unique so identity numbering is deterministic (batch-1
+        # survivors rank in key order; batch-2 NEW keys extend from
+        # the high-water), quarantine counts are the band-rule
+        # complements, CDF inserts/updates are batch-2's key split
+        "q244_lakehouse_composition": """
+            WITH o AS (
+              SELECT o_orderkey AS k,
+                     CAST(o_orderkey % 8 AS INTEGER) AS bucket,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS v
+              FROM orders),
+            b1 AS (
+              SELECT k, bucket, v,
+                     CAST(ROW_NUMBER() OVER (ORDER BY k) AS BIGINT)
+                       AS sid
+              FROM o WHERE k % 3 = 0 AND v % 7 != 3),
+            b2 AS (
+              SELECT k, bucket, v + 5 AS cents FROM o
+              WHERE k % 4 = 0 AND (v + 5) % 7 != 3),
+            news AS (
+              SELECT b2.k, b2.bucket, b2.cents,
+                     (SELECT max(sid) FROM b1)
+                       + CAST(ROW_NUMBER() OVER (ORDER BY b2.k)
+                              AS BIGINT) AS sid
+              FROM b2 WHERE b2.k NOT IN (SELECT k FROM b1)),
+            kept AS (
+              SELECT b1.k, b1.bucket, b2.cents, b1.sid
+              FROM b1 JOIN b2 ON b1.k = b2.k),
+            olds AS (
+              SELECT k, bucket, v AS cents, sid FROM b1
+              WHERE k NOT IN (SELECT k FROM b2)),
+            fin AS (
+              SELECT * FROM kept UNION ALL
+              SELECT * FROM news UNION ALL
+              SELECT * FROM olds),
+            bits AS (
+              SELECT
+                CAST((SELECT count(*) FROM o
+                      WHERE k % 3 = 0 AND v % 7 = 3) AS BIGINT)
+                  AS n_quarantined_b1,
+                CAST((SELECT count(*) FROM o
+                      WHERE k % 4 = 0 AND (v + 5) % 7 = 3) AS BIGINT)
+                  AS n_quarantined_b2,
+                CAST((SELECT count(*) FROM news) AS BIGINT)
+                  AS n_cdf_inserts,
+                CAST((SELECT count(*) FROM kept) AS BIGINT)
+                  AS n_cdf_updates,
+                CAST(0 AS BIGINT) AS n_cdf_deletes)
+            SELECT fin.k, fin.bucket, fin.cents, fin.sid,
+                   bits.n_quarantined_b1, bits.n_quarantined_b2,
+                   bits.n_cdf_inserts, bits.n_cdf_updates,
+                   bits.n_cdf_deletes,
+                   true AS rename_rewrote_zero_partitions
+            FROM fin CROSS JOIN bits
+        """,
+        # q245: stream-static equivalence — the drained snapshot table
+        # IS the events relation, and the no-double-apply proof bit is
+        # true by the txn-ledger contract
+        "q245_stream_exactly_once_snapshot": """
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   max(event_id) AS max_event_id,
+                   true AS replay_was_noop
+            FROM events
+            GROUP BY user_id
         """,
     }
