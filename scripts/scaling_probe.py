@@ -79,6 +79,8 @@ PROBES = {
     "q240_rename_column": ("sink", "column-mapping rename: metadata-only commit + increment under new name"),
     "q242_ingest_expectations": ("quality", "expect-or-drop inside the ingest job: quarantine side write"),
     "q243_dynamic_partition_overwrite": ("sink", "dynamic partition overwrite: present partitions swap, others keep refs"),
+    "q244_lakehouse_composition": ("sink", "composed: 2 quarantined merges + identity + metadata rename + CDF span"),
+    "q245_stream_exactly_once_snapshot": ("streaming", "foreachBatch snapshot sink + txn-ledger no-op replay"),
 }
 
 

@@ -356,3 +356,111 @@ def test_vacuum_kill_sweep(spark, tmp_path, monkeypatch, hard):
         }
         gens = {d for d in os.listdir(t) if d.startswith("gen-")}
         assert gens == refs, (gens, refs)
+
+
+@pytest.mark.parametrize("hard", [False, True], ids=["soft", "hard"])
+@pytest.mark.parametrize("mode", ["rewrite", "dv"])
+def test_delete_keys_kill_sweep(spark, tmp_path, monkeypatch, mode, hard):
+    """Kill every metadata mutation of snapshot_delete_keys in both
+    modes (partition rewrite and deletion vectors): reader sees the
+    pre-delete or post-delete snapshot, never a torn one; the retried
+    delete converges."""
+    _short_lease(monkeypatch)
+    killer = _Killer(monkeypatch, scope=str(tmp_path))
+    doomed = _df(spark, [("k1", 1, 0), ("k4", 0, 0)]).select("k")
+
+    def run(t):
+        S.snapshot_delete_keys(
+            spark, t, doomed, key="k", partition_cols=["bucket"],
+            mode=mode,
+        )
+
+    t0 = str(tmp_path / "count" / "t")
+    _seed(spark, t0)
+    killer.arm(k=None, when="before", hard=False)
+    run(t0)
+    killer.disarm()
+    n = killer.n
+    assert n >= 4, f"expected >=4 metadata mutations, saw {n}: {killer.log}"
+
+    golden = str(tmp_path / "golden")
+    _seed(spark, golden)
+    old_rows = _rows(spark, golden)
+    run(golden)
+    new_rows = _rows(spark, golden)
+    assert len(new_rows) == len(old_rows) - 2
+
+    for k in range(1, n + 1):
+        t = str(tmp_path / f"d-{mode}-{int(hard)}-{k}" / "t")
+        _seed(spark, t)
+        killer.arm(k=k, when="before", hard=hard)
+        raised = False
+        try:
+            run(t)
+        except RuntimeError as e:
+            assert "injected kill" in str(e)
+            raised = True
+        killer.disarm()
+        got = _rows(spark, t)
+        if raised:
+            assert got in (old_rows, new_rows), (
+                f"delete kill@{k}/{mode}/hard={hard}: torn read "
+                f"({len(got)} rows)\nlog={killer.log}"
+            )
+        else:
+            assert got == new_rows, (
+                f"delete kill@{k}/{mode}/hard={hard}: swallowed kill "
+                f"but commit did not land\nlog={killer.log}"
+            )
+        time.sleep(0.6)
+        run(t)
+        assert _rows(spark, t) == new_rows, (
+            f"delete kill@{k}/{mode}/hard={hard}: retry diverged\n"
+            f"log={killer.log}"
+        )
+
+
+@pytest.mark.parametrize("hard", [False, True], ids=["soft", "hard"])
+def test_optimize_kill_sweep(spark, tmp_path, monkeypatch, hard):
+    """Kill every metadata mutation of snapshot_optimize (the
+    fold-everything rewrite): content is IDENTICAL before and after a
+    successful optimize, so the invariant collapses to 'reads always
+    return the table' — plus the retried optimize lands a single
+    folded generation."""
+    _short_lease(monkeypatch)
+    killer = _Killer(monkeypatch, scope=str(tmp_path))
+
+    def build(t):
+        _seed(spark, t)
+        S.snapshot_merge_upsert(
+            spark, t, _df(spark, _INC), key="k", partition_cols=["bucket"]
+        )
+
+    t0 = str(tmp_path / "count" / "t")
+    build(t0)
+    expect = _rows(spark, t0)
+    killer.arm(k=None, when="before", hard=False)
+    S.snapshot_optimize(spark, t0, partition_cols=["bucket"])
+    killer.disarm()
+    n = killer.n
+    assert n >= 4, f"expected >=4 metadata mutations, saw {n}: {killer.log}"
+
+    for k in range(1, n + 1):
+        t = str(tmp_path / f"o-{int(hard)}-{k}" / "t")
+        build(t)
+        killer.arm(k=k, when="before", hard=hard)
+        try:
+            S.snapshot_optimize(spark, t, partition_cols=["bucket"])
+        except RuntimeError as e:
+            assert "injected kill" in str(e)
+        killer.disarm()
+        assert _rows(spark, t) == expect, f"optimize kill@{k} broke reads"
+        time.sleep(0.6)
+        S.snapshot_optimize(spark, t, partition_cols=["bucket"])
+        assert _rows(spark, t) == expect
+        cur = S._current_gen(spark, t)
+        refs = {
+            g.split("/")[0]
+            for g in S._read_manifest(spark, t, cur)["partitions"].values()
+        }
+        assert len(refs) == 1, refs
