@@ -1021,6 +1021,34 @@ def _enforce_schema(existing: DataFrame, incoming: DataFrame) -> None:
 
 
 
+def _txn_gate(spark, table_path: str, txn_app_id, txn_version):
+    """Idempotent-writes ledger gate shared by every write path
+    (Delta txnAppId/txnVersion).  Returns ``(skip_gen, ledger)``:
+    ``skip_gen`` is the already-committed generation when this
+    (app, version) was applied before — the caller returns it without
+    writing; otherwise ``ledger`` is the updated {app: version} map to
+    stamp into the commit's manifest (``None`` when no txn id was
+    passed: the commit inherits the predecessor's ledger via the
+    manifest carry)."""
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError(
+            "txn_app_id and txn_version must be passed together"
+        )
+    if txn_app_id is None:
+        return None, None
+    ledger: dict = {}
+    cur0 = _current_gen(spark, table_path)
+    if cur0 is not None:
+        ledger = dict(
+            _read_manifest(spark, table_path, cur0).get("txn") or {}
+        )
+        seen = ledger.get(txn_app_id)
+        if seen is not None and int(txn_version) <= int(seen):
+            return cur0, None
+    ledger[txn_app_id] = int(txn_version)
+    return None, ledger
+
+
 def _retrying_merge(fn, max_conflict_rebases: int):
     """OVERLAP FALLBACK (Delta's behavior for non-disjoint
     ConcurrentAppend, r8 verdict #3): when the cheap disjoint-
@@ -1080,10 +1108,6 @@ def _snapshot_merge_upsert_once(
             f"schema_evolution must be 'merge' or 'strict', got "
             f"{schema_evolution!r}"
         )
-    if (txn_app_id is None) != (txn_version is None):
-        raise ValueError(
-            "txn_app_id and txn_version must be passed together"
-        )
     _commit_recover(spark, table_path)
     _claim_recover(spark, table_path)
     # IDEMPOTENT WRITES (Delta txnAppId/txnVersion): each committed
@@ -1092,17 +1116,11 @@ def _snapshot_merge_upsert_once(
     # restarted streaming micro-batch, a retried orchestrator task)
     # and must be a no-op — this is what makes foreachBatch into the
     # snapshot sink exactly-once under at-least-once delivery.
-    txn_ledger: dict = {}
-    if txn_app_id is not None:
-        cur0 = _current_gen(spark, table_path)
-        if cur0 is not None:
-            txn_ledger = dict(
-                _read_manifest(spark, table_path, cur0).get("txn") or {}
-            )
-            seen = txn_ledger.get(txn_app_id)
-            if seen is not None and int(txn_version) <= int(seen):
-                return cur0
-        txn_ledger[txn_app_id] = int(txn_version)
+    skip_gen, txn_ledger = _txn_gate(
+        spark, table_path, txn_app_id, txn_version
+    )
+    if skip_gen is not None:
+        return skip_gen
     incoming = _apply_generated(spark, table_path, incoming)
     incoming = _apply_identity(spark, table_path, incoming, key)
     # identity values were minted off THIS base snapshot's high-water
@@ -1295,6 +1313,8 @@ def _snapshot_merge_when_once(
     by_source_update_condition: str | None = None,
     by_source_scope: str | None = None,
     max_conflict_rebases: int = 0,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """CONDITIONAL MERGE — the full Delta/SQL:2003 MERGE form, on top
     of the same manifest-pointer commit:
@@ -1360,6 +1380,22 @@ def _snapshot_merge_when_once(
         )
     _commit_recover(spark, table_path)
     _claim_recover(spark, table_path)
+    # idempotent writes: same ledger gate as snapshot_merge_upsert —
+    # a CDC stream applying conditional merges per micro-batch gets
+    # exactly-once re-delivery semantics on this path too
+    skip_gen, txn_ledger = _txn_gate(
+        spark, table_path, txn_app_id, txn_version
+    )
+    if skip_gen is not None:
+        return skip_gen
+
+    def _x(extra: dict | None) -> dict | None:
+        if txn_ledger is None:
+            return extra
+        out = dict(extra or {})
+        out["txn"] = txn_ledger
+        return out
+
     cur = _current_gen(spark, table_path)
     if cur is None:
         if not insert_unmatched:
@@ -1369,6 +1405,7 @@ def _snapshot_merge_when_once(
         return snapshot_merge_upsert(
             spark, table_path, incoming, key=key,
             partition_cols=partition_cols,
+            txn_app_id=txn_app_id, txn_version=txn_version,
         )
     existing = read_snapshot_table(spark, table_path)
     # GENERATED ALWAYS AS IDENTITY binds on this write path too (r9
@@ -1502,16 +1539,19 @@ def _snapshot_merge_when_once(
         _maybe_write_stats(spark, table_path, gname, new_dir, schema=out.schema)
         return _commit_rebasing(
             spark, table_path, gen, {"": gname}, expected_cur=cur,
-            extra=_with_schema(
+            extra=_x(_with_schema(
                 _carry_dv_ref(
                     spark, table_path, manifest, {"": gname}, gen
                 ),
                 out, prev=manifest,
-            ),
+            )),
             op="merge_when", max_rebases=max_conflict_rebases,
             refuse_rebase=(
                 "identity high-water derived from the base snapshot"
-                if idc else None
+                if idc else (
+                    "txn ledger derived from the base snapshot"
+                    if txn_ledger is not None else None
+                )
             ),
         )
 
@@ -1567,14 +1607,17 @@ def _snapshot_merge_when_once(
     partitions.update({r: gname for r in written})
     return _commit_rebasing(
         spark, table_path, gen, partitions, expected_cur=cur,
-        extra=_with_schema(
+        extra=_x(_with_schema(
             _carry_dv_ref(spark, table_path, manifest, partitions, gen),
             out, partition_cols, prev=manifest,
-        ),
+        )),
         op="merge_when", max_rebases=max_conflict_rebases,
         refuse_rebase=(
             "identity high-water derived from the base snapshot"
-            if idc else None
+            if idc else (
+                "txn ledger derived from the base snapshot"
+                if txn_ledger is not None else None
+            )
         ),
     )
 
@@ -1595,11 +1638,16 @@ def snapshot_merge_when(
     by_source_update_condition: str | None = None,
     by_source_scope: str | None = None,
     max_conflict_rebases: int = 0,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """See ``_snapshot_merge_when_once`` for the MERGE-clause
     contract (including WHEN NOT MATCHED BY SOURCE); overlap/claim
     conflicts retry the whole merge against the winner's snapshot
-    (``_retrying_merge``)."""
+    (``_retrying_merge``).  ``txn_app_id``/``txn_version`` are the
+    same idempotent-writes ledger as ``snapshot_merge_upsert`` — the
+    CDC-stream idiom is foreachBatch -> snapshot_merge_when with the
+    micro-batch id, making conditional-merge re-deliveries no-ops."""
     return _retrying_merge(
         lambda: _snapshot_merge_when_once(
             spark, table_path, incoming, key=key,
@@ -1613,6 +1661,8 @@ def snapshot_merge_when(
             by_source_update_condition=by_source_update_condition,
             by_source_scope=by_source_scope,
             max_conflict_rebases=max_conflict_rebases,
+            txn_app_id=txn_app_id,
+            txn_version=txn_version,
         ),
         max_conflict_rebases,
     )
@@ -1627,6 +1677,8 @@ def _snapshot_delete_keys_once(
     mode: str = "rewrite",
     max_dv_rows: int = 2_000_000,
     max_conflict_rebases: int = 0,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """DELETE-by-key-set with the same commit protocol.
 
@@ -1655,6 +1707,21 @@ def _snapshot_delete_keys_once(
         raise ValueError(f"mode must be 'rewrite' or 'dv', got {mode!r}")
     _commit_recover(spark, table_path)
     _claim_recover(spark, table_path)
+    # idempotent writes: the ledger gate covers deletes too (a CDC
+    # stream's tombstone batches re-deliver like any other)
+    skip_gen, txn_ledger = _txn_gate(
+        spark, table_path, txn_app_id, txn_version
+    )
+    if skip_gen is not None:
+        return skip_gen
+
+    def _x(extra: dict | None) -> dict | None:
+        if txn_ledger is None:
+            return extra
+        out = dict(extra or {})
+        out["txn"] = txn_ledger
+        return out
+
     cur = _current_gen(spark, table_path)
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot at {table_path}")
@@ -1745,7 +1812,7 @@ def _snapshot_delete_keys_once(
         name = _write_dv(spark, table_path, gen, merged)
         _commit(
             spark, table_path, gen, dict(manifest["partitions"]),
-            expected_cur=cur, extra={"dv": name}, op="delete_dv",
+            expected_cur=cur, extra=_x({"dv": name}), op="delete_dv",
         )
         return gen
 
@@ -1758,9 +1825,9 @@ def _snapshot_delete_keys_once(
                            schema=existing.schema)
         _commit(
             spark, table_path, gen, {"": gname}, expected_cur=cur,
-            extra=_carry_dv_ref(
+            extra=_x(_carry_dv_ref(
                 spark, table_path, manifest, {"": gname}, gen
-            ),
+            )),
             op="delete",
         )
         return gen
@@ -1799,8 +1866,12 @@ def _snapshot_delete_keys_once(
     partitions.update({r: gname for r in written})
     return _commit_rebasing(
         spark, table_path, gen, partitions, expected_cur=cur,
-        extra=_carry_dv_ref(spark, table_path, manifest, partitions, gen),
+        extra=_x(_carry_dv_ref(spark, table_path, manifest, partitions, gen)),
         op="delete", max_rebases=max_conflict_rebases,
+        refuse_rebase=(
+            "txn ledger derived from the base snapshot"
+            if txn_ledger is not None else None
+        ),
     )
 
 
@@ -1814,18 +1885,24 @@ def snapshot_delete_keys(
     mode: str = "rewrite",
     max_dv_rows: int = 2_000_000,
     max_conflict_rebases: int = 0,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """See ``_snapshot_delete_keys_once`` for the delete contract;
     conflicts retry the whole delete against the winner's snapshot
     (``_retrying_merge``) — in DV mode the vectors are recomputed
     against the new current manifest, which is why a DV commit never
-    rebases in place."""
+    rebases in place.  ``txn_app_id``/``txn_version``: the same
+    idempotent-writes ledger as the merge paths (tombstone batches
+    re-deliver like any other micro-batch)."""
     return _retrying_merge(
         lambda: _snapshot_delete_keys_once(
             spark, table_path, keys, key=key,
             partition_cols=partition_cols, mode=mode,
             max_dv_rows=max_dv_rows,
             max_conflict_rebases=max_conflict_rebases,
+            txn_app_id=txn_app_id,
+            txn_version=txn_version,
         ),
         max_conflict_rebases,
     )

@@ -1190,3 +1190,56 @@ def test_stream_into_snapshot_exactly_once(spark, tmp_path):
     )
     got2 = {r.k: r.v for r in S.read_snapshot_table(spark, table).collect()}
     assert got2 == {**got, 100: 1000}
+
+
+def test_txn_ledger_covers_merge_when_and_delete(spark, tmp_path):
+    """The idempotence ledger binds on every write path: a re-delivered
+    conditional merge (CDC batch) and a re-delivered tombstone delete
+    are both no-ops; the apps share one ledger namespace so versions
+    interleave correctly across paths."""
+    from gpt_rag_ingestion_spark.operators import snapshot_table as S
+
+    t = str(tmp_path / "t")
+
+    def df(items):
+        return spark.createDataFrame(items, "k long, v long")
+
+    S.snapshot_merge_upsert(
+        spark, t, df([(1, 10), (2, 20), (3, 30)]), key="k",
+        txn_app_id="cdc", txn_version=0,
+    )
+    # batch 1: conditional merge (upsert where s.v > t.v)
+    g1 = S.snapshot_merge_when(
+        spark, t, df([(2, 200), (4, 40)]), key="k",
+        matched_update="s.v > t.v",
+        txn_app_id="cdc", txn_version=1,
+    )
+    want = {1: 10, 2: 200, 3: 30, 4: 40}
+    got = {r.k: r.v for r in S.read_snapshot_table(spark, t).collect()}
+    assert got == want
+    # re-delivery of batch 1: no-op even with hostile content
+    assert S.snapshot_merge_when(
+        spark, t, df([(1, 999)]), key="k", txn_app_id="cdc", txn_version=1,
+    ) == g1
+    assert {
+        r.k: r.v for r in S.read_snapshot_table(spark, t).collect()
+    } == want
+    # batch 2: tombstones
+    g2 = S.snapshot_delete_keys(
+        spark, t, df([(3, 0)]).select("k"), key="k",
+        txn_app_id="cdc", txn_version=2,
+    )
+    want.pop(3)
+    assert {
+        r.k: r.v for r in S.read_snapshot_table(spark, t).collect()
+    } == want
+    # re-delivered tombstone batch: no-op (both modes share the gate)
+    assert S.snapshot_delete_keys(
+        spark, t, df([(1, 0)]).select("k"), key="k",
+        txn_app_id="cdc", txn_version=2, mode="dv",
+    ) == g2
+    assert {
+        r.k: r.v for r in S.read_snapshot_table(spark, t).collect()
+    } == want
+    cur = S._current_gen(spark, t)
+    assert S._read_manifest(spark, t, cur).get("txn") == {"cdc": 2}
