@@ -704,7 +704,9 @@ def _commit(
     # column types (the part read-back depends on) never change
     # across disjoint-partition rebases.
     if expected_cur is not None and (
-        "schema" not in body or "renames" not in body
+        "schema" not in body
+        or "renames" not in body
+        or "txn" not in body
     ):
         try:
             prev = _read_manifest(spark, table_path, expected_cur)

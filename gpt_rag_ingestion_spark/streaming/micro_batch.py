@@ -524,6 +524,7 @@ def stream_into_snapshot(
     app_id: str | None = None,
     max_conflict_rebases: int = 0,
     await_termination: bool = True,
+    merge_when_kwargs: dict | None = None,
 ):
     """STREAMING SINK INTO THE SNAPSHOT TABLE with EXACTLY-ONCE
     semantics (r9 verdict #7): ``foreachBatch`` ->
@@ -550,6 +551,13 @@ def stream_into_snapshot(
     Returns the StreamingQuery (already drained when
     ``await_termination``, the AvailableNow ingest-tick pattern).
 
+    ``merge_when_kwargs`` switches each batch from the plain keyed
+    upsert to the full conditional MERGE (``snapshot_merge_when`` —
+    the CDC idiom: ``{"matched_delete": "s.tombstone",
+    "insert_condition": "NOT s.tombstone", ...}``), with the same
+    per-batch idempotence token; the kwargs are any
+    snapshot_merge_when clause parameters.
+
     Scale shape: identical to ``snapshot_merge_upsert`` — O(affected
     partitions) per batch plus the metadata-only ledger row; N
     streaming writers on disjoint partition ranges coexist via the
@@ -557,17 +565,27 @@ def stream_into_snapshot(
     snapshot_merge_upsert)."""
     from gpt_rag_ingestion_spark.operators.snapshot_table import (
         snapshot_merge_upsert,
+        snapshot_merge_when,
     )
 
     app = app_id or f"stream-into-snapshot:{checkpoint_dir}"
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        snapshot_merge_upsert(
-            batch_df.sparkSession, table_path, batch_df, key=key,
-            partition_cols=partition_cols,
-            max_conflict_rebases=max_conflict_rebases,
-            txn_app_id=app, txn_version=int(batch_id),
-        )
+        if merge_when_kwargs:
+            snapshot_merge_when(
+                batch_df.sparkSession, table_path, batch_df, key=key,
+                partition_cols=partition_cols,
+                max_conflict_rebases=max_conflict_rebases,
+                txn_app_id=app, txn_version=int(batch_id),
+                **merge_when_kwargs,
+            )
+        else:
+            snapshot_merge_upsert(
+                batch_df.sparkSession, table_path, batch_df, key=key,
+                partition_cols=partition_cols,
+                max_conflict_rebases=max_conflict_rebases,
+                txn_app_id=app, txn_version=int(batch_id),
+            )
 
     q = (
         stream.writeStream.foreachBatch(_apply)

@@ -1243,3 +1243,89 @@ def test_txn_ledger_covers_merge_when_and_delete(spark, tmp_path):
     } == want
     cur = S._current_gen(spark, t)
     assert S._read_manifest(spark, t, cur).get("txn") == {"cdc": 2}
+
+
+def test_restore_keeps_txn_ledger(spark, tmp_path):
+    """RESTORE rewinds data, NOT the idempotence ledger: a re-delivered
+    batch is still a no-op after a restore (otherwise every restore
+    would re-open the door to double-applies)."""
+    from gpt_rag_ingestion_spark.operators import snapshot_table as S
+
+    t = str(tmp_path / "t")
+
+    def df(items):
+        return spark.createDataFrame(items, "k long, v long")
+
+    g1 = S.snapshot_merge_upsert(
+        spark, t, df([(1, 10)]), key="k", txn_app_id="a", txn_version=0,
+    )
+    S.snapshot_merge_upsert(
+        spark, t, df([(2, 20)]), key="k", txn_app_id="a", txn_version=1,
+    )
+    S.snapshot_restore(spark, t, g1)
+    assert {r.k for r in S.read_snapshot_table(spark, t).collect()} == {1}
+    cur = S._current_gen(spark, t)
+    assert S._read_manifest(spark, t, cur).get("txn") == {"a": 1}
+    # batch 1 re-delivered post-restore: still a no-op
+    assert S.snapshot_merge_upsert(
+        spark, t, df([(2, 999)]), key="k", txn_app_id="a", txn_version=1,
+    ) == cur
+    assert {r.k for r in S.read_snapshot_table(spark, t).collect()} == {1}
+
+
+def test_stream_into_snapshot_cdc_clauses(spark, tmp_path):
+    """merge_when_kwargs turns the streaming sink into a CDC apply:
+    tombstones delete, updates win by condition, unmatched tombstones
+    are no-ops — and a replayed batch is still exactly-once."""
+    import json as _json
+
+    from gpt_rag_ingestion_spark.operators import snapshot_table as S
+    from gpt_rag_ingestion_spark.streaming.micro_batch import (
+        stream_into_snapshot,
+    )
+
+    t = str(tmp_path / "t")
+    S.snapshot_merge_upsert(
+        spark, t,
+        spark.createDataFrame(
+            [(1, 10, False), (2, 20, False), (3, 30, False)],
+            "k long, v long, tombstone boolean",
+        ),
+        key="k",
+    )
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "b.json").write_text("\n".join([
+        _json.dumps({"k": 2, "v": 200, "tombstone": False}),
+        _json.dumps({"k": 3, "v": 0, "tombstone": True}),
+        _json.dumps({"k": 4, "v": 40, "tombstone": False}),
+        _json.dumps({"k": 9, "v": 0, "tombstone": True}),
+    ]))
+    stream = (
+        spark.readStream.schema("k LONG, v LONG, tombstone BOOLEAN")
+        .format("json").load(str(land))
+    )
+    stream_into_snapshot(
+        stream, t, str(tmp_path / "ckpt"), key="k", app_id="cdc-q",
+        merge_when_kwargs={
+            "matched_delete": "s.tombstone",
+            "insert_condition": "NOT s.tombstone",
+        },
+    )
+    want = {1: 10, 2: 200, 4: 40}
+    got = {r.k: r.v for r in S.read_snapshot_table(spark, t).collect()}
+    assert got == want
+    gen = S._current_gen(spark, t)
+    # replay the batch (same txn version): exactly-once
+    replay = spark.createDataFrame(
+        [(1, 0, True)], "k long, v long, tombstone boolean"
+    )
+    S.snapshot_merge_when(
+        spark, t, replay, key="k",
+        matched_delete="s.tombstone", insert_condition="NOT s.tombstone",
+        txn_app_id="cdc-q", txn_version=0,
+    )
+    assert S._current_gen(spark, t) == gen
+    assert {
+        r.k: r.v for r in S.read_snapshot_table(spark, t).collect()
+    } == want
