@@ -7021,11 +7021,7 @@ def q244_lakehouse_composition(spark: SparkSession, sf: str) -> DataFrame:
     ok1, bad1 = split_quarantine(
         orders.filter(F.col("k") % 3 == 0), {"v_band": "v % 7 != 3"}
     )
-    snapshot_merge_upsert(
-        spark, tbl, ok1.drop("violated_rules") if "violated_rules"
-        in ok1.columns else ok1,
-        key="k", partition_cols=["bucket"],
-    )
+    snapshot_merge_upsert(spark, tbl, ok1, key="k", partition_cols=["bucket"])
     n_bad1 = bad1.count()
     # metadata-only rename mid-history: v -> cents (zero rewrites)
     g_pre = _current_gen(spark, tbl)

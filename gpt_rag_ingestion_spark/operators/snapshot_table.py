@@ -3469,9 +3469,11 @@ def snapshot_insert_overwrite_partitions(
 def snapshot_history(spark: SparkSession, table_path: str) -> list[dict]:
     """DESCRIBE HISTORY: one dict per commit whose manifest still
     exists (vacuum is the retention boundary), oldest first —
-    {gen, op, n_partitions, n_generations, has_dv, current}.  Driver-
-    side metadata only; older manifests may predate the op tag and
-    report op=None."""
+    {gen, op, n_partitions, n_generations, has_dv, current, txn}.
+    ``txn`` is the idempotent-writer ledger as of that commit
+    ({app: last_version}, Delta's operationParameters-adjacent
+    surface).  Driver-side metadata only; older manifests may predate
+    the op tag and report op=None."""
     cur = _current_gen(spark, table_path)
     fs, mdir = _hfs(spark, f"{table_path}/_manifests")
     if not fs.exists(mdir):
@@ -3497,6 +3499,7 @@ def snapshot_history(spark: SparkSession, table_path: str) -> list[dict]:
                 "n_generations": len(set(m["partitions"].values())),
                 "has_dv": bool(m.get("dv")),
                 "current": g == cur,
+                "txn": m.get("txn") or {},
             }
         )
     return out

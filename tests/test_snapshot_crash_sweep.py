@@ -141,7 +141,7 @@ def _count_mutations(spark, tmp_path, killer, run):
     killer.arm(k=None, when="before", hard=False)
     run(t)
     killer.disarm()
-    return self_n if (self_n := killer.n) else 0
+    return killer.n
 
 
 @pytest.mark.parametrize("hard", [False, True], ids=["soft", "hard"])
