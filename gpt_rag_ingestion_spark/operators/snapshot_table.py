@@ -3286,6 +3286,8 @@ def _snapshot_overwrite_where_once(
     where,
     partition_cols: list[str] | None = None,
     max_conflict_rebases: int = 0,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """INSERT OVERWRITE ... WHERE — Delta's ``replaceWhere``: one
     atomic commit deletes every committed row matching ``where`` and
@@ -3303,6 +3305,21 @@ def _snapshot_overwrite_where_once(
     filtered rewrite of the affected partitions only."""
     _commit_recover(spark, table_path)
     _claim_recover(spark, table_path)
+    # idempotent writes: a retried backfill (orchestrator re-delivery)
+    # must not double-swap the slice
+    skip_gen, txn_ledger = _txn_gate(
+        spark, table_path, txn_app_id, txn_version
+    )
+    if skip_gen is not None:
+        return skip_gen
+
+    def _xt(extra: dict | None) -> dict | None:
+        if txn_ledger is None:
+            return extra
+        out = dict(extra or {})
+        out["txn"] = txn_ledger
+        return out
+
     cur = _current_gen(spark, table_path)
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot at {table_path}")
@@ -3317,7 +3334,11 @@ def _snapshot_overwrite_where_once(
     id_refuse = (
         "identity high-water derived from the base snapshot"
         if _identity_conf(spark, table_path) is not None
-        else None
+        else (
+            "txn ledger derived from the base snapshot"
+            if txn_ledger is not None
+            else None
+        )
     )
     replacement = _mint_identity(spark, table_path, replacement, _ow_existing)
     where_col = F.expr(where) if isinstance(where, str) else where
@@ -3349,12 +3370,12 @@ def _snapshot_overwrite_where_once(
         _maybe_write_stats(spark, table_path, gname, new_dir, schema=out.schema)
         return _commit_rebasing(
             spark, table_path, gen, {"": gname}, expected_cur=cur,
-            extra=_with_schema(
+            extra=_xt(_with_schema(
                 _carry_dv_ref(
                     spark, table_path, manifest, {"": gname}, gen
                 ),
                 out, prev=manifest,
-            ),
+            )),
             op="overwrite_where", max_rebases=max_conflict_rebases,
             refuse_rebase=id_refuse,
         )
@@ -3394,10 +3415,10 @@ def _snapshot_overwrite_where_once(
     partitions.update({r: gname for r in written})
     return _commit_rebasing(
         spark, table_path, gen, partitions, expected_cur=cur,
-        extra=_with_schema(
+        extra=_xt(_with_schema(
             _carry_dv_ref(spark, table_path, manifest, partitions, gen),
             out, partition_cols, prev=manifest,
-        ),
+        )),
         op="overwrite_where", max_rebases=max_conflict_rebases,
         refuse_rebase=id_refuse,
     )
@@ -3410,15 +3431,21 @@ def snapshot_overwrite_where(
     where,
     partition_cols: list[str] | None = None,
     max_conflict_rebases: int = 0,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """See ``_snapshot_overwrite_where_once``; ``where`` is a SQL
     predicate string or a Column.  Overlap/claim conflicts retry
-    against the winner's snapshot (``_retrying_merge``)."""
+    against the winner's snapshot (``_retrying_merge``).
+    ``txn_app_id``/``txn_version``: the same idempotent-writes ledger
+    as the merge/delete paths (a retried backfill is a re-delivery)."""
     return _retrying_merge(
         lambda: _snapshot_overwrite_where_once(
             spark, table_path, replacement, where,
             partition_cols=partition_cols,
             max_conflict_rebases=max_conflict_rebases,
+            txn_app_id=txn_app_id,
+            txn_version=txn_version,
         ),
         max_conflict_rebases,
     )
@@ -3430,6 +3457,8 @@ def snapshot_insert_overwrite_partitions(
     replacement: DataFrame,
     partition_cols: list[str],
     max_conflict_rebases: int = 0,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """Spark's DYNAMIC PARTITION OVERWRITE
     (``partitionOverwriteMode=dynamic``) on the snapshot sink: every
@@ -3463,6 +3492,8 @@ def snapshot_insert_overwrite_partitions(
         spark, table_path, replacement, pred,
         partition_cols=partition_cols,
         max_conflict_rebases=max_conflict_rebases,
+        txn_app_id=txn_app_id,
+        txn_version=txn_version,
     )
 
 

@@ -1329,3 +1329,38 @@ def test_stream_into_snapshot_cdc_clauses(spark, tmp_path):
     assert {
         r.k: r.v for r in S.read_snapshot_table(spark, t).collect()
     } == want
+
+
+def test_txn_ledger_covers_overwrite_paths(spark, tmp_path):
+    """The idempotence ledger binds on replaceWhere / dynamic partition
+    overwrite too: a retried backfill with the same version is a no-op
+    instead of swapping the slice twice."""
+    from gpt_rag_ingestion_spark.operators import snapshot_table as S
+
+    t = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(k, k % 2, 0) for k in range(8)], "k long, bucket int, v long"
+    )
+    S.snapshot_merge_upsert(spark, t, base, key="k", partition_cols=["bucket"])
+    repl = spark.createDataFrame(
+        [(100, 0, 1), (102, 0, 2)], "k long, bucket int, v long"
+    )
+    g1 = S.snapshot_insert_overwrite_partitions(
+        spark, t, repl, partition_cols=["bucket"],
+        txn_app_id="backfill", txn_version=7,
+    )
+    want = {r.k: r.v for r in S.read_snapshot_table(spark, t).collect()}
+    assert set(want) == {1, 3, 5, 7, 100, 102}
+    # retried backfill, same version, hostile content: no-op
+    hostile = spark.createDataFrame(
+        [(999, 1, 9)], "k long, bucket int, v long"
+    )
+    assert S.snapshot_overwrite_where(
+        spark, t, hostile, "bucket = 1", partition_cols=["bucket"],
+        txn_app_id="backfill", txn_version=7,
+    ) == g1
+    assert {
+        r.k: r.v for r in S.read_snapshot_table(spark, t).collect()
+    } == want
+    cur = S._current_gen(spark, t)
+    assert S._read_manifest(spark, t, cur).get("txn") == {"backfill": 7}
