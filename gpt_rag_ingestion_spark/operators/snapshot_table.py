@@ -3799,6 +3799,12 @@ def snapshot_clone(
     - a source with ACTIVE deletion vectors must be compacted first
       (the DV map is keyed by source-local file paths); refused
       explicitly below.
+    - the idempotent-writes ledger (txn_app_id/txn_version) is NOT
+      copied — exactly Delta's rule that clones drop application
+      transaction identifiers: the clone is a NEW table, so a stream
+      re-pointed at it must use a fresh checkpoint (its batches
+      re-apply from scratch rather than being silently skipped by a
+      ledger that never saw them land HERE).
     """
     cur = _current_gen(spark, source_path)
     if cur is None:

@@ -1364,3 +1364,38 @@ def test_txn_ledger_covers_overwrite_paths(spark, tmp_path):
     } == want
     cur = S._current_gen(spark, t)
     assert S._read_manifest(spark, t, cur).get("txn") == {"backfill": 7}
+
+
+def test_clone_drops_txn_ledger(spark, tmp_path):
+    """Delta's clone rule: application transaction identifiers are NOT
+    copied — the clone is a new table, so a batch the SOURCE already
+    applied re-applies on the clone (no silent skip), while the source
+    keeps its own ledger."""
+    from gpt_rag_ingestion_spark.operators import snapshot_table as S
+
+    src, cln = str(tmp_path / "src"), str(tmp_path / "cln")
+
+    def df(items):
+        return spark.createDataFrame(items, "k long, v long")
+
+    S.snapshot_merge_upsert(
+        spark, src, df([(1, 10)]), key="k", txn_app_id="a", txn_version=0,
+    )
+    S.snapshot_clone(spark, src, cln)
+    cg = S._current_gen(spark, cln)
+    assert S._read_manifest(spark, cln, cg).get("txn") is None
+    # the same (app, version) APPLIES on the clone...
+    S.snapshot_merge_upsert(
+        spark, cln, df([(2, 20)]), key="k", txn_app_id="a", txn_version=0,
+    )
+    assert {
+        r.k for r in S.read_snapshot_table(spark, cln).collect()
+    } == {1, 2}
+    # ...and is still a no-op on the source
+    sg = S._current_gen(spark, src)
+    assert S.snapshot_merge_upsert(
+        spark, src, df([(9, 90)]), key="k", txn_app_id="a", txn_version=0,
+    ) == sg
+    assert {
+        r.k for r in S.read_snapshot_table(spark, src).collect()
+    } == {1}
