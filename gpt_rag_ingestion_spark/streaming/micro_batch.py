@@ -525,6 +525,7 @@ def stream_into_snapshot(
     max_conflict_rebases: int = 0,
     await_termination: bool = True,
     merge_when_kwargs: dict | None = None,
+    max_generations: int | None = None,
 ):
     """STREAMING SINK INTO THE SNAPSHOT TABLE with EXACTLY-ONCE
     semantics (r9 verdict #7): ``foreachBatch`` ->
@@ -558,12 +559,21 @@ def stream_into_snapshot(
     per-batch idempotence token; the kwargs are any
     snapshot_merge_when clause parameters.
 
+    ``max_generations`` arms the per-tick compaction trigger
+    (``snapshot_maybe_optimize``): every committed micro-batch adds a
+    generation the reader must union, so a long-lived stream without
+    compaction degrades read fan-in — the trigger folds + vacuums once
+    the referenced-generation count exceeds the bound (one manifest
+    read per tick when idle).  Only for streams that OWN their table
+    (the fold's vacuum keeps just the current snapshot).
+
     Scale shape: identical to ``snapshot_merge_upsert`` — O(affected
     partitions) per batch plus the metadata-only ledger row; N
     streaming writers on disjoint partition ranges coexist via the
     conflict ladder (ledger writers re-run rather than rebase, see
     snapshot_merge_upsert)."""
     from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        snapshot_maybe_optimize,
         snapshot_merge_upsert,
         snapshot_merge_when,
     )
@@ -585,6 +595,12 @@ def stream_into_snapshot(
                 partition_cols=partition_cols,
                 max_conflict_rebases=max_conflict_rebases,
                 txn_app_id=app, txn_version=int(batch_id),
+            )
+        if max_generations is not None:
+            snapshot_maybe_optimize(
+                batch_df.sparkSession, table_path,
+                max_generations=max_generations,
+                partition_cols=partition_cols,
             )
 
     q = (

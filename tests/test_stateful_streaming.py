@@ -1399,3 +1399,51 @@ def test_clone_drops_txn_ledger(spark, tmp_path):
     assert {
         r.k for r in S.read_snapshot_table(spark, src).collect()
     } == {1}
+
+
+def test_stream_into_snapshot_compaction_trigger(spark, tmp_path):
+    """max_generations arms the per-tick fold: after several
+    AvailableNow ticks the referenced-generation count stays bounded,
+    the txn ledger survives the fold+vacuum (later re-deliveries are
+    still no-ops), and content is exact."""
+    import json as _json
+
+    from gpt_rag_ingestion_spark.operators import snapshot_table as S
+    from gpt_rag_ingestion_spark.streaming.micro_batch import (
+        stream_into_snapshot,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    t = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    want = {}
+    for tick in range(4):
+        rows = [(tick * 10 + i, tick) for i in range(3)]
+        (land / f"b{tick}.json").write_text(
+            "\n".join(_json.dumps({"k": k, "v": v}) for k, v in rows)
+        )
+        want.update(dict(rows))
+        stream = (
+            spark.readStream.schema("k LONG, v LONG")
+            .format("json").load(str(land))
+        )
+        stream_into_snapshot(
+            stream, t, ckpt, key="k", app_id="compact-q",
+            max_generations=1,
+        )
+    got = {r.k: r.v for r in S.read_snapshot_table(spark, t).collect()}
+    assert got == want
+    cur = S._current_gen(spark, t)
+    man = S._read_manifest(spark, t, cur)
+    assert len(set(man["partitions"].values())) == 1  # folded
+    # ledger survived the folds: replay of the last batch is a no-op
+    last_v = man["txn"]["compact-q"]
+    S.snapshot_merge_upsert(
+        spark, t,
+        spark.createDataFrame([(0, 999)], "k long, v long"), key="k",
+        txn_app_id="compact-q", txn_version=last_v,
+    )
+    assert {
+        r.k: r.v for r in S.read_snapshot_table(spark, t).collect()
+    } == want
