@@ -236,3 +236,86 @@ def test_budget_exhaustion_is_clean_conflict(spark, tmp_path, seed):
     )
     winners = sorted(w for w, e in errs.items() if e is None)
     assert sorted(applied) == winners, (applied, winners, losers)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_mixed_op_writers_serialize(spark, tmp_path, seed):
+    """Mergers and DELETERS race: the chain walk models each committed
+    generation as exactly one writer's operation (merge =
+    delete-then-insert by key; delete = key removal) applied to its
+    predecessor — covering the delete path's commit protocol under the
+    same contention."""
+    rng = random.Random(4000 + seed)
+    n_writers = rng.choice([3, 4])
+    incs = _make_increments(rng, n_writers)
+    # writer 0 becomes a deleter: it deletes its increment's keys
+    # (drawn from the shared pool so contention is real)
+    del_keys = sorted(
+        {k for k, _ in incs[0] if k < 100} | {0, 2}
+    )
+    table = str(tmp_path / "t")
+    base = [(k, -k) for k in range(0, 12)]
+    S.snapshot_merge_upsert(
+        spark, table, _df(spark, base), key="k", partition_cols=["bucket"]
+    )
+    base_gen = S._current_gen(spark, table)
+    base_state = _state(spark, table)
+
+    errs: dict[int, BaseException | None] = {}
+
+    def merger(w):
+        try:
+            S.snapshot_merge_upsert(
+                spark, table, _df(spark, incs[w]), key="k",
+                partition_cols=["bucket"], max_conflict_rebases=16,
+            )
+            errs[w] = None
+        except BaseException as e:
+            errs[w] = e
+
+    def deleter():
+        try:
+            S.snapshot_delete_keys(
+                spark, table,
+                spark.createDataFrame(
+                    [(k,) for k in del_keys], "k long"
+                ),
+                key="k", partition_cols=["bucket"],
+                max_conflict_rebases=16,
+            )
+            errs[0] = None
+        except BaseException as e:
+            errs[0] = e
+
+    ts = [threading.Thread(target=deleter)] + [
+        threading.Thread(target=merger, args=(w,))
+        for w in range(1, n_writers)
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert all(e is None for e in errs.values()), errs
+
+    # chain walk with per-writer op models
+    def apply_op(state, w):
+        if w == 0:
+            return {k: v for k, v in state.items() if k not in del_keys}
+        return _replay(state, incs[w])
+
+    cur = S._current_gen(spark, table)
+    prev = dict(base_state)
+    applied = []
+    for g in range(base_gen + 1, cur + 1):
+        got = _state(spark, table, at_gen=g)
+        matches = [
+            w for w in range(n_writers)
+            if w not in applied and got == apply_op(prev, w)
+        ]
+        assert matches, (
+            f"generation {g}: torn/hybrid commit "
+            f"(applied={applied}, deleter keys={del_keys})"
+        )
+        applied.append(matches[0])
+        prev = got
+    assert sorted(applied) == list(range(n_writers)), applied
