@@ -464,3 +464,80 @@ def test_optimize_kill_sweep(spark, tmp_path, monkeypatch, hard):
             for g in S._read_manifest(spark, t, cur)["partitions"].values()
         }
         assert len(refs) == 1, refs
+
+
+@pytest.mark.parametrize("hard", [False, True], ids=["soft", "hard"])
+def test_identity_ledger_merge_kill_sweep(spark, tmp_path, monkeypatch, hard):
+    """The riskiest composition under crash: a merge that MINTS
+    identity values AND carries the txn ledger (both refuse the silent
+    rebase).  Kill every metadata mutation; after the lease the retry
+    must converge with (a) no duplicate engine-assigned ids, (b) the
+    ledger recording the batch exactly once — a re-delivery after the
+    converged retry is a no-op."""
+    _short_lease(monkeypatch)
+    killer = _Killer(monkeypatch, scope=str(tmp_path))
+
+    def build(t):
+        S.snapshot_set_identity(spark, t, "sid", start=1, step=1)
+        killer.disarm()
+        S.snapshot_merge_upsert(
+            spark, t, _df(spark, _BASE), key="k", partition_cols=["bucket"]
+        )
+
+    def run(t):
+        S.snapshot_merge_upsert(
+            spark, t, _df(spark, _INC), key="k",
+            partition_cols=["bucket"], max_conflict_rebases=4,
+            txn_app_id="sweep", txn_version=1,
+        )
+
+    t0 = str(tmp_path / "count" / "t")
+    build(t0)
+    killer.arm(k=None, when="before", hard=False)
+    run(t0)
+    killer.disarm()
+    n = killer.n
+    assert n >= 4, f"expected >=4 metadata mutations, saw {n}: {killer.log}"
+
+    golden = str(tmp_path / "golden")
+    build(golden)
+    run(golden)
+    new_rows = _rows(spark, golden)
+
+    for k in range(1, n + 1):
+        t = str(tmp_path / f"il-{int(hard)}-{k}" / "t")
+        build(t)
+        old_rows = _rows(spark, t)
+        killer.arm(k=k, when="before", hard=hard)
+        raised = False
+        try:
+            run(t)
+        except RuntimeError as e:
+            assert "injected kill" in str(e)
+            raised = True
+        killer.disarm()
+        got = _rows(spark, t)
+        if raised:
+            assert got in (old_rows, new_rows), (
+                f"id+ledger kill@{k}/hard={hard}: torn read\n"
+                f"log={killer.log}"
+            )
+        else:
+            assert got == new_rows
+        time.sleep(0.6)
+        run(t)
+        assert _rows(spark, t) == new_rows, (
+            f"id+ledger kill@{k}/hard={hard}: retry diverged"
+        )
+        final = S.read_snapshot_table(spark, t).collect()
+        sids = [r.sid for r in final]
+        assert len(sids) == len(set(sids)), (
+            f"duplicate identity values after crash+retry: {sorted(sids)}"
+        )
+        # ledger recorded exactly once: a further re-delivery no-ops
+        cur = S._current_gen(spark, t)
+        assert S.snapshot_merge_upsert(
+            spark, t, _df(spark, [("zz", 0, 1)]), key="k",
+            partition_cols=["bucket"],
+            txn_app_id="sweep", txn_version=1,
+        ) == cur
