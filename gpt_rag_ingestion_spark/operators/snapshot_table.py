@@ -83,6 +83,7 @@ from __future__ import annotations
 import datetime as _dt
 import functools
 import json
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -723,9 +724,27 @@ def _commit(
                 body["renames"] = prev["renames"]
             # idempotent-writer ledger (Delta txnAppId/txnVersion):
             # carries forward so any commit chain preserves every
-            # app's high-water version
+            # app's high-water version — minus entries past the
+            # retention horizon (snapshot_set_ledger_retention), so
+            # non-txn commits (optimize, restore, rename) trim the
+            # map too and a long compaction-only tail still converges
             if "txn" not in body and prev.get("txn"):
-                body["txn"] = prev["txn"]
+                led = dict(prev["txn"])
+                ages = dict(prev.get("txn_gen") or {})
+                retain = _ledger_retention(spark, table_path)
+                if retain is not None:
+                    for a in list(led):
+                        base = ages.get(a)
+                        if base is None:
+                            ages[a] = gen
+                        elif gen - int(base) > retain:
+                            del led[a]
+                            del ages[a]
+                if led:
+                    body["txn"] = led
+                    body["txn_gen"] = {
+                        a: g for a, g in ages.items() if a in led
+                    }
     body_json = json.dumps(body, sort_keys=True)
     claimed = _manifest_path(table_path, gen)
     _write_text_exclusive(spark, claimed, body_json)
@@ -1023,32 +1042,107 @@ def _enforce_schema(existing: DataFrame, incoming: DataFrame) -> None:
 
 
 
-def _txn_gate(spark, table_path: str, txn_app_id, txn_version):
+def _txn_gate(spark, table_path: str, txn_app_id, txn_version, cur):
     """Idempotent-writes ledger gate shared by every write path
-    (Delta txnAppId/txnVersion).  Returns ``(skip_gen, ledger)``:
-    ``skip_gen`` is the already-committed generation when this
-    (app, version) was applied before — the caller returns it without
-    writing; otherwise ``ledger`` is the updated {app: version} map to
-    stamp into the commit's manifest (``None`` when no txn id was
-    passed: the commit inherits the predecessor's ledger via the
-    manifest carry)."""
+    (Delta txnAppId/txnVersion).  ``cur`` is the PINNED base
+    generation the caller read ONCE at the top of its write attempt
+    and will pass as ``expected_cur`` to the commit — the ledger is
+    derived from that same generation's manifest, never re-read, so a
+    rival committing anywhere after the pin surfaces as a
+    ``SnapshotWriteConflict`` at commit time and the retry re-runs
+    this gate against the winner (r10 advisor, medium: reading the
+    ledger at one generation and expected_cur at a later one let a
+    rival land in between — its ledger entries were silently dropped
+    by our stamped map and its re-delivery double-applied).
+
+    Returns ``(skip_gen, ledger, ledger_gens)``: ``skip_gen`` is the
+    already-committed generation when this (app, version) was applied
+    before — the caller returns it without writing; otherwise
+    ``ledger`` is the updated {app: version} map and ``ledger_gens``
+    the {app: last-updating-generation} age map to stamp into the
+    commit's manifest (both ``None`` when no txn id was passed: the
+    commit inherits the predecessor's ledger via the manifest carry).
+
+    RETENTION (Delta's setTransactionRetentionDuration analog, keyed
+    by generations instead of wall-clock — see
+    ``snapshot_set_ledger_retention``): entries whose last-updating
+    generation is more than the configured horizon behind the
+    committing generation are EXPIRED here, bounding the manifest's
+    ledger to the set of recently-active writers.  An expired app's
+    re-delivery is NOT idempotent anymore (Delta's exact caveat) —
+    the entry is gone, so the write applies again."""
     if (txn_app_id is None) != (txn_version is None):
         raise ValueError(
             "txn_app_id and txn_version must be passed together"
         )
     if txn_app_id is None:
-        return None, None
+        return None, None, None
     ledger: dict = {}
-    cur0 = _current_gen(spark, table_path)
-    if cur0 is not None:
-        ledger = dict(
-            _read_manifest(spark, table_path, cur0).get("txn") or {}
-        )
+    gens: dict = {}
+    gen = (cur or 0) + 1
+    if cur is not None:
+        prev = _read_manifest(spark, table_path, cur)
+        ledger = dict(prev.get("txn") or {})
+        gens = dict(prev.get("txn_gen") or {})
         seen = ledger.get(txn_app_id)
         if seen is not None and int(txn_version) <= int(seen):
-            return cur0, None
+            return cur, None, None
+    retain = _ledger_retention(spark, table_path)
+    if retain is not None:
+        for a in list(ledger):
+            # pre-txn_gen manifests lack an age entry: grandfather the
+            # app in at this commit so it starts aging from now
+            age_base = gens.get(a)
+            if age_base is None:
+                gens[a] = gen
+            elif gen - int(age_base) > retain:
+                del ledger[a]
+                del gens[a]
     ledger[txn_app_id] = int(txn_version)
-    return None, ledger
+    gens[txn_app_id] = gen
+    gens = {a: g for a, g in gens.items() if a in ledger}
+    return None, ledger, gens
+
+
+_LEDGER_RETENTION_CONF = "_ledger_retention.json"
+
+
+def snapshot_set_ledger_retention(
+    spark: SparkSession, table_path: str, n_generations: int | None
+) -> None:
+    """Bound the idempotent-writes ledger (Delta's
+    ``delta.setTransactionRetentionDuration``, keyed by GENERATIONS —
+    the engine's version clock — instead of wall time): a txn app's
+    {app: version} entry is dropped once ``n_generations`` commits
+    have landed after its last write, so an orchestrator minting
+    one-shot app ids (a backfill per day, a retried task per attempt)
+    no longer grows every later manifest forever.  ``None`` clears
+    the policy (the default: entries are kept forever, Delta's own
+    default when the property is unset).
+
+    CAVEAT (Delta's, verbatim in spirit): a re-delivery arriving
+    AFTER its app's entry expired is no longer detected — the write
+    applies again.  Set the horizon longer than the longest possible
+    redelivery delay measured in commits."""
+    if n_generations is not None and int(n_generations) < 1:
+        raise ValueError("n_generations must be >= 1 or None")
+    _fs_mkdirs(spark, table_path)
+    p = f"{table_path}/{_LEDGER_RETENTION_CONF}"
+    if n_generations is None:
+        if _fs_exists(spark, p):
+            _fs_delete(spark, p)
+        return
+    _write_text(
+        spark, p,
+        json.dumps({"n_generations": int(n_generations)}, sort_keys=True),
+    )
+
+
+def _ledger_retention(spark, table_path: str) -> int | None:
+    p = f"{table_path}/{_LEDGER_RETENTION_CONF}"
+    if not _fs_exists(spark, p):
+        return None
+    return int(json.loads(_read_text(spark, p))["n_generations"])
 
 
 def _retrying_merge(fn, max_conflict_rebases: int):
@@ -1112,19 +1206,27 @@ def _snapshot_merge_upsert_once(
         )
     _commit_recover(spark, table_path)
     _claim_recover(spark, table_path)
+    # ONE pinned base generation per attempt (r10 advisor, medium):
+    # the txn ledger, the identity high-water mark, the existing
+    # relation, and the commit's expected_cur all derive from THIS
+    # read — a rival landing at any later point surfaces as a commit
+    # conflict and _retrying_merge re-runs the whole attempt against
+    # the winner, instead of silently dropping the rival's ledger
+    # entries or colliding on identity ids.
+    cur = _current_gen(spark, table_path)
     # IDEMPOTENT WRITES (Delta txnAppId/txnVersion): each committed
     # manifest carries a per-app high-water version ledger; a merge
     # whose (app, version) is already recorded is a RE-DELIVERY (a
     # restarted streaming micro-batch, a retried orchestrator task)
     # and must be a no-op — this is what makes foreachBatch into the
     # snapshot sink exactly-once under at-least-once delivery.
-    skip_gen, txn_ledger = _txn_gate(
-        spark, table_path, txn_app_id, txn_version
+    skip_gen, txn_ledger, txn_gens = _txn_gate(
+        spark, table_path, txn_app_id, txn_version, cur
     )
     if skip_gen is not None:
         return skip_gen
     incoming = _apply_generated(spark, table_path, incoming)
-    incoming = _apply_identity(spark, table_path, incoming, key)
+    incoming = _apply_identity(spark, table_path, incoming, key, at_gen=cur)
     # identity values were minted off THIS base snapshot's high-water
     # mark — a silent disjoint-partition rebase would let a rival
     # derive the same mark and collide; force retry-the-merge instead.
@@ -1146,10 +1248,10 @@ def _snapshot_merge_upsert_once(
             return extra
         out = dict(extra or {})
         out["txn"] = txn_ledger
+        out["txn_gen"] = txn_gens
         return out
     _validate_constraints(spark, table_path, incoming)
     _fs_mkdirs(spark, f"{table_path}/_manifests")
-    cur = _current_gen(spark, table_path)
     gen = (cur or 0) + 1
     gname = _gen_name(gen)
     new_dir = _gen_dir(table_path, gname)
@@ -1184,7 +1286,7 @@ def _snapshot_merge_upsert_once(
             refuse_rebase=id_refuse,
         )
 
-    existing = read_snapshot_table(spark, table_path)
+    existing = read_snapshot_table(spark, table_path, at_gen=cur)
     if schema_evolution == "strict":
         _enforce_schema(existing, incoming)
     manifest = _read_manifest(spark, table_path, cur)
@@ -1382,11 +1484,15 @@ def _snapshot_merge_when_once(
         )
     _commit_recover(spark, table_path)
     _claim_recover(spark, table_path)
+    # one pinned base generation per attempt — ledger, identity
+    # high-water, existing relation, and expected_cur all derive from
+    # it (r10 advisor, medium; see _snapshot_merge_upsert_once)
+    cur = _current_gen(spark, table_path)
     # idempotent writes: same ledger gate as snapshot_merge_upsert —
     # a CDC stream applying conditional merges per micro-batch gets
     # exactly-once re-delivery semantics on this path too
-    skip_gen, txn_ledger = _txn_gate(
-        spark, table_path, txn_app_id, txn_version
+    skip_gen, txn_ledger, txn_gens = _txn_gate(
+        spark, table_path, txn_app_id, txn_version, cur
     )
     if skip_gen is not None:
         return skip_gen
@@ -1396,20 +1502,32 @@ def _snapshot_merge_when_once(
             return extra
         out = dict(extra or {})
         out["txn"] = txn_ledger
+        out["txn_gen"] = txn_gens
         return out
 
-    cur = _current_gen(spark, table_path)
     if cur is None:
         if not insert_unmatched:
             raise FileNotFoundError(
                 f"no committed snapshot at {table_path}"
             )
+        # the WHEN NOT MATCHED clause gates the FIRST batch too (r10
+        # advisor, medium): on an empty table every row is an insert
+        # candidate, so insert_condition (evaluated over s.* — the
+        # CDC idiom `NOT s.tombstone`) must filter it BEFORE the
+        # delegation to the plain upsert, or first-batch tombstones
+        # would be resurrected as rows.  NULL conditions never fire
+        # the clause (same 3VL rule as the joined path).
+        inc0 = incoming
+        if insert_condition:
+            inc0 = incoming.alias("s").filter(
+                F.coalesce(F.expr(insert_condition), F.lit(False))
+            )
         return snapshot_merge_upsert(
-            spark, table_path, incoming, key=key,
+            spark, table_path, inc0, key=key,
             partition_cols=partition_cols,
             txn_app_id=txn_app_id, txn_version=txn_version,
         )
-    existing = read_snapshot_table(spark, table_path)
+    existing = read_snapshot_table(spark, table_path, at_gen=cur)
     # GENERATED ALWAYS AS IDENTITY binds on this write path too (r9
     # advisor, low): the source must not carry the column; matched
     # rows keep the TARGET's identity regardless of the update clause,
@@ -1709,10 +1827,13 @@ def _snapshot_delete_keys_once(
         raise ValueError(f"mode must be 'rewrite' or 'dv', got {mode!r}")
     _commit_recover(spark, table_path)
     _claim_recover(spark, table_path)
+    # one pinned base generation per attempt (r10 advisor, medium;
+    # see _snapshot_merge_upsert_once)
+    cur = _current_gen(spark, table_path)
     # idempotent writes: the ledger gate covers deletes too (a CDC
     # stream's tombstone batches re-deliver like any other)
-    skip_gen, txn_ledger = _txn_gate(
-        spark, table_path, txn_app_id, txn_version
+    skip_gen, txn_ledger, txn_gens = _txn_gate(
+        spark, table_path, txn_app_id, txn_version, cur
     )
     if skip_gen is not None:
         return skip_gen
@@ -1722,12 +1843,12 @@ def _snapshot_delete_keys_once(
             return extra
         out = dict(extra or {})
         out["txn"] = txn_ledger
+        out["txn_gen"] = txn_gens
         return out
 
-    cur = _current_gen(spark, table_path)
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot at {table_path}")
-    existing = read_snapshot_table(spark, table_path)
+    existing = read_snapshot_table(spark, table_path, at_gen=cur)
     key_set = keys.select(key).distinct()
     gen = cur + 1
     gname = _gen_name(gen)
@@ -3234,6 +3355,8 @@ def snapshot_update(
     assignments: dict,
     key: str = "parent_id",
     partition_cols: list[str] | None = None,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """UPDATE ... SET <assignments> WHERE <where> — executed as a
     keyed merge of the transformed matching rows, so it inherits the
@@ -3244,7 +3367,13 @@ def snapshot_update(
     column is legal (the merge's key semi-join removes the row from
     its old partition); updating ``key`` itself is rejected — that is
     an insert+delete, not an update.  Returns the committed
-    generation (unchanged when nothing matches)."""
+    generation (unchanged when nothing matches).
+
+    ``txn_app_id``/``txn_version``: the same idempotent-writes ledger
+    as every other write path — a retried orchestrator task
+    re-delivering the same UPDATE is a no-op (gated inside the
+    delegated merge).  An update matching ZERO rows commits nothing
+    and stamps no ledger entry; its replay is naturally a no-op."""
     if key in assignments:
         raise ValueError(
             f"cannot assign the merge key {key!r}; delete+insert instead"
@@ -3270,13 +3399,33 @@ def snapshot_update(
     if upd.isEmpty():
         return cur
     return snapshot_merge_upsert(
-        spark, table_path, upd, key=key, partition_cols=partition_cols
+        spark, table_path, upd, key=key, partition_cols=partition_cols,
+        txn_app_id=txn_app_id, txn_version=txn_version,
     )
 
 
 class SnapshotOverwritePredicateViolation(ValueError):
     """``snapshot_overwrite_where`` received replacement rows that do
     not satisfy the overwrite predicate.  Nothing was written."""
+
+
+def _expr_mentions_column(where, name: str) -> bool:
+    """Does the predicate (SQL string or Column) reference ``name``?
+    Textual word-boundary check, case-insensitive (SQL identifier
+    semantics), matching bare and backtick-quoted forms.  CONSERVATIVE
+    by design: a string literal containing the name also matches —
+    for the GENERATED-ALWAYS guard a rare false rejection (rename the
+    literal or pre-filter) is the right trade against a
+    nondeterministic n_bad gate."""
+    text = where if isinstance(where, str) else str(where)
+    return (
+        re.search(
+            rf"(?<![A-Za-z0-9_]){re.escape(name)}(?![A-Za-z0-9_])",
+            text,
+            re.IGNORECASE,
+        )
+        is not None
+    )
 
 
 def _snapshot_overwrite_where_once(
@@ -3305,10 +3454,13 @@ def _snapshot_overwrite_where_once(
     filtered rewrite of the affected partitions only."""
     _commit_recover(spark, table_path)
     _claim_recover(spark, table_path)
+    # one pinned base generation per attempt (r10 advisor, medium;
+    # see _snapshot_merge_upsert_once)
+    cur = _current_gen(spark, table_path)
     # idempotent writes: a retried backfill (orchestrator re-delivery)
     # must not double-swap the slice
-    skip_gen, txn_ledger = _txn_gate(
-        spark, table_path, txn_app_id, txn_version
+    skip_gen, txn_ledger, txn_gens = _txn_gate(
+        spark, table_path, txn_app_id, txn_version, cur
     )
     if skip_gen is not None:
         return skip_gen
@@ -3318,9 +3470,9 @@ def _snapshot_overwrite_where_once(
             return extra
         out = dict(extra or {})
         out["txn"] = txn_ledger
+        out["txn_gen"] = txn_gens
         return out
 
-    cur = _current_gen(spark, table_path)
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot at {table_path}")
     replacement = _apply_generated(spark, table_path, replacement)
@@ -3328,12 +3480,24 @@ def _snapshot_overwrite_where_once(
     # matched region dies wholesale), so the engine mints their ids —
     # callers must not supply the column, and ``where`` must not
     # reference it (engine-assigned values cannot be promised to
-    # satisfy a caller predicate).  Minting happens BEFORE the
-    # predicate/column-set checks so both see the full schema.
-    _ow_existing = read_snapshot_table(spark, table_path)
+    # satisfy a caller predicate — the n_bad violation gate below
+    # would pass or fail nondeterministically depending on the minted
+    # values; r10 advisor, low: now ENFORCED, not just documented).
+    # Minting happens BEFORE the predicate/column-set checks so both
+    # see the full schema.
+    _ow_idc = _identity_conf(spark, table_path)
+    if _ow_idc and _expr_mentions_column(where, _ow_idc["column"]):
+        raise SnapshotIdentityViolation(
+            f"the overwrite predicate references the GENERATED ALWAYS "
+            f"AS IDENTITY column {_ow_idc['column']!r} — engine-"
+            "assigned values cannot be promised to satisfy a caller "
+            "predicate; overwrite by a data/partition predicate "
+            "instead"
+        )
+    _ow_existing = read_snapshot_table(spark, table_path, at_gen=cur)
     id_refuse = (
         "identity high-water derived from the base snapshot"
-        if _identity_conf(spark, table_path) is not None
+        if _ow_idc is not None
         else (
             "txn ledger derived from the base snapshot"
             if txn_ledger is not None
@@ -3826,7 +3990,13 @@ def snapshot_clone(
     # clones inherit TABLE METADATA (Delta clones carry table
     # properties): stats config so clone-local generations write
     # skipping sidecars, CHECK constraints, generated columns
-    for conf in (_STATS_CONF, _CONSTRAINTS_CONF, _GENERATED_CONF, _IDENTITY_CONF):
+    # the ledger RETENTION POLICY is table metadata and travels with
+    # the clone even though the ledger itself does not (Delta clones
+    # carry table properties; setTransaction entries are dropped)
+    for conf in (
+        _STATS_CONF, _CONSTRAINTS_CONF, _GENERATED_CONF, _IDENTITY_CONF,
+        _LEDGER_RETENTION_CONF,
+    ):
         sp = f"{src_abs}/{conf}"
         if _fs_exists(spark, sp):
             _write_text(spark, f"{clone_path}/{conf}", _read_text(spark, sp))
@@ -4177,8 +4347,15 @@ def _mint_identity(
 
 
 def _apply_identity(
-    spark, table_path: str, incoming: DataFrame, key: str
+    spark, table_path: str, incoming: DataFrame, key: str,
+    at_gen: int | None = None,
 ) -> DataFrame:
+    """``at_gen`` PINS the base snapshot the high-water mark derives
+    from (r10 advisor, medium): the write path passes the same
+    generation it will hand to the commit as ``expected_cur``, so a
+    rival landing after the pin surfaces as a commit conflict instead
+    of a silent id collision.  ``None`` means "no committed table"
+    (the caller read the pointer once and found nothing)."""
     conf = _identity_conf(spark, table_path)
     if conf is None:
         return incoming
@@ -4190,7 +4367,7 @@ def _apply_identity(
             f"{c!r} is GENERATED ALWAYS AS IDENTITY — increments must "
             "not supply it"
         )
-    cur = _current_gen(spark, table_path)
+    cur = at_gen
     if cur is None:
         ranked = distributed_row_number(
             incoming, [F.asc(key)], rank_col="__identity_rn"
@@ -4200,7 +4377,7 @@ def _apply_identity(
             (F.lit(start - step)
              + F.lit(step) * F.col("__identity_rn")).cast("long"),
         ).drop("__identity_rn")
-    existing = read_snapshot_table(spark, table_path)
+    existing = read_snapshot_table(spark, table_path, at_gen=cur)
     hwm = _identity_hwm(existing, c, start, step)
     # identity is KEPT only where the merge key matches exactly ONE
     # existing row AND exactly ONE incoming row (UPDATE semantics on

@@ -515,6 +515,27 @@ def enrich_stream_with_dimension(
     return out
 
 
+def _checkpoint_app_id(checkpoint_dir: str) -> str:
+    """Default ledger identity for ``stream_into_snapshot``: the
+    checkpoint IS the stream's identity, so the app id derives from a
+    NORMALIZED spelling of its path (r10 advisor, low: the raw string
+    made ``./ckpt`` and ``/abs/path/ckpt`` distinct ledger keys across
+    restarts, silently re-opening double-apply for replayed batches).
+    Scheme-qualified URIs keep their scheme and drop only trailing
+    separators; bare paths normalize to an absolute real path.  An
+    explicit ``app_id`` is still the production recommendation — a
+    checkpoint MOVED to a new location is a new identity under this
+    default."""
+    import os
+
+    raw = str(checkpoint_dir).rstrip("/")
+    if "://" in raw or raw.startswith("file:"):
+        norm = raw
+    else:
+        norm = os.path.abspath(os.path.normpath(raw))
+    return f"stream-into-snapshot:{norm}"
+
+
 def stream_into_snapshot(
     stream: DataFrame,
     table_path: str,
@@ -546,9 +567,14 @@ def stream_into_snapshot(
     - the merge itself is one atomic pointer-swap commit, so a crash
       mid-merge leaves the old snapshot and the replay converges.
 
-    ``app_id`` defaults to a checkpoint-derived stable id: the same
-    query restarted from the same checkpoint continues its own ledger
+    ``app_id`` defaults to a checkpoint-derived stable id (the path
+    NORMALIZED — absolute, trailing separators stripped — so a
+    restart spelling the same checkpoint differently keeps the same
+    ledger entry; see ``_checkpoint_app_id``): the same query
+    restarted from the same checkpoint continues its own ledger
     entry; a different query writing the same table gets its own.
+    Pass an explicit ``app_id`` in production — a checkpoint moved to
+    a new directory is a new identity under the default.
     Returns the StreamingQuery (already drained when
     ``await_termination``, the AvailableNow ingest-tick pattern).
 
@@ -578,7 +604,7 @@ def stream_into_snapshot(
         snapshot_merge_when,
     )
 
-    app = app_id or f"stream-into-snapshot:{checkpoint_dir}"
+    app = app_id or _checkpoint_app_id(checkpoint_dir)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if merge_when_kwargs:
