@@ -7305,6 +7305,19 @@ DRIVER_WINDOW = [
     "q60_merge_upsert",
     "q110_web_admission",
     "q144_giant_doc_parts",
+    "q246_idempotent_replay_matrix",
+    "q247_stream_cdc_tombstones",
+    "q200_cdf_rollup_live",
+    "q216_streaming_cdf_rollup",
+    "q220_clone_survives_vacuum",
+    "q226_generated_columns",
+    "q151_snapshot_merge",
+    "q204_cdc_conditional_merge",
+    "q217_describe_detail",
+    "q219_concurrent_writers",
+    "q223_overlap_merge_race",
+    "q224_schema_evolution_merge",
+    "q225_snapshot_update_where",
     "q231_snapshot_history",
     "q232_time_travel_versions",
     "q233_constraint_enforcement",
@@ -7312,32 +7325,19 @@ DRIVER_WINDOW = [
     "q235_identity_column",
     "q236_stream_static_enrich",
     "q237_overwrite_where",
-    "q238_quality_report",
-    "q239_quality_quarantine",
-    "q240_rename_column",
-    "q241_nested_types_sink",
-    "q242_ingest_expectations",
     "q243_dynamic_partition_overwrite",
-    "q93_bpe_merges",
-    "q107_bpe_segment",
     "q244_lakehouse_composition",
     "q245_stream_exactly_once_snapshot",
-    "q151_snapshot_merge",
-    "q199_k_anonymity",
-    "q204_cdc_conditional_merge",
-    "q217_describe_detail",
-    "q219_concurrent_writers",
-    "q220_clone_survives_vacuum",
-    "q221_boilerplate_strip",
-    "q222_card_scrub_luhn",
-    "q223_overlap_merge_race",
-    "q224_schema_evolution_merge",
-    "q225_snapshot_update_where",
-    "q226_generated_columns",
-    "q227_nation_year_profit",
-    "q228_contingency_expected",
-    "q229_sentence_dedup_global",
-    "q230_pps_sample",
+    "q109_snapshot_diff",
+    "q166_snapshot_changes",
+    "q168_cdf_view_maintenance",
+    "q170_snapshot_data_skipping",
+    "q171_snapshot_point_lookup",
+    "q173_partition_compaction",
+    "q174_deletion_vectors",
+    "q176_snapshot_restore",
+    "q197_snapshot_clone",
+    "q218_force_reprocess_backfill",
 ]
 
 
@@ -7349,18 +7349,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fixed — ingest/freshness/purge (q01-q06), chunking (q10), dedup
     # (q15-q18), exact-ANN (q19), streaming (q24), ops (q38/q60), web
     # admission (q110), giant-doc equivalence (q144).  This round
-    # (r10) the remaining 33 slots DRAIN THE r9 ROTATION DEBT (verdict
-    # #1): the 13 ids registered after the r9 window froze
-    # (q231-q243), the two BPE ids that flipped rows-only ->
-    # oracle-backed mid-r9 (q93/q107), the two NEW r10 gates (q244
-    # lakehouse composition, q245 streaming exactly-once snapshot
-    # sink), and re-exposure of the 16 snapshot-family ids whose
-    # write paths changed this round (identity multiplicity +
-    # no-rebase + all-write-path enforcement, txn ledger carry, lazy
-    # quality rules): q151 q199 q204 q217 q219-q230.  After this
-    # window every oracle-backed id in the registry has had >= 1
-    # driver row across rounds 1-10; only the 7 rows-only-by-policy
-    # ids (q20 q47 q50 q51 q52 q53 q79) remain outside, cannot enter
+    # (r11) the whole diff is the snapshot/streaming write plane
+    # (pinned-generation OCC reads, txn-ledger retention, CDC
+    # first-batch clause, update-path ledger, app-id normalization),
+    # so the 33 non-anchor slots are the COMPLETE lakehouse family:
+    # the two NEW r11 gates (q246 idempotent re-delivery across the
+    # non-merge write paths, q247 streaming CDC tombstones), the two
+    # r10-changed CDF ids that sat outside the r10 window
+    # (q200/q216 — r10 verdict #5), every snapshot-write id from the
+    # r10 window whose code path changed again this round (q151 q204
+    # q217 q219 q220 q223-q226 q231-q237 q243 q244 q245), and the ten
+    # LONGEST-STALE snapshot ids, last driver-checked before r8, all
+    # of which drive the rewritten write paths (q109 q166 q168 q170
+    # q171 q173 q174 q176 q197 q218).  Rotated out (files unchanged
+    # in r11, each green in CORRECTNESS_r10): q93 q107 q199 q221 q222
+    # q227-q230 q238-q242.  The 7 rows-only-by-policy ids
+    # (q20 q47 q50 q51 q52 q53 q79) cannot enter
     # (test_window_is_oracle_backed).
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -7380,6 +7384,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_merge_upsert": q60_merge_upsert,
         "q110_web_admission": q110_web_admission,
         "q144_giant_doc_parts": q144_giant_doc_parts,
+        "q246_idempotent_replay_matrix": q246_idempotent_replay_matrix,
+        "q247_stream_cdc_tombstones": q247_stream_cdc_tombstones,
+        "q200_cdf_rollup_live": q200_cdf_rollup_live,
+        "q216_streaming_cdf_rollup": q216_streaming_cdf_rollup,
+        "q220_clone_survives_vacuum": q220_clone_survives_vacuum,
+        "q226_generated_columns": q226_generated_columns,
+        "q151_snapshot_merge": q151_snapshot_merge,
+        "q204_cdc_conditional_merge": q204_cdc_conditional_merge,
+        "q217_describe_detail": q217_describe_detail,
+        "q219_concurrent_writers": q219_concurrent_writers,
+        "q223_overlap_merge_race": q223_overlap_merge_race,
+        "q224_schema_evolution_merge": q224_schema_evolution_merge,
+        "q225_snapshot_update_where": q225_snapshot_update_where,
         "q231_snapshot_history": q231_snapshot_history,
         "q232_time_travel_versions": q232_time_travel_versions,
         "q233_constraint_enforcement": q233_constraint_enforcement,
@@ -7387,28 +7404,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q235_identity_column": q235_identity_column,
         "q236_stream_static_enrich": q236_stream_static_enrich,
         "q237_overwrite_where": q237_overwrite_where,
+        "q243_dynamic_partition_overwrite": q243_dynamic_partition_overwrite,
+        "q244_lakehouse_composition": q244_lakehouse_composition,
+        "q245_stream_exactly_once_snapshot": q245_stream_exactly_once_snapshot,
+        "q109_snapshot_diff": q109_snapshot_diff,
+        "q166_snapshot_changes": q166_snapshot_changes,
+        "q168_cdf_view_maintenance": q168_cdf_view_maintenance,
+        "q170_snapshot_data_skipping": q170_snapshot_data_skipping,
+        "q171_snapshot_point_lookup": q171_snapshot_point_lookup,
+        "q173_partition_compaction": q173_partition_compaction,
+        "q174_deletion_vectors": q174_deletion_vectors,
+        "q176_snapshot_restore": q176_snapshot_restore,
+        "q197_snapshot_clone": q197_snapshot_clone,
+        "q218_force_reprocess_backfill": q218_force_reprocess_backfill,
         "q238_quality_report": q238_quality_report,
         "q239_quality_quarantine": q239_quality_quarantine,
         "q240_rename_column": q240_rename_column,
         "q241_nested_types_sink": q241_nested_types_sink,
         "q242_ingest_expectations": q242_ingest_expectations,
-        "q243_dynamic_partition_overwrite": q243_dynamic_partition_overwrite,
         "q93_bpe_merges": q93_bpe_merges,
         "q107_bpe_segment": q107_bpe_segment,
-        "q244_lakehouse_composition": q244_lakehouse_composition,
-        "q245_stream_exactly_once_snapshot": q245_stream_exactly_once_snapshot,
-        "q151_snapshot_merge": q151_snapshot_merge,
         "q199_k_anonymity": q199_k_anonymity,
-        "q204_cdc_conditional_merge": q204_cdc_conditional_merge,
-        "q217_describe_detail": q217_describe_detail,
-        "q219_concurrent_writers": q219_concurrent_writers,
-        "q220_clone_survives_vacuum": q220_clone_survives_vacuum,
         "q221_boilerplate_strip": q221_boilerplate_strip,
         "q222_card_scrub_luhn": q222_card_scrub_luhn,
-        "q223_overlap_merge_race": q223_overlap_merge_race,
-        "q224_schema_evolution_merge": q224_schema_evolution_merge,
-        "q225_snapshot_update_where": q225_snapshot_update_where,
-        "q226_generated_columns": q226_generated_columns,
         "q227_nation_year_profit": q227_nation_year_profit,
         "q228_contingency_expected": q228_contingency_expected,
         "q229_sentence_dedup_global": q229_sentence_dedup_global,
@@ -7438,9 +7456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q194_volume_shipping": q194_volume_shipping,
         "q195_market_share": q195_market_share,
         "q196_banded_discount_revenue": q196_banded_discount_revenue,
-        "q197_snapshot_clone": q197_snapshot_clone,
         "q198_freshness_rank": q198_freshness_rank,
-        "q200_cdf_rollup_live": q200_cdf_rollup_live,
         "q201_revenue_rollup_cube": q201_revenue_rollup_cube,
         "q202_metric_unpivot": q202_metric_unpivot,
         "q203_value_deciles": q203_value_deciles,
@@ -7455,8 +7471,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q213_vocab_roundtrip": q213_vocab_roundtrip,
         "q214_autocomplete_two_terms": q214_autocomplete_two_terms,
         "q215_top_supplier": q215_top_supplier,
-        "q216_streaming_cdf_rollup": q216_streaming_cdf_rollup,
-        "q218_force_reprocess_backfill": q218_force_reprocess_backfill,
         "q101_corpus_health": q101_corpus_health,
         "q120_collocations": q120_collocations,
         "q128_acl_visibility": q128_acl_visibility,
@@ -7538,7 +7552,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_incremental_dedup": q102_incremental_dedup,
         "q105_nfc_normalize": q105_nfc_normalize,
         "q108_pagerank": q108_pagerank,
-        "q109_snapshot_diff": q109_snapshot_diff,
         "q111_vocab_encode": q111_vocab_encode,
         "q113_kmv_set_algebra": q113_kmv_set_algebra,
         "q114_token_blocks": q114_token_blocks,
@@ -7581,17 +7594,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q163_fuzzy_search": q163_fuzzy_search,
         "q164_facet_counts": q164_facet_counts,
         "q165_multifield_bm25": q165_multifield_bm25,
-        "q166_snapshot_changes": q166_snapshot_changes,
         "q167_filtered_vector_search": q167_filtered_vector_search,
-        "q168_cdf_view_maintenance": q168_cdf_view_maintenance,
         "q169_spell_suggest": q169_spell_suggest,
-        "q170_snapshot_data_skipping": q170_snapshot_data_skipping,
-        "q171_snapshot_point_lookup": q171_snapshot_point_lookup,
         "q172_retrieval_eval": q172_retrieval_eval,
-        "q173_partition_compaction": q173_partition_compaction,
-        "q174_deletion_vectors": q174_deletion_vectors,
         "q175_random_projection": q175_random_projection,
-        "q176_snapshot_restore": q176_snapshot_restore,
         "q177_sketch_rerank": q177_sketch_rerank,
         "q178_more_like_this": q178_more_like_this,
         "q182_filtered_search": q182_filtered_search,
@@ -12005,5 +12011,49 @@ def oracle_sql() -> dict[str, str]:
                    true AS replay_was_noop
             FROM events
             GROUP BY user_id
+        """,
+        # q246: each write applied EXACTLY ONCE (re-deliveries are
+        # no-ops by the txn-ledger contract, proven by the generation
+        # pointer in the gate itself), so the oracle replays the op
+        # sequence once in closed form: delete k%5, delete k%7 (DV),
+        # update k%11, then buckets 3 and 5 replaced wholesale
+        "q246_idempotent_replay_matrix": """
+            WITH base AS (
+              SELECT o_orderkey AS k,
+                     CAST(o_orderkey % 8 AS INTEGER) AS bucket,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS v
+              FROM orders WHERE o_orderkey % 3 = 0),
+            s2 AS (
+              SELECT * FROM base WHERE k % 5 != 0 AND k % 7 != 0),
+            s3 AS (
+              SELECT k, bucket,
+                     CASE WHEN k % 11 = 0 THEN v + 1000 ELSE v END AS v
+              FROM s2)
+            SELECT k, bucket, v, true AS replay_was_noop
+            FROM s3 WHERE bucket NOT IN (3, 5)
+            UNION ALL
+            SELECT k, bucket, v * 2 AS v, true FROM base WHERE bucket = 3
+            UNION ALL
+            SELECT k, bucket, v * 3 AS v, true FROM base WHERE bucket = 5
+        """,
+        # q247: two CDC batches replayed once each — batch 0 is events
+        # minus its tombstones (event_id%10=3); batch 1 (event_id%4=0,
+        # user_id shifted +1000, tombstone where event_id%3=0) deletes
+        # matched tombstones, updates/inserts live rows, and drops
+        # unmatched tombstones.  Replay no-ops are the ledger contract.
+        "q247_stream_cdc_tombstones": """
+            WITH b1 AS (
+              SELECT event_id, user_id, event_type FROM events
+              WHERE event_id % 10 != 3),
+            b2 AS (
+              SELECT event_id, user_id + 1000 AS user_id, event_type,
+                     (event_id % 3 = 0) AS tomb
+              FROM events WHERE event_id % 4 = 0)
+            SELECT event_id, user_id, event_type,
+                   true AS replay_was_noop
+            FROM b1 WHERE event_id NOT IN (SELECT event_id FROM b2)
+            UNION ALL
+            SELECT event_id, user_id, event_type, true
+            FROM b2 WHERE NOT tomb
         """,
     }
