@@ -591,7 +591,16 @@ def stream_into_snapshot(
     compaction degrades read fan-in — the trigger folds + vacuums once
     the referenced-generation count exceeds the bound (one manifest
     read per tick when idle).  Only for streams that OWN their table
-    (the fold's vacuum keeps just the current snapshot).
+    (the fold's vacuum keeps just the current snapshot).  AS-OF after
+    a fold: time travel (``read_snapshot_table(at_gen=...)``) to a
+    generation the trigger folded + vacuumed away raises
+    ``FileNotFoundError`` naming vacuum as the retention boundary —
+    the fold is a retention decision, exactly Delta's VACUUM vs
+    ``versionAsOf``.  A concurrent reader that resolved the pointer
+    just before a fold can also surface that error mid-read; re-read
+    and it converges on the new snapshot — it can never return a TORN
+    result (generation directories are immutable; only deletion is
+    possible, and deletion fails loudly).
 
     Scale shape: identical to ``snapshot_merge_upsert`` — O(affected
     partitions) per batch plus the metadata-only ledger row; N

@@ -81,6 +81,8 @@ PROBES = {
     "q243_dynamic_partition_overwrite": ("sink", "dynamic partition overwrite: present partitions swap, others keep refs"),
     "q244_lakehouse_composition": ("sink", "composed: 2 quarantined merges + identity + metadata rename + CDF span"),
     "q245_stream_exactly_once_snapshot": ("streaming", "foreachBatch snapshot sink + txn-ledger no-op replay"),
+    "q246_idempotent_replay_matrix": ("sink", "txn-ledger re-delivery across delete(rewrite+DV)/update/replaceWhere/dyn-overwrite"),
+    "q247_stream_cdc_tombstones": ("streaming", "2-batch CDC sink (tombstone merge_when) + per-batch crashed replay"),
 }
 
 
@@ -281,7 +283,14 @@ def main() -> int:
         )
         f.write(ANN_RECALL_SECTION)
         f.write(SKEW_SECTION)
-    print("SCALING.md written")
+    # LOAD-BEARING COUNT (r10 verdict cosmetic #1): print the exact
+    # number of probe rows written, so commit messages / README quote
+    # the measured number instead of a hand-kept one that drifts
+    n_rows = len(rows) + len(bpe_rows)
+    print(
+        f"SCALING.md written: {n_rows} probe rows "
+        f"({len(rows)} query probes + {len(bpe_rows)} BPE probes)"
+    )
     return 0
 
 
