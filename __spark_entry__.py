@@ -7283,6 +7283,82 @@ def q247_stream_cdc_tombstones(spark: SparkSession, sf: str) -> DataFrame:
     ).localCheckpoint()
 
 
+def q248_ledger_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """TXN-LEDGER RETENTION GATE (r10 verdict #1, new this round):
+    ``snapshot_set_ledger_retention(n_generations)`` bounds the
+    manifest's idempotent-writes ledger the way Delta's
+    setTransactionRetentionDuration bounds setTransaction entries.
+    One long-lived app and eight one-shot apps write under a
+    3-generation horizon; the gate then proves, via proof bits riding
+    the output: (a) the final ledger holds EXACTLY the apps whose
+    last write is within the horizon — the five older one-shots are
+    gone; (b) an EXPIRED app's re-delivery applies again (Delta's
+    documented caveat — the generation pointer moves); (c) a FRESH
+    app's re-delivery is still a no-op.  The data itself is
+    closed-form (seed + eight insert rows; the expired replay
+    re-inserts identical content), so the oracle replays it in SQL."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        _current_gen,
+        _read_manifest,
+        read_snapshot_table,
+        snapshot_merge_upsert,
+        snapshot_set_ledger_retention,
+    )
+
+    seed = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    ).filter(F.col("k") % 3 == 0)
+    tbl = tempfile.mkdtemp(prefix="q248-retention-") + "/t"
+    snapshot_set_ledger_retention(spark, tbl, 3)
+    snapshot_merge_upsert(
+        spark, tbl, seed, key="k", txn_app_id="keeper", txn_version=0,
+    )
+
+    def shot(i: int) -> DataFrame:
+        return spark.createDataFrame(
+            [(10_000_000 + i, i)], "k long, v long"
+        )
+
+    # gens 2..9: one one-shot app per commit
+    for i in range(8):
+        snapshot_merge_upsert(
+            spark, tbl, shot(i), key="k",
+            txn_app_id=f"one-shot-{i}", txn_version=0,
+        )
+    # gen 10: the long-lived app stays fresh (content-idempotent)
+    snapshot_merge_upsert(
+        spark, tbl, seed, key="k", txn_app_id="keeper", txn_version=1,
+    )
+    cur = _current_gen(spark, tbl)
+    ledger = _read_manifest(spark, tbl, cur).get("txn") or {}
+    # horizon 3 at gen 10 keeps txn_gen >= 7: one-shot-5/6/7 + keeper
+    bounded = set(ledger) == {
+        "keeper", "one-shot-5", "one-shot-6", "one-shot-7"
+    }
+    # (b) expired re-delivery: one-shot-0's entry is gone, so the
+    # same (app, version) APPLIES AGAIN — the pointer moves (the
+    # content is identical, so the data stays closed-form)
+    g_expired = snapshot_merge_upsert(
+        spark, tbl, shot(0), key="k",
+        txn_app_id="one-shot-0", txn_version=0,
+    )
+    expired_reapplied = g_expired == cur + 1
+    # (c) fresh re-delivery: still a no-op
+    fresh_noop = snapshot_merge_upsert(
+        spark, tbl, shot(7), key="k",
+        txn_app_id="one-shot-7", txn_version=0,
+    ) == g_expired
+    return read_snapshot_table(spark, tbl).select(
+        "k", "v",
+        F.lit(bool(bounded)).alias("ledger_bounded"),
+        F.lit(bool(expired_reapplied)).alias("expired_reapplied"),
+        F.lit(bool(fresh_noop)).alias("fresh_redelivery_noop"),
+    ).localCheckpoint()
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW (and that the registry/oracle counts match QUERIES.md)
@@ -7329,7 +7405,7 @@ DRIVER_WINDOW = [
     "q244_lakehouse_composition",
     "q245_stream_exactly_once_snapshot",
     "q109_snapshot_diff",
-    "q166_snapshot_changes",
+    "q248_ledger_retention",
     "q168_cdf_view_maintenance",
     "q170_snapshot_data_skipping",
     "q171_snapshot_point_lookup",
@@ -7358,11 +7434,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r10-changed CDF ids that sat outside the r10 window
     # (q200/q216 — r10 verdict #5), every snapshot-write id from the
     # r10 window whose code path changed again this round (q151 q204
-    # q217 q219 q220 q223-q226 q231-q237 q243 q244 q245), and the ten
-    # LONGEST-STALE snapshot ids, last driver-checked before r8, all
-    # of which drive the rewritten write paths (q109 q166 q168 q170
-    # q171 q173 q174 q176 q197 q218).  Rotated out (files unchanged
-    # in r11, each green in CORRECTNESS_r10): q93 q107 q199 q221 q222
+    # q217 q219 q220 q223-q226 q231-q237 q243 q244 q245), the NEW
+    # retention gate (q248 — the r11 feature gets a driver row in its
+    # birth round), and nine LONGEST-STALE snapshot ids, last
+    # driver-checked before r8, all of which drive the rewritten
+    # write paths (q109 q168 q170 q171 q173 q174 q176 q197 q218;
+    # q166's CDF span is covered by q200/q216/q244 in this window).
+    # Rotated out (files unchanged in r11, each green in
+    # CORRECTNESS_r10): q93 q107 q199 q221 q222
     # q227-q230 q238-q242.  The 7 rows-only-by-policy ids
     # (q20 q47 q50 q51 q52 q53 q79) cannot enter
     # (test_window_is_oracle_backed).
@@ -7408,7 +7487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q244_lakehouse_composition": q244_lakehouse_composition,
         "q245_stream_exactly_once_snapshot": q245_stream_exactly_once_snapshot,
         "q109_snapshot_diff": q109_snapshot_diff,
-        "q166_snapshot_changes": q166_snapshot_changes,
+        "q248_ledger_retention": q248_ledger_retention,
         "q168_cdf_view_maintenance": q168_cdf_view_maintenance,
         "q170_snapshot_data_skipping": q170_snapshot_data_skipping,
         "q171_snapshot_point_lookup": q171_snapshot_point_lookup,
@@ -7607,6 +7686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q186_stickiness": q186_stickiness,
         "q187_event_transitions": q187_event_transitions,
         "q188_rag_end_to_end": q188_rag_end_to_end,
+        "q166_snapshot_changes": q166_snapshot_changes,
     }
 
 
@@ -12055,5 +12135,21 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT event_id, user_id, event_type, true
             FROM b2 WHERE NOT tomb
+        """,
+        # q248: the data is seed + eight closed-form insert rows (the
+        # expired replay re-inserts identical content, so it is
+        # invisible to the data); the retention proof bits are true by
+        # the gate's own generation-pointer assertions
+        "q248_ledger_retention": """
+            SELECT o_orderkey AS k,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                   true AS ledger_bounded,
+                   true AS expired_reapplied,
+                   true AS fresh_redelivery_noop
+            FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL
+            SELECT 10000000 + i AS k, CAST(i AS BIGINT) AS v,
+                   true, true, true
+            FROM range(8) t(i)
         """,
     }

@@ -3695,6 +3695,10 @@ def snapshot_history(spark: SparkSession, table_path: str) -> list[dict]:
                 "has_dv": bool(m.get("dv")),
                 "current": g == cur,
                 "txn": m.get("txn") or {},
+                # retention observability: the generation each app's
+                # entry was last updated at (ages against the
+                # snapshot_set_ledger_retention horizon)
+                "txn_gen": m.get("txn_gen") or {},
             }
         )
     return out
