@@ -381,17 +381,21 @@ def test_checkpoint_app_id_normalizes_spelling(tmp_path, monkeypatch):
 
 
 def test_stream_restart_different_spelling_one_ledger_entry(
-    spark, tmp_path, monkeypatch
+    spark, tmp_path
 ):
-    """End-to-end: drain a stream with a RELATIVE checkpoint spelling,
-    re-deliver the drained batch under the ABSOLUTE spelling's default
-    app id — one ledger entry, no double-apply."""
+    """End-to-end: drain a stream with one spelling of the checkpoint
+    path (trailing slash + a dotted `x/../` segment), re-deliver the
+    drained batch under the CANONICAL spelling's default app id — one
+    ledger entry, no double-apply.  (Purely-relative spellings like
+    `./ckpt` are normalized too — unit-tested above — but a real
+    stream must not use them here: Spark resolves the checkpoint
+    against the JVM's cwd, not pytest's, and would write outside
+    tmp_path.)"""
     from gpt_rag_ingestion_spark.streaming.micro_batch import (
         _checkpoint_app_id,
         stream_into_snapshot,
     )
 
-    monkeypatch.chdir(tmp_path)
     land = tmp_path / "land"
     land.mkdir()
     spark.createDataFrame(
@@ -401,13 +405,16 @@ def test_stream_restart_different_spelling_one_ledger_entry(
         str(land / "b0")
     )
     t = str(tmp_path / "snap")
-    stream_into_snapshot(stream, t, "./ckpt", key="k")
+    messy = f"{tmp_path}/x/../ckpt/"
+    stream_into_snapshot(stream, t, messy, key="k")
     gen = S._current_gen(spark, t)
-    # replay batch 0 under the ABSOLUTE spelling's derived app id
+    # replay batch 0 under the CANONICAL spelling's derived app id
     replay = spark.read.parquet(str(land / "b0"))
+    canonical = str(tmp_path / "ckpt")
+    assert _checkpoint_app_id(messy) == _checkpoint_app_id(canonical)
     S.snapshot_merge_upsert(
         spark, t, replay, key="k",
-        txn_app_id=_checkpoint_app_id(str(tmp_path / "ckpt")),
+        txn_app_id=_checkpoint_app_id(canonical),
         txn_version=0,
     )
     assert S._current_gen(spark, t) == gen  # no-op: same identity
