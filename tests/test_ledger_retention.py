@@ -420,3 +420,68 @@ def test_stream_restart_different_spelling_one_ledger_entry(
     assert S._current_gen(spark, t) == gen  # no-op: same identity
     ledger = S._read_manifest(spark, t, gen).get("txn") or {}
     assert len(ledger) == 1, ledger
+
+
+# ------------------------------------------- model-based ledger property
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+#: a random schedule of ledger writes: (app 0-3, version 0-3) —
+#: versions deliberately NON-monotone so re-deliveries and stale
+#: versions occur naturally
+_SCHEDULE = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 3)),
+    min_size=1, max_size=12,
+)
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(schedule=_SCHEDULE, retain=st.integers(1, 4))
+def test_ledger_model_property(spark, tmp_path_factory, schedule, retain):
+    """MODEL-BASED ledger semantics: replay a random write schedule
+    against a pure-Python model of the contract —
+
+      apply (app, v): no-op if the LIVE ledger holds app at >= v;
+      otherwise commit, stamp (app, v) at the new generation, and
+      expire every OTHER entry older than `retain` generations.
+
+    After every step the on-disk manifest's txn/txn_gen maps must
+    equal the model exactly, and the returned generation must reflect
+    the no-op/commit decision.  This pins the full interaction matrix
+    (re-delivery x version regression x expiry x carry) that the
+    example-based tests sample."""
+    tmp = tmp_path_factory.mktemp("ledger-model")
+    t = str(tmp / "t")
+    S.snapshot_set_ledger_retention(spark, t, retain)
+
+    model_led: dict[str, int] = {}
+    model_gen: dict[str, int] = {}
+    row = 0
+    for app_i, ver in schedule:
+        app = f"app-{app_i}"
+        seen = model_led.get(app)
+        expect_noop = seen is not None and ver <= seen
+        cur_before = S._current_gen(spark, t)
+        row += 1
+        got = S.snapshot_merge_upsert(
+            spark, t, _df(spark, [(row, row)]), key="k",
+            txn_app_id=app, txn_version=ver,
+        )
+        if expect_noop:
+            assert got == cur_before, (app, ver, got, cur_before)
+            continue
+        assert got == (cur_before or 0) + 1
+        # model the commit: stamp, then expire others past the horizon
+        model_led[app] = ver
+        model_gen[app] = got
+        for a in list(model_led):
+            if a != app and got - model_gen[a] > retain:
+                del model_led[a]
+                del model_gen[a]
+        m = S._read_manifest(spark, t, got)
+        assert (m.get("txn") or {}) == model_led, (m.get("txn"), model_led)
+        assert (m.get("txn_gen") or {}) == model_gen
