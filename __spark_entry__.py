@@ -7359,6 +7359,72 @@ def q248_ledger_retention(spark: SparkSession, sf: str) -> DataFrame:
     ).localCheckpoint()
 
 
+def q249_convert_parquet(spark: SparkSession, sf: str) -> DataFrame:
+    """CONVERT TO DELTA parity
+    (``snapshot_table.snapshot_convert_from_parquet``, new this
+    round): an existing plain-parquet directory becomes generation 1
+    of a snapshot table in ONE metadata commit — zero bytes copied
+    (the manifest references the directory absolutely, the shallow-
+    clone mechanism).  The gate then proves the adopted table is
+    first-class: a partitioned MERGE (updates + inserts) and a keyed
+    DELETE land as local generations while the untouched partitions
+    STILL reference the raw directory (the zero-copy proof bit), and
+    time travel to generation 1 reads the raw data back bit-exactly
+    (row-count bit).  Closed-form over orders; the oracle replays
+    convert+merge+delete in SQL."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        _read_manifest,
+        read_snapshot_table,
+        snapshot_convert_from_parquet,
+        snapshot_delete_keys,
+        snapshot_merge_upsert,
+    )
+
+    # bucket on (k div 2) % 4 so the even-key base still spans all
+    # four partitions; updates (k%20==0) and inserts land in b0/b2
+    # only, leaving b1/b3 as the zero-copy witnesses
+    base = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.concat(
+            F.lit("b"),
+            F.expr("CAST((o_orderkey DIV 2) % 4 AS STRING)"),
+        ).alias("b"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    ).filter(F.col("k") % 2 == 0)
+    root = tempfile.mkdtemp(prefix="q249-convert-")
+    raw, tbl = root + "/raw", root + "/t"
+    base.write.partitionBy("b").parquet(raw)
+    snapshot_convert_from_parquet(spark, raw, tbl, partition_cols=["b"])
+    n_raw = base.count()
+    # updates hit only b0 (k%20==0 -> k%4==0); inserts land in b2
+    inc = base.filter(F.col("k") % 20 == 0).select(
+        "k", "b", (F.col("v") + 7).alias("v")
+    ).unionByName(
+        base.filter(F.col("k") % 20 == 0).select(
+            (F.col("k") + 1_000_000).alias("k"),
+            F.lit("b2").alias("b"),
+            F.col("k").cast("long").alias("v"),
+        )
+    )
+    g2 = snapshot_merge_upsert(
+        spark, tbl, inc, key="k", partition_cols=["b"]
+    )
+    parts = _read_manifest(spark, tbl, g2)["partitions"]
+    zero_copy = parts.get("b=b1") == raw and parts.get("b=b3") == raw
+    snapshot_delete_keys(
+        spark, tbl, base.filter(F.col("k") % 28 == 0).select("k"),
+        key="k", partition_cols=["b"],
+    )
+    tt_ok = read_snapshot_table(spark, tbl, at_gen=1).count() == n_raw
+    return read_snapshot_table(spark, tbl).select(
+        "k", "b", "v",
+        F.lit(bool(zero_copy)).alias("untouched_partitions_zero_copy"),
+        F.lit(bool(tt_ok)).alias("time_travel_to_raw_ok"),
+    ).localCheckpoint()
+
+
 #: The first 50 keys of ``queries()`` — the driver's correctness
 #: window.  scripts/check_oracle.py asserts list(queries())[:50] ==
 #: DRIVER_WINDOW (and that the registry/oracle counts match QUERIES.md)
@@ -7408,7 +7474,7 @@ DRIVER_WINDOW = [
     "q248_ledger_retention",
     "q168_cdf_view_maintenance",
     "q170_snapshot_data_skipping",
-    "q171_snapshot_point_lookup",
+    "q249_convert_parquet",
     "q173_partition_compaction",
     "q174_deletion_vectors",
     "q176_snapshot_restore",
@@ -7435,11 +7501,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (q200/q216 — r10 verdict #5), every snapshot-write id from the
     # r10 window whose code path changed again this round (q151 q204
     # q217 q219 q220 q223-q226 q231-q237 q243 q244 q245), the NEW
-    # retention gate (q248 — the r11 feature gets a driver row in its
-    # birth round), and nine LONGEST-STALE snapshot ids, last
-    # driver-checked before r8, all of which drive the rewritten
-    # write paths (q109 q168 q170 q171 q173 q174 q176 q197 q218;
-    # q166's CDF span is covered by q200/q216/q244 in this window).
+    # retention gate (q248) and the NEW convert gate (q249) — each
+    # r11 feature gets a driver row in its birth round — and eight
+    # LONGEST-STALE snapshot ids, last driver-checked before r8, all
+    # of which drive the rewritten write paths (q109 q168 q170 q173
+    # q174 q176 q197 q218; q166's CDF span is covered by
+    # q200/q216/q244 in this window, q171's metadata point lookup by
+    # q217/q170).
     # Rotated out (files unchanged in r11, each green in
     # CORRECTNESS_r10): q93 q107 q199 q221 q222
     # q227-q230 q238-q242.  The 7 rows-only-by-policy ids
@@ -7490,7 +7558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q248_ledger_retention": q248_ledger_retention,
         "q168_cdf_view_maintenance": q168_cdf_view_maintenance,
         "q170_snapshot_data_skipping": q170_snapshot_data_skipping,
-        "q171_snapshot_point_lookup": q171_snapshot_point_lookup,
+        "q249_convert_parquet": q249_convert_parquet,
         "q173_partition_compaction": q173_partition_compaction,
         "q174_deletion_vectors": q174_deletion_vectors,
         "q176_snapshot_restore": q176_snapshot_restore,
@@ -7687,6 +7755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q187_event_transitions": q187_event_transitions,
         "q188_rag_end_to_end": q188_rag_end_to_end,
         "q166_snapshot_changes": q166_snapshot_changes,
+        "q171_snapshot_point_lookup": q171_snapshot_point_lookup,
     }
 
 
@@ -12151,5 +12220,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT 10000000 + i AS k, CAST(i AS BIGINT) AS v,
                    true, true, true
             FROM range(8) t(i)
+        """,
+        # q249: convert + merge + delete replayed once in closed form;
+        # the zero-copy and time-travel proof bits are true by the
+        # gate's own manifest/row-count assertions
+        "q249_convert_parquet": """
+            WITH base AS (
+              SELECT o_orderkey AS k,
+                     'b' || CAST((o_orderkey // 2) % 4 AS VARCHAR) AS b,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS v
+              FROM orders WHERE o_orderkey % 2 = 0),
+            merged AS (
+              SELECT k, b,
+                     CASE WHEN k % 20 = 0 THEN v + 7 ELSE v END AS v
+              FROM base
+              UNION ALL
+              SELECT k + 1000000 AS k, 'b2' AS b, CAST(k AS BIGINT) AS v
+              FROM base WHERE k % 20 = 0)
+            SELECT k, b, v,
+                   true AS untouched_partitions_zero_copy,
+                   true AS time_travel_to_raw_ok
+            FROM merged
+            WHERE NOT (k % 28 = 0 AND k < 1000000)
         """,
     }

@@ -4011,7 +4011,12 @@ def snapshot_clone(
     # that self-prunes at the source's next vacuum, whereas a
     # committed-but-unregistered clone would be a vacuum race window.
     for ref_root in {g.rsplit("/", 1)[0] for g in partitions.values()}:
-        _register_clone(spark, ref_root, clone_path)
+        # only SNAPSHOT TABLES vacuum — a converted-from raw parquet
+        # ref resolves to a plain directory whose "root" is the
+        # caller's space; nothing ever GCs there, so no breadcrumb
+        # (and no stray _clones/ dir dropped outside the engine)
+        if _fs_exists(spark, f"{ref_root}/_manifests"):
+            _register_clone(spark, ref_root, clone_path)
     clone_extra = {"cloned_from": src_abs, "cloned_gen": cur}
     # a fresh table has no predecessor manifest to carry from —
     # inherit the source snapshot's stored schema explicitly
@@ -4027,6 +4032,92 @@ def snapshot_clone(
     _commit(
         spark, clone_path, 1, partitions, expected_cur=None,
         extra=clone_extra, op="clone",
+    )
+    return 1
+
+
+def snapshot_convert_from_parquet(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """CONVERT an existing plain-parquet directory into a snapshot
+    table WITHOUT copying or rewriting a byte (Delta's `CONVERT TO
+    DELTA` — the adoption path for a data lake that already exists):
+    generation 1's manifest references the source directory by
+    ABSOLUTE path, the same external-reference mechanism shallow
+    clones use.  At 100 TB this is the difference between adopting a
+    corpus in one metadata commit and re-writing it through a sink.
+
+    After conversion the table is first-class: merges, deletes,
+    OPTIMIZE, constraints, identity, CDF and time travel all work,
+    writing LOCAL generations alongside the external reference;
+    OPTIMIZE/compaction naturally LOCALIZES the data (rewritten
+    partitions stop referencing the source), after which the source
+    directory is no longer referenced at all.
+
+    Contract (each bound is Delta-parity or stricter):
+    - ``table_path`` must be a NEW location, distinct from
+      ``source_dir``: generation refs are directory-granular here
+      (Delta's log tracks files, so it can convert in place; a local
+      generation written inside the source dir would double-read).
+      The metadata lives next door; the data does not move.
+    - the source directory is OWNED BY THE CALLER: vacuum only ever
+      deletes ``gen-*`` directories under the table root, so the
+      engine never touches the converted-from files — deleting the
+      source while the manifest still references it breaks the table
+      exactly like deleting a clone's source (OPTIMIZE first to
+      localize, as with clones).
+    - schema/partition-type INFERENCE happens exactly once, at
+      convert time, and is pinned into the manifest (the same stored
+      schema every later commit carries) — a string partition value
+      that looks numeric is adopted with the inferred type; normalize
+      the directory first if that inference is wrong for the data.
+    - stats sidecars do not exist for the external generation (same
+      as clone-shared generations): reads of it are unpruned until a
+      rewrite localizes them.
+    """
+    src_abs = source_dir.rstrip("/")
+    tbl_abs = table_path.rstrip("/")
+    if src_abs == tbl_abs:
+        raise ValueError(
+            "snapshot_convert_from_parquet needs a table_path distinct "
+            "from source_dir (generation refs are directory-granular; "
+            "local generations written into the source dir would "
+            "double-read) — point table_path at a new location, the "
+            "data is referenced in place either way"
+        )
+    if _current_gen(spark, table_path) is not None:
+        raise FileExistsError(f"table already exists: {table_path}")
+    if not _fs_exists(spark, src_abs):
+        raise FileNotFoundError(f"no parquet directory at {src_abs}")
+    # the ONE inference read: its schema (including partition-column
+    # types) is stored in the manifest and pins every later read
+    df = spark.read.parquet(src_abs)
+    if partition_cols:
+        missing = [c for c in partition_cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"partition columns not in the source data: {missing}"
+            )
+        rels = _list_partition_rels(spark, src_abs, len(partition_cols))
+        if not rels:
+            raise ValueError(
+                f"{src_abs} has no "
+                f"{'/'.join(c + '=*' for c in partition_cols)} "
+                "partition directories"
+            )
+        partitions = {r: src_abs for r in rels}
+    else:
+        partitions = {"": src_abs}
+    _fs_mkdirs(spark, table_path)
+    extra = _with_schema(
+        {"converted_from": src_abs}, df, partition_cols
+    )
+    _commit(
+        spark, table_path, 1, partitions, expected_cur=None,
+        extra=extra, op="convert",
     )
     return 1
 

@@ -84,6 +84,7 @@ PROBES = {
     "q246_idempotent_replay_matrix": ("sink", "txn-ledger re-delivery across delete(rewrite+DV)/update/replaceWhere/dyn-overwrite"),
     "q247_stream_cdc_tombstones": ("streaming", "2-batch CDC sink (tombstone merge_when) + per-batch crashed replay"),
     "q248_ledger_retention": ("sink", "10 ledger commits under a 3-gen retention horizon + expiry probes"),
+    "q249_convert_parquet": ("sink", "zero-copy CONVERT of a raw parquet dir + partitioned merge/delete on top"),
 }
 
 
