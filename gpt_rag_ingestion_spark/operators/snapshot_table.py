@@ -4088,6 +4088,11 @@ def snapshot_convert_from_parquet(
             "double-read) — point table_path at a new location, the "
             "data is referenced in place either way"
         )
+    # writer-start recovery, like every other write path: a convert
+    # that died between its claim and the pointer swap must not block
+    # the retry forever (claims age out by lease)
+    _commit_recover(spark, table_path)
+    _claim_recover(spark, table_path)
     if _current_gen(spark, table_path) is not None:
         raise FileExistsError(f"table already exists: {table_path}")
     if not _fs_exists(spark, src_abs):

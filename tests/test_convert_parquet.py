@@ -171,3 +171,40 @@ def test_clone_of_converted_table_no_stray_breadcrumbs(spark, tmp_path):
     assert {
         r.k: r.v for r in S.read_snapshot_table(spark, t).collect()
     }[0] == 0
+
+
+def test_convert_crash_legs(spark, tmp_path, monkeypatch):
+    """Kill the convert's commit at every metadata mutation, both
+    modes: a reader afterwards sees either NO table or the complete
+    converted table — never a torn one — and a retried convert
+    converges.  (The convert is one `_commit`; this drives the same
+    invariants the merge crash sweep proves, through the new
+    entry point.)"""
+    from tests.test_snapshot_crash_sweep import _Killer, _short_lease
+
+    _short_lease(monkeypatch)
+    src = str(tmp_path / "raw")
+    _orders(spark).write.parquet(src)
+    killer = _Killer(monkeypatch, scope=str(tmp_path))
+    for k in range(1, 5):
+        for hard in (False, True):
+            t = str(tmp_path / f"t-{k}-{int(hard)}")
+            killer.arm(k=k, when="after", hard=hard)
+            try:
+                S.snapshot_convert_from_parquet(spark, src, t)
+            except Exception:
+                pass
+            killer.disarm()
+            # reader invariant: absent or complete, never torn
+            cur = S._current_gen(spark, t)
+            if cur is not None:
+                assert S.read_snapshot_table(spark, t).count() == 40
+            else:
+                import time as _t
+
+                _t.sleep(0.6)  # orphaned claim lease expiry
+                try:
+                    S.snapshot_convert_from_parquet(spark, src, t)
+                except FileExistsError:
+                    pass  # the kill landed after the atomic point
+                assert S.read_snapshot_table(spark, t).count() == 40
