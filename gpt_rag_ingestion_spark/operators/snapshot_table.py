@@ -3705,10 +3705,11 @@ def snapshot_history(spark: SparkSession, table_path: str) -> list[dict]:
 
 
 def snapshot_restore(
-    spark: SparkSession, table_path: str, to_gen: int
+    spark: SparkSession, table_path: str, to_gen: int | None = None,
+    to_ts_ms: int | None = None,
 ) -> int:
-    """RESTORE TABLE TO VERSION (Delta RESTORE): commit a NEW
-    generation whose manifest equals the target snapshot's — the
+    """RESTORE TABLE TO VERSION / TIMESTAMP (Delta RESTORE): commit a
+    NEW generation whose manifest equals the target snapshot's — the
     restore is itself a commit (history moves forward, never
     rewinds), no data is copied (the old generation directories are
     re-referenced), and the target's deletion vectors are restored
@@ -3716,7 +3717,17 @@ def snapshot_restore(
     the retention boundary).  After a restore, run vacuum only with a
     retention window that keeps the re-referenced generations —
     handled automatically: vacuum keeps everything the CURRENT
-    manifest references."""
+    manifest references.
+
+    ``to_ts_ms`` is the `RESTORE ... TO TIMESTAMP AS OF` half: the
+    target is the newest generation committed at-or-before the
+    timestamp (the same resolution rule as time-travel reads,
+    ``snapshot_gen_at_timestamp``).  Pass exactly one of
+    ``to_gen``/``to_ts_ms``."""
+    if (to_gen is None) == (to_ts_ms is None):
+        raise ValueError("pass exactly one of to_gen or to_ts_ms")
+    if to_ts_ms is not None:
+        to_gen = snapshot_gen_at_timestamp(spark, table_path, to_ts_ms)
     _commit_recover(spark, table_path)
     _claim_recover(spark, table_path)
     cur = _current_gen(spark, table_path)

@@ -2768,3 +2768,33 @@ def test_identity_update_keeps_ids_and_rejects_assignment(spark, tmp_path):
     }, after
     with pytest.raises(S.SnapshotIdentityViolation):
         S.snapshot_update(spark, snap, "v = 1", {"row_id": "999"}, key="k")
+
+
+def test_restore_to_timestamp(spark, tmp_path):
+    """RESTORE ... TIMESTAMP AS OF (r11): the target resolves like a
+    time-travel read — newest generation committed at-or-before the
+    timestamp — and the restore is still a forward commit."""
+    import time
+
+    from gpt_rag_ingestion_spark.operators import snapshot_table as S
+
+    t = str(tmp_path / "t")
+
+    def df(items):
+        return spark.createDataFrame(items, "k long, v long")
+
+    S.snapshot_merge_upsert(spark, t, df([(1, 1)]), key="k")
+    ts_after_g1 = S._now_ms(spark)
+    time.sleep(1.1)  # mtime clocks are second-granular on some FS
+    S.snapshot_merge_upsert(spark, t, df([(1, 2), (2, 2)]), key="k")
+    with pytest.raises(ValueError, match="exactly one"):
+        S.snapshot_restore(spark, t)
+    with pytest.raises(ValueError, match="exactly one"):
+        S.snapshot_restore(spark, t, to_gen=1, to_ts_ms=ts_after_g1)
+    g = S.snapshot_restore(spark, t, to_ts_ms=ts_after_g1)
+    assert g == 3  # history moved FORWARD to a restore commit
+    got = {r.k: r.v for r in S.read_snapshot_table(spark, t).collect()}
+    assert got == {1: 1}
+    # a timestamp before the table existed still raises
+    with pytest.raises(FileNotFoundError):
+        S.snapshot_restore(spark, t, to_ts_ms=1)
