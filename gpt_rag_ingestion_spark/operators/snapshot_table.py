@@ -215,9 +215,9 @@ def _start_claim_heartbeat(spark, claimed: str):
     disappears — pruned or self-released).  Keeps a slow-but-alive
     writer's claim perpetually younger than the lease, so
     ``_claim_recover`` only ever prunes claims whose OWNER IS GONE.
-    The mtime doubles as the commit clock (``snapshot_gen_at_
-    timestamp``); the last beat lands within a heartbeat of the
-    pointer swap, so timestamp travel stays accurate."""
+    (The commit clock is the ``committed_at_ms`` stamped inside the
+    manifest body, not this mtime — heartbeat refreshes never move
+    ``AS OF TIMESTAMP`` resolution.)"""
     import threading
 
     stop = threading.Event()
@@ -555,10 +555,15 @@ def snapshot_gen_at_timestamp(
 ) -> int:
     """TIME TRAVEL BY TIMESTAMP (Delta's `AS OF TIMESTAMP` half of the
     surface; ``at_gen`` is the `AS OF VERSION` half): the newest
-    committed generation whose manifest was written at or before
-    ``ts_ms`` (epoch millis, compared against manifest file mtimes —
-    the commit clock).  Raises if every retained manifest is newer
-    (the asked-for moment predates retention or the table)."""
+    committed generation whose commit clock is at or before ``ts_ms``
+    (epoch millis).  The clock is the ``committed_at_ms`` stamped
+    INSIDE the manifest at `_commit` time (durable: survives
+    copy/rsync/DR restore, monotonic by construction — clamped to
+    predecessor + 1 ms); manifests written before the stamp existed
+    fall back to file mtime.  One manifest read per retained
+    generation — O(retained), bounded by vacuum.  Raises if every
+    retained manifest is newer (the asked-for moment predates
+    retention or the table)."""
     cur = _current_gen(spark, table_path)
     if cur is None:
         raise FileNotFoundError(f"no committed snapshot at {table_path}")
@@ -573,9 +578,19 @@ def snapshot_gen_at_timestamp(
                 g = int(name[:-5])
             except ValueError:
                 continue
-            if g <= cur and st.getModificationTime() <= int(ts_ms):
-                if best is None or g > best:
-                    best = g
+            if g > cur:
+                continue
+            ts = None
+            try:
+                ts = _read_manifest(spark, table_path, g).get(
+                    "committed_at_ms"
+                )
+            except Exception:
+                ts = None
+            if ts is None:  # pre-r12 manifest: mtime fallback
+                ts = st.getModificationTime()
+            if int(ts) <= int(ts_ms) and (best is None or g > best):
+                best = g
     if best is None:
         raise FileNotFoundError(
             f"no snapshot of {table_path} existed at ts={ts_ms} "
@@ -704,15 +719,17 @@ def _commit(
     # the rival's schema when ours didn't state one — and partition-
     # column types (the part read-back depends on) never change
     # across disjoint-partition rebases.
+    prev = None
+    if expected_cur is not None:
+        try:
+            prev = _read_manifest(spark, table_path, expected_cur)
+        except Exception:
+            prev = None
     if expected_cur is not None and (
         "schema" not in body
         or "renames" not in body
         or "txn" not in body
     ):
-        try:
-            prev = _read_manifest(spark, table_path, expected_cur)
-        except Exception:
-            prev = None
         if prev:
             if "schema" not in body and prev.get("schema"):
                 body["schema"] = prev["schema"]
@@ -745,6 +762,31 @@ def _commit(
                     body["txn_gen"] = {
                         a: g for a, g in ages.items() if a in led
                     }
+    # DURABLE COMMIT CLOCK (r11 verdict #1): the `AS OF TIMESTAMP`
+    # clock is stamped INSIDE the manifest JSON, not left to file
+    # mtimes — mtimes don't survive a table copy/rsync/DR restore and
+    # can go non-monotonic under clock skew.  Delta stores the commit
+    # timestamp in the log and adjusts non-monotonic clocks; same rule
+    # here: clamp to predecessor + 1 ms (predecessor read from ITS
+    # stamp, mtime fallback only for pre-r12 manifests so the chain
+    # stays monotonic across the upgrade boundary).  Always
+    # overwritten, never carried: RESTORE/CLONE re-commits get the
+    # restore's own time, not the target's.
+    _now = _now_ms(spark)
+    _prev_ts = None
+    if prev is not None:
+        _prev_ts = prev.get("committed_at_ms")
+        if _prev_ts is None:
+            try:
+                _pfs, _pmp = _hfs(
+                    spark, _manifest_path(table_path, expected_cur)
+                )
+                _prev_ts = int(_pfs.getFileStatus(_pmp).getModificationTime())
+            except Exception:
+                _prev_ts = None
+    body["committed_at_ms"] = (
+        _now if _prev_ts is None else max(_now, int(_prev_ts) + 1)
+    )
     body_json = json.dumps(body, sort_keys=True)
     claimed = _manifest_path(table_path, gen)
     _write_text_exclusive(spark, claimed, body_json)
@@ -1178,9 +1220,17 @@ def _snapshot_merge_upsert_once(
     max_conflict_rebases: int = 0,
     txn_app_id: str | None = None,
     txn_version: int | None = None,
+    pinned_cur: int | None = None,
 ) -> int:
     """MERGE with a manifest-pointer commit; returns the committed
-    generation number.  Same keyed delete-then-insert semantics as
+    generation number.
+
+    ``pinned_cur`` lets a COMPOSED write path (``snapshot_update``)
+    that already derived its incoming rows from one pinned generation
+    hand that SAME generation in: the merge's ledger/identity/existing
+    reads and expected_cur all use it, so a rival landing between the
+    caller's pin and this commit surfaces as ``SnapshotWriteConflict``
+    instead of silently merging rows computed against a stale base.  Same keyed delete-then-insert semantics as
     ``upsert.merge_upsert`` (equality property-tested), same
     O(affected-partitions) write set, but the commit point is one
     atomic rename and concurrent readers are never torn.
@@ -1213,7 +1263,10 @@ def _snapshot_merge_upsert_once(
     # conflict and _retrying_merge re-runs the whole attempt against
     # the winner, instead of silently dropping the rival's ledger
     # entries or colliding on identity ids.
-    cur = _current_gen(spark, table_path)
+    cur = (
+        pinned_cur if pinned_cur is not None
+        else _current_gen(spark, table_path)
+    )
     # IDEMPOTENT WRITES (Delta txnAppId/txnVersion): each committed
     # manifest carries a per-app high-water version ledger; a merge
     # whose (app, version) is already recorded is a RE-DELIVERY (a
@@ -2436,6 +2489,26 @@ def snapshot_vacuum(
             fs.delete(st.getPath(), True)
             _fs_delete(spark, _gen_stats_path(table_path, name))
             removed_gens += 1
+    # EXTERNAL sidecars (ext-<digest>.json, written by
+    # snapshot_convert_from_parquet collect_stats): vacuum never
+    # deletes the caller-owned source directory itself, but once no
+    # retained manifest references the external ref any more (a
+    # rewrite localized it), its sidecar is garbage.  Self-describing:
+    # each carries its ref in "gen_dir".
+    sfs, sdir = _hfs(spark, f"{table_path}/{_STATS_DIR}")
+    if sfs.exists(sdir):
+        for st in sfs.listStatus(sdir):
+            name = st.getPath().getName()
+            if not (name.startswith("ext-") and name.endswith(".json")):
+                continue
+            try:
+                ref = json.loads(
+                    _read_text(spark, st.getPath().toString())
+                ).get("gen_dir")
+            except Exception:
+                continue
+            if ref is not None and ref not in referenced and not dry_run:
+                sfs.delete(st.getPath(), False)
     removed_manifests = 0
     if mdir_fs.exists(mdir):
         for st in mdir_fs.listStatus(mdir):
@@ -2766,6 +2839,51 @@ def _gen_stats_path(table_path: str, gname: str) -> str:
     return f"{table_path}/{_STATS_DIR}/{gname}.json"
 
 
+def _ext_stats_path(table_path: str, g: str) -> str:
+    """Sidecar path for an EXTERNAL generation reference (a
+    ``snapshot_convert_from_parquet`` adoption): the ref is an
+    absolute directory OWNED BY THE CALLER, so its sidecar lives in
+    OUR ``_stats/`` under a deterministic digest of the ref — never
+    inside the caller's directory."""
+    import hashlib
+
+    h = hashlib.sha1(g.rstrip("/").encode("utf-8")).hexdigest()[:16]
+    return f"{table_path}/{_STATS_DIR}/ext-{h}.json"
+
+
+#: a snapshot generation directory name (``_gen_name``): the tail of
+#: a shallow-clone's absolute reference matches this; a converted
+#: external directory does not.
+_GEN_NAME_RE = re.compile(r"gen-\d{8}-[0-9a-f]{8}$")
+
+
+def _find_stats_sidecar(spark, table_path: str, g: str) -> dict | None:
+    """Parsed stats sidecar for one manifest generation reference, or
+    None (read unpruned — never wrong).  Three shapes:
+    - local ref (bare dir name): our own ``_stats/<gname>.json``;
+    - converted external ref (absolute, non-gen directory): the
+      ``ext-<digest>.json`` sidecar ``snapshot_convert_from_parquet``
+      collected (``collect_stats=True``), if any;
+    - shallow-clone ref (absolute path to a SOURCE table's gen dir):
+      the SOURCE's own sidecar next to it — sidecars are written
+      before commit and immutable after, so borrowing the source's is
+      exactly as safe as borrowing its data files, and clone reads
+      prune without localizing first."""
+    if "/" not in g:
+        sp = _gen_stats_path(table_path, g)
+    elif _GEN_NAME_RE.search(g.rstrip("/")):
+        src_tbl, base = g.rstrip("/").rsplit("/", 1)
+        sp = _gen_stats_path(src_tbl, base)
+    else:
+        sp = _ext_stats_path(table_path, g)
+    if not _fs_exists(spark, sp):
+        return None
+    try:
+        return json.loads(_read_text(spark, sp))
+    except Exception:
+        return None
+
+
 def _maybe_write_stats(
     spark, table_path: str, gname: str, new_dir: str,
     schema=None,
@@ -2816,9 +2934,14 @@ def _maybe_write_stats(
                 f"supported: {sorted(_STATS_TYPES)}"
             )
     # file path relative to the generation dir (the token in the name
-    # makes `/<gname>/` unique in the URI)
+    # makes `/<gname>/` unique in the URI).  An EXTERNAL gname
+    # (absolute converted-from dir) delimits on its own full path —
+    # partition dir names (``p=v``, no slashes) cannot re-embed it.
+    delim = (
+        gname.rstrip("/") + "/" if "/" in gname else f"/{gname}/"
+    )
     rel = F.substring_index(
-        F.col("_metadata.file_path"), f"/{gname}/", -1
+        F.col("_metadata.file_path"), delim, -1
     ).alias("__file")
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in cols:
@@ -2871,7 +2994,11 @@ def _maybe_write_stats(
     _fs_mkdirs(spark, f"{table_path}/{_STATS_DIR}")
     _write_text(
         spark,
-        _gen_stats_path(table_path, gname),
+        (
+            _ext_stats_path(table_path, gname)
+            if "/" in gname
+            else _gen_stats_path(table_path, gname)
+        ),
         json.dumps(
             {"gen_dir": gname, "bloom_bits": m, "bloom_hashes": k,
              "files": files},
@@ -2905,12 +3032,13 @@ def _resolve_file_sets(spark, table_path: str, at_gen: int | None):
         by_gen.setdefault(g, []).append(rel)
     out = []
     for g, rels in sorted(by_gen.items()):
-        sp = _gen_stats_path(table_path, g)
+        # local refs read our sidecar; converted external refs read
+        # the ext-digest sidecar collected at convert; clone refs
+        # borrow the SOURCE table's sidecar (``_find_stats_sidecar``)
+        # — absent any, that generation reads unpruned (never wrong)
+        raw = _find_stats_sidecar(spark, table_path, g)
         stats = None
-        # cloned (absolute) refs have no local sidecar by construction;
-        # their reads stay unpruned until a rewrite localizes them
-        if "/" not in g and _fs_exists(spark, sp):
-            raw = json.loads(_read_text(spark, sp))
+        if raw is not None:
             live = set(rels)
             stats = dict(raw)
             stats["files"] = {
@@ -3161,10 +3289,9 @@ def snapshot_compact_partitions(
         for r, g in parts.items():
             by_gen.setdefault(g, []).append(r)
         for g, grels in by_gen.items():
-            sp = _gen_stats_path(table_path, g)
+            raw = _find_stats_sidecar(spark, table_path, g)
             live = set(grels)
-            if _fs_exists(spark, sp):
-                raw = json.loads(_read_text(spark, sp))
+            if raw is not None:
                 for f in raw["files"]:
                     rel = "/".join(f.split("/")[:-1])
                     if rel in live or (grels == [""] and "/" not in f):
@@ -3357,6 +3484,7 @@ def snapshot_update(
     partition_cols: list[str] | None = None,
     txn_app_id: str | None = None,
     txn_version: int | None = None,
+    max_conflict_rebases: int = 0,
 ) -> int:
     """UPDATE ... SET <assignments> WHERE <where> — executed as a
     keyed merge of the transformed matching rows, so it inherits the
@@ -3373,35 +3501,56 @@ def snapshot_update(
     as every other write path — a retried orchestrator task
     re-delivering the same UPDATE is a no-op (gated inside the
     delegated merge).  An update matching ZERO rows commits nothing
-    and stamps no ledger entry; its replay is naturally a no-op."""
+    and stamps no ledger entry; its replay is naturally a no-op.
+
+    One-pinned-read-per-attempt (r11 advisor): each attempt pins the
+    base generation ONCE, derives the matched rows from a time-travel
+    read at that generation, and hands the SAME generation to the
+    delegated merge (``pinned_cur``) — a rival committing anywhere
+    between the pin and the commit surfaces as
+    ``SnapshotWriteConflict``, and ``max_conflict_rebases`` re-runs
+    the WHOLE attempt (re-pin, re-match, re-merge) against the
+    winner, like every other write path."""
     if key in assignments:
         raise ValueError(
             f"cannot assign the merge key {key!r}; delete+insert instead"
         )
-    cur = _current_gen(spark, table_path)
-    if cur is None:
-        raise FileNotFoundError(f"no committed snapshot at {table_path}")
     idc = _identity_conf(spark, table_path)
     if idc and idc["column"] in assignments:
         raise SnapshotIdentityViolation(
             f"{idc['column']!r} is GENERATED ALWAYS AS IDENTITY — "
             "UPDATE must not assign it"
         )
-    matched = read_snapshot_table(spark, table_path).filter(F.expr(where))
-    upd = matched
-    for c, e in sorted(assignments.items()):
-        upd = upd.withColumn(c, F.expr(e))
-    if idc:
-        # the merge path mints/keeps identity itself (GENERATED
-        # ALWAYS); updated rows are existing single-key rows, so the
-        # keep-join reattaches their committed ids
-        upd = upd.drop(idc["column"])
-    if upd.isEmpty():
-        return cur
-    return snapshot_merge_upsert(
-        spark, table_path, upd, key=key, partition_cols=partition_cols,
-        txn_app_id=txn_app_id, txn_version=txn_version,
-    )
+
+    def _once() -> int:
+        _commit_recover(spark, table_path)
+        _claim_recover(spark, table_path)
+        cur = _current_gen(spark, table_path)
+        if cur is None:
+            raise FileNotFoundError(
+                f"no committed snapshot at {table_path}"
+            )
+        matched = read_snapshot_table(
+            spark, table_path, at_gen=cur
+        ).filter(F.expr(where))
+        upd = matched
+        for c, e in sorted(assignments.items()):
+            upd = upd.withColumn(c, F.expr(e))
+        if idc:
+            # the merge path mints/keeps identity itself (GENERATED
+            # ALWAYS); updated rows are existing single-key rows, so
+            # the keep-join reattaches their committed ids
+            upd = upd.drop(idc["column"])
+        if upd.isEmpty():
+            return cur
+        return _snapshot_merge_upsert_once(
+            spark, table_path, upd, key=key,
+            partition_cols=partition_cols,
+            txn_app_id=txn_app_id, txn_version=txn_version,
+            pinned_cur=cur,
+        )
+
+    return _retrying_merge(_once, max_conflict_rebases)
 
 
 class SnapshotOverwritePredicateViolation(ValueError):
@@ -3972,9 +4121,12 @@ def snapshot_clone(
     vacuum).
 
     Contract limits (Delta's own shallow-clone caveats):
-    - cloned refs carry no local stats sidecars, so reads of
-      still-shared generations are unpruned until a rewrite
-      localizes them (``_resolve_file_sets`` skips absolute refs).
+    - still-shared generations BORROW the source's stats sidecars for
+      pruned reads (``_find_stats_sidecar``, r12 — sidecars are
+      written before commit and immutable after, so borrowing one is
+      as safe as borrowing the data files it describes); if the
+      source never collected stats, those reads stay unpruned until
+      a rewrite localizes them.
     - a source with ACTIVE deletion vectors must be compacted first
       (the DV map is keyed by source-local file paths); refused
       explicitly below.
@@ -4052,6 +4204,9 @@ def snapshot_convert_from_parquet(
     source_dir: str,
     table_path: str,
     partition_cols: list[str] | None = None,
+    collect_stats: bool = False,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """CONVERT an existing plain-parquet directory into a snapshot
     table WITHOUT copying or rewriting a byte (Delta's `CONVERT TO
@@ -4085,9 +4240,18 @@ def snapshot_convert_from_parquet(
       schema every later commit carries) — a string partition value
       that looks numeric is adopted with the inferred type; normalize
       the directory first if that inference is wrong for the data.
-    - stats sidecars do not exist for the external generation (same
-      as clone-shared generations): reads of it are unpruned until a
-      rewrite localizes them.
+    - ``collect_stats=True`` (r11 verdict #2) closes the
+      unpruned-adoption tax: ONE read-only, column-pruned scan of the
+      source builds the min/max(/bloom) sidecar for the external
+      generation — data still unmoved — so ``snapshot_read_where`` /
+      ``snapshot_read_point`` file-skip over the adopted corpus from
+      day one instead of full-scanning until OPTIMIZE localizes it.
+      ``stats_cols`` defaults to every supported-type data column
+      (partition columns prune via the directory layout already);
+      the sidecar lives in OUR ``_stats/`` (``ext-<digest>.json``) —
+      the engine still never writes inside the caller's directory.
+      Without it, reads of the external generation are unpruned (same
+      as clone-shared generations) until a rewrite localizes them.
     """
     src_abs = source_dir.rstrip("/")
     tbl_abs = table_path.rstrip("/")
@@ -4124,10 +4288,43 @@ def snapshot_convert_from_parquet(
                 f"{'/'.join(c + '=*' for c in partition_cols)} "
                 "partition directories"
             )
+        # the directory LAYOUT must name the columns in the declared
+        # order (r11 advisor): adopting an a=/b= layout with
+        # partition_cols=['b','a'] would record rel keys no later
+        # write ever matches — merges would carry the stale source
+        # rels alongside new ones and duplicate rows instead of
+        # replacing partitions.
+        for r in rels:
+            segs = r.split("/")
+            for i, c in enumerate(partition_cols):
+                if not segs[i].startswith(f"{c}="):
+                    raise ValueError(
+                        f"partition_cols {partition_cols} do not match "
+                        f"the directory layout at {src_abs}: segment "
+                        f"{i} of {r!r} is not {c}=... — pass the "
+                        "columns in the layout's own order"
+                    )
         partitions = {r: src_abs for r in rels}
     else:
         partitions = {"": src_abs}
     _fs_mkdirs(spark, table_path)
+    if collect_stats:
+        cols = stats_cols
+        if cols is None:
+            cols = [
+                f.name
+                for f in df.schema.fields
+                if f.dataType.simpleString() in _STATS_TYPES
+                and f.name not in (partition_cols or [])
+            ]
+        snapshot_enable_stats(spark, table_path, cols, bloom_cols)
+        # the one read-only stats scan: gname IS the external abs
+        # path, so the sidecar lands at _stats/ext-<digest>.json and
+        # rel keys are relative to the source dir — exactly what
+        # _find_stats_sidecar/_resolve_file_sets read back
+        _maybe_write_stats(
+            spark, table_path, src_abs, src_abs, schema=df.schema
+        )
     extra = _with_schema(
         {"converted_from": src_abs}, df, partition_cols
     )

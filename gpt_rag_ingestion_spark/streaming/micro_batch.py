@@ -521,15 +521,28 @@ def _checkpoint_app_id(checkpoint_dir: str) -> str:
     NORMALIZED spelling of its path (r10 advisor, low: the raw string
     made ``./ckpt`` and ``/abs/path/ckpt`` distinct ledger keys across
     restarts, silently re-opening double-apply for replayed batches).
-    Scheme-qualified URIs keep their scheme and drop only trailing
-    separators; bare paths normalize to an absolute real path.  An
-    explicit ``app_id`` is still the production recommendation — a
-    checkpoint MOVED to a new location is a new identity under this
-    default."""
+    ``file:`` URIs normalize to the BARE local path first (r11
+    advisor: ``file:/x/ckpt``, ``file:///x/ckpt`` and ``/x/ckpt`` are
+    the same checkpoint and must converge on one ledger key, or a
+    bare-path vs file-URI restart re-opens the double-apply window);
+    non-local scheme-qualified URIs keep their scheme and drop only
+    trailing separators; bare paths normalize to an absolute real
+    path.  An explicit ``app_id`` is still the production
+    recommendation — a checkpoint MOVED to a new location is a new
+    identity under this default."""
     import os
 
     raw = str(checkpoint_dir).rstrip("/")
-    if "://" in raw or raw.startswith("file:"):
+    if raw.startswith("file:"):
+        # strip the scheme and any '//' authority: file:/x -> /x,
+        # file:///x -> /x, file://host/x -> /x
+        rest = raw[len("file:"):]
+        if rest.startswith("//"):
+            rest = rest[2:]
+            idx = rest.find("/")
+            rest = rest[idx:] if idx >= 0 else "/"
+        raw = rest
+    if "://" in raw:
         norm = raw
     else:
         norm = os.path.abspath(os.path.normpath(raw))

@@ -208,3 +208,123 @@ def test_convert_crash_legs(spark, tmp_path, monkeypatch):
                 except FileExistsError:
                     pass  # the kill landed after the atomic point
                 assert S.read_snapshot_table(spark, t).count() == 40
+
+
+def _clustered_src(spark, n=4000, files=8):
+    """Range-clustered on v so per-file min/max windows are narrow."""
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("int").alias("b"),
+            (F.col("id") * 3).alias("v"),
+        )
+        .repartitionByRange(files, "v")
+    )
+
+
+def test_convert_collect_stats_prunes_adopted_corpus(spark, tmp_path):
+    """r11 verdict #2: ``collect_stats=True`` closes the full-scan tax
+    on an adopted corpus — one read-only scan at convert builds the
+    min/max sidecar for the EXTERNAL generation, and a selective read
+    file-skips from day one (the q170 data-skipping assertion replayed
+    over a converted table), with zero bytes moved and zero writes
+    into the caller-owned source directory."""
+    src = str(tmp_path / "raw")
+    _clustered_src(spark).write.parquet(src)
+    t = str(tmp_path / "t")
+    before = _source_files(src)
+    S.snapshot_convert_from_parquet(spark, src, t, collect_stats=True)
+    assert _source_files(src) == before  # the stats scan is read-only
+    # the sidecar lives in OUR _stats/, never beside the source
+    sdir = os.path.join(t, "_stats")
+    exts = [f for f in os.listdir(sdir) if f.startswith("ext-")]
+    assert len(exts) == 1
+    assert not os.path.exists(os.path.join(src, "_stats"))
+    rep: dict = {}
+    got = S.snapshot_read_where(spark, t, {"v": (600, 900)}, report=rep)
+    want = S.read_snapshot_table(spark, t).filter(
+        (F.col("v") >= 600) & (F.col("v") <= 900)
+    )
+    cols = ["k", "b", "v"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )
+    assert rep["files_skipped"] > 0, rep
+    assert rep["files_read"] < rep["files_total"]
+    assert rep["unpruned_gens"] == 0, rep
+
+
+def test_convert_collect_stats_partitioned_defaults_exclude_pcols(
+    spark, tmp_path
+):
+    """Partitioned adoption: default stats_cols are the supported-type
+    DATA columns (partition columns prune via the directory layout);
+    pruning and partition filters compose over the external gen."""
+    src = str(tmp_path / "raw")
+    _clustered_src(spark).write.partitionBy("b").parquet(src)
+    t = str(tmp_path / "t")
+    S.snapshot_convert_from_parquet(
+        spark, src, t, partition_cols=["b"], collect_stats=True
+    )
+    import json as _json
+
+    conf = _json.loads(
+        open(os.path.join(t, "_stats_config.json")).read()
+    )
+    assert "b" not in conf["cols"] and set(conf["cols"]) == {"k", "v"}
+    rep: dict = {}
+    got = S.snapshot_read_where(spark, t, {"v": (0, 300)}, report=rep)
+    assert rep["files_skipped"] > 0, rep
+    n = got.filter(F.col("b") == 1).count()
+    want = (
+        spark.read.parquet(src)
+        .filter((F.col("v") <= 300) & (F.col("b") == 1))
+        .count()
+    )
+    assert n == want and n > 0
+
+
+def test_convert_partition_cols_order_mismatch_rejected(spark, tmp_path):
+    """r11 advisor: partition_cols in the WRONG order vs the directory
+    layout (a=.../b=... adopted as ['b','a']) would record rel keys no
+    later write matches — rejected loudly at convert."""
+    src = str(tmp_path / "raw")
+    spark.createDataFrame(
+        [(i, f"a{i % 2}", f"b{i % 3}", i) for i in range(24)],
+        "k long, a string, b string, v long",
+    ).write.partitionBy("a", "b").parquet(src)
+    with pytest.raises(ValueError, match="layout"):
+        S.snapshot_convert_from_parquet(
+            spark, src, str(tmp_path / "t"), partition_cols=["b", "a"]
+        )
+    # the right order still converts
+    g = S.snapshot_convert_from_parquet(
+        spark, src, str(tmp_path / "t2"), partition_cols=["a", "b"]
+    )
+    assert g == 1
+
+
+def test_convert_ext_sidecar_lifecycle_with_vacuum(spark, tmp_path):
+    """The ext-<digest>.json sidecar survives vacuum while the external
+    ref is live, and is garbage-collected once OPTIMIZE localizes the
+    data (no retained manifest references the source any more) — the
+    source directory itself is NEVER touched either way."""
+    src = str(tmp_path / "raw")
+    _clustered_src(spark, n=400, files=4).write.parquet(src)
+    t = str(tmp_path / "t")
+    S.snapshot_convert_from_parquet(spark, src, t, collect_stats=True)
+    before = _source_files(src)
+    sdir = os.path.join(t, "_stats")
+
+    def _exts():
+        return [f for f in os.listdir(sdir) if f.startswith("ext-")]
+
+    assert len(_exts()) == 1
+    S.snapshot_vacuum(spark, t)          # ref still live: sidecar stays
+    assert len(_exts()) == 1
+    S.snapshot_optimize(spark, t)        # localizes: src unreferenced
+    S.snapshot_vacuum(spark, t)
+    assert _exts() == []                 # ext sidecar GC'd
+    assert _source_files(src) == before  # source never touched
+    assert S.read_snapshot_table(spark, t).count() == 400

@@ -571,3 +571,38 @@ def test_pruned_read_equals_filter_property(spark, tmp_path_factory):
         assert _rows(got) == _rows(want)
 
     _prop()
+
+
+def test_clone_reads_prune_via_source_sidecars(spark, tmp_path):
+    """SHALLOW-CLONE reads borrow the SOURCE's stats sidecars for the
+    still-shared generations (r12, ``_find_stats_sidecar``): sidecars
+    are written before commit and immutable after, so a pruned read on
+    the clone skips files without localizing anything — and equals the
+    unpruned read exactly."""
+    src = str(tmp_path / "src")
+    S.snapshot_enable_stats(spark, src, cols=["v", "s"])
+    S.snapshot_merge_upsert(spark, src, _clustered(spark))
+    clone = str(tmp_path / "clone")
+    S.snapshot_clone(spark, src, clone)
+    rep: dict = {}
+    got = S.snapshot_read_where(spark, clone, {"v": (600, 900)}, report=rep)
+    want = S.read_snapshot_table(spark, clone).filter(
+        (F.col("v") >= 600) & (F.col("v") <= 900)
+    )
+    cols = ["parent_id", "bucket", "v", "s"]
+    assert _rows(got.select(*cols)) == _rows(want.select(*cols))
+    assert rep["files_skipped"] > 0, rep
+    assert rep["unpruned_gens"] == 0, rep
+    # divergence: a clone-local merge writes its own sidecar (the
+    # stats config traveled with the clone) and stays pruned too
+    S.snapshot_merge_upsert(
+        spark, clone,
+        spark.createDataFrame(
+            [(100_000, 1, 750, "s1")],
+            "parent_id long, bucket int, v long, s string",
+        ),
+    )
+    rep2: dict = {}
+    got2 = S.snapshot_read_where(spark, clone, {"v": (600, 900)}, report=rep2)
+    assert rep2["unpruned_gens"] == 0, rep2
+    assert got2.filter(F.col("parent_id") == 100_000).count() == 1

@@ -374,9 +374,20 @@ def test_checkpoint_app_id_normalizes_spelling(tmp_path, monkeypatch):
     b = _checkpoint_app_id(str(tmp_path / "ckpt"))
     c = _checkpoint_app_id(str(tmp_path / "ckpt") + "/")
     assert a == b == c
-    # scheme-qualified URIs keep their scheme, lose trailing slashes
-    assert _checkpoint_app_id("file:///x/ckpt/") == _checkpoint_app_id(
-        "file:///x/ckpt"
+    # file: URIs converge on the BARE local path (r11 advisor: a
+    # bare-path vs file-URI restart must not mint two ledger keys)
+    assert (
+        _checkpoint_app_id("file:///x/ckpt/")
+        == _checkpoint_app_id("file:/x/ckpt")
+        == _checkpoint_app_id("file://host/x/ckpt")
+        == _checkpoint_app_id("/x/ckpt")
+    )
+    # non-local schemes keep their scheme, lose trailing slashes
+    assert _checkpoint_app_id("s3://bkt/ckpt/") == _checkpoint_app_id(
+        "s3://bkt/ckpt"
+    )
+    assert _checkpoint_app_id("s3://bkt/ckpt") != _checkpoint_app_id(
+        "/bkt/ckpt"
     )
 
 
@@ -485,3 +496,93 @@ def test_ledger_model_property(spark, tmp_path_factory, schedule, retain):
         m = S._read_manifest(spark, t, got)
         assert (m.get("txn") or {}) == model_led, (m.get("txn"), model_led)
         assert (m.get("txn_gen") or {}) == model_gen
+
+
+def test_clone_retention_horizon_governs_clone_writes_only(
+    spark, tmp_path
+):
+    """r11 verdict #6: the retention horizon TRAVELS with the clone —
+    writes past the horizon IN THE CLONE expire entries using the
+    CLONED conf, while the source table (same policy file content,
+    its own generation clock) is untouched by the clone's churn."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    S.snapshot_set_ledger_retention(spark, src, 2)
+    S.snapshot_merge_upsert(
+        spark, src, _df(spark, [(1, 1)]), key="k",
+        txn_app_id="src-app", txn_version=0,
+    )
+    S.snapshot_clone(spark, src, dst)
+    assert S._ledger_retention(spark, dst) == 2
+    # seed a clone-local app, then push it past the CLONE's horizon
+    S.snapshot_merge_upsert(
+        spark, dst, _df(spark, [(2, 2)]), key="k",
+        txn_app_id="clone-app", txn_version=0,
+    )
+    for i in range(3):
+        S.snapshot_merge_upsert(
+            spark, dst, _df(spark, [(10 + i, i)]), key="k",
+            txn_app_id=f"filler-{i}", txn_version=0,
+        )
+    cur_dst = S._current_gen(spark, dst)
+    dst_ledger = S._read_manifest(spark, dst, cur_dst).get("txn") or {}
+    assert "clone-app" not in dst_ledger  # expired under the CLONED conf
+    # the source's ledger and generation never moved
+    cur_src = S._current_gen(spark, src)
+    assert cur_src == 1
+    src_ledger = S._read_manifest(spark, src, cur_src).get("txn") or {}
+    assert src_ledger == {"src-app": 0}
+    # and widening the CLONE's policy does not touch the source's file
+    S.snapshot_set_ledger_retention(spark, dst, 50)
+    assert S._ledger_retention(spark, src) == 2
+
+
+# ------------------------------------------------- pinned snapshot_update
+
+
+def test_update_conflict_surfaces_and_retry_opt_in(spark, tmp_path):
+    """r11 advisor: ``snapshot_update`` now pins ONE base generation
+    per attempt — a rival landing between the pin and the commit
+    surfaces as ``SnapshotWriteConflict`` (never a silent lost
+    update), and ``max_conflict_rebases`` re-runs the WHOLE attempt
+    (re-pin, re-match) against the winner so the rival's write
+    survives the retried update."""
+    t = str(tmp_path / "t")
+    S.snapshot_merge_upsert(
+        spark, t, _df(spark, [(1, 1), (2, 2)]), key="k"
+    )
+
+    calls = {"n": 0}
+    orig = S._snapshot_merge_upsert_once
+
+    def rival_then_merge(spark_, table_path, incoming, **kw):
+        # a rival lands AFTER update pinned its base, BEFORE its merge
+        # commits — exactly the advisor's window
+        if calls["n"] == 0:
+            calls["n"] += 1
+            orig(
+                spark_, table_path,
+                _df(spark_, [(2, 222)]), key="k",
+            )
+        return orig(spark_, table_path, incoming, **kw)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        S, "_snapshot_merge_upsert_once", side_effect=rival_then_merge
+    ):
+        with pytest.raises(S.SnapshotWriteConflict):
+            S.snapshot_update(spark, t, "k = 1", {"v": "v + 100"}, key="k")
+    # rival's write survived; target row unchanged (no torn update)
+    got = {r.k: r.v for r in S.read_snapshot_table(spark, t).collect()}
+    assert got == {1: 1, 2: 222}, got
+
+    calls["n"] = 0
+    with mock.patch.object(
+        S, "_snapshot_merge_upsert_once", side_effect=rival_then_merge
+    ):
+        S.snapshot_update(
+            spark, t, "k = 1", {"v": "v + 100"}, key="k",
+            max_conflict_rebases=2,
+        )
+    got = {r.k: r.v for r in S.read_snapshot_table(spark, t).collect()}
+    assert got[1] == 101 and got[2] == 222, got

@@ -1728,9 +1728,13 @@ def test_clone_inherits_table_metadata(spark, tmp_path):
 
 
 def test_time_travel_by_timestamp(spark, tmp_path):
-    """AS OF TIMESTAMP: manifest mtimes are the commit clock — a
-    timestamp between commits resolves to the earlier one, before the
-    table raises, and at_gen/at_ts_ms are mutually exclusive."""
+    """AS OF TIMESTAMP resolves from the ``committed_at_ms`` stamped
+    INSIDE the manifest (durable commit clock, r12) — monotonic by
+    construction (clamped to predecessor + 1 ms), and IMMUNE to file
+    mtimes: a simulated rsync/DR restore that rewrites every manifest
+    mtime to one bogus instant moves nothing.  Before-the-table
+    raises; at_gen/at_ts_ms are mutually exclusive."""
+    import json
     import os
 
     snap = str(tmp_path / "snap")
@@ -1740,26 +1744,65 @@ def test_time_travel_by_timestamp(spark, tmp_path):
     S.snapshot_merge_upsert(
         spark, snap, _inc(spark, 0, 10, mul=99), partition_cols=["bucket"]
     )
-    # separate the two commit mtimes deterministically
-    m1 = os.path.join(snap, "_manifests", f"{1:08d}.json")
-    m2 = os.path.join(snap, "_manifests", f"{2:08d}.json")
-    t1, t2 = 1_000_000_000.0, 2_000_000_000.0  # epoch secs
-    os.utime(m1, (t1, t1))
-    os.utime(m2, (t2, t2))
+    mdir = os.path.join(snap, "_manifests")
+    m1 = os.path.join(mdir, f"{1:08d}.json")
+    m2 = os.path.join(mdir, f"{2:08d}.json")
+    with open(m1) as fh:
+        ts1 = json.load(fh)["committed_at_ms"]
+    with open(m2) as fh:
+        ts2 = json.load(fh)["committed_at_ms"]
+    assert ts2 >= ts1 + 1  # monotonic even under a skewed clock
 
-    between = int(1_500_000_000 * 1000)
-    assert S.snapshot_gen_at_timestamp(spark, snap, between) == 1
-    got = S.read_snapshot_table(spark, snap, at_ts_ms=between)
+    # SIMULATED RSYNC: every manifest's mtime rewritten to one bogus
+    # ancient instant — the stamped clock must still resolve
+    for name in os.listdir(mdir):
+        os.utime(os.path.join(mdir, name), (1_000.0, 1_000.0))
+
+    assert S.snapshot_gen_at_timestamp(spark, snap, ts1) == 1
+    assert S.snapshot_gen_at_timestamp(spark, snap, ts2 - 1) == 1
+    assert S.snapshot_gen_at_timestamp(spark, snap, ts2) == 2
+    assert S.snapshot_gen_at_timestamp(spark, snap, ts2 + 10_000) == 2
+    got = S.read_snapshot_table(spark, snap, at_ts_ms=ts1)
     assert _rows(got) == _rows(S.read_snapshot_table(spark, snap, at_gen=1))
-    after = int(2_500_000_000 * 1000)
-    assert S.snapshot_gen_at_timestamp(spark, snap, after) == 2
 
     import pytest as _pytest
 
     with _pytest.raises(FileNotFoundError, match="existed at"):
-        S.snapshot_gen_at_timestamp(spark, snap, int(t1 * 1000) - 5000)
+        S.snapshot_gen_at_timestamp(spark, snap, ts1 - 1)
     with _pytest.raises(ValueError, match="not both"):
-        S.read_snapshot_table(spark, snap, at_gen=1, at_ts_ms=between)
+        S.read_snapshot_table(spark, snap, at_gen=1, at_ts_ms=ts1)
+
+
+def test_time_travel_timestamp_mtime_fallback_pre_r12(spark, tmp_path):
+    """Manifests written BEFORE the stamp existed (pre-r12) resolve by
+    file mtime — strip ``committed_at_ms`` from the JSON, set mtimes,
+    and resolution follows the mtimes again (the upgrade-boundary
+    contract: old tables keep working, new commits are durable)."""
+    import json
+    import os
+
+    snap = str(tmp_path / "snap")
+    S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 0, 10), partition_cols=["bucket"]
+    )
+    S.snapshot_merge_upsert(
+        spark, snap, _inc(spark, 0, 10, mul=99), partition_cols=["bucket"]
+    )
+    mdir = os.path.join(snap, "_manifests")
+    t1, t2 = 1_000_000_000.0, 2_000_000_000.0  # epoch secs
+    for gen, t in ((1, t1), (2, t2)):
+        p = os.path.join(mdir, f"{gen:08d}.json")
+        with open(p) as fh:
+            body = json.load(fh)
+        body.pop("committed_at_ms", None)
+        with open(p, "w") as fh:
+            json.dump(body, fh, sort_keys=True)
+        os.utime(p, (t, t))
+    between = int(1_500_000_000 * 1000)
+    assert S.snapshot_gen_at_timestamp(spark, snap, between) == 1
+    assert S.snapshot_gen_at_timestamp(
+        spark, snap, int(2_500_000_000 * 1000)
+    ) == 2
 
 
 def test_clone_change_feed_works_across_absolute_refs(spark, tmp_path):
