@@ -7398,12 +7398,16 @@ def q249_convert_parquet(spark: SparkSession, sf: str) -> DataFrame:
     base.write.partitionBy("b").parquet(raw)
     snapshot_convert_from_parquet(spark, raw, tbl, partition_cols=["b"])
     n_raw = base.count()
-    # updates hit only b0 (k%20==0 -> k%4==0); inserts land in b2
+    # updates hit only b0/b2 ((k DIV 2) % 4 alternates 0 and 2 for
+    # k%20==0); inserts land in b2.  Insert offset 100_000_000 is
+    # above TPC-H's max o_orderkey at every SF this repo can see
+    # (6M at sf1) — q231's idiom — so inserted keys never collide
+    # with base keys and the gate stays SF-safe (r11 advisor).
     inc = base.filter(F.col("k") % 20 == 0).select(
         "k", "b", (F.col("v") + 7).alias("v")
     ).unionByName(
         base.filter(F.col("k") % 20 == 0).select(
-            (F.col("k") + 1_000_000).alias("k"),
+            (F.col("k") + 100_000_000).alias("k"),
             F.lit("b2").alias("b"),
             F.col("k").cast("long").alias("v"),
         )
@@ -7423,6 +7427,122 @@ def q249_convert_parquet(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(bool(zero_copy)).alias("untouched_partitions_zero_copy"),
         F.lit(bool(tt_ok)).alias("time_travel_to_raw_ok"),
     ).localCheckpoint()
+
+
+def q250_convert_stats_skipping(spark: SparkSession, sf: str) -> DataFrame:
+    """DATA SKIPPING OVER AN ADOPTED CORPUS (r11 verdict #2, new this
+    round): ``snapshot_convert_from_parquet(collect_stats=True)``
+    builds the min/max sidecar for the EXTERNAL generation in ONE
+    read-only, column-pruned scan — zero data movement — and the q170
+    skipping assertion then holds over the converted table from DAY
+    ONE: a selective range read decides its file list from commit
+    metadata alone and provably skips files, while the manifest still
+    references the raw directory absolutely (asserted inline — no
+    OPTIMIZE localized anything).  At 100 TB this is the difference
+    between adopting a corpus and full-scanning it until a rewrite.
+    The exact predicate re-applies, so the oracle is a plain filter:
+    hash equality proves pruning is a pure I/O optimization."""
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        _read_manifest,
+        snapshot_convert_from_parquet,
+        snapshot_read_where,
+    )
+
+    orders = _t(spark, sf, "orders")
+    rows = orders.select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).repartitionByRange(8, "cents")  # narrow per-file [min,max]
+    root = tempfile.mkdtemp(prefix="q250-convert-skip-")
+    raw, tbl = root + "/raw", root + "/t"
+    rows.write.parquet(raw)
+    snapshot_convert_from_parquet(
+        spark, raw, tbl, collect_stats=True, stats_cols=["cents"]
+    )
+    # still an external (zero-copy) reference — nothing localized
+    parts = _read_manifest(spark, tbl, 1)["partitions"]
+    assert set(parts.values()) == {raw}, parts
+    rep: dict = {}
+    out = snapshot_read_where(
+        spark, tbl, {"cents": (5_000_000, 7_500_000)}, report=rep
+    )
+    assert rep["files_skipped"] > 0 and rep["unpruned_gens"] == 0, (
+        f"adopted-corpus data skipping did not engage: {rep}"
+    )
+    return out.select(
+        "o_orderkey", "o_orderstatus", "cents"
+    ).localCheckpoint()
+
+
+def q251_durable_commit_clock(spark: SparkSession, sf: str) -> DataFrame:
+    """TIMESTAMP AS OF on the DURABLE COMMIT CLOCK (r11 verdict #1,
+    new this round): every ``_commit`` stamps ``committed_at_ms``
+    INSIDE the manifest JSON (monotonic — clamped to predecessor+1 ms),
+    and ``snapshot_gen_at_timestamp`` resolves from the stamp, not
+    file mtimes.  The gate builds the q232 three-version history,
+    reads each version's stamp, then SIMULATES AN RSYNC/DR RESTORE by
+    rewriting every manifest's mtime to one bogus ancient instant —
+    under the old mtime clock all three resolutions would collapse to
+    "before the table"; under the stamped clock each version's own
+    timestamp still resolves to exactly that version (asserted
+    inline), and the AS-OF-TIMESTAMP reads summarize identically to
+    AS OF VERSION.  Oracle: the q232 closed form — proving the two
+    time-travel halves agree through a filesystem-level move."""
+    import json as _json
+    import os
+    import tempfile
+
+    from gpt_rag_ingestion_spark.operators.snapshot_table import (
+        read_snapshot_table,
+        snapshot_delete_keys,
+        snapshot_gen_at_timestamp,
+        snapshot_merge_upsert,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_id") % 4).cast("int").alias("bucket"),
+    )
+    base = tempfile.mkdtemp(prefix="q251-clock-")
+    snap = f"{base}/snap"
+    snapshot_merge_upsert(
+        spark, snap, ev, key="event_id", partition_cols=["bucket"]
+    )
+    snapshot_merge_upsert(
+        spark, snap,
+        ev.filter("event_id % 3 = 0").withColumn(
+            "cents", F.col("cents") * 2
+        ),
+        key="event_id", partition_cols=["bucket"],
+    )
+    snapshot_delete_keys(
+        spark, snap,
+        ev.filter("event_id % 6 = 1").select("event_id"),
+        key="event_id", partition_cols=["bucket"],
+    )
+    mdir = os.path.join(snap, "_manifests")
+    stamps = {}
+    for g in (1, 2, 3):
+        with open(os.path.join(mdir, f"{g:08d}.json")) as fh:
+            stamps[g] = int(_json.load(fh)["committed_at_ms"])
+    assert stamps[1] < stamps[2] < stamps[3], stamps  # monotonic
+    # simulated rsync: every manifest mtime -> one bogus instant
+    for name in os.listdir(mdir):
+        os.utime(os.path.join(mdir, name), (1_000.0, 1_000.0))
+    rows = []
+    for g in (1, 2, 3):
+        assert snapshot_gen_at_timestamp(spark, snap, stamps[g]) == g
+        t = read_snapshot_table(spark, snap, at_ts_ms=stamps[g]).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+        ).first()
+        rows.append((g, int(t["n"]), int(t["cents_sum"])))
+    return spark.createDataFrame(
+        rows, "version long, n_rows long, cents_sum long"
+    )
 
 
 #: The first 50 keys of ``queries()`` — the driver's correctness
@@ -7447,39 +7567,39 @@ DRIVER_WINDOW = [
     "q60_merge_upsert",
     "q110_web_admission",
     "q144_giant_doc_parts",
+    "q250_convert_stats_skipping",
+    "q251_durable_commit_clock",
+    "q249_convert_parquet",
+    "q248_ledger_retention",
     "q246_idempotent_replay_matrix",
     "q247_stream_cdc_tombstones",
-    "q200_cdf_rollup_live",
-    "q216_streaming_cdf_rollup",
+    "q245_stream_exactly_once_snapshot",
+    "q232_time_travel_versions",
+    "q176_snapshot_restore",
+    "q170_snapshot_data_skipping",
+    "q225_snapshot_update_where",
+    "q197_snapshot_clone",
     "q220_clone_survives_vacuum",
-    "q226_generated_columns",
     "q151_snapshot_merge",
-    "q204_cdc_conditional_merge",
-    "q217_describe_detail",
     "q219_concurrent_writers",
     "q223_overlap_merge_race",
-    "q224_schema_evolution_merge",
-    "q225_snapshot_update_where",
-    "q231_snapshot_history",
-    "q232_time_travel_versions",
-    "q233_constraint_enforcement",
-    "q234_merge_by_source",
-    "q235_identity_column",
-    "q236_stream_static_enrich",
-    "q237_overwrite_where",
-    "q243_dynamic_partition_overwrite",
-    "q244_lakehouse_composition",
-    "q245_stream_exactly_once_snapshot",
-    "q109_snapshot_diff",
-    "q248_ledger_retention",
-    "q168_cdf_view_maintenance",
-    "q170_snapshot_data_skipping",
-    "q249_convert_parquet",
-    "q173_partition_compaction",
-    "q174_deletion_vectors",
-    "q176_snapshot_restore",
-    "q197_snapshot_clone",
-    "q218_force_reprocess_backfill",
+    "q23_fingerprint",
+    "q26_json_extract",
+    "q45_fields_to_text",
+    "q48_base64",
+    "q49_rolling_fingerprint",
+    "q07_group_counts",
+    "q08_distinct_cap",
+    "q09_distinct_tokens",
+    "q12_running_offset",
+    "q14_sort_paginate",
+    "q22_language_id",
+    "q34_enrichment_join",
+    "q35_sessionize",
+    "q36_polygon_area",
+    "q37_blocklist",
+    "q40_admin_search",
+    "q58_stale_runs",
 ]
 
 
@@ -7491,27 +7611,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fixed — ingest/freshness/purge (q01-q06), chunking (q10), dedup
     # (q15-q18), exact-ANN (q19), streaming (q24), ops (q38/q60), web
     # admission (q110), giant-doc equivalence (q144).  This round
-    # (r11) the whole diff is the snapshot/streaming write plane
-    # (pinned-generation OCC reads, txn-ledger retention, CDC
-    # first-batch clause, update-path ledger, app-id normalization),
-    # so the 33 non-anchor slots are the COMPLETE lakehouse family:
-    # the two NEW r11 gates (q246 idempotent re-delivery across the
-    # non-merge write paths, q247 streaming CDC tombstones), the two
-    # r10-changed CDF ids that sat outside the r10 window
-    # (q200/q216 — r10 verdict #5), every snapshot-write id from the
-    # r10 window whose code path changed again this round (q151 q204
-    # q217 q219 q220 q223-q226 q231-q237 q243 q244 q245), the NEW
-    # retention gate (q248) and the NEW convert gate (q249) — each
-    # r11 feature gets a driver row in its birth round — and eight
-    # LONGEST-STALE snapshot ids, last driver-checked before r8, all
-    # of which drive the rewritten write paths (q109 q168 q170 q173
-    # q174 q176 q197 q218; q166's CDF span is covered by
-    # q200/q216/q244 in this window, q171's metadata point lookup by
-    # q217/q170).
-    # Rotated out (files unchanged in r11, each green in
-    # CORRECTNESS_r10): q93 q107 q199 q221 q222
-    # q227-q230 q238-q242.  The 7 rows-only-by-policy ids
-    # (q20 q47 q50 q51 q52 q53 q79) cannot enter
+    # (r12) the diff is the commit plane (durable committed_at_ms
+    # clock in every manifest), convert-time stats, the pinned
+    # snapshot_update, and the stream app-id scheme fix, so the 33
+    # non-anchor slots are: the TWO NEW r12 gates (q250 adopted-corpus
+    # data skipping, q251 rsync-immune TIMESTAMP AS OF), every r11/r12
+    # id whose code path changed again (q249 offset fix + layout
+    # guard, q248 retention, q246/q247/q245 streaming ledger, q232 +
+    # q176 time travel over the new clock, q170 skipping via the new
+    # sidecar resolver, q225 pinned update, q197/q220 clones that now
+    # BORROW source sidecars, q151 merge lifecycle, q219/q223 writer
+    # races through the restamped _commit) — and SEVENTEEN
+    # longest-unseen oracle-backed ids, last driver-checked in r2-r3
+    # (q23 q26 q45 q48 q49 q07 q08 q09 q12 q14 q22 q34 q35 q36 q37
+    # q40 q58), draining rotation debt per the r11 verdict #4.
+    # Rotated out (byte-unchanged code, each green in
+    # CORRECTNESS_r11): q200 q216 q226 q204 q217 q224 q231 q233-q237
+    # q243 q244 q109 q168 q173 q174 q218.  The 7 rows-only-by-policy
+    # ids (q20 q47 q50 q51 q52 q53 q79) cannot enter
     # (test_window_is_oracle_backed).
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -7531,21 +7648,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_merge_upsert": q60_merge_upsert,
         "q110_web_admission": q110_web_admission,
         "q144_giant_doc_parts": q144_giant_doc_parts,
+        "q250_convert_stats_skipping": q250_convert_stats_skipping,
+        "q251_durable_commit_clock": q251_durable_commit_clock,
+        "q249_convert_parquet": q249_convert_parquet,
+        "q248_ledger_retention": q248_ledger_retention,
         "q246_idempotent_replay_matrix": q246_idempotent_replay_matrix,
         "q247_stream_cdc_tombstones": q247_stream_cdc_tombstones,
-        "q200_cdf_rollup_live": q200_cdf_rollup_live,
-        "q216_streaming_cdf_rollup": q216_streaming_cdf_rollup,
+        "q245_stream_exactly_once_snapshot": q245_stream_exactly_once_snapshot,
+        "q232_time_travel_versions": q232_time_travel_versions,
+        "q176_snapshot_restore": q176_snapshot_restore,
+        "q170_snapshot_data_skipping": q170_snapshot_data_skipping,
+        "q225_snapshot_update_where": q225_snapshot_update_where,
+        "q197_snapshot_clone": q197_snapshot_clone,
         "q220_clone_survives_vacuum": q220_clone_survives_vacuum,
-        "q226_generated_columns": q226_generated_columns,
         "q151_snapshot_merge": q151_snapshot_merge,
-        "q204_cdc_conditional_merge": q204_cdc_conditional_merge,
-        "q217_describe_detail": q217_describe_detail,
         "q219_concurrent_writers": q219_concurrent_writers,
         "q223_overlap_merge_race": q223_overlap_merge_race,
+        "q23_fingerprint": q23_fingerprint,
+        "q26_json_extract": q26_json_extract,
+        "q45_fields_to_text": q45_fields_to_text,
+        "q48_base64": q48_base64,
+        "q49_rolling_fingerprint": q49_rolling_fingerprint,
+        "q07_group_counts": q07_group_counts,
+        "q08_distinct_cap": q08_distinct_cap,
+        "q09_distinct_tokens": q09_distinct_tokens,
+        "q12_running_offset": q12_running_offset,
+        "q14_sort_paginate": q14_sort_paginate,
+        "q22_language_id": q22_language_id,
+        "q34_enrichment_join": q34_enrichment_join,
+        "q35_sessionize": q35_sessionize,
+        "q36_polygon_area": q36_polygon_area,
+        "q37_blocklist": q37_blocklist,
+        "q40_admin_search": q40_admin_search,
+        "q58_stale_runs": q58_stale_runs,
+        "q200_cdf_rollup_live": q200_cdf_rollup_live,
+        "q216_streaming_cdf_rollup": q216_streaming_cdf_rollup,
+        "q226_generated_columns": q226_generated_columns,
+        "q204_cdc_conditional_merge": q204_cdc_conditional_merge,
+        "q217_describe_detail": q217_describe_detail,
         "q224_schema_evolution_merge": q224_schema_evolution_merge,
-        "q225_snapshot_update_where": q225_snapshot_update_where,
         "q231_snapshot_history": q231_snapshot_history,
-        "q232_time_travel_versions": q232_time_travel_versions,
         "q233_constraint_enforcement": q233_constraint_enforcement,
         "q234_merge_by_source": q234_merge_by_source,
         "q235_identity_column": q235_identity_column,
@@ -7553,16 +7695,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q237_overwrite_where": q237_overwrite_where,
         "q243_dynamic_partition_overwrite": q243_dynamic_partition_overwrite,
         "q244_lakehouse_composition": q244_lakehouse_composition,
-        "q245_stream_exactly_once_snapshot": q245_stream_exactly_once_snapshot,
         "q109_snapshot_diff": q109_snapshot_diff,
-        "q248_ledger_retention": q248_ledger_retention,
         "q168_cdf_view_maintenance": q168_cdf_view_maintenance,
-        "q170_snapshot_data_skipping": q170_snapshot_data_skipping,
-        "q249_convert_parquet": q249_convert_parquet,
         "q173_partition_compaction": q173_partition_compaction,
         "q174_deletion_vectors": q174_deletion_vectors,
-        "q176_snapshot_restore": q176_snapshot_restore,
-        "q197_snapshot_clone": q197_snapshot_clone,
         "q218_force_reprocess_backfill": q218_force_reprocess_backfill,
         "q238_quality_report": q238_quality_report,
         "q239_quality_quarantine": q239_quality_quarantine,
@@ -7621,34 +7757,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_corpus_health": q101_corpus_health,
         "q120_collocations": q120_collocations,
         "q128_acl_visibility": q128_acl_visibility,
-        "q07_group_counts": q07_group_counts,
-        "q08_distinct_cap": q08_distinct_cap,
-        "q09_distinct_tokens": q09_distinct_tokens,
         "q11_window_numbering": q11_window_numbering,
-        "q12_running_offset": q12_running_offset,
         "q13_log_retention": q13_log_retention,
-        "q14_sort_paginate": q14_sort_paginate,
         "q20_ann_lsh": q20_ann_lsh,
         "q21_quality_scores": q21_quality_scores,
-        "q22_language_id": q22_language_id,
-        "q23_fingerprint": q23_fingerprint,
-        "q26_json_extract": q26_json_extract,
         "q29_chunk_keys_long": q29_chunk_keys_long,
         "q31_media_features": q31_media_features,
-        "q34_enrichment_join": q34_enrichment_join,
-        "q35_sessionize": q35_sessionize,
-        "q36_polygon_area": q36_polygon_area,
-        "q37_blocklist": q37_blocklist,
         "q39_markdown_rows": q39_markdown_rows,
-        "q40_admin_search": q40_admin_search,
         "q41_acl_parse": q41_acl_parse,
         "q43_windowed_counts": q43_windowed_counts,
         "q44_iso_parse": q44_iso_parse,
-        "q45_fields_to_text": q45_fields_to_text,
         "q46_embedding_neardup": q46_embedding_neardup,
         "q47_ivf_ann": q47_ivf_ann,
-        "q48_base64": q48_base64,
-        "q49_rolling_fingerprint": q49_rolling_fingerprint,
         "q50_doc_analysis_pages": q50_doc_analysis_pages,
         "q51_transcription_chunks": q51_transcription_chunks,
         "q52_multimodal_chunks": q52_multimodal_chunks,
@@ -7657,7 +7777,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_path_keys": q55_path_keys,
         "q56_byte_truncate": q56_byte_truncate,
         "q57_token_stats": q57_token_stats,
-        "q58_stale_runs": q58_stale_runs,
         "q59_run_history": q59_run_history,
         "q61_first_seen": q61_first_seen,
         "q62_salted_agg": q62_salted_agg,
@@ -12235,12 +12354,52 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN k % 20 = 0 THEN v + 7 ELSE v END AS v
               FROM base
               UNION ALL
-              SELECT k + 1000000 AS k, 'b2' AS b, CAST(k AS BIGINT) AS v
+              SELECT k + 100000000 AS k, 'b2' AS b, CAST(k AS BIGINT) AS v
               FROM base WHERE k % 20 = 0)
             SELECT k, b, v,
                    true AS untouched_partitions_zero_copy,
                    true AS time_travel_to_raw_ok
             FROM merged
-            WHERE NOT (k % 28 = 0 AND k < 1000000)
+            WHERE NOT (k % 28 = 0 AND k < 100000000)
+        """,
+        # q250: the pruned range read over the CONVERTED (external)
+        # generation must equal a plain filter — same closed form as
+        # q170; the skipping itself is asserted inside the gate
+        "q250_convert_stats_skipping": """
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+            WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+                  BETWEEN 5000000 AND 7500000
+        """,
+        # q251: AS OF TIMESTAMP (resolved from the stamped commit
+        # clock, after a simulated rsync rewrote every mtime) must
+        # summarize identically to AS OF VERSION — the q232 closed
+        # form verbatim
+        "q251_durable_commit_clock": """
+            WITH e AS (
+              SELECT event_id,
+                CAST(round(value * 100) AS BIGINT) AS c
+              FROM events),
+            v1 AS (
+              SELECT CAST(1 AS BIGINT) AS version,
+                CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(SUM(c) AS BIGINT) AS cents_sum
+              FROM e),
+            v2 AS (
+              SELECT CAST(2 AS BIGINT),
+                CAST(COUNT(*) AS BIGINT),
+                CAST(SUM(CASE WHEN event_id % 3 = 0
+                              THEN c * 2 ELSE c END) AS BIGINT)
+              FROM e),
+            v3 AS (
+              SELECT CAST(3 AS BIGINT),
+                CAST(COUNT(*) AS BIGINT),
+                CAST(SUM(CASE WHEN event_id % 3 = 0
+                              THEN c * 2 ELSE c END) AS BIGINT)
+              FROM e WHERE event_id % 6 <> 1)
+            SELECT * FROM v1
+            UNION ALL SELECT * FROM v2
+            UNION ALL SELECT * FROM v3
         """,
     }

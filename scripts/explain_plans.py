@@ -467,8 +467,54 @@ def _ingest_job_snapshot_pruned(spark, _sf_dir):
     return df
 
 
+def _converted_corpus_pruned(spark, sf_dir):
+    """r11 verdict #2: a corpus ADOPTED via snapshot_convert_from_
+    parquet(collect_stats=True) must serve a range read whose file
+    list is decided from the convert-time ext sidecar — files actually
+    skipped (report, asserted here), data never moved, and the plan a
+    single pruned parquet scan over the EXTERNAL directory with the
+    exact predicate re-applied and no exchange/union (one external
+    generation -> one scan)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gpt_rag_ingestion_spark.operators import snapshot_table as S
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .repartitionByRange(8, "cents")
+    )
+    root = tempfile.mkdtemp(prefix="plans_convert_skip_")
+    raw, tbl = root + "/raw", root + "/t"
+    rows.write.parquet(raw)
+    S.snapshot_convert_from_parquet(
+        spark, raw, tbl, collect_stats=True, stats_cols=["cents"]
+    )
+    rep: dict = {}
+    df = S.snapshot_read_where(
+        spark, tbl, {"cents": (5_000_000, 7_500_000)}, report=rep
+    )
+    assert rep["files_skipped"] > 0 and rep["unpruned_gens"] == 0, (
+        f"adopted corpus not pruned: {rep}"
+    )
+    return df
+
+
 #: composed jobs that aren't driver queries: name -> (builder, must, must_not)
 EXTRA_PLANS = {
+    # the converted (zero-copy adopted) corpus's metadata-pruned range
+    # read: one parquet scan over the surviving external files, exact
+    # filter re-applied, nothing shuffled or unioned
+    "converted_corpus_pruned_scan": (
+        _converted_corpus_pruned,
+        ["Scan parquet", "Filter"],
+        ["Exchange", "Union"],
+    ),
     # the job-maintained snapshot table's metadata-pruned range read:
     # one parquet scan over the surviving generation's files, exact
     # filter re-applied, nothing shuffled
