@@ -2400,11 +2400,15 @@ def snapshot_vacuum(
     it to give concurrent readers / auditors a window.
 
     ``retain_hours`` (Delta's `VACUUM ... RETAIN n HOURS`) ADDS
-    age-based retention: every manifest whose file mtime is within
-    the window is kept too, whatever ``keep_snapshots`` says — the
-    contract an auditor or a long-running reader relies on ("anything
-    committed in the last N hours stays time-travelable").  The two
-    knobs compose as a union of retained sets.
+    age-based retention: every manifest whose COMMIT CLOCK
+    (``committed_at_ms`` stamped in the manifest; file-mtime fallback
+    for pre-r12 manifests) is within the window is kept too, whatever
+    ``keep_snapshots`` says — the contract an auditor or a
+    long-running reader relies on ("anything committed in the last N
+    hours stays time-travelable"), and one that now survives an
+    rsync/DR restore refreshing every mtime (where an mtime window
+    would mis-age the history).  The two knobs compose as a union of
+    retained sets.
 
     CLONE-AWARE: generations still referenced by a registered live
     shallow clone (``_clones/`` breadcrumbs written by
@@ -2444,8 +2448,18 @@ def snapshot_vacuum(
                 except ValueError:
                     continue
                 manifest_gens.append(g)
-                if cutoff is not None and st.getModificationTime() >= cutoff:
-                    fresh.add(g)
+                if cutoff is not None:
+                    ts = None
+                    try:
+                        ts = _read_manifest(spark, table_path, g).get(
+                            "committed_at_ms"
+                        )
+                    except Exception:
+                        ts = None
+                    if ts is None:  # pre-r12 manifest: mtime fallback
+                        ts = st.getModificationTime()
+                    if int(ts) >= cutoff:
+                        fresh.add(g)
     manifest_gens.sort(reverse=True)
     retained = {g for g in manifest_gens if g <= cur}
     retained = (
@@ -3813,11 +3827,14 @@ def snapshot_insert_overwrite_partitions(
 def snapshot_history(spark: SparkSession, table_path: str) -> list[dict]:
     """DESCRIBE HISTORY: one dict per commit whose manifest still
     exists (vacuum is the retention boundary), oldest first —
-    {gen, op, n_partitions, n_generations, has_dv, current, txn}.
-    ``txn`` is the idempotent-writer ledger as of that commit
-    ({app: last_version}, Delta's operationParameters-adjacent
-    surface).  Driver-side metadata only; older manifests may predate
-    the op tag and report op=None."""
+    {gen, op, committed_at_ms, n_partitions, n_generations, has_dv,
+    current, txn}.  ``committed_at_ms`` is the durable commit clock
+    stamped in the manifest (Delta HISTORY's timestamp column; None
+    for pre-r12 manifests).  ``txn`` is the idempotent-writer ledger
+    as of that commit ({app: last_version}, Delta's
+    operationParameters-adjacent surface).  Driver-side metadata
+    only; older manifests may predate the op tag and report
+    op=None."""
     cur = _current_gen(spark, table_path)
     fs, mdir = _hfs(spark, f"{table_path}/_manifests")
     if not fs.exists(mdir):
@@ -3839,6 +3856,7 @@ def snapshot_history(spark: SparkSession, table_path: str) -> list[dict]:
             {
                 "gen": g,
                 "op": m.get("op"),
+                "committed_at_ms": m.get("committed_at_ms"),
                 "n_partitions": len(m["partitions"]),
                 "n_generations": len(set(m["partitions"].values())),
                 "has_dv": bool(m.get("dv")),
@@ -4367,6 +4385,10 @@ def snapshot_table_detail(spark: SparkSession, table_path: str) -> dict:
     return {
         "path": table_path,
         "generation": cur,
+        # the durable commit clock of the CURRENT commit (Delta
+        # DESCRIBE DETAIL's lastModified analog; None pre-r12)
+        "committed_at_ms": manifest.get("committed_at_ms"),
+        "converted_from": manifest.get("converted_from"),
         # DESCRIBE DETAIL carries the logical schema (Delta's card has
         # format + columns): "name:type" per column, in schema order;
         # None for manifests written before schema tracking (r9)

@@ -85,6 +85,8 @@ PROBES = {
     "q247_stream_cdc_tombstones": ("streaming", "2-batch CDC sink (tombstone merge_when) + per-batch crashed replay"),
     "q248_ledger_retention": ("sink", "10 ledger commits under a 3-gen retention horizon + expiry probes"),
     "q249_convert_parquet": ("sink", "zero-copy CONVERT of a raw parquet dir + partitioned merge/delete on top"),
+    "q250_convert_stats_skipping": ("sink", "convert(collect_stats): ONE read-only stats scan + metadata-pruned range read"),
+    "q251_durable_commit_clock": ("sink", "3 commits + 3 AS-OF-TIMESTAMP reads off the stamped clock (mtimes rewritten)"),
 }
 
 

@@ -328,3 +328,30 @@ def test_convert_ext_sidecar_lifecycle_with_vacuum(spark, tmp_path):
     assert _exts() == []                 # ext sidecar GC'd
     assert _source_files(src) == before  # source never touched
     assert S.read_snapshot_table(spark, t).count() == 400
+
+
+def test_convert_collect_stats_bloom_point_lookup(spark, tmp_path):
+    """Bloom bitmaps collected at convert: a point lookup over the
+    adopted corpus opens only files whose bloom lights every bit —
+    the key column is hash-scattered so min/max could NOT prune it,
+    proving the bloom (not the ranges) does the skipping."""
+    src = str(tmp_path / "raw")
+    (
+        spark.range(4000)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * 7 % 1000).alias("v"),
+        )
+        .repartition(8)  # hash-scatter: every file spans the key range
+        .write.parquet(src)
+    )
+    t = str(tmp_path / "t")
+    S.snapshot_convert_from_parquet(
+        spark, src, t, collect_stats=True,
+        stats_cols=["v"], bloom_cols=["k"],
+    )
+    rep: dict = {}
+    got = S.snapshot_read_point(spark, t, "k", [17, 917], report=rep)
+    assert sorted(r.k for r in got.collect()) == [17, 917]
+    assert rep["files_skipped"] > 0, rep
+    assert rep["unpruned_gens"] == 0, rep

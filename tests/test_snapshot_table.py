@@ -1452,8 +1452,11 @@ def test_merge_when_matches_dict_model(spark, tmp_path):
 def test_vacuum_retain_hours_window(spark, tmp_path):
     """Age-based retention (VACUUM RETAIN n HOURS): manifests younger
     than the window stay time-travelable even under the aggressive
-    keep_snapshots=1 default; aging them past the window (mtime) lets
-    the same vacuum reclaim them."""
+    keep_snapshots=1 default; aging them past the window lets the
+    same vacuum reclaim them.  Freshness reads the DURABLE commit
+    clock (r12) — aging means rewriting the ``committed_at_ms``
+    stamp; a rewritten mtime alone no longer mis-ages a commit."""
+    import json
     import os
 
     snap = str(tmp_path / "snap")
@@ -1469,10 +1472,22 @@ def test_vacuum_retain_hours_window(spark, tmp_path):
     assert out["removed_manifests"] == 0  # all commits are fresh
     assert _rows(S.read_snapshot_table(spark, snap, at_gen=1)) == want_g1
 
-    # age generation 1's manifest past the window; gen 2 stays fresh
+    # a STALE MTIME alone (the rsync hazard) must NOT age a fresh
+    # commit out: the stamp wins
     m1 = os.path.join(snap, "_manifests", f"{1:08d}.json")
     old_ts = (S._now_ms(spark) - 48 * 3_600_000) / 1000.0
     os.utime(m1, (old_ts, old_ts))
+    S.snapshot_vacuum(spark, snap, retain_hours=24)
+    assert _rows(S.read_snapshot_table(spark, snap, at_gen=1)) == want_g1
+
+    # age generation 1 FOR REAL: rewrite its committed_at_ms stamp
+    # (through the Hadoop FS — a plain open() write would orphan the
+    # local-FS .crc sidecar and poison later reads)
+    with open(m1) as fh:
+        body = json.load(fh)
+    body["committed_at_ms"] = int(S._now_ms(spark) - 48 * 3_600_000)
+    S._fs_delete(spark, m1)
+    S._write_text(spark, m1, json.dumps(body, sort_keys=True))
     S.snapshot_vacuum(spark, snap, retain_hours=24)
     import pytest as _pytest
 
@@ -1795,8 +1810,9 @@ def test_time_travel_timestamp_mtime_fallback_pre_r12(spark, tmp_path):
         with open(p) as fh:
             body = json.load(fh)
         body.pop("committed_at_ms", None)
-        with open(p, "w") as fh:
-            json.dump(body, fh, sort_keys=True)
+        # rewrite through the Hadoop FS (keeps the .crc sidecar valid)
+        S._fs_delete(spark, p)
+        S._write_text(spark, p, json.dumps(body, sort_keys=True))
         os.utime(p, (t, t))
     between = int(1_500_000_000 * 1000)
     assert S.snapshot_gen_at_timestamp(spark, snap, between) == 1
