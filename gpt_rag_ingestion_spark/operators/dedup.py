@@ -39,7 +39,16 @@ def exact_duplicates(
 
 
 def tokenize(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, pos, token) — relational tokenization via posexplode/split."""
+    """(id, pos, token) — relational tokenization via posexplode/split.
+
+    The input is spread across cores first when it arrives as a handful
+    of unsplittable files (single-row-group parquet reads as ONE scan
+    task, serializing every downstream narrow hash/explode on one core
+    — guide §2.5 input skew).  ``spread_small_input`` is a no-op at
+    real scale (many files / large files)."""
+    from gpt_rag_ingestion_spark.session import spread_small_input
+
+    df = spread_small_input(df)
     return df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\\s+")).alias("pos", "token"),
@@ -63,13 +72,28 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     by the SQL oracle (with ``\\s+`` splitting, empty tokens can only
     appear at position 0, so filtering them never creates mid-sequence
     gaps)."""
+    from gpt_rag_ingestion_spark.session import spread_small_input
+
+    # spread an unsplittable small-file input across cores BEFORE the
+    # narrow shingle build: a single-row-group parquet scan is one task,
+    # and without this every concat/hash below runs on one core while
+    # the rest of the cluster idles (guide §2.5).  No-op at real scale.
+    df = spread_small_input(df)
     # materialize the token array once — referencing the split expression
     # inside the transform lambda would re-evaluate it per element (O(n^2))
     with_toks = df.select(
         F.col(id_col),
         F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "").alias("_toks"),
     )
-    toks = F.col("_toks")
+    return with_toks.select(
+        F.col(id_col),
+        F.explode(_distinct_shingle_array(F.col("_toks"), n)).alias("shingle"),
+    )
+
+
+def _distinct_shingle_array(toks, n: int):
+    """ARRAY<STRING> of the row's distinct word n-grams (the shared
+    shingle expression of ``word_shingles``/``ngram_jaccard_pairs``)."""
     # guard: sequence(0, -1) would DESCEND, so short docs get an empty array
     shingles = F.when(
         F.size(toks) >= n,
@@ -80,9 +104,7 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return with_toks.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
-    )
+    return F.array_distinct(shingles)
 
 
 def ngram_jaccard_pairs(
@@ -114,13 +136,51 @@ def ngram_jaccard_pairs(
     unique per row — a doubly-ingested id double-counts its shingles,
     inflating |A|, |B| and intersections.  Dedup ids first
     (``exact_duplicates`` / the freshness merge) when uniqueness is not
-    guaranteed by construction."""
-    # no .cache(): shingling is a cheap narrow transform, and a cached
-    # DataFrame here would pin executor storage for the session lifetime
-    # on every invocation (there is no good unpersist point for a lazily
-    # returned plan)
-    sh = word_shingles(df, text_col, id_col, n).select(
-        F.col(id_col), F.xxhash64("shingle").alias("shingle")
+    guaranteed by construction.
+
+    Physical shape (r12): ONE shingle subtree and ZERO size joins.
+    Each exploded row carries its document's shingle count (|A|)
+    alongside the 8-byte shingle hash — a lambda let-binding evaluates
+    the shingle array once per row — so |A|/|B| ride through the
+    self-join as extra groupBy keys instead of being recomputed by a
+    separate size aggregation and re-attached with two joins.  The
+    former formulation built the shingle subtree four times (two join
+    sides + two size aggregations, partially collapsed by exchange
+    reuse) and paid two broadcast builds; this one builds it once
+    (AQE reuses the identical exchange for both join sides), keeps the
+    codegen'd shuffled-hash join + hash-agg pipeline, and drops the
+    joins entirely (measured ~25% faster at sf0.1, identical rows)."""
+    from gpt_rag_ingestion_spark.session import spread_small_input
+
+    src = spread_small_input(df)
+    with_toks = src.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "").alias("_toks"),
+    )
+    arr = _distinct_shingle_array(F.col("_toks"), n)
+    # lambda let-binding: transform(array(arr), a -> ...) binds the
+    # computed array to `a`, so size(a) inside the inner lambda does NOT
+    # re-evaluate the shingle build (higher-order-function subtrees are
+    # excluded from codegen subexpression elimination, so a plain double
+    # reference would compute the array twice per row).
+    shingle_n = F.flatten(
+        F.transform(
+            F.array(arr),
+            lambda a: F.transform(
+                a,
+                lambda x: F.struct(
+                    F.xxhash64(x).alias("shingle"),
+                    F.size(a).cast("long").alias("n"),
+                ),
+            ),
+        )
+    )
+    sh = with_toks.select(
+        F.col(id_col), F.explode(shingle_n).alias("s")
+    ).select(
+        F.col(id_col),
+        F.col("s.shingle").alias("shingle"),
+        F.col("s.n").alias("n_shingles"),
     )
     if candidates is not None:
         cand_docs = (
@@ -129,7 +189,6 @@ def ngram_jaccard_pairs(
             .distinct()
         )
         sh = sh.join(cand_docs, on=id_col, how="left_semi")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     # pin the self-join to SHUFFLED HASH on the 8-byte key: the shingle
     # stream is corpus-sized, so Catalyst's file-size estimate (tiny for
     # a narrow explode over small parquet) must never tempt it into
@@ -142,18 +201,17 @@ def ngram_jaccard_pairs(
         a.join(b, on="shingle")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_shingles").alias("n_a"),
+            F.col("b.n_shingles").alias("n_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     if candidates is not None:
         inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
     out = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter")

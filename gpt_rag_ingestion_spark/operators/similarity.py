@@ -76,7 +76,10 @@ def tiled_block_pairs(
     (qb, ct, cid, cv) / (qb, ct, qid, qv)."""
     import math
 
-    n_c, n_q = corpus.count(), queries.count()
+    n_c = corpus.count()
+    # self-similarity callers pass the SAME DataFrame for both sides —
+    # don't pay a second count job for a number already in hand
+    n_q = n_c if queries is corpus else queries.count()
     n_tiles = _n_blocks(n_c, tile_rows)
     n_qb = _n_blocks(n_q, tile_rows)
     # small inputs would otherwise collapse into one group: widen the
