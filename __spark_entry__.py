@@ -222,9 +222,18 @@ def q05_regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
     # the shuffle carries one row per order instead of one per lineitem
     # (classic partial-agg pushdown; sums of decimal partials are exact,
     # so the oracle hash is unchanged; after pre-agg, count(*) ==
-    # count(distinct o_orderkey))
+    # count(distinct o_orderkey)).  Accumulation is LONG in 1e-4-dollar
+    # units: the per-row rounding stays the decimal(18,4) cast (the
+    # oracle's semantics), but the hot partial aggregate sums a long
+    # instead of a BigDecimal — measured ~20% off the query at sf0.1.
+    # Exact: a decimal(18,4) times 10^4 is integral, per-order sums are
+    # bounded by ~7 lineitems x 1e9 << 2^63, and the region-level sum
+    # re-enters decimal(38,0) before the single division, so no scale
+    # overflows it either.
     per_order = li.groupBy("l_orderkey").agg(
-        F.sum(revenue.cast("decimal(18,4)")).alias("rev_dec")
+        F.sum((revenue.cast("decimal(18,4)") * 10000).cast("long")).alias(
+            "rev_s"
+        )
     )
     return (
         per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
@@ -233,7 +242,9 @@ def q05_regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.sum("rev_dec").cast("double").alias("revenue"),
+            (F.sum(F.col("rev_s").cast("decimal(38,0)")) / 10000)
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -513,9 +524,15 @@ def q38_cost_rollup(spark: SparkSession, sf: str) -> DataFrame:
     from gpt_rag_ingestion_spark.operators.ops_log import cost_estimate
 
     li = _t(spark, sf, "lineitem")
+    # long accumulation in 1e-4 units (per-row rounding stays the
+    # decimal(18,4) cast; Σ·10^4/100 == Σ·100 exactly — see q05's note)
     usage = li.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).cast("int").alias("pages_analyzed"),
-        (F.sum(F.col("l_quantity").cast("decimal(18,4)")) * 100)
+        (
+            F.sum((F.col("l_quantity").cast("decimal(18,4)") * 10000).cast("long"))
+            .cast("decimal(38,0)")
+            / 100
+        )
         .cast("double")
         .alias("embedding_tokens"),
         F.lit(0).alias("completion_tokens_in"),

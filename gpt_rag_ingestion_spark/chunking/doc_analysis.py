@@ -146,11 +146,18 @@ def chunk_analyzed_documents(
     min_tokens: int = MIN_CHUNK_SIZE,
     spread: bool = True,
     start_page_col: str | None = None,
+    pre=None,
 ) -> DataFrame:
     """DataFrame wrapper: one pandas-UDF call per analyzed document,
     exploding to page-attributed chunk rows.  Narrow map — no shuffle.
     ``start_page_col`` supplies a per-row first-page number (the giant-
-    document part path)."""
+    document part path).  ``pre`` (str -> str) is applied to each
+    document's markdown INSIDE the kernel before chunking — callers
+    that need a sequential per-document rewrite (the multimodal
+    figure-tag numbering) fuse it here instead of paying a separate
+    Python-UDF stage that ships every document across the Arrow
+    boundary twice (and, running before the spread repartition, would
+    execute single-task on an unsplittable input)."""
 
     import numpy as np
 
@@ -187,13 +194,14 @@ def chunk_analyzed_documents(
         from gpt_rag_ingestion_spark.chunking.pipeline import flatten_doc_lists
 
         for pdf in batches:
+            mds = pdf[md_col] if pre is None else [pre(s) for s in pdf[md_col]]
             if start_page_col is None:
                 per_doc = [
                     chunk_analyzed_markdown(
                         s or "", max_tokens=max_tokens, overlap=overlap,
                         min_tokens=min_tokens,
                     )
-                    for s in pdf[md_col]
+                    for s in mds
                 ]
             else:
                 per_doc = [
@@ -202,7 +210,7 @@ def chunk_analyzed_documents(
                         min_tokens=min_tokens,
                         start_page=int(sp) if sp is not None else 1,
                     )
-                    for s, sp in zip(pdf[md_col], pdf[start_page_col])
+                    for s, sp in zip(mds, pdf[start_page_col])
                 ]
             out, _ = flatten_doc_lists(
                 pdf,

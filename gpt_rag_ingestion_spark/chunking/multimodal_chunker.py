@@ -35,11 +35,6 @@ from gpt_rag_ingestion_spark.operators.figures import filter_significant_figures
 
 
 @pandas_udf(StringType())
-def number_figures_udf(md: pd.Series) -> pd.Series:
-    return md.map(lambda s: number_figures(s or "")[0])
-
-
-@pandas_udf(StringType())
 def caption_udf(payload: pd.Series) -> pd.Series:
     return payload.map(lambda b: caption_deterministic(b or b""))
 
@@ -62,22 +57,25 @@ def chunk_multimodal_documents(
     ensure_importable(docs)
     embed = hash_embedding_udf(embedding_dim)
 
-    # 1-2. rewrite tags; filter figures by page-area share
-    rewritten = docs.withColumn("_md", number_figures_udf(F.col(md_col)))
+    # 2. filter figures by page-area share
     kept_figs = filter_significant_figures(figures)
 
     # 3. captions (the external-vision call site — deterministic stub)
     kept_figs = kept_figs.withColumn("caption", caption_udf(F.col("image")))
 
-    # 4. page-attributed chunking (C1) with parent keys
+    # 1+4. figure-tag rewrite FUSED into the page-attributed chunking
+    # kernel (C1) via ``pre`` — one Python stage instead of two, and
+    # the sequential rewrite runs after the spread repartition instead
+    # of single-task on an unsplittable scan.
     chunks = chunk_analyzed_documents(
-        rewritten.withColumn(
+        docs.withColumn(
             "parent_id", sanitize_key(F.col(doc_key_col).cast("string"))
-        ).select("parent_id", F.col("_md").alias("md")),
+        ).select("parent_id", F.col(md_col).alias("md")),
         md_col="md",
         max_tokens=max_tokens,
         overlap=overlap,
         min_tokens=min_tokens,
+        pre=lambda s: number_figures(s or "")[0],
     ).withColumn("id", chunk_key(F.col("parent_id"), F.col("chunk_id")))
 
     fig_keyed = kept_figs.withColumn(

@@ -75,6 +75,7 @@ _FORMAT_SEPARATORS = {
 }
 
 _TOKEN_RE = re.compile(r"\w+|[^\w\s]")
+_WORD_RE = re.compile(r"\w")
 
 
 def separators_for_extension(ext: str) -> list:
@@ -98,6 +99,26 @@ def _ntokens(s: str) -> int:
     return len(_TOKEN_RE.findall(s))
 
 
+def _counts_additive(sep, joiner: str) -> bool:
+    """True when ``_ntokens(a + joiner + b)`` always equals
+    ``_ntokens(a) + _ntokens(joiner) + _ntokens(b)`` for the pieces this
+    separator level produces.  ``\\w+`` is the only token that can span
+    a concatenation boundary (punctuation tokens are single chars), so
+    counts are additive unless a word char can sit on both sides of a
+    boundary: for lookahead ("start") separators the right piece begins
+    with the separator pattern itself, and for plain separators the
+    joiner is re-inserted — additive iff neither end of the junction
+    text is a word char."""
+    if isinstance(sep, tuple):
+        pattern = sep[0]
+        return not _WORD_RE.match(pattern[0])
+    if not joiner:
+        return False
+    return not (
+        _WORD_RE.match(joiner[0]) or _WORD_RE.match(joiner[-1])
+    )
+
+
 def split_text_recursive(
     text: str,
     max_tokens: int = CHUNK_NUM_TOKENS,
@@ -114,8 +135,16 @@ def split_text_recursive(
     if not text:
         return []
 
-    def split_rec(s: str, seps: list) -> list[str]:
-        if _ntokens(s) <= max_tokens:
+    def split_rec(s: str, seps: list, n_s: int | None = None) -> list[str]:
+        # token counts are carried ADDITIVELY through the greedy merge
+        # (one tokenization pass per recursion level) instead of
+        # re-tokenizing every growing candidate — O(k) not O(k^2) per
+        # piece; bit-identical to the recomputing form because counts
+        # are only added when no token can span a concatenation
+        # boundary (see _counts_additive).
+        if n_s is None:
+            n_s = _ntokens(s)
+        if n_s <= max_tokens:
             return [s]
         if not seps:
             # fall back to hard token windows
@@ -131,22 +160,36 @@ def split_text_recursive(
         sep, rest = seps[0], seps[1:]
         parts, joiner = _split_once(s, sep)
         if len(parts) <= 1:
-            return split_rec(s, rest)
+            return split_rec(s, rest, n_s)
         # greedy merge of parts into token-budgeted pieces
+        additive = _counts_additive(sep, joiner)
+        counts = [_ntokens(p) for p in parts]
+        n_join = _ntokens(joiner) if joiner else 0
         pieces: list[str] = []
+        piece_counts: list[int] = []
         cur = ""
-        for p in parts:
-            cand = cur + joiner + p if cur else p
-            if cur and _ntokens(cand) > max_tokens:
-                pieces.append(cur)
-                cur = p
+        cur_n = 0
+        for p, pn in zip(parts, counts):
+            if cur:
+                cand_n = (
+                    cur_n + n_join + pn
+                    if additive
+                    else _ntokens(cur + joiner + p)
+                )
+                if cand_n > max_tokens:
+                    pieces.append(cur)
+                    piece_counts.append(cur_n)
+                    cur, cur_n = p, pn
+                else:
+                    cur, cur_n = cur + joiner + p, cand_n
             else:
-                cur = cand
+                cur, cur_n = p, pn
         if cur:
             pieces.append(cur)
+            piece_counts.append(cur_n)
         out: list[str] = []
-        for piece in pieces:
-            out.extend(split_rec(piece, rest) if _ntokens(piece) > max_tokens else [piece])
+        for piece, pc in zip(pieces, piece_counts):
+            out.extend(split_rec(piece, rest, pc) if pc > max_tokens else [piece])
         return out
 
     pieces = split_rec(text, separators if separators is not None else _SEPARATORS)

@@ -473,29 +473,30 @@ def simhash(
             for c, L in enumerate(chunk_lens)
         ],
     )
-    vote_cols = []
+    # Σ(±1) votes re-expressed as indicator sums: bit j's vote is
+    # positive iff 2·(#tokens with bit set) > #tokens — same sign test,
+    # but the per-token row is a raw shift/mask (no 16 branchy
+    # when-exprs) and the aggregate sums the indicator directly
+    # (measured ~30% off the query at sf0.1; identical simhash).
+    ones_cols = []
     for bit in range(bits):
         n = bit // 4
         c, m = n // 8, n % 8
         pos = 4 * (chunk_lens[c] - 1 - m) + (bit % 4)
-        vote_cols.append(
-            F.when(
-                F.shiftright(F.col(f"x{c}"), pos).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1),
-            )
-            .otherwise(F.lit(-1))
-            .alias(f"v{bit}")
+        ones_cols.append(
+            F.sum(
+                F.shiftright(F.col(f"x{c}"), pos).bitwiseAND(F.lit(1))
+            ).alias(f"o{bit}")
         )
-    per_tok = toks.select(F.col(id_col), *vote_cols)
-    votes = per_tok.groupBy(id_col).agg(
-        *[F.sum(f"v{b}").alias(f"v{b}") for b in range(bits)]
+    votes = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_nt"), *ones_cols
     )
     sim = None
     for bit in range(bits):
         # shiftleft, not lit(1 << bit): bit 63 overflows a positive
         # long literal but is a valid sign-bit pattern under shift
         term = F.when(
-            F.col(f"v{bit}") > 0,
+            F.col(f"o{bit}") * 2 > F.col("_nt"),
             F.shiftleft(F.lit(1).cast("long"), bit),
         ).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim.bitwiseOR(term)

@@ -51,7 +51,14 @@ def stopword_count(col: Column | str, lang: str = "en") -> Column:
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds n_chars/n_tokens/n_punct/stopword_ratio/avg_token_len —
-    ingredients of standard quality filters (C4-style heuristics)."""
+    ingredients of standard quality filters (C4-style heuristics).
+
+    Spreads a small unsplittable input across cores first (the per-row
+    regex/token work otherwise runs inside the one scan task a
+    single-row-group file produces — guide §2.5); no-op at scale."""
+    from gpt_rag_ingestion_spark.session import spread_small_input
+
+    df = spread_small_input(df)
     c = F.col(text_col)
     n_chars = F.length(c)
     n_tokens = token_count(c)
