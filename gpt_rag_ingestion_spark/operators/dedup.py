@@ -41,14 +41,12 @@ def exact_duplicates(
 def tokenize(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, pos, token) — relational tokenization via posexplode/split.
 
-    The input is spread across cores first when it arrives as a handful
-    of unsplittable files (single-row-group parquet reads as ONE scan
-    task, serializing every downstream narrow hash/explode on one core
-    — guide §2.5 input skew).  ``spread_small_input`` is a no-op at
-    real scale (many files / large files)."""
-    from gpt_rag_ingestion_spark.session import spread_small_input
-
-    df = spread_small_input(df)
+    Deliberately NOT spread: consumers aggregate immediately (simhash
+    votes, postings counts), so an up-front repartition adds an AQE
+    stage wave that costs more than the parallel tokenization saves
+    (measured +0.15 s on q17 at sf0.1); ``word_shingles`` — whose
+    n-gram build + digest work is an order of magnitude heavier — does
+    spread."""
     return df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\\s+")).alias("pos", "token"),
