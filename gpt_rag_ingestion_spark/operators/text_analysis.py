@@ -82,7 +82,14 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: count stopword hits per language, pick the
-    argmax (ties -> lexicographically first language code)."""
+    argmax (ties -> lexicographically first language code).
+
+    Spread first (guide §2.5): the per-language stopword scans are the
+    heaviest narrow expression in the text family, and a single-row-
+    group input would run them all on one core; no-op at scale."""
+    from gpt_rag_ingestion_spark.session import spread_small_input
+
+    df = spread_small_input(df)
     c = F.lower(F.col(text_col))
     toks = _tokens(c)
     scores = []
