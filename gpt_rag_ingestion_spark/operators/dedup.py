@@ -41,12 +41,13 @@ def exact_duplicates(
 def tokenize(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, pos, token) — relational tokenization via posexplode/split.
 
-    Deliberately NOT spread: consumers aggregate immediately (simhash
-    votes, postings counts), so an up-front repartition adds an AQE
-    stage wave that costs more than the parallel tokenization saves
-    (measured +0.15 s on q17 at sf0.1); ``word_shingles`` — whose
-    n-gram build + digest work is an order of magnitude heavier — does
-    spread."""
+    Deliberately NOT spread here: consumers aggregate immediately
+    (simhash votes, postings counts), and a keyless round-robin
+    repartition adds an AQE stage wave that costs more than the
+    parallel tokenization saves (measured +0.15 s on q17 at sf0.1).
+    Callers that DO want parallelism pre-spread hash-partitioned on
+    their aggregation key (see ``simhash``/``word_shingles``), which
+    the downstream groupBy reuses — net zero extra exchanges."""
     return df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\\s+")).alias("pos", "token"),
@@ -75,8 +76,10 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     # spread an unsplittable small-file input across cores BEFORE the
     # narrow shingle build: a single-row-group parquet scan is one task,
     # and without this every concat/hash below runs on one core while
-    # the rest of the cluster idles (guide §2.5).  No-op at real scale.
-    df = spread_small_input(df)
+    # the rest of the cluster idles (guide §2.5).  Hash-partitioned on
+    # the doc id so minhash_signatures' groupBy(id) reuses the exchange
+    # (§2.4).  No-op at real scale.
+    df = spread_small_input(df, by=id_col)
     # materialize the token array once — referencing the split expression
     # inside the transform lambda would re-evaluate it per element (O(n^2))
     with_toks = df.select(
@@ -150,7 +153,7 @@ def ngram_jaccard_pairs(
     joins entirely (measured ~25% faster at sf0.1, identical rows)."""
     from gpt_rag_ingestion_spark.session import spread_small_input
 
-    src = spread_small_input(df)
+    src = spread_small_input(df, by=id_col)
     with_toks = src.select(
         F.col(id_col),
         F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "").alias("_toks"),
@@ -459,6 +462,13 @@ def simhash(
     # value bit 4*(L - 1 - (j//4)%8) + (j%4) of chunk (j//4)//8.
     # Chunks stay <= 8 chars (32 bits) so the parse never overflows
     # int64 (a whole 16-char parse would at bits > 60).
+    from gpt_rag_ingestion_spark.session import spread_small_input
+
+    # hash-spread on the doc id: parallelizes the per-token md5 on an
+    # unsplittable input AND the vote groupBy(id) below reuses this
+    # exchange (§2.4) — so unlike a round-robin spread (measured net
+    # negative here), the total exchange count does not grow.
+    df = spread_small_input(df, by=id_col)
     nchars = -(-bits // 4)
     chunk_lens = [min(8, nchars - s) for s in range(0, nchars, 8)]
     h = F.md5(F.col("token"))

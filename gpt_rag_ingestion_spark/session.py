@@ -61,7 +61,7 @@ def ship_active() -> None:
         ship_package(s)
 
 
-def spread_small_input(docs: DataFrame, cap: int = 8) -> DataFrame:
+def spread_small_input(docs: DataFrame, cap: int = 8, by: str | None = None) -> DataFrame:
     """Spread a SMALL input across cores without the plan->RDD
     partition probe (``getNumPartitions`` on the plan's RDD costs a query
     compilation per call).  The scan partition count is estimated from
@@ -70,7 +70,16 @@ def spread_small_input(docs: DataFrame, cap: int = 8) -> DataFrame:
     per file otherwise).  Non-file sources (createDataFrame ranges,
     already-shuffled plans) are left alone — they already carry the
     session parallelism.  At real scale the estimate exceeds the
-    threshold immediately and this is a no-op."""
+    threshold immediately and this is a no-op.
+
+    ``by``: optional high-cardinality key column.  When given, the
+    spread HASH-partitions on it instead of round-robin: a downstream
+    ``groupBy(by)`` then reuses this exchange outright (guide §2.4 —
+    partial+final aggregation collapse into the same stage, one fewer
+    AQE wave), and the repartition skips the sort-before-repartition
+    pass a keyless ``repartition(n)`` pays.  Only pass a key with many
+    more distinct values than cores (doc ids qualify; a 4-value bucket
+    column does not — guide §2.5)."""
     sc = docs.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
@@ -99,6 +108,10 @@ def spread_small_input(docs: DataFrame, cap: int = 8) -> DataFrame:
         est += max(1, -(-size // max_bytes))
         if est >= threshold:
             return docs
+    if by is not None:
+        from pyspark.sql import functions as F
+
+        return docs.repartition(target, F.col(by))
     return docs.repartition(target)
 
 
