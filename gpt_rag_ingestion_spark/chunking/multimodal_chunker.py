@@ -20,23 +20,15 @@ Structure: everything after the per-document tag rewrite is relational
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
 
 from gpt_rag_ingestion_spark.chunking.doc_analysis import chunk_analyzed_documents
 from gpt_rag_ingestion_spark.embeddings import hash_embedding_udf
-from gpt_rag_ingestion_spark.enrichers import caption_deterministic
+from gpt_rag_ingestion_spark.enrichers import caption_expr
 from gpt_rag_ingestion_spark.functions.keys import chunk_key, sanitize_key
 from gpt_rag_ingestion_spark.functions.markdown import number_figures
 from gpt_rag_ingestion_spark.operators.figures import filter_significant_figures
-
-
-@pandas_udf(StringType())
-def caption_udf(payload: pd.Series) -> pd.Series:
-    return payload.map(lambda b: caption_deterministic(b or b""))
 
 
 def chunk_multimodal_documents(
@@ -60,8 +52,12 @@ def chunk_multimodal_documents(
     # 2. filter figures by page-area share
     kept_figs = filter_significant_figures(figures)
 
-    # 3. captions (the external-vision call site — deterministic stub)
-    kept_figs = kept_figs.withColumn("caption", caption_udf(F.col("image")))
+    # 3. captions (the external-vision call site).  The deterministic
+    # stub is pure sha256+length formatting, so it runs as JVM
+    # built-ins — no ArrowEvalPython node, and the image BYTES never
+    # cross into Python (guide §4.1).  A real vision model re-enters
+    # here as a pandas UDF over the same column.
+    kept_figs = kept_figs.withColumn("caption", caption_expr(F.col("image")))
 
     # 1+4. figure-tag rewrite FUSED into the page-attributed chunking
     # kernel (C1) via ``pre`` — one Python stage instead of two, and

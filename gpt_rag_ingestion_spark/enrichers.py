@@ -47,6 +47,31 @@ def caption_deterministic(payload: bytes, max_words: int = MAX_CAPTION_WORDS) ->
     return f"figure sha256:{h[:16]} ({len(payload or b'')} bytes)"[: max_words * 8]
 
 
+def caption_expr(payload_col, max_words: int = MAX_CAPTION_WORDS):
+    """JVM twin of :func:`caption_deterministic`: the deterministic
+    caption is sha256 + length formatting, both Spark built-ins, so the
+    production path can caption figures without shipping the image
+    bytes across the Python boundary (guide §4.1 — the payload is the
+    heavy column; the pandas-UDF form paid an ArrowEvalPython crossing
+    of every image for a string the JVM can build itself).  Byte-equal
+    to the Python form by test; a real GPT-vision enricher plugs back
+    in as a pandas UDF with the same column contract."""
+    from pyspark.sql import functions as F
+
+    p = F.coalesce(payload_col, F.lit(b""))
+    return F.substring(
+        F.concat(
+            F.lit("figure sha256:"),
+            F.substring(F.sha2(p, 256), 1, 16),
+            F.lit(" ("),
+            F.length(p).cast("string"),
+            F.lit(" bytes)"),
+        ),
+        1,
+        max_words * 8,
+    )
+
+
 def call_with_backoff(
     fn,
     max_attempts: int = 20,

@@ -54,7 +54,13 @@ def tokenize(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ).filter(F.col("token") != "")
 
 
-def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+def word_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    spread: bool = True,
+) -> DataFrame:
     """(id, shingle) distinct word n-grams.
 
     Built as a narrow array transform (sequence over the token array +
@@ -78,8 +84,12 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     # and without this every concat/hash below runs on one core while
     # the rest of the cluster idles (guide §2.5).  Hash-partitioned on
     # the doc id so minhash_signatures' groupBy(id) reuses the exchange
-    # (§2.4).  No-op at real scale.
-    df = spread_small_input(df, by=id_col)
+    # (§2.4).  No-op at real scale.  ``spread=False`` is for callers
+    # shingling a MICRO-BATCH whose plan contract forbids id-keyed
+    # exchanges (the sidecar steady-state rule): bounded batches don't
+    # need the parallelism and must not pay the exchange.
+    if spread:
+        df = spread_small_input(df, by=id_col)
     # materialize the token array once — referencing the split expression
     # inside the transform lambda would re-evaluate it per element (O(n^2))
     with_toks = df.select(
@@ -1487,7 +1497,7 @@ def incremental_dedup_sidecar(
     ).select(id_col)
     sh_i = word_shingles(
         incr.join(F.broadcast(unresolved), on=id_col, how="left_semi"),
-        text_col, id_col, n,
+        text_col, id_col, n, spread=False,
     ).select(F.col(id_col).alias("_iid"), F.xxhash64("shingle").alias("sh"))
     sh_b = sh_b_raw.select(F.col("doc_id").alias("_bid"), "sh")
     n_i = sh_i.groupBy("_iid").agg(F.count(F.lit(1)).alias("n_i"))

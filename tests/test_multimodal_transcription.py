@@ -104,3 +104,26 @@ def test_caption_deterministic():
     c = caption_deterministic(b"bytes")
     assert c == caption_deterministic(b"bytes")
     assert c.startswith("figure sha256:")
+
+
+def test_caption_expr_matches_python(spark):
+    """r12 perf: the JVM caption expression must stay byte-equal to
+    caption_deterministic (the pandas-UDF form it replaced), including
+    null/empty payloads and multi-byte content."""
+    from gpt_rag_ingestion_spark.enrichers import caption_expr
+
+    payloads = [
+        (0, None),
+        (1, b""),
+        (2, b"bytes"),
+        (3, b"\x00\xff" * 513),
+        (4, "unicode ☃ text".encode("utf-8")),
+        (5, bytes(range(256)) * 100),
+    ]
+    df = spark.createDataFrame(payloads, "i int, image binary")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", caption_expr(F.col("image")).alias("c")).collect()
+    }
+    for i, p in payloads:
+        assert got[i] == caption_deterministic(p or b""), i

@@ -249,6 +249,71 @@ def test_chunk_analyzed_documents_pre_hook_equivalent(spark):
     assert sorted(fused.collect(), key=key) == sorted(staged.collect(), key=key)
 
 
+# ------------------------------------------------------ rolling fingerprint
+
+
+def test_rolling_fingerprint_zero_shuffle_matches_explode_reference(spark):
+    """r12 perf: the incremental (hash, B^i) array aggregate must equal
+    the pre-r12 posexplode + power-table-join + groupBy construction,
+    including empty docs, NULL text, and the max_tokens cutoff — and
+    its plan must carry ZERO Exchange nodes."""
+    from gpt_rag_ingestion_spark.operators.text_analysis import (
+        ROLLING_BASE,
+        ROLLING_MOD,
+        rolling_fingerprint,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "beta alpha gamma delta"),        # order-sensitive vs 0
+        (2, ""),                               # zero tokens: dropped
+        (3, None),                             # NULL text: dropped
+        (4, "   \t  "),                        # whitespace only: dropped
+        (5, " ".join(f"tok{i}" for i in range(40))),  # crosses max_tokens=16
+        (6, "solo"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(3)
+    got = rolling_fingerprint(docs, "text", "doc_id", max_tokens=16)
+
+    # reference: the pre-r12 explode + broadcast-power-join + groupBy
+    powers = [1] * 17
+    for i in range(1, 17):
+        powers[i] = (powers[i - 1] * ROLLING_BASE) % ROLLING_MOD
+    pow_df = F.broadcast(
+        spark.createDataFrame(
+            [(i, p) for i, p in enumerate(powers)], "pos INT, b_pow LONG"
+        )
+    )
+    toks = docs.select(
+        F.col("doc_id"),
+        F.posexplode(
+            F.filter(F.split(F.col("text"), "\\s+"), lambda t: t != "")
+        ).alias("pos", "token"),
+    ).filter(F.col("pos") < 16)
+    val = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+    ref = (
+        toks.join(pow_df, on="pos")
+        .withColumn("term", (val % ROLLING_MOD) * F.col("b_pow") % ROLLING_MOD)
+        .groupBy("doc_id")
+        .agg((F.sum("term") % ROLLING_MOD).alias("rolling_fp"))
+    )
+    key = lambda r: r["doc_id"]
+    got_rows = sorted(got.collect(), key=key)
+    ref_rows = sorted(ref.collect(), key=key)
+    assert [r.asDict() for r in got_rows] == [r.asDict() for r in ref_rows]
+    assert [r["doc_id"] for r in got_rows] == [0, 1, 5, 6]
+    assert got_rows[0]["rolling_fp"] != got_rows[1]["rolling_fp"]
+
+    flat = rolling_fingerprint(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        "text",
+        "doc_id",
+        max_tokens=16,
+    )
+    plan = flat._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
 # ------------------------------------------------------- spread_small_input
 
 
