@@ -131,25 +131,61 @@ def cost_estimate(
     """A4: the reference's cost model (blob_storage_indexer.py:634-653)
     as a column expression, rounded to 4 dp like the reference.
 
-    The arithmetic runs in the DECIMAL domain: double rounding at a
-    4 dp boundary diverges between engines when enough rows exist to
-    hit one (the sf0.1 oracle sweep caught exactly that), while exact
-    decimal products + HALF_UP round are engine-identical.  The per-1k
-    rates are folded to exact per-token decimal literals (0.00013/1000
-    = 0.00000013 etc.) so no division appears; token counts are
-    integral, so the double->decimal cast is exact."""
-    pages = F.coalesce(F.col(pages_col), F.lit(0)).cast("decimal(20,0)")
-    embed = F.coalesce(F.col(embed_tokens_col), F.lit(0)).cast("decimal(20,4)")
-    cin = F.coalesce(F.col(in_tokens_col), F.lit(0)).cast("decimal(20,4)")
-    cout = F.coalesce(F.col(out_tokens_col), F.lit(0)).cast("decimal(20,4)")
-    cost = (
-        pages * F.lit(COST_PER_PAGE_ANALYSIS).cast("decimal(10,6)")
-        + embed * F.lit(COST_PER_1K_EMBEDDING_TOKENS / 1000.0).cast("decimal(12,8)")
-        + cin * F.lit(COST_PER_1K_COMPLETION_IN / 1000.0).cast("decimal(12,8)")
-        + cout * F.lit(COST_PER_1K_COMPLETION_OUT / 1000.0).cast("decimal(12,8)")
+    The arithmetic is EXACT but runs on scaled longs, not BigDecimal
+    (r12, guide §1.2 "per-task work" / §2.3 "narrower types"): double
+    rounding at a 4 dp boundary diverges between engines when enough
+    rows exist to hit one (the sf0.1 oracle sweep caught exactly
+    that), and the original formulation therefore did every product
+    and sum in the decimal domain — but those intermediates exceed 18
+    digits of precision, so every row paid interpreted
+    BigDecimal-backed arithmetic.  Since all four per-token rates are
+    exact multiples of 10^-12 USD (0.01, 0.00013/1000 = 13e-12·10^4,
+    0.0025/1000 = 250e-12·10^4, 0.01/1000 = 1000e-12·10^4), the whole
+    model is integer arithmetic in 10^-12-USD units:
+
+    - each input enters through ONE decimal cast — the identical cast
+      the decimal form used (decimal(20,0) for pages, decimal(20,4)
+      for token counts, i.e. HALF_UP at 0/4 dp for non-integral
+      doubles) — then scales to a long (exact: the fraction digits
+      are zero after the *10^4);
+    - cost_e12 = pages·10^10 + embed_e4·13 + cin_e4·250 + cout_e4·1000
+      (exact long math; bounds: |pages| ≤ 9.2e8, token counts ≤ 7e13
+      per ROW — per-file/run usage counters, not corpus sums — far
+      under int64);
+    - round-HALF-UP to 4 dp == (cost_e12 + 5e7) - pmod(·, 1e8), an
+      exact multiple m of 10^8 (HALF_UP == floor(x+half) for the
+      non-negative counters this models; pmod keeps even a negative
+      input on the floor form);
+    - estimated = m / 10^12 as ONE double division: m < 2^53 is exact
+      in double and m/10^12 equals the rational r·10^-4 exactly, so
+      IEEE nearest gives the same double as decimal(·,4).cast(double).
+
+    Bit-equality with the decimal form is pinned by
+    tests/test_r12_optimizations.py::test_cost_estimate_long_matches_decimal
+    (4 dp boundary values, null/None, non-integral doubles) and the
+    full-table sweep noted in OPTIMIZATION_r12.md; the oracle SQL
+    (unchanged) still computes the decimal construction."""
+    pages_l = (
+        F.coalesce(F.col(pages_col), F.lit(0)).cast("decimal(20,0)").cast("long")
     )
+
+    def _e4(col: str):
+        # one decimal cast (the HALF_UP-at-4dp contract), then exact long
+        return (
+            (F.coalesce(F.col(col), F.lit(0)).cast("decimal(20,4)") * 10000)
+            .cast("long")
+        )
+
+    cost_e12 = (
+        pages_l * F.lit(10_000_000_000)
+        + _e4(embed_tokens_col) * F.lit(13)
+        + _e4(in_tokens_col) * F.lit(250)
+        + _e4(out_tokens_col) * F.lit(1000)
+    )
+    half = cost_e12 + F.lit(50_000_000)
+    m = half - F.pmod(half, F.lit(100_000_000))
     return usage.withColumn(
-        "estimated_cost_usd", F.round(cost, 4).cast("double")
+        "estimated_cost_usd", m.cast("double") / F.lit(1_000_000_000_000.0)
     )
 
 

@@ -337,3 +337,58 @@ def test_spread_by_key_hash_partitions_and_noop_on_spread_input(spark, tmp_path)
     spark.range(200).selectExpr("id AS doc_id").repartition(10).write.parquet(p2)
     many = spark.read.parquet(p2)
     assert spread_small_input(many, by="doc_id") is many
+
+# ------------------------------------------------------------ cost_estimate
+
+
+def test_cost_estimate_long_matches_decimal(spark):
+    """r12 perf: the scaled-long (10^-12-USD integer units) cost model
+    must be bit-identical to the pre-r12 BigDecimal construction —
+    including rows that land EXACTLY on a 4 dp HALF_UP boundary, NULL
+    counters, and non-integral double token counts (where the shared
+    decimal(20,4) entry cast does the rounding)."""
+    from gpt_rag_ingestion_spark.operators.ops_log import cost_estimate
+
+    rows = [
+        # (pages, embed, cin, cout)
+        (1, 1000.0, 200.0, 100.0),
+        (0, 5000.0, 0.0, 0.0),       # embed cost = 0.00065 -> boundary
+        (0, 0.0, 20.0, 0.0),         # cin  cost = 0.00005 -> boundary
+        (0, 0.0, 0.0, 5.0),          # cout cost = 0.00005 -> boundary
+        (0, 0.0, 0.0, 15.0),         # 0.00015 -> boundary, odd half
+        (None, None, None, None),    # coalesce path
+        (0, 12.34565, 7.89125, 3.00005),  # non-integral: decimal(20,4) cast rounds
+        (2, 1234567.89, 54321.0, 98765.4321),
+        (1000000, 1e10, 1e9, 1e9),   # large but in-bounds counters
+        (0, 0.0, 0.0, 0.0),
+        (3, 0.00004, 0.0, 0.0),      # sub-rounding embed -> cast to 0.0000? (0.0001*13e-8)
+    ]
+    usage = spark.createDataFrame(
+        rows,
+        "pages_analyzed int, embedding_tokens double, "
+        "completion_tokens_in double, completion_tokens_out double",
+    )
+
+    got = [r["estimated_cost_usd"] for r in cost_estimate(usage).collect()]
+
+    # reference: the pre-r12 decimal-domain construction, verbatim
+    pages = F.coalesce(F.col("pages_analyzed"), F.lit(0)).cast("decimal(20,0)")
+    embed = F.coalesce(F.col("embedding_tokens"), F.lit(0)).cast("decimal(20,4)")
+    cin = F.coalesce(F.col("completion_tokens_in"), F.lit(0)).cast("decimal(20,4)")
+    cout = F.coalesce(F.col("completion_tokens_out"), F.lit(0)).cast("decimal(20,4)")
+    cost = (
+        pages * F.lit(0.01).cast("decimal(10,6)")
+        + embed * F.lit(0.00013 / 1000.0).cast("decimal(12,8)")
+        + cin * F.lit(0.0025 / 1000.0).cast("decimal(12,8)")
+        + cout * F.lit(0.01 / 1000.0).cast("decimal(12,8)")
+    )
+    ref = [
+        r["estimated_cost_usd"]
+        for r in usage.withColumn(
+            "estimated_cost_usd", F.round(cost, 4).cast("double")
+        ).collect()
+    ]
+    assert got == ref, list(zip(got, ref, rows))
+    # the boundary rows really are boundaries: HALF_UP went UP
+    assert got[1] == 0.0007 and got[2] == 0.0001 and got[3] == 0.0001
+    assert got[4] == 0.0002
