@@ -305,7 +305,12 @@ def lsh_bucketed_ann(
 
 def _make_bucket_scorer(k: int):
     """Per-bucket dense cosine scorer for cogrouped applyInPandas: one
-    matmul per (corpus-cell, query-probes) group, local top-k."""
+    matmul per (corpus-cell, query-probes) group, local top-k.  The
+    output rows are assembled with numpy indexing (repeat/ravel/mask)
+    rather than a per-(query, neighbor) Python loop — same row multiset
+    (the loop appended exactly the finite (qids[i], cids[j], S[i, j])
+    triples for j in top[i]), but the construction stays vectorized at
+    any bucket size (guide §4.2)."""
 
     def score(cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
         if cdf.empty or qdf.empty:
@@ -320,15 +325,16 @@ def _make_bucket_scorer(k: int):
         S[qids[:, None] == cids[None, :]] = -np.inf  # mask self-pairs
         kk = min(k, S.shape[1])
         top = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
-        rows_q, rows_c, rows_s = [], [], []
-        for i in range(len(qids)):
-            for j in top[i]:
-                if np.isfinite(S[i, j]):
-                    rows_q.append(qids[i])
-                    rows_c.append(cids[j])
-                    rows_s.append(S[i, j])
+        rows = np.repeat(np.arange(len(qids)), kk)
+        cols = top.ravel()
+        vals = S[rows, cols]
+        keep = np.isfinite(vals)  # drops masked self-pairs and NaN norms
         return pd.DataFrame(
-            {"query_id": rows_q, "corpus_id": rows_c, "cosine": rows_s}
+            {
+                "query_id": qids[rows[keep]],
+                "corpus_id": cids[cols[keep]],
+                "cosine": vals[keep],
+            }
         )
 
     return score

@@ -1365,3 +1365,97 @@ def test_filtered_knn_pre_vs_post_modes(spark):
     # identical predicate => post hits are a subset of pre hits' pairs
     pre_pairs = {(r["query_id"], r["corpus_id"]) for r in pre}
     assert {(r["query_id"], r["corpus_id"]) for r in post} <= pre_pairs
+
+
+def test_bucket_scorer_vectorized_matches_loop_reference():
+    """r12: _make_bucket_scorer's output rows are assembled with numpy
+    indexing instead of a per-(query, neighbor) Python loop.  Pin the
+    vectorized construction against the old loop form on buckets that
+    exercise every branch: self-pair masking, kk < k (bucket smaller
+    than k), exact cosine ties, a zero-norm corpus vector (NaN scores
+    must be dropped by BOTH forms), and a singleton bucket whose only
+    candidate is the masked self-pair."""
+    import numpy as np
+    import pandas as pd
+
+    from gpt_rag_ingestion_spark.operators.similarity import (
+        _make_bucket_scorer,
+    )
+
+    def loop_reference(k, cdf, qdf):
+        if cdf.empty or qdf.empty:
+            return set()
+        C = np.vstack(cdf["cv"].to_numpy()).astype("float64")
+        Q = np.vstack(qdf["qv"].to_numpy()).astype("float64")
+        cids = cdf["corpus_id"].to_numpy()
+        qids = qdf["query_id"].to_numpy()
+        S = (Q @ C.T) / (
+            np.linalg.norm(Q, axis=1)[:, None]
+            * np.linalg.norm(C, axis=1)[None, :]
+        )
+        S[qids[:, None] == cids[None, :]] = -np.inf
+        kk = min(k, S.shape[1])
+        top = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        out = set()
+        for i in range(len(qids)):
+            for j in top[i]:
+                if np.isfinite(S[i, j]):
+                    out.add((qids[i], cids[j], round(float(S[i, j]), 12)))
+        return out
+
+    def rows(pdf):
+        return {
+            (int(q), int(c), round(float(s), 12))
+            for q, c, s in zip(
+                pdf["query_id"], pdf["corpus_id"], pdf["cosine"]
+            )
+        }
+
+    rng = np.random.RandomState(7)
+
+    def frame(ids, vecs, side):
+        cols = (
+            {"corpus_id": ids, "cv": list(vecs)}
+            if side == "c"
+            else {"query_id": ids, "qv": list(vecs)}
+        )
+        return pd.DataFrame(cols)
+
+    # bucket 1: generic — 12 corpus, 5 queries (2 are corpus members ->
+    # self-pair masking), k=4
+    cv = rng.randn(12, 8)
+    cids = np.arange(100, 112)
+    qv = np.vstack([cv[0], cv[5], rng.randn(3, 8)])
+    qids = np.array([100, 105, 900, 901, 902])
+    # bucket 2: kk < k — 2 corpus rows, k=4
+    cv2, cids2 = rng.randn(2, 8), np.array([1, 2])
+    qv2, qids2 = rng.randn(3, 8), np.array([10, 11, 12])
+    # bucket 3: exact ties — duplicated corpus vectors under distinct ids
+    base = rng.randn(1, 8)
+    cv3 = np.vstack([base, base, base, rng.randn(1, 8)])
+    cids3 = np.array([5, 6, 7, 8])
+    qv3, qids3 = rng.randn(2, 8), np.array([20, 21])
+    # bucket 4: zero-norm corpus vector -> NaN column dropped by both
+    cv4 = np.vstack([np.zeros(8), rng.randn(2, 8)])
+    cids4 = np.array([30, 31, 32])
+    qv4, qids4 = rng.randn(2, 8), np.array([40, 41])
+    # bucket 5: singleton bucket, query IS the one corpus row
+    cv5, cids5 = rng.randn(1, 8), np.array([50])
+    qv5, qids5 = cv5.copy(), np.array([50])
+
+    score = _make_bucket_scorer(4)
+    for cv_, cids_, qv_, qids_ in [
+        (cv, cids, qv, qids),
+        (cv2, cids2, qv2, qids2),
+        (cv3, cids3, qv3, qids3),
+        (cv4, cids4, qv4, qids4),
+        (cv5, cids5, qv5, qids5),
+    ]:
+        cdf = frame(cids_, cv_, "c")
+        qdf = frame(qids_, qv_, "q")
+        got = rows(score(cdf, qdf))
+        want = loop_reference(4, cdf, qdf)
+        assert got == want, (got - want, want - got)
+    # empty sides
+    assert score(frame([], [], "c"), frame(qids, qv, "q")).empty
+    assert score(frame(cids, cv, "c"), frame([], [], "q")).empty
