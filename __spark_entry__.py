@@ -721,6 +721,7 @@ def q50_doc_analysis_pages(spark: SparkSession, sf: str) -> DataFrame:
         max_tokens=40,
         overlap=4,
         min_tokens=2,
+        spread_by="doc_id",
     )
     return out.select("doc_id", "chunk_id", "page", "content")
 
@@ -2854,7 +2855,7 @@ def q144_giant_doc_parts(spark: SparkSession, sf: str) -> DataFrame:
     )
     src = docs.select("doc_id", md.alias("markdown"))
     kw = dict(max_tokens=16, overlap=0, min_tokens=2)
-    whole = chunk_analyzed_documents(src, **kw).select(
+    whole = chunk_analyzed_documents(src, spread_by="doc_id", **kw).select(
         "doc_id", "chunk_id", "page", "content"
     )
     split = chunk_giant_documents(

@@ -145,6 +145,7 @@ def chunk_analyzed_documents(
     overlap: int = TOKEN_OVERLAP,
     min_tokens: int = MIN_CHUNK_SIZE,
     spread: bool = True,
+    spread_by: str | None = None,
     start_page_col: str | None = None,
     pre=None,
 ) -> DataFrame:
@@ -168,9 +169,13 @@ def chunk_analyzed_documents(
 
     ensure_importable(docs)
     # spread small single-file inputs across cores (no-op at real scale;
-    # file-listing estimate, never a plan->RDD partition probe)
+    # file-listing estimate, never a plan->RDD partition probe).
+    # ``spread_by``: a document-key column — when given, the spread
+    # hash-partitions on it instead of round-robin, skipping the local
+    # sort a keyless repartition pays (the kernel is per-document, so
+    # any even distribution is equivalent).
     if spread:
-        docs = spread_small_input(docs)
+        docs = spread_small_input(docs, by=spread_by)
 
     # One mapInPandas stage with COLUMNAR output: the per-document
     # sequential semantics (marker numbering, page attribution) stay in

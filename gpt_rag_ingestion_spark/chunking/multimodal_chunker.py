@@ -71,6 +71,7 @@ def chunk_multimodal_documents(
         max_tokens=max_tokens,
         overlap=overlap,
         min_tokens=min_tokens,
+        spread_by="parent_id",
         pre=lambda s: number_figures(s or "")[0],
     ).withColumn("id", chunk_key(F.col("parent_id"), F.col("chunk_id")))
 

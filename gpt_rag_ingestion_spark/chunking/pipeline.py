@@ -208,8 +208,11 @@ def chunk_documents(
     # would serialize the whole UDF pipeline onto one core — spread it
     # (file-listing estimate, no plan->RDD probe).  At real scale inputs
     # already have >= cluster parallelism partitions and this is a no-op.
+    # Hash-spread on the doc key: the kernel is per-document, so any
+    # even distribution works, and a keyed repartition skips the local
+    # sort a round-robin repartition pays (sortBeforeRepartition).
     if spread:
-        docs = spread_small_input(docs)
+        docs = spread_small_input(docs, by=doc_key_col)
 
     carry = list(carry_cols or [])
     if source_col:
