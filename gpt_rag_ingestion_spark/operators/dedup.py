@@ -377,9 +377,16 @@ def minhash_lsh_candidates(
     # — quadratic only within a bucket, which LSH banding bounds by
     # design (a degenerate all-identical corpus is quadratic in ANY
     # pairwise formulation, including the join it replaces).
+    # collect_list, not collect_set: each doc emits exactly ONE row per
+    # band (the signature relation is one row per doc id — the
+    # ``word_shingles`` uniqueness precondition), so a (band, band_hash)
+    # bucket's members are already distinct and the per-group hash-set
+    # dedup is pure overhead (r12 A/B: list wins 8/12 interleaved pairs,
+    # med -3%; at scale the win is the dropped per-element set insert).
+    # sort_array keeps the member order deterministic either way.
     buckets = (
         band_rows.groupBy("band", "band_hash")
-        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("_ids"))
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
         .filter(F.size("_ids") >= 2)
     )
     ids = F.col("_ids")

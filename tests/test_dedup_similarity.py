@@ -79,6 +79,65 @@ def test_minhash_sha256uh_mode_candidates(spark):
             assert 0 <= r[f"mh_{i}"] < UH_PRIME
 
 
+def test_minhash_lsh_bucket_members_need_no_set_dedup(spark):
+    """r12: the bucket aggregation uses collect_list, not collect_set —
+    valid because the signature relation is one row per doc, so a doc
+    lands in a (band, band_hash) bucket AT MOST ONCE.  Pin the pair set
+    against an in-test collect_set reference on a corpus of identical
+    docs (every band of every doc colliding — the maximal-bucket case
+    where a stray duplicate member would fabricate self-pairs or
+    duplicate pairs)."""
+    from pyspark.sql import functions as F
+
+    from gpt_rag_ingestion_spark.operators.dedup import (
+        UH_PRIME,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "same text for every single document here") for i in range(1, 7)]
+        + [(7, "an unrelated document about something else entirely")],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            docs, num_hashes=16, bands=8, hash_fn="sha256uh"
+        ).collect()
+    )
+    # reference: the pre-r12 collect_set construction, inline
+    sig = minhash_signatures(docs, num_hashes=16, hash_fn="sha256uh")
+    bands, r = 8, 2
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                (
+                    F.col(f"mh_{2 * b}") * F.lit(UH_PRIME) + F.col(f"mh_{2 * b + 1}")
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    band_rows = sig.select(F.col("doc_id"), F.explode(band_structs).alias("bb")).select(
+        "doc_id", "bb.band", "bb.band_hash"
+    )
+    buckets = (
+        band_rows.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
+    ref = set()
+    for row in buckets.collect():
+        ids = row["_ids"]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                ref.add((ids[i], ids[j]))
+    assert got == sorted(ref)
+    # all six identical docs pair with each other, none with the outlier
+    assert set(got) == {(a, b) for a in range(1, 7) for b in range(a + 1, 7)}
+
+
 def test_simhash_near_dups_close(spark):
     out = {r["doc_id"]: r["simhash"] for r in simhash(_docs(spark), bits=16).collect()}
     assert out[1] == out[2]
