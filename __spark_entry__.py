@@ -7606,39 +7606,39 @@ DRIVER_WINDOW = [
     "q60_merge_upsert",
     "q110_web_admission",
     "q144_giant_doc_parts",
-    "q250_convert_stats_skipping",
-    "q251_durable_commit_clock",
-    "q249_convert_parquet",
-    "q248_ledger_retention",
-    "q246_idempotent_replay_matrix",
-    "q247_stream_cdc_tombstones",
-    "q245_stream_exactly_once_snapshot",
-    "q232_time_travel_versions",
-    "q176_snapshot_restore",
-    "q170_snapshot_data_skipping",
-    "q225_snapshot_update_where",
-    "q197_snapshot_clone",
-    "q220_clone_survives_vacuum",
-    "q151_snapshot_merge",
-    "q219_concurrent_writers",
-    "q223_overlap_merge_race",
-    "q23_fingerprint",
-    "q26_json_extract",
-    "q45_fields_to_text",
-    "q48_base64",
-    "q49_rolling_fingerprint",
-    "q07_group_counts",
-    "q08_distinct_cap",
-    "q09_distinct_tokens",
-    "q12_running_offset",
-    "q14_sort_paginate",
-    "q22_language_id",
-    "q34_enrichment_join",
-    "q35_sessionize",
-    "q36_polygon_area",
-    "q37_blocklist",
-    "q40_admin_search",
-    "q58_stale_runs",
+    "q217_describe_detail",
+    "q231_snapshot_history",
+    "q109_snapshot_diff",
+    "q168_cdf_view_maintenance",
+    "q200_cdf_rollup_live",
+    "q204_cdc_conditional_merge",
+    "q216_streaming_cdf_rollup",
+    "q64_knn_topk",
+    "q70_kmv_sketch",
+    "q76_decontaminate",
+    "q88_count_min",
+    "q100_histogram_quantiles",
+    "q113_kmv_set_algebra",
+    "q129_join_size_sketch",
+    "q139_media_fingerprint_neardup",
+    "q140_salted_join",
+    "q143_blocklist_lifecycle",
+    "q145_streaming_web_corpus",
+    "q146_split_leakage",
+    "q147_sidecar_dedup",
+    "q148_ivfpq_index_exact",
+    "q31_media_features",
+    "q44_iso_parse",
+    "q55_path_keys",
+    "q56_byte_truncate",
+    "q59_run_history",
+    "q65_guid_validation",
+    "q63_dedup_clusters",
+    "q67_neardup_verified",
+    "q91_span_dedup",
+    "q102_incremental_dedup",
+    "q39_markdown_rows",
+    "q54_sheet_mode",
 ]
 
 
@@ -7650,25 +7650,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fixed — ingest/freshness/purge (q01-q06), chunking (q10), dedup
     # (q15-q18), exact-ANN (q19), streaming (q24), ops (q38/q60), web
     # admission (q110), giant-doc equivalence (q144).  This round
-    # (r12) the diff is the commit plane (durable committed_at_ms
-    # clock in every manifest), convert-time stats, the pinned
-    # snapshot_update, and the stream app-id scheme fix, so the 33
-    # non-anchor slots are: the TWO NEW r12 gates (q250 adopted-corpus
-    # data skipping, q251 rsync-immune TIMESTAMP AS OF), every r11/r12
-    # id whose code path changed again (q249 offset fix + layout
-    # guard, q248 retention, q246/q247/q245 streaming ledger, q232 +
-    # q176 time travel over the new clock, q170 skipping via the new
-    # sidecar resolver, q225 pinned update, q197/q220 clones that now
-    # BORROW source sidecars, q151 merge lifecycle, q219/q223 writer
-    # races through the restamped _commit) — and SEVENTEEN
-    # longest-unseen oracle-backed ids, last driver-checked in r2-r3
-    # (q23 q26 q45 q48 q49 q07 q08 q09 q12 q14 q22 q34 q35 q36 q37
-    # q40 q58), draining rotation debt per the r11 verdict #4.
-    # Rotated out (byte-unchanged code, each green in
-    # CORRECTNESS_r11): q200 q216 q226 q204 q217 q224 q231 q233-q237
-    # q243 q244 q109 q168 q173 q174 q218.  The 7 rows-only-by-policy
-    # ids (q20 q47 q50 q51 q52 q53 q79) cannot enter
-    # (test_window_is_oracle_backed).
+    # (r13, optimization 2/2) the 33 non-anchor slots are: the SEVEN
+    # re-exposures the r12 verdict prescribed (q217/q231 DESCRIBE
+    # plane + q109/q168/q200/q204/q216 CDF/merge families — rotated
+    # out while snapshot_table.py changed underneath them in the r12
+    # build tail) and TWENTY-SIX longest-unseen oracle-backed ids:
+    # all four r3-vintage (q64 q70 q76 q88), all sixteen r4-vintage
+    # (q100 q113 q129 q139 q140 q143 q145 q146 q147 q148 q31 q44 q55
+    # q56 q59 q65), and six r5 picks chosen from the families this
+    # round's optimizations touch — dedup/banding (q63 q67 q91 q102)
+    # and the chunk kernel (q39 q54).  Rotated out (each green in
+    # CORRECTNESS_r12; optimization commits touching their paths keep
+    # their family representatives in-window): q250 q251 q249 q248
+    # q246 q247 q245 q232 q176 q170 q225 q197 q220 q151 q219 q223
+    # q23 q26 q45 q48 q49 q07 q08 q09 q12 q14 q22 q34 q35 q36 q37
+    # q40 q58.  The 7 rows-only-by-policy ids (q20 q47 q50 q51 q52
+    # q53 q79) cannot enter (test_window_is_oracle_backed).
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q02_watermark_agg": q02_watermark_agg,
@@ -7687,6 +7684,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_merge_upsert": q60_merge_upsert,
         "q110_web_admission": q110_web_admission,
         "q144_giant_doc_parts": q144_giant_doc_parts,
+        "q217_describe_detail": q217_describe_detail,
+        "q231_snapshot_history": q231_snapshot_history,
+        "q109_snapshot_diff": q109_snapshot_diff,
+        "q168_cdf_view_maintenance": q168_cdf_view_maintenance,
+        "q200_cdf_rollup_live": q200_cdf_rollup_live,
+        "q204_cdc_conditional_merge": q204_cdc_conditional_merge,
+        "q216_streaming_cdf_rollup": q216_streaming_cdf_rollup,
+        "q64_knn_topk": q64_knn_topk,
+        "q70_kmv_sketch": q70_kmv_sketch,
+        "q76_decontaminate": q76_decontaminate,
+        "q88_count_min": q88_count_min,
+        "q100_histogram_quantiles": q100_histogram_quantiles,
+        "q113_kmv_set_algebra": q113_kmv_set_algebra,
+        "q129_join_size_sketch": q129_join_size_sketch,
+        "q139_media_fingerprint_neardup": q139_media_fingerprint_neardup,
+        "q140_salted_join": q140_salted_join,
+        "q143_blocklist_lifecycle": q143_blocklist_lifecycle,
+        "q145_streaming_web_corpus": q145_streaming_web_corpus,
+        "q146_split_leakage": q146_split_leakage,
+        "q147_sidecar_dedup": q147_sidecar_dedup,
+        "q148_ivfpq_index_exact": q148_ivfpq_index_exact,
+        "q31_media_features": q31_media_features,
+        "q44_iso_parse": q44_iso_parse,
+        "q55_path_keys": q55_path_keys,
+        "q56_byte_truncate": q56_byte_truncate,
+        "q59_run_history": q59_run_history,
+        "q65_guid_validation": q65_guid_validation,
+        "q63_dedup_clusters": q63_dedup_clusters,
+        "q67_neardup_verified": q67_neardup_verified,
+        "q91_span_dedup": q91_span_dedup,
+        "q102_incremental_dedup": q102_incremental_dedup,
+        "q39_markdown_rows": q39_markdown_rows,
+        "q54_sheet_mode": q54_sheet_mode,
         "q250_convert_stats_skipping": q250_convert_stats_skipping,
         "q251_durable_commit_clock": q251_durable_commit_clock,
         "q249_convert_parquet": q249_convert_parquet,
@@ -7720,13 +7750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_blocklist": q37_blocklist,
         "q40_admin_search": q40_admin_search,
         "q58_stale_runs": q58_stale_runs,
-        "q200_cdf_rollup_live": q200_cdf_rollup_live,
-        "q216_streaming_cdf_rollup": q216_streaming_cdf_rollup,
         "q226_generated_columns": q226_generated_columns,
-        "q204_cdc_conditional_merge": q204_cdc_conditional_merge,
-        "q217_describe_detail": q217_describe_detail,
         "q224_schema_evolution_merge": q224_schema_evolution_merge,
-        "q231_snapshot_history": q231_snapshot_history,
         "q233_constraint_enforcement": q233_constraint_enforcement,
         "q234_merge_by_source": q234_merge_by_source,
         "q235_identity_column": q235_identity_column,
@@ -7734,8 +7759,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q237_overwrite_where": q237_overwrite_where,
         "q243_dynamic_partition_overwrite": q243_dynamic_partition_overwrite,
         "q244_lakehouse_composition": q244_lakehouse_composition,
-        "q109_snapshot_diff": q109_snapshot_diff,
-        "q168_cdf_view_maintenance": q168_cdf_view_maintenance,
         "q173_partition_compaction": q173_partition_compaction,
         "q174_deletion_vectors": q174_deletion_vectors,
         "q218_force_reprocess_backfill": q218_force_reprocess_backfill,
@@ -7801,38 +7824,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_ann_lsh": q20_ann_lsh,
         "q21_quality_scores": q21_quality_scores,
         "q29_chunk_keys_long": q29_chunk_keys_long,
-        "q31_media_features": q31_media_features,
-        "q39_markdown_rows": q39_markdown_rows,
         "q41_acl_parse": q41_acl_parse,
         "q43_windowed_counts": q43_windowed_counts,
-        "q44_iso_parse": q44_iso_parse,
         "q46_embedding_neardup": q46_embedding_neardup,
         "q47_ivf_ann": q47_ivf_ann,
         "q50_doc_analysis_pages": q50_doc_analysis_pages,
         "q51_transcription_chunks": q51_transcription_chunks,
         "q52_multimodal_chunks": q52_multimodal_chunks,
         "q53_mixed_corpus": q53_mixed_corpus,
-        "q54_sheet_mode": q54_sheet_mode,
-        "q55_path_keys": q55_path_keys,
-        "q56_byte_truncate": q56_byte_truncate,
         "q57_token_stats": q57_token_stats,
-        "q59_run_history": q59_run_history,
         "q61_first_seen": q61_first_seen,
         "q62_salted_agg": q62_salted_agg,
-        "q63_dedup_clusters": q63_dedup_clusters,
-        "q64_knn_topk": q64_knn_topk,
-        "q65_guid_validation": q65_guid_validation,
         "q66_tfidf_terms": q66_tfidf_terms,
-        "q67_neardup_verified": q67_neardup_verified,
         "q68_quality_filter": q68_quality_filter,
         "q69_source_cap": q69_source_cap,
-        "q70_kmv_sketch": q70_kmv_sketch,
         "q71_asof_join": q71_asof_join,
         "q72_time_rollup": q72_time_rollup,
         "q73_hash_sample": q73_hash_sample,
         "q74_pii_scrub": q74_pii_scrub,
         "q75_curation_funnel": q75_curation_funnel,
-        "q76_decontaminate": q76_decontaminate,
         "q77_repetition": q77_repetition,
         "q78_pack_sequences": q78_pack_sequences,
         "q79_semdedup": q79_semdedup,
@@ -7844,21 +7854,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_mixture": q85_mixture,
         "q86_centroid_outliers": q86_centroid_outliers,
         "q87_range_join": q87_range_join,
-        "q88_count_min": q88_count_min,
         "q89_inverted_index": q89_inverted_index,
         "q90_bloom_semijoin": q90_bloom_semijoin,
-        "q91_span_dedup": q91_span_dedup,
         "q92_sync_actions": q92_sync_actions,
         "q94_shard_assignment": q94_shard_assignment,
         "q95_hamming_neardup": q95_hamming_neardup,
         "q97_interval_join": q97_interval_join,
         "q99_rolling_hour_counts": q99_rolling_hour_counts,
-        "q100_histogram_quantiles": q100_histogram_quantiles,
-        "q102_incremental_dedup": q102_incremental_dedup,
         "q105_nfc_normalize": q105_nfc_normalize,
         "q108_pagerank": q108_pagerank,
         "q111_vocab_encode": q111_vocab_encode,
-        "q113_kmv_set_algebra": q113_kmv_set_algebra,
         "q114_token_blocks": q114_token_blocks,
         "q115_shipping_priority": q115_shipping_priority,
         "q116_returned_revenue": q116_returned_revenue,
@@ -7868,21 +7873,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_triangle_count": q121_triangle_count,
         "q125_fuzzy_linkage": q125_fuzzy_linkage,
         "q127_gap_fill": q127_gap_fill,
-        "q129_join_size_sketch": q129_join_size_sketch,
         "q130_funnel": q130_funnel,
         "q131_retention_cohorts": q131_retention_cohorts,
         "q134_revenue_share": q134_revenue_share,
         "q135_cumulative_distinct": q135_cumulative_distinct,
         "q136_latest_per_key": q136_latest_per_key,
-        "q139_media_fingerprint_neardup": q139_media_fingerprint_neardup,
-        "q140_salted_join": q140_salted_join,
         "q141_dedup_planner": q141_dedup_planner,
         "q142_read_access": q142_read_access,
-        "q143_blocklist_lifecycle": q143_blocklist_lifecycle,
-        "q145_streaming_web_corpus": q145_streaming_web_corpus,
-        "q146_split_leakage": q146_split_leakage,
-        "q147_sidecar_dedup": q147_sidecar_dedup,
-        "q148_ivfpq_index_exact": q148_ivfpq_index_exact,
         "q149_zorder_key": q149_zorder_key,
         "q150_cumulative_domain_cap": q150_cumulative_domain_cap,
         "q152_bucketed_join": q152_bucketed_join,

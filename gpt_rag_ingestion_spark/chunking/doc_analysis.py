@@ -116,8 +116,25 @@ def chunk_analyzed_markdown(
     """Full C1 path for one analyzed document: number breaks, split,
     attribute pages, strip markers."""
     numbered = number_pagebreaks(md or "", start_page=start_page)
+    return _chunk_numbered(
+        numbered, None, max_tokens, overlap, min_tokens, start_page
+    )
+
+
+def _chunk_numbered(
+    numbered: str,
+    spans,
+    max_tokens: int,
+    overlap: int,
+    min_tokens: int,
+    start_page: int,
+) -> list[dict]:
+    """``chunk_analyzed_markdown`` after numbering — split out so the
+    batch kernel can tokenize every numbered document of an Arrow batch
+    in one pass (``token_spans_batch``) and hand the spans down."""
     pieces = split_text_recursive(
-        numbered, max_tokens=max_tokens, overlap_tokens=overlap, min_tokens=min_tokens
+        numbered, max_tokens=max_tokens, overlap_tokens=overlap,
+        min_tokens=min_tokens, _spans=spans,
     )
     out = []
     current_page = start_page
@@ -197,26 +214,32 @@ def chunk_analyzed_documents(
 
     def gen(batches):
         from gpt_rag_ingestion_spark.chunking.pipeline import flatten_doc_lists
+        from gpt_rag_ingestion_spark.chunking.splitter import token_spans_batch
 
         for pdf in batches:
             mds = pdf[md_col] if pre is None else [pre(s) for s in pdf[md_col]]
             if start_page_col is None:
-                per_doc = [
-                    chunk_analyzed_markdown(
-                        s or "", max_tokens=max_tokens, overlap=overlap,
-                        min_tokens=min_tokens,
-                    )
-                    for s in mds
-                ]
+                sps = [1] * len(pdf)
             else:
-                per_doc = [
-                    chunk_analyzed_markdown(
-                        s or "", max_tokens=max_tokens, overlap=overlap,
-                        min_tokens=min_tokens,
-                        start_page=int(sp) if sp is not None else 1,
-                    )
-                    for s, sp in zip(mds, pdf[start_page_col])
+                sps = [
+                    int(sp) if sp is not None else 1
+                    for sp in pdf[start_page_col]
                 ]
+            # number first, then tokenize ALL numbered documents of the
+            # batch in one vectorized pass — the splitter re-uses the
+            # spans at every recursion level instead of re-tokenizing
+            # each candidate piece (guide §4.2)
+            numbered = [
+                number_pagebreaks(s or "", start_page=sp)
+                for s, sp in zip(mds, sps)
+            ]
+            spans = token_spans_batch(numbered)
+            per_doc = [
+                _chunk_numbered(
+                    nmd, spn, max_tokens, overlap, min_tokens, sp
+                )
+                for nmd, spn, sp in zip(numbered, spans, sps)
+            ]
             out, _ = flatten_doc_lists(
                 pdf,
                 keep,

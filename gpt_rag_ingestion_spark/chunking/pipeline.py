@@ -73,10 +73,10 @@ def make_split_one(
     must not fork between the ARRAY<STRUCT> and columnar paths."""
     from gpt_rag_ingestion_spark.functions.text import MAX_CONTENT_BYTES
 
-    def _split_one(s: str) -> list[dict]:
+    def _split_one(s: str, spans=None) -> list[dict]:
         chunks = split_text_recursive(
             s or "", max_tokens=max_tokens, overlap_tokens=overlap,
-            min_tokens=min_tokens, separators=separators,
+            min_tokens=min_tokens, separators=separators, _spans=spans,
         )
         for c in chunks:
             b = c["content"].encode("utf-8")
@@ -132,7 +132,13 @@ def make_chunk_udf(
 
     @pandas_udf(_CHUNK_STRUCT)
     def _chunk(texts: pd.Series) -> pd.Series:
-        return texts.map(_split_one)
+        from gpt_rag_ingestion_spark.chunking.splitter import token_spans_batch
+
+        spans = token_spans_batch(texts)
+        return pd.Series(
+            [_split_one(s, spn) for s, spn in zip(texts, spans)],
+            index=texts.index,
+        )
 
     return _chunk
 
@@ -323,8 +329,13 @@ def _chunk_embed_map_in_pandas(
     _split_one = make_split_one(max_tokens, overlap, min_tokens, separators)
 
     def gen(batches):
+        from gpt_rag_ingestion_spark.chunking.splitter import token_spans_batch
+
         for pdf in batches:
-            per_doc = [_split_one(s) for s in pdf[text_col]]
+            spans = token_spans_batch(pdf[text_col])
+            per_doc = [
+                _split_one(s, spn) for s, spn in zip(pdf[text_col], spans)
+            ]
             out, flat = flatten_doc_lists(
                 pdf,
                 passthrough,

@@ -77,6 +77,74 @@ _FORMAT_SEPARATORS = {
 _TOKEN_RE = re.compile(r"\w+|[^\w\s]")
 _WORD_RE = re.compile(r"\w")
 
+# --- vectorized ASCII tokenizer (guide §4.2) -------------------------------
+# ``_TOKEN_RE`` restricted to ASCII is a per-byte classification: tokens
+# are \w+ runs plus single non-word-non-space chars.  For ASCII text the
+# byte classes coincide with the unicode regex classes, so token spans
+# can be computed with numpy table lookups instead of one C regex call
+# per part per recursion level (the chunk kernels' dominant cost —
+# ~46% of per-doc time went to re-counting tokens of every candidate
+# piece).  Non-ASCII text falls back to the regex path unchanged.
+import numpy as _np
+
+_IS_WORD_BYTE = _np.zeros(256, dtype=bool)
+for _c in range(128):
+    if chr(_c).isalnum() or _c == ord("_"):
+        _IS_WORD_BYTE[_c] = True
+_IS_SPACE_BYTE = _np.zeros(256, dtype=bool)
+for _c in " \t\n\r\f\v":
+    _IS_SPACE_BYTE[ord(_c)] = True
+del _c
+
+
+def _token_spans_ascii(s: str):
+    """(starts, ends) int64 arrays of ``_TOKEN_RE`` token spans over an
+    ASCII string — bit-identical to ``finditer`` spans (pinned by
+    test)."""
+    b = _np.frombuffer(s.encode("ascii"), dtype=_np.uint8)
+    w = _IS_WORD_BYTE[b]
+    word_start = w.copy()
+    word_start[1:] &= ~w[:-1]
+    punct = ~w & ~_IS_SPACE_BYTE[b]
+    starts = _np.nonzero(word_start | punct)[0]
+    word_end = w.copy()
+    word_end[:-1] &= ~w[1:]
+    ends = starts + 1  # punct tokens are single chars
+    isw = w[starts]
+    ends[isw] = _np.nonzero(word_end)[0] + 1  # k-th word start ↔ k-th run end
+    return starts, ends
+
+
+def token_spans_batch(texts) -> list:
+    """Per-document token spans for a whole Arrow batch in ONE numpy
+    pass: documents joined with a single space (no token can cross a
+    space, and a space adds no token), tokenized once, and split back
+    by document char ranges.  Amortizes the numpy per-call overhead
+    that makes per-document vectorization a wash at small doc sizes.
+    Returns one ``(starts, ends)`` pair per text, or ``None`` for
+    non-ASCII texts (legacy regex path).  ``None``/empty texts get
+    empty span arrays (callers pass ``s or ""`` to the splitter)."""
+    norm = [t if t else "" for t in texts]
+    joined = " ".join(norm)
+    if not joined.isascii():
+        return [
+            _token_spans_ascii(t) if t.isascii() else None for t in norm
+        ]
+    g_starts, g_ends = _token_spans_ascii(joined)
+    bounds = _np.empty(2 * len(norm), dtype=_np.int64)
+    pos = 0
+    for k, t in enumerate(norm):
+        bounds[2 * k] = pos
+        bounds[2 * k + 1] = pos + len(t)
+        pos += len(t) + 1
+    idx = _np.searchsorted(g_starts, bounds)
+    out = []
+    for k in range(len(norm)):
+        i, j = idx[2 * k], idx[2 * k + 1]
+        off = bounds[2 * k]
+        out.append((g_starts[i:j] - off, g_ends[i:j] - off))
+    return out
+
 
 def separators_for_extension(ext: str) -> list:
     """C4 dispatch: extension -> separator set (default recursive set
@@ -119,21 +187,83 @@ def _counts_additive(sep, joiner: str) -> bool:
     )
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _compiled_seps(seps_key: tuple):
+    """Per-separator-set plan for the span fast path, or ``None`` when
+    any level fails ``_counts_additive`` (the precondition for deriving
+    counts from the one global token-span array).  Each entry:
+    ``(split_fn, joiner_len, n_join)`` where ``split_fn(s)`` returns the
+    level's parts (empty-filtered for lookahead separators, exactly like
+    ``_split_once``).  All shipped separator sets qualify."""
+    plan = []
+    for sep in seps_key:
+        if isinstance(sep, tuple):
+            if not _counts_additive(sep, ""):
+                return None
+            pat = re.compile(f"(?={re.escape(sep[0])})")
+
+            def split_fn(s, _p=pat):
+                return [p for p in _p.split(s) if p != ""]
+
+            plan.append((split_fn, 0, 0))
+        else:
+            if not _counts_additive(sep, sep):
+                return None
+            plan.append(
+                (lambda s, _sep=sep: s.split(_sep), len(sep), _ntokens(sep))
+            )
+    return plan
+
+
+def _all_additive(seps: list) -> bool:
+    """True when every level of ``seps`` satisfies ``_counts_additive``
+    — the precondition for the span-based fast path (token counts of
+    any contiguous substring cut at these separators equal the global
+    token-span counts).  All shipped separator sets qualify."""
+    for sep in seps:
+        joiner = "" if isinstance(sep, tuple) else sep
+        if not _counts_additive(sep, joiner):
+            return False
+    return True
+
+
 def split_text_recursive(
     text: str,
     max_tokens: int = CHUNK_NUM_TOKENS,
     overlap_tokens: int = TOKEN_OVERLAP,
     min_tokens: int = MIN_CHUNK_SIZE,
     separators: list | None = None,
+    _spans=None,
 ) -> list[dict]:
     """Split ``text`` into chunks of <= max_tokens, preferring paragraph >
     line > sentence > word boundaries (or a format-specific separator
     set — see MARKDOWN_SEPARATORS / PYTHON_SEPARATORS), with
     ~overlap_tokens of trailing context carried into the next chunk.
     Returns dicts with chunk_id / content / offset / length (chars),
-    mirroring the reference chunk contract (base_chunker.py:218-234)."""
+    mirroring the reference chunk contract (base_chunker.py:218-234).
+
+    ``_spans``: optional precomputed ``(starts, ends)`` token-span
+    arrays of ``text`` (from ``token_spans_batch``) — engages the
+    single-tokenization fast path, which is bit-identical to the
+    legacy path (pinned by test) but never re-tokenizes candidate
+    pieces: every piece at every recursion level is a contiguous
+    substring of ``text``, so part counts, overlap tails and min-size
+    checks all derive from the one span array."""
     if not text:
         return []
+    seps_list = separators if separators is not None else _SEPARATORS
+    if _spans is not None:
+        try:
+            plan = _compiled_seps(tuple(seps_list))
+        except TypeError:  # unhashable custom separator entry
+            plan = None
+        if plan is not None:
+            return _split_text_recursive_spans(
+                text, _spans, max_tokens, overlap_tokens, min_tokens, plan
+            )
 
     def split_rec(s: str, seps: list, n_s: int | None = None) -> list[str]:
         # token counts are carried ADDITIVELY through the greedy merge
@@ -192,7 +322,7 @@ def split_text_recursive(
             out.extend(split_rec(piece, rest, pc) if pc > max_tokens else [piece])
         return out
 
-    pieces = split_rec(text, separators if separators is not None else _SEPARATORS)
+    pieces = split_rec(text, seps_list)
 
     # attach overlap tails and compute offsets against the original text.
     # Contract: ``offset`` is the position of the chunk's NEW content
@@ -230,6 +360,154 @@ def split_text_recursive(
     if not chunks and text.strip() and _ntokens(text) >= min_tokens:
         chunks.append({"chunk_id": 0, "content": text, "offset": 0, "length": len(text)})
     return chunks
+
+
+def _split_text_recursive_spans(
+    text: str,
+    spans,
+    max_tokens: int,
+    overlap_tokens: int,
+    min_tokens: int,
+    plan: list,
+) -> list[dict]:
+    """Span-based fast path of ``split_text_recursive`` (see its
+    docstring).  Pieces are tracked as (abs_start, abs_end, tok_lo,
+    tok_hi) against the one precomputed token-span array; their strings
+    are sliced from ``text`` only when finalized, so the greedy merge
+    never concatenates or re-tokenizes.  Bit-identical to the legacy
+    path: identical greedy-merge branch structure (including the
+    empty-part quirks — a merged piece's string always equals
+    ``text[a:b]`` because plain joiners are the separator text and
+    lookahead parts are contiguous, so truthiness of the accumulated
+    string is ``b > a``), identical ``text.find``-based offsets,
+    identical tail semantics."""
+    starts, ends = spans
+    n_total = len(starts)
+
+    def split_fast(a: int, b: int, lo: int, hi: int, depth: int) -> list:
+        # one piece == text[a:b], whose standalone tokens are exactly
+        # the global tokens [lo, hi) (additive separators never let a
+        # token cross a cut; pieces start/end at cuts or token edges)
+        if hi - lo <= max_tokens:
+            return [(a, b, lo, hi)]
+        if depth >= len(plan):
+            # hard token windows over the global spans
+            out, i = [], lo
+            while i < hi:
+                j = min(i + max_tokens, hi)
+                out.append((int(starts[i]), int(ends[j - 1]), i, j))
+                if j == hi:
+                    break
+                i = j - overlap_tokens if j - overlap_tokens > i else j
+            return out
+        split_fn, step, n_join = plan[depth]
+        parts = split_fn(text[a:b])
+        if len(parts) <= 1:
+            return split_fast(a, b, lo, hi, depth + 1)
+        # absolute char bounds of every part, then ONE searchsorted for
+        # all token subranges (replaces a findall per part); plain
+        # Python lists from that point — per-element numpy scalar reads
+        # cost more than the searchsorted itself
+        n = len(parts)
+        lens = _np.fromiter(map(len, parts), dtype=_np.int64, count=n)
+        offs = _np.empty(n, dtype=_np.int64)
+        offs[0] = a
+        _np.cumsum(lens[:-1] + step, out=offs[1:])
+        offs[1:] += a
+        bounds = _np.empty(2 * n, dtype=_np.int64)
+        bounds[0::2] = offs
+        bounds[1::2] = offs + lens
+        bl = bounds.tolist()
+        il = _np.searchsorted(starts, bounds).tolist()
+        # greedy merge — same branches as the legacy loop, with counts
+        # from spans and the merged string implied by its char range
+        pieces: list = []
+        cur_a = cur_b = cur_lo = cur_hi = 0
+        cur_n = 0
+        for k in range(n):
+            k2 = 2 * k
+            pa, pb = bl[k2], bl[k2 + 1]
+            plo, phi = il[k2], il[k2 + 1]
+            pn = phi - plo
+            if cur_b > cur_a:  # legacy ``if cur:`` on the piece string
+                cand_n = cur_n + n_join + pn
+                if cand_n > max_tokens:
+                    pieces.append((cur_a, cur_b, cur_lo, cur_hi))
+                    cur_a, cur_b, cur_lo, cur_hi, cur_n = pa, pb, plo, phi, pn
+                else:
+                    cur_b, cur_hi, cur_n = pb, phi, cand_n
+            else:
+                cur_a, cur_b, cur_lo, cur_hi, cur_n = pa, pb, plo, phi, pn
+        if cur_b > cur_a:
+            pieces.append((cur_a, cur_b, cur_lo, cur_hi))
+        out: list = []
+        for pa, pb, plo, phi in pieces:
+            if phi - plo > max_tokens:
+                out.extend(split_fast(pa, pb, plo, phi, depth + 1))
+            else:
+                out.append((pa, pb, plo, phi))
+        return out
+
+    pieces = split_fast(0, len(text), 0, n_total, 0)
+
+    # outer loop: identical offsets (text.find from the running cursor),
+    # min-size check and overlap tails from the span array
+    chunks: list[dict] = []
+    cursor = 0
+    prev_tail = ""
+    prev_tail_n = 0
+    for a, b, lo, hi in pieces:
+        piece = text[a:b]
+        if not piece.strip():
+            continue
+        found = text.find(piece, cursor)
+        if found < 0:
+            found = text.find(piece)
+        offset = found if found >= 0 else cursor
+        cursor = offset + len(piece)
+        content = (prev_tail + piece) if prev_tail else piece
+        if prev_tail:
+            # tokens of the concatenation: the only junction effect is
+            # two \w+ runs fusing into one (punct tokens are single
+            # chars and never merge)
+            fuse = 1 if (
+                _WORD_RE.match(prev_tail[-1]) and _WORD_RE.match(piece[0])
+            ) else 0
+            n_content = prev_tail_n + (hi - lo) - fuse
+        else:
+            n_content = hi - lo
+        if n_content < min_tokens:
+            prev_tail, prev_tail_n = _tail_from_spans(
+                text, starts, a, b, lo, hi, overlap_tokens
+            )
+            continue
+        chunks.append(
+            {
+                "chunk_id": len(chunks),
+                "content": content,
+                "offset": offset,
+                "length": len(content),
+            }
+        )
+        prev_tail, prev_tail_n = _tail_from_spans(
+            text, starts, a, b, lo, hi, overlap_tokens
+        )
+    if not chunks and text.strip() and n_total >= min_tokens:
+        chunks.append(
+            {"chunk_id": 0, "content": text, "offset": 0, "length": len(text)}
+        )
+    return chunks
+
+
+def _tail_from_spans(text, starts, a, b, lo, hi, n):
+    """(tail string, its token count) — span-based twin of
+    ``_tail_tokens(text[a:b], n)``: from the start of the piece's
+    ``n``-th-from-last token through the piece's end (trailing
+    non-token chars included, exactly like the legacy form)."""
+    if hi <= lo or n <= 0:
+        return "", 0
+    k = max(lo, hi - n)
+    return text[int(starts[k]):b], hi - k
 
 
 def _tail_tokens(s: str, n: int) -> str:
