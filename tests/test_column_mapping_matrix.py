@@ -15,6 +15,10 @@ schema instead; the divergence is deliberate and documented.)
 from __future__ import annotations
 
 import pytest
+
+# rename/drop matrix storm — slow lane (default `pytest tests/` excludes it; run
+# with `-m slow` or `-m ""`, see pytest.ini)
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from gpt_rag_ingestion_spark.operators import snapshot_table as S

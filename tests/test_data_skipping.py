@@ -536,6 +536,7 @@ def _prop_table(spark, tmp_path_factory):
     return _PTBL["t"], _PTBL["full"]
 
 
+@pytest.mark.slow
 def test_pruned_read_equals_filter_property(spark, tmp_path_factory):
     """For ANY conjunction of ranges over data, string, and partition
     columns — open, empty, inverted, or out-of-domain — the pruned

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from gpt_rag_ingestion_spark.operators.dedup import (
     exact_duplicates,
     minhash_lsh_candidates,
@@ -737,6 +739,7 @@ def test_ivf_index_lifecycle(spark, tmp_path):
     assert [r["batch"] for r in stats] == ["build"]
 
 
+@pytest.mark.slow
 def test_ivf_index_compact_and_recover(spark, tmp_path):
     from gpt_rag_ingestion_spark.operators.similarity import (
         ivf_index_append,
@@ -1120,6 +1123,7 @@ def test_sidecar_replacement_supersedes_old_generation(spark, tmp_path):
     assert got2 == want
 
 
+@pytest.mark.slow
 def test_sidecar_short_docs_keep_digest_rows(spark, tmp_path):
     """Advisor finding (r3): liveness derived from the SIZES table
     dropped docs with fewer than n words (zero shingles -> no sizes
@@ -1280,6 +1284,7 @@ def test_sidecar_maybe_compact_trigger(spark, tmp_path):
     assert dedup_sidecar_maybe_compact(spark, side)["compacted"] is False
 
 
+@pytest.mark.slow
 def test_sidecar_compact_crash_between_swaps_stays_correct(
     spark, tmp_path, monkeypatch
 ):

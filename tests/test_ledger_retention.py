@@ -35,6 +35,7 @@ def _df(spark, items, schema="k long, v long"):
 # ---------------------------------------------------------------- retention
 
 
+@pytest.mark.slow
 def test_ledger_retention_expires_one_shot_apps(spark, tmp_path):
     """100 one-shot app ids must NOT appear in a later manifest once
     the retention horizon has passed them (r10 verdict #1's done
@@ -452,6 +453,7 @@ _SCHEDULE = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(schedule=_SCHEDULE, retain=st.integers(1, 4))
+@pytest.mark.slow
 def test_ledger_model_property(spark, tmp_path_factory, schedule, retain):
     """MODEL-BASED ledger semantics: replay a random write schedule
     against a pure-Python model of the contract —

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
@@ -105,6 +107,7 @@ def test_maintain_rollup_matches_recompute_property(spark, rows, removed_mask):
         max_size=10,
     )
 )
+@pytest.mark.slow
 def test_incremental_dedup_exact_classes_property(spark, texts):
     """Exact decisions agree with a brute-force reference: batch docs
     whose text appears in base are exact_dup_base; duplicates-within-
@@ -162,6 +165,7 @@ def test_incremental_dedup_exact_classes_property(spark, texts):
 @example(pvals=["0", "1"], shift=1)
 # zero-padded numeric: int round-trip would be lossy ('00' -> 0 -> '0')
 @example(pvals=["00", "7"], shift=1)
+@pytest.mark.slow
 def test_partitioned_merge_escaping_property(
     spark, tmp_path_factory, pvals, shift
 ):
@@ -373,6 +377,7 @@ def test_partition_type_pinned_integer_buckets(spark, tmp_path):
     ),
     k=st.integers(min_value=2, max_value=8),
 )
+@pytest.mark.slow
 def test_bpe_exact_batching_property(spark, words, k):
     """exact=True batched BPE must learn the IDENTICAL merge table to
     the one-merge-per-round sequential baseline on ARBITRARY corpora —

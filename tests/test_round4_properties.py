@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -27,6 +29,7 @@ _SETTINGS = dict(
         max_size=5,
     ),
 )
+@pytest.mark.slow
 def test_per_key_capped_rank_equals_raw_window(spark, keys, cap, priors):
     """The two-phase capped rank must reproduce EXACTLY the rank of
     ``row_number() over (partition by key order by md5(id), id)`` plus

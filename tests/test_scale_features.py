@@ -3,6 +3,8 @@ co-located joins (no-shuffle plan evidence), simhash rewrite parity."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from gpt_rag_ingestion_spark.operators.similarity import ivf_ann, quantized_dot_top1
@@ -1024,6 +1026,7 @@ def test_histogram_quantiles_error_bound_and_merge(spark):
         ).collect()
     }
     assert merged == {pm: out[pm]["est_value"] for pm in (500, 950)}
+@pytest.mark.slow
 def test_operators_on_empty_and_singleton_inputs(spark):
     """Robustness net: the operator families must handle empty and
     single-row inputs without crashing and with sane outputs."""
@@ -1243,6 +1246,7 @@ def test_training_corpus_job_epoch_weights(spark, tmp_path):
     assert n_shards >= 2
 
 
+@pytest.mark.slow
 def test_round2_operators_on_empty_and_singleton_inputs(spark):
     """Edge-case sweep for the round-2 families: empty / singleton
     inputs neither crash nor fabricate rows."""

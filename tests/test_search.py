@@ -4,6 +4,8 @@ oracle job."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from gpt_rag_ingestion_spark.operators.search import (
@@ -171,6 +173,7 @@ def test_persisted_text_index_lifecycle(spark, tmp_path):
     assert X.text_index_maybe_compact(spark, path)["compacted"] is False
 
 
+@pytest.mark.slow
 def test_persisted_text_index_append_crash_replay(
     spark, tmp_path, monkeypatch
 ):
@@ -659,6 +662,7 @@ def test_multifield_weights_boost_title_hits(spark):
     )
 
 
+@pytest.mark.slow
 def test_text_index_two_writer_claim_conflict(spark, tmp_path, monkeypatch):
     """Concurrent text-index writers are arbitrated by generation
     claims (create-exclusive, the snapshot table's fence): a second

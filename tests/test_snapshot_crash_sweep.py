@@ -29,6 +29,10 @@ from __future__ import annotations
 import time
 
 import pytest
+
+# kill-injection sweeps — slow lane (default `pytest tests/` excludes it; run
+# with `-m slow` or `-m ""`, see pytest.ini)
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from gpt_rag_ingestion_spark.operators import snapshot_table as S

@@ -239,6 +239,7 @@ def test_time_travel_and_schema_evolution(spark, tmp_path):
     assert g2 == g1 + 1
 
 
+@pytest.mark.slow
 def test_model_based_random_op_sequences(spark, tmp_path):
     """Model-based check: random merge/delete/optimize/vacuum
     sequences against a plain dict model of MERGE semantics — the
@@ -920,6 +921,7 @@ def test_maybe_analyze_trigger(spark, tmp_path):
     assert rearmed["analyzed"] is True and rearmed["rows"] == 108
 
 
+@pytest.mark.slow
 def test_claim_lease_protects_live_writer(spark, tmp_path):
     """r6 judge brief #4 / advisor: a claim younger than
     CLAIM_LEASE_MS must SURVIVE writer-start recovery (the claimant
@@ -2671,6 +2673,7 @@ def test_identity_rechunk_fanout_mints_fresh_ids(spark, tmp_path):
     assert by_key["docB"][0].row_id == 2, rows  # 1 -> 1: kept
 
 
+@pytest.mark.slow
 def test_identity_concurrent_merges_never_collide(spark, tmp_path):
     """r9 advisor (medium): two concurrent merges on DISJOINT
     partitions with an identity config must not both derive the same

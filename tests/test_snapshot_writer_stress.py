@@ -30,6 +30,10 @@ import time
 
 import pytest
 
+# N-writer kill/stress storms — slow lane (default `pytest tests/` excludes it; run
+# with `-m slow` or `-m ""`, see pytest.ini)
+pytestmark = pytest.mark.slow
+
 from gpt_rag_ingestion_spark.operators import snapshot_table as S
 
 NB = 4  # partition buckets; bucket = key % NB keeps keys partition-local

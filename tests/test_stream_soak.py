@@ -27,6 +27,10 @@ import time
 
 import pytest
 
+# streaming soaks — slow lane (default `pytest tests/` excludes it; run
+# with `-m slow` or `-m ""`, see pytest.ini)
+pytestmark = pytest.mark.slow
+
 from gpt_rag_ingestion_spark.operators import snapshot_table as S
 from gpt_rag_ingestion_spark.streaming.micro_batch import (
     stream_into_snapshot,
