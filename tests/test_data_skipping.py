@@ -248,6 +248,7 @@ def test_unsupported_stats_type_fails_fast(spark, tmp_path):
         S.snapshot_merge_upsert(spark, tbl, bad)
 
 
+@pytest.mark.slow
 def test_web_corpus_snapshot_sink_with_stats(spark, tmp_path):
     """Composition: the streaming web-corpus loop with
     corpus_sink='snapshot' + corpus_stats_cols/_bloom_key enables
@@ -299,6 +300,7 @@ def test_web_corpus_snapshot_sink_with_stats(spark, tmp_path):
     assert rep2["unpruned_gens"] == 0
 
 
+@pytest.mark.slow
 def test_compact_partitions_selective(spark, tmp_path):
     """Partition-selective OPTIMIZE: only fragmented partitions are
     rewritten; every other partition keeps its generation mapping

@@ -807,6 +807,7 @@ def test_ivf_index_compact_and_recover(spark, tmp_path):
     assert not jvm_fs_exists(spark, f"{idx}/postings__old")
 
 
+@pytest.mark.slow
 def test_ivfpq_index_lifecycle(spark, tmp_path):
     """Persisted IVFPQ: codes-only postings (the 16-32x smaller index),
     refit-free append, pruned+refined query matching the per-call
@@ -967,6 +968,7 @@ def test_dedup_sidecar_lifecycle(spark, tmp_path):
     assert got2 == want2
 
 
+@pytest.mark.slow
 def test_ivfpq_index_compact(spark, tmp_path):
     from gpt_rag_ingestion_spark.operators.similarity import (
         ivfpq_index_append,
@@ -997,6 +999,7 @@ def test_ivfpq_index_compact(spark, tmp_path):
     assert after == before
 
 
+@pytest.mark.slow
 def test_ivf_index_maybe_compact_trigger(spark, tmp_path):
     """The fragment-count trigger: under the threshold it is a pure
     listing (no compact); over it, postings fold to one generation and
@@ -1042,6 +1045,7 @@ def test_ivf_index_maybe_compact_trigger(spark, tmp_path):
     ] is False
 
 
+@pytest.mark.slow
 def test_dedup_sidecar_compact(spark, tmp_path):
     from gpt_rag_ingestion_spark.operators.dedup import (
         dedup_sidecar_append,
@@ -1073,6 +1077,7 @@ def test_dedup_sidecar_compact(spark, tmp_path):
     assert after == before
 
 
+@pytest.mark.slow
 def test_sidecar_replacement_supersedes_old_generation(spark, tmp_path):
     """Review finding: a re-admitted doc_id REPLACES its corpus text
     (delete-then-insert merge), so its old sidecar keys must stop
@@ -1235,6 +1240,7 @@ def test_sidecar_steady_state_no_corpus_shuffle(spark, tmp_path):
         assert f"hashpartitioning({key}" not in plan2, key
 
 
+@pytest.mark.slow
 def test_sidecar_maybe_compact_trigger(spark, tmp_path):
     """The compaction trigger fires from meta counters alone (one-row
     read per check) and classification is hash-stable across the

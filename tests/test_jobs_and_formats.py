@@ -3,6 +3,8 @@ markdown helpers, JSON kind-routed source."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import json
 
@@ -453,6 +455,7 @@ def test_domain_cap_two_phase_matches_raw_window(spark, tmp_path):
     assert sum(1 for v in got.values() if v == "over_cap") == 50
 
 
+@pytest.mark.slow
 def test_web_corpus_sidecar_bootstrap_indexes_existing_corpus(spark, tmp_path):
     """Review finding: enabling sidecar_path on a PRE-EXISTING corpus
     must index what is already there — a later copy of an old corpus

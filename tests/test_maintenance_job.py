@@ -4,11 +4,14 @@ broken path never sinks the sweep."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from gpt_rag_ingestion_spark.plans.maintenance_job import run_maintenance_job
 
 
+@pytest.mark.slow
 def test_maintenance_sweep_runs_every_trigger(spark, tmp_path):
     from gpt_rag_ingestion_spark.operators.dedup import (
         dedup_sidecar_append,

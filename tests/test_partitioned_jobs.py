@@ -8,6 +8,8 @@ Reference semantic: per-parent delete+upsert
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import os
 
@@ -119,6 +121,7 @@ def test_ingest_job_partition_col_validation(spark, tmp_path):
                        partition_cols=["content"], **_KW)
 
 
+@pytest.mark.slow
 def test_web_corpus_job_partitioned_matches_unpartitioned(spark, tmp_path):
     """domain_bucket-partitioned corpus merge: same audit and same
     corpus content as the unpartitioned run; shards keep the plain

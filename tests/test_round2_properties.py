@@ -20,6 +20,7 @@ _SETTINGS = dict(
     lengths=st.lists(st.integers(min_value=0, max_value=37), min_size=1, max_size=30),
     block=st.integers(min_value=3, max_value=16),
 )
+@pytest.mark.slow
 def test_token_blocks_partition_property(spark, lengths, block):
     """Blockization is a PARTITION of the concatenated stream: per-doc
     segments are contiguous and cover [0, n); every block except the
@@ -68,6 +69,7 @@ def test_token_blocks_partition_property(spark, lengths, block):
     ),
     removed_mask=st.lists(st.booleans(), min_size=40, max_size=40),
 )
+@pytest.mark.slow
 def test_maintain_rollup_matches_recompute_property(spark, rows, removed_mask):
     from gpt_rag_ingestion_spark.operators.incremental import maintain_rollup
 
@@ -454,6 +456,7 @@ def test_partition_inference_toggle_thread_safe(spark, tmp_path):
         min_size=1, max_size=5,
     ),
 )
+@pytest.mark.slow
 def test_column_mapping_model_property(spark, ops):
     """Model-based check of the column-mapping lifecycle: a random
     interleaving of merges (delete-then-insert semantics, schema

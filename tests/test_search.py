@@ -218,6 +218,7 @@ def test_persisted_text_index_append_crash_replay(
     assert a == b
 
 
+@pytest.mark.slow
 def test_web_corpus_job_maintains_text_index(spark, tmp_path):
     """run_web_corpus_job(text_index_path=...): the search index stays
     query-consistent with the admitted corpus across batches — the
@@ -391,6 +392,7 @@ def test_persisted_index_edge_cases(spark, tmp_path):
     assert X.text_index_query(spark, path, q, k=5).count() == 0
 
 
+@pytest.mark.slow
 def test_compact_crash_leaves_manifest_intact(
     spark, tmp_path, monkeypatch
 ):
@@ -448,6 +450,7 @@ def test_compact_crash_leaves_manifest_intact(
     assert got == want
 
 
+@pytest.mark.slow
 def test_query_path_never_prunes_inflight_writer_dirs(spark, tmp_path):
     """ADVICE r5 (medium): the query path is READ-ONLY.  Simulate an
     in-flight append (gen-stamped dirs written, meta not yet
@@ -719,6 +722,7 @@ def test_text_index_two_writer_claim_conflict(spark, tmp_path, monkeypatch):
     assert got == _want(spark, list(after.values()))
 
 
+@pytest.mark.slow
 def test_purge_job_tombstones_text_index(spark, tmp_path):
     """The reference purger deletes vanished parents from the search
     index too (aisearch delete_documents): run_purge_job with
@@ -763,6 +767,7 @@ def test_purge_job_tombstones_text_index(spark, tmp_path):
     assert out["searchIndexTombstoned"] == 0
 
 
+@pytest.mark.slow
 def test_ingest_job_maintains_chunk_text_index(spark, tmp_path):
     """run_ingest_job(text_index_path=...): the persisted chunk-level
     BM25 index stays query-consistent with the chunks table across
@@ -943,6 +948,7 @@ def test_semantic_rerank(spark):
     assert 3 not in order  # outside the L1 shortlist
 
 
+@pytest.mark.slow
 def test_purge_job_tombstones_chunk_surrogate_index(spark, tmp_path):
     """Advisor r6 (medium): the ingest-job-maintained index is keyed
     by xxhash64(chunk id) surrogates, NOT by parent_id — purging with

@@ -1880,6 +1880,7 @@ def test_table_detail_metadata_only(spark, tmp_path):
     assert dc["num_files"] > 0  # counts through absolute refs
 
 
+@pytest.mark.slow
 def test_forced_rollforward_validates_garbage_tmp(spark, tmp_path):
     """r8 advisor #1: a writer SIGKILLed mid-_write_text leaves a
     truncated/garbage _current__tmp.  The commit wait loop's FORCED

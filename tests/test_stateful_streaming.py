@@ -3,6 +3,8 @@ checkpointed state."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 
 from gpt_rag_ingestion_spark.streaming.stateful import streaming_first_seen
@@ -390,6 +392,7 @@ def test_incremental_ivf_stream_maintains_index(spark, tmp_path):
     assert ivf_needs_refit(spark, idx, tolerance=0.05) is False
 
 
+@pytest.mark.slow
 def test_incremental_ivf_stream_triggered_compaction(spark, tmp_path):
     """Round-3 brief #6 (index side): with a low max_fragments the
     wired trigger compacts the postings INSIDE the stream loop, and
@@ -571,6 +574,7 @@ def test_streaming_domain_cap_cumulative(spark, tmp_path):
     } == {"0", "1"}
 
 
+@pytest.mark.slow
 def test_streaming_corpus_table_optimize_trigger(spark, tmp_path):
     """``corpus_max_files`` arms the corpus-table OPTIMIZE inside the
     stream loop: per-batch merges fragment the table, the trigger
@@ -606,6 +610,7 @@ def test_streaming_corpus_table_optimize_trigger(spark, tmp_path):
     assert tbl.select("doc_id").distinct().count() == 12
 
 
+@pytest.mark.slow
 def test_streaming_sidecar_triggered_compaction(spark, tmp_path):
     """Round-3 brief #6: the counter-driven sidecar compaction trigger
     fires INSIDE the streamed admission loop (a batch re-admits a doc
