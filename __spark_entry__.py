@@ -86,7 +86,26 @@ def _events_ts_unit(sf_dir: str) -> str:
     return unit
 
 
+# Scan-plan memo for _t (guide §5 — the driver should do almost no
+# work): every `spark.read.parquet(path)` costs a JVM file listing plus
+# a parquet-footer schema read (~0.1 s of py4j round-trips), and the
+# query builders call _t hundreds of times per bench run on the same
+# handful of immutable corpus tables.  The memo holds the unresolved
+# scan PLAN only — no data, no results: every materialization of a
+# derived query still reads the parquet files fresh (Spark itself
+# caches the same file listing per session, filesourcePartitionFile-
+# CacheSize).  Keyed by (session id, applicationId, path, table) so a
+# new session — even one reusing the interpreter — re-lists; the inputs
+# under a given path are written once and never mutated mid-session
+# (same contract _EVENTS_TS_UNIT already relies on).
+_SCAN_MEMO: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), spark.sparkContext.applicationId, sf_dir, name)
+    df = _SCAN_MEMO.get(key)
+    if df is not None:
+        return df
     _ensure_shipped(spark)
     if name == "events" and _events_ts_unit(sf_dir) == "ns":
         # TIMESTAMP(NANOS), which Spark's reader rejects: read as int64
@@ -94,7 +113,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # to micros, matching DuckDB/engine-default microsecond
         # timestamps.
         df = spark.read.schema(_EVENTS_READ_SCHEMA).parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        _SCAN_MEMO[key] = df
+        return df
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # micros-unit files come back as TIMESTAMP_NTZ under Spark's NTZ
@@ -102,6 +123,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # operators (unix_micros etc.) expect — sessions run UTC, so the
         # instant is unchanged.
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _SCAN_MEMO[key] = df
     return df
 
 

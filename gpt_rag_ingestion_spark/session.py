@@ -24,6 +24,34 @@ from pyspark.sql import DataFrame, SparkSession
 _SHIPPED: set[int] = set()
 
 
+def _disable_dataframe_debugging(spark: SparkSession) -> None:
+    """Turn off PySpark's per-call Python call-site capture for this
+    session (guide §5 — driver overhead).  With
+    ``spark.python.sql.dataFrameDebugging.enabled`` (default true),
+    EVERY DataFrame/Column API call walks the Python stack and makes
+    3-4 extra py4j round-trips (getActiveSession + conf.get + origin
+    set/clear) purely to enrich error messages with the user's call
+    site — measured at roughly half of all plan-BUILD time for the
+    expression-heavy operators (dedup/ANN builders: ~2600 py4j calls
+    per q18 build).  The switch is the documented off-knob for that
+    debug feature; plans, results and executor behavior are untouched.
+    The knob is a STATIC conf (settable only at session build —
+    ``get_spark`` below sets it properly for engine-owned sessions);
+    for sessions built by a foreign harness the only handle is
+    PySpark's process-wide Python-side cache of the flag, which this
+    sets directly.  Purely a driver-side (Python client) change: the
+    JVM never sees the flag, plans and results are untouched, and
+    errors still raise — they just stop carrying the Python call-site
+    origin line."""
+    try:
+        import pyspark.errors.utils as _eu
+
+        if hasattr(_eu, "_enable_debugging_cache"):
+            _eu._enable_debugging_cache = False
+    except Exception:
+        pass  # older/newer pyspark without the knob: keep defaults
+
+
 def ship_package(spark: SparkSession) -> None:
     """Make this package importable on executor Python workers via
     addPyFile — the local-mode equivalent of ``spark-submit
@@ -32,6 +60,7 @@ def ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if id(sc) in _SHIPPED:
         return
+    _disable_dataframe_debugging(spark)
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
     zpath = os.path.join(
@@ -140,5 +169,8 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # per-call Python call-site capture off (static conf — see
+        # _disable_dataframe_debugging for the foreign-session path)
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     return builder.getOrCreate()
