@@ -129,22 +129,36 @@ def chunk_multimodal_documents(
             F.lit(""),
         ),
     )
-    zero_vec = F.array(*[F.lit(0.0) for _ in range(embedding_dim)]).cast(
-        "array<float>"
+    # one SQL parse instead of dim+2 py4j calls of literal building
+    # (proven sameSemantics vs the F.array(*lits) form)
+    zero_vec = F.expr(
+        "CAST(array(" + ", ".join(["0.0D"] * embedding_dim) + ") AS ARRAY<FLOAT>)"
     )
+    # two withColumns batches instead of six chained withColumn plan
+    # rebuilds (guide §5 driver overhead) — the split preserves the
+    # dependency chain (length/contentVector/captionVector read the
+    # REASSIGNED content and the new imageCaptions), and the optimized
+    # plan is identical to the chained form (Catalyst sameResult
+    # proven; the chain's nested Projects collapse to the same two)
     out = (
         chunks.join(figmaps, on="parent_id", how="left")
-        .withColumn("imageCaptions", captions)
-        .withColumn("relatedImages", related)
-        .withColumn("content", stripped)
-        .withColumn("length", F.length("content"))
+        .withColumns(
+            {
+                "imageCaptions": captions,
+                "relatedImages": related,
+                "content": stripped,
+            }
+        )
         .drop("_figs")
-        .withColumn("contentVector", embed(F.col("content")))
-        .withColumn(
-            "captionVector",
-            F.when(
-                F.col("imageCaptions").isNotNull(), embed(F.col("imageCaptions"))
-            ).otherwise(zero_vec),
+        .withColumns(
+            {
+                "length": F.length("content"),
+                "contentVector": embed(F.col("content")),
+                "captionVector": F.when(
+                    F.col("imageCaptions").isNotNull(),
+                    embed(F.col("imageCaptions")),
+                ).otherwise(zero_vec),
+            }
         )
     )
     return out

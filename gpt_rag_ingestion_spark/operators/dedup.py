@@ -285,11 +285,13 @@ def minhash_signatures(
             F.substring(F.sha2(F.col("shingle"), 256), 1, 8), 16, 10
         ).cast("long")
         sh = sh.select(F.col(id_col), x.alias("_x"))
+        # one SQL-parse round-trip per aggregate instead of ~10 py4j
+        # calls of Column algebra (guide §5 driver overhead; proven
+        # sameSemantics + equal schema vs the Column form — the parser
+        # yields the identical unresolved tree, constants are int32
+        # literals both ways)
         aggs = [
-            F.min(
-                (F.lit(uh_a(i)) * F.col("_x") + F.lit(uh_b(i)))
-                % F.lit(UH_PRIME)
-            ).alias(f"mh_{i}")
+            F.expr(f"min(({uh_a(i)} * _x + {uh_b(i)}) % {UH_PRIME}) AS mh_{i}")
             for i in range(num_hashes)
         ]
         return sh.groupBy(id_col).agg(*aggs)
@@ -357,13 +359,26 @@ def minhash_lsh_candidates(
 
     # one pass: explode (band, band_hash) structs — computing signatures
     # once, not once per band (a per-band union would recompute the whole
-    # shingle aggregation `bands` times)
-    band_structs = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), band_hash(b).alias("band_hash"))
-            for b in range(bands)
-        ]
-    )
+    # shingle aggregation `bands` times).  The sha256uh r=2 fast path
+    # builds the whole array in ONE SQL parse (proven sameSemantics vs
+    # the struct/lit Column form); other modes keep the Column form.
+    if hash_fn == "sha256uh" and r == 2:
+        band_structs = F.expr(
+            "array("
+            + ", ".join(
+                f"named_struct('band', {b}, 'band_hash',"
+                f" mh_{2 * b} * {UH_PRIME} + mh_{2 * b + 1})"
+                for b in range(bands)
+            )
+            + ")"
+        )
+    else:
+        band_structs = F.array(
+            *[
+                F.struct(F.lit(b).alias("band"), band_hash(b).alias("band_hash"))
+                for b in range(bands)
+            ]
+        )
     band_rows = sig.select(
         F.col(id_col), F.explode(band_structs).alias("bb")
     ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
@@ -503,28 +518,29 @@ def simhash(
     # but the per-token row is a raw shift/mask (no 16 branchy
     # when-exprs) and the aggregate sums the indicator directly
     # (measured ~30% off the query at sf0.1; identical simhash).
+    # the per-bit indicator sums and the CASE|shiftleft assembly chain
+    # are built as SQL text — one parse round-trip per expression
+    # instead of ~8 py4j calls of Column algebra each (guide §5 driver
+    # overhead; both forms proven sameSemantics + equal schema)
     ones_cols = []
     for bit in range(bits):
         n = bit // 4
         c, m = n // 8, n % 8
         pos = 4 * (chunk_lens[c] - 1 - m) + (bit % 4)
-        ones_cols.append(
-            F.sum(
-                F.shiftright(F.col(f"x{c}"), pos).bitwiseAND(F.lit(1))
-            ).alias(f"o{bit}")
-        )
+        ones_cols.append(F.expr(f"sum(shiftright(x{c}, {pos}) & 1) AS o{bit}"))
     votes = toks.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_nt"), *ones_cols
     )
-    sim = None
-    for bit in range(bits):
-        # shiftleft, not lit(1 << bit): bit 63 overflows a positive
-        # long literal but is a valid sign-bit pattern under shift
-        term = F.when(
-            F.col(f"o{bit}") * 2 > F.col("_nt"),
-            F.shiftleft(F.lit(1).cast("long"), bit),
-        ).otherwise(F.lit(0).cast("long"))
-        sim = term if sim is None else sim.bitwiseOR(term)
+    # shiftleft, not a 1<<bit literal: bit 63 overflows a positive
+    # long literal but is a valid sign-bit pattern under shift
+    sim = F.expr(
+        " | ".join(
+            f"(CASE WHEN o{bit} * 2 > _nt"
+            f" THEN shiftleft(CAST(1 AS BIGINT), {bit})"
+            f" ELSE CAST(0 AS BIGINT) END)"
+            for bit in range(bits)
+        )
+    )
     return votes.select(F.col(id_col), sim.alias("simhash"))
 
 
